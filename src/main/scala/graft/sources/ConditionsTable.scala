@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.model.TimeseriesRecord
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `conditions` table — storage boundary of the normalize pipeline.
+  *
+  * The reference stores into a TimescaleDB hypertable chunked on `timestamp`
+  * with secondary indexes on subject/of/publisher
+  * (`db/create_table_and_roles.sql:35-59`). The Spark-native analogue is
+  * date-partitioned Parquet: partition pruning replaces hypertable chunk
+  * exclusion, and Parquet column statistics (min/max per row group) replace
+  * the B-tree/hash indexes for the standard
+  * `(measurement_of, measurement_subject, timestamp BETWEEN ...)` scan.
+  *
+  * At 100 TB: one partition per day keeps partitions O(100 GB); within a
+  * partition, sorting by `(measurement_of, measurement_subject, timestamp)`
+  * at write time clusters row groups so the dashboard predicates prune
+  * row groups too, not just partitions.
+  */
+object ConditionsTable {
+
+  /** Normalize a set of raw event-hub strings into atomic records.
+    * Narrow transformation — no shuffle; each input row fans out to 0..n
+    * records. Correlation ids are injected per-message (uuid in prod;
+    * deterministic in tests), mirroring `create_correlation_id`
+    * (`shared_code/helpers.py:98-103`).
+    */
+  def normalize(spark: SparkSession, raw: Dataset[String],
+                correlationId: String => Option[String] = _ => Some(java.util.UUID.randomUUID.toString))
+      : Dataset[TimeseriesRecord] = {
+    import spark.implicits._
+    raw.flatMap(s => graft.convert.Converters.convertEvent(s, correlationId(s))
+      .getOrElse(Vector.empty))
+  }
+
+  /** Wire records → storage rows: parse the ISO wire timestamp to a real
+    * TimestampType, encode geography as WKT, add the partition date.
+    */
+  def toStorage(records: Dataset[TimeseriesRecord]): DataFrame =
+    records.toDF()
+      .withColumn("measurement_location",
+        when(col("measurement_location").isNotNull,
+          format_string("SRID=4326;POINT(%s %s)",
+            col("measurement_location").getItem(1),
+            col("measurement_location").getItem(0))))
+      .withColumn("timestamp",
+        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+      .withColumn("date", to_date(col("timestamp")))
+
+  /** Write date-partitioned, row-group-clustered Parquet. */
+  def write(storage: DataFrame, path: String): Unit =
+    storage
+      .repartition(col("date"))
+      .sortWithinPartitions("measurement_of", "measurement_subject", "timestamp")
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
