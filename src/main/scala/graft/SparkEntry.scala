@@ -1,13 +1,181 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Asap, TimeWeight}
+import graft.queries.TimeseriesQueries._
+import graft.sources.EventsAsConditions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, round => sround}
+
+/** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
+  * per implemented operator from SURVEY.md §2.
+  *
+  * Conventions shared by the Spark queries and their oracles:
+  *  - output timestamps are BIGINT epoch seconds (`time_s`) or micros
+  *    (`*_us`) — engine-portable, no parquet timestamp-unit skew;
+  *  - every floating-point aggregate is rounded to 6 dp on BOTH sides
+  *    (aggregation order differs between engines in the last few bits);
+  *  - column aliases match the oracle exactly (driver hashes by sorted
+  *    column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // Shared query parameters: the synthetic events table spans Jan 2024 at
+  // every SF, so fixed epochs parameterize identically across scales.
+  private val S1 = 1704240000L // 2024-01-03T00:00:00Z
+  private val E1 = 1706400000L // 2024-01-28T00:00:00Z  (span 2_160_000 s)
+  private val FS = 1704844800L // 2024-01-10T00:00:00Z
+  private val FE = 1704866400L // 2024-01-10T06:00:00Z  (≤1-day branch of B3)
+  private val Subject = "user_3"
+  private val Of = "click"
+
+  private def conditions(s: SparkSession, dir: String): DataFrame =
+    EventsAsConditions.load(s, dir)
+
+  private def r6(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, sround(col(c), 6)))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1 — resolution-bounded bucketed AVG
+    "q_agg" -> ((s, d) =>
+      r6(aggregatedData(conditions(s, d), Subject, Of, S1, E1, 100), "avg_measurement_number")),
+    // B2 — fixed-interval bucketed AVG (1 day)
+    "q_agg_interval" -> ((s, d) =>
+      r6(aggregatedDataByInterval(conditions(s, d), Subject, Of, S1, E1, 86400), "avg_measurement_number")),
+    // B3 — >1 day branch: daily MAX
+    "q_agg_day" -> ((s, d) =>
+      r6(aggregatedDataByDay(conditions(s, d), Subject, Of, S1, E1), "avg_measurement_number")),
+    // B3 — ≤1 day branch: fine buckets anchored at midnight
+    "q_agg_day_fine" -> ((s, d) =>
+      r6(aggregatedDataByDay(conditions(s, d), Subject, Of, FS, FE), "avg_measurement_number")),
+    // B4 — adaptive-interval per-bucket MODE (deterministic ties)
+    "q_mode" -> ((s, d) =>
+      mostFrequentValueByInterval(conditions(s, d), Subject, Of, S1, E1)),
+    // B5 v1 — gridded 5-point SMA (documented asap_smooth stand-in)
+    "q_sampled_sma" -> ((s, d) =>
+      r6(sampledDataSma(conditions(s, d), Subject, Of, S1, E1, 50), "smoothed_value")),
+    // B5 — full ASAP (no SQL-expressible oracle; rows-only check + unit tests)
+    "q_sampled_asap" -> ((s, d) =>
+      r6(Asap.sampledData(s, conditions(s, d), Subject, Of, S1, E1, 50), "smoothed_value")),
+    // B6 — time-weighted average, trapezoidal + LOCF
+    "q_timeweight_linear" -> ((s, d) =>
+      r6(TimeWeight.sampledDataWithTimeWeight(conditions(s, d), Subject, Of, S1, E1,
+        TimeWeight.Linear, 100), "time_weighted_value")),
+    "q_timeweight_locf" -> ((s, d) =>
+      r6(TimeWeight.sampledDataWithTimeWeight(conditions(s, d), Subject, Of, S1, E1,
+        TimeWeight.Locf, 100), "time_weighted_value")),
+    // B7 — distinct subjects
+    "q_subjects" -> ((s, d) =>
+      uniqueMeasurementSubjects(conditions(s, d), Of, S1, E1)),
+    // B8 — change-point filter
+    "q_changepoints" -> ((s, d) =>
+      filterUnchangedRows(conditions(s, d), Subject, Of, S1, E1)),
+    // B9 — state intervals (clock injected = range end)
+    "q_intervals" -> ((s, d) =>
+      formatTimeIntervals(conditions(s, d), Subject, Of, S1, E1, clockS = E1))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val Cte = s"WITH conditions AS (${EventsAsConditions.oracleCte})"
+  private val ScanPred =
+    s"""measurement_of = '$Of' AND measurement_subject = '$Subject'
+       | AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1""".stripMargin
+
+  private def bucketSql(widthS: Long, origin: Long = BucketOriginS): String =
+    s"""CAST(FLOOR((epoch_us("timestamp")/1000000.0 - $origin)/$widthS)*$widthS + $origin AS BIGINT)"""
+
+  private def aggSql(widthS: Long, limit: String = ""): String =
+    s"""$Cte
+       |SELECT ${bucketSql(widthS)} AS time_s,
+       |       ROUND(AVG(measurement_number), 6) AS avg_measurement_number
+       |FROM conditions WHERE $ScanPred
+       |GROUP BY 1 ORDER BY 1 $limit""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg" -> aggSql((E1 - S1) / 100, "LIMIT 100"),
+    "q_agg_interval" -> aggSql(86400),
+    "q_agg_day" ->
+      s"""$Cte
+         |SELECT CAST(epoch_us(date_trunc('day', "timestamp"))/1000000 AS BIGINT) AS time_s,
+         |       ROUND(MAX(measurement_number), 6) AS avg_measurement_number
+         |FROM conditions WHERE $ScanPred
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_day_fine" -> {
+      val span = FE - FS
+      val w = span / math.min(360L, span / 900L)
+      s"""$Cte
+         |SELECT CAST(epoch_us(date_trunc('day', "timestamp"))/1000000
+         |         + FLOOR((epoch_us("timestamp")/1000000.0 - epoch_us(date_trunc('day', "timestamp"))/1000000.0)/$w)*$w AS BIGINT) AS time_s,
+         |       ROUND(AVG(measurement_number), 6) AS avg_measurement_number
+         |FROM conditions
+         |WHERE measurement_of = '$Of' AND measurement_subject = '$Subject'
+         |  AND epoch_us("timestamp")/1000000.0 >= $FS AND epoch_us("timestamp")/1000000.0 <= $FE
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_mode" ->
+      s"""$Cte, scanned AS (SELECT * FROM conditions WHERE $ScanPred),
+         |params AS (SELECT CASE WHEN count(*) > 360 THEN ${(E1 - S1) / 360} ELSE 60 END AS w FROM scanned),
+         |counted AS (
+         |  SELECT CAST(FLOOR(epoch_us("timestamp")/1000000.0 / w)*w AS BIGINT) AS time_s,
+         |         measurement_string, count(*) AS cnt
+         |  FROM scanned, params GROUP BY 1, 2)
+         |SELECT time_s, measurement_string AS most_common_value
+         |FROM (SELECT *, row_number() OVER (PARTITION BY time_s ORDER BY cnt DESC, measurement_string ASC) AS rn
+         |      FROM counted)
+         |WHERE rn = 1 ORDER BY time_s""".stripMargin,
+    "q_sampled_sma" -> {
+      val w = (E1 - S1) / 50
+      s"""$Cte, gridded AS (
+         |  SELECT ${bucketSql(w)} AS time_s, AVG(measurement_number) AS v
+         |  FROM conditions WHERE $ScanPred GROUP BY 1)
+         |SELECT time_s,
+         |       ROUND(AVG(v) OVER (ORDER BY time_s ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smoothed_value
+         |FROM gridded ORDER BY time_s""".stripMargin
+    },
+    "q_timeweight_linear" -> timeWeightSql("(nt - t)/1000000.0 * (v + nv)/2"),
+    "q_timeweight_locf" -> timeWeightSql("(nt - t)/1000000.0 * v"),
+    "q_subjects" ->
+      s"""$Cte
+         |SELECT DISTINCT measurement_subject
+         |FROM conditions
+         |WHERE measurement_of = '$Of'
+         |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1
+         |ORDER BY measurement_subject""".stripMargin,
+    "q_changepoints" -> changepointsSql,
+    "q_intervals" ->
+      s"""WITH cp AS ($changepointsSql)
+         |SELECT ts_us AS time_us,
+         |       COALESCE(lead(ts_us) OVER (PARTITION BY measurement_subject ORDER BY ts_us),
+         |                ${E1 * 1000000L}) AS time_end_us,
+         |       measurement_string
+         |FROM cp ORDER BY time_us""".stripMargin
+  )
+
+  private def timeWeightSql(termSql: String): String = {
+    val w = (E1 - S1) / 100
+    s"""$Cte, scanned AS (
+       |  SELECT ${bucketSql(w)} AS time_s, epoch_us("timestamp") AS t, measurement_number AS v
+       |  FROM conditions WHERE $ScanPred),
+       |paired AS (
+       |  SELECT time_s, t, v,
+       |         lead(t) OVER (PARTITION BY time_s ORDER BY t) AS nt,
+       |         lead(v) OVER (PARTITION BY time_s ORDER BY t) AS nv
+       |  FROM scanned)
+       |SELECT time_s,
+       |       ROUND(CASE WHEN MAX(t) = MIN(t) THEN arg_min(v, t)
+       |             ELSE SUM(CASE WHEN nt IS NULL THEN 0 ELSE $termSql END)
+       |                  / ((MAX(t) - MIN(t))/1000000.0) END, 6) AS time_weighted_value
+       |FROM paired GROUP BY time_s ORDER BY time_s""".stripMargin
+  }
+
+  private def changepointsSql: String =
+    s"""$Cte
+       |SELECT epoch_us("timestamp") AS ts_us, measurement_subject, measurement_of, measurement_string
+       |FROM (SELECT *, lag(measurement_string) OVER (PARTITION BY measurement_subject ORDER BY "timestamp") AS prev
+       |      FROM conditions WHERE $ScanPred)
+       |WHERE measurement_string IS DISTINCT FROM prev ORDER BY ts_us""".stripMargin
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The nine dashboard analytics functions (`db/` SQL files), re-expressed as
+  * DataFrame transforms over a conditions-shaped input
+  * (columns: `timestamp` TimestampType, `measurement_subject`,
+  * `measurement_of`, `measurement_number`, `measurement_string`).
+  *
+  * All queries share the reference's parameterized scan
+  * (`measurement_of = ? AND measurement_subject = ? AND timestamp BETWEEN
+  * ? AND ?`, e.g. `db/get_aggregated_data.sql:24-29`). On a
+  * date-partitioned parquet conditions table Catalyst turns that into
+  * partition pruning + parquet row-group skipping — the Spark analogue of
+  * hypertable chunk exclusion + the subject/of hash indexes.
+  *
+  * Scale notes: every query below is a single scan → partial hash-agg →
+  * final agg/window → sort over an already-filtered slice. The only
+  * whole-slice-to-one-node operators are the window functions of B8/B9,
+  * which the reference bounds to a single (subject, metric) series — the
+  * same bound applies here (`Window.partitionBy(measurement_subject)`).
+  *
+  * Output timestamps are emitted as BIGINT epoch seconds (`time_s`) to make
+  * results engine-portable (parquet µs-vs-ns unit mismatches otherwise).
+  */
+object TimeseriesQueries {
+
+  /** TimescaleDB `time_bucket` origin: 2000-01-03T00:00:00Z (Monday-aligned
+    * epoch; timescale's documented default origin for second/minute/hour
+    * widths). For widths dividing 86400 s this coincides with plain
+    * epoch-floor.
+    */
+  val BucketOriginS: Long = 946857600L
+
+  /** Epoch seconds (with µs fraction) of a timestamp column, as double.
+    * Exact match for DuckDB's `epoch_us(ts)/1000000.0` — both are the same
+    * IEEE ops on the same integers.
+    */
+  def epochS(ts: Column): Column = unix_micros(ts) / 1000000.0
+
+  /** `time_bucket(width, ts)` as BIGINT epoch seconds. */
+  def timeBucketS(widthS: Long, ts: Column): Column =
+    (floor((epochS(ts) - BucketOriginS) / widthS) * widthS + BucketOriginS).cast("long")
+
+  /** The common parameterized scan. */
+  def scan(conditions: DataFrame, subject: String, of: String,
+           startS: Long, endS: Long): DataFrame =
+    conditions.filter(
+      col("measurement_of") === of &&
+      col("measurement_subject") === subject &&
+      epochS(col("timestamp")) >= startS && epochS(col("timestamp")) <= endS)
+
+  /** B1 `get_aggregated_data` (`db/get_aggregated_data.sql`):
+    * resolution-bounded time-bucketed AVG; bucket width = span/maxN,
+    * LIMIT maxN.
+    */
+  def aggregatedData(conditions: DataFrame, subject: String, of: String,
+                     startS: Long, endS: Long, maxN: Int): DataFrame = {
+    val widthS = (endS - startS) / maxN
+    require(widthS > 0, s"span ${endS - startS}s too small for $maxN buckets")
+    aggregatedDataByInterval(conditions, subject, of, startS, endS, widthS)
+      .limit(maxN)
+  }
+
+  /** B2 `get_aggregated_data_by_interval`: fixed-width bucket + AVG. */
+  def aggregatedDataByInterval(conditions: DataFrame, subject: String, of: String,
+                               startS: Long, endS: Long, intervalS: Long): DataFrame =
+    scan(conditions, subject, of, startS, endS)
+      .groupBy(timeBucketS(intervalS, col("timestamp")).as("time_s"))
+      .agg(avg("measurement_number").as("avg_measurement_number"))
+      .orderBy("time_s")
+
+  /** B3 `get_aggregated_data_by_day`: span ≤ 1 day → fine buckets anchored
+    * at each row's own midnight (width = span/least(360, span/900)) with
+    * AVG; span > 1 day → daily MAX (column deliberately still named
+    * `avg_measurement_number`, as in the reference at
+    * `db/get_aggregated_data_by_day.sql:45`).
+    */
+  def aggregatedDataByDay(conditions: DataFrame, subject: String, of: String,
+                          startS: Long, endS: Long): DataFrame = {
+    val span = endS - startS
+    val base = scan(conditions, subject, of, startS, endS)
+    if (span <= 86400) {
+      val widthS = span / math.min(360L, span / 900L).max(1L)
+      val dayS = unix_micros(date_trunc("day", col("timestamp"))) / 1000000L
+      val bucket = (dayS + floor((epochS(col("timestamp")) - dayS) / widthS) * widthS)
+        .cast("long")
+      base.groupBy(bucket.as("time_s"))
+        .agg(avg("measurement_number").as("avg_measurement_number"))
+        .orderBy("time_s")
+    } else {
+      base.groupBy((unix_micros(date_trunc("day", col("timestamp"))) / 1000000L)
+          .cast("long").as("time_s"))
+        .agg(max("measurement_number").as("avg_measurement_number"))
+        .orderBy("time_s")
+    }
+  }
+
+  /** B4 `get_most_frequent_value_by_time_interval`: adaptive-interval
+    * per-bucket MODE of `measurement_string`. Two-phase like the reference:
+    * a COUNT pre-query picks the interval (span/360 if >360 rows else 60 s),
+    * then plain epoch-floor bucketing (the reference bypasses `time_bucket`
+    * here). PG's ordered-set `mode()` tie-breaks to the first value in sort
+    * order, so the deterministic formulation is count + row_number over
+    * (count DESC, value ASC) — Spark's built-in `mode` has arbitrary ties.
+    */
+  def mostFrequentValueByInterval(conditions: DataFrame, subject: String, of: String,
+                                  startS: Long, endS: Long): DataFrame = {
+    val slice = scan(conditions, subject, of, startS, endS)
+    val total = slice.count() // driver-side action, mirrors the plpgsql pre-count
+    val intervalS = if (total > 360) (endS - startS) / 360 else 60L
+    val counted = slice
+      .groupBy((floor(epochS(col("timestamp")) / intervalS) * intervalS).cast("long").as("time_s"),
+        col("measurement_string"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("time_s")
+      .orderBy(col("cnt").desc, col("measurement_string").asc)
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("time_s"), col("measurement_string").as("most_common_value"))
+      .orderBy("time_s")
+  }
+
+  /** B5 v1 (`get_sampled_data` stand-in): grid-bucket AVG at
+    * width = span/resolution, then a centered 5-point simple moving average
+    * over the (present) buckets. Documented deviation from
+    * `asap_smooth`: no gap-fill, fixed window. The full ASAP variant is
+    * [[graft.functions.Asap]].
+    */
+  def sampledDataSma(conditions: DataFrame, subject: String, of: String,
+                     startS: Long, endS: Long, resolution: Int): DataFrame = {
+    val gridded = aggregatedDataByInterval(
+      conditions, subject, of, startS, endS, (endS - startS) / resolution)
+    val w = Window.orderBy("time_s").rowsBetween(-2, 2)
+    gridded.select(col("time_s"),
+      avg("avg_measurement_number").over(w).as("smoothed_value"))
+      .orderBy("time_s")
+  }
+
+  /** B7 `get_unique_measurement_subjects`: DISTINCT subject over the
+    * of+range predicate (no subject filter).
+    */
+  def uniqueMeasurementSubjects(conditions: DataFrame, of: String,
+                                startS: Long, endS: Long): DataFrame =
+    conditions.filter(
+        col("measurement_of") === of &&
+        epochS(col("timestamp")) >= startS && epochS(col("timestamp")) <= endS)
+      .select("measurement_subject").distinct()
+      .orderBy("measurement_subject")
+
+  /** B8 `filter_unchanged_rows`: change-point detection — keep rows where
+    * `measurement_string` differs (null-safely) from the previous row of
+    * the same subject; first row always kept.
+    */
+  def filterUnchangedRows(conditions: DataFrame, subject: String, of: String,
+                          startS: Long, endS: Long): DataFrame = {
+    val w = Window.partitionBy("measurement_subject").orderBy("timestamp")
+    scan(conditions, subject, of, startS, endS)
+      .withColumn("prev", lag("measurement_string", 1).over(w))
+      .filter(!(col("measurement_string") <=> col("prev")))
+      .select(unix_micros(col("timestamp")).as("ts_us"),
+        col("measurement_subject"), col("measurement_of"), col("measurement_string"))
+      .orderBy("ts_us")
+  }
+
+  /** B9 `format_time_intervals`: gaps-and-islands over B8's change points —
+    * each change point opens an interval closed by the next one; the final
+    * interval closes at `clockS` (the reference uses `now()`,
+    * `db/format_time_intervals.sql:36` — nondeterminism injected as a
+    * parameter here). The procedural loop collapses to one LEAD window.
+    */
+  def formatTimeIntervals(conditions: DataFrame, subject: String, of: String,
+                          startS: Long, endS: Long, clockS: Long): DataFrame = {
+    val w = Window.partitionBy("measurement_subject").orderBy("ts_us")
+    filterUnchangedRows(conditions, subject, of, startS, endS)
+      .withColumn("next_us", lead("ts_us", 1).over(w))
+      .select(col("ts_us").as("time_us"),
+        coalesce(col("next_us"), lit(clockS * 1000000L)).as("time_end_us"),
+        col("measurement_string"))
+      .orderBy("time_us")
+  }
+}
