@@ -2,9 +2,10 @@ package graft
 
 import graft.functions.{Asap, TimeWeight}
 import graft.queries.TimeseriesQueries._
+import graft.operators.TextAnalysis
 import graft.sources.EventsAsConditions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, round => sround}
+import org.apache.spark.sql.functions.{col, count, lit, sum, round => sround}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -30,6 +31,9 @@ object SparkEntry {
 
   private def conditions(s: SparkSession, dir: String): DataFrame =
     EventsAsConditions.load(s, dir)
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
 
   private def r6(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, sround(col(c), 6)))
@@ -75,7 +79,60 @@ object SparkEntry {
       filterUnchangedRows(conditions(s, d), Subject, Of, S1, E1)),
     // B9 — state intervals (clock injected = range end)
     "q_intervals" -> ((s, d) =>
-      formatTimeIntervals(conditions(s, d), Subject, Of, S1, E1, clockS = E1))
+      formatTimeIntervals(conditions(s, d), Subject, Of, S1, E1, clockS = E1)),
+
+    // ---- LLM-data-pipeline operators (documents / embeddings tables) ----
+    // exact dedup: one representative per distinct content hash
+    "q_dedup_exact" -> ((s, d) =>
+      graft.operators.Dedup.exact(table(s, d, "documents"))),
+    // exact n-gram Jaccard similarity join (oracle baseline)
+    "q_dedup_jaccard" -> ((s, d) =>
+      graft.operators.Dedup.jaccardPairs(table(s, d, "documents"), n = 3, threshold = 0.8)),
+    // MinHash-LSH near-dups, exact-verified (scale path; rows-only oracle)
+    "q_dedup_minhash" -> ((s, d) =>
+      graft.operators.Dedup.minhashPairs(table(s, d, "documents"), threshold = 0.8)),
+    // SimHash hamming<=3 near-dups (rows-only oracle)
+    "q_dedup_simhash" -> ((s, d) =>
+      graft.operators.Dedup.simhashPairs(table(s, d, "documents"))),
+    // brute-force cosine top-k
+    "q_ann_topk" -> ((s, d) =>
+      graft.operators.Ann.topK(table(s, d, "embeddings"), queryId = 0, k = 20)),
+    // exact embedding similarity pairs (0.45: the synthetic embeddings
+    // contain no true near-dups — max pairwise cosine ≈ 0.51)
+    "q_embed_neardup" -> ((s, d) =>
+      graft.operators.Ann.neardupPairs(table(s, d, "embeddings"), threshold = 0.45)),
+    // LSH-bucketed near-dup pairs (scale path; rows-only oracle)
+    "q_embed_neardup_lsh" -> ((s, d) =>
+      graft.operators.Ann.lshNeardupPairs(table(s, d, "embeddings"), threshold = 0.9)),
+    // text analysis
+    "q_token_count" -> ((s, d) =>
+      graft.operators.TextAnalysis.tokenCount(table(s, d, "documents"))),
+    "q_lang_id" -> ((s, d) =>
+      graft.operators.TextAnalysis.langId(table(s, d, "documents"))),
+    "q_quality" -> ((s, d) =>
+      graft.operators.TextAnalysis.qualityScore(table(s, d, "documents"))),
+    "q_fingerprint" -> ((s, d) =>
+      graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
+
+    // ---- general relational surface (TPC-H-style, scale/bench anchors) ----
+    "q_tpch_pricing" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sround(sum("l_quantity"), 6).as("sum_qty"),
+          sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_tpch_top_orders" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -152,8 +209,103 @@ object SparkEntry {
          |       COALESCE(lead(ts_us) OVER (PARTITION BY measurement_subject ORDER BY ts_us),
          |                ${E1 * 1000000L}) AS time_end_us,
          |       measurement_string
-         |FROM cp ORDER BY time_us""".stripMargin
+         |FROM cp ORDER BY time_us""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "q_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s,
+        |         len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS nsh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |         list_sum(list_transform(range(1, len(e.embedding)+1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS d,
+        |         sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne,
+        |         sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq
+        |  FROM embeddings e, q)
+        |SELECT vec_id, ROUND(d/(ne*nq), 6) AS cos
+        |FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_sum(list_transform(range(1, len(a.embedding)+1),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |           / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+        |FROM pairs WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id""",
+    "q_lang_id" -> langIdSql,
+    "q_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS ndist,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it'))) AS DOUBLE) AS nstop
+        |  FROM documents)
+        |SELECT doc_id,
+        |       ROUND(LEAST(1.0, ntok / 200) * 0.3 + (ndist / ntok) * 0.3
+        |             + LEAST(1.0, nstop / ntok * 5) * 0.4, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 6) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_top_orders" ->
+      """SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
   )
+
+  private def langIdSql: String = {
+    val score = TextAnalysis.StopwordSets.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n         ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         $score
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CASE
+       |        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |        WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |        WHEN s_fr >= s_zh THEN 'fr'
+       |        ELSE 'zh' END AS lang_pred
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
 
   private def timeWeightSql(termSql: String): String = {
     val w = (E1 - S1) / 100

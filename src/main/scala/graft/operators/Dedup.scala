@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four tiers, cheapest to richest:
+  *  1. exact — hash-groupBy on content ([[exact]]);
+  *  2. exact n-gram Jaccard similarity join via a shingle inverted index
+  *     ([[jaccardPairs]]) — the oracle baseline, O(Σ shingle-bucket²);
+  *  3. MinHash + banded LSH with exact verification ([[minhashPairs]]) —
+  *     the 100 TB path: candidate generation touches only documents that
+  *     collide in ≥1 of `bands` buckets;
+  *  4. SimHash 64-bit fingerprints + segment-banded Hamming pairs
+  *     ([[simhashPairs]]).
+  *
+  * Scale notes:
+  *  - the shingle join skews on stop-shingles; [[jaccardPairs]] drops
+  *    shingles above a document-frequency cutoff (standard practice —
+  *    a shingle occurring in >maxDf docs carries ~no similarity signal
+  *    but costs df² join rows);
+  *  - MinHash signatures are 64 per-column `min()` aggregates — map-side
+  *    partial aggregation, one narrow shuffle, no exploded
+  *    (doc × perm) row blowup.
+  */
+object Dedup {
+
+  /** Tokens are single-space splits (matches DuckDB `string_split(t, ' ')`
+    * for oracle parity).
+    */
+  def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle) + per-doc
+    * shingle-set size `nsh`.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    withTokens(docs)
+      .withColumn("sh", expr(
+        s"""CASE WHEN size(w) >= $n
+           | THEN array_distinct(transform(sequence(0, size(w)-$n),
+           |        i -> concat_ws(' ', slice(w, i+1, $n))))
+           | ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+
+  /** Exact dedup: one representative (min doc_id) per distinct content
+    * hash. Hash-groupBy — at scale the shuffle key is the 128-bit md5, not
+    * the document body.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Exact n-gram Jaccard similarity join: inverted-index (shingle) self
+    * join → per-pair intersection count → jaccard = |∩| / (|A|+|B|−|∩|).
+    * `maxDf` prunes stop-shingle skew (None = exact, used for the oracle).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, n)
+    val exploded0 = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    val exploded = maxDf match {
+      case Some(df) =>
+        val hot = exploded0.groupBy("s").count().filter(col("count") > df).select("s")
+        exploded0.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => exploded0
+    }
+    val a = exploded.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("s"))
+    a.join(b, a("s") === b("s") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1; products stay in Long
+
+  /** Seeded universal-hash coefficients (deterministic across runs). */
+  private def coeffs(numPerm: Int): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(42)
+    val a = Array.fill(numPerm)(1L + rng.nextInt((MinhashPrime - 1).toInt))
+    val b = Array.fill(numPerm)(rng.nextInt(MinhashPrime.toInt).toLong)
+    (a, b)
+  }
+
+  /** MinHash signatures: one row per doc, `sig` = array of numPerm minima.
+    * Signature i = min over shingles of (a_i·x + b_i) mod p, x =
+    * xxhash64(shingle) mod p. Implemented as numPerm parallel `min()`
+    * aggregates — partial aggregation keeps the shuffle at one row per
+    * (doc, 64 longs).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame = {
+    val (a, b) = coeffs(numPerm)
+    val base = shingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("x", pmod(xxhash64(col("s")), lit(MinhashPrime)))
+    val mins = (0 until numPerm).map(i =>
+      min(pmod(col("x") * a(i) + b(i), lit(MinhashPrime))).as(s"m$i"))
+    base.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket (bands × rowsPerBand
+    * = signature length).
+    */
+  def minhashCandidates(sigs: DataFrame, bands: Int = 16): DataFrame = {
+    val numPerm = bands * (64 / bands)
+    val rows = 64 / bands
+    val banded = sigs.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> xxhash64(concat_ws(',', slice(sig, j*$rows+1, $rows)), j))")))
+      .toDF("doc_id", "band", "bh")
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification: candidates
+    * from band collisions, verified against the true shingle sets (so
+    * precision is exact; recall is the LSH probability ≥
+    * 1-(1-t^rows)^bands).
+    */
+  def minhashPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(minhashSignatures(docs, n, numPerm), bands)
+    val sets = shingles(docs, n).select(col("doc_id"), col("sh"))
+    cands
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: sign of the per-bit sum of token hashes
+    * (token multiplicity counts). Emitted as a signed Long.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokens = withTokens(docs)
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    // per-bit contribution: +1 if bit set else -1; aggregate 64 sums
+    val sums = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    tokens.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, candidates
+    * via 4×16-bit segment banding (exact for maxHamming ≤ 3 by pigeonhole).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (simhash >> (j*16)) & 65535)")))
+      .toDF("doc_id", "sig", "band", "seg")
+    val l = banded.select(col("band"), col("seg"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("seg"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "seg")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

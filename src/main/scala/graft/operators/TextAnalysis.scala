@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. Every function is a pure
+  * column expression (codegen'd, no UDFs) with an expression-identical
+  * DuckDB oracle — the formulas only use integer-derived ratios and
+  * engine-portable functions, so results hash-match exactly.
+  */
+object TextAnalysis {
+
+  /** Stopword marker sets per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — the heuristic's contract is
+    * determinism + SQL-portability, tie-broken alphabetically.
+    */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人")
+  )
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def stopCount(words: Seq[String]): Column = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(w, t -> t IN ($set)))")
+  }
+
+  /** Whitespace token count (BIGINT for oracle parity with DuckDB len()). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Stopword-vote language ID; ties resolve to the alphabetically first
+    * language (the CASE chain encodes that order explicitly).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.withColumn("w", tokens)
+      .select(Seq(col("doc_id")) ++
+        StopwordSets.map { case (lang, words) => stopCount(words).as(s"s_$lang") }: _*)
+    scored.select(col("doc_id"), expr(
+      """CASE
+        | WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        | WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        | WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        | WHEN s_fr >= s_zh THEN 'fr'
+        | ELSE 'zh' END""".stripMargin).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality score in [0,1]: length credit + type-token ratio + stopword
+    * density (English stopwords as the density proxy), round-6.
+    * All terms are ratios of integers — bit-identical across engines.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.withColumn("w", tokens)
+      .withColumn("ntok", size(col("w")).cast("double"))
+      .withColumn("ndist", size(array_distinct(col("w"))).cast("double"))
+      .withColumn("nstop", stopCount(StopwordSets.toMap.apply("en")).cast("double"))
+      .select(col("doc_id"), round(
+        least(lit(1.0), col("ntok") / 200) * 0.3 +
+        (col("ndist") / col("ntok")) * 0.3 +
+        least(lit(1.0), col("nstop") / col("ntok") * 5) * 0.4, 6).as("quality"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint: md5 of the raw text (hex, lowercase — identical
+    * in DuckDB). For shingle-level fingerprints see [[Dedup.minhash]].
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+}

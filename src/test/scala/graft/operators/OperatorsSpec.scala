@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup removes a planted duplicate, keeps min doc_id") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    assert(Dedup.exact(d).collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash-LSH pairs equal the exact jaccard pairs on real docs (full recall)") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-dups")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash: identical docs hamming 0; lightly-perturbed docs close") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val d = Seq((1L, base), (2L, base), (3L, base + "perturbed tail token"),
+      (4L, "completely different content about databases and shuffles " * 6))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, maxHamming = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 8)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("ann: planted near-duplicate embeddings found by LSH with exact cos") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(64)(rng.nextGaussian().toFloat)
+    val base = vec()
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val rows = (0L until 50L).map(i => (i, vec())) :+ (100L, base) :+ (101L, near)
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = Ann.neardupPairs(e, 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshNeardupPairs(e, 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((100L, 101L)))
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("ann topK: self is rank 1 with cos 1.0") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val top = Ann.topK(emb, queryId = 3, k = 5).collect()
+    assert(top.head.getLong(0) == 3L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("text analysis: deterministic and sane on real docs") {
+    val tc = TextAnalysis.tokenCount(docs).collect()
+    assert(tc.forall(_.getLong(1) > 0))
+    val q = TextAnalysis.qualityScore(docs).collect()
+    assert(q.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    val lang = TextAnalysis.langId(docs).collect()
+    assert(lang.forall(r => Set("de", "en", "es", "fr", "zh").contains(r.getString(1))))
+    val fp = TextAnalysis.fingerprint(docs).collect()
+    assert(fp.map(_.getString(1)).forall(_.length == 32))
+  }
+}
