@@ -1,0 +1,72 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+class IngestPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val mapper = new ObjectMapper()
+
+  private def goldenBodies: Vector[String] = {
+    val corpus = mapper.readTree(getClass.getResourceAsStream("/golden_test_data.json"))
+    corpus.fields.asScala
+      .filter(_.getValue.get("type").asText == "EventHubEvent")
+      .map(_.getValue.get("properties").get("body").asText).toVector
+  }
+
+  test("mqtt streaming pipeline: golden corpus end-to-end through a file source") {
+    val in = Files.createTempDirectory("stream_in").toString
+    val out = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    Files.write(java.nio.file.Paths.get(s"$in/events.txt"),
+      (goldenBodies :+ "malformed junk").mkString("\n").getBytes)
+
+    val q = IngestPipeline.startMqtt(spark, in, out, ckpt)
+    q.awaitTermination(60000)
+
+    val back = spark.read.parquet(out)
+    // 8 golden events -> 36 records (glow 7+10, homie 2, emon 17), junk dropped
+    assert(back.count() == 36)
+    assert(back.filter("measurement_publisher = 'glow'").count() == 17)
+    assert(back.filter("date IS NOT NULL").count() == 36)
+  }
+
+  test("bmw streaming dedup: 3 messages, 1 duplicate skipped, dual sink") {
+    val msgs = mapper.readTree(getClass.getResourceAsStream("/bmw_topic_messages.json"))
+      .elements.asScala.map(_.toString).toVector
+    assert(msgs.size == 3)
+
+    val in = Files.createTempDirectory("bmw_in").toString
+    val out = Files.createTempDirectory("bmw_out").toString
+    val mon = Files.createTempDirectory("bmw_mon").toString
+    val ckpt = Files.createTempDirectory("bmw_ckpt").toString
+    Files.write(java.nio.file.Paths.get(s"$in/msgs.txt"), msgs.mkString("\n").getBytes)
+
+    val q = IngestPipeline.startBmw(spark, in, out, mon, ckpt)
+    q.awaitTermination(60000)
+
+    // 2 unique (vin, lastUpdatedAt) keys x 6 fields = 12 records, both sinks
+    val main = spark.read.parquet(out)
+    val monitor = spark.read.parquet(mon)
+    assert(main.count() == 12, s"main sink: ${main.count()}")
+    assert(monitor.count() == 12)
+    assert(main.filter("timestamp IS NULL").count() == 0)
+    assert(main.select("correlation_id").distinct().count() == 2)
+
+    // restart on the same checkpoint with the same input: nothing new emitted
+    val q2 = IngestPipeline.startBmw(spark, in, out, mon, ckpt)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 12)
+  }
+}
