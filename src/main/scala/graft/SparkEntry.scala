@@ -114,6 +114,15 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
 
+    // multimodal: binary content + typed metadata, batched feature extract
+    // (decode stubbed deterministically — no codecs in this container)
+    "q_multimodal_features" -> ((s, d) => {
+      import graft.operators.Multimodal
+      r6(Multimodal.extractFeatures(s,
+          Multimodal.fromDocuments(table(s, d, "documents"))).toDF()
+        .orderBy("id"), "byte_mean")
+    }),
+
     // ---- general relational surface (TPC-H-style, scale/bench anchors) ----
     "q_tpch_pricing" -> ((s, d) =>
       table(s, d, "lineitem")
@@ -271,6 +280,17 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |         CAST(len(text) AS BIGINT) AS n_bytes,
+        |         CAST(list_sum(list_transform(range(1, len(text)+1),
+        |           i -> ascii(substr(text, i, 1)))) AS BIGINT) AS s
+        |  FROM documents)
+        |SELECT id, modality, n_bytes, s % 9973 AS byte_sum,
+        |       ROUND(CAST(s AS DOUBLE)/n_bytes, 6) AS byte_mean
+        |FROM m ORDER BY id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 6) AS sum_qty,

@@ -34,6 +34,15 @@ object Ann {
     s
   }
 
+  /** Primitive-array overload — no per-element boxing in the block kernel. */
+  private def dotA(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
   private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => dotD(a, b))
   private val normUdf = udf((a: Seq[Float]) => math.sqrt(dotD(a, a)))
 
@@ -57,17 +66,40 @@ object Ann {
 
   /** Exact near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) — the correctness oracle; use [[lshNeardupPairs]] at scale.
-    * The left side is repartitioned so the nested-loop parallelizes.
+    *
+    * Implemented as a broadcast block kernel: one side is broadcast as
+    * primitive float arrays and each task streams its row range against it
+    * in tight `while` loops. The same-shaped BroadcastNestedLoopJoin with a
+    * per-pair UDF spent its time converting UnsafeArrayData→Seq[Float] per
+    * pair (12.5M conversions at sf0.1, 155 s → ~2 s). FP op order matches
+    * the oracle exactly (left-to-right dot, then `/(na*nb)`).
     */
   def neardupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = withNorm(embeddings)
-    val parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val vecs = all.map(_._2)
+    val norms = vecs.map(v => math.sqrt(dotA(v, v)))
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val parallelism = spark.sparkContext.defaultParallelism
+    spark.createDataset(ids.indices.toSeq)
       .repartition(parallelism)
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", dotUdf(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
+      .mapPartitions { idxs =>
+        val (ids, vecs, norms) = bc.value
+        idxs.flatMap { i =>
+          val out = Vector.newBuilder[(Long, Long, Double)]
+          var j = i + 1
+          while (j < ids.length) {
+            val cos = dotA(vecs(i), vecs(j)) / (norms(i) * norms(j))
+            if (cos >= threshold) out += ((ids(i), ids(j), cos))
+            j += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
   }

@@ -26,23 +26,40 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Tokens are single-space splits (matches DuckDB `string_split(t, ' ')`
-    * for oracle parity).
+  /** Compiled shingle kernel (tokens = single-space splits, matching
+    * DuckDB `string_split(t, ' ')` + list comprehension for oracle parity).
+    * A `transform(sequence, concat_ws(slice))` expression computes the same
+    * thing but evaluates interpreted (higher-order functions are
+    * CodegenFallback) — measured minutes vs seconds on the sf0.1 corpus.
     */
-  def withTokens(docs: DataFrame): DataFrame =
-    docs.withColumn("w", split(col("text"), " "))
+  private def shingleSet(text: String, n: Int): Array[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) Array.empty[String]
+    else w.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
 
-  /** Distinct word n-gram shingles per doc: (doc_id, shingle) + per-doc
-    * shingle-set size `nsh`.
+  /** Exploded distinct shingles: one row per (doc_id, shingle), with the
+    * doc's shingle-set size `nsh` carried along.
+    *
+    * Deliberately a typed `flatMap`, not `explode(udf(...))`: `explode`
+    * implies a `size(...) > 0` filter that Catalyst pushes *below* the
+    * repartition Exchange — the whole corpus then shingles (twice: filter +
+    * project) inside the single pre-shuffle task of a one-file table, and
+    * the optimizer freely duplicates the UDF across every consumer. The
+    * opaque flatMap runs exactly once, after the shuffle, on all cores.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    withTokens(docs)
-      .withColumn("sh", expr(
-        s"""CASE WHEN size(w) >= $n
-           | THEN array_distinct(transform(sequence(0, size(w)-$n),
-           |        i -> concat_ws(' ', slice(w, i+1, $n))))
-           | ELSE array() END""".stripMargin))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = shingleSet(text, n)
+        sh.map(s => (id, s, sh.length))
+      }
+      .toDF("doc_id", "s", "nsh")
+  }
 
   /** Exact dedup: one representative (min doc_id) per distinct content
     * hash. Hash-groupBy — at scale the shuffle key is the 128-bit md5, not
@@ -60,8 +77,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxDf: Option[Int] = None): DataFrame = {
-    val sh = shingles(docs, n)
-    val exploded0 = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    val exploded0 = shingles(docs, n)
     val exploded = maxDf match {
       case Some(df) =>
         val hot = exploded0.groupBy("s").count().filter(col("count") > df).select("s")
@@ -94,21 +110,23 @@ object Dedup {
 
   /** MinHash signatures: one row per doc, `sig` = array of numPerm minima.
     * Signature i = min over shingles of (a_i·x + b_i) mod p, x =
-    * xxhash64(shingle) mod p. Implemented as numPerm parallel `min()`
-    * aggregates — partial aggregation keeps the shuffle at one row per
-    * (doc, 64 longs).
+    * xxhash64(shingle) mod p. One typed [[graft.functions.Sketches.MinHashAgg]]
+    * per group (single compiled buffer; 64 parallel `min()` columns fell out
+    * of whole-stage codegen and ran 40× slower) — partial aggregation keeps
+    * the shuffle at one buffer per (partition, doc).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val (a, b) = coeffs(numPerm)
-    val base = shingles(docs, n)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("x", pmod(xxhash64(col("s")), lit(MinhashPrime)))
-    val mins = (0 until numPerm).map(i =>
-      min(pmod(col("x") * a(i) + b(i), lit(MinhashPrime))).as(s"m$i"))
-    base.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
+    val agg = new graft.functions.Sketches.MinHashAgg(numPerm, a, b, MinhashPrime)
+    shingles(docs, n)
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashPrime)).as("x"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sig"))
+      .toDF("doc_id", "sig")
   }
 
   /** LSH candidate pairs: docs sharing any band bucket (bands × rowsPerBand
@@ -130,18 +148,23 @@ object Dedup {
   /** MinHash-LSH near-dup pairs with exact Jaccard verification: candidates
     * from band collisions, verified against the true shingle sets (so
     * precision is exact; recall is the LSH probability ≥
-    * 1-(1-t^rows)^bands).
+    * 1-(1-t^rows)^bands). Verification joins the (small) candidate set
+    * back to the exploded shingles — intersection counts come from a
+    * candidate-bounded join, never an all-pairs one.
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 64,
                    bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val cands = minhashCandidates(minhashSignatures(docs, n, numPerm), bands)
-    val sets = shingles(docs, n).select(col("doc_id"), col("sh"))
-    cands
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+    val ex = shingles(docs, n)
+    val a = ex.select(col("doc_id").as("doc_a"), col("s"), col("nsh").as("na"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("s"), col("nsh").as("nb"))
+    broadcast(cands)
+      .join(a, "doc_a")
+      .join(b, Seq("doc_b", "s")) // rows = shingles in A∩B per candidate pair
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -150,19 +173,21 @@ object Dedup {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc: sign of the per-bit sum of token hashes
-    * (token multiplicity counts). Emitted as a signed Long.
+    * (token multiplicity counts), via the single-buffer
+    * [[graft.functions.Sketches.SimHashAgg]] (64 `sum()` columns fell out
+    * of codegen — see Sketches). Emitted as a signed Long.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tokens = withTokens(docs)
-      .select(col("doc_id"), explode(col("w")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    // per-bit contribution: +1 if bit set else -1; aggregate 64 sums
-    val sums = (0 until 64).map(i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
-    tokens.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.Sketches.SimHashAgg.toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, candidates

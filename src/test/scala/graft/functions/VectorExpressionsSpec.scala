@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("graft_cosine / graft_dot registered via SparkSessionExtensions, codegen path") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))
+    ).toDF("id", "a", "b")
+    df.createOrReplaceTempView("vecs")
+
+    val rows = spark.sql(
+      "SELECT id, graft_dot(a, b) AS d, graft_cosine(a, b) AS c FROM vecs ORDER BY id")
+      .collect()
+    assert(rows(0).getDouble(1) == 1.0 && math.abs(rows(0).getDouble(2) - 1.0) < 1e-12)
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 0.0)
+    assert(rows(2).getDouble(1) == 32.0) // 4 + 10 + 18
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(rows(2).getDouble(2) - expected) < 1e-12)
+
+    // the expression must run inside whole-stage codegen (that's its point);
+    // LocalTableScan is evaluated eagerly, so assert on a real file scan
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_scan")
+    val plan = spark.sql("SELECT graft_dot(embedding, embedding) FROM emb_scan")
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen stage in the string form
+    assert(plan.contains("*(1) Project [vectordot"), plan)
+  }
+
+  test("type checking rejects non-float arrays") {
+    import spark.implicits._
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("dvecs")
+    val err = intercept[Exception](spark.sql("SELECT graft_dot(a, b) FROM dvecs").collect())
+    assert(err.getMessage.contains("array<float>"))
+  }
+
+  test("matches the brute-force oracle value on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    val viaSql = spark.sql(
+      """SELECT b.vec_id, ROUND(graft_cosine(a.embedding, b.embedding), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin).collect()
+    val viaKernel = graft.operators.Ann.topK(emb, 0, 5).collect()
+    assert(viaSql.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      viaKernel.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+}
