@@ -44,13 +44,33 @@ object TimeseriesQueries {
   def timeBucketS(widthS: Long, ts: Column): Column =
     (floor((epochS(ts) - BucketOriginS) / widthS) * widthS + BucketOriginS).cast("long")
 
-  /** The common parameterized scan. */
+  /** The common parameterized scan. Two plan-shape guarantees:
+    *  - the time range compares the timestamp column directly against
+    *    literals (NOT `epochS(ts) >= x`, a function of the column that can
+    *    never reach parquet min/max pruning) — for integer epoch bounds the
+    *    two forms are exactly equivalent, and this one shows up in
+    *    `PushedFilters` on a native conditions table;
+    *  - when the table is date-partitioned (see
+    *    [[graft.sources.ConditionsTable.write]]), an equivalent `date`
+    *    predicate is derived so directory-level partition pruning fires —
+    *    Spark does not infer it from the timestamp range the way
+    *    TimescaleDB derives hypertable chunk exclusion.
+    */
   def scan(conditions: DataFrame, subject: String, of: String,
-           startS: Long, endS: Long): DataFrame =
-    conditions.filter(
+           startS: Long, endS: Long): DataFrame = {
+    val base =
       col("measurement_of") === of &&
       col("measurement_subject") === subject &&
-      epochS(col("timestamp")) >= startS && epochS(col("timestamp")) <= endS)
+      col("timestamp") >= timestamp_seconds(lit(startS)) &&
+      col("timestamp") <= timestamp_seconds(lit(endS))
+    val pred =
+      if (conditions.columns.contains("date"))
+        base &&
+          col("date") >= to_date(timestamp_seconds(lit(startS))) &&
+          col("date") <= to_date(timestamp_seconds(lit(endS)))
+      else base
+    conditions.filter(pred)
+  }
 
   /** B1 `get_aggregated_data` (`db/get_aggregated_data.sql`):
     * resolution-bounded time-bucketed AVG; bucket width = span/maxN,
@@ -146,7 +166,8 @@ object TimeseriesQueries {
                                 startS: Long, endS: Long): DataFrame =
     conditions.filter(
         col("measurement_of") === of &&
-        epochS(col("timestamp")) >= startS && epochS(col("timestamp")) <= endS)
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
       .select("measurement_subject").distinct()
       .orderBy("measurement_subject")
 

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.sources.EventsAsConditions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the universal dashboard scan must reach parquet
+  * as pushed filters + partition pruning on a native conditions table —
+  * the Spark analogue of the reference's hypertable chunk exclusion and
+  * subject/of indexes (SURVEY §4).
+  */
+class QueryPlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val conditionsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("conditions_tbl").toString
+    EventsAsConditions.load(spark, "/root/testdata/sf0.001")
+      .withColumn("date", to_date(col("timestamp")))
+      .repartition(col("date"))
+      .sortWithinPartitions("measurement_of", "measurement_subject", "timestamp")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    dir
+  }
+
+  test("scan pushes subject/of equality and timestamp range to parquet + prunes partitions") {
+    val table = spark.read.parquet(conditionsPath)
+    val q = TimeseriesQueries.aggregatedDataByInterval(
+      table, "user_3", "click", 1704844800L, 1704931200L, 3600) // 1 day
+    val scanned = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(scanned.contains("PushedFilters:"), scanned)
+    assert(scanned.contains("EqualTo(measurement_of,click)"), scanned)
+    assert(scanned.contains("EqualTo(measurement_subject,user_3)"), scanned)
+    assert(scanned.contains("GreaterThanOrEqual(timestamp,"), scanned)
+    assert(scanned.contains("LessThanOrEqual(timestamp,"), scanned)
+    // date partition pruning: 30 date partitions exist, the 1-day range
+    // touches at most 2
+    assert(scanned.contains("PartitionFilters:"), scanned)
+    // and results are identical to the un-pushable view-based run
+    val viaView = TimeseriesQueries.aggregatedDataByInterval(
+      EventsAsConditions.load(spark, "/root/testdata/sf0.001"),
+      "user_3", "click", 1704844800L, 1704931200L, 3600).collect().toSeq
+    assert(q.collect().toSeq == viaView)
+  }
+
+  test("partition pruning actually reduces files read") {
+    val table = spark.read.parquet(conditionsPath)
+    val narrow = TimeseriesQueries.scan(table, "user_3", "click", 1704844800L, 1704931200L)
+    val partFilter = narrow.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the PartitionFilters clause must constrain `date`
+    assert(partFilter.contains("PartitionFilters:") && partFilter.contains("date#"),
+      partFilter)
+  }
+}
