@@ -5,7 +5,7 @@ import graft.queries.TimeseriesQueries._
 import graft.operators.TextAnalysis
 import graft.sources.EventsAsConditions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, sum, round => sround}
+import org.apache.spark.sql.functions.{col, count, format_string, lit, sum, round => sround}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -121,6 +121,25 @@ object SparkEntry {
       r6(Multimodal.extractFeatures(s,
           Multimodal.fromDocuments(table(s, d, "documents"))).toDF()
         .orderBy("id"), "byte_mean")
+    }),
+
+    // end-to-end converter path under load: synthesize emon MQTT envelopes
+    // from the events table, run the REAL convertEvent flatMap, emit the
+    // wire records — the whole normalize stage is oracle-checked
+    "q_ingest_emon" -> ((s, d) => {
+      import s.implicits._
+      val envelopes = EventsAsConditions.loadEvents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(format_string(
+          """{"topic": "emon/emonTx4", "payload": "{\"P1\": %s, \"time\": %.6f}", "qos": 0, "retain": 0, "timestamp": 0}""",
+          col("value"), epochS(col("ts"))).as("raw"))
+        .as[String]
+      envelopes
+        .flatMap(raw => graft.convert.Converters.convertEvent(raw).getOrElse(Vector.empty))
+        .toDF()
+        .select(col("timestamp"), col("measurement_subject"), col("measurement_of"),
+          col("measurement_number"))
+        .orderBy("timestamp", "measurement_number")
     }),
 
     // ---- general relational surface (TPC-H-style, scale/bench anchors) ----
@@ -266,6 +285,12 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id""",
     "q_lang_id" -> langIdSql,
+    "q_ingest_emon" ->
+      """SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS "timestamp",
+        |       'emonTx4' AS measurement_subject,
+        |       'P1' AS measurement_of,
+        |       "value" AS measurement_number
+        |FROM events ORDER BY "timestamp", measurement_number""".stripMargin,
     "q_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
