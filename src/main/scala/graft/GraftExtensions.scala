@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{VectorCosine, VectorDot}
+import graft.functions.expressions.{FlattenJson, VectorCosine, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorCosine(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_flatten_json"),
+      new ExpressionInfo(classOf[FlattenJson].getName, "graft_flatten_json"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FlattenJson(children.head)))
   }
 }

@@ -48,6 +48,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("graft_flatten_json: LATERAL VIEW over a nested payload") {
+    import spark.implicits._
+    Seq((1L, """{"a": 1, "nest": {"b": "x", "deep": {"c": true}}, "geo": [51.5, -0.1]}"""),
+        (2L, "not json"))
+      .toDF("id", "payload").createOrReplaceTempView("payloads")
+    val rows = spark.sql(
+      """SELECT id, measurement_of, measurement_data_type,
+        |       measurement_number, measurement_string, measurement_bool, measurement_location
+        |FROM payloads LATERAL VIEW graft_flatten_json(payload) t
+        |ORDER BY id, measurement_of""".stripMargin).collect()
+    assert(rows.length == 4) // malformed row contributes nothing
+    val byOf = rows.map(r => r.getString(1) -> r).toMap
+    assert(byOf("a").getString(2) == "number" && byOf("a").getDouble(3) == 1.0)
+    assert(byOf("b").getString(4) == "x")
+    assert(byOf("c").getBoolean(5))
+    assert(byOf("geo").getSeq[Double](6) == Seq(51.5, -0.1))
+  }
+
   test("matches the brute-force oracle value on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb.createOrReplaceTempView("embeddings")
