@@ -13,6 +13,22 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
+/** Same registrations for a session that already exists (e.g. a shared
+  * test session or a notebook) — `SparkSessionExtensions` only applies at
+  * builder time.
+  */
+object GraftFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => VectorCosine(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_flatten_json",
+      exprs => FlattenJson(exprs.head), "built-in")
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

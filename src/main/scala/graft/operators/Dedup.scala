@@ -115,13 +115,15 @@ object Dedup {
     * of whole-stage codegen and ran 40× slower) — partial aggregation keeps
     * the shuffle at one buffer per (partition, doc).
     */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame =
+    signaturesFromExploded(shingles(docs, n), numPerm)
+
+  private def signaturesFromExploded(ex: DataFrame, numPerm: Int): DataFrame = {
+    val spark = ex.sparkSession
     import spark.implicits._
     val (a, b) = coeffs(numPerm)
     val agg = new graft.functions.Sketches.MinHashAgg(numPerm, a, b, MinhashPrime)
-    shingles(docs, n)
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashPrime)).as("x"))
+    ex.select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashPrime)).as("x"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -131,18 +133,34 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any band bucket (bands × rowsPerBand
     * = signature length).
+    *
+    * Bucket-grouped rather than self-joined: a self-join would evaluate the
+    * `sigs` plan twice (each full MinHash pass over the corpus); grouping
+    * computes it once and emits in-bucket pairs from the (small) collected
+    * doc lists. Hot buckets are quadratic either way — that is inherent to
+    * LSH — but the common case is 1-element buckets, dropped by the size
+    * filter before any pair work.
     */
   def minhashCandidates(sigs: DataFrame, bands: Int = 16): DataFrame = {
-    val numPerm = bands * (64 / bands)
+    val spark = sigs.sparkSession
+    import spark.implicits._
     val rows = 64 / bands
-    val banded = sigs.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), j -> xxhash64(concat_ws(',', slice(sig, j*$rows+1, $rows)), j))")))
+    sigs.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), j -> xxhash64(concat_ws(',', slice(sig, j*$rows+1, $rows)), j))")))
       .toDF("doc_id", "band", "bh")
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .groupBy("band", "bh")
+      .agg(collect_list("doc_id").as("bucket"))
+      .filter(size(col("bucket")) > 1)
+      .select(col("bucket")).as[Seq[Long]]
+      .flatMap { bucket =>
+        val sorted = bucket.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("doc_a", "doc_b").distinct()
   }
 
   /** MinHash-LSH near-dup pairs with exact Jaccard verification: candidates
@@ -154,8 +172,12 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 64,
                    bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(minhashSignatures(docs, n, numPerm), bands)
+    // one shingle pass feeds signatures AND both verification joins; at a
+    // real 100 TB scale this would be a checkpointed table instead of an
+    // in-memory persist (Spark evicts LRU, so this degrades, not breaks)
     val ex = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidates(signaturesFromExploded(ex, numPerm), bands)
     val a = ex.select(col("doc_id").as("doc_a"), col("s"), col("nsh").as("na"))
     val b = ex.select(col("doc_id").as("doc_b"), col("s"), col("nsh").as("nb"))
     broadcast(cands)

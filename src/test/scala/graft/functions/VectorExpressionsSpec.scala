@@ -6,12 +6,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class VectorExpressionsSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Suites share one forked JVM: getOrCreate() may return a session built
+  // by another suite, where builder-time extensions never applied. Register
+  // on whatever session we get (GraftExtensions itself is builder wiring
+  // over the same function builders).
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.GraftFunctions.register(s)
+    s
+  }
 
   test("graft_cosine / graft_dot registered via SparkSessionExtensions, codegen path") {
     import spark.implicits._

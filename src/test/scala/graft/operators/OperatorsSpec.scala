@@ -66,6 +66,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("salted join equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 10k rows, 95% on one hot key
+    val big = spark.range(10000)
+      .selectExpr("id", "CASE WHEN id % 20 = 0 THEN id % 5 ELSE 99 END AS k")
+    val small = Seq((99L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val plain = big.join(small, Seq("k")).groupBy("k", "v").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(big, small, "k", saltFactor = 8)
+      .groupBy("k", "v").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
   test("text analysis: deterministic and sane on real docs") {
     val tc = TextAnalysis.tokenCount(docs).collect()
     assert(tc.forall(_.getLong(1) > 0))
