@@ -25,10 +25,36 @@ object TextAnalysis {
 
   private def tokens: Column = split(col("text"), " ")
 
-  private def stopCount(words: Seq[String]): Column = {
-    val set = words.map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(w, t -> t IN ($set)))")
+  /** Single-pass compiled text-stats kernel: token count, distinct-token
+    * count, and per-language stopword hits. A `filter(w, t -> t IN (...))`
+    * higher-order expression computes the same counts but interpreted
+    * (CodegenFallback + boxing); one UDF pass over the split keeps the
+    * whole score computation compiled. Semantics match DuckDB
+    * `list_filter(string_split(t,' '), ...)` exactly (repeats counted).
+    */
+  private val langSets: Array[Set[String]] =
+    StopwordSets.map(_._2.toSet).toArray
+
+  private val statsUdf = udf { (text: String) =>
+    val w = text.split(" ", -1)
+    val hits = new Array[Int](langSets.length)
+    val distinct = new scala.collection.mutable.HashSet[String]
+    var i = 0
+    while (i < w.length) {
+      val t = w(i)
+      distinct += t
+      var l = 0
+      while (l < langSets.length) {
+        if (langSets(l).contains(t)) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    (w.length, distinct.size, hits.toSeq)
   }
+
+  private def withStats(docs: DataFrame): DataFrame =
+    docs.withColumn("st", statsUdf(col("text")))
 
   /** Whitespace token count (BIGINT for oracle parity with DuckDB len()). */
   def tokenCount(docs: DataFrame): DataFrame =
@@ -39,9 +65,10 @@ object TextAnalysis {
     * language (the CASE chain encodes that order explicitly).
     */
   def langId(docs: DataFrame): DataFrame = {
-    val scored = docs.withColumn("w", tokens)
-      .select(Seq(col("doc_id")) ++
-        StopwordSets.map { case (lang, words) => stopCount(words).as(s"s_$lang") }: _*)
+    val scored = withStats(docs).select(Seq(col("doc_id")) ++
+      StopwordSets.zipWithIndex.map { case ((lang, _), i) =>
+        col("st._3").getItem(i).as(s"s_$lang")
+      }: _*)
     scored.select(col("doc_id"), expr(
       """CASE
         | WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
@@ -56,16 +83,18 @@ object TextAnalysis {
     * density (English stopwords as the density proxy), round-6.
     * All terms are ratios of integers — bit-identical across engines.
     */
-  def qualityScore(docs: DataFrame): DataFrame =
-    docs.withColumn("w", tokens)
-      .withColumn("ntok", size(col("w")).cast("double"))
-      .withColumn("ndist", size(array_distinct(col("w"))).cast("double"))
-      .withColumn("nstop", stopCount(StopwordSets.toMap.apply("en")).cast("double"))
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val enIdx = StopwordSets.indexWhere(_._1 == "en")
+    withStats(docs)
+      .withColumn("ntok", col("st._1").cast("double"))
+      .withColumn("ndist", col("st._2").cast("double"))
+      .withColumn("nstop", col("st._3").getItem(enIdx).cast("double"))
       .select(col("doc_id"), round(
         least(lit(1.0), col("ntok") / 200) * 0.3 +
         (col("ndist") / col("ntok")) * 0.3 +
         least(lit(1.0), col("nstop") / col("ntok") * 5) * 0.4, 6).as("quality"))
       .orderBy("doc_id")
+  }
 
   /** Content fingerprint: md5 of the raw text (hex, lowercase — identical
     * in DuckDB). For shingle-level fingerprints see [[Dedup.minhash]].
