@@ -115,7 +115,10 @@ object SparkEntry {
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
 
     // multimodal: binary content + typed metadata, batched feature extract
-    // (decode stubbed deterministically — no codecs in this container)
+    // (decode stubbed deterministically — no codecs in this container).
+    // Oracle precondition: the documents corpus is ASCII (chars == bytes,
+    // asserted against the test data) — the stub sums UTF-8 bytes while
+    // DuckDB's ascii() sums code points
     "q_multimodal_features" -> ((s, d) => {
       import graft.operators.Multimodal
       r6(Multimodal.extractFeatures(s,

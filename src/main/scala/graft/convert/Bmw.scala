@@ -9,9 +9,13 @@ import graft.model.TimeseriesRecord
   * `shared_code/bmw_to_timescale.py:71-133,193-326`): a deep nested
   * vehicle-state document is projected onto six EAV records — charging
   * level/range/connected/status, current mileage, and location — keyed by
-  * `(vin, state.lastUpdatedAt)`. Fields absent from the message are skipped;
-  * a field whose value fails validation is skipped (logged in the reference,
-  * `bmw_to_timescale.py:186-188`) without failing the message.
+  * `(vin, state.lastUpdatedAt)`. Fields absent from the message are
+  * skipped. Deliberate deviation: a field whose value fails validation is
+  * skipped here, whereas the reference raises eagerly in
+  * `construct_messages` (`bmw_to_timescale.py:118-128` runs
+  * `validate_lat_long`/mileage type checks before the per-field try/except
+  * at `:172-188`) and so drops the whole message — per-field degradation
+  * loses less data with identical accepted values.
   *
   * `correlation_id = lastUpdatedAt` (`bmw_to_timescale.py:183`) — it doubles
   * as the streaming dedup key (see [[graft.streaming.BmwDedup]]).
@@ -30,10 +34,11 @@ object Bmw {
   def convert(body: JsonNode): Vector[TimeseriesRecord] = {
     val Key(vin, lastUpdatedAt) = key(body)
     // The reference stores lastUpdatedAt raw and relies on PostgreSQL's
-    // flexible timestamptz parse (`bmw_to_timescale.py:178`); our storage
-    // boundary expects the 6-digit wire format, so normalize here (BMW emits
-    // 7 fractional digits). The RAW string stays the correlation/dedup key.
-    val ts = graft.model.Timestamps.fromString(lastUpdatedAt)
+    // timestamptz parse (`bmw_to_timescale.py:178`), which APPLIES UTC
+    // offsets — so this boundary uses the offset-applying normalization,
+    // unlike the MQTT converters' dateutil-wall-clock parity. BMW emits
+    // 7 fractional digits; the RAW string stays the correlation/dedup key.
+    val ts = graft.model.Timestamps.fromStringUtc(lastUpdatedAt)
     val cid = Some(lastUpdatedAt)
     val state = body.get("state")
     val charging = Option(state.get("electricChargingState")).filter(_.isObject)
@@ -49,12 +54,15 @@ object Bmw {
       out += TimeseriesRecord.number(ts, vin, "bmw", "range", n.asDouble, cid)
     }
     chargingField("isChargerConnected").foreach { n =>
-      // bool(x) coercion in the reference (`bmw_to_timescale.py:107`)
+      // Python bool(x) coercion (`bmw_to_timescale.py:107`): falsy = False,
+      // None, 0, "", empty list/dict
       val b =
         if (n.isBoolean) n.asBoolean
         else if (n.isNumber) n.asDouble != 0.0
         else if (n.isTextual) n.asText.nonEmpty
-        else true
+        else if (n.isNull) false
+        else if (n.isContainerNode) n.size > 0
+        else false
       out += TimeseriesRecord.boolean(ts, vin, "bmw", "isChargerConnected", b, cid)
     }
     chargingField("chargingStatus").filter(_.isTextual).foreach { n =>

@@ -96,7 +96,7 @@ object Asap {
   }
 
   /** Full ASAP over an already-gridded regular series. */
-  def smooth(points: IndexedSeq[Point], resolution: Int): IndexedSeq[Point] = {
+  def smooth(points: IndexedSeq[Point]): IndexedSeq[Point] = {
     if (points.length <= 2) return points
     val xs = points.map(_.value)
     val w = chooseWindow(xs)
@@ -117,7 +117,7 @@ object Asap {
       .collect()
       .map(r => Point(r.getLong(0), r.getDouble(1)))
       .toIndexedSeq
-    smooth(grid, resolution)
+    smooth(grid)
       .toDF("time_s", "smoothed_value")
       .orderBy("time_s")
   }

@@ -54,6 +54,22 @@ object Timestamps {
 
   def fromString(s: String): String = format(parseToLocal(s))
 
+  /** Offset-APPLYING variant (PostgreSQL timestamptz semantics): an input
+    * with a UTC offset is converted to UTC before formatting; naive input
+    * is taken as already-UTC. Used at boundaries where the reference's
+    * parse is PG, not dateutil (see [[graft.convert.Bmw]]).
+    */
+  def fromStringUtc(raw: String): String = {
+    val s = raw.trim
+    val normalized = if (s.length > 10 && s.charAt(10) == ' ') s.updated(10, 'T') else s
+    try {
+      format(OffsetDateTime.parse(normalized)
+        .withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime)
+    } catch {
+      case _: Exception => fromString(raw)
+    }
+  }
+
   def format(dt: LocalDateTime): String = OutFmt.format(dt)
 
   /** Parse a date string to its wall-clock fields (offset discarded, not

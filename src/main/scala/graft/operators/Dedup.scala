@@ -141,10 +141,13 @@ object Dedup {
     * LSH — but the common case is 1-element buckets, dropped by the size
     * filter before any pair work.
     */
-  def minhashCandidates(sigs: DataFrame, bands: Int = 16): DataFrame = {
+  def minhashCandidates(sigs: DataFrame, bands: Int = 16,
+                        numPerm: Int = 64): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val rows = 64 / bands
+    require(numPerm % bands == 0,
+      s"numPerm ($numPerm) must be divisible by bands ($bands)")
+    val rows = numPerm / bands
     sigs.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), j -> xxhash64(concat_ws(',', slice(sig, j*$rows+1, $rows)), j))")))
@@ -177,7 +180,7 @@ object Dedup {
     // in-memory persist (Spark evicts LRU, so this degrades, not breaks)
     val ex = shingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidates(signaturesFromExploded(ex, numPerm), bands)
+    val cands = minhashCandidates(signaturesFromExploded(ex, numPerm), bands, numPerm)
     val a = ex.select(col("doc_id").as("doc_a"), col("s"), col("nsh").as("na"))
     val b = ex.select(col("doc_id").as("doc_b"), col("s"), col("nsh").as("nb"))
     broadcast(cands)
@@ -213,13 +216,25 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, candidates
-    * via 4×16-bit segment banding (exact for maxHamming ≤ 3 by pigeonhole).
+    * via segment banding with `maxHamming + 1` segments — by pigeonhole a
+    * pair within the distance budget must agree on at least one whole
+    * segment, so candidate generation is EXACT for any `maxHamming ≤ 31`
+    * (each segment needs ≥ 2 bits).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
+    val nSeg = maxHamming + 1
+    val segBits = 64 / nSeg
     val sigs = simhash(docs)
+    // segment j covers bits [j*segBits, (j+1)*segBits), the last segment
+    // absorbing the remainder bits
+    val segExprs = (0 until nSeg).map { j =>
+      val width = if (j == nSeg - 1) 64 - j * segBits else segBits
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      s"(shiftright(simhash, ${j * segBits}) & $mask)"
+    }.mkString(", ")
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), j -> (simhash >> (j*16)) & 65535)")))
+      posexplode(expr(s"array($segExprs)")))
       .toDF("doc_id", "sig", "band", "seg")
     val l = banded.select(col("band"), col("seg"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("seg"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))

@@ -24,6 +24,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit each unmatched small-side row once per
+    // salt replica — only join types that never emit unmatched small rows
+    // are sound under the replicate-small strategy
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support joinType=$joinType (small side is replicated)")
     val bigCols = big.columns.map(col)
     val salted = big.withColumn("__salt",
       pmod(xxhash64(struct(bigCols.toIndexedSeq: _*)), lit(saltFactor)).cast("int"))

@@ -24,16 +24,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IngestPipeline {
 
-  /** Normalize a (streaming or batch) Dataset of raw event-hub payloads.
-    * Narrow flatMap — identical code path to the batch converter, so golden
+  /** Normalize a (streaming or batch) Dataset of raw event-hub payloads —
+    * the exact batch code path ([[ConditionsTable.normalize]]), so golden
     * tests cover the streaming transform too.
     */
-  def normalize(raw: Dataset[String]): Dataset[TimeseriesRecord] = {
-    import raw.sparkSession.implicits._
-    raw.flatMap(s =>
-      Converters.convertEvent(s, Some(java.util.UUID.randomUUID.toString))
-        .getOrElse(Vector.empty))
-  }
+  def normalize(raw: Dataset[String]): Dataset[TimeseriesRecord] =
+    ConditionsTable.normalize(raw.sparkSession, raw)
 
   /** MQTT-side pipeline (A1/A5/A7): text-file source (one JSON event per
     * line) → normalize → date-partitioned parquet conditions sink.

@@ -48,10 +48,10 @@ class AsapSpec extends AnyFunSuite {
 
   test("smooth preserves length bound and is identity on tiny input") {
     val pts = Vector(Asap.Point(0, 1.0), Asap.Point(60, 2.0))
-    assert(Asap.smooth(pts, 10) == pts)
+    assert(Asap.smooth(pts) == pts)
     val rng = new scala.util.Random(1)
     val series = (0 until 100).map(i => Asap.Point(i * 60L, rng.nextDouble())).toVector
-    val out = Asap.smooth(series, 100)
+    val out = Asap.smooth(series)
     assert(out.nonEmpty && out.length <= series.length)
   }
 }
