@@ -99,8 +99,8 @@ object IngestPipeline {
   /** JDBC conditions sink (A7) for parity mode against a real
     * TimescaleDB: per-batch batched inserts replace the reference's
     * row-at-a-time psycopg INSERT loop (`shared_code/timescale.py:98-124`).
-    * Untested in this environment (no database available) — exercised only
-    * through the parquet path above.
+    * No TimescaleDB exists in this environment; the writer path is
+    * round-trip-tested against embedded Derby (`JdbcSinkSpec`).
     */
   def jdbcBatchWriter(url: String, table: String,
                       props: java.util.Properties): (DataFrame, Long) => Unit = {
