@@ -104,6 +104,10 @@ object SparkEntry {
     // LSH-bucketed near-dup pairs (scale path; rows-only oracle)
     "q_embed_neardup_lsh" -> ((s, d) =>
       graft.operators.Ann.lshNeardupPairs(table(s, d, "embeddings"), threshold = 0.9)),
+    // IVF-partitioned top-k (scale path; rows-only oracle — probed subset;
+    // OperatorsSpec proves nProbe=nlist == brute force)
+    "q_ann_ivf" -> ((s, d) =>
+      graft.operators.Ann.ivfTopK(table(s, d, "embeddings"), queryId = 0, k = 20)),
     // text analysis
     "q_token_count" -> ((s, d) =>
       graft.operators.TextAnalysis.tokenCount(table(s, d, "documents"))),

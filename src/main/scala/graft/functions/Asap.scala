@@ -95,6 +95,32 @@ object Asap {
     else valid.minBy { case (_, sm) => roughness(sm) }._1
   }
 
+  /** Linear-interpolate missing buckets so the series is regular — ASAP's
+    * ACF/window search assumes equal spacing (the toolkit gap-fills the
+    * same way before smoothing). Leading/trailing gaps cannot be
+    * interpolated and are left absent.
+    */
+  def gapFill(points: IndexedSeq[Point], widthS: Long): IndexedSeq[Point] = {
+    if (points.length < 2) return points
+    val out = Vector.newBuilder[Point]
+    var i = 0
+    while (i < points.length - 1) {
+      val a = points(i)
+      val b = points(i + 1)
+      out += a
+      val gap = ((b.timeS - a.timeS) / widthS).toInt
+      var g = 1
+      while (g < gap) {
+        val frac = g.toDouble / gap
+        out += Point(a.timeS + g * widthS, a.value + (b.value - a.value) * frac)
+        g += 1
+      }
+      i += 1
+    }
+    out += points.last
+    out.result()
+  }
+
   /** Full ASAP over an already-gridded regular series. */
   def smooth(points: IndexedSeq[Point]): IndexedSeq[Point] = {
     if (points.length <= 2) return points
@@ -117,7 +143,7 @@ object Asap {
       .collect()
       .map(r => Point(r.getLong(0), r.getDouble(1)))
       .toIndexedSeq
-    smooth(grid)
+    smooth(gapFill(grid, widthS))
       .toDF("time_s", "smoothed_value")
       .orderBy("time_s")
   }

@@ -104,6 +104,89 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  // --------------------------------------------------------------- IVF
+
+  /** Seeded Lloyd's k-means over a driver-side sample — centroid training
+    * for the IVF index. The sample is bounded (`sampleSize`), so training
+    * cost is independent of corpus size; assignment is the distributed
+    * part.
+    */
+  private[operators] def trainCentroids(sample: Array[Array[Float]], nlist: Int,
+                                        iters: Int = 10, seed: Long = 77L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    val dim = sample.head.length
+    var centroids = rng.shuffle(sample.toVector).take(nlist)
+      .map(_.map(_.toDouble)).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private[operators] def nearestCentroid(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      val ct = centroids(c)
+      var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { val x = v(i) - ct(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-style top-k: vectors are partitioned by nearest centroid
+    * (inverted lists); a query scans only the `nProbe` lists nearest to it
+    * instead of the whole corpus — the classic recall/cost dial. Exact
+    * cosine inside the probed lists, so results are a subset of the
+    * brute-force ranking.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nlist: Int = 16, nProbe: Int = 4, sampleSize: Int = 2000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = embeddings.select(col("embedding")).as[Array[Float]]
+      .limit(sampleSize).collect()
+    val centroids = trainCentroids(sample, math.min(nlist, sample.length))
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    val listed = withNorm(embeddings).withColumn("ivf_list", assignUdf(col("embedding")))
+
+    val q = listed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      .as[(Array[Float], Double)].head()
+    val probeLists = centroids.indices
+      .sortBy { c =>
+        var d = 0.0
+        var i = 0
+        while (i < q._1.length) { val x = q._1(i) - centroids(c)(i); d += x * x; i += 1 }
+        d
+      }
+      .take(nProbe)
+    listed.filter(col("ivf_list").isin(probeLists: _*))
+      .select(col("vec_id"),
+        round(dotUdf(col("embedding"), typedlit(q._1.toSeq)) / (col("nrm") * q._2), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic random hyperplanes: `tables` independent sign-sketches
     * of `bits` hyperplanes each (seeded).
     */

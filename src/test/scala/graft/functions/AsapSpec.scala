@@ -46,6 +46,16 @@ class AsapSpec extends AnyFunSuite {
     assert(smoothed.max > 1.5, s"spike flattened away (w=$w, max=${smoothed.max})")
   }
 
+  test("gapFill interpolates missing buckets linearly") {
+    val pts = Vector(Asap.Point(0, 0.0), Asap.Point(300, 30.0), Asap.Point(400, 50.0))
+    val filled = Asap.gapFill(pts, 100)
+    assert(filled.map(_.timeS) == Vector(0L, 100L, 200L, 300L, 400L))
+    assert(filled.map(_.value) == Vector(0.0, 10.0, 20.0, 30.0, 50.0))
+    // already-regular series unchanged
+    val reg = Vector(Asap.Point(0, 1.0), Asap.Point(100, 2.0))
+    assert(Asap.gapFill(reg, 100) == reg)
+  }
+
   test("smooth preserves length bound and is identity on tiny input") {
     val pts = Vector(Asap.Point(0, 1.0), Asap.Point(60, 2.0))
     assert(Asap.smooth(pts) == pts)

@@ -57,6 +57,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("ann ivfTopK: probed-list results are a faithful subset of brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val brute = Ann.topK(emb, queryId = 3, k = 50).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Ann.ivfTopK(emb, queryId = 3, k = 10, nlist = 8, nProbe = 4).collect()
+    // self always found (its own list is the nearest probe), scores exact
+    assert(ivf.head.getLong(0) == 3L)
+    ivf.foreach { r =>
+      brute.get(r.getLong(0)).foreach(b => assert(b == r.getDouble(1)))
+    }
+    // probing all lists == brute force exactly
+    val full = Ann.ivfTopK(emb, queryId = 3, k = 10, nlist = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bruteTop = Ann.topK(emb, queryId = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == bruteTop)
+  }
+
   test("ann topK: self is rank 1 with cos 1.0") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val top = Ann.topK(emb, queryId = 3, k = 5).collect()
