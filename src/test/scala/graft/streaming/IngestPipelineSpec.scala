@@ -42,6 +42,21 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(back.filter("date IS NOT NULL").count() == 36)
   }
 
+  test("bmw poller: fixture client + VIN filter feeds the streaming input") {
+    import graft.sources.BmwPoller
+    val fixture = java.nio.file.Files.createTempFile("bmw", ".json")
+    java.nio.file.Files.copy(getClass.getResourceAsStream("/bmw_topic_messages.json"),
+      fixture, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val client = new BmwPoller.FixtureClient(fixture.toString)
+    val in = Files.createTempDirectory("poll_in").toString
+
+    assert(BmwPoller.poll(client, Set("WBY0FINGERPRINT01"), in, tick = 1) == 3)
+    assert(BmwPoller.poll(client, Set("OTHERVIN"), in, tick = 2) == 0)
+    assert(BmwPoller.poll(client, Set.empty, in, tick = 3) == 3)
+    val files = new java.io.File(in).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("poll_1.txt", "poll_3.txt"))
+  }
+
   test("bmw streaming dedup: 3 messages, 1 duplicate skipped, dual sink") {
     val msgs = mapper.readTree(getClass.getResourceAsStream("/bmw_topic_messages.json"))
       .elements.asScala.map(_.toString).toVector
