@@ -159,6 +159,26 @@ object TimeseriesQueries {
       .orderBy("time_s")
   }
 
+  /** Streaming variant of the bucketed AVG (B1/B2) over a live conditions
+    * feed — the event-time extension the reference lacks (its dashboard
+    * queries are batch-only; SURVEY §2B-cont "Streaming"). Tumbling
+    * event-time windows + a watermark bound the aggregation state and
+    * define the late-data policy explicitly. Works on any streaming
+    * DataFrame with the conditions shape; emits closed windows in append
+    * mode.
+    */
+  def streamingAggregatedByInterval(conditions: DataFrame, intervalS: Long,
+                                    watermark: String = "1 hour"): DataFrame =
+    conditions
+      .withWatermark("timestamp", watermark)
+      .groupBy(
+        window(col("timestamp"), s"$intervalS seconds"),
+        col("measurement_subject"), col("measurement_of"))
+      .agg(avg("measurement_number").as("avg_measurement_number"))
+      .select(unix_micros(col("window.start")).as("time_us"),
+        col("measurement_subject"), col("measurement_of"),
+        col("avg_measurement_number"))
+
   /** B7 `get_unique_measurement_subjects`: DISTINCT subject over the
     * of+range predicate (no subject filter).
     */

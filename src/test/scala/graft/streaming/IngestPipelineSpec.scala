@@ -42,6 +42,59 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(back.filter("date IS NOT NULL").count() == 36)
   }
 
+  test("streaming windowed aggregation matches the batch computation") {
+    import graft.queries.TimeseriesQueries
+    import graft.sources.EventsAsConditions
+    import org.apache.spark.sql.functions._
+    // two ordered arrivals on one checkpoint (days 1-24, then the rest):
+    // the watermark advances between runs, so closed windows flush in
+    // append mode with COMPLETE values — and aggregation state provably
+    // survives the restart
+    val dir = Files.createTempDirectory("cond_stream").toString
+    val ckpt = Files.createTempDirectory("cond_ckpt").toString
+    val batch = EventsAsConditions.load(spark, "/root/testdata/sf0.001")
+    val cut = org.apache.spark.sql.functions.lit("2024-01-25").cast("timestamp")
+
+    val outDir = Files.createTempDirectory("win_out").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      val q = TimeseriesQueries.streamingAggregatedByInterval(stream, 86400)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    batch.filter(col("timestamp") < cut).coalesce(1)
+      .write.mode("append").parquet(dir)
+    run()
+    batch.filter(col("timestamp") >= cut).coalesce(1)
+      .write.mode("append").parquet(dir)
+    run()
+
+    val streamed = spark.read.parquet(outDir)
+      .withColumn("avg_measurement_number", round(col("avg_measurement_number"), 9))
+      .collect().map(_.toSeq).toSet
+    val expected = batch
+      .groupBy(window(col("timestamp"), "86400 seconds"),
+        col("measurement_subject"), col("measurement_of"))
+      .agg(avg("measurement_number").as("avg_measurement_number"))
+      .select(unix_micros(col("window.start")).as("time_us"),
+        col("measurement_subject"), col("measurement_of"),
+        round(col("avg_measurement_number"), 9).as("avg_measurement_number"))
+      .collect().map(_.toSeq).toSet
+    // every emitted window must match its batch counterpart exactly, and
+    // all windows closed by the phase-1 watermark (≈ through Jan 23) must
+    // have been emitted
+    assert(streamed.nonEmpty && streamed.subsetOf(expected),
+      s"streamed=${streamed.size} expected=${expected.size} bad=${(streamed -- expected).take(3)}")
+    assert(streamed.size > expected.size / 2,
+      s"too few windows flushed: ${streamed.size}/${expected.size}")
+  }
+
   test("bmw poller: fixture client + VIN filter feeds the streaming input") {
     import graft.sources.BmwPoller
     val fixture = java.nio.file.Files.createTempFile("bmw", ".json")
