@@ -130,6 +130,11 @@ object SparkEntry {
         .orderBy("id"), "byte_mean")
     }),
 
+    // flagship curation: exact dedup -> near-dup removal -> quality +
+    // language filter, the whole LLM-pipeline composed and oracle-checked
+    "q_curate" -> ((s, d) =>
+      graft.operators.CorpusCuration.curate(table(s, d, "documents"))),
+
     // end-to-end converter path under load: synthesize emon MQTT envelopes
     // from the events table, run the REAL convertEvent flatMap, emit the
     // wire records — the whole normalize stage is oracle-checked
@@ -312,6 +317,37 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q_curate" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s,
+        |         len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS nsh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near_drop AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+        |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8),
+        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |q AS (
+        |  SELECT doc_id,
+        |         ROUND(LEAST(1.0, ntok / 200) * 0.3 + (ndist / ntok) * 0.3
+        |               + LEAST(1.0, nstop / ntok * 5) * 0.4, 6) AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS ndist,
+        |          CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it'))) AS DOUBLE) AS nstop
+        |        FROM documents)),
+        |l AS ($langIdSql)
+        |SELECT k.doc_id, q.quality, l.lang_pred
+        |FROM exact_keep k JOIN q USING (doc_id) JOIN l USING (doc_id)
+        |WHERE k.doc_id NOT IN (SELECT doc_id FROM near_drop)
+        |  AND q.quality >= 0.3 AND l.lang_pred IN ('en')
+        |ORDER BY k.doc_id""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS id,
