@@ -35,6 +35,34 @@ object ConditionsTable {
       .getOrElse(Vector.empty))
   }
 
+  /** Dead-letter side output: the raw events [[normalize]] would drop
+    * (parse/validation failures and unknown publishers — the rows the
+    * reference logs and skips, `shared_code/json_converter.py:65-69`).
+    * Filtered events (uninteresting topics) are NOT dead letters. A
+    * monitoring-path second pass by design — the hot path stays a single
+    * narrow flatMap.
+    */
+  def deadLetters(spark: SparkSession, raw: Dataset[String]): Dataset[String] = {
+    import spark.implicits._
+    raw.filter { s =>
+      try {
+        val body = graft.convert.Converters.mapper.readTree(s)
+        val topicNode = body.get("topic")
+        if (topicNode == null || !topicNode.isTextual || topicNode.asText.isEmpty) true
+        else {
+          val topic = topicNode.asText
+          val publisher = topic.split("/")(0)
+          publisher.toLowerCase match {
+            case "glow"  => graft.convert.Converters.glow(body, topic, publisher, None); false
+            case "homie" => graft.convert.Converters.homie(body, topic, publisher, None); false
+            case "emon"  => graft.convert.Converters.emon(body, topic, publisher, None); false
+            case _       => true
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
+  }
+
   /** Wire records → storage rows: parse the ISO wire timestamp to a real
     * TimestampType, encode geography as WKT, add the partition date.
     */
