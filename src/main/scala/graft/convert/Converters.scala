@@ -128,11 +128,13 @@ object Converters {
 
   /** Parse + route one raw event string (`convert_event` +
     * `send_to_converter` + `extract_topic`,
-    * `shared_code/json_converter.py:59-69,145-172`). Any error → `None`
-    * (row dropped); unknown publisher is an error by design.
+    * `shared_code/json_converter.py:59-69,145-172`), distinguishing the
+    * two "no records" cases: `Left(error)` = malformed/unroutable (a dead
+    * letter), `Right(None)` = validly filtered (uninteresting topic).
     */
-  def convertEvent(eventStr: String,
-                   correlationId: Option[String] = None): Option[Vector[TimeseriesRecord]] =
+  def convertEventEither(eventStr: String,
+                         correlationId: Option[String] = None)
+      : Either[Throwable, Option[Vector[TimeseriesRecord]]] =
     try {
       val body = mapper.readTree(eventStr)
       val topicNode = body.get("topic")
@@ -146,8 +148,13 @@ object Converters {
         case "emon"  => emon(body, topic, publisher, correlationId)
         case other   => throw new IllegalArgumentException(s"Unknown publisher: $other")
       }
-      converted.filter(_.nonEmpty)
+      Right(converted.filter(_.nonEmpty))
     } catch {
-      case NonFatal(_) => None
+      case NonFatal(e) => Left(e)
     }
+
+  /** As the reference behaves: any error → `None` (row dropped). */
+  def convertEvent(eventStr: String,
+                   correlationId: Option[String] = None): Option[Vector[TimeseriesRecord]] =
+    convertEventEither(eventStr, correlationId).toOption.flatten
 }

@@ -141,6 +141,7 @@ object Asap {
     val grid = TimeseriesQueries
       .aggregatedDataByInterval(conditions, subject, of, startS, endS, widthS)
       .collect()
+      .filter(!_.isNullAt(1)) // all-null buckets (non-numeric EAV rows)
       .map(r => Point(r.getLong(0), r.getDouble(1)))
       .toIndexedSeq
     smooth(gapFill(grid, widthS))

@@ -64,6 +64,9 @@ object TimeWeight {
     val widthS = (endS - startS) / resolution
     require(widthS > 0, "resolution too fine for span")
     TimeseriesQueries.scan(conditions, subject, of, startS, endS)
+      // EAV rows of another value type under the same metric name carry a
+      // null measurement_number; the toolkit's time_weight skips NULLs
+      .filter(col("measurement_number").isNotNull)
       .groupBy(TimeseriesQueries.timeBucketS(widthS, col("timestamp")).as("time_s"))
       .agg(collect_list(struct(unix_micros(col("timestamp")),
         col("measurement_number"))).as("pts"))

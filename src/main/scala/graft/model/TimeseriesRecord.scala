@@ -52,11 +52,9 @@ object TimeseriesRecord {
     TimeseriesRecord(timestamp, subject, publisher, of, PayloadType.Geography.tag,
       None, None, None, Some(latLon), correlationId)
 
-  /** PostGIS-style WKT for the geography value: `SRID=4326;POINT(lon lat)`
-    * (note the lon/lat swap — reference `shared_code/timescale.py:219-270`).
-    */
-  def toWkt(latLon: Seq[Double]): String =
-    s"SRID=4326;POINT(${latLon(1)} ${latLon(0)})"
+  // Geography values become PostGIS-style WKT `SRID=4326;POINT(lon lat)`
+  // (lon/lat swap — reference `shared_code/timescale.py:219-270`) at the
+  // single storage-boundary encoder: ConditionsTable.toStorage.
 
   /** Storage schema of the `conditions` table once the wire timestamp has
     * been parsed (`db/create_table_and_roles.sql:35-46`). Partition columns

@@ -162,16 +162,20 @@ object Ann {
               nlist: Int = 16, nProbe: Int = 4, sampleSize: Int = 2000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    def emptyResult = Seq.empty[(Long, Double)].toDF("vec_id", "cos")
     val sample = embeddings.select(col("embedding")).as[Array[Float]]
       .limit(sampleSize).collect()
+    if (sample.isEmpty) return emptyResult
     val centroids = trainCentroids(sample, math.min(nlist, sample.length))
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
     val listed = withNorm(embeddings).withColumn("ivf_list", assignUdf(col("embedding")))
 
+    // absent query id → empty result, matching the brute-force tier
     val q = listed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
-      .as[(Array[Float], Double)].head()
+      .as[(Array[Float], Double)].collect().headOption
+      .getOrElse(return emptyResult)
     val probeLists = centroids.indices
       .sortBy { c =>
         var d = 0.0
@@ -197,10 +201,20 @@ object Ann {
 
   /** LSH near-dup pairs: candidates collide in ≥1 of `tables` sign-sketch
     * buckets, then exact-cosine verified. Recall ≈ 1-(1-(1-θ/π)^bits)^tables.
+    * `dim` defaults to the actual embedding dimension (a mismatched fixed
+    * value would silently sketch a prefix and lose recall).
     */
   def lshNeardupPairs(embeddings: DataFrame, threshold: Double,
-                      dim: Int = 64, bits: Int = 12, tables: Int = 6): DataFrame = {
-    val hp = hyperplanes(dim, bits, tables)
+                      dim: Int = -1, bits: Int = 12, tables: Int = 6): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val actualDim =
+      if (dim > 0) dim
+      else embeddings.select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (actualDim == 0)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
+    val hp = hyperplanes(actualDim, bits, tables)
     val sketchUdf = udf { (v: Seq[Float]) =>
       hp.map { planes =>
         var bucket = 0L

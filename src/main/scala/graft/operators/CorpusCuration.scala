@@ -29,12 +29,12 @@ object CorpusCuration {
     val exactKeep = Dedup.exact(docs) // (doc_id) min-id per content hash
     val pairs = nearDupPairs.getOrElse(Dedup.jaccardPairs(docs, 3, jaccardThreshold))
     val nearDrop = pairs.select(col("doc_b").as("doc_id")).distinct()
-    val quality = TextAnalysis.qualityScore(docs) // (doc_id, quality)
-    val lang = TextAnalysis.langId(docs)          // (doc_id, lang_pred)
+    // quality + language from one text-stats pass (the per-doc tokenize is
+    // the dominant cost; TextAnalysis.scores shares it)
+    val scores = TextAnalysis.scores(docs)
     exactKeep
       .join(nearDrop, Seq("doc_id"), "left_anti")
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
+      .join(scores, "doc_id")
       .filter(col("quality") >= minQuality && col("lang_pred").isin(langs.toSeq: _*))
       .select(col("doc_id"), col("quality"), col("lang_pred"))
       .orderBy("doc_id")

@@ -75,7 +75,8 @@ object Multimodal {
     * `targetPartitionBytes` of content — size-aware, not row-count-aware.
     */
   def repartitionByBytes(media: DataFrame, targetPartitionBytes: Long): DataFrame = {
-    val totalBytes = media.agg(sum(length(col("content")))).collect()(0).getLong(0)
+    val row = media.agg(sum(length(col("content")))).collect()(0)
+    val totalBytes = if (row.isNullAt(0)) 0L else row.getLong(0) // empty table
     val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
     media.repartition(parts)
   }

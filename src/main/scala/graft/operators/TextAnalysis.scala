@@ -56,6 +56,33 @@ object TextAnalysis {
   private def withStats(docs: DataFrame): DataFrame =
     docs.withColumn("st", statsUdf(col("text")))
 
+  /** Quality + language prediction in ONE stats pass — use this when both
+    * are needed (e.g. [[CorpusCuration]]); [[qualityScore]]/[[langId]]
+    * keep the single-purpose contract of their oracles.
+    */
+  def scores(docs: DataFrame): DataFrame = {
+    val enIdx = StopwordSets.indexWhere(_._1 == "en")
+    val scored = withStats(docs)
+      .withColumn("ntok", col("st._1").cast("double"))
+      .withColumn("ndist", col("st._2").cast("double"))
+      .withColumn("nstop", col("st._3").getItem(enIdx).cast("double"))
+    val withLangCols = StopwordSets.zipWithIndex.foldLeft(scored) {
+      case (d, ((lang, _), i)) => d.withColumn(s"s_$lang", col("st._3").getItem(i))
+    }
+    withLangCols.select(col("doc_id"),
+      round(
+        least(lit(1.0), col("ntok") / 200) * 0.3 +
+        (col("ndist") / col("ntok")) * 0.3 +
+        least(lit(1.0), col("nstop") / col("ntok") * 5) * 0.4, 6).as("quality"),
+      expr(
+        """CASE
+          | WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          | WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          | WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          | WHEN s_fr >= s_zh THEN 'fr'
+          | ELSE 'zh' END""".stripMargin).as("lang_pred"))
+  }
+
   /** Whitespace token count (BIGINT for oracle parity with DuckDB len()). */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))

@@ -130,7 +130,7 @@ object TimeseriesQueries {
                                   startS: Long, endS: Long): DataFrame = {
     val slice = scan(conditions, subject, of, startS, endS)
     val total = slice.count() // driver-side action, mirrors the plpgsql pre-count
-    val intervalS = if (total > 360) (endS - startS) / 360 else 60L
+    val intervalS = if (total > 360) math.max(1L, (endS - startS) / 360) else 60L
     val counted = slice
       .groupBy((floor(epochS(col("timestamp")) / intervalS) * intervalS).cast("long").as("time_s"),
         col("measurement_string"))

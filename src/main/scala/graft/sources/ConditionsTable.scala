@@ -44,23 +44,7 @@ object ConditionsTable {
     */
   def deadLetters(spark: SparkSession, raw: Dataset[String]): Dataset[String] = {
     import spark.implicits._
-    raw.filter { s =>
-      try {
-        val body = graft.convert.Converters.mapper.readTree(s)
-        val topicNode = body.get("topic")
-        if (topicNode == null || !topicNode.isTextual || topicNode.asText.isEmpty) true
-        else {
-          val topic = topicNode.asText
-          val publisher = topic.split("/")(0)
-          publisher.toLowerCase match {
-            case "glow"  => graft.convert.Converters.glow(body, topic, publisher, None); false
-            case "homie" => graft.convert.Converters.homie(body, topic, publisher, None); false
-            case "emon"  => graft.convert.Converters.emon(body, topic, publisher, None); false
-            case _       => true
-          }
-        }
-      } catch { case scala.util.control.NonFatal(_) => true }
-    }
+    raw.filter(s => graft.convert.Converters.convertEventEither(s).isLeft)
   }
 
   /** Wire records → storage rows: parse the ISO wire timestamp to a real

@@ -17,10 +17,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the transforms never know the difference), the two hops fuse into one
   * streaming query (documented difference: no replayable intermediate
   * topic — checkpointing provides replay instead), and the Azure-Table
-  * check-then-act dedup becomes `dropDuplicatesWithinWatermark`
-  * (exactly-once within the pipeline — *stronger* than the reference,
-  * whose emit-then-store-id ordering can duplicate on crash,
-  * `shared_code/bmw_to_timescale.py:28-37`).
+  * check-then-act dedup becomes `dropDuplicatesWithinWatermark` over
+  * checkpointed state (at-most-once per key INTO the pipeline — stronger
+  * than the reference, whose emit-then-store-id ordering can duplicate on
+  * crash, `shared_code/bmw_to_timescale.py:28-37`). Sink-side,
+  * `foreachBatch` parquet appends are at-least-once on batch replay, like
+  * any non-transactional multi-sink write; an idempotent or transactional
+  * sink upgrades the end-to-end guarantee.
   */
 object IngestPipeline {
 
