@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.functions.{Asap, TimeWeight}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge inputs the dashboard layer must survive: mixed-type EAV metrics
+  * (null measurement_number under a queried name), sub-bucket spans,
+  * absent series.
+  */
+class QueriesEdgeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mixedConditions = {
+    import spark.implicits._
+    // metric "m" has numeric rows AND string-typed rows (null number) —
+    // legal in the EAV model
+    Seq(
+      (ts(0), "s1", "m", Some(1.0), Some("low")),
+      (ts(60), "s1", "m", None, Some("mid")),
+      (ts(120), "s1", "m", Some(3.0), Some("mid")),
+      (ts(180), "s1", "m", None, Some("high")),
+      (ts(240), "s1", "m", Some(5.0), Some("high"))
+    ).toDF("timestamp", "measurement_subject", "measurement_of",
+      "measurement_number", "measurement_string")
+  }
+
+  private def ts(offsetS: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704240000L + offsetS))
+
+  test("time-weighted average skips null numbers instead of crashing") {
+    val out = TimeWeight.sampledDataWithTimeWeight(
+      mixedConditions, "s1", "m", 1704240000L, 1704240300L,
+      TimeWeight.Linear, resolution = 1).collect()
+    assert(out.length == 1)
+    // trapezoid over (0,1),(120,3),(240,5): integral = 120*2 + 120*4 = 720; /240 = 3
+    assert(out.head.getDouble(1) == 3.0)
+  }
+
+  test("asap sampledData tolerates all-null buckets") {
+    val out = Asap.sampledData(spark, mixedConditions, "s1", "m",
+      1704240000L, 1704240300L, resolution = 5).collect()
+    assert(out.nonEmpty)
+  }
+
+  test("mode query survives a sub-360-second span with >360 rows") {
+    import spark.implicits._
+    val dense = (0 until 400).map(i =>
+      (ts(i / 2), "s1", "m", Option(i.toDouble), Some(if (i % 3 == 0) "a" else "b")))
+      .toDF("timestamp", "measurement_subject", "measurement_of",
+        "measurement_number", "measurement_string")
+    val out = TimeseriesQueries.mostFrequentValueByInterval(
+      dense, "s1", "m", 1704240000L, 1704240200L).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.isNullAt(0)), "null bucket means a zero interval slipped through")
+  }
+
+  test("queries over an absent series return empty, not errors") {
+    assert(TimeseriesQueries.aggregatedData(
+      mixedConditions, "nope", "m", 1704240000L, 1704240300L, 10).collect().isEmpty)
+    assert(TimeseriesQueries.filterUnchangedRows(
+      mixedConditions, "nope", "m", 1704240000L, 1704240300L).collect().isEmpty)
+    assert(Asap.sampledData(spark, mixedConditions, "nope", "m",
+      1704240000L, 1704240300L, 5).collect().isEmpty)
+  }
+
+  test("ivf/lsh tiers are graceful on empty and absent inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Ann.ivfTopK(empty, 0, 5).collect().isEmpty)
+    assert(graft.operators.Ann.lshNeardupPairs(empty, 0.9).collect().isEmpty)
+    val one = Seq((7L, Seq.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.Ann.ivfTopK(one, 999, 5).collect().isEmpty)
+    // dim inferred (16, not the old fixed 64)
+    assert(graft.operators.Ann.lshNeardupPairs(one, 0.9).collect().isEmpty)
+  }
+}
