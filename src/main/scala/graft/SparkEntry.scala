@@ -160,8 +160,8 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sround(sum("l_quantity"), 6).as("sum_qty"),
-          sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+          sround(sum("l_quantity"), 2).as("sum_qty"),
+          sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
     "q_tpch_top_orders" -> ((s, d) => {
@@ -169,7 +169,7 @@ object SparkEntry {
       val o = table(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
-        .agg(sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"))
+        .agg(sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     })
@@ -361,15 +361,15 @@ object SparkEntry {
         |FROM m ORDER BY id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 6) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       COUNT(*) AS n
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_tpch_top_orders" ->
-      """SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+      """SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderkey
