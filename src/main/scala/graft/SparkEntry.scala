@@ -130,6 +130,24 @@ object SparkEntry {
         .orderBy("id"), "byte_mean")
     }),
 
+    // as-of (point-in-time) join: each click joined to the latest view at
+    // or before it — composed from built-ins (union + running window), with
+    // DuckDB's native ASOF LEFT JOIN as the oracle
+    "q_asof" -> ((s, d) => {
+      val cond = conditions(s, d)
+      val clicks = scan(cond, Subject, "click", S1, E1)
+        .select(col("measurement_subject"), col("timestamp"),
+          col("measurement_number").as("click_value"))
+      val views = scan(cond, Subject, "view", S1, E1)
+        .select(col("measurement_subject"), col("timestamp"),
+          col("measurement_number").as("view_value"))
+      graft.queries.AsOfJoin.asofJoin(clicks, views,
+          "measurement_subject", "timestamp", "click_value", "view_value")
+        .select(org.apache.spark.sql.functions.unix_micros(col("timestamp")).as("ts_us"),
+          col("click_value"), col("view_value"))
+        .orderBy("ts_us")
+    }),
+
     // flagship curation: exact dedup -> near-dup removal -> quality +
     // language filter, the whole LLM-pipeline composed and oracle-checked
     "q_curate" -> ((s, d) =>
@@ -317,6 +335,17 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q_asof" ->
+      s"""$Cte,
+         |c AS (SELECT "timestamp", measurement_number FROM conditions WHERE $ScanPred),
+         |v AS (SELECT "timestamp", measurement_number FROM conditions
+         |      WHERE measurement_of = 'view' AND measurement_subject = '$Subject'
+         |        AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT epoch_us(c."timestamp") AS ts_us,
+         |       c.measurement_number AS click_value,
+         |       v.measurement_number AS view_value
+         |FROM c ASOF LEFT JOIN v ON c."timestamp" >= v."timestamp"
+         |ORDER BY ts_us""".stripMargin,
     "q_curate" ->
       s"""WITH sh AS (
         |  SELECT doc_id,

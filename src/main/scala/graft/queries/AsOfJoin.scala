@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for every left row, the latest right value
+  * with `right.ts <= left.ts` within the same key. The classic timeseries
+  * operator Spark lacks natively (guide §custom-operators); following the
+  * preference order it is COMPOSED from built-ins rather than a custom
+  * SparkPlan: union both sides with a marker, then one
+  * `last(value, ignoreNulls)` running window per key — a single
+  * sort-per-key pipeline, no range-join explosion, identical semantics to
+  * DuckDB/kdb `ASOF JOIN`.
+  *
+  * Scale shape: one shuffle on the key, one sort on (ts, marker) — the
+  * same cost as any windowed query over the union; a naive
+  * `left.ts >= right.ts` range join would be O(|L|·|R|) per key.
+  */
+object AsOfJoin {
+
+  /** `left(keyCol, tsCol, leftVal)` ⨝asof `right(keyCol, tsCol, rightVal)`
+    * → (key, ts, leftVal, rightVal-as-of-ts); left rows with no earlier
+    * right row keep a null rightVal (ASOF LEFT JOIN semantics). At equal
+    * timestamps the right row is visible to the left row (`>=`).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               leftVal: String, rightVal: String): DataFrame = {
+    val l = left.select(col(keyCol), col(tsCol),
+      col(leftVal).as("__lv"), lit(null).cast(right.schema(rightVal).dataType).as("__rv"),
+      lit(1).as("__side"))
+    val r = right.select(col(keyCol), col(tsCol),
+      lit(null).cast(left.schema(leftVal).dataType).as("__lv"), col(rightVal).as("__rv"),
+      lit(0).as("__side"))
+    // right sorts before left at equal ts, so ts-ties are visible (>=)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.union(r)
+      .withColumn("__asof", last("__rv", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col(keyCol), col(tsCol), col("__lv").as(leftVal),
+        col("__asof").as(rightVal))
+  }
+}

@@ -61,6 +61,23 @@ class QueriesEdgeSpec extends AnyFunSuite {
     assert(out.forall(!_.isNullAt(0)), "null bucket means a zero interval slipped through")
   }
 
+  test("asofJoin: latest right value at-or-before each left row, per key") {
+    import spark.implicits._
+    val left = Seq(("k1", ts(0), 10.0), ("k1", ts(100), 20.0), ("k1", ts(200), 30.0),
+      ("k2", ts(50), 99.0))
+      .toDF("k", "t", "lv")
+    val right = Seq(("k1", ts(100), 1.5), ("k1", ts(150), 2.5), ("k2", ts(60), 9.9))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asofJoin(left, right, "k", "t", "lv", "rv")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getDouble(2), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("k1", 10.0, None),        // no right row yet
+      ("k1", 20.0, Some(1.5)),   // equal ts is visible (>=)
+      ("k1", 30.0, Some(2.5)),   // latest at-or-before 200
+      ("k2", 99.0, None)))       // k2's right row is later
+  }
+
   test("queries over an absent series return empty, not errors") {
     assert(TimeseriesQueries.aggregatedData(
       mixedConditions, "nope", "m", 1704240000L, 1704240300L, 10).collect().isEmpty)
