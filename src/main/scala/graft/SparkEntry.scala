@@ -88,7 +88,9 @@ object SparkEntry {
     // exact n-gram Jaccard similarity join (oracle baseline)
     "q_dedup_jaccard" -> ((s, d) =>
       graft.operators.Dedup.jaccardPairs(table(s, d, "documents"), n = 3, threshold = 0.8)),
-    // MinHash-LSH near-dups, exact-verified (scale path; rows-only oracle)
+    // MinHash-LSH near-dups, exact-verified (scale path) — oracle-checked
+    // against the exact DuckDB Jaccard join: the hash match IS the
+    // recall-equality proof (precision is exact by construction)
     "q_dedup_minhash" -> ((s, d) =>
       graft.operators.Dedup.minhashPairs(table(s, d, "documents"), threshold = 0.8)),
     // SimHash hamming<=3 near-dups (rows-only oracle)
@@ -101,9 +103,16 @@ object SparkEntry {
     // contain no true near-dups — max pairwise cosine ≈ 0.51)
     "q_embed_neardup" -> ((s, d) =>
       graft.operators.Ann.neardupPairs(table(s, d, "embeddings"), threshold = 0.45)),
-    // LSH-bucketed near-dup pairs (scale path; rows-only oracle)
+    // LSH-bucketed near-dup pairs, run at the exact tier's threshold and
+    // oracle-checked against the same brute-force DuckDB SQL — the hash
+    // match proves recall 1 at θ≈63° with these (bits, tables). That angle
+    // is the synthetic corpus's near-dup regime (max cos ≈ 0.6), far from
+    // LSH's sweet spot (cos ≥ 0.8 → the default bits=12/tables=6 prunes
+    // hugely); the many-tables setting here is what full recall at low
+    // similarity costs, and the verification stage stays candidate-bounded.
     "q_embed_neardup_lsh" -> ((s, d) =>
-      graft.operators.Ann.lshNeardupPairs(table(s, d, "embeddings"), threshold = 0.9)),
+      graft.operators.Ann.lshNeardupPairs(table(s, d, "embeddings"),
+        threshold = 0.45, bits = 4, tables = 48)),
     // IVF-partitioned top-k (scale path; rows-only oracle — probed subset;
     // OperatorsSpec proves nProbe=nlist == brute force)
     "q_ann_ivf" -> ((s, d) =>
@@ -271,20 +280,10 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
-    "q_dedup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s,
-        |         len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS nsh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
-        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
-        |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_jaccard" -> jaccardOracleSql,
+    // same exact-join oracle: LSH+exact-verify must equal the exact tier
+    // wherever recall holds — the hash match is that proof
+    "q_dedup_minhash" -> jaccardOracleSql,
     "q_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |scored AS (
@@ -298,20 +297,9 @@ object SparkEntry {
         |  FROM embeddings e, q)
         |SELECT vec_id, ROUND(d/(ne*nq), 6) AS cos
         |FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
-    "q_embed_neardup" ->
-      """WITH n AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-        |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         list_sum(list_transform(range(1, len(a.embedding)+1),
-        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |           / (a.nrm * b.nrm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, ROUND(cos, 6) AS cos
-        |FROM pairs WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_neardup" -> neardupOracleSql,
+    // same brute-force oracle at the same threshold (recall-equality proof)
+    "q_embed_neardup_lsh" -> neardupOracleSql,
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id""",
     "q_lang_id" -> langIdSql,
@@ -404,6 +392,42 @@ object SparkEntry {
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
   )
+
+  /** Exact shingle-join Jaccard pairs — oracle for BOTH q_dedup_jaccard
+    * (same algorithm) and q_dedup_minhash (LSH recall-equality proof).
+    */
+  private def jaccardOracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s,
+      |         len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS nsh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+      |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+      |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Brute-force cosine pairs at 0.45 — oracle for q_embed_neardup (same
+    * algorithm) and q_embed_neardup_lsh (LSH recall-equality proof).
+    */
+  private def neardupOracleSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_sum(list_transform(range(1, len(a.embedding)+1),
+      |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |           / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+      |FROM pairs WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
 
   private def langIdSql: String = {
     val score = TextAnalysis.StopwordSets.map { case (lang, words) =>

@@ -158,13 +158,30 @@ object Ann {
     * cosine inside the probed lists, so results are a subset of the
     * brute-force ranking.
     */
+  /** Bounded uniform training sample, deterministic and partition-spanning:
+    * order by a hash of the key and take the first `sampleSize`. Unlike
+    * `limit(n)` (the first partition's first rows — a biased slice that
+    * degenerates to one shard's distribution at scale), the hash order is
+    * independent of physical layout; and unlike `sample(fraction)` it needs
+    * no prior `count()`. Executes as per-partition top-k + driver merge
+    * (TakeOrderedAndProject), no full sort shuffle.
+    */
+  private[operators] def uniformSample(embeddings: DataFrame, sampleSize: Int): Array[(Long, Array[Float])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(sampleSize)
+      .as[(Long, Array[Float])]
+      .collect()
+  }
+
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nlist: Int = 16, nProbe: Int = 4, sampleSize: Int = 2000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     def emptyResult = Seq.empty[(Long, Double)].toDF("vec_id", "cos")
-    val sample = embeddings.select(col("embedding")).as[Array[Float]]
-      .limit(sampleSize).collect()
+    val sample = uniformSample(embeddings, sampleSize).map(_._2)
     if (sample.isEmpty) return emptyResult
     val centroids = trainCentroids(sample, math.min(nlist, sample.length))
     val bc = spark.sparkContext.broadcast(centroids)
@@ -231,16 +248,23 @@ object Ann {
         bucket
       }.toSeq
     }
-    val buckets = withNorm(embeddings)
-      .withColumn("sk", sketchUdf(col("embedding")))
-      .select(col("vec_id"), col("embedding"), col("nrm"), posexplode(col("sk")))
-      .toDF("vec_id", "embedding", "nrm", "table", "bucket")
-    val l = buckets.select(col("table"), col("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val r = buckets.select(col("table"), col("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    l.join(r, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ea", "eb", "na", "nb").distinct()
+    // candidate generation carries ONLY ids — the bucket self-join and the
+    // (id_a, id_b) distinct shuffle tiny fixed-width rows; full embedding
+    // vectors are re-attached afterwards, once per verified candidate (the
+    // earlier formulation distinct()ed rows carrying both float arrays —
+    // vector-width × candidate-count shuffle for no benefit)
+    val buckets = embeddings
+      .select(col("vec_id"), posexplode(sketchUdf(col("embedding"))))
+      .toDF("vec_id", "table", "bucket")
+    val l = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+    val r = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
+    val cand = l.join(r, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val e = withNorm(embeddings)
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
       .withColumn("cos", dotUdf(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

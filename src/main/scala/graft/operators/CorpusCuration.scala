@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *     with something smaller);
   *  3. quality floor + language filter.
   *
-  * `nearDupPairs` is pluggable: the exact inverted-index join is the
-  * oracle-checked default; at 100 TB swap in [[Dedup.minhashPairs]] — the
-  * LSH path returns the same pairs wherever its recall holds (tested
-  * equal on this corpus), at candidate-generation cost instead of full
-  * index-join cost.
+  * `nearDupPairs` is pluggable; the DEFAULT is the scale path,
+  * [[Dedup.minhashPairs]] (banded LSH candidates + exact Jaccard
+  * verification) — candidate-generation cost instead of the exact
+  * inverted-index join's Σdf² blowup on hot shingles. The DuckDB oracle
+  * computes the exact join, so the contract hash-match is itself the
+  * LSH-recall proof. Inject [[Dedup.jaccardPairs]] to force the exact
+  * tier.
   */
 object CorpusCuration {
 
@@ -27,7 +29,7 @@ object CorpusCuration {
              langs: Set[String] = Set("en"),
              nearDupPairs: Option[DataFrame] = None): DataFrame = {
     val exactKeep = Dedup.exact(docs) // (doc_id) min-id per content hash
-    val pairs = nearDupPairs.getOrElse(Dedup.jaccardPairs(docs, 3, jaccardThreshold))
+    val pairs = nearDupPairs.getOrElse(Dedup.minhashPairs(docs, 3, threshold = jaccardThreshold))
     val nearDrop = pairs.select(col("doc_b").as("doc_id")).distinct()
     // quality + language from one text-stats pass (the per-doc tokenize is
     // the dominant cost; TextAnalysis.scores shares it)

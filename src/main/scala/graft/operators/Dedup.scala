@@ -183,7 +183,7 @@ object Dedup {
     val cands = minhashCandidates(signaturesFromExploded(ex, numPerm), bands, numPerm)
     val a = ex.select(col("doc_id").as("doc_a"), col("s"), col("nsh").as("na"))
     val b = ex.select(col("doc_id").as("doc_b"), col("s"), col("nsh").as("nb"))
-    broadcast(cands)
+    val pairs = broadcast(cands)
       .join(a, "doc_a")
       .join(b, Seq("doc_b", "s")) // rows = shingles in A∩B per candidate pair
       .groupBy("doc_a", "doc_b")
@@ -192,7 +192,14 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      // eager cut: materialize the (small, output-proportional) pair set so
+      // the corpus-proportional shingle cache can be released NOW instead of
+      // leaking for the session (repeated calls used to accumulate
+      // MEMORY_AND_DISK blocks). The checkpoint blocks themselves are freed
+      // by the ContextCleaner once the result is unreferenced.
+      .localCheckpoint(true)
+    ex.unpersist(false)
+    pairs.orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------------------- SimHash
