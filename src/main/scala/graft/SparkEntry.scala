@@ -99,24 +99,35 @@ object SparkEntry {
     // brute-force cosine top-k
     "q_ann_topk" -> ((s, d) =>
       graft.operators.Ann.topK(table(s, d, "embeddings"), queryId = 0, k = 20)),
-    // exact embedding similarity pairs (0.45: the synthetic embeddings
-    // contain no true near-dups — max pairwise cosine ≈ 0.51)
+    // exact embedding similarity pairs via the distributed block kernel
+    // (0.45: the synthetic embeddings contain no true near-dups — max
+    // pairwise cosine ≈ 0.51, so the exact tier is the only one that can
+    // return rows at this threshold)
     "q_embed_neardup" -> ((s, d) =>
       graft.operators.Ann.neardupPairs(table(s, d, "embeddings"), threshold = 0.45)),
-    // LSH-bucketed near-dup pairs, run at the exact tier's threshold and
-    // oracle-checked against the same brute-force DuckDB SQL — the hash
-    // match proves recall 1 at θ≈63° with these (bits, tables). That angle
-    // is the synthetic corpus's near-dup regime (max cos ≈ 0.6), far from
-    // LSH's sweet spot (cos ≥ 0.8 → the default bits=12/tables=6 prunes
-    // hugely); the many-tables setting here is what full recall at low
-    // similarity costs, and the verification stage stays candidate-bounded.
-    "q_embed_neardup_lsh" -> ((s, d) =>
-      graft.operators.Ann.lshNeardupPairs(table(s, d, "embeddings"),
-        threshold = 0.45, bits = 4, tables = 48)),
-    // IVF-partitioned top-k (scale path; rows-only oracle — probed subset;
-    // OperatorsSpec proves nProbe=nlist == brute force)
+    // LSH-bucketed near-dup pairs at the operator's design point
+    // (cos ≥ 0.8, default bits=12/tables=6). The raw synthetic corpus has
+    // no pairs in that regime, so the query plants true near-dups:
+    // duplicate copies of every 50th vector under offset ids. Identical
+    // vectors share every sign-sketch deterministically, so recall on the
+    // planted pairs is 1 by construction (not probabilistically); random
+    // pairs (θ≈90°) collide with prob ≈ 6·0.5¹² ≈ 0.15%, so candidates
+    // stay pruned. Oracle = independent DuckDB brute force over the same
+    // planted corpus.
+    "q_embed_neardup_lsh" -> ((s, d) => {
+      val e = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.operators.Ann.lshNeardupPairs(e.unionByName(planted), threshold = 0.8)
+    }),
+    // IVF-partitioned top-k, run at nProbe = nlist (all lists probed —
+    // exactly brute force by construction, so it shares the q_ann_topk
+    // DuckDB oracle and the whole IVF plan (sample → train → assign →
+    // probe) is hash-checked end-to-end; the pruned nProbe < nlist
+    // configuration stays spec-tested in OperatorsSpec)
     "q_ann_ivf" -> ((s, d) =>
-      graft.operators.Ann.ivfTopK(table(s, d, "embeddings"), queryId = 0, k = 20)),
+      graft.operators.Ann.ivfTopK(table(s, d, "embeddings"), queryId = 0, k = 20,
+        nlist = 16, nProbe = 16)),
     // text analysis
     "q_token_count" -> ((s, d) =>
       graft.operators.TextAnalysis.tokenCount(table(s, d, "documents"))),
@@ -284,22 +295,13 @@ object SparkEntry {
     // same exact-join oracle: LSH+exact-verify must equal the exact tier
     // wherever recall holds — the hash match is that proof
     "q_dedup_minhash" -> jaccardOracleSql,
-    "q_ann_topk" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |scored AS (
-        |  SELECT e.vec_id,
-        |         list_sum(list_transform(range(1, len(e.embedding)+1),
-        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS d,
-        |         sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne,
-        |         sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
-        |            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq
-        |  FROM embeddings e, q)
-        |SELECT vec_id, ROUND(d/(ne*nq), 6) AS cos
-        |FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q_ann_topk" -> annTopkOracleSql,
+    // nProbe = nlist probes every inverted list — identical to brute force
+    "q_ann_ivf" -> annTopkOracleSql,
     "q_embed_neardup" -> neardupOracleSql,
-    // same brute-force oracle at the same threshold (recall-equality proof)
-    "q_embed_neardup_lsh" -> neardupOracleSql,
+    // independent brute force over the planted-duplicate corpus at the LSH
+    // design threshold (recall on identical-vector pairs is deterministic)
+    "q_embed_neardup_lsh" -> lshPlantedOracleSql,
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id""",
     "q_lang_id" -> langIdSql,
@@ -428,6 +430,46 @@ object SparkEntry {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, ROUND(cos, 6) AS cos
       |FROM pairs WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force cosine top-20 for vec_id 0 — oracle for q_ann_topk (same
+    * algorithm) and q_ann_ivf (nProbe = nlist ≡ brute force).
+    */
+  private def annTopkOracleSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id,
+      |         list_sum(list_transform(range(1, len(e.embedding)+1),
+      |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS d,
+      |         sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne,
+      |         sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+      |            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq
+      |  FROM embeddings e, q)
+      |SELECT vec_id, ROUND(d/(ne*nq), 6) AS cos
+      |FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  /** Brute-force cosine pairs at 0.8 over the planted-duplicate corpus —
+    * oracle for q_embed_neardup_lsh. Same construction as the Spark side:
+    * every 50th vector duplicated under an offset id.
+    */
+  private def lshPlantedOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      |n AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM corpus),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_sum(list_transform(range(1, len(a.embedding)+1),
+      |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |           / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+      |FROM pairs WHERE cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   private def langIdSql: String = {
     val score = TextAnalysis.StopwordSets.map { case (lang, words) =>

@@ -65,39 +65,76 @@ object Ann {
   }
 
   /** Exact near-duplicate pairs: all (a<b) with cosine ≥ threshold.
-    * O(n²) — the correctness oracle; use [[lshNeardupPairs]] at scale.
+    * O(n²) arithmetic — the correctness oracle; use [[lshNeardupPairs]] at
+    * scale when the threshold sits in LSH's effective regime (cos ≥ ~0.8).
     *
-    * Implemented as a broadcast block kernel: one side is broadcast as
-    * primitive float arrays and each task streams its row range against it
-    * in tight `while` loops. The same-shaped BroadcastNestedLoopJoin with a
-    * per-pair UDF spent its time converting UnsafeArrayData→Seq[Float] per
-    * pair (12.5M conversions at sf0.1, 155 s → ~2 s). FP op order matches
-    * the oracle exactly (left-to-right dot, then `/(na*nb)`).
+    * Implemented as a *distributed block kernel*: vectors are grouped into
+    * `numBlocks` id-hash blocks packed as primitive arrays, the O(B²) block
+    * pairs are joined (each a fixed-width row carrying two packed blocks),
+    * and every task runs tight `while` loops over one block pair. No driver
+    * `collect()` (the corpus never visits the driver), no n²-row shuffle —
+    * shuffle volume is each vector replicated ~B times. B defaults to
+    * ≈√(2·parallelism) so every core gets a block pair; at real scale pick
+    * `numBlocks` so a block (n/B vectors) fits a task's memory.
+    *
+    * Per-pair UDFs over array columns were 100× slower (UnsafeArrayData→Seq
+    * conversion per pair); FP op order matches the DuckDB oracle exactly
+    * (left-to-right dot in double, then `/(na*nb)` — multiplication is
+    * commutative per IEEE, so cross-block orientation doesn't matter).
     */
-  def neardupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def neardupPairs(embeddings: DataFrame, threshold: Double, numBlocks: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val all = embeddings.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val ids = all.map(_._1)
-    val vecs = all.map(_._2)
-    val norms = vecs.map(v => math.sqrt(dotA(v, v)))
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val parallelism = spark.sparkContext.defaultParallelism
-    spark.createDataset(ids.indices.toSeq)
-      .repartition(parallelism)
-      .mapPartitions { idxs =>
-        val (ids, vecs, norms) = bc.value
-        idxs.flatMap { i =>
-          val out = Vector.newBuilder[(Long, Long, Double)]
-          var j = i + 1
-          while (j < ids.length) {
-            val cos = dotA(vecs(i), vecs(j)) / (norms(i) * norms(j))
-            if (cos >= threshold) out += ((ids(i), ids(j), cos))
-            j += 1
+    val par = spark.sparkContext.defaultParallelism
+    val B = if (numBlocks > 0) numBlocks else math.max(2, math.ceil(math.sqrt(2.0 * par)).toInt)
+    val packed = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => (((id % B) + B) % B).toInt }
+      .mapGroups { (blk, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        (blk, arr.map(_._1), arr.map(_._2), arr.map(t => math.sqrt(dotA(t._2, t._2))))
+      }
+      .toDF("blk", "ids", "vecs", "nrms")
+    val pairsIdx = (for { a <- 0 until B; b <- a until B } yield (a, b))
+      .toDF("blk_a", "blk_b")
+    pairsIdx
+      .join(packed.select(col("blk").as("blk_a"), col("ids").as("ids_a"),
+        col("vecs").as("vecs_a"), col("nrms").as("nrms_a")), "blk_a")
+      .join(packed.select(col("blk").as("blk_b"), col("ids").as("ids_b"),
+        col("vecs").as("vecs_b"), col("nrms").as("nrms_b")), "blk_b")
+      .repartition(B * (B + 1) / 2, col("blk_a"), col("blk_b"))
+      .select("blk_a", "blk_b", "ids_a", "vecs_a", "nrms_a", "ids_b", "vecs_b", "nrms_b")
+      .as[(Int, Int, Array[Long], Array[Array[Float]], Array[Double],
+           Array[Long], Array[Array[Float]], Array[Double])]
+      .flatMap { case (ba, bb, idsA, vecsA, nrmsA, idsB, vecsB, nrmsB) =>
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        if (ba == bb) {
+          var i = 0
+          while (i < idsA.length) {
+            var j = i + 1
+            while (j < idsA.length) {
+              val cos = dotA(vecsA(i), vecsA(j)) / (nrmsA(i) * nrmsA(j))
+              if (cos >= threshold) out += ((idsA(i), idsA(j), cos))
+              j += 1
+            }
+            i += 1
           }
-          out.result()
+        } else {
+          var i = 0
+          while (i < idsA.length) {
+            var j = 0
+            while (j < idsB.length) {
+              val cos = dotA(vecsA(i), vecsB(j)) / (nrmsA(i) * nrmsB(j))
+              if (cos >= threshold) {
+                if (idsA(i) < idsB(j)) out += ((idsA(i), idsB(j), cos))
+                else out += ((idsB(j), idsA(i), cos))
+              }
+              j += 1
+            }
+            i += 1
+          }
         }
+        out.result()
       }
       .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
