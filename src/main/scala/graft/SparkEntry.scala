@@ -5,7 +5,7 @@ import graft.queries.TimeseriesQueries._
 import graft.operators.TextAnalysis
 import graft.sources.EventsAsConditions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, format_string, lit, sum, round => sround}
+import org.apache.spark.sql.functions.{broadcast, col, count, format_string, lit, sum, unix_micros, round => sround}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -210,6 +210,54 @@ object SparkEntry {
         .agg(sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
+    }),
+    // Q3-shaped shipping-priority: selective dim (BUILDING customers)
+    // broadcast into the orders×lineitem shuffle join, top-10 revenue.
+    // The big-big join shuffles on the order key; the customer filter is a
+    // broadcast semi-join — the shape that must survive a 100× scale-up.
+    "q_tpch_shipping" -> ((s, d) => {
+      val c = table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = table(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L)
+            .cast("long").as("o_date_s"))
+        .agg(sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "o_date_s", "revenue")
+        .orderBy(col("revenue").desc, col("o_date_s").asc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // Q5-shaped local-supplier volume: 6-table join — lineitem×orders
+    // shuffle on the order key, customer shuffle on the cust key, then
+    // supplier/nation/region as broadcast dims (the nation-colocation
+    // predicate c_nationkey = s_nationkey rides the supplier broadcast).
+    "q_tpch_local_supplier" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c = table(s, d, "customer").select("c_custkey", "c_nationkey")
+      val sup = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n = table(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = table(s, d, "region").filter(col("r_name") === "ASIA").select("r_regionkey")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
     })
   )
 
@@ -295,6 +343,7 @@ object SparkEntry {
     // same exact-join oracle: LSH+exact-verify must equal the exact tier
     // wherever recall holds — the hash match is that proof
     "q_dedup_minhash" -> jaccardOracleSql,
+    "q_dedup_simhash" -> simhashOracleSql(3),
     "q_ann_topk" -> annTopkOracleSql,
     // nProbe = nlist probes every inverted list — identical to brute force
     "q_ann_ivf" -> annTopkOracleSql,
@@ -392,7 +441,30 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderkey
-        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_shipping" ->
+      """SELECT l_orderkey,
+        |       CAST(epoch_us(o_orderdate)/1000000 AS BIGINT) AS o_date_s,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_date_s
+        |ORDER BY revenue DESC, o_date_s ASC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_local_supplier" ->
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |              JOIN nation   ON s_nationkey = n_nationkey
+        |              JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin
   )
 
   /** Exact shingle-join Jaccard pairs — oracle for BOTH q_dedup_jaccard
@@ -430,6 +502,54 @@ object SparkEntry {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, ROUND(cos, 6) AS cos
       |FROM pairs WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+
+  /** Full SimHash replay in DuckDB SQL — oracle for q_dedup_simhash.
+    * Mirrors [[graft.operators.Dedup.simhash]]/[[graft.operators.Dedup.simhashPairs]]
+    * bit-for-bit: token hash = first 64 bits of md5 (hex digits → nibble
+    * values), per-bit ±1 votes summed per doc (multiplicity counts), bit
+    * set iff the vote is strictly positive, signature packed to a signed
+    * BIGINT (bit 63 via the min-Long term), then the same
+    * `maxHamming + 1`-segment pigeonhole banding and
+    * `bit_count(xor)` Hamming filter.
+    */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val nSeg = maxHamming + 1
+    val segBits = 64 / nSeg
+    // bit k of the 64-bit value lives in hex digit (63-k)/4 (0-based,
+    // big-endian nibbles), at position k%4 within the digit
+    val votes = (0 until 64).map { k =>
+      s"SUM(CASE WHEN ((dg[${(63 - k) / 4 + 1}] >> ${k % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$k"
+    }.mkString(",\n         ")
+    val sigBits = (0 until 63).map { k =>
+      s"(CASE WHEN v$k > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val sigExpr =
+      s"$sigBits + (CASE WHEN v63 > 0 THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE CAST(0 AS BIGINT) END)"
+    val segExprs = (0 until nSeg).map { j =>
+      val width = if (j == nSeg - 1) 64 - j * segBits else segBits
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      s"((simhash >> ${j * segBits}) & $mask)"
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |d AS (
+       |  SELECT doc_id, [strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 for i in range(1, 17)] AS dg FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM d GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS simhash FROM votes),
+       |seg AS (
+       |  SELECT doc_id, simhash, j AS band, ([$segExprs])[j + 1] AS seg
+       |  FROM sig, (SELECT unnest(range(0, $nSeg)) AS j) bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM seg a JOIN seg b ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Brute-force cosine top-20 for vec_id 0 — oracle for q_ann_topk (same
     * algorithm) and q_ann_ivf (nProbe = nlist ≡ brute force).

@@ -204,17 +204,29 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
+  /** First 64 bits of md5(token) as a signed big-endian Long. md5 rather
+    * than xxhash64 because DuckDB ships md5 but not xxhash64 — the oracle
+    * can reproduce the hash bit-for-bit from the hex digits. Compiled UDF
+    * (the per-token loop is the hot path at corpus scale).
+    */
+  private val md5Hash64 = udf { (t: String) =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   /** 64-bit SimHash per doc: sign of the per-bit sum of token hashes
     * (token multiplicity counts), via the single-buffer
     * [[graft.functions.Sketches.SimHashAgg]] (64 `sum()` columns fell out
-    * of codegen — see Sketches). Emitted as a signed Long.
+    * of codegen — see Sketches). Emitted as a signed Long. Token hash =
+    * [[md5Hash64]] so the DuckDB oracle can replay the exact bits.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), md5Hash64(col("t")).as("h"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
