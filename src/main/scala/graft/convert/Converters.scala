@@ -59,6 +59,14 @@ object Converters {
     topicOfInterest(topic, Set("electricitymeter", "gasmeter")).map { subject =>
       val payload = mapper.readTree(body.get("payload").asText) // double-encoded
       val subjectNode = payload.get(subject)
+      // Missing subject key: the reference's `return []` guard
+      // (glow.py:29-30) is unreachable — parse_message_payload
+      // (glow.py:16) indexes payload[subject]["timestamp"] first and
+      // raises KeyError, sending the message down the error path. We
+      // mirror the executed behavior (controlled failure → dead-letter),
+      // with an explicit message instead of an opaque NPE.
+      require(subjectNode != null && subjectNode.has("timestamp"),
+        s"glow payload missing '$subject.timestamp'")
       val ts = normalizeTs(subjectNode.get("timestamp"))
       val ignore = GlowIgnoreKeys
       val imports = JsonFlatten.flatten(

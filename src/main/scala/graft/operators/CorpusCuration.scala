@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * [[Dedup.minhashPairs]] (banded LSH candidates + exact Jaccard
   * verification) — candidate-generation cost instead of the exact
   * inverted-index join's Σdf² blowup on hot shingles. The DuckDB oracle
-  * computes the exact join, so the contract hash-match is itself the
-  * LSH-recall proof. Inject [[Dedup.jaccardPairs]] to force the exact
-  * tier.
+  * computes the exact join, so the contract hash-match doubles as an
+  * EMPIRICAL recall check for this corpus and seed set — not a proof:
+  * per-pair recall at j=0.8 (bands=16, rows=4) is ~0.9998, so a
+  * near-threshold pair can in principle be missed at larger scale
+  * factors (re-validate per SF). Inject [[Dedup.jaccardPairs]] to force
+  * the exact tier when recall 1 is required.
   */
 object CorpusCuration {
 

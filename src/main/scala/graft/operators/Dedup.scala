@@ -168,22 +168,37 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs with exact Jaccard verification: candidates
     * from band collisions, verified against the true shingle sets (so
-    * precision is exact; recall is the LSH probability ≥
-    * 1-(1-t^rows)^bands). Verification joins the (small) candidate set
-    * back to the exploded shingles — intersection counts come from a
-    * candidate-bounded join, never an all-pairs one.
+    * precision is exact; per-pair recall is the LSH probability
+    * 1-(1-t^rows)^bands — ~0.9998 at t=0.8 with the defaults, high but not
+    * 1). Verification joins the (small) candidate set back to the exploded
+    * shingles — intersection counts come from a candidate-bounded join,
+    * never an all-pairs one.
+    *
+    * `materialize = true` (default) caches the shingle pass and eagerly
+    * `localCheckpoint`s the (small, output-proportional) pair set so the
+    * corpus-proportional shingle cache is released immediately instead of
+    * leaking for the session. Caveats: the full job runs at
+    * DataFrame-construction time, and locally checkpointed partitions are
+    * NOT recomputable after executor loss. `materialize = false` returns a
+    * fully lazy, fully recomputable plan with no hidden cached state — the
+    * shingle pass is re-evaluated per consumer (~3×) — the right mode on a
+    * real cluster where executor loss is routine (checkpoint the result to
+    * a table yourself if reuse matters).
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 64,
-                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                   bands: Int = 16, threshold: Double = 0.8,
+                   materialize: Boolean = true): DataFrame = {
     // one shingle pass feeds signatures AND both verification joins; at a
     // real 100 TB scale this would be a checkpointed table instead of an
     // in-memory persist (Spark evicts LRU, so this degrades, not breaks)
-    val ex = shingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex0 = shingles(docs, n)
+    val ex =
+      if (materialize) ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ex0
     val cands = minhashCandidates(signaturesFromExploded(ex, numPerm), bands, numPerm)
     val a = ex.select(col("doc_id").as("doc_a"), col("s"), col("nsh").as("na"))
     val b = ex.select(col("doc_id").as("doc_b"), col("s"), col("nsh").as("nb"))
-    val pairs = broadcast(cands)
+    val raw = broadcast(cands)
       .join(a, "doc_a")
       .join(b, Seq("doc_b", "s")) // rows = shingles in A∩B per candidate pair
       .groupBy("doc_a", "doc_b")
@@ -192,13 +207,14 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      // eager cut: materialize the (small, output-proportional) pair set so
-      // the corpus-proportional shingle cache can be released NOW instead of
-      // leaking for the session (repeated calls used to accumulate
-      // MEMORY_AND_DISK blocks). The checkpoint blocks themselves are freed
-      // by the ContextCleaner once the result is unreferenced.
-      .localCheckpoint(true)
-    ex.unpersist(false)
+    val pairs =
+      if (materialize) {
+        // eager cut: checkpoint blocks themselves are freed by the
+        // ContextCleaner once the result is unreferenced
+        val p = raw.localCheckpoint(true)
+        ex.unpersist(false)
+        p
+      } else raw
     pairs.orderBy("doc_a", "doc_b")
   }
 

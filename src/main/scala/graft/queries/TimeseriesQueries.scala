@@ -103,11 +103,22 @@ object TimeseriesQueries {
     val span = endS - startS
     val base = scan(conditions, subject, of, startS, endS)
     if (span <= 86400) {
-      val widthS = span / math.min(360L, span / 900L).max(1L)
-      val dayS = unix_micros(date_trunc("day", col("timestamp"))) / 1000000L
-      val bucket = (dayS + floor((epochS(col("timestamp")) - dayS) / widthS) * widthS)
-        .cast("long")
-      base.groupBy(bucket.as("time_s"))
+      // PG parity (exact): `span / LEAST(360, extract(epoch from span)/900)`
+      // with FRACTIONAL arithmetic, interval division rounding to integer
+      // µs. In this branch span/900 ≤ 96 < 360, so the divisor is always
+      // span/900 itself and the width reduces to exactly 900 s. The earlier
+      // integer formula `span / (span/900).toLong` drifted for spans not
+      // divisible by 900 (e.g. a 1000 s span made one 1000 s bucket instead
+      // of two 900 s-grid buckets). Bucket arithmetic stays in integer µs —
+      // bit-identical to PG's numeric floor — and widthUs is a whole number
+      // of seconds here, so the µs bucket is losslessly emitted as time_s.
+      val widthUs = math.rint(span * 1e6 / math.min(360.0, span / 900.0)).toLong
+      val dayUs = unix_micros(date_trunc("day", col("timestamp")))
+      val tsUs = unix_micros(col("timestamp"))
+      // µs magnitudes (≤ ~1.7e15) are exactly representable in double, so
+      // the double floor-division is exact at bucket boundaries
+      val bucketUs = dayUs + (floor((tsUs - dayUs) / lit(widthUs.toDouble)) * widthUs).cast("long")
+      base.groupBy((bucketUs / lit(1e6)).cast("long").as("time_s"))
         .agg(avg("measurement_number").as("avg_measurement_number"))
         .orderBy("time_s")
     } else {

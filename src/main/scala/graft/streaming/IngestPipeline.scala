@@ -3,7 +3,7 @@ package graft.streaming
 import graft.convert.{Bmw, Converters}
 import graft.model.TimeseriesRecord
 import graft.sources.ConditionsTable
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -60,6 +60,16 @@ object IngestPipeline {
     * semantics while keeping state bounded — the Azure Table grew forever),
     * then explode vehicle state into atomic records.
     */
+  /** BMW `lastUpdatedAt` → TimestampType: trim sub-µs digits (BMW emits up
+    * to 7 fractional digits; Spark parses ≤ 6), preserving ANY zone tail —
+    * `Z`, `+01:00`, `-0800` — not just `Z`. An offset-suffixed timestamp
+    * used to miss the old `(\.\d{6})\d*(Z?)$` pattern, keep its 7th digit,
+    * parse to null and be silently dropped by the watermark.
+    */
+  def normalizedEventTime(lastUpdatedAt: Column): Column =
+    to_timestamp(regexp_replace(
+      lastUpdatedAt, "(\\.\\d{6})\\d*(Z|[+-]\\d{2}:?\\d{2})?$", "$1$2"))
+
   def bmwDeduped(raw: Dataset[String]): Dataset[TimeseriesRecord] = {
     import raw.sparkSession.implicits._
     val keyed = raw
@@ -67,8 +77,7 @@ object IngestPipeline {
         get_json_object(col("value"), "$.vin").as("vin"),
         get_json_object(col("value"), "$.state.lastUpdatedAt").as("last_updated_at"))
       .filter(col("vin").isNotNull && col("last_updated_at").isNotNull)
-      .withColumn("event_time", to_timestamp(regexp_replace(
-        col("last_updated_at"), "(\\.\\d{6})\\d*(Z?)$", "$1$2")))
+      .withColumn("event_time", normalizedEventTime(col("last_updated_at")))
       .withWatermark("event_time", "1 day")
       .dropDuplicatesWithinWatermark("vin", "last_updated_at")
     keyed.select(col("value")).as[String]

@@ -82,6 +82,18 @@ class GoldenCorpusSpec extends AnyFunSuite {
     assert(Converters.convertEvent("""{"topic":"unknownpub/x","payload":"{}"}""").isEmpty)
   }
 
+  test("glow payload missing the subject key → controlled failure, not an NPE") {
+    // reference glow.py:16 KeyErrors on payload[subject]["timestamp"] before
+    // its (unreachable) `return []` guard — message goes down the error path
+    val event =
+      """{"topic":"glow/x/SENSOR/electricitymeter","payload":"{\"othermeter\": {}}"}"""
+    val either = Converters.convertEventEither(event)
+    assert(either.isLeft)
+    assert(!either.swap.toOption.get.isInstanceOf[NullPointerException])
+    assert(either.swap.toOption.get.getMessage.contains("electricitymeter"))
+    assert(Converters.convertEvent(event).isEmpty) // dropped, pipeline survives
+  }
+
   test("bmw golden messages: 3 messages, 2 unique keys, 6 records each") {
     val msgs = mapper.readTree(getClass.getResourceAsStream("/bmw_topic_messages.json"))
       .elements.asScala.toVector

@@ -78,6 +78,25 @@ class QueriesEdgeSpec extends AnyFunSuite {
       ("k2", 99.0, None)))       // k2's right row is later
   }
 
+  test("aggregatedDataByDay fine branch uses PG's fractional width (900s grid) on a 1000s span") {
+    import spark.implicits._
+    // span 1000 is NOT divisible by 900: PG computes width =
+    // span / (span/900.0) = exactly 900 s; the old integer formula
+    // span / (span/900).toLong = 1000 s put everything before offset 1000
+    // in one bucket
+    val rows = Seq(0L, 450L, 899L, 900L, 950L, 1000L).zipWithIndex.map {
+      case (off, i) => (ts(off), "s1", "m", Option(i.toDouble), Option("x"))
+    }.toDF("timestamp", "measurement_subject", "measurement_of",
+      "measurement_number", "measurement_string")
+    val out = TimeseriesQueries.aggregatedDataByDay(
+      rows, "s1", "m", 1704240000L, 1704241000L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(
+      (1704240000L, (0.0 + 1.0 + 2.0) / 3), // offsets 0, 450, 899
+      (1704240900L, (3.0 + 4.0 + 5.0) / 3)  // offsets 900, 950, 1000
+    ))
+  }
+
   test("queries over an absent series return empty, not errors") {
     assert(TimeseriesQueries.aggregatedData(
       mixedConditions, "nope", "m", 1704240000L, 1704240300L, 10).collect().isEmpty)

@@ -110,6 +110,23 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(files.toSeq == Seq("poll_1.txt", "poll_3.txt"))
   }
 
+  test("bmw event-time parses offset-suffixed and long-fraction timestamps") {
+    import spark.implicits._
+    val df = Seq(
+      "2023-10-27T21:55:00.0000000Z",      // 7 digits + Z (the BMW shape)
+      "2023-10-27T21:55:00.1234567+01:00", // 7 digits + positive offset
+      "2023-10-27T19:55:00.1234567-0100",  // compact negative offset
+      "2023-10-27T21:55:00.123456Z",       // already µs
+      "2023-10-27T21:55:00Z"               // no fraction at all
+    ).toDF("last_updated_at")
+      .select(IngestPipeline.normalizedEventTime(
+        org.apache.spark.sql.functions.col("last_updated_at")).as("t"))
+    val got = df.collect().map(r => Option(r.getTimestamp(0)))
+    assert(got.forall(_.isDefined), s"null event_time rows: $got")
+    // the two offset rows are the same instant as 20:55:00.123456Z
+    assert(got(1).get.getTime == got(2).get.getTime)
+  }
+
   test("bmw streaming dedup: 3 messages, 1 duplicate skipped, dual sink") {
     val msgs = mapper.readTree(getClass.getResourceAsStream("/bmw_topic_messages.json"))
       .elements.asScala.map(_.toString).toVector
