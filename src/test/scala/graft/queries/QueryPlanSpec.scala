@@ -59,4 +59,37 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(partFilter.contains("PartitionFilters:") && partFilter.contains("date#"),
       partFilter)
   }
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("tpch shipping plan: customer dim broadcast, date filters pushed to parquet") {
+    val p = plan("q_tpch_shipping")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate,")
+      || p.contains("GreaterThan(l_shipdate,"), p)
+    assert(p.contains("LessThan(o_orderdate,"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch local-supplier plan: supplier/nation/region ride broadcasts, no cartesian") {
+    val p = plan("q_tpch_local_supplier")
+    // three dim joins broadcast (supplier, nation, region)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embed neardup block kernel: distributed plan, no nested-loop or cartesian join") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the packed-block kernel runs as an object-mode flatMap over joined
+    // block pairs — a MapPartitions/SerializeFromObject stage must exist
+    assert(p.contains("SerializeFromObject"), p)
+  }
 }
