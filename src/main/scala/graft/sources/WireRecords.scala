@@ -104,6 +104,42 @@ object WireRecords {
     Seq(lat, lon)
   }
 
+  /** Record → wire JSON, the inverse of [[parse]]: the reference's
+    * `json_converter.send_messages` shape (`json_converter.py:73-99`) —
+    * one JSON object per record with a dynamic `measurement_value`
+    * (number / boolean / string / [lat, lon]) and the data-type tag.
+    */
+  def emit(r: TimeseriesRecord): String = {
+    val node = mapper.createObjectNode()
+    node.put("timestamp", r.timestamp)
+    node.put("measurement_publisher", r.measurement_publisher)
+    node.put("measurement_subject", r.measurement_subject)
+    node.put("measurement_of", r.measurement_of)
+    node.put("measurement_data_type", r.measurement_data_type)
+    r.correlation_id match {
+      case Some(c) => node.put("correlation_id", c)
+      case None => node.putNull("correlation_id")
+    }
+    (r.measurement_number, r.measurement_bool, r.measurement_location) match {
+      case (Some(d), _, _) => node.put("measurement_value", d)
+      case (_, Some(b), _) => node.put("measurement_value", b)
+      case (_, _, Some(ll)) =>
+        val arr = node.putArray("measurement_value")
+        ll.foreach(arr.add)
+      case _ => node.put("measurement_value", r.measurement_string.orNull)
+    }
+    mapper.writeValueAsString(node)
+  }
+
+  /** Dataset overload of [[emit]] — the wire hop between the convert stage
+    * and the storage stage when they run as separate pipelines.
+    */
+  def emit(records: Dataset[TimeseriesRecord]): Dataset[String] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.map(emit(_))
+  }
+
   /** Decode a (streaming or batch) Dataset of wire messages; invalid
     * messages drop whole (dead-letter them via [[deadLetters]]).
     */

@@ -54,6 +54,42 @@ object IngestPipeline {
       .start()
   }
 
+  /** Convert stage as its OWN pipeline (the reference's two-function
+    * topology, `json_to_timeseries` → hub → `timeseries_to_timescale`):
+    * raw envelopes in, wire-record JSON out to a replayable intermediate
+    * topic (file sink standing in for Event Hub — A5). Pair with
+    * [[startWire]] for the storage hop.
+    */
+  def startConvertToWire(spark: SparkSession, inputDir: String, wireDir: String,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    graft.sources.WireRecords.emit(normalize(spark.readStream.textFile(inputDir)))
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .format("text")
+      .option("path", wireDir)
+      .start()
+
+  /** Storage stage as its OWN pipeline (`timeseries_to_timescale`): wire
+    * messages (single record or v1 array envelope) → validate/decode →
+    * date-partitioned parquet conditions store.
+    */
+  def startWire(spark: SparkSession, wireDir: String, outputDir: String,
+                checkpointDir: String,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ConditionsTable.toStorage(
+        graft.sources.WireRecords.decode(spark.readStream.textFile(wireDir)))
+      .writeStream
+      .partitionBy("date")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+
   /** BMW-side dedup + convert (A23/A21): extract the (vin, lastUpdatedAt)
     * key, drop duplicates within a 1-day watermark (the poll cadence is
     * 10 min, so a day of dedup state safely covers the reference's

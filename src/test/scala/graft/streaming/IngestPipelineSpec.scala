@@ -42,6 +42,36 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(back.filter("date IS NOT NULL").count() == 36)
   }
 
+  test("two-hop pipeline (convert → wire topic → storage) equals the fused pipeline") {
+    val in = Files.createTempDirectory("hop_in").toString
+    val wire = Files.createTempDirectory("hop_wire").toString
+    val out = Files.createTempDirectory("hop_out").toString
+    val ck1 = Files.createTempDirectory("hop_ck1").toString
+    val ck2 = Files.createTempDirectory("hop_ck2").toString
+    Files.write(java.nio.file.Paths.get(s"$in/events.txt"),
+      (goldenBodies :+ "malformed junk").mkString("\n").getBytes)
+
+    IngestPipeline.startConvertToWire(spark, in, wire, ck1).awaitTermination(60000)
+    // the intermediate topic is real wire JSON, replayable
+    val wireMsgs = spark.read.text(wire).count()
+    assert(wireMsgs == 36, s"wire topic has $wireMsgs messages")
+    IngestPipeline.startWire(spark, wire, out, ck2).awaitTermination(60000)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == 36)
+    assert(back.filter("measurement_publisher = 'glow'").count() == 17)
+    // value fidelity through serialize→parse: every typed column round-trips
+    val viaBatch = graft.sources.ConditionsTable.toStorage(
+      IngestPipeline.normalize(spark.createDataset(goldenBodies)(
+        org.apache.spark.sql.Encoders.STRING)))
+    val cols = Seq("timestamp", "measurement_subject", "measurement_of",
+      "measurement_number", "measurement_string", "measurement_bool",
+      "measurement_location")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    assert(key(back) == key(viaBatch.toDF()))
+  }
+
   test("streaming windowed aggregation matches the batch computation") {
     import graft.queries.TimeseriesQueries
     import graft.sources.EventsAsConditions
