@@ -70,4 +70,21 @@ object ConditionsTable {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed variant of [[write]] for subject-heavy workloads: pre-shuffle
+    * the store into `buckets` hash buckets on `measurement_subject` (sorted
+    * by subject, timestamp within each bucket file). Catalyst then plans
+    * subject-keyed joins, groupBys and windows WITHOUT their Exchange — at
+    * 100 TB that converts every repeated per-subject analytic from a full
+    * shuffle into a local scan, and a join between two stores bucketed the
+    * same way is fully co-located. Registered as a catalog table
+    * (bucketing metadata lives in the metastore, not the parquet files).
+    */
+  def writeBucketed(storage: DataFrame, tableName: String, buckets: Int = 32): Unit =
+    storage
+      .write.mode("overwrite")
+      .bucketBy(buckets, "measurement_subject")
+      .sortBy("measurement_subject", "timestamp")
+      .format("parquet")
+      .saveAsTable(tableName)
 }

@@ -84,6 +84,30 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed conditions store: subject-keyed agg and self-join plan without Exchange") {
+    import graft.sources.{ConditionsTable, EventsAsConditions}
+    val storage = EventsAsConditions.load(spark, "/root/testdata/sf0.001")
+    ConditionsTable.writeBucketed(storage, "conditions_bucketed", buckets = 8)
+    try {
+      val t = spark.table("conditions_bucketed")
+      val agg = t.groupBy("measurement_subject").count()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      // no shuffle exchange (a BroadcastExchange would be fine — it isn't
+      // a repartition of the bucketed data)
+      assert(!aggPlan.contains("Exchange hashpartitioning"), aggPlan)
+      assert(aggPlan.contains("Bucketed: true"), aggPlan)
+      assert(agg.count() > 0)
+      // co-located self-join on the bucket key: no shuffle on either side
+      val l = t.select(col("measurement_subject"), col("measurement_number").as("l"))
+      val r = t.select(col("measurement_subject"), col("measurement_number").as("r"))
+      val joined = l.groupBy("measurement_subject").count()
+        .join(r.groupBy("measurement_subject").avg("r"), "measurement_subject")
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange hashpartitioning"), joinPlan)
+      assert(joined.count() > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS conditions_bucketed")
+  }
+
   test("embed neardup block kernel: distributed plan, no nested-loop or cartesian join") {
     val p = plan("q_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
