@@ -285,19 +285,30 @@ object Ann {
         bucket
       }.toSeq
     }
-    // candidate generation carries ONLY ids — the bucket self-join and the
-    // (id_a, id_b) distinct shuffle tiny fixed-width rows; full embedding
-    // vectors are re-attached afterwards, once per verified candidate (the
-    // earlier formulation distinct()ed rows carrying both float arrays —
-    // vector-width × candidate-count shuffle for no benefit)
-    val buckets = embeddings
+    // candidate generation carries ONLY ids, and is bucket-GROUPED rather
+    // than self-joined: a self-join evaluates the sketch-UDF corpus pass
+    // twice (once per side); grouping sketches once and emits in-bucket
+    // pairs from the (small) collected id lists — singleton buckets (the
+    // common case) are dropped before any pair work. Hot buckets are
+    // quadratic either way; that is inherent to LSH. Full embedding
+    // vectors are re-attached afterwards, once per verified candidate (a
+    // formulation that distinct()ed rows carrying both float arrays paid a
+    // vector-width × candidate-count shuffle for no benefit).
+    val cand = embeddings
       .select(col("vec_id"), posexplode(sketchUdf(col("embedding"))))
       .toDF("vec_id", "table", "bucket")
-    val l = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
-    val r = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
-    val cand = l.join(r, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("table", "bucket")
+      .agg(collect_list("vec_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { bucket =>
+        val sorted = bucket.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("id_a", "id_b").distinct()
     val e = withNorm(embeddings)
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
