@@ -260,6 +260,23 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+    // Q14-shaped promo revenue share: date-sliced lineitem joined to the
+    // part dim (broadcast), conditional-aggregate ratio — the classic
+    // "wide fact × small dim + CASE aggregate" shape.
+    "q_tpch_promo" -> ((s, d) => {
+      import org.apache.spark.sql.functions.when
+      val li = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val p = table(s, d, "part").select("p_partkey", "p_type")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(sround(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("promo_revenue"))
     })
   )
 
@@ -471,7 +488,15 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name ASC""".stripMargin
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_tpch_promo" ->
+      """SELECT ROUND(100.0 *
+        |         SUM(CASE WHEN p_type = 'PROMO'
+        |             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |         SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
   )
 
   /** Exact shingle-join Jaccard pairs — oracle for BOTH q_dedup_jaccard
