@@ -65,6 +65,34 @@ class WireRecordsSpec extends AnyFunSuite {
     assert(WireRecords.parse("not json").isLeft)
   }
 
+  test("property: emit → parse round-trips every record shape exactly") {
+    import graft.model.TimeseriesRecord
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val str = Gen.alphaNumStr.suchThat(_.nonEmpty)
+    val finite = Gen.chooseNum(-1e12, 1e12)
+    val cid = Gen.option(str)
+    val recGen: Gen[TimeseriesRecord] = for {
+      ts <- str; sub <- str; pub <- str; of <- str; c <- cid
+      r <- Gen.oneOf(
+        finite.map(d => TimeseriesRecord.number(ts, sub, pub, of, d, c)),
+        Gen.oneOf(true, false).map(b => TimeseriesRecord.boolean(ts, sub, pub, of, b, c)),
+        // also exercise strings that look like other types
+        Gen.oneOf(str, Gen.oneOf("true", "123", "[1,2]", "a b,c"))
+          .map(s => TimeseriesRecord.string(ts, sub, pub, of, s, c)),
+        Gen.zip(Gen.chooseNum(-90.0, 90.0), Gen.chooseNum(-180.0, 180.0))
+          .map { case (la, lo) => TimeseriesRecord.geography(ts, sub, pub, of, Seq(la, lo), c) })
+    } yield r
+    val single = Prop.forAll(recGen) { r =>
+      WireRecords.parse(WireRecords.emit(r)) == Right(Vector(r))
+    }
+    val envelope = Prop.forAll(Gen.listOfN(3, recGen)) { rs =>
+      val msg = rs.map(WireRecords.emit).mkString("[", ",", "]")
+      WireRecords.parse(msg) == Right(rs.toVector)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), single).passed)
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), envelope).passed)
+  }
+
   test("decode + deadLetters partition a Dataset; storage boundary renders WKT") {
     import spark.implicits._
     val msgs = Seq(
