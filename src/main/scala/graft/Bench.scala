@@ -37,19 +37,24 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
+      var lastElapsed = 0.0
       var rows = -1L
       var rep = 0
       while (rep < reps) {
         spark.catalog.clearCache()
         gcBarrier()
         val t0 = System.nanoTime()
-        try rows = fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (sec < best) best = sec
+        val ok =
+          try { rows = fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        lastElapsed = (System.nanoTime() - t0) / 1e9
+        // a failed rep's fast-fail time must not win the min — only
+        // successful reps compete; rows = -1 flags an all-failed query
+        if (ok && lastElapsed < best) best = lastElapsed
         rep += 1
       }
+      if (best == Double.MaxValue) best = lastElapsed
       System.err.println(f"[bench] $name%-24s $best%8.2f s  ($rows rows)")
       name -> best
     }

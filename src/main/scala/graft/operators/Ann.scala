@@ -295,6 +295,10 @@ object Ann {
     // formulation that distinct()ed rows carrying both float arrays paid a
     // vector-width × candidate-count shuffle for no benefit).
     val cand = embeddings
+      // single-file tables scan as ONE partition; the sketch UDF
+      // (tables×bits×dim flops per row) is the hot stage, so spread it
+      // across all cores before it runs
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), posexplode(sketchUdf(col("embedding"))))
       .toDF("vec_id", "table", "bucket")
       .groupBy("table", "bucket")

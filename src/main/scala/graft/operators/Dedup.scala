@@ -225,9 +225,13 @@ object Dedup {
     * can reproduce the hash bit-for-bit from the hex digits. Compiled UDF
     * (the per-token loop is the hot path at corpus scale).
     */
+  // per-thread digest reuse: getInstance per token is a JCA provider lookup
+  // + allocation inside the hot loop; digest() resets the instance
+  @transient private lazy val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   private val md5Hash64 = udf { (t: String) =>
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5Local.get.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 

@@ -101,6 +101,9 @@ object TimeseriesQueries {
   def aggregatedDataByDay(conditions: DataFrame, subject: String, of: String,
                           startS: Long, endS: Long): DataFrame = {
     val span = endS - startS
+    // PG raises division-by-zero for a zero span (LEAST(360, 0/900) = 0
+    // divisor); fail fast with a real message instead of NaN buckets
+    require(span > 0, s"span must be positive: start=$startS end=$endS")
     val base = scan(conditions, subject, of, startS, endS)
     if (span <= 86400) {
       // PG parity (exact): `span / LEAST(360, extract(epoch from span)/900)`

@@ -53,7 +53,13 @@ object WireRecords {
     require(node.isObject, s"record must be an object: $node")
     val missing = RequiredFields.filterNot(node.has)
     require(missing.isEmpty, s"Missing fields: ${missing.mkString(", ")}")
-    val ts = node.get("timestamp").asText
+    // Normalize the timestamp like the reference's PG insert would parse it
+    // (timestamptz: flexible ISO, offsets applied): any legal form becomes
+    // the canonical 6-digit-µs wire format the storage boundary parses, and
+    // an unparseable one throws → the whole message dead-letters. Without
+    // this, a legal-but-uncanonical timestamp (e.g. no fractional digits)
+    // would pass validation and silently store a NULL timestamp.
+    val ts = graft.model.Timestamps.fromStringUtc(node.get("timestamp").asText)
     val publisher = node.get("measurement_publisher").asText
     val subject = node.get("measurement_subject").asText
     val of = node.get("measurement_of").asText

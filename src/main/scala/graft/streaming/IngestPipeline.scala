@@ -98,13 +98,17 @@ object IngestPipeline {
     */
   /** BMW `lastUpdatedAt` → TimestampType: trim sub-µs digits (BMW emits up
     * to 7 fractional digits; Spark parses ≤ 6), preserving ANY zone tail —
-    * `Z`, `+01:00`, `-0800` — not just `Z`. An offset-suffixed timestamp
-    * used to miss the old `(\.\d{6})\d*(Z?)$` pattern, keep its 7th digit,
-    * parse to null and be silently dropped by the watermark.
+    * `Z`/`z` (uppercased — ANSI cast rejects lowercase), `+01:00`, `-0800`,
+    * hour-only `+01`. An offset-suffixed timestamp used to miss the old
+    * `(\.\d{6})\d*(Z?)$` pattern, keep its 7th digit, parse to null and be
+    * silently dropped by the watermark. `try_to_timestamp` because under
+    * ANSI semantics a plain cast THROWS on malformed input — one bad
+    * record would kill the whole stream instead of dead-lettering.
     */
   def normalizedEventTime(lastUpdatedAt: Column): Column =
-    to_timestamp(regexp_replace(
-      lastUpdatedAt, "(\\.\\d{6})\\d*(Z|[+-]\\d{2}:?\\d{2})?$", "$1$2"))
+    try_to_timestamp(translate(regexp_replace(
+      lastUpdatedAt, "(\\.\\d{6})\\d*([Zz]|[+-]\\d{2}(?::?\\d{2})?)?$", "$1$2"),
+      "z", "Z"))
 
   def bmwDeduped(raw: Dataset[String]): Dataset[TimeseriesRecord] = {
     import raw.sparkSession.implicits._

@@ -97,6 +97,14 @@ class QueriesEdgeSpec extends AnyFunSuite {
     ))
   }
 
+  test("aggregatedDataByDay rejects a zero span with a real message (PG raises too)") {
+    val e = intercept[IllegalArgumentException] {
+      TimeseriesQueries.aggregatedDataByDay(
+        mixedConditions, "s1", "m", 1704240000L, 1704240000L)
+    }
+    assert(e.getMessage.contains("span must be positive"))
+  }
+
   test("queries over an absent series return empty, not errors") {
     assert(TimeseriesQueries.aggregatedData(
       mixedConditions, "nope", "m", 1704240000L, 1704240300L, 10).collect().isEmpty)

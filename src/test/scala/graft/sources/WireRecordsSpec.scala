@@ -43,6 +43,25 @@ class WireRecordsSpec extends AnyFunSuite {
     assert(got(1).measurement_string.contains("a"))
   }
 
+  test("legal-but-uncanonical timestamps normalize; garbage timestamps dead-letter") {
+    // no fractional digits + offset: normalized to canonical µs wire format
+    // with the offset APPLIED (PG timestamptz semantics) — previously this
+    // passed validation and stored a NULL timestamp
+    val offset = rec("power", "number", "1")
+      .replace("2024-01-03T00:00:00.000000Z", "2024-01-03T01:00:00+01:00")
+    val got = WireRecords.parse(offset).toOption.get.head
+    assert(got.timestamp == "2024-01-03T00:00:00.000000Z")
+    // and the storage boundary parses it to a real (non-null) timestamp
+    import spark.implicits._
+    val stored = ConditionsTable.toStorage(Seq(got).toDS())
+      .select("timestamp").collect()
+    assert(stored.head.getTimestamp(0) != null)
+    // unparseable timestamp → whole message rejected
+    val garbage = rec("power", "number", "1")
+      .replace("2024-01-03T00:00:00.000000Z", "not a timestamp")
+    assert(WireRecords.parse(garbage).isLeft)
+  }
+
   test("validation failures reject the whole message with reference-style errors") {
     // missing required field
     val noCid = rec("power", "number", "1").replace("\"correlation_id\": \"cid-1\",", "")
@@ -71,8 +90,12 @@ class WireRecordsSpec extends AnyFunSuite {
     val str = Gen.alphaNumStr.suchThat(_.nonEmpty)
     val finite = Gen.chooseNum(-1e12, 1e12)
     val cid = Gen.option(str)
+    // canonical wire timestamps (normalization is the identity on them, so
+    // emit → parse is an exact round trip)
+    val wireTs = Gen.chooseNum(0L, 4102444800L)
+      .map(e => graft.model.Timestamps.fromEpochSeconds(e.toDouble))
     val recGen: Gen[TimeseriesRecord] = for {
-      ts <- str; sub <- str; pub <- str; of <- str; c <- cid
+      ts <- wireTs; sub <- str; pub <- str; of <- str; c <- cid
       r <- Gen.oneOf(
         finite.map(d => TimeseriesRecord.number(ts, sub, pub, of, d, c)),
         Gen.oneOf(true, false).map(b => TimeseriesRecord.boolean(ts, sub, pub, of, b, c)),

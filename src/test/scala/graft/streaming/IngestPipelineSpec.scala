@@ -147,14 +147,18 @@ class IngestPipelineSpec extends AnyFunSuite {
       "2023-10-27T21:55:00.1234567+01:00", // 7 digits + positive offset
       "2023-10-27T19:55:00.1234567-0100",  // compact negative offset
       "2023-10-27T21:55:00.123456Z",       // already µs
-      "2023-10-27T21:55:00Z"               // no fraction at all
+      "2023-10-27T21:55:00Z",              // no fraction at all
+      "2023-10-27T21:55:00.1234567+01",    // hour-only offset
+      "2023-10-27T20:55:00.1234567z"       // lowercase z
     ).toDF("last_updated_at")
       .select(IngestPipeline.normalizedEventTime(
         org.apache.spark.sql.functions.col("last_updated_at")).as("t"))
     val got = df.collect().map(r => Option(r.getTimestamp(0)))
-    assert(got.forall(_.isDefined), s"null event_time rows: $got")
-    // the two offset rows are the same instant as 20:55:00.123456Z
+    assert(got.forall(_.isDefined), s"null event_time rows: ${got.toSeq}")
+    // the offset rows are all the same instant as 20:55:00.123456Z
     assert(got(1).get.getTime == got(2).get.getTime)
+    assert(got(1).get.getTime == got(5).get.getTime) // +01 == +01:00
+    assert(got(1).get.getTime == got(6).get.getTime) // lowercase z == UTC
   }
 
   test("bmw streaming dedup: 3 messages, 1 duplicate skipped, dual sink") {
