@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Asap, TimeWeight}
 import graft.queries.TimeseriesQueries._
-import graft.operators.TextAnalysis
+import graft.operators.{Redaction, TextAnalysis}
 import graft.sources.EventsAsConditions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, count, format_string, lit, sum, unix_micros, round => sround}
@@ -139,6 +139,43 @@ object SparkEntry {
       graft.operators.TextAnalysis.qualityScore(table(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
+    // vocabulary build: top-K tokens by total frequency + doc frequency
+    "q_vocab" -> ((s, d) =>
+      graft.operators.TextAnalysis.vocabulary(table(s, d, "documents"), k = 100)),
+    // benchmark decontamination: corpus docs sharing a 5-gram with the
+    // held-out benchmark slice (doc_id % 7 == 0 plays the eval suite)
+    "q_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Decontamination.contaminated(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), n = 5)
+    }),
+    // PII redaction: plant synthetic emails/phones/IPs keyed on doc_id
+    // (the corpus itself is PII-free), scrub, emit count + content hash
+    "q_pii_redact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat, lpad, md5, when}
+      val planted = table(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail.example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" or 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(col("text")))
+      graft.operators.Redaction.redact(planted)
+        .select(col("doc_id"), col("n_pii"), md5(col("redacted")).as("redacted_hash"))
+        .orderBy("doc_id")
+    }),
+    // deterministic hash-bucketed train/validation/test split
+    "q_split" -> ((s, d) =>
+      graft.operators.Sampling.assignSplits(table(s, d, "documents"))
+        .select("doc_id", "split").orderBy("doc_id")),
+    // per-source stratified downsample (deterministic, reshuffle-proof)
+    "q_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(table(s, d, "documents"),
+          stratum = "source", rates = Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // multimodal: binary content + typed metadata, batched feature extract
     // (decode stubbed deterministically — no codecs in this container).
@@ -398,6 +435,35 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q_vocab" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3) ])) AS s
+        |       FROM w),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM corp WHERE s IN (SELECT s FROM bench)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" -> piiRedactOracleSql,
+    "q_split" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN b < 9000 THEN 'train'
+         |            WHEN b < 9500 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${md5BucketSql("split", "doc_id")} AS b FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, source
+         |FROM (SELECT doc_id, source, ${md5BucketSql("strat", "doc_id")} AS b FROM documents)
+         |WHERE b < CASE WHEN source = 'src0' THEN 5000
+         |               WHEN source = 'src1' THEN 2500
+         |               ELSE 1000 END
+         |ORDER BY doc_id""".stripMargin,
     "q_asof" ->
       s"""$Cte,
          |c AS (SELECT "timestamp", measurement_number FROM conditions WHERE $ScanPred),
@@ -498,6 +564,43 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
   )
+
+  /** First-8-hex-digits-of-md5 bucket in [0, 10000) — replays
+    * [[graft.operators.Sampling.bucket]] bit-for-bit via a hex-digit
+    * Horner reduce (DuckDB has md5 but no hex→int conversion).
+    */
+  private def md5BucketSql(salt: String, keyExpr: String): String =
+    s"""(list_reduce(list_transform(range(1, 9),
+       |   i -> CAST(strpos('0123456789abcdef',
+       |          substr(md5('$salt:' || CAST($keyExpr AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+       |   (a, b) -> a * 16 + b) % ${graft.operators.Sampling.BucketCount})""".stripMargin
+
+  /** PII plant + redact replay — oracle for q_pii_redact. The plant
+    * construction and the three [[graft.operators.Redaction.DefaultRules]]
+    * patterns are duplicated literally; the patterns avoid every
+    * Java-vs-RE2 divergence (no lookaround, no backreferences).
+    */
+  private def piiRedactOracleSql: String = {
+    val Seq(email, phone, ip) = Redaction.DefaultRules.map(_._2)
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0
+       |                THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+       |              WHEN doc_id % 3 = 1
+       |                THEN text || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                     || ' or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       |              ELSE text END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(t, '$email'))
+       |          + len(regexp_extract_all(t, '$phone'))
+       |          + len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_pii,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |             '$email', '<EMAIL>', 'g'),
+       |             '$phone', '<PHONE>', 'g'),
+       |             '$ip', '<IP>', 'g')) AS redacted_hash
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 
   /** Exact shingle-join Jaccard pairs — oracle for BOTH q_dedup_jaccard
     * (same algorithm) and q_dedup_minhash (LSH recall-equality proof).

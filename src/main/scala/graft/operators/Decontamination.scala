@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * word n-gram with a held-out evaluation corpus, so eval answers can be
+  * excised from the training set before training.
+  *
+  * Shape at scale: the benchmark side is small (eval suites are KBs-MBs
+  * against a 100 TB corpus), so its distinct n-gram set broadcasts; the
+  * corpus side streams through a narrow shingle flatMap and a broadcast
+  * inner join — no shuffle touches corpus-proportional data until the
+  * per-doc aggregate, whose input is bounded by the number of
+  * contaminated (doc, shared-ngram) rows, not the corpus size.
+  * A benchmark too large to broadcast degrades to a shuffle join on the
+  * n-gram hash — still candidate-bounded, never all-pairs.
+  */
+object Decontamination {
+
+  /** Documents in `corpus` sharing ≥1 word n-gram with `benchmark`:
+    * (doc_id, n_shared = distinct shared n-grams). `n` is the shingle
+    * order — real pipelines use 8-13-gram exact-substring collision;
+    * the default mirrors [[Dedup]]'s shingle construction so the two
+    * share a scan when composed.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val corpusShingles = Dedup.shingles(corpus, n).select("doc_id", "s")
+    val benchShingles = Dedup.shingles(benchmark, n).select("s").distinct()
+    corpusShingles
+      .join(broadcast(benchShingles), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles() already emits per-doc distinct
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: hash-bucketed
+  * train/validation/test splits and per-stratum downsampling.
+  *
+  * Everything here is a pure projection/filter on a content-independent
+  * hash of the document key — no RNG, no `rand()`:
+  *  - assignments are reproducible across runs, engines, partitionings
+  *    and cluster sizes (a `rand()`-based split silently reshuffles when
+  *    the partitioning changes — useless for 100 TB incremental reruns);
+  *  - adding documents never moves an existing document between splits
+  *    (each doc's bucket depends only on its own key);
+  *  - the split is a narrow map stage: no shuffle, fully pushdown-friendly,
+  *    and the same expression works as a partition-pruning predicate when
+  *    the split is materialized as a partition column.
+  *
+  * Bucket = first 8 hex digits of md5(salt:key) as an integer, mod 10^4 —
+  * i.e. a uniform draw from [0, 10000) with ~2^-19 modulo bias,
+  * reproducible bit-for-bit in any engine with md5 (the DuckDB oracle
+  * replays it via a hex-digit Horner reduce).
+  */
+object Sampling {
+
+  val BucketCount: Int = 10000
+
+  /** Deterministic bucket in [0, BucketCount) from a key column.
+    * `salt` namespaces independent sampling decisions (split vs
+    * downsample) so they are uncorrelated despite sharing the key.
+    */
+  def bucket(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % BucketCount).cast("int")
+
+  /** Assign each row a named split by cumulative weight over the hash
+    * bucket. `splits` are (name, weight) pairs; weights must sum to ≤ 1
+    * (any remainder falls into the last split — callers normally pass
+    * weights summing to exactly 1).
+    */
+  def assignSplits(docs: DataFrame,
+                   splits: Seq[(String, Double)] = Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05),
+                   key: String = "doc_id",
+                   salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split weights must sum to <= 1")
+    val b = bucket(col(key), salt)
+    // CASE WHEN bucket < c1 THEN s1 WHEN bucket < c2 THEN s2 ... ELSE last
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * BucketCount))
+    val caseExpr = splits.init.zip(cums.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), cum), elseCol) => when(b < cum, name).otherwise(elseCol)
+    }
+    docs.withColumn("split", caseExpr)
+  }
+
+  /** Per-stratum deterministic downsample: keep a row iff its hash bucket
+    * falls below the stratum's rate. Strata with no configured rate use
+    * `defaultRate`. The filter is a narrow stage; at scale the rates map
+    * rides the closure (broadcast-sized by construction — it's one entry
+    * per stratum, not per row).
+    */
+  def stratifiedSample(docs: DataFrame,
+                       stratum: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       key: String = "doc_id",
+                       salt: String = "strat"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val b = bucket(col(key), salt)
+    val rateCol = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate)) {
+      case ((s, r), elseCol) => when(col(stratum) === s, r).otherwise(elseCol)
+    }
+    docs.filter(b < (rateCol * BucketCount).cast("int"))
+  }
+}

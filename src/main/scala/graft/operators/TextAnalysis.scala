@@ -129,4 +129,22 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Vocabulary building (BPE-precursor corpus stats): top-K tokens by
+    * total frequency with document frequency, deterministically
+    * tie-broken by token.
+    *
+    * Scale shape: explode is narrow; `tf` comes from map-side partial
+    * aggregation on the token; `df` is an exact distinct — its shuffle
+    * carries (token, doc_id) pairs, the expensive-but-correct choice for
+    * a vocabulary build that feeds a tokenizer (swap the agg to
+    * `approx_count_distinct` for QA-grade df at a fraction of the
+    * shuffle). Top-K is TakeOrderedAndProject — no global sort.
+    */
+  def vocabulary(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
 }

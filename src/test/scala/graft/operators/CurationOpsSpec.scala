@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-3 curation operators: sampling, decontamination,
+  * redaction, vocabulary.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  // ------------------------------------------------------------- Sampling
+
+  test("assignSplits: every doc gets exactly one split, proportions near weights") {
+    val assigned = Sampling.assignSplits(docs)
+    assert(assigned.count() == docs.count())
+    val bydist = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(bydist.keySet.subsetOf(Set("train", "validation", "test")))
+    // 50 docs: expect ~45/2.5/2.5; tolerate binomial noise
+    assert(bydist("train") / n > 0.7, s"train share off: $bydist")
+    assert((bydist.getOrElse("validation", 0L) + bydist.getOrElse("test", 0L)) / n < 0.3)
+  }
+
+  test("assignSplits is deterministic and partition-independent") {
+    val a = Sampling.assignSplits(docs)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.assignSplits(docs.repartition(13))
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
+  test("assignSplits: adding docs never moves an existing doc (incremental stability)") {
+    import spark.implicits._
+    val base = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val grown = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Sampling.assignSplits(base).select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = Sampling.assignSplits(grown).select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a.forall { case (id, s) => b(id) == s })
+  }
+
+  test("stratifiedSample: per-stratum rates respected, salt decorrelates from split") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, s"t $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val kept = Sampling.stratifiedSample(d, "source", Map("a" -> 0.5), defaultRate = 0.1)
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 500L) < 100, s"stratum a: $counts")
+    assert(math.abs(counts("b") - 100L) < 50, s"stratum b: $counts")
+    // rate 0 drops everything; rate 1 keeps everything
+    assert(Sampling.stratifiedSample(d, "source", Map.empty, defaultRate = 0.0).count() == 0)
+    assert(Sampling.stratifiedSample(d, "source", Map.empty, defaultRate = 1.0).count() == 2000)
+  }
+
+  test("bucket: matches the documented md5 construction") {
+    import spark.implicits._
+    val got = Seq(Tuple1(42L)).toDF("k")
+      .select(Sampling.bucket(col("k"), "s").as("b")).head().getInt(0)
+    // first 8 hex of md5("s:42"), mod 10000 — computed independently
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("s:42".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    assert(got == (java.lang.Long.parseLong(hex, 16) % 10000).toInt)
+  }
+
+  // ------------------------------------------------------- Decontamination
+
+  test("decontamination flags only docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon more tail"), // shares 5-grams
+      (2L, "totally unrelated content about spark shuffles and joins"),
+      (3L, "beta gamma delta epsilon zeta suffix")                   // shares 5-gram
+    ).toDF("doc_id", "text")
+    val out = Decontamination.contaminated(corpus, bench, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == 1L) // "alpha beta gamma delta epsilon"
+    assert(out(3L) == 1L) // "beta gamma delta epsilon zeta"
+  }
+
+  test("decontamination: short docs (< n tokens) produce no shingles, no rows") {
+    import spark.implicits._
+    val bench = Seq((1L, "a b")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "a b")).toDF("doc_id", "text")
+    assert(Decontamination.contaminated(corpus, bench, n = 5).count() == 0)
+  }
+
+  // ------------------------------------------------------------ Redaction
+
+  test("redaction scrubs emails, phones, IPs and counts matches on the original") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b-c_d@sub.example.org then 415-555-0123 and 10.0.0.255 done"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.co")
+    ).toDF("doc_id", "text")
+    val out = Redaction.redact(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == "mail <EMAIL> then <PHONE> and <IP> done")
+    assert(out(2L) == ((0L, "no pii here at all")))
+    assert(out(3L)._1 == 2L)
+    assert(out(3L)._2 == "two mails <EMAIL> and <EMAIL>")
+  }
+
+  test("redaction leaves non-PII digit runs and bare domains alone") {
+    import spark.implicits._
+    val d = Seq((1L, "version 1.2.3 of 2024 build 123456789 at example.com")).toDF("doc_id", "text")
+    val Array(r) = Redaction.redact(d).collect()
+    assert(r.getLong(1) == 0L)
+    assert(r.getString(2) == "version 1.2.3 of 2024 build 123456789 at example.com")
+  }
+
+  // ----------------------------------------------------------- Vocabulary
+
+  test("vocabulary: exact tf/df with deterministic tie-break") {
+    import spark.implicits._
+    val d = Seq((1L, "b a a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabulary(d, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf: a=3, b=2, c=1; df: a=2, b=2, c=1
+    assert(rows.toSeq == Seq(("a", 3L, 2L), ("b", 2L, 2L), ("c", 1L, 1L)))
+  }
+
+  test("vocabulary: top-k cut respects tf desc then token asc") {
+    import spark.implicits._
+    val d = Seq((1L, "z y x w")).toDF("doc_id", "text") // all tf=1
+    val rows = TextAnalysis.vocabulary(d, k = 2).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("w", "x"))
+  }
+}
