@@ -379,6 +379,7 @@ object SparkEntry {
          |       ROUND(AVG(v) OVER (ORDER BY time_s ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smoothed_value
          |FROM gridded ORDER BY time_s""".stripMargin
     },
+    "q_sampled_asap" -> asapOracleSql,
     "q_timeweight_linear" -> timeWeightSql("(nt - t)/1000000.0 * (v + nv)/2"),
     "q_timeweight_locf" -> timeWeightSql("(nt - t)/1000000.0 * v"),
     "q_subjects" ->
@@ -564,6 +565,95 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
   )
+
+  /** Full ASAP replay in DuckDB SQL — oracle for q_sampled_asap. Mirrors
+    * [[graft.functions.Asap]] stage by stage: bucketed-AVG grid (same
+    * bucket function as B2), linear gap-fill, population kurtosis,
+    * ACF at lags 1..n/2, interior local-maxima peak detection above
+    * max(mean(acf), 0), per-candidate trailing SMA with kurtosis
+    * preservation and roughness (σ of first differences) minimization,
+    * minBy tie-break order (peaks ascending, then w=1). The discrete
+    * window choice makes this FP-sensitive in principle; the
+    * AsapGoldenSpec cross-implementation bound (≤1e-9 divergence) is
+    * what makes the replay safe in practice — both engines land on the
+    * same window, and round-6 absorbs the arithmetic-order noise in the
+    * smoothed values. Verified to hash-match at sf0.01 (w=1 regime) AND
+    * sf0.1 (w>1 regime — the full search path).
+    */
+  private def asapOracleSql: String = {
+    val res = 50
+    val w = math.max(1L, (E1 - S1) / res)
+    s"""$Cte,
+       |grid0 AS (
+       |  SELECT ${bucketSql(w)} AS time_s, AVG(measurement_number) AS v
+       |  FROM conditions WHERE $ScanPred
+       |  GROUP BY 1 HAVING AVG(measurement_number) IS NOT NULL),
+       |gaps AS (
+       |  SELECT time_s, v,
+       |         lead(time_s) OVER (ORDER BY time_s) AS nt,
+       |         lead(v) OVER (ORDER BY time_s) AS nv
+       |  FROM grid0),
+       |gf AS (
+       |  SELECT time_s, v FROM grid0
+       |  UNION ALL
+       |  SELECT time_s + g * $w,
+       |         v + (nv - v) * (CAST(g AS DOUBLE) / CAST((nt - time_s) // $w AS BIGINT))
+       |  FROM gaps, unnest(range(1, CAST((nt - time_s) // $w AS BIGINT))) t(g)
+       |  WHERE nt IS NOT NULL),
+       |s AS (SELECT time_s, v, row_number() OVER (ORDER BY time_s) AS i FROM gf),
+       |st AS (SELECT count(*) AS n, avg(v) AS m FROM s),
+       |cent AS (SELECT i, v - (SELECT m FROM st) AS c FROM s),
+       |dn AS (SELECT sum(c*c) AS d FROM cent),
+       |k0 AS (
+       |  SELECT CASE WHEN (SELECT n FROM st) < 2 THEN 0.0
+       |              WHEN m2 = 0 THEN 0.0 ELSE m4/(m2*m2) END AS k
+       |  FROM (SELECT sum(c*c)/(SELECT n FROM st) AS m2,
+       |               sum(c*c*c*c)/(SELECT n FROM st) AS m4 FROM cent)),
+       |acf AS (
+       |  SELECT l.lag,
+       |         CASE WHEN (SELECT d FROM dn) = 0 THEN 0.0
+       |              ELSE COALESCE((SELECT sum(a.c * b.c) FROM cent a JOIN cent b ON b.i = a.i + l.lag), 0.0)
+       |                   / (SELECT d FROM dn) END AS corr
+       |  FROM (SELECT unnest(range(1, (SELECT n FROM st) // 2 + 1)) AS lag) l),
+       |th AS (SELECT greatest(avg(corr), 0.0) AS t FROM acf),
+       |peaks AS (
+       |  SELECT a.lag AS w
+       |  FROM acf a JOIN acf p ON p.lag = a.lag - 1 JOIN acf q ON q.lag = a.lag + 1
+       |  WHERE a.corr > p.corr AND a.corr >= q.corr AND a.corr > (SELECT t FROM th)),
+       |cand AS (
+       |  SELECT w FROM peaks WHERE w <= greatest(1, (SELECT n FROM st) // 2)
+       |  UNION SELECT 1),
+       |sm AS (
+       |  SELECT c.w, a.i AS j, sum(b.v)/c.w AS sv
+       |  FROM cand c, s a JOIN s b ON b.i >= a.i AND b.i <= a.i + c.w - 1
+       |  WHERE a.i <= (SELECT n FROM st) - c.w + 1
+       |  GROUP BY c.w, a.i),
+       |smst AS (SELECT w, count(*) AS ns, avg(sv) AS ms FROM sm GROUP BY w),
+       |kurt AS (
+       |  SELECT sm.w,
+       |         CASE WHEN any_value(ns) < 2 THEN 0.0
+       |              WHEN sum(pow(sv-ms,2))/any_value(ns) = 0 THEN 0.0
+       |              ELSE (sum(pow(sv-ms,4))/any_value(ns))
+       |                   / pow(sum(pow(sv-ms,2))/any_value(ns), 2) END AS k
+       |  FROM sm JOIN smst USING (w) GROUP BY sm.w),
+       |diffs AS (
+       |  SELECT w, sv - lag(sv) OVER (PARTITION BY w ORDER BY j) AS dd
+       |  FROM sm),
+       |rough AS (
+       |  SELECT w, CASE WHEN count(dd) < 2 THEN 0.0
+       |                 ELSE sqrt(sum(pow(dd - md, 2)) / count(dd)) END AS r
+       |  FROM (SELECT w, dd, avg(dd) OVER (PARTITION BY w) AS md FROM diffs WHERE dd IS NOT NULL)
+       |  GROUP BY w),
+       |choice AS (
+       |  SELECT CASE WHEN (SELECT n FROM st) < 8 THEN 1 ELSE
+       |    (SELECT k.w FROM kurt k JOIN rough r USING (w)
+       |     JOIN k0 ON TRUE
+       |     WHERE k.w = 1 OR k.k >= k0.k
+       |     ORDER BY r.r ASC, (k.w = 1) ASC, k.w ASC LIMIT 1) END AS w)
+       |SELECT g.time_s AS time_s, ROUND(sm.sv, 6) AS smoothed_value
+       |FROM sm JOIN choice ON sm.w = choice.w JOIN s g ON g.i = sm.j
+       |ORDER BY time_s""".stripMargin
+  }
 
   /** First-8-hex-digits-of-md5 bucket in [0, 10000) — replays
     * [[graft.operators.Sampling.bucket]] bit-for-bit via a hex-digit
