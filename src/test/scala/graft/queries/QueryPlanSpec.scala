@@ -116,4 +116,36 @@ class QueryPlanSpec extends AnyFunSuite {
     // block pairs — a MapPartitions/SerializeFromObject stage must exist
     assert(p.contains("SerializeFromObject"), p)
   }
+
+  test("sampling split/downsample are shuffle-free narrow stages") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val splitPlan = Sampling.assignSplits(docs)
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), splitPlan)
+    assert(splitPlan.contains("*(1)"), splitPlan) // whole-stage codegen stage marker
+    val samplePlan = Sampling.stratifiedSample(docs, "source", Map("src0" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Exchange"), samplePlan)
+  }
+
+  test("redaction is a shuffle-free codegen projection") {
+    import graft.operators.Redaction
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Redaction.redact(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*(1)"), p) // whole-stage codegen stage marker
+  }
+
+  test("decontamination plan: benchmark side broadcasts, no cartesian") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("vocabulary top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
