@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the sampling bucket contract and the redaction
+  * rules. The bucket's documented construction (first 8 hex digits of
+  * md5("salt:key"), mod 10^4) is replicated in plain JVM code here and
+  * checked against the Spark expression over a generated key set — the
+  * invariants (range, determinism, salt independence, split totality)
+  * then run property-style on the JVM replica at ScalaCheck volume.
+  */
+class SamplingPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** JVM replica of [[Sampling.bucket]]. */
+  private def jvmBucket(key: String, salt: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$key".getBytes("UTF-8"))
+    ((java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)) % Sampling.BucketCount).toInt
+  }
+
+  test("spark bucket == jvm replica over 1000 generated keys, several salts") {
+    import spark.implicits._
+    val keys = (Gen.listOfN(1000, Gen.long).sample.get :+ 0L :+ -1L :+ Long.MaxValue :+ Long.MinValue).distinct
+    for (salt <- Seq("split", "strat", "x")) {
+      val got = keys.toDF("k")
+        .select(col("k"), Sampling.bucket(col("k"), salt).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      keys.foreach { k =>
+        assert(got(k) == jvmBucket(k.toString, salt), s"key=$k salt=$salt")
+      }
+    }
+  }
+
+  test("bucket range and determinism (property)") {
+    val p = Prop.forAll(Gen.long, Gen.alphaStr) { (k, salt) =>
+      val b = jvmBucket(k.toString, salt)
+      b >= 0 && b < Sampling.BucketCount && b == jvmBucket(k.toString, salt)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p).passed)
+  }
+
+  test("salts are independent: split and strat buckets disagree on ~all keys") {
+    val keys = Gen.listOfN(2000, Gen.long).sample.get.distinct
+    val agree = keys.count(k => jvmBucket(k.toString, "split") == jvmBucket(k.toString, "strat"))
+    // expected agreement = n / 10000 ≈ 0.2; anything near n would mean correlation
+    assert(agree < keys.length / 100, s"buckets correlated: $agree/${keys.length}")
+  }
+
+  test("split totality: any weight vector assigns every bucket exactly one split") {
+    val weightsGen = for {
+      n <- Gen.choose(1, 5)
+      ws <- Gen.listOfN(n, Gen.choose(1, 100))
+    } yield {
+      val total = ws.sum.toDouble
+      ws.zipWithIndex.map { case (w, i) => s"s$i" -> w / total }
+    }
+    val p = Prop.forAll(weightsGen) { splits =>
+      // replicate assignSplits' cumulative CASE on the JVM bucket
+      val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * Sampling.BucketCount))
+      (0 until Sampling.BucketCount).forall { b =>
+        val name = splits.init.zip(cums.init).collectFirst {
+          case ((s, _), cum) if b < cum => s
+        }.getOrElse(splits.last._1)
+        splits.exists(_._1 == name)
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p).passed)
+  }
+
+  test("redaction rules are idempotent and terminal on generated PII text (property)") {
+    val emailGen = for {
+      u <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+      d <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    } yield s"$u@$d.com"
+    val phoneGen = for {
+      a <- Gen.choose(100, 999); b <- Gen.choose(100, 999); c <- Gen.choose(1000, 9999)
+      sep <- Gen.oneOf("-", ".", " ")
+    } yield s"$a$sep$b$sep$c"
+    val ipGen = Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString("."))
+    val fillerGen = Gen.listOf(Gen.oneOf(Gen.alphaStr, Gen.const("example.com"),
+      Gen.const("1.2"), Gen.const("2024"))).map(_.mkString(" "))
+    val textGen = for {
+      f1 <- fillerGen; f2 <- fillerGen
+      pii <- Gen.oneOf(emailGen, phoneGen, ipGen)
+    } yield s"$f1 $pii $f2"
+
+    def applyRules(t: String): String =
+      Redaction.DefaultRules.foldLeft(t) { case (s, (_, pat, repl)) => s.replaceAll(pat, repl) }
+    def countRules(t: String): Int =
+      Redaction.DefaultRules.map { case (_, pat, _) =>
+        pat.r.findAllIn(t).length }.sum
+
+    val p = Prop.forAll(textGen) { t =>
+      val once = applyRules(t)
+      val twice = applyRules(once)
+      countRules(t) >= 1 &&      // the planted PII is found
+      once == twice &&           // idempotent: replacements are not re-matchable
+      countRules(once) == 0      // terminal: nothing left to redact
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p).passed)
+  }
+}
