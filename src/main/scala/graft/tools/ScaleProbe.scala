@@ -1,0 +1,70 @@
+package graft.tools
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup scale-path probe: grows the documents corpus M× and times the
+  * exact inverted-index Jaccard join against the MinHash-LSH tier on the
+  * same workload, printing one JSON line per (M, tier).
+  *
+  * Corpus construction: M perturbed copies of the base corpus under
+  * offset doc_ids. Every 7th token (per-copy phase c % 7) is replaced
+  * with a copy-specific tag, so:
+  *  - within-copy near-dup pairs keep their Jaccard (both sides perturbed
+  *    identically) → true pairs grow linearly in M;
+  *  - cross-copy variants of the same doc fall to j ≈ 0.4 (well under
+  *    the 0.8 threshold) → no quadratic growth in TRUE pairs;
+  *  - unperturbed shingles stay shared across copies, so shingle document
+  *    frequency grows ~linearly in M — which is exactly what makes the
+  *    exact join's per-shingle df² bucket cost grow quadratically while
+  *    LSH candidate generation stays ~linear. This mirrors the hot-shingle
+  *    (common-phrase) growth of a real corpus at scale.
+  *
+  * Usage: runMain graft.tools.ScaleProbe <sfDir> <M1,M2,...>
+  */
+object ScaleProbe {
+
+  private def grow(docs: DataFrame, m: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select("doc_id", "text").as[(Long, String)]
+    (0 until m).map { c =>
+      base.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        var i = c % 7
+        while (i < toks.length) { toks(i) = s"c$c"; i += 7 }
+        (c * 10000000L + id, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+    }.reduce(_ unionByName _)
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (m <- ms) {
+      val corpus = grow(docs, m).localCheckpoint(true) // isolate corpus build cost
+      val n = corpus.count()
+      val (exactPairs, tExact) = time(Dedup.jaccardPairs(corpus, 3, 0.8).count())
+      spark.catalog.clearCache(); System.gc()
+      val (lshPairs, tLsh) = time(Dedup.minhashPairs(corpus, threshold = 0.8).count())
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"m":$m,"docs":$n,"exact_pairs":$exactPairs,"exact_sec":${f"$tExact%.2f"},"lsh_pairs":$lshPairs,"lsh_sec":${f"$tLsh%.2f"}}""")
+    }
+    spark.stop()
+  }
+}
