@@ -45,6 +45,34 @@ object ScaleProbe {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Deterministic unit-free gaussian vectors keyed by id (no accidental
+    * near-dups at d=128), plus an exact duplicate of every 50th vector
+    * under an offset id — the planted ground truth for the LSH tier.
+    */
+  private def syntheticEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val base = spark.range(n).map { id =>
+      val r = new java.util.Random(id)
+      (id, Array.fill(128)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+    base.unionByName(planted)
+  }
+
+  private def embedProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.Ann
+    for (n <- ns) {
+      val corpus = syntheticEmbeddings(spark, n.toLong).localCheckpoint(true)
+      val (exactPairs, tExact) = time(Ann.neardupPairs(corpus, 0.45).count())
+      spark.catalog.clearCache(); System.gc()
+      val (lshPairs, tLsh) = time(Ann.lshNeardupPairs(corpus, 0.8).count())
+      spark.catalog.clearCache(); System.gc()
+      val planted = n / 50 + (if (n % 50 != 0) 0 else 0)
+      println(s"""{"n":$n,"planted":$planted,"exact45_pairs":$exactPairs,"exact45_sec":${f"$tExact%.2f"},"lsh80_pairs":$lshPairs,"lsh80_sec":${f"$tLsh%.2f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -55,6 +83,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.lift(2).contains("embed")) {
+      embedProbe(spark, ms)
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     for (m <- ms) {
       val corpus = grow(docs, m).localCheckpoint(true) // isolate corpus build cost
