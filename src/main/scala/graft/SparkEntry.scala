@@ -671,7 +671,11 @@ object SparkEntry {
     * Java-vs-RE2 divergence (no lookaround, no backreferences).
     */
   private def piiRedactOracleSql: String = {
-    val Seq(email, phone, ip) = Redaction.DefaultRules.map(_._2)
+    // named lookup, not positional destructure: the oracle replays these
+    // three specific rules (the plant only contains them); adding rules to
+    // DefaultRules must not crash oracle construction
+    val byName = Redaction.DefaultRules.map(r => r._1 -> r._2).toMap
+    val (email, phone, ip) = (byName("email"), byName("phone"), byName("ipv4"))
     s"""WITH p AS (
        |  SELECT doc_id,
        |         CASE WHEN doc_id % 3 = 0

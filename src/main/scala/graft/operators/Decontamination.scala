@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * inner join — no shuffle touches corpus-proportional data until the
   * per-doc aggregate, whose input is bounded by the number of
   * contaminated (doc, shared-ngram) rows, not the corpus size.
-  * A benchmark too large to broadcast degrades to a shuffle join on the
-  * n-gram hash — still candidate-bounded, never all-pairs.
+  * For a benchmark too large to broadcast, pass
+  * `broadcastBenchmark = false` to get a shuffle join on the n-gram —
+  * still candidate-bounded, never all-pairs.
   */
 object Decontamination {
 
@@ -24,11 +25,13 @@ object Decontamination {
     * the default mirrors [[Dedup]]'s shingle construction so the two
     * share a scan when composed.
     */
-  def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+  def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                   broadcastBenchmark: Boolean = true): DataFrame = {
     val corpusShingles = Dedup.shingles(corpus, n).select("doc_id", "s")
     val benchShingles = Dedup.shingles(benchmark, n).select("s").distinct()
+    val benchSide = if (broadcastBenchmark) broadcast(benchShingles) else benchShingles
     corpusShingles
-      .join(broadcast(benchShingles), "s")
+      .join(benchSide, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared")) // shingles() already emits per-doc distinct
       .orderBy("doc_id")

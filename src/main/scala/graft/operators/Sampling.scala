@@ -59,6 +59,12 @@ object Sampling {
     * `defaultRate`. The filter is a narrow stage; at scale the rates map
     * rides the closure (broadcast-sized by construction — it's one entry
     * per stratum, not per row).
+    *
+    * Thresholds are `math.round(rate * BucketCount)` computed ONCE on the
+    * driver (same rule as [[assignSplits]]) — a per-row `rate * 10000`
+    * cast would truncate, so e.g. 0.57 (= 5699.999… in double) would
+    * silently drop bucket 5699 and disagree with any independent replay
+    * that rounds.
     */
   def stratifiedSample(docs: DataFrame,
                        stratum: String,
@@ -69,9 +75,10 @@ object Sampling {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must be in [0, 1]")
     val b = bucket(col(key), salt)
-    val rateCol = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate)) {
-      case ((s, r), elseCol) => when(col(stratum) === s, r).otherwise(elseCol)
+    def threshold(r: Double): Int = math.round(r * BucketCount).toInt
+    val thresholdCol = rates.toSeq.sortBy(_._1).foldRight(lit(threshold(defaultRate))) {
+      case ((s, r), elseCol) => when(col(stratum) === s, threshold(r)).otherwise(elseCol)
     }
-    docs.filter(b < (rateCol * BucketCount).cast("int"))
+    docs.filter(b < thresholdCol)
   }
 }

@@ -68,7 +68,7 @@ object ScaleProbe {
       spark.catalog.clearCache(); System.gc()
       val (lshPairs, tLsh) = time(Ann.lshNeardupPairs(corpus, 0.8).count())
       spark.catalog.clearCache(); System.gc()
-      val planted = n / 50 + (if (n % 50 != 0) 0 else 0)
+      val planted = (n + 49) / 50 // ids 0, 50, … < n
       println(s"""{"n":$n,"planted":$planted,"exact45_pairs":$exactPairs,"exact45_sec":${f"$tExact%.2f"},"lsh80_pairs":$lshPairs,"lsh80_sec":${f"$tLsh%.2f"}}""")
     }
   }

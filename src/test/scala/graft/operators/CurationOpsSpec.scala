@@ -70,10 +70,19 @@ class CurationOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val got = Seq(Tuple1(42L)).toDF("k")
       .select(Sampling.bucket(col("k"), "s").as("b")).head().getInt(0)
-    // first 8 hex of md5("s:42"), mod 10000 — computed independently
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest("s:42".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    assert(got == (java.lang.Long.parseLong(hex, 16) % 10000).toInt)
+    assert(got == TestBuckets.jvmBucket("42", "s"))
+  }
+
+  test("stratifiedSample thresholds round, not truncate (0.57 keeps bucket 5699)") {
+    import spark.implicits._
+    // find keys hashing to buckets 5699 and 5700 under the strat salt
+    val k5699 = (0L to 200000L).find(k => TestBuckets.jvmBucket(k.toString, "strat") == 5699).get
+    val k5700 = (0L to 200000L).find(k => TestBuckets.jvmBucket(k.toString, "strat") == 5700).get
+    val d = Seq((k5699, "t", "a"), (k5700, "t", "a")).toDF("doc_id", "text", "source")
+    val kept = Sampling.stratifiedSample(d, "source", Map("a" -> 0.57))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // round(0.57 * 10000) = 5700: bucket 5699 in, bucket 5700 out
+    assert(kept == Set(k5699))
   }
 
   // ------------------------------------------------------- Decontamination

@@ -20,12 +20,7 @@ class SamplingPropertySpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** JVM replica of [[Sampling.bucket]]. */
-  private def jvmBucket(key: String, salt: String): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$salt:$key".getBytes("UTF-8"))
-    ((java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)) % Sampling.BucketCount).toInt
-  }
+  import TestBuckets.jvmBucket
 
   test("spark bucket == jvm replica over 1000 generated keys, several salts") {
     import spark.implicits._

@@ -47,7 +47,8 @@ class StreamingCurationSpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(120000),
+        "streaming batch did not finish within the timeout")
     }
 
     // two arrivals over one checkpoint: batch-boundary independence
