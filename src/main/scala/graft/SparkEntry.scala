@@ -176,6 +176,17 @@ object SparkEntry {
       graft.operators.Sampling.stratifiedSample(table(s, d, "documents"),
           stratum = "source", rates = Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "source").orderBy("doc_id")),
+    // best-k-per-domain selection: top-5 docs per source by quality
+    // (total order via doc_id tie-break)
+    "q_topk_quality" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val scored = graft.operators.TextAnalysis.qualityScore(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      graft.operators.Sampling.topKPerStratum(scored, "source", 5,
+          col("quality").desc, col("doc_id").asc)
+        .select("doc_id", "source", "quality")
+        .orderBy("source", "doc_id")
+    }),
 
     // multimodal: binary content + typed metadata, batched feature extract
     // (decode stubbed deterministically — no codecs in this container).
@@ -422,18 +433,15 @@ object SparkEntry {
         |       'P1' AS measurement_of,
         |       "value" AS measurement_number
         |FROM events ORDER BY "timestamp", measurement_number""".stripMargin,
-    "q_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
-        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS ndist,
-        |         CAST(len(list_filter(string_split(text, ' '),
-        |           t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it'))) AS DOUBLE) AS nstop
-        |  FROM documents)
-        |SELECT doc_id,
-        |       ROUND(LEAST(1.0, ntok / 200) * 0.3 + (ndist / ntok) * 0.3
-        |             + LEAST(1.0, nstop / ntok * 5) * 0.4, 6) AS quality
-        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_quality" -> s"$qualityCoreSql ORDER BY doc_id",
+    "q_topk_quality" ->
+      s"""WITH q AS ($qualityCoreSql),
+         |j AS (SELECT q.doc_id, q.quality, d.source
+         |      FROM q JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, quality
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn
+         |      FROM j)
+         |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
     "q_vocab" ->
@@ -565,6 +573,22 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
   )
+
+  /** Quality-score SQL (no trailing ORDER BY) — shared by q_quality,
+    * q_topk_quality and the curate oracle's inline copy.
+    */
+  private def qualityCoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS ndist,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |           t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it'))) AS DOUBLE) AS nstop
+      |  FROM documents)
+      |SELECT doc_id,
+      |       ROUND(LEAST(1.0, ntok / 200) * 0.3 + (ndist / ntok) * 0.3
+      |             + LEAST(1.0, nstop / ntok * 5) * 0.4, 6) AS quality
+      |FROM t""".stripMargin
 
   /** Full ASAP replay in DuckDB SQL — oracle for q_sampled_asap. Mirrors
     * [[graft.functions.Asap]] stage by stage: bucketed-AVG grid (same

@@ -52,6 +52,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull) // null text = no shingles, not an NPE
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .flatMap { case (id, text) =>

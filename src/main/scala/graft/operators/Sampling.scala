@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines: hash-bucketed
@@ -80,5 +81,26 @@ object Sampling {
       case ((s, r), elseCol) => when(col(stratum) === s, threshold(r)).otherwise(elseCol)
     }
     docs.filter(b < thresholdCol)
+  }
+
+  /** Keep the top-k rows per stratum under the given ordering — the
+    * "best k documents per domain" selection step of corpus curation.
+    *
+    * Callers must make the ordering total (tie-break on a unique key)
+    * or the selection is nondeterministic at the k boundary.
+    *
+    * Scale shape: one hash shuffle on the stratum plus a per-partition
+    * sort — no global sort, no collect; rank state is O(1) per stratum
+    * within each partition. A stratum far hotter than the rest (one
+    * domain = half the corpus) skews its partition; pre-aggregate with
+    * [[Skew.saltedJoin]]-style salting or raise parallelism if a single
+    * stratum exceeds an executor's sort budget.
+    */
+  def topKPerStratum(df: DataFrame, stratum: String, k: Int, order: Column*): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(order.nonEmpty, "need at least one ordering column")
+    df.withColumn("__rn", row_number().over(Window.partitionBy(stratum).orderBy(order: _*)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 }

@@ -85,6 +85,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept == Set(k5699))
   }
 
+  test("topKPerStratum: exact per-stratum selection with deterministic boundary") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.8), (4L, "a", 0.1),
+      (5L, "b", 0.5)
+    ).toDF("doc_id", "source", "quality")
+    val kept = Sampling.topKPerStratum(d, "source", 2,
+        col("quality").desc, col("doc_id").asc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // stratum a: 0.9 → doc 1; tie at 0.8 broken by doc_id → doc 2 (not 3)
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
+  test("topKPerStratum keeps all rows when k >= stratum size") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("doc_id", "source", "v")
+    assert(Sampling.topKPerStratum(d, "source", 10, col("v").desc).count() == 2)
+  }
+
   // ------------------------------------------------------- Decontamination
 
   test("decontamination flags only docs sharing an n-gram with the benchmark") {
@@ -100,6 +119,13 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.keySet == Set(1L, 3L))
     assert(out(1L) == 1L) // "alpha beta gamma delta epsilon"
     assert(out(3L) == 1L) // "beta gamma delta epsilon zeta"
+  }
+
+  test("null text yields no shingles rather than an NPE") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val sh = Dedup.shingles(d, 3)
+    assert(sh.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("decontamination: short docs (< n tokens) produce no shingles, no rows") {
