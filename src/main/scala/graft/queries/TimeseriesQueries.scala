@@ -167,6 +167,11 @@ object TimeseriesQueries {
                      startS: Long, endS: Long, resolution: Int): DataFrame = {
     val gridded = aggregatedDataByInterval(
       conditions, subject, of, startS, endS, (endS - startS) / resolution)
+    // global-order window — deliberately unpartitioned: it smooths ONE
+    // series already reduced to <= resolution rows by the bucketed agg, so
+    // the single window partition is resolution-bounded, not data-bounded
+    // (the WindowExec "no partition defined" warning is expected and
+    // harmless here; the distributed work happened in the grid reduce)
     val w = Window.orderBy("time_s").rowsBetween(-2, 2)
     gridded.select(col("time_s"),
       avg("avg_measurement_number").over(w).as("smoothed_value"))
