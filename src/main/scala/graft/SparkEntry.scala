@@ -80,6 +80,9 @@ object SparkEntry {
     // B9 — state intervals (clock injected = range end)
     "q_intervals" -> ((s, d) =>
       formatTimeIntervals(conditions(s, d), Subject, Of, S1, E1, clockS = E1)),
+    // sessionization: gap > 2h opens a new session, all subjects
+    "q_sessions" -> ((s, d) =>
+      sessionize(conditions(s, d), Of, S1, E1, gapS = 7200)),
 
     // ---- LLM-data-pipeline operators (documents / embeddings tables) ----
     // exact dedup: one representative per distinct content hash
@@ -142,6 +145,9 @@ object SparkEntry {
     // vocabulary build: top-K tokens by total frequency + doc frequency
     "q_vocab" -> ((s, d) =>
       graft.operators.TextAnalysis.vocabulary(table(s, d, "documents"), k = 100)),
+    // per-source token-length distribution (exact percentiles)
+    "q_length_stats" -> ((s, d) =>
+      graft.operators.TextAnalysis.lengthStats(table(s, d, "documents"))),
     // benchmark decontamination: corpus docs sharing a 5-gram with the
     // held-out benchmark slice (doc_id % 7 == 0 plays the eval suite)
     "q_decontaminate" -> ((s, d) => {
@@ -409,6 +415,37 @@ object SparkEntry {
          |       measurement_string
          |FROM cp ORDER BY time_us""".stripMargin,
 
+    "q_sessions" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, "timestamp" FROM conditions
+         |  WHERE measurement_of = '$Of'
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |flagged AS (
+         |  SELECT measurement_subject, "timestamp",
+         |         CASE WHEN lag("timestamp") OVER w IS NULL
+         |                OR epoch_us("timestamp") - epoch_us(lag("timestamp") OVER w) > ${7200L * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp")),
+         |sess AS (
+         |  SELECT measurement_subject, "timestamp",
+         |         CAST(SUM(new_sess) OVER (PARTITION BY measurement_subject ORDER BY "timestamp"
+         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+         |  FROM flagged)
+         |SELECT measurement_subject, sess_no,
+         |       min(epoch_us("timestamp")) AS session_start_us,
+         |       max(epoch_us("timestamp")) AS session_end_us,
+         |       count(*) AS n_events
+         |FROM sess GROUP BY 1, 2 ORDER BY 1, 3""".stripMargin,
+    "q_length_stats" ->
+      """SELECT source,
+        |       count(*) AS n_docs,
+        |       ROUND(AVG(len(string_split(text, ' '))), 6) AS mean_tokens,
+        |       ROUND(quantile_cont(len(string_split(text, ' ')), 0.25), 6) AS p25,
+        |       ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
     "q_dedup_jaccard" -> jaccardOracleSql,

@@ -147,4 +147,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
+
+  /** Per-stratum token-length distribution (corpus QA dashboard): doc
+    * count, mean and exact p25/p50/p90 token counts. Uses Spark's EXACT
+    * `percentile` aggregate — linear interpolation at rank (n-1)·p, the
+    * same definition as DuckDB's `quantile_cont`, so the oracle matches
+    * bit-for-bit on integer inputs. Exact percentiles shuffle each
+    * stratum's values to its reducer; at 100 TB swap in
+    * `approx_percentile` (t-digest, mergeable partial aggregation) when
+    * QA-grade precision suffices.
+    */
+  def lengthStats(docs: DataFrame, stratum: String = "source"): DataFrame =
+    docs.select(col(stratum), size(tokens).cast("long").as("n"))
+      .groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n"), 6).as("mean_tokens"),
+        round(expr("percentile(n, 0.25)"), 6).as("p25"),
+        round(expr("percentile(n, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90"))
+      .orderBy(stratum)
 }

@@ -241,4 +241,35 @@ object TimeseriesQueries {
         col("measurement_string"))
       .orderBy("time_us")
   }
+
+  /** Sessionization (gaps-and-islands over ALL subjects): a subject's
+    * events belong to one session until a gap > `gapS` opens a new one.
+    * One row per session: subject, ordinal, start/end (µs), event count.
+    *
+    * Scale shape: one hash shuffle on the subject + per-subject sort;
+    * the lag/running-sum window state is O(1) per row, and the session
+    * aggregate is a standard partial-agg shuffle on (subject, session).
+    * Rows tied on timestamp are session-order independent: their mutual
+    * gap is 0, so every ordering yields the same session numbers.
+    */
+  def sessionize(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                 gapS: Long): DataFrame = {
+    val w = Window.partitionBy("measurement_subject").orderBy("timestamp")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .withColumn("prev_ts", lag("timestamp", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("timestamp")) - unix_micros(col("prev_ts")) > gapS * 1000000L, 1)
+        .otherwise(0))
+      .withColumn("sess_no",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("measurement_subject", "sess_no")
+      .agg(min(unix_micros(col("timestamp"))).as("session_start_us"),
+        max(unix_micros(col("timestamp"))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("measurement_subject", "session_start_us")
+  }
 }

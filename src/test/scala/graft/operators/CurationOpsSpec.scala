@@ -161,6 +161,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getString(2) == "version 1.2.3 of 2024 build 123456789 at example.com")
   }
 
+  // -------------------------------------------------------- Length stats
+
+  test("lengthStats: exact interpolated percentiles per stratum") {
+    import spark.implicits._
+    // stratum a: lengths 1,2,3,4 tokens → p25 = 1.75, p50 = 2.5, p90 = 3.7
+    val d = Seq(
+      (1L, "w", "a"), (2L, "w w", "a"), (3L, "w w w", "a"), (4L, "w w w w", "a"),
+      (5L, "w w", "b")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.lengthStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows("a") == ((4L, 2.5, 1.75, 2.5, 3.7)))
+    assert(rows("b") == ((1L, 2.0, 2.0, 2.0, 2.0)))
+  }
+
+  // -------------------------------------------------------- Sessionization
+
+  test("sessionize: gap threshold splits sessions; ties share a session") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val rows = Seq(
+      ("u1", 1000L), ("u1", 1100L), ("u1", 1100L), // session 1 (tie included)
+      ("u1", 5000L),                               // gap 3900 > 3600 → session 2
+      ("u2", 1000L)                                // other subject: own session 1
+    ).toDF("measurement_subject", "s")
+      .select(col("measurement_subject"), timestamp_seconds(col("s")).as("timestamp"))
+      .withColumn("measurement_of", lit("click"))
+    val out = graft.queries.TimeseriesQueries
+      .sessionize(rows, "click", 0L, 10000L, gapS = 3600)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("u1", 1L, 1000000000L, 1100000000L, 3L),
+      ("u1", 2L, 5000000000L, 5000000000L, 1L),
+      ("u2", 1L, 1000000000L, 1000000000L, 1L)))
+  }
+
   // ----------------------------------------------------------- Vocabulary
 
   test("vocabulary: exact tf/df with deterministic tie-break") {
