@@ -98,6 +98,14 @@ object SparkEntry {
     // is ~0.9998, not 1 — re-validate per scale factor)
     "q_dedup_minhash" -> ((s, d) =>
       graft.operators.Dedup.minhashPairs(table(s, d, "documents"), threshold = 0.8)),
+    // incremental dedup: odd doc_ids play today's batch, even ids the
+    // accumulated index — no index×index pair is ever formed
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     // SimHash hamming<=3 near-dups (rows-only oracle)
     "q_dedup_simhash" -> ((s, d) =>
       graft.operators.Dedup.simhashPairs(table(s, d, "documents"))),
@@ -453,6 +461,22 @@ object SparkEntry {
     // wherever recall holds — the hash match checks that empirically for
     // this corpus/seed (not a proof; see q_dedup_minhash comment)
     "q_dedup_minhash" -> jaccardOracleSql,
+    // exact cross-parity jaccard join — same empirical-recall caveat as
+    // q_dedup_minhash
+    "q_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s,
+        |         len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS nsh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_index, count(*) AS inter,
+        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT doc_new, doc_index, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
+        |ORDER BY doc_new, doc_index""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
     "q_ann_topk" -> annTopkOracleSql,
     // nProbe = nlist probes every inverted list — identical to brute force

@@ -142,10 +142,8 @@ object Dedup {
     * LSH — but the common case is 1-element buckets, dropped by the size
     * filter before any pair work.
     */
-  def minhashCandidates(sigs: DataFrame, bands: Int = 16,
-                        numPerm: Int = 64): DataFrame = {
-    val spark = sigs.sparkSession
-    import spark.implicits._
+  /** (doc_id, band, bh) band hashes of a signatures frame. */
+  private def bandHashes(sigs: DataFrame, bands: Int, numPerm: Int): DataFrame = {
     require(numPerm % bands == 0,
       s"numPerm ($numPerm) must be divisible by bands ($bands)")
     val rows = numPerm / bands
@@ -153,6 +151,13 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), j -> xxhash64(concat_ws(',', slice(sig, j*$rows+1, $rows)), j))")))
       .toDF("doc_id", "band", "bh")
+  }
+
+  def minhashCandidates(sigs: DataFrame, bands: Int = 16,
+                        numPerm: Int = 64): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    bandHashes(sigs, bands, numPerm)
       .groupBy("band", "bh")
       .agg(collect_list("doc_id").as("bucket"))
       .filter(size(col("bucket")) > 1)
@@ -217,6 +222,44 @@ object Dedup {
         p
       } else raw
     pairs.orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental near-dup check — the production shape of dedup at scale:
+    * a NEW batch (today's crawl) is checked against an existing INDEX
+    * (the accumulated corpus) without ever forming index×index pairs.
+    * Returns (doc_new, doc_index, jaccard) for pairs ≥ `threshold`.
+    *
+    * Scale shape: both sides' band hashes join on (band, bucket) — the
+    * index side of that join is what you'd persist as the signature
+    * index table (bucketed on the band hash for a co-located join);
+    * candidate count is bounded by real band collisions, which for a
+    * small daily batch is ~|new| × collision rate, never |index|².
+    * Verification joins only candidate pairs back to both sides'
+    * shingles, exactly like [[minhashPairs]].
+    */
+  def minhashPairsIncremental(newDocs: DataFrame, indexDocs: DataFrame,
+                              n: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.8): DataFrame = {
+    val exNew = shingles(newDocs, n)
+    val exIdx = shingles(indexDocs, n)
+    val bandsNew = bandHashes(signaturesFromExploded(exNew, numPerm), bands, numPerm)
+      .select(col("band"), col("bh"), col("doc_id").as("doc_new"))
+    val bandsIdx = bandHashes(signaturesFromExploded(exIdx, numPerm), bands, numPerm)
+      .select(col("band"), col("bh"), col("doc_id").as("doc_index"))
+    val cands = bandsNew.join(bandsIdx, Seq("band", "bh"))
+      .select("doc_new", "doc_index").distinct()
+    val a = exNew.select(col("doc_id").as("doc_new"), col("s"), col("nsh").as("na"))
+    val b = exIdx.select(col("doc_id").as("doc_index"), col("s"), col("nsh").as("nb"))
+    broadcast(cands)
+      .join(a, "doc_new")
+      .join(b, Seq("doc_index", "s"))
+      .groupBy("doc_new", "doc_index")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_index"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_new", "doc_index")
   }
 
   // ------------------------------------------------------------- SimHash

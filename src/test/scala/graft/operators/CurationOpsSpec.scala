@@ -161,6 +161,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getString(2) == "version 1.2.3 of 2024 build 123456789 at example.com")
   }
 
+  // --------------------------------------------------- Incremental dedup
+
+  test("incremental minhash equals the cross-slice of the full exact join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val newB = docs.filter(col("doc_id") % 2 === 1)
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    val inc = Dedup.minhashPairsIncremental(newB, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact all-pairs join, restricted to (odd, even)
+    val full = Dedup.jaccardPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }.toSet
+    assert(expected.nonEmpty, "test data should contain cross-parity near-dups")
+    assert(inc == expected, s"missed=${expected -- inc} extra=${inc -- expected}")
+  }
+
+  test("incremental minhash with an empty new batch returns nothing") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashPairsIncremental(empty, docs).count() == 0)
+  }
+
   // -------------------------------------------------------- Length stats
 
   test("lengthStats: exact interpolated percentiles per stratum") {
