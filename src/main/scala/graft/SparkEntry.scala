@@ -439,7 +439,7 @@ object SparkEntry {
          |sess AS (
          |  SELECT measurement_subject, "timestamp",
          |         CAST(SUM(new_sess) OVER (PARTITION BY measurement_subject ORDER BY "timestamp"
-         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+         |                                  RANGE UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
          |  FROM flagged)
          |SELECT measurement_subject, sess_no,
          |       min(epoch_us("timestamp")) AS session_start_us,
@@ -464,11 +464,7 @@ object SparkEntry {
     // exact cross-parity jaccard join — same empirical-recall caveat as
     // q_dedup_minhash
     "q_dedup_incremental" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s,
-        |         len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS nsh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      s"""WITH sh AS ($shingleCteSql),
         |pairs AS (
         |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_index, count(*) AS inter,
         |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
@@ -546,11 +542,7 @@ object SparkEntry {
          |FROM c ASOF LEFT JOIN v ON c."timestamp" >= v."timestamp"
          |ORDER BY ts_us""".stripMargin,
     "q_curate" ->
-      s"""WITH sh AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s,
-        |         len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS nsh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      s"""WITH sh AS ($shingleCteSql),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
         |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
@@ -784,12 +776,18 @@ object SparkEntry {
   /** Exact shingle-join Jaccard pairs — oracle for BOTH q_dedup_jaccard
     * (same algorithm) and q_dedup_minhash (LSH recall-equality proof).
     */
-  private def jaccardOracleSql: String =
-    """WITH sh AS (
+  /** Trigram shingle CTE body (doc_id, s, nsh) — the single source of
+    * the shingling convention, shared by every jaccard-family oracle.
+    */
+  private def shingleCteSql: String =
+    """
       |  SELECT doc_id,
       |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s,
       |         len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS nsh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  private def jaccardOracleSql: String =
+    s"""WITH sh AS ($shingleCteSql),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
       |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb

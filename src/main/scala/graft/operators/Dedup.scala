@@ -132,16 +132,6 @@ object Dedup {
       .toDF("doc_id", "sig")
   }
 
-  /** LSH candidate pairs: docs sharing any band bucket (bands × rowsPerBand
-    * = signature length).
-    *
-    * Bucket-grouped rather than self-joined: a self-join would evaluate the
-    * `sigs` plan twice (each full MinHash pass over the corpus); grouping
-    * computes it once and emits in-bucket pairs from the (small) collected
-    * doc lists. Hot buckets are quadratic either way — that is inherent to
-    * LSH — but the common case is 1-element buckets, dropped by the size
-    * filter before any pair work.
-    */
   /** (doc_id, band, bh) band hashes of a signatures frame. */
   private def bandHashes(sigs: DataFrame, bands: Int, numPerm: Int): DataFrame = {
     require(numPerm % bands == 0,
@@ -153,6 +143,16 @@ object Dedup {
       .toDF("doc_id", "band", "bh")
   }
 
+  /** LSH candidate pairs: docs sharing any band bucket (bands × rowsPerBand
+    * = signature length).
+    *
+    * Bucket-grouped rather than self-joined: a self-join would evaluate the
+    * `sigs` plan twice (each full MinHash pass over the corpus); grouping
+    * computes it once and emits in-bucket pairs from the (small) collected
+    * doc lists. Hot buckets are quadratic either way — that is inherent to
+    * LSH — but the common case is 1-element buckets, dropped by the size
+    * filter before any pair work.
+    */
   def minhashCandidates(sigs: DataFrame, bands: Int = 16,
                         numPerm: Int = 64): DataFrame = {
     val spark = sigs.sparkSession
@@ -204,15 +204,7 @@ object Dedup {
     val cands = minhashCandidates(signaturesFromExploded(ex, numPerm), bands, numPerm)
     val a = ex.select(col("doc_id").as("doc_a"), col("s"), col("nsh").as("na"))
     val b = ex.select(col("doc_id").as("doc_b"), col("s"), col("nsh").as("nb"))
-    val raw = broadcast(cands)
-      .join(a, "doc_a")
-      .join(b, Seq("doc_b", "s")) // rows = shingles in A∩B per candidate pair
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    val raw = verifyPairs(cands, a, b, "doc_a", "doc_b", threshold)
     val pairs =
       if (materialize) {
         // eager cut: checkpoint blocks themselves are freed by the
@@ -223,6 +215,22 @@ object Dedup {
       } else raw
     pairs.orderBy("doc_a", "doc_b")
   }
+
+  /** Exact-Jaccard verification of candidate pairs: joins the (small,
+    * broadcast) candidate set to both sides' exploded shingles; join rows
+    * = shingles in A∩B per pair. `a`/`b` must carry (keyA|keyB, s, na|nb).
+    */
+  private def verifyPairs(cands: DataFrame, a: DataFrame, b: DataFrame,
+                          keyA: String, keyB: String, threshold: Double): DataFrame =
+    broadcast(cands)
+      .join(a, keyA)
+      .join(b, Seq(keyB, "s"))
+      .groupBy(keyA, keyB)
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(keyA), col(keyB), round(col("jaccard"), 6).as("jaccard"))
 
   /** Incremental near-dup check — the production shape of dedup at scale:
     * a NEW batch (today's crawl) is checked against an existing INDEX
@@ -235,13 +243,19 @@ object Dedup {
     * candidate count is bounded by real band collisions, which for a
     * small daily batch is ~|new| × collision rate, never |index|².
     * Verification joins only candidate pairs back to both sides'
-    * shingles, exactly like [[minhashPairs]].
+    * shingles, exactly like [[minhashPairs]] — including its
+    * `materialize` contract (each side's shingle pass feeds signatures
+    * AND verification; see [[minhashPairs]] for the caveats).
     */
   def minhashPairsIncremental(newDocs: DataFrame, indexDocs: DataFrame,
                               n: Int = 3, numPerm: Int = 64, bands: Int = 16,
-                              threshold: Double = 0.8): DataFrame = {
-    val exNew = shingles(newDocs, n)
-    val exIdx = shingles(indexDocs, n)
+                              threshold: Double = 0.8,
+                              materialize: Boolean = true): DataFrame = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val exNew0 = shingles(newDocs, n)
+    val exIdx0 = shingles(indexDocs, n)
+    val exNew = if (materialize) exNew0.persist(level) else exNew0
+    val exIdx = if (materialize) exIdx0.persist(level) else exIdx0
     val bandsNew = bandHashes(signaturesFromExploded(exNew, numPerm), bands, numPerm)
       .select(col("band"), col("bh"), col("doc_id").as("doc_new"))
     val bandsIdx = bandHashes(signaturesFromExploded(exIdx, numPerm), bands, numPerm)
@@ -250,16 +264,15 @@ object Dedup {
       .select("doc_new", "doc_index").distinct()
     val a = exNew.select(col("doc_id").as("doc_new"), col("s"), col("nsh").as("na"))
     val b = exIdx.select(col("doc_id").as("doc_index"), col("s"), col("nsh").as("nb"))
-    broadcast(cands)
-      .join(a, "doc_new")
-      .join(b, Seq("doc_index", "s"))
-      .groupBy("doc_new", "doc_index")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_new"), col("doc_index"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_new", "doc_index")
+    val raw = verifyPairs(cands, a, b, "doc_new", "doc_index", threshold)
+    val pairs =
+      if (materialize) {
+        val p = raw.localCheckpoint(true)
+        exNew.unpersist(false)
+        exIdx.unpersist(false)
+        p
+      } else raw
+    pairs.orderBy("doc_new", "doc_index")
   }
 
   // ------------------------------------------------------------- SimHash

@@ -160,10 +160,15 @@ object TextAnalysis {
   def lengthStats(docs: DataFrame, stratum: String = "source"): DataFrame =
     docs.select(col(stratum), size(tokens).cast("long").as("n"))
       .groupBy(stratum)
+      // ONE percentile aggregate for all three quantiles: a buffer + sort
+      // per group, not three (three separate percentile() calls each keep
+      // their own full per-group value buffer)
       .agg(count(lit(1)).as("n_docs"),
         round(avg("n"), 6).as("mean_tokens"),
-        round(expr("percentile(n, 0.25)"), 6).as("p25"),
-        round(expr("percentile(n, 0.5)"), 6).as("p50"),
-        round(expr("percentile(n, 0.9)"), 6).as("p90"))
+        expr("percentile(n, array(0.25, 0.5, 0.9))").as("ps"))
+      .select(col(stratum), col("n_docs"), col("mean_tokens"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p90"))
       .orderBy(stratum)
 }

@@ -249,8 +249,15 @@ object TimeseriesQueries {
     * Scale shape: one hash shuffle on the subject + per-subject sort;
     * the lag/running-sum window state is O(1) per row, and the session
     * aggregate is a standard partial-agg shuffle on (subject, session).
-    * Rows tied on timestamp are session-order independent: their mutual
-    * gap is 0, so every ordering yields the same session numbers.
+    *
+    * Timestamp ties: exactly one row of a tie group can carry the
+    * session-open flag (the others' gap is 0), but WHICH row carries it
+    * depends on the sort's tie order — so the running sum uses a RANGE
+    * frame (peers included), which counts the flag for every member of
+    * the tie group regardless of order. That makes session numbers
+    * tie-order independent BY CONSTRUCTION, and therefore stable across
+    * engines that sort ties differently (the DuckDB oracle runs the two
+    * window passes with independent sorts).
     */
   def sessionize(conditions: DataFrame, of: String, startS: Long, endS: Long,
                  gapS: Long): DataFrame = {
@@ -265,7 +272,8 @@ object TimeseriesQueries {
           unix_micros(col("timestamp")) - unix_micros(col("prev_ts")) > gapS * 1000000L, 1)
         .otherwise(0))
       .withColumn("sess_no",
-        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        sum("new_sess").over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
       .groupBy("measurement_subject", "sess_no")
       .agg(min(unix_micros(col("timestamp"))).as("session_start_us"),
         max(unix_micros(col("timestamp"))).as("session_end_us"),

@@ -209,7 +209,10 @@ class CurationOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.timestamp_seconds
     val rows = Seq(
       ("u1", 1000L), ("u1", 1100L), ("u1", 1100L), // session 1 (tie included)
-      ("u1", 5000L),                               // gap 3900 > 3600 → session 2
+      ("u1", 5000L), ("u1", 5000L),                // gap 3900 > 3600 → session 2:
+                                                   // a TIE GROUP at the boundary —
+                                                   // both rows must land in session 2
+                                                   // whichever carries the open flag
       ("u2", 1000L)                                // other subject: own session 1
     ).toDF("measurement_subject", "s")
       .select(col("measurement_subject"), timestamp_seconds(col("s")).as("timestamp"))
@@ -219,7 +222,7 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.toSeq == Seq(
       ("u1", 1L, 1000000000L, 1100000000L, 3L),
-      ("u1", 2L, 5000000000L, 5000000000L, 1L),
+      ("u1", 2L, 5000000000L, 5000000000L, 2L),
       ("u2", 1L, 1000000000L, 1000000000L, 1L)))
   }
 
