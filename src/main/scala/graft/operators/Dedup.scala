@@ -275,6 +275,58 @@ object Dedup {
     pairs.orderBy("doc_new", "doc_index")
   }
 
+  /** Persist the index side of incremental dedup ONCE: (doc_index, band,
+    * bh) band hashes as a table bucketed+sorted on `bh`, so every daily
+    * batch's candidate join reads the index co-located instead of
+    * shuffling it (the bucket spec is a subset of the join key, which is
+    * what Spark's bucketed-join shuffle elision requires). At 100 TB the
+    * signature index is ~(bands × 24 B) per document — a small fraction
+    * of the corpus — and is appended as the corpus grows.
+    */
+  def writeSignatureIndex(indexDocs: DataFrame, tableName: String,
+                          buckets: Int = 64, n: Int = 3, numPerm: Int = 64,
+                          bands: Int = 16): Unit =
+    bandHashes(signaturesFromExploded(shingles(indexDocs, n), numPerm), bands, numPerm)
+      .select(col("doc_id").as("doc_index"), col("band"), col("bh"))
+      .write.format("parquet")
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .mode("overwrite").saveAsTable(tableName)
+
+  /** Incremental near-dup check against a PERSISTED signature index
+    * ([[writeSignatureIndex]]): the index's signatures are never
+    * recomputed, and verification re-shingles only the index documents
+    * that actually collided (a semi-join prunes the corpus store before
+    * the shingle flatMap) — per-batch cost is proportional to the new
+    * batch plus its collisions, not to the index.
+    */
+  def minhashPairsAgainstIndex(newDocs: DataFrame, indexBands: DataFrame,
+                               indexDocs: DataFrame,
+                               n: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.8,
+                               materialize: Boolean = true): DataFrame = {
+    val exNew0 = shingles(newDocs, n)
+    val exNew =
+      if (materialize) exNew0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exNew0
+    val bandsNew = bandHashes(signaturesFromExploded(exNew, numPerm), bands, numPerm)
+      .select(col("band"), col("bh"), col("doc_id").as("doc_new"))
+    val cands = bandsNew.join(indexBands, Seq("band", "bh"))
+      .select("doc_new", "doc_index").distinct()
+    val candIdxDocs = indexDocs.join(
+      cands.select(col("doc_index").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val a = exNew.select(col("doc_id").as("doc_new"), col("s"), col("nsh").as("na"))
+    val b = shingles(candIdxDocs, n)
+      .select(col("doc_id").as("doc_index"), col("s"), col("nsh").as("nb"))
+    val raw = verifyPairs(cands, a, b, "doc_new", "doc_index", threshold)
+    val pairs =
+      if (materialize) {
+        val p = raw.localCheckpoint(true)
+        exNew.unpersist(false)
+        p
+      } else raw
+    pairs.orderBy("doc_new", "doc_index")
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** First 64 bits of md5(token) as a signed big-endian Long. md5 rather

@@ -180,6 +180,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(inc == expected, s"missed=${expected -- inc} extra=${inc -- expected}")
   }
 
+  test("persisted signature index: same pairs, index side co-located (no shuffle)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val newB = docs.filter(col("doc_id") % 2 === 1)
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    Dedup.writeSignatureIndex(idx, "sig_index", buckets = 4)
+    try {
+      val indexBands = spark.table("sig_index")
+      val viaIndex = Dedup.minhashPairsAgainstIndex(newB, indexBands, idx)
+      // identical pairs to the recompute-everything variant
+      val direct = Dedup.minhashPairsIncremental(newB, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val indexed = viaIndex.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(direct.nonEmpty && indexed == direct,
+        s"missed=${direct -- indexed} extra=${indexed -- direct}")
+      // the candidate join must read the bucketed index table (the lazy
+      // variant keeps the full plan inspectable; materialize=true cuts it
+      // at the checkpoint)
+      val candPlan = Dedup.minhashPairsAgainstIndex(newB, indexBands, idx,
+          materialize = false)
+        .queryExecution.executedPlan.toString
+      assert(candPlan.contains("Bucketed: true"), candPlan)
+    } finally spark.sql("DROP TABLE IF EXISTS sig_index")
+  }
+
   test("incremental minhash with an empty new batch returns nothing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
