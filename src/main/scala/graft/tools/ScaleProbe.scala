@@ -31,9 +31,13 @@ object ScaleProbe {
     val base = docs.select("doc_id", "text").as[(Long, String)]
     (0 until m).map { c =>
       base.map { case (id, text) =>
+        // copy 0 is the unperturbed original corpus; copies 1.. are
+        // perturbed so they are not near-dups of it (or of each other)
         val toks = text.split(" ", -1)
-        var i = c % 7
-        while (i < toks.length) { toks(i) = s"c$c"; i += 7 }
+        if (c != 0) {
+          var i = c % 7
+          while (i < toks.length) { toks(i) = s"c$c"; i += 7 }
+        }
         (c * 10000000L + id, toks.mkString(" "))
       }.toDF("doc_id", "text")
     }.reduce(_ unionByName _)
@@ -73,6 +77,30 @@ object ScaleProbe {
     }
   }
 
+  /** Incremental-dedup probe: a FIXED new batch (the base corpus's odd
+    * doc_ids) against an index grown M× (perturbed copies of the even
+    * ids). Compares recompute-everything [[Dedup.minhashPairsIncremental]]
+    * with the persisted-signature-index path
+    * ([[Dedup.writeSignatureIndex]] once per M, then
+    * [[Dedup.minhashPairsAgainstIndex]] as the per-batch cost).
+    */
+  private def incrProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.Dedup
+    val newBatch = docs.filter(col("doc_id") % 2 === 1).localCheckpoint(true)
+    for (m <- ms) {
+      val index = grow(docs.filter(col("doc_id") % 2 === 0), m).localCheckpoint(true)
+      val idxDocs = index.count()
+      val (directPairs, tDirect) = time(Dedup.minhashPairsIncremental(newBatch, index).count())
+      spark.catalog.clearCache(); System.gc()
+      val (_, tBuild) = time(Dedup.writeSignatureIndex(index, "sig_index_probe"))
+      val bandsTable = spark.table("sig_index_probe")
+      val (idxPairs, tBatch) = time(Dedup.minhashPairsAgainstIndex(newBatch, bandsTable, index).count())
+      spark.sql("DROP TABLE IF EXISTS sig_index_probe")
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"m":$m,"index_docs":$idxDocs,"recompute_pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${f"$tBuild%.2f"},"indexed_pairs":$idxPairs,"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -89,6 +117,11 @@ object ScaleProbe {
       return
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (args.lift(2).contains("incr")) {
+      incrProbe(spark, docs, ms)
+      spark.stop()
+      return
+    }
     for (m <- ms) {
       val corpus = grow(docs, m).localCheckpoint(true) // isolate corpus build cost
       val n = corpus.count()
