@@ -276,12 +276,16 @@ object Dedup {
   }
 
   /** Persist the index side of incremental dedup ONCE: (doc_index, band,
-    * bh) band hashes as a table bucketed+sorted on `bh`, so every daily
-    * batch's candidate join reads the index co-located instead of
-    * shuffling it (the bucket spec is a subset of the join key, which is
-    * what Spark's bucketed-join shuffle elision requires). At 100 TB the
+    * bh) band hashes as a table bucketed+sorted on `bh`. The candidate
+    * join matches on `bh` ALONE — the band index is hashed into `bh` as
+    * the xxhash64 seed, so same-band collisions match exactly and
+    * cross-band 64-bit hash collisions only add stray candidates that
+    * exact verification discards — which makes the bucket spec EQUAL to
+    * the join key, the condition Spark requires to read the index
+    * co-partitioned instead of shuffling it every batch. At 100 TB the
     * signature index is ~(bands × 24 B) per document — a small fraction
-    * of the corpus — and is appended as the corpus grows.
+    * of the corpus — and is appended as the corpus grows. The `band`
+    * column is retained for parameter validation and debugging.
     */
   def writeSignatureIndex(indexDocs: DataFrame, tableName: String,
                           buckets: Int = 64, n: Int = 3, numPerm: Int = 64,
@@ -298,20 +302,43 @@ object Dedup {
     * that actually collided (a semi-join prunes the corpus store before
     * the shingle flatMap) — per-batch cost is proportional to the new
     * batch plus its collisions, not to the index.
+    *
+    * `n`/`numPerm`/`bands` MUST match the values the index was written
+    * with — a mismatch makes band hashes incomparable and near-dups are
+    * silently admitted. The default `validateBands = true` catches the
+    * likeliest mismatch (bands) with one tiny aggregation on the index;
+    * n/numPerm mismatches change `bh` values undetectably, so keep the
+    * parameters with the table definition.
+    *
+    * With `materialize = true` the candidate set is eagerly
+    * checkpointed: `cands` feeds BOTH the verification broadcast and the
+    * corpus-store semi-join, and without the cut the whole candidate
+    * subplan (index scan + new-batch signatures) would execute twice.
     */
   def minhashPairsAgainstIndex(newDocs: DataFrame, indexBands: DataFrame,
                                indexDocs: DataFrame,
                                n: Int = 3, numPerm: Int = 64, bands: Int = 16,
                                threshold: Double = 0.8,
-                               materialize: Boolean = true): DataFrame = {
+                               materialize: Boolean = true,
+                               validateBands: Boolean = true): DataFrame = {
+    if (validateBands) {
+      val maxBand = indexBands.agg(max("band")).head().getInt(0)
+      require(maxBand == bands - 1,
+        s"signature index has bands=${maxBand + 1}, caller expects $bands — " +
+          "rewrite the index or pass the matching parameters")
+    }
     val exNew0 = shingles(newDocs, n)
     val exNew =
       if (materialize) exNew0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else exNew0
     val bandsNew = bandHashes(signaturesFromExploded(exNew, numPerm), bands, numPerm)
-      .select(col("band"), col("bh"), col("doc_id").as("doc_new"))
-    val cands = bandsNew.join(indexBands, Seq("band", "bh"))
+      .select(col("bh"), col("doc_id").as("doc_new"))
+    // join on bh alone: the band index is folded into bh as the hash seed
+    // (see writeSignatureIndex), and a bh-only key equals the bucket spec
+    // so the bucketed index reads co-partitioned
+    val cands0 = bandsNew.join(indexBands.select("bh", "doc_index"), "bh")
       .select("doc_new", "doc_index").distinct()
+    val cands = if (materialize) cands0.localCheckpoint(true) else cands0
     val candIdxDocs = indexDocs.join(
       cands.select(col("doc_index").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val a = exNew.select(col("doc_id").as("doc_new"), col("s"), col("nsh").as("na"))

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * exact inverted-index Jaccard join against the MinHash-LSH tier on the
   * same workload, printing one JSON line per (M, tier).
   *
-  * Corpus construction: M perturbed copies of the base corpus under
-  * offset doc_ids. Every 7th token (per-copy phase c % 7) is replaced
-  * with a copy-specific tag, so:
+  * Corpus construction: M copies of the base corpus under offset
+  * doc_ids — copy 0 verbatim (so pairs against the unmodified corpus
+  * survive, which the incremental probe depends on), and in every other
+  * copy each 7th token (per-copy phase c % 7) replaced with a
+  * copy-specific tag, so:
   *  - within-copy near-dup pairs keep their Jaccard (both sides perturbed
   *    identically) → true pairs grow linearly in M;
   *  - cross-copy variants of the same doc fall to j ≈ 0.4 (well under

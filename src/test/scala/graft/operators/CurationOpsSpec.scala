@@ -194,13 +194,20 @@ class CurationOpsSpec extends AnyFunSuite {
       val indexed = viaIndex.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(direct.nonEmpty && indexed == direct,
         s"missed=${direct -- indexed} extra=${indexed -- direct}")
-      // the candidate join must read the bucketed index table (the lazy
-      // variant keeps the full plan inspectable; materialize=true cuts it
-      // at the checkpoint)
-      val candPlan = Dedup.minhashPairsAgainstIndex(newB, indexBands, idx,
-          materialize = false)
-        .queryExecution.executedPlan.toString
-      assert(candPlan.contains("Bucketed: true"), candPlan)
+      // the candidate join must exploit the bucketed index layout even
+      // when the batch side is too big to broadcast (the lazy variant
+      // keeps the full plan inspectable; materialize=true cuts it at the
+      // checkpoint). Spark marks an unexploited bucket layout
+      // "Bucketed: false (...)", so asserting true under disabled
+      // broadcast checks real co-partitioning, not just table metadata.
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val candPlan = Dedup.minhashPairsAgainstIndex(newB, indexBands, idx,
+            materialize = false)
+          .queryExecution.executedPlan.toString
+        assert(candPlan.contains("Bucketed: true"), candPlan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     } finally spark.sql("DROP TABLE IF EXISTS sig_index")
   }
 
