@@ -148,4 +148,20 @@ class QueryPlanSpec extends AnyFunSuite {
     val p = plan("q_vocab")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("sessionize plan: subject-partitioned windows, no unpartitioned window") {
+    val p = plan("q_sessions")
+    // both window functions ride the same subject partitioning; an empty
+    // partition spec would collapse the corpus to one task
+    assert(p.contains("measurement_subject"), p)
+    assert(!p.contains("Window [")
+      || !p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("length stats plan: single stratum aggregation, no cartesian") {
+    val p = plan("q_length_stats")
+    assert(p.contains("percentile"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
