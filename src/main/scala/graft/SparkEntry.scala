@@ -61,7 +61,8 @@ object SparkEntry {
     // B5 v1 — gridded 5-point SMA (documented asap_smooth stand-in)
     "q_sampled_sma" -> ((s, d) =>
       r6(sampledDataSma(conditions(s, d), Subject, Of, S1, E1, 50), "smoothed_value")),
-    // B5 — full ASAP (no SQL-expressible oracle; rows-only check + unit tests)
+    // B5 — full ASAP (oracle = stage-by-stage SQL replay of the window
+    // search, see asapOracleSql; plus the independent golden-file spec)
     "q_sampled_asap" -> ((s, d) =>
       r6(Asap.sampledData(s, conditions(s, d), Subject, Of, S1, E1, 50), "smoothed_value")),
     // B6 — time-weighted average, trapezoidal + LOCF

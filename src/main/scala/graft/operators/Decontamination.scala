@@ -21,9 +21,11 @@ object Decontamination {
 
   /** Documents in `corpus` sharing ≥1 word n-gram with `benchmark`:
     * (doc_id, n_shared = distinct shared n-grams). `n` is the shingle
-    * order — real pipelines use 8-13-gram exact-substring collision;
-    * the default mirrors [[Dedup]]'s shingle construction so the two
-    * share a scan when composed.
+    * order — real pipelines use 8-13-gram exact-substring collision.
+    * Shingling reuses [[Dedup.shingles]] (same tokenization and distinct
+    * semantics); to actually share one shingle scan with a dedup pass,
+    * call both with the SAME `n` — the defaults differ (8 here vs
+    * Dedup's 3) because the tasks' sweet spots differ.
     */
   def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                    broadcastBenchmark: Boolean = true): DataFrame = {

@@ -289,12 +289,42 @@ object Dedup {
     */
   def writeSignatureIndex(indexDocs: DataFrame, tableName: String,
                           buckets: Int = 64, n: Int = 3, numPerm: Int = 64,
-                          bands: Int = 16): Unit =
+                          bands: Int = 16): Unit = {
     bandHashes(signaturesFromExploded(shingles(indexDocs, n), numPerm), bands, numPerm)
       .select(col("doc_id").as("doc_index"), col("band"), col("bh"))
       .write.format("parquet")
       .bucketBy(buckets, "bh").sortBy("bh")
       .mode("overwrite").saveAsTable(tableName)
+    // sketch parameters ride the table metadata so per-batch validation
+    // is a catalog lookup, not an index scan
+    indexDocs.sparkSession.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+        s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm', 'graft.bands' = '$bands')")
+  }
+
+  /** Table-name entry point: validates n/numPerm/bands against the
+    * [[writeSignatureIndex]] table properties (a catalog lookup — no
+    * index scan) and runs the per-batch check.
+    */
+  def minhashPairsAgainstIndex(newDocs: DataFrame, indexTable: String,
+                               indexDocs: DataFrame, n: Int, numPerm: Int,
+                               bands: Int, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((key, expected) <- Seq("graft.n" -> n, "graft.numPerm" -> numPerm,
+        "graft.bands" -> bands)) {
+      props.get(key).foreach(v => require(v == expected.toString,
+        s"signature index $indexTable was written with $key=$v, caller expects $expected"))
+    }
+    minhashPairsAgainstIndex(newDocs, spark.table(indexTable), indexDocs,
+      n, numPerm, bands, threshold, materialize = true, validateBands = false)
+  }
+
+  /** Convenience overload with the standard defaults. */
+  def minhashPairsAgainstIndex(newDocs: DataFrame, indexTable: String,
+                               indexDocs: DataFrame): DataFrame =
+    minhashPairsAgainstIndex(newDocs, indexTable, indexDocs, 3, 64, 16, 0.8)
 
   /** Incremental near-dup check against a PERSISTED signature index
     * ([[writeSignatureIndex]]): the index's signatures are never
@@ -305,10 +335,12 @@ object Dedup {
     *
     * `n`/`numPerm`/`bands` MUST match the values the index was written
     * with — a mismatch makes band hashes incomparable and near-dups are
-    * silently admitted. The default `validateBands = true` catches the
-    * likeliest mismatch (bands) with one tiny aggregation on the index;
-    * n/numPerm mismatches change `bh` values undetectably, so keep the
-    * parameters with the table definition.
+    * silently admitted. Prefer the table-name overload, which validates
+    * ALL THREE parameters from the table properties with a catalog
+    * lookup; this DataFrame entry point's `validateBands = true` instead
+    * runs a max() aggregation over the index (index-proportional — pass
+    * false on the hot path once parameters are pinned elsewhere), and it
+    * can only catch a bands mismatch.
     *
     * With `materialize = true` the candidate set is eagerly
     * checkpointed: `cands` feeds BOTH the verification broadcast and the
@@ -322,10 +354,15 @@ object Dedup {
                                materialize: Boolean = true,
                                validateBands: Boolean = true): DataFrame = {
     if (validateBands) {
-      val maxBand = indexBands.agg(max("band")).head().getInt(0)
-      require(maxBand == bands - 1,
-        s"signature index has bands=${maxBand + 1}, caller expects $bands — " +
-          "rewrite the index or pass the matching parameters")
+      val row = indexBands.agg(max("band")).head()
+      // null max = empty index: nothing to validate, and every join below
+      // correctly yields the empty pair set
+      if (!row.isNullAt(0)) {
+        val maxBand = row.getInt(0)
+        require(maxBand == bands - 1,
+          s"signature index has bands=${maxBand + 1}, caller expects $bands — " +
+            "rewrite the index or pass the matching parameters")
+      }
     }
     val exNew0 = shingles(newDocs, n)
     val exNew =

@@ -45,6 +45,7 @@ object Sampling {
                    key: String = "doc_id",
                    salt: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "split weights must be non-negative")
     require(splits.map(_._2).sum <= 1.0 + 1e-9, "split weights must sum to <= 1")
     val b = bucket(col(key), salt)
     // CASE WHEN bucket < c1 THEN s1 WHEN bucket < c2 THEN s2 ... ELSE last

@@ -87,7 +87,6 @@ object ScaleProbe {
     * [[Dedup.minhashPairsAgainstIndex]] as the per-batch cost).
     */
   private def incrProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
-    import graft.operators.Dedup
     val newBatch = docs.filter(col("doc_id") % 2 === 1).localCheckpoint(true)
     for (m <- ms) {
       val index = grow(docs.filter(col("doc_id") % 2 === 0), m).localCheckpoint(true)
@@ -95,8 +94,8 @@ object ScaleProbe {
       val (directPairs, tDirect) = time(Dedup.minhashPairsIncremental(newBatch, index).count())
       spark.catalog.clearCache(); System.gc()
       val (_, tBuild) = time(Dedup.writeSignatureIndex(index, "sig_index_probe"))
-      val bandsTable = spark.table("sig_index_probe")
-      val (idxPairs, tBatch) = time(Dedup.minhashPairsAgainstIndex(newBatch, bandsTable, index).count())
+      val (idxPairs, tBatch) = time(
+        Dedup.minhashPairsAgainstIndex(newBatch, "sig_index_probe", index).count())
       spark.sql("DROP TABLE IF EXISTS sig_index_probe")
       spark.catalog.clearCache(); System.gc()
       println(s"""{"m":$m,"index_docs":$idxDocs,"recompute_pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${f"$tBuild%.2f"},"indexed_pairs":$idxPairs,"indexed_batch_sec":${f"$tBatch%.2f"}}""")

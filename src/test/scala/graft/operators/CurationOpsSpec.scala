@@ -187,7 +187,12 @@ class CurationOpsSpec extends AnyFunSuite {
     Dedup.writeSignatureIndex(idx, "sig_index", buckets = 4)
     try {
       val indexBands = spark.table("sig_index")
-      val viaIndex = Dedup.minhashPairsAgainstIndex(newB, indexBands, idx)
+      // table-name entry point: parameters validated from table metadata
+      val viaIndex = Dedup.minhashPairsAgainstIndex(newB, "sig_index", idx)
+      // a parameter mismatch must fail loudly via the catalog properties
+      intercept[IllegalArgumentException] {
+        Dedup.minhashPairsAgainstIndex(newB, "sig_index", idx, 3, 64, 32, 0.8)
+      }
       // identical pairs to the recompute-everything variant
       val direct = Dedup.minhashPairsIncremental(newB, idx).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -216,6 +221,17 @@ class CurationOpsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashPairsIncremental(empty, docs).count() == 0)
+  }
+
+  test("an empty signature index yields no pairs (no NPE from validation)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Dedup.writeSignatureIndex(empty, "sig_index_empty", buckets = 2)
+    try {
+      assert(Dedup.minhashPairsAgainstIndex(
+        docs, spark.table("sig_index_empty"), empty).count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS sig_index_empty")
   }
 
   // -------------------------------------------------------- Length stats

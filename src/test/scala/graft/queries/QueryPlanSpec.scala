@@ -150,13 +150,16 @@ class QueryPlanSpec extends AnyFunSuite {
   }
 
   test("sessionize plan: subject-partitioned windows, no unpartitioned window") {
-    val p = plan("q_sessions")
-    // both window functions ride the same subject partitioning; an empty
-    // partition spec would collapse the corpus to one task
-    assert(p.contains("measurement_subject"), p)
-    assert(!p.contains("Window [")
-      || !p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.execution.window.WindowExec
+    // an empty partition spec would collapse the corpus to one task —
+    // assert on the physical nodes, not the explain string (sparkPlan is
+    // the pre-adaptive physical plan, traversable with collect)
+    val exec = graft.SparkEntry.queries("q_sessions")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, exec.toString)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      windows.map(_.partitionSpec).mkString("; "))
   }
 
   test("length stats plan: single stratum aggregation, no cartesian") {
