@@ -242,6 +242,29 @@ object TimeseriesQueries {
       .orderBy("time_us")
   }
 
+  /** Streaming sessionization over a live conditions feed: Spark's
+    * native `session_window` + watermark — state is one open window per
+    * (subject, session), merged on overlap and emitted (append mode)
+    * once the watermark passes the session's close.
+    *
+    * Boundary convention: `session_window` starts a NEW session when an
+    * event arrives ≥ `gapS` after the previous one, while the batch
+    * [[sessionize]] splits only when the gap is strictly > `gapS` — the
+    * two agree everywhere except a gap of exactly `gapS` (measure-zero
+    * for real µs-resolution event time). `session_end_us` is the last
+    * EVENT time (as in batch), not the window end (= last event + gap).
+    */
+  def streamingSessionize(conditions: DataFrame, gapS: Long,
+                          watermark: String = "1 hour"): DataFrame =
+    conditions
+      .withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), s"$gapS seconds"),
+        col("measurement_subject"))
+      .agg(min(unix_micros(col("timestamp"))).as("session_start_us"),
+        max(unix_micros(col("timestamp"))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select("measurement_subject", "session_start_us", "session_end_us", "n_events")
+
   /** Sessionization (gaps-and-islands over ALL subjects): a subject's
     * events belong to one session until a gap > `gapS` opens a new one.
     * One row per session: subject, ordinal, start/end (µs), event count.
