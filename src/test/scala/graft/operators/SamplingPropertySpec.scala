@@ -71,6 +71,40 @@ class SamplingPropertySpec extends AnyFunSuite {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p).passed)
   }
 
+  test("sessionize matches an in-memory reference on random event sets (property)") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+    import spark.implicits._
+    val gapS = 100L
+    val eventsGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        subj <- Gen.oneOf("a", "b", "c")
+        ts <- Gen.choose(0L, 2000L)
+      } yield (subj, ts))
+    } yield rows
+    def reference(rows: List[(String, Long)]): Set[(String, Long, Long, Long)] =
+      rows.groupBy(_._1).flatMap { case (subj, rs) =>
+        val ts = rs.map(_._2).sorted
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head > gapS) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }
+        sessions.map(s => (subj, s.min * 1000000L, s.max * 1000000L, s.length.toLong))
+      }.toSet
+    val p = Prop.forAll(eventsGen) { rows =>
+      val df = rows.toDF("measurement_subject", "s")
+        .select(col("measurement_subject"), timestamp_seconds(col("s")).as("timestamp"))
+        .withColumn("measurement_of", lit("click"))
+      val got = graft.queries.TimeseriesQueries
+        .sessionize(df, "click", 0L, 3000L, gapS)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      got == reference(rows)
+    }
+    // fewer cases than pure-JVM properties: each case runs a Spark job
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p).passed)
+  }
+
   test("redaction rules are idempotent and terminal on generated PII text (property)") {
     val emailGen = for {
       u <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
