@@ -233,6 +233,30 @@ object SparkEntry {
         .orderBy("ts_us")
     }),
 
+    // funnel / conversion: per subject, how many clicks see a view within
+    // 1h (forward as-of join over ALL subjects), plus mean response time.
+    // Only the matched TIMESTAMP feeds the output, so ties between view
+    // rows cannot make the result engine-dependent
+    "q_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{avg, when}
+      val cond = conditions(s, d)
+      def side(of: String) = cond.filter(
+          col("measurement_of") === of &&
+          col("timestamp") >= org.apache.spark.sql.functions.timestamp_seconds(lit(S1)) &&
+          col("timestamp") <= org.apache.spark.sql.functions.timestamp_seconds(lit(E1)))
+        .select("measurement_subject", "timestamp")
+      val horizonUs = 3600L * 1000000L
+      graft.queries.AsOfJoin.asofNext(side("click"), side("view"),
+          "measurement_subject", "timestamp")
+        .withColumn("resp_us", unix_micros(col("next_ts")) - unix_micros(col("timestamp")))
+        .groupBy("measurement_subject")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(when(col("resp_us") <= horizonUs, 1)).as("n_converted"),
+          sround(avg(when(col("resp_us") <= horizonUs, col("resp_us") / 1000000.0)), 6)
+            .as("avg_response_s"))
+        .orderBy("measurement_subject")
+    }),
+
     // flagship curation: exact dedup -> near-dup removal -> quality +
     // language filter, the whole LLM-pipeline composed and oracle-checked
     "q_curate" -> ((s, d) =>
@@ -542,6 +566,26 @@ object SparkEntry {
          |       v.measurement_number AS view_value
          |FROM c ASOF LEFT JOIN v ON c."timestamp" >= v."timestamp"
          |ORDER BY ts_us""".stripMargin,
+    // forward as-of replayed as a backward ASOF on NEGATED timestamps
+    // (max of -ts <= -t == min of ts >= t, same >= tie visibility)
+    "q_funnel" ->
+      s"""$Cte,
+         |c AS (SELECT measurement_subject AS s, epoch_us("timestamp") AS t FROM conditions
+         |      WHERE measurement_of = '$Of'
+         |        AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |v AS (SELECT measurement_subject AS s, epoch_us("timestamp") AS t FROM conditions
+         |      WHERE measurement_of = 'view'
+         |        AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |j AS (
+         |  SELECT c.s, c.t, v.t AS vt
+         |  FROM (SELECT s, t, -t AS nt FROM c) c
+         |  ASOF LEFT JOIN (SELECT s, t, -t AS nt FROM v) v
+         |    ON c.s = v.s AND c.nt >= v.nt)
+         |SELECT s AS measurement_subject,
+         |       count(*) AS n_clicks,
+         |       count(CASE WHEN vt - t <= ${3600L * 1000000L} THEN 1 END) AS n_converted,
+         |       ROUND(AVG(CASE WHEN vt - t <= ${3600L * 1000000L} THEN (vt - t)/1000000.0 END), 6) AS avg_response_s
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_curate" ->
       s"""WITH sh AS ($shingleCteSql),
         |pairs AS (

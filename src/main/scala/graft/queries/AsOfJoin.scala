@@ -41,4 +41,30 @@ object AsOfJoin {
       .select(col(keyCol), col(tsCol), col("__lv").as(leftVal),
         col("__asof").as(rightVal))
   }
+
+  /** Forward as-of: for every left row, the EARLIEST right timestamp with
+    * `right.ts >= left.ts` in the same key (ties visible, mirroring
+    * [[asofJoin]]); null when no later right row exists. The funnel /
+    * conversion primitive ("first response after each anchor") — callers
+    * apply a horizon as a filter on `next_ts - ts`.
+    *
+    * Same composition as the backward join run in REVERSE time order
+    * (equivalently: a backward as-of on negated timestamps, which is also
+    * how the DuckDB oracle replays it). One shuffle on the key, one sort.
+    */
+  def asofNext(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String): DataFrame = {
+    val l = left.select(col(keyCol), col(tsCol),
+      lit(null).cast(right.schema(tsCol).dataType).as("__rts"), lit(1).as("__side"))
+    val r = right.select(col(keyCol), col(tsCol),
+      col(tsCol).as("__rts"), lit(0).as("__side"))
+    // DESCENDING time: the nearest preceding non-null __rts is the
+    // smallest right ts >= this row's ts; right sorts first at ties
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.union(r)
+      .withColumn("__next", last("__rts", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col(keyCol), col(tsCol), col("__next").as("next_ts"))
+  }
 }

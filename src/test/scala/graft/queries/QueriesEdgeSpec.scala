@@ -78,6 +78,21 @@ class QueriesEdgeSpec extends AnyFunSuite {
       ("k2", 99.0, None)))       // k2's right row is later
   }
 
+  test("asofNext: earliest right row at-or-after each left row, per key") {
+    import spark.implicits._
+    val left = Seq(("k1", ts(100)), ("k1", ts(250)), ("k2", ts(10)))
+      .toDF("k", "t")
+    val right = Seq(("k1", ts(100)), ("k1", ts(180)), ("k1", ts(300)), ("k2", ts(5)))
+      .toDF("k", "t")
+    val out = AsOfJoin.asofNext(left, right, "k", "t")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), Option(r.get(2)).map(_.toString)))
+    assert(out.toSeq == Seq(
+      ("k1", Some(ts(100).toString)),  // equal ts visible (>=)
+      ("k1", Some(ts(300).toString)),  // earliest after 250 is 300, not 180
+      ("k2", None)))                   // k2's only right row is earlier
+  }
+
   test("aggregatedDataByDay fine branch uses PG's fractional width (900s grid) on a 1000s span") {
     import spark.implicits._
     // span 1000 is NOT divisible by 900: PG computes width =
