@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Shared union-marker core of both directions: union the marked
+    * sides, run one `last(carried, ignoreNulls)` window in the given
+    * time order (right sorts before left at equal ts → ties visible),
+    * keep left rows with the match in `__m`.
+    *
+    * NULL-key note (both directions): `Window.partitionBy` groups NULL
+    * keys into ONE partition, so NULL-key rows can match each other —
+    * unlike a SQL equality join (and the DuckDB ASOF oracle), where NULL
+    * never matches. Keys are expected non-null; filter them out first if
+    * the corpus can contain them.
+    */
+  private def asofScan(l: DataFrame, r: DataFrame, keyCol: String,
+                       tsCol: String, carried: String,
+                       descending: Boolean): DataFrame = {
+    val ord = if (descending) col(tsCol).desc else col(tsCol).asc
+    val w = Window.partitionBy(keyCol).orderBy(ord, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.union(r)
+      .withColumn("__m", last(carried, ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+  }
+
   /** `left(keyCol, tsCol, leftVal)` ⨝asof `right(keyCol, tsCol, rightVal)`
     * → (key, ts, leftVal, rightVal-as-of-ts); left rows with no earlier
     * right row keep a null rightVal (ASOF LEFT JOIN semantics). At equal
@@ -32,14 +54,9 @@ object AsOfJoin {
     val r = right.select(col(keyCol), col(tsCol),
       lit(null).cast(left.schema(leftVal).dataType).as("__lv"), col(rightVal).as("__rv"),
       lit(0).as("__side"))
-    // right sorts before left at equal ts, so ts-ties are visible (>=)
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    l.union(r)
-      .withColumn("__asof", last("__rv", ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    asofScan(l, r, keyCol, tsCol, "__rv", descending = false)
       .select(col(keyCol), col(tsCol), col("__lv").as(leftVal),
-        col("__asof").as(rightVal))
+        col("__m").as(rightVal))
   }
 
   /** Forward as-of: for every left row, the EARLIEST right timestamp with
@@ -48,9 +65,9 @@ object AsOfJoin {
     * conversion primitive ("first response after each anchor") — callers
     * apply a horizon as a filter on `next_ts - ts`.
     *
-    * Same composition as the backward join run in REVERSE time order
-    * (equivalently: a backward as-of on negated timestamps, which is also
-    * how the DuckDB oracle replays it). One shuffle on the key, one sort.
+    * The backward composition run in REVERSE time order (equivalently: a
+    * backward as-of on negated timestamps, which is also how the DuckDB
+    * oracle replays it). One shuffle on the key, one sort.
     */
   def asofNext(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String): DataFrame = {
@@ -58,13 +75,7 @@ object AsOfJoin {
       lit(null).cast(right.schema(tsCol).dataType).as("__rts"), lit(1).as("__side"))
     val r = right.select(col(keyCol), col(tsCol),
       col(tsCol).as("__rts"), lit(0).as("__side"))
-    // DESCENDING time: the nearest preceding non-null __rts is the
-    // smallest right ts >= this row's ts; right sorts first at ties
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    l.union(r)
-      .withColumn("__next", last("__rts", ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(col(keyCol), col(tsCol), col("__next").as("next_ts"))
+    asofScan(l, r, keyCol, tsCol, "__rts", descending = true)
+      .select(col(keyCol), col(tsCol), col("__m").as("next_ts"))
   }
 }
