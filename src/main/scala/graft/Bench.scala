@@ -21,6 +21,35 @@ object Bench {
     System.gc()
   }
 
+  /** Times one query: best (min) wall-clock over the successful reps and
+    * the last row count. Returns `None` when EVERY rep failed — an
+    * all-failed query must never publish a timing number (its fast-fail
+    * latency would read downstream as a fast success); the JSON emits
+    * `null` for it instead.
+    */
+  private[graft] def timeQuery(spark: SparkSession, name: String,
+                               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                               sfDir: String, reps: Int): (Option[Double], Long) = {
+    var best = Double.MaxValue
+    var rows = -1L
+    var rep = 0
+    while (rep < reps) {
+      spark.catalog.clearCache()
+      gcBarrier()
+      val t0 = System.nanoTime()
+      val ok =
+        try { rows = fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // a failed rep's fast-fail time must not win the min — only
+      // successful reps compete
+      if (ok && elapsed < best) best = elapsed
+      rep += 1
+    }
+    (if (best == Double.MaxValue) None else Some(best), rows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,31 +65,16 @@ object Bench {
     // warm-up: JIT + codegen + shuffle service on the tiny SF, untimed
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.MaxValue
-      var lastElapsed = 0.0
-      var rows = -1L
-      var rep = 0
-      while (rep < reps) {
-        spark.catalog.clearCache()
-        gcBarrier()
-        val t0 = System.nanoTime()
-        val ok =
-          try { rows = fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        lastElapsed = (System.nanoTime() - t0) / 1e9
-        // a failed rep's fast-fail time must not win the min — only
-        // successful reps compete; rows = -1 flags an all-failed query
-        if (ok && lastElapsed < best) best = lastElapsed
-        rep += 1
+      val (best, rows) = timeQuery(spark, name, fn, sfDir, reps)
+      best match {
+        case Some(b) => System.err.println(f"[bench] $name%-24s $b%8.2f s  ($rows rows)")
+        case None    => System.err.println(f"[bench] $name%-24s   FAILED (no timing)")
       }
-      if (best == Double.MaxValue) best = lastElapsed
-      System.err.println(f"[bench] $name%-24s $best%8.2f s  ($rows rows)")
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

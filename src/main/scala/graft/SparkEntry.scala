@@ -92,6 +92,17 @@ object SparkEntry {
     // exact n-gram Jaccard similarity join (oracle baseline)
     "q_dedup_jaccard" -> ((s, d) =>
       graft.operators.Dedup.jaccardPairs(table(s, d, "documents"), n = 3, threshold = 0.8)),
+    // scale-safe Jaccard: the stop-shingle df cutoff wired into a contract
+    // config (maxDf = 10 — actually prunes at sf0.1, where shingle df
+    // reaches 25). The oracle replays the cutoff in SQL exactly, so the
+    // hash match is independent of whether pruning changes results — on
+    // THIS corpus it does (the synthetic duplicates share the corpus's
+    // hottest shingles, so no pruning k preserves equality; computed
+    // jaccard is a lower bound, output ⊆ exact — see
+    // BoundedJaccardSpec for the corpus-conditional equality proof)
+    "q_dedup_jaccard_bounded" -> ((s, d) =>
+      graft.operators.Dedup.jaccardPairs(table(s, d, "documents"), n = 3, threshold = 0.8,
+        maxDf = Some(10))),
     // MinHash-LSH near-dups, exact-verified (scale path) — oracle-checked
     // against the exact DuckDB Jaccard join. Precision is exact by
     // construction; the hash match is an empirical recall check for THIS
@@ -110,6 +121,14 @@ object SparkEntry {
     // SimHash hamming<=3 near-dups (rows-only oracle)
     "q_dedup_simhash" -> ((s, d) =>
       graft.operators.Dedup.simhashPairs(table(s, d, "documents"))),
+    // incremental SimHash: odd doc_ids play today's batch, even ids the
+    // index — banded new×index candidates only, no index×index pairs
+    "q_dedup_simhash_inc" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.simhashPairsIncremental(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     // brute-force cosine top-k
     "q_ann_topk" -> ((s, d) =>
       graft.operators.Ann.topK(table(s, d, "embeddings"), queryId = 0, k = 20)),
@@ -119,6 +138,15 @@ object SparkEntry {
     // return rows at this threshold)
     "q_embed_neardup" -> ((s, d) =>
       graft.operators.Ann.neardupPairs(table(s, d, "embeddings"), threshold = 0.45)),
+    // incremental embedding near-dup: odd vec_ids play today's batch,
+    // even ids the index — Bn×Bi rectangle kernel, |new|·|index| dot
+    // products instead of O(|union|²)
+    "q_embed_neardup_inc" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      graft.operators.Ann.neardupPairsIncremental(
+        e.filter(col("vec_id") % 2 === 1),
+        e.filter(col("vec_id") % 2 === 0), threshold = 0.45)
+    }),
     // LSH-bucketed near-dup pairs at the operator's design point
     // (cos ≥ 0.8, default bits=12/tables=6). The raw synthetic corpus has
     // no pairs in that regime, so the query plants true near-dups:
@@ -142,6 +170,16 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       graft.operators.Ann.ivfTopK(table(s, d, "embeddings"), queryId = 0, k = 20,
         nlist = 16, nProbe = 16)),
+    // IVF through the PERSISTED index: build once (train + assign +
+    // partitioned write), then query without retraining; at nProbe =
+    // nlist it shares the brute-force oracle, so the whole
+    // write-index → probe-from-index path is hash-checked end-to-end
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      graft.operators.Ann.writeIvfIndex(table(s, d, "embeddings"),
+        "graft_ivf_index", nlist = 16)
+      graft.operators.Ann.ivfTopKAgainstIndex(s, "graft_ivf_index",
+        queryId = 0, k = 20, nProbe = 16)
+    }),
     // text analysis
     "q_token_count" -> ((s, d) =>
       graft.operators.TextAnalysis.tokenCount(table(s, d, "documents"))),
@@ -267,18 +305,33 @@ object SparkEntry {
     // wire records — the whole normalize stage is oracle-checked
     "q_ingest_emon" -> ((s, d) => {
       import s.implicits._
-      val envelopes = EventsAsConditions.loadEvents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(format_string(
-          """{"topic": "emon/emonTx4", "payload": "{\"P1\": %s, \"time\": %.6f}", "qos": 0, "retain": 0, "timestamp": 0}""",
-          col("value"), epochS(col("ts"))).as("raw"))
-        .as[String]
-      envelopes
+      emonEnvelopes(s, d).as[String]
         .flatMap(raw => graft.convert.Converters.convertEvent(raw).getOrElse(Vector.empty))
         .toDF()
         .select(col("timestamp"), col("measurement_subject"), col("measurement_of"),
           col("measurement_number"))
         .orderBy("timestamp", "measurement_number")
+    }),
+
+    // the SAME ingest, through the real Structured Streaming two-hop wire
+    // topology (convert stage → replayable wire topic → storage stage, each
+    // its own streaming query under Trigger.AvailableNow) — puts the
+    // streaming path inside both the correctness gate (full DuckDB oracle)
+    // and the bench (its timing is the streaming throughput row; the input
+    // set is fixed per SF, so seconds are comparable round over round)
+    "q_ingest_wire" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wire_bench").toString
+      emonEnvelopes(s, d).write.text(s"$tmp/input")
+      graft.streaming.IngestPipeline
+        .startConvertToWire(s, s"$tmp/input", s"$tmp/wire", s"$tmp/cp_convert")
+        .awaitTermination()
+      graft.streaming.IngestPipeline
+        .startWire(s, s"$tmp/wire", s"$tmp/out", s"$tmp/cp_store")
+        .awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(unix_micros(col("timestamp")).as("ts_us"), col("measurement_subject"),
+          col("measurement_of"), col("measurement_number"))
+        .orderBy("ts_us", "measurement_number")
     }),
 
     // ---- general relational surface (TPC-H-style, scale/bench anchors) ----
@@ -366,6 +419,18 @@ object SparkEntry {
           .as("promo_revenue"))
     })
   )
+
+  /** emon MQTT envelopes synthesized from the events table — shared input
+    * of the batch (q_ingest_emon) and streaming (q_ingest_wire) ingest
+    * queries. `%.6f` is exact: `ts` is µs-truncated at load, so the float
+    * carries precisely the microseconds DuckDB's `epoch_us` sees.
+    */
+  private def emonEnvelopes(s: SparkSession, d: String): DataFrame =
+    EventsAsConditions.loadEvents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(format_string(
+        """{"topic": "emon/emonTx4", "payload": "{\"P1\": %s, \"time\": %.6f}", "qos": 0, "retain": 0, "timestamp": 0}""",
+        col("value"), epochS(col("ts"))).as("raw"))
 
   // ---------------------------------------------------------------- oracle
 
@@ -482,6 +547,7 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
     "q_dedup_jaccard" -> jaccardOracleSql,
+    "q_dedup_jaccard_bounded" -> jaccardBoundedOracleSql(10),
     // same exact-join oracle: LSH+exact-verify equals the exact tier
     // wherever recall holds — the hash match checks that empirically for
     // this corpus/seed (not a proof; see q_dedup_minhash comment)
@@ -499,10 +565,29 @@ object SparkEntry {
         |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
         |ORDER BY doc_new, doc_index""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
+    // same bit-for-bit SimHash replay, restricted to new×index pairs
+    "q_dedup_simhash_inc" -> simhashOracleSql(3, incremental = true),
     "q_ann_topk" -> annTopkOracleSql,
     // nProbe = nlist probes every inverted list — identical to brute force
     "q_ann_ivf" -> annTopkOracleSql,
+    // ... and the persisted-index path at nProbe = nlist is the same scan
+    "q_ann_ivf_indexed" -> annTopkOracleSql,
     "q_embed_neardup" -> neardupOracleSql,
+    // cross-slice brute force: new (odd) × index (even), oriented sides
+    "q_embed_neardup_inc" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_new, b.vec_id AS id_index,
+        |         list_sum(list_transform(range(1, len(a.embedding)+1),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |           / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+        |SELECT id_new, id_index, ROUND(cos, 6) AS cos
+        |FROM pairs WHERE cos >= 0.45 ORDER BY id_new, id_index""".stripMargin,
     // independent brute force over the planted-duplicate corpus at the LSH
     // design threshold (recall on identical-vector pairs is deterministic)
     "q_embed_neardup_lsh" -> lshPlantedOracleSql,
@@ -515,6 +600,14 @@ object SparkEntry {
         |       'P1' AS measurement_of,
         |       "value" AS measurement_number
         |FROM events ORDER BY "timestamp", measurement_number""".stripMargin,
+    // same ingest through the streaming wire topology; the stored
+    // TimestampType round-trips the wire string µs-exactly
+    "q_ingest_wire" ->
+      """SELECT epoch_us(ts) AS ts_us,
+        |       'emonTx4' AS measurement_subject,
+        |       'P1' AS measurement_of,
+        |       "value" AS measurement_number
+        |FROM events ORDER BY ts_us, measurement_number""".stripMargin,
     "q_quality" -> s"$qualityCoreSql ORDER BY doc_id",
     "q_topk_quality" ->
       s"""WITH q AS ($qualityCoreSql),
@@ -798,6 +891,8 @@ object SparkEntry {
     // DefaultRules must not crash oracle construction
     val byName = Redaction.DefaultRules.map(r => r._1 -> r._2).toMap
     val (email, phone, ip) = (byName("email"), byName("phone"), byName("ipv4"))
+    // counts mirror Redaction.piiCount: each rule counted on the text as
+    // already redacted by the rules before it (= actual replacements)
     s"""WITH p AS (
        |  SELECT doc_id,
        |         CASE WHEN doc_id % 3 = 0
@@ -806,16 +901,15 @@ object SparkEntry {
        |                THEN text || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        |                     || ' or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
        |              ELSE text END AS t
-       |  FROM documents)
+       |  FROM documents),
+       |r1 AS (SELECT doc_id, t, regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM p),
+       |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2 FROM r1)
        |SELECT doc_id,
        |       CAST(len(regexp_extract_all(t, '$email'))
-       |          + len(regexp_extract_all(t, '$phone'))
-       |          + len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_pii,
-       |       md5(regexp_replace(regexp_replace(regexp_replace(t,
-       |             '$email', '<EMAIL>', 'g'),
-       |             '$phone', '<PHONE>', 'g'),
-       |             '$ip', '<IP>', 'g')) AS redacted_hash
-       |FROM p ORDER BY doc_id""".stripMargin
+       |          + len(regexp_extract_all(t1, '$phone'))
+       |          + len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_pii,
+       |       md5(regexp_replace(t2, '$ip', '<IP>', 'g')) AS redacted_hash
+       |FROM r2 ORDER BY doc_id""".stripMargin
   }
 
   /** Exact shingle-join Jaccard pairs — oracle for BOTH q_dedup_jaccard
@@ -837,6 +931,26 @@ object SparkEntry {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
       |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+      |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Bounded-Jaccard replay — oracle for q_dedup_jaccard_bounded. Mirrors
+    * [[graft.operators.Dedup.jaccardPairs]] with `maxDf = Some(k)` exactly:
+    * shingles with document frequency > k are dropped from the inverted
+    * index BEFORE the pair join (so `inter` shrinks) while na/nb stay the
+    * full shingle-set sizes — the computed jaccard is a lower bound of the
+    * true one and the output is a subset of the exact tier's.
+    */
+  private def jaccardBoundedOracleSql(maxDf: Int): String =
+    s"""WITH sh AS ($shingleCteSql),
+      |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > $maxDf),
+      |pr AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+      |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
       |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
@@ -869,7 +983,7 @@ object SparkEntry {
     * `maxHamming + 1`-segment pigeonhole banding and
     * `bit_count(xor)` Hamming filter.
     */
-  private def simhashOracleSql(maxHamming: Int): String = {
+  private def simhashOracleSql(maxHamming: Int, incremental: Boolean = false): String = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
     // bit k of the 64-bit value lives in hex digit (63-k)/4 (0-based,
@@ -887,6 +1001,10 @@ object SparkEntry {
       val mask = if (width >= 64) -1L else (1L << width) - 1
       s"((simhash >> ${j * segBits}) & $mask)"
     }.mkString(", ")
+    // self: unordered a<b pairs; incremental: oriented new(odd)×index(even)
+    val (colA, colB, joinPred) =
+      if (incremental) ("doc_new", "doc_index", "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")
+      else ("doc_a", "doc_b", "a.doc_id < b.doc_id")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |d AS (
@@ -900,12 +1018,12 @@ object SparkEntry {
        |  SELECT doc_id, simhash, j AS band, ([$segExprs])[j + 1] AS seg
        |  FROM sig, (SELECT unnest(range(0, $nSeg)) AS j) bands),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  SELECT DISTINCT a.doc_id AS $colA, b.doc_id AS $colB,
        |         a.simhash AS sig_a, b.simhash AS sig_b
-       |  FROM seg a JOIN seg b ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |  FROM seg a JOIN seg b ON a.band = b.band AND a.seg = b.seg AND $joinPred)
+       |SELECT $colA, $colB, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |ORDER BY $colA, $colB""".stripMargin
   }
 
   /** Brute-force cosine top-20 for vec_id 0 — oracle for q_ann_topk (same

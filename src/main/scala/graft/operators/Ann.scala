@@ -82,19 +82,29 @@ object Ann {
     * (left-to-right dot in double, then `/(na*nb)` — multiplication is
     * commutative per IEEE, so cross-block orientation doesn't matter).
     */
-  def neardupPairs(embeddings: DataFrame, threshold: Double, numBlocks: Int = 0): DataFrame = {
+  /** (blk, ids, vecs, nrms) — vectors id-hash-grouped into `b` blocks
+    * packed as primitive arrays, norms precomputed. The block kernels'
+    * shared input shape.
+    */
+  private def packBlocks(embeddings: DataFrame, b: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
-    val B = if (numBlocks > 0) numBlocks else math.max(2, math.ceil(math.sqrt(2.0 * par)).toInt)
-    val packed = embeddings.select(col("vec_id"), col("embedding"))
+    embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .groupByKey { case (id, _) => (((id % B) + B) % B).toInt }
+      .groupByKey { case (id, _) => (((id % b) + b) % b).toInt }
       .mapGroups { (blk, it) =>
         val arr = it.toArray.sortBy(_._1)
         (blk, arr.map(_._1), arr.map(_._2), arr.map(t => math.sqrt(dotA(t._2, t._2))))
       }
       .toDF("blk", "ids", "vecs", "nrms")
+  }
+
+  def neardupPairs(embeddings: DataFrame, threshold: Double, numBlocks: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val B = if (numBlocks > 0) numBlocks else math.max(2, math.ceil(math.sqrt(2.0 * par)).toInt)
+    val packed = packBlocks(embeddings, B)
     val pairsIdx = (for { a <- 0 until B; b <- a until B } yield (a, b))
       .toDF("blk_a", "blk_b")
     pairsIdx
@@ -139,6 +149,56 @@ object Ann {
       .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental exact near-dup — the daily-crawl shape for the embedding
+    * tier: a NEW batch of vectors is compared against an existing INDEX
+    * without ever forming index×index pairs. The kernel is the same
+    * packed-block design as [[neardupPairs]] but joins a Bn×Bi RECTANGLE
+    * of (new-block, index-block) pairs instead of the O(B²) upper triangle
+    * of the union — per-batch arithmetic is |new|·|index| dot products,
+    * proportional to the batch, never |new ∪ index|². Returns
+    * (id_new, id_index, cos ≥ threshold); sides are oriented, no
+    * de-duplication of (a, b) vs (b, a) is needed.
+    */
+  def neardupPairsIncremental(newVecs: DataFrame, indexVecs: DataFrame,
+                              threshold: Double, numBlocks: Int = 0): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    // Bn×Bi rectangle cells ≈ parallelism; at real scale size Bi so an
+    // index block fits a task's memory and let Bn grow with the batch
+    val B = if (numBlocks > 0) numBlocks else math.max(1, math.ceil(math.sqrt(par.toDouble)).toInt)
+    val packedN = packBlocks(newVecs, B)
+      .toDF("blk_n", "ids_n", "vecs_n", "nrms_n")
+    val packedI = packBlocks(indexVecs, B)
+      .toDF("blk_i", "ids_i", "vecs_i", "nrms_i")
+    val cells = (for { a <- 0 until B; b <- 0 until B } yield (a, b))
+      .toDF("blk_n", "blk_i")
+    cells
+      .join(packedN, "blk_n")
+      .join(packedI, "blk_i")
+      .repartition(B * B, col("blk_n"), col("blk_i"))
+      .select("ids_n", "vecs_n", "nrms_n", "ids_i", "vecs_i", "nrms_i")
+      .as[(Array[Long], Array[Array[Float]], Array[Double],
+           Array[Long], Array[Array[Float]], Array[Double])]
+      .flatMap { case (idsN, vecsN, nrmsN, idsI, vecsI, nrmsI) =>
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < idsN.length) {
+          var j = 0
+          while (j < idsI.length) {
+            val cos = dotA(vecsN(i), vecsI(j)) / (nrmsN(i) * nrmsI(j))
+            if (cos >= threshold) out += ((idsN(i), idsI(j), cos))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_new", "id_index", "cos")
+      .select(col("id_new"), col("id_index"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_new", "id_index")
   }
 
   // --------------------------------------------------------------- IVF
@@ -228,6 +288,86 @@ object Ann {
     // absent query id → empty result, matching the brute-force tier
     val q = listed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      .as[(Array[Float], Double)].collect().headOption
+      .getOrElse(return emptyResult)
+    val probeLists = centroids.indices
+      .sortBy { c =>
+        var d = 0.0
+        var i = 0
+        while (i < q._1.length) { val x = q._1(i) - centroids(c)(i); d += x * x; i += 1 }
+        d
+      }
+      .take(nProbe)
+    listed.filter(col("ivf_list").isin(probeLists: _*))
+      .select(col("vec_id"),
+        round(dotUdf(col("embedding"), typedlit(q._1.toSeq)) / (col("nrm") * q._2), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Persist the IVF index ONCE — the production shape of [[ivfTopK]],
+    * which retrains k-means and re-assigns every list on every call. A
+    * real corpus serves many queries per index build, so train + assign
+    * are paid at write time:
+    *
+    *  - `table`: (vec_id, embedding, nrm, ivf_list), PARTITIONED on
+    *    `ivf_list` — a probe reads only its `nProbe` list directories
+    *    (partition pruning), never the whole corpus;
+    *  - `table_centroids`: the nlist trained centroids (tiny — collected
+    *    per query to rank probe lists, never joined at scale);
+    *  - `graft.nlist` rides the table properties so per-query validation
+    *    is a catalog lookup.
+    *
+    * Mirrors [[graft.operators.Dedup.writeSignatureIndex]]; at 100 TB the
+    * index adds one double (the norm) and one int (the list) per vector
+    * and is rebuilt only when drift degrades the centroids.
+    */
+  def writeIvfIndex(embeddings: DataFrame, tableName: String,
+                    nlist: Int = 16, sampleSize: Int = 2000): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Dedup.dropManaged(spark, tableName)
+    Dedup.dropManaged(spark, s"${tableName}_centroids")
+    val sample = uniformSample(embeddings, sampleSize).map(_._2)
+    require(sample.nonEmpty, s"cannot build IVF index $tableName over an empty corpus")
+    val effNlist = math.min(nlist, sample.length)
+    val centroids = trainCentroids(sample, effNlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    withNorm(embeddings).withColumn("ivf_list", assignUdf(col("embedding")))
+      .select("vec_id", "embedding", "nrm", "ivf_list")
+      .write.format("parquet").partitionBy("ivf_list")
+      .mode("overwrite").saveAsTable(tableName)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ivf_list", "centroid")
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
+    spark.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.nlist' = '$effNlist')")
+  }
+
+  /** Top-k against a persisted [[writeIvfIndex]] table — never retrains:
+    * centroids come from the side table (nlist rows, a bounded collect),
+    * the query vector from the index itself, and the probe scan reads
+    * only the `nProbe` nearest list partitions. At nProbe = nlist this is
+    * exactly brute force, so it shares [[ivfTopK]]'s (and the brute
+    * tier's) results; fails loudly if `graft.nlist` is absent (an index
+    * not written by [[writeIvfIndex]] has no validated parameters).
+    */
+  def ivfTopKAgainstIndex(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                          queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.contains("graft.nlist"),
+      s"IVF index $tableName carries no graft.nlist property — not written by writeIvfIndex")
+    val nlist = props("graft.nlist").toInt
+    require(nProbe >= 1 && nProbe <= nlist, s"nProbe must be in [1, $nlist]")
+    val centroids = spark.table(s"${tableName}_centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val listed = spark.table(tableName)
+    def emptyResult = Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    val q = listed.filter(col("vec_id") === queryId)
+      .select(col("embedding"), col("nrm"))
       .as[(Array[Float], Double)].collect().headOption
       .getOrElse(return emptyResult)
     val probeLists = centroids.indices

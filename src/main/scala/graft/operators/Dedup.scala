@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Drop a managed table AND its warehouse directory. `DROP TABLE` alone
+    * is not enough across sessions: a fresh in-memory catalog doesn't know
+    * the table, but the previous session's directory survives on disk and
+    * `saveAsTable` then fails with LOCATION_ALREADY_EXISTS. Index writers
+    * call this first so an index rebuild works from any session.
+    */
+  private[graft] def dropManaged(spark: org.apache.spark.sql.SparkSession,
+                                 table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Compiled shingle kernel (tokens = single-space splits, matching
     * DuckDB `string_split(t, ' ')` + list comprehension for oracle parity).
     * A `transform(sequence, concat_ws(slice))` expression computes the same
@@ -290,6 +305,7 @@ object Dedup {
   def writeSignatureIndex(indexDocs: DataFrame, tableName: String,
                           buckets: Int = 64, n: Int = 3, numPerm: Int = 64,
                           bands: Int = 16): Unit = {
+    dropManaged(indexDocs.sparkSession, tableName)
     bandHashes(signaturesFromExploded(shingles(indexDocs, n), numPerm), bands, numPerm)
       .select(col("doc_id").as("doc_index"), col("band"), col("bh"))
       .write.format("parquet")
@@ -314,8 +330,15 @@ object Dedup {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     for ((key, expected) <- Seq("graft.n" -> n, "graft.numPerm" -> numPerm,
         "graft.bands" -> bands)) {
-      props.get(key).foreach(v => require(v == expected.toString,
-        s"signature index $indexTable was written with $key=$v, caller expects $expected"))
+      // absent property = index not written by writeSignatureIndex; fail
+      // loudly rather than silently skip validation (a parameter mismatch
+      // silently ADMITS near-dups — the exact hazard validation exists for)
+      val v = props.getOrElse(key, throw new IllegalArgumentException(
+        s"signature index $indexTable carries no $key property — " +
+          "not written by writeSignatureIndex; use the DataFrame overload " +
+          "with validateBands = true if the parameters are pinned elsewhere"))
+      require(v == expected.toString,
+        s"signature index $indexTable was written with $key=$v, caller expects $expected")
     }
     minhashPairsAgainstIndex(newDocs, spark.table(indexTable), indexDocs,
       n, numPerm, bands, threshold, materialize = true, validateBands = false)
@@ -435,26 +458,74 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Bucket-grouped rather than self-joined (same shape as
+    // minhashCandidates): a self-join would evaluate the sigs plan — the
+    // full token explode + md5 + 64-vote aggregation over the corpus —
+    // once per join side; grouping sketches once and emits in-bucket pairs
+    // from the (small) collected (id, sig) lists. Singleton buckets, the
+    // common case, are dropped before any pair work.
+    simhashBanded(simhash(docs), maxHamming)
+      .groupBy("band", "seg")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("bucket"))
+      .filter(size(col("bucket")) > 1)
+      .select(col("bucket")).as[Seq[(Long, Long)]]
+      .flatMap { bucket =>
+        val sorted = bucket.sortBy(_._1)
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)
+      }
+      .toDF("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_id, sig, band, seg) pigeonhole banding of a simhash frame:
+    * `maxHamming + 1` segments; segment j covers bits
+    * [j*segBits, (j+1)*segBits), the last segment absorbing the remainder
+    * bits. Shared by the self- and incremental pair generators.
+    */
+  private def simhashBanded(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
-    val sigs = simhash(docs)
-    // segment j covers bits [j*segBits, (j+1)*segBits), the last segment
-    // absorbing the remainder bits
     val segExprs = (0 until nSeg).map { j =>
       val width = if (j == nSeg - 1) 64 - j * segBits else segBits
       val mask = if (width >= 64) -1L else (1L << width) - 1
       s"(shiftright(simhash, ${j * segBits}) & $mask)"
     }.mkString(", ")
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(s"array($segExprs)")))
       .toDF("doc_id", "sig", "band", "seg")
-    val l = banded.select(col("band"), col("seg"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("seg"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "seg")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+  }
+
+  /** Incremental SimHash near-dups — the daily-crawl shape for the
+    * SimHash tier, mirroring [[minhashPairsIncremental]]: a NEW batch is
+    * banded against the INDEX side's (doc_id, band, seg) banding and only
+    * new×index candidates are ever formed (no index×index pairs). The
+    * index banding is exactly what a persisted SimHash index table would
+    * store (bucket on `seg` with `band` folded in, like
+    * [[writeSignatureIndex]]); here both sides are computed from their
+    * documents. Returns (doc_new, doc_index, hamming) with
+    * hamming ≤ `maxHamming` — exact by the pigeonhole argument, same as
+    * [[simhashPairs]].
+    */
+  def simhashPairsIncremental(newDocs: DataFrame, indexDocs: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
+    val bandsNew = simhashBanded(simhash(newDocs), maxHamming)
+      .select(col("band"), col("seg"), col("doc_id").as("doc_new"), col("sig").as("sig_new"))
+    val bandsIdx = simhashBanded(simhash(indexDocs), maxHamming)
+      .select(col("band"), col("seg"), col("doc_id").as("doc_index"), col("sig").as("sig_index"))
+    bandsNew.join(bandsIdx, Seq("band", "seg"))
+      .select("doc_new", "doc_index", "sig_new", "sig_index").distinct()
+      .withColumn("hamming", bit_count(col("sig_new").bitwiseXOR(col("sig_index"))))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+      .select("doc_new", "doc_index", "hamming")
+      .orderBy("doc_new", "doc_index")
   }
 }

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   * and equivalent in both Java regex (Spark) and RE2 (DuckDB oracle);
   * no lookaround, no backreferences.
   *
-  * Patterns apply in declaration order; counts are computed on the
-  * original text per pattern, so an earlier redaction cannot consume a
-  * later pattern's match (the built-ins' match classes are disjoint on
-  * any input where a phone/IP is not embedded inside an email local
-  * part).
+  * Patterns apply in declaration order; each rule's matches are counted
+  * on the text AFTER the earlier rules' redactions (the same text the
+  * rule actually rewrites), so `n_pii` equals the number of replacements
+  * performed — a phone-shaped string inside an email local part is
+  * consumed by the email rule and counted once, not twice.
   */
 object Redaction {
 
@@ -32,11 +32,18 @@ object Redaction {
                  rules: Seq[(String, String, String)] = DefaultRules): Column =
     rules.foldLeft(text) { case (c, (_, pat, repl)) => regexp_replace(c, pat, repl) }
 
-  /** Total match count across rules, evaluated on the ORIGINAL text. */
+  /** Total replacement count: each rule's matches counted on the text as
+    * already redacted by the rules before it — exactly what
+    * [[redactText]] replaces. The per-stage `regexp_replace` chain is
+    * shared with the redacted-text column by Catalyst's common
+    * subexpression elimination within the projection.
+    */
   def piiCount(text: Column,
                rules: Seq[(String, String, String)] = DefaultRules): Column =
-    rules.map { case (_, pat, _) => size(regexp_extract_all(text, lit(pat), lit(0))) }
-      .reduce(_ + _).cast("long")
+    rules.foldLeft((text, lit(0L))) { case ((t, acc), (_, pat, repl)) =>
+      (regexp_replace(t, pat, repl),
+        acc + size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"))
+    }._2
 
   /** Per-document redaction: doc_id, n_pii, redacted (the scrubbed text).
     * Downstream hashes/stores the scrubbed text; the count feeds

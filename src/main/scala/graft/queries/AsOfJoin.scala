@@ -25,10 +25,13 @@ object AsOfJoin {
     * keep left rows with the match in `__m`.
     *
     * NULL-key note (both directions): `Window.partitionBy` groups NULL
-    * keys into ONE partition, so NULL-key rows can match each other —
-    * unlike a SQL equality join (and the DuckDB ASOF oracle), where NULL
-    * never matches. Keys are expected non-null; filter them out first if
-    * the corpus can contain them.
+    * keys into ONE partition, which would let NULL-key left rows match
+    * NULL-key right rows — in SQL (and the DuckDB ASOF oracle) NULL never
+    * matches. The RIGHT side is therefore filtered to non-null keys: a
+    * NULL-key left row then sits in a left-only partition whose running
+    * `last(carried)` is null, i.e. it is KEPT with no match — exactly
+    * ASOF LEFT JOIN semantics (filtering the left side too would instead
+    * drop those rows, diverging from LEFT JOIN).
     */
   private def asofScan(l: DataFrame, r: DataFrame, keyCol: String,
                        tsCol: String, carried: String,
@@ -36,7 +39,7 @@ object AsOfJoin {
     val ord = if (descending) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keyCol).orderBy(ord, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    l.union(r)
+    l.union(r.filter(col(keyCol).isNotNull))
       .withColumn("__m", last(carried, ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
   }

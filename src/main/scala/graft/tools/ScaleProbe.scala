@@ -102,6 +102,35 @@ object ScaleProbe {
     }
   }
 
+  /** Hot-shingle (stop-shingle) probe: appends one shared boilerplate
+    * phrase to EVERY doc — its shingles then have df = corpus size, the
+    * Zipf-head regime of a real web corpus — and times the exact Jaccard
+    * join with `maxDf = None` (every hot shingle contributes df² join
+    * rows → quadratic cliff) against `maxDf = Some(10)` (hot shingles
+    * dropped before the pair join → cost tracks the true near-dup
+    * structure). The measured gap is the scale argument for running the
+    * contract's bounded config at 100 TB.
+    */
+  private def hotShingleProbe(spark: SparkSession, docs: DataFrame, ns: Seq[Int]): Unit = {
+    import spark.implicits._
+    val base = docs.count().toInt
+    for (n <- ns) {
+      val copies = (n + base - 1) / base
+      val corpus = grow(docs, copies)
+        .orderBy("doc_id").limit(n)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" shared boilerplate navigation footer copyright notice"))
+            .as("text"))
+        .localCheckpoint(true)
+      val (unboundedPairs, tUnbounded) = time(Dedup.jaccardPairs(corpus, 3, 0.8).count())
+      spark.catalog.clearCache(); System.gc()
+      val (boundedPairs, tBounded) = time(
+        Dedup.jaccardPairs(corpus, 3, 0.8, maxDf = Some(10)).count())
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"n":$n,"unbounded_pairs":$unboundedPairs,"unbounded_sec":${f"$tUnbounded%.2f"},"bounded_pairs":$boundedPairs,"bounded_sec":${f"$tBounded%.2f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -120,6 +149,11 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     if (args.lift(2).contains("incr")) {
       incrProbe(spark, docs, ms)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("hotshingle")) {
+      hotShingleProbe(spark, docs, ms) // ms are absolute doc counts here
       spark.stop()
       return
     }

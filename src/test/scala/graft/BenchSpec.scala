@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class BenchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("an always-throwing query produces no timing number (None, not fast-fail time)") {
+    val (best, rows) = Bench.timeQuery(spark, "boom",
+      (_, _) => throw new RuntimeException("injected"), "unused", reps = 2)
+    assert(best.isEmpty)
+    assert(rows == -1L)
+  }
+
+  test("a succeeding query reports min-of-reps and its row count") {
+    import spark.implicits._
+    val (best, rows) = Bench.timeQuery(spark, "ok",
+      (s, _) => { import s.implicits._; Seq(1, 2, 3).toDF("x") }, "unused", reps = 2)
+    assert(best.exists(_ > 0.0))
+    assert(rows == 3L)
+  }
+}

@@ -137,7 +137,7 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ Redaction
 
-  test("redaction scrubs emails, phones, IPs and counts matches on the original") {
+  test("redaction scrubs emails, phones, IPs; n_pii equals replacements performed") {
     import spark.implicits._
     val d = Seq(
       (1L, "mail a.b-c_d@sub.example.org then 415-555-0123 and 10.0.0.255 done"),
@@ -151,6 +151,16 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, "no pii here at all")))
     assert(out(3L)._1 == 2L)
     assert(out(3L)._2 == "two mails <EMAIL> and <EMAIL>")
+  }
+
+  test("n_pii counts actual replacements: a phone inside an email local part counts once") {
+    import spark.implicits._
+    // the email rule consumes the whole token first; the phone rule then
+    // sees only "<EMAIL>" — counting on the original would report 2
+    val d = Seq((1L, "mail 415-555-0123@x.com end")).toDF("doc_id", "text")
+    val Array(r) = Redaction.redact(d).collect()
+    assert(r.getLong(1) == 1L)
+    assert(r.getString(2) == "mail <EMAIL> end")
   }
 
   test("redaction leaves non-PII digit runs and bare domains alone") {

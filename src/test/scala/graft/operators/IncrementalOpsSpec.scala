@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-4 additions: incremental SimHash, incremental
+  * embedding near-dup, the bounded Jaccard contract, and the persisted
+  * IVF index.
+  */
+class IncrementalOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // --------------------------------------------------- Incremental SimHash
+
+  test("incremental simhash equals the cross-slice of the full pair join") {
+    val newB = docs.filter(col("doc_id") % 2 === 1)
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    val inc = Dedup.simhashPairsIncremental(newB, idx).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val full = Dedup.simhashPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    val expected = full.collect {
+      case ((a, b), h) if a % 2 == 1 && b % 2 == 0 => ((a, b), h)
+      case ((a, b), h) if a % 2 == 0 && b % 2 == 1 => ((b, a), h)
+    }.toMap
+    assert(expected.nonEmpty, "test data should contain cross-parity simhash near-dups")
+    assert(inc == expected,
+      s"missed=${expected.keySet -- inc.keySet} extra=${inc.keySet -- expected.keySet}")
+  }
+
+  test("incremental simhash with an empty new batch returns nothing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.simhashPairsIncremental(empty, docs).count() == 0)
+  }
+
+  // ----------------------------------------- Incremental embedding near-dup
+
+  test("incremental embed near-dup equals the cross-slice of the block kernel") {
+    val newV = emb.filter(col("vec_id") % 2 === 1)
+    val idxV = emb.filter(col("vec_id") % 2 === 0)
+    val inc = Ann.neardupPairsIncremental(newV, idxV, threshold = 0.45).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val full = Ann.neardupPairs(emb, threshold = 0.45).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val expected = full.collect {
+      case ((a, b), c) if a % 2 == 1 && b % 2 == 0 => ((a, b), c)
+      case ((a, b), c) if a % 2 == 0 && b % 2 == 1 => ((b, a), c)
+    }.toMap
+    assert(expected.nonEmpty, "test data should contain cross-parity embedding pairs")
+    assert(inc == expected,
+      s"missed=${expected.keySet -- inc.keySet} extra=${inc.keySet -- expected.keySet}")
+  }
+
+  test("incremental embed near-dup: empty new batch yields no pairs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ann.neardupPairsIncremental(empty, emb, threshold = 0.0).count() == 0)
+  }
+
+  // ------------------------------------------------------- Bounded Jaccard
+
+  test("bounded jaccard equals exact when hot shingles touch no qualifying pair") {
+    import spark.implicits._
+    // 30 unrelated docs all carrying a shared boilerplate phrase (its
+    // shingles reach df ≈ 30 — hot), plus one exact-dup pair WITHOUT the
+    // phrase. Unrelated docs share ONLY the hot shingles (jaccard « 0.8),
+    // so pruning them changes no output pair — the premise under which
+    // maxDf is lossless.
+    val boiler = "standard corpus boilerplate footer text appended everywhere"
+    val uniq = (0L until 30L).map(i =>
+      (i, s"unique alpha$i beta$i gamma$i delta$i epsilon$i zeta$i $boiler"))
+    val dup = Seq(
+      (100L, "the duplicated payload body with its own distinct words entirely"),
+      (101L, "the duplicated payload body with its own distinct words entirely"))
+    val d = (uniq ++ dup).toDF("doc_id", "text")
+    // the cutoff is genuinely active: hot shingles exist above maxDf = 5
+    val hotCount = Dedup.shingles(d, 3).groupBy("s").count()
+      .filter(col("count") > 5).count()
+    assert(hotCount > 0, "constructed corpus must contain hot shingles")
+    val exact = Dedup.jaccardPairs(d, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val bounded = Dedup.jaccardPairs(d, 3, 0.8, maxDf = Some(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exact == Seq((100L, 101L, 1.0)))
+    assert(bounded == exact)
+  }
+
+  test("bounded jaccard output is a subset of exact (computed value is a lower bound)") {
+    // On the real corpus the synthetic duplicates DO share the hottest
+    // shingles, so pruning shrinks their intersection counts: pair keys
+    // can only drop out, never appear.
+    val exact = Dedup.jaccardPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bounded = Dedup.jaccardPairs(docs, 3, 0.8, maxDf = Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(bounded.subsetOf(exact), s"extra=${bounded -- exact}")
+  }
+
+  // --------------------------------------------------- Persisted IVF index
+
+  test("persisted IVF index: probe-from-index equals retrain-per-call, pruned and full") {
+    Ann.writeIvfIndex(emb, "ivf_spec_idx", nlist = 8)
+    try {
+      // pruned probe: identical to the retraining path (same seeded
+      // k-means over the same deterministic sample)
+      val viaIdx = Ann.ivfTopKAgainstIndex(spark, "ivf_spec_idx", queryId = 3, k = 10, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val direct = Ann.ivfTopK(emb, queryId = 3, k = 10, nlist = 8, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIdx == direct)
+      // full probe == brute force
+      val full = Ann.ivfTopKAgainstIndex(spark, "ivf_spec_idx", queryId = 3, k = 10, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val brute = Ann.topK(emb, queryId = 3, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == brute)
+      // absent query id → empty, matching ivfTopK
+      assert(Ann.ivfTopKAgainstIndex(spark, "ivf_spec_idx", queryId = -5, k = 10, nProbe = 4).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_spec_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_spec_idx_centroids")
+    }
+  }
+
+  test("persisted IVF index: probe scan prunes list partitions") {
+    Ann.writeIvfIndex(emb, "ivf_prune_idx", nlist = 8)
+    try {
+      val p = Ann.ivfTopKAgainstIndex(spark, "ivf_prune_idx", queryId = 3, k = 10, nProbe = 2)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the nProbe IN-filter must land on the partition column, not a
+      // post-scan filter over the whole corpus
+      assert(p.contains("PartitionFilters:") && p.contains("ivf_list"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_prune_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_prune_idx_centroids")
+    }
+  }
+
+  test("IVF index without graft.nlist property fails loudly") {
+    import spark.implicits._
+    emb.limit(5).write.mode("overwrite").saveAsTable("ivf_bogus_idx")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Ann.ivfTopKAgainstIndex(spark, "ivf_bogus_idx", queryId = 0, k = 5, nProbe = 1)
+      }
+      assert(e.getMessage.contains("graft.nlist"))
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_bogus_idx")
+  }
+
+  test("signature index without graft.* properties fails loudly (table-name overload)") {
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    // a band table written manually, without writeSignatureIndex's props
+    graft.operators.Dedup.writeSignatureIndex(idx, "sig_noprops", buckets = 2)
+    spark.sql("ALTER TABLE sig_noprops UNSET TBLPROPERTIES ('graft.n')")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minhashPairsAgainstIndex(docs, "sig_noprops", idx)
+      }
+      assert(e.getMessage.contains("graft.n"))
+    } finally spark.sql("DROP TABLE IF EXISTS sig_noprops")
+  }
+}

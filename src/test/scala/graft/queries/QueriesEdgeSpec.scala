@@ -78,6 +78,21 @@ class QueriesEdgeSpec extends AnyFunSuite {
       ("k2", 99.0, None)))       // k2's right row is later
   }
 
+  test("asofJoin: NULL keys never match, but NULL-key left rows are kept (LEFT semantics)") {
+    import spark.implicits._
+    val left = Seq((Option("k1"), ts(100), 1.0), (Option.empty[String], ts(100), 2.0))
+      .toDF("k", "t", "lv")
+    val right = Seq((Option("k1"), ts(50), 5.0), (Option.empty[String], ts(50), 7.0))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asofJoin(left, right, "k", "t", "lv", "rv").collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(2), Option(r.get(3)))).toSet
+    // SQL/DuckDB ASOF LEFT JOIN: NULL never equals NULL, yet the NULL-key
+    // left row survives with no match
+    assert(out == Set(
+      (Some("k1"), 1.0, Some(5.0)),
+      (None, 2.0, None)))
+  }
+
   test("asofNext: earliest right row at-or-after each left row, per key") {
     import spark.implicits._
     val left = Seq(("k1", ts(100)), ("k1", ts(250)), ("k2", ts(10)))

@@ -162,6 +162,24 @@ class QueryPlanSpec extends AnyFunSuite {
       windows.map(_.partitionSpec).mkString("; "))
   }
 
+  test("simhash pairs: the sketch aggregation runs ONCE (bucket-grouped, not self-joined)") {
+    // a self-join over the banded signatures would duplicate the whole
+    // token-explode + md5 + 64-vote aggregation subplan (once per side);
+    // the bucket-grouped formulation evaluates it once — assert at the
+    // physical level: exactly one partial/final pair of SimHashAgg nodes
+    val exec = graft.operators.Dedup
+      .simhashPairs(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .queryExecution.sparkPlan
+    val simhashAggs = exec.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.aggregateExpressions.mkString.toLowerCase.contains("simhashagg") => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if a.aggregateExpressions.mkString.toLowerCase.contains("simhashagg") => a
+    }
+    assert(simhashAggs.size == 2, // partial + final of ONE logical aggregate
+      s"expected one partial+final SimHashAgg pair, got ${simhashAggs.size}:\n$exec")
+  }
+
   test("length stats plan: single stratum aggregation, no cartesian") {
     val p = plan("q_length_stats")
     assert(p.contains("percentile"), p)
