@@ -334,6 +334,21 @@ object SparkEntry {
         .orderBy("ts_us", "measurement_number")
     }),
 
+    // dynamic JSON as Spark 4 Variant (SURVEY §1.4 alternative to
+    // pre-flattening): envelopes parsed ONCE to a binary Variant, typed
+    // fields extracted by path — including through the string-embedded
+    // payload JSON (parse → extract string → parse again), the
+    // reference's actual wire shape
+    "q_variant_json" -> ((s, d) => {
+      import graft.operators.DynamicJson
+      val parsed = DynamicJson.parseEnvelopes(emonEnvelopes(s, d))
+      parsed.select(
+          col("topic"),
+          sround(DynamicJson.payloadField(col("v"), "$.P1", "double"), 6).as("p1"),
+          sround(DynamicJson.payloadField(col("v"), "$.time", "double"), 6).as("time_s"))
+        .orderBy("time_s", "p1")
+    }),
+
     // ---- general relational surface (TPC-H-style, scale/bench anchors) ----
     "q_tpch_pricing" -> ((s, d) =>
       table(s, d, "lineitem")
@@ -600,6 +615,13 @@ object SparkEntry {
         |       'P1' AS measurement_of,
         |       "value" AS measurement_number
         |FROM events ORDER BY "timestamp", measurement_number""".stripMargin,
+    // variant path extraction reproduces the source fields exactly: p1 is
+    // the raw value, time_s the µs-exact epoch float the envelope carries
+    "q_variant_json" ->
+      """SELECT 'emon/emonTx4' AS topic,
+        |       ROUND("value", 6) AS p1,
+        |       ROUND(epoch_us(ts)/1000000.0, 6) AS time_s
+        |FROM events ORDER BY time_s, p1""".stripMargin,
     // same ingest through the streaming wire topology; the stored
     // TimestampType round-trips the wire string µs-exactly
     "q_ingest_wire" ->

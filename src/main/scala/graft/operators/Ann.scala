@@ -336,6 +336,9 @@ object Ann {
     val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
     withNorm(embeddings).withColumn("ivf_list", assignUdf(col("embedding")))
       .select("vec_id", "embedding", "nrm", "ivf_list")
+      // cluster by list before the partitioned write: one task per list =
+      // one file per list directory, instead of (tasks × lists) shards
+      .repartition(col("ivf_list"))
       .write.format("parquet").partitionBy("ivf_list")
       .mode("overwrite").saveAsTable(tableName)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq

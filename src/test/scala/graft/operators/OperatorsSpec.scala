@@ -98,6 +98,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("variant payload extraction: typed fields; absent path and malformed input are NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val raw = Seq(
+      """{"topic": "emon/emonTx4", "payload": "{\"P1\": 7.5, \"time\": 12.25}"}""",
+      """{"topic": "other/thing", "payload": "{\"volts\": 230}"}""",
+      "not json at all"
+    ).toDF("raw")
+    val parsed = DynamicJson.parseEnvelopes(raw)
+    val rows = parsed.select(col("topic"),
+        DynamicJson.payloadField(col("v"), "$.P1", "double").as("p1"))
+      .collect()
+    val byTopic = rows.map(r => Option(r.getString(0)) -> Option(r.get(1))).toMap
+    assert(byTopic(Some("emon/emonTx4")) == Some(7.5))
+    assert(byTopic(Some("other/thing")) == None)  // absent path → NULL, no error
+    assert(byTopic(None) == None)                 // malformed row → NULL variant
+  }
+
   test("text analysis: deterministic and sane on real docs") {
     val tc = TextAnalysis.tokenCount(docs).collect()
     assert(tc.forall(_.getLong(1) > 0))
