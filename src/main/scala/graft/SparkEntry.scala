@@ -241,6 +241,11 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // sequence packing: token-budget chunking in corpus order via a
+    // two-phase distributed prefix sum (no single-task global window)
+    "q_pack_sequences" -> ((s, d) =>
+      graft.operators.Packing.assignSequences(table(s, d, "documents"), budget = 2048)),
+
     // multimodal: binary content + typed metadata, batched feature extract
     // (decode stubbed deterministically — no codecs in this container).
     // Oracle precondition: the documents corpus is ASCII (chars == bytes,
@@ -656,6 +661,17 @@ object SparkEntry {
         |FROM corp WHERE s IN (SELECT s FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_redact" -> piiRedactOracleSql,
+    // global exclusive prefix sum replayed as a single-threaded window
+    // (fine for the oracle; the Spark side must NOT use a global window)
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |      FROM t)
+        |SELECT doc_id, n_tokens, prefix // 2048 AS seq_id
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_split" ->
       s"""SELECT doc_id,
          |       CASE WHEN b < 9000 THEN 'train'

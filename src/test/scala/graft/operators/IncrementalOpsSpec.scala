@@ -150,6 +150,42 @@ class IncrementalOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ Sequence packing
+
+  test("packing: matches the sequential prefix-sum reference, any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val d = (0L until 500L).map(i => (i, Seq.fill(1 + rng.nextInt(40))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def collectPack(df: org.apache.spark.sql.DataFrame) =
+      Packing.assignSequences(df, budget = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = collectPack(d)
+    // in-memory sequential reference: exclusive running sum / budget
+    var acc = 0L
+    val expected = got.map(_._1).sorted.map { id =>
+      val n = d.filter(col("doc_id") === id).head.getString(1).split(" ").length.toLong
+      val seq = acc / 100
+      acc += n
+      (id, n, seq)
+    }
+    assert(got == expected)
+    // partitioning must not change assignments (global order, not layout)
+    assert(collectPack(d.repartition(13)) == got)
+    // every sequence's token span starts inside its budget window
+    val bySeq = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySeq.nonEmpty && got.map(_._3).max >= 1, "test corpus should span multiple sequences")
+  }
+
+  test("packing: empty corpus and single huge doc are handled") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Packing.assignSequences(empty, 100).count() == 0)
+    val one = Seq((7L, Seq.fill(500)("w").mkString(" "))).toDF("doc_id", "text")
+    val Array(r) = Packing.assignSequences(one, 100).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 500L, 0L)))
+  }
+
   test("IVF index without graft.nlist property fails loudly") {
     import spark.implicits._
     emb.limit(5).write.mode("overwrite").saveAsTable("ivf_bogus_idx")

@@ -180,6 +180,24 @@ class QueryPlanSpec extends AnyFunSuite {
       s"expected one partial+final SimHashAgg pair, got ${simhashAggs.size}:\n$exec")
   }
 
+  test("sequence packing plan: no single-task global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the naive formulation is Window.orderBy with no partitioning — one
+    // task for the whole corpus; the two-phase prefix sum must have NO
+    // window at all
+    val exec = graft.SparkEntry.queries("q_pack_sequences")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    assert(exec.collect { case w: WindowExec => w }.isEmpty, exec.toString)
+  }
+
+  test("incremental kernels: no cartesian or nested-loop joins") {
+    for (q <- Seq("q_dedup_simhash_inc", "q_embed_neardup_inc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("length stats plan: single stratum aggregation, no cartesian") {
     val p = plan("q_length_stats")
     assert(p.contains("percentile"), p)
