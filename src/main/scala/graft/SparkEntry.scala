@@ -103,6 +103,25 @@ object SparkEntry {
     "q_dedup_jaccard_bounded" -> ((s, d) =>
       graft.operators.Dedup.jaccardPairs(table(s, d, "documents"), n = 3, threshold = 0.8,
         maxDf = Some(10))),
+    // transitive duplicate CLUSTERS over the bounded-Jaccard pair graph:
+    // large-star/small-star star contraction (O(log² n) rounds, each a
+    // node-keyed shuffle) vs the oracle's recursive-CTE reachability
+    // closure — every doc labeled, singletons by themselves
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Clustering.assignComponents(docs,
+          graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10)))
+        .orderBy("doc_id")
+    }),
+    // keep-one-per-cluster dedup: the anti-join key set is only the
+    // non-representatives, so the corpus side stays narrow
+    "q_dedup_reps" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Clustering.keepRepresentatives(docs,
+          graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10)))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     // MinHash-LSH near-dups, exact-verified (scale path) — oracle-checked
     // against the exact DuckDB Jaccard join. Precision is exact by
     // construction; the hash match is an empirical recall check for THIS
@@ -187,6 +206,9 @@ object SparkEntry {
       graft.operators.TextAnalysis.langId(table(s, d, "documents"))),
     "q_quality" -> ((s, d) =>
       graft.operators.TextAnalysis.qualityScore(table(s, d, "documents"))),
+    // Gopher-style repetition signals: map-only compiled kernel, no shuffle
+    "q_repetition" -> ((s, d) =>
+      graft.operators.TextAnalysis.repetitionSignals(table(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
     // vocabulary build: top-K tokens by total frequency + doc frequency
@@ -568,6 +590,8 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
     "q_dedup_jaccard" -> jaccardOracleSql,
     "q_dedup_jaccard_bounded" -> jaccardBoundedOracleSql(10),
+    "q_dedup_clusters" -> clustersOracleSql(10),
+    "q_dedup_reps" -> repsOracleSql(10),
     // same exact-join oracle: LSH+exact-verify equals the exact tier
     // wherever recall holds — the hash match checks that empirically for
     // this corpus/seed (not a proof; see q_dedup_minhash comment)
@@ -636,6 +660,22 @@ object SparkEntry {
         |       "value" AS measurement_number
         |FROM events ORDER BY ts_us, measurement_number""".stripMargin,
     "q_quality" -> s"$qualityCoreSql ORDER BY doc_id",
+    // exact replay of the repetition kernel: same double divisions over
+    // integer counts; degenerate docs (no bigrams/trigrams) score 0
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM t),
+        |bg AS (SELECT doc_id, unnest([ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ]) AS g FROM t),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM bgc GROUP BY 1),
+        |tg AS (SELECT doc_id, unnest([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ]) AS g FROM t),
+        |tga AS (SELECT doc_id, count(DISTINCT g) AS nd3, count(*) AS n3 FROM tg GROUP BY 1)
+        |SELECT b.doc_id,
+        |       ROUND(CASE WHEN b.n > 0 THEN CAST(b.n - b.nd AS DOUBLE) / b.n ELSE 0.0 END, 6) AS dup_token_frac,
+        |       ROUND(COALESCE(CAST(bga.top_c AS DOUBLE) / bga.tot, 0.0), 6) AS top_bigram_frac,
+        |       ROUND(COALESCE(CAST(tga.n3 - tga.nd3 AS DOUBLE) / tga.n3, 0.0), 6) AS dup_trigram_frac
+        |FROM base b LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_topk_quality" ->
       s"""WITH q AS ($qualityCoreSql),
          |j AS (SELECT q.doc_id, q.quality, d.source
@@ -981,18 +1021,52 @@ object SparkEntry {
     * full shingle-set sizes — the computed jaccard is a lower bound of the
     * true one and the output is a subset of the exact tier's.
     */
-  private def jaccardBoundedOracleSql(maxDf: Int): String =
-    s"""WITH sh AS ($shingleCteSql),
+  private def jaccardBoundedPairsCte(maxDf: Int): String =
+    s"""sh AS ($shingleCteSql),
       |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > $maxDf),
       |pr AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
-      |pairs AS (
+      |jagg AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
       |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
       |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
-      |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+      |  FROM jagg WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8)""".stripMargin
+
+  private def jaccardBoundedOracleSql(maxDf: Int): String =
+    s"""WITH ${jaccardBoundedPairsCte(maxDf)}
+      |SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Transitive closure of the bounded-Jaccard pair graph as a recursive
+    * CTE: per-node reachable sets under set-union semantics (terminates —
+    * the frontier is deduplicated), component = min reachable id. The
+    * Spark side computes the same fixpoint with large-star/small-star
+    * rounds ([[graft.operators.Clustering.connectedComponents]]); the
+    * oracle's O(component²) row blowup is fine at oracle scale and
+    * EXACTLY why the engine side doesn't do it this way.
+    */
+  private def clustersCte(maxDf: Int): String =
+    s"""${jaccardBoundedPairsCte(maxDf)},
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach(n, r) AS (
+      |  SELECT DISTINCT u, u FROM e
+      |  UNION
+      |  SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u),
+      |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n)""".stripMargin
+
+  private def clustersOracleSql(maxDf: Int): String =
+    s"""WITH RECURSIVE ${clustersCte(maxDf)}
+      |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      |FROM documents d LEFT JOIN comp c ON d.doc_id = c.n
+      |ORDER BY doc_id""".stripMargin
+
+  private def repsOracleSql(maxDf: Int): String =
+    s"""WITH RECURSIVE ${clustersCte(maxDf)}
+      |SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.n
+      |WHERE c.n IS NULL OR c.component = d.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** Brute-force cosine pairs at 0.45 — oracle for q_embed_neardup (same
     * algorithm) and q_embed_neardup_lsh (LSH recall-equality proof).

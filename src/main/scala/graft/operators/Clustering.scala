@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn near-dup PAIRS (any [[Dedup]] tier)
+  * into CLUSTERS, then keep one representative per cluster — the step a
+  * real corpus pipeline runs after pair generation, since transitive
+  * duplicates (A≈B, B≈C) must all collapse to one kept document even when
+  * (A, C) itself was never emitted as a pair.
+  *
+  * Components are computed with alternating large-star / small-star
+  * rounds (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", ACM SoCC 2014): each round is two groupBy shuffles keyed on
+  * node id, and the edge set converges to per-component stars rooted at
+  * the component's minimum id in O(log² n) rounds — in practice a
+  * handful, since dedup graphs have small, dense components. This is the
+  * 100 TB shape: no driver-side graph, no O(diameter) propagation (a
+  * plain min-label-propagation loop needs one round PER HOP of component
+  * diameter; duplicate chains make that unbounded), every round's state
+  * is just the (shrinking) edge list.
+  */
+object Clustering {
+
+  /** One lineage cut per iteration: an iterative DataFrame loop otherwise
+    * accretes an unbounded plan (analysis cost grows per round, and a
+    * failure recomputes every previous round). Uses reliable
+    * `checkpoint()` when the session has a checkpoint dir (the right mode
+    * on a real cluster — recomputable after executor loss), else eager
+    * `localCheckpoint()` (single-JVM local mode).
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** Large-star: every node connects its strictly-larger neighbors to the
+    * minimum of its neighborhood (including itself). Input and output are
+    * canonical directed edges (u > v).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select("u", "v")
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = und.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    und.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its smaller neighbors (and itself)
+    * to the minimum of those neighbors. On canonical edges the smaller
+    * neighborhood of `u` is exactly its out-edges.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("u").agg(min("v").as("m"))
+    val vm = e.join(m, "u").filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val um = m.select(col("u"), col("m").as("v"))
+    vm.union(um).filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Connected components of the undirected graph given by an edge list.
+    * Returns (node, component) for every node incident to ≥1 edge, with
+    * `component` = the minimum node id of the component. Self-loops are
+    * ignored; orientation of the input pairs doesn't matter.
+    *
+    * Convergence is detected exactly (edge set unchanged under a full
+    * large-star + small-star round, checked with count + `except`); at
+    * the fixpoint the edge set IS the star assignment. `maxIter` is a
+    * runaway bound, not a tuning knob — hitting it throws rather than
+    * returning half-merged components.
+    */
+  def connectedComponents(edges: DataFrame, src: String = "doc_a",
+                          dst: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    var e = cut(edges
+      .select(greatest(col(src), col(dst)).cast("long").as("u"),
+        least(col(src), col(dst)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = cut(smallStar(largeStar(e)))
+      // both sides are distinct sets, so equal counts + empty one-sided
+      // difference ⇒ set equality
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** (id, component) for EVERY row of `docs`: documents in no duplicate
+    * pair form their own singleton component. The component map is
+    * proportional to the number of duplicated documents, not the corpus —
+    * AQE broadcasts it when small.
+    */
+  def assignComponents(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id", src: String = "doc_a",
+                       dst: String = "doc_b"): DataFrame = {
+    val comp = connectedComponents(pairs, src, dst)
+      .withColumnRenamed("node", idCol)
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+  }
+
+  /** Keep-one-per-cluster dedup: drops every document whose component
+    * representative (minimum id) is some other document. The anti-join
+    * key set is only the NON-representatives — strictly smaller than the
+    * component map — so the corpus side stays narrow.
+    */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id", src: String = "doc_a",
+                          dst: String = "doc_b"): DataFrame = {
+    val nonReps = connectedComponents(pairs, src, dst)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(nonReps, Seq(idCol), "left_anti")
+  }
+}

@@ -148,6 +148,59 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Compiled repetition kernel: one pass over the token array computing
+    * the counts behind the Gopher-style repetition filters (Rae et al.
+    * 2021, App. A1.1; also C4's heuristics) — duplicate-token, top-bigram
+    * and duplicate-trigram statistics. Returns integer counts; the
+    * fractions are formed as column expressions so the DuckDB oracle can
+    * replay the exact double divisions.
+    */
+  private val repetitionUdf = udf { (text: String) =>
+    val w = text.split(" ", -1)
+    val n = w.length
+    val distinctTok = new scala.collection.mutable.HashSet[String]
+    var i = 0
+    while (i < n) { distinctTok += w(i); i += 1 }
+    val bigrams = new scala.collection.mutable.HashMap[String, Int]
+    i = 0
+    while (i < n - 1) {
+      val k = w(i) + " " + w(i + 1)
+      bigrams.update(k, bigrams.getOrElse(k, 0) + 1)
+      i += 1
+    }
+    val trigrams = new scala.collection.mutable.HashSet[String]
+    i = 0
+    while (i < n - 2) { trigrams += (w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1 }
+    (n, distinctTok.size,
+      if (bigrams.isEmpty) 0 else bigrams.valuesIterator.max, math.max(n - 1, 0),
+      trigrams.size, math.max(n - 2, 0))
+  }
+
+  /** Gopher-style repetition signals per document, round-6:
+    *  - `dup_token_frac`     — repeated-token fraction (n − distinct)/n;
+    *  - `top_bigram_frac`    — share of bigram occurrences claimed by the
+    *                           single most frequent bigram;
+    *  - `dup_trigram_frac`   — fraction of trigram occurrences that repeat
+    *                           an earlier trigram.
+    * Degenerate docs (no bigrams/trigrams) score 0 for that signal.
+    *
+    * Scale shape: the signals are per-document, so this is a map-ONLY
+    * operator — scan → compiled UDF → project, no shuffle, no state;
+    * it pipelines with any downstream filter at 100 TB. Thresholding is
+    * the caller's policy (Gopher drops docs with dup-line chars > 0.2
+    * etc.); this operator reports the signals.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
+    docs.select(col("doc_id"), repetitionUdf(col("text")).as("r"))
+      .select(col("doc_id"),
+        frac(col("r._1") - col("r._2"), col("r._1")).as("dup_token_frac"),
+        frac(col("r._3"), col("r._4")).as("top_bigram_frac"),
+        frac(col("r._6") - col("r._5"), col("r._6")).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-stratum token-length distribution (corpus QA dashboard): doc
     * count, mean and exact p25/p50/p90 token counts. Uses Spark's EXACT
     * `percentile` aggregate — linear interpolation at rank (n-1)·p, the

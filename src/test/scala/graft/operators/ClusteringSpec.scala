@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** Connected-components clustering: deterministic shapes + a property
+  * test against an in-memory union-find reference.
+  */
+class ClusteringSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Clustering.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** In-memory union-find (path halving + union by min). */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents: two components, transitive closure collapses chains") {
+    // 1-2, 2-3, 3-4 is one component even though (1,4) was never a pair
+    val cc = ccOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: orientation and self-loops don't matter") {
+    val cc = ccOf(Seq((2L, 1L), (1L, 2L), (3L, 3L), (3L, 2L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents: empty edge set") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Clustering.connectedComponents(empty).count() == 0)
+  }
+
+  test("connectedComponents: 64-node path converges within the round bound") {
+    // worst case for naive min-label propagation (diameter = n); the
+    // star-contraction rounds must close it in O(log² n)
+    val cc = ccOf((1L until 64L).map(i => (i, i + 1)))
+    assert(cc.size == 64 && cc.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 40L)
+        b <- Gen.choose(0L, 40L)
+      } yield (a, b))
+    } yield edges
+    var checked = 0
+    var draw = 0
+    while (checked < 10 && draw < 100) {
+      draw += 1
+      edgeGen.sample.foreach { edges =>
+        val real = edges.filter { case (a, b) => a != b }
+        if (real.nonEmpty) {
+          assert(ccOf(real) == unionFind(real), s"edges=$real")
+          checked += 1
+        }
+      }
+    }
+    assert(checked == 10)
+  }
+
+  test("assignComponents labels singletons with their own id") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val got = Clustering.assignComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 4L, 6L -> 6L))
+  }
+
+  test("keepRepresentatives keeps the min id per cluster plus all singletons") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Clustering.keepRepresentatives(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+}

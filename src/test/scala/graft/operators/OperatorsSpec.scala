@@ -126,4 +126,24 @@ class OperatorsSpec extends AnyFunSuite {
     val fp = TextAnalysis.fingerprint(docs).collect()
     assert(fp.map(_.getString(1)).forall(_.length == 32))
   }
+
+  test("repetitionSignals: hand-computed fractions, degenerate docs score 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),        // 4 tokens 1 distinct; bigrams: "a a"×3; trigrams: "a a a"×2, 1 distinct
+      (2L, "w x y z"),        // all unique
+      (3L, "solo"),           // no bigrams/trigrams
+      (4L, "p q p q p q")     // 6 tok 2 distinct; bigrams: pq×3 qp×2 → top 3/5; trigrams: pqp×2 qpq×2 → dup 2/4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((0.75, 1.0, 0.5)))
+    assert(got(2L) == ((0.0, 0.333333, 0.0))) // round-6 of 1/3
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+    assert(got(4L) == ((0.666667, 0.6, 0.5))) // round-6 of 4/6
+    val real = TextAnalysis.repetitionSignals(docs).collect()
+    assert(real.forall { r =>
+      (1 to 3).forall(i => r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+    })
+  }
 }
