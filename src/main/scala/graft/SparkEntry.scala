@@ -151,6 +151,10 @@ object SparkEntry {
     // brute-force cosine top-k
     "q_ann_topk" -> ((s, d) =>
       graft.operators.Ann.topK(table(s, d, "embeddings"), queryId = 0, k = 20)),
+    // the same top-k served from int8 scalar-quantized codes (4× smaller
+    // scan); the oracle replays quantize → decode → cosine bit-for-bit
+    "q_ann_topk_sq8" -> ((s, d) =>
+      graft.operators.Ann.topKSq8(table(s, d, "embeddings"), queryId = 0, k = 20)),
     // exact embedding similarity pairs via the distributed block kernel
     // (0.45: the synthetic embeddings contain no true near-dups — max
     // pairwise cosine ≈ 0.51, so the exact tier is the only one that can
@@ -612,6 +616,7 @@ object SparkEntry {
     // same bit-for-bit SimHash replay, restricted to new×index pairs
     "q_dedup_simhash_inc" -> simhashOracleSql(3, incremental = true),
     "q_ann_topk" -> annTopkOracleSql,
+    "q_ann_topk_sq8" -> annTopkSq8OracleSql,
     // nProbe = nlist probes every inverted list — identical to brute force
     "q_ann_ivf" -> annTopkOracleSql,
     // ... and the persisted-index path at nProbe = nlist is the same scan
@@ -1154,6 +1159,33 @@ object SparkEntry {
       |  FROM embeddings e, q)
       |SELECT vec_id, ROUND(d/(ne*nq), 6) AS cos
       |FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  /** SQ8 replay: per-vector [mn, mx] int8 quantization, decode, then the
+    * brute-force cosine — the same op order as `Ann.sq8Quant`/`sq8Dequant`
+    * (floor((x−mn)/(mx−mn)·255 + 0.5), then mn + q/255·(mx−mn), all in
+    * double), so the hash match covers the code path bit-for-bit.
+    */
+  private def annTopkSq8OracleSql: String =
+    """WITH mm AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |         CAST(list_max(embedding) AS DOUBLE) AS mx
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT vec_id,
+      |         CASE WHEN mx > mn THEN
+      |           list_transform(embedding,
+      |             x -> mn + FLOOR((CAST(x AS DOUBLE) - mn)/(mx - mn)*255 + 0.5)/255*(mx - mn))
+      |         ELSE list_transform(embedding, x -> mn) END AS dq
+      |  FROM mm),
+      |n AS (SELECT vec_id, dq,
+      |             sqrt(list_sum(list_transform(dq, x -> x*x))) AS nrm FROM d),
+      |q AS (SELECT dq AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |       ROUND(list_sum(list_transform(range(1, len(e.dq)+1),
+      |          i -> e.dq[i] * q.qe[i])) / (e.nrm * q.qn), 6) AS cos
+      |FROM n e, q
+      |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
 
   /** Brute-force cosine pairs at 0.8 over the planted-duplicate corpus —
     * oracle for q_embed_neardup_lsh. Same construction as the Spark side:

@@ -388,6 +388,92 @@ object Ann {
       .limit(k)
   }
 
+  // ------------------------------------- int8 scalar quantization (SQ8)
+
+  /** Per-vector int8 quantization: q_i = floor((x_i − mn)/(mx − mn)·255
+    * + 0.5) with the vector's own [mn, mx] range. Constant vectors (mx =
+    * mn) quantize to all-zeros and decode to mn.
+    */
+  private def sq8Quant(v: Seq[Float]): (Array[Byte], Float, Float) = {
+    val n = v.length
+    var mn = Float.PositiveInfinity
+    var mx = Float.NegativeInfinity
+    var i = 0
+    while (i < n) { val x = v(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
+    val code = new Array[Byte](n)
+    if (mx > mn) {
+      val mnD = mn.toDouble
+      val span = mx.toDouble - mnD
+      i = 0
+      while (i < n) {
+        code(i) = math.floor((v(i).toDouble - mnD) / span * 255.0 + 0.5).toInt.toByte
+        i += 1
+      }
+    }
+    (code, mn, mx)
+  }
+
+  /** Decode to double: x'_i = mn + (q_i/255)·(mx − mn). Op order matches
+    * the DuckDB oracle replay exactly.
+    */
+  private def sq8Dequant(code: Array[Byte], mn: Float, mx: Float): Array[Double] = {
+    val n = code.length
+    val out = new Array[Double](n)
+    val mnD = mn.toDouble
+    val span = mx.toDouble - mnD
+    var i = 0
+    if (span > 0)
+      while (i < n) { out(i) = mnD + (code(i) & 0xff).toDouble / 255.0 * span; i += 1 }
+    else
+      while (i < n) { out(i) = mnD; i += 1 }
+    out
+  }
+
+  private val sq8QuantUdf = udf { (v: Seq[Float]) => sq8Quant(v) }
+  private val sq8DequantUdf =
+    udf { (c: Array[Byte], mn: Float, mx: Float) => sq8Dequant(c, mn, mx).toSeq }
+  private def dotDD(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private val dotDDUdf = udf((a: Seq[Double], b: Seq[Double]) => dotDD(a, b))
+  private val normDDUdf = udf((a: Seq[Double]) => math.sqrt(dotDD(a, a)))
+
+  /** SQ8-compressed embedding store: (vec_id, code BINARY, mn, mx) —
+    * d bytes + 2 floats per vector vs 4d bytes raw, a ~3.9× memory/IO
+    * reduction at d=128. This is the column you'd persist for a corpus
+    * whose raw vectors don't fit the cluster's scan budget; max absolute
+    * decode error is (mx − mn)/510 per element.
+    */
+  def quantizeSq8(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), sq8QuantUdf(col("embedding")).as("r"))
+      .select(col("vec_id"), col("r._1").as("code"),
+        col("r._2").as("mn"), col("r._3").as("mx"))
+
+  /** Brute-force top-k over the SQ8-DECODED vectors (symmetric distance:
+    * both sides, query included, go through the code path — exactly what
+    * a store serving from codes computes). Self-cosine stays exactly 1;
+    * neighbor ranking shifts only within the quantization error. Scale
+    * shape is [[topK]]'s: broadcast 1-row query, single corpus pass, but
+    * the scan reads the ~4× smaller code column.
+    */
+  def topKSq8(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val deq = quantizeSq8(embeddings)
+      .withColumn("dq", sq8DequantUdf(col("code"), col("mn"), col("mx")))
+      .withColumn("nrm", normDDUdf(col("dq")))
+      .select("vec_id", "dq", "nrm")
+    val q = deq.filter(col("vec_id") === queryId)
+      .select(col("dq").as("qe"), col("nrm").as("qn"))
+    deq.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotDDUdf(col("dq"), col("qe")) / (col("nrm") * col("qn")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic random hyperplanes: `tables` independent sign-sketches
     * of `bits` hyperplanes each (seeded).
     */

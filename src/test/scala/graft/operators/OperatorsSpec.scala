@@ -84,6 +84,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("sq8: decode error bounded by (mx-mn)/510, self still rank 1, ranking near-exact") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // per-element decode error ≤ half a quantization step
+    val err = Ann.quantizeSq8(emb)
+      .join(emb, "vec_id")
+      .select("vec_id", "code", "mn", "mx", "embedding")
+      .as[(Long, Array[Byte], Float, Float, Array[Float])]
+      .map { case (_, code, mn, mx, v) =>
+        val step = (mx - mn).toDouble / 255.0
+        code.indices.map { i =>
+          val dq = mn + (code(i) & 0xff).toDouble / 255.0 * (mx - mn)
+          math.abs(dq - v(i)) / math.max(step, 1e-12)
+        }.max
+      }.reduce(math.max _)
+    // 1e-5 slack: the test recomputes the step in float32 arithmetic
+    assert(err <= 0.5 + 1e-5, s"decode error $err steps")
+    val top = Ann.topKSq8(emb, queryId = 3, k = 20).collect()
+    assert(top.head.getLong(0) == 3L && math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    // quantization shifts ranks only within its error: strong overlap with
+    // the exact top-k
+    val exact = Ann.topK(emb, queryId = 3, k = 20).collect().map(_.getLong(0)).toSet
+    val got = top.map(_.getLong(0)).toSet
+    assert((exact & got).size >= 15, s"overlap ${(exact & got).size}")
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 10k rows, 95% on one hot key
