@@ -213,6 +213,15 @@ object SparkEntry {
     // Gopher-style repetition signals: map-only compiled kernel, no shuffle
     "q_repetition" -> ((s, d) =>
       graft.operators.TextAnalysis.repetitionSignals(table(s, d, "documents"))),
+    // CCNet-style LM scoring: bigram LM from the clean slice (doc_id % 7
+    // == 0, the same split decontamination treats as the benchmark),
+    // per-token NLL + OOV-bigram fraction over the rest
+    "q_lm_score" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.TextAnalysis.lmScore(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
     // vocabulary build: top-K tokens by total frequency + doc frequency
@@ -706,6 +715,35 @@ object SparkEntry {
         |FROM corp WHERE s IN (SELECT s FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_redact" -> piiRedactOracleSql,
+    // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
+    // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
+    "q_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |refw AS (SELECT * FROM w WHERE doc_id % 7 = 0),
+        |corpw AS (SELECT * FROM w WHERE doc_id % 7 <> 0),
+        |refu AS (SELECT unnest(w) AS t FROM refw),
+        |refuc AS (SELECT t, count(*) AS u FROM refu GROUP BY t),
+        |v AS (SELECT count(*) AS v FROM refuc),
+        |refbi AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |          FROM refw WHERE len(w) >= 2),
+        |refb AS (SELECT w1, w2, count(*) AS b FROM refbi GROUP BY 1, 2),
+        |corpbi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |           FROM corpw WHERE len(w) >= 2),
+        |sc AS (SELECT c.doc_id,
+        |         ln(CAST(COALESCE(rb.b, 0) + 1 AS DOUBLE) / (COALESCE(ru.u, 0) + v.v)) AS lp,
+        |         CASE WHEN rb.b IS NULL THEN 1 ELSE 0 END AS oov
+        |       FROM corpbi c
+        |       LEFT JOIN refb rb ON c.w1 = rb.w1 AND c.w2 = rb.w2
+        |       LEFT JOIN refuc ru ON c.w1 = ru.t
+        |       CROSS JOIN v),
+        |agg AS (SELECT doc_id, ROUND(-AVG(lp), 4) AS nll,
+        |               ROUND(AVG(CAST(oov AS DOUBLE)), 6) AS oov_bigram_frac
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.nll, 0.0) AS nll,
+        |       COALESCE(a.oov_bigram_frac, 0.0) AS oov_bigram_frac
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // global exclusive prefix sum replayed as a single-threaded window
     // (fine for the oracle; the Spark side must NOT use a global window)
     "q_pack_sequences" ->

@@ -201,6 +201,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model scoring (CCNet-style perplexity filtering,
+    * Wenzek et al. 2020): a bigram LM with add-one smoothing is built
+    * from a REFERENCE corpus (the clean slice a real pipeline trains
+    * KenLM on) and every corpus document is scored with its per-token
+    * negative log-likelihood — high `nll` ⇒ text the reference LM finds
+    * improbable ⇒ filter candidate. Also reports the out-of-vocabulary
+    * bigram fraction (an exact integer ratio).
+    *
+    *   P(w2 | w1) = (C_ref(w1 w2) + 1) / (C_ref(w1) + V),
+    *   nll(doc)   = −mean over bigram occurrences of ln P,   round-4
+    *
+    * Scale shape: two token-keyed aggregations build the LM (map-side
+    * partial combine), scoring is a pair of left joins keyed on tokens —
+    * no driver-side model except V (one bounded count). The LM tables
+    * shuffle-join by default (a reference vocabulary at 100 TB need not
+    * broadcast); AQE broadcasts them when small. nll is round-4 (not 6):
+    * ln() is engine-portable only to ~1 ulp and the per-doc sum order is
+    * engine-dependent — at round-4 the residual (~1e-12) is far below
+    * the rounding step. `oov_bigram_frac` is integer-derived, round-6.
+    *
+    * Docs with fewer than two tokens have no bigrams: nll = 0, oov = 0.
+    */
+  def lmScore(corpus: DataFrame, ref: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def bigrams(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val w = t.split(" ", -1)
+          (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
+        }
+        .toDF("doc_id", "w1", "w2")
+    val refB = bigrams(ref).groupBy("w1", "w2").agg(count(lit(1)).as("b"))
+    val refU = ref.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("u"))
+    // V = reference vocabulary size: one bounded driver-side count (the
+    // aggregation itself is distributed), mirroring the B4 pre-count
+    // precedent; the LM pass is re-evaluated by the join below — persist
+    // refU to a table when the reference is large
+    val v = refU.count()
+    val scored = bigrams(corpus)
+      .join(refB, Seq("w1", "w2"), "left")
+      .join(refU.withColumnRenamed("t", "w1"), Seq("w1"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("b"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("u"), lit(0L)) + lit(v))).as("lp"),
+        col("b").isNull.cast("int").as("oov"))
+    val agg = scored.groupBy("doc_id").agg(
+      round(avg(col("lp")) * -1, 4).as("nll"),
+      round(avg(col("oov").cast("double")), 6).as("oov_bigram_frac"))
+    corpus.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nll"), lit(0.0)).as("nll"),
+        coalesce(col("oov_bigram_frac"), lit(0.0)).as("oov_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-stratum token-length distribution (corpus QA dashboard): doc
     * count, mean and exact p25/p50/p90 token counts. Uses Spark's EXACT
     * `percentile` aggregate — linear interpolation at rank (n-1)·p, the

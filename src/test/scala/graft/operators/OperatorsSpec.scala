@@ -84,6 +84,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("lmScore: hand-computed add-one bigram NLL, degenerate docs score 0") {
+    import spark.implicits._
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(corpus, ref).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // ref: bigrams (a,b)x2 (b,a)x1; unigrams a:2 b:2; V=2
+    // doc 1: (a,b): P=(2+1)/(2+2)=0.75; (b,c): OOV, P=(0+1)/(2+2)=0.25
+    val nll = -(math.log(0.75) + math.log(0.25)) / 2
+    assert(math.abs(got(1L)._1 - math.rint(nll * 1e4) / 1e4) < 1e-12)
+    assert(got(1L)._2 == 0.5)
+    assert(got(2L) == ((0.0, 0.0)))
+    // self-scored real docs: every nll positive, oov fraction in [0,1]
+    val real = TextAnalysis.lmScore(docs, docs).collect()
+    assert(real.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("sq8: decode error bounded by (mx-mn)/510, self still rank 1, ranking near-exact") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
