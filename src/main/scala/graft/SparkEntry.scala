@@ -5,7 +5,7 @@ import graft.queries.TimeseriesQueries._
 import graft.operators.{Redaction, TextAnalysis}
 import graft.sources.EventsAsConditions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, format_string, lit, sum, unix_micros, round => sround}
+import org.apache.spark.sql.functions.{broadcast, col, count, format_string, lit, sum, timestamp_seconds, unix_micros, round => sround}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -81,6 +81,22 @@ object SparkEntry {
     // B9 — state intervals (clock injected = range end)
     "q_intervals" -> ((s, d) =>
       formatTimeIntervals(conditions(s, d), Subject, Of, S1, E1, clockS = E1)),
+    // keyless point-in-interval join: EVERY subject's events labeled with
+    // the reference subject's active state interval — binned equi-join
+    // ([[graft.queries.IntervalJoin]]), never a BroadcastNestedLoopJoin
+    "q_interval_join" -> ((s, d) => {
+      val c = conditions(s, d)
+      val intervals = formatTimeIntervals(c, Subject, Of, S1, E1, clockS = E1)
+      val points = c.filter(col("measurement_of") === Of &&
+          col("timestamp") >= timestamp_seconds(lit(S1)) &&
+          col("timestamp") <= timestamp_seconds(lit(E1)))
+        .select(unix_micros(col("timestamp")).as("ts_us"), col("measurement_subject"))
+      graft.queries.IntervalJoin.pointInInterval(points, intervals,
+          "ts_us", "time_us", "time_end_us", binWidthUs = 6L * 3600 * 1000000)
+        .select(col("ts_us"), col("measurement_subject"),
+          col("measurement_string").as("state"))
+        .orderBy("ts_us", "measurement_subject")
+    }),
     // sessionization: gap > 2h opens a new session, all subjects
     "q_sessions" -> ((s, d) =>
       sessionize(conditions(s, d), Of, S1, E1, gapS = 7200)),
@@ -567,6 +583,27 @@ object SparkEntry {
          |                ${E1 * 1000000L}) AS time_end_us,
          |       measurement_string
          |FROM cp ORDER BY time_us""".stripMargin,
+
+    // half-open [start, end) containment replayed as a plain range join —
+    // the binned Spark plan must be invisible in the result
+    "q_interval_join" ->
+      s"""$Cte,
+         |cp AS (
+         |  SELECT epoch_us("timestamp") AS ts_us, measurement_string
+         |  FROM (SELECT *, lag(measurement_string) OVER (PARTITION BY measurement_subject ORDER BY "timestamp") AS prev
+         |        FROM conditions WHERE $ScanPred)
+         |  WHERE measurement_string IS DISTINCT FROM prev),
+         |iv AS (SELECT ts_us AS time_us,
+         |              COALESCE(lead(ts_us) OVER (ORDER BY ts_us), ${E1 * 1000000L}) AS time_end_us,
+         |              measurement_string
+         |       FROM cp),
+         |pts AS (SELECT epoch_us("timestamp") AS ts_us, measurement_subject
+         |        FROM conditions
+         |        WHERE measurement_of = '$Of'
+         |          AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT p.ts_us, p.measurement_subject, i.measurement_string AS state
+         |FROM pts p JOIN iv i ON p.ts_us >= i.time_us AND p.ts_us < i.time_end_us
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_sessions" ->
       s"""$Cte,
