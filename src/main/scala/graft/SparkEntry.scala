@@ -280,6 +280,12 @@ object SparkEntry {
       graft.operators.Sampling.stratifiedSample(table(s, d, "documents"),
           stratum = "source", rates = Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "source").orderBy("doc_id")),
+    // target-mixture downsample (data mixing): src0/src1/src2 at 50/30/20;
+    // the oracle recomputes counts → λ → thresholds in SQL
+    "q_sample_mixture" -> ((s, d) =>
+      graft.operators.Sampling.mixtureSample(table(s, d, "documents"),
+          targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source").orderBy("doc_id")),
     // best-k-per-domain selection: top-5 docs per source by quality
     // (total order via doc_id tie-break)
     "q_topk_quality" -> ((s, d) => {
@@ -805,6 +811,21 @@ object SparkEntry {
          |WHERE b < CASE WHEN source = 'src0' THEN 5000
          |               WHEN source = 'src1' THEN 2500
          |               ELSE 1000 END
+         |ORDER BY doc_id""".stripMargin,
+    // mixture replay: counts → λ = min(c/t) → per-source threshold
+    // round(λ·t/c·10⁴), same double op order as Sampling.mixtureSample
+    "q_sample_mixture" ->
+      s"""WITH tgt(source, t) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+         |cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+         |lam AS (SELECT MIN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS l
+         |        FROM cnt JOIN tgt USING (source)),
+         |thr AS (SELECT source,
+         |               CAST(ROUND(lam.l * CAST(t AS DOUBLE) / c * ${graft.operators.Sampling.BucketCount}) AS BIGINT) AS thr
+         |        FROM cnt JOIN tgt USING (source) CROSS JOIN lam)
+         |SELECT d.doc_id, d.source
+         |FROM (SELECT doc_id, source, ${md5BucketSql("mix", "doc_id")} AS b FROM documents) d
+         |JOIN thr USING (source)
+         |WHERE d.b < thr.thr
          |ORDER BY doc_id""".stripMargin,
     "q_asof" ->
       s"""$Cte,

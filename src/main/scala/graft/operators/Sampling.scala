@@ -84,6 +84,37 @@ object Sampling {
     docs.filter(b < thresholdCol)
   }
 
+  /** Downsample to a target source MIXTURE (the data-mixing step before
+    * training): given target proportions over strata, find the largest
+    * output size achievable by pure downsampling — λ = min over targeted
+    * strata of count_s / target_s — and keep rate_s = λ·target_s/count_s
+    * of each stratum (≤ 1 by construction; the binding stratum keeps
+    * everything). Strata without a target are dropped. Selection is the
+    * deterministic hash bucket of [[stratifiedSample]], so reruns and
+    * incremental appends keep their decisions.
+    *
+    * The per-stratum counts are ONE distributed aggregation collected as
+    * |strata| rows (bounded — strata are domains, not documents); rate
+    * arithmetic happens driver-side in a fixed op order (c/t min, then
+    * λ·t/c) so an independent SQL replay reproduces the thresholds
+    * bit-for-bit. Realized proportions quantize to the 1/[[BucketCount]]
+    * grid per stratum — exact-count mixing (takeSample semantics) would
+    * need a per-stratum rank, a shuffle this deliberately avoids.
+    */
+  def mixtureSample(docs: DataFrame, targets: Map[String, Double],
+                    stratum: String = "source", key: String = "doc_id",
+                    salt: String = "mix"): DataFrame = {
+    require(targets.nonEmpty, "need at least one target proportion")
+    require(targets.values.forall(_ > 0), "target proportions must be positive")
+    val counts = docs.groupBy(stratum).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, s"no targeted stratum present in the data: ${targets.keys}")
+    val lambda = present.map { case (s, t) => counts(s).toDouble / t }.min
+    val rates = present.map { case (s, t) => s -> lambda * t / counts(s) }
+    stratifiedSample(docs, stratum, rates, defaultRate = 0.0, key, salt)
+  }
+
   /** Keep the top-k rows per stratum under the given ordering — the
     * "best k documents per domain" selection step of corpus curation.
     *

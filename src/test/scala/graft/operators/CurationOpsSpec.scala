@@ -52,6 +52,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a.forall { case (id, s) => b(id) == s })
   }
 
+  test("mixtureSample: binding stratum kept whole, others hit bucket-exact thresholds") {
+    import spark.implicits._
+    import TestBuckets.jvmBucket
+    // a:100 docs, b:50 docs, targets 50/50 → λ = min(100/0.5, 50/0.5) =
+    // 100 → rate_a = 0.5, rate_b = 1.0 (binding stratum keeps everything)
+    val d = ((0L until 100L).map(i => (i, s"t $i", "a")) ++
+             (100L until 150L).map(i => (i, s"t $i", "b")))
+      .toDF("doc_id", "text", "source")
+    val kept = Sampling.mixtureSample(d, Map("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = ((0L until 100L).filter(i => jvmBucket(i.toString, "mix") < 5000)
+        .map(i => (i, "a")) ++
+      (100L until 150L).map(i => (i, "b"))).toSet
+    assert(kept == expected)
+    // untargeted strata are dropped entirely
+    val d2 = d.union(Seq((200L, "x", "c")).toDF("doc_id", "text", "source"))
+    assert(Sampling.mixtureSample(d2, Map("a" -> 0.5, "b" -> 0.5))
+      .filter(col("source") === "c").count() == 0)
+  }
+
   test("stratifiedSample: per-stratum rates respected, salt decorrelates from split") {
     import spark.implicits._
     val d = (0L until 2000L).map(i => (i, s"t $i", if (i % 2 == 0) "a" else "b"))
