@@ -203,4 +203,25 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("percentile"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("repetition signals plan: map-only — no aggregate, no join, one sort only") {
+    val p = plan("q_repetition")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    // the only wide stage is the contract ORDER BY (rangepartitioning)
+    assert(p.contains("Sort"), p)
+  }
+
+  test("interval join contract plan: equi-join on the bin, no nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sq8 top-k plan: broadcast 1-row query side, single corpus pass") {
+    val p = plan("q_ann_topk_sq8")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
