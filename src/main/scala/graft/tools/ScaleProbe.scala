@@ -131,6 +131,39 @@ object ScaleProbe {
     }
   }
 
+  /** Interval-join probe: n points vs n/10 intervals (no equality key) —
+    * the naive `BETWEEN` plan is a BroadcastNestedLoopJoin doing
+    * n·(n/10) compares; [[graft.queries.IntervalJoin.pointInInterval]]
+    * bins both sides and equi-joins. Interval spans are drawn around the
+    * bin width so replication stays small. Both plans must return the
+    * same match count.
+    */
+  private def intervalProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.queries.IntervalJoin
+    import spark.implicits._
+    val w = 1000L
+    for (n <- ns) {
+      val points = spark.range(n.toLong)
+        .select((xxhash64(col("id")) % (n * 100L)).as("ts"))
+        .filter(col("ts") >= 0).localCheckpoint(true)
+      val intervals = spark.range(n / 10L)
+        .select((xxhash64(col("id"), lit(1)) % (n * 100L)).as("s"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(3 * w)) + 1).as("len"))
+        .filter(col("s") >= 0)
+        .select(col("s"), (col("s") + col("len")).as("e"))
+        .localCheckpoint(true)
+      val (naiveMatches, tNaive) = time(
+        points.join(intervals, col("ts") >= col("s") && col("ts") < col("e")).count())
+      spark.catalog.clearCache(); System.gc()
+      val (binnedMatches, tBinned) = time(
+        IntervalJoin.pointInInterval(points, intervals, "ts", "s", "e", w).count())
+      spark.catalog.clearCache(); System.gc()
+      require(naiveMatches == binnedMatches,
+        s"match mismatch: naive=$naiveMatches binned=$binnedMatches")
+      println(s"""{"n_points":$n,"n_intervals":${n / 10},"matches":$naiveMatches,"naive_sec":${f"$tNaive%.2f"},"binned_sec":${f"$tBinned%.2f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -143,6 +176,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.lift(2).contains("embed")) {
       embedProbe(spark, ms)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("interval")) {
+      intervalProbe(spark, ms) // ms are point counts here
       spark.stop()
       return
     }
