@@ -300,6 +300,11 @@ object SparkEntry {
 
     // sequence packing: token-budget chunking in corpus order via a
     // two-phase distributed prefix sum (no single-task global window)
+    // context-window chunking: 64-token windows, 8-token overlap —
+    // map-only, integer boundary arithmetic replayed exactly in SQL
+    "q_chunk" -> ((s, d) =>
+      graft.operators.Packing.chunkDocuments(table(s, d, "documents"),
+        maxTokens = 64, overlap = 8)),
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.Packing.assignSequences(table(s, d, "documents"), budget = 2048)),
 
@@ -787,6 +792,18 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // integer chunk arithmetic: nchunks = max(1, (n-8+55)//56), start =
+    // c*56+1 (1-based slice), len = min(64, n - c*56)
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, len(w) AS n,
+        |             GREATEST(1, (len(w) - 8 + 55) // 56) AS nchunks
+        |      FROM t),
+        |c AS (SELECT doc_id, w, n, unnest(range(0, nchunks)) AS chunk_id FROM p)
+        |SELECT doc_id, chunk_id,
+        |       LEAST(64, n - chunk_id * 56) AS n_tokens,
+        |       array_to_string(w[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // global exclusive prefix sum replayed as a single-threaded window
     // (fine for the oracle; the Spark side must NOT use a global window)
     "q_pack_sequences" ->

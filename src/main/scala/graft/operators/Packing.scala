@@ -63,4 +63,30 @@ object Packing {
     }.toDF("doc_id", "n_tokens", "seq_id")
       .orderBy("doc_id")
   }
+
+  /** Context-window chunking: split each document into fixed
+    * `maxTokens`-token windows advancing by `maxTokens − overlap` —
+    * the per-document sibling of [[assignSequences]] (which packs whole
+    * docs ACROSS sequence boundaries, while this splits docs that exceed
+    * one window). Chunk count = max(1, ⌈(n − overlap)/stride⌉), so every
+    * document emits at least one chunk and every token is covered; all
+    * boundary arithmetic is integer (`div`), bit-identical in any engine.
+    *
+    * Scale shape: map-only (split → explode of a per-doc chunk sequence
+    * → slice), no shuffle, pipelines with any downstream tokenizer;
+    * output size is corpus tokens × (1 + overlap/stride).
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, greatest(1L, (size(w) - $overlap + ${stride - 1}) div $stride) - 1)")))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(maxTokens), size(col("w")) - col("chunk_id") * stride)
+          .cast("long").as("n_tokens"),
+        expr(s"array_join(slice(w, chunk_id * $stride + 1, $maxTokens), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

@@ -186,6 +186,28 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 500L, 0L)))
   }
 
+  test("chunkDocuments: overlapped windows cover every token, boundary arithmetic exact") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    // maxTokens=4, overlap=1 → stride 3; n=10 → 3 chunks: [1..4] [4..7] [7..10]
+    val got = Packing.chunkDocuments(d, maxTokens = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 1L, "solo")))
+    // every token of every doc appears in some chunk (coverage), and no
+    // chunk exceeds the window
+    val real = Packing.chunkDocuments(docs, maxTokens = 64, overlap = 8)
+    assert(real.filter(col("n_tokens") > 64 || col("n_tokens") < 1).count() == 0)
+    val covered = real.groupBy("doc_id")
+      .agg(max(col("chunk_id") * 56 + col("n_tokens")).as("last"))
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    assert(covered.join(lens, "doc_id").filter(col("last") =!= col("n")).count() == 0)
+  }
+
   test("IVF index without graft.nlist property fails loudly") {
     import spark.implicits._
     emb.limit(5).write.mode("overwrite").saveAsTable("ivf_bogus_idx")
