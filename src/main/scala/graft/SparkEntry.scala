@@ -153,6 +153,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     }),
+    // the SAME batch-vs-index dedup through the streaming gate: index
+    // persisted once, the "crawl" streamed in micro-batches
+    // (maxFilesPerTrigger=1 under AvailableNow), novel docs appended to
+    // the output store — the full streaming path sits inside the
+    // correctness gate; oracle = odd docs with no exact cross-slice pair
+    "q_dedup_stream" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val idxDocs = docs.filter(col("doc_id") % 2 === 0)
+      graft.operators.Dedup.writeSignatureIndex(idxDocs, "graft_stream_sig_index")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
+        .repartition(3).write.parquet(s"$tmp/input")
+      graft.streaming.DedupStream.start(s, s"$tmp/input", "graft_stream_sig_index",
+          idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
+    }),
     // SimHash hamming<=3 near-dups (rows-only oracle)
     "q_dedup_simhash" -> ((s, d) =>
       graft.operators.Dedup.simhashPairs(table(s, d, "documents"))),
@@ -669,6 +686,20 @@ object SparkEntry {
         |SELECT doc_new, doc_index, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
         |ORDER BY doc_new, doc_index""".stripMargin,
+    // survivors of the streaming gate = odd docs with NO exact
+    // cross-slice pair (same empirical-recall caveat as the batch tiers)
+    "q_dedup_stream" ->
+      s"""WITH sh AS ($shingleCteSql),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_new, count(*) AS inter,
+        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  GROUP BY a.doc_id, b.doc_id),
+        |dup AS (SELECT DISTINCT doc_new FROM pairs
+        |        WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_new FROM dup)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
     // same bit-for-bit SimHash replay, restricted to new×index pairs
     "q_dedup_simhash_inc" -> simhashOracleSql(3, incremental = true),

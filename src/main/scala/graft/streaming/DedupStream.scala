@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming near-dup gate: a document stream (today's crawl) is checked
+  * per micro-batch against a PERSISTED MinHash signature index
+  * ([[Dedup.writeSignatureIndex]]) and only novel documents reach the
+  * output store — the streaming face of the incremental dedup tier.
+  *
+  * Contract: the gate deduplicates the stream AGAINST THE INDEX. Two
+  * novel near-duplicates arriving in the same stream both pass (neither
+  * is in the index); append the accepted batch's band hashes to the
+  * index table if in-stream self-dedup matters. That keeps the
+  * per-batch state EXTERNAL (the bucketed index table) instead of
+  * unbounded in-memory streaming state — at 100 TB the index is a
+  * co-partitioned table read, not a Spark state store.
+  *
+  * `foreachBatch` is the idiom: inside the batch hook the full
+  * batch-side machinery runs unchanged ([[Dedup.minhashPairsAgainstIndex]]
+  * — catalog-validated parameters, co-partitioned band join,
+  * candidate-bounded exact verification), so streaming and batch cannot
+  * drift. Parquet appends are at-least-once on batch replay (same
+  * caveat as [[IngestPipeline.startBmw]]); an idempotent sink keyed on
+  * doc_id upgrades to exactly-once.
+  */
+object DedupStream {
+
+  def start(spark: SparkSession, inputDir: String, indexTable: String,
+            indexDocs: DataFrame, outputDir: String, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    // parquet file stream needs an explicit schema: take it from a batch
+    // peek at the same directory (driver-side metadata read only)
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dups = Dedup.minhashPairsAgainstIndex(batch.toDF(), indexTable, indexDocs)
+          .select(col("doc_new").as("doc_id")).distinct()
+        batch.toDF().join(dups, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outputDir)
+      }
+      .start()
+  }
+}

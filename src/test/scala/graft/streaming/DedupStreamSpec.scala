@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming near-dup gate vs the batch incremental tier: the streamed
+  * result must equal the batch anti-join, regardless of micro-batch
+  * boundaries (maxFilesPerTrigger=1 forces several).
+  */
+class DedupStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streamed gate == batch anti-join across micro-batch boundaries") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idxDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    Dedup.writeSignatureIndex(idxDocs, "dedup_stream_spec_index")
+    try {
+      val tmp = Files.createTempDirectory("ds").toString
+      val (in, out, cp) = (s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+      newDocs.repartition(4).write.parquet(in)
+      DedupStream.start(spark, in, "dedup_stream_spec_index", idxDocs, out, cp,
+        maxFilesPerTrigger = Some(1)).awaitTermination()
+      val streamed = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batchDups = Dedup.minhashPairsAgainstIndex(
+          newDocs, "dedup_stream_spec_index", idxDocs)
+        .select("doc_new").collect().map(_.getLong(0)).toSet
+      val expected = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet -- batchDups
+      assert(streamed == expected)
+      assert(batchDups.nonEmpty, "fixture should contain at least one cross-slice near-dup")
+    } finally spark.sql("DROP TABLE IF EXISTS dedup_stream_spec_index")
+  }
+}
