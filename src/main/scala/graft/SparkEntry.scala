@@ -452,6 +452,25 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
+    // Q18-shaped large-volume customers: the HAVING subquery becomes ONE
+    // reusable per-order aggregation whose selective result (~1% of
+    // orders at qty > 250) then BROADCASTS through the orders and
+    // customer joins — the semi-join never re-shuffles the fact table,
+    // the shape that survives a 100× scale-up
+    "q_tpch_big_orders" -> ((s, d) => {
+      val hot = table(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sround(sum("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = table(s, d, "orders").select("o_orderkey", "o_custkey")
+      val c = table(s, d, "customer").select("c_custkey", "c_name")
+      broadcast(hot)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
     // Q3-shaped shipping-priority: selective dim (BUILDING customers)
     // broadcast into the orders×lineitem shuffle join, top-10 revenue.
     // The big-big join shuffles on the order key; the customer filter is a
@@ -959,6 +978,14 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_big_orders" ->
+      """WITH hot AS (
+        |  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, total_qty
+        |FROM hot JOIN orders ON l_orderkey = o_orderkey
+        |         JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "q_tpch_shipping" ->
       """SELECT l_orderkey,
         |       CAST(epoch_us(o_orderdate)/1000000 AS BIGINT) AS o_date_s,

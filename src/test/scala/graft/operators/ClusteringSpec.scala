@@ -64,6 +64,16 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cc.size == 64 && cc.values.forall(_ == 1L))
   }
 
+  test("1024-node path converges within 12 star-contraction rounds") {
+    import spark.implicits._
+    // diameter 1023 — naive min-propagation would need ~1023 rounds; the
+    // O(log² n) contraction must close it in ≤ 12 (maxIter throws if not)
+    val edges = (1L until 1024L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Clustering.connectedComponents(edges, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 1024 && cc.forall(_._2 == 1L))
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val edgeGen = for {
       n <- Gen.choose(1, 60)
