@@ -257,6 +257,11 @@ object SparkEntry {
     }),
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
+    // winnowing fingerprints (rolling-hash local fingerprints, MOSS):
+    // map-only; oracle recomputes each k-gram hash as the direct modular
+    // polynomial and replays the rightmost-min window selection
+    "q_winnow" -> ((s, d) =>
+      graft.operators.TextAnalysis.winnowFingerprints(table(s, d, "documents"))),
     // vocabulary build: top-K tokens by total frequency + doc frequency
     "q_vocab" -> ((s, d) =>
       graft.operators.TextAnalysis.vocabulary(table(s, d, "documents"), k = 100)),
@@ -798,6 +803,7 @@ object SparkEntry {
          |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q_winnow" -> winnowOracleSql,
     "q_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
@@ -1128,6 +1134,32 @@ object SparkEntry {
     * [[graft.operators.Sampling.bucket]] bit-for-bit via a hex-digit
     * Horner reduce (DuckDB has md5 but no hex→int conversion).
     */
+  /** Winnowing replay: the rolling hash recomputed as the direct modular
+    * polynomial (identical values — both reduce mod the same prime), then
+    * the rightmost-min window selection as nested list comprehensions.
+    */
+  private def winnowOracleSql: String = {
+    import graft.operators.TextAnalysis.{WinnowK => K, WinnowW => W}
+    val P = 1000000007L
+    val pw = (0 until K).map(j => BigInt(257).modPow(BigInt(K - 1 - j), BigInt(P)))
+    val pwList = pw.map(p => s"CAST($p AS BIGINT)").mkString("[", ",", "]")
+    s"""WITH h AS (
+       |  SELECT doc_id, length(text) - $K + 1 AS m,
+       |    [ list_sum([ CAST(unicode(substr(text, i + j, 1)) AS BIGINT) * ($pwList)[j+1]
+       |                 for j in range(0, $K) ]) % $P
+       |      for i in range(1, length(text) - $K + 2) ] AS hs
+       |  FROM documents WHERE length(text) >= $K),
+       |fp AS (
+       |  SELECT doc_id, hs,
+       |    CASE WHEN m >= $W THEN
+       |      list_distinct([ list_max([ i for i in range(j, j + $W) if hs[i] = list_min(hs[j : j + $W - 1]) ])
+       |                      for j in range(1, m - $W + 2) ])
+       |    ELSE [ list_max([ i for i in range(1, m + 1) if hs[i] = list_min(hs) ]) ] END AS poss
+       |  FROM h)
+       |SELECT doc_id, unnest(poss) - 1 AS pos, hs[unnest(poss)] AS fp
+       |FROM fp ORDER BY doc_id, pos""".stripMargin
+  }
+
   private def md5BucketSql(salt: String, keyExpr: String): String =
     s"""(list_reduce(list_transform(range(1, 9),
        |   i -> CAST(strpos('0123456789abcdef',

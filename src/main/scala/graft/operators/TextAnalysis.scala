@@ -201,6 +201,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): Rabin–Karp ROLLING hashes of all `k`-char
+    * grams, then per sliding window of `w` hash positions keep the
+    * rightmost minimal hash — guarantees any shared substring of length
+    * ≥ k + w − 1 yields a shared fingerprint, while storing only ~2/(w+1)
+    * of positions. Unlike [[fingerprint]] (whole-doc md5, exact dup only)
+    * these are LOCAL fingerprints: two docs sharing a long passage share
+    * fingerprint values, so a groupBy on `fp` finds copied spans.
+    *
+    * Map-only pass (the rolling recurrence is O(chars) per doc); the
+    * oracle replays the hash as the direct modular polynomial — same
+    * values, bit-for-bit, since both reduce mod the same prime.
+    */
+  val WinnowK = 8   // k-gram width (chars)
+  val WinnowW = 4   // winnowing window (hash positions)
+  private val WinnowB = 257L
+  private val WinnowP = 1000000007L
+
+  private val winnowUdf = udf { (text: String) =>
+    val k = WinnowK; val w = WinnowW
+    val n = text.length
+    if (n < k) Seq.empty[(Int, Long)]
+    else {
+      val m = n - k + 1
+      val h = new Array[Long](m)
+      var topPow = 1L
+      var j = 0
+      while (j < k - 1) { topPow = topPow * WinnowB % WinnowP; j += 1 }
+      var acc = 0L
+      j = 0
+      while (j < k) { acc = (acc * WinnowB + text.charAt(j)) % WinnowP; j += 1 }
+      h(0) = acc
+      var i = 1
+      while (i < m) {
+        acc = ((acc + WinnowP - text.charAt(i - 1) * topPow % WinnowP) % WinnowP
+          * WinnowB + text.charAt(i + k - 1)) % WinnowP
+        h(i) = acc
+        i += 1
+      }
+      val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+      if (m >= w) {
+        var s = 0
+        while (s <= m - w) {
+          var best = s
+          var p = s
+          while (p < s + w) { if (h(p) <= h(best)) best = p; p += 1 } // <= ⇒ rightmost min
+          out += ((best, h(best)))
+          s += 1
+        }
+      } else {
+        var best = 0
+        i = 0
+        while (i < m) { if (h(i) <= h(best)) best = i; i += 1 }
+        out += ((best, h(best)))
+      }
+      out.toSeq
+    }
+  }
+
+  /** (doc_id, pos, fp) winnowed fingerprints per document; `pos` is the
+    * 0-based character offset of the selected k-gram.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(winnowUdf(col("text"))).as("r"))
+      .select(col("doc_id"), col("r._1").as("pos"), col("r._2").as("fp"))
+      .orderBy("doc_id", "pos")
+
   /** Bigram language-model scoring (CCNet-style perplexity filtering,
     * Wenzek et al. 2020): a bigram LM with add-one smoothing is built
     * from a REFERENCE corpus (the clean slice a real pipeline trains

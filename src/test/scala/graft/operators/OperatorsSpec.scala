@@ -84,6 +84,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("winnowFingerprints: guarantee — long shared substrings share a fingerprint") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d = Seq(
+      (1L, s"prefix one $shared and a tail"),
+      (2L, s"completely different opening here $shared closing words"),
+      (3L, "no overlap with anything else at all in this document"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // winnowing guarantee: a shared substring of length >= k+w-1 (11)
+    // yields at least one shared fingerprint VALUE
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty || (fps(2L) & fps(3L)).isEmpty)
+    assert(!fps.contains(4L)) // shorter than k ⇒ no fingerprints
+    // density: ~2/(w+1) of positions, never more than all windows
+    val n1 = d.filter($"doc_id" === 1L).head.getString(1).length
+    assert(fps(1L).size <= n1 - TextAnalysis.WinnowK + 1)
+  }
+
   test("lmScore: hand-computed add-one bigram NLL, degenerate docs score 0") {
     import spark.implicits._
     val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
