@@ -262,6 +262,14 @@ object SparkEntry {
     // polynomial and replays the rightmost-min window selection
     "q_winnow" -> ((s, d) =>
       graft.operators.TextAnalysis.winnowFingerprints(table(s, d, "documents"))),
+    // MOSS-style copied-span report: doc pairs sharing >= 10 winnowed
+    // fingerprint values after dropping boilerplate fps present in > 20
+    // docs (the df² stop-shingle argument; unpruned, 8-char grams of a
+    // same-vocabulary corpus connect ~85% of ALL pairs at minShared=3 —
+    // measured, not hypothetical). The oracle replays the cutoff.
+    "q_winnow_pairs" -> ((s, d) =>
+      graft.operators.TextAnalysis.sharedSpanPairs(table(s, d, "documents"),
+        minShared = 10, maxDocsPerFp = Some(20))),
     // vocabulary build: top-K tokens by total frequency + doc frequency
     "q_vocab" -> ((s, d) =>
       graft.operators.TextAnalysis.vocabulary(table(s, d, "documents"), k = 100)),
@@ -804,6 +812,15 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
     "q_winnow" -> winnowOracleSql,
+    "q_winnow_pairs" ->
+      s"""WITH w AS ($winnowOracleSql),
+         |df AS (SELECT DISTINCT doc_id, fp FROM w),
+         |hot AS (SELECT fp FROM df GROUP BY fp HAVING count(*) > 20),
+         |pr AS (SELECT * FROM df WHERE fp NOT IN (SELECT fp FROM hot))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df

@@ -268,6 +268,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("r._1").as("pos"), col("r._2").as("fp"))
       .orderBy("doc_id", "pos")
 
+  /** MOSS-style copied-span report over [[winnowFingerprints]]: document
+    * pairs sharing ≥ `minShared` distinct fingerprint values — i.e. pairs
+    * with that many independently-selected common k-grams, the winnowing
+    * evidence of copied passages. The complement of the Jaccard tier:
+    * catches a long verbatim span inside otherwise-different documents,
+    * which whole-doc similarity dilutes below any threshold.
+    *
+    * Scale shape: one fingerprint pass, (doc, fp) dedup, then the same
+    * bucket-grouping as `Dedup.minhashCandidates` (fp buckets → in-bucket
+    * pairs; the sketch pass runs ONCE, never once per join side).
+    * `maxDocsPerFp` drops boilerplate fingerprints shared by more docs
+    * (df² bucket blowup, no copied-span signal — the stop-shingle
+    * argument); None keeps exact semantics for the oracle.
+    */
+  def sharedSpanPairs(docs: DataFrame, minShared: Int = 3,
+                      maxDocsPerFp: Option[Int] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docFps = winnowFingerprints(docs).select("doc_id", "fp").distinct()
+    val buckets0 = docFps.groupBy("fp")
+      .agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")) > 1)
+    val buckets = maxDocsPerFp match {
+      case Some(mx) => buckets0.filter(size(col("ds")) <= mx)
+      case None => buckets0
+    }
+    buckets.select(col("ds")).as[Seq[Long]]
+      .flatMap { ds =>
+        val sorted = ds.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Bigram language-model scoring (CCNet-style perplexity filtering,
     * Wenzek et al. 2020): a bigram LM with add-one smoothing is built
     * from a REFERENCE corpus (the clean slice a real pipeline trains

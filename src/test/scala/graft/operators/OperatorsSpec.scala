@@ -104,6 +104,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(1L).size <= n1 - TextAnalysis.WinnowK + 1)
   }
 
+  test("sharedSpanPairs: copied passage detected, unrelated docs silent") {
+    import spark.implicits._
+    val span = "for the first time in recorded history the committee voted unanimously to adopt"
+    val d = Seq(
+      (1L, s"intro alpha beta $span gamma delta"),
+      (2L, s"totally different words precede $span and follow after"),
+      (3L, "independent content with no shared passage whatsoever in it")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.sharedSpanPairs(d, minShared = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("lmScore: hand-computed add-one bigram NLL, degenerate docs score 0") {
     import spark.implicits._
     val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
