@@ -5,7 +5,7 @@ import graft.queries.TimeseriesQueries._
 import graft.operators.{Redaction, TextAnalysis}
 import graft.sources.EventsAsConditions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, format_string, lit, sum, timestamp_seconds, unix_micros, round => sround}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, format_string, lit, sum, timestamp_seconds, unix_micros, round => sround}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -127,6 +127,26 @@ object SparkEntry {
       val docs = table(s, d, "documents")
       graft.operators.Clustering.assignComponents(docs,
           graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10)))
+        .orderBy("doc_id")
+    }),
+    // incremental cluster maintenance: yesterday's assignment (even-only
+    // pair graph) + today's new pairs (those touching odd docs) must
+    // reproduce the full-graph clusters EXACTLY — shares the
+    // q_dedup_clusters oracle, so the incremental path is hash-checked
+    // against the from-scratch closure
+    "q_dedup_clusters_inc" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = graft.operators.Dedup
+        .jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10))
+        .localCheckpoint(true) // feeds both slices below — one evaluation
+      val oldAssign = graft.operators.Clustering.connectedComponents(
+        pairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0))
+      val updated = graft.operators.Clustering.updateComponents(oldAssign,
+        pairs.filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1))
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(updated, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
         .orderBy("doc_id")
     }),
     // keep-one-per-cluster dedup: the anti-join key set is only the
@@ -701,6 +721,8 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardOracleSql,
     "q_dedup_jaccard_bounded" -> jaccardBoundedOracleSql(10),
     "q_dedup_clusters" -> clustersOracleSql(10),
+    // the incremental update must equal the from-scratch closure
+    "q_dedup_clusters_inc" -> clustersOracleSql(10),
     "q_dedup_reps" -> repsOracleSql(10),
     // same exact-join oracle: LSH+exact-verify equals the exact tier
     // wherever recall holds — the hash match checks that empirically for

@@ -95,6 +95,27 @@ object Clustering {
       .distinct()
   }
 
+  /** Incremental component update — the daily-crawl shape for cluster
+    * resolution: yesterday's (node, component) ASSIGNMENT is re-used as
+    * its star edge set (node—component, already a converged fixpoint) and
+    * unioned with today's NEW pairs; the contraction loop then only pays
+    * for the merges the new edges actually cause (the old stars converge
+    * in O(1) rounds on their own). Exactly equal to recomputing
+    * [[connectedComponents]] over the full accumulated pair set — star
+    * edges preserve connectivity, and min-id labels are monotone under
+    * union — with per-day cost ∝ |assignment| + |new pairs| instead of
+    * |all pairs ever|.
+    */
+  def updateComponents(assignment: DataFrame, newPairs: DataFrame,
+                       src: String = "doc_a", dst: String = "doc_b",
+                       maxIter: Int = 25): DataFrame = {
+    val oldEdges = assignment
+      .select(col("node").as(src), col("component").as(dst))
+      .filter(col(src) =!= col(dst))
+    connectedComponents(
+      oldEdges.unionByName(newPairs.select(col(src), col(dst))), src, dst, maxIter)
+  }
+
   /** (id, component) for EVERY row of `docs`: documents in no duplicate
     * pair form their own singleton component. The component map is
     * proportional to the number of duplicated documents, not the corpus —

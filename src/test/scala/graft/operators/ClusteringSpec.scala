@@ -97,6 +97,34 @@ class ClusteringSpec extends AnyFunSuite {
     assert(checked == 10)
   }
 
+  test("updateComponents == full recompute on random edge splits") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L)
+      } yield (a, b))
+      cut <- Gen.choose(0, n)
+    } yield (edges.filter { case (a, b) => a != b }, cut)
+    var checked = 0
+    var draws = 0
+    while (checked < 6 && draws < 60) {
+      draws += 1
+      gen.sample.foreach { case (edges, cut) =>
+        val (oldE, newE) = edges.splitAt(math.min(cut, edges.length))
+        if (oldE.nonEmpty && newE.nonEmpty) {
+          val full = ccOf(edges)
+          val oldAssign = Clustering.connectedComponents(oldE.toDF("doc_a", "doc_b"))
+          val updated = Clustering.updateComponents(oldAssign, newE.toDF("doc_a", "doc_b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(updated == full, s"old=$oldE new=$newE")
+          checked += 1
+        }
+      }
+    }
+    assert(checked == 6)
+  }
+
   test("assignComponents labels singletons with their own id") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
