@@ -119,6 +119,18 @@ object SparkEntry {
     "q_dedup_jaccard_bounded" -> ((s, d) =>
       graft.operators.Dedup.jaccardPairs(table(s, d, "documents"), n = 3, threshold = 0.8,
         maxDf = Some(10))),
+    // which sources duplicate into which: bounded-Jaccard pairs joined to
+    // both sides' source labels — the corpus-provenance QA view
+    "q_dup_source_matrix" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10))
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
     // transitive duplicate CLUSTERS over the bounded-Jaccard pair graph:
     // large-star/small-star star contraction (O(log² n) rounds, each a
     // node-keyed shuffle) vs the oracle's recursive-CTE reachability
@@ -222,6 +234,16 @@ object SparkEntry {
       graft.operators.Ann.neardupPairsIncremental(
         e.filter(col("vec_id") % 2 === 1),
         e.filter(col("vec_id") % 2 === 0), threshold = 0.45)
+    }),
+    // duplicate-cluster resolution generalizes to the EMBEDDING pair
+    // graph unchanged: components of the exact cosine near-dup pairs,
+    // every vector labeled (singletons by themselves)
+    "q_embed_clusters" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.Clustering.assignComponents(
+          emb, graft.operators.Ann.neardupPairs(emb, threshold = 0.45),
+          idCol = "vec_id", src = "id_a", dst = "id_b")
+        .orderBy("vec_id")
     }),
     // LSH-bucketed near-dup pairs at the operator's design point
     // (cos ≥ 0.8, default bits=12/tables=6). The raw synthetic corpus has
@@ -484,6 +506,21 @@ object SparkEntry {
         .agg(sround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
+    }),
+    // deterministic salted join (Skew.saltedJoin) must be result-invisible:
+    // the hot-key spread + small-side replication aggregates to exactly
+    // the plain join. Integer-valued aggregates so the oracle is
+    // sum-order-proof.
+    "q_skew_join" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val ords = table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ords, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sround(sum("l_quantity"), 2).as("total_qty"))
+        .orderBy("o_orderpriority")
     }),
     // Q18-shaped large-volume customers: the HAVING subquery becomes ONE
     // reusable per-order aggregation whose selective result (~1% of
@@ -764,6 +801,20 @@ object SparkEntry {
     // ... and the persisted-index path at nProbe = nlist is the same scan
     "q_ann_ivf_indexed" -> annTopkOracleSql,
     "q_embed_neardup" -> neardupOracleSql,
+    // reachability closure over the exact cosine pair graph, every
+    // vector labeled — the embedding face of the clusters oracle
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE nd AS ($neardupOracleSql),
+         |e AS (SELECT id_a AS u, id_b AS v FROM nd
+         |      UNION SELECT id_b, id_a FROM nd),
+         |reach(n, r) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u),
+         |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n)
+         |SELECT em.vec_id, COALESCE(c.component, em.vec_id) AS component
+         |FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.n
+         |ORDER BY vec_id""".stripMargin,
     // cross-slice brute force: new (odd) × index (even), oriented sides
     "q_embed_neardup_inc" ->
       """WITH n AS (
@@ -1023,6 +1074,18 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    // the salted join must aggregate to exactly the plain join
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n, ROUND(SUM(l_quantity), 2) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dup_source_matrix" ->
+      s"""WITH ${jaccardBoundedPairsCte(10)}
+         |SELECT sa.source AS source_a, sb.source AS source_b, count(*) AS n_pairs
+         |FROM jp JOIN documents sa ON jp.doc_a = sa.doc_id
+         |        JOIN documents sb ON jp.doc_b = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_tpch_big_orders" ->
       """WITH hot AS (
         |  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
