@@ -281,6 +281,10 @@ object SparkEntry {
     // text analysis
     "q_token_count" -> ((s, d) =>
       graft.operators.TextAnalysis.tokenCount(table(s, d, "documents"))),
+    // BPE-ish regex token count (letter/digit/punct runs — the
+    // pre-tokenizer segmentation, Java/RE2-portable pattern)
+    "q_token_count_bpe" -> ((s, d) =>
+      graft.operators.TextAnalysis.tokenCountBpe(table(s, d, "documents"))),
     "q_lang_id" -> ((s, d) =>
       graft.operators.TextAnalysis.langId(table(s, d, "documents"))),
     "q_quality" -> ((s, d) =>
@@ -835,6 +839,12 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> lshPlantedOracleSql,
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id""",
+    // DuckDB single-quoted strings don't process backslash escapes, so
+    // the Scala pattern string embeds verbatim
+    "q_token_count_bpe" ->
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpeTokenPattern}')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> langIdSql,
     "q_ingest_emon" ->
       """SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS "timestamp",

@@ -88,6 +88,23 @@ object TextAnalysis {
     docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenizer segmentation: letter runs, digit runs and
+    * punctuation runs as separate tokens (the GPT-2 pre-tokenizer shape,
+    * WITHOUT its lookahead — the pattern must behave identically under
+    * Java regex and RE2, same portability rule as
+    * [[Redaction.DefaultRules]]). Digits splitting off words and
+    * punctuation counting separately is what makes this a better token
+    * BUDGET estimate than whitespace counting — "don't," is 3 BPE-ish
+    * tokens, one whitespace token.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def tokenCountBpe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Stopword-vote language ID; ties resolve to the alphabetically first
     * language (the CASE chain encodes that order explicitly).
     */

@@ -84,6 +84,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("tokenCountBpe: letter/digit/punct runs split, hand-counted") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "don't, stop me now"),    // don | ' | t | , | stop | me | now = 7
+      (2L, "abc123 x-y"),            // abc | 123 | x | - | y = 5
+      (3L, "   "),                   // whitespace only = 0
+      (4L, "plain words here")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenCountBpe(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 7L, 2L -> 5L, 3L -> 0L, 4L -> 3L))
+  }
+
   test("winnowFingerprints: guarantee — long shared substrings share a fingerprint") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
