@@ -164,6 +164,29 @@ object ScaleProbe {
     }
   }
 
+  /** Connected-components probe: path graphs (worst-case diameter = n)
+    * of growing size through [[graft.operators.Clustering.connectedComponents]].
+    * Naive min-label propagation needs one round PER HOP (n rounds); the
+    * star-contraction loop must stay in O(log² n) rounds — visible as
+    * near-flat wall-clock growth per decade. Each run asserts the graph
+    * collapsed to ONE component labeled by the min id.
+    */
+  private def ccProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.Clustering
+    import spark.implicits._
+    for (n <- ns) {
+      val edges = spark.range(1, n.toLong)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        .localCheckpoint(true)
+      val (labels, t) = time {
+        val cc = Clustering.connectedComponents(edges)
+        (cc.count(), cc.agg(max("component")).head().getLong(0))
+      }
+      require(labels == ((n.toLong, 1L)), s"n=$n got $labels")
+      println(s"""{"path_nodes":$n,"cc_sec":${f"$t%.2f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -181,6 +204,11 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("interval")) {
       intervalProbe(spark, ms) // ms are point counts here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("cc")) {
+      ccProbe(spark, ms) // ms are path-graph node counts here
       spark.stop()
       return
     }
