@@ -383,6 +383,10 @@ object SparkEntry {
         maxTokens = 64, overlap = 8)),
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.Packing.assignSequences(table(s, d, "documents"), budget = 2048)),
+    // materialized training sequences: docs concatenated in id order per
+    // sequence — oracle replays the concat as string_agg(ORDER BY doc_id)
+    "q_pack_materialize" -> ((s, d) =>
+      graft.operators.Packing.materializeSequences(table(s, d, "documents"), budget = 2048)),
 
     // multimodal: binary content + typed metadata, batched feature extract
     // (decode stubbed deterministically — no codecs in this container).
@@ -971,6 +975,17 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, n_tokens, prefix // 2048 AS seq_id
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_pack_materialize" ->
+      """WITH t AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |p AS (SELECT doc_id, text, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |      FROM t)
+        |SELECT prefix // 2048 AS seq_id, count(*) AS n_docs,
+        |       SUM(n_tokens) AS seq_tokens,
+        |       string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_split" ->
       s"""SELECT doc_id,
          |       CASE WHEN b < 9000 THEN 'train'

@@ -64,6 +64,27 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Materialized training sequences — the second half of
+    * [[assignSequences]]: each sequence's documents concatenated in
+    * doc_id order into one training example, with its doc count and
+    * token total. The heavy work stays in the distributed prefix sum;
+    * materialization is one seq_id-keyed aggregation whose per-group
+    * sort is bounded by docs-per-sequence (≈ budget / mean doc length),
+    * never the corpus.
+    */
+  def materializeSequences(docs: DataFrame, budget: Long): DataFrame =
+    assignSequences(docs, budget)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("seq_tokens"),
+        // struct array sorts by leading field (doc_id) — deterministic
+        // concat order, engine-replayable as string_agg(... ORDER BY)
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("seq_text"))
+      .orderBy("seq_id")
+
   /** Context-window chunking: split each document into fixed
     * `maxTokens`-token windows advancing by `maxTokens − overlap` —
     * the per-document sibling of [[assignSequences]] (which packs whole

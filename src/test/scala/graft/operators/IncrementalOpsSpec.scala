@@ -186,6 +186,18 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 500L, 0L)))
   }
 
+  test("materializeSequences: token totals conserved, in-sequence order by doc_id") {
+    import spark.implicits._
+    val d = Seq((3L, "c c"), (1L, "a a a"), (2L, "b"), (4L, "d d d d")).toDF("doc_id", "text")
+    // budget 4, corpus order 1(3),2(1),3(2),4(4): prefixes 0,3,4,6 → seqs 0,0,1,1
+    val got = Packing.materializeSequences(d, budget = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((0L, 2L, 4L, "a a a b"), (1L, 2L, 6L, "c c d d d d")))
+    val real = Packing.materializeSequences(docs, budget = 2048)
+    val totalTokens = TextAnalysis.tokenCount(docs).agg(sum("n_tokens")).head.getLong(0)
+    assert(real.agg(sum("seq_tokens")).head.getLong(0) == totalTokens)
+  }
+
   test("chunkDocuments: overlapped windows cover every token, boundary arithmetic exact") {
     import spark.implicits._
     val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "solo"))
