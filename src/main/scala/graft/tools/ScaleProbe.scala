@@ -187,6 +187,38 @@ object ScaleProbe {
     }
   }
 
+  /** Incremental-clustering probe: a path graph with every 10th edge
+    * held out — yesterday's assignment covers the resulting segments,
+    * today's batch is the held-out connector edges. Compares
+    * [[graft.operators.Clustering.updateComponents]] (stars ∪ new edges)
+    * against a full recompute over all edges; both must produce the
+    * single min-labeled component.
+    */
+  private def ccIncrProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.Clustering
+    import spark.implicits._
+    for (n <- ns) {
+      val all = spark.range(1, n.toLong)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        .localCheckpoint(true)
+      val oldE = all.filter(col("doc_a") % 10 =!= 0).localCheckpoint(true)
+      val newE = all.filter(col("doc_a") % 10 === 0).localCheckpoint(true)
+      val assign = Clustering.connectedComponents(oldE).localCheckpoint(true)
+      val (fullRes, tFull) = time {
+        val cc = Clustering.connectedComponents(all)
+        (cc.count(), cc.agg(max("component")).head().getLong(0))
+      }
+      spark.catalog.clearCache(); System.gc()
+      val (incrRes, tIncr) = time {
+        val cc = Clustering.updateComponents(assign, newE)
+        (cc.count(), cc.agg(max("component")).head().getLong(0))
+      }
+      require(fullRes == incrRes && fullRes == ((n.toLong, 1L)),
+        s"n=$n full=$fullRes incr=$incrRes")
+      println(s"""{"path_nodes":$n,"full_sec":${f"$tFull%.2f"},"incr_sec":${f"$tIncr%.2f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -209,6 +241,11 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("cc")) {
       ccProbe(spark, ms) // ms are path-graph node counts here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("ccincr")) {
+      ccIncrProbe(spark, ms) // ms are path-graph node counts here
       spark.stop()
       return
     }
