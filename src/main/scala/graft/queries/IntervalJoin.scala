@@ -29,6 +29,10 @@ object IntervalJoin {
     * are additional equality keys present on both sides (e.g. the
     * subject); intervals may overlap — a point matches each containing
     * interval. Empty intervals (end ≤ start) match nothing.
+    *
+    * Timestamps must be non-negative (epoch µs): `div` truncates toward
+    * zero, so a negative timestamp would bin one slot too high and miss
+    * matches at bin boundaries.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       tsCol: String, startCol: String, endCol: String,
