@@ -973,7 +973,7 @@ object SparkEntry {
         |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
         |      FROM t)
-        |SELECT doc_id, n_tokens, prefix // 2048 AS seq_id
+        |SELECT doc_id, n_tokens, CAST(prefix // 2048 AS BIGINT) AS seq_id
         |FROM p ORDER BY doc_id""".stripMargin,
     "q_pack_materialize" ->
       """WITH t AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -982,8 +982,8 @@ object SparkEntry {
         |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
         |      FROM t)
-        |SELECT prefix // 2048 AS seq_id, count(*) AS n_docs,
-        |       SUM(n_tokens) AS seq_tokens,
+        |SELECT CAST(prefix // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
         |       string_agg(text, ' ' ORDER BY doc_id) AS seq_text
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_split" ->
@@ -1272,8 +1272,8 @@ object SparkEntry {
     val pwList = pw.map(p => s"CAST($p AS BIGINT)").mkString("[", ",", "]")
     s"""WITH h AS (
        |  SELECT doc_id, length(text) - $K + 1 AS m,
-       |    [ list_sum([ CAST(unicode(substr(text, i + j, 1)) AS BIGINT) * ($pwList)[j+1]
-       |                 for j in range(0, $K) ]) % $P
+       |    [ CAST(list_sum([ CAST(unicode(substr(text, i + j, 1)) AS BIGINT) * ($pwList)[j+1]
+       |                 for j in range(0, $K) ]) % $P AS BIGINT)
        |      for i in range(1, length(text) - $K + 2) ] AS hs
        |  FROM documents WHERE length(text) >= $K),
        |fp AS (

@@ -238,8 +238,12 @@ object TextAnalysis {
 
   private val winnowUdf = udf { (text: String) =>
     val k = WinnowK; val w = WinnowW
-    val n = text.length
-    if (n < k) Seq.empty[(Int, Long)]
+    // Codepoints, not UTF-16 chars: the oracle hashes unicode(substr(..)),
+    // which is per-codepoint, and `pos` counts character (codepoint)
+    // offsets — charAt would diverge on any supplementary character.
+    val cp = text.codePoints().toArray
+    val n = cp.length
+    if (n < k) Seq.empty[(Long, Long)]
     else {
       val m = n - k + 1
       val h = new Array[Long](m)
@@ -248,30 +252,30 @@ object TextAnalysis {
       while (j < k - 1) { topPow = topPow * WinnowB % WinnowP; j += 1 }
       var acc = 0L
       j = 0
-      while (j < k) { acc = (acc * WinnowB + text.charAt(j)) % WinnowP; j += 1 }
+      while (j < k) { acc = (acc * WinnowB + cp(j)) % WinnowP; j += 1 }
       h(0) = acc
       var i = 1
       while (i < m) {
-        acc = ((acc + WinnowP - text.charAt(i - 1) * topPow % WinnowP) % WinnowP
-          * WinnowB + text.charAt(i + k - 1)) % WinnowP
+        acc = ((acc + WinnowP - cp(i - 1) * topPow % WinnowP) % WinnowP
+          * WinnowB + cp(i + k - 1)) % WinnowP
         h(i) = acc
         i += 1
       }
-      val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+      val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
       if (m >= w) {
         var s = 0
         while (s <= m - w) {
           var best = s
           var p = s
           while (p < s + w) { if (h(p) <= h(best)) best = p; p += 1 } // <= ⇒ rightmost min
-          out += ((best, h(best)))
+          out += ((best.toLong, h(best)))
           s += 1
         }
       } else {
         var best = 0
         i = 0
         while (i < m) { if (h(i) <= h(best)) best = i; i += 1 }
-        out += ((best, h(best)))
+        out += ((best.toLong, h(best)))
       }
       out.toSeq
     }

@@ -116,6 +116,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(1L).size <= n1 - TextAnalysis.WinnowK + 1)
   }
 
+  test("winnowFingerprints: codepoint semantics — supplementary chars count as one position") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    // same 4-codepoint prefix length; doc 2's prefix is 8 UTF-16 units
+    val d = Seq(
+      (1L, s"aaaa$shared"),
+      (2L, s"😀😀😀😀$shared")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    // deep inside the shared suffix (pos beyond any window touching the
+    // prefix) the selected (pos, fp) pairs must be IDENTICAL — true only
+    // if positions/hashes count codepoints, not UTF-16 code units
+    val deep1 = fps(1L).filter(_._1 >= TextAnalysis.WinnowK)
+    val deep2 = fps(2L).filter(_._1 >= TextAnalysis.WinnowK)
+    assert(deep1.nonEmpty && deep1 == deep2)
+    // pos is a codepoint offset: bounded by codepoint count, not char count
+    val cpLen = 4 + shared.length
+    assert(fps(2L).forall(_._1 <= cpLen - TextAnalysis.WinnowK))
+  }
+
   test("sharedSpanPairs: copied passage detected, unrelated docs silent") {
     import spark.implicits._
     val span = "for the first time in recorded history the committee voted unanimously to adopt"
