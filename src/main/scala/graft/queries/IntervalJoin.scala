@@ -30,25 +30,29 @@ object IntervalJoin {
     * subject); intervals may overlap — a point matches each containing
     * interval. Empty intervals (end ≤ start) match nothing.
     *
-    * Timestamps must be non-negative (epoch µs): `div` truncates toward
-    * zero, so a negative timestamp would bin one slot too high and miss
-    * matches at bin boundaries.
+    * Bin math is FLOOR division, so negative epochs (pre-1970
+    * timestamps — real in IoT backfills) bin correctly: truncating
+    * `div` would place a negative timestamp one slot too high and
+    * silently drop matches at bin boundaries.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       tsCol: String, startCol: String, endCol: String,
                       binWidthUs: Long, keyCols: Seq[String] = Nil): DataFrame = {
     require(binWidthUs > 0, "binWidthUs must be positive")
-    // `div` (integral division) keeps the bin a BIGINT — no double
-    // rounding at µs magnitudes; end-exclusive ⇒ last covered bin is
-    // (end − 1) div w. The end > start guard also keeps `sequence` from
-    // silently generating a DESCENDING bin range for empty intervals.
+    // Exact integer floor division that stays BIGINT (no double rounding
+    // at µs magnitudes): pmod(a, w) ∈ [0, w), so a − pmod(a, w) is the
+    // floor multiple and the `div` is exact — for any sign of a.
+    def floorBin(e: String) = s"(($e) - pmod(($e), ${binWidthUs}L)) div ${binWidthUs}L"
+    // end-exclusive ⇒ last covered bin is floor((end − 1) / w). The
+    // end > start guard also keeps `sequence` from silently generating
+    // a DESCENDING bin range for empty intervals.
     val binned = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("_bin", explode(sequence(
-        expr(s"`$startCol` div ${binWidthUs}L"),
-        expr(s"(`$endCol` - 1) div ${binWidthUs}L"))))
+        expr(floorBin(s"`$startCol`")),
+        expr(floorBin(s"`$endCol` - 1")))))
     points
-      .withColumn("_bin", expr(s"`$tsCol` div ${binWidthUs}L"))
+      .withColumn("_bin", expr(floorBin(s"`$tsCol`")))
       .join(binned, (keyCols :+ "_bin").toSeq)
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bin")

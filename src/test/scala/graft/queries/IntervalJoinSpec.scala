@@ -57,6 +57,41 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(checked == 8)
   }
 
+  test("pre-1970 (negative) timestamps: floor binning keeps boundary matches") {
+    // straddles zero and sits entirely negative; w=7 does not divide the
+    // endpoints, so truncating div would misplace the negative bins
+    val ivs = Seq((-10L, 0L, 1), (-21L, -7L, 2), (-5L, 9L, 3))
+    val pts = Seq(-21L, -10L, -8L, -7L, -5L, -1L, 0L, 8L)
+    assert(binned(pts, ivs, 7L) == naive(pts, ivs))
+    assert(binned(pts, ivs, 7L).contains((-1L, 1)))  // boundary-adjacent match survives
+    assert(!binned(pts, ivs, 7L).contains((0L, 1)))  // end stays exclusive at 0
+  }
+
+  test("matches the naive range join on random intervals over a NEGATIVE time domain") {
+    val gen = for {
+      nIv <- Gen.choose(1, 12)
+      ivs <- Gen.listOfN(nIv, for {
+        s <- Gen.choose(-1000L, 200L)
+        len <- Gen.choose(-10L, 300L)
+      } yield (s, s + len))
+      nPt <- Gen.choose(1, 50)
+      pts <- Gen.listOfN(nPt, Gen.choose(-1200L, 400L))
+    } yield (ivs, pts)
+    var checked = 0
+    var draws = 0
+    while (checked < 6 && draws < 60) {
+      draws += 1
+      gen.sample.foreach { case (ivs0, pts) =>
+        val ivs = ivs0.zipWithIndex.map { case ((s, e), i) => (s, e, i) }
+        val expected = naive(pts, ivs)
+        for (w <- Seq(1L, 7L, 64L))
+          assert(binned(pts, ivs, w) == expected, s"w=$w ivs=$ivs pts=$pts")
+        checked += 1
+      }
+    }
+    assert(checked == 6)
+  }
+
   test("overlapping intervals: a point matches every containing interval exactly once") {
     val ivs = Seq((0L, 100L, 1), (50L, 150L, 2), (50L, 150L, 3))
     val got = binned(Seq(75L), ivs, 10L)
