@@ -213,6 +213,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     }),
+    // the same batch-vs-index SimHash tier through the PERSISTED index:
+    // even docs written once (bucketed on the folded band-segment key),
+    // odd docs probed against the stored signatures — no index-side
+    // recomputation; shares the incremental oracle
+    "q_dedup_simhash_idx" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.writeSimhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "graft_simhash_index")
+      graft.operators.Dedup.simhashPairsAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 1), "graft_simhash_index")
+    }),
     // brute-force cosine top-k
     "q_ann_topk" -> ((s, d) =>
       graft.operators.Ann.topK(table(s, d, "embeddings"), queryId = 0, k = 20)),
@@ -802,6 +813,8 @@ object SparkEntry {
     "q_dedup_simhash" -> simhashOracleSql(3),
     // same bit-for-bit SimHash replay, restricted to new×index pairs
     "q_dedup_simhash_inc" -> simhashOracleSql(3, incremental = true),
+    // persisted-index path computes the identical pair set
+    "q_dedup_simhash_idx" -> simhashOracleSql(3, incremental = true),
     "q_ann_topk" -> annTopkOracleSql,
     "q_ann_topk_sq8" -> annTopkSq8OracleSql,
     // nProbe = nlist probes every inverted list — identical to brute force

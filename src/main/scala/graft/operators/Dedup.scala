@@ -528,4 +528,68 @@ object Dedup {
       .select("doc_new", "doc_index", "hamming")
       .orderBy("doc_new", "doc_index")
   }
+
+  /** Persist the SimHash index side ONCE, mirroring [[writeSignatureIndex]]:
+    * (doc_index, sig_index, band, sk) where `sk = xxhash64(band, seg)`
+    * folds the segment index into a single join column. As with the
+    * minhash `bh`, a cross-(band, seg) 64-bit hash collision only adds a
+    * stray candidate that exact verification discards — and the
+    * verification here is just `bit_count(xor)` on the STORED signatures,
+    * so folding makes the bucket spec EQUAL to the join key and the
+    * bucketed table reads co-partitioned every batch, never re-shuffled.
+    *
+    * Unlike the minhash index (which must re-shingle collided index docs
+    * to verify Jaccard), the SimHash index is fully self-contained: the
+    * signature IS the verification evidence, so per-batch cost is the new
+    * batch's sketch pass plus the bucket join — zero index-side
+    * recomputation. At 100 TB the index is (maxHamming+1) × 32 B rows per
+    * document, appended as the corpus grows.
+    */
+  def writeSimhashIndex(indexDocs: DataFrame, tableName: String,
+                        buckets: Int = 64, maxHamming: Int = 3): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
+    dropManaged(indexDocs.sparkSession, tableName)
+    simhashBanded(simhash(indexDocs), maxHamming)
+      .select(col("doc_id").as("doc_index"), col("sig").as("sig_index"),
+        col("band"), xxhash64(col("band"), col("seg")).as("sk"))
+      .write.format("parquet")
+      .bucketBy(buckets, "sk").sortBy("sk")
+      .mode("overwrite").saveAsTable(tableName)
+    indexDocs.sparkSession.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.maxHamming' = '$maxHamming')")
+  }
+
+  /** Incremental SimHash near-dups against a PERSISTED index
+    * ([[writeSimhashIndex]]): the index side's signatures are never
+    * recomputed — the new batch is sketched, banded with the same
+    * `sk` folding, hash-joined to the bucketed table (co-partitioned
+    * read, no index shuffle), and verified by Hamming distance on the
+    * stored signatures. `maxHamming` MUST match the index's write-time
+    * value — the banding geometry differs otherwise and near-dups are
+    * silently admitted — so it is validated against the table properties
+    * with a catalog lookup; an index without the property fails loudly.
+    * Returns (doc_new, doc_index, hamming), exact by the same pigeonhole
+    * argument as [[simhashPairs]].
+    */
+  def simhashPairsAgainstIndex(newDocs: DataFrame, indexTable: String,
+                               maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
+    val spark = newDocs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val v = props.getOrElse("graft.maxHamming", throw new IllegalArgumentException(
+      s"simhash index $indexTable carries no graft.maxHamming property — " +
+        "not written by writeSimhashIndex"))
+    require(v == maxHamming.toString,
+      s"simhash index $indexTable was written with maxHamming=$v, caller expects $maxHamming")
+    val bandsNew = simhashBanded(simhash(newDocs), maxHamming)
+      .select(xxhash64(col("band"), col("seg")).as("sk"),
+        col("doc_id").as("doc_new"), col("sig").as("sig_new"))
+    bandsNew.join(spark.table(indexTable).select("sk", "doc_index", "sig_index"), "sk")
+      .select("doc_new", "doc_index", "sig_new", "sig_index").distinct()
+      .withColumn("hamming", bit_count(col("sig_new").bitwiseXOR(col("sig_index"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_new", "doc_index", "hamming")
+      .orderBy("doc_new", "doc_index")
+  }
 }

@@ -247,6 +247,42 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sig_index")
   }
 
+  test("persisted simhash index: same pairs as recompute, co-located, validated") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val newB = docs.filter(col("doc_id") % 2 === 1)
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    Dedup.writeSimhashIndex(idx, "simhash_index", buckets = 4)
+    try {
+      val direct = Dedup.simhashPairsIncremental(newB, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val indexed = Dedup.simhashPairsAgainstIndex(newB, "simhash_index").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(indexed == direct, s"missed=${direct -- indexed} extra=${indexed -- direct}")
+      // a maxHamming mismatch must fail loudly via the catalog properties
+      intercept[IllegalArgumentException] {
+        Dedup.simhashPairsAgainstIndex(newB, "simhash_index", maxHamming = 7)
+      }
+      // the probe must read the bucketed index co-partitioned (join key
+      // sk equals the bucket spec); assert under disabled broadcast so
+      // "Bucketed: true" reflects real co-partitioning
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = Dedup.simhashPairsAgainstIndex(newB, "simhash_index")
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), plan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // a table not written by writeSimhashIndex (no property) fails loudly
+      spark.table("simhash_index").write.mode("overwrite").saveAsTable("simhash_noprops")
+      intercept[IllegalArgumentException] {
+        Dedup.simhashPairsAgainstIndex(newB, "simhash_noprops")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS simhash_index")
+      spark.sql("DROP TABLE IF EXISTS simhash_noprops")
+    }
+  }
+
   test("incremental minhash with an empty new batch returns nothing") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
