@@ -289,6 +289,21 @@ object SparkEntry {
       graft.operators.Ann.ivfTopKAgainstIndex(s, "graft_ivf_index",
         queryId = 0, k = 20, nProbe = 16)
     }),
+    // the index MAINTENANCE path: build on the even half, append the odd
+    // half against the stored centroids (no retrain), probe at
+    // nProbe = nlist — exact, so it shares the brute-force oracle; drift
+    // is asserted sane (reference stored at write time)
+    "q_ann_ivf_append" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.Ann.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "graft_ivf_append", nlist = 16)
+      graft.operators.Ann.appendToIvfIndex(
+        emb.filter(col("vec_id") % 2 === 1), "graft_ivf_append")
+      val (_, _, ratio) = graft.operators.Ann.ivfDrift(s, "graft_ivf_append")
+      require(ratio > 0, s"drift ratio must be positive, got $ratio")
+      graft.operators.Ann.ivfTopKAgainstIndex(s, "graft_ivf_append",
+        queryId = 0, k = 20, nProbe = 16)
+    }),
     // text analysis
     "q_token_count" -> ((s, d) =>
       graft.operators.TextAnalysis.tokenCount(table(s, d, "documents"))),
@@ -821,6 +836,8 @@ object SparkEntry {
     "q_ann_ivf" -> annTopkOracleSql,
     // ... and the persisted-index path at nProbe = nlist is the same scan
     "q_ann_ivf_indexed" -> annTopkOracleSql,
+    // build-on-half + append-half probed at nProbe = nlist is exact too
+    "q_ann_ivf_append" -> annTopkOracleSql,
     "q_embed_neardup" -> neardupOracleSql,
     // reachability closure over the exact cosine pair graph, every
     // vector labeled — the embedding face of the clusters oracle

@@ -344,8 +344,89 @@ object Ann {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("ivf_list", "centroid")
       .write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
+    // write-time assignment quality rides the metadata as the drift
+    // reference: ivfDrift compares the live mean against this value to
+    // decide when appends have degraded the centroids enough to rebuild
+    val refDist = meanAssignedDist(spark, tableName)
     spark.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.nlist' = '$effNlist')")
+      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+        s"'graft.nlist' = '$effNlist', 'graft.meanDist' = '$refDist')")
+  }
+
+  /** Append NEW vectors to a persisted [[writeIvfIndex]] table WITHOUT
+    * retraining: each vector is assigned against the STORED centroids
+    * (broadcast — nlist rows) and partition-appended, so only the touched
+    * `ivf_list` directories gain files and existing rows are never
+    * rewritten. The centroids table and `graft.*` properties are left
+    * untouched — the index's probe semantics (and its drift reference)
+    * stay pinned to the original training. Callers own vec_id uniqueness
+    * across appends, as with any append-only store.
+    *
+    * This is the daily-crawl maintenance path: per-batch cost is
+    * |batch| assignments + a partitioned write, independent of index
+    * size. When [[ivfDrift]] shows the stored centroids no longer fit
+    * the corpus, rebuild with [[writeIvfIndex]].
+    */
+  def appendToIvfIndex(newVecs: DataFrame, tableName: String): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.contains("graft.nlist"),
+      s"IVF index $tableName carries no graft.nlist property — not written by writeIvfIndex")
+    val centroids = spark.table(s"${tableName}_centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    withNorm(newVecs).withColumn("ivf_list", assignUdf(col("embedding")))
+      .select("vec_id", "embedding", "nrm", "ivf_list")
+      .repartition(col("ivf_list"))
+      // insertInto resolves the partitioning from the table metadata
+      // (partition column last in the select), appending files into the
+      // per-list directories
+      .write.mode("append").insertInto(tableName)
+  }
+
+  /** Mean L2 distance of every indexed vector to its ASSIGNED centroid —
+    * the scalar k-means objective the index was trained to minimize.
+    * One scan + broadcast lookup; a maintenance metric, not a query-path
+    * cost.
+    */
+  private def meanAssignedDist(spark: org.apache.spark.sql.SparkSession,
+                               tableName: String): Double = {
+    import spark.implicits._
+    val centroids = spark.table(s"${tableName}_centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val distUdf = udf { (v: Seq[Float], list: Int) =>
+      val c = bc.value(list)
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+      math.sqrt(d)
+    }
+    val row = spark.table(tableName)
+      .agg(avg(distUdf(col("embedding"), col("ivf_list")))).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Centroid-drift metric for a persisted IVF index: (reference, current,
+    * ratio) where `reference` is the write-time mean assigned distance
+    * (stored in the table properties by [[writeIvfIndex]]) and `current`
+    * is the same statistic over the table NOW — appends assigned to
+    * stale centroids push it up. ratio ≈ 1 means the centroids still fit
+    * the corpus; a sustained ratio above ~1.2–1.5 (workload-dependent)
+    * is the documented "rebuild when drift degrades" trigger.
+    */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession,
+               tableName: String): (Double, Double, Double) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val ref = props.getOrElse("graft.meanDist", throw new IllegalArgumentException(
+      s"IVF index $tableName carries no graft.meanDist property — " +
+        "not written by writeIvfIndex (or written before drift tracking)")).toDouble
+    val cur = meanAssignedDist(spark, tableName)
+    (ref, cur, if (ref > 0) cur / ref else 1.0)
   }
 
   /** Top-k against a persisted [[writeIvfIndex]] table — never retrains:

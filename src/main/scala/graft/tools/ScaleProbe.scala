@@ -79,6 +79,33 @@ object ScaleProbe {
     }
   }
 
+  /** IVF maintenance probe: per corpus size n, the cost of FULL index
+    * rebuild over the union ([[Ann.writeIvfIndex]]: retrain + assign all
+    * + rewrite all) vs APPENDING a 10% batch against the stored centroids
+    * ([[Ann.appendToIvfIndex]]: assign batch + partition-append), plus
+    * the [[Ann.ivfDrift]] scan that decides when rebuild is due.
+    */
+  private def ivfAppendProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.Ann
+    for (n <- ns) {
+      val corpus = syntheticEmbeddings(spark, n.toLong).localCheckpoint(true)
+      val base = corpus.filter(col("vec_id") % 10 =!= 0).localCheckpoint(true)
+      val batch = corpus.filter(col("vec_id") % 10 === 0).localCheckpoint(true)
+      val (_, tRebuild) = time(Ann.writeIvfIndex(corpus, "ivf_probe_full", nlist = 64))
+      spark.catalog.clearCache(); System.gc()
+      Ann.writeIvfIndex(base, "ivf_probe_app", nlist = 64)
+      spark.catalog.clearCache(); System.gc()
+      val (_, tAppend) = time(Ann.appendToIvfIndex(batch, "ivf_probe_app"))
+      val ((_, _, drift), tDrift) = time(Ann.ivfDrift(spark, "ivf_probe_app"))
+      for (t <- Seq("ivf_probe_full", "ivf_probe_app")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      }
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"n":${corpus.count()},"batch":${batch.count()},"rebuild_sec":${f"$tRebuild%.2f"},"append_sec":${f"$tAppend%.2f"},"drift_sec":${f"$tDrift%.2f"},"drift_ratio":${f"$drift%.4f"}}""")
+    }
+  }
+
   /** Incremental-dedup probe: a FIXED new batch (the base corpus's odd
     * doc_ids) against an index grown M× (perturbed copies of the even
     * ids). Compares recompute-everything [[Dedup.minhashPairsIncremental]]
@@ -231,6 +258,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.lift(2).contains("embed")) {
       embedProbe(spark, ms)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("ivfappend")) {
+      ivfAppendProbe(spark, ms) // ms are vector counts here
       spark.stop()
       return
     }

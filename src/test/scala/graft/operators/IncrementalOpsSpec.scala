@@ -135,6 +135,79 @@ class IncrementalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF append: assign-against-stored-centroids, probe equals rebuild, no retrain") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    Ann.writeIvfIndex(base, "ivf_app_idx", nlist = 8)
+    try {
+      val centroidsBefore = spark.table("ivf_app_idx_centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+      val baseCount = spark.table("ivf_app_idx").count()
+      Ann.appendToIvfIndex(batch, "ivf_app_idx")
+      // append is additive: all rows present, none rewritten away
+      assert(spark.table("ivf_app_idx").count() == baseCount + batch.count())
+      // no retrain: centroids and properties byte-identical
+      val centroidsAfter = spark.table("ivf_app_idx_centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+      assert(centroidsAfter == centroidsBefore)
+      // appended rows sit in the list their vector is nearest to under
+      // the STORED centroids (the probe's pruning invariant)
+      val cents = centroidsBefore.map(_._2.toArray).toArray
+      spark.table("ivf_app_idx").filter(col("vec_id") % 2 === 1)
+        .select("embedding", "ivf_list").as[(Array[Float], Int)]
+        .collect().foreach { case (v, list) =>
+          assert(list == Ann.nearestCentroid(v, cents))
+        }
+      // full probe over the appended index == brute force over the union
+      // (append+probe ≡ rebuild+probe: at nProbe = nlist both are exact)
+      val appended = Ann.ivfTopKAgainstIndex(spark, "ivf_app_idx", queryId = 3, k = 10, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val brute = Ann.topK(emb, queryId = 3, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(appended == brute)
+      // append+probe ≡ rebuild+probe: an index REBUILT from the union
+      // (retrained centroids) probed at nProbe = nlist returns the same
+      // ranking — both paths are exact at full probe, and the assignment
+      // invariant above is the per-row witness that pruned probes see
+      // appended vectors in the right lists
+      Ann.writeIvfIndex(emb, "ivf_reb_idx", nlist = 8)
+      val rebuilt = Ann.ivfTopKAgainstIndex(spark, "ivf_reb_idx", queryId = 3, k = 10, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rebuilt == appended)
+      spark.sql("DROP TABLE IF EXISTS ivf_reb_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_reb_idx_centroids")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_app_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_app_idx_centroids")
+    }
+  }
+
+  test("IVF drift: in-distribution appends hold ratio ~1, a shifted batch raises it") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    Ann.writeIvfIndex(base, "ivf_drift_idx", nlist = 8)
+    try {
+      val (ref0, cur0, r0) = Ann.ivfDrift(spark, "ivf_drift_idx")
+      assert(ref0 > 0 && math.abs(cur0 - ref0) < 1e-9 && math.abs(r0 - 1.0) < 1e-9)
+      // in-distribution append: the odd half of the same corpus
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), "ivf_drift_idx")
+      val (_, _, rIn) = Ann.ivfDrift(spark, "ivf_drift_idx")
+      assert(rIn < 1.2, s"in-distribution drift ratio $rIn")
+      // shifted batch: vectors far outside the training distribution
+      val dim = emb.select("embedding").as[Array[Float]].head().length
+      val shifted = (0 until 64).map { i =>
+        (100000L + i, Array.tabulate(dim)(j => 50f + (i + j) % 7))
+      }.toDF("vec_id", "embedding")
+      Ann.appendToIvfIndex(shifted, "ivf_drift_idx")
+      val (_, curS, rS) = Ann.ivfDrift(spark, "ivf_drift_idx")
+      assert(rS > rIn && rS > 1.2, s"shifted drift ratio $rS (cur=$curS)")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_drift_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_drift_idx_centroids")
+    }
+  }
+
   test("persisted IVF index: probe scan prunes list partitions") {
     Ann.writeIvfIndex(emb, "ivf_prune_idx", nlist = 8)
     try {
