@@ -61,16 +61,33 @@ object Clustering {
     vm.union(um).filter(col("u") =!= col("v")).distinct()
   }
 
+  /** (row count, XOR of per-edge xxhash64) in ONE action — the cheap
+    * per-round convergence probe. XOR is order-insensitive and cannot
+    * overflow (ANSI-mode `sum` over 64-bit hashes would); both sides are
+    * distinct sets, so equal (count, checksum) is set equality up to a
+    * 64-bit hash collision — which the final `except` confirmation
+    * catches.
+    */
+  private def edgeStats(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Connected components of the undirected graph given by an edge list.
     * Returns (node, component) for every node incident to ≥1 edge, with
     * `component` = the minimum node id of the component. Self-loops are
     * ignored; orientation of the input pairs doesn't matter.
     *
-    * Convergence is detected exactly (edge set unchanged under a full
-    * large-star + small-star round, checked with count + `except`); at
-    * the fixpoint the edge set IS the star assignment. `maxIter` is a
-    * runaway bound, not a tuning knob — hitting it throws rather than
-    * returning half-merged components.
+    * Convergence detection is two-tier: each round runs ONE aggregation
+    * job ([[edgeStats]] — count + xxhash64 XOR checksum, compared against
+    * the previous round's cached value) instead of the two counts plus a
+    * full anti-join shuffle a naive set-equality per round would cost;
+    * only a checksum MATCH triggers the exact `except` confirmation, so
+    * the expensive job runs once, at the fixpoint (plus a vanishing
+    * ~2⁻⁶⁴ per-round collision chance, where it correctly rejects and the
+    * loop continues). At the fixpoint the edge set IS the star
+    * assignment. `maxIter` is a runaway bound, not a tuning knob —
+    * hitting it throws rather than returning half-merged components.
     */
   def connectedComponents(edges: DataFrame, src: String = "doc_a",
                           dst: String = "doc_b", maxIter: Int = 25): DataFrame = {
@@ -79,14 +96,15 @@ object Clustering {
         least(col(src), col(dst)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
+    var stats = edgeStats(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = cut(smallStar(largeStar(e)))
-      // both sides are distinct sets, so equal counts + empty one-sided
-      // difference ⇒ set equality
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nextStats = edgeStats(next)
+      converged = nextStats == stats && next.except(e).isEmpty
       e = next
+      stats = nextStats
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
@@ -112,8 +130,19 @@ object Clustering {
     val oldEdges = assignment
       .select(col("node").as(src), col("component").as(dst))
       .filter(col(src) =!= col(dst))
-    connectedComponents(
+    val cc = connectedComponents(
       oldEdges.unionByName(newPairs.select(col(src), col(dst))), src, dst, maxIter)
+    // Singleton assignment rows (node == component — present when the
+    // caller feeds [[assignComponents]] output rather than
+    // [[connectedComponents]] output) carry no edge into the contraction;
+    // without this re-union they would silently vanish from the result.
+    // Keep them labeled-to-self unless today's pairs merged them.
+    val singletons = assignment
+      .filter(col("node") === col("component"))
+      .select(col("node").cast("long").as("node"))
+      .join(cc.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    cc.unionByName(singletons)
   }
 
   /** (id, component) for EVERY row of `docs`: documents in no duplicate

@@ -125,6 +125,49 @@ class ClusteringSpec extends AnyFunSuite {
     assert(checked == 6)
   }
 
+  test("updateComponents keeps assignComponents-style singletons (self-labeled)") {
+    import spark.implicits._
+    // assignment from assignComponents: nodes 3, 4, 6 are singletons
+    val assignment = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (6L, 6L))
+      .toDF("node", "component")
+    // today's pairs merge 4 into {1,2}; 3 and 6 stay untouched
+    val updated = Clustering.updateComponents(assignment, Seq((2L, 4L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(updated == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 6L -> 6L))
+  }
+
+  test("convergence probe: except confirmation runs ONCE, at the fixpoint") {
+    import spark.implicits._
+    val exceptRuns = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        val hasExcept = qe.analyzed.collectFirst {
+          case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+        }.isDefined
+        if (hasExcept) exceptRuns.incrementAndGet()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 32-node path: several contraction rounds before the fixpoint —
+      // a per-round set-equality shape would run except every round
+      val edges = (1L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val cc = Clustering.connectedComponents(edges)
+      assert(cc.collect().length == 32)
+      // the listener bus is async — wait for it to drain
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (exceptRuns.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500) // settle: catch any LATE extra except events
+      assert(exceptRuns.get() == 1,
+        s"expected exactly one except confirmation, saw ${exceptRuns.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("assignComponents labels singletons with their own id") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
