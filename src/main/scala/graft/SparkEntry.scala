@@ -35,6 +35,23 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir for the streaming-gate queries, deleted after use: the
+    * body's result is eagerly materialized (localCheckpoint) so the
+    * caller's later actions don't re-read the deleted files.
+    */
+  private def withTempDir(prefix: String)(body: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp).localCheckpoint(true)
+    finally deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   private def r6(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, sround(col(c), 6)))
 
@@ -100,6 +117,45 @@ object SparkEntry {
     // sessionization: gap > 2h opens a new session, all subjects
     "q_sessions" -> ((s, d) =>
       sessionize(conditions(s, d), Of, S1, E1, gapS = 7200)),
+    // the SAME sessionization through Structured Streaming's
+    // session_window (append mode + watermark), via the streaming gate
+    // pattern: the fixed event set is streamed under AvailableNow, then a
+    // far-future SENTINEL event advances the watermark past every real
+    // session's close so append mode emits them all (a second sentinel
+    // run flushes even if the final watermark advance needs one more
+    // batch). The sentinel's own still-open session is filtered out.
+    // Oracle = the batch q_sessions oracle without the session ordinal.
+    "q_sessions_stream" -> ((s, d) => {
+      import s.implicits._
+      val real = conditions(s, d).filter(
+          col("measurement_of") === Of &&
+          col("timestamp") >= org.apache.spark.sql.functions.timestamp_seconds(lit(S1)) &&
+          col("timestamp") <= org.apache.spark.sql.functions.timestamp_seconds(lit(E1)))
+        .select("measurement_subject", "timestamp")
+      withTempDir("graft_sess_stream") { tmp =>
+        def run(): Unit = {
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.queries.TimeseriesQueries.streamingSessionize(stream, gapS = 7200)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .outputMode("append")
+            .option("checkpointLocation", s"$tmp/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        def sentinel(epochS: Long): Unit =
+          Seq(("__sentinel__", new java.sql.Timestamp(epochS * 1000L)))
+            .toDF("measurement_subject", "timestamp")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/input")
+        real.repartition(3).write.parquet(s"$tmp/input")
+        run()                      // real events (several micro-batches)
+        sentinel(4102444800L); run() // 2100-01-01: watermark past every close
+        sentinel(4133980800L); run() // 2101-01-01: flush if emission lagged a batch
+        s.read.parquet(s"$tmp/out")
+          .filter(col("measurement_subject") =!= "__sentinel__")
+          .orderBy("measurement_subject", "session_start_us")
+      }
+    }),
 
     // ---- LLM-data-pipeline operators (documents / embeddings tables) ----
     // exact dedup: one representative per distinct content hash
@@ -194,13 +250,14 @@ object SparkEntry {
       val docs = table(s, d, "documents")
       val idxDocs = docs.filter(col("doc_id") % 2 === 0)
       graft.operators.Dedup.writeSignatureIndex(idxDocs, "graft_stream_sig_index")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
-      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
-        .repartition(3).write.parquet(s"$tmp/input")
-      graft.streaming.DedupStream.start(s, s"$tmp/input", "graft_stream_sig_index",
-          idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
-        .awaitTermination()
-      s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
+      withTempDir("graft_dedup_stream") { tmp =>
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
+          .repartition(3).write.parquet(s"$tmp/input")
+        graft.streaming.DedupStream.start(s, s"$tmp/input", "graft_stream_sig_index",
+            idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
+      }
     }),
     // SimHash hamming<=3 near-dups (rows-only oracle)
     "q_dedup_simhash" -> ((s, d) =>
@@ -493,18 +550,19 @@ object SparkEntry {
     // and the bench (its timing is the streaming throughput row; the input
     // set is fixed per SF, so seconds are comparable round over round)
     "q_ingest_wire" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_wire_bench").toString
-      emonEnvelopes(s, d).write.text(s"$tmp/input")
-      graft.streaming.IngestPipeline
-        .startConvertToWire(s, s"$tmp/input", s"$tmp/wire", s"$tmp/cp_convert")
-        .awaitTermination()
-      graft.streaming.IngestPipeline
-        .startWire(s, s"$tmp/wire", s"$tmp/out", s"$tmp/cp_store")
-        .awaitTermination()
-      s.read.parquet(s"$tmp/out")
-        .select(unix_micros(col("timestamp")).as("ts_us"), col("measurement_subject"),
-          col("measurement_of"), col("measurement_number"))
-        .orderBy("ts_us", "measurement_number")
+      withTempDir("graft_wire_bench") { tmp =>
+        emonEnvelopes(s, d).write.text(s"$tmp/input")
+        graft.streaming.IngestPipeline
+          .startConvertToWire(s, s"$tmp/input", s"$tmp/wire", s"$tmp/cp_convert")
+          .awaitTermination()
+        graft.streaming.IngestPipeline
+          .startWire(s, s"$tmp/wire", s"$tmp/out", s"$tmp/cp_store")
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out")
+          .select(unix_micros(col("timestamp")).as("ts_us"), col("measurement_subject"),
+            col("measurement_of"), col("measurement_number"))
+          .orderBy("ts_us", "measurement_number")
+      }
     }),
 
     // dynamic JSON as Spark 4 Variant (SURVEY §1.4 alternative to
@@ -779,6 +837,33 @@ object SparkEntry {
          |       max(epoch_us("timestamp")) AS session_end_us,
          |       count(*) AS n_events
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 3""".stripMargin,
+    // same sessions as q_sessions minus the ordinal (session_window
+    // carries no cross-session counter); boundary note: session_window
+    // splits on gap >= 2h vs batch's > 2h — identical on µs-resolution
+    // data with no exact-7200s gap, which the hash match itself certifies
+    "q_sessions_stream" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, "timestamp" FROM conditions
+         |  WHERE measurement_of = '$Of'
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |flagged AS (
+         |  SELECT measurement_subject, "timestamp",
+         |         CASE WHEN lag("timestamp") OVER w IS NULL
+         |                OR epoch_us("timestamp") - epoch_us(lag("timestamp") OVER w) > ${7200L * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp")),
+         |sess AS (
+         |  SELECT measurement_subject, "timestamp",
+         |         CAST(SUM(new_sess) OVER (PARTITION BY measurement_subject ORDER BY "timestamp"
+         |                                  RANGE UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+         |  FROM flagged)
+         |SELECT measurement_subject,
+         |       min(epoch_us("timestamp")) AS session_start_us,
+         |       max(epoch_us("timestamp")) AS session_end_us,
+         |       count(*) AS n_events
+         |FROM sess GROUP BY measurement_subject, sess_no ORDER BY 1, 2""".stripMargin,
     "q_length_stats" ->
       """SELECT source,
         |       count(*) AS n_docs,
