@@ -117,6 +117,44 @@ object SparkEntry {
     // sessionization: gap > 2h opens a new session, all subjects
     "q_sessions" -> ((s, d) =>
       sessionize(conditions(s, d), Of, S1, E1, gapS = 7200)),
+    // the event-time tumbling-window aggregation through the streaming
+    // gate: same sentinel-flush pattern as q_sessions_stream. Uses the
+    // exact-integer projection (sum of value×100 + count — see
+    // streamingIntervalStats) because a rounded double AVG of
+    // 2-decimal-quantized inputs structurally lands ON 6-decimal rounding
+    // ties that the two engines break differently; oracle = the window
+    // replayed as epoch-aligned integer bucketing over every (subject,
+    // of) group
+    "q_agg_interval_stream" -> ((s, d) => {
+      import s.implicits._
+      val real = conditions(s, d).filter(
+          col("timestamp") >= org.apache.spark.sql.functions.timestamp_seconds(lit(S1)) &&
+          col("timestamp") <= org.apache.spark.sql.functions.timestamp_seconds(lit(E1)))
+        .select("measurement_subject", "measurement_of", "measurement_number", "timestamp")
+      withTempDir("graft_aggint_stream") { tmp =>
+        def run(): Unit = {
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.queries.TimeseriesQueries.streamingIntervalStats(stream, intervalS = 86400)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .outputMode("append")
+            .option("checkpointLocation", s"$tmp/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        def sentinel(epochS: Long): Unit =
+          Seq(("__sentinel__", "__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
+            .toDF("measurement_subject", "measurement_of", "measurement_number", "timestamp")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/input")
+        real.repartition(3).write.parquet(s"$tmp/input")
+        run()
+        sentinel(4102444800L); run()
+        sentinel(4133980800L); run()
+        s.read.parquet(s"$tmp/out")
+          .filter(col("measurement_subject") =!= "__sentinel__")
+          .orderBy("time_us", "measurement_subject", "measurement_of")
+      }
+    }),
     // the SAME sessionization through Structured Streaming's
     // session_window (append mode + watermark), via the streaming gate
     // pattern: the fixed event set is streamed under AvailableNow, then a
@@ -837,6 +875,21 @@ object SparkEntry {
          |       max(epoch_us("timestamp")) AS session_end_us,
          |       count(*) AS n_events
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 3""".stripMargin,
+    // tumbling windows are epoch-aligned ⇒ integer floor-bucket replay;
+    // exact-integer payload (sum of value×100 + non-null count), so no
+    // cross-engine FP rounding surface at all
+    "q_agg_interval_stream" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, measurement_of, measurement_number, "timestamp"
+         |  FROM conditions
+         |  WHERE epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT (epoch_us("timestamp") // ${86400L * 1000000L}) * ${86400L * 1000000L} AS time_us,
+         |       measurement_subject, measurement_of,
+         |       CAST(SUM(CAST(ROUND(measurement_number * 100, 0) AS BIGINT)) AS BIGINT) AS sum_scaled,
+         |       COUNT(measurement_number) AS n_events
+         |FROM scanned
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // same sessions as q_sessions minus the ordinal (session_window
     // carries no cross-session counter); boundary note: session_window
     // splits on gap >= 2h vs batch's > 2h — identical on µs-resolution

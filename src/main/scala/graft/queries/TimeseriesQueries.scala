@@ -198,6 +198,32 @@ object TimeseriesQueries {
         col("measurement_subject"), col("measurement_of"),
         col("avg_measurement_number"))
 
+  /** Exact-integer projection of [[streamingAggregatedByInterval]]'s
+    * plan, for cross-engine correctness gates: identical event-time
+    * window + watermark + append-mode machinery, but the emitted
+    * aggregate is (Σ round(value·scale) as BIGINT, count) instead of a
+    * double AVG — integer sums are order-independent and bit-exact in
+    * any engine, where a rounded double AVG of decimal-quantized inputs
+    * structurally lands ON rounding ties (e.g. cents/n with n divisible
+    * by 128 ends …5 at the 7th decimal) and the two engines' summation
+    * orders break the tie differently. The average is `sum_scaled /
+    * (scale · n_events)` downstream when needed.
+    */
+  def streamingIntervalStats(conditions: DataFrame, intervalS: Long,
+                             scale: Int = 100,
+                             watermark: String = "1 hour"): DataFrame =
+    conditions
+      .withWatermark("timestamp", watermark)
+      .groupBy(
+        window(col("timestamp"), s"$intervalS seconds"),
+        col("measurement_subject"), col("measurement_of"))
+      .agg(
+        sum(round(col("measurement_number") * scale, 0).cast("long")).as("sum_scaled"),
+        count(col("measurement_number")).as("n_events"))
+      .select(unix_micros(col("window.start")).as("time_us"),
+        col("measurement_subject"), col("measurement_of"),
+        col("sum_scaled"), col("n_events"))
+
   /** B7 `get_unique_measurement_subjects`: DISTINCT subject over the
     * of+range predicate (no subject filter).
     */
