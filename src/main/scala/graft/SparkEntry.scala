@@ -341,6 +341,18 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1),
         e.filter(col("vec_id") % 2 === 0), threshold = 0.45)
     }),
+    // the same batch-vs-index near-dup through the PERSISTED IVF index:
+    // even vectors indexed once (norms stored, ivf_list-partitioned),
+    // odd vectors probed at nProbe = nlist (exact ⇒ shares the
+    // incremental oracle); nProbe < nlist is the documented scale dial
+    "q_embed_neardup_idx" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "graft_ivf_neardup", nlist = 16)
+      graft.operators.Ann.neardupAgainstIvfIndex(
+        e.filter(col("vec_id") % 2 === 1), "graft_ivf_neardup",
+        threshold = 0.45, nProbe = 16)
+    }),
     // duplicate-cluster resolution generalizes to the EMBEDDING pair
     // graph unchanged: components of the exact cosine near-dup pairs,
     // every vector labeled (singletons by themselves)
@@ -993,6 +1005,21 @@ object SparkEntry {
          |ORDER BY vec_id""".stripMargin,
     // cross-slice brute force: new (odd) × index (even), oriented sides
     "q_embed_neardup_inc" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_new, b.vec_id AS id_index,
+        |         list_sum(list_transform(range(1, len(a.embedding)+1),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |           / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+        |SELECT id_new, id_index, ROUND(cos, 6) AS cos
+        |FROM pairs WHERE cos >= 0.45 ORDER BY id_new, id_index""".stripMargin,
+    // the persisted-IVF path at nProbe = nlist computes the identical set
+    "q_embed_neardup_idx" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
         |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),

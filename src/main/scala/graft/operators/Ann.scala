@@ -410,6 +410,62 @@ object Ann {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
+  /** Incremental near-dup against a PERSISTED IVF index — the embedding
+    * face of the persisted-index story ([[graft.operators.Dedup.writeSignatureIndex]],
+    * [[graft.operators.Dedup.writeSimhashIndex]]): the index side's
+    * norms are STORED (never recomputed per batch) and the scan is
+    * pruned to the `nProbe` nearest lists of each new vector, read
+    * co-located from the `ivf_list` partitioning. Each index vector
+    * lives in exactly one list and a new vector probes each list at most
+    * once, so pairs are emitted exactly once — no dedup pass.
+    *
+    *  - `nProbe = nlist` scans every list: EXACT, ≡
+    *    [[neardupPairsIncremental]] (the contract tier);
+    *  - `nProbe < nlist` is the scale path: per-batch cost ∝
+    *    |batch| · (corpus fraction in probed lists), with the usual IVF
+    *    recall caveat — a cross-list near-dup pair is missed, so pick
+    *    nProbe by the drift/recall budget, not the contract.
+    *
+    * Returns (id_new, id_index, cos ≥ threshold), oriented sides.
+    */
+  def neardupAgainstIvfIndex(newVecs: DataFrame, tableName: String,
+                             threshold: Double, nProbe: Int): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.contains("graft.nlist"),
+      s"IVF index $tableName carries no graft.nlist property — not written by writeIvfIndex")
+    val nlist = props("graft.nlist").toInt
+    require(nProbe >= 1 && nProbe <= nlist, s"nProbe must be in [1, $nlist]")
+    val centroids = spark.table(s"${tableName}_centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val va = v.toArray
+      bc.value.indices.sortBy { c =>
+        val cv = bc.value(c)
+        var d = 0.0
+        var i = 0
+        while (i < va.length) { val x = va(i) - cv(i); d += x * x; i += 1 }
+        d
+      }.take(nProbe)
+    }
+    val newListed = withNorm(newVecs)
+      .select(col("vec_id").as("id_new"), col("embedding").as("emb_new"),
+        col("nrm").as("nrm_new"), explode(probeUdf(col("embedding"))).as("probe"))
+    // collected distinct probe ids (≤ nlist, driver-bounded) turn the
+    // list restriction into a STATIC partition filter on the index scan
+    val probed = newListed.select("probe").distinct().as[Int].collect().toSeq
+    spark.table(tableName).filter(col("ivf_list").isin(probed: _*))
+      .join(newListed, col("probe") === col("ivf_list"))
+      .withColumn("cos_raw", dotUdf(col("emb_new"), col("embedding")) / (col("nrm_new") * col("nrm")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_new"), col("vec_id").as("id_index"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("id_new", "id_index")
+  }
+
   /** Centroid-drift metric for a persisted IVF index: (reference, current,
     * ratio) where `reference` is the write-time mean assigned distance
     * (stored in the table properties by [[writeIvfIndex]]) and `current`

@@ -208,6 +208,32 @@ class IncrementalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup against the IVF index: exact at full probe, pruned scan, subset when pruned") {
+    val newB = emb.filter(col("vec_id") % 2 === 1)
+    val idx = emb.filter(col("vec_id") % 2 === 0)
+    Ann.writeIvfIndex(idx, "ivf_nd_idx", nlist = 8)
+    try {
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // nProbe = nlist scans every list — identical to the rectangle kernel
+      val full = pairsOf(Ann.neardupAgainstIvfIndex(newB, "ivf_nd_idx", 0.45, nProbe = 8))
+      val direct = pairsOf(Ann.neardupPairsIncremental(newB, idx, 0.45))
+      assert(full.nonEmpty && full == direct,
+        s"missed=${direct -- full} extra=${full -- direct}")
+      // pruned probing only loses pairs, never invents them
+      val pruned = pairsOf(Ann.neardupAgainstIvfIndex(newB, "ivf_nd_idx", 0.45, nProbe = 1))
+      assert(pruned.subsetOf(full))
+      // the list restriction must reach the scan as a partition filter
+      val plan = Ann.neardupAgainstIvfIndex(newB, "ivf_nd_idx", 0.45, nProbe = 2)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PartitionFilters:") && plan.contains("ivf_list"), plan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_nd_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_nd_idx_centroids")
+    }
+  }
+
   test("persisted IVF index: probe scan prunes list partitions") {
     Ann.writeIvfIndex(emb, "ivf_prune_idx", nlist = 8)
     try {
