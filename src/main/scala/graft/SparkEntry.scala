@@ -463,6 +463,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), n = 5)
     }),
+    // the broadcast-Bloom tier: ~10 bits per benchmark n-gram on the wire
+    // instead of the exact strings, exact shuffle-join confirmation on
+    // the bloom-positive trickle — no false negatives, so it computes
+    // exactly the same rows and shares the q_decontaminate oracle
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Decontamination.contaminatedBloom(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), n = 5)
+    }),
     // PII redaction: plant synthetic emails/phones/IPs keyed on doc_id
     // (the corpus itself is PII-free), scrub, emit count + content hash
     "q_pii_redact" -> ((s, d) => {
@@ -1108,6 +1118,17 @@ object SparkEntry {
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
     "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3) ])) AS s
+        |       FROM w),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM corp WHERE s IN (SELECT s FROM bench)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bloom pre-filter + exact confirmation ≡ the exact join
+    "q_decontaminate_bloom" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
         |         unnest(list_distinct([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3) ])) AS s

@@ -38,4 +38,42 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared")) // shingles() already emits per-doc distinct
       .orderBy("doc_id")
   }
+
+  /** [[contaminated]] with a broadcast BLOOM pre-filter — the 100 TB
+    * tier for a benchmark set too large to broadcast as exact strings.
+    * A Bloom filter over the benchmark n-grams is ~`-1.44·log2(fpp)`
+    * bits per element (≈10 bits at fpp 0.01) vs ~10²-10³ BYTES per
+    * broadcast string — two to three orders of magnitude less to ship —
+    * and the corpus side drops every non-matching n-gram in the map
+    * stage. Bloom filters have NO false negatives, so the pre-filter
+    * never loses a contaminated row; the surviving trickle
+    * (≈ fpp · |corpus n-grams| + true hits) goes through the exact
+    * SHUFFLE join to discard false positives. Results are therefore
+    * EXACTLY [[contaminated]]'s — the contract query shares its oracle —
+    * while no corpus-proportional data is broadcast or shuffled.
+    */
+  def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                        fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val spark = corpus.sparkSession
+    val benchShingles = Dedup.shingles(benchmark, n).select("s").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // expected-item count for sizing: one benchmark-proportional job
+      val expected = math.max(benchShingles.count(), 1L)
+      val bloom = benchShingles.stat.bloomFilter("s", expected, fpp)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((s: String) => bc.value.mightContainString(s))
+      Dedup.shingles(corpus, n).select("doc_id", "s")
+        .filter(mightContain(col("s")))
+        // exact confirmation on the candidate trickle: shuffle join, NOT
+        // broadcast — the whole point is the benchmark may be too big to
+        // broadcast exactly
+        .join(benchShingles, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally benchShingles.unpersist(false)
+  }
 }

@@ -142,6 +142,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(3L) == 1L) // "beta gamma delta epsilon zeta"
   }
 
+  test("bloom decontamination tier computes exactly the exact-join rows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val exact = Decontamination.contaminated(corpus, bench, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false negatives from the bloom pre-filter, false positives
+    // removed by the exact confirmation — equality, not approximation,
+    // at both a loose and a tight fpp
+    for (fpp <- Seq(0.05, 0.001)) {
+      val bloom = Decontamination.contaminatedBloom(corpus, bench, n = 5, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty && bloom == exact,
+        s"fpp=$fpp missed=${exact -- bloom} extra=${bloom -- exact}")
+    }
+    intercept[IllegalArgumentException] {
+      Decontamination.contaminatedBloom(corpus, bench, n = 5, fpp = 1.5)
+    }
+  }
+
   test("null text yields no shingles rather than an NPE") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
