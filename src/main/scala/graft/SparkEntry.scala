@@ -149,7 +149,6 @@ object SparkEntry {
         real.repartition(3).write.parquet(s"$tmp/input")
         run()
         sentinel(4102444800L); run()
-        sentinel(4133980800L); run()
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
           .orderBy("time_us", "measurement_subject", "measurement_of")
@@ -159,9 +158,11 @@ object SparkEntry {
     // session_window (append mode + watermark), via the streaming gate
     // pattern: the fixed event set is streamed under AvailableNow, then a
     // far-future SENTINEL event advances the watermark past every real
-    // session's close so append mode emits them all (a second sentinel
-    // run flushes even if the final watermark advance needs one more
-    // batch). The sentinel's own still-open session is filtered out.
+    // session's close so append mode emits them all (the watermark
+    // advance triggers Spark's no-data batch, which evicts the closed
+    // state within the same run — verified green at both SFs, and the
+    // per-round driver gate would catch a regression). The sentinel's
+    // own still-open session is filtered out.
     // Oracle = the batch q_sessions oracle without the session ordinal.
     "q_sessions_stream" -> ((s, d) => {
       import s.implicits._
@@ -188,7 +189,6 @@ object SparkEntry {
         real.repartition(3).write.parquet(s"$tmp/input")
         run()                      // real events (several micro-batches)
         sentinel(4102444800L); run() // 2100-01-01: watermark past every close
-        sentinel(4133980800L); run() // 2101-01-01: flush if emission lagged a batch
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
           .orderBy("measurement_subject", "session_start_us")

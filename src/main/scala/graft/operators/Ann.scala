@@ -455,14 +455,57 @@ object Ann {
       .select(col("vec_id").as("id_new"), col("embedding").as("emb_new"),
         col("nrm").as("nrm_new"), explode(probeUdf(col("embedding"))).as("probe"))
     // collected distinct probe ids (≤ nlist, driver-bounded) turn the
-    // list restriction into a STATIC partition filter on the index scan
+    // list restriction into a STATIC partition filter on the index scan;
+    // costs one batch-proportional pass (the plan below runs another —
+    // kept lazy so callers can inspect/compose it)
     val probed = newListed.select("probe").distinct().as[Int].collect().toSeq
-    spark.table(tableName).filter(col("ivf_list").isin(probed: _*))
-      .join(newListed, col("probe") === col("ivf_list"))
-      .withColumn("cos_raw", dotUdf(col("emb_new"), col("embedding")) / (col("nrm_new") * col("nrm")))
-      .filter(col("cos_raw") >= threshold)
-      .select(col("id_new"), col("vec_id").as("id_index"),
-        round(col("cos_raw"), 6).as("cos"))
+    // Packed per-list rectangle kernel, not a row join: a per-pair UDF
+    // cosine pays boxed-array conversion per PAIR (measured ~20× the
+    // packed kernel on the same arithmetic); packing pays it per ROW.
+    // The new side packs one block per probed list (batch-bounded);
+    // the index side packs each list into B hash blocks so one block
+    // row stays task-sized at any list size. An index vector lives in
+    // one (list, blk) cell and a new vector probes a list once, so
+    // every pair is formed exactly once.
+    val B = math.max(1, math.ceil(math.sqrt(spark.sparkContext.defaultParallelism.toDouble)).toInt)
+    val newPacked = newListed
+      .as[(Long, Array[Float], Double, Int)]
+      .groupByKey(_._4)
+      .mapGroups { (probe, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        (probe, arr.map(_._1), arr.map(_._2), arr.map(_._3))
+      }
+      .toDF("probe", "ids_n", "vecs_n", "nrms_n")
+    val idxPacked = spark.table(tableName)
+      .filter(col("ivf_list").isin(probed: _*))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ivf_list"))
+      .as[(Long, Array[Float], Double, Int)]
+      .groupByKey(r => (r._4, (((r._1 % B) + B) % B).toInt))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Long, Array[Float], Double, Int)]) =>
+        val arr = it.toArray.sortBy(_._1)
+        (key._1, arr.map(_._1), arr.map(_._2), arr.map(_._3))
+      }
+      .toDF("ivf_list", "ids_i", "vecs_i", "nrms_i")
+    newPacked.join(idxPacked, col("probe") === col("ivf_list"))
+      .select("ids_n", "vecs_n", "nrms_n", "ids_i", "vecs_i", "nrms_i")
+      .as[(Array[Long], Array[Array[Float]], Array[Double],
+           Array[Long], Array[Array[Float]], Array[Double])]
+      .flatMap { case (idsN, vecsN, nrmsN, idsI, vecsI, nrmsI) =>
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < idsN.length) {
+          var j = 0
+          while (j < idsI.length) {
+            val cos = dotA(vecsN(i), vecsI(j)) / (nrmsN(i) * nrmsI(j))
+            if (cos >= threshold) out += ((idsN(i), idsI(j), cos))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_new", "id_index", "cos")
+      .select(col("id_new"), col("id_index"), round(col("cos"), 6).as("cos"))
       .orderBy("id_new", "id_index")
   }
 
