@@ -79,6 +79,37 @@ object ScaleProbe {
     }
   }
 
+  /** Decontamination-tier probe: fixed corpus, benchmark side grown M× —
+    * the regime where the exact broadcast set outgrows the driver/executor
+    * wire budget. Reports wall time of both tiers (results asserted
+    * equal) plus the actual bytes each ships: Σ string bytes of the
+    * distinct benchmark n-grams (exact tier) vs the Bloom filter's bit
+    * array (bloom tier, fpp 0.01).
+    */
+  private def bloomProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.{Decontamination, Dedup}
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0).localCheckpoint(true)
+    val benchBase = docs.filter(col("doc_id") % 7 === 0)
+    for (m <- ms) {
+      val bench = grow(benchBase, m).localCheckpoint(true)
+      val benchShingles = Dedup.shingles(bench, 5).select("s").distinct()
+        .localCheckpoint(true)
+      val nSh = benchShingles.count()
+      val strBytes = benchShingles
+        .agg(sum(length(col("s")))).head().getLong(0)
+      val bloomBytes = benchShingles.stat.bloomFilter("s", math.max(nSh, 1), 0.01)
+        .bitSize() / 8
+      val (exactRows, tExact) = time(
+        Decontamination.contaminated(corpus, bench, n = 5).count())
+      spark.catalog.clearCache(); System.gc()
+      val (bloomRows, tBloom) = time(
+        Decontamination.contaminatedBloom(corpus, bench, n = 5).count())
+      spark.catalog.clearCache(); System.gc()
+      require(exactRows == bloomRows, s"m=$m exact=$exactRows bloom=$bloomRows")
+      println(s"""{"m":$m,"bench_ngrams":$nSh,"exact_broadcast_bytes":$strBytes,"bloom_bytes":$bloomBytes,"rows":$exactRows,"exact_sec":${f"$tExact%.2f"},"bloom_sec":${f"$tBloom%.2f"}}""")
+    }
+  }
+
   /** IVF maintenance probe: per corpus size n, the cost of FULL index
     * rebuild over the union ([[Ann.writeIvfIndex]]: retrain + assign all
     * + rewrite all) vs APPENDING a 10% batch against the stored centroids
@@ -284,6 +315,11 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     if (args.lift(2).contains("incr")) {
       incrProbe(spark, docs, ms)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("bloom")) {
+      bloomProbe(spark, docs, ms) // ms are benchmark growth factors here
       spark.stop()
       return
     }
