@@ -279,6 +279,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     }),
+    // the index MAINTENANCE path: day-0 slice indexed, day-1 slice
+    // APPENDED (parameters from the table's own properties), day-2 slice
+    // probed — oracle is the exact cross-slice join, so the appended
+    // files' bucket layout is hash-checked end to end
+    "q_dedup_idx_append" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.writeSignatureIndex(
+        docs.filter(col("doc_id") % 3 === 0), "graft_sig_append")
+      graft.operators.Dedup.appendToSignatureIndex(
+        docs.filter(col("doc_id") % 3 === 1), "graft_sig_append")
+      graft.operators.Dedup.minhashPairsAgainstIndex(
+        docs.filter(col("doc_id") % 3 === 2), "graft_sig_append",
+        docs.filter(col("doc_id") % 3 =!= 2))
+    }),
     // the SAME batch-vs-index dedup through the streaming gate: index
     // persisted once, the "crawl" streamed in micro-batches
     // (maxFilesPerTrigger=1 under AvailableNow), novel docs appended to
@@ -318,6 +332,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "graft_simhash_index")
       graft.operators.Dedup.simhashPairsAgainstIndex(
         docs.filter(col("doc_id") % 2 === 1), "graft_simhash_index")
+    }),
+    // SimHash index maintenance: day-0 indexed, day-1 appended, day-2
+    // probed against the stored signatures — exact cross-slice oracle
+    "q_dedup_simhash_app" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.writeSimhashIndex(
+        docs.filter(col("doc_id") % 3 === 0), "graft_simhash_append")
+      graft.operators.Dedup.appendToSimhashIndex(
+        docs.filter(col("doc_id") % 3 === 1), "graft_simhash_append")
+      graft.operators.Dedup.simhashPairsAgainstIndex(
+        docs.filter(col("doc_id") % 3 === 2), "graft_simhash_append")
     }),
     // brute-force cosine top-k
     "q_ann_topk" -> ((s, d) =>
@@ -971,6 +996,19 @@ object SparkEntry {
         |SELECT doc_new, doc_index, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
         |ORDER BY doc_new, doc_index""".stripMargin,
+    // day-2 probe vs day-0+day-1 appended signature index: exact
+    // cross-slice jaccard (same empirical-recall caveat as the other
+    // minhash tiers)
+    "q_dedup_idx_append" ->
+      s"""WITH sh AS ($shingleCteSql),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_index, count(*) AS inter,
+        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2
+        |  GROUP BY 1, 2)
+        |SELECT doc_new, doc_index, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
+        |ORDER BY doc_new, doc_index""".stripMargin,
     // survivors of the streaming gate = odd docs with NO exact
     // cross-slice pair (same empirical-recall caveat as the batch tiers)
     "q_dedup_stream" ->
@@ -990,6 +1028,9 @@ object SparkEntry {
     "q_dedup_simhash_inc" -> simhashOracleSql(3, incremental = true),
     // persisted-index path computes the identical pair set
     "q_dedup_simhash_idx" -> simhashOracleSql(3, incremental = true),
+    // day-2 probe vs day-0+day-1 appended index, exact cross-slice replay
+    "q_dedup_simhash_app" -> simhashOracleSql(3, incremental = true,
+      incPredSql = "a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2"),
     "q_ann_topk" -> annTopkOracleSql,
     "q_ann_topk_sq8" -> annTopkSq8OracleSql,
     // nProbe = nlist probes every inverted list — identical to brute force
@@ -1646,7 +1687,9 @@ object SparkEntry {
     * `maxHamming + 1`-segment pigeonhole banding and
     * `bit_count(xor)` Hamming filter.
     */
-  private def simhashOracleSql(maxHamming: Int, incremental: Boolean = false): String = {
+  private def simhashOracleSql(maxHamming: Int, incremental: Boolean = false,
+                               incPredSql: String =
+                                 "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"): String = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
     // bit k of the 64-bit value lives in hex digit (63-k)/4 (0-based,
@@ -1664,9 +1707,9 @@ object SparkEntry {
       val mask = if (width >= 64) -1L else (1L << width) - 1
       s"((simhash >> ${j * segBits}) & $mask)"
     }.mkString(", ")
-    // self: unordered a<b pairs; incremental: oriented new(odd)×index(even)
+    // self: unordered a<b pairs; incremental: oriented new×index slices
     val (colA, colB, joinPred) =
-      if (incremental) ("doc_new", "doc_index", "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")
+      if (incremental) ("doc_new", "doc_index", incPredSql)
       else ("doc_a", "doc_b", "a.doc_id < b.doc_id")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

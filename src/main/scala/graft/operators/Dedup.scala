@@ -318,6 +318,35 @@ object Dedup {
         s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm', 'graft.bands' = '$bands')")
   }
 
+  /** Append a NEW batch's band hashes to a persisted
+    * [[writeSignatureIndex]] table — the daily-batch maintenance path
+    * the index's design assumes (accepted crawl docs enter the index so
+    * tomorrow's batch dedups against them). Sketch parameters are read
+    * from the table's OWN properties, so a drift between writer and
+    * appender is impossible by construction; the write goes through
+    * `bucketBy` + append `saveAsTable`, which validates the existing
+    * bucket spec and keeps every new file hash-bucketed on `bh` — a
+    * plain `insertInto` would silently write unbucketed files and a
+    * co-partitioned reader would then MISS collisions. Per-batch cost is
+    * the batch's sketch pass + a bucketed write, independent of index
+    * size. Callers own doc_id uniqueness across appends.
+    */
+  def appendToSignatureIndex(newDocs: DataFrame, tableName: String,
+                             buckets: Int = 64): Unit = {
+    val spark = newDocs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def prop(key: String): Int = props.getOrElse(key, throw new IllegalArgumentException(
+      s"signature index $tableName carries no $key property — " +
+        "not written by writeSignatureIndex")).toInt
+    val (n, numPerm, bands) = (prop("graft.n"), prop("graft.numPerm"), prop("graft.bands"))
+    bandHashes(signaturesFromExploded(shingles(newDocs, n), numPerm), bands, numPerm)
+      .select(col("doc_id").as("doc_index"), col("band"), col("bh"))
+      .write.format("parquet")
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .mode("append").saveAsTable(tableName)
+  }
+
   /** Table-name entry point: validates n/numPerm/bands against the
     * [[writeSignatureIndex]] table properties (a catalog lookup — no
     * index scan) and runs the per-batch check.
@@ -557,6 +586,29 @@ object Dedup {
       .mode("overwrite").saveAsTable(tableName)
     indexDocs.sparkSession.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.maxHamming' = '$maxHamming')")
+  }
+
+  /** Append a NEW batch's banded signatures to a persisted
+    * [[writeSimhashIndex]] table — same maintenance contract as
+    * [[appendToSignatureIndex]]: maxHamming comes from the table's own
+    * properties (no writer/appender drift), and the bucketed append
+    * keeps new files hash-bucketed on `sk` so probes stay
+    * co-partitioned and lossless.
+    */
+  def appendToSimhashIndex(newDocs: DataFrame, tableName: String,
+                           buckets: Int = 64): Unit = {
+    val spark = newDocs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val maxHamming = props.getOrElse("graft.maxHamming", throw new IllegalArgumentException(
+      s"simhash index $tableName carries no graft.maxHamming property — " +
+        "not written by writeSimhashIndex")).toInt
+    simhashBanded(simhash(newDocs), maxHamming)
+      .select(col("doc_id").as("doc_index"), col("sig").as("sig_index"),
+        col("band"), xxhash64(col("band"), col("seg")).as("sk"))
+      .write.format("parquet")
+      .bucketBy(buckets, "sk").sortBy("sk")
+      .mode("append").saveAsTable(tableName)
   }
 
   /** Incremental SimHash near-dups against a PERSISTED index

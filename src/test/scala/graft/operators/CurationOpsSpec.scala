@@ -267,6 +267,60 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sig_index")
   }
 
+  test("signature index append: probe after append equals from-scratch index over the union") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val added = docs.filter(col("doc_id") % 3 === 1)
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    val union = base.unionByName(added)
+    Dedup.writeSignatureIndex(base, "sig_app_idx", buckets = 4)
+    try {
+      Dedup.appendToSignatureIndex(added, "sig_app_idx", buckets = 4)
+      val appended = Dedup.minhashPairsAgainstIndex(probe, "sig_app_idx", union)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.writeSignatureIndex(union, "sig_app_ref", buckets = 4)
+      val scratch = Dedup.minhashPairsAgainstIndex(probe, "sig_app_ref", union)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(appended.nonEmpty && appended == scratch,
+        s"missed=${scratch -- appended} extra=${appended -- scratch}")
+      // the appended files must keep the bucket layout readable as bucketed
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = Dedup.minhashPairsAgainstIndex(probe, spark.table("sig_app_idx"),
+            union, materialize = false)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), plan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // appending to a table not written by writeSignatureIndex (no
+      // parameter properties) fails loudly
+      spark.table("sig_app_idx").write.mode("overwrite").saveAsTable("sig_app_noprops")
+      intercept[IllegalArgumentException] {
+        Dedup.appendToSignatureIndex(added, "sig_app_noprops")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_app_idx")
+      spark.sql("DROP TABLE IF EXISTS sig_app_ref")
+      spark.sql("DROP TABLE IF EXISTS sig_app_noprops")
+    }
+  }
+
+  test("simhash index append: probe after append equals from-scratch index over the union") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val added = docs.filter(col("doc_id") % 3 === 1)
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    Dedup.writeSimhashIndex(base, "sim_app_idx", buckets = 4)
+    try {
+      Dedup.appendToSimhashIndex(added, "sim_app_idx", buckets = 4)
+      val appended = Dedup.simhashPairsAgainstIndex(probe, "sim_app_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = Dedup.simhashPairsIncremental(probe, base.unionByName(added))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(appended == direct, s"missed=${direct -- appended} extra=${appended -- direct}")
+    } finally spark.sql("DROP TABLE IF EXISTS sim_app_idx")
+  }
+
   test("persisted simhash index: same pairs as recompute, co-located, validated") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val newB = docs.filter(col("doc_id") % 2 === 1)
