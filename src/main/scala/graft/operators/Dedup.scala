@@ -315,7 +315,8 @@ object Dedup {
     // is a catalog lookup, not an index scan
     indexDocs.sparkSession.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
-        s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm', 'graft.bands' = '$bands')")
+        s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm', 'graft.bands' = '$bands', " +
+        s"'graft.buckets' = '$buckets')")
   }
 
   /** Append a NEW batch's band hashes to a persisted
@@ -323,16 +324,17 @@ object Dedup {
     * the index's design assumes (accepted crawl docs enter the index so
     * tomorrow's batch dedups against them). Sketch parameters are read
     * from the table's OWN properties, so a drift between writer and
-    * appender is impossible by construction; the write goes through
-    * `bucketBy` + append `saveAsTable`, which validates the existing
-    * bucket spec and keeps every new file hash-bucketed on `bh` — a
+    * appender is impossible by construction; the bucket count too comes
+    * from the table properties and the write goes through `bucketBy` +
+    * append `saveAsTable` (which re-validates the catalog spec — probed
+    * empirically: a mismatch throws AnalysisException), keeping every
+    * new file hash-bucketed on `bh` — a
     * plain `insertInto` would silently write unbucketed files and a
     * co-partitioned reader would then MISS collisions. Per-batch cost is
     * the batch's sketch pass + a bucketed write, independent of index
     * size. Callers own doc_id uniqueness across appends.
     */
-  def appendToSignatureIndex(newDocs: DataFrame, tableName: String,
-                             buckets: Int = 64): Unit = {
+  def appendToSignatureIndex(newDocs: DataFrame, tableName: String): Unit = {
     val spark = newDocs.sparkSession
     val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -340,6 +342,7 @@ object Dedup {
       s"signature index $tableName carries no $key property — " +
         "not written by writeSignatureIndex")).toInt
     val (n, numPerm, bands) = (prop("graft.n"), prop("graft.numPerm"), prop("graft.bands"))
+    val buckets = prop("graft.buckets")
     bandHashes(signaturesFromExploded(shingles(newDocs, n), numPerm), bands, numPerm)
       .select(col("doc_id").as("doc_index"), col("band"), col("bh"))
       .write.format("parquet")
@@ -585,7 +588,8 @@ object Dedup {
       .bucketBy(buckets, "sk").sortBy("sk")
       .mode("overwrite").saveAsTable(tableName)
     indexDocs.sparkSession.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.maxHamming' = '$maxHamming')")
+      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+        s"'graft.maxHamming' = '$maxHamming', 'graft.buckets' = '$buckets')")
   }
 
   /** Append a NEW batch's banded signatures to a persisted
@@ -595,14 +599,15 @@ object Dedup {
     * keeps new files hash-bucketed on `sk` so probes stay
     * co-partitioned and lossless.
     */
-  def appendToSimhashIndex(newDocs: DataFrame, tableName: String,
-                           buckets: Int = 64): Unit = {
+  def appendToSimhashIndex(newDocs: DataFrame, tableName: String): Unit = {
     val spark = newDocs.sparkSession
     val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    val maxHamming = props.getOrElse("graft.maxHamming", throw new IllegalArgumentException(
-      s"simhash index $tableName carries no graft.maxHamming property — " +
+    def prop(key: String): Int = props.getOrElse(key, throw new IllegalArgumentException(
+      s"simhash index $tableName carries no $key property — " +
         "not written by writeSimhashIndex")).toInt
+    val maxHamming = prop("graft.maxHamming")
+    val buckets = prop("graft.buckets")
     simhashBanded(simhash(newDocs), maxHamming)
       .select(col("doc_id").as("doc_index"), col("sig").as("sig_index"),
         col("band"), xxhash64(col("band"), col("seg")).as("sk"))

@@ -275,7 +275,7 @@ class CurationOpsSpec extends AnyFunSuite {
     val union = base.unionByName(added)
     Dedup.writeSignatureIndex(base, "sig_app_idx", buckets = 4)
     try {
-      Dedup.appendToSignatureIndex(added, "sig_app_idx", buckets = 4)
+      Dedup.appendToSignatureIndex(added, "sig_app_idx")
       val appended = Dedup.minhashPairsAgainstIndex(probe, "sig_app_idx", union)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       Dedup.writeSignatureIndex(union, "sig_app_ref", buckets = 4)
@@ -312,7 +312,7 @@ class CurationOpsSpec extends AnyFunSuite {
     val probe = docs.filter(col("doc_id") % 3 === 2)
     Dedup.writeSimhashIndex(base, "sim_app_idx", buckets = 4)
     try {
-      Dedup.appendToSimhashIndex(added, "sim_app_idx", buckets = 4)
+      Dedup.appendToSimhashIndex(added, "sim_app_idx")
       val appended = Dedup.simhashPairsAgainstIndex(probe, "sim_app_idx")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val direct = Dedup.simhashPairsIncremental(probe, base.unionByName(added))
