@@ -117,6 +117,10 @@ object SparkEntry {
     // sessionization: gap > 2h opens a new session, all subjects
     "q_sessions" -> ((s, d) =>
       sessionize(conditions(s, d), Of, S1, E1, gapS = 7200)),
+    // sensor-outage report: 50 largest consecutive-event gaps (downtime
+    // seen from the other side of sessionize); all-integer µs arithmetic
+    "q_gaps" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.largestGaps(conditions(s, d), Of, S1, E1, topN = 50)),
     // the event-time tumbling-window aggregation through the streaming
     // gate: same sentinel-flush pattern as q_sessions_stream. Uses the
     // exact-integer projection (sum of value×100 + count — see
@@ -922,6 +926,25 @@ object SparkEntry {
          |       max(epoch_us("timestamp")) AS session_end_us,
          |       count(*) AS n_events
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 3""".stripMargin,
+    // exact integer gaps; deterministic tie-break (gap desc, subject,
+    // start) makes LIMIT reproducible across engines
+    "q_gaps" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, "timestamp" FROM conditions
+         |  WHERE measurement_of = '$Of'
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |gaps AS (
+         |  SELECT measurement_subject,
+         |         epoch_us(lag("timestamp") OVER w) AS gap_start_us,
+         |         epoch_us("timestamp") AS gap_end_us
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp"))
+         |SELECT measurement_subject, gap_start_us, gap_end_us,
+         |       gap_end_us - gap_start_us AS gap_us
+         |FROM gaps WHERE gap_start_us IS NOT NULL
+         |ORDER BY gap_us DESC, measurement_subject ASC, gap_start_us ASC
+         |LIMIT 50""".stripMargin,
     // tumbling windows are epoch-aligned ⇒ integer floor-bucket replay;
     // exact-integer payload (sum of value×100 + non-null count), so no
     // cross-engine FP rounding surface at all

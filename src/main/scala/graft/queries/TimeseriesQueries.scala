@@ -224,6 +224,35 @@ object TimeseriesQueries {
         col("measurement_subject"), col("measurement_of"),
         col("sum_scaled"), col("n_events"))
 
+  /** Sensor-outage report: the `topN` largest gaps between CONSECUTIVE
+    * events of the same subject inside the scan range — the dashboard
+    * complement of [[sessionize]] (a session gap is downtime seen from
+    * the other side). All-µs integer arithmetic, so the oracle is exact.
+    *
+    * Scale shape: one hash shuffle on subject + per-subject sort for the
+    * lag window (same plan family as B8/B9), then a global top-N which
+    * Spark executes as TakeOrderedAndProject — per-partition heaps and a
+    * driver merge of topN rows, never a full global sort.
+    */
+  def largestGaps(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                  topN: Int): DataFrame = {
+    val w = Window.partitionBy("measurement_subject").orderBy("timestamp")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"), col("timestamp"))
+      .withColumn("prev_ts", lag("timestamp", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("measurement_subject"),
+        unix_micros(col("prev_ts")).as("gap_start_us"),
+        unix_micros(col("timestamp")).as("gap_end_us"))
+      .withColumn("gap_us", col("gap_end_us") - col("gap_start_us"))
+      .orderBy(col("gap_us").desc, col("measurement_subject").asc,
+        col("gap_start_us").asc)
+      .limit(topN)
+  }
+
   /** B7 `get_unique_measurement_subjects`: DISTINCT subject over the
     * of+range predicate (no subject filter).
     */

@@ -135,6 +135,24 @@ class QueriesEdgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("span must be positive"))
   }
 
+  test("largestGaps: exact top-N consecutive gaps, heap plan not a global sort") {
+    import spark.implicits._
+    val d = Seq(
+      (ts(0), "s1", "m"), (ts(100), "s1", "m"), (ts(700), "s1", "m"),   // gaps 100, 600
+      (ts(0), "s2", "m"), (ts(400), "s2", "m"), (ts(500), "s2", "m"),   // gaps 400, 100
+      (ts(999), "s3", "m")                                              // single event: no gap
+    ).toDF("timestamp", "measurement_subject", "measurement_of")
+    val q = graft.queries.TimeseriesQueries.largestGaps(
+      d, "m", 1704240000L, 1704250000L, topN = 3)
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(3) / 1000000L)).toSeq
+    // 600 > 400 > 100-tie broken by subject asc
+    assert(got == Seq(("s1", 600L), ("s2", 400L), ("s1", 100L)))
+    // global top-N must be a TakeOrderedAndProject, never a full sort
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("queries over an absent series return empty, not errors") {
     assert(TimeseriesQueries.aggregatedData(
       mixedConditions, "nope", "m", 1704240000L, 1704240300L, 10).collect().isEmpty)
