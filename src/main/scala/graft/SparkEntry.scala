@@ -121,6 +121,12 @@ object SparkEntry {
     // seen from the other side of sessionize); all-integer µs arithmetic
     "q_gaps" -> ((s, d) =>
       graft.queries.TimeseriesQueries.largestGaps(conditions(s, d), Of, S1, E1, topN = 50)),
+    // Hampel outliers per (subject, day): |x - median| > 3 MAD over
+    // integer cents — medians/MADs are dyadic, so the flag comparison
+    // has no FP boundary and the oracle replays it bit-exactly
+    "q_outliers" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.hampelOutliers(
+        conditions(s, d), Of, S1, E1, widthS = 86400)),
     // the event-time tumbling-window aggregation through the streaming
     // gate: same sentinel-flush pattern as q_sessions_stream. Uses the
     // exact-integer projection (sum of value×100 + count — see
@@ -926,6 +932,29 @@ object SparkEntry {
          |       max(epoch_us("timestamp")) AS session_end_us,
          |       count(*) AS n_events
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 3""".stripMargin,
+    // dyadic median/MAD over integer cents — quantile_cont of integers
+    // lands on .0/.5 (and MAD on quarters), exact in both engines
+    "q_outliers" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, "timestamp",
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         (epoch_us("timestamp") // 1000000 // 86400) * 86400 AS bucket_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |st AS (
+         |  SELECT *, quantile_cont(c, 0.5) OVER w AS med
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject, bucket_s)),
+         |st2 AS (
+         |  SELECT *, quantile_cont(abs(c - med), 0.5) OVER w AS mad
+         |  FROM st
+         |  WINDOW w AS (PARTITION BY measurement_subject, bucket_s))
+         |SELECT epoch_us("timestamp") AS ts_us, measurement_subject, bucket_s,
+         |       c AS value_scaled, med AS med_scaled, mad AS mad_scaled
+         |FROM st2 WHERE abs(c - med) > 3 * mad
+         |ORDER BY ts_us, measurement_subject, value_scaled""".stripMargin,
     // exact integer gaps; deterministic tie-break (gap desc, subject,
     // start) makes LIMIT reproducible across engines
     "q_gaps" ->

@@ -253,6 +253,49 @@ object TimeseriesQueries {
       .limit(topN)
   }
 
+  /** Hampel outlier detection per (subject, epoch-aligned bucket):
+    * flag rows where |x − median| > k · MAD (MAD = median of absolute
+    * deviations — the robust dispersion the classic z-score lacks; a
+    * sensor spike can't drag its own threshold the way it drags a
+    * mean/stddev). The dashboard use is glitch triage; the
+    * training-data use is the same logic as a quality filter.
+    *
+    * Everything is computed over `scale`-quantized INTEGER values
+    * (default cents): integer medians interpolate to .0/.5 and MADs to
+    * quarters — dyadic doubles, exact in ANY engine — so flag
+    * comparisons have no floating-point boundary and the oracle is
+    * bit-exact. (A double median of decimal-quantized inputs would sit
+    * structurally ON comparison boundaries — same failure mode as a
+    * rounded double AVG.) MAD = 0 (over half the bucket identical)
+    * flags nothing — standard Hampel behavior, deliberate.
+    *
+    * Scale shape: one hash shuffle on (subject, bucket) + per-partition
+    * sort, two Window aggregates over the SAME partitioning (one
+    * exchange, reused), then a narrow filter — no second shuffle, no
+    * driver-side stats.
+    */
+  def hampelOutliers(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                     widthS: Long, k: Int = 3, scale: Int = 100): DataFrame = {
+    require(widthS > 0 && k > 0 && scale > 0, "widthS, k, scale must be positive")
+    val w = Window.partitionBy("measurement_subject", "bucket_s")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"), col("timestamp"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .withColumn("bucket_s",
+        expr(s"(unix_micros(timestamp) div 1000000 div ${widthS}L) * ${widthS}L"))
+      .withColumn("med", expr("percentile(c, 0.5)").over(w))
+      .withColumn("mad", expr("percentile(abs(c - med), 0.5)").over(w))
+      .filter(abs(col("c") - col("med")) > col("mad") * k)
+      .select(unix_micros(col("timestamp")).as("ts_us"),
+        col("measurement_subject"), col("bucket_s"), col("c").as("value_scaled"),
+        col("med").as("med_scaled"), col("mad").as("mad_scaled"))
+      .orderBy("ts_us", "measurement_subject", "value_scaled")
+  }
+
   /** B7 `get_unique_measurement_subjects`: DISTINCT subject over the
     * of+range predicate (no subject filter).
     */

@@ -153,6 +153,28 @@ class QueriesEdgeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("hampelOutliers: hand case — spike flagged, MAD=0 bucket silent, one exchange") {
+    import spark.implicits._
+    // bucket 1: values 1.00 2.00 3.00 4.00 100.00 -> med 3.00 (300c),
+    // MAD = median(200,100,0,100,9700) = 100c; |9700| > 3*100 flags only
+    // the spike. bucket 2 (next day): constant values -> MAD 0, silent
+    // even though one row differs by a hair under the integer scale.
+    val day = 86400L
+    val d = (Seq(0L -> 1.0, 60L -> 2.0, 120L -> 3.0, 180L -> 4.0, 240L -> 100.0) ++
+             Seq(day -> 5.0, day + 60 -> 5.0, day + 120 -> 5.0, day + 180 -> 5.004))
+      .map { case (off, v) => (ts(off), "s1", "m", v) }
+      .toDF("timestamp", "measurement_subject", "measurement_of", "measurement_number")
+    val q = graft.queries.TimeseriesQueries.hampelOutliers(
+      d, "m", 1704240000L, 1704240000L + 2 * day, widthS = day)
+    val got = q.collect().map(r => (r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((10000L, 300.0, 100.0)))
+    // both window aggregates share one (subject, bucket) exchange
+    // (AQE plan strings repeat the tree under "Initial Plan" — count the
+    // final section only)
+    val plan = q.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
   test("queries over an absent series return empty, not errors") {
     assert(TimeseriesQueries.aggregatedData(
       mixedConditions, "nope", "m", 1704240000L, 1704240300L, 10).collect().isEmpty)
