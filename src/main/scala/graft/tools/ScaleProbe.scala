@@ -110,6 +110,31 @@ object ScaleProbe {
     }
   }
 
+  /** SimHash incremental probe — a FIXED new batch (the base corpus's
+    * odd doc_ids) against an index grown M×. Compares recompute-both-
+    * sides [[Dedup.simhashPairsIncremental]] (index re-sketched per
+    * batch: token explode + md5 + 64-vote aggregation over the WHOLE
+    * index) with the persisted-index path ([[Dedup.writeSimhashIndex]]
+    * once per M, then [[Dedup.simhashPairsAgainstIndex]] as the
+    * per-batch cost — signatures read back, never recomputed).
+    */
+  private def simhashIncrProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    val newBatch = docs.filter(col("doc_id") % 2 === 1).localCheckpoint(true)
+    for (m <- ms) {
+      val index = grow(docs.filter(col("doc_id") % 2 === 0), m).localCheckpoint(true)
+      val idxDocs = index.count()
+      val (directPairs, tDirect) = time(Dedup.simhashPairsIncremental(newBatch, index).count())
+      spark.catalog.clearCache(); System.gc()
+      val (_, tBuild) = time(Dedup.writeSimhashIndex(index, "simhash_index_probe"))
+      val (idxPairs, tBatch) = time(
+        Dedup.simhashPairsAgainstIndex(newBatch, "simhash_index_probe").count())
+      spark.sql("DROP TABLE IF EXISTS simhash_index_probe")
+      spark.catalog.clearCache(); System.gc()
+      require(directPairs == idxPairs, s"m=$m direct=$directPairs indexed=$idxPairs")
+      println(s"""{"m":$m,"index_docs":$idxDocs,"pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${f"$tBuild%.2f"},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+    }
+  }
+
   /** IVF maintenance probe: per corpus size n, the cost of FULL index
     * rebuild over the union ([[Ann.writeIvfIndex]]: retrain + assign all
     * + rewrite all) vs APPENDING a 10% batch against the stored centroids
@@ -320,6 +345,11 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("bloom")) {
       bloomProbe(spark, docs, ms) // ms are benchmark growth factors here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("simhashincr")) {
+      simhashIncrProbe(spark, docs, ms) // ms are index growth factors here
       spark.stop()
       return
     }
