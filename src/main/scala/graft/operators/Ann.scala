@@ -462,18 +462,18 @@ object Ann {
     // Packed per-list rectangle kernel, not a row join: a per-pair UDF
     // cosine pays boxed-array conversion per PAIR (measured ~20× the
     // packed kernel on the same arithmetic); packing pays it per ROW.
-    // The new side packs one block per probed list (batch-bounded);
-    // the index side packs each list into B hash blocks so one block
-    // row stays task-sized at any list size. An index vector lives in
-    // one (list, blk) cell and a new vector probes a list once, so
+    // BOTH sides pack into B hash blocks per list so a packed row stays
+    // task-sized at any batch or list size. A new vector probing list L
+    // lands in exactly one (L, blkN) row and an index vector of L in one
+    // (L, blkI) row; the join on L crosses the blkN × blkI cells, so
     // every pair is formed exactly once.
     val B = math.max(1, math.ceil(math.sqrt(spark.sparkContext.defaultParallelism.toDouble)).toInt)
     val newPacked = newListed
       .as[(Long, Array[Float], Double, Int)]
-      .groupByKey(_._4)
-      .mapGroups { (probe, it) =>
+      .groupByKey(r => (r._4, (((r._1 % B) + B) % B).toInt))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Long, Array[Float], Double, Int)]) =>
         val arr = it.toArray.sortBy(_._1)
-        (probe, arr.map(_._1), arr.map(_._2), arr.map(_._3))
+        (key._1, arr.map(_._1), arr.map(_._2), arr.map(_._3))
       }
       .toDF("probe", "ids_n", "vecs_n", "nrms_n")
     val idxPacked = spark.table(tableName)
