@@ -56,11 +56,15 @@ object Decontamination {
                         fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val spark = corpus.sparkSession
+    import spark.implicits._
     val benchShingles = Dedup.shingles(benchmark, n).select("s").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // expected-item count for sizing: one benchmark-proportional job
-      val expected = math.max(benchShingles.count(), 1L)
+      // expected-item count for sizing: one benchmark-proportional job.
+      // Empty benchmark short-circuits — nothing can be contaminated, and
+      // stat.bloomFilter NPEs on an empty frame (null aggregate buffer)
+      val expected = benchShingles.count()
+      if (expected == 0) return Seq.empty[(Long, Long)].toDF("doc_id", "n_shared")
       val bloom = benchShingles.stat.bloomFilter("s", expected, fpp)
       val bc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((s: String) => bc.value.mightContainString(s))

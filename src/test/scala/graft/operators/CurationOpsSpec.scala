@@ -162,6 +162,13 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination: empty benchmark flags nothing (no NPE from sizing)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontamination.contaminatedBloom(corpus, emptyBench, n = 5).count() == 0)
+  }
+
   test("null text yields no shingles rather than an NPE") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")

@@ -153,6 +153,20 @@ class QueriesEdgeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("largestGaps: duplicate timestamps yield the same gap multiset as any tie order") {
+    import spark.implicits._
+    // two events at the same instant: whichever the lag window orders
+    // first, the gap multiset is {0, 300} — the query's output is
+    // tie-order independent even though lag's tie order isn't
+    val d = Seq(
+      (ts(0), "s1", "m"), (ts(0), "s1", "m"), (ts(300), "s1", "m")
+    ).toDF("timestamp", "measurement_subject", "measurement_of")
+    val got = graft.queries.TimeseriesQueries.largestGaps(
+        d, "m", 1704240000L, 1704250000L, topN = 10)
+      .collect().map(_.getLong(3) / 1000000L).sorted.toSeq
+    assert(got == Seq(0L, 300L))
+  }
+
   test("hampelOutliers: hand case — spike flagged, MAD=0 bucket silent, one exchange") {
     import spark.implicits._
     // bucket 1: values 1.00 2.00 3.00 4.00 100.00 -> med 3.00 (300c),
