@@ -189,6 +189,48 @@ class QueriesEdgeSpec extends AnyFunSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 
+  test("hampelOutliers matches an in-memory median/MAD reference on random buckets") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // interpolated median over integers (quantile_cont semantics)
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.map(_.toDouble).sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    def reference(vals: Seq[Long], k: Int): Set[Int] = {
+      val m = med(vals)
+      // deviations are integer halves (dyadic) — median them as doubles
+      val devs = vals.map(v => math.abs(v - m)).sorted
+      val n = devs.length
+      val mad = if (n % 2 == 1) devs(n / 2) else (devs(n / 2 - 1) + devs(n / 2)) / 2.0
+      vals.zipWithIndex.collect {
+        case (v, i) if math.abs(v - m) > k * mad => i
+      }.toSet
+    }
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      vals <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+    } yield vals
+    var checked = 0
+    var draws = 0
+    while (checked < 8 && draws < 60) {
+      draws += 1
+      gen.sample.foreach { vals =>
+        val df = vals.zipWithIndex.map { case (c, i) =>
+          (ts(i.toLong), "s1", "m", c.toDouble / 100.0)
+        }.toDF("timestamp", "measurement_subject", "measurement_of", "measurement_number")
+        val got = graft.queries.TimeseriesQueries.hampelOutliers(
+            df, "m", 1704240000L, 1704250000L, widthS = 86400L)
+          .collect().map(r => r.getLong(0)).toSet
+        val expected = reference(vals, 3).map(i => (1704240000L + i) * 1000000L)
+        assert(got == expected, s"vals=$vals got=$got expected=$expected")
+        checked += 1
+      }
+    }
+    assert(checked == 8)
+  }
+
   test("queries over an absent series return empty, not errors") {
     assert(TimeseriesQueries.aggregatedData(
       mixedConditions, "nope", "m", 1704240000L, 1704240300L, 10).collect().isEmpty)
