@@ -127,6 +127,11 @@ object SparkEntry {
     "q_outliers" -> ((s, d) =>
       graft.queries.TimeseriesQueries.hampelOutliers(
         conditions(s, d), Of, S1, E1, widthS = 86400)),
+    // counter-to-rate: consecutive deltas with reset detection, exact
+    // integer outputs (the synthetic series isn't monotone, so resets
+    // are exercised heavily — which is the point of the contract)
+    "q_rate" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.counterToRate(conditions(s, d), Of, S1, E1)),
     // the event-time tumbling-window aggregation through the streaming
     // gate: same sentinel-flush pattern as q_sessions_stream. Uses the
     // exact-integer projection (sum of value×100 + count — see
@@ -932,6 +937,28 @@ object SparkEntry {
          |       max(epoch_us("timestamp")) AS session_end_us,
          |       count(*) AS n_events
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 3""".stripMargin,
+    // exact integer deltas; lag ordered by (ts, c) so duplicate-ts
+    // pairing is deterministic in both engines
+    "q_rate" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, "timestamp",
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |lagged AS (
+         |  SELECT measurement_subject, "timestamp", c,
+         |         lag("timestamp") OVER w AS prev_ts, lag(c) OVER w AS prev_c
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp", c))
+         |SELECT epoch_us(prev_ts) AS t_start_us, epoch_us("timestamp") AS t_end_us,
+         |       measurement_subject,
+         |       CASE WHEN c < prev_c THEN 0 ELSE c - prev_c END AS dv_scaled,
+         |       epoch_us("timestamp") - epoch_us(prev_ts) AS dt_us,
+         |       c < prev_c AS reset
+         |FROM lagged WHERE prev_ts IS NOT NULL
+         |ORDER BY measurement_subject, t_start_us, t_end_us, dv_scaled""".stripMargin,
     // dyadic median/MAD over integer cents — quantile_cont of integers
     // lands on .0/.5 (and MAD on quarters), exact in both engines
     "q_outliers" ->

@@ -296,6 +296,50 @@ object TimeseriesQueries {
       .orderBy("ts_us", "measurement_subject", "value_scaled")
   }
 
+  /** Counter-to-rate conversion: cumulative meter readings (energy kWh,
+    * vehicle odometer — the reference's emon/BMW domains are exactly
+    * this) become per-interval consumption deltas. A NEGATIVE delta is a
+    * counter RESET (meter swap, rollover): the interval is emitted with
+    * `reset = true` and its delta EXCLUDED from `dv_scaled` (the
+    * post-reset reading restarts the baseline; attributing it as
+    * consumption double-counts the meter's history — the standard
+    * PromQL/Timescale `rate`/`counter_agg` convention).
+    *
+    * Outputs are exact integers (`scale`-quantized value delta, µs time
+    * delta) rather than a divided rate: the quotient is derivable
+    * downstream, and integer outputs keep the cross-engine contract
+    * bit-exact (a rounded rate would reintroduce the FP-tie surface).
+    * One hash shuffle on subject + per-subject sort — B8/B9's plan
+    * family.
+    */
+  def counterToRate(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                    scale: Int = 100): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    // secondary sort on the reading makes duplicate-timestamp pairing
+    // deterministic (lag's tie order otherwise differs across engines —
+    // and two readings at one instant have no defined "order" anyway)
+    val w = Window.partitionBy("measurement_subject").orderBy("timestamp", "c")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"), col("timestamp"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .withColumn("prev_ts", lag("timestamp", 1).over(w))
+      .withColumn("prev_c", lag("c", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(
+        unix_micros(col("prev_ts")).as("t_start_us"),
+        unix_micros(col("timestamp")).as("t_end_us"),
+        col("measurement_subject"),
+        when(col("c") < col("prev_c"), lit(0L))
+          .otherwise(col("c") - col("prev_c")).as("dv_scaled"),
+        (unix_micros(col("timestamp")) - unix_micros(col("prev_ts"))).as("dt_us"),
+        (col("c") < col("prev_c")).as("reset"))
+      .orderBy("measurement_subject", "t_start_us", "t_end_us", "dv_scaled")
+  }
+
   /** B7 `get_unique_measurement_subjects`: DISTINCT subject over the
     * of+range predicate (no subject filter).
     */

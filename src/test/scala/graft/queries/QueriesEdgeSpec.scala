@@ -231,6 +231,26 @@ class QueriesEdgeSpec extends AnyFunSuite {
     assert(checked == 8)
   }
 
+  test("counterToRate: deltas, reset exclusion, duplicate-ts determinism") {
+    import spark.implicits._
+    // 10.00 -> 12.50 -> 3.00 (reset) -> 4.00
+    val d = Seq(
+      (ts(0), "s1", "m", 10.0), (ts(100), "s1", "m", 12.5),
+      (ts(200), "s1", "m", 3.0), (ts(300), "s1", "m", 4.0),
+      // s2: two readings at one instant — (ts, c) ordering pins pairing
+      (ts(0), "s2", "m", 5.0), (ts(0), "s2", "m", 7.0), (ts(50), "s2", "m", 9.0)
+    ).toDF("timestamp", "measurement_subject", "measurement_of", "measurement_number")
+    val got = graft.queries.TimeseriesQueries.counterToRate(
+        d, "m", 1704240000L, 1704250000L)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4) / 1000000L, r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("s1", 250L, 100L, false),  // 12.50 - 10.00 = 250 cents
+      ("s1", 0L, 100L, true),     // reset: delta excluded, flagged
+      ("s1", 100L, 100L, false),  // 4.00 - 3.00 post-reset baseline
+      ("s2", 200L, 0L, false),    // (0s,5.00) -> (0s,7.00): c-ordered tie
+      ("s2", 200L, 50L, false)))  // (0s,7.00) -> (50s,9.00)
+  }
+
   test("queries over an absent series return empty, not errors") {
     assert(TimeseriesQueries.aggregatedData(
       mixedConditions, "nope", "m", 1704240000L, 1704240300L, 10).collect().isEmpty)
