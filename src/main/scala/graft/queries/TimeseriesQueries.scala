@@ -272,7 +272,12 @@ object TimeseriesQueries {
     * Scale shape: one hash shuffle on (subject, bucket) + per-partition
     * sort, two Window aggregates over the SAME partitioning (one
     * exchange, reused), then a narrow filter — no second shuffle, no
-    * driver-side stats.
+    * driver-side stats. The exact `percentile` aggregate buffers the
+    * distinct values of ONE (subject, bucket) group at a time, so
+    * executor memory bounds the events a single subject may emit per
+    * bucket — for pathologically hot subjects narrow `widthS` (state
+    * shrinks linearly) before reaching for an approximate-quantile tier,
+    * which would forfeit the exact oracle.
     */
   def hampelOutliers(conditions: DataFrame, of: String, startS: Long, endS: Long,
                      widthS: Long, k: Int = 3, scale: Int = 100): DataFrame = {
