@@ -79,6 +79,55 @@ object ScaleProbe {
     }
   }
 
+  /** End-to-end training-data pipeline probe: the composed path a real
+    * corpus takes — curate (exact dedup → MinHash-LSH near-dup removal →
+    * quality/language filter) → decontaminate (Bloom tier vs the
+    * held-out slice) → split assignment → context-window chunking →
+    * sequence packing → materialized packed sequences — per corpus
+    * growth factor M, with per-stage wall time and row counts. This is
+    * the throughput number for "run the whole pipeline", not a
+    * per-operator microbench.
+    */
+  private def pipelineProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.{CorpusCuration, Decontamination, Packing, Sampling}
+    for (m <- ms) {
+      val corpus0 = grow(docs, m).localCheckpoint(true)
+      val n0 = corpus0.count()
+      val bench = corpus0.filter(col("doc_id") % 97 === 0)
+      val t0 = System.nanoTime()
+      // curate returns the surviving (doc_id, quality, lang_pred); the
+      // pipeline re-attaches text by id for the downstream stages
+      val curated = corpus0.join(
+          CorpusCuration.curate(corpus0).select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val nCur = curated.count()
+      val t1 = System.nanoTime()
+      val contaminated = Decontamination.contaminatedBloom(curated, bench, n = 5)
+      val clean = curated.join(contaminated.select("doc_id")
+          .except(bench.select("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val nClean = clean.count()
+      val t2 = System.nanoTime()
+      val withSplit = Sampling.assignSplits(clean).localCheckpoint(true)
+      val nTrain = withSplit.filter(col("split") === "train").count()
+      val t3 = System.nanoTime()
+      val chunks = Packing.chunkDocuments(
+        withSplit.filter(col("split") === "train").select("doc_id", "text"),
+        maxTokens = 64, overlap = 8)
+        .select(col("chunk_text").as("text"),
+          (col("doc_id") * 10000 + col("chunk_id")).as("doc_id"))
+        .localCheckpoint(true)
+      val nChunks = chunks.count()
+      val t4 = System.nanoTime()
+      val packed = Packing.materializeSequences(chunks, budget = 2048)
+      val nSeqs = packed.count()
+      val t5 = System.nanoTime()
+      def sec(a: Long, b: Long) = f"${(b - a) / 1e9}%.2f"
+      println(s"""{"m":$m,"docs":$n0,"curated":$nCur,"decontaminated":$nClean,"train":$nTrain,"chunks":$nChunks,"sequences":$nSeqs,"curate_sec":${sec(t0, t1)},"decontam_sec":${sec(t1, t2)},"split_sec":${sec(t2, t3)},"chunk_sec":${sec(t3, t4)},"pack_sec":${sec(t4, t5)},"total_sec":${sec(t0, t5)}}""")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
   /** Decontamination-tier probe: fixed corpus, benchmark side grown M× —
     * the regime where the exact broadcast set outgrows the driver/executor
     * wire budget. Reports wall time of both tiers (results asserted
@@ -350,6 +399,11 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("simhashincr")) {
       simhashIncrProbe(spark, docs, ms) // ms are index growth factors here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("pipeline")) {
+      pipelineProbe(spark, docs, ms) // ms are corpus growth factors here
       spark.stop()
       return
     }
