@@ -64,6 +64,23 @@ object Ann {
       .limit(k)
   }
 
+  /** Brute-force top-k against an EXTERNAL query vector — the serving
+    * path (the id overload only answers "most similar to a corpus
+    * member"). Same single-pass scan + TakeOrderedAndProject shape.
+    */
+  def topK(embeddings: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    var qn = 0.0
+    var i = 0
+    while (i < queryVec.length) { qn += queryVec(i).toDouble * queryVec(i); i += 1 }
+    val norm = math.sqrt(qn)
+    require(norm > 0, "query vector must be non-zero")
+    withNorm(embeddings)
+      .select(col("vec_id"),
+        round(dotUdf(col("embedding"), typedlit(queryVec.toSeq)) / (col("nrm") * norm), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Exact near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) arithmetic — the correctness oracle; use [[lshNeardupPairs]] at
     * scale when the threshold sits in LSH's effective regime (cos ≥ ~0.8).
@@ -539,31 +556,60 @@ object Ann {
   def ivfTopKAgainstIndex(spark: org.apache.spark.sql.SparkSession, tableName: String,
                           queryId: Long, k: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
+    val centroids = validatedCentroids(spark, tableName, nProbe)
+    def emptyResult = Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    val q = spark.table(tableName).filter(col("vec_id") === queryId)
+      .select(col("embedding"), col("nrm"))
+      .as[(Array[Float], Double)].collect().headOption
+      .getOrElse(return emptyResult)
+    ivfProbe(spark, tableName, centroids, q._1, q._2, k, nProbe)
+  }
+
+  /** [[ivfTopKAgainstIndex]] for an EXTERNAL query vector — the serving
+    * path; the id overload only answers "most similar to an indexed
+    * vector". Identical probe-list pruning and partition-pruned scan.
+    */
+  def ivfTopKAgainstIndex(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                          queryVec: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val centroids = validatedCentroids(spark, tableName, nProbe)
+    var qn = 0.0
+    var i = 0
+    while (i < queryVec.length) { qn += queryVec(i).toDouble * queryVec(i); i += 1 }
+    val norm = math.sqrt(qn)
+    require(norm > 0, "query vector must be non-zero")
+    ivfProbe(spark, tableName, centroids, queryVec, norm, k, nProbe)
+  }
+
+  /** Shared [[ivfTopKAgainstIndex]] plumbing: property-validated centroid
+    * load (catalog lookup + nlist-row side-table collect).
+    */
+  private def validatedCentroids(spark: org.apache.spark.sql.SparkSession,
+                                 tableName: String, nProbe: Int): Array[Array[Double]] = {
+    import spark.implicits._
     val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     require(props.contains("graft.nlist"),
       s"IVF index $tableName carries no graft.nlist property — not written by writeIvfIndex")
     val nlist = props("graft.nlist").toInt
     require(nProbe >= 1 && nProbe <= nlist, s"nProbe must be in [1, $nlist]")
-    val centroids = spark.table(s"${tableName}_centroids")
+    spark.table(s"${tableName}_centroids")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-    val listed = spark.table(tableName)
-    def emptyResult = Seq.empty[(Long, Double)].toDF("vec_id", "cos")
-    val q = listed.filter(col("vec_id") === queryId)
-      .select(col("embedding"), col("nrm"))
-      .as[(Array[Float], Double)].collect().headOption
-      .getOrElse(return emptyResult)
+  }
+
+  private def ivfProbe(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                       centroids: Array[Array[Double]], qVec: Array[Float],
+                       qNorm: Double, k: Int, nProbe: Int): DataFrame = {
     val probeLists = centroids.indices
       .sortBy { c =>
         var d = 0.0
         var i = 0
-        while (i < q._1.length) { val x = q._1(i) - centroids(c)(i); d += x * x; i += 1 }
+        while (i < qVec.length) { val x = qVec(i) - centroids(c)(i); d += x * x; i += 1 }
         d
       }
       .take(nProbe)
-    listed.filter(col("ivf_list").isin(probeLists: _*))
+    spark.table(tableName).filter(col("ivf_list").isin(probeLists: _*))
       .select(col("vec_id"),
-        round(dotUdf(col("embedding"), typedlit(q._1.toSeq)) / (col("nrm") * q._2), 6).as("cos"))
+        round(dotUdf(col("embedding"), typedlit(qVec.toSeq)) / (col("nrm") * qNorm), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -234,6 +234,41 @@ class IncrementalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("external-vector serving path equals the by-id path for an indexed vector") {
+    import spark.implicits._
+    val qVec = emb.filter(col("vec_id") === 3L)
+      .select("embedding").as[Array[Float]].head()
+    // brute tier
+    val byId = Ann.topK(emb, queryId = 3L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val byVec = Ann.topK(emb, qVec, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(byVec == byId && byVec.head == ((3L, 1.0)))
+    // IVF-index tier
+    Ann.writeIvfIndex(emb, "ivf_ext_idx", nlist = 8)
+    try {
+      val idxById = Ann.ivfTopKAgainstIndex(spark, "ivf_ext_idx", queryId = 3L, k = 10, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idxByVec = Ann.ivfTopKAgainstIndex(spark, "ivf_ext_idx", qVec, k = 10, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(idxByVec == idxById)
+      // a genuinely external (unindexed) vector works and is exact at
+      // full probe: equals the brute force against the same vector
+      val ext = qVec.map(v => v + 0.25f)
+      val full = Ann.ivfTopKAgainstIndex(spark, "ivf_ext_idx", ext, k = 10, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val brute = Ann.topK(emb, ext, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == brute)
+      intercept[IllegalArgumentException] {
+        Ann.topK(emb, Array.fill(qVec.length)(0f), k = 5)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_ext_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_ext_idx_centroids")
+    }
+  }
+
   test("persisted IVF index: probe scan prunes list partitions") {
     Ann.writeIvfIndex(emb, "ivf_prune_idx", nlist = 8)
     try {
