@@ -26,6 +26,9 @@ object GraftFunctions {
       exprs => VectorCosine(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_flatten_json",
       exprs => FlattenJson(exprs.head), "built-in")
+    // the nine dashboard queries as SQL table functions (reads the
+    // session's `conditions` relation — see SqlTableFunctions)
+    SqlTableFunctions.register(spark)
   }
 }
 
@@ -46,5 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FlattenJson].getName, "graft_flatten_json"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FlattenJson(children.head)))
+    // dashboard query surface: SELECT * FROM graft_aggregated_data(...)
+    SqlTableFunctions.injections.foreach(ext.injectTableFunction)
   }
 }

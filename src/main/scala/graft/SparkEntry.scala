@@ -98,6 +98,23 @@ object SparkEntry {
     // B9 — state intervals (clock injected = range end)
     "q_intervals" -> ((s, d) =>
       formatTimeIntervals(conditions(s, d), Subject, Of, S1, E1, clockS = E1)),
+    // the dashboard-facing SQL surface: the same B1/B9 answers through the
+    // registered TABLE functions (`SELECT * FROM graft_…(args)`) against
+    // the session `conditions` view — hash-checked against the SAME
+    // oracles as the Scala path, so SQL-path ≡ method-path is driver-
+    // verified end-to-end (the per-function ≡ proof is
+    // SqlTableFunctionsSpec)
+    "q_sql_agg" -> ((s, d) => {
+      GraftFunctions.register(s)
+      conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      r6(s.sql(s"SELECT * FROM graft_aggregated_data('$Subject', '$Of', $S1, $E1, 100)"),
+        "avg_measurement_number")
+    }),
+    "q_sql_intervals" -> ((s, d) => {
+      GraftFunctions.register(s)
+      conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      s.sql(s"SELECT * FROM graft_format_time_intervals('$Subject', '$Of', $S1, $E1, $E1)")
+    }),
     // keyless point-in-interval join: EVERY subject's events labeled with
     // the reference subject's active state interval — binned equi-join
     // ([[graft.queries.IntervalJoin]]), never a BroadcastNestedLoopJoin
@@ -829,6 +846,17 @@ object SparkEntry {
        |FROM conditions WHERE $ScanPred
        |GROUP BY 1 ORDER BY 1 $limit""".stripMargin
 
+  /** B9 oracle — shared by the Scala path (q_intervals) and the SQL
+    * table-function path (q_sql_intervals).
+    */
+  private def intervalsOracleSql: String =
+    s"""WITH cp AS ($changepointsSql)
+       |SELECT ts_us AS time_us,
+       |       COALESCE(lead(ts_us) OVER (PARTITION BY measurement_subject ORDER BY ts_us),
+       |                ${E1 * 1000000L}) AS time_end_us,
+       |       measurement_string
+       |FROM cp ORDER BY time_us""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_agg" -> aggSql((E1 - S1) / 100, "LIMIT 100"),
     "q_agg_interval" -> aggSql(86400),
@@ -885,13 +913,10 @@ object SparkEntry {
          |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1
          |ORDER BY measurement_subject""".stripMargin,
     "q_changepoints" -> changepointsSql,
-    "q_intervals" ->
-      s"""WITH cp AS ($changepointsSql)
-         |SELECT ts_us AS time_us,
-         |       COALESCE(lead(ts_us) OVER (PARTITION BY measurement_subject ORDER BY ts_us),
-         |                ${E1 * 1000000L}) AS time_end_us,
-         |       measurement_string
-         |FROM cp ORDER BY time_us""".stripMargin,
+    "q_intervals" -> intervalsOracleSql,
+    // SQL table-function surface: same plans, same oracles
+    "q_sql_agg" -> aggSql((E1 - S1) / 100, "LIMIT 100"),
+    "q_sql_intervals" -> intervalsOracleSql,
 
     // half-open [start, end) containment replayed as a plain range join —
     // the binned Spark plan must be invisible in the result

@@ -1,0 +1,196 @@
+package graft
+
+import graft.functions.{Asap, TimeWeight}
+import graft.queries.TimeseriesQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The nine dashboard analytics functions as SQL-callable TABLE functions —
+  * the reference's entire query surface is SQL a dashboard executes
+  * directly (`db/get_aggregated_data.sql:18-35` builds a parameterized
+  * `EXECUTE`; Grafana calls `SELECT * FROM get_aggregated_data(...)`), so
+  * a Scala-only surface would strand those clients. With these registered,
+  *
+  * {{{
+  * SELECT * FROM graft_aggregated_data('emonTx4', 'P1', 1704240000, 1706400000, 360)
+  * }}}
+  *
+  * runs in `spark.sql` (or any SQL gateway on the session) and produces
+  * exactly the [[graft.queries.TimeseriesQueries]] plan — the builder
+  * CALLS the Scala method and hands its logical plan to the analyzer, so
+  * the two surfaces cannot drift.
+  *
+  * Every function reads the relation named [[ConditionsRelation]]
+  * (`conditions`) from the session catalog — a temp view over
+  * [[graft.sources.ConditionsTable.read]], or a real catalog table; the
+  * same implicit-table convention as the reference's stored procedures
+  * (their `FROM conditions` is fixed in the SQL body,
+  * `db/get_aggregated_data.sql:24`).
+  *
+  * Registration paths (mirroring [[GraftFunctions]] / [[GraftExtensions]]):
+  *  - existing session: `SqlTableFunctions.register(spark)`;
+  *  - builder time: `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Scale note: registration is pure catalog metadata; each call plans the
+  * same pruned scan as the Scala path (subject/of/time predicates reach
+  * the parquet reader — see [[TimeseriesQueries.scan]]), so the SQL
+  * surface adds zero runtime overhead.
+  */
+object SqlTableFunctions {
+
+  /** The relation every table function reads. Register it with
+    * `df.createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)` or
+    * point the name at a catalog table.
+    */
+  val ConditionsRelation = "conditions"
+
+  private final case class TableFn(
+      name: String, usage: String, arity: Int,
+      build: (SparkSession, DataFrame, Seq[Expression]) => DataFrame)
+
+  // ---- literal argument extraction -----------------------------------
+  // Table-function arguments must be literals (the reference's functions
+  // are EXECUTEd with bound parameters — same contract). Foldable
+  // expressions (CAST('…' AS BIGINT), 1704240000 + 3600, …) fold here.
+
+  private def evalArg(fn: TableFn, args: Seq[Expression], i: Int): Any = {
+    val e = args(i)
+    require(e.foldable,
+      s"${fn.name}: argument ${i + 1} must be a literal (usage: ${fn.usage})")
+    e.eval(null)
+  }
+
+  private def strArg(fn: TableFn, args: Seq[Expression], i: Int): String =
+    evalArg(fn, args, i) match {
+      case null => throw new IllegalArgumentException(
+        s"${fn.name}: argument ${i + 1} must be a non-null string (usage: ${fn.usage})")
+      case v => v.toString // UTF8String and friends
+    }
+
+  private def longArg(fn: TableFn, args: Seq[Expression], i: Int): Long =
+    evalArg(fn, args, i) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"${fn.name}: argument ${i + 1} must be an integer, got $other (usage: ${fn.usage})")
+    }
+
+  private def intArg(fn: TableFn, args: Seq[Expression], i: Int): Int = {
+    val v = longArg(fn, args, i)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"${fn.name}: argument ${i + 1} out of int range: $v")
+    v.toInt
+  }
+
+  // ---- the nine functions --------------------------------------------
+  // Names mirror the reference's db/ function names under the graft_
+  // prefix; argument order follows the reference signatures (see
+  // ConditionsView — in particular get_unique_measurement_subjects takes
+  // (start, end, of)).
+
+  /** Built as a method-per-entry list rather than a map so arity errors
+    * and usage strings stay adjacent to each binding.
+    */
+  private val all: Seq[TableFn] = {
+    var out = List.empty[TableFn]
+    def add(name: String, usage: String, arity: Int)(
+        build: (SparkSession, DataFrame, TableFn, Seq[Expression]) => DataFrame): Unit = {
+      lazy val self: TableFn = TableFn(name, usage, arity,
+        (s, c, a) => build(s, c, self, a))
+      out = self :: out
+    }
+
+    add("graft_aggregated_data",
+      "graft_aggregated_data(subject, of, start_s, end_s, max_result_size)", 5) {
+      (_, c, f, a) =>
+        TimeseriesQueries.aggregatedData(c, strArg(f, a, 0), strArg(f, a, 1),
+          longArg(f, a, 2), longArg(f, a, 3), intArg(f, a, 4))
+    }
+    add("graft_aggregated_data_by_interval",
+      "graft_aggregated_data_by_interval(subject, of, start_s, end_s, interval_s)", 5) {
+      (_, c, f, a) =>
+        TimeseriesQueries.aggregatedDataByInterval(c, strArg(f, a, 0), strArg(f, a, 1),
+          longArg(f, a, 2), longArg(f, a, 3), longArg(f, a, 4))
+    }
+    add("graft_aggregated_data_by_day",
+      "graft_aggregated_data_by_day(subject, of, start_s, end_s)", 4) {
+      (_, c, f, a) =>
+        TimeseriesQueries.aggregatedDataByDay(c, strArg(f, a, 0), strArg(f, a, 1),
+          longArg(f, a, 2), longArg(f, a, 3))
+    }
+    add("graft_most_frequent_value_by_interval",
+      "graft_most_frequent_value_by_interval(subject, of, start_s, end_s)", 4) {
+      (_, c, f, a) =>
+        TimeseriesQueries.mostFrequentValueByInterval(c, strArg(f, a, 0), strArg(f, a, 1),
+          longArg(f, a, 2), longArg(f, a, 3))
+    }
+    add("graft_sampled_data",
+      "graft_sampled_data(subject, of, start_s, end_s, resolution)", 5) {
+      (s, c, f, a) =>
+        Asap.sampledData(s, c, strArg(f, a, 0), strArg(f, a, 1),
+          longArg(f, a, 2), longArg(f, a, 3), intArg(f, a, 4))
+    }
+    add("graft_sampled_data_with_time_weight",
+      "graft_sampled_data_with_time_weight(subject, of, start_s, end_s, method, resolution)", 6) {
+      (_, c, f, a) =>
+        val method = strArg(f, a, 4).toLowerCase match {
+          case "linear" => TimeWeight.Linear
+          case "locf"   => TimeWeight.Locf
+          case other => throw new IllegalArgumentException(
+            s"${f.name}: unknown time_weight method '$other' (expected linear|locf)")
+        }
+        TimeWeight.sampledDataWithTimeWeight(c, strArg(f, a, 0), strArg(f, a, 1),
+          longArg(f, a, 2), longArg(f, a, 3), method, intArg(f, a, 5))
+    }
+    add("graft_unique_measurement_subjects",
+      "graft_unique_measurement_subjects(start_s, end_s, of)", 3) {
+      (_, c, f, a) =>
+        TimeseriesQueries.uniqueMeasurementSubjects(c, strArg(f, a, 2),
+          longArg(f, a, 0), longArg(f, a, 1))
+    }
+    add("graft_filter_unchanged_rows",
+      "graft_filter_unchanged_rows(subject, of, start_s, end_s)", 4) {
+      (_, c, f, a) =>
+        TimeseriesQueries.filterUnchangedRows(c, strArg(f, a, 0), strArg(f, a, 1),
+          longArg(f, a, 2), longArg(f, a, 3))
+    }
+    add("graft_format_time_intervals",
+      "graft_format_time_intervals(subject, of, start_s, end_s, clock_s)", 5) {
+      (_, c, f, a) =>
+        TimeseriesQueries.formatTimeIntervals(c, strArg(f, a, 0), strArg(f, a, 1),
+          longArg(f, a, 2), longArg(f, a, 3), longArg(f, a, 4))
+    }
+    out.reverse
+  }
+
+  /** Registered function names (stable order), for docs and specs. */
+  def names: Seq[String] = all.map(_.name)
+
+  private def planBuilder(t: TableFn): Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == t.arity,
+      s"${t.name} expects ${t.arity} arguments, got ${args.length} (usage: ${t.usage})")
+    val spark = SparkSession.active
+    // The builder runs on the driver during analysis; handing back the
+    // method path's logical plan (over the catalog-resolved `conditions`
+    // relation) makes SQL-path ≡ method-path true by construction.
+    t.build(spark, spark.table(ConditionsRelation), args).queryExecution.logical
+  }
+
+  /** Register on an existing session (temp table functions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { t =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(t.name, planBuilder(t), "built-in")
+    }
+
+  /** The same bindings as [[SparkSessionExtensions.injectTableFunction]]
+    * tuples, for [[GraftExtensions]].
+    */
+  def injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    all.map { t =>
+      (FunctionIdentifier(t.name),
+        new ExpressionInfo(SqlTableFunctions.getClass.getName, t.name),
+        planBuilder(t))
+    }
+}

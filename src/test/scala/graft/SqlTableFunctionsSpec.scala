@@ -1,0 +1,152 @@
+package graft
+
+import graft.functions.{Asap, TimeWeight}
+import graft.queries.TimeseriesQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-path ≡ method-path for all nine dashboard table functions: the SQL
+  * builder hands the analyzer the Scala method's own logical plan, so any
+  * drift would be a registration bug — which is exactly what this spec
+  * pins, together with the literal-argument and arity error contracts.
+  */
+class SqlTableFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    conditions(s).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+    s
+  }
+
+  private val T0 = 1704240000L // 2024-01-03T00:00:00Z
+  private val T1 = T0 + 6 * 3600
+
+  /** Two subjects × (numeric metric "m", string metric "state") over six
+    * hours — enough rows that every function returns a non-trivial result.
+    */
+  private def conditions(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = for {
+      subj <- Seq("s1", "s2")
+      i <- 0 until 200
+    } yield {
+      val t = ts(i * 108L + (if (subj == "s2") 17 else 0))
+      if (i % 4 == 3)
+        (t, subj, "state", None: Option[Double], Some(Seq("on", "on", "off")(i % 3)))
+      else
+        (t, subj, "m", Some((i % 13) * 0.5 + (if (subj == "s2") 2.0 else 0.0)), None: Option[String])
+    }
+    rows.toDF("timestamp", "measurement_subject", "measurement_of",
+      "measurement_number", "measurement_string")
+  }
+
+  private def ts(offsetS: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(T0 + offsetS))
+
+  private def assertSame(sql: String, method: DataFrame): Unit = {
+    val viaSql = spark.sql(sql)
+    assert(viaSql.columns.toSeq == method.columns.toSeq,
+      s"column mismatch for: $sql")
+    assert(viaSql.collect().toSeq == method.collect().toSeq,
+      s"row mismatch for: $sql")
+  }
+
+  private def cond: DataFrame = spark.table(SqlTableFunctions.ConditionsRelation)
+
+  test("graft_aggregated_data ≡ aggregatedData") {
+    assertSame(
+      s"SELECT * FROM graft_aggregated_data('s1', 'm', $T0, $T1, 50)",
+      TimeseriesQueries.aggregatedData(cond, "s1", "m", T0, T1, 50))
+  }
+
+  test("graft_aggregated_data_by_interval ≡ aggregatedDataByInterval") {
+    assertSame(
+      s"SELECT * FROM graft_aggregated_data_by_interval('s1', 'm', $T0, $T1, 900)",
+      TimeseriesQueries.aggregatedDataByInterval(cond, "s1", "m", T0, T1, 900))
+  }
+
+  test("graft_aggregated_data_by_day ≡ aggregatedDataByDay (≤1-day branch)") {
+    assertSame(
+      s"SELECT * FROM graft_aggregated_data_by_day('s1', 'm', $T0, $T1)",
+      TimeseriesQueries.aggregatedDataByDay(cond, "s1", "m", T0, T1))
+  }
+
+  test("graft_most_frequent_value_by_interval ≡ mostFrequentValueByInterval") {
+    assertSame(
+      s"SELECT * FROM graft_most_frequent_value_by_interval('s1', 'state', $T0, $T1)",
+      TimeseriesQueries.mostFrequentValueByInterval(cond, "s1", "state", T0, T1))
+  }
+
+  test("graft_sampled_data ≡ Asap.sampledData") {
+    assertSame(
+      s"SELECT * FROM graft_sampled_data('s1', 'm', $T0, $T1, 20)",
+      Asap.sampledData(spark, cond, "s1", "m", T0, T1, 20))
+  }
+
+  test("graft_sampled_data_with_time_weight ≡ TimeWeight (both methods)") {
+    assertSame(
+      s"SELECT * FROM graft_sampled_data_with_time_weight('s1', 'm', $T0, $T1, 'linear', 20)",
+      TimeWeight.sampledDataWithTimeWeight(cond, "s1", "m", T0, T1, TimeWeight.Linear, 20))
+    assertSame(
+      s"SELECT * FROM graft_sampled_data_with_time_weight('s1', 'm', $T0, $T1, 'locf', 20)",
+      TimeWeight.sampledDataWithTimeWeight(cond, "s1", "m", T0, T1, TimeWeight.Locf, 20))
+  }
+
+  test("graft_unique_measurement_subjects ≡ uniqueMeasurementSubjects (reference arg order)") {
+    assertSame(
+      s"SELECT * FROM graft_unique_measurement_subjects($T0, $T1, 'm')",
+      TimeseriesQueries.uniqueMeasurementSubjects(cond, "m", T0, T1))
+  }
+
+  test("graft_filter_unchanged_rows ≡ filterUnchangedRows") {
+    assertSame(
+      s"SELECT * FROM graft_filter_unchanged_rows('s1', 'state', $T0, $T1)",
+      TimeseriesQueries.filterUnchangedRows(cond, "s1", "state", T0, T1))
+  }
+
+  test("graft_format_time_intervals ≡ formatTimeIntervals") {
+    assertSame(
+      s"SELECT * FROM graft_format_time_intervals('s1', 'state', $T0, $T1, $T1)",
+      TimeseriesQueries.formatTimeIntervals(cond, "s1", "state", T0, T1, T1))
+  }
+
+  test("table functions compose with ordinary SQL around them") {
+    val n = spark.sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT * FROM graft_aggregated_data_by_interval('s1', 'm', $T0, $T1, 900)
+         |  WHERE avg_measurement_number IS NOT NULL)""".stripMargin)
+      .head().getLong(0)
+    assert(n > 0)
+  }
+
+  test("wrong arity fails with the usage string") {
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_aggregated_data('s1', 'm', $T0)").collect()
+    }
+    assert(e.getMessage.contains("expects 5 arguments"))
+    assert(e.getMessage.contains("usage:"))
+  }
+
+  test("non-literal argument is rejected") {
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_unique_measurement_subjects($T0, $T1, CAST(rand() AS STRING))").collect()
+    }
+    assert(e.getMessage.contains("must be a literal"))
+  }
+
+  test("unknown time-weight method names both expected values") {
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_sampled_data_with_time_weight('s1', 'm', $T0, $T1, 'cubic', 20)")
+        .collect()
+    }
+    assert(e.getMessage.contains("linear|locf"))
+  }
+}
