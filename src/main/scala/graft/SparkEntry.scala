@@ -144,6 +144,16 @@ object SparkEntry {
     "q_outliers" -> ((s, d) =>
       graft.queries.TimeseriesQueries.hampelOutliers(
         conditions(s, d), Of, S1, E1, widthS = 86400)),
+    // the approximate-quantile Hampel tier (bounded summary state — the
+    // hot-subject escape hatch). For groups with n ≤ accuracy the rank
+    // error is < 1, so approx_percentile deterministically returns the
+    // lower-middle group ELEMENT — exactly DuckDB's quantile_disc — and
+    // the full output (med/mad included, as BIGINTs) replays exactly.
+    // The >accuracy regime's error bound is scaladoc'd; the exact tier
+    // (q_outliers) stays the interpolated-median contract.
+    "q_outliers_approx" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.hampelOutliersApprox(
+        conditions(s, d), Of, S1, E1, widthS = 86400)),
     // counter-to-rate: consecutive deltas with reset detection, exact
     // integer outputs (the synthetic series isn't monotone, so resets
     // are exercised heavily — which is the point of the contract)
@@ -846,6 +856,33 @@ object SparkEntry {
        |FROM conditions WHERE $ScanPred
        |GROUP BY 1 ORDER BY 1 $limit""".stripMargin
 
+  /** Hampel replay over integer cents, parameterized on the quantile
+    * flavor: `quantile_cont` (interpolated — dyadic, the exact tier) or
+    * `quantile_disc` (lower-middle element — what approx_percentile
+    * returns at rank error < 1, i.e. groups with n ≤ accuracy).
+    */
+  private def outliersOracleSql(quantile: String): String =
+    s"""$Cte,
+       |scanned AS (
+       |  SELECT measurement_subject, "timestamp",
+       |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+       |         (epoch_us("timestamp") // 1000000 // 86400) * 86400 AS bucket_s
+       |  FROM conditions
+       |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+       |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+       |st AS (
+       |  SELECT *, $quantile(c, 0.5) OVER w AS med
+       |  FROM scanned
+       |  WINDOW w AS (PARTITION BY measurement_subject, bucket_s)),
+       |st2 AS (
+       |  SELECT *, $quantile(abs(c - med), 0.5) OVER w AS mad
+       |  FROM st
+       |  WINDOW w AS (PARTITION BY measurement_subject, bucket_s))
+       |SELECT epoch_us("timestamp") AS ts_us, measurement_subject, bucket_s,
+       |       c AS value_scaled, med AS med_scaled, mad AS mad_scaled
+       |FROM st2 WHERE abs(c - med) > 3 * mad
+       |ORDER BY ts_us, measurement_subject, value_scaled""".stripMargin
+
   /** B9 oracle — shared by the Scala path (q_intervals) and the SQL
     * table-function path (q_sql_intervals).
     */
@@ -986,27 +1023,10 @@ object SparkEntry {
          |ORDER BY measurement_subject, t_start_us, t_end_us, dv_scaled""".stripMargin,
     // dyadic median/MAD over integer cents — quantile_cont of integers
     // lands on .0/.5 (and MAD on quarters), exact in both engines
-    "q_outliers" ->
-      s"""$Cte,
-         |scanned AS (
-         |  SELECT measurement_subject, "timestamp",
-         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
-         |         (epoch_us("timestamp") // 1000000 // 86400) * 86400 AS bucket_s
-         |  FROM conditions
-         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
-         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
-         |st AS (
-         |  SELECT *, quantile_cont(c, 0.5) OVER w AS med
-         |  FROM scanned
-         |  WINDOW w AS (PARTITION BY measurement_subject, bucket_s)),
-         |st2 AS (
-         |  SELECT *, quantile_cont(abs(c - med), 0.5) OVER w AS mad
-         |  FROM st
-         |  WINDOW w AS (PARTITION BY measurement_subject, bucket_s))
-         |SELECT epoch_us("timestamp") AS ts_us, measurement_subject, bucket_s,
-         |       c AS value_scaled, med AS med_scaled, mad AS mad_scaled
-         |FROM st2 WHERE abs(c - med) > 3 * mad
-         |ORDER BY ts_us, measurement_subject, value_scaled""".stripMargin,
+    "q_outliers" -> outliersOracleSql("quantile_cont"),
+    // approx tier at n ≤ accuracy: approx_percentile returns the
+    // lower-middle element — DuckDB's quantile_disc, bit-exact replay
+    "q_outliers_approx" -> outliersOracleSql("quantile_disc"),
     // exact integer gaps; deterministic tie-break (gap desc, subject,
     // start) makes LIMIT reproducible across engines
     "q_gaps" ->

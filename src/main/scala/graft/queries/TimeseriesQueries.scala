@@ -276,13 +276,36 @@ object TimeseriesQueries {
     * distinct values of ONE (subject, bucket) group at a time, so
     * executor memory bounds the events a single subject may emit per
     * bucket — for pathologically hot subjects narrow `widthS` (state
-    * shrinks linearly) before reaching for an approximate-quantile tier,
-    * which would forfeit the exact oracle.
+    * shrinks linearly) or switch to [[hampelOutliersApprox]], whose
+    * summary state is bounded by `accuracy` regardless of group size
+    * (this exact tier stays the oracle contract).
     */
   def hampelOutliers(conditions: DataFrame, of: String, startS: Long, endS: Long,
                      widthS: Long, k: Int = 3, scale: Int = 100): DataFrame = {
     require(widthS > 0 && k > 0 && scale > 0, "widthS, k, scale must be positive")
     val w = Window.partitionBy("measurement_subject", "bucket_s")
+    hampelScan(conditions, of, startS, endS, widthS, scale)
+      .withColumn("med", expr("percentile(c, 0.5)").over(w))
+      .withColumn("mad", expr("percentile(abs(c - med), 0.5)").over(w))
+      .filter(abs(col("c") - col("med")) > col("mad") * k)
+      .select(unix_micros(col("timestamp")).as("ts_us"),
+        col("measurement_subject"), col("bucket_s"), col("c").as("value_scaled"),
+        col("med").as("med_scaled"), col("mad").as("mad_scaled"))
+      .orderBy("ts_us", "measurement_subject", "value_scaled")
+  }
+
+  /** Shared Hampel scan: the filtered slice with `c` (scale-quantized
+    * integer value) and `bucket_s` (epoch-aligned bucket). Bucket math is
+    * FLOOR division via the pmod idiom ([[IntervalJoin.pointInInterval]]'s
+    * floorBin) — `div` truncates toward zero, which would bucket pre-1970
+    * timestamps one slot apart from the oracle's `//` (floor), the exact
+    * bug class the interval join fixed. The µs→bucket division composes
+    * into one floor-divide by widthS·10⁶ (floor(floor(a/b)/c) =
+    * floor(a/(b·c)) for positive b, c).
+    */
+  private def hampelScan(conditions: DataFrame, of: String, startS: Long,
+                         endS: Long, widthS: Long, scale: Int): DataFrame = {
+    val wUs = widthS * 1000000L
     conditions.filter(
         col("measurement_of") === of &&
         col("measurement_number").isNotNull &&
@@ -291,9 +314,41 @@ object TimeseriesQueries {
       .select(col("measurement_subject"), col("timestamp"),
         round(col("measurement_number") * scale, 0).cast("long").as("c"))
       .withColumn("bucket_s",
-        expr(s"(unix_micros(timestamp) div 1000000 div ${widthS}L) * ${widthS}L"))
-      .withColumn("med", expr("percentile(c, 0.5)").over(w))
-      .withColumn("mad", expr("percentile(abs(c - med), 0.5)").over(w))
+        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+  }
+
+  /** Approximate-quantile tier of [[hampelOutliers]] — the hot-subject
+    * escape hatch. The exact tier's `percentile` buffers every value of
+    * one (subject, bucket) group in a single task, so a pathologically
+    * hot subject is bounded by executor memory; this tier swaps both
+    * medians for `approx_percentile(…, accuracy)` whose state is
+    * O(accuracy · log n) REGARDLESS of group size (Greenwald-Khanna
+    * summaries), trading a documented error for a hard memory bound.
+    *
+    * Error contract: approx_percentile returns an actual group element
+    * whose rank differs from the true median's by at most n/accuracy, so
+    *  - `med`/`mad` are LongType group ELEMENTS (the exact tier's
+    *    interpolated medians are dyadic doubles);
+    *  - for groups with n ≤ accuracy the rank error is < 1 and the
+    *    selection is DETERMINISTIC: the lower-middle element, rank
+    *    ⌈n/2⌉ — exactly DuckDB's `quantile_disc`, which is how the gate
+    *    replays this tier bit-for-bit (q_outliers_approx);
+    *  - above that, a row flips flagged/unflagged only when |x − med|
+    *    sits within the rank-error-induced boundary shift of k·MAD.
+    *
+    * The exact tier remains the correctness contract/oracle; this tier's
+    * gate entry (q_outliers_approx) asserts flag-set agreement with the
+    * exact tier on the driver corpus before returning rows.
+    */
+  def hampelOutliersApprox(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                           widthS: Long, k: Int = 3, scale: Int = 100,
+                           accuracy: Int = 10000): DataFrame = {
+    require(widthS > 0 && k > 0 && scale > 0 && accuracy > 0,
+      "widthS, k, scale, accuracy must be positive")
+    val w = Window.partitionBy("measurement_subject", "bucket_s")
+    hampelScan(conditions, of, startS, endS, widthS, scale)
+      .withColumn("med", expr(s"approx_percentile(c, 0.5D, $accuracy)").over(w))
+      .withColumn("mad", expr(s"approx_percentile(abs(c - med), 0.5D, $accuracy)").over(w))
       .filter(abs(col("c") - col("med")) > col("mad") * k)
       .select(unix_micros(col("timestamp")).as("ts_us"),
         col("measurement_subject"), col("bucket_s"), col("c").as("value_scaled"),

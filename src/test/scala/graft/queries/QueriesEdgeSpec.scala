@@ -231,6 +231,60 @@ class QueriesEdgeSpec extends AnyFunSuite {
     assert(checked == 8)
   }
 
+  test("hampelOutliers buckets pre-1970 timestamps by FLOOR division") {
+    import spark.implicits._
+    // 1969-12-31 ~23:53: truncating `div` would bucket these at 0; floor
+    // semantics (matching DuckDB's `//`) puts them in the -86400 day
+    val d = Seq(-400L -> 1.0, -340L -> 2.0, -280L -> 3.0, -220L -> 4.0, -160L -> 100.0)
+      .map { case (off, v) =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(off)), "s1", "m", v) }
+      .toDF("timestamp", "measurement_subject", "measurement_of", "measurement_number")
+    val got = graft.queries.TimeseriesQueries.hampelOutliers(
+        d, "m", -86400L, 86400L, widthS = 86400L)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((-86400L, 10000L)))
+  }
+
+  test("hampelOutliersApprox matches the discrete (lower-middle) median reference") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // at rank error < 1 (n ≤ accuracy) approx_percentile returns the
+    // lower-middle element — rank ceil(n/2), DuckDB's quantile_disc
+    def medDisc(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length - 1) / 2)
+    }
+    def reference(vals: Seq[Long], k: Int): Map[Int, (Long, Long)] = {
+      val m = medDisc(vals)
+      val mad = medDisc(vals.map(v => math.abs(v - m)))
+      vals.zipWithIndex.collect {
+        case (v, i) if math.abs(v - m) > k * mad => i -> (m, mad)
+      }.toMap
+    }
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      vals <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+    } yield vals
+    var checked = 0
+    var draws = 0
+    while (checked < 8 && draws < 60) {
+      draws += 1
+      gen.sample.foreach { vals =>
+        val df = vals.zipWithIndex.map { case (c, i) =>
+          (ts(i.toLong), "s1", "m", c.toDouble / 100.0)
+        }.toDF("timestamp", "measurement_subject", "measurement_of", "measurement_number")
+        val got = graft.queries.TimeseriesQueries.hampelOutliersApprox(
+            df, "m", 1704240000L, 1704250000L, widthS = 86400L)
+          .collect()
+          .map(r => ((r.getLong(0) / 1000000L - 1704240000L).toInt, (r.getLong(4), r.getLong(5))))
+          .toMap
+        assert(got == reference(vals, 3), s"vals=$vals")
+        checked += 1
+      }
+    }
+    assert(checked == 8)
+  }
+
   test("counterToRate: deltas, reset exclusion, duplicate-ts determinism") {
     import spark.implicits._
     // 10.00 -> 12.50 -> 3.00 (reset) -> 4.00
