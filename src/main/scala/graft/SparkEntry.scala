@@ -478,6 +478,17 @@ object SparkEntry {
       graft.operators.Ann.ivfTopKAgainstIndex(s, "graft_ivf_append",
         queryId = 0, k = 20, nProbe = 16)
     }),
+    // IVF-SQ8 composed index (FAISS's IVF-SQ shape): int8 codes stored
+    // in the ivf_list-partitioned table, decode INSIDE the scoring
+    // kernel; at nProbe = nlist the probe scans every list, so the
+    // composed path is bit-identical to topKSq8 and shares its
+    // quantize → decode → cosine oracle replay
+    "q_ann_ivf_sq8" -> ((s, d) => {
+      graft.operators.Ann.writeIvfSq8Index(table(s, d, "embeddings"),
+        "graft_ivf_sq8", nlist = 16)
+      graft.operators.Ann.ivfTopKSq8AgainstIndex(s, "graft_ivf_sq8",
+        queryId = 0L, k = 20, nProbe = 16)
+    }),
     // text analysis
     "q_token_count" -> ((s, d) =>
       graft.operators.TextAnalysis.tokenCount(table(s, d, "documents"))),
@@ -1163,6 +1174,8 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> annTopkOracleSql,
     // build-on-half + append-half probed at nProbe = nlist is exact too
     "q_ann_ivf_append" -> annTopkOracleSql,
+    // the composed IVF-SQ8 index at nProbe = nlist ≡ brute-force SQ8
+    "q_ann_ivf_sq8" -> annTopkSq8OracleSql,
     "q_embed_neardup" -> neardupOracleSql,
     // reachability closure over the exact cosine pair graph, every
     // vector labeled — the embedding face of the clusters oracle

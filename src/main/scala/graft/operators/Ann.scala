@@ -46,9 +46,19 @@ object Ann {
   private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => dotD(a, b))
   private val normUdf = udf((a: Seq[Float]) => math.sqrt(dotD(a, a)))
 
-  /** Embeddings with a precomputed L2 norm column. */
+  /** Embeddings with a precomputed L2 norm column. Zero-norm vectors are
+    * DROPPED: a zero vector has no direction, so its cosine is 0/0 = NaN —
+    * and Spark's ordering ranks NaN ABOVE every real double, so an
+    * unfiltered zero-norm corpus row would silently rank FIRST in every
+    * top-k. Dropping here makes the contract uniform across the id,
+    * external-vector, and persisted-index paths (the external overloads
+    * already `require` a non-zero query); the packed pair kernels exclude
+    * them anyway (`NaN >= threshold` is false). A zero-norm queryId
+    * therefore resolves as absent → empty result.
+    */
   def withNorm(embeddings: DataFrame): DataFrame =
     embeddings.withColumn("nrm", normUdf(col("embedding")))
+      .filter(col("nrm") > 0.0)
 
   /** Brute-force top-k by cosine against the embedding of `queryId`.
     * The 1-row query side is broadcast; the scan stays a single pass.
@@ -394,7 +404,16 @@ object Ann {
     val centroids = spark.table(s"${tableName}_centroids")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    // dimension guard INSIDE the assign UDF — every row, not a sampled
+    // first-row check: nearestCentroid truncates to min(dims), so a
+    // wrong-dimension batch would otherwise be silently assigned to
+    // near-arbitrary lists, degrading probe recall with no error (at
+    // odds with the fail-loudly property checks everywhere else here)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      require(v.length == bc.value.head.length,
+        s"batch embedding dimension ${v.length} != index dimension ${bc.value.head.length}")
+      nearestCentroid(v.toArray, bc.value)
+    }
     withNorm(newVecs).withColumn("ivf_list", assignUdf(col("embedding")))
       .select("vec_id", "embedding", "nrm", "ivf_list")
       .repartition(col("ivf_list"))
@@ -471,11 +490,6 @@ object Ann {
     val newListed = withNorm(newVecs)
       .select(col("vec_id").as("id_new"), col("embedding").as("emb_new"),
         col("nrm").as("nrm_new"), explode(probeUdf(col("embedding"))).as("probe"))
-    // collected distinct probe ids (≤ nlist, driver-bounded) turn the
-    // list restriction into a STATIC partition filter on the index scan;
-    // costs one batch-proportional pass (the plan below runs another —
-    // kept lazy so callers can inspect/compose it)
-    val probed = newListed.select("probe").distinct().as[Int].collect().toSeq
     // Packed per-list rectangle kernel, not a row join: a per-pair UDF
     // cosine pays boxed-array conversion per PAIR (measured ~20× the
     // packed kernel on the same arithmetic); packing pays it per ROW.
@@ -485,6 +499,14 @@ object Ann {
     // (L, blkI) row; the join on L crosses the blkN × blkI cells, so
     // every pair is formed exactly once.
     val B = math.max(1, math.ceil(math.sqrt(spark.sparkContext.defaultParallelism.toDouble)).toInt)
+    // The packed batch is CACHED (lazy, lineage-recoverable — not a
+    // checkpoint): the probed-list collect just below materializes it,
+    // and the kernel join re-reads it from cache, so the centroid
+    // assignment UDF runs exactly ONCE per batch (SinglePassSpec pins
+    // this). Footprint is the packed batch ×nProbe — batch-proportional;
+    // evictable under pressure (recomputed from lineage, still correct).
+    // Long-running sessions appending many batches should unpersist via
+    // spark.catalog.clearCache() between batches.
     val newPacked = newListed
       .as[(Long, Array[Float], Double, Int)]
       .groupByKey(r => (r._4, (((r._1 % B) + B) % B).toInt))
@@ -493,6 +515,11 @@ object Ann {
         (key._1, arr.map(_._1), arr.map(_._2), arr.map(_._3))
       }
       .toDF("probe", "ids_n", "vecs_n", "nrms_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // collected distinct probe ids (≤ nlist, driver-bounded) turn the
+    // list restriction into a STATIC partition filter on the index scan;
+    // this action fills the cache the kernel join reads
+    val probed = newPacked.select("probe").distinct().as[Int].collect().toSeq
     val idxPacked = spark.table(tableName)
       .filter(col("ivf_list").isin(probed: _*))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("ivf_list"))
@@ -543,6 +570,45 @@ object Ann {
         "not written by writeIvfIndex (or written before drift tracking)")).toDouble
     val cur = meanAssignedDist(spark, tableName)
     (ref, cur, if (ref > 0) cur / ref else 1.0)
+  }
+
+  /** The maintenance POLICY the drift metric exists for: append the
+    * batch, read [[ivfDrift]], and REBUILD the index from its own full
+    * contents when the ratio exceeds `driftThreshold` (default 1.3 — the
+    * middle of the documented ~1.2–1.5 trigger band; tune per workload).
+    * Returns (driftRatioAfterAppend, rebuilt).
+    *
+    * Cost model (SCALING.md): an append costs ∝ |batch|; a rebuild costs
+    * ∝ |index| (retrain + reassign + rewrite). The threshold turns the
+    * unbounded "appends slowly rot the centroids" failure mode into a
+    * bounded amortized cost — rebuilds trigger at a drift level, not a
+    * cadence, so a stationary corpus never pays one.
+    *
+    * The rebuild snapshots (vec_id, embedding) via an EAGER
+    * localCheckpoint first: [[writeIvfIndex]] overwrites the very table
+    * the snapshot reads, so the lineage must be cut before the drop —
+    * the one place in this file where eager materialization is the
+    * point, not a surprise. Rebuilding retrains on the FULL current
+    * corpus (same `sampleSize` bound), so afterwards drift = 1 by
+    * construction and probe results equal a from-scratch index.
+    */
+  def maintainIvfIndex(newVecs: DataFrame, tableName: String,
+                       driftThreshold: Double = 1.3,
+                       sampleSize: Int = 2000): (Double, Boolean) = {
+    require(driftThreshold > 0, "driftThreshold must be positive")
+    val spark = newVecs.sparkSession
+    appendToIvfIndex(newVecs, tableName)
+    val (_, _, ratio) = ivfDrift(spark, tableName)
+    if (ratio > driftThreshold) {
+      val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val nlist = props("graft.nlist").toInt
+      val snapshot = spark.table(tableName)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      writeIvfIndex(snapshot, tableName, nlist, sampleSize)
+      (ratio, true)
+    } else (ratio, false)
   }
 
   /** Top-k against a persisted [[writeIvfIndex]] table — never retrains:
@@ -679,6 +745,18 @@ object Ann {
       .select(col("vec_id"), col("r._1").as("code"),
         col("r._2").as("mn"), col("r._3").as("mx"))
 
+  /** The SQ8 store decoded back to double vectors with serving norms —
+    * the shared scan of both [[topKSq8]] overloads. Zero-norm decoded
+    * vectors (all-zero constants) are dropped, mirroring [[withNorm]]'s
+    * contract.
+    */
+  private def sq8Decoded(embeddings: DataFrame): DataFrame =
+    quantizeSq8(embeddings)
+      .withColumn("dq", sq8DequantUdf(col("code"), col("mn"), col("mx")))
+      .withColumn("nrm", normDDUdf(col("dq")))
+      .filter(col("nrm") > 0.0)
+      .select("vec_id", "dq", "nrm")
+
   /** Brute-force top-k over the SQ8-DECODED vectors (symmetric distance:
     * both sides, query included, go through the code path — exactly what
     * a store serving from codes computes). Self-cosine stays exactly 1;
@@ -687,15 +765,167 @@ object Ann {
     * the scan reads the ~4× smaller code column.
     */
   def topKSq8(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val deq = quantizeSq8(embeddings)
-      .withColumn("dq", sq8DequantUdf(col("code"), col("mn"), col("mx")))
-      .withColumn("nrm", normDDUdf(col("dq")))
-      .select("vec_id", "dq", "nrm")
+    val deq = sq8Decoded(embeddings)
     val q = deq.filter(col("vec_id") === queryId)
       .select(col("dq").as("qe"), col("nrm").as("qn"))
     deq.crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dotDDUdf(col("dq"), col("qe")) / (col("nrm") * col("qn")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** [[topKSq8]] for an EXTERNAL query vector — the serving path, matching
+    * the float tiers' external overloads. SYMMETRIC distance is preserved:
+    * the external query is quantized with its own [mn, mx] and decoded
+    * before scoring, exactly as if it had been stored — so an external
+    * query that equals a corpus vector returns the id overload's answer
+    * bit-for-bit.
+    */
+  def topKSq8(embeddings: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    val (code, mn, mx) = sq8Quant(queryVec.toSeq)
+    val qDq = sq8Dequant(code, mn, mx)
+    var qn = 0.0
+    var i = 0
+    while (i < qDq.length) { qn += qDq(i) * qDq(i); i += 1 }
+    val norm = math.sqrt(qn)
+    require(norm > 0, "query vector must be non-zero after SQ8 decode")
+    sq8Decoded(embeddings)
+      .select(col("vec_id"),
+        round(dotDDUdf(col("dq"), typedlit(qDq.toSeq)) / (col("nrm") * norm), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // --------------------------------------------- IVF-SQ8 composed index
+
+  /** Persist an IVF index whose lists store SQ8 CODES instead of raw
+    * float vectors — FAISS's IVF-SQ production shape. Schema per row:
+    * (vec_id, code BINARY d bytes, mn, mx, nrm) partitioned on
+    * `ivf_list`; vs the float index's 4d-byte embedding column the probe
+    * scan reads ~3.9× fewer payload bytes at d=128 (SCALING.md row).
+    *
+    * Training, assignment and partitioning are [[writeIvfIndex]]'s: the
+    * centroids are trained on RAW vectors and each vector is assigned by
+    * its raw embedding (quantization never moves a vector across lists);
+    * `nrm` is the DECODED vector's norm, because serving scores decoded
+    * vectors (symmetric distance, like [[topKSq8]]).
+    */
+  def writeIvfSq8Index(embeddings: DataFrame, tableName: String,
+                       nlist: Int = 16, sampleSize: Int = 2000): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Dedup.dropManaged(spark, tableName)
+    Dedup.dropManaged(spark, s"${tableName}_centroids")
+    val sample = uniformSample(embeddings, sampleSize).map(_._2)
+    require(sample.nonEmpty, s"cannot build IVF-SQ8 index $tableName over an empty corpus")
+    val effNlist = math.min(nlist, sample.length)
+    val centroids = trainCentroids(sample, effNlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    embeddings
+      .select(col("vec_id"), sq8QuantUdf(col("embedding")).as("r"),
+        assignUdf(col("embedding")).as("ivf_list"))
+      .select(col("vec_id"), col("r._1").as("code"),
+        col("r._2").as("mn"), col("r._3").as("mx"),
+        normDDUdf(sq8DequantUdf(col("r._1"), col("r._2"), col("r._3"))).as("nrm"),
+        col("ivf_list"))
+      .filter(col("nrm") > 0.0)
+      .repartition(col("ivf_list"))
+      .write.format("parquet").partitionBy("ivf_list")
+      .mode("overwrite").saveAsTable(tableName)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ivf_list", "centroid")
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
+    spark.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+        s"'graft.nlist' = '$effNlist', 'graft.sq8' = 'true')")
+  }
+
+  /** Top-k against a persisted [[writeIvfSq8Index]] table: partition-
+    * pruned probe scan over the code column with DECODE INSIDE THE
+    * SCORING KERNEL — the decoded vector is never materialized as a
+    * column, each element is dequantized and multiplied in one pass
+    * (same FP op order as [[sq8Dequant]] + the dot fold, so at
+    * nProbe = nlist this is bit-identical to [[topKSq8]] and shares its
+    * oracle). The query comes from the index (codes), keeping the
+    * distance symmetric.
+    */
+  def ivfTopKSq8AgainstIndex(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                             queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = validatedSq8Centroids(spark, tableName, nProbe)
+    def emptyResult = Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    val q = spark.table(tableName).filter(col("vec_id") === queryId)
+      .select(col("code"), col("mn"), col("mx"), col("nrm"))
+      .as[(Array[Byte], Float, Float, Double)].collect().headOption
+      .getOrElse(return emptyResult)
+    val qDq = sq8Dequant(q._1, q._2, q._3)
+    ivfSq8Probe(spark, tableName, centroids, qDq, q._4, k, nProbe)
+  }
+
+  /** [[ivfTopKSq8AgainstIndex]] for an EXTERNAL query vector — the
+    * serving path; the query is quantized + decoded (symmetric) before
+    * probing, as in the external [[topKSq8]] overload.
+    */
+  def ivfTopKSq8AgainstIndex(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                             queryVec: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val centroids = validatedSq8Centroids(spark, tableName, nProbe)
+    val (code, mn, mx) = sq8Quant(queryVec.toSeq)
+    val qDq = sq8Dequant(code, mn, mx)
+    var qn = 0.0
+    var i = 0
+    while (i < qDq.length) { qn += qDq(i) * qDq(i); i += 1 }
+    val norm = math.sqrt(qn)
+    require(norm > 0, "query vector must be non-zero after SQ8 decode")
+    ivfSq8Probe(spark, tableName, centroids, qDq, norm, k, nProbe)
+  }
+
+  private def validatedSq8Centroids(spark: org.apache.spark.sql.SparkSession,
+                                    tableName: String, nProbe: Int): Array[Array[Double]] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.sq8").contains("true"),
+      s"$tableName carries no graft.sq8 property — not written by writeIvfSq8Index")
+    val nlist = props("graft.nlist").toInt
+    require(nProbe >= 1 && nProbe <= nlist, s"nProbe must be in [1, $nlist]")
+    import spark.implicits._
+    spark.table(s"${tableName}_centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+  }
+
+  private def ivfSq8Probe(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                          centroids: Array[Array[Double]], qDq: Array[Double],
+                          qNorm: Double, k: Int, nProbe: Int): DataFrame = {
+    val probeLists = centroids.indices
+      .sortBy { c =>
+        var d = 0.0
+        var i = 0
+        val n = math.min(qDq.length, centroids(c).length)
+        while (i < n) { val x = qDq(i) - centroids(c)(i); d += x * x; i += 1 }
+        d
+      }
+      .take(nProbe)
+    val bcQ = spark.sparkContext.broadcast(qDq)
+    // decode-in-kernel dot: mn + (code/255)·span per element, multiplied
+    // and accumulated in one pass — the exact expression sq8Dequant uses,
+    // in the same order, so the composed path shares topKSq8's oracle
+    val scoreUdf = udf { (code: Array[Byte], mn: Float, mx: Float) =>
+      val q = bcQ.value
+      val n = math.min(code.length, q.length)
+      val mnD = mn.toDouble
+      val span = mx.toDouble - mnD
+      var s = 0.0
+      var i = 0
+      if (span > 0)
+        while (i < n) { s += (mnD + (code(i) & 0xff).toDouble / 255.0 * span) * q(i); i += 1 }
+      else
+        while (i < n) { s += mnD * q(i); i += 1 }
+      s
+    }
+    spark.table(tableName).filter(col("ivf_list").isin(probeLists: _*))
+      .select(col("vec_id"),
+        round(scoreUdf(col("code"), col("mn"), col("mx")) / (col("nrm") * qNorm), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 ANN additions: the IVF-SQ8 composed index, the SQ8 external-
+  * vector serving overload, the maintainIvfIndex drift policy, the
+  * append dimension guard, the zero-norm contract, and the single-pass
+  * probe-assignment wiring.
+  */
+class AnnRound6Spec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def dropIdx(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_centroids")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def causes(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  // ----------------------------------------------------- SQ8 serving path
+
+  test("topKSq8 external-vector overload equals the by-id path for an indexed vector") {
+    import spark.implicits._
+    val qVec = emb.filter(col("vec_id") === 3L)
+      .select("embedding").as[Array[Float]].head()
+    val byId = rows(Ann.topKSq8(emb, queryId = 3L, k = 10))
+    val byVec = rows(Ann.topKSq8(emb, qVec, k = 10))
+    // symmetric: the external copy is quantized with the same [mn, mx],
+    // so it decodes identically and the self-cosine stays exactly 1
+    assert(byVec == byId && byVec.head == ((3L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Ann.topKSq8(emb, Array.fill(qVec.length)(0f), k = 5)
+    }
+  }
+
+  // --------------------------------------------------- IVF-SQ8 composed
+
+  test("IVF-SQ8 index: full probe ≡ brute-force SQ8, external overload, pruning") {
+    import spark.implicits._
+    Ann.writeIvfSq8Index(emb, "sq8_idx", nlist = 8)
+    try {
+      // decode-in-kernel at nProbe = nlist is bit-identical to the
+      // decoded brute force (same FP op order)
+      val full = rows(Ann.ivfTopKSq8AgainstIndex(spark, "sq8_idx", queryId = 3L, k = 10, nProbe = 8))
+      val brute = rows(Ann.topKSq8(emb, queryId = 3L, k = 10))
+      assert(full == brute && full.head == ((3L, 1.0)))
+      // external-vector serving parity for an indexed vector
+      val qVec = emb.filter(col("vec_id") === 3L)
+        .select("embedding").as[Array[Float]].head()
+      val byVec = rows(Ann.ivfTopKSq8AgainstIndex(spark, "sq8_idx", qVec, k = 10, nProbe = 8))
+      assert(byVec == full)
+      // absent query id → empty (matching the float index tier)
+      assert(Ann.ivfTopKSq8AgainstIndex(spark, "sq8_idx", queryId = -5L, k = 10, nProbe = 4).count() == 0)
+      // the probe restriction must prune list partitions at the scan
+      val plan = Ann.ivfTopKSq8AgainstIndex(spark, "sq8_idx", queryId = 3L, k = 10, nProbe = 2)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PartitionFilters:") && plan.contains("ivf_list"), plan)
+      // the stored payload is codes, not floats: no embedding column
+      assert(!spark.table("sq8_idx").columns.contains("embedding"))
+    } finally dropIdx("sq8_idx")
+  }
+
+  test("IVF-SQ8 index refuses a float-index table (and vice versa fails on graft.sq8)") {
+    Ann.writeIvfIndex(emb, "sq8_float_idx", nlist = 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Ann.ivfTopKSq8AgainstIndex(spark, "sq8_float_idx", queryId = 0L, k = 5, nProbe = 1)
+      }
+      assert(e.getMessage.contains("graft.sq8"))
+    } finally dropIdx("sq8_float_idx")
+  }
+
+  // ------------------------------------------------- maintainIvfIndex
+
+  test("maintainIvfIndex: append-only under threshold, rebuild on drift, drift resets") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    Ann.writeIvfIndex(base, "mnt_idx", nlist = 8)
+    try {
+      // in-distribution batch: no rebuild, centroids untouched
+      val centroidsBefore = spark.table("mnt_idx_centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+      val (r1, rebuilt1) = Ann.maintainIvfIndex(
+        emb.filter(col("vec_id") % 2 === 1), "mnt_idx", driftThreshold = 1.2)
+      assert(!rebuilt1 && r1 < 1.2)
+      assert(spark.table("mnt_idx_centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq == centroidsBefore)
+      // far-out-of-distribution batch: drift crosses the threshold,
+      // the policy rebuilds, and the fresh reference restores ratio = 1
+      val dim = emb.select("embedding").as[Array[Float]].head().length
+      val shifted = (0 until 64).map { i =>
+        (100000L + i, Array.tabulate(dim)(j => 50f + (i + j) % 7))
+      }.toDF("vec_id", "embedding")
+      val (r2, rebuilt2) = Ann.maintainIvfIndex(shifted, "mnt_idx", driftThreshold = 1.2)
+      assert(rebuilt2 && r2 > 1.2, s"expected rebuild, got ratio $r2")
+      val (_, _, after) = Ann.ivfDrift(spark, "mnt_idx")
+      assert(math.abs(after - 1.0) < 1e-9, s"post-rebuild drift $after")
+      // the rebuilt index answers like one built from scratch on the
+      // same corpus (same deterministic sample → same centroids), at a
+      // PRUNED probe where centroid placement matters
+      val scratchInput = spark.table("mnt_idx")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      Ann.writeIvfIndex(scratchInput, "mnt_scratch_idx", nlist = 8)
+      val viaMaintained = rows(Ann.ivfTopKAgainstIndex(spark, "mnt_idx", queryId = 3L, k = 10, nProbe = 2))
+      val viaScratch = rows(Ann.ivfTopKAgainstIndex(spark, "mnt_scratch_idx", queryId = 3L, k = 10, nProbe = 2))
+      assert(viaMaintained == viaScratch)
+    } finally { dropIdx("mnt_idx"); dropIdx("mnt_scratch_idx") }
+  }
+
+  // -------------------------------------------------- append dim guard
+
+  test("appendToIvfIndex fails loudly on a wrong-dimension batch") {
+    import spark.implicits._
+    Ann.writeIvfIndex(emb, "dim_idx", nlist = 4)
+    try {
+      val dim = emb.select("embedding").as[Array[Float]].head().length
+      val bad = Seq((777777L, Array.fill(dim + 3)(0.5f))).toDF("vec_id", "embedding")
+      val e = intercept[Exception] { Ann.appendToIvfIndex(bad, "dim_idx") }
+      assert(causes(e).exists(_.contains("dimension")),
+        s"expected a dimension error, got: ${causes(e).mkString(" | ")}")
+      // nothing was appended
+      assert(spark.table("dim_idx").filter(col("vec_id") === 777777L).count() == 0)
+    } finally dropIdx("dim_idx")
+  }
+
+  // ---------------------------------------------------- zero-norm rows
+
+  test("withNorm drops zero-norm corpus vectors; a zero queryId resolves as absent") {
+    import spark.implicits._
+    val dim = emb.select("embedding").as[Array[Float]].head().length
+    val withZero = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((999999L, Array.fill(dim)(0f))).toDF("vec_id", "embedding"))
+    val n = emb.count().toInt
+    // the zero vector never ranks (it would sort FIRST as NaN unfiltered)
+    val all = rows(Ann.topK(withZero, queryId = 3L, k = n + 1))
+    assert(all.nonEmpty && !all.exists(_._1 == 999999L))
+    assert(all.forall(r => !r._2.isNaN))
+    // zero-norm query id → absent → empty, like any missing id
+    assert(Ann.topK(withZero, queryId = 999999L, k = 5).count() == 0)
+    // index write excludes it too
+    Ann.writeIvfIndex(withZero, "zn_idx", nlist = 4)
+    try assert(spark.table("zn_idx").filter(col("vec_id") === 999999L).count() == 0)
+    finally dropIdx("zn_idx")
+  }
+
+  // --------------------------------------- single-pass probe assignment
+
+  test("neardupAgainstIvfIndex runs the probe-assignment pass once (cached packed batch)") {
+    val newB = emb.filter(col("vec_id") % 2 === 1)
+    val idx = emb.filter(col("vec_id") % 2 === 0)
+    Ann.writeIvfIndex(idx, "sp_idx", nlist = 8)
+    val generateRuns = new java.util.concurrent.atomic.AtomicInteger
+    val cacheReads = new java.util.concurrent.atomic.AtomicInteger
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        actions.incrementAndGet()
+        // a Generate (the explode over the assignment UDF) surviving into
+        // the optimized plan means that action re-plans the assignment;
+        // with the packed batch cached, EVERY action reads the
+        // InMemoryRelation instead and the UDF runs once, inside the
+        // cache materialization of the first action
+        if (qe.optimizedPlan.collectFirst {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+        }.isDefined) generateRuns.incrementAndGet()
+        if (qe.optimizedPlan.collectFirst {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+        }.isDefined) cacheReads.incrementAndGet()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Ann.neardupAgainstIvfIndex(newB, "sp_idx", 0.45, nProbe = 8)
+      assert(out.count() > 0)
+      // listener bus is async — drain before asserting
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (actions.get() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(generateRuns.get() == 0,
+        s"assignment explode re-planned in ${generateRuns.get()} action(s)")
+      assert(cacheReads.get() >= 2,
+        s"expected both the probed-list collect and the kernel action to read the cache, saw ${cacheReads.get()}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.catalog.clearCache()
+      dropIdx("sp_idx")
+    }
+  }
+}
