@@ -54,6 +54,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // optional name filter (regex) for local iteration on one query's
+    // timing; the driver sets no filter and benches everything
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,7 +67,9 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up: JIT + codegen + shuffle service on the tiny SF, untimed
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       val (best, rows) = timeQuery(spark, name, fn, sfDir, reps)
       best match {
         case Some(b) => System.err.println(f"[bench] $name%-24s $b%8.2f s  ($rows rows)")

