@@ -52,32 +52,39 @@ object Decontamination {
     * EXACTLY [[contaminated]]'s — the contract query shares its oracle —
     * while no corpus-proportional data is broadcast or shuffled.
     */
+  /** Call-time cost and state: building the filter runs TWO
+    * benchmark-proportional jobs up front (the sizing count + the bloom
+    * aggregate); the returned plan is LAZY like every other operator
+    * here, and the broadcast bloom is its ONLY captured state. The
+    * confirmation join recomputes the benchmark shingles from source
+    * lineage when the caller acts — benchmark-proportional, negligible
+    * next to the corpus scan, and fully recoverable after executor loss
+    * (an earlier formulation localCheckpoint'ed the result eagerly,
+    * which pinned it in executor block storage with NO lineage — the
+    * wrong durability trade for a 100 TB tier).
+    */
   def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                         fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val spark = corpus.sparkSession
     import spark.implicits._
     val benchShingles = Dedup.shingles(benchmark, n).select("s").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // expected-item count for sizing: one benchmark-proportional job.
-      // Empty benchmark short-circuits — nothing can be contaminated, and
-      // stat.bloomFilter NPEs on an empty frame (null aggregate buffer)
-      val expected = benchShingles.count()
-      if (expected == 0) return Seq.empty[(Long, Long)].toDF("doc_id", "n_shared")
-      val bloom = benchShingles.stat.bloomFilter("s", expected, fpp)
-      val bc = spark.sparkContext.broadcast(bloom)
-      val mightContain = udf((s: String) => bc.value.mightContainString(s))
-      Dedup.shingles(corpus, n).select("doc_id", "s")
-        .filter(mightContain(col("s")))
-        // exact confirmation on the candidate trickle: shuffle join, NOT
-        // broadcast — the whole point is the benchmark may be too big to
-        // broadcast exactly
-        .join(benchShingles, "s")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally benchShingles.unpersist(false)
+    // expected-item count for sizing: one benchmark-proportional job.
+    // Empty benchmark short-circuits — nothing can be contaminated, and
+    // stat.bloomFilter NPEs on an empty frame (null aggregate buffer)
+    val expected = benchShingles.count()
+    if (expected == 0) return Seq.empty[(Long, Long)].toDF("doc_id", "n_shared")
+    val bloom = benchShingles.stat.bloomFilter("s", expected, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    Dedup.shingles(corpus, n).select("doc_id", "s")
+      .filter(mightContain(col("s")))
+      // exact confirmation on the candidate trickle: shuffle join, NOT
+      // broadcast — the whole point is the benchmark may be too big to
+      // broadcast exactly
+      .join(benchShingles, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
   }
 }

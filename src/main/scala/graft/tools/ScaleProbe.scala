@@ -211,6 +211,106 @@ object ScaleProbe {
     }
   }
 
+  /** IVF-SQ8 vs float IVF: stored bytes and probe latency at equal
+    * nlist/nProbe over the same corpus — the scan-bytes-reduction row.
+    */
+  private def sq8Probe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.Ann
+    def tableBytes(name: String): Long = {
+      val loc = new java.io.File(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+      du(loc)
+    }
+    for (n <- ns) {
+      val corpus = syntheticEmbeddings(spark, n.toLong).localCheckpoint(true)
+      Ann.writeIvfIndex(corpus, "sq8p_float", nlist = 64)
+      Ann.writeIvfSq8Index(corpus, "sq8p_codes", nlist = 64)
+      val (bF, bQ) = (tableBytes("sq8p_float"), tableBytes("sq8p_codes"))
+      spark.catalog.clearCache(); System.gc()
+      // 8 query probes each (different query ids), nProbe = 8 of 64
+      val (_, tF) = time((1 to 8).foreach(q =>
+        Ann.ivfTopKAgainstIndex(spark, "sq8p_float", queryId = q * 7L, k = 10, nProbe = 8).count()))
+      spark.catalog.clearCache(); System.gc()
+      val (_, tQ) = time((1 to 8).foreach(q =>
+        Ann.ivfTopKSq8AgainstIndex(spark, "sq8p_codes", queryId = q * 7L, k = 10, nProbe = 8).count()))
+      for (t <- Seq("sq8p_float", "sq8p_codes")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      }
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"n":${corpus.count()},"float_bytes":$bF,"sq8_bytes":$bQ,"bytes_ratio":${f"${bF.toDouble / bQ}%.2f"},"float_probe8_sec":${f"$tF%.2f"},"sq8_probe8_sec":${f"$tQ%.2f"}}""")
+    }
+  }
+
+  /** Hot-subject Hampel sweep: ONE subject emits n events with
+    * n-cardinality values inside a single day bucket — the exact tier's
+    * percentile state grows with the distinct count while the approx
+    * tier's summary stays O(accuracy); wall time is the visible proxy.
+    */
+  private def hampelProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.queries.TimeseriesQueries
+    import spark.implicits._
+    val t0 = 1704240000L
+    for (n <- ns) {
+      val cond = spark.range(n.toLong).select(
+          timestamp_seconds(lit(t0) + (col("id") % 86400L)).as("timestamp"),
+          lit("hot").as("measurement_subject"),
+          lit("m").as("measurement_of"),
+          (col("id").cast("double") / 100.0).as("measurement_number"))
+        .localCheckpoint(true)
+      val (nEx, tEx) = time(TimeseriesQueries.hampelOutliers(
+        cond, "m", t0, t0 + 86400, widthS = 86400).count())
+      spark.catalog.clearCache(); System.gc()
+      val (nAp, tAp) = time(TimeseriesQueries.hampelOutliersApprox(
+        cond, "m", t0, t0 + 86400, widthS = 86400).count())
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"n":$n,"exact_flags":$nEx,"exact_sec":${f"$tEx%.2f"},"approx_flags":$nAp,"approx_sec":${f"$tAp%.2f"}}""")
+    }
+  }
+
+  /** maintainIvfIndex policy probe: in-distribution batches append
+    * cheaply below the drift threshold; a shifted batch crosses it and
+    * pays one rebuild that resets drift to 1 — the amortized-maintenance
+    * row (append cost vs rebuild trigger cadence).
+    */
+  private def maintainProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.Ann
+    import spark.implicits._
+    for (n <- ns) {
+      val nL = n.toLong
+      Ann.writeIvfIndex(syntheticEmbeddings(spark, nL).localCheckpoint(true),
+        "mntp_idx", nlist = 64)
+      val b = math.max(1L, nL / 10)
+      val batches = (1 to 3).map { i =>
+        // fresh ids beyond the base (and the planted offset block), same
+        // distribution — deterministic per-id gaussians
+        spark.range(200000000L + i * b, 200000000L + (i + 1) * b).map { id =>
+          val r = new java.util.Random(id)
+          (id, Array.fill(128)(r.nextGaussian().toFloat))
+        }.toDF("vec_id", "embedding").localCheckpoint(true)
+      }
+      val inDist = batches.map { batch =>
+        val (res, t) = time(Ann.maintainIvfIndex(batch, "mntp_idx", driftThreshold = 1.3))
+        (f"${res._1}%.3f", res._2, f"$t%.2f")
+      }
+      val shifted = spark.range(300000000L, 300000000L + b).map { id =>
+        val r = new java.util.Random(id)
+        (id, Array.fill(128)(50f + r.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding").localCheckpoint(true)
+      val ((driftS, rebuiltS), tShift) = time(
+        Ann.maintainIvfIndex(shifted, "mntp_idx", driftThreshold = 1.3))
+      val (_, _, after) = Ann.ivfDrift(spark, "mntp_idx")
+      spark.sql("DROP TABLE IF EXISTS mntp_idx")
+      spark.sql("DROP TABLE IF EXISTS mntp_idx_centroids")
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"n":$n,"batch":$b,"in_dist":${inDist.map(t => s"""["${t._1}",${t._2},"${t._3}"]""").mkString("[", ",", "]")},"shifted_drift":${f"$driftS%.3f"},"shifted_rebuilt":$rebuiltS,"shifted_sec":${f"$tShift%.2f"},"drift_after":${f"$after%.3f"}}""")
+    }
+  }
+
   /** Incremental-dedup probe: a FIXED new batch (the base corpus's odd
     * doc_ids) against an index grown M× (perturbed copies of the even
     * ids). Compares recompute-everything [[Dedup.minhashPairsIncremental]]
@@ -368,6 +468,21 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("ivfappend")) {
       ivfAppendProbe(spark, ms) // ms are vector counts here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("sq8")) {
+      sq8Probe(spark, ms) // ms are vector counts here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("hampel")) {
+      hampelProbe(spark, ms) // ms are event counts here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("maintain")) {
+      maintainProbe(spark, ms) // ms are base vector counts here
       spark.stop()
       return
     }
