@@ -420,6 +420,26 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1), "graft_ivf_neardup",
         threshold = 0.45, nProbe = 16)
     }),
+    // the SAME batch-vs-index near-dup through the STREAMING gate: IVF
+    // index persisted once, the "crawl" streamed in micro-batches
+    // (maxFilesPerTrigger=1 under AvailableNow), novel vectors appended
+    // to the output store — the embedding face of q_dedup_stream; at
+    // nProbe = nlist the gate is exact, so the oracle is the cross-slice
+    // brute-force survivor set
+    "q_embed_neardup_stream" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "graft_stream_ivf_index", nlist = 16)
+      withTempDir("graft_embed_stream") { tmp =>
+        e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+          .repartition(3).write.parquet(s"$tmp/input")
+        graft.streaming.AnnStream.start(s, s"$tmp/input", "graft_stream_ivf_index",
+            s"$tmp/out", s"$tmp/cp", threshold = 0.45, nProbe = 16,
+            maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out").select("vec_id").orderBy("vec_id")
+      }
+    }),
     // duplicate-cluster resolution generalizes to the EMBEDDING pair
     // graph unchanged: components of the exact cosine near-dup pairs,
     // every vector labeled (singletons by themselves)
@@ -1206,6 +1226,23 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
         |SELECT id_new, id_index, ROUND(cos, 6) AS cos
         |FROM pairs WHERE cos >= 0.45 ORDER BY id_new, id_index""".stripMargin,
+    // survivors of the streaming gate = odd vectors with NO exact
+    // cross-slice cos >= 0.45 pair (nProbe = nlist makes the gate exact)
+    "q_embed_neardup_stream" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |dup AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM n a JOIN n b ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+        |  WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |        / (a.nrm * b.nrm) >= 0.45)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY vec_id""".stripMargin,
     // the persisted-IVF path at nProbe = nlist computes the identical set
     "q_embed_neardup_idx" ->
       """WITH n AS (
