@@ -603,6 +603,14 @@ object SparkEntry {
       graft.operators.Sampling.mixtureSample(table(s, d, "documents"),
           targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source").orderBy("doc_id")),
+    // deterministic epoch shuffle (training-data ordering): shard +
+    // global position are a pure function of (seed, epoch, doc_id) —
+    // the oracle replays md5 -> hex-Horner shard -> total order in SQL
+    "q_epoch_shuffle" -> ((s, d) =>
+      graft.operators.Sampling.epochShuffle(table(s, d, "documents"),
+          seed = 42, epoch = 1, numShards = 7)
+        .select(col("doc_id"), col("shard"), col("global_pos"))
+        .orderBy("global_pos")),
     // best-k-per-domain selection: top-5 docs per source by quality
     // (total order via doc_id tie-break)
     "q_topk_quality" -> ((s, d) => {
@@ -1417,6 +1425,24 @@ object SparkEntry {
         |       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
         |       string_agg(text, ' ' ORDER BY doc_id) AS seq_text
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // shard = first-8-hex-digit Horner reduce of the epoch-salted md5,
+    // global_pos = rank in the (shard, skey, doc_id) total order — the
+    // per-shard row_number + cumulative base on the Spark side flattens
+    // to exactly this single ORDER BY
+    "q_epoch_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, skey,
+        |         CAST(list_reduce(list_transform(range(1, 9),
+        |                 i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)),
+        |               (a, b) -> a * 16 + b) % 7 AS INT) AS shard
+        |  FROM s)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (ORDER BY shard, skey, doc_id) - 1 AS BIGINT) AS global_pos
+        |FROM sh ORDER BY global_pos""".stripMargin,
     "q_split" ->
       s"""SELECT doc_id,
          |       CASE WHEN b < 9000 THEN 'train'

@@ -115,6 +115,57 @@ object Sampling {
     stratifiedSample(docs, stratum, rates, defaultRate = 0.0, key, salt)
   }
 
+  /** Deterministic global shuffle for TRAINING-DATA ORDERING: assign
+    * every row a shard and a global position that together define the
+    * epoch's read order — shard files read in shard order, rows within a
+    * shard in `skey` order. The permutation is a pure function of
+    * (seed, epoch, key):
+    *  - reproducible across runs, engines, partitionings and cluster
+    *    sizes (no `rand()`, no zipWithIndex partition dependence), so a
+    *    crashed epoch resumes at the exact row it stopped;
+    *  - different epochs give decorrelated permutations from the same
+    *    seed (the epoch is inside the hash preimage) — the standard
+    *    "reshuffle every epoch" contract without materializing anything
+    *    per epoch;
+    *  - `skey` is md5("shuf:seed:epoch:" || key), shard = first 8 hex
+    *    digits mod `numShards` — the same engine-portable construction
+    *    as [[bucket]], replayed bit-for-bit by the DuckDB oracle.
+    *
+    * Scale shape: one hash shuffle on `shard` + a per-shard sort (each
+    * shard ≈ n/numShards rows — size numShards to the executor sort
+    * budget, typically thousands at 100 TB, NOT single digits), then a
+    * broadcast join against the numShards-row cumulative-count table
+    * (the only driver state; same two-phase prefix-sum idiom as
+    * [[graft.operators.Packing]]). No global sort, no single-partition
+    * window. Writing `partitionBy("shard")` sorted by `skey` gives
+    * deterministic, individually-sorted epoch files a data loader can
+    * stream in order.
+    */
+  def epochShuffle(docs: DataFrame, seed: Long, epoch: Long, numShards: Int,
+                   key: String = "doc_id"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = s"shuf:$seed:$epoch:"
+    val base = docs
+      .withColumn("skey", md5(concat(lit(prefix), col(key).cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % numShards).cast("int"))
+    // per-shard ordinal: the window partitions on shard, so state per
+    // task is one counter — no global sort anywhere
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col(key))
+    val withPos = base.withColumn("__sp", row_number().over(w).cast("long") - 1)
+    // shard base offsets: numShards rows cross the driver, nothing else
+    val counts = base.groupBy("shard").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = counts.map { case (s, c) => val b = acc; acc += c; (s, b) }
+    val baseDf = bases.toSeq.toDF("shard", "__base")
+    withPos.join(broadcast(baseDf), Seq("shard"))
+      .withColumn("global_pos", col("__base") + col("__sp"))
+      .drop("__sp", "__base")
+  }
+
   /** Keep the top-k rows per stratum under the given ordering — the
     * "best k documents per domain" selection step of corpus curation.
     *

@@ -137,4 +137,34 @@ class SamplingPropertySpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p).passed)
   }
+  test("epochShuffle is a partition-independent permutation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Long)] =
+      Sampling.epochShuffle(df, seed = 7, epoch = 3, numShards = 5)
+        .select("doc_id", "shard", "global_pos")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val a = run(docs)
+    val n = a.size
+    // global_pos is exactly 0..n-1 (a permutation, no gaps/dups)
+    assert(a.values.map(_._2).toSeq.sorted == (0L until n).toSeq)
+    // every shard in range
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 5 })
+    // identical under a different input partitioning
+    assert(run(docs.repartition(13)) == a)
+    // identical on a second run (no rand() anywhere)
+    assert(run(docs) == a)
+  }
+
+  test("different epochs give decorrelated orders from one seed") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pos(epoch: Long): Map[Long, Long] =
+      Sampling.epochShuffle(docs, seed = 7, epoch = epoch, numShards = 5)
+        .select("doc_id", "global_pos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = pos(0); val e1 = pos(1)
+    val same = e0.keys.count(k => e0(k) == e1(k))
+    // expected fixed points of a random permutation ~= 1; near-n means
+    // the epoch failed to enter the hash preimage
+    assert(same < e0.size / 10, s"epochs correlated: $same/${e0.size} fixed points")
+  }
 }
