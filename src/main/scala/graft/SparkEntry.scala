@@ -115,6 +115,23 @@ object SparkEntry {
       conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
       s.sql(s"SELECT * FROM graft_format_time_intervals('$Subject', '$Of', $S1, $E1, $E1)")
     }),
+    // the pipeline surface through SQL: ANN serving and the epoch
+    // shuffle called as table functions over registered views — each
+    // shares its method-path oracle (the builder returns the method's
+    // own logical plan, so this pins registration, not new semantics)
+    "q_sql_ann_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "embeddings")
+        .createOrReplaceTempView(SqlTableFunctions.EmbeddingsRelation)
+      s.sql("SELECT * FROM graft_ann_topk(0, 20)")
+    }),
+    "q_sql_shuffle" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "documents")
+        .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      s.sql("""SELECT doc_id, shard, global_pos FROM graft_epoch_shuffle(42, 1, 7)
+              |ORDER BY global_pos""".stripMargin)
+    }),
     // keyless point-in-interval join: EVERY subject's events labeled with
     // the reference subject's active state interval — binned equi-join
     // ([[graft.queries.IntervalJoin]]), never a BroadcastNestedLoopJoin
@@ -993,6 +1010,22 @@ object SparkEntry {
     // SQL table-function surface: same plans, same oracles
     "q_sql_agg" -> aggSql((E1 - S1) / 100, "LIMIT 100"),
     "q_sql_intervals" -> intervalsOracleSql,
+    // SQL-path pipeline functions share the method-path oracles
+    "q_sql_ann_topk" -> annTopkOracleSql,
+    "q_sql_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, skey,
+        |         CAST(list_reduce(list_transform(range(1, 9),
+        |                 i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)),
+        |               (a, b) -> a * 16 + b) % 7 AS INT) AS shard
+        |  FROM s)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (ORDER BY shard, skey, doc_id) - 1 AS BIGINT) AS global_pos
+        |FROM sh ORDER BY global_pos""".stripMargin,
 
     // half-open [start, end) containment replayed as a plain range join —
     // the binned Spark plan must be invisible in the result

@@ -1,54 +1,79 @@
 package graft
 
 import graft.functions.{Asap, TimeWeight}
+import graft.operators.{Ann, Sampling, TextAnalysis}
 import graft.queries.TimeseriesQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** The nine dashboard analytics functions as SQL-callable TABLE functions —
-  * the reference's entire query surface is SQL a dashboard executes
-  * directly (`db/get_aggregated_data.sql:18-35` builds a parameterized
-  * `EXECUTE`; Grafana calls `SELECT * FROM get_aggregated_data(...)`), so
-  * a Scala-only surface would strand those clients. With these registered,
+/** The dashboard analytics functions — and the most-used pipeline
+  * operators — as SQL-callable TABLE functions. The reference's entire
+  * query surface is SQL a dashboard executes directly
+  * (`db/get_aggregated_data.sql:18-35` builds a parameterized `EXECUTE`;
+  * Grafana calls `SELECT * FROM get_aggregated_data(...)`), so a
+  * Scala-only surface would strand those clients. With these registered,
   *
   * {{{
   * SELECT * FROM graft_aggregated_data('emonTx4', 'P1', 1704240000, 1706400000, 360)
+  * SELECT * FROM graft_ann_topk(0, 20)
+  * SELECT * FROM graft_epoch_shuffle(42, 1, 1000)
   * }}}
   *
-  * runs in `spark.sql` (or any SQL gateway on the session) and produces
-  * exactly the [[graft.queries.TimeseriesQueries]] plan — the builder
-  * CALLS the Scala method and hands its logical plan to the analyzer, so
-  * the two surfaces cannot drift.
+  * run in `spark.sql` (or any SQL gateway on the session) and produce
+  * exactly the Scala methods' plans — each builder CALLS the Scala
+  * method and hands its logical plan to the analyzer, so the two
+  * surfaces cannot drift.
   *
-  * Every function reads the relation named [[ConditionsRelation]]
-  * (`conditions`) from the session catalog — a temp view over
-  * [[graft.sources.ConditionsTable.read]], or a real catalog table; the
+  * Input relations are resolved BY NAME from the session catalog, the
   * same implicit-table convention as the reference's stored procedures
   * (their `FROM conditions` is fixed in the SQL body,
-  * `db/get_aggregated_data.sql:24`).
+  * `db/get_aggregated_data.sql:24`):
+  *  - the nine dashboard functions read [[ConditionsRelation]]
+  *    (`conditions`);
+  *  - text/shuffle functions read [[DocumentsRelation]] (`documents`);
+  *  - vector functions read [[EmbeddingsRelation]] (`embeddings`).
+  * Register temp views (or catalog tables) under those names; a missing
+  * relation fails with a message naming the view to register. Resolution
+  * is lazy per call — a session that only runs vector queries never
+  * needs a `conditions` view.
   *
   * Registration paths (mirroring [[GraftFunctions]] / [[GraftExtensions]]):
   *  - existing session: `SqlTableFunctions.register(spark)`;
   *  - builder time: `--conf spark.sql.extensions=graft.GraftExtensions`.
   *
-  * Scale note: registration is pure catalog metadata; each call plans the
-  * same pruned scan as the Scala path (subject/of/time predicates reach
-  * the parquet reader — see [[TimeseriesQueries.scan]]), so the SQL
-  * surface adds zero runtime overhead.
+  * Scale note: registration is pure catalog metadata; each call plans
+  * the same pruned scan as the Scala path (subject/of/time predicates
+  * reach the parquet reader — see [[TimeseriesQueries.scan]]), so the
+  * SQL surface adds zero runtime overhead.
   */
 object SqlTableFunctions {
 
-  /** The relation every table function reads. Register it with
-    * `df.createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)` or
-    * point the name at a catalog table.
+  /** The relation the nine dashboard functions read. Register it with
+    * `df.createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)`
+    * or point the name at a catalog table.
     */
   val ConditionsRelation = "conditions"
 
+  /** The relation the text-pipeline functions read (doc_id, text, …). */
+  val DocumentsRelation = "documents"
+
+  /** The relation the vector functions read (vec_id, embedding). */
+  val EmbeddingsRelation = "embeddings"
+
   private final case class TableFn(
       name: String, usage: String, arity: Int,
-      build: (SparkSession, DataFrame, Seq[Expression]) => DataFrame)
+      build: (SparkSession, Seq[Expression]) => DataFrame)
+
+  private def rel(spark: SparkSession, name: String, fn: String): DataFrame =
+    try spark.table(name)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$fn reads the relation '$name' — register it first with " +
+            s"""df.createOrReplaceTempView("$name") or a catalog table of that name""", e)
+    }
 
   // ---- literal argument extraction -----------------------------------
   // Table-function arguments must be literals (the reference's functions
@@ -83,11 +108,11 @@ object SqlTableFunctions {
     v.toInt
   }
 
-  // ---- the nine functions --------------------------------------------
-  // Names mirror the reference's db/ function names under the graft_
-  // prefix; argument order follows the reference signatures (see
+  // ---- the functions -------------------------------------------------
+  // Dashboard names mirror the reference's db/ function names under the
+  // graft_ prefix; argument order follows the reference signatures (see
   // ConditionsView — in particular get_unique_measurement_subjects takes
-  // (start, end, of)).
+  // (start, end, of)). Pipeline names mirror their Scala operators.
 
   /** Built as a method-per-entry list rather than a map so arity errors
     * and usage strings stay adjacent to each binding.
@@ -95,71 +120,89 @@ object SqlTableFunctions {
   private val all: Seq[TableFn] = {
     var out = List.empty[TableFn]
     def add(name: String, usage: String, arity: Int)(
-        build: (SparkSession, DataFrame, TableFn, Seq[Expression]) => DataFrame): Unit = {
+        build: (SparkSession, TableFn, Seq[Expression]) => DataFrame): Unit = {
       lazy val self: TableFn = TableFn(name, usage, arity,
-        (s, c, a) => build(s, c, self, a))
+        (s, a) => build(s, self, a))
       out = self :: out
     }
+    def cond(s: SparkSession, f: TableFn): DataFrame = rel(s, ConditionsRelation, f.name)
 
     add("graft_aggregated_data",
       "graft_aggregated_data(subject, of, start_s, end_s, max_result_size)", 5) {
-      (_, c, f, a) =>
-        TimeseriesQueries.aggregatedData(c, strArg(f, a, 0), strArg(f, a, 1),
+      (s, f, a) =>
+        TimeseriesQueries.aggregatedData(cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3), intArg(f, a, 4))
     }
     add("graft_aggregated_data_by_interval",
       "graft_aggregated_data_by_interval(subject, of, start_s, end_s, interval_s)", 5) {
-      (_, c, f, a) =>
-        TimeseriesQueries.aggregatedDataByInterval(c, strArg(f, a, 0), strArg(f, a, 1),
+      (s, f, a) =>
+        TimeseriesQueries.aggregatedDataByInterval(cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3), longArg(f, a, 4))
     }
     add("graft_aggregated_data_by_day",
       "graft_aggregated_data_by_day(subject, of, start_s, end_s)", 4) {
-      (_, c, f, a) =>
-        TimeseriesQueries.aggregatedDataByDay(c, strArg(f, a, 0), strArg(f, a, 1),
+      (s, f, a) =>
+        TimeseriesQueries.aggregatedDataByDay(cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3))
     }
     add("graft_most_frequent_value_by_interval",
       "graft_most_frequent_value_by_interval(subject, of, start_s, end_s)", 4) {
-      (_, c, f, a) =>
-        TimeseriesQueries.mostFrequentValueByInterval(c, strArg(f, a, 0), strArg(f, a, 1),
+      (s, f, a) =>
+        TimeseriesQueries.mostFrequentValueByInterval(cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3))
     }
     add("graft_sampled_data",
       "graft_sampled_data(subject, of, start_s, end_s, resolution)", 5) {
-      (s, c, f, a) =>
-        Asap.sampledData(s, c, strArg(f, a, 0), strArg(f, a, 1),
+      (s, f, a) =>
+        Asap.sampledData(s, cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3), intArg(f, a, 4))
     }
     add("graft_sampled_data_with_time_weight",
       "graft_sampled_data_with_time_weight(subject, of, start_s, end_s, method, resolution)", 6) {
-      (_, c, f, a) =>
+      (s, f, a) =>
         val method = strArg(f, a, 4).toLowerCase match {
           case "linear" => TimeWeight.Linear
           case "locf"   => TimeWeight.Locf
           case other => throw new IllegalArgumentException(
             s"${f.name}: unknown time_weight method '$other' (expected linear|locf)")
         }
-        TimeWeight.sampledDataWithTimeWeight(c, strArg(f, a, 0), strArg(f, a, 1),
+        TimeWeight.sampledDataWithTimeWeight(cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3), method, intArg(f, a, 5))
     }
     add("graft_unique_measurement_subjects",
       "graft_unique_measurement_subjects(start_s, end_s, of)", 3) {
-      (_, c, f, a) =>
-        TimeseriesQueries.uniqueMeasurementSubjects(c, strArg(f, a, 2),
+      (s, f, a) =>
+        TimeseriesQueries.uniqueMeasurementSubjects(cond(s, f), strArg(f, a, 2),
           longArg(f, a, 0), longArg(f, a, 1))
     }
     add("graft_filter_unchanged_rows",
       "graft_filter_unchanged_rows(subject, of, start_s, end_s)", 4) {
-      (_, c, f, a) =>
-        TimeseriesQueries.filterUnchangedRows(c, strArg(f, a, 0), strArg(f, a, 1),
+      (s, f, a) =>
+        TimeseriesQueries.filterUnchangedRows(cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3))
     }
     add("graft_format_time_intervals",
       "graft_format_time_intervals(subject, of, start_s, end_s, clock_s)", 5) {
-      (_, c, f, a) =>
-        TimeseriesQueries.formatTimeIntervals(c, strArg(f, a, 0), strArg(f, a, 1),
+      (s, f, a) =>
+        TimeseriesQueries.formatTimeIntervals(cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3), longArg(f, a, 4))
+    }
+
+    // ---- pipeline operators over the documents/embeddings relations --
+
+    add("graft_token_count", "graft_token_count()", 0) { (s, f, _) =>
+      TextAnalysis.tokenCount(rel(s, DocumentsRelation, f.name))
+    }
+    add("graft_lang_id", "graft_lang_id()", 0) { (s, f, _) =>
+      TextAnalysis.langId(rel(s, DocumentsRelation, f.name))
+    }
+    add("graft_ann_topk", "graft_ann_topk(query_vec_id, k)", 2) { (s, f, a) =>
+      Ann.topK(rel(s, EmbeddingsRelation, f.name), longArg(f, a, 0), intArg(f, a, 1))
+    }
+    add("graft_epoch_shuffle", "graft_epoch_shuffle(seed, epoch, num_shards)", 3) {
+      (s, f, a) =>
+        Sampling.epochShuffle(rel(s, DocumentsRelation, f.name),
+          longArg(f, a, 0), longArg(f, a, 1), intArg(f, a, 2))
     }
     out.reverse
   }
@@ -172,9 +215,9 @@ object SqlTableFunctions {
       s"${t.name} expects ${t.arity} arguments, got ${args.length} (usage: ${t.usage})")
     val spark = SparkSession.active
     // The builder runs on the driver during analysis; handing back the
-    // method path's logical plan (over the catalog-resolved `conditions`
-    // relation) makes SQL-path ≡ method-path true by construction.
-    t.build(spark, spark.table(ConditionsRelation), args).queryExecution.logical
+    // method path's logical plan (over the catalog-resolved relation)
+    // makes SQL-path ≡ method-path true by construction.
+    t.build(spark, args).queryExecution.logical
   }
 
   /** Register on an existing session (temp table functions). */

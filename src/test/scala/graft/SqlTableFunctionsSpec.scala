@@ -149,4 +149,50 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("linear|locf"))
   }
+  // ---- pipeline functions over the documents/embeddings relations ----
+
+  private def registerCorpus(): Unit = {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView(SqlTableFunctions.EmbeddingsRelation)
+  }
+
+  test("graft_token_count ≡ TextAnalysis.tokenCount") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_token_count()",
+      graft.operators.TextAnalysis.tokenCount(
+        spark.table(SqlTableFunctions.DocumentsRelation)))
+  }
+
+  test("graft_lang_id ≡ TextAnalysis.langId") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_lang_id()",
+      graft.operators.TextAnalysis.langId(
+        spark.table(SqlTableFunctions.DocumentsRelation)))
+  }
+
+  test("graft_ann_topk ≡ Ann.topK") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_ann_topk(0, 10)",
+      graft.operators.Ann.topK(
+        spark.table(SqlTableFunctions.EmbeddingsRelation), queryId = 0, k = 10))
+  }
+
+  test("graft_epoch_shuffle ≡ Sampling.epochShuffle") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_epoch_shuffle(42, 1, 7)",
+      graft.operators.Sampling.epochShuffle(
+        spark.table(SqlTableFunctions.DocumentsRelation),
+        seed = 42, epoch = 1, numShards = 7))
+  }
+
+  test("a missing relation names the view to register") {
+    spark.sessionState.catalog.dropTempView(SqlTableFunctions.EmbeddingsRelation)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann_topk(0, 10)").collect()
+    }
+    assert(e.getMessage.contains("graft_ann_topk reads the relation 'embeddings'"))
+    assert(e.getMessage.contains("createOrReplaceTempView"))
+  }
 }
