@@ -437,6 +437,18 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1), "graft_ivf_neardup",
         threshold = 0.45, nProbe = 16)
     }),
+    // near-dup served from the composed IVF-SQ8 index (the serving
+    // symmetry: both index families serve topK AND near-dup). Symmetric
+    // distance — both sides quantized+decoded — and nProbe = nlist, so
+    // the oracle replays quantize -> decode -> cross-slice cosine in SQL
+    "q_embed_neardup_sq8" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      graft.operators.Ann.writeIvfSq8Index(e.filter(col("vec_id") % 2 === 0),
+        "graft_ivfsq8_neardup", nlist = 16)
+      graft.operators.Ann.neardupAgainstIvfSq8Index(
+        e.filter(col("vec_id") % 2 === 1), "graft_ivfsq8_neardup",
+        threshold = 0.45, nProbe = 16)
+    }),
     // the SAME batch-vs-index near-dup through the STREAMING gate: IVF
     // index persisted once, the "crawl" streamed in micro-batches
     // (maxFilesPerTrigger=1 under AvailableNow), novel vectors appended
@@ -1264,6 +1276,30 @@ object SparkEntry {
         |         list_sum(list_transform(range(1, len(a.embedding)+1),
         |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         |           / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+        |SELECT id_new, id_index, ROUND(cos, 6) AS cos
+        |FROM pairs WHERE cos >= 0.45 ORDER BY id_new, id_index""".stripMargin,
+    // SQ8 near-dup: both sides quantize -> decode, then the cross-slice
+    // cosine — same decode replay as annTopkSq8OracleSql, pair-shaped
+    "q_embed_neardup_sq8" ->
+      """WITH mm AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |         CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx > mn THEN
+        |           list_transform(embedding,
+        |             x -> mn + FLOOR((CAST(x AS DOUBLE) - mn)/(mx - mn)*255 + 0.5)/255*(mx - mn))
+        |         ELSE list_transform(embedding, x -> mn) END AS dq
+        |  FROM mm),
+        |n AS (SELECT vec_id, dq,
+        |             sqrt(list_sum(list_transform(dq, x -> x*x))) AS nrm FROM d),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_new, b.vec_id AS id_index,
+        |         list_sum(list_transform(range(1, len(a.dq)+1),
+        |            i -> a.dq[i] * b.dq[i])) / (a.nrm * b.nrm) AS cos
         |  FROM n a JOIN n b ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
         |SELECT id_new, id_index, ROUND(cos, 6) AS cos
         |FROM pairs WHERE cos >= 0.45 ORDER BY id_new, id_index""".stripMargin,

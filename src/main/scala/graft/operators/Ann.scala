@@ -930,6 +930,105 @@ object Ann {
       .limit(k)
   }
 
+  /** Incremental near-dup against a persisted [[writeIvfSq8Index]] table —
+    * the SQ8 face of [[neardupAgainstIvfIndex]], completing the composed
+    * index's serving symmetry (the float index serves topK AND near-dup;
+    * so does the SQ8 index). Distance is SYMMETRIC: the new batch is
+    * quantized with per-vector [mn, mx] and DECODED before scoring,
+    * exactly as if it had been stored, so a batch vector that equals an
+    * indexed vector scores cosine 1 regardless of quantization.
+    *
+    * Scale shape is the float path's: probe lists assigned once per new
+    * vector (decoded-vector distance to the stored centroids, matching
+    * [[ivfSq8Probe]]), static partition pruning on the probed lists, and
+    * a B×B-blocked rectangle kernel. Stored codes decode ONCE PER ROW
+    * during packing (never per pair); the kernel itself is a pure
+    * primitive double dot. The probe scan reads the ~3.9× smaller code
+    * column — the same byte savings SCALING.md measures for topK probes.
+    *
+    *  - `nProbe = nlist`: EXACT over the decoded vectors (the oracle
+    *    replays quantize → decode → cosine in SQL);
+    *  - `nProbe < nlist`: the recall/cost dial, as everywhere.
+    *
+    * Returns (id_new, id_index, cos ≥ threshold), oriented sides.
+    */
+  def neardupAgainstIvfSq8Index(newVecs: DataFrame, tableName: String,
+                                threshold: Double, nProbe: Int): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val centroids = validatedSq8Centroids(spark, tableName, nProbe)
+    val bc = spark.sparkContext.broadcast(centroids)
+    // one UDF call per new vector: quantize + decode (symmetric), norm,
+    // and the nProbe nearest stored centroids of the DECODED vector
+    val prepUdf = udf { (v: Seq[Float]) =>
+      val (code, mn, mx) = sq8Quant(v)
+      val dq = sq8Dequant(code, mn, mx)
+      var s = 0.0
+      var i = 0
+      while (i < dq.length) { s += dq(i) * dq(i); i += 1 }
+      val probes = bc.value.indices.sortBy { c =>
+        val cv = bc.value(c)
+        var d = 0.0
+        var j = 0
+        val n = math.min(dq.length, cv.length)
+        while (j < n) { val x = dq(j) - cv(j); d += x * x; j += 1 }
+        d
+      }.take(nProbe)
+      (dq.toSeq, math.sqrt(s), probes)
+    }
+    val newListed = newVecs
+      .select(col("vec_id").as("id_new"), prepUdf(col("embedding")).as("r"))
+      .select(col("id_new"), col("r._1").as("dq_new"), col("r._2").as("nrm_new"),
+        explode(col("r._3")).as("probe"))
+      .filter(col("nrm_new") > 0.0)
+    val B = math.max(1, math.ceil(math.sqrt(spark.sparkContext.defaultParallelism.toDouble)).toInt)
+    // cached packed batch = single-pass prep (same contract as the float
+    // path: the probed-list collect materializes it, the kernel join
+    // re-reads it from cache)
+    val newPacked = newListed
+      .as[(Long, Array[Double], Double, Int)]
+      .groupByKey(r => (r._4, (((r._1 % B) + B) % B).toInt))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Long, Array[Double], Double, Int)]) =>
+        val arr = it.toArray.sortBy(_._1)
+        (key._1, arr.map(_._1), arr.map(_._2), arr.map(_._3))
+      }
+      .toDF("probe", "ids_n", "vecs_n", "nrms_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = newPacked.select("probe").distinct().as[Int].collect().toSeq
+    val idxPacked = spark.table(tableName)
+      .filter(col("ivf_list").isin(probed: _*))
+      .select(col("vec_id"), col("code"), col("mn"), col("mx"), col("nrm"), col("ivf_list"))
+      .as[(Long, Array[Byte], Float, Float, Double, Int)]
+      .groupByKey(r => (r._6, (((r._1 % B) + B) % B).toInt))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Long, Array[Byte], Float, Float, Double, Int)]) =>
+        // decode once per stored row here, at pack time
+        val arr = it.toArray.sortBy(_._1)
+        (key._1, arr.map(_._1), arr.map(r => sq8Dequant(r._2, r._3, r._4)), arr.map(_._5))
+      }
+      .toDF("ivf_list", "ids_i", "vecs_i", "nrms_i")
+    newPacked.join(idxPacked, col("probe") === col("ivf_list"))
+      .select("ids_n", "vecs_n", "nrms_n", "ids_i", "vecs_i", "nrms_i")
+      .as[(Array[Long], Array[Array[Double]], Array[Double],
+           Array[Long], Array[Array[Double]], Array[Double])]
+      .flatMap { case (idsN, vecsN, nrmsN, idsI, vecsI, nrmsI) =>
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < idsN.length) {
+          var j = 0
+          while (j < idsI.length) {
+            val cos = dotDD(vecsN(i), vecsI(j)) / (nrmsN(i) * nrmsI(j))
+            if (cos >= threshold) out += ((idsN(i), idsI(j), cos))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_new", "id_index", "cos")
+      .select(col("id_new"), col("id_index"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_new", "id_index")
+  }
+
   /** Deterministic random hyperplanes: `tables` independent sign-sketches
     * of `bits` hyperplanes each (seeded).
     */

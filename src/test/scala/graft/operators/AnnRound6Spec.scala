@@ -208,4 +208,42 @@ class AnnRound6Spec extends AnyFunSuite {
       dropIdx("sp_idx")
     }
   }
+  // ------------------------------------------------ SQ8 near-dup serving
+
+  test("neardupAgainstIvfSq8Index: planted duplicates score cosine 1 (symmetric distance)") {
+    import spark.implicits._
+    dropIdx("sq8_nd_idx")
+    try {
+      val idx = emb.filter(col("vec_id") % 2 === 0)
+      Ann.writeIvfSq8Index(idx, "sq8_nd_idx", nlist = 8)
+      // the batch = exact copies of four indexed vectors under odd ids:
+      // symmetric quantize+decode must give them self-cosine exactly 1
+      val planted = idx.filter(col("vec_id") % 50 === 0).limit(4)
+        .select((col("vec_id") + 1000001L).as("vec_id"), col("embedding"))
+      val got = Ann.neardupAgainstIvfSq8Index(planted, "sq8_nd_idx",
+          threshold = 0.999, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val plantedIds = planted.select("vec_id").as[Long].collect().toSet
+      assert(plantedIds.nonEmpty)
+      plantedIds.foreach { pid =>
+        assert(got.exists(t => t._1 == pid && t._2 == pid - 1000001L && t._3 == 1.0),
+          s"planted copy $pid did not pair with its source at cos 1.0: ${got.toSeq}")
+      }
+    } finally dropIdx("sq8_nd_idx")
+  }
+
+  test("neardupAgainstIvfSq8Index: nProbe < nlist returns a subset of the full probe") {
+    dropIdx("sq8_nd_sub")
+    try {
+      Ann.writeIvfSq8Index(emb.filter(col("vec_id") % 2 === 0), "sq8_nd_sub", nlist = 8)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      def pairs(nProbe: Int): Set[(Long, Long)] =
+        Ann.neardupAgainstIvfSq8Index(batch, "sq8_nd_sub", threshold = 0.4, nProbe = nProbe)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = pairs(8)
+      val sub = pairs(1)
+      assert(full.nonEmpty, "full probe should find pairs at 0.4 on this corpus")
+      assert(sub.subsetOf(full))
+    } finally { spark.catalog.clearCache(); dropIdx("sq8_nd_sub") }
+  }
 }
