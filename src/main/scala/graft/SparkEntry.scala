@@ -437,6 +437,19 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1), "graft_ivf_neardup",
         threshold = 0.45, nProbe = 16)
     }),
+    // SQ8 index maintenance lifecycle: build on the even half, append
+    // the odd half vs the STORED centroids, then serve topK at
+    // nProbe = nlist — exact over the full corpus, so it shares the
+    // brute-force SQ8 oracle (the float q_ann_ivf_append pattern)
+    "q_ann_ivf_sq8_app" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      graft.operators.Ann.writeIvfSq8Index(e.filter(col("vec_id") % 2 === 0),
+        "graft_ivfsq8_app", nlist = 16)
+      graft.operators.Ann.appendToIvfSq8Index(
+        e.filter(col("vec_id") % 2 === 1), "graft_ivfsq8_app")
+      graft.operators.Ann.ivfTopKSq8AgainstIndex(s, "graft_ivfsq8_app",
+        queryId = 0L, k = 20, nProbe = 16)
+    }),
     // near-dup served from the composed IVF-SQ8 index (the serving
     // symmetry: both index families serve topK AND near-dup). Symmetric
     // distance — both sides quantized+decoded — and nProbe = nlist, so
@@ -1249,6 +1262,8 @@ object SparkEntry {
     "q_ann_ivf_append" -> annTopkOracleSql,
     // the composed IVF-SQ8 index at nProbe = nlist ≡ brute-force SQ8
     "q_ann_ivf_sq8" -> annTopkSq8OracleSql,
+    // ... and so is the build-half + append-half lifecycle
+    "q_ann_ivf_sq8_app" -> annTopkSq8OracleSql,
     "q_embed_neardup" -> neardupOracleSql,
     // reachability closure over the exact cosine pair graph, every
     // vector labeled — the embedding face of the clusters oracle

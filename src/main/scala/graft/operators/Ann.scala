@@ -568,7 +568,11 @@ object Ann {
     val ref = props.getOrElse("graft.meanDist", throw new IllegalArgumentException(
       s"IVF index $tableName carries no graft.meanDist property — " +
         "not written by writeIvfIndex (or written before drift tracking)")).toDouble
-    val cur = meanAssignedDist(spark, tableName)
+    // serves both index families: an SQ8 table stores codes, so the live
+    // statistic decodes per row (reference was written the same way)
+    val cur =
+      if (props.get("graft.sq8").contains("true")) meanAssignedDistSq8(spark, tableName)
+      else meanAssignedDist(spark, tableName)
     (ref, cur, if (ref > 0) cur / ref else 1.0)
   }
 
@@ -837,9 +841,107 @@ object Ann {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("ivf_list", "centroid")
       .write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
+    // write-time assignment quality (over DECODED vectors — all the table
+    // stores) rides the metadata as the drift reference, as in
+    // [[writeIvfIndex]]
     spark.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
         s"'graft.nlist' = '$effNlist', 'graft.sq8' = 'true')")
+    val refDist = meanAssignedDistSq8(spark, tableName)
+    spark.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.meanDist' = '$refDist')")
+  }
+
+  /** [[meanAssignedDist]] for an SQ8 table: the stored codes decode
+    * per row before the centroid distance (the decoded vector is within
+    * (mx−mn)/510 per element of the raw one, so the statistic tracks the
+    * same k-means objective).
+    */
+  private def meanAssignedDistSq8(spark: org.apache.spark.sql.SparkSession,
+                                  tableName: String): Double = {
+    import spark.implicits._
+    val centroids = spark.table(s"${tableName}_centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val distUdf = udf { (code: Array[Byte], mn: Float, mx: Float, list: Int) =>
+      val v = sq8Dequant(code, mn, mx)
+      val c = bc.value(list)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
+      math.sqrt(d)
+    }
+    val row = spark.table(tableName)
+      .agg(avg(distUdf(col("code"), col("mn"), col("mx"), col("ivf_list")))).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Append NEW vectors to a persisted [[writeIvfSq8Index]] table WITHOUT
+    * retraining — [[appendToIvfIndex]] for the composed index: assign by
+    * the raw embedding against the STORED centroids (the same rule the
+    * write used, so quantization never moves a vector across lists),
+    * quantize, and partition-append. Same contracts: per-batch cost ∝
+    * |batch|, centroids and properties untouched, per-row dimension
+    * guard, zero-norm rows dropped.
+    */
+  def appendToIvfSq8Index(newVecs: DataFrame, tableName: String): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.sq8").contains("true"),
+      s"$tableName carries no graft.sq8 property — not written by writeIvfSq8Index")
+    val centroids = spark.table(s"${tableName}_centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      require(v.length == bc.value.head.length,
+        s"batch embedding dimension ${v.length} != index dimension ${bc.value.head.length}")
+      nearestCentroid(v.toArray, bc.value)
+    }
+    newVecs
+      .select(col("vec_id"), sq8QuantUdf(col("embedding")).as("r"),
+        assignUdf(col("embedding")).as("ivf_list"))
+      .select(col("vec_id"), col("r._1").as("code"),
+        col("r._2").as("mn"), col("r._3").as("mx"),
+        normDDUdf(sq8DequantUdf(col("r._1"), col("r._2"), col("r._3"))).as("nrm"),
+        col("ivf_list"))
+      .filter(col("nrm") > 0.0)
+      .repartition(col("ivf_list"))
+      .write.mode("append").insertInto(tableName)
+  }
+
+  /** [[maintainIvfIndex]] for the composed SQ8 index: append, read
+    * [[ivfDrift]] (which detects the SQ8 table and measures over decoded
+    * vectors), rebuild past `driftThreshold`. The rebuild snapshot
+    * decodes the stored codes back to floats — safe because SQ8 decode
+    * preserves each vector's [mn, mx] endpoints exactly, so
+    * requantization is idempotent (the rebuilt codes equal the stored
+    * ones; only the centroids and list assignments retrain).
+    */
+  def maintainIvfSq8Index(newVecs: DataFrame, tableName: String,
+                          driftThreshold: Double = 1.3,
+                          sampleSize: Int = 2000): (Double, Boolean) = {
+    require(driftThreshold > 0, "driftThreshold must be positive")
+    val spark = newVecs.sparkSession
+    appendToIvfSq8Index(newVecs, tableName)
+    val (_, _, ratio) = ivfDrift(spark, tableName)
+    if (ratio > driftThreshold) {
+      val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val nlist = props("graft.nlist").toInt
+      // eager localCheckpoint for the same reason as maintainIvfIndex:
+      // writeIvfSq8Index overwrites the table the snapshot reads
+      val snapshot = spark.table(tableName)
+        .select(col("vec_id"),
+          sq8DequantUdf(col("code"), col("mn"), col("mx")).as("dq"))
+        .select(col("vec_id"),
+          expr("transform(dq, x -> CAST(x AS FLOAT))").as("embedding"))
+        .localCheckpoint(true)
+      writeIvfSq8Index(snapshot, tableName, nlist, sampleSize)
+      (ratio, true)
+    } else (ratio, false)
   }
 
   /** Top-k against a persisted [[writeIvfSq8Index]] table: partition-

@@ -246,4 +246,56 @@ class AnnRound6Spec extends AnyFunSuite {
       assert(sub.subsetOf(full))
     } finally { spark.catalog.clearCache(); dropIdx("sq8_nd_sub") }
   }
+  // --------------------------------------------- SQ8 index maintenance
+
+  test("maintainIvfSq8Index: append-only under threshold, rebuild on drift, codes survive") {
+    import spark.implicits._
+    dropIdx("sq8_mnt_idx")
+    Ann.writeIvfSq8Index(emb.filter(col("vec_id") % 2 === 0), "sq8_mnt_idx", nlist = 8)
+    try {
+      // in-distribution batch: append only, centroids untouched
+      val centroidsBefore = spark.table("sq8_mnt_idx_centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+      val (r1, rebuilt1) = Ann.maintainIvfSq8Index(
+        emb.filter(col("vec_id") % 2 === 1), "sq8_mnt_idx", driftThreshold = 1.2)
+      assert(!rebuilt1 && r1 < 1.2, s"unexpected rebuild at ratio $r1")
+      assert(spark.table("sq8_mnt_idx_centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq == centroidsBefore)
+      val codesBefore = spark.table("sq8_mnt_idx")
+        .select("vec_id", "code").as[(Long, Array[Byte])]
+        .collect().map { case (id, c) => id -> c.toSeq }.toMap
+      // far-out-of-distribution batch: rebuild fires, drift resets, and
+      // requantization is idempotent — every vector's code is unchanged
+      val dim = emb.select("embedding").as[Array[Float]].head().length
+      val shifted = (0 until 64).map { i =>
+        (200000L + i, Array.tabulate(dim)(j => 50f + (i + j) % 7))
+      }.toDF("vec_id", "embedding")
+      val (r2, rebuilt2) = Ann.maintainIvfSq8Index(shifted, "sq8_mnt_idx", driftThreshold = 1.2)
+      assert(rebuilt2 && r2 > 1.2, s"expected rebuild, got ratio $r2")
+      val (_, _, after) = Ann.ivfDrift(spark, "sq8_mnt_idx")
+      assert(math.abs(after - 1.0) < 1e-9, s"post-rebuild drift $after")
+      val codesAfter = spark.table("sq8_mnt_idx")
+        .select("vec_id", "code").as[(Long, Array[Byte])]
+        .collect().map { case (id, c) => id -> c.toSeq }.toMap
+      codesBefore.foreach { case (id, c) =>
+        assert(codesAfter(id) == c, s"vec $id requantized to different codes")
+      }
+    } finally dropIdx("sq8_mnt_idx")
+  }
+
+  test("appendToIvfSq8Index refuses a float-index table and a wrong-dimension batch") {
+    import spark.implicits._
+    dropIdx("sq8_app_guard"); dropIdx("float_app_guard")
+    try {
+      Ann.writeIvfIndex(emb, "float_app_guard", nlist = 4)
+      val e1 = intercept[Exception] {
+        Ann.appendToIvfSq8Index(emb, "float_app_guard")
+      }
+      assert(causes(e1).exists(_.contains("graft.sq8")))
+      Ann.writeIvfSq8Index(emb, "sq8_app_guard", nlist = 4)
+      val bad = Seq((999999L, Array.fill(3)(1.0f))).toDF("vec_id", "embedding")
+      val e2 = intercept[Exception] { Ann.appendToIvfSq8Index(bad, "sq8_app_guard") }
+      assert(causes(e2).exists(_.contains("dimension")))
+    } finally { dropIdx("sq8_app_guard"); dropIdx("float_app_guard") }
+  }
 }
