@@ -595,6 +595,10 @@ object SparkEntry {
     // per-source token-length distribution (exact percentiles)
     "q_length_stats" -> ((s, d) =>
       graft.operators.TextAnalysis.lengthStats(table(s, d, "documents"))),
+    // the mergeable-summary tier (hot-stratum escape hatch): quantiles
+    // are group elements at rank ceil(p*n), replayed as quantile_disc
+    "q_length_stats_approx" -> ((s, d) =>
+      graft.operators.TextAnalysis.lengthStatsApprox(table(s, d, "documents"))),
     // benchmark decontamination: corpus docs sharing a 5-gram with the
     // held-out benchmark slice (doc_id % 7 == 0 plays the eval suite)
     "q_decontaminate" -> ((s, d) => {
@@ -1192,6 +1196,16 @@ object SparkEntry {
         |       ROUND(quantile_cont(len(string_split(text, ' ')), 0.25), 6) AS p25,
         |       ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
         |       ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // discrete-rank replay of the approx tier (deterministic for
+    // n <= accuracy — same rule q_outliers_approx pins for the median)
+    "q_length_stats_approx" ->
+      """SELECT source,
+        |       count(*) AS n_docs,
+        |       ROUND(AVG(len(string_split(text, ' '))), 6) AS mean_tokens,
+        |       CAST(quantile_disc(len(string_split(text, ' ')), 0.25) AS BIGINT) AS p25,
+        |       CAST(quantile_disc(len(string_split(text, ' ')), 0.5) AS BIGINT) AS p50,
+        |       CAST(quantile_disc(len(string_split(text, ' ')), 0.9) AS BIGINT) AS p90
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",

@@ -440,4 +440,37 @@ object TextAnalysis {
         round(element_at(col("ps"), 2), 6).as("p50"),
         round(element_at(col("ps"), 3), 6).as("p90"))
       .orderBy(stratum)
+
+  /** Approximate-quantile tier of [[lengthStats]] — the hot-stratum
+    * escape hatch, same contract family as
+    * [[graft.queries.TimeseriesQueries.hampelOutliersApprox]]: the exact
+    * tier's `percentile` buffers every value of a stratum in one task
+    * (bounded by executor memory when one domain is half the corpus);
+    * this tier's `approx_percentile` state is O(accuracy · log n)
+    * REGARDLESS of stratum size (Greenwald-Khanna summaries), and the
+    * partial aggregation is mergeable — map-side combine works, so the
+    * shuffle carries summaries, not values.
+    *
+    * Quantiles are LongType group ELEMENTS (the exact tier interpolates
+    * to doubles): for strata with n ≤ accuracy the selection is
+    * deterministic — the element at rank ⌈p·n⌉, DuckDB's
+    * `quantile_disc` — which is how the gate replays this tier exactly
+    * (q_length_stats_approx). Above that, each quantile is within
+    * n/accuracy ranks of the true one. The exact tier remains the
+    * correctness contract.
+    */
+  def lengthStatsApprox(docs: DataFrame, stratum: String = "source",
+                        accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, "accuracy must be positive")
+    docs.select(col(stratum), size(tokens).cast("long").as("n"))
+      .groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n"), 6).as("mean_tokens"),
+        expr(s"approx_percentile(n, array(0.25D, 0.5D, 0.9D), $accuracy)").as("ps"))
+      .select(col(stratum), col("n_docs"), col("mean_tokens"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p90"))
+      .orderBy(stratum)
+  }
 }

@@ -397,6 +397,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows("b") == ((1L, 2.0, 2.0, 2.0, 2.0)))
   }
 
+  test("lengthStatsApprox: rank-ceil(p*n) group elements in the exact regime") {
+    import spark.implicits._
+    // stratum a: lengths 1..10 → rank ceil(2.5)=3, ceil(5)=5, ceil(9)=9
+    val d = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "), "a"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthStatsApprox(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(r("a") == ((10L, 5.5, 3L, 5L, 9L)))
+    // and each approx quantile sits within one rank of the exact
+    // interpolated value on the same data (the documented error contract
+    // in the exact regime)
+    val exact = TextAnalysis.lengthStats(d).collect().head
+    assert(math.abs(r("a")._3 - exact.getDouble(3)) <= 1.0)
+    assert(math.abs(r("a")._4 - exact.getDouble(4)) <= 1.0)
+    assert(math.abs(r("a")._5 - exact.getDouble(5)) <= 1.0)
+  }
+
   // -------------------------------------------------------- Sessionization
 
   test("sessionize: gap threshold splits sessions; ties share a session") {
