@@ -370,6 +370,23 @@ object SparkEntry {
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
+    // the SimHash face of the streaming gate — with this all THREE index
+    // families gate streams (MinHash buckets, SimHash band segments, IVF
+    // lists); oracle = odd docs with no cross-slice hamming<=3 pair
+    "q_dedup_simhash_stream" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.writeSimhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "graft_stream_sh_index")
+      withTempDir("graft_simhash_stream") { tmp =>
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
+          .repartition(3).write.parquet(s"$tmp/input")
+        graft.streaming.DedupStream.startSimhash(s, s"$tmp/input",
+            "graft_stream_sh_index", s"$tmp/out", s"$tmp/cp",
+            maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
+      }
+    }),
     // SimHash hamming<=3 near-dups (rows-only oracle)
     "q_dedup_simhash" -> ((s, d) =>
       graft.operators.Dedup.simhashPairs(table(s, d, "documents"))),
@@ -1259,6 +1276,14 @@ object SparkEntry {
         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_new FROM dup)
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
+    // survivors of the SimHash streaming gate = odd docs with no
+    // cross-slice banded hamming<=3 pair (the incremental pair replay,
+    // inverted to the survivor set)
+    "q_dedup_simhash_stream" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (
+         |  SELECT doc_new FROM (${simhashOracleSql(3, incremental = true)}) p)
+         |ORDER BY doc_id""".stripMargin,
     // same bit-for-bit SimHash replay, restricted to new×index pairs
     "q_dedup_simhash_inc" -> simhashOracleSql(3, incremental = true),
     // persisted-index path computes the identical pair set

@@ -32,8 +32,40 @@ object DedupStream {
             indexDocs: DataFrame, outputDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    // parquet file stream needs an explicit schema: take it from a batch
-    // peek at the same directory (driver-side metadata read only)
+    startWith(spark, inputDir, outputDir, checkpointDir, trigger, maxFilesPerTrigger) {
+      batch =>
+        Dedup.minhashPairsAgainstIndex(batch, indexTable, indexDocs)
+          .select(col("doc_new").as("doc_id")).distinct()
+    }
+  }
+
+  /** The same gate against a persisted SIMHASH index
+    * ([[Dedup.writeSimhashIndex]]) — with this, all three index families
+    * gate streams: MinHash buckets ([[start]]), SimHash band segments
+    * (here), IVF lists ([[AnnStream]]). The stored signatures make the
+    * per-batch probe recompute-free on the index side; everything else
+    * (external state, at-least-once appends, batch/stream shared code
+    * path) matches [[start]].
+    */
+  def startSimhash(spark: SparkSession, inputDir: String, indexTable: String,
+                   outputDir: String, checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    startWith(spark, inputDir, outputDir, checkpointDir, trigger, maxFilesPerTrigger) {
+      batch =>
+        Dedup.simhashPairsAgainstIndex(batch, indexTable)
+          .select(col("doc_new").as("doc_id")).distinct()
+    }
+  }
+
+  /** Shared gate plumbing: parquet file stream (schema from a driver-side
+    * batch peek of the same directory), `dupIds(batch)` = the doc_ids the
+    * prober flags against the index, anti-join keeps the novel rows.
+    */
+  private def startWith(spark: SparkSession, inputDir: String, outputDir: String,
+                        checkpointDir: String, trigger: Trigger,
+                        maxFilesPerTrigger: Option[Int])(
+                        dupIds: DataFrame => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -43,9 +75,7 @@ object DedupStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val dups = Dedup.minhashPairsAgainstIndex(batch.toDF(), indexTable, indexDocs)
-          .select(col("doc_new").as("doc_id")).distinct()
-        batch.toDF().join(dups, Seq("doc_id"), "left_anti")
+        batch.toDF().join(dupIds(batch.toDF()), Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(outputDir)
       }
       .start()

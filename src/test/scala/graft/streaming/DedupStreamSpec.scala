@@ -41,4 +41,24 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(batchDups.nonEmpty, "fixture should contain at least one cross-slice near-dup")
     } finally spark.sql("DROP TABLE IF EXISTS dedup_stream_spec_index")
   }
+  test("simhash streamed gate == batch anti-join across micro-batch boundaries") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idxDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    Dedup.writeSimhashIndex(idxDocs, "sh_stream_spec_index")
+    try {
+      val tmp = Files.createTempDirectory("shs").toString
+      val (in, out, cp) = (s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+      newDocs.repartition(4).write.parquet(in)
+      DedupStream.startSimhash(spark, in, "sh_stream_spec_index", out, cp,
+        maxFilesPerTrigger = Some(1)).awaitTermination()
+      val streamed = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batchDups = Dedup.simhashPairsAgainstIndex(newDocs, "sh_stream_spec_index")
+        .select("doc_new").collect().map(_.getLong(0)).toSet
+      val expected = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet -- batchDups
+      assert(streamed == expected)
+      assert(batchDups.nonEmpty, "fixture should contain at least one cross-slice simhash pair")
+    } finally spark.sql("DROP TABLE IF EXISTS sh_stream_spec_index")
+  }
 }
