@@ -451,6 +451,32 @@ object ScaleProbe {
     }
   }
 
+
+  /** Epoch-shuffle scaling: wall time vs corpus size and shard count.
+    * The operator is one hash shuffle + per-shard sort + a broadcast
+    * join on the shard-base table, so time should grow ~linearly in n
+    * and be insensitive to numShards (more, smaller sorts).
+    * `max(global_pos)` forces the full permutation and doubles as a
+    * permutation check (must be n-1).
+    */
+  private def shuffleProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.Sampling
+    for (n <- ns) {
+      val rows = spark.range(n.toLong)
+        .select(col("id").as("doc_id"), md5(col("id").cast("string")).as("text"))
+        .localCheckpoint(true)
+      for (shards <- Seq(64, 1024)) {
+        spark.catalog.clearCache(); System.gc()
+        val (maxPos, t) = time(
+          Sampling.epochShuffle(rows, seed = 7, epoch = 1, numShards = shards)
+            .agg(max("global_pos")).head().getLong(0))
+        require(maxPos == n - 1, s"not a permutation: maxPos=$maxPos n=$n")
+        println(f"[shuffle] n=$n%9d shards=$shards%5d  $t%7.2f s")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -488,6 +514,11 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("interval")) {
       intervalProbe(spark, ms) // ms are point counts here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("shuffle")) {
+      shuffleProbe(spark, ms) // ms are row counts here
       spark.stop()
       return
     }
