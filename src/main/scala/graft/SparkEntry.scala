@@ -634,6 +634,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), n = 5)
     }),
+    // decontamination as a STREAMING gate: bloom + benchmark shingles
+    // built once per stream, each micro-batch exact-confirmed — only
+    // clean docs reach the store; oracle = corpus docs with no shared
+    // 5-gram (the q_decontaminate survivor set)
+    "q_decontaminate_stream" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      withTempDir("graft_decon_stream") { tmp =>
+        docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text", "source")
+          .repartition(3).write.parquet(s"$tmp/input")
+        graft.streaming.DecontaminationStream.start(s, s"$tmp/input",
+            docs.filter(col("doc_id") % 7 === 0), s"$tmp/out", s"$tmp/cp",
+            n = 5, maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
+      }
+    }),
     // PII redaction: plant synthetic emails/phones/IPs keyed on doc_id
     // (the corpus itself is PII-free), scrub, emit count + content hash
     "q_pii_redact" -> ((s, d) => {
@@ -1473,6 +1489,19 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared
         |FROM corp WHERE s IN (SELECT s FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // survivors of the streaming gate = corpus docs with NO shared
+    // 5-gram with the benchmark slice
+    "q_decontaminate_stream" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3) ])) AS s
+        |       FROM w),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+        |dirty AS (SELECT DISTINCT doc_id FROM sh
+        |          WHERE doc_id % 7 <> 0 AND s IN (SELECT s FROM bench))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY doc_id""".stripMargin,
     // bloom pre-filter + exact confirmation ≡ the exact join
     "q_decontaminate_bloom" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

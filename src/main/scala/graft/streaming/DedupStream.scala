@@ -62,7 +62,7 @@ object DedupStream {
     * batch peek of the same directory), `dupIds(batch)` = the doc_ids the
     * prober flags against the index, anti-join keeps the novel rows.
     */
-  private def startWith(spark: SparkSession, inputDir: String, outputDir: String,
+  private[streaming] def startWith(spark: SparkSession, inputDir: String, outputDir: String,
                         checkpointDir: String, trigger: Trigger,
                         maxFilesPerTrigger: Option[Int])(
                         dupIds: DataFrame => DataFrame): StreamingQuery = {

@@ -61,4 +61,21 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(batchDups.nonEmpty, "fixture should contain at least one cross-slice simhash pair")
     } finally spark.sql("DROP TABLE IF EXISTS sh_stream_spec_index")
   }
+  test("decontamination streamed gate == batch contaminated() anti-join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+    val tmp = Files.createTempDirectory("dcs").toString
+    val (in, out, cp) = (s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+    corpus.repartition(4).write.parquet(in)
+    DecontaminationStream.start(spark, in, bench, out, cp,
+      n = 5, maxFilesPerTrigger = Some(1)).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dirty = graft.operators.Decontamination.contaminated(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = corpus.select("doc_id").collect().map(_.getLong(0)).toSet -- dirty
+    assert(streamed == expected)
+    assert(dirty.nonEmpty, "fixture should contain at least one contaminated doc")
+  }
 }
