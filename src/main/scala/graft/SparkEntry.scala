@@ -609,6 +609,12 @@ object SparkEntry {
     // vocabulary build: top-K tokens by total frequency + doc frequency
     "q_vocab" -> ((s, d) =>
       graft.operators.TextAnalysis.vocabulary(table(s, d, "documents"), k = 100)),
+    // BM25 lexical top-k retrieval (the lexical face of similarity
+    // search): Okapi scoring with binary-exact constants, full SQL
+    // replay including the Robertson idf
+    "q_bm25" -> ((s, d) =>
+      graft.operators.TextAnalysis.bm25TopK(table(s, d, "documents"),
+        "spark window merge vector", k = 15)),
     // per-source token-length distribution (exact percentiles)
     "q_length_stats" -> ((s, d) =>
       graft.operators.TextAnalysis.lengthStats(table(s, d, "documents"))),
@@ -1230,6 +1236,30 @@ object SparkEntry {
         |       ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
         |       ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // full Okapi replay: N/avgdl from exact integers, per-term Robertson
+    // idf (ln absorbed by round-4), identical op order and binary-exact
+    // constants (2.25, 1.25, 0.25, 0.75) on both sides
+    "q_bm25" ->
+      """WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE)/count(*) AS avgdl FROM lens),
+        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |               unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+        |       FROM tok WHERE t IN ('spark', 'window', 'merge', 'vector')
+        |       GROUP BY doc_id, t),
+        |dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |idf AS (SELECT q.t,
+        |               ln(1 + ((SELECT n FROM st) - COALESCE(d.df, 0) + 0.5)
+        |                      / (COALESCE(d.df, 0) + 0.5)) AS idf
+        |        FROM (SELECT unnest(['spark', 'window', 'merge', 'vector']) AS t) q
+        |        LEFT JOIN dfs d USING (t)),
+        |sc AS (SELECT tf.doc_id,
+        |              SUM(idf.idf * (tf.tf * 2.25)
+        |                  / (tf.tf + 1.25 * (0.25 + 0.75 * tf.dl / (SELECT avgdl FROM st)))) AS score
+        |       FROM tf JOIN idf USING (t)
+        |       GROUP BY tf.doc_id)
+        |SELECT doc_id, ROUND(score, 4) AS score FROM sc
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
     // discrete-rank replay of the approx tier (deterministic for
     // n <= accuracy — same rule q_outliers_approx pins for the median)
     "q_length_stats_approx" ->

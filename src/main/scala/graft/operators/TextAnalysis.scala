@@ -441,6 +441,62 @@ object TextAnalysis {
         round(element_at(col("ps"), 3), 6).as("p90"))
       .orderBy(stratum)
 
+  /** BM25 lexical top-k retrieval (Robertson/Sparck Jones idf, the
+    * standard Okapi scoring) — the lexical face of the similarity-search
+    * story ([[graft.operators.Ann]] is the embedding face): rank
+    * documents for a term query without any model.
+    *
+    * score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1−b+b·|d|/avgdl)),
+    * idf_t = ln(1 + (N−df_t+0.5)/(df_t+0.5)).
+    *
+    * Scale shape: ONE corpus pass computes (doc, dl) and the exploded
+    * tokens are FILTERED TO THE QUERY TERMS before any shuffle — the
+    * aggregated tf frame is bounded by docs-containing-a-query-term, not
+    * corpus tokens; df and the two corpus scalars (N, Σdl) are the only
+    * driver state (|query|+2 numbers), idf ships back as a broadcast
+    * |query|-row join; top-k plans as TakeOrderedAndProject. No
+    * corpus-proportional shuffle anywhere: the heavy frame (lens) is
+    * joined only to the bounded tf frame.
+    *
+    * Cross-engine determinism: defaults k1 = 1.25, b = 0.75 are EXACT
+    * binary doubles (so k1+1 and 1−b fold identically in any IEEE
+    * engine — 1.2+1 does NOT equal the literal 2.2 in doubles); avgdl is
+    * a single division of exact integers; ln is the one transcendental,
+    * absorbed by the round-4 output (the [[lmScore]] discipline).
+    */
+  def bm25TopK(docs: DataFrame, query: String, k: Int,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val qTerms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query must contain at least one term")
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lens = docs.select(col("doc_id"), size(tokens).as("dl"))
+    val stats = lens.agg(count(lit(1)), sum(col("dl").cast("long"))).head()
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    // dl rides the explode so the corpus-sized lens frame never joins a
+    // shuffle: each surviving (doc, term) row already carries its length
+    val tf = docs
+      .select(col("doc_id"), size(tokens).as("dl"), explode(tokens).as("t"))
+      .filter(col("t").isin(qTerms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val dfs = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = qTerms.map { t =>
+      val df = dfs.getOrElse(t, 0L)
+      t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    }.toDF("t", "idf")
+    tf.join(broadcast(idf), "t")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Approximate-quantile tier of [[lengthStats]] — the hot-stratum
     * escape hatch, same contract family as
     * [[graft.queries.TimeseriesQueries.hampelOutliersApprox]]: the exact

@@ -455,4 +455,33 @@ class CurationOpsSpec extends AnyFunSuite {
     val rows = TextAnalysis.vocabulary(d, k = 2).collect().map(_.getString(0))
     assert(rows.toSeq == Seq("w", "x"))
   }
+  // ----------------------------------------------------------- BM25
+
+  test("bm25TopK matches an independent driver-side Okapi reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val query = "spark window merge vector"
+    val k1 = 1.25; val b = 0.75
+    // brute-force reference computed entirely on the driver
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = corpus.length
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / n
+    val qTerms = query.split(" ").distinct
+    val dfm = qTerms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    val expected = corpus.map { case (id, toks) =>
+      val score = qTerms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * toks.length / avgdl))
+        }
+      }.sum
+      id -> BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(15)
+    val got = TextAnalysis.bm25TopK(docs, query, k = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == expected.toSeq)
+    assert(got.nonEmpty)
+  }
 }
