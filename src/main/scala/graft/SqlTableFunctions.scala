@@ -204,6 +204,10 @@ object SqlTableFunctions {
         Sampling.epochShuffle(rel(s, DocumentsRelation, f.name),
           longArg(f, a, 0), longArg(f, a, 1), intArg(f, a, 2))
     }
+    add("graft_bm25", "graft_bm25(query, k)", 2) { (s, f, a) =>
+      TextAnalysis.bm25TopK(rel(s, DocumentsRelation, f.name),
+        strArg(f, a, 0), intArg(f, a, 1))
+    }
     out.reverse
   }
 

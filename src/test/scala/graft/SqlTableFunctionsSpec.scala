@@ -187,6 +187,14 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         seed = 42, epoch = 1, numShards = 7))
   }
 
+  test("graft_bm25 ≡ TextAnalysis.bm25TopK") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_bm25('spark window merge vector', 10)",
+      graft.operators.TextAnalysis.bm25TopK(
+        spark.table(SqlTableFunctions.DocumentsRelation),
+        "spark window merge vector", k = 10))
+  }
+
   test("a missing relation names the view to register") {
     spark.sessionState.catalog.dropTempView(SqlTableFunctions.EmbeddingsRelation)
     val e = intercept[Exception] {
