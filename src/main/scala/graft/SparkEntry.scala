@@ -780,6 +780,17 @@ object SparkEntry {
     // language filter, the whole LLM-pipeline composed and oracle-checked
     "q_curate" -> ((s, d) =>
       graft.operators.CorpusCuration.curate(table(s, d, "documents"))),
+    // the full training-run EXPORT: curate -> decontaminate (vs the
+    // doc_id % 7 == 0 slice playing the eval suite) -> keep the train
+    // split -> epoch-shuffle; the oracle replays all four stages in one
+    // SQL statement, so the END-TO-END path carries an exact contract
+    "q_training_export" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.CorpusCuration.trainingExport(docs,
+          docs.filter(col("doc_id") % 7 === 0),
+          seed = 42, epoch = 1, numShards = 7)
+        .orderBy("global_pos")
+    }),
 
     // end-to-end converter path under load: synthesize emon MQTT envelopes
     // from the events table, run the REAL convertEvent flatMap, emit the
@@ -1685,33 +1696,33 @@ object SparkEntry {
          |       count(CASE WHEN vt - t <= ${3600L * 1000000L} THEN 1 END) AS n_converted,
          |       ROUND(AVG(CASE WHEN vt - t <= ${3600L * 1000000L} THEN (vt - t)/1000000.0 END), 6) AS avg_response_s
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_curate" ->
-      s"""WITH sh AS ($shingleCteSql),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
-        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |near_drop AS (
-        |  SELECT DISTINCT doc_b AS doc_id FROM pairs
-        |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8),
-        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |q AS (
-        |  SELECT doc_id,
-        |         ROUND(LEAST(1.0, ntok / 200) * 0.3 + (ndist / ntok) * 0.3
-        |               + LEAST(1.0, nstop / ntok * 5) * 0.4, 6) AS quality
-        |  FROM (SELECT doc_id,
-        |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
-        |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS ndist,
-        |          CAST(len(list_filter(string_split(text, ' '),
-        |            t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it'))) AS DOUBLE) AS nstop
-        |        FROM documents)),
-        |l AS ($langIdSql)
-        |SELECT k.doc_id, q.quality, l.lang_pred
-        |FROM exact_keep k JOIN q USING (doc_id) JOIN l USING (doc_id)
-        |WHERE k.doc_id NOT IN (SELECT doc_id FROM near_drop)
-        |  AND q.quality >= 0.3 AND l.lang_pred IN ('en')
-        |ORDER BY k.doc_id""".stripMargin,
+    "q_curate" -> curateOracleSql,
+    // the composed export: curate survivors minus 5-gram-contaminated
+    // docs, md5-bucket train split, epoch-42/1 shuffle over 7 shards —
+    // each stage the same replay its own gate uses
+    "q_training_export" ->
+      s"""WITH cur AS (SELECT doc_id FROM ($curateOracleSql) c),
+        |w5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh5 AS (SELECT doc_id,
+        |          unnest(list_distinct([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3) ])) AS s
+        |        FROM w5),
+        |bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 7 = 0),
+        |dirty AS (SELECT DISTINCT doc_id FROM sh5 WHERE s IN (SELECT s FROM bench)),
+        |train AS (
+        |  SELECT doc_id FROM cur
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        |    AND ${md5BucketSql("split", "doc_id")} < 9000),
+        |sk AS (SELECT doc_id,
+        |              md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |       FROM train),
+        |shd AS (SELECT doc_id, skey,
+        |               CAST(list_reduce(list_transform(range(1, 9),
+        |                       i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)),
+        |                     (a, b) -> a * 16 + b) % 7 AS INT) AS shard
+        |       FROM sk)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (ORDER BY shard, skey, doc_id) - 1 AS BIGINT) AS global_pos
+        |FROM shd ORDER BY global_pos""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS id,
@@ -1925,6 +1936,37 @@ object SparkEntry {
        |SELECT doc_id, unnest(poss) - 1 AS pos, hs[unnest(poss)] AS fp
        |FROM fp ORDER BY doc_id, pos""".stripMargin
   }
+
+  /** Exact-join curate replay — oracle for q_curate, reused as a CTE by
+    * the q_training_export composition.
+    */
+  private def curateOracleSql: String =
+    s"""WITH sh AS ($shingleCteSql),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near_drop AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+        |  WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8),
+        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |q AS (
+        |  SELECT doc_id,
+        |         ROUND(LEAST(1.0, ntok / 200) * 0.3 + (ndist / ntok) * 0.3
+        |               + LEAST(1.0, nstop / ntok * 5) * 0.4, 6) AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS ndist,
+        |          CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it'))) AS DOUBLE) AS nstop
+        |        FROM documents)),
+        |l AS ($langIdSql)
+        |SELECT k.doc_id, q.quality, l.lang_pred
+        |FROM exact_keep k JOIN q USING (doc_id) JOIN l USING (doc_id)
+        |WHERE k.doc_id NOT IN (SELECT doc_id FROM near_drop)
+        |  AND q.quality >= 0.3 AND l.lang_pred IN ('en')
+        |ORDER BY k.doc_id""".stripMargin
 
   private def md5BucketSql(salt: String, keyExpr: String): String =
     s"""(list_reduce(list_transform(range(1, 9),

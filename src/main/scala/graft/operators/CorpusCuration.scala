@@ -44,4 +44,45 @@ object CorpusCuration {
       .select(col("doc_id"), col("quality"), col("lang_pred"))
       .orderBy("doc_id")
   }
+
+  /** The full TRAINING-RUN EXPORT — every stage a real pretraining data
+    * job runs, composed end to end from the operators above:
+    *
+    *  1. [[curate]]: exact dedup → near-dup removal → quality/language
+    *     floor;
+    *  2. benchmark decontamination
+    *     ([[Decontamination.contaminatedBloom]] — broadcast bloom +
+    *     exact confirmation, no false negatives);
+    *  3. deterministic split assignment ([[Sampling.assignSplits]]),
+    *     keeping `keepSplit`;
+    *  4. deterministic epoch shuffle ([[Sampling.epochShuffle]]) —
+    *     the epoch's read order, reproducible on any cluster.
+    *
+    * Returns (doc_id, shard, global_pos). Every stage is itself
+    * oracle-gated; the composition query (q_training_export) replays
+    * all four in one SQL statement, so the end-to-end path — not just
+    * the parts — carries an exact contract. Scale shape inherits from
+    * the stages: no all-pairs work (LSH candidates), no
+    * corpus-proportional broadcast (bloom), no global sort (sharded
+    * shuffle), no unbounded driver state.
+    */
+  def trainingExport(docs: DataFrame, benchmark: DataFrame,
+                     seed: Long, epoch: Long, numShards: Int,
+                     jaccardThreshold: Double = 0.8,
+                     minQuality: Double = 0.3,
+                     langs: Set[String] = Set("en"),
+                     decontaminationN: Int = 5,
+                     splits: Seq[(String, Double)] =
+                       Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05),
+                     keepSplit: String = "train"): DataFrame = {
+    require(splits.exists(_._1 == keepSplit), s"keepSplit '$keepSplit' not among the splits")
+    val curated = curate(docs, jaccardThreshold, minQuality, langs).select("doc_id")
+    val kept = docs.join(curated, "doc_id")
+    val dirty = Decontamination.contaminatedBloom(kept, benchmark, decontaminationN)
+      .select("doc_id")
+    val clean = kept.join(dirty, Seq("doc_id"), "left_anti")
+    val train = Sampling.assignSplits(clean, splits).filter(col("split") === keepSplit)
+    Sampling.epochShuffle(train, seed, epoch, numShards)
+      .select(col("doc_id"), col("shard"), col("global_pos"))
+  }
 }

@@ -484,4 +484,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
     assert(got.nonEmpty)
   }
+  test("trainingExport: stage consistency and permutation validity") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val out = CorpusCuration.trainingExport(docs, bench,
+        seed = 42, epoch = 1, numShards = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // positions are exactly 0..n-1
+    assert(out.map(_._3).sorted.toSeq == (0L until out.length).toSeq)
+    // every exported doc survived curation and decontamination
+    val curated = CorpusCuration.curate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dirty = Decontamination.contaminated(docs, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, shard, _) =>
+      assert(curated.contains(id), s"$id not in curated set")
+      assert(!dirty.contains(id), s"$id is contaminated")
+      assert(shard >= 0 && shard < 5)
+    }
+  }
 }
