@@ -149,6 +149,26 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bm25 plan: idf rides a broadcast, top-k is TakeOrderedAndProject, no corpus join") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-sized lengths frame must never reach a shuffle join:
+    // dl rides the explode, so the only join is tf >< broadcast(idf)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("epoch shuffle plan: shard-partitioned window, no single-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = graft.SparkEntry.queries("q_epoch_shuffle")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, exec.toString)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in epoch shuffle plan:\n$exec"))
+  }
+
   test("sessionize plan: subject-partitioned windows, no unpartitioned window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // an empty partition spec would collapse the corpus to one task —
