@@ -140,6 +140,12 @@ object Sampling {
     * window. Writing `partitionBy("shard")` sorted by `skey` gives
     * deterministic, individually-sorted epoch files a data loader can
     * stream in order.
+    *
+    * The input is read TWICE (the shard-count aggregation and the
+    * windowed pass) — deliberate: at 100 TB, two scans of a parquet
+    * source are cheaper than pinning the corpus in cache, and the count
+    * pass is a cheap column-pruned aggregate (only `key` is read).
+    * Callers shuffling an already-cached frame pay nothing extra.
     */
   def epochShuffle(docs: DataFrame, seed: Long, epoch: Long, numShards: Int,
                    key: String = "doc_id"): DataFrame = {

@@ -477,6 +477,27 @@ object ScaleProbe {
     }
   }
 
+
+  /** End-to-end trainingExport throughput: the single-call composition
+    * (curate → decontaminate → split → epoch shuffle) over a grown
+    * corpus, timed as ONE lazy plan (no stage checkpoints — what a real
+    * export pays). max(global_pos)+1 = exported docs.
+    */
+  private def exportProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.CorpusCuration
+    for (m <- ms) {
+      val corpus0 = grow(docs, m).localCheckpoint(true)
+      val n0 = corpus0.count()
+      val bench = corpus0.filter(col("doc_id") % 97 === 0)
+      val (exported, t) = time(
+        CorpusCuration.trainingExport(corpus0, bench,
+            seed = 7, epoch = 1, numShards = 64)
+          .agg(max("global_pos")).head().getLong(0) + 1)
+      println(f"[export] docs=$n0%8d  exported=$exported%8d  $t%7.2f s  ${n0 / t}%9.0f docs/s")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -545,6 +566,11 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("simhashincr")) {
       simhashIncrProbe(spark, docs, ms) // ms are index growth factors here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("export")) {
+      exportProbe(spark, docs, ms) // ms are corpus growth factors here
       spark.stop()
       return
     }
