@@ -615,6 +615,15 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       graft.operators.TextAnalysis.bm25TopK(table(s, d, "documents"),
         "spark window merge vector", k = 15)),
+    // batched BM25: a query TABLE scored in one job, per-query top-10
+    // via a query_id-partitioned rank — the serving-at-scale shape
+    "q_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark window"), (1L, "merge vector slow"),
+        (2L, "customer filter the")).toDF("query_id", "query")
+      graft.operators.TextAnalysis.bm25TopKBatch(
+        table(s, d, "documents"), qs, k = 10)
+    }),
     // per-source token-length distribution (exact percentiles)
     "q_length_stats" -> ((s, d) =>
       graft.operators.TextAnalysis.lengthStats(table(s, d, "documents"))),
@@ -1271,6 +1280,36 @@ object SparkEntry {
         |       GROUP BY tf.doc_id)
         |SELECT doc_id, ROUND(score, 4) AS score FROM sc
         |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
+    // the batch variant: same Okapi replay fanned out over a VALUES
+    // query table, per-query rank on the ROUNDED score (deterministic
+    // rank-k boundary cross-engine)
+    "q_bm25_batch" ->
+      """WITH qs AS (SELECT * FROM (VALUES (0, 'spark window'),
+        |                                  (1, 'merge vector slow'),
+        |                                  (2, 'customer filter the')) AS q(query_id, query)),
+        |qt AS (SELECT DISTINCT query_id, unnest(string_split(query, ' ')) AS t FROM qs),
+        |lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE)/count(*) AS avgdl FROM lens),
+        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |               unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+        |       FROM tok WHERE t IN (SELECT t FROM qt)
+        |       GROUP BY doc_id, t),
+        |dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |idf AS (SELECT ut.t,
+        |               ln(1 + ((SELECT n FROM st) - COALESCE(d.df, 0) + 0.5)
+        |                      / (COALESCE(d.df, 0) + 0.5)) AS idf
+        |        FROM (SELECT DISTINCT t FROM qt) ut
+        |        LEFT JOIN dfs d USING (t)),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |              ROUND(SUM(idf.idf * (tf.tf * 2.25)
+        |                  / (tf.tf + 1.25 * (0.25 + 0.75 * tf.dl / (SELECT avgdl FROM st)))), 4) AS score
+        |       FROM tf JOIN idf USING (t) JOIN qt USING (t)
+        |       GROUP BY qt.query_id, tf.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                    ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM rk WHERE rn <= 10
+        |ORDER BY query_id, score DESC, doc_id ASC""".stripMargin,
     // discrete-rank replay of the approx tier (deterministic for
     // n <= accuracy — same rule q_outliers_approx pins for the median)
     "q_length_stats_approx" ->

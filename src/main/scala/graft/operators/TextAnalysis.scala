@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality
@@ -495,6 +496,56 @@ object TextAnalysis {
       .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** [[bm25TopK]] for a TABLE of queries — the serving-at-scale shape
+    * (score a whole eval set / user-query log in one job instead of one
+    * driver round-trip per query). `queries` = (query_id, query).
+    *
+    * Scale shape: the query-term set replaces the `isin` literal — the
+    * corpus tokens semi-join a BROADCAST distinct-term frame, so the tf
+    * frame stays bounded by docs-matching-any-query; idf is computed as
+    * a column over the |terms|-row frame (Spark's `log` = Math.log =
+    * the driver path, same ln the oracle replays); per-query top-k is a
+    * query_id-partitioned row_number — no global sort, parallel across
+    * queries. Corpus scalars (N, Σdl) remain the only driver state.
+    *
+    * Ranking ties: scores are rounded to 4 BEFORE ranking (identical to
+    * [[bm25TopK]]'s ordering), doc_id breaks ties — deterministic
+    * cross-engine at the rank-k boundary.
+    */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
+                    k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val lens = docs.select(col("doc_id"), size(tokens).as("dl"))
+    val stats = lens.agg(count(lit(1)), sum(col("dl").cast("long"))).head()
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val qTerms = queries
+      .select(col("query_id"), explode(split(col("query"), " ")).as("t"))
+      .filter(col("t") =!= "").distinct()
+    val terms = qTerms.select("t").distinct()
+    val tf = docs
+      .select(col("doc_id"), size(tokens).as("dl"), explode(tokens).as("t"))
+      .join(broadcast(terms), "t")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val dfs = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val idf = terms.join(dfs, Seq("t"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .select(col("t"), log(lit(1.0) +
+        (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))).as("idf"))
+    val scored = tf.join(broadcast(idf), "t")
+      .join(broadcast(qTerms), "t")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "doc_id").agg(round(sum("contrib"), 4).as("score"))
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("__rn") <= k).drop("__rn")
+      .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
   }
 
   /** Approximate-quantile tier of [[lengthStats]] — the hot-stratum

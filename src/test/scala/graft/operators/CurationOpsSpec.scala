@@ -504,4 +504,16 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(shard >= 0 && shard < 5)
     }
   }
+  test("bm25TopKBatch with one query equals the single-query path") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val query = "spark window merge vector"
+    val single = TextAnalysis.bm25TopK(docs, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = TextAnalysis.bm25TopKBatch(docs,
+        Seq((7L, query)).toDF("query_id", "query"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch.map(t => (t._2, t._3)) == single)
+    assert(batch.forall(_._1 == 7L))
+  }
 }
