@@ -516,4 +516,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(batch.map(t => (t._2, t._3)) == single)
     assert(batch.forall(_._1 == 7L))
   }
+  test("new-operator edges: empty shuffle input, no-match bm25, absent-term idf") {
+    import spark.implicits._
+    // epochShuffle of an empty frame is an empty frame (no crash on the
+    // empty shard-count collect)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sampling.epochShuffle(empty, 1, 1, 4).count() == 0)
+    // bm25 with a query matching nothing returns no rows (not an error)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(TextAnalysis.bm25TopK(docs, "zzzunseen qqqabsent", k = 5).count() == 0)
+    // batch variant: a no-match query contributes nothing, others rank
+    val batch = TextAnalysis.bm25TopKBatch(docs,
+        Seq((1L, "zzzunseen"), (2L, "spark")).toDF("query_id", "query"), k = 5)
+      .select("query_id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(2L))
+  }
 }
