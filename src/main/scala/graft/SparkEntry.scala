@@ -132,6 +132,14 @@ object SparkEntry {
       s.sql("""SELECT doc_id, shard, global_pos FROM graft_epoch_shuffle(42, 1, 7)
               |ORDER BY global_pos""".stripMargin)
     }),
+    // persisted-index serving via SQL: index built once, then queried
+    // by table name at nProbe = nlist (exact ⇒ brute-force oracle)
+    "q_sql_ivf_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      graft.operators.Ann.writeIvfIndex(table(s, d, "embeddings"),
+        "graft_sql_ivf_idx", nlist = 16)
+      s.sql("SELECT * FROM graft_ivf_topk('graft_sql_ivf_idx', 0, 20, 16)")
+    }),
     // keyless point-in-interval join: EVERY subject's events labeled with
     // the reference subject's active state interval — binned equi-join
     // ([[graft.queries.IntervalJoin]]), never a BroadcastNestedLoopJoin
@@ -1100,6 +1108,8 @@ object SparkEntry {
     "q_sql_intervals" -> intervalsOracleSql,
     // SQL-path pipeline functions share the method-path oracles
     "q_sql_ann_topk" -> annTopkOracleSql,
+    // full-probe persisted-index serving via SQL ≡ brute force
+    "q_sql_ivf_topk" -> annTopkOracleSql,
     "q_sql_shuffle" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -208,6 +208,14 @@ object SqlTableFunctions {
       TextAnalysis.bm25TopK(rel(s, DocumentsRelation, f.name),
         strArg(f, a, 0), intArg(f, a, 1))
     }
+    // the persisted-index serving path: a dashboard can query a
+    // writeIvfIndex table by name without touching Scala — the index
+    // table is resolved from the catalog like any relation
+    add("graft_ivf_topk", "graft_ivf_topk(index_table, query_vec_id, k, n_probe)", 4) {
+      (s, f, a) =>
+        Ann.ivfTopKAgainstIndex(s, strArg(f, a, 0), longArg(f, a, 1),
+          intArg(f, a, 2), intArg(f, a, 3))
+    }
     out.reverse
   }
 

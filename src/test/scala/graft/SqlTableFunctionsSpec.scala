@@ -195,6 +195,19 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         "spark window merge vector", k = 10))
   }
 
+  test("graft_ivf_topk ≡ Ann.ivfTopKAgainstIndex over a persisted index") {
+    registerCorpus()
+    graft.operators.Ann.writeIvfIndex(
+      spark.table(SqlTableFunctions.EmbeddingsRelation), "sql_fn_ivf_idx", nlist = 4)
+    try assertSame("SELECT * FROM graft_ivf_topk('sql_fn_ivf_idx', 0, 10, 4)",
+      graft.operators.Ann.ivfTopKAgainstIndex(spark, "sql_fn_ivf_idx",
+        queryId = 0L, k = 10, nProbe = 4))
+    finally {
+      spark.sql("DROP TABLE IF EXISTS sql_fn_ivf_idx")
+      spark.sql("DROP TABLE IF EXISTS sql_fn_ivf_idx_centroids")
+    }
+  }
+
   test("a missing relation names the view to register") {
     spark.sessionState.catalog.dropTempView(SqlTableFunctions.EmbeddingsRelation)
     val e = intercept[Exception] {
