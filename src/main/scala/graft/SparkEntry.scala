@@ -1110,20 +1110,7 @@ object SparkEntry {
     "q_sql_ann_topk" -> annTopkOracleSql,
     // full-probe persisted-index serving via SQL ≡ brute force
     "q_sql_ivf_topk" -> annTopkOracleSql,
-    "q_sql_shuffle" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, skey,
-        |         CAST(list_reduce(list_transform(range(1, 9),
-        |                 i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)),
-        |               (a, b) -> a * 16 + b) % 7 AS INT) AS shard
-        |  FROM s)
-        |SELECT doc_id, shard,
-        |       CAST(row_number() OVER (ORDER BY shard, skey, doc_id) - 1 AS BIGINT) AS global_pos
-        |FROM sh ORDER BY global_pos""".stripMargin,
+    "q_sql_shuffle" -> epochShuffleOracleSql,
 
     // half-open [start, end) containment replayed as a plain range join —
     // the binned Spark plan must be invisible in the result
@@ -1671,20 +1658,7 @@ object SparkEntry {
     // global_pos = rank in the (shard, skey, doc_id) total order — the
     // per-shard row_number + cumulative base on the Spark side flattens
     // to exactly this single ORDER BY
-    "q_epoch_shuffle" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, skey,
-        |         CAST(list_reduce(list_transform(range(1, 9),
-        |                 i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)),
-        |               (a, b) -> a * 16 + b) % 7 AS INT) AS shard
-        |  FROM s)
-        |SELECT doc_id, shard,
-        |       CAST(row_number() OVER (ORDER BY shard, skey, doc_id) - 1 AS BIGINT) AS global_pos
-        |FROM sh ORDER BY global_pos""".stripMargin,
+    "q_epoch_shuffle" -> epochShuffleOracleSql,
     "q_split" ->
       s"""SELECT doc_id,
          |       CASE WHEN b < 9000 THEN 'train'
@@ -1760,6 +1734,7 @@ object SparkEntry {
         |train AS (
         |  SELECT doc_id FROM cur
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        |    AND doc_id % 7 <> 0
         |    AND ${md5BucketSql("split", "doc_id")} < 9000),
         |sk AS (SELECT doc_id,
         |              md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
@@ -2016,6 +1991,26 @@ object SparkEntry {
         |WHERE k.doc_id NOT IN (SELECT doc_id FROM near_drop)
         |  AND q.quality >= 0.3 AND l.lang_pred IN ('en')
         |ORDER BY k.doc_id""".stripMargin
+
+  /** md5 → hex-Horner shard → total order replay of
+    * [[graft.operators.Sampling.epochShuffle]] at (seed 42, epoch 1,
+    * 7 shards) — shared by q_epoch_shuffle and its SQL-path twin
+    * q_sql_shuffle so the two gates can never desynchronize.
+    */
+  private def epochShuffleOracleSql: String =
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, skey,
+        |         CAST(list_reduce(list_transform(range(1, 9),
+        |                 i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)),
+        |               (a, b) -> a * 16 + b) % 7 AS INT) AS shard
+        |  FROM s)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (ORDER BY shard, skey, doc_id) - 1 AS BIGINT) AS global_pos
+        |FROM sh ORDER BY global_pos""".stripMargin
 
   private def md5BucketSql(salt: String, keyExpr: String): String =
     s"""(list_reduce(list_transform(range(1, 9),

@@ -914,17 +914,22 @@ object Ann {
 
   /** [[maintainIvfIndex]] for the composed SQ8 index: append, read
     * [[ivfDrift]] (which detects the SQ8 table and measures over decoded
-    * vectors), rebuild past `driftThreshold`. The rebuild snapshot
-    * decodes the stored codes back to floats — safe because SQ8 decode
-    * preserves each vector's [mn, mx] endpoints exactly, so
-    * requantization is idempotent (the rebuilt codes equal the stored
-    * ones; only the centroids and list assignments retrain).
+    * vectors), rebuild past `driftThreshold`. The rebuild NEVER
+    * requantizes: the stored (code, mn, mx, nrm) rows are rewritten
+    * VERBATIM — codes are byte-identical by construction — and only the
+    * centroids and list assignments retrain, over the decoded vectors.
+    * (A dequantize → float → requantize round-trip would corrupt codes
+    * for small-span high-magnitude vectors whose quantization step is
+    * below the float ulp at that magnitude; decode-to-float is used
+    * solely for centroid training/assignment, where a borderline list
+    * choice is a clustering decision, not stored-value corruption.)
     */
   def maintainIvfSq8Index(newVecs: DataFrame, tableName: String,
                           driftThreshold: Double = 1.3,
                           sampleSize: Int = 2000): (Double, Boolean) = {
     require(driftThreshold > 0, "driftThreshold must be positive")
     val spark = newVecs.sparkSession
+    import spark.implicits._
     appendToIvfSq8Index(newVecs, tableName)
     val (_, _, ratio) = ivfDrift(spark, tableName)
     if (ratio > driftThreshold) {
@@ -932,14 +937,40 @@ object Ann {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       val nlist = props("graft.nlist").toInt
       // eager localCheckpoint for the same reason as maintainIvfIndex:
-      // writeIvfSq8Index overwrites the table the snapshot reads
+      // the rewrite below overwrites the very table the snapshot reads
       val snapshot = spark.table(tableName)
-        .select(col("vec_id"),
-          sq8DequantUdf(col("code"), col("mn"), col("mx")).as("dq"))
-        .select(col("vec_id"),
-          expr("transform(dq, x -> CAST(x AS FLOAT))").as("embedding"))
+        .select(col("vec_id"), col("code"), col("mn"), col("mx"), col("nrm"))
         .localCheckpoint(true)
-      writeIvfSq8Index(snapshot, tableName, nlist, sampleSize)
+      // train fresh centroids on the decoded corpus
+      val sampleF = uniformSample(
+        snapshot.select(col("vec_id"),
+          sq8DequantUdf(col("code"), col("mn"), col("mx")).as("dq"))
+          .select(col("vec_id"),
+            expr("transform(dq, x -> CAST(x AS FLOAT))").as("embedding")),
+        sampleSize).map(_._2)
+      require(sampleF.nonEmpty, s"cannot rebuild IVF-SQ8 index $tableName: empty corpus")
+      val effNlist = math.min(nlist, sampleF.length)
+      val centroids = trainCentroids(sampleF, effNlist)
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf { (code: Array[Byte], mn: Float, mx: Float) =>
+        nearestCentroid(sq8Dequant(code, mn, mx).map(_.toFloat), bc.value)
+      }
+      Dedup.dropManaged(spark, tableName)
+      Dedup.dropManaged(spark, s"${tableName}_centroids")
+      snapshot
+        .withColumn("ivf_list", assignUdf(col("code"), col("mn"), col("mx")))
+        .repartition(col("ivf_list"))
+        .write.format("parquet").partitionBy("ivf_list")
+        .mode("overwrite").saveAsTable(tableName)
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("ivf_list", "centroid")
+        .write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
+      spark.sql(
+        s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+          s"'graft.nlist' = '$effNlist', 'graft.sq8' = 'true')")
+      val refDist = meanAssignedDistSq8(spark, tableName)
+      spark.sql(
+        s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.meanDist' = '$refDist')")
       (ratio, true)
     } else (ratio, false)
   }

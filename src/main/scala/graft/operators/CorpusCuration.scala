@@ -52,7 +52,9 @@ object CorpusCuration {
     *     floor;
     *  2. benchmark decontamination
     *     ([[Decontamination.contaminatedBloom]] — broadcast bloom +
-    *     exact confirmation, no false negatives);
+    *     exact confirmation, no false negatives), PLUS an explicit
+    *     by-id exclusion of the benchmark itself (n-grams alone miss a
+    *     bench doc shorter than `decontaminationN` tokens);
     *  3. deterministic split assignment ([[Sampling.assignSplits]]),
     *     keeping `keepSplit`;
     *  4. deterministic epoch shuffle ([[Sampling.epochShuffle]]) —
@@ -80,9 +82,23 @@ object CorpusCuration {
     val kept = docs.join(curated, "doc_id")
     val dirty = Decontamination.contaminatedBloom(kept, benchmark, decontaminationN)
       .select("doc_id")
-    val clean = kept.join(dirty, Seq("doc_id"), "left_anti")
+    // benchmark docs are excluded BY ID as well as by n-gram: when the
+    // benchmark shares the corpus id space (bench ⊆ docs — the common
+    // "hold out a slice" setup), a bench doc shorter than
+    // decontaminationN tokens produces no n-grams, so n-gram
+    // decontamination alone would export an eval document verbatim; for
+    // an external benchmark with a disjoint id space the anti-join
+    // matches nothing and is free
+    val excluded = dirty.union(benchmark.select("doc_id"))
+    val clean = kept.join(excluded, Seq("doc_id"), "left_anti")
     val train = Sampling.assignSplits(clean, splits).filter(col("split") === keepSplit)
-    Sampling.epochShuffle(train, seed, epoch, numShards)
+    // persist before the shuffle: epochShuffle reads its input twice
+    // (shard counts + the windowed pass), and this input is the full
+    // curate→decontaminate→split composition — without the cache a
+    // 100 TB export would execute its most expensive stages twice
+    // (callers running many exports in one session can clearCache after)
+    val cached = train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Sampling.epochShuffle(cached, seed, epoch, numShards)
       .select(col("doc_id"), col("shard"), col("global_pos"))
   }
 }

@@ -450,14 +450,17 @@ object TextAnalysis {
     * score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1−b+b·|d|/avgdl)),
     * idf_t = ln(1 + (N−df_t+0.5)/(df_t+0.5)).
     *
-    * Scale shape: ONE corpus pass computes (doc, dl) and the exploded
-    * tokens are FILTERED TO THE QUERY TERMS before any shuffle — the
-    * aggregated tf frame is bounded by docs-containing-a-query-term, not
-    * corpus tokens; df and the two corpus scalars (N, Σdl) are the only
-    * driver state (|query|+2 numbers), idf ships back as a broadcast
-    * |query|-row join; top-k plans as TakeOrderedAndProject. No
-    * corpus-proportional shuffle anywhere: the heavy frame (lens) is
-    * joined only to the bounded tf frame.
+    * Scale shape: the exploded tokens are FILTERED TO THE QUERY TERMS
+    * before any shuffle, so the aggregated tf frame is bounded by
+    * docs-containing-a-query-term, not corpus tokens — and it is
+    * CACHED, because both the df collect and the returned plan read it
+    * (without the cache the corpus tokenize pass would run twice; with
+    * it, once, plus one column-pruned stats scan for N/Σdl). df and the
+    * two corpus scalars are the only driver state (|query|+2 numbers),
+    * idf ships back as a broadcast |query|-row join; top-k plans as
+    * TakeOrderedAndProject. No corpus-proportional shuffle anywhere:
+    * the heavy frame (lens) is joined only to the bounded tf frame.
+    * Sessions serving many queries should `clearCache()` between calls.
     *
     * Cross-engine determinism: defaults k1 = 1.25, b = 0.75 are EXACT
     * binary doubles (so k1+1 and 1−b fold identically in any IEEE
@@ -483,6 +486,7 @@ object TextAnalysis {
       .select(col("doc_id"), size(tokens).as("dl"), explode(tokens).as("t"))
       .filter(col("t").isin(qTerms: _*))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = tf.groupBy("t").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idf = qTerms.map { t =>
@@ -530,6 +534,9 @@ object TextAnalysis {
       .select(col("doc_id"), size(tokens).as("dl"), explode(tokens).as("t"))
       .join(broadcast(terms), "t")
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      // cached for the same reason as bm25TopK's tf: the plan reads it
+      // on both the idf branch and the score branch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val idf = terms.join(dfs, Seq("t"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))

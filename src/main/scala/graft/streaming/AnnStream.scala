@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Ann
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -47,23 +47,12 @@ object AnnStream {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
             clearCachePerBatch: Boolean = true): StreamingQuery = {
-    // parquet file stream needs an explicit schema: take it from a batch
-    // peek at the same directory (driver-side metadata read only)
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
-      .writeStream
-      .outputMode("append")
-      .trigger(trigger)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val dups = Ann.neardupAgainstIvfIndex(batch.toDF(), indexTable, threshold, nProbe)
+    DedupStream.startWith(spark, inputDir, outputDir, checkpointDir,
+      trigger, maxFilesPerTrigger, joinKey = "vec_id",
+      afterBatch = () => if (clearCachePerBatch) spark.catalog.clearCache()) {
+      batch =>
+        Ann.neardupAgainstIvfIndex(batch, indexTable, threshold, nProbe)
           .select(col("id_new").as("vec_id")).distinct()
-        batch.toDF().join(dups, Seq("vec_id"), "left_anti")
-          .write.mode("append").parquet(outputDir)
-        if (clearCachePerBatch) spark.catalog.clearCache()
-      }
-      .start()
+    }
   }
 }

@@ -41,7 +41,7 @@ object DecontaminationStream {
     val bloomBc = if (expected == 0) None else Some(
       spark.sparkContext.broadcast(
         benchShingles.stat.bloomFilter("s", expected, fpp)))
-    DedupStream.startWith(spark, inputDir, outputDir, checkpointDir,
+    val query = DedupStream.startWith(spark, inputDir, outputDir, checkpointDir,
       trigger, maxFilesPerTrigger) { batch =>
       bloomBc match {
         case None => Seq.empty[Long].toDF("doc_id")
@@ -53,5 +53,22 @@ object DecontaminationStream {
             .select("doc_id").distinct()
       }
     }
+    // release the per-stream state when THIS query terminates — a
+    // session that launches many gates must not accumulate one cached
+    // shingle frame + bloom broadcast per stream for its lifetime
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          benchShingles.unpersist()
+          bloomBc.foreach(_.destroy())
+          spark.streams.removeListener(this)
+        }
+    })
+    query
   }
 }

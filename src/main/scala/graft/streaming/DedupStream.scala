@@ -59,12 +59,16 @@ object DedupStream {
   }
 
   /** Shared gate plumbing: parquet file stream (schema from a driver-side
-    * batch peek of the same directory), `dupIds(batch)` = the doc_ids the
-    * prober flags against the index, anti-join keeps the novel rows.
+    * batch peek of the same directory), `dupIds(batch)` = the `joinKey`
+    * ids the prober flags against the index, anti-join keeps the novel
+    * rows; `afterBatch` runs after each batch's write (cache hygiene
+    * hooks — see [[AnnStream]]).
     */
   private[streaming] def startWith(spark: SparkSession, inputDir: String, outputDir: String,
                         checkpointDir: String, trigger: Trigger,
-                        maxFilesPerTrigger: Option[Int])(
+                        maxFilesPerTrigger: Option[Int],
+                        joinKey: String = "doc_id",
+                        afterBatch: () => Unit = () => ())(
                         dupIds: DataFrame => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
@@ -75,8 +79,9 @@ object DedupStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.toDF().join(dupIds(batch.toDF()), Seq("doc_id"), "left_anti")
+        batch.toDF().join(dupIds(batch.toDF()), Seq(joinKey), "left_anti")
           .write.mode("append").parquet(outputDir)
+        afterBatch()
       }
       .start()
   }

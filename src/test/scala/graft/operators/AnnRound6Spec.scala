@@ -298,4 +298,34 @@ class AnnRound6Spec extends AnyFunSuite {
       assert(causes(e2).exists(_.contains("dimension")))
     } finally { dropIdx("sq8_app_guard"); dropIdx("float_app_guard") }
   }
+  test("SQ8 rebuild preserves codes even for small-span high-magnitude vectors") {
+    import spark.implicits._
+    dropIdx("sq8_ulp_idx")
+    try {
+      // elements ~1000 with span 0.01: the quantization step (~3.9e-5)
+      // is BELOW ulp(1000f) (~6.1e-5), so any dequantize -> float ->
+      // requantize round-trip collapses adjacent codes — the rebuild
+      // must rewrite stored codes verbatim instead
+      val rng = new scala.util.Random(1)
+      val vecs = (0 until 128).map { i =>
+        (i.toLong, Array.tabulate(16)(j => 1000.0f + (rng.nextInt(256) / 255.0f) * 0.01f))
+      }.toDF("vec_id", "embedding")
+      Ann.writeIvfSq8Index(vecs, "sq8_ulp_idx", nlist = 4)
+      val codesBefore = spark.table("sq8_ulp_idx")
+        .select("vec_id", "code").as[(Long, Array[Byte])]
+        .collect().map { case (id, c) => id -> c.toSeq }.toMap
+      // far-shifted batch forces the drift rebuild
+      val shifted = (0 until 32).map { i =>
+        (100000L + i, Array.tabulate(16)(j => -500f + i + j))
+      }.toDF("vec_id", "embedding")
+      val (_, rebuilt) = Ann.maintainIvfSq8Index(shifted, "sq8_ulp_idx", driftThreshold = 1.2)
+      assert(rebuilt, "fixture should force a rebuild")
+      val codesAfter = spark.table("sq8_ulp_idx")
+        .select("vec_id", "code").as[(Long, Array[Byte])]
+        .collect().map { case (id, c) => id -> c.toSeq }.toMap
+      codesBefore.foreach { case (id, c) =>
+        assert(codesAfter(id) == c, s"vec $id codes corrupted by rebuild")
+      }
+    } finally dropIdx("sq8_ulp_idx")
+  }
 }

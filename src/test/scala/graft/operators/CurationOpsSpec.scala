@@ -503,6 +503,30 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(!dirty.contains(id), s"$id is contaminated")
       assert(shard >= 0 && shard < 5)
     }
+    // no benchmark id is ever exported
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet.intersect(benchIds).isEmpty)
+  }
+
+  test("trainingExport excludes a SHORT benchmark doc that produces no n-grams") {
+    import spark.implicits._
+    // a 4-token doc makes zero 5-grams, so n-gram decontamination alone
+    // cannot flag it — the by-id exclusion must. The text is chosen to
+    // SURVIVE curation (all-stopword => lang 'en', quality ≈ 0.71,
+    // unique content), so only the id anti-join stands between it and
+    // the export
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+      .unionByName(Seq((9100000L, "the and of to", "src0")).toDF("doc_id", "text", "source"))
+    val bench = docs.filter(col("doc_id") % 7 === 0) // 9100000 = 7 * 1300000
+    assert(bench.filter(col("doc_id") === 9100000L).count() == 1)
+    // precondition: the planted doc really does survive curation
+    assert(CorpusCuration.curate(docs).filter(col("doc_id") === 9100000L).count() == 1,
+      "fixture must survive curation or the test is vacuous")
+    val exported = CorpusCuration.trainingExport(docs, bench,
+        seed = 42, epoch = 1, numShards = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!exported.contains(9100000L), "short benchmark doc leaked into the export")
   }
   test("bm25TopKBatch with one query equals the single-query path") {
     import spark.implicits._
