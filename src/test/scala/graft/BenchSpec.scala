@@ -25,4 +25,10 @@ class BenchSpec extends AnyFunSuite {
     assert(best.exists(_ > 0.0))
     assert(rows == 3L)
   }
+  test("every contract query has an oracle and vice versa (driver-gate sync)") {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    assert((qs -- os).isEmpty, s"queries without an oracle: ${(qs -- os).toSeq.sorted}")
+    assert((os -- qs).isEmpty, s"oracles without a query: ${(os -- qs).toSeq.sorted}")
+  }
 }
