@@ -41,14 +41,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AnnStream {
 
+  /** `appendAccepted = true` appends each batch's accepted vectors to
+    * the index ([[Ann.appendToIvfIndex]] — assigned against the STORED
+    * centroids, never retrained), so later micro-batches dedup against
+    * earlier accepted stream vectors; the in-stream duplicate window
+    * shrinks to one micro-batch. Pair with [[Ann.ivfDrift]] /
+    * [[Ann.maintainIvfIndex]] on a cadence if the stream distribution
+    * drifts.
+    */
   def start(spark: SparkSession, inputDir: String, indexTable: String,
             outputDir: String, checkpointDir: String,
             threshold: Double, nProbe: Int,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None,
-            clearCachePerBatch: Boolean = true): StreamingQuery = {
+            clearCachePerBatch: Boolean = true,
+            appendAccepted: Boolean = false): StreamingQuery = {
     DedupStream.startWith(spark, inputDir, outputDir, checkpointDir,
       trigger, maxFilesPerTrigger, joinKey = "vec_id",
+      onAccepted =
+        if (appendAccepted) novel => Ann.appendToIvfIndex(novel, indexTable)
+        else _ => (),
       afterBatch = () => if (clearCachePerBatch) spark.catalog.clearCache()) {
       batch =>
         Ann.neardupAgainstIvfIndex(batch, indexTable, threshold, nProbe)

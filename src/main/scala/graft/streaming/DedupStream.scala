@@ -46,12 +46,25 @@ object DedupStream {
     * per-batch probe recompute-free on the index side; everything else
     * (external state, at-least-once appends, batch/stream shared code
     * path) matches [[start]].
+    *
+    * `appendAccepted = true` additionally appends each batch's ACCEPTED
+    * documents to the index ([[Dedup.appendToSimhashIndex]]), so later
+    * micro-batches dedup against earlier accepted stream docs — closing
+    * the "two novel near-duplicates in one stream both pass" window to
+    * a single micro-batch. Possible here (and for the IVF gate) because
+    * verification runs entirely from STORED state; the MinHash gate
+    * verifies against the caller's `indexDocs` texts, which an append
+    * cannot grow, so it keeps the index-only contract.
     */
   def startSimhash(spark: SparkSession, inputDir: String, indexTable: String,
                    outputDir: String, checkpointDir: String,
                    trigger: Trigger = Trigger.AvailableNow(),
-                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    startWith(spark, inputDir, outputDir, checkpointDir, trigger, maxFilesPerTrigger) {
+                   maxFilesPerTrigger: Option[Int] = None,
+                   appendAccepted: Boolean = false): StreamingQuery = {
+    startWith(spark, inputDir, outputDir, checkpointDir, trigger, maxFilesPerTrigger,
+      onAccepted =
+        if (appendAccepted) novel => Dedup.appendToSimhashIndex(novel, indexTable)
+        else _ => ()) {
       batch =>
         Dedup.simhashPairsAgainstIndex(batch, indexTable)
           .select(col("doc_new").as("doc_id")).distinct()
@@ -61,13 +74,15 @@ object DedupStream {
   /** Shared gate plumbing: parquet file stream (schema from a driver-side
     * batch peek of the same directory), `dupIds(batch)` = the `joinKey`
     * ids the prober flags against the index, anti-join keeps the novel
-    * rows; `afterBatch` runs after each batch's write (cache hygiene
-    * hooks — see [[AnnStream]]).
+    * rows; `onAccepted` receives each batch's novel frame (index-append
+    * hooks — cached so the probe doesn't recompute); `afterBatch` runs
+    * last (cache hygiene hooks — see [[AnnStream]]).
     */
   private[streaming] def startWith(spark: SparkSession, inputDir: String, outputDir: String,
                         checkpointDir: String, trigger: Trigger,
                         maxFilesPerTrigger: Option[Int],
                         joinKey: String = "doc_id",
+                        onAccepted: DataFrame => Unit = _ => (),
                         afterBatch: () => Unit = () => ())(
                         dupIds: DataFrame => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(inputDir).schema
@@ -79,8 +94,12 @@ object DedupStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.toDF().join(dupIds(batch.toDF()), Seq(joinKey), "left_anti")
-          .write.mode("append").parquet(outputDir)
+        val novel = batch.toDF().join(dupIds(batch.toDF()), Seq(joinKey), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          novel.write.mode("append").parquet(outputDir)
+          onAccepted(novel)
+        } finally novel.unpersist()
         afterBatch()
       }
       .start()

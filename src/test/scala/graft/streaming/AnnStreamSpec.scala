@@ -42,4 +42,40 @@ class AnnStreamSpec extends AnyFunSuite {
       assert(batchDups.nonEmpty, "fixture should contain at least one cross-slice near-dup")
     } finally spark.sql("DROP TABLE IF EXISTS ann_stream_spec_index")
   }
+  test("appendAccepted closes the in-stream duplicate window (order-independent)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idxVecs = emb.filter(col("vec_id") % 2 === 0)
+    val newVecs = emb.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+    // plant an exact in-stream duplicate of odd vector 1 under a new id;
+    // at threshold 0.999 the only near-dup pair in play is orig<->copy
+    // (no exact duplicates exist across the odd/even slices)
+    val copy = newVecs.filter(col("vec_id") === 1L)
+      .select((col("vec_id") + 999000L).as("vec_id"), col("embedding"))
+    Ann.writeIvfIndex(idxVecs, "ann_stream_app_idx", nlist = 8)
+    try {
+      val tmp = Files.createTempDirectory("asa").toString
+      val (in, out, cp) = (s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+      // the copy gets its own file => its own micro-batch under
+      // maxFilesPerTrigger=1 (whichever side runs first, exactly one of
+      // the pair must survive)
+      newVecs.repartition(2).write.parquet(in)
+      copy.coalesce(1).write.mode("append").parquet(in)
+      AnnStream.start(spark, in, "ann_stream_app_idx", out, cp,
+        threshold = 0.999, nProbe = 8, maxFilesPerTrigger = Some(1),
+        appendAccepted = true)
+        .awaitTermination()
+      val survivors = spark.read.parquet(out)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val pair = Set(1L, 999001L)
+      assert(survivors.intersect(pair).size == 1,
+        s"expected exactly one of the in-stream duplicate pair, got ${survivors.intersect(pair)}")
+      // everything else passes (nothing matches at 0.999)
+      assert(survivors.size == newVecs.count() + copy.count() - 1)
+      // and the accepted vectors were appended: the index now contains
+      // every survivor
+      val indexed = spark.table("ann_stream_app_idx")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(survivors.subsetOf(indexed))
+    } finally spark.sql("DROP TABLE IF EXISTS ann_stream_app_idx")
+  }
 }

@@ -78,4 +78,35 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(streamed == expected)
     assert(dirty.nonEmpty, "fixture should contain at least one contaminated doc")
   }
+  test("simhash appendAccepted gates an in-stream duplicate (order-independent)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idxDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    // an exact in-stream copy of one odd doc under a fresh id: identical
+    // text => identical simhash => hamming 0 pair with its original
+    val copy = newDocs.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 999000L).as("doc_id"), col("text"))
+    assert(copy.count() == 1)
+    Dedup.writeSimhashIndex(idxDocs, "sh_app_spec_index")
+    try {
+      val tmp = Files.createTempDirectory("sha").toString
+      val (in, out, cp) = (s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+      newDocs.repartition(2).write.parquet(in)
+      copy.coalesce(1).write.mode("append").parquet(in)
+      DedupStream.startSimhash(spark, in, "sh_app_spec_index", out, cp,
+        maxFilesPerTrigger = Some(1), appendAccepted = true).awaitTermination()
+      val survivors = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val pair = Set(1L, 999001L)
+      // doc 1 itself may be near-dup'd against the even index; the
+      // invariant is that the PAIR never both survives
+      assert(survivors.intersect(pair).size <= 1,
+        s"in-stream duplicate pair both survived: ${survivors.intersect(pair)}")
+      // accepted docs were appended (signatures stored for every survivor)
+      val indexed = spark.table("sh_app_spec_index")
+        .select("doc_index").distinct().collect().map(_.getLong(0)).toSet
+      assert(survivors.subsetOf(indexed))
+    } finally spark.sql("DROP TABLE IF EXISTS sh_app_spec_index")
+  }
 }
