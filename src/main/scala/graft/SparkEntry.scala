@@ -132,6 +132,18 @@ object SparkEntry {
       s.sql("""SELECT doc_id, shard, global_pos FROM graft_epoch_shuffle(42, 1, 7)
               |ORDER BY global_pos""".stripMargin)
     }),
+    // the full export composition through SQL — same plan by
+    // construction, shares the q_training_export oracle
+    "q_sql_export" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = table(s, d, "documents")
+      docs.createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      docs.filter(col("doc_id") % 7 === 0)
+        .createOrReplaceTempView("graft_bench_slice")
+      s.sql("""SELECT doc_id, shard, global_pos
+              |FROM graft_training_export('graft_bench_slice', 42, 1, 7)
+              |ORDER BY global_pos""".stripMargin)
+    }),
     // persisted-index serving via SQL: index built once, then queried
     // by table name at nProbe = nlist (exact ⇒ brute-force oracle)
     "q_sql_ivf_topk" -> ((s, d) => {
@@ -1723,30 +1735,9 @@ object SparkEntry {
     // the composed export: curate survivors minus 5-gram-contaminated
     // docs, md5-bucket train split, epoch-42/1 shuffle over 7 shards —
     // each stage the same replay its own gate uses
-    "q_training_export" ->
-      s"""WITH cur AS (SELECT doc_id FROM ($curateOracleSql) c),
-        |w5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh5 AS (SELECT doc_id,
-        |          unnest(list_distinct([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3) ])) AS s
-        |        FROM w5),
-        |bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 7 = 0),
-        |dirty AS (SELECT DISTINCT doc_id FROM sh5 WHERE s IN (SELECT s FROM bench)),
-        |train AS (
-        |  SELECT doc_id FROM cur
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
-        |    AND doc_id % 7 <> 0
-        |    AND ${md5BucketSql("split", "doc_id")} < 9000),
-        |sk AS (SELECT doc_id,
-        |              md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
-        |       FROM train),
-        |shd AS (SELECT doc_id, skey,
-        |               CAST(list_reduce(list_transform(range(1, 9),
-        |                       i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)),
-        |                     (a, b) -> a * 16 + b) % 7 AS INT) AS shard
-        |       FROM sk)
-        |SELECT doc_id, shard,
-        |       CAST(row_number() OVER (ORDER BY shard, skey, doc_id) - 1 AS BIGINT) AS global_pos
-        |FROM shd ORDER BY global_pos""".stripMargin,
+    "q_training_export" -> trainingExportOracleSql,
+    // SQL-path twin shares the composed oracle (same plan by construction)
+    "q_sql_export" -> trainingExportOracleSql,
     "q_multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS id,
@@ -1991,6 +1982,35 @@ object SparkEntry {
         |WHERE k.doc_id NOT IN (SELECT doc_id FROM near_drop)
         |  AND q.quality >= 0.3 AND l.lang_pred IN ('en')
         |ORDER BY k.doc_id""".stripMargin
+
+  /** The four-stage export replay (curate → decontaminate → split →
+    * shuffle) — shared by q_training_export and its SQL-path twin
+    * q_sql_export.
+    */
+  private def trainingExportOracleSql: String =
+    s"""WITH cur AS (SELECT doc_id FROM ($curateOracleSql) c),
+        |w5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh5 AS (SELECT doc_id,
+        |          unnest(list_distinct([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3) ])) AS s
+        |        FROM w5),
+        |bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 7 = 0),
+        |dirty AS (SELECT DISTINCT doc_id FROM sh5 WHERE s IN (SELECT s FROM bench)),
+        |train AS (
+        |  SELECT doc_id FROM cur
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        |    AND doc_id % 7 <> 0
+        |    AND ${md5BucketSql("split", "doc_id")} < 9000),
+        |sk AS (SELECT doc_id,
+        |              md5('shuf:42:1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |       FROM train),
+        |shd AS (SELECT doc_id, skey,
+        |               CAST(list_reduce(list_transform(range(1, 9),
+        |                       i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1 AS BIGINT)),
+        |                     (a, b) -> a * 16 + b) % 7 AS INT) AS shard
+        |       FROM sk)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (ORDER BY shard, skey, doc_id) - 1 AS BIGINT) AS global_pos
+        |FROM shd ORDER BY global_pos""".stripMargin
 
   /** md5 → hex-Horner shard → total order replay of
     * [[graft.operators.Sampling.epochShuffle]] at (seed 42, epoch 1,

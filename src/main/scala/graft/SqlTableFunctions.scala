@@ -216,6 +216,16 @@ object SqlTableFunctions {
         Ann.ivfTopKAgainstIndex(s, strArg(f, a, 0), longArg(f, a, 1),
           intArg(f, a, 2), intArg(f, a, 3))
     }
+    // the capstone composition: curate -> decontaminate (vs a benchmark
+    // relation named by the caller) -> train split -> epoch shuffle,
+    // entirely from SQL
+    add("graft_training_export",
+      "graft_training_export(benchmark_relation, seed, epoch, num_shards)", 4) {
+      (s, f, a) =>
+        graft.operators.CorpusCuration.trainingExport(
+          rel(s, DocumentsRelation, f.name), rel(s, strArg(f, a, 0), f.name),
+          longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
+    }
     out.reverse
   }
 

@@ -208,6 +208,16 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_training_export ≡ CorpusCuration.trainingExport") {
+    registerCorpus()
+    val docs = spark.table(SqlTableFunctions.DocumentsRelation)
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .createOrReplaceTempView("spec_bench_slice")
+    assertSame("SELECT * FROM graft_training_export('spec_bench_slice', 42, 1, 5)",
+      graft.operators.CorpusCuration.trainingExport(docs,
+        spark.table("spec_bench_slice"), seed = 42, epoch = 1, numShards = 5))
+  }
+
   test("a missing relation names the view to register") {
     spark.sessionState.catalog.dropTempView(SqlTableFunctions.EmbeddingsRelation)
     val e = intercept[Exception] {
