@@ -196,6 +196,27 @@ object SparkEntry {
     // are exercised heavily — which is the point of the contract)
     "q_rate" -> ((s, d) =>
       graft.queries.TimeseriesQueries.counterToRate(conditions(s, d), Of, S1, E1)),
+    // OHLC candlestick bars (Timescale toolkit candlestick_agg): one hash
+    // aggregation, open/close via min_by/max_by over a composite
+    // (ts, value) key so duplicate-timestamp ties are deterministic
+    "q_ohlc" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.ohlcBars(conditions(s, d), Of, S1, E1,
+        widthS = 86400)),
+    // heartbeat/uptime aggregation (Timescale toolkit heartbeat_agg):
+    // liveness-union via one lead window, exact µs integer outputs
+    "q_uptime" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.heartbeatUptime(conditions(s, d), Of, S1, E1,
+        heartbeatS = 43200)),
+    // time_bucket_gapfill + LOCF: dense (subject × bucket) grid, empty
+    // buckets carry the last observed bucket AVG forward; the fill uses
+    // the engine-portable gaps-and-islands trick (no IGNORE NULLS)
+    "q_gapfill_locf" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.gapfill(conditions(s, d), Of, S1, E1,
+        widthS = 86400, graft.queries.GapfillLocf)),
+    // time_bucket_gapfill + linear interpolation between observed buckets
+    "q_gapfill_linear" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.gapfill(conditions(s, d), Of, S1, E1,
+        widthS = 86400, graft.queries.GapfillLinear)),
     // the event-time tumbling-window aggregation through the streaming
     // gate: same sentinel-flush pattern as q_sessions_stream. Uses the
     // exact-integer projection (sum of value×100 + count — see
@@ -1058,6 +1079,74 @@ object SparkEntry {
        |       measurement_string
        |FROM cp ORDER BY time_us""".stripMargin
 
+  /** Gapfill replay: dense grid via generate_series × distinct subjects,
+    * then the SAME gaps-and-islands fill the Spark side uses (running
+    * count of non-null buckets → island id → the island head's value) —
+    * no IGNORE NULLS window dependence in either engine. Linear tier
+    * interpolates in bucket time with the identical expression tree
+    * (`pv + (nv − pv) * (t − pt) / (nt − pt)`, rounded to 6 dp).
+    */
+  private def gapfillOracleSql(locf: Boolean): String = {
+    val w = 86400L
+    val b0 = Math.floorDiv(S1, w) * w
+    val bN = Math.floorDiv(E1 - 1, w) * w
+    val base =
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us, measurement_number
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1),
+         |buckets AS (
+         |  SELECT measurement_subject, (ts_us // 1000000 // $w) * $w AS bucket_s,
+         |         ROUND(AVG(measurement_number), 6) AS v, COUNT(*) AS n_events
+         |  FROM scanned GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT s.measurement_subject, g.generate_series AS bucket_s
+         |  FROM (SELECT DISTINCT measurement_subject FROM scanned) s,
+         |       generate_series(${b0}, ${bN}, ${w}) g),
+         |joined AS (
+         |  SELECT g.measurement_subject, g.bucket_s, b.v,
+         |         COALESCE(b.n_events, 0) AS n_events
+         |  FROM grid g LEFT JOIN buckets b
+         |    ON g.measurement_subject = b.measurement_subject AND g.bucket_s = b.bucket_s)""".stripMargin
+    if (locf)
+      s"""$base,
+         |islands AS (
+         |  SELECT *, COUNT(v) OVER (PARTITION BY measurement_subject ORDER BY bucket_s
+         |                           ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM joined)
+         |SELECT measurement_subject, bucket_s AS time_s,
+         |       MAX(v) OVER (PARTITION BY measurement_subject, grp) AS value,
+         |       n_events
+         |FROM islands ORDER BY 1, 2""".stripMargin
+    else
+      s"""$base,
+         |islands AS (
+         |  SELECT *,
+         |         COUNT(v) OVER (PARTITION BY measurement_subject ORDER BY bucket_s
+         |                        ROWS UNBOUNDED PRECEDING) AS pg,
+         |         COUNT(v) OVER (PARTITION BY measurement_subject ORDER BY bucket_s DESC
+         |                        ROWS UNBOUNDED PRECEDING) AS ng
+         |  FROM joined),
+         |fill AS (
+         |  SELECT *,
+         |         MAX(v) OVER (PARTITION BY measurement_subject, pg) AS pv,
+         |         MAX(CASE WHEN v IS NOT NULL THEN bucket_s END)
+         |           OVER (PARTITION BY measurement_subject, pg) AS pt,
+         |         MAX(v) OVER (PARTITION BY measurement_subject, ng) AS nv,
+         |         MAX(CASE WHEN v IS NOT NULL THEN bucket_s END)
+         |           OVER (PARTITION BY measurement_subject, ng) AS nt
+         |  FROM islands)
+         |SELECT measurement_subject, bucket_s AS time_s,
+         |       CASE WHEN v IS NOT NULL THEN v
+         |            WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |              THEN ROUND(pv + (nv - pv) * (bucket_s - pt) / (nt - pt), 6)
+         |            ELSE NULL END AS value,
+         |       n_events
+         |FROM fill ORDER BY 1, 2""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_agg" -> aggSql((E1 - S1) / 100, "LIMIT 100"),
     "q_agg_interval" -> aggSql(86400),
@@ -1215,6 +1304,51 @@ object SparkEntry {
          |FROM gaps WHERE gap_start_us IS NOT NULL
          |ORDER BY gap_us DESC, measurement_subject ASC, gap_start_us ASC
          |LIMIT 50""".stripMargin,
+    // exact integer OHLC; open/close replayed as row_number picks over the
+    // SAME composite (ts, value) order min_by/max_by use on the Spark side
+    "q_ohlc" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         (epoch_us("timestamp") // 1000000 // 86400) * 86400 AS bucket_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |ranked AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY measurement_subject, bucket_s
+         |                            ORDER BY ts_us ASC, c ASC) AS rn_o,
+         |         row_number() OVER (PARTITION BY measurement_subject, bucket_s
+         |                            ORDER BY ts_us DESC, c DESC) AS rn_c
+         |  FROM scanned)
+         |SELECT measurement_subject, bucket_s,
+         |       MAX(CASE WHEN rn_o = 1 THEN c END) AS open_scaled,
+         |       MAX(c) AS high_scaled, MIN(c) AS low_scaled,
+         |       MAX(CASE WHEN rn_c = 1 THEN c END) AS close_scaled,
+         |       COUNT(*) AS n_events
+         |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact µs liveness union: Σ min(heartbeat, gap) + tail clip at range
+    // end, one lead window — integers everywhere, no ratio division
+    "q_uptime" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us FROM conditions
+         |  WHERE measurement_of = '$Of'
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |led AS (
+         |  SELECT measurement_subject, ts_us,
+         |         lead(ts_us) OVER (PARTITION BY measurement_subject ORDER BY ts_us) AS next_us
+         |  FROM scanned)
+         |SELECT measurement_subject,
+         |       CAST(SUM(CASE WHEN next_us IS NOT NULL THEN LEAST(${43200L * 1000000L}, next_us - ts_us)
+         |                     ELSE LEAST(${43200L * 1000000L}, ${E1 * 1000000L} - ts_us) END) AS BIGINT) AS covered_us,
+         |       ${(E1 - S1) * 1000000L} AS total_us,
+         |       CAST(SUM(CASE WHEN next_us - ts_us > ${43200L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+         |       COUNT(*) AS n_events
+         |FROM led GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gapfill_locf" -> gapfillOracleSql(locf = true),
+    "q_gapfill_linear" -> gapfillOracleSql(locf = false),
     // tumbling windows are epoch-aligned ⇒ integer floor-bucket replay;
     // exact-integer payload (sum of value×100 + non-null count), so no
     // cross-engine FP rounding surface at all

@@ -505,4 +505,178 @@ object TimeseriesQueries {
         count(lit(1)).as("n_events"))
       .orderBy("measurement_subject", "session_start_us")
   }
+
+  /** OHLC (candlestick) bars per (subject, epoch-aligned bucket): open =
+    * first reading, high/low = extremes, close = last reading — the
+    * finance rollup TimescaleDB ships as `candlestick_agg` and the natural
+    * compaction for any metered series (the reference's emon power feed
+    * viewed as bars). Values are `scale`-quantized integers (cents), so
+    * every output is exact across engines.
+    *
+    * Determinism: two readings at the same instant have no defined order,
+    * so open/close use a composite (timestamp, value) ordering — min_by /
+    * max_by over a struct key, which both engines replay identically (the
+    * oracle uses row_number over the same composite sort).
+    *
+    * Scale shape: ONE hash aggregation — min_by/max_by/min/max/count are
+    * all partial-aggregatable, so this is scan → partial agg → exchange on
+    * (subject, bucket) → final agg, with no window sort anywhere. That is
+    * strictly cheaper than the window formulation and is why open/close
+    * are aggregates here, not row_number picks.
+    */
+  def ohlcBars(conditions: DataFrame, of: String, startS: Long, endS: Long,
+               widthS: Long, scale: Int = 100): DataFrame = {
+    require(widthS > 0 && scale > 0, "widthS and scale must be positive")
+    val wUs = widthS * 1000000L
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .withColumn("bucket_s",
+        expr(s"((ts_us - pmod(ts_us, ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+      .groupBy("measurement_subject", "bucket_s")
+      .agg(
+        min_by(col("c"), struct(col("ts_us"), col("c"))).as("open_scaled"),
+        max(col("c")).as("high_scaled"),
+        min(col("c")).as("low_scaled"),
+        max_by(col("c"), struct(col("ts_us"), col("c"))).as("close_scaled"),
+        count(lit(1)).as("n_events"))
+      .orderBy("measurement_subject", "bucket_s")
+  }
+
+  /** Heartbeat/uptime aggregation (TimescaleDB toolkit `heartbeat_agg`):
+    * each event proves the sensor alive for `heartbeatS` seconds; a
+    * subject's uptime over [startS, endS] is the union of those liveness
+    * intervals. Because events are processed in time order, the union
+    * collapses to `Σ min(heartbeat, next_ts − ts)` plus the last event's
+    * tail clipped at range end — one lag window, no interval merge
+    * data structure. Outputs are exact µs integers (`covered_us` /
+    * `total_us`; the ratio is derivable downstream — dividing here would
+    * reintroduce the FP-tie surface).
+    *
+    * `n_outages` counts gaps longer than the heartbeat (the sensor was
+    * provably dead between liveness intervals) — the same signal
+    * [[largestGaps]] ranks, here as a per-subject health count.
+    *
+    * Scale shape: one hash shuffle on subject + per-subject sort for the
+    * lead window, then a per-subject hash agg over the SAME partitioning
+    * (exchange reused) — B8/B9's plan family.
+    */
+  def heartbeatUptime(conditions: DataFrame, of: String, startS: Long,
+                      endS: Long, heartbeatS: Long): DataFrame = {
+    require(heartbeatS > 0, "heartbeatS must be positive")
+    val hUs = heartbeatS * 1000000L
+    val w = Window.partitionBy("measurement_subject").orderBy("ts_us")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"), unix_micros(col("timestamp")).as("ts_us"))
+      .withColumn("next_us", lead("ts_us", 1).over(w))
+      .withColumn("live_us",
+        when(col("next_us").isNotNull, least(lit(hUs), col("next_us") - col("ts_us")))
+          .otherwise(least(lit(hUs), lit(endS * 1000000L) - col("ts_us"))))
+      .groupBy("measurement_subject")
+      .agg(sum("live_us").as("covered_us"),
+        sum(when(col("next_us") - col("ts_us") > hUs, 1L).otherwise(0L)).as("n_outages"),
+        count(lit(1)).as("n_events"))
+      .withColumn("total_us", lit((endS - startS) * 1000000L))
+      .select("measurement_subject", "covered_us", "total_us", "n_outages", "n_events")
+      .orderBy("measurement_subject")
+  }
+
+  /** Gap-filled bucketed series (TimescaleDB `time_bucket_gapfill`): every
+    * (subject, bucket) of the dense grid over [startS, endS) gets a row —
+    * buckets with readings carry their AVG; empty buckets are filled by
+    * the chosen [[GapfillStrategy]]:
+    *  - [[GapfillLocf]]: carry the last observed bucket value forward
+    *    (nothing before the first observation → NULL);
+    *  - [[GapfillLinear]]: interpolate linearly (in bucket time) between
+    *    the surrounding observed buckets (leading/trailing edges → NULL).
+    *
+    * `n_events` = 0 marks filled rows, so downstream can always tell
+    * measured from imputed — the reference dashboards' charting need.
+    *
+    * Portability: the fill is computed with the gaps-and-islands trick
+    * (running count of non-nulls → group id → the group's single non-null
+    * head), NOT `last_value(... IGNORE NULLS)`, so the DuckDB oracle can
+    * replay the identical logic without relying on engine-specific
+    * null-skipping window semantics. Averages are rounded to 6 dp on both
+    * sides (the repo-wide FP convention).
+    *
+    * Scale shape: bucket aggregation is one hash shuffle on (subject,
+    * bucket); the dense grid is `sequence()` exploded per DISTINCT subject
+    * (grid size = subjects × buckets — the query's own output size, never
+    * row-proportional); the fill windows are per-subject sorts over ≤grid
+    * rows. A 100 TB scan reduces to the grid long before the windows run.
+    */
+  def gapfill(conditions: DataFrame, of: String, startS: Long, endS: Long,
+              widthS: Long, strategy: GapfillStrategy): DataFrame = {
+    require(widthS > 0, "widthS must be positive")
+    val wUs = widthS * 1000000L
+    val slice = conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") < timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        col("measurement_number"))
+    val buckets = slice
+      .withColumn("bucket_s",
+        expr(s"((ts_us - pmod(ts_us, ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+      .groupBy("measurement_subject", "bucket_s")
+      .agg(round(avg("measurement_number"), 6).as("v"), count(lit(1)).as("n_events"))
+    // dense (subject × bucket) grid; grid start floor-aligned like the data
+    val b0 = Math.floorDiv(startS, widthS) * widthS
+    val bN = Math.floorDiv(endS - 1, widthS) * widthS
+    val grid = slice.select("measurement_subject").distinct()
+      .withColumn("bucket_s",
+        explode(expr(s"sequence(${b0}L, ${bN}L, ${widthS}L)")))
+    val joined = grid.join(buckets, Seq("measurement_subject", "bucket_s"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+    val wAsc = Window.partitionBy("measurement_subject").orderBy("bucket_s")
+    val wDesc = Window.partitionBy("measurement_subject").orderBy(col("bucket_s").desc)
+    val filled = strategy match {
+      case GapfillLocf =>
+        // islands: each non-null opens a group; max over (subject, grp)
+        // IS the group head (the only non-null in the group)
+        joined
+          .withColumn("grp", count("v").over(
+            wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("value", max("v").over(
+            Window.partitionBy("measurement_subject", "grp")))
+      case GapfillLinear =>
+        val prevGrp = count("v").over(
+          wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val nextGrp = count("v").over(
+          wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        joined
+          .withColumn("pg", prevGrp).withColumn("ng", nextGrp)
+          .withColumn("pv", max("v").over(Window.partitionBy("measurement_subject", "pg")))
+          .withColumn("pt", max(when(col("v").isNotNull, col("bucket_s"))).over(
+            Window.partitionBy("measurement_subject", "pg")))
+          .withColumn("nv", max("v").over(Window.partitionBy("measurement_subject", "ng")))
+          .withColumn("nt", max(when(col("v").isNotNull, col("bucket_s"))).over(
+            Window.partitionBy("measurement_subject", "ng")))
+          .withColumn("value",
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                round(col("pv") + (col("nv") - col("pv")) *
+                  (col("bucket_s") - col("pt")) / (col("nt") - col("pt")), 6))
+              .otherwise(lit(null).cast("double")))
+    }
+    filled.select(col("measurement_subject"), col("bucket_s").as("time_s"),
+        col("value"), col("n_events"))
+      .orderBy("measurement_subject", "time_s")
+  }
 }
+
+/** Fill strategy for [[TimeseriesQueries.gapfill]]. */
+sealed trait GapfillStrategy
+case object GapfillLocf extends GapfillStrategy
+case object GapfillLinear extends GapfillStrategy
