@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed contracts for the Timescale-toolkit-shaped rollups:
+  * OHLC bars, heartbeat uptime, and gap-filled bucket grids.
+  */
+class RollupsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val T0 = 1704240000L // 2024-01-03T00:00:00Z — midnight-aligned
+
+  private def ts(offsetS: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(T0 + offsetS))
+
+  private def conditions(rows: Seq[(Long, String, Double)]) = {
+    import spark.implicits._
+    rows.map { case (off, subj, v) =>
+      (ts(off), subj, "m", Option(v), Option.empty[String]) }
+      .toDF("timestamp", "measurement_subject", "measurement_of",
+        "measurement_number", "measurement_string")
+  }
+
+  test("ohlcBars: open/high/low/close per bucket, deterministic duplicate-ts ties") {
+    // bucket 0: values in time order 3.0, 9.0, 1.0, 4.0 → O=300 H=900 L=100 C=400
+    // bucket 1: two readings at the SAME instant (2.0, 7.0):
+    //   open picks the smaller value, close the larger (composite tie key)
+    val out = TimeseriesQueries.ohlcBars(
+      conditions(Seq(
+        (0L, "s1", 3.0), (100L, "s1", 9.0), (200L, "s1", 1.0), (300L, "s1", 4.0),
+        (3600L, "s1", 2.0), (3600L, "s1", 7.0))),
+      "m", T0, T0 + 7200, widthS = 3600)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("s1", T0, 300L, 900L, 100L, 400L, 4L),
+      ("s1", T0 + 3600, 200L, 700L, 200L, 700L, 2L)))
+  }
+
+  test("heartbeatUptime: liveness union, outage count, tail clip at range end") {
+    // heartbeat 100s; events at 0, 50, 400; range [T0, T0+450]
+    //   live: min(100,50)=50 + min(100,350)=100 + tail min(100,50)=50 → 200s
+    //   one outage (gap 350 > 100)
+    val out = TimeseriesQueries.heartbeatUptime(
+      conditions(Seq((0L, "s1", 1.0), (50L, "s1", 1.0), (400L, "s1", 1.0))),
+      "m", T0, T0 + 450, heartbeatS = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("s1", 200000000L, 450000000L, 1L, 3L)))
+  }
+
+  test("gapfill LOCF: empty buckets carry the last observed average; leading stay null") {
+    // hourly buckets over 5h; observations in buckets 1 (avg 2.0) and 3 (4.0)
+    val out = TimeseriesQueries.gapfill(
+      conditions(Seq((3600L, "s1", 2.0), (3 * 3600L, "s1", 4.0))),
+      "m", T0, T0 + 5 * 3600, widthS = 3600, GapfillLocf)
+      .collect().map(r => (r.getLong(1) - T0, Option(r.get(2)), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, None, 0L),                       // before first observation
+      (3600L, Some(2.0), 1L),
+      (7200L, Some(2.0), 0L),               // filled forward
+      (10800L, Some(4.0), 1L),
+      (14400L, Some(4.0), 0L)))             // trailing LOCF
+  }
+
+  test("gapfill linear: interior gaps interpolate in bucket time; edges stay null") {
+    val out = TimeseriesQueries.gapfill(
+      conditions(Seq((3600L, "s1", 2.0), (4 * 3600L, "s1", 8.0))),
+      "m", T0, T0 + 6 * 3600, widthS = 3600, GapfillLinear)
+      .collect().map(r => (r.getLong(1) - T0, Option(r.get(2)), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, None, 0L),                       // leading edge: no interpolation
+      (3600L, Some(2.0), 1L),
+      (7200L, Some(4.0), 0L),               // 1/3 of the way 2.0 → 8.0
+      (10800L, Some(6.0), 0L),              // 2/3
+      (14400L, Some(8.0), 1L),
+      (18000L, None, 0L)))                  // trailing edge
+  }
+
+  test("gapfill: grid is per observed subject — absent subjects add no rows") {
+    val out = TimeseriesQueries.gapfill(
+      conditions(Seq((0L, "s1", 1.0), (3600L, "s2", 2.0))),
+      "m", T0, T0 + 2 * 3600, widthS = 3600, GapfillLocf)
+      .collect()
+    assert(out.length == 4) // 2 subjects × 2 buckets
+  }
+}
