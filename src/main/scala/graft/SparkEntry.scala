@@ -540,6 +540,20 @@ object SparkEntry {
         s.read.parquet(s"$tmp/out").select("vec_id").orderBy("vec_id")
       }
     }),
+    // SemDeDup: cluster-bounded semantic dedup — max-cosine assignment to
+    // fixed seed centroids (first 16 corpus vectors, so the WHOLE pipeline
+    // incl. assignment replays in SQL), within-cluster pairwise at 0.8,
+    // CC, keep = min id. Clones of every 50th vector are planted: an
+    // identical vector shares its original's assignment deterministically,
+    // so each clone forms a within-cluster pair and is dropped
+    "q_semdedup" -> ((s, d) => {
+      val e = table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val seeds = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+      graft.operators.SemDedup.semDedup(e.unionByName(planted), seeds, threshold = 0.8)
+    }),
     // duplicate-cluster resolution generalizes to the EMBEDDING pair
     // graph unchanged: components of the exact cosine near-dup pairs,
     // every vector labeled (singletons by themselves)
@@ -1545,6 +1559,55 @@ object SparkEntry {
     "q_embed_neardup" -> neardupOracleSql,
     // reachability closure over the exact cosine pair graph, every
     // vector labeled — the embedding face of the clusters oracle
+    // SemDeDup replay: seed-cosine assignment (row_number over the same
+    // (cos DESC, list_id ASC) order the Spark argmax scan uses), within-
+    // cluster pairs, recursive-CTE components, min-id keep
+    "q_semdedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM base),
+        |sn AS (
+        |  SELECT vec_id AS list_id, embedding AS ce,
+        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cn
+        |  FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT n.vec_id, sn.list_id,
+        |         list_sum(list_transform(range(1, len(n.embedding)+1),
+        |            i -> CAST(n.embedding[i] AS DOUBLE) * CAST(sn.ce[i] AS DOUBLE)))
+        |           / (n.nrm * sn.cn) AS cos
+        |  FROM n, sn),
+        |assigned AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY cos DESC, list_id ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a JOIN assigned aa ON a.vec_id = aa.vec_id
+        |       JOIN assigned bb ON aa.list_id = bb.list_id
+        |       JOIN n b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |        / (a.nrm * b.nrm) >= 0.8),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach(nn, r) AS (
+        |  SELECT DISTINCT u, u FROM e
+        |  UNION
+        |  SELECT reach.nn, e.v FROM reach JOIN e ON reach.r = e.u),
+        |comp AS (SELECT nn, min(r) AS component FROM reach GROUP BY nn)
+        |SELECT b.vec_id, a.list_id, COALESCE(c.component, b.vec_id) AS component,
+        |       COALESCE(c.component, b.vec_id) = b.vec_id AS keep
+        |FROM base b JOIN assigned a ON b.vec_id = a.vec_id
+        |     LEFT JOIN comp c ON b.vec_id = c.nn
+        |ORDER BY b.vec_id""".stripMargin,
     "q_embed_clusters" ->
       s"""WITH RECURSIVE nd AS ($neardupOracleSql),
          |e AS (SELECT id_a AS u, id_b AS v FROM nd
