@@ -5,7 +5,7 @@ import graft.queries.TimeseriesQueries._
 import graft.operators.{Redaction, TextAnalysis}
 import graft.sources.EventsAsConditions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, format_string, lit, sum, timestamp_seconds, unix_micros, round => sround}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, format_string, lit, sum, timestamp_seconds, unix_micros, when, round => sround}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -553,6 +553,27 @@ object SparkEntry {
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
       graft.operators.SemDedup.semDedup(e.unionByName(planted), seeds, threshold = 0.8)
+    }),
+    // corpus snapshot diff: old = ids %10≠0, new = ids %10≠1 with every
+    // 7th document's text rewritten — added/removed/changed only, churn-
+    // proportional output, texts reduced to md5 at the scan
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap)
+    }),
+    // token-distribution drift between the same two snapshots: top-50
+    // per-token KL(new‖old) contributions under add-one smoothing
+    "q_corpus_drift" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.SnapshotDiff.tokenDrift(oldSnap, newSnap, k = 50)
     }),
     // duplicate-cluster resolution generalizes to the EMBEDDING pair
     // graph unchanged: components of the exact cosine near-dup pairs,
@@ -1608,6 +1629,47 @@ object SparkEntry {
         |FROM base b JOIN assigned a ON b.vec_id = a.vec_id
         |     LEFT JOIN comp c ON b.vec_id = c.nn
         |ORDER BY b.vec_id""".stripMargin,
+    // snapshot diff: membership via full outer join, content via md5 —
+    // both engines hash the same lowercase-hex md5
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 10 <> 1),
+        |j AS (SELECT o.doc_id AS id_o, n.doc_id AS id_n, md5(o.text) AS h_o, md5(n.text) AS h_n
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT COALESCE(id_o, id_n) AS doc_id,
+        |       CASE WHEN id_o IS NULL THEN 'added'
+        |            WHEN id_n IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status
+        |FROM j WHERE id_o IS NULL OR id_n IS NULL OR h_o <> h_n
+        |ORDER BY doc_id""".stripMargin,
+    // drift replay: identical smoothing arithmetic ((cnt+1.0)/(total+V),
+    // natural log), rounded 6 dp; ordering on the ROUNDED term so both
+    // engines rank identically
+    "q_corpus_drift" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 10 <> 1),
+        |co AS (SELECT unnest(string_split(text, ' ')) AS token FROM o),
+        |cog AS (SELECT token, count(*) AS cnt_old FROM co GROUP BY 1),
+        |cn AS (SELECT unnest(string_split(text, ' ')) AS token FROM n),
+        |cng AS (SELECT token, count(*) AS cnt_new FROM cn GROUP BY 1),
+        |j AS (SELECT COALESCE(cog.token, cng.token) AS token,
+        |             COALESCE(cnt_old, 0) AS cnt_old, COALESCE(cnt_new, 0) AS cnt_new
+        |      FROM cog FULL OUTER JOIN cng ON cog.token = cng.token),
+        |tot AS (SELECT CAST(SUM(cnt_old) AS BIGINT) AS t_old,
+        |               CAST(SUM(cnt_new) AS BIGINT) AS t_new,
+        |               COUNT(*) AS v FROM j),
+        |terms AS (
+        |  SELECT token, cnt_old, cnt_new,
+        |         ROUND(((cnt_new + 1.0) / (t_new + v)) *
+        |               ln(((cnt_new + 1.0) / (t_new + v)) /
+        |                  ((cnt_old + 1.0) / (t_old + v))), 6) AS kl_term
+        |  FROM j, tot)
+        |SELECT token, cnt_old, cnt_new, kl_term
+        |FROM terms ORDER BY abs(kl_term) DESC, token ASC LIMIT 50""".stripMargin,
     "q_embed_clusters" ->
       s"""WITH RECURSIVE nd AS ($neardupOracleSql),
          |e AS (SELECT id_a AS u, id_b AS v FROM nd
