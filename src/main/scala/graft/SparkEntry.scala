@@ -554,6 +554,11 @@ object SparkEntry {
         .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
       graft.operators.SemDedup.semDedup(e.unionByName(planted), seeds, threshold = 0.8)
     }),
+    // exact repeated-substring spans: 20-char rolling windows occurring
+    // ≥2 times corpus-wide, merged per document into maximal spans —
+    // the character-level dedup tier (winnowing is the approximate one)
+    "q_dup_spans" -> ((s, d) =>
+      graft.operators.SpanDedup.duplicatedSpans(table(s, d, "documents"), minLen = 20)),
     // corpus snapshot diff: old = ids %10≠0, new = ids %10≠1 with every
     // 7th document's text rewritten — added/removed/changed only, churn-
     // proportional output, texts reduced to md5 at the scan
@@ -1629,6 +1634,28 @@ object SparkEntry {
         |FROM base b JOIN assigned a ON b.vec_id = a.vec_id
         |     LEFT JOIN comp c ON b.vec_id = c.nn
         |ORDER BY b.vec_id""".stripMargin,
+    // span replay: per-row range unnest → substr windows → HAVING ≥2 →
+    // the same lag/island merge (break when gap > L)
+    "q_dup_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id, unnest(range(1, len(text) - 18)) AS pos, text
+        |  FROM documents WHERE len(text) >= 20),
+        |sub AS (SELECT doc_id, pos, substr(text, pos, 20) AS win FROM wins),
+        |dup AS (SELECT win FROM sub GROUP BY win HAVING count(*) >= 2),
+        |d AS (SELECT s.doc_id, s.pos FROM sub s WHERE s.win IN (SELECT win FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end,
+        |       COUNT(*) AS n_windows
+        |FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     // snapshot diff: membership via full outer join, content via md5 —
     // both engines hash the same lowercase-hex md5
     "q_corpus_diff" ->
