@@ -196,6 +196,11 @@ object SparkEntry {
     // are exercised heavily — which is the point of the contract)
     "q_rate" -> ((s, d) =>
       graft.queries.TimeseriesQueries.counterToRate(conditions(s, d), Of, S1, E1)),
+    // LTTB downsampling (Timescale toolkit lttb): threshold=20 points per
+    // subject, integer-exact triangle argmax, sequential selection
+    // replayed by the oracle as an unrolled per-bucket CTE chain
+    "q_lttb" -> ((s, d) =>
+      graft.functions.Lttb.downsample(conditions(s, d), Of, S1, E1, threshold = 20)),
     // OHLC candlestick bars (Timescale toolkit candlestick_agg): one hash
     // aggregation, open/close via min_by/max_by over a composite
     // (ts, value) key so duplicate-timestamp ties are deterministic
@@ -1119,6 +1124,77 @@ object SparkEntry {
        |       measurement_string
        |FROM cp ORDER BY time_us""".stripMargin
 
+  /** LTTB replay: the sequential bucket selection unrolled as a CTE chain
+    * (one `sel_k` per interior bucket, m = threshold − 2 of them), each
+    * step picking the per-subject argmax of the SAME c-scaled integer
+    * triangle form the Spark kernel computes
+    * (`|(xₚ·c − Σx)(y − yₚ) − (xₚ − x)(Σy − yₚ·c)|`, ties → smallest
+    * index). Subjects with ≤threshold points short-circuit to "all
+    * points", like the kernel.
+    */
+  private def lttbOracleSql: String = {
+    val threshold = 20
+    val m = threshold - 2
+    val startUs = S1 * 1000000L
+    val sb = new StringBuilder
+    sb ++=
+      s"""$Cte,
+         |pts AS (
+         |  SELECT measurement_subject AS s,
+         |         epoch_us("timestamp") - $startUs AS x,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS y
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |base AS (
+         |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY x, y) - 1 AS idx,
+         |         COUNT(*) OVER (PARTITION BY s) AS n, x, y
+         |  FROM pts),
+         |small AS (SELECT s, x, y FROM base WHERE n <= $threshold),
+         |sel_0 AS (SELECT s, idx, x, y, n FROM base WHERE idx = 0 AND n > $threshold)""".stripMargin
+    for (k <- 0 until m) {
+      if (k == m - 1)
+        sb ++=
+          s""",
+             |na_$k AS (SELECT s, CAST(1 AS BIGINT) AS c, x AS sx, y AS sy
+             |          FROM base WHERE idx = n - 1 AND n > $threshold)""".stripMargin
+      else
+        sb ++=
+          s""",
+             |na_$k AS (SELECT s, COUNT(*) AS c, CAST(SUM(x) AS BIGINT) AS sx,
+             |                 CAST(SUM(y) AS BIGINT) AS sy
+             |          FROM base
+             |          WHERE n > $threshold AND idx >= 1 + ((${k + 1}*(n-2))//$m)
+             |            AND idx < 1 + ((${k + 2}*(n-2))//$m)
+             |          GROUP BY s)""".stripMargin
+      sb ++=
+        s""",
+           |sel_${k + 1} AS (
+           |  SELECT t.s, t.idx, t.x, t.y, t.n FROM (
+           |    SELECT p.s, p.idx, p.x, p.y, p.n,
+           |           row_number() OVER (PARTITION BY p.s ORDER BY
+           |             abs((q.x*na.c - na.sx)*(p.y - q.y) - (q.x - p.x)*(na.sy - q.y*na.c)) DESC,
+           |             p.idx ASC) AS rn
+           |    FROM base p
+           |    JOIN sel_$k q ON q.s = p.s
+           |    JOIN na_$k na ON na.s = p.s
+           |    WHERE p.n > $threshold AND p.idx >= 1 + (($k*(p.n-2))//$m)
+           |      AND p.idx < 1 + ((${k + 1}*(p.n-2))//$m)) t
+           |  WHERE t.rn = 1)""".stripMargin
+    }
+    val sels = (0 to m).map(k => s"SELECT s, x, y FROM sel_$k").mkString("\n  UNION ALL ")
+    sb ++=
+      s""",
+         |lastp AS (SELECT s, x, y FROM base WHERE idx = n - 1 AND n > $threshold),
+         |picked AS (
+         |  $sels
+         |  UNION ALL SELECT s, x, y FROM lastp
+         |  UNION ALL SELECT s, x, y FROM small)
+         |SELECT s AS measurement_subject, x + $startUs AS time_us, y AS value_scaled
+         |FROM picked ORDER BY 1, 2, 3""".stripMargin
+    sb.toString
+  }
+
   /** Gapfill replay: dense grid via generate_series × distinct subjects,
     * then the SAME gaps-and-islands fill the Spark side uses (running
     * count of non-null buckets → island id → the island head's value) —
@@ -1344,6 +1420,7 @@ object SparkEntry {
          |FROM gaps WHERE gap_start_us IS NOT NULL
          |ORDER BY gap_us DESC, measurement_subject ASC, gap_start_us ASC
          |LIMIT 50""".stripMargin,
+    "q_lttb" -> lttbOracleSql,
     // exact integer OHLC; open/close replayed as row_number picks over the
     // SAME composite (ts, value) order min_by/max_by use on the Spark side
     "q_ohlc" ->
