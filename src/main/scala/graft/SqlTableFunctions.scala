@@ -108,6 +108,14 @@ object SqlTableFunctions {
     v.toInt
   }
 
+  private def doubleArg(fn: TableFn, args: Seq[Expression], i: Int): Double =
+    evalArg(fn, args, i) match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL 0.8 literal
+      case other => throw new IllegalArgumentException(
+        s"${fn.name}: argument ${i + 1} must be numeric, got $other (usage: ${fn.usage})")
+    }
+
   // ---- the functions -------------------------------------------------
   // Dashboard names mirror the reference's db/ function names under the
   // graft_ prefix; argument order follows the reference signatures (see
@@ -187,6 +195,33 @@ object SqlTableFunctions {
         TimeseriesQueries.formatTimeIntervals(cond(s, f), strArg(f, a, 0), strArg(f, a, 1),
           longArg(f, a, 2), longArg(f, a, 3), longArg(f, a, 4))
     }
+    add("graft_ohlc", "graft_ohlc(of, start_s, end_s, width_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.ohlcBars(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
+    add("graft_heartbeat_uptime",
+      "graft_heartbeat_uptime(of, start_s, end_s, heartbeat_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.heartbeatUptime(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
+    add("graft_gapfill", "graft_gapfill(of, start_s, end_s, width_s, method)", 5) {
+      (s, f, a) =>
+        val method = strArg(f, a, 4).toLowerCase match {
+          case "locf"   => graft.queries.GapfillLocf
+          case "linear" => graft.queries.GapfillLinear
+          case other => throw new IllegalArgumentException(
+            s"${f.name}: unknown gapfill method '$other' (expected locf|linear)")
+        }
+        TimeseriesQueries.gapfill(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3), method)
+    }
+    add("graft_lttb", "graft_lttb(of, start_s, end_s, threshold)", 4) {
+      (s, f, a) =>
+        graft.functions.Lttb.downsample(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
+    }
 
     // ---- pipeline operators over the documents/embeddings relations --
 
@@ -225,6 +260,29 @@ object SqlTableFunctions {
         graft.operators.CorpusCuration.trainingExport(
           rel(s, DocumentsRelation, f.name), rel(s, strArg(f, a, 0), f.name),
           longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
+    }
+    add("graft_dup_spans", "graft_dup_spans(min_len)", 1) { (s, f, a) =>
+      graft.operators.SpanDedup.duplicatedSpans(
+        rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
+    }
+    // semantic dedup from SQL: centroids come from a named relation
+    // (list_id, centroid) — a trainedCentroids dump or any seed table
+    add("graft_semdedup", "graft_semdedup(centroid_relation, threshold)", 2) {
+      (s, f, a) =>
+        graft.operators.SemDedup.semDedup(rel(s, EmbeddingsRelation, f.name),
+          rel(s, strArg(f, a, 0), f.name), doubleArg(f, a, 1))
+    }
+    // snapshot bookkeeping: both snapshots named by the caller
+    add("graft_corpus_diff", "graft_corpus_diff(old_relation, new_relation)", 2) {
+      (s, f, a) =>
+        graft.operators.SnapshotDiff.diff(
+          rel(s, strArg(f, a, 0), f.name), rel(s, strArg(f, a, 1), f.name))
+    }
+    add("graft_token_drift", "graft_token_drift(old_relation, new_relation, k)", 3) {
+      (s, f, a) =>
+        graft.operators.SnapshotDiff.tokenDrift(
+          rel(s, strArg(f, a, 0), f.name), rel(s, strArg(f, a, 1), f.name),
+          intArg(f, a, 2))
     }
     out.reverse
   }

@@ -218,6 +218,66 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         spark.table("spec_bench_slice"), seed = 42, epoch = 1, numShards = 5))
   }
 
+  test("graft_ohlc ≡ ohlcBars") {
+    assertSame(s"SELECT * FROM graft_ohlc('m', $T0, $T1, 3600)",
+      TimeseriesQueries.ohlcBars(cond, "m", T0, T1, widthS = 3600))
+  }
+
+  test("graft_heartbeat_uptime ≡ heartbeatUptime") {
+    assertSame(s"SELECT * FROM graft_heartbeat_uptime('m', $T0, $T1, 600)",
+      TimeseriesQueries.heartbeatUptime(cond, "m", T0, T1, heartbeatS = 600))
+  }
+
+  test("graft_gapfill ≡ gapfill (both methods); unknown method errors") {
+    assertSame(s"SELECT * FROM graft_gapfill('m', $T0, $T1, 3600, 'locf')",
+      TimeseriesQueries.gapfill(cond, "m", T0, T1, 3600, graft.queries.GapfillLocf))
+    assertSame(s"SELECT * FROM graft_gapfill('m', $T0, $T1, 3600, 'linear')",
+      TimeseriesQueries.gapfill(cond, "m", T0, T1, 3600, graft.queries.GapfillLinear))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_gapfill('m', $T0, $T1, 3600, 'cubic')").collect()
+    }
+    assert(e.getMessage.contains("locf|linear"))
+  }
+
+  test("graft_lttb ≡ Lttb.downsample") {
+    assertSame(s"SELECT * FROM graft_lttb('m', $T0, $T1, 15)",
+      graft.functions.Lttb.downsample(cond, "m", T0, T1, threshold = 15))
+  }
+
+  test("graft_dup_spans ≡ SpanDedup.duplicatedSpans") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_dup_spans(20)",
+      graft.operators.SpanDedup.duplicatedSpans(
+        spark.table(SqlTableFunctions.DocumentsRelation), minLen = 20))
+  }
+
+  test("graft_semdedup ≡ SemDedup.semDedup over a named centroid relation") {
+    registerCorpus()
+    val emb = spark.table(SqlTableFunctions.EmbeddingsRelation)
+    emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("list_id"),
+        org.apache.spark.sql.functions.col("embedding").as("centroid"))
+      .createOrReplaceTempView("spec_seed_centroids")
+    assertSame("SELECT * FROM graft_semdedup('spec_seed_centroids', 0.8)",
+      graft.operators.SemDedup.semDedup(emb,
+        spark.table("spec_seed_centroids"), threshold = 0.8))
+  }
+
+  test("graft_corpus_diff / graft_token_drift ≡ SnapshotDiff over named snapshots") {
+    registerCorpus()
+    val docs = spark.table(SqlTableFunctions.DocumentsRelation)
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+      .createOrReplaceTempView("spec_snap_old")
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 1)
+      .createOrReplaceTempView("spec_snap_new")
+    assertSame("SELECT * FROM graft_corpus_diff('spec_snap_old', 'spec_snap_new')",
+      graft.operators.SnapshotDiff.diff(
+        spark.table("spec_snap_old"), spark.table("spec_snap_new")))
+    assertSame("SELECT * FROM graft_token_drift('spec_snap_old', 'spec_snap_new', 25)",
+      graft.operators.SnapshotDiff.tokenDrift(
+        spark.table("spec_snap_old"), spark.table("spec_snap_new"), k = 25))
+  }
+
   test("a missing relation names the view to register") {
     spark.sessionState.catalog.dropTempView(SqlTableFunctions.EmbeddingsRelation)
     val e = intercept[Exception] {
