@@ -343,6 +343,53 @@ object ScaleProbe {
     * structure). The measured gap is the scale argument for running the
     * contract's bounded config at 100 TB.
     */
+  /** SemDeDup probe: all-pairs exact near-dup vs the cluster-bounded
+    * SemDeDup pipeline on the same planted-duplicate corpus, nlist scaled
+    * with n (targeting ~500-vector clusters). All-pairs arithmetic grows
+    * ∝ n²; SemDeDup's pairwise term grows ∝ Σ|cluster|² ≈ n · 500, i.e.
+    * linearly once n ≫ cluster size — the crossover this probe measures.
+    * Both tiers must find the planted duplicates (recall check printed).
+    */
+  private def semdedupProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.{Ann, SemDedup}
+    for (n <- ns) {
+      val corpus = syntheticEmbeddings(spark, n.toLong).localCheckpoint(true)
+      val total = corpus.count()
+      val planted = total - n // duplicates planted by syntheticEmbeddings
+      val (allPairs, tAll) = time(Ann.neardupPairs(corpus, threshold = 0.9).count())
+      spark.catalog.clearCache(); System.gc()
+      val nlist = math.max(4, (total / 500).toInt)
+      val (cents, tTrain) = time {
+        val c = SemDedup.trainedCentroids(corpus, nlist).localCheckpoint(true)
+        c.count(); c
+      }
+      val (dropped, tSem) = time(
+        SemDedup.semDedup(corpus, cents, threshold = 0.9)
+          .filter(!col("keep")).count())
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"n":$total,"planted":$planted,"nlist":$nlist,"allpairs":$allPairs,"allpairs_sec":${f"$tAll%.2f"},"train_sec":${f"$tTrain%.2f"},"semdedup_dropped":$dropped,"semdedup_sec":${f"$tSem%.2f"}}""")
+    }
+  }
+
+  /** Duplicated-span probe: corpus grown M×, timing the exact rolling-
+    * window span detection. Window rows grow ∝ total chars (the
+    * documented L× amplification is per-byte, not per-doc²); the probe
+    * pins that the wall-clock grows ~linearly in M, i.e. the pipeline has
+    * no hidden quadratic stage (the window group-by is hash-partitioned,
+    * the island merge per-document).
+    */
+  private def spansProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.SpanDedup
+    for (m <- ms) {
+      val corpus = grow(docs, m).localCheckpoint(true)
+      val n = corpus.count()
+      val chars = corpus.agg(sum(length(col("text")))).head().getLong(0)
+      val (spans, t) = time(SpanDedup.duplicatedSpans(corpus, 20).count())
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"m":$m,"docs":$n,"chars":$chars,"spans":$spans,"sec":${f"$t%.2f"}}""")
+    }
+  }
+
   private def hotShingleProbe(spark: SparkSession, docs: DataFrame, ns: Seq[Int]): Unit = {
     import spark.implicits._
     val base = docs.count().toInt
@@ -553,6 +600,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.lift(2).contains("semdedup")) {
+      semdedupProbe(spark, ms) // ms are vector counts here
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     if (args.lift(2).contains("incr")) {
       incrProbe(spark, docs, ms)
@@ -581,6 +633,11 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("hotshingle")) {
       hotShingleProbe(spark, docs, ms) // ms are absolute doc counts here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("spans")) {
+      spansProbe(spark, docs, ms) // ms are corpus growth factors here
       spark.stop()
       return
     }
