@@ -196,6 +196,24 @@ object SparkEntry {
     // are exercised heavily — which is the point of the contract)
     "q_rate" -> ((s, d) =>
       graft.queries.TimeseriesQueries.counterToRate(conditions(s, d), Of, S1, E1)),
+    // rolling window stats (last-5-readings count/sum/min/max per
+    // subject): single window pass, integer-exact outputs
+    "q_rolling" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.rollingStats(conditions(s, d), Of, S1, E1, k = 5)),
+    // seasonal-baseline outliers: per-(subject, hour-of-day) median/MAD
+    // profile from the first week, scored against the rest of the range —
+    // the diurnal-pattern anomaly rule, dyadic-integer exact
+    "q_seasonal" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.seasonalOutliers(conditions(s, d), Of,
+        baseStartS = S1, baseEndS = FS, evalStartS = FS + 1, evalEndS = E1)),
+    // retention cohorts: first-active day → activity per day offset
+    "q_retention" -> ((s, d) =>
+      graft.queries.EventAnalytics.retentionCohorts(conditions(s, d), Of, S1, E1)),
+    // EAV-to-wide pivot: daily (subject, bucket) rows, one avg column per
+    // metric — ONE conditional hash agg, no pivot distinct-scan
+    "q_pivot" -> ((s, d) =>
+      graft.queries.EventAnalytics.pivotWide(conditions(s, d),
+        Seq("click", "view", "purchase"), S1, E1, widthS = 86400)),
     // LTTB downsampling (Timescale toolkit lttb): threshold=20 points per
     // subject, integer-exact triangle argmax, sequential selection
     // replayed by the oracle as an unrolled per-bucket CTE chain
@@ -1421,6 +1439,88 @@ object SparkEntry {
          |ORDER BY gap_us DESC, measurement_subject ASC, gap_start_us ASC
          |LIMIT 50""".stripMargin,
     "q_lttb" -> lttbOracleSql,
+    // identical ROWS frame over the identical (ts, value) order; equal
+    // keys are interchangeable so the frame multiset is engine-stable
+    "q_rolling" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT measurement_subject, ts_us, c AS value_scaled,
+         |       COUNT(*) OVER w AS roll_n,
+         |       CAST(SUM(c) OVER w AS BIGINT) AS roll_sum,
+         |       MIN(c) OVER w AS roll_min,
+         |       MAX(c) OVER w AS roll_max
+         |FROM scanned
+         |WINDOW w AS (PARTITION BY measurement_subject ORDER BY ts_us, c
+         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY 1, 2, 3""".stripMargin,
+    // per-(subject, hour-of-day) quantile_cont profile over the baseline
+    // week, dyadic-exact flag rule over the evaluation slice
+    "q_seasonal" ->
+      s"""$Cte,
+         |base AS (
+         |  SELECT measurement_subject, (epoch_us("timestamp") // 1000000 // 3600) % 24 AS hour_of_day,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $FS),
+         |prof AS (
+         |  SELECT measurement_subject, hour_of_day,
+         |         quantile_cont(c, 0.5) AS med, COUNT(*) AS n_base
+         |  FROM base GROUP BY 1, 2),
+         |madt AS (
+         |  SELECT b.measurement_subject, b.hour_of_day,
+         |         quantile_cont(abs(b.c - p.med), 0.5) AS mad
+         |  FROM base b JOIN prof p
+         |    ON b.measurement_subject = p.measurement_subject AND b.hour_of_day = p.hour_of_day
+         |  GROUP BY 1, 2),
+         |ev AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us,
+         |         (epoch_us("timestamp") // 1000000 // 3600) % 24 AS hour_of_day,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= ${FS + 1} AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT ev.ts_us, ev.measurement_subject, ev.hour_of_day,
+         |       ev.c AS value_scaled, p.med AS med_scaled, m.mad AS mad_scaled, p.n_base
+         |FROM ev
+         |JOIN prof p ON ev.measurement_subject = p.measurement_subject AND ev.hour_of_day = p.hour_of_day
+         |JOIN madt m ON ev.measurement_subject = m.measurement_subject AND ev.hour_of_day = m.hour_of_day
+         |WHERE abs(ev.c - p.med) > m.mad * 3
+         |ORDER BY 1, 2, 4""".stripMargin,
+    // first-active day per subject → per-offset distinct-active counts
+    "q_retention" ->
+      s"""$Cte,
+         |d AS (
+         |  SELECT DISTINCT measurement_subject,
+         |         epoch_us("timestamp") // 1000000 // 86400 AS day
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of'
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |coh AS (SELECT measurement_subject, MIN(day) AS cohort_day FROM d GROUP BY 1)
+         |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+         |       COUNT(DISTINCT d.measurement_subject) AS n_active
+         |FROM d JOIN coh c ON d.measurement_subject = c.measurement_subject
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the pivot IS conditional aggregation — the oracle writes it out
+    "q_pivot" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, measurement_of, measurement_number,
+         |         (epoch_us("timestamp") // 1000000 // 86400) * 86400 AS bucket_s
+         |  FROM conditions
+         |  WHERE measurement_of IN ('click', 'view', 'purchase')
+         |    AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT measurement_subject, bucket_s,
+         |       ROUND(AVG(CASE WHEN measurement_of = 'click' THEN measurement_number END), 6) AS click,
+         |       ROUND(AVG(CASE WHEN measurement_of = 'view' THEN measurement_number END), 6) AS view,
+         |       ROUND(AVG(CASE WHEN measurement_of = 'purchase' THEN measurement_number END), 6) AS purchase
+         |FROM scanned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact integer OHLC; open/close replayed as row_number picks over the
     // SAME composite (ts, value) order min_by/max_by use on the Spark side
     "q_ohlc" ->

@@ -54,6 +54,19 @@ object SemDedup {
       .toSeq.toDF("list_id", "centroid")
   }
 
+  /** The centroids of a persisted [[Ann.writeIvfIndex]] /
+    * [[Ann.writeIvfSq8Index]] table, as the (list_id, centroid) frame
+    * [[semDedup]] consumes — so a corpus that already maintains an IVF
+    * index runs SemDeDup against the SAME partitioning it serves ANN
+    * from, for free (no second training pass, and the dedup clusters
+    * line up with the index's `ivf_list` layout).
+    */
+  def centroidsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                            tableName: String): DataFrame =
+    spark.table(s"${tableName}_centroids")
+      .select(col("ivf_list").cast("long").as("list_id"),
+        col("centroid").cast("array<float>").as("centroid"))
+
   /** Max-cosine centroid assignment: (vec_id, embedding, list_id), ties
     * broken toward the LOWEST list_id (strict-greater scan in ascending
     * list order — the oracle replays it as ORDER BY cos DESC, list_id

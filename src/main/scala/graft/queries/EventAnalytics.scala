@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics rollups over the conditions feed — the queries a
+  * dashboard layer asks of an event stream once it has users and event
+  * types (the reference's EAV model carries both: subject = user,
+  * measurement_of = event type).
+  */
+object EventAnalytics {
+
+  /** Retention cohorts: subjects grouped by their FIRST-ACTIVE day (the
+    * cohort), then counted on each subsequent day they were active —
+    * `(cohort_day, day_offset, n_active)`, the classic retention
+    * triangle. Day 0 row = cohort size. All-integer UTC day arithmetic.
+    *
+    * Scale shape: first-day per subject is one hash agg; the activity
+    * set is a distinct over (subject, day); the cohort join broadcasts
+    * the (subject → cohort) map when small and hash-joins otherwise;
+    * final count is a hash agg on (cohort_day, offset). No windows, no
+    * driver state.
+    */
+  def retentionCohorts(conditions: DataFrame, of: String,
+                       startS: Long, endS: Long): DataFrame = {
+    val days = conditions.filter(
+        col("measurement_of") === of &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        expr("unix_micros(timestamp) div 1000000 div 86400").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("measurement_subject")
+      .agg(min("day").as("cohort_day"))
+    days.join(cohorts, Seq("measurement_subject"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("measurement_subject").as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** EAV-to-wide pivot: one row per (subject, epoch-aligned bucket), one
+    * column per requested metric (bucket AVG, 6-dp-rounded; NULL when
+    * the metric is absent in the bucket) — the "give me a normal table"
+    * export every EAV store eventually needs. Metrics are an EXPLICIT
+    * list: the output schema is deterministic and Spark's pivot skips
+    * its extra distinct-scan pass.
+    *
+    * Scale shape: single scan filtered to the metric list, ONE hash
+    * aggregation on (subject, bucket) computing all metric columns as
+    * conditional partial aggregates — exactly the plan of the
+    * hand-written `AVG(CASE WHEN ...)` form the oracle uses.
+    */
+  def pivotWide(conditions: DataFrame, metrics: Seq[String],
+                startS: Long, endS: Long, widthS: Long): DataFrame = {
+    require(metrics.nonEmpty, "metrics must be non-empty")
+    require(widthS > 0, "widthS must be positive")
+    val wUs = widthS * 1000000L
+    conditions.filter(
+        col("measurement_of").isin(metrics: _*) &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"), col("measurement_of"),
+        col("measurement_number"),
+        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L")
+          .as("bucket_s"))
+      .groupBy("measurement_subject", "bucket_s")
+      .pivot("measurement_of", metrics)
+      .agg(round(avg("measurement_number"), 6))
+      .orderBy("measurement_subject", "bucket_s")
+  }
+}

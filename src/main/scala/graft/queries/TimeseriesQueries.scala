@@ -506,6 +506,92 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "session_start_us")
   }
 
+  /** Rolling (sliding-window) statistics per subject: for every reading,
+    * the count/sum/min/max over the last `k` readings of the same subject
+    * (ROWS frame, inclusive) — the trailing-window smoother dashboards
+    * overlay on raw series (TimescaleDB's `rolling(stats_agg)`). All
+    * outputs are `scale`-quantized integers, so the contract is
+    * bit-exact; the mean is `roll_sum/roll_n` downstream.
+    *
+    * Duplicate timestamps: the window orders by (ts, value), and rows
+    * with EQUAL (ts, value) are interchangeable — any tie order yields
+    * the same frame multiset — so the result is engine-stable without a
+    * unique key.
+    *
+    * Scale shape: one hash shuffle on subject + per-subject sort, single
+    * window pass computing all four aggregates over the same frame.
+    */
+  def rollingStats(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                   k: Int, scale: Int = 100): DataFrame = {
+    require(k > 0 && scale > 0, "k and scale must be positive")
+    val w = Window.partitionBy("measurement_subject").orderBy("ts_us", "c")
+      .rowsBetween(-(k - 1), Window.currentRow)
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum("c").over(w))
+      .withColumn("roll_min", min("c").over(w))
+      .withColumn("roll_max", max("c").over(w))
+      .select(col("measurement_subject"), col("ts_us"), col("c").as("value_scaled"),
+        col("roll_n"), col("roll_sum"), col("roll_min"), col("roll_max"))
+      .orderBy("measurement_subject", "ts_us", "value_scaled")
+  }
+
+  /** Seasonal-baseline outliers: a reading is anomalous when it deviates
+    * from what ITS HOUR OF DAY usually looks like — the diurnal pattern
+    * [[hampelOutliers]]'s flat per-bucket baseline can't model (a value
+    * normal at noon may be a 3-sigma spike at 3 am). The baseline window
+    * builds a per-(subject, hour-of-day) median/MAD profile; readings in
+    * the evaluation window are flagged by the same dyadic-integer
+    * `|x − med| > k·MAD` rule, so the whole contract stays bit-exact
+    * cross-engine.
+    *
+    * Baseline and evaluation are SEPARATE ranges (train-on-history,
+    * score-today — the production shape); hour-of-day is UTC epoch
+    * arithmetic, `(µs div 10⁶ div 3600) mod 24`.
+    *
+    * Scale shape: one hash-agg pass over the baseline slice (24 rows per
+    * subject out), broadcast-joined onto the evaluation scan — no window
+    * over the eval data at all.
+    */
+  def seasonalOutliers(conditions: DataFrame, of: String,
+                       baseStartS: Long, baseEndS: Long,
+                       evalStartS: Long, evalEndS: Long,
+                       k: Int = 3, scale: Int = 100): DataFrame = {
+    require(k > 0 && scale > 0, "k and scale must be positive")
+    def slice(s: Long, e: Long) = conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(s)) &&
+        col("timestamp") <= timestamp_seconds(lit(e)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .withColumn("hour_of_day", expr("(ts_us div 1000000 div 3600) % 24"))
+    val baseline = slice(baseStartS, baseEndS)
+      .groupBy("measurement_subject", "hour_of_day")
+      .agg(expr("percentile(c, 0.5)").as("med"), count(lit(1)).as("n_base"))
+    // MAD needs the median first — second pass over the baseline slice
+    val mad = slice(baseStartS, baseEndS)
+      .join(baseline, Seq("measurement_subject", "hour_of_day"))
+      .groupBy("measurement_subject", "hour_of_day")
+      .agg(expr("percentile(abs(c - med), 0.5)").as("mad"))
+    slice(evalStartS, evalEndS)
+      .join(broadcast(baseline.join(mad, Seq("measurement_subject", "hour_of_day"))),
+        Seq("measurement_subject", "hour_of_day"))
+      .filter(abs(col("c") - col("med")) > col("mad") * k)
+      .select(col("ts_us"), col("measurement_subject"), col("hour_of_day"),
+        col("c").as("value_scaled"), col("med").as("med_scaled"),
+        col("mad").as("mad_scaled"), col("n_base"))
+      .orderBy("ts_us", "measurement_subject", "value_scaled")
+  }
+
   /** OHLC (candlestick) bars per (subject, epoch-aligned bucket): open =
     * first reading, high/low = extremes, close = last reading — the
     * finance rollup TimescaleDB ships as `candlestick_agg` and the natural

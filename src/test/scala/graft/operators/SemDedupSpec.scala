@@ -84,6 +84,27 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out(5L) && out(25L), "originals must be kept")
   }
 
+  test("centroidsFromIvfIndex: SemDeDup runs against a persisted index's centroids") {
+    import spark.implicits._
+    val base = (0L until 60L).map { i =>
+      val r = new java.util.Random(i)
+      (i, Array.fill(16)(r.nextGaussian().toFloat))
+    }
+    val clones = Seq((200L, base(3)._2), (201L, base(42)._2))
+    val df = (base ++ clones).toDF("vec_id", "embedding")
+    Ann.writeIvfIndex(df, "semdedup_ivf_idx", nlist = 4)
+    try {
+      val cents = SemDedup.centroidsFromIvfIndex(spark, "semdedup_ivf_idx")
+      assert(cents.columns.toSeq == Seq("list_id", "centroid"))
+      val out = SemDedup.semDedup(df, cents, threshold = 0.999999)
+        .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+      assert(!out(200L) && !out(201L) && out(3L) && out(42L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS semdedup_ivf_idx")
+      spark.sql("DROP TABLE IF EXISTS semdedup_ivf_idx_centroids")
+    }
+  }
+
   test("dimension mismatch and zero-norm centroids fail loudly") {
     import spark.implicits._
     val bad = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
