@@ -222,6 +222,30 @@ object SqlTableFunctions {
         graft.functions.Lttb.downsample(cond(s, f), strArg(f, a, 0),
           longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
     }
+    add("graft_rolling_stats", "graft_rolling_stats(of, start_s, end_s, k)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.rollingStats(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
+    }
+    add("graft_seasonal_outliers",
+      "graft_seasonal_outliers(of, base_start_s, base_end_s, eval_start_s, eval_end_s)", 5) {
+      (s, f, a) =>
+        TimeseriesQueries.seasonalOutliers(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3), longArg(f, a, 4))
+    }
+    add("graft_retention", "graft_retention(of, start_s, end_s)", 3) {
+      (s, f, a) =>
+        graft.queries.EventAnalytics.retentionCohorts(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2))
+    }
+    // metrics as a comma-separated list — table-function args are scalar
+    // literals, so the list travels as one string
+    add("graft_pivot", "graft_pivot(metrics_csv, start_s, end_s, width_s)", 4) {
+      (s, f, a) =>
+        val metrics = strArg(f, a, 0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.queries.EventAnalytics.pivotWide(cond(s, f), metrics,
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
 
     // ---- pipeline operators over the documents/embeddings relations --
 

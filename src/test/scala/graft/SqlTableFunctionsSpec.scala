@@ -244,6 +244,28 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       graft.functions.Lttb.downsample(cond, "m", T0, T1, threshold = 15))
   }
 
+  test("graft_rolling_stats ≡ rollingStats") {
+    assertSame(s"SELECT * FROM graft_rolling_stats('m', $T0, $T1, 5)",
+      TimeseriesQueries.rollingStats(cond, "m", T0, T1, k = 5))
+  }
+
+  test("graft_seasonal_outliers ≡ seasonalOutliers") {
+    val mid = T0 + 3 * 3600
+    assertSame(
+      s"SELECT * FROM graft_seasonal_outliers('m', $T0, $mid, ${mid + 1}, $T1)",
+      TimeseriesQueries.seasonalOutliers(cond, "m", T0, mid, mid + 1, T1))
+  }
+
+  test("graft_retention ≡ retentionCohorts") {
+    assertSame(s"SELECT * FROM graft_retention('m', $T0, $T1)",
+      graft.queries.EventAnalytics.retentionCohorts(cond, "m", T0, T1))
+  }
+
+  test("graft_pivot ≡ pivotWide with a CSV metric list") {
+    assertSame(s"SELECT * FROM graft_pivot('m, state', $T0, $T1, 3600)",
+      graft.queries.EventAnalytics.pivotWide(cond, Seq("m", "state"), T0, T1, 3600))
+  }
+
   test("graft_dup_spans ≡ SpanDedup.duplicatedSpans") {
     registerCorpus()
     assertSame("SELECT * FROM graft_dup_spans(20)",
