@@ -801,6 +801,17 @@ object SparkEntry {
       graft.operators.Sampling.mixtureSample(table(s, d, "documents"),
           targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source").orderBy("doc_id")),
+    // temperature re-sampling (α = 0.5) over a deterministically SKEWED
+    // corpus (odd ids of five sources removed — the synthetic corpus is
+    // uniform, which would make every keep rate 1): small sources kept
+    // whole, big sources downsampled toward √count proportions
+    "q_sample_temperature" -> ((s, d) => {
+      val skewed = table(s, d, "documents").filter(
+        !(col("source").isin("src0", "src1", "src2", "src3", "src4") &&
+          col("doc_id") % 2 === 1))
+      graft.operators.Sampling.temperatureSample(skewed, alpha = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // deterministic epoch shuffle (training-data ordering): shard +
     // global position are a pure function of (seed, epoch, doc_id) —
     // the oracle replays md5 -> hex-Horner shard -> total order in SQL
@@ -2160,6 +2171,23 @@ object SparkEntry {
          |        FROM cnt JOIN tgt USING (source) CROSS JOIN lam)
          |SELECT d.doc_id, d.source
          |FROM (SELECT doc_id, source, ${md5BucketSql("mix", "doc_id")} AS b FROM documents) d
+         |JOIN thr USING (source)
+         |WHERE d.b < thr.thr
+         |ORDER BY doc_id""".stripMargin,
+    // temperature replay: counts → count^0.5 targets → λ → integer
+    // thresholds → md5 buckets, all in SQL over the same skewed slice
+    "q_sample_temperature" ->
+      s"""WITH skew AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE NOT (source IN ('src0','src1','src2','src3','src4') AND doc_id % 2 = 1)),
+         |cnt AS (SELECT source, count(*) AS c FROM skew GROUP BY source),
+         |tgt AS (SELECT source, c, pow(CAST(c AS DOUBLE), 0.5) AS t FROM cnt),
+         |lam AS (SELECT MIN(CAST(c AS DOUBLE) / t) AS l FROM tgt),
+         |thr AS (SELECT source,
+         |               CAST(ROUND(lam.l * t / c * ${graft.operators.Sampling.BucketCount}) AS BIGINT) AS thr
+         |        FROM tgt CROSS JOIN lam)
+         |SELECT d.doc_id, d.source
+         |FROM (SELECT doc_id, source, ${md5BucketSql("temp", "doc_id")} AS b FROM skew) d
          |JOIN thr USING (source)
          |WHERE d.b < thr.thr
          |ORDER BY doc_id""".stripMargin,

@@ -101,6 +101,31 @@ object Sampling {
     * grid per stratum — exact-count mixing (takeSample semantics) would
     * need a per-stratum rank, a shuffle this deliberately avoids.
     */
+  /** Temperature-based domain re-sampling: target proportions ∝ countᵅ
+    * (α = 1 keeps the natural distribution, α → 0 flattens toward
+    * uniform) — the standard multilingual/multi-domain rebalancing rule
+    * (mBERT/XLM-R exponential smoothing; DoReMi's baseline). Pure
+    * downsampling via [[mixtureSample]]'s λ normalization: the most
+    * over-represented stratum (relative to its countᵅ share) is kept
+    * whole and everything else downsampled proportionally, with the same
+    * deterministic md5 buckets.
+    *
+    * FP note: countᵅ uses `pow`, which IEEE does not require correctly
+    * rounded — the integer bucket thresholds absorb any last-ulp
+    * engine skew except exactly ON a .5·10⁻⁴ boundary (the same accepted
+    * risk class as the ln-based LM scores).
+    */
+  def temperatureSample(docs: DataFrame, alpha: Double,
+                        stratum: String = "source", key: String = "doc_id",
+                        salt: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = docs.groupBy(stratum).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "corpus has no strata")
+    val targets = counts.map { case (s, c) => s -> math.pow(c.toDouble, alpha) }
+    mixtureSample(docs, targets, stratum, key, salt)
+  }
+
   def mixtureSample(docs: DataFrame, targets: Map[String, Double],
                     stratum: String = "source", key: String = "doc_id",
                     salt: String = "mix"): DataFrame = {

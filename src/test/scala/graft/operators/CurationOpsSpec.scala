@@ -73,6 +73,28 @@ class CurationOpsSpec extends AnyFunSuite {
       .filter(col("source") === "c").count() == 0)
   }
 
+  test("temperatureSample: α=1 is the identity mixture; α=0.5 flattens toward uniform") {
+    import spark.implicits._
+    import TestBuckets.jvmBucket
+    // a:400, b:100 → α=0.5 targets ∝ 20/10 → λ = min(400/20, 100/10) = 10
+    // → rate_a = 0.5 (downsampled 2×), rate_b = 1.0 (kept whole)
+    val d = ((0L until 400L).map(i => (i, s"t $i", "a")) ++
+             (400L until 500L).map(i => (i, s"t $i", "b")))
+      .toDF("doc_id", "text", "source")
+    val kept = Sampling.temperatureSample(d, alpha = 0.5)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = ((0L until 400L).filter(i => jvmBucket(i.toString, "temp") < 5000)
+        .map(i => (i, "a")) ++
+      (400L until 500L).map(i => (i, "b"))).toSet
+    assert(kept == expected)
+    // α = 1: targets ∝ counts → every rate 1, nothing dropped
+    assert(Sampling.temperatureSample(d, alpha = 1.0).count() == 500)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(d, alpha = 0.0)
+    }
+  }
+
   test("stratifiedSample: per-stratum rates respected, salt decorrelates from split") {
     import spark.implicits._
     val d = (0L until 2000L).map(i => (i, s"t $i", if (i % 2 == 0) "a" else "b"))
