@@ -47,14 +47,20 @@ object EventAnalytics {
     *
     * Scale shape: single scan filtered to the metric list, ONE hash
     * aggregation on (subject, bucket) computing all metric columns as
-    * conditional partial aggregates — exactly the plan of the
-    * hand-written `AVG(CASE WHEN ...)` form the oracle uses.
+    * conditional partial aggregates — the hand-written `AVG(CASE WHEN
+    * ...)` form the oracle uses. Deliberately NOT Dataset `.pivot()`:
+    * Spark plans that as TWO aggregation stages ((subject, bucket, of)
+    * avg, then a pivotfirst regroup on (subject, bucket) — a second
+    * exchange); the conditional-agg form is one stage, one exchange
+    * (plan pinned in QueryPlanSpec).
     */
   def pivotWide(conditions: DataFrame, metrics: Seq[String],
                 startS: Long, endS: Long, widthS: Long): DataFrame = {
     require(metrics.nonEmpty, "metrics must be non-empty")
     require(widthS > 0, "widthS must be positive")
     val wUs = widthS * 1000000L
+    val aggs = metrics.map(m =>
+      round(avg(when(col("measurement_of") === m, col("measurement_number"))), 6).as(m))
     conditions.filter(
         col("measurement_of").isin(metrics: _*) &&
         col("measurement_number").isNotNull &&
@@ -65,8 +71,7 @@ object EventAnalytics {
         expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L")
           .as("bucket_s"))
       .groupBy("measurement_subject", "bucket_s")
-      .pivot("measurement_of", metrics)
-      .agg(round(avg("measurement_number"), 6))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("measurement_subject", "bucket_s")
   }
 }

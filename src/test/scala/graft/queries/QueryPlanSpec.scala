@@ -244,4 +244,66 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  /** Physical node count by the formatted-explain DETAIL header
+    * (`(n) NodeName`) — each node prints exactly one such header.
+    */
+  private def nodes(p: String, name: String): Int =
+    ("""\(\d+\) """ + name + """\b""").r.findAllIn(p).length
+
+  test("ohlc plan: ONE aggregation (partial+final), no window — open/close are aggregates") {
+    val p = plan("q_ohlc")
+    assert(nodes(p, "Window") == 0, p)
+    // min_by over a struct key plans as SortAggregate — still one
+    // partial+final pair with map-side combine, which is the contract
+    assert(nodes(p, "SortAggregate") + nodes(p, "HashAggregate") == 2, p)
+  }
+
+  test("pivot plan: ONE conditional hash aggregation, single scan, no window") {
+    val p = plan("q_pivot")
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "Scan parquet") == 1, p)
+    // the conditional-agg form — Dataset .pivot() would plan 4 (two
+    // stages, each partial+final)
+    assert(nodes(p, "HashAggregate") == 2, p)
+  }
+
+  test("rolling stats plan: one subject-partitioned window pass, all four aggs in it") {
+    val p = plan("q_rolling")
+    assert(nodes(p, "Window") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("seasonal outliers plan: baseline profile broadcast onto the eval scan") {
+    val p = plan("q_seasonal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("gapfill plan: grid explode is subject-distinct × sequence, no cartesian") {
+    val p = plan("q_gapfill_locf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(nodes(p, "Generate") >= 1, p)
+  }
+
+  test("duplicated spans plan: ONE window-count pass over ONE explosion, no self-join") {
+    val p = plan("q_dup_spans")
+    assert(!p.contains("Join"), p)
+    // one generate (the window explosion) — the groupBy+semi-join shape
+    // would show two
+    assert(nodes(p, "Generate") == 1, p)
+  }
+
+  test("token drift plan: totals ride a broadcast, top-k is TakeOrderedAndProject") {
+    val p = plan("q_corpus_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("retention plan: hash aggregations only, cohort map joined without nested loop") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
