@@ -713,6 +713,13 @@ object SparkEntry {
     // vocabulary build: top-K tokens by total frequency + doc frequency
     "q_vocab" -> ((s, d) =>
       graft.operators.TextAnalysis.vocabulary(table(s, d, "documents"), k = 100)),
+    // tokenizer-fit: per-doc OOV counts against the corpus's own top-30
+    // vocabulary — exact integers, vocabulary broadcast
+    "q_vocab_coverage" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.TextAnalysis.vocabCoverage(docs,
+        graft.operators.TextAnalysis.vocabulary(docs, k = 30).select("token"))
+    }),
     // BM25 lexical top-k retrieval (the lexical face of similarity
     // search): Okapi scoring with binary-exact constants, full SQL
     // replay including the Robertson idf
@@ -2042,6 +2049,15 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
+    // coverage vs the deterministic top-30 vocab (q_vocab's own ranking)
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT token FROM (
+        |  SELECT token, count(*) AS tf FROM t GROUP BY token
+        |  ORDER BY tf DESC, token ASC LIMIT 30))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN t.token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,

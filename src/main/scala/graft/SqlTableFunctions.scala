@@ -289,6 +289,10 @@ object SqlTableFunctions {
       graft.operators.SpanDedup.duplicatedSpans(
         rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
     }
+    add("graft_temperature_sample", "graft_temperature_sample(alpha)", 1) { (s, f, a) =>
+      graft.operators.Sampling.temperatureSample(
+        rel(s, DocumentsRelation, f.name), doubleArg(f, a, 0))
+    }
     // semantic dedup from SQL: centroids come from a named relation
     // (list_id, centroid) — a trainedCentroids dump or any seed table
     add("graft_semdedup", "graft_semdedup(centroid_relation, threshold)", 2) {

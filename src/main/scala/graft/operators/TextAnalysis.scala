@@ -166,6 +166,27 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Tokenizer-fit report: per document, total and out-of-vocabulary
+    * token counts against a vocabulary relation (one `token` column —
+    * typically a [[vocabulary]] top-k or a real tokenizer's vocab dump).
+    * The OOV RATE (`n_oov / n_tokens`) is the standard "does this
+    * tokenizer fit this corpus" QA signal; counts stay exact integers so
+    * the contract has no FP surface.
+    *
+    * Scale shape: token explode is narrow; the vocabulary is broadcast
+    * (vocabularies are bounded by construction), so the coverage join
+    * never shuffles the corpus — one per-doc hash agg after a map-side
+    * broadcast join.
+    */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("token"))
+      .join(broadcast(vocab.select(col("token")).distinct()
+        .withColumn("known", lit(1))), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy("doc_id")
+
   /** Compiled repetition kernel: one pass over the token array computing
     * the counts behind the Gopher-style repetition filters (Rae et al.
     * 2021, App. A1.1; also C4's heuristics) — duplicate-token, top-bigram

@@ -273,6 +273,13 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         spark.table(SqlTableFunctions.DocumentsRelation), minLen = 20))
   }
 
+  test("graft_temperature_sample ≡ Sampling.temperatureSample") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_temperature_sample(0.5)",
+      graft.operators.Sampling.temperatureSample(
+        spark.table(SqlTableFunctions.DocumentsRelation), alpha = 0.5))
+  }
+
   test("graft_semdedup ≡ SemDedup.semDedup over a named centroid relation") {
     registerCorpus()
     val emb = spark.table(SqlTableFunctions.EmbeddingsRelation)

@@ -477,6 +477,15 @@ class CurationOpsSpec extends AnyFunSuite {
     val rows = TextAnalysis.vocabulary(d, k = 2).collect().map(_.getString(0))
     assert(rows.toSeq == Seq("w", "x"))
   }
+
+  test("vocabCoverage: exact per-doc OOV counts; full-vocab docs count zero") {
+    import spark.implicits._
+    val d = Seq((1L, "a b qq"), (2L, "a a"), (3L, "zz yy")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val rows = TextAnalysis.vocabCoverage(d, vocab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 3L, 1L), (2L, 2L, 0L), (3L, 2L, 2L)))
+  }
   // ----------------------------------------------------------- BM25
 
   test("bm25TopK matches an independent driver-side Okapi reference") {

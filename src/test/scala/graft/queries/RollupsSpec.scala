@@ -84,6 +84,22 @@ class RollupsSpec extends AnyFunSuite {
       (18000L, None, 0L)))                  // trailing edge
   }
 
+  test("empty inputs: every rollup returns empty, none crashes") {
+    val empty = conditions(Seq.empty)
+    assert(TimeseriesQueries.ohlcBars(empty, "m", T0, T0 + 3600, 3600).collect().isEmpty)
+    assert(TimeseriesQueries.heartbeatUptime(empty, "m", T0, T0 + 3600, 60).collect().isEmpty)
+    assert(TimeseriesQueries.gapfill(empty, "m", T0, T0 + 3600, 3600, GapfillLocf)
+      .collect().isEmpty)
+    assert(TimeseriesQueries.rollingStats(empty, "m", T0, T0 + 3600, 3).collect().isEmpty)
+    assert(TimeseriesQueries.seasonalOutliers(empty, "m", T0, T0 + 3600,
+      T0 + 3601, T0 + 7200).collect().isEmpty)
+    assert(graft.functions.Lttb.downsample(empty, "m", T0, T0 + 3600, 5)
+      .collect().isEmpty)
+    assert(EventAnalytics.retentionCohorts(empty, "m", T0, T0 + 3600).collect().isEmpty)
+    assert(EventAnalytics.pivotWide(empty, Seq("m"), T0, T0 + 3600, 3600)
+      .collect().isEmpty)
+  }
+
   test("gapfill: grid is per observed subject — absent subjects add no rows") {
     val out = TimeseriesQueries.gapfill(
       conditions(Seq((0L, "s1", 1.0), (3600L, "s2", 2.0))),
