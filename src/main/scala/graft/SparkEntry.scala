@@ -240,6 +240,41 @@ object SparkEntry {
     "q_gapfill_linear" -> ((s, d) =>
       graft.queries.TimeseriesQueries.gapfill(conditions(s, d), Of, S1, E1,
         widthS = 86400, graft.queries.GapfillLinear)),
+    // streaming OHLC through the gate: tumbling windows + watermark with
+    // the SAME composite-key min_by/max_by aggregates as the batch tier —
+    // state is one partial OHLC row per open (window, subject); sentinel
+    // flush as in q_agg_interval_stream; shares the batch-replay oracle
+    "q_ohlc_stream" -> ((s, d) => {
+      import s.implicits._
+      val real = conditions(s, d).filter(
+          col("measurement_of") === Of &&
+          col("measurement_number").isNotNull &&
+          col("timestamp") >= timestamp_seconds(lit(S1)) &&
+          col("timestamp") <= timestamp_seconds(lit(E1)))
+        .select("measurement_subject", "measurement_number", "timestamp")
+      withTempDir("graft_ohlc_stream") { tmp =>
+        def run(): Unit = {
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.queries.TimeseriesQueries.streamingOhlc(stream, intervalS = 86400)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .outputMode("append")
+            .option("checkpointLocation", s"$tmp/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        def sentinel(epochS: Long): Unit =
+          Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
+            .toDF("measurement_subject", "measurement_number", "timestamp")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/input")
+        real.repartition(3).write.parquet(s"$tmp/input")
+        run()
+        sentinel(4102444800L); run()
+        s.read.parquet(s"$tmp/out")
+          .filter(col("measurement_subject") =!= "__sentinel__")
+          .orderBy("time_us", "measurement_subject")
+      }
+    }),
     // the event-time tumbling-window aggregation through the streaming
     // gate: same sentinel-flush pattern as q_sessions_stream. Uses the
     // exact-integer projection (sum of value×100 + count — see
@@ -1584,6 +1619,30 @@ object SparkEntry {
          |FROM led GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_gapfill_locf" -> gapfillOracleSql(locf = true),
     "q_gapfill_linear" -> gapfillOracleSql(locf = false),
+    // streaming OHLC replay: epoch-aligned µs window starts, the same
+    // composite-order row_number picks as q_ohlc
+    "q_ohlc_stream" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         (epoch_us("timestamp") // ${86400L * 1000000L}) * ${86400L * 1000000L} AS time_us
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |ranked AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY measurement_subject, time_us
+         |                            ORDER BY ts_us ASC, c ASC) AS rn_o,
+         |         row_number() OVER (PARTITION BY measurement_subject, time_us
+         |                            ORDER BY ts_us DESC, c DESC) AS rn_c
+         |  FROM scanned)
+         |SELECT time_us, measurement_subject,
+         |       MAX(CASE WHEN rn_o = 1 THEN c END) AS open_scaled,
+         |       MAX(c) AS high_scaled, MIN(c) AS low_scaled,
+         |       MAX(CASE WHEN rn_c = 1 THEN c END) AS close_scaled,
+         |       COUNT(*) AS n_events
+         |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // tumbling windows are epoch-aligned ⇒ integer floor-bucket replay;
     // exact-integer payload (sum of value×100 + non-null count), so no
     // cross-engine FP rounding surface at all

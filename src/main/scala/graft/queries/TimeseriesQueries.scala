@@ -224,6 +224,34 @@ object TimeseriesQueries {
         col("measurement_subject"), col("measurement_of"),
         col("sum_scaled"), col("n_events"))
 
+  /** Streaming OHLC bars — [[ohlcBars]] as a live windowed aggregation:
+    * tumbling event-time windows + watermark, the same min_by/max_by
+    * composite-key aggregates (they are ordinary declarative aggregates,
+    * so streaming state is one partial OHLC row per open (window,
+    * subject) — bounded, no raw-event buffering). Emits on window close
+    * (append mode); outputs are the batch contract's exact integers, so
+    * the streaming gate shares the batch-replay oracle.
+    */
+  def streamingOhlc(conditions: DataFrame, intervalS: Long, scale: Int = 100,
+                    watermark: String = "1 hour"): DataFrame =
+    conditions
+      .filter(col("measurement_number").isNotNull)
+      .withWatermark("timestamp", watermark)
+      .select(col("timestamp"), col("measurement_subject"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .groupBy(window(col("timestamp"), s"$intervalS seconds"),
+        col("measurement_subject"))
+      .agg(
+        min_by(col("c"), struct(col("ts_us"), col("c"))).as("open_scaled"),
+        max(col("c")).as("high_scaled"),
+        min(col("c")).as("low_scaled"),
+        max_by(col("c"), struct(col("ts_us"), col("c"))).as("close_scaled"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("time_us"),
+        col("measurement_subject"), col("open_scaled"), col("high_scaled"),
+        col("low_scaled"), col("close_scaled"), col("n_events"))
+
   /** Sensor-outage report: the `topN` largest gaps between CONSECUTIVE
     * events of the same subject inside the scan range — the dashboard
     * complement of [[sessionize]] (a session gap is downtime seen from
