@@ -87,4 +87,61 @@ object ConditionsTable {
       .sortBy("measurement_subject", "timestamp")
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Small-file compaction — the maintenance job every streaming sink
+    * eventually needs: micro-batch appends leave one (or more) file per
+    * trigger per date, and a year of 1-minute triggers is ~500k files
+    * whose open/footer overhead dominates scans long before data size
+    * does (the reference's TimescaleDB gets this for free from chunk
+    * management; parquet stores must compact).
+    *
+    * Rewrites only the date partitions with more than `maxFilesPerDate`
+    * files — content-identical, re-clustered by [[write]]'s sort, ONE
+    * file per rewritten date — into the same directory via a staged
+    * temp-dir swap (write staged → delete old files → move in), so
+    * untouched dates keep their files byte-identical and no reader ever
+    * sees a half-written partition directory disappear. Returns the
+    * number of compacted date partitions.
+    *
+    * Scale shape: the file census is listing metadata only; each
+    * compacted date is one narrow read → sort → write of that date's
+    * rows. Dates are independent — a 100 TB store compacts incrementally
+    * (bound the run with `maxDates`) instead of rewriting the table.
+    */
+  def compact(spark: SparkSession, path: String, maxFilesPerDate: Int = 8,
+              maxDates: Int = Int.MaxValue): Int = {
+    require(maxFilesPerDate > 0, "maxFilesPerDate must be positive")
+    val root = new java.io.File(path)
+    val dateDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("date="))
+    def parquets(d: java.io.File) =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val targets = dateDirs.filter(d => parquets(d).length > maxFilesPerDate)
+      .sortBy(_.getName).take(maxDates)
+    targets.foreach { d =>
+      val staged = java.nio.file.Files
+        .createTempDirectory(s"graft_compact_${d.getName}").toString
+      spark.read.parquet(d.getAbsolutePath)
+        .coalesce(1)
+        .sortWithinPartitions("measurement_of", "measurement_subject", "timestamp")
+        .write.mode("overwrite").parquet(staged)
+      val newFiles = new java.io.File(staged).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      parquets(d).foreach(_.delete())
+      newFiles.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(d, f"compacted-$i%05d.parquet").toPath)
+      }
+      deleteDir(new java.io.File(staged))
+    }
+    targets.length
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteDir)
+    f.delete()
+    ()
+  }
 }

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Small-file compaction: content-identical rewrite, only fragmented
+  * dates touched, incremental bound respected.
+  */
+class CompactionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def parquetsIn(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  private def fragmentedStore(): String = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    // two dates: day 0 fragmented (12 files), day 1 tidy (1 file)
+    val rows = (0 until 600).map { i =>
+      val day = if (i < 480) 0 else 1
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          1704240000L + day * 86400L + i * 7L)),
+        s"s${i % 5}", "m", Option(i.toDouble), Option.empty[String])
+    }.toDF("timestamp", "measurement_subject", "measurement_of",
+      "measurement_number", "measurement_string")
+      .withColumn("date", to_date(col("timestamp")))
+    rows.filter(col("date") === "2024-01-03").repartition(12)
+      .write.partitionBy("date").mode("append").parquet(path)
+    rows.filter(col("date") === "2024-01-04").coalesce(1)
+      .write.partitionBy("date").mode("append").parquet(path)
+    path
+  }
+
+  test("compaction rewrites fragmented dates only, content-identical") {
+    val path = fragmentedStore()
+    val before = spark.read.parquet(path).orderBy("timestamp", "measurement_number")
+      .collect().map(_.toSeq)
+    val tidyFiles = parquetsIn(new java.io.File(path, "date=2024-01-04"))
+      .map(f => (f.getName, f.length)).toSeq
+    val n = ConditionsTable.compact(spark, path, maxFilesPerDate = 8)
+    assert(n == 1) // only the fragmented date
+    assert(parquetsIn(new java.io.File(path, "date=2024-01-03")).length == 1)
+    // untouched date keeps its files byte-identical (same name + size)
+    assert(parquetsIn(new java.io.File(path, "date=2024-01-04"))
+      .map(f => (f.getName, f.length)).toSeq == tidyFiles)
+    val after = spark.read.parquet(path).orderBy("timestamp", "measurement_number")
+      .collect().map(_.toSeq)
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("maxDates bounds an incremental compaction run") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_compact_inc").toString
+    val rows = (0 until 300).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          1704240000L + (i % 3) * 86400L + i * 3L)),
+        "s1", "m", Option(i.toDouble), Option.empty[String])
+    }.toDF("timestamp", "measurement_subject", "measurement_of",
+      "measurement_number", "measurement_string")
+      .withColumn("date", to_date(col("timestamp")))
+    rows.repartition(10).write.mode("overwrite").partitionBy("date").parquet(path)
+    assert(ConditionsTable.compact(spark, path, maxFilesPerDate = 2, maxDates = 1) == 1)
+    assert(ConditionsTable.compact(spark, path, maxFilesPerDate = 2) == 2) // the rest
+    assert(ConditionsTable.compact(spark, path, maxFilesPerDate = 2) == 0) // idempotent
+  }
+}
