@@ -240,6 +240,18 @@ object SparkEntry {
     "q_gapfill_linear" -> ((s, d) =>
       graft.queries.TimeseriesQueries.gapfill(conditions(s, d), Of, S1, E1,
         widthS = 86400, graft.queries.GapfillLinear)),
+    // continuous aggregate: hourly integer-partial rollup materialized,
+    // then the DAILY dashboard answer served by re-aggregating stored
+    // partials (Σsum/Σcount — exact, half-open bucket containment);
+    // oracle replays the quantize → sum → divide arithmetic on the raw
+    // events directly
+    "q_cagg" -> ((s, d) =>
+      withTempDir("graft_cagg") { tmp =>
+        graft.sources.ContinuousAggregate.create(conditions(s, d), s"$tmp/agg",
+          widthS = 3600)
+        graft.sources.ContinuousAggregate.query(s, s"$tmp/agg", Subject, Of,
+          S1, E1, widthS = 86400)
+      }),
     // streaming OHLC through the gate: tumbling windows + watermark with
     // the SAME composite-key min_by/max_by aggregates as the batch tier —
     // state is one partial OHLC row per open (window, subject); sentinel
@@ -1619,6 +1631,18 @@ object SparkEntry {
          |FROM led GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_gapfill_locf" -> gapfillOracleSql(locf = true),
     "q_gapfill_linear" -> gapfillOracleSql(locf = false),
+    // continuous-aggregate replay: the same integer-partial arithmetic
+    // (Σ round(v·100) / (n·100)) over the raw rows, half-open range
+    "q_cagg" ->
+      s"""$Cte
+         |SELECT (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400 AS time_s,
+         |       ROUND(CAST(SUM(CAST(ROUND(measurement_number * 100, 0) AS BIGINT)) AS DOUBLE)
+         |             / (COUNT(measurement_number) * 100.0), 6) AS avg_measurement_number
+         |FROM conditions
+         |WHERE measurement_of = '$Of' AND measurement_subject = '$Subject'
+         |  AND measurement_number IS NOT NULL
+         |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // streaming OHLC replay: epoch-aligned µs window starts, the same
     // composite-order row_number picks as q_ohlc
     "q_ohlc_stream" ->

@@ -138,6 +138,25 @@ object ConditionsTable {
     targets.length
   }
 
+  /** Retention policy — the TimescaleDB `drop_chunks` analogue: delete
+    * every date partition strictly OLDER than `cutoffDate` (ISO
+    * `yyyy-MM-dd`; the cutoff date itself is kept). Dropping a partition
+    * directory is a metadata-speed operation exactly like chunk
+    * dropping — no rewrite, no scan of surviving data. Returns the
+    * dropped partition names (sorted) so a scheduler can log them.
+    */
+  def dropPartitionsOlderThan(path: String, cutoffDate: String): Seq[String] = {
+    require(cutoffDate.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"cutoffDate must be yyyy-MM-dd, got $cutoffDate")
+    val root = new java.io.File(path)
+    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("date=") &&
+        d.getName.stripPrefix("date=") < cutoffDate)
+      .sortBy(_.getName)
+    dropped.foreach(deleteDir)
+    dropped.map(_.getName).toSeq
+  }
+
   private def deleteDir(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteDir)

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuous aggregates — the TimescaleDB feature the reference's
+  * dashboards would lean on in production (`CREATE MATERIALIZED VIEW …
+  * WITH (timescaledb.continuous)` + a refresh policy): a materialized
+  * bucketed rollup of the conditions store that dashboards query instead
+  * of the raw events, kept current by refreshing only the date
+  * partitions that changed.
+  *
+  * Design for Spark/parquet:
+  *  - the rollup stores COMPOSABLE PARTIALS, not answers:
+  *    (date, subject, of, bucket_s) → `sum_scaled` (Σ value·scale as
+  *    BIGINT) + `n_events` — exact integers, so any window of buckets
+  *    re-aggregates without FP drift and the served AVG is bit-stable;
+  *  - it is date-partitioned like the source, so a refresh overwrites
+  *    ONLY the named date directories (dynamic partition overwrite —
+  *    the analogue of refreshing a chunk range) at cost ∝ the refreshed
+  *    days, never the table;
+  *  - serving is a scan of the rollup (orders of magnitude smaller than
+  *    the events) with the same partition pruning.
+  *
+  * The bucket width is fixed at creation (stored in the path contract,
+  * as with a Timescale cagg's fixed `time_bucket`); coarser widths
+  * re-aggregate from the stored partials at query time.
+  */
+object ContinuousAggregate {
+
+  /** Full build: materialize the per-(date, subject, of, bucket) partial
+    * rollup of `conditions` at `widthS` bucket width.
+    */
+  def create(conditions: DataFrame, path: String, widthS: Long,
+             scale: Int = 100): Unit = {
+    require(widthS > 0 && scale > 0, "widthS and scale must be positive")
+    rollup(conditions, widthS, scale)
+      .repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+  }
+
+  /** Incremental refresh: recompute ONLY dates ≥ `sinceDate` (ISO
+    * `yyyy-MM-dd`) from the source and overwrite exactly those rollup
+    * partitions — the refresh-policy analogue ("refresh the last N
+    * days"), cost ∝ refreshed days. Requires the same `widthS` the
+    * rollup was created with.
+    */
+  def refresh(conditions: DataFrame, path: String, widthS: Long,
+              sinceDate: String, scale: Int = 100): Unit = {
+    require(sinceDate.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"sinceDate must be yyyy-MM-dd, got $sinceDate")
+    val spark = conditions.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rollup(conditions.filter(to_date(col("timestamp")) >= lit(sinceDate)),
+        widthS, scale)
+      .repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Serve the B2-shaped dashboard answer (bucketed AVG for one subject
+    * and metric) FROM the rollup: partials re-aggregate exactly
+    * (Σsum / Σcount over stored integers), output shaped like
+    * [[graft.queries.TimeseriesQueries.aggregatedDataByInterval]]
+    * (`time_s`, `avg_measurement_number` rounded 6 dp). `widthS` may be
+    * any multiple of the stored bucket width.
+    *
+    * Containment is HALF-OPEN `[startS, endS)` and both bounds should
+    * align to the STORED bucket width: the rollup can only filter at
+    * bucket granularity, and aligned half-open bounds make the bucket
+    * filter exactly equal to the row-level filter (a closed upper bound
+    * would silently admit the raw rows between `endS` and the end of
+    * `endS`'s bucket — the classic materialized-rollup boundary trap).
+    */
+  def query(spark: SparkSession, path: String, subject: String, of: String,
+            startS: Long, endS: Long, widthS: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("measurement_subject") === subject &&
+        col("measurement_of") === of &&
+        col("bucket_s") >= startS && col("bucket_s") < endS)
+      .withColumn("time_s",
+        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .groupBy("time_s")
+      .agg(round(sum(col("sum_scaled")) / (sum(col("n_events")) * lit(100.0)), 6)
+        .as("avg_measurement_number"))
+      .orderBy("time_s")
+
+  private def rollup(conditions: DataFrame, widthS: Long, scale: Int): DataFrame = {
+    val wUs = widthS * 1000000L
+    conditions
+      .filter(col("measurement_number").isNotNull)
+      .select(col("measurement_subject"), col("measurement_of"),
+        col("timestamp"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .withColumn("bucket_s",
+        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+      .withColumn("date", to_date(col("timestamp")))
+      .groupBy("date", "measurement_subject", "measurement_of", "bucket_s")
+      .agg(sum("c").as("sum_scaled"), count(lit(1)).as("n_events"))
+  }
+}

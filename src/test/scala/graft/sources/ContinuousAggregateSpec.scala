@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Continuous-aggregate contracts: partials re-aggregate exactly,
+  * incremental refresh equals a full rebuild, retention drops only old
+  * partitions.
+  */
+class ContinuousAggregateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val T0 = 1704240000L // 2024-01-03T00:00:00Z
+
+  /** Cent-quantized values across `days` days, hourly-ish cadence. */
+  private def conditions(days: Int, perDay: Int = 48) = {
+    import spark.implicits._
+    (for { d <- 0 until days; i <- 0 until perDay } yield {
+      val t = T0 + d * 86400L + i * (86400L / perDay)
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)),
+        s"s${i % 3}", "m", Option((d * 100 + i) * 0.01), Option.empty[String])
+    }).toDF("timestamp", "measurement_subject", "measurement_of",
+      "measurement_number", "measurement_string")
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/agg"
+
+  test("rollup-served daily AVG equals the direct computation on quantized data") {
+    val c = conditions(3)
+    val path = tmp("cagg_direct")
+    ContinuousAggregate.create(c, path, widthS = 3600)
+    val served = ContinuousAggregate.query(spark, path, "s0", "m",
+      T0, T0 + 3 * 86400, widthS = 86400)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val direct = c.filter(col("measurement_subject") === "s0" &&
+        col("measurement_of") === "m")
+      .withColumn("time_s", expr("(unix_micros(timestamp) div 86400000000) * 86400"))
+      .groupBy("time_s")
+      .agg(round(avg("measurement_number"), 6).as("v"))
+      .orderBy("time_s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq == direct.toSeq)
+  }
+
+  test("incremental refresh of changed days equals a full rebuild") {
+    import spark.implicits._
+    val base = conditions(3)
+    val path = tmp("cagg_refresh")
+    ContinuousAggregate.create(base, path, widthS = 3600)
+    // late data lands on day 2 (2024-01-05) only
+    val late = Seq((java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(T0 + 2 * 86400L + 7777L)),
+        "s0", "m", Option(9.99), Option.empty[String]))
+      .toDF("timestamp", "measurement_subject", "measurement_of",
+        "measurement_number", "measurement_string")
+    val updated = base.unionByName(late)
+    ContinuousAggregate.refresh(updated, path, widthS = 3600,
+      sinceDate = "2024-01-05")
+    val fresh = tmp("cagg_fresh")
+    ContinuousAggregate.create(updated, fresh, widthS = 3600)
+    def all(p: String) = spark.read.parquet(p)
+      .orderBy("date", "measurement_subject", "measurement_of", "bucket_s")
+      .drop("date") // partition column types equal anyway; compare values
+      .collect().map(_.toSeq).toSeq
+    assert(all(path) == all(fresh))
+  }
+
+  test("refresh never touches partitions before sinceDate") {
+    val path = tmp("cagg_untouched")
+    ContinuousAggregate.create(conditions(3), path, widthS = 3600)
+    val day0 = new java.io.File(path, "date=2024-01-03")
+    val before = day0.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSeq
+    ContinuousAggregate.refresh(conditions(3), path, widthS = 3600,
+      sinceDate = "2024-01-05")
+    val after = day0.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSeq
+    assert(before == after)
+  }
+
+  test("retention drops exactly the partitions older than the cutoff") {
+    val store = java.nio.file.Files.createTempDirectory("retention").toString
+    ConditionsTable.write(conditions(4).drop("measurement_string")
+      .withColumn("measurement_string", lit(null).cast("string"))
+      .withColumn("date", to_date(col("timestamp"))), store)
+    val dropped = ConditionsTable.dropPartitionsOlderThan(store, "2024-01-05")
+    assert(dropped == Seq("date=2024-01-03", "date=2024-01-04"))
+    val left = spark.read.parquet(store).select("date").distinct()
+      .collect().map(_.get(0).toString).sorted
+    assert(left.toSeq == Seq("2024-01-05", "2024-01-06"))
+    // idempotent
+    assert(ConditionsTable.dropPartitionsOlderThan(store, "2024-01-05").isEmpty)
+  }
+}
