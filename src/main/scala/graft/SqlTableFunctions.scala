@@ -293,6 +293,15 @@ object SqlTableFunctions {
       graft.operators.Sampling.temperatureSample(
         rel(s, DocumentsRelation, f.name), doubleArg(f, a, 0))
     }
+    // continuous-aggregate serving: dashboards hit the materialized
+    // rollup (by path) straight from SQL — the cagg-view query shape
+    add("graft_cagg_query",
+      "graft_cagg_query(rollup_path, subject, of, start_s, end_s, width_s)", 6) {
+      (s, f, a) =>
+        graft.sources.ContinuousAggregate.query(s, strArg(f, a, 0),
+          strArg(f, a, 1), strArg(f, a, 2),
+          longArg(f, a, 3), longArg(f, a, 4), longArg(f, a, 5))
+    }
     // semantic dedup from SQL: centroids come from a named relation
     // (list_id, centroid) — a trainedCentroids dump or any seed table
     add("graft_semdedup", "graft_semdedup(centroid_relation, threshold)", 2) {

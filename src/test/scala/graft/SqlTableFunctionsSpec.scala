@@ -280,6 +280,14 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         spark.table(SqlTableFunctions.DocumentsRelation), alpha = 0.5))
   }
 
+  test("graft_cagg_query ≡ ContinuousAggregate.query over a materialized rollup") {
+    val path = java.nio.file.Files.createTempDirectory("sqlfn_cagg").toString + "/agg"
+    graft.sources.ContinuousAggregate.create(cond, path, widthS = 900)
+    assertSame(
+      s"SELECT * FROM graft_cagg_query('$path', 's1', 'm', $T0, $T1, 3600)",
+      graft.sources.ContinuousAggregate.query(spark, path, "s1", "m", T0, T1, 3600))
+  }
+
   test("graft_semdedup ≡ SemDedup.semDedup over a named centroid relation") {
     registerCorpus()
     val emb = spark.table(SqlTableFunctions.EmbeddingsRelation)
