@@ -230,6 +230,11 @@ object SparkEntry {
     "q_uptime" -> ((s, d) =>
       graft.queries.TimeseriesQueries.heartbeatUptime(conditions(s, d), Of, S1, E1,
         heartbeatS = 43200)),
+    // time-in-state durations (Timescale toolkit state_agg): LOCF state
+    // intervals summed per (subject, state) + maximal-run counts, one
+    // shared window sort — exact µs integers
+    "q_state" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.stateDurations(conditions(s, d), Of, S1, E1)),
     // time_bucket_gapfill + LOCF: dense (subject × bucket) grid, empty
     // buckets carry the last observed bucket AVG forward; the fill uses
     // the engine-portable gaps-and-islands trick (no IGNORE NULLS)
@@ -1629,6 +1634,29 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN next_us - ts_us > ${43200L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
          |       COUNT(*) AS n_events
          |FROM led GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LOCF state intervals: lead gives each reading's hold time (tail
+    // clipped at range end), lag marks run starts — same (ts, state) tie
+    // order as the Spark window, so zero-length duplicate-ts intervals
+    // and run boundaries agree exactly
+    "q_state" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us,
+         |         measurement_string AS state
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_string IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |seq AS (
+         |  SELECT measurement_subject, ts_us, state,
+         |         COALESCE(lead(ts_us) OVER (PARTITION BY measurement_subject ORDER BY ts_us, state),
+         |                  ${E1 * 1000000L}) AS next_us,
+         |         lag(state) OVER (PARTITION BY measurement_subject ORDER BY ts_us, state) AS prev_state
+         |  FROM scanned)
+         |SELECT measurement_subject, state,
+         |       CAST(SUM(next_us - ts_us) AS BIGINT) AS duration_us,
+         |       CAST(SUM(CASE WHEN prev_state IS NULL OR prev_state <> state THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+         |       COUNT(*) AS n_events
+         |FROM seq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_gapfill_locf" -> gapfillOracleSql(locf = true),
     "q_gapfill_linear" -> gapfillOracleSql(locf = false),
     // continuous-aggregate replay: the same integer-partial arithmetic

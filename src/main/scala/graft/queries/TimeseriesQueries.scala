@@ -703,6 +703,50 @@ object TimeseriesQueries {
       .orderBy("measurement_subject")
   }
 
+  /** Time-in-state aggregation (TimescaleDB toolkit `state_agg` /
+    * `state_timeline`): each reading's `measurement_string` is the
+    * subject's state from that reading until the next one (LOCF), the
+    * final reading holding until `endS`; the answer is, per (subject,
+    * state), the total time spent in the state and the number of maximal
+    * runs of it (`duration_in_state` + the timeline's run count).
+    *
+    * Determinism: duplicate-timestamp readings are ordered by
+    * (ts, state) — every zero-length interval contributes 0 µs, and the
+    * run count is computed over the same total order, so both engines
+    * agree exactly. Outputs are exact µs integers (the repo-wide
+    * no-FP-at-the-contract convention).
+    *
+    * Scale shape: one hash shuffle on subject + per-subject sort shared
+    * by BOTH window functions (lead for the duration, lag for the run
+    * boundary — same partitioning and ordering, one exchange, one sort),
+    * then a (subject, state) hash agg. The reference's dashboards get
+    * this from `format_time_intervals` (`db/format_time_intervals.sql:
+    * 17-40`) by summing client-side; here it is one distributed pass.
+    */
+  def stateDurations(conditions: DataFrame, of: String, startS: Long,
+                     endS: Long): DataFrame = {
+    val w = Window.partitionBy("measurement_subject")
+      .orderBy("ts_us", "state")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_string").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        col("measurement_string").as("state"))
+      .withColumn("next_us",
+        coalesce(lead("ts_us", 1).over(w), lit(endS * 1000000L)))
+      .withColumn("run_start",
+        when(lag("state", 1).over(w).isNull ||
+          lag("state", 1).over(w) =!= col("state"), 1L).otherwise(0L))
+      .groupBy("measurement_subject", "state")
+      .agg(sum(col("next_us") - col("ts_us")).as("duration_us"),
+        sum("run_start").as("n_runs"),
+        count(lit(1)).as("n_events"))
+      .orderBy("measurement_subject", "state")
+  }
+
   /** Gap-filled bucketed series (TimescaleDB `time_bucket_gapfill`): every
     * (subject, bucket) of the dense grid over [startS, endS) gets a row —
     * buckets with readings carry their AVG; empty buckets are filled by

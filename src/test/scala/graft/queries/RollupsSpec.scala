@@ -107,4 +107,37 @@ class RollupsSpec extends AnyFunSuite {
       .collect()
     assert(out.length == 4) // 2 subjects × 2 buckets
   }
+
+  private def states(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (off, subj, st) =>
+      (ts(off), subj, "m", Option.empty[Double], Option(st)) }
+      .toDF("timestamp", "measurement_subject", "measurement_of",
+        "measurement_number", "measurement_string")
+  }
+
+  test("stateDurations: LOCF hold times, run counts, tail clipped at range end") {
+    // s1: on@0 → off@100 → on@250 → on@300, range end 500
+    //   on:  (100-0) + (300-250) + tail (500-300) = 350s over 2 runs
+    //   off: (250-100) = 150s over 1 run
+    val out = TimeseriesQueries.stateDurations(
+      states(Seq((0L, "s1", "on"), (100L, "s1", "off"),
+        (250L, "s1", "on"), (300L, "s1", "on"))),
+      "m", T0, T0 + 500)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("s1", "off", 150000000L, 1L, 1L),
+      ("s1", "on", 350000000L, 2L, 3L)))
+  }
+
+  test("stateDurations: duplicate-timestamp readings order by state, zero-length intervals") {
+    // two readings at the same instant: (ts, state) order puts "a" before
+    // "b" — "a" holds 0 µs, "b" holds to range end; still 1 run each
+    val out = TimeseriesQueries.stateDurations(
+      states(Seq((0L, "s1", "b"), (0L, "s1", "a"))),
+      "m", T0, T0 + 100)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 0L, 1L), ("b", 100000000L, 1L)))
+  }
 }
