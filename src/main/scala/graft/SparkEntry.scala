@@ -257,6 +257,19 @@ object SparkEntry {
         graft.sources.ContinuousAggregate.query(s, s"$tmp/agg", Subject, Of,
           S1, E1, widthS = 86400)
       }),
+    // composable percentile sketch (Timescale percentile_agg / uddsketch
+    // shape): hourly (bl, sub) log-bucket count partials materialized
+    // date-partitioned, then DAILY p50/p95/p99 served by merging counts
+    // and walking cumulative ranks — all integer arithmetic (bin() bit
+    // length, shifts, ceil-rank via div), so the oracle replays it
+    // bit-for-bit
+    "q_psketch" -> ((s, d) =>
+      withTempDir("graft_psketch") { tmp =>
+        graft.sources.PercentileSketch.create(conditions(s, d), s"$tmp/sk", Of,
+          S1, E1, widthS = 3600, subBits = 6)
+        graft.sources.PercentileSketch.query(s, s"$tmp/sk", S1, E1,
+          widthS = 86400, subBits = 6)
+      }),
     // streaming OHLC through the gate: tumbling windows + watermark with
     // the SAME composite-key min_by/max_by aggregates as the batch tier —
     // state is one partial OHLC row per open (window, subject); sentinel
@@ -1671,6 +1684,34 @@ object SparkEntry {
          |  AND measurement_number IS NOT NULL
          |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sketch replay: identical (bit-length, top-bits) cells over daily
+    // buckets — hourly partials merged to daily ≡ daily directly (counts
+    // add; cell keys don't depend on the time grain); HALF-OPEN range
+    // like the store; cum/total CAST to BIGINT (window SUM → HUGEINT)
+    "q_psketch" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400 AS time_s,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND measurement_number >= 0
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1),
+         |cells AS (
+         |  SELECT time_s, length(bin(c)) AS bl,
+         |         c >> GREATEST(length(bin(c)) - 6, 0) AS sub, COUNT(*) AS n
+         |  FROM scanned GROUP BY 1, 2, 3),
+         |walked AS (
+         |  SELECT time_s, bl, sub, n,
+         |         CAST(SUM(n) OVER (PARTITION BY time_s ORDER BY bl, sub) AS BIGINT) AS cum,
+         |         CAST(SUM(n) OVER (PARTITION BY time_s) AS BIGINT) AS total
+         |  FROM cells)
+         |SELECT time_s,
+         |       MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN sub << GREATEST(bl - 6, 0) END) AS p50_cents,
+         |       MIN(CASE WHEN cum >= (total * 95 + 99) // 100 THEN sub << GREATEST(bl - 6, 0) END) AS p95_cents,
+         |       MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN sub << GREATEST(bl - 6, 0) END) AS p99_cents,
+         |       MAX(total) AS n_values
+         |FROM walked GROUP BY 1 ORDER BY 1""".stripMargin,
     // streaming OHLC replay: epoch-aligned µs window starts, the same
     // composite-order row_number picks as q_ohlc
     "q_ohlc_stream" ->
