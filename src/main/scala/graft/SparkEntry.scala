@@ -257,6 +257,17 @@ object SparkEntry {
         graft.sources.ContinuousAggregate.query(s, s"$tmp/agg", Subject, Of,
           S1, E1, widthS = 86400)
       }),
+    // distinct-count continuous aggregate: hourly mergeable distinct
+    // state (sorted subject arrays = exact tier; HLL sketches = the
+    // unbounded-cardinality tier, spec-gated), daily distinct-subject
+    // counts served by unioning stored arrays
+    "q_cagg_distinct" -> ((s, d) =>
+      withTempDir("graft_cagg_d") { tmp =>
+        graft.sources.ContinuousAggregate.createDistinct(conditions(s, d),
+          s"$tmp/agg", widthS = 3600)
+        graft.sources.ContinuousAggregate.queryDistinct(s, s"$tmp/agg", Of,
+          S1, E1, widthS = 86400)
+      }),
     // composable percentile sketch (Timescale percentile_agg / uddsketch
     // shape): hourly (bl, sub) log-bucket count partials materialized
     // date-partitioned, then DAILY p50/p95/p99 served by merging counts
@@ -1682,6 +1693,16 @@ object SparkEntry {
          |FROM conditions
          |WHERE measurement_of = '$Of' AND measurement_subject = '$Subject'
          |  AND measurement_number IS NOT NULL
+         |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // distinct state composes by union, so serving from hourly arrays ≡
+    // COUNT(DISTINCT) over the raw rows at daily grain; half-open range
+    "q_cagg_distinct" ->
+      s"""$Cte
+         |SELECT (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400 AS time_s,
+         |       COUNT(DISTINCT measurement_subject) AS n_subjects
+         |FROM conditions
+         |WHERE measurement_of = '$Of'
          |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // sketch replay: identical (bit-length, top-bits) cells over daily

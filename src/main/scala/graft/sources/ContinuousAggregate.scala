@@ -89,6 +89,68 @@ object ContinuousAggregate {
         .as("avg_measurement_number"))
       .orderBy("time_s")
 
+  /** Distinct-count continuous aggregate: COUNT(DISTINCT) does not
+    * compose from plain partials (yesterday's 5 distinct + today's 5 may
+    * be 5..10), so the rollup stores MERGEABLE distinct state per
+    * (date, metric, bucket), two tiers in one table:
+    *  - `subjects` — the sorted distinct-subject array, EXACT and
+    *    composable by union; bounded by per-bucket subject cardinality
+    *    (right for device-fleet-scale dimensions, and the oracle tier);
+    *  - `hll` — a DataSketches HLL sketch (`hll_sketch_agg`), the
+    *    unbounded-cardinality tier: fixed ~KB per bucket regardless of
+    *    distinct count, merged at serve time with `hll_union_agg`
+    *    (TimescaleDB toolkit `hyperloglog`/`rollup` parity).
+    */
+  def createDistinct(conditions: DataFrame, path: String, widthS: Long): Unit = {
+    require(widthS > 0, "widthS must be positive")
+    val wUs = widthS * 1000000L
+    conditions
+      .select(col("measurement_of"), col("measurement_subject"), col("timestamp"))
+      .withColumn("bucket_s",
+        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+      .withColumn("date", to_date(col("timestamp")))
+      .groupBy("date", "measurement_of", "bucket_s")
+      .agg(sort_array(collect_set(col("measurement_subject"))).as("subjects"),
+        hll_sketch_agg(col("measurement_subject")).as("hll"))
+      .repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+  }
+
+  /** Serve distinct-subject counts per coarse bucket from the EXACT tier:
+    * union the stored arrays (explode → distinct) — re-aggregation is
+    * exact by construction. Containment is half-open and store-aligned
+    * (see [[query]]).
+    */
+  def queryDistinct(spark: SparkSession, path: String, of: String,
+                    startS: Long, endS: Long, widthS: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("measurement_of") === of &&
+        col("bucket_s") >= startS && col("bucket_s") < endS)
+      .withColumn("time_s",
+        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .select(col("time_s"), explode(col("subjects")).as("subject"))
+      .groupBy("time_s")
+      .agg(count_distinct(col("subject")).as("n_subjects"))
+      .orderBy("time_s")
+
+  /** Serve the same answer from the HLL tier: sketches merge with
+    * `hll_union_agg` — constant bytes per stored bucket no matter how
+    * many distinct subjects, the 100 TB path when the dimension is
+    * unbounded (user IDs, not device fleets). Estimates are exact while
+    * sketches are in sparse mode (small distinct counts) and ±~2%
+    * (lgConfigK=12 default) beyond; the exact tier stays the contract.
+    */
+  def queryDistinctApprox(spark: SparkSession, path: String, of: String,
+                          startS: Long, endS: Long, widthS: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("measurement_of") === of &&
+        col("bucket_s") >= startS && col("bucket_s") < endS)
+      .withColumn("time_s",
+        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .groupBy("time_s")
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_subjects"))
+      .orderBy("time_s")
+
   private def rollup(conditions: DataFrame, widthS: Long, scale: Int): DataFrame = {
     val wUs = widthS * 1000000L
     conditions

@@ -86,6 +86,37 @@ class ContinuousAggregateSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("distinct cagg: served daily distinct counts equal COUNT(DISTINCT) on the raw rows") {
+    val c = conditions(3) // 3 subjects, staggered across hours
+    val path = tmp("cagg_distinct")
+    ContinuousAggregate.createDistinct(c, path, widthS = 3600)
+    val served = ContinuousAggregate.queryDistinct(spark, path, "m",
+      T0, T0 + 3 * 86400, widthS = 86400)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val direct = c.filter(col("measurement_of") === "m")
+      .withColumn("time_s", expr("(unix_micros(timestamp) div 86400000000) * 86400"))
+      .groupBy("time_s")
+      .agg(count_distinct(col("measurement_subject")).as("n"))
+      .orderBy("time_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.toSeq == direct.toSeq && served.nonEmpty)
+  }
+
+  test("distinct cagg: HLL tier merges stored sketches and agrees at test cardinality") {
+    // DataSketches HLL is exact in sparse mode — at 3 distinct subjects
+    // the estimate must equal the exact tier bucket-for-bucket
+    val c = conditions(2)
+    val path = tmp("cagg_hll")
+    ContinuousAggregate.createDistinct(c, path, widthS = 3600)
+    val exact = ContinuousAggregate.queryDistinct(spark, path, "m",
+      T0, T0 + 2 * 86400, widthS = 86400)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val approx = ContinuousAggregate.queryDistinctApprox(spark, path, "m",
+      T0, T0 + 2 * 86400, widthS = 86400)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(approx.toSeq == exact.toSeq)
+  }
+
   test("retention drops exactly the partitions older than the cutoff") {
     val store = java.nio.file.Files.createTempDirectory("retention").toString
     ConditionsTable.write(conditions(4).drop("measurement_string")
