@@ -145,6 +145,26 @@ object Converters {
       : Either[Throwable, Option[Vector[TimeseriesRecord]]] =
     try {
       val body = mapper.readTree(eventStr)
+      // v1 array envelope (`test/timeseries.json:4-6`): a single event may
+      // carry a JSON array of envelopes. Convert each element; the event is
+      // atomic, so any malformed element dead-letters the whole event.
+      if (body != null && body.isArray) {
+        val results = (0 until body.size).map(i =>
+          convertNode(body.get(i), correlationId))
+        results.collectFirst { case Left(e) => e } match {
+          case Some(e) => Left(e)
+          case None =>
+            Right(Some(results.flatMap(_.toOption.flatten.getOrElse(Vector.empty)).toVector)
+              .filter(_.nonEmpty))
+        }
+      } else convertNode(body, correlationId)
+    } catch {
+      case NonFatal(e) => Left(e)
+    }
+
+  private def convertNode(body: JsonNode, correlationId: Option[String])
+      : Either[Throwable, Option[Vector[TimeseriesRecord]]] =
+    try {
       val topicNode = body.get("topic")
       require(topicNode != null && topicNode.isTextual && topicNode.asText.nonEmpty,
         s"Error extracting topic")

@@ -61,6 +61,39 @@ object ConditionsTable {
         to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
       .withColumn("date", to_date(col("timestamp")))
 
+  /** Parse back a stored `SRID=4326;POINT(lon lat)` location to
+    * `(lat, lon)`, validating the SRID and the PostGIS
+    * `geography(Point,4326)` coordinate ranges (lon ∈ [-180,180],
+    * lat ∈ [-90,90]) — the read half of the round-trip the reference
+    * exercises against TimescaleDB
+    * (`shared_code/test/test_timescale.py:434-545`,
+    * `db/create_table_and_roles.sql:44`). Returns None for any other
+    * geometry, SRID, or out-of-range point.
+    */
+  private val WktPoint =
+    """SRID=(\d+);POINT\((-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\)""".r
+  def parseLocation(wkt: String): Option[(Double, Double)] = wkt match {
+    case WktPoint("4326", lonS, latS) =>
+      val lon = lonS.toDouble
+      val lat = latS.toDouble
+      if (lon >= -180 && lon <= 180 && lat >= -90 && lat <= 90) Some((lat, lon))
+      else None
+    case _ => None
+  }
+
+  /** Distributed (codegen'd) variant of [[parseLocation]]: extracts
+    * `(lat, lon)` columns from a WKT location column; null for invalid
+    * SRID/shape/range. regexp_extract + range guards, no UDF.
+    */
+  def locationLatLon(wkt: org.apache.spark.sql.Column): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val pat = "^SRID=4326;POINT\\((-?[0-9.eE+-]+) (-?[0-9.eE+-]+)\\)$"
+    val lon = regexp_extract(wkt, pat, 1).cast("double")
+    val lat = regexp_extract(wkt, pat, 2).cast("double")
+    val valid = lon.isNotNull && lat.isNotNull &&
+      lon.between(-180, 180) && lat.between(-90, 90)
+    (when(valid, lat), when(valid, lon))
+  }
+
   /** Write date-partitioned, row-group-clustered Parquet. */
   def write(storage: DataFrame, path: String): Unit =
     storage

@@ -18,19 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object EventsAsConditions {
 
-  /** Read the events table. The driver writes `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark only reads via the nanosAsLong legacy
-    * conf (as INT64 nanos) — convert to a µs TimestampType up front.
-    * Integer `div` (not `/`, which round-trips through double and loses
-    * sub-unit precision at 1e18) truncates exactly like DuckDB's
-    * `epoch_us` on a ns timestamp, so both engines see identical µs.
+  /** Read the events table, normalizing `ts` to µs TimestampType whatever
+    * the parquet physical encoding. The driver has shipped two encodings so
+    * far — TIMESTAMP(NANOS) (readable only as INT64 nanos under the
+    * nanosAsLong legacy conf) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (read as TIMESTAMP_NTZ) — so accept every plausible shape:
+    *
+    *  - LongType       : ns epoch; integer `div 1000` (not `/`, which
+    *    round-trips through double and loses sub-µs precision at 1e18)
+    *    truncates exactly like DuckDB's `epoch_us`, so both engines agree.
+    *  - TimestampNTZType: cast to TimestampType. All entry points pin
+    *    spark.sql.session.timeZone=UTC, so the cast is instant-preserving
+    *    and matches DuckDB's UTC reading of the same file.
+    *  - TimestampType  : UTC-adjusted µs — pass through.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"), "ts")
+  }
+
+  /** Normalize a parquet timestamp column of any physical shape
+    * (ns-as-long / NTZ-µs / UTC-µs) to TimestampType. See [[loadEvents]].
+    */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$colName: unsupported timestamp encoding $other")
+    }
   }
 
   def load(spark: SparkSession, sfDir: String): DataFrame =

@@ -94,6 +94,25 @@ class GoldenCorpusSpec extends AnyFunSuite {
     assert(Converters.convertEvent(event).isEmpty) // dropped, pipeline survives
   }
 
+  test("v1 array envelope: array of envelopes converts to concatenated records") {
+    val homieEvt =
+      """{"topic": "homie/hubitat/hub/mode", "payload": "Home", "timestamp": 1672174513.6086972}"""
+    val filtered =
+      """{"topic": "homie/hubitat/$implementation/heartbeat", "payload": "1747,none", "timestamp": "2022-12-26T13:44:54.724"}"""
+    // two valid envelopes → both converted, order preserved
+    val two = Converters.convertEvent(s"[$homieEvt,$homieEvt]")
+    assert(two.exists(_.size == 2))
+    assert(two.get.forall(_.measurement_of == "mode"))
+    // a filtered element contributes nothing but doesn't dead-letter
+    val mixed = Converters.convertEvent(s"[$homieEvt,$filtered]")
+    assert(mixed.exists(_.size == 1))
+    // all elements filtered → event filtered (None), not an error
+    assert(Converters.convertEventEither(s"[$filtered]") == Right(None))
+    assert(Converters.convertEventEither("[]") == Right(None))
+    // a malformed element dead-letters the whole (atomic) event
+    assert(Converters.convertEventEither(s"""[$homieEvt,{"no":"topic"}]""").isLeft)
+  }
+
   test("bmw golden messages: 3 messages, 2 unique keys, 6 records each") {
     val msgs = mapper.readTree(getClass.getResourceAsStream("/bmw_topic_messages.json"))
       .elements.asScala.toVector
