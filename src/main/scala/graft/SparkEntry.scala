@@ -214,6 +214,28 @@ object SparkEntry {
     "q_pivot" -> ((s, d) =>
       graft.queries.EventAnalytics.pivotWide(conditions(s, d),
         Seq("click", "view", "purchase"), S1, E1, widthS = 86400)),
+    // composable stats_agg (Timescale toolkit stats_agg 1D+2D): exact
+    // BIGINT partials (n, Σx, Σy, Σx², Σy², Σxy) per (subject, day) +
+    // derived avg/var/stddev/OLS slope/intercept/Pearson corr — the
+    // double formulas run token-identically in the oracle over the same
+    // exact integers
+    "q_stats_agg" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.statsDerive(
+        graft.queries.TimeseriesQueries.statsAgg(conditions(s, d), Of, S1, E1,
+          widthS = 86400))),
+    // the additivity contract: day partials re-aggregated by plain sum()
+    // to whole-range per-subject stats — bit-identical to computing the
+    // coarse level directly, which is what lets a continuous-aggregate
+    // tier serve ANY rollup from stored partials
+    "q_stats_rollup" -> ((s, d) => {
+      val p = graft.queries.TimeseriesQueries.statsAgg(conditions(s, d), Of, S1, E1,
+        widthS = 86400)
+      graft.queries.TimeseriesQueries.statsDerive(
+        p.groupBy("measurement_subject")
+          .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+            sum("sxx").as("sxx"), sum("syy").as("syy"), sum("sxy").as("sxy")))
+        .orderBy("measurement_subject")
+    }),
     // LTTB downsampling (Timescale toolkit lttb): threshold=20 points per
     // subject, integer-exact triangle argmax, sequential selection
     // replayed by the oracle as an unrolled per-bucket CTE chain
@@ -1198,6 +1220,52 @@ object SparkEntry {
        |FROM conditions WHERE $ScanPred
        |GROUP BY 1 ORDER BY 1 $limit""".stripMargin
 
+  /** stats_agg replay: exact BIGINT partials (n, Σx, Σy, Σx², Σy², Σxy)
+    * at the requested grouping, then the derived avg/var/stddev/slope/
+    * intercept/corr with the SAME cast-to-double expression order as
+    * [[graft.queries.TimeseriesQueries.statsDerive]]. `grouped` is the
+    * partial key list (`"measurement_subject, time_s"` for the day level,
+    * `"measurement_subject"` for the whole-range rollup — integer partial
+    * sums are associative, so the single-level oracle covers the
+    * two-level Spark plan).
+    */
+  private def statsOracleSql(grouped: String): String = {
+    val withBucket = grouped.contains("time_s")
+    s"""$Cte,
+       |scanned AS (
+       |  SELECT measurement_subject,
+       |         ${bucketSql(86400)} AS time_s,
+       |         (epoch_us("timestamp") // 1000000) - $S1 AS x,
+       |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS y
+       |  FROM conditions
+       |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+       |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+       |partials AS (
+       |  SELECT $grouped, COUNT(*) AS n,
+       |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+       |         CAST(SUM(x*y) AS BIGINT) AS sxy
+       |  FROM scanned GROUP BY $grouped),
+       |casted AS (
+       |  SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+       |         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+       |         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+       |  FROM partials),
+       |moments AS (
+       |  SELECT *, nd*sxxd - sxd*sxd AS dx, nd*syyd - syd*syd AS dy,
+       |         nd*sxyd - sxd*syd AS cov
+       |  FROM casted)
+       |SELECT $grouped, n, sx, sy, sxx, syy, sxy,
+       |       ROUND(syd/nd, 6) AS avg_y,
+       |       ROUND(dy/(nd*nd), 6) AS var_y,
+       |       ROUND(SQRT(dy/(nd*nd)), 6) AS stddev_y,
+       |       CASE WHEN dx > 0 THEN ROUND(cov/dx, 6) END AS slope,
+       |       CASE WHEN dx > 0 THEN ROUND((syd - cov/dx*sxd)/nd, 6) END AS intercept,
+       |       CASE WHEN dx > 0 AND dy > 0 THEN ROUND(cov/SQRT(dx*dy), 6) END AS corr
+       |FROM moments
+       |ORDER BY $grouped""".stripMargin
+  }
+
   /** Hampel replay over integer cents, parameterized on the quantile
     * flavor: `quantile_cont` (interpolated — dyadic, the exact tier) or
     * `quantile_disc` (lower-middle element — what approx_percentile
@@ -1533,6 +1601,12 @@ object SparkEntry {
          |ORDER BY gap_us DESC, measurement_subject ASC, gap_start_us ASC
          |LIMIT 50""".stripMargin,
     "q_lttb" -> lttbOracleSql,
+    // exact BIGINT partials, then the IDENTICAL double formulas over the
+    // identical integers — both engines run the same IEEE sequence
+    "q_stats_agg" -> statsOracleSql(grouped = "measurement_subject, time_s"),
+    // single-level oracle for the two-level Spark rollup: integer partial
+    // sums are associative, so day-partials-then-merge ≡ direct coarse
+    "q_stats_rollup" -> statsOracleSql(grouped = "measurement_subject"),
     // identical ROWS frame over the identical (ts, value) order; equal
     // keys are interchangeable so the frame multiset is engine-stable
     "q_rolling" ->

@@ -227,6 +227,11 @@ object SqlTableFunctions {
         TimeseriesQueries.rollingStats(cond(s, f), strArg(f, a, 0),
           longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
     }
+    add("graft_stats_agg", "graft_stats_agg(of, start_s, end_s, width_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.statsDerive(TimeseriesQueries.statsAgg(cond(s, f),
+          strArg(f, a, 0), longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3)))
+    }
     add("graft_seasonal_outliers",
       "graft_seasonal_outliers(of, base_start_s, base_end_s, eval_start_s, eval_end_s)", 5) {
       (s, f, a) =>

@@ -832,6 +832,82 @@ object TimeseriesQueries {
         col("value"), col("n_events"))
       .orderBy("measurement_subject", "time_s")
   }
+
+  /** Composable 1D+2D statistical partials per (subject, bucket) —
+    * Timescale toolkit `stats_agg` parity (toolkit docs: `stats_agg(ts,
+    * value)` with accessors `average/stddev/slope/intercept/corr`;
+    * referenced by the dashboard repo's toolkit dependency,
+    * `db/migrations`). The partial row IS the aggregate state:
+    *
+    *   n, Σx, Σy, Σx², Σy², Σxy
+    *
+    * over integer-quantized inputs — y in `scale`-ths (cents by default),
+    * x in whole seconds offset from `startS` — so every partial is an
+    * exact BIGINT and partials MERGE by plain addition: re-grouping the
+    * output of [[statsAgg]] with `sum()` over coarser keys (day → month,
+    * subject → fleet) is bit-identical to computing the coarse bucket
+    * directly. That additivity is the 100 TB design: continuous-aggregate
+    * tiers store these six columns and serve any rollup without touching
+    * raw data (same contract as [[graft.sources.ContinuousAggregate]]).
+    *
+    * Magnitude safety: |x| ≤ window span in seconds (≤ ~2.2e6 here), so
+    * Σx² ≤ n·5e12 — safe in BIGINT up to ~1.8e6 rows per group; y in
+    * cents ≤ ~1e5 keeps Σy²/Σxy far smaller. Callers with longer windows
+    * scale x down (the derived stats are invariant up to the documented
+    * unit change).
+    *
+    * Plan shape: one scan → partial hash-agg → final agg — no window, no
+    * sort until the output ORDER BY.
+    */
+  def statsAgg(conditions: DataFrame, of: String, startS: Long, endS: Long,
+               widthS: Long, scale: Int = 100): DataFrame = {
+    require(widthS > 0 && scale > 0, "widthS and scale must be positive")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        timeBucketS(widthS, col("timestamp")).as("time_s"),
+        (col("timestamp").cast("long") - startS).as("x"),
+        round(col("measurement_number") * scale, 0).cast("long").as("y"))
+      .groupBy("measurement_subject", "time_s")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .orderBy("measurement_subject", "time_s")
+  }
+
+  /** Derived statistics from [[statsAgg]] partial rows (any rollup level):
+    * average, population variance/stddev of y, OLS slope/intercept of y
+    * over x, Pearson correlation. Pure double arithmetic over the exact
+    * BIGINT partials — the expression trees below are written to match the
+    * oracle's token-for-token (same casts, same operation order), so both
+    * engines run the identical IEEE sequence and `round(…, 6)` compares
+    * exact.
+    *
+    * Degenerate groups: n = 1 (or zero x/y variance) yields NULL
+    * slope/intercept/corr rather than a division artifact.
+    */
+  def statsDerive(partials: DataFrame): DataFrame = {
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val dx = n * sxx - sx * sx   // n² · population x-variance
+    val dy = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    partials
+      .withColumn("avg_y", round(sy / n, 6))
+      .withColumn("var_y", round(dy / (n * n), 6))
+      .withColumn("stddev_y", round(sqrt(dy / (n * n)), 6))
+      .withColumn("slope", when(dx > 0, round(cov / dx, 6)))
+      .withColumn("intercept", when(dx > 0, round((sy - cov / dx * sx) / n, 6)))
+      .withColumn("corr", when(dx > 0 && dy > 0, round(cov / sqrt(dx * dy), 6)))
+  }
 }
 
 /** Fill strategy for [[TimeseriesQueries.gapfill]]. */

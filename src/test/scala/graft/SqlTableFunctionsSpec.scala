@@ -249,6 +249,12 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       TimeseriesQueries.rollingStats(cond, "m", T0, T1, k = 5))
   }
 
+  test("graft_stats_agg ≡ statsDerive(statsAgg)") {
+    assertSame(s"SELECT * FROM graft_stats_agg('m', $T0, $T1, 3600)",
+      TimeseriesQueries.statsDerive(
+        TimeseriesQueries.statsAgg(cond, "m", T0, T1, widthS = 3600)))
+  }
+
   test("graft_seasonal_outliers ≡ seasonalOutliers") {
     val mid = T0 + 3 * 3600
     assertSame(

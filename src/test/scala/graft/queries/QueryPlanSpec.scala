@@ -50,6 +50,21 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(q.collect().toSeq == viaView)
   }
 
+  test("statsAgg plan: one scan, partial+final hash agg, exactly one exchange, no window/sort before agg") {
+    val table = spark.read.parquet(conditionsPath)
+    val q = TimeseriesQueries.statsDerive(TimeseriesQueries.statsAgg(
+      table, "click", 1704240000L, 1706400000L, widthS = 86400))
+    val plan = q.queryExecution.executedPlan.toString
+    // partial (map-side) then final hash aggregation — the partials
+    // combine before the shuffle, so shuffled bytes ∝ groups, not rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // exactly one data exchange for the agg (plus the output sort's) —
+    // no extra repartition, no window operator anywhere
+    assert(!plan.contains("Window"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected ≤2 exchanges (agg + orderBy), got $exchanges\n$plan")
+  }
+
   test("partition pruning actually reduces files read") {
     val table = spark.read.parquet(conditionsPath)
     val narrow = TimeseriesQueries.scan(table, "user_3", "click", 1704844800L, 1704931200L)
