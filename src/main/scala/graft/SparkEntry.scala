@@ -811,6 +811,13 @@ object SparkEntry {
     // vocabulary build: top-K tokens by total frequency + doc frequency
     "q_vocab" -> ((s, d) =>
       graft.operators.TextAnalysis.vocabulary(table(s, d, "documents"), k = 100)),
+    // heavy hitters (freq_agg/topn_agg parity): Misra-Gries candidates
+    // (k=29 < the 31-token vocab, so the decrement path actually runs)
+    // + exact confirmation — output is EXACTLY the tokens at ≥3.4%
+    // frequency, independent of partitioning, at any SF (3.4% > 1/30)
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.operators.TextAnalysis.heavyHitters(table(s, d, "documents"),
+        k = 29, minFreq = 0.034)),
     // tokenizer-fit: per-doc OOV counts against the corpus's own top-30
     // vocabulary — exact integers, vocabulary broadcast
     "q_vocab_coverage" -> ((s, d) => {
@@ -2296,6 +2303,15 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
+    // the sketch only bounds memory — the OUTPUT is exact, so the oracle
+    // is a plain frequency-threshold count (same CEIL of the same IEEE
+    // product)
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS cnt
+        |FROM t GROUP BY token
+        |HAVING count(*) >= CEIL(0.034 * (SELECT count(*) FROM t))
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
     // coverage vs the deterministic top-30 vocab (q_vocab's own ranking)
     "q_vocab_coverage" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -260,6 +260,11 @@ object SqlTableFunctions {
     add("graft_lang_id", "graft_lang_id()", 0) { (s, f, _) =>
       TextAnalysis.langId(rel(s, DocumentsRelation, f.name))
     }
+    add("graft_heavy_hitters", "graft_heavy_hitters(k, min_freq)", 2) {
+      (s, f, a) =>
+        TextAnalysis.heavyHitters(rel(s, DocumentsRelation, f.name),
+          intArg(f, a, 0), doubleArg(f, a, 1))
+    }
     add("graft_ann_topk", "graft_ann_topk(query_vec_id, k)", 2) { (s, f, a) =>
       Ann.topK(rel(s, EmbeddingsRelation, f.name), longArg(f, a, 0), intArg(f, a, 1))
     }

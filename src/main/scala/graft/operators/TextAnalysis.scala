@@ -166,6 +166,66 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Heavy-hitter tokens — Timescale toolkit `freq_agg`/`topn_agg` parity
+    * (SpaceSaving family), exactness-hardened for the training-pipeline
+    * use (boilerplate detection, stop-token discovery): every token whose
+    * corpus frequency is ≥ `minFreq` is returned with its EXACT count.
+    *
+    * Two phases, neither of which ever shuffles the token stream:
+    *
+    *  1. per-partition Misra-Gries with `k` counters (bounded O(k) memory
+    *     per task regardless of stream length; the decrement step is the
+    *     classic one). Any token with global count > N/(k+1) exceeds
+    *     N_p/(k+1) in at least one partition (averaging argument), so the
+    *     UNION of per-partition survivor sets — ≤ partitions × k rows, no
+    *     merge arithmetic needed — is a guaranteed superset of the true
+    *     heavy hitters whenever `minFreq > 1/(k+1)` (enforced).
+    *  2. exact counts of that candidate superset only: the token stream is
+    *     filtered by a broadcast semi-join BEFORE the aggregation, so the
+    *     final hash agg holds ≤ partitions × k keys, and the threshold
+    *     filter makes the output independent of partitioning (false
+    *     candidates die on their exact counts).
+    *
+    * The same candidates-then-exact-confirm shape as
+    * [[Decontamination.contaminatedBloom]]: the sketch buys the bounded
+    * state, the confirmation pass buys back exactness.
+    */
+  def heavyHitters(docs: DataFrame, k: Int, minFreq: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minFreq > 1.0 / (k + 1),
+      s"minFreq=$minFreq must exceed 1/(k+1)=${1.0 / (k + 1)} or the " +
+        "Misra-Gries candidate set is not a guaranteed superset — raise k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens).as("t"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      while (it.hasNext) {
+        val t = it.next()
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None => // full and new: decrement all, evict zeros
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters(key) = c - 1
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("t").distinct()
+    // threshold from the exact stream length (one map-only count pass);
+    // CEIL of the same IEEE product both engines
+    val n = toks.count()
+    val minCount = math.ceil(minFreq * n).toLong
+    toks.join(broadcast(candidates), Seq("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("t").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
   /** Tokenizer-fit report: per document, total and out-of-vocabulary
     * token counts against a vocabulary relation (one `token` column —
     * typically a [[vocabulary]] top-k or a real tokenizer's vocab dump).

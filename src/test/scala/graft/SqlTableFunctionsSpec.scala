@@ -249,6 +249,13 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       TimeseriesQueries.rollingStats(cond, "m", T0, T1, k = 5))
   }
 
+  test("graft_heavy_hitters ≡ heavyHitters") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_heavy_hitters(29, 0.034)",
+      graft.operators.TextAnalysis.heavyHitters(
+        spark.table(SqlTableFunctions.DocumentsRelation), k = 29, minFreq = 0.034))
+  }
+
   test("graft_stats_agg ≡ statsDerive(statsAgg)") {
     assertSame(s"SELECT * FROM graft_stats_agg('m', $T0, $T1, 3600)",
       TimeseriesQueries.statsDerive(

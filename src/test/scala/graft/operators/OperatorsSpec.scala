@@ -235,6 +235,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp.map(_.getString(1)).forall(_.length == 32))
   }
 
+  test("heavyHitters: exact thresholded counts on a skewed stream, partitioning-independent") {
+    import spark.implicits._
+    // 60% "hot", 20% "warm", the rest a long tail of 40 singles-per-doc
+    // tokens; k=4 counters over 44 distinct tokens forces constant
+    // Misra-Gries decrements
+    val rows = (0 until 200).map { i =>
+      val tail = s"t${i % 40}"
+      (i.toLong, s"hot hot hot warm $tail")
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val d = rows.toDF("doc_id", "text").repartition(parts)
+      val out = TextAnalysis.heavyHitters(d, k = 4, minFreq = 0.21)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      // N = 1000; threshold = ceil(210) = 210 → hot (600) and warm (200)?
+      // warm is 200 < 210 → only hot survives, with its EXACT count
+      assert(out.toSeq == Seq("hot" -> 600L), s"parts=$parts: ${out.toSeq}")
+    }
+    // lower threshold (still > 1/(k+1) with k=9): warm passes too
+    val both = TextAnalysis.heavyHitters(
+      rows.toDF("doc_id", "text").repartition(5), k = 9, minFreq = 0.15)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(both.toSeq == Seq("hot" -> 600L, "warm" -> 200L))
+    // guarantee precondition is enforced
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(rows.toDF("doc_id", "text"), k = 4, minFreq = 0.1)
+    }
+  }
+
   test("repetitionSignals: hand-computed fractions, degenerate docs score 0") {
     import spark.implicits._
     val d = Seq(
