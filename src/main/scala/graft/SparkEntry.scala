@@ -420,6 +420,21 @@ object SparkEntry {
     // exact dedup: one representative per distinct content hash
     "q_dedup_exact" -> ((s, d) =>
       graft.operators.Dedup.exact(table(s, d, "documents"))),
+    // C4/RefinedWeb line-level dedup: the corpus has no newlines, so the
+    // gate deterministically re-chunks each doc into 12-token lines
+    // (replayed token-for-token by the oracle), then keeps every line
+    // only at its global first (doc_id, idx) occurrence and reassembles
+    // the docs — fully-claimed docs disappear
+    "q_line_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array_join, sequence, size, slice, split, transform}
+      val toks = split(col("text"), " ")
+      val planted = table(s, d, "documents").withColumn("text",
+        array_join(transform(
+          sequence(lit(0), org.apache.spark.sql.functions.floor(
+            (size(toks) - 1) / 12).cast("int")),
+          i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")), "\n"))
+      graft.operators.Dedup.lineDedup(planted)
+    }),
     // exact n-gram Jaccard similarity join (oracle baseline)
     "q_dedup_jaccard" -> ((s, d) =>
       graft.operators.Dedup.jaccardPairs(table(s, d, "documents"), n = 3, threshold = 0.8)),
@@ -1954,6 +1969,21 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    // 12-token line planting replayed, then first-occurrence-wins line
+    // dedup and per-doc reassembly in ORDER BY idx
+    "q_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |planted AS (SELECT doc_id,
+        |  array_to_string([array_to_string(w[i*12+1:i*12+12], ' ')
+        |                   for i in range(0, CAST(CEIL(len(w)/12.0) AS BIGINT))], chr(10)) AS text
+        |  FROM w),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+        |lines AS (SELECT doc_id, generate_subscripts(ls, 1) - 1 AS idx, unnest(ls) AS line FROM ls),
+        |k AS (SELECT *, doc_id*100000 + idx AS key FROM lines),
+        |f AS (SELECT line, min(key) AS fk FROM k GROUP BY line)
+        |SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.idx) AS text
+        |FROM k JOIN f ON k.line = f.line AND k.key = f.fk
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
     "q_dedup_jaccard" -> jaccardOracleSql,
     "q_dedup_jaccard_bounded" -> jaccardBoundedOracleSql(10),
     "q_dedup_clusters" -> clustersOracleSql(10),

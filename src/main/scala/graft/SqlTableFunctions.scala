@@ -265,6 +265,9 @@ object SqlTableFunctions {
         TextAnalysis.heavyHitters(rel(s, DocumentsRelation, f.name),
           intArg(f, a, 0), doubleArg(f, a, 1))
     }
+    add("graft_line_dedup", "graft_line_dedup()", 0) { (s, f, _) =>
+      graft.operators.Dedup.lineDedup(rel(s, DocumentsRelation, f.name))
+    }
     add("graft_ann_topk", "graft_ann_topk(query_vec_id, k)", 2) { (s, f, a) =>
       Ann.topK(rel(s, EmbeddingsRelation, f.name), longArg(f, a, 0), intArg(f, a, 1))
     }

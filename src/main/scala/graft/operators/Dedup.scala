@@ -87,6 +87,44 @@ object Dedup {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** C4-style exact line-level deduplication (Raffel et al. 2020 §2.2
+    * deduplicate three-sentence spans; Penedo et al. 2023 RefinedWeb does
+    * it per line): every line that occurs more than once CORPUS-WIDE is
+    * kept only at its first occurrence — ordered by (doc_id, line index)
+    * — and each document is reassembled from its surviving lines.
+    * Documents whose every line was claimed elsewhere disappear (the C4
+    * empty-doc drop).
+    *
+    * Shape: line explode (narrow) → one hash agg for the global
+    * first-occurrence key → hash join back → per-doc rebuild. The rebuild
+    * sorts WITHIN each document's collected lines (task memory ∝ one
+    * document, same bound as every per-doc kernel here); nothing sorts
+    * globally. At 100 TB the only heavy step is the first-occurrence agg,
+    * whose shuffle is one (line, key) pair per line — a production
+    * variant would shuffle a 128-bit line hash instead of the line text;
+    * this exact tier keeps the string so the oracle can replay
+    * byte-for-byte.
+    *
+    * Line index is packed with doc_id into one BIGINT key (`doc_id·10⁵ +
+    * idx`) so "first occurrence" is a plain `min`; callers guarantee
+    * < 10⁵ lines per document (enforced).
+    */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val keyed = lines.withColumn("key",
+      when(col("idx") < 100000, col("doc_id") * 100000L + col("idx"))
+        .otherwise(raise_error(lit("lineDedup: document with ≥1e5 lines"))))
+    val firsts = keyed.groupBy("line").agg(min("key").as("fk"))
+    keyed.join(firsts, Seq("line"))
+      .filter(col("key") === col("fk"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard similarity join: inverted-index (shingle) self
     * join → per-pair intersection count → jaccard = |∩| / (|A|+|B|−|∩|).
     * `maxDf` prunes stop-shingle skew (None = exact, used for the oracle).

@@ -256,6 +256,13 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         spark.table(SqlTableFunctions.DocumentsRelation), k = 29, minFreq = 0.034))
   }
 
+  test("graft_line_dedup ≡ Dedup.lineDedup") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_line_dedup()",
+      graft.operators.Dedup.lineDedup(
+        spark.table(SqlTableFunctions.DocumentsRelation)))
+  }
+
   test("graft_stats_agg ≡ statsDerive(statsAgg)") {
     assertSame(s"SELECT * FROM graft_stats_agg('m', $T0, $T1, 3600)",
       TimeseriesQueries.statsDerive(

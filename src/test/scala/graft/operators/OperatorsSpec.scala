@@ -235,6 +235,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp.map(_.getString(1)).forall(_.length == 32))
   }
 
+  test("lineDedup: first occurrence wins, docs reassemble in order, fully-claimed docs vanish") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),      // beta claimed by doc 1 → only delta stays
+      (3L, "alpha\ngamma"),     // both claimed by doc 1 → doc 3 disappears
+      (4L, "zeta\nzeta")        // in-doc repeat: second zeta dropped too
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d).collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toSeq == Seq(
+      1L -> "alpha\nbeta\ngamma",
+      2L -> "delta",
+      4L -> "zeta"))
+    // partitioning must not change the outcome (global min key, not
+    // arrival order)
+    val out8 = Dedup.lineDedup(d.repartition(8)).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out8.toSeq == out.toSeq)
+  }
+
   test("heavyHitters: exact thresholded counts on a skewed stream, partitioning-independent") {
     import spark.implicits._
     // 60% "hot", 20% "warm", the rest a long tail of 40 singles-per-doc
