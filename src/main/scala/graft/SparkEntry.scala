@@ -880,6 +880,27 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), n = 5)
     }),
+    // SEMANTIC decontamination: corpus embeddings within cosine 0.45 of
+    // any benchmark embedding (vec_id % 7 == 0 plays the eval suite) are
+    // dropped — the paraphrase tier n-grams can't see; exact packed
+    // block-rectangle kernel, anti-join keeps the clean ids
+    "q_decontaminate_semantic" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      graft.operators.Decontamination.semantic(
+        e.filter(col("vec_id") % 7 =!= 0),
+        e.filter(col("vec_id") % 7 === 0), threshold = 0.45)
+    }),
+    // the same contract served from a persisted IVF index over the
+    // BENCHMARK at nProbe = nlist (exact) — shares the oracle; at scale
+    // the corpus probes nProbe lists instead of the whole eval suite
+    "q_decontaminate_semantic_idx" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 7 === 0),
+        "graft_decon_bench_ivf", nlist = 16)
+      graft.operators.Decontamination.semanticAgainstIndex(
+        e.filter(col("vec_id") % 7 =!= 0), "graft_decon_bench_ivf",
+        threshold = 0.45, nProbe = 16)
+    }),
     // decontamination as a STREAMING gate: bloom + benchmark shingles
     // built once per stream, each micro-batch exact-confirmed — only
     // clean docs reach the store; oracle = corpus docs with no shared
@@ -921,6 +942,13 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) =>
       graft.operators.Sampling.stratifiedSample(table(s, d, "documents"),
           stratum = "source", rates = Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "source").orderBy("doc_id")),
+    // RefinedWeb-style per-domain cap: at most 15 docs per source, the
+    // hash-deterministic (bucket, doc_id)-least selection, computed via
+    // the histogram+boundary-bucket plan (no stratum-wide sort); the
+    // oracle is the equivalent stratum-wide row_number
+    "q_cap_per_source" -> ((s, d) =>
+      graft.operators.Sampling.capPerStratum(table(s, d, "documents"), cap = 15)
         .select("doc_id", "source").orderBy("doc_id")),
     // target-mixture downsample (data mixing): src0/src1/src2 at 50/30/20;
     // the oracle recomputes counts → λ → thresholds in SQL
@@ -2374,6 +2402,11 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
         |ORDER BY doc_id""".stripMargin,
+    // brute-force cross-slice cosine: corpus (≠0 mod 7) survivors with
+    // no benchmark (0 mod 7) neighbor at ≥ 0.45 — shared by the exact
+    // kernel and the nProbe=nlist IVF serving path
+    "q_decontaminate_semantic" -> semanticDeconOracleSql,
+    "q_decontaminate_semantic_idx" -> semanticDeconOracleSql,
     // bloom pre-filter + exact confirmation ≡ the exact join
     "q_decontaminate_bloom" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2468,6 +2501,15 @@ object SparkEntry {
          |               WHEN source = 'src1' THEN 2500
          |               ELSE 1000 END
          |ORDER BY doc_id""".stripMargin,
+    // per-domain cap: the histogram+boundary plan selects exactly the
+    // stratum-wide (bucket, doc_id)-least 15 — replayed as a plain rank
+    "q_cap_per_source" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${md5BucketSql("cap", "doc_id")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     // mixture replay: counts → λ = min(c/t) → per-source threshold
     // round(λ·t/c·10⁴), same double op order as Sampling.mixtureSample
     "q_sample_mixture" ->
@@ -2951,6 +2993,25 @@ object SparkEntry {
   /** Brute-force cosine pairs at 0.45 — oracle for q_embed_neardup (same
     * algorithm) and q_embed_neardup_lsh (LSH recall-equality proof).
     */
+  /** Semantic-decontamination oracle: corpus (vec_id ≠ 0 mod 7) vectors
+    * with NO benchmark (vec_id = 0 mod 7) cosine neighbor at ≥ 0.45.
+    */
+  private def semanticDeconOracleSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |dirty AS (
+      |  SELECT DISTINCT a.vec_id
+      |  FROM n a JOIN n b ON a.vec_id % 7 <> 0 AND b.vec_id % 7 = 0
+      |  WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+      |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |          / (a.nrm * b.nrm) >= 0.45)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id % 7 <> 0 AND vec_id NOT IN (SELECT vec_id FROM dirty)
+      |ORDER BY vec_id""".stripMargin
+
   private def neardupOracleSql: String =
     """WITH n AS (
       |  SELECT vec_id, embedding,

@@ -268,6 +268,9 @@ object SqlTableFunctions {
     add("graft_line_dedup", "graft_line_dedup()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedup(rel(s, DocumentsRelation, f.name))
     }
+    add("graft_cap_per_source", "graft_cap_per_source(cap)", 1) { (s, f, a) =>
+      Sampling.capPerStratum(rel(s, DocumentsRelation, f.name), longArg(f, a, 0))
+    }
     add("graft_ann_topk", "graft_ann_topk(query_vec_id, k)", 2) { (s, f, a) =>
       Ann.topK(rel(s, EmbeddingsRelation, f.name), longArg(f, a, 0), intArg(f, a, 1))
     }

@@ -87,4 +87,40 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** SEMANTIC decontamination: drop corpus items whose embedding is
+    * within cosine `threshold` of ANY benchmark embedding — the
+    * paraphrase-contamination tier the n-gram methods can't see (an eval
+    * answer reworded shares no 8-gram but keeps its embedding
+    * neighborhood). Complements [[contaminated]] the way SemDeDup
+    * complements exact dedup.
+    *
+    * Exact tier: the packed block-rectangle kernel
+    * ([[Ann.neardupPairsIncremental]] — corpus blocks × benchmark
+    * blocks; benchmark side is eval-suite-sized, so cells ≈ corpus
+    * blocks), then an anti-join keeps the clean ids. No driver-side
+    * data, no all-pairs within the corpus.
+    */
+  def semantic(corpus: DataFrame, benchmark: DataFrame,
+               threshold: Double): DataFrame =
+    corpus.select("vec_id").join(
+      Ann.neardupPairsIncremental(corpus, benchmark, threshold)
+        .select(col("id_new").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+
+  /** [[semantic]] served from a persisted IVF index over the BENCHMARK
+    * ([[Ann.writeIvfIndex]]) — the 100 TB tier: the corpus probes only
+    * `nProbe` benchmark lists per vector instead of the full benchmark;
+    * at `nProbe = nlist` the result is exact and shares [[semantic]]'s
+    * oracle. The benchmark index is built once per eval-suite release
+    * and reused across every corpus snapshot.
+    */
+  def semanticAgainstIndex(corpus: DataFrame, indexTable: String,
+                           threshold: Double, nProbe: Int): DataFrame =
+    corpus.select("vec_id").join(
+      Ann.neardupAgainstIvfIndex(corpus, indexTable, threshold, nProbe)
+        .select(col("id_new").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
 }

@@ -217,4 +217,50 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Cap each stratum at `cap` documents (RefinedWeb-style per-domain
+    * caps: no domain may dominate the corpus) — selecting EXACTLY the
+    * `cap` rows with the smallest (hash bucket, key), i.e. the same set
+    * `topKPerStratum(stratum, cap, bucket, key)` picks, WITHOUT that
+    * method's stratum-wide window sort (its documented hot-stratum skew).
+    *
+    * Two phases, both bounded:
+    *  1. bucket histogram per stratum (hash agg → ≤ strata × 10⁴ rows),
+    *     cumulative counts via a window over ≤ 10⁴ HISTOGRAM rows per
+    *     stratum (never over documents), giving each (stratum, bucket) a
+    *     quota: full below the cutoff bucket, `cap − cum_before` AT it,
+    *     zero above;
+    *  2. rows join their (stratum, bucket) quota (hash join; the
+    *     histogram side is small). Full-quota buckets pass with no
+    *     ranking at all; only the ONE boundary bucket per stratum ranks
+    *     its rows — a group of ~|stratum|/10⁴ documents, four orders of
+    *     magnitude smaller than the stratum-wide sort.
+    *
+    * Selection is hash-deterministic (reruns, repartitions and appends
+    * agree on which docs a full domain keeps), and an independent SQL
+    * replay is just `row_number() OVER (PARTITION BY stratum ORDER BY
+    * bucket, key) ≤ cap`.
+    */
+  def capPerStratum(docs: DataFrame, cap: Long, stratum: String = "source",
+                    key: String = "doc_id", salt: String = "cap"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val withB = docs.withColumn("__b", bucket(col(key), salt))
+    val hist = withB.groupBy(col(stratum), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(stratum).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val quota = hist
+      .withColumn("__cum", coalesce(sum("__c").over(wCum), lit(0L)))
+      .withColumn("__q", greatest(lit(0L), least(col("__c"), lit(cap) - col("__cum"))))
+      .select(col(stratum), col("__b"), col("__c"), col("__q"))
+    val wInBucket = Window.partitionBy(col(stratum), col("__b")).orderBy(col(key))
+    withB.join(quota, Seq(stratum, "__b"))
+      .filter(col("__q") > 0)
+      // the rank window partitions by (stratum, BUCKET) — each sort group
+      // is one bucket's occupancy (~|stratum|/10⁴), and for full-quota
+      // buckets the rn ≤ q filter is vacuously true
+      .withColumn("__rn", row_number().over(wInBucket))
+      .filter(col("__rn") <= col("__q"))
+      .drop("__b", "__c", "__q", "__rn")
+  }
 }

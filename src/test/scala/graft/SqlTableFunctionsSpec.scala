@@ -263,6 +263,13 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         spark.table(SqlTableFunctions.DocumentsRelation)))
   }
 
+  test("graft_cap_per_source ≡ Sampling.capPerStratum") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_cap_per_source(15)",
+      graft.operators.Sampling.capPerStratum(
+        spark.table(SqlTableFunctions.DocumentsRelation), cap = 15))
+  }
+
   test("graft_stats_agg ≡ statsDerive(statsAgg)") {
     assertSame(s"SELECT * FROM graft_stats_agg('m', $T0, $T1, 3600)",
       TimeseriesQueries.statsDerive(

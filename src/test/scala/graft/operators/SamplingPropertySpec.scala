@@ -137,6 +137,33 @@ class SamplingPropertySpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p).passed)
   }
+  test("capPerStratum == topKPerStratum over (bucket, key); caps bind exactly") {
+    import spark.implicits._
+    // three strata with sizes straddling the cap: 40, 7 (under), 12
+    val rows = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (100 until 107).map(i => (i.toLong, "small")) ++
+      (200 until 212).map(i => (i.toLong, "mid")))
+    val d = rows.toDF("doc_id", "source").repartition(5)
+    val capped = Sampling.capPerStratum(d, cap = 10)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // exact counts: min(cap, |stratum|)
+    val bySource = capped.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource == Map("big" -> 10, "small" -> 7, "mid" -> 10))
+    // equivalence with the stratum-wide window selection
+    val viaWindow = Sampling.topKPerStratum(
+        d.withColumn("__b", Sampling.bucket(col("doc_id"), "cap")),
+        "source", 10, col("__b"), col("doc_id"))
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(capped.toSeq == viaWindow.toSeq)
+    // partition-count independence
+    val capped1 = Sampling.capPerStratum(d.repartition(1), cap = 10)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(capped1.toSeq == capped.toSeq)
+  }
+
   test("epochShuffle is a partition-independent permutation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Long)] =
