@@ -290,6 +290,17 @@ object SparkEntry {
         graft.sources.ContinuousAggregate.queryDistinct(s, s"$tmp/agg", Of,
           S1, E1, widthS = 86400)
       }),
+    // stats_agg continuous aggregate: hourly six-moment partials with
+    // per-bucket x anchors, served DAILY via the exact integer moment
+    // translation (x' = x + δ) — the oracle computes at the daily anchor
+    // directly, so the hash match proves the translation algebra
+    "q_cagg_stats" -> ((s, d) =>
+      withTempDir("graft_cagg_s") { tmp =>
+        graft.sources.ContinuousAggregate.createStats(conditions(s, d),
+          s"$tmp/agg", widthS = 3600)
+        graft.sources.ContinuousAggregate.queryStats(s, s"$tmp/agg", Subject,
+          Of, S1, E1, widthS = 86400)
+      }),
     // composable percentile sketch (Timescale percentile_agg / uddsketch
     // shape): hourly (bl, sub) log-bucket count partials materialized
     // date-partitioned, then DAILY p50/p95/p99 served by merging counts
@@ -336,6 +347,42 @@ object SparkEntry {
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
           .orderBy("time_us", "measurement_subject")
+      }
+    }),
+    // streaming stats_agg: daily tumbling windows + watermark emit the
+    // six exact partials on window close (state = one partial row per
+    // open (window, subject)); derived stats computed on the stored
+    // partials at read — shares the batch day-window oracle
+    "q_stats_stream" -> ((s, d) => {
+      import s.implicits._
+      val real = conditions(s, d).filter(
+          col("measurement_of") === Of &&
+          col("measurement_number").isNotNull &&
+          col("timestamp") >= timestamp_seconds(lit(S1)) &&
+          col("timestamp") <= timestamp_seconds(lit(E1)))
+        .select("measurement_subject", "measurement_number", "timestamp")
+      withTempDir("graft_stats_stream") { tmp =>
+        def run(): Unit = {
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.queries.TimeseriesQueries.streamingStatsAgg(stream, intervalS = 86400)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .outputMode("append")
+            .option("checkpointLocation", s"$tmp/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        def sentinel(epochS: Long): Unit =
+          Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
+            .toDF("measurement_subject", "measurement_number", "timestamp")
+            .coalesce(1).write.mode("append").parquet(s"$tmp/input")
+        real.repartition(3).write.parquet(s"$tmp/input")
+        run()
+        sentinel(4102444800L); run()
+        graft.queries.TimeseriesQueries.statsDerive(
+          s.read.parquet(s"$tmp/out")
+            .filter(col("measurement_subject") =!= "__sentinel__"))
+          .orderBy("measurement_subject", "time_s")
       }
     }),
     // the event-time tumbling-window aggregation through the streaming
@@ -1279,17 +1326,20 @@ object SparkEntry {
     * sums are associative, so the single-level oracle covers the
     * two-level Spark plan).
     */
-  private def statsOracleSql(grouped: String): String = {
-    val withBucket = grouped.contains("time_s")
+  private def statsOracleSql(grouped: String,
+                             xSql: String = s"""(epoch_us("timestamp") // 1000000) - $S1""",
+                             timeSql: String = bucketSql(86400),
+                             pred: String = "",
+                             upper: String = "<="): String = {
     s"""$Cte,
        |scanned AS (
        |  SELECT measurement_subject,
-       |         ${bucketSql(86400)} AS time_s,
-       |         (epoch_us("timestamp") // 1000000) - $S1 AS x,
+       |         $timeSql AS time_s,
+       |         $xSql AS x,
        |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS y
        |  FROM conditions
-       |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
-       |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+       |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL $pred
+       |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 $upper $E1),
        |partials AS (
        |  SELECT $grouped, COUNT(*) AS n,
        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
@@ -1657,6 +1707,19 @@ object SparkEntry {
     // single-level oracle for the two-level Spark rollup: integer partial
     // sums are associative, so day-partials-then-merge ≡ direct coarse
     "q_stats_rollup" -> statsOracleSql(grouped = "measurement_subject"),
+    // hourly store translated to daily anchors ≡ direct daily compute —
+    // the oracle computes at the daily anchor straight from raw rows, so
+    // a hash match proves the integer moment-translation algebra
+    "q_cagg_stats" -> statsOracleSql(grouped = "time_s",
+      xSql = s"""(epoch_us("timestamp") // 1000000) - (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400""",
+      timeSql = s"""(epoch_us("timestamp") // ${86400L * 1000000L}) * 86400""",
+      pred = s"AND measurement_subject = '$Subject'",
+      upper = "<"),
+    // streaming windowed partials ≡ the batch day-window compute; x
+    // anchors at each window's own start
+    "q_stats_stream" -> statsOracleSql(grouped = "measurement_subject, time_s",
+      xSql = s"""(epoch_us("timestamp") // 1000000) - (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400""",
+      timeSql = s"""(epoch_us("timestamp") // ${86400L * 1000000L}) * 86400"""),
     // identical ROWS frame over the identical (ts, value) order; equal
     // keys are interchangeable so the frame multiset is engine-stable
     "q_rolling" ->

@@ -881,6 +881,40 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "time_s")
   }
 
+  /** [[statsAgg]] over a STREAM: tumbling event-time windows + watermark,
+    * emitting the six exact partials per (window, subject) on window
+    * close — streaming state is one partial row per open (window,
+    * subject), never raw events (sums compose, so late-but-in-watermark
+    * events fold into the open partial). x anchors at each WINDOW's own
+    * start (`x = epoch_s − window_start`, the [[graft.sources
+    * .ContinuousAggregate.createStats]] convention) so |x| ≤ intervalS
+    * regardless of stream age; a downstream coarse rollup re-anchors with
+    * the exact integer translation documented there.
+    */
+  def streamingStatsAgg(conditions: DataFrame, intervalS: Long,
+                        scale: Int = 100,
+                        watermark: String = "1 hour"): DataFrame =
+    conditions
+      .filter(col("measurement_number").isNotNull)
+      .withWatermark("timestamp", watermark)
+      .select(col("timestamp"), col("measurement_subject"),
+        round(col("measurement_number") * scale, 0).cast("long").as("y"))
+      .groupBy(window(col("timestamp"), s"$intervalS seconds"),
+        col("measurement_subject"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("timestamp").cast("long") -
+          col("window.start").cast("long")).as("sx"),
+        sum("y").as("sy"),
+        sum((col("timestamp").cast("long") - col("window.start").cast("long")) *
+          (col("timestamp").cast("long") - col("window.start").cast("long"))).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum((col("timestamp").cast("long") - col("window.start").cast("long")) *
+          col("y")).as("sxy"))
+      .select(col("window.start").cast("long").as("time_s"),
+        col("measurement_subject"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy"))
+
   /** Derived statistics from [[statsAgg]] partial rows (any rollup level):
     * average, population variance/stddev of y, OLS slope/intercept of y
     * over x, Pearson correlation. Pure double arithmetic over the exact

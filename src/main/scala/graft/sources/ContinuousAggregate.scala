@@ -151,6 +151,102 @@ object ContinuousAggregate {
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_subjects"))
       .orderBy("time_s")
 
+  /** stats_agg continuous aggregate: store the six composable statistical
+    * partials (n, Σx, Σy, Σx², Σy², Σxy — see
+    * [[graft.queries.TimeseriesQueries.statsAgg]]) per (date, subject,
+    * of, bucket), with x anchored at EACH ROW'S OWN BUCKET START
+    * (`x = epoch_s − bucket_s`). A per-bucket anchor keeps |x| ≤ widthS
+    * forever (no overflow drift as the store ages — an absolute-epoch x
+    * would put Σx² near 2⁶³ immediately), at the price that merging
+    * buckets needs the exact integer TRANSLATION of second moments, which
+    * [[queryStats]] applies:
+    *
+    *   x' = x + δ   (δ = own anchor − target anchor)
+    *   Σx'  = Σx  + n·δ
+    *   Σx'² = Σx² + 2δ·Σx + n·δ²
+    *   Σx'y = Σxy + δ·Σy          (Σy, Σy², n unchanged)
+    *
+    * — all BIGINT-exact, so a coarse serve is bit-identical to computing
+    * the coarse bucket from raw data (the toolkit's `rollup(stats_agg)`
+    * with `shift`). Same storage layout/refresh contract as [[create]].
+    */
+  def createStats(conditions: DataFrame, path: String, widthS: Long,
+                  scale: Int = 100): Unit = {
+    require(widthS > 0 && scale > 0, "widthS and scale must be positive")
+    statsRollup(conditions, widthS, scale)
+      .repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+  }
+
+  /** Incremental refresh of a [[createStats]] store: same dynamic
+    * partition-overwrite contract as [[refresh]] — only dates ≥
+    * `sinceDate` are recomputed and swapped.
+    */
+  def refreshStats(conditions: DataFrame, path: String, widthS: Long,
+                   sinceDate: String, scale: Int = 100): Unit = {
+    require(sinceDate.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"sinceDate must be yyyy-MM-dd, got $sinceDate")
+    val spark = conditions.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try statsRollup(conditions.filter(to_date(col("timestamp")) >= lit(sinceDate)),
+        widthS, scale)
+      .repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  private def statsRollup(conditions: DataFrame, widthS: Long,
+                          scale: Int): DataFrame = {
+    val wUs = widthS * 1000000L
+    conditions
+      .filter(col("measurement_number").isNotNull)
+      .select(col("measurement_subject"), col("measurement_of"),
+        col("timestamp"),
+        round(col("measurement_number") * scale, 0).cast("long").as("y"))
+      .withColumn("bucket_s",
+        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+      .withColumn("x", col("timestamp").cast("long") - col("bucket_s"))
+      .withColumn("date", to_date(col("timestamp")))
+      .groupBy("date", "measurement_subject", "measurement_of", "bucket_s")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+  }
+
+  /** Serve merged stats partials (plus derived stats) per coarse bucket
+    * from a [[createStats]] store: translate each stored row's moments to
+    * the coarse bucket's anchor (exact integers, formulas above), sum,
+    * derive. `widthS` must be a multiple of the stored width; containment
+    * is half-open and store-aligned (see [[query]]).
+    */
+  def queryStats(spark: SparkSession, path: String, subject: String,
+                 of: String, startS: Long, endS: Long, widthS: Long): DataFrame = {
+    val shifted = spark.read.parquet(path)
+      .filter(col("measurement_subject") === subject &&
+        col("measurement_of") === of &&
+        col("bucket_s") >= startS && col("bucket_s") < endS)
+      .withColumn("time_s",
+        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .withColumn("d", col("bucket_s") - col("time_s"))
+      .select(col("time_s"), col("n"),
+        (col("sx") + col("n") * col("d")).as("sx"),
+        col("sy"),
+        (col("sxx") + lit(2L) * col("d") * col("sx") + col("n") * col("d") * col("d")).as("sxx"),
+        col("syy"),
+        (col("sxy") + col("d") * col("sy")).as("sxy"))
+    graft.queries.TimeseriesQueries.statsDerive(
+      shifted.groupBy("time_s")
+        .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+          sum("sxx").as("sxx"), sum("syy").as("syy"), sum("sxy").as("sxy"))
+        .orderBy("time_s"))
+  }
+
   private def rollup(conditions: DataFrame, widthS: Long, scale: Int): DataFrame = {
     val wUs = widthS * 1000000L
     conditions

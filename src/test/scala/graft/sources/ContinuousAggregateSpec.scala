@@ -117,6 +117,53 @@ class ContinuousAggregateSpec extends AnyFunSuite {
     assert(approx.toSeq == exact.toSeq)
   }
 
+  test("stats cagg: hourly store translated to daily anchors equals direct daily compute") {
+    val c = conditions(3)
+    val path = tmp("cagg_stats")
+    ContinuousAggregate.createStats(c, path, widthS = 3600)
+    val served = ContinuousAggregate.queryStats(spark, path, "s0", "m",
+      T0, T0 + 3 * 86400, widthS = 86400)
+      .collect().map(r => (r.getAs[Long]("time_s"), r.getAs[Long]("n"),
+        r.getAs[Long]("sx"), r.getAs[Long]("sy"), r.getAs[Long]("sxx"),
+        r.getAs[Long]("syy"), r.getAs[Long]("sxy")))
+    // direct daily-anchored partials straight from the raw rows
+    val direct = c.filter(col("measurement_subject") === "s0" &&
+        col("measurement_of") === "m" && col("measurement_number").isNotNull)
+      .withColumn("time_s", expr("(unix_micros(timestamp) div 86400000000) * 86400"))
+      .withColumn("x", col("timestamp").cast("long") - col("time_s"))
+      .withColumn("y", round(col("measurement_number") * 100, 0).cast("long"))
+      .groupBy("time_s")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .orderBy("time_s")
+      .collect().map(r => (r.getAs[Long]("time_s"), r.getAs[Long]("n"),
+        r.getAs[Long]("sx"), r.getAs[Long]("sy"), r.getAs[Long]("sxx"),
+        r.getAs[Long]("syy"), r.getAs[Long]("sxy")))
+    assert(served.toSeq == direct.toSeq)
+  }
+
+  test("stats cagg: incremental refreshStats equals a full rebuild") {
+    import spark.implicits._
+    val base = conditions(3)
+    val extra = Seq((java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(T0 + 2 * 86400 + 7000)),
+        "s0", "m", Option(42.42), Option.empty[String]))
+      .toDF("timestamp", "measurement_subject", "measurement_of",
+        "measurement_number", "measurement_string")
+    val updated = base.unionByName(extra)
+    val incPath = tmp("cagg_stats_inc")
+    val fullPath = tmp("cagg_stats_full")
+    ContinuousAggregate.createStats(base, incPath, widthS = 3600)
+    ContinuousAggregate.refreshStats(updated, incPath, widthS = 3600,
+      sinceDate = "2024-01-05")
+    ContinuousAggregate.createStats(updated, fullPath, widthS = 3600)
+    def snap(p: String) = spark.read.parquet(p)
+      .orderBy("measurement_subject", "measurement_of", "bucket_s")
+      .collect().map(_.toString).toSeq
+    assert(snap(incPath) == snap(fullPath))
+  }
+
   test("retention drops exactly the partitions older than the cutoff") {
     val store = java.nio.file.Files.createTempDirectory("retention").toString
     ConditionsTable.write(conditions(4).drop("measurement_string")
