@@ -874,12 +874,12 @@ object SparkEntry {
     "q_vocab" -> ((s, d) =>
       graft.operators.TextAnalysis.vocabulary(table(s, d, "documents"), k = 100)),
     // heavy hitters (freq_agg/topn_agg parity): Misra-Gries candidates
-    // (k=29 < the 31-token vocab, so the decrement path actually runs)
-    // + exact confirmation — output is EXACTLY the tokens at ≥3.4%
-    // frequency, independent of partitioning, at any SF (3.4% > 1/30)
+    // (k=30 < the 31-token vocab, so the decrement path actually runs)
+    // + exact confirmation — output is EXACTLY the tokens at ≥3.35%
+    // frequency, independent of partitioning, at any SF (3.35% > 1/31)
     "q_heavy_hitters" -> ((s, d) =>
       graft.operators.TextAnalysis.heavyHitters(table(s, d, "documents"),
-        k = 29, minFreq = 0.034)),
+        k = 30, minFreq = 0.0335)),
     // tokenizer-fit: per-doc OOV counts against the corpus's own top-30
     // vocabulary — exact integers, vocabulary broadcast
     "q_vocab_coverage" -> ((s, d) => {
@@ -2431,7 +2431,7 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS cnt
         |FROM t GROUP BY token
-        |HAVING count(*) >= CEIL(0.034 * (SELECT count(*) FROM t))
+        |HAVING count(*) >= CEIL(0.0335 * (SELECT count(*) FROM t))
         |ORDER BY cnt DESC, token ASC""".stripMargin,
     // coverage vs the deterministic top-30 vocab (q_vocab's own ranking)
     "q_vocab_coverage" ->

@@ -79,6 +79,32 @@ object ScaleProbe {
     }
   }
 
+  /** Heavy-hitters probe: corpus grown M×, the Misra-Gries candidate
+    * tier vs a full-vocabulary exact group-count. The claim under test is
+    * BOUNDED INTERMEDIATE STATE: the exact path's hash agg holds the
+    * whole vocabulary (grown by the per-copy `c$c` tags — ∝ M), while the
+    * MG candidate set stays ≤ partitions × k whatever the corpus, and
+    * the confirm pass aggregates only candidate occurrences. Wall times
+    * at these sizes mostly show both are cheap; the candidate-count
+    * column is the scale argument.
+    */
+  private def hhProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.TextAnalysis
+    for (m <- ms) {
+      val corpus = grow(docs, m).localCheckpoint(true)
+      val toks = corpus.select(explode(split(col("text"), " ")).as("t"))
+      val ((vocab, exactTop), tExact) = time {
+        val counts = toks.groupBy("t").count().localCheckpoint(true)
+        (counts.count(), counts.orderBy(col("count").desc).limit(10).count())
+      }
+      spark.catalog.clearCache(); System.gc()
+      val (hh, tHh) = time(
+        TextAnalysis.heavyHitters(corpus, k = 30, minFreq = 0.0335).count())
+      println(s"""{"m":$m,"vocab":$vocab,"exact_top10":$exactTop,"hh_rows":$hh,"exact_sec":${f"$tExact%.2f"},"hh_sec":${f"$tHh%.2f"}}""")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
   /** End-to-end training-data pipeline probe: the composed path a real
     * corpus takes — curate (exact dedup → MinHash-LSH near-dup removal →
     * quality/language filter) → decontaminate (Bloom tier vs the
@@ -557,6 +583,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.lift(2).contains("embed")) {
       embedProbe(spark, ms)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("hh")) {
+      hhProbe(spark, spark.read.parquet(s"$sfDir/documents.parquet"), ms)
       spark.stop()
       return
     }

@@ -251,9 +251,9 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
 
   test("graft_heavy_hitters ≡ heavyHitters") {
     registerCorpus()
-    assertSame("SELECT * FROM graft_heavy_hitters(29, 0.034)",
+    assertSame("SELECT * FROM graft_heavy_hitters(30, 0.0335)",
       graft.operators.TextAnalysis.heavyHitters(
-        spark.table(SqlTableFunctions.DocumentsRelation), k = 29, minFreq = 0.034))
+        spark.table(SqlTableFunctions.DocumentsRelation), k = 30, minFreq = 0.0335))
   }
 
   test("graft_line_dedup ≡ Dedup.lineDedup") {
