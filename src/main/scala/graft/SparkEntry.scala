@@ -1102,6 +1102,13 @@ object SparkEntry {
         .orderBy("measurement_subject")
     }),
 
+    // N-step ordered funnel (click → view → purchase, each hop ≤1h from
+    // the previous reached event): one asofNext per hop over dedup'd
+    // anchors, re-attached by hash join — never a range join
+    "q_funnel3" -> ((s, d) =>
+      graft.queries.EventAnalytics.funnel(conditions(s, d),
+        Seq(Of, "view", "purchase"), S1, E1, horizonS = 3600)),
+
     // flagship curation: exact dedup -> near-dup removal -> quality +
     // language filter, the whole LLM-pipeline composed and oracle-checked
     "q_curate" -> ((s, d) =>
@@ -2636,6 +2643,36 @@ object SparkEntry {
          |       count(CASE WHEN vt - t <= ${3600L * 1000000L} THEN 1 END) AS n_converted,
          |       ROUND(AVG(CASE WHEN vt - t <= ${3600L * 1000000L} THEN (vt - t)/1000000.0 END), 6) AS avg_response_s
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // chained ASOF joins on negated timestamps, anchors dedup'd per hop
+    // exactly like the Spark plan; hop clocks restart at the reached event
+    "q_funnel3" ->
+      s"""$Cte,
+         |c AS (SELECT measurement_subject AS s, epoch_us("timestamp") AS t FROM conditions
+         |      WHERE measurement_of = '$Of'
+         |        AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |v AS (SELECT measurement_subject AS s, epoch_us("timestamp") AS t FROM conditions
+         |      WHERE measurement_of = 'view'
+         |        AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |p AS (SELECT measurement_subject AS s, epoch_us("timestamp") AS t FROM conditions
+         |      WHERE measurement_of = 'purchase'
+         |        AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |j1 AS (
+         |  SELECT c.s, c.t AS t0,
+         |         CASE WHEN v.t - c.t <= ${3600L * 1000000L} THEN v.t END AS t1
+         |  FROM (SELECT s, t, -t AS nt FROM c) c
+         |  ASOF LEFT JOIN (SELECT s, t, -t AS nt FROM v) v
+         |    ON c.s = v.s AND c.nt >= v.nt),
+         |a AS (SELECT DISTINCT s, t1 FROM j1 WHERE t1 IS NOT NULL),
+         |j2 AS (
+         |  SELECT a.s, a.t1,
+         |         CASE WHEN p.t - a.t1 <= ${3600L * 1000000L} THEN p.t END AS t2
+         |  FROM (SELECT s, t1, -t1 AS nt FROM a) a
+         |  ASOF LEFT JOIN (SELECT s, t, -t AS nt FROM p) p
+         |    ON a.s = p.s AND a.nt >= p.nt)
+         |SELECT j1.s AS measurement_subject,
+         |       count(*) AS n_0, count(j1.t1) AS n_1, count(j2.t2) AS n_2
+         |FROM j1 LEFT JOIN j2 ON j1.s = j2.s AND j1.t1 = j2.t1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_curate" -> curateOracleSql,
     // the composed export: curate survivors minus 5-gram-contaminated
     // docs, md5-bucket train split, epoch-42/1 shuffle over 7 shards —

@@ -243,6 +243,12 @@ object SqlTableFunctions {
         graft.queries.EventAnalytics.retentionCohorts(cond(s, f), strArg(f, a, 0),
           longArg(f, a, 1), longArg(f, a, 2))
     }
+    add("graft_funnel", "graft_funnel(steps_csv, start_s, end_s, horizon_s)", 4) {
+      (s, f, a) =>
+        val steps = strArg(f, a, 0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.queries.EventAnalytics.funnel(cond(s, f), steps,
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
     // metrics as a comma-separated list — table-function args are scalar
     // literals, so the list travels as one string
     add("graft_pivot", "graft_pivot(metrics_csv, start_s, end_s, width_s)", 4) {

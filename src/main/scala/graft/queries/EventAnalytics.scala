@@ -74,4 +74,45 @@ object EventAnalytics {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("measurement_subject", "bucket_s")
   }
+
+  /** N-step ordered funnel: for every step-0 event, whether the subject
+    * performed step 1 within `horizonS` of it, step 2 within `horizonS`
+    * of THAT step-1 event, and so on (each hop's clock restarts at the
+    * reached event — the windowed-funnel convention of the event-
+    * analytics engines). Output: per subject, `n_0` step-0 events and
+    * `n_i` of them that reached step i — the conversion funnel.
+    *
+    * Each hop is one [[AsOfJoin.asofNext]] (earliest step-i event
+    * at-or-after the anchor): union-marker + running window, one
+    * shuffle+sort per hop over (anchors ∪ step events), never a range
+    * join. Anchors are DEDUPLICATED per (subject, ts) before the hop and
+    * re-attached by hash join, so events funneling through the same
+    * intermediate event don't multiply the asof input.
+    */
+  def funnel(conditions: DataFrame, steps: Seq[String], startS: Long,
+             endS: Long, horizonS: Long): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    require(horizonS > 0, "horizonS must be positive")
+    val horizonUs = horizonS * 1000000L
+    def evs(of: String) = conditions.filter(
+        col("measurement_of") === of &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject").as("s"), col("timestamp"))
+    var frame = evs(steps.head).select(col("s"), col("timestamp").as("ts_0"))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val prev = s"ts_$i"
+      val anchors = frame.filter(col(prev).isNotNull)
+        .select(col("s"), col(prev).as("timestamp")).distinct()
+      val hop = AsOfJoin.asofNext(anchors, evs(step), "s", "timestamp")
+        .select(col("s"), col("timestamp").as(prev),
+          when(unix_micros(col("next_ts")) - unix_micros(col("timestamp")) <= horizonUs,
+            col("next_ts")).as(s"ts_${i + 1}"))
+      frame = frame.join(hop, Seq("s", prev), "left")
+    }
+    val counts = steps.indices.map(i => count(col(s"ts_$i")).as(s"n_$i"))
+    frame.groupBy(col("s").as("measurement_subject"))
+      .agg(counts.head, counts.tail: _*)
+      .orderBy("measurement_subject")
+  }
 }

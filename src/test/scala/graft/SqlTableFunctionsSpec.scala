@@ -249,6 +249,12 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       TimeseriesQueries.rollingStats(cond, "m", T0, T1, k = 5))
   }
 
+  test("graft_funnel ≡ EventAnalytics.funnel") {
+    assertSame(s"SELECT * FROM graft_funnel('m,state', $T0, $T1, 3600)",
+      graft.queries.EventAnalytics.funnel(cond, Seq("m", "state"), T0, T1,
+        horizonS = 3600))
+  }
+
   test("graft_heavy_hitters ≡ heavyHitters") {
     registerCorpus()
     assertSame("SELECT * FROM graft_heavy_hitters(30, 0.0335)",

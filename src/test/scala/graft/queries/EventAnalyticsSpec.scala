@@ -57,6 +57,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 5000L))) // hour 0 flagged, hour 12 not
   }
 
+  test("funnel: per-hop horizon restart, shared anchors, dropouts") {
+    // s1: click@0 → view@100 (≤1h) → purchase@3700 (3600 after view ✓)
+    //     click@50 → same view@100 → same purchase chain   (shared anchor)
+    //     click@9000 → view@20000 (>1h gap: dropout at hop 1)
+    // s2: click@0 → view@3600 (exactly 1h ✓) → no purchase
+    val rows = Seq(
+      (0L, "s1", "click", 1.0), (50L, "s1", "click", 1.0),
+      (100L, "s1", "view", 1.0), (3700L, "s1", "purchase", 1.0),
+      (9000L, "s1", "click", 1.0), (20000L, "s1", "view", 1.0),
+      (0L, "s2", "click", 1.0), (3600L, "s2", "view", 1.0))
+    val out = EventAnalytics.funnel(conditions(rows),
+        Seq("click", "view", "purchase"), T0, T0 + 86400, horizonS = 3600)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("s1") == ((3L, 2L, 2L))) // 3 clicks, 2 reach view, 2 reach purchase
+    assert(out("s2") == ((1L, 1L, 0L))) // 1 click, view at exactly 1h counts, no purchase
+  }
+
   test("retentionCohorts: first-day cohorts with per-offset distinct counts") {
     // u1 active days 0,1,3; u2 active days 0,3; u3 joins day 1, active 1,2
     val rows = Seq(
