@@ -472,15 +472,35 @@ object SparkEntry {
     // (replayed token-for-token by the oracle), then keeps every line
     // only at its global first (doc_id, idx) occurrence and reassembles
     // the docs — fully-claimed docs disappear
-    "q_line_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{array_join, sequence, size, slice, split, transform}
-      val toks = split(col("text"), " ")
-      val planted = table(s, d, "documents").withColumn("text",
-        array_join(transform(
-          sequence(lit(0), org.apache.spark.sql.functions.floor(
-            (size(toks) - 1) / 12).cast("int")),
-          i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")), "\n"))
-      graft.operators.Dedup.lineDedup(planted)
+    "q_line_dedup" -> ((s, d) =>
+      graft.operators.Dedup.lineDedup(plantedLines(s, d))),
+    // incremental line dedup vs the persisted line-claim index (even docs
+    // play yesterday's corpus): batch lines lose to index claims, then
+    // cross-doc first-occurrence within the batch — per-batch cost is
+    // independent of index history
+    "q_line_dedup_idx" -> ((s, d) => {
+      val planted = plantedLines(s, d)
+      graft.operators.Dedup.writeLineIndex(
+        planted.filter(col("doc_id") % 2 === 0), "graft_line_index")
+      graft.operators.Dedup.lineDedupAgainstIndex(
+        planted.filter(col("doc_id") % 2 === 1), "graft_line_index")
+    }),
+    // the STREAMING line gate (fourth index family to gate streams):
+    // index-only claims + per-doc repeat collapse, so the stored result
+    // is identical under any micro-batching and the oracle replays it
+    "q_line_dedup_stream" -> ((s, d) => {
+      val planted = plantedLines(s, d)
+      graft.operators.Dedup.writeLineIndex(
+        planted.filter(col("doc_id") % 2 === 0), "graft_stream_line_index")
+      withTempDir("graft_line_stream") { tmp =>
+        planted.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+          .repartition(3).write.parquet(s"$tmp/input")
+        graft.streaming.DedupStream.startLines(s, s"$tmp/input",
+            "graft_stream_line_index", s"$tmp/out", s"$tmp/cp",
+            maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out").orderBy("doc_id")
+      }
     }),
     // exact n-gram Jaccard similarity join (oracle baseline)
     "q_dedup_jaccard" -> ((s, d) =>
@@ -1300,6 +1320,20 @@ object SparkEntry {
     * queries. `%.6f` is exact: `ts` is µs-truncated at load, so the float
     * carries precisely the microseconds DuckDB's `epoch_us` sees.
     */
+  /** Documents with deterministic 12-token lines planted (the corpus has
+    * no newlines) — shared by the three line-dedup gates; the oracle
+    * replays the same chunking token-for-token ([[plantedLinesCte]]).
+    */
+  private def plantedLines(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_join, sequence, size, slice, split, transform}
+    val toks = split(col("text"), " ")
+    table(s, d, "documents").withColumn("text",
+      array_join(transform(
+        sequence(lit(0), org.apache.spark.sql.functions.floor(
+          (size(toks) - 1) / 12).cast("int")),
+        i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")), "\n"))
+  }
+
   private def emonEnvelopes(s: SparkSession, d: String): DataFrame =
     EventsAsConditions.loadEvents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -2070,18 +2104,33 @@ object SparkEntry {
     // 12-token line planting replayed, then first-occurrence-wins line
     // dedup and per-doc reassembly in ORDER BY idx
     "q_line_dedup" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |planted AS (SELECT doc_id,
-        |  array_to_string([array_to_string(w[i*12+1:i*12+12], ' ')
-        |                   for i in range(0, CAST(CEIL(len(w)/12.0) AS BIGINT))], chr(10)) AS text
-        |  FROM w),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
-        |lines AS (SELECT doc_id, generate_subscripts(ls, 1) - 1 AS idx, unnest(ls) AS line FROM ls),
+      s"""WITH $plantedLinesCte,
         |k AS (SELECT *, doc_id*100000 + idx AS key FROM lines),
         |f AS (SELECT line, min(key) AS fk FROM k GROUP BY line)
         |SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.idx) AS text
         |FROM k JOIN f ON k.line = f.line AND k.key = f.fk
         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+    // odd-batch lines lose to even-index claims, then cross-doc
+    // first-occurrence within the batch
+    "q_line_dedup_idx" ->
+      s"""WITH $plantedLinesCte,
+        |claimed AS (SELECT DISTINCT line FROM lines WHERE doc_id % 2 = 0),
+        |k AS (SELECT *, doc_id*100000 + idx AS key FROM lines
+        |      WHERE doc_id % 2 = 1 AND line NOT IN (SELECT line FROM claimed)),
+        |f AS (SELECT line, min(key) AS fk FROM k GROUP BY line)
+        |SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.idx) AS text
+        |FROM k JOIN f ON k.line = f.line AND k.key = f.fk
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+    // index-only claims + per-doc repeat collapse: identical under any
+    // micro-batching, which is what lets the stream gate share an oracle
+    "q_line_dedup_stream" ->
+      s"""WITH $plantedLinesCte,
+        |claimed AS (SELECT DISTINCT line FROM lines WHERE doc_id % 2 = 0),
+        |k AS (SELECT doc_id, line, min(idx) AS idx FROM lines
+        |      WHERE doc_id % 2 = 1 AND line NOT IN (SELECT line FROM claimed)
+        |      GROUP BY doc_id, line)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> jaccardOracleSql,
     "q_dedup_jaccard_bounded" -> jaccardBoundedOracleSql(10),
     "q_dedup_clusters" -> clustersOracleSql(10),
@@ -3093,6 +3142,19 @@ object SparkEntry {
   /** Brute-force cosine pairs at 0.45 — oracle for q_embed_neardup (same
     * algorithm) and q_embed_neardup_lsh (LSH recall-equality proof).
     */
+  /** The 12-token line planting + line explode shared by the three
+    * line-dedup oracles — must stay token-for-token in sync with
+    * [[plantedLines]].
+    */
+  private val plantedLinesCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |planted AS (SELECT doc_id,
+      |  array_to_string([array_to_string(w[i*12+1:i*12+12], ' ')
+      |                   for i in range(0, CAST(CEIL(len(w)/12.0) AS BIGINT))], chr(10)) AS text
+      |  FROM w),
+      |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+      |lines AS (SELECT doc_id, generate_subscripts(ls, 1) - 1 AS idx, unnest(ls) AS line FROM ls)""".stripMargin
+
   /** Semantic-decontamination oracle: corpus (vec_id ≠ 0 mod 7) vectors
     * with NO benchmark (vec_id = 0 mod 7) cosine neighbor at ≥ 0.45.
     */

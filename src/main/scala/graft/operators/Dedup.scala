@@ -125,6 +125,93 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Persist a line-claim index for [[lineDedupAgainstIndex]]: one row
+    * per distinct line of `indexDocs` (the fourth index family next to
+    * MinHash buckets, SimHash band segments and IVF lists — here the
+    * "sketch" is the line itself, so probes are exact with no verify
+    * step). Bucketed on `line` so the per-batch claim join is
+    * co-partitioned — a batch probe shuffles only the batch side.
+    */
+  def writeLineIndex(indexDocs: DataFrame, tableName: String,
+                     buckets: Int = 64): Unit = {
+    dropManaged(indexDocs.sparkSession, tableName)
+    indexDocs.select(posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .select("line").distinct()
+      .write.format("parquet")
+      .bucketBy(buckets, "line").sortBy("line")
+      .mode("overwrite").saveAsTable(tableName)
+    indexDocs.sparkSession.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
+  }
+
+  /** Append NEW lines to a [[writeLineIndex]] table (daily-batch index
+    * maintenance — accepted crawl lines claim their text for tomorrow's
+    * batches). Caller passes the novel lines (one `line` column);
+    * bucketing is re-validated from the catalog like
+    * [[appendToSignatureIndex]].
+    */
+  def appendToLineIndex(newLines: DataFrame, tableName: String): Unit = {
+    val spark = newLines.sparkSession
+    val buckets = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .getOrElse("graft.buckets", throw new IllegalArgumentException(
+        s"line index $tableName carries no graft.buckets property — " +
+          "not written by writeLineIndex")).toInt
+    newLines.select("line").distinct()
+      .write.format("parquet")
+      .bucketBy(buckets, "line").sortBy("line")
+      .mode("append").saveAsTable(tableName)
+  }
+
+  /** [[lineDedup]] for a NEW batch against a persisted [[writeLineIndex]]
+    * corpus: a batch line survives iff it is NOT claimed by the index AND
+    * it is the batch's own first (doc_id, idx) occurrence; documents
+    * reassemble from surviving lines, fully-claimed documents disappear.
+    * Per-batch cost: the batch's explode + one co-partitioned anti-join
+    * against the bucketed index + the batch-internal first-occurrence
+    * agg — independent of corpus history size.
+    */
+  def lineDedupAgainstIndex(newDocs: DataFrame, tableName: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.table(tableName)
+    val lines = newDocs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val keyed = lines.withColumn("key",
+      when(col("idx") < 100000, col("doc_id") * 100000L + col("idx"))
+        .otherwise(raise_error(lit("lineDedupAgainstIndex: document with ≥1e5 lines"))))
+      .join(index, Seq("line"), "left_anti")
+    val firsts = keyed.groupBy("line").agg(min("key").as("fk"))
+    keyed.join(firsts, Seq("line"))
+      .filter(col("key") === col("fk"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** The STREAM-SAFE flavor of [[lineDedupAgainstIndex]]: claims come
+    * ONLY from the index, and in-doc repeats collapse to their first
+    * in-doc occurrence — no cross-document interaction within the batch,
+    * so the result is identical under ANY micro-batch partitioning of
+    * the same input (the property the streaming gate's oracle needs;
+    * same contract family as the index-only MinHash/SimHash gates, whose
+    * in-stream duplicate window is documented there).
+    */
+  def stripClaimedLines(newDocs: DataFrame, tableName: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.table(tableName)
+    newDocs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .join(index, Seq("line"), "left_anti")
+      .groupBy("doc_id", "line").agg(min("idx").as("idx"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard similarity join: inverted-index (shingle) self
     * join → per-pair intersection count → jaccard = |∩| / (|A|+|B|−|∩|).
     * `maxDf` prunes stop-shingle skew (None = exact, used for the oracle).

@@ -71,6 +71,43 @@ object DedupStream {
     }
   }
 
+  /** Line-claim gate: each micro-batch's documents are rewritten with
+    * every index-claimed line removed ([[Dedup.stripClaimedLines]] — the
+    * fourth index family streaming gate, after MinHash buckets, SimHash
+    * band segments and IVF lists). Unlike the other gates this TRANSFORMS
+    * rows rather than dropping them, so it has its own foreachBatch
+    * instead of [[startWith]]'s anti-join shape. `appendAccepted` appends
+    * each batch's surviving lines to the index
+    * ([[Dedup.appendToLineIndex]]), closing the cross-batch duplicate
+    * window to one micro-batch at the cost of batch-order-dependent
+    * claims (leave false when a deterministic replay matters — the
+    * index-only result is identical under any batching).
+    */
+  def startLines(spark: SparkSession, inputDir: String, indexTable: String,
+                 outputDir: String, checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 maxFilesPerTrigger: Option[Int] = None,
+                 appendAccepted: Boolean = false): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = Dedup.stripClaimedLines(batch.toDF(), indexTable)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          out.write.mode("append").parquet(outputDir)
+          if (appendAccepted) Dedup.appendToLineIndex(
+            out.select(explode(split(col("text"), "\n")).as("line")), indexTable)
+        } finally out.unpersist()
+      }
+      .start()
+  }
+
   /** Shared gate plumbing: parquet file stream (schema from a driver-side
     * batch peek of the same directory), `dupIds(batch)` = the `joinKey`
     * ids the prober flags against the index, anti-join keeps the novel

@@ -377,4 +377,34 @@ class IncrementalOpsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("graft.n"))
     } finally spark.sql("DROP TABLE IF EXISTS sig_noprops")
   }
+
+  // ------------------------------------------------------ Line-claim index
+
+  test("line index: claims strip, batch firsts win, appends extend the claims") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha\nbeta"), (2L, "gamma\ndelta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "alpha\nnova"),    // alpha claimed by index → only nova
+      (12L, "nova\nmu"),       // nova first-claimed by 11 → only mu
+      (13L, "beta\ngamma"))    // both claimed → disappears
+      .toDF("doc_id", "text")
+    Dedup.writeLineIndex(corpus, "line_idx_spec")
+    try {
+      val out = Dedup.lineDedupAgainstIndex(batch, "line_idx_spec")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(out.toSeq == Seq(11L -> "nova", 12L -> "mu"))
+      // stream-safe flavor: index-only claims, in-doc collapse only —
+      // cross-doc nova survives in BOTH docs, and the result is the
+      // same however the batch is partitioned
+      val strip = Dedup.stripClaimedLines(batch, "line_idx_spec")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(strip.toSeq == Seq(11L -> "nova", 12L -> "nova\nmu"))
+      val strip8 = Dedup.stripClaimedLines(batch.repartition(8), "line_idx_spec")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(strip8.toSeq == strip.toSeq)
+      // append the accepted lines: tomorrow's identical batch is claimed
+      Dedup.appendToLineIndex(Seq("nova", "mu").toDF("line"), "line_idx_spec")
+      assert(Dedup.lineDedupAgainstIndex(batch, "line_idx_spec").count() == 0)
+    } finally Dedup.dropManaged(spark, "line_idx_spec")
+  }
 }
