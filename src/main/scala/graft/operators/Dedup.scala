@@ -115,8 +115,13 @@ object Dedup {
     val keyed = lines.withColumn("key",
       when(col("idx") < 100000, col("doc_id") * 100000L + col("idx"))
         .otherwise(raise_error(lit("lineDedup: document with ≥1e5 lines"))))
-    val firsts = keyed.groupBy("line").agg(min("key").as("fk"))
-    keyed.join(firsts, Seq("line"))
+    // first-occurrence via a min window over the line's occurrences — ONE
+    // pass over the exploded lines (a groupBy+self-join formulation
+    // recomputes the whole explode lineage twice, plan-verified); each
+    // window group is one line's occurrence list, never a whole stratum
+    keyed
+      .withColumn("fk", min("key").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("line")))
       .filter(col("key") === col("fk"))
       .groupBy("doc_id")
       .agg(array_join(
@@ -176,12 +181,14 @@ object Dedup {
     val index = spark.table(tableName)
     val lines = newDocs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
-    val keyed = lines.withColumn("key",
-      when(col("idx") < 100000, col("doc_id") * 100000L + col("idx"))
-        .otherwise(raise_error(lit("lineDedupAgainstIndex: document with ≥1e5 lines"))))
+    // same single-pass window shape as [[lineDedup]] — the anti-join +
+    // explode lineage runs once, not once per side of a self-join
+    lines.withColumn("key",
+        when(col("idx") < 100000, col("doc_id") * 100000L + col("idx"))
+          .otherwise(raise_error(lit("lineDedupAgainstIndex: document with ≥1e5 lines"))))
       .join(index, Seq("line"), "left_anti")
-    val firsts = keyed.groupBy("line").agg(min("key").as("fk"))
-    keyed.join(firsts, Seq("line"))
+      .withColumn("fk", min("key").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("line")))
       .filter(col("key") === col("fk"))
       .groupBy("doc_id")
       .agg(array_join(

@@ -65,6 +65,18 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected ≤2 exchanges (agg + orderBy), got $exchanges\n$plan")
   }
 
+  test("lineDedup plans ONE pass over the exploded lines (no self-join recompute)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.lineDedup(docs)
+      .queryExecution.executedPlan.toString
+    // the first-occurrence rule is a min window over the line, so the
+    // explode lineage appears exactly once; a groupBy+join-back shape
+    // would show two Generate (posexplode) subtrees
+    assert("Generate".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("partition pruning actually reduces files read") {
     val table = spark.read.parquet(conditionsPath)
     val narrow = TimeseriesQueries.scan(table, "user_3", "click", 1704844800L, 1704931200L)
