@@ -198,10 +198,17 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(explode(tokens).as("t"))
-    val candidates = toks.as[String].mapPartitions { it =>
+    // one corpus pass yields BOTH the MG survivors and the exact stream
+    // length: each partition emits its counters (marker −1) plus one
+    // length row (marker = the partition's token count ≥ 0) — ≤ k+1 tiny
+    // rows per partition, so the whole summary persists for pennies and
+    // the separate full-corpus count() pass disappears
+    val summary = toks.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
       while (it.hasNext) {
         val t = it.next()
+        np += 1
         counters.get(t) match {
           case Some(c) => counters(t) = c + 1
           case None if counters.size < k => counters(t) = 1L
@@ -213,13 +220,21 @@ object TextAnalysis {
             dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("t").distinct()
-    // threshold from the exact stream length (one map-only count pass);
+      counters.keysIterator.map(t => (t, -1L)) ++ Iterator(("", np))
+    }.toDF("t", "marker")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = summary.filter(col("marker") >= 0)
+      .agg(coalesce(sum("marker"), lit(0L))).first().getLong(0)
+    // candidates come to the driver: ≤ partitions × k rows BY
+    // CONSTRUCTION (the same bounded-collect class as centroids and
+    // strata counts), which frees the cached summary before the lazy
+    // confirm plan runs — no cache lingering past the call
+    val cand = summary.filter(col("marker") < 0)
+      .select("t").distinct().as[String].collect().toSeq
+    summary.unpersist()
     // CEIL of the same IEEE product both engines
-    val n = toks.count()
     val minCount = math.ceil(minFreq * n).toLong
-    toks.join(broadcast(candidates), Seq("t"))
+    toks.join(broadcast(cand.toDF("t")), Seq("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select(col("t").as("token"), col("cnt"))
