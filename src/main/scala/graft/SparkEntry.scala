@@ -877,6 +877,21 @@ object SparkEntry {
     }),
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
+    // fastText-shaped Naive-Bayes quality classifier: train "looks
+    // English" on the 80% split (doc_id % 5 <> 0), score the held-out
+    // 20% — the full smoothed log-likelihood arithmetic replays in SQL
+    "q_quality_classifier" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.QualityModels.nbQualityScores(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        col("lang") === "en")
+    }),
+    // DSIR importance resampling: hashed-unigram importance weights of
+    // the lang='en' target vs the raw corpus, top-100 selection
+    "q_dsir" -> ((s, d) =>
+      graft.operators.QualityModels.dsirWeights(
+        table(s, d, "documents"), col("lang") === "en", topN = 100)),
     // winnowing fingerprints (rolling-hash local fingerprints, MOSS):
     // map-only; oracle recomputes each k-gram hash as the direct modular
     // polynomial and replays the rightmost-min window selection
@@ -2540,6 +2555,52 @@ object SparkEntry {
     "q_pii_redact" -> piiRedactOracleSql,
     // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
+    // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with
+    // pos = (lang = 'en'); OOV tokens fall through the LEFT JOIN as c=0
+    "q_quality_classifier" ->
+      """WITH tr AS (SELECT lang = 'en' AS pos, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id % 5 <> 0),
+        |tok AS (SELECT pos, unnest(w) AS t FROM tr),
+        |cnt AS (SELECT t, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |        FROM tok GROUP BY t),
+        |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM cnt),
+        |dts AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+        |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS dn FROM tr),
+        |ev AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |sc AS (SELECT e.doc_id,
+        |         ln(CAST(COALESCE(c.cp, 0) + 1 AS DOUBLE) / (tot.np + tot.v)) -
+        |         ln(CAST(COALESCE(c.cn, 0) + 1 AS DOUBLE) / (tot.nn + tot.v)) AS w
+        |       FROM ev e LEFT JOIN cnt c ON e.t = c.t CROSS JOIN tot),
+        |agg AS (SELECT doc_id, SUM(w) AS sw FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       ROUND(ln(CAST(dts.dp + 1 AS DOUBLE) / (dts.dn + 1)) + COALESCE(a.sw, 0), 4) AS score,
+        |       ROUND(ln(CAST(dts.dp + 1 AS DOUBLE) / (dts.dn + 1)) + COALESCE(a.sw, 0), 4) > 0 AS pred
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN agg a USING (doc_id) CROSS JOIN dts
+        |ORDER BY doc_id""".stripMargin,
+    // DSIR: per-bucket add-one log ratios of target (lang='en') vs raw
+    // token distributions over the md5 bucket space, doc weight = Σ over
+    // tokens with multiplicity, deterministic top-100
+    "q_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+         |                    ${md5BucketSql("dsir", "t")} AS b
+         |             FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |                   FROM documents)),
+         |hist AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |                COUNT(*) AS cr
+         |         FROM tok GROUP BY b),
+         |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM hist),
+         |lam AS (SELECT b,
+         |          ln(CAST(ct + 1 AS DOUBLE) / (tot.nt + ${graft.operators.Sampling.BucketCount})) -
+         |          ln(CAST(cr + 1 AS DOUBLE) / (tot.nr + ${graft.operators.Sampling.BucketCount})) AS lam
+         |        FROM hist CROSS JOIN tot),
+         |byDoc AS (SELECT doc_id, b, COUNT(*) AS m FROM tok GROUP BY doc_id, b)
+         |SELECT d.doc_id, ROUND(SUM(d.m * lam.lam), 4) AS weight
+         |FROM byDoc d JOIN lam USING (b)
+         |GROUP BY d.doc_id
+         |ORDER BY weight DESC, doc_id ASC LIMIT 100""".stripMargin,
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |refw AS (SELECT * FROM w WHERE doc_id % 7 = 0),
