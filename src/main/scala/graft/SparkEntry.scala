@@ -671,6 +671,12 @@ object SparkEntry {
     // scan); the oracle replays quantize → decode → cosine bit-for-bit
     "q_ann_topk_sq8" -> ((s, d) =>
       graft.operators.Ann.topKSq8(table(s, d, "embeddings"), queryId = 0, k = 20)),
+    // MMR diversified rerank of the brute-force top-20 down to 8: greedy
+    // relevance-minus-redundancy, kCand-bounded driver loop; the oracle
+    // unrolls all 8 selection steps as a CTE chain over the same doubles
+    "q_ann_mmr" -> ((s, d) =>
+      graft.operators.Ann.mmrTopK(table(s, d, "embeddings"), queryId = 0,
+        kCand = 20, kOut = 8, lambda = 0.7)),
     // exact embedding similarity pairs via the distributed block kernel
     // (0.45: the synthetic embeddings contain no true near-dups — max
     // pairwise cosine ≈ 0.51, so the exact tier is the only one that can
@@ -2213,6 +2219,8 @@ object SparkEntry {
       incPredSql = "a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2"),
     "q_ann_topk" -> annTopkOracleSql,
     "q_ann_topk_sq8" -> annTopkSq8OracleSql,
+    // the 8 greedy MMR selection steps unrolled as a CTE chain
+    "q_ann_mmr" -> annMmrOracleSql(kCand = 20, kOut = 8),
     // nProbe = nlist probes every inverted list — identical to brute force
     "q_ann_ivf" -> annTopkOracleSql,
     // ... and the persisted-index path at nProbe = nlist is the same scan
@@ -3320,6 +3328,63 @@ object SparkEntry {
       |  FROM embeddings e, q)
       |SELECT vec_id, ROUND(d/(ne*nq), 6) AS cos
       |FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  /** MMR rerank replay: the brute-force top-`kCand` candidate pool (query
+    * row excluded), pairwise candidate cosines, then the `kOut` greedy
+    * selection steps UNROLLED as a CTE chain (the LTTB-oracle technique —
+    * a sequential algorithm replayed as sK/selK stages). All arithmetic
+    * mirrors `Ann.mmrTopK` bit-for-bit: left-to-right double dot folds,
+    * `CAST(0.7 AS DOUBLE)` for λ (verified bit-identical to the JVM
+    * literal), `1−λ` as an explicit double subtraction (0.3 differs from
+    * 1.0−0.7 in the last ulp), round-6 before each argmax, vec_id ties.
+    */
+  private def annMmrOracleSql(kCand: Int, kOut: Int): String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val mu = s"(CAST(1 AS DOUBLE) - $lam)"
+    // every CTE is MATERIALIZED: the selK chain references sel(K-1)
+    // multiple times, and DuckDB's default inlining makes the expansion
+    // exponential in kOut (measured: minutes at kOut=8; instant
+    // materialized)
+    val steps = (2 to kOut).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT c.vec_id,
+         |         ROUND($lam * c.rawcos - $mu *
+         |           (SELECT MAX(p.p) FROM ps p WHERE p.ia = c.vec_id
+         |              AND p.ib IN (SELECT vec_id FROM sel${k - 1})), 6) AS mmr
+         |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT vec_id FROM sel${k - 1} UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to kOut).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, vec_id, mmr FROM s$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding,
+       |         list_sum(list_transform(range(1, len(e.embedding)+1),
+       |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS d,
+       |         sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+       |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS ne,
+       |         sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+       |            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq
+       |  FROM embeddings e, q WHERE e.vec_id <> 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ne, d/(ne*nq) AS rawcos
+       |  FROM scored ORDER BY ROUND(d/(ne*nq), 6) DESC, vec_id ASC LIMIT $kCand),
+       |ps AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         list_sum(list_transform(range(1, len(a.embedding)+1),
+       |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |           / (a.ne * b.ne) AS p
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (SELECT vec_id, ROUND($lam * rawcos, 6) AS mmr
+       |       FROM cand ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT * FROM (
+       |  $ranks
+       |) ORDER BY rank""".stripMargin
+  }
 
   /** SQ8 replay: per-vector [mn, mx] int8 quantization, decode, then the
     * brute-force cosine — the same op order as `Ann.sq8Quant`/`sq8Dequant`

@@ -91,6 +91,84 @@ object Ann {
       .limit(k)
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified top-k: greedily picks `kOut` results from the brute-force
+    * top-`kCand` cosine candidates, each step maximizing
+    *
+    *   mmr(c) = λ·cos(q, c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+    *
+    * — relevance minus redundancy, the standard rerank between an ANN
+    * index and the user when near-duplicate hits would waste result slots.
+    *
+    * Determinism contract (what the SQL oracle replays): the candidate
+    * pool is exactly [[topK]]'s selection (round-6 cos DESC, vec_id ASC,
+    * query row excluded), each step's mmr is rounded to 6 dp before the
+    * argmax, ties break on vec_id ASC, and the redundancy coefficient is
+    * computed as `1.0 - λ` in double (NOT a separate literal — 1.0−0.7
+    * and 0.3 differ in the last ulp).
+    *
+    * Scale shape: the distributed part is the candidate scan (one pass +
+    * TakeOrderedAndProject, same as [[topK]]); the greedy loop runs on the
+    * driver over the kCand-bounded pool — O(kOut·kCand) dot products on
+    * ≤ a few dozen rows, the ASAP-style bounded collect. At 100 TB the
+    * candidate generation is what scales (swap in the IVF tier); the
+    * rerank cost is independent of corpus size by construction.
+    */
+  def mmrTopK(embeddings: DataFrame, queryId: Long, kCand: Int, kOut: Int,
+              lambda: Double = 0.7): DataFrame = {
+    require(kOut <= kCand, "kOut must be <= kCand")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (dotUdf(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("rawcos"))
+      .withColumn("cos", round(col("rawcos"), 6))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(kCand)
+      .select("vec_id", "embedding", "nrm", "rawcos")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2),
+        r.getDouble(3)))
+    val mu = 1.0 - lambda
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (id, emb, nrm, mmr-at-selection) of picked results, in pick order
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Float], Double, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    while (selected.length < kOut && remaining.nonEmpty) {
+      var bestIdx = -1
+      var bestMmr = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < remaining.length) {
+        val (id, emb, nrm, rawcos) = remaining(i)
+        var maxSim = Double.NegativeInfinity
+        selected.foreach { case (_, semb, snrm, _) =>
+          val sim = dotA(emb, semb) / (nrm * snrm)
+          if (sim > maxSim) maxSim = sim
+        }
+        val mmr = round6(
+          if (selected.isEmpty) lambda * rawcos
+          else lambda * rawcos - mu * maxSim)
+        if (mmr > bestMmr || (mmr == bestMmr && id < bestId)) {
+          bestMmr = mmr; bestId = id; bestIdx = i
+        }
+        i += 1
+      }
+      val (id, emb, nrm, _) = remaining(bestIdx)
+      selected += ((id, emb, nrm, bestMmr))
+      remaining.remove(bestIdx)
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, _, mmr), r) => (r + 1L, id, mmr) }.toSeq
+      .toDF("rank", "vec_id", "mmr")
+  }
+
   /** Exact near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) arithmetic — the correctness oracle; use [[lshNeardupPairs]] at
     * scale when the threshold sits in LSH's effective regime (cos ≥ ~0.8).
