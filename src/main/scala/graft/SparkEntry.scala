@@ -898,6 +898,20 @@ object SparkEntry {
     "q_dsir" -> ((s, d) =>
       graft.operators.QualityModels.dsirWeights(
         table(s, d, "documents"), col("lang") === "en", topN = 100)),
+    // distributed BPE training: 6 learned merges over the corpus word
+    // histogram; the oracle replays every iteration (pair count → argmax
+    // → greedy merge) as an unrolled CTE chain over the same strings
+    "q_bpe_train" -> ((s, d) =>
+      graft.operators.BpeTokenizer.train(table(s, d, "documents"), k = 6)),
+    // encode with the just-learned tokenizer: per-doc post-merge token
+    // counts, merge table applied as a broadcast-local replace chain
+    "q_bpe_encode" -> ((s, d) => {
+      val merges = graft.operators.BpeTokenizer
+        .train(table(s, d, "documents"), k = 6)
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      graft.operators.BpeTokenizer.encodeTokenCounts(
+        table(s, d, "documents"), merges)
+    }),
     // winnowing fingerprints (rolling-hash local fingerprints, MOSS):
     // map-only; oracle recomputes each k-gram hash as the direct modular
     // polynomial and replays the rightmost-min window selection
@@ -2221,6 +2235,9 @@ object SparkEntry {
     "q_ann_topk_sq8" -> annTopkSq8OracleSql,
     // the 8 greedy MMR selection steps unrolled as a CTE chain
     "q_ann_mmr" -> annMmrOracleSql(kCand = 20, kOut = 8),
+    // the 6 BPE merge iterations unrolled as CTE stages
+    "q_bpe_train" -> bpeOracleSql(k = 6, encode = false),
+    "q_bpe_encode" -> bpeOracleSql(k = 6, encode = true),
     // nProbe = nlist probes every inverted list — identical to brute force
     "q_ann_ivf" -> annTopkOracleSql,
     // ... and the persisted-index path at nProbe = nlist is the same scan
@@ -3384,6 +3401,63 @@ object SparkEntry {
        |SELECT * FROM (
        |  $ranks
        |) ORDER BY rank""".stripMargin
+  }
+
+  /** BPE training replay: the full k-iteration loop (word histogram →
+    * pair counts → argmax merge → greedy apply) unrolled as CTE stages.
+    * The symbol encoding (`<a><b>` wrapping) and the literal-`replace`
+    * greedy merge are the same construction as `BpeTokenizer` — replace
+    * semantics (left-to-right, non-overlapping) agree across the JVM and
+    * DuckDB, which is what makes the sequential algorithm replayable.
+    * `encode = true` emits per-doc post-merge token counts instead of the
+    * merge table (token count = '<' count after applying all k merges).
+    */
+  private def bpeOracleSql(k: Int, encode: Boolean): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(t, '(.)', '<\1>', 'g') AS syms, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE regexp_matches(t, '^[a-z]+$')
+        |  GROUP BY 1)""".stripMargin
+    val iters = (1 to k).map { i =>
+      val apply =
+        if (i == k && !encode) "" // the last post-merge histogram is unused
+        else
+          s""",
+             |w$i AS MATERIALIZED (
+             |  SELECT replace(w.syms, '<' || b.s1 || '><' || b.s2 || '>',
+             |                 '<' || b.s1 || b.s2 || '>') AS syms, w.freq
+             |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s1, s2, SUM(freq) AS f FROM (
+         |    SELECT freq, unnest(l[1:len(l)-1]) AS s1, unnest(l[2:len(l)]) AS s2
+         |    FROM (SELECT freq, string_split(substr(syms, 2, len(syms) - 2), '><') AS l
+         |          FROM w${i - 1}))
+         |  GROUP BY s1, s2),
+         |b$i AS MATERIALIZED (
+         |  SELECT s1, s2, f FROM p$i ORDER BY f DESC, s1 ASC, s2 ASC LIMIT 1)$apply""".stripMargin
+    }.mkString(",\n")
+    val finalSel =
+      if (!encode) {
+        val rows = (1 to k).map { i =>
+          s"SELECT CAST($i AS BIGINT) AS step, s1 AS lhs, s2 AS rhs, CAST(f AS BIGINT) AS freq FROM b$i"
+        }.mkString("\n  UNION ALL ")
+        s"SELECT * FROM (\n  $rows\n) ORDER BY step"
+      } else {
+        val chain = (1 to k).foldLeft("regexp_replace(t, '(.)', '<\\1>', 'g')") {
+          case (acc, i) =>
+            s"replace($acc, '<' || b$i.s1 || '><' || b$i.s2 || '>', '<' || b$i.s1 || b$i.s2 || '>')"
+        }
+        val joins = (1 to k).map(i => s"CROSS JOIN b$i").mkString(" ")
+        s"""SELECT doc_id,
+           |       CAST(SUM(len(m) - len(replace(m, '<', ''))) AS BIGINT) AS n_tokens
+           |FROM (
+           |  SELECT doc_id, $chain AS m
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           |  $joins)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }
+    s"WITH $w0,\n$iters\n$finalSel"
   }
 
   /** SQ8 replay: per-vector [mn, mx] int8 quantization, decode, then the
