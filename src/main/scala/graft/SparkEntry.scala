@@ -1118,6 +1118,27 @@ object SparkEntry {
     // as-of (point-in-time) join: each click joined to the latest view at
     // or before it — composed from built-ins (union + running window), with
     // DuckDB's native ASOF LEFT JOIN as the oracle
+    // perceptual media near-dup: every 25th doc re-planted as a
+    // "re-encoded" copy (one byte overwritten — same length, so the
+    // aHash cell grid is stable); aHash64 + pigeonhole banding finds
+    // copies at hamming ≤ 4 (natural background starts at 10 on this
+    // corpus — measured, see Scaladoc)
+    "q_media_neardup" -> ((s, d) => {
+      import graft.operators.Multimodal
+      import org.apache.spark.sql.functions.{expr, substring}
+      val docs = table(s, d, "documents")
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("q"),
+            expr("substring(text, 12)")).as("text"), col("n_chars"))
+      val corpus = docs.select("doc_id", "text", "n_chars")
+        .unionByName(planted)
+      Multimodal.mediaNearDupPairs(Multimodal.fromDocuments(corpus), maxHamming = 4)
+    }),
+
+    // as-of (point-in-time) join: each click joined to the latest view at
+    // or before it — composed from built-ins (union + running window), with
+    // DuckDB's native ASOF LEFT JOIN as the oracle
     "q_asof" -> ((s, d) => {
       val cond = conditions(s, d)
       val clicks = scan(cond, Subject, "click", S1, E1)
@@ -2215,6 +2236,37 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_new FROM dup)
         |ORDER BY doc_id""".stripMargin,
+    // aHash bits replayed with the exact integer cross-multiply
+    // (sum_g·n > total·cnt_g); brute-force pair scan is the oracle, the
+    // Spark side must band. CASTs to BIGINT keep DuckDB's HUGEINT sums
+    // out of the xor (128-bit xor would corrupt the sign-bit encoding).
+    "q_media_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 10) || 'q' || substr(text, 12)
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |m AS (SELECT doc_id, text, len(text) AS n FROM corpus WHERE len(text) > 0),
+        |by1 AS (SELECT doc_id, n, text, unnest(range(1, n+1)) AS i FROM m),
+        |bv AS (SELECT doc_id, n, (i-1)*64//n AS g,
+        |              ascii(substr(text, CAST(i AS INT), 1)) AS v FROM by1),
+        |grp AS (SELECT doc_id, g, SUM(v) AS sg, COUNT(*) AS cg, any_value(n) AS n
+        |        FROM bv GROUP BY doc_id, g),
+        |tot AS (SELECT doc_id, SUM(sg) AS st FROM grp GROUP BY doc_id),
+        |bits AS (SELECT g.doc_id, g.g,
+        |                CASE WHEN g.sg * g.n > t.st * g.cg THEN 1 ELSE 0 END AS b
+        |         FROM grp g JOIN tot t ON g.doc_id = t.doc_id),
+        |sig AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN b = 1 AND g < 63
+        |                      THEN (CAST(1 AS BIGINT) << CAST(g AS INT)) ELSE 0 END) AS BIGINT)
+        |        + CAST(SUM(CASE WHEN b = 1 AND g = 63
+        |                        THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END) AS BIGINT) AS h
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
     // survivors of the SimHash streaming gate = odd docs with no
     // cross-slice banded hamming<=3 pair (the incremental pair replay,

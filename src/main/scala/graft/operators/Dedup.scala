@@ -620,9 +620,18 @@ object Dedup {
     * segment, so candidate generation is EXACT for any `maxHamming ≤ 31`
     * (each segment needs ≥ 2 bits).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    sigPairs(simhash(docs), maxHamming)
+
+  /** Near-dup pairs over ANY 64-bit signature frame (doc_id, simhash) by
+    * Hamming distance ≤ maxHamming — the banding engine behind
+    * [[simhashPairs]], shared by other 64-bit perceptual sketches
+    * (e.g. [[Multimodal.mediaNearDupPairs]]'s aHash). Exact by the
+    * pigeonhole argument for maxHamming ≤ 31.
+    */
+  def sigPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
-    val spark = docs.sparkSession
+    val spark = sigs.sparkSession
     import spark.implicits._
     // Bucket-grouped rather than self-joined (same shape as
     // minhashCandidates): a self-join would evaluate the sigs plan — the
@@ -630,7 +639,7 @@ object Dedup {
     // once per join side; grouping sketches once and emits in-bucket pairs
     // from the (small) collected (id, sig) lists. Singleton buckets, the
     // common case, are dropped before any pair work.
-    simhashBanded(simhash(docs), maxHamming)
+    simhashBanded(sigs, maxHamming)
       .groupBy("band", "seg")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("bucket"))
       .filter(size(col("bucket")) > 1)

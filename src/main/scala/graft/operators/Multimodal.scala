@@ -97,6 +97,61 @@ object Multimodal {
       }
   }
 
+  /** 64-bit average-hash (aHash) perceptual signature of a byte stream —
+    * the classic image near-dup sketch (resize to 8×8, threshold each
+    * cell against the global mean), expressed over the opaque content
+    * bytes: byte i maps to cell `i*64/n` (the "resize"), bit g is set iff
+    * cell g's mean exceeds the stream mean. The comparison is the exact
+    * integer cross-multiply `sum_g·n > total·cnt_g` — no floating point,
+    * so the DuckDB oracle replays the bits exactly. Cells are empty only
+    * when n < 64 (bit stays 0). Safe from Long overflow up to ~190 MB
+    * per asset (255·n² < 2⁶³).
+    *
+    * With a REAL image decoder this would hash decoded luma instead of
+    * raw bytes; the sketch, banding, and pair machinery are unchanged —
+    * the decode seam is the same one [[extractFeatures]] stubs.
+    */
+  private[operators] def aHash64(content: Array[Byte]): Long = {
+    val n = content.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = (content(i) & 0xff).toLong
+      val g = (i.toLong * 64 / n).toInt
+      sums(g) += v; cnts(g) += 1; total += v
+      i += 1
+    }
+    var sig = 0L
+    var g = 0
+    while (g < 64) {
+      if (cnts(g) > 0 && sums(g) * n > total * cnts(g)) sig |= (1L << g)
+      g += 1
+    }
+    sig
+  }
+
+  private val aHashUdf = udf((content: Array[Byte]) => aHash64(content))
+
+  /** Per-asset aHash signatures: (doc_id, simhash) — column names chosen
+    * to feed [[Dedup.sigPairs]] directly. Map-only over the media scan.
+    */
+  def aHashSigs(media: DataFrame): DataFrame =
+    media.select(col("id").as("doc_id"), aHashUdf(col("content")).as("simhash"))
+
+  /** Media near-duplicate pairs: assets whose aHash signatures differ in
+    * ≤ `maxHamming` bits — re-encoded/lightly-edited copies of the same
+    * underlying asset. Candidates come from [[Dedup.sigPairs]]'s
+    * pigeonhole banding (exact, no all-pairs scan); at 100 TB the sketch
+    * pass is map-only over the (heavy) media scan and everything after
+    * operates on 16-byte signature rows.
+    */
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 4): DataFrame =
+    Dedup.sigPairs(aHashSigs(media), maxHamming)
+      .toDF("id_a", "id_b", "hamming")
+
   /** Frame/chunk sampling: every `stride`-th fixed-size block of the
     * content — the frame-sample plan shape with the codec stubbed out
     * (a real video decoder replaces `grabBlock`).

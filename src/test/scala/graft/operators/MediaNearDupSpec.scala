@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaNearDupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("aHash64: identical bytes hash identically; one-byte edit flips few bits") {
+    val base = Array.tabulate[Byte](4096)(i => ((i * 31 + 7) % 251).toByte)
+    val copy = base.clone()
+    assert(Multimodal.aHash64(base) == Multimodal.aHash64(copy))
+    val edited = base.clone()
+    edited(100) = (edited(100) + 90).toByte
+    val d = ham(Multimodal.aHash64(base), Multimodal.aHash64(edited))
+    assert(d <= 2, s"single-byte edit should flip at most its cell (+mean drift): $d bits")
+  }
+
+  test("aHash64: cell structure — flipping one high-contrast half flips its bits") {
+    // low half = 0, high half = 200: bits 0..31 clear, 32..63 set
+    val bytes = Array.tabulate[Byte](128)(i => if (i < 64) 0 else 200.toByte)
+    val sig = Multimodal.aHash64(bytes)
+    assert(sig == 0xFFFFFFFF00000000L, f"got $sig%016x")
+    // inverted stream gives the complementary signature
+    val inv = bytes.reverse
+    assert(Multimodal.aHash64(inv) == 0x00000000FFFFFFFFL)
+  }
+
+  test("aHash64: empty and sub-64-byte streams are defined") {
+    assert(Multimodal.aHash64(Array.emptyByteArray) == 0L)
+    val tiny = Array[Byte](10, 20, 30) // 3 cells hit, bit = above-mean
+    val sig = Multimodal.aHash64(tiny)
+    assert(java.lang.Long.bitCount(sig) >= 1 && java.lang.Long.bitCount(sig) <= 3)
+  }
+
+  test("banded pair search finds exactly the planted re-encoded copies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val assets = (0L until 40L).map { id =>
+      (id, Array.fill[Byte](2048)((rnd.nextInt(200) + 20).toByte))
+    }
+    // plant: asset 1000+id is a one-byte-perturbed copy of every 10th
+    val planted = assets.filter(_._1 % 10 == 0).map { case (id, bytes) =>
+      val c = bytes.clone(); c(500) = (c(500) + 40).toByte; (1000L + id, c)
+    }
+    val media = (assets ++ planted).toDF("id", "content")
+    val pairs = Multimodal.mediaNearDupPairs(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = assets.filter(_._1 % 10 == 0).map(a => (a._1, 1000L + a._1)).toSet
+    assert(pairs == expected, s"missed=${expected -- pairs} extra=${pairs -- expected}")
+  }
+}
