@@ -125,6 +125,18 @@ object SparkEntry {
         .createOrReplaceTempView(SqlTableFunctions.EmbeddingsRelation)
       s.sql("SELECT * FROM graft_ann_topk(0, 20)")
     }),
+    "q_sql_quality" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "documents")
+        .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      s.sql("SELECT * FROM graft_quality_classifier('en', 5)")
+    }),
+    "q_sql_mmr" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "embeddings")
+        .createOrReplaceTempView(SqlTableFunctions.EmbeddingsRelation)
+      s.sql("SELECT * FROM graft_ann_mmr(0, 20, 8, 0.7)")
+    }),
     "q_sql_shuffle" -> ((s, d) => {
       GraftFunctions.register(s)
       table(s, d, "documents")
@@ -1705,6 +1717,9 @@ object SparkEntry {
     // full-probe persisted-index serving via SQL ≡ brute force
     "q_sql_ivf_topk" -> annTopkOracleSql,
     "q_sql_shuffle" -> epochShuffleOracleSql,
+    // SQL-face NB classifier / MMR share the method-path oracles
+    "q_sql_quality" -> nbQualityOracleSql,
+    "q_sql_mmr" -> annMmrOracleSql(kCand = 20, kOut = 8),
 
     // half-open [start, end) containment replayed as a plain range join —
     // the binned Spark plan must be invisible in the result
@@ -2634,29 +2649,7 @@ object SparkEntry {
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
     // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with
     // pos = (lang = 'en'); OOV tokens fall through the LEFT JOIN as c=0
-    "q_quality_classifier" ->
-      """WITH tr AS (SELECT lang = 'en' AS pos, string_split(text, ' ') AS w
-        |            FROM documents WHERE doc_id % 5 <> 0),
-        |tok AS (SELECT pos, unnest(w) AS t FROM tr),
-        |cnt AS (SELECT t, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
-        |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
-        |        FROM tok GROUP BY t),
-        |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM cnt),
-        |dts AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
-        |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS dn FROM tr),
-        |ev AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        |       FROM documents WHERE doc_id % 5 = 0),
-        |sc AS (SELECT e.doc_id,
-        |         ln(CAST(COALESCE(c.cp, 0) + 1 AS DOUBLE) / (tot.np + tot.v)) -
-        |         ln(CAST(COALESCE(c.cn, 0) + 1 AS DOUBLE) / (tot.nn + tot.v)) AS w
-        |       FROM ev e LEFT JOIN cnt c ON e.t = c.t CROSS JOIN tot),
-        |agg AS (SELECT doc_id, SUM(w) AS sw FROM sc GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |       ROUND(ln(CAST(dts.dp + 1 AS DOUBLE) / (dts.dn + 1)) + COALESCE(a.sw, 0), 4) AS score,
-        |       ROUND(ln(CAST(dts.dp + 1 AS DOUBLE) / (dts.dn + 1)) + COALESCE(a.sw, 0), 4) > 0 AS pred
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
-        |LEFT JOIN agg a USING (doc_id) CROSS JOIN dts
-        |ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" -> nbQualityOracleSql,
     // DSIR: per-bucket add-one log ratios of target (lang='en') vs raw
     // token distributions over the md5 bucket space, doc weight = Σ over
     // tokens with multiplicity, deterministic top-100
@@ -3454,6 +3447,36 @@ object SparkEntry {
        |  $ranks
        |) ORDER BY rank""".stripMargin
   }
+
+  /** NB quality-classifier replay: add-one smoothed log-likelihood ratio,
+    * trained on doc_id % 5 <> 0 with pos = (lang = 'en'), scoring the
+    * held-out slice; OOV tokens fall through the LEFT JOIN as c = 0.
+    * Shared by the Scala-path (q_quality_classifier) and SQL-face
+    * (q_sql_quality) rows.
+    */
+  private def nbQualityOracleSql: String =
+    """WITH tr AS (SELECT lang = 'en' AS pos, string_split(text, ' ') AS w
+      |            FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT pos, unnest(w) AS t FROM tr),
+      |cnt AS (SELECT t, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+      |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+      |        FROM tok GROUP BY t),
+      |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM cnt),
+      |dts AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+      |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS dn FROM tr),
+      |ev AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |sc AS (SELECT e.doc_id,
+      |         ln(CAST(COALESCE(c.cp, 0) + 1 AS DOUBLE) / (tot.np + tot.v)) -
+      |         ln(CAST(COALESCE(c.cn, 0) + 1 AS DOUBLE) / (tot.nn + tot.v)) AS w
+      |       FROM ev e LEFT JOIN cnt c ON e.t = c.t CROSS JOIN tot),
+      |agg AS (SELECT doc_id, SUM(w) AS sw FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       ROUND(ln(CAST(dts.dp + 1 AS DOUBLE) / (dts.dn + 1)) + COALESCE(a.sw, 0), 4) AS score,
+      |       ROUND(ln(CAST(dts.dp + 1 AS DOUBLE) / (dts.dn + 1)) + COALESCE(a.sw, 0), 4) > 0 AS pred
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      |LEFT JOIN agg a USING (doc_id) CROSS JOIN dts
+      |ORDER BY doc_id""".stripMargin
 
   /** BPE training replay: the full k-iteration loop (word histogram →
     * pair counts → argmax merge → greedy apply) unrolled as CTE stages.

@@ -311,6 +311,38 @@ object SqlTableFunctions {
       graft.operators.SpanDedup.duplicatedSpans(
         rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
     }
+    // NB quality classifier: train on doc_id % holdout_mod <> 0 with
+    // pos = (lang = pos_lang), score the held-out slice
+    add("graft_quality_classifier",
+      "graft_quality_classifier(pos_lang, holdout_mod)", 2) { (s, f, a) =>
+      import org.apache.spark.sql.functions.col
+      val docs = rel(s, DocumentsRelation, f.name)
+      val m = longArg(f, a, 1)
+      graft.operators.QualityModels.nbQualityScores(
+        docs.filter(col("doc_id") % m =!= 0),
+        docs.filter(col("doc_id") % m === 0),
+        col("lang") === strArg(f, a, 0))
+    }
+    add("graft_dsir", "graft_dsir(target_lang, top_n)", 2) { (s, f, a) =>
+      import org.apache.spark.sql.functions.col
+      graft.operators.QualityModels.dsirWeights(
+        rel(s, DocumentsRelation, f.name),
+        col("lang") === strArg(f, a, 0), intArg(f, a, 1))
+    }
+    add("graft_ann_mmr", "graft_ann_mmr(query_vec_id, k_cand, k_out, lambda)", 4) {
+      (s, f, a) =>
+        Ann.mmrTopK(rel(s, EmbeddingsRelation, f.name), longArg(f, a, 0),
+          intArg(f, a, 1), intArg(f, a, 2), doubleArg(f, a, 3))
+    }
+    add("graft_bpe_train", "graft_bpe_train(k)", 1) { (s, f, a) =>
+      graft.operators.BpeTokenizer.train(
+        rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
+    }
+    add("graft_media_neardup", "graft_media_neardup(max_hamming)", 1) { (s, f, a) =>
+      graft.operators.Multimodal.mediaNearDupPairs(
+        graft.operators.Multimodal.fromDocuments(rel(s, DocumentsRelation, f.name)),
+        intArg(f, a, 0))
+    }
     add("graft_temperature_sample", "graft_temperature_sample(alpha)", 1) { (s, f, a) =>
       graft.operators.Sampling.temperatureSample(
         rel(s, DocumentsRelation, f.name), doubleArg(f, a, 0))
