@@ -910,6 +910,17 @@ object SparkEntry {
     "q_dsir" -> ((s, d) =>
       graft.operators.QualityModels.dsirWeights(
         table(s, d, "documents"), col("lang") === "en", topN = 100)),
+    // UniMax budget allocation (epoch-capped water-filling over
+    // languages): budget = 84% of the corpus, 1 epoch max per language —
+    // the four small languages are fully funded, en is downsampled to the
+    // remaining budget; allocation is pure window algebra over the
+    // 5-row strata frame, selection is the bucket-histogram cap engine
+    "q_sample_unimax" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val budget = docs.count() * 84 / 100
+      graft.operators.Sampling.unimaxSample(docs, budget, epochs = 1.0)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // distributed BPE training: 6 learned merges over the corpus word
     // histogram; the oracle replays every iteration (pair count → argmax
     // → greedy merge) as an unrolled CTE chain over the same strings
@@ -2671,6 +2682,33 @@ object SparkEntry {
          |FROM byDoc d JOIN lam USING (b)
          |GROUP BY d.doc_id
          |ORDER BY weight DESC, doc_id ASC LIMIT 100""".stripMargin,
+    // UniMax water-filling replayed as the same window algebra; the
+    // selection replay is the stratum-wide row_number over (bucket, id)
+    "q_sample_unimax" ->
+      s"""WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+         |bud AS (SELECT 84 * COUNT(*) // 100 AS budget FROM documents),
+         |caps AS (SELECT lang, CAST(FLOOR(c * 1.0) AS BIGINT) AS capl FROM counts),
+         |rk AS (SELECT lang, capl,
+         |        ROW_NUMBER() OVER (ORDER BY capl, lang) AS k,
+         |        COALESCE(SUM(capl) OVER (ORDER BY capl, lang
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+         |       FROM caps),
+         |lt AS (SELECT COUNT(*) AS l FROM counts),
+         |g AS (SELECT rk.lang, rk.capl, rk.k, rk.s, lt.l, bud.budget,
+         |             (rk.capl * (lt.l - rk.k + 1) + rk.s <= bud.budget) AS fl
+         |      FROM rk CROSS JOIN lt CROSS JOIN bud),
+         |ks AS (SELECT COALESCE(MAX(CASE WHEN fl THEN k END), 0) AS kstar,
+         |              COALESCE(SUM(CASE WHEN fl THEN capl END), 0) AS sk,
+         |              MAX(l) AS l, MAX(budget) AS budget FROM g),
+         |quotas AS (SELECT g.lang,
+         |            CASE WHEN g.k <= ks.kstar THEN g.capl
+         |                 ELSE (ks.budget - ks.sk) // GREATEST(ks.l - ks.kstar, 1) END AS quota
+         |           FROM g CROSS JOIN ks),
+         |wb AS (SELECT doc_id, lang, ${md5BucketSql("unimax", "doc_id")} AS b FROM documents),
+         |sel AS (SELECT doc_id, lang,
+         |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM wb)
+         |SELECT s.doc_id, s.lang FROM sel s JOIN quotas q USING (lang)
+         |WHERE s.rn <= q.quota ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |refw AS (SELECT * FROM w WHERE doc_id % 7 = 0),

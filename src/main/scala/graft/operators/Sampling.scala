@@ -263,4 +263,81 @@ object Sampling {
       .filter(col("__rn") <= col("__q"))
       .drop("__b", "__c", "__q", "__rn")
   }
+
+  /** [[capPerStratum]] with a PER-STRATUM quota frame (stratum, quota)
+    * instead of one global cap — the selection engine behind
+    * [[unimaxSample]]. Same two bounded phases; the quota frame (≤ #strata
+    * rows) is broadcast onto the histogram. A stratum absent from
+    * `quotas`, or with quota ≤ 0, is dropped entirely; a quota above the
+    * stratum's size keeps the whole stratum.
+    */
+  def capPerStratumQuotas(docs: DataFrame, quotas: DataFrame,
+                          stratum: String = "lang", key: String = "doc_id",
+                          salt: String = "cap"): DataFrame = {
+    val withB = docs.withColumn("__b", bucket(col(key), salt))
+    val hist = withB.groupBy(col(stratum), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(quotas.select(col(stratum), col("quota").as("__cap"))),
+        Seq(stratum))
+    val wCum = Window.partitionBy(stratum).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val quota = hist
+      .withColumn("__cum", coalesce(sum("__c").over(wCum), lit(0L)))
+      .withColumn("__q", greatest(lit(0L), least(col("__c"), col("__cap") - col("__cum"))))
+      .select(col(stratum), col("__b"), col("__q"))
+    val wInBucket = Window.partitionBy(col(stratum), col("__b")).orderBy(col(key))
+    withB.join(quota, Seq(stratum, "__b"))
+      .filter(col("__q") > 0)
+      .withColumn("__rn", row_number().over(wInBucket))
+      .filter(col("__rn") <= col("__q"))
+      .drop("__b", "__q", "__rn")
+  }
+
+  /** UniMax sampling (Chung et al. 2023, arXiv:2304.09151): allocate a
+    * total `budget` of documents across strata (languages) such that no
+    * stratum contributes more than `epochs` passes over its data, and the
+    * remaining budget spreads UNIFORMLY over the unconstrained strata —
+    * the closed-form water-filling:
+    *
+    *   sort strata by cap_l = ⌊count_l · epochs⌋ ascending;
+    *   k* = max k with cap_k·(L−k+1) + Σ_{j<k} cap_j ≤ budget
+    *        (the LHS is monotone in k, so "fully fund every stratum whose
+    *        cap fits under the current water level");
+    *   quota_l = cap_l for the k* funded strata,
+    *             (budget − Σ_{j≤k*} cap_j) div (L−k*) for the rest.
+    *
+    * The whole allocation runs as window algebra over the STRATA frame
+    * (≤ #languages rows — the single-task window is bounded by
+    * construction, never over documents), then [[capPerStratumQuotas]]
+    * picks each stratum's quota deterministically. Integer `div` floors
+    * the uniform share; the ≤ L−1 remainder docs are intentionally left
+    * unspent (documented, engine-exact).
+    */
+  def unimaxSample(docs: DataFrame, budget: Long, epochs: Double = 1.0,
+                   stratum: String = "lang", key: String = "doc_id",
+                   salt: String = "unimax"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(epochs > 0, "epochs must be positive")
+    val caps = docs.groupBy(stratum).agg(count(lit(1)).as("__n"))
+      .withColumn("__cap", floor(col("__n") * epochs).cast("long"))
+    val wOrd = Window.orderBy(col("__cap").asc, col(stratum).asc)
+    val ranked = caps
+      .withColumn("__k", row_number().over(wOrd))
+      .withColumn("__s", coalesce(
+        sum("__cap").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val lTot = caps.agg(count(lit(1)).as("__L"))
+    val g = ranked.crossJoin(broadcast(lTot))
+      .withColumn("__full",
+        col("__cap") * (col("__L") - col("__k") + 1) + col("__s") <= budget)
+    val kStar = g.agg(
+      coalesce(max(when(col("__full"), col("__k"))), lit(0L)).as("__kstar"),
+      coalesce(sum(when(col("__full"), col("__cap"))), lit(0L)).as("__sk"),
+      max(col("__L")).as("__nl"))
+    val quotas = g.crossJoin(broadcast(kStar))
+      .withColumn("quota",
+        when(col("__k") <= col("__kstar"), col("__cap"))
+          .otherwise(expr("(" + budget + "L - __sk) div greatest(__nl - __kstar, 1L)")))
+      .select(col(stratum), col("quota"))
+    capPerStratumQuotas(docs, quotas, stratum, key, salt)
+  }
 }
