@@ -905,6 +905,36 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         col("lang") === "en")
     }),
+    // the persisted-model serving path: train once into a catalog table
+    // (token weights + prior/w0 scalars in TBLPROPERTIES), score the
+    // held-out slice FROM THE TABLE — bit-identical to training-time
+    // scoring, shares the q_quality_classifier oracle
+    "q_quality_model_idx" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.QualityModels.writeNbModel(
+        docs.filter(col("doc_id") % 5 =!= 0), col("lang") === "en",
+        "graft_nb_model")
+      graft.operators.QualityModels.scoreAgainstModel(
+        docs.filter(col("doc_id") % 5 === 0), "graft_nb_model")
+    }),
+    // the streaming quality gate: the eval slice streams through in
+    // micro-batches, each scored against the persisted model; output =
+    // accepted doc_ids (score > 0), oracle = the batch replay filtered
+    "q_quality_stream" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.QualityModels.writeNbModel(
+        docs.filter(col("doc_id") % 5 =!= 0), col("lang") === "en",
+        "graft_nb_model_stream")
+      withTempDir("graft_quality_stream") { tmp =>
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text", "lang")
+          .repartition(3).write.parquet(s"$tmp/input")
+        graft.streaming.QualityStream.start(s, s"$tmp/input",
+            "graft_nb_model_stream", s"$tmp/out", s"$tmp/cp",
+            maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
+      }
+    }),
     // DSIR importance resampling: hashed-unigram importance weights of
     // the lang='en' target vs the raw corpus, top-100 selection
     "q_dsir" -> ((s, d) =>
@@ -2661,6 +2691,11 @@ object SparkEntry {
     // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with
     // pos = (lang = 'en'); OOV tokens fall through the LEFT JOIN as c=0
     "q_quality_classifier" -> nbQualityOracleSql,
+    // persisted-model serving computes the same numbers
+    "q_quality_model_idx" -> nbQualityOracleSql,
+    // streaming gate survivors = the batch replay's score > 0 slice
+    "q_quality_stream" ->
+      s"""SELECT doc_id FROM ($nbQualityOracleSql) WHERE score > 0 ORDER BY doc_id""",
     // DSIR: per-bucket add-one log ratios of target (lang='en') vs raw
     // token distributions over the md5 bucket space, doc weight = Σ over
     // tokens with multiplicity, deterministic top-100

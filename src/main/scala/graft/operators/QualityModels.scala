@@ -84,6 +84,77 @@ object QualityModels {
       .orderBy("doc_id")
   }
 
+  /** Persist a trained NB model as a catalog table: one (token, w) row
+    * per train-vocabulary token, with the two scalars that complete the
+    * scorer — `graft.prior` (the log doc-count ratio) and `graft.w0`
+    * (the OOV fall-through weight ln((nNeg+V)/(nPos+V))) — riding the
+    * table properties (the [[Ann.writeIvfIndex]] metadata idiom;
+    * `Double.toString` round-trips exactly). The stored weights are the
+    * SAME doubles [[nbQualityScores]] computes, so serving from the
+    * table is bit-identical to training-time scoring.
+    *
+    * This is the "train once, gate forever" serving shape: the model
+    * table is vocab-sized, the nightly/streaming scorer joins it without
+    * ever seeing the training corpus again.
+    */
+  def writeNbModel(train: DataFrame, isPos: org.apache.spark.sql.Column,
+                   tableName: String): Unit = {
+    val spark = train.sparkSession
+    val tr = train.select(isPos.cast("boolean").as("pos"), tokens.as("w"))
+    val tok = tr.select(col("pos"), explode(col("w")).as("t"))
+    val cnt = tok.groupBy("t").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+    val weights = cnt
+      .crossJoin(broadcast(cnt.agg(sum("cp").as("np"), sum("cn").as("nn"),
+        count(lit(1)).as("v"))))
+      .select(col("t"),
+        (log((col("cp") + 1).cast("double") / (col("np") + col("v"))) -
+         log((col("cn") + 1).cast("double") / (col("nn") + col("v")))).as("w"))
+    weights.write.format("parquet").mode("overwrite").saveAsTable(tableName)
+    // the scalars go through the SAME Catalyst log as the per-token
+    // weights (a driver-side math.log can differ from the expression
+    // engine's in the last ulp); Double.toString round-trips exactly
+    val Array(sc) = cnt.agg(sum("cp").as("np"), sum("cn").as("nn"),
+        count(lit(1)).as("v"))
+      .crossJoin(broadcast(tr.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("dn"))))
+      .select(
+        log((col("dp") + 1).cast("double") / (col("dn") + 1)).as("prior"),
+        (log(lit(1.0) / (col("np") + col("v"))) -
+         log(lit(1.0) / (col("nn") + col("v")))).as("w0"))
+      .collect()
+    spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+      s"'graft.prior' = '${sc.getDouble(0)}', 'graft.w0' = '${sc.getDouble(1)}')")
+  }
+
+  /** Score docs against a persisted [[writeNbModel]] table: explode →
+    * left join the (vocab-sized) weight table → per-doc sum, OOV tokens
+    * taking the stored `graft.w0`. Computes exactly [[nbQualityScores]]'s
+    * numbers for any eval frame — the model table and two scalars are
+    * sufficient statistics. Per-batch cost ∝ batch tokens; model size
+    * never re-derived.
+    */
+  def scoreAgainstModel(docs: DataFrame, tableName: String): DataFrame = {
+    val spark = docs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.contains("graft.prior") && props.contains("graft.w0"),
+      s"$tableName carries no graft.prior/graft.w0 — not written by writeNbModel")
+    val prior = props("graft.prior").toDouble
+    val w0 = props("graft.w0").toDouble
+    val contrib = docs.select(col("doc_id"), explode(tokens).as("t"))
+      .join(spark.table(tableName), Seq("t"), "left")
+      .select(col("doc_id"), coalesce(col("w"), lit(w0)).as("w"))
+    docs.select("doc_id")
+      .join(contrib.groupBy("doc_id").agg(sum("w").as("sw")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(prior) + coalesce(col("sw"), lit(0.0)), 4).as("score"))
+      .withColumn("pred", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance weights: hashed-unigram log-likelihood ratio of a
     * TARGET distribution vs the RAW corpus distribution
     * (arXiv:2302.03169 §2 — features hashed into a fixed bucket space,

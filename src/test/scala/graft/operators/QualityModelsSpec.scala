@@ -66,6 +66,30 @@ class QualityModelsSpec extends AnyFunSuite {
     assert(got == 0.0, s"OOV-only doc should score prior-only 0: $got")
   }
 
+  test("persisted model scores bit-identically to direct training-time scoring") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val direct = QualityModels.nbQualityScores(train, eval, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    QualityModels.writeNbModel(train, col("lang") === "en", "nb_spec_model")
+    val served = QualityModels.scoreAgainstModel(eval, "nb_spec_model")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(served == direct, "model table + scalars must be sufficient statistics")
+  }
+
+  test("scoreAgainstModel refuses a table not written by writeNbModel") {
+    import spark.implicits._
+    Seq(("x", 0.5)).toDF("t", "w").write.mode("overwrite")
+      .saveAsTable("nb_spec_bogus")
+    val e = intercept[IllegalArgumentException] {
+      QualityModels.scoreAgainstModel(
+        Seq((1L, "x")).toDF("doc_id", "text"), "nb_spec_bogus")
+    }
+    assert(e.getMessage.contains("graft.prior"))
+  }
+
   test("DSIR ranks target-dialect docs above off-target docs") {
     import spark.implicits._
     // target = docs speaking {alpha beta}; raw corpus adds {gamma delta}
