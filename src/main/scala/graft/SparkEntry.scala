@@ -965,6 +965,15 @@ object SparkEntry {
       graft.operators.BpeTokenizer.encodeTokenCounts(
         table(s, d, "documents"), merges)
     }),
+    // tokenizer fertility per language: BPE tokens per whitespace word —
+    // the "does the learned vocab fit this language" diagnostic
+    "q_bpe_fertility" -> ((s, d) => {
+      val merges = graft.operators.BpeTokenizer
+        .train(table(s, d, "documents"), k = 6)
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      graft.operators.BpeTokenizer.fertilityByStratum(
+        table(s, d, "documents"), merges)
+    }),
     // winnowing fingerprints (rolling-hash local fingerprints, MOSS):
     // map-only; oracle recomputes each k-gram hash as the direct modular
     // polynomial and replays the rightmost-min window selection
@@ -1151,6 +1160,13 @@ object SparkEntry {
         maxTokens = 64, overlap = 8)),
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.Packing.assignSequences(table(s, d, "documents"), budget = 2048)),
+    // length-bucketed batch assembly (padding-minimizing sorted batching):
+    // hash-sharded per-bucket sequencing, no global sort; batch_id packs
+    // (bucket, shard, seq) into one BIGINT
+    "q_batch_buckets" -> ((s, d) =>
+      graft.operators.Packing.lengthBucketedBatches(
+        table(s, d, "documents"), batchSize = 8, bucketWidth = 16,
+        numShards = 4)),
     // materialized training sequences: docs concatenated in id order per
     // sequence — oracle replays the concat as string_agg(ORDER BY doc_id)
     "q_pack_materialize" -> ((s, d) =>
@@ -2344,8 +2360,9 @@ object SparkEntry {
     // the 8 greedy MMR selection steps unrolled as a CTE chain
     "q_ann_mmr" -> annMmrOracleSql(kCand = 20, kOut = 8),
     // the 6 BPE merge iterations unrolled as CTE stages
-    "q_bpe_train" -> bpeOracleSql(k = 6, encode = false),
-    "q_bpe_encode" -> bpeOracleSql(k = 6, encode = true),
+    "q_bpe_train" -> bpeOracleSql(k = 6, mode = "train"),
+    "q_bpe_encode" -> bpeOracleSql(k = 6, mode = "encode"),
+    "q_bpe_fertility" -> bpeOracleSql(k = 6, mode = "fertility"),
     // nProbe = nlist probes every inverted list — identical to brute force
     "q_ann_ivf" -> annTopkOracleSql,
     // ... and the persisted-index path at nProbe = nlist is the same scan
@@ -2785,6 +2802,22 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // global exclusive prefix sum replayed as a single-threaded window
     // (fine for the oracle; the Spark side must NOT use a global window)
+    // hash-sharded bucketed batching: row_number per (bucket, shard)
+    // over (md5 bucket, id), batch = rn div batchSize, packed id
+    "q_batch_buckets" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        ${md5BucketSql("batch", "doc_id")} AS sk
+         |      FROM documents),
+         |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS len_bucket, sk,
+         |             CAST(sk % 4 AS INT) AS shard FROM t),
+         |r AS (SELECT doc_id, n_tokens, len_bucket, shard,
+         |        (ROW_NUMBER() OVER (PARTITION BY len_bucket, shard
+         |           ORDER BY sk, doc_id) - 1) // 8 AS seq
+         |      FROM b)
+         |SELECT doc_id, n_tokens, len_bucket, shard,
+         |       CAST(len_bucket * 4294967296 + shard * 1048576 + seq AS BIGINT) AS batch_id
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
@@ -3560,7 +3593,8 @@ object SparkEntry {
     * `encode = true` emits per-doc post-merge token counts instead of the
     * merge table (token count = '<' count after applying all k merges).
     */
-  private def bpeOracleSql(k: Int, encode: Boolean): String = {
+  private def bpeOracleSql(k: Int, mode: String): String = {
+    val encode = mode != "train"
     val w0 =
       """w0 AS MATERIALIZED (
         |  SELECT regexp_replace(t, '(.)', '<\1>', 'g') AS syms, COUNT(*) AS freq
@@ -3585,26 +3619,37 @@ object SparkEntry {
          |b$i AS MATERIALIZED (
          |  SELECT s1, s2, f FROM p$i ORDER BY f DESC, s1 ASC, s2 ASC LIMIT 1)$apply""".stripMargin
     }.mkString(",\n")
-    val finalSel =
-      if (!encode) {
+    val finalSel = mode match {
+      case "train" =>
         val rows = (1 to k).map { i =>
           s"SELECT CAST($i AS BIGINT) AS step, s1 AS lhs, s2 AS rhs, CAST(f AS BIGINT) AS freq FROM b$i"
         }.mkString("\n  UNION ALL ")
         s"SELECT * FROM (\n  $rows\n) ORDER BY step"
-      } else {
+      case enc @ ("encode" | "fertility") =>
         val chain = (1 to k).foldLeft("regexp_replace(t, '(.)', '<\\1>', 'g')") {
           case (acc, i) =>
             s"replace($acc, '<' || b$i.s1 || '><' || b$i.s2 || '>', '<' || b$i.s1 || b$i.s2 || '>')"
         }
         val joins = (1 to k).map(i => s"CROSS JOIN b$i").mkString(" ")
-        s"""SELECT doc_id,
-           |       CAST(SUM(len(m) - len(replace(m, '<', ''))) AS BIGINT) AS n_tokens
-           |FROM (
-           |  SELECT doc_id, $chain AS m
-           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-           |  $joins)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      }
+        if (enc == "encode")
+          s"""SELECT doc_id,
+             |       CAST(SUM(len(m) - len(replace(m, '<', ''))) AS BIGINT) AS n_tokens
+             |FROM (
+             |  SELECT doc_id, $chain AS m
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+             |  $joins)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        else
+          s"""SELECT lang,
+             |       CAST(SUM(len(m) - len(replace(m, '<', ''))) AS BIGINT) AS n_bpe,
+             |       CAST(COUNT(*) AS BIGINT) AS n_words,
+             |       ROUND(CAST(SUM(len(m) - len(replace(m, '<', ''))) AS DOUBLE) / COUNT(*), 6) AS fertility
+             |FROM (
+             |  SELECT lang, $chain AS m
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+             |  $joins)
+             |GROUP BY lang ORDER BY lang""".stripMargin
+    }
     s"WITH $w0,\n$iters\n$finalSel"
   }
 

@@ -95,15 +95,37 @@ object BpeTokenizer {
     * post-merge symbols. Words outside the `[a-z]+` contract count one
     * token per character cluster as-is (wrapped but never merged).
     */
-  def encodeTokenCounts(docs: DataFrame, merges: Array[(String, String)]): DataFrame = {
-    val applyAll = merges.foldLeft("regexp_replace(t, '(.)', '<$1>')") {
+  private def applyMergesExpr(merges: Array[(String, String)]): String =
+    merges.foldLeft("regexp_replace(t, '(.)', '<$1>')") {
       case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
     }
+
+  def encodeTokenCounts(docs: DataFrame, merges: Array[(String, String)]): DataFrame = {
+    val applyAll = applyMergesExpr(merges)
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"),
         (length(expr(applyAll)) - length(translate(expr(applyAll), "<", "")))
           .cast("long").as("n"))
       .groupBy("doc_id").agg(sum("n").as("n_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility per stratum (language): BPE tokens emitted per
+    * whitespace word — THE standard "does the learned vocab fit this
+    * language" diagnostic (fertility ≈ 1 = words mostly merge whole;
+    * high fertility = the language fragments). Map-only over the corpus
+    * plus one stratum hash agg.
+    */
+  def fertilityByStratum(docs: DataFrame, merges: Array[(String, String)],
+                         stratum: String = "lang"): DataFrame = {
+    val applyAll = applyMergesExpr(merges)
+    docs.select(col(stratum), explode(split(col("text"), " ")).as("t"))
+      .select(col(stratum),
+        (length(expr(applyAll)) - length(translate(expr(applyAll), "<", "")))
+          .cast("long").as("n"))
+      .groupBy(stratum).agg(sum("n").as("n_bpe"), count(lit(1)).as("n_words"))
+      .select(col(stratum), col("n_bpe"), col("n_words"),
+        round(col("n_bpe").cast("double") / col("n_words"), 6).as("fertility"))
+      .orderBy(stratum)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for LLM training: assign documents (in deterministic
@@ -97,6 +98,46 @@ object Packing {
     * → slice), no shuffle, pipelines with any downstream tokenizer;
     * output size is corpus tokens × (1 + overlap/stride).
     */
+  /** Length-bucketed batch assembly (sorted/bucketed batching, the
+    * standard padding-minimization trick in sequence training): documents
+    * land in a LENGTH BUCKET (`n_tokens div bucketWidth`), are shuffled
+    * deterministically within it (salted-md5 order — same doc, same slot,
+    * any partitioning), and consecutive runs of `batchSize` form batches.
+    * Every batch holds lengths within one `bucketWidth`, so padding waste
+    * per doc is < bucketWidth instead of < max-corpus-length.
+    *
+    * Scale shape (the [[Sampling.epochShuffle]] recipe): batches are
+    * formed per (bucket, shard) with `shard` a hash of the doc key, so
+    * the sequencing window partitions into `numShards` pieces per bucket
+    * — no global sort, no single hot partition for the dominant length
+    * range. batch_id is (bucket, shard, seq) packed into one BIGINT
+    * (bucket·2³² + shard·2²⁰ + seq) — collision-free while a single
+    * (bucket, shard) holds < 2²⁰ batches; size `numShards` so it does.
+    */
+  def lengthBucketedBatches(docs: DataFrame, batchSize: Int,
+                            bucketWidth: Int, numShards: Int = 8,
+                            key: String = "doc_id"): DataFrame = {
+    require(batchSize > 0 && bucketWidth > 0 && numShards > 0)
+    require(numShards < (1 << 12), "numShards must fit 12 bits")
+    val base = docs
+      .select(col(key), split(col("text"), " ").as("__w"))
+      .select(col(key), size(col("__w")).cast("long").as("n_tokens"))
+      .withColumn("len_bucket", expr(s"n_tokens div $bucketWidth"))
+      .withColumn("__sk", Sampling.bucket(col(key), "batch"))
+      .withColumn("shard", (col("__sk") % numShards).cast("int"))
+    val w = Window.partitionBy("len_bucket", "shard")
+      .orderBy(col("__sk"), col(key))
+    base
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("__seq", expr(s"__rn div $batchSize"))
+      .withColumn("batch_id",
+        col("len_bucket") * expr("cast(4294967296 as bigint)") +
+          col("shard").cast("long") * expr("cast(1048576 as bigint)") + col("__seq"))
+      .select(col(key), col("n_tokens"), col("len_bucket"), col("shard"),
+        col("batch_id"))
+      .orderBy(col(key))
+  }
+
   def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
