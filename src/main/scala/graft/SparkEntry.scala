@@ -683,6 +683,14 @@ object SparkEntry {
     // scan); the oracle replays quantize → decode → cosine bit-for-bit
     "q_ann_topk_sq8" -> ((s, d) =>
       graft.operators.Ann.topKSq8(table(s, d, "embeddings"), queryId = 0, k = 20)),
+    // JL-projected ANN: 64→16 dims through the deterministic ±1 hash
+    // matrix (4× cheaper probes/scan), then the standard top-20 — the
+    // oracle replays matrix, projection, float cast and cosine exactly
+    "q_ann_jl" -> ((s, d) =>
+      graft.operators.Ann.topK(
+        graft.operators.Ann.jlProject(table(s, d, "embeddings"),
+          outDim = 16, seed = 7),
+        queryId = 0, k = 20)),
     // MMR diversified rerank of the brute-force top-20 down to 8: greedy
     // relevance-minus-redundancy, kCand-bounded driver loop; the oracle
     // unrolls all 8 selection steps as a CTE chain over the same doubles
@@ -2359,6 +2367,34 @@ object SparkEntry {
     "q_ann_topk_sq8" -> annTopkSq8OracleSql,
     // the 8 greedy MMR selection steps unrolled as a CTE chain
     "q_ann_mmr" -> annMmrOracleSql(kCand = 20, kOut = 8),
+    // JL projection replay: hash-derived ±1 matrix (md5 hex-digit
+    // parity), per-dim sequential dot fold, ×0.25 (= 1/√16, exact),
+    // FLOAT cast, then the brute-force cosine over the projected lists
+    "q_ann_jl" ->
+      """WITH mat AS (
+        |  SELECT list([CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5('jl:7:' || j || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+        |         FOR i IN range(1, 65)] ORDER BY j) AS rows
+        |  FROM (SELECT unnest(range(0, 16)) AS j)),
+        |proj AS (
+        |  SELECT e.vec_id,
+        |         list_transform(range(1, 17),
+        |           j -> CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |                  i -> CAST(e.embedding[i] AS DOUBLE) * m.rows[j][i])) * 0.25 AS FLOAT)) AS p
+        |  FROM embeddings e CROSS JOIN mat m),
+        |q AS (SELECT p AS qe FROM proj WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |         list_sum(list_transform(range(1, len(e.p)+1),
+        |            i -> CAST(e.p[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS d,
+        |         sqrt(list_sum(list_transform(range(1, len(e.p)+1),
+        |            i -> CAST(e.p[i] AS DOUBLE) * CAST(e.p[i] AS DOUBLE)))) AS ne,
+        |         sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq
+        |  FROM proj e, q)
+        |SELECT vec_id, ROUND(d/(ne*nq), 6) AS cos
+        |FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
     // the 6 BPE merge iterations unrolled as CTE stages
     "q_bpe_train" -> bpeOracleSql(k = 6, mode = "train"),
     "q_bpe_encode" -> bpeOracleSql(k = 6, mode = "encode"),

@@ -91,6 +91,54 @@ object Ann {
       .limit(k)
   }
 
+  /** Deterministic ±1 Johnson-Lindenstrauss projection matrix: sign(j, i)
+    * = parity of the first hex digit of md5("jl:seed:j:i") — an Achlioptas
+    * (2001) database-friendly random projection whose "randomness" is a
+    * salted hash, so any engine with md5 reproduces the exact matrix (the
+    * [[graft.operators.Sampling.bucket]] philosophy applied to linear
+    * algebra). Scaling by 1/√outDim keeps expected norms.
+    */
+  private[operators] def jlSigns(seed: Long, outDim: Int, inDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      md.reset()
+      val d = md.digest(s"jl:$seed:$j:$i".getBytes("UTF-8"))
+      val firstHexDigit = (d(0) >> 4) & 0xf
+      if (firstHexDigit % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Project embeddings to `outDim` dimensions with the deterministic JL
+    * matrix — the classic "make the ANN scan cheap" move: a 64→16
+    * projection cuts probe arithmetic and scan bytes 4× while
+    * approximately preserving cosine geometry (JL lemma), and because the
+    * matrix is hash-derived it needs no stored model and no training.
+    * Map-only; the (outDim × inDim) matrix broadcasts as a closure
+    * constant. Output: (vec_id, embedding float[outDim]) — a drop-in
+    * corpus for every tier in this file (brute force, IVF, SQ8).
+    */
+  def jlProject(embeddings: DataFrame, outDim: Int, seed: Long = 7L): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val signsByDim = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+    val projUdf = udf((emb: Seq[Float]) => {
+      val s = signsByDim.computeIfAbsent(emb.length, d => jlSigns(seed, outDim, d))
+      val out = new Array[Float](outDim)
+      var j = 0
+      while (j < outDim) {
+        var acc = 0.0
+        var i = 0
+        val row = s(j)
+        val n = math.min(emb.length, row.length)
+        while (i < n) { acc += emb(i).toDouble * row(i); i += 1 }
+        out(j) = (acc * scale).toFloat
+        j += 1
+      }
+      out.toSeq
+    })
+    embeddings.select(col("vec_id"), projUdf(col("embedding")).as("embedding"))
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversified top-k: greedily picks `kOut` results from the brute-force
     * top-`kCand` cosine candidates, each step maximizing

@@ -111,6 +111,9 @@ object QualityModels {
       .select(col("t"),
         (log((col("cp") + 1).cast("double") / (col("np") + col("v"))) -
          log((col("cn") + 1).cast("double") / (col("nn") + col("v")))).as("w"))
+    // clears both the catalog entry and any orphan warehouse directory a
+    // previous session left behind (LOCATION_ALREADY_EXISTS otherwise)
+    Dedup.dropManaged(spark, tableName)
     weights.write.format("parquet").mode("overwrite").saveAsTable(tableName)
     // the scalars go through the SAME Catalyst log as the per-token
     // weights (a driver-side math.log can differ from the expression
