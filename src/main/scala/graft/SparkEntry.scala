@@ -903,6 +903,10 @@ object SparkEntry {
     }),
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
+    // PMI collocations: top-30 adjacent-bigram associations (Church &
+    // Hanks), min count 5; surfaces multi-word expressions
+    "q_pmi" -> ((s, d) =>
+      graft.operators.TextAnalysis.pmiCollocations(table(s, d, "documents"))),
     // fastText-shaped Naive-Bayes quality classifier: train "looks
     // English" on the 80% split (doc_id % 5 <> 0), score the held-out
     // 20% — the full smoothed log-likelihood arithmetic replays in SQL
@@ -2797,6 +2801,23 @@ object SparkEntry {
          |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM wb)
          |SELECT s.doc_id, s.lang FROM sel s JOIN quotas q USING (lang)
          |WHERE s.rn <= q.quota ORDER BY doc_id""".stripMargin,
+    // PMI = ln(cab·U²/(N·ca·cb)), denominator cast double pre-multiply
+    "q_pmi" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS t FROM w),
+        |uc AS (SELECT t, COUNT(*) AS u FROM uni GROUP BY t),
+        |ut AS (SELECT SUM(u) AS tu FROM uc),
+        |bi AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |       FROM w WHERE len(w) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cab FROM bi GROUP BY w1, w2),
+        |bt AS (SELECT SUM(cab) AS tb FROM bc)
+        |SELECT w1, w2, CAST(cab AS BIGINT) AS cab,
+        |       ROUND(ln(CAST(cab AS DOUBLE) * ut.tu * ut.tu /
+        |         (CAST(bt.tb AS DOUBLE) * ua.u * ub.u)), 4) AS pmi
+        |FROM bc JOIN uc ua ON bc.w1 = ua.t JOIN uc ub ON bc.w2 = ub.t
+        |CROSS JOIN ut CROSS JOIN bt
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |refw AS (SELECT * FROM w WHERE doc_id % 7 = 0),

@@ -514,6 +514,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PMI collocations: the top-k adjacent-bigram associations by
+    * pointwise mutual information,
+    *
+    *   pmi(a, b) = ln( P(a,b) / (P(a)·P(b)) )
+    *             = ln( c_ab · U² / (N · c_a · c_b) ),
+    *
+    * with c_ab bigram counts (N their total), c_a unigram counts (U their
+    * total) — the classic collocation-mining statistic (Church & Hanks
+    * 1990), used in pipelines to surface multi-word expressions worth
+    * protecting from tokenization splits. `minCount` floors c_ab (PMI is
+    * unstable on rare pairs). Round-4 (ln portability, like lmScore).
+    *
+    * Scale shape: two token-keyed hash aggs (map-side combine), totals as
+    * broadcast 1-row frames (no driver collect), two unigram joins keyed
+    * on token, top-k as TakeOrderedAndProject. The denominator is cast to
+    * double BEFORE multiplying so no engine touches an integer overflow.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(col("text")).filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[String]
+    val bi = words.flatMap { t =>
+        val w = t.split(" ", -1)
+        (0 until w.length - 1).iterator.map(i => (w(i), w(i + 1)))
+      }.toDF("w1", "w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val uni = docs.select(explode(tokens).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("u"))
+    val totB = bi.agg(sum("cab").as("tb"))
+    val totU = uni.agg(sum("u").as("tu"))
+    bi.filter(col("cab") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("u").as("ua")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("u").as("ub")), Seq("w2"))
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log(col("cab").cast("double") * col("tu") * col("tu") /
+          (col("tb").cast("double") * col("ua") * col("ub"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Per-stratum token-length distribution (corpus QA dashboard): doc
     * count, mean and exact p25/p50/p90 token counts. Uses Spark's EXACT
     * `percentile` aggregate — linear interpolation at rank (n-1)·p, the

@@ -21,6 +21,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.exact(d).collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("PMI: an exclusive bigram outranks a chance co-occurrence") {
+    import spark.implicits._
+    // "new york" co-occur exclusively (separators break the back-edge);
+    // "the cat"/"the dog" share "the" so each pairing is diluted:
+    // pmi(new,york) = ln(3·17²/(15·3·3)) ≈ 1.86 > pmi(the,cat) ≈ 1.57
+    val d = Seq(
+      (0L, "new york x new york y new york z"),
+      (1L, "the cat the dog the cat the dog")).toDF("doc_id", "text")
+    val byName = TextAnalysis.pmiCollocations(d, minCount = 2, k = 10)
+      .select("w1", "w2", "pmi").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(byName(("new", "york")) > byName(("the", "cat")),
+      s"exclusive pair must outrank diluted pair: $byName")
+    assert(byName(("new", "york")) > 0, "positive association must have pmi > 0")
+  }
+
   test("minhash-LSH pairs equal the exact jaccard pairs on real docs (full recall)") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
