@@ -907,6 +907,26 @@ object SparkEntry {
     // Hanks), min count 5; surfaces multi-word expressions
     "q_pmi" -> ((s, d) =>
       graft.operators.TextAnalysis.pmiCollocations(table(s, d, "documents"))),
+    // incremental vocabulary index: build on the even half, append the
+    // odd half, serve top-30 by re-aggregation — merge = SUM, so the
+    // served vocab equals the full-corpus q_vocab oracle exactly
+    "q_vocab_idx" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.TextAnalysis.writeVocabIndex(
+        docs.filter(col("doc_id") % 2 === 0), "graft_vocab_index")
+      graft.operators.TextAnalysis.appendToVocabIndex(
+        docs.filter(col("doc_id") % 2 === 1), "graft_vocab_index")
+      graft.operators.TextAnalysis.vocabFromIndex(s, "graft_vocab_index", k = 30)
+    }),
+    // feature-hashed bag-of-words embeddings (signed hashing trick),
+    // exploded to scalar (doc, dim, value) rows for the exact-float gate
+    "q_hash_embed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.posexplode
+      graft.operators.TextAnalysis.hashEmbed(table(s, d, "documents"), dim = 32)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .toDF("doc_id", "j", "v")
+        .orderBy("doc_id", "j")
+    }),
     // fastText-shaped Naive-Bayes quality classifier: train "looks
     // English" on the 80% split (doc_id % 5 <> 0), score the held-out
     // 20% — the full smoothed log-likelihood arithmetic replays in SQL
@@ -2801,6 +2821,31 @@ object SparkEntry {
          |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM wb)
          |SELECT s.doc_id, s.lang FROM sel s JOIN quotas q USING (lang)
          |WHERE s.rn <= q.quota ORDER BY doc_id""".stripMargin,
+    // the incremental index's served vocab must equal the full-corpus
+    // computation (merge = SUM over doc-disjoint slices)
+    "q_vocab_idx" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin,
+    // signed feature hashing: bucket and sign are independent salted-md5
+    // draws; squared norms are integer-valued doubles so the L2 norm is
+    // exact regardless of summation order
+    "q_hash_embed" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(${md5BucketSql("hemb", "t")} % 32 AS INT) AS b,
+         |         CASE WHEN ${md5BucketSql("hsign", "t")} % 2 = 1 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+         |sp AS (SELECT doc_id, b, SUM(s) AS v FROM tok GROUP BY doc_id, b),
+         |grid AS (SELECT d.doc_id, j.j
+         |         FROM (SELECT DISTINCT doc_id FROM documents) d,
+         |              (SELECT unnest(range(0, 32)) AS j) j),
+         |dense AS (SELECT g.doc_id, g.j, CAST(COALESCE(sp.v, 0) AS DOUBLE) AS v
+         |          FROM grid g LEFT JOIN sp ON g.doc_id = sp.doc_id AND g.j = sp.b),
+         |nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS n FROM dense GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.j AS INT) AS j,
+         |       CAST(CASE WHEN n.n = 0 THEN 0 ELSE d.v / n.n END AS FLOAT) AS v
+         |FROM dense d JOIN nrm n USING (doc_id)
+         |ORDER BY doc_id, j""".stripMargin,
     // PMI = ln(cab·U²/(N·ca·cb)), denominator cast double pre-multiply
     "q_pmi" ->
       """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -514,6 +514,84 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Persist corpus token counts as an INCREMENTAL index table: the
+    * mergeable-summary treatment applied to vocabulary statistics. Counts
+    * are associative (plain sums), so a day's crawl appends its own
+    * partial counts and serving re-aggregates — no read-modify-write, no
+    * full recompute. At 100 TB the index is vocab-sized and each append
+    * costs one batch-local hash agg + a partitioned write.
+    */
+  private def vocabPartials(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+
+  def writeVocabIndex(docs: DataFrame, tableName: String): Unit = {
+    Dedup.dropManaged(docs.sparkSession, tableName)
+    vocabPartials(docs)
+      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** Append a new slice's partial counts (batch-local agg only). `df`
+    * partials stay exact because crawl slices are doc-disjoint — the
+    * caller contract for any append-only corpus store.
+    */
+  def appendToVocabIndex(docs: DataFrame, tableName: String): Unit =
+    vocabPartials(docs)
+      .write.format("parquet").mode("append").saveAsTable(tableName)
+
+  /** Serve the top-k vocabulary from the index: re-aggregate the partial
+    * count rows (merge = SUM — the associativity that makes the index
+    * incremental) with [[vocabulary]]'s (tf DESC, token ASC) contract.
+    */
+  def vocabFromIndex(spark: org.apache.spark.sql.SparkSession,
+                     tableName: String, k: Int): DataFrame =
+    spark.table(tableName)
+      .groupBy("token").agg(sum("tf").as("tf"), sum("df").as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+
+  /** Feature-hashed bag-of-words embeddings (the hashing trick,
+    * Weinberger et al. 2009): token t adds sign(t) at bucket(t) of a
+    * `dim`-wide vector, then L2-normalize — a train-free dense text
+    * embedding that drops straight into the ANN family ([[Ann.topK]],
+    * IVF, near-dup) for lexical-semantic search. Bucket and sign are
+    * independent salted-md5 draws, so any engine reproduces the exact
+    * vectors. Map-only + one (doc, bucket) hash agg; the per-doc densify
+    * collects ≤ dim entries per doc (bounded), never the corpus.
+    *
+    * Output: (doc_id, embedding float[dim]); zero-norm docs (no tokens)
+    * emit the zero vector — [[Ann.withNorm]] drops them downstream, the
+    * documented zero-norm contract.
+    */
+  def hashEmbed(docs: DataFrame, dim: Int = 32): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sparse = docs
+      .select(col("doc_id"), explode(tokens).as("t"))
+      .select(col("doc_id"),
+        (Sampling.bucket(col("t"), "hemb") % dim).as("b"),
+        when(Sampling.bucket(col("t"), "hsign") % 2 === 1, 1L).otherwise(-1L).as("s"))
+      .groupBy("doc_id", "b").agg(sum("s").as("v"))
+      .groupBy("doc_id").agg(collect_list(struct(col("b"), col("v"))).as("entries"))
+    val densify = udf((entries: Seq[org.apache.spark.sql.Row]) => {
+      val acc = new Array[Double](dim)
+      entries.foreach(r => acc(r.getInt(0)) = r.getLong(1).toDouble)
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += acc(i) * acc(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      if (nrm == 0.0) new Array[Float](dim).toSeq
+      else acc.map(x => (x / nrm).toFloat).toSeq
+    })
+    docs.select("doc_id")
+      .join(sparse, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        densify(coalesce(col("entries"),
+          array().cast("array<struct<b:int,v:bigint>>"))).as("embedding"))
+  }
+
   /** PMI collocations: the top-k adjacent-bigram associations by
     * pointwise mutual information,
     *

@@ -172,6 +172,30 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         spark.table(SqlTableFunctions.DocumentsRelation)))
   }
 
+  test("graft_dsir ≡ QualityModels.dsirWeights") {
+    registerCorpus()
+    import org.apache.spark.sql.functions.col
+    assertSame("SELECT * FROM graft_dsir('en', 25)",
+      graft.operators.QualityModels.dsirWeights(
+        spark.table(SqlTableFunctions.DocumentsRelation),
+        col("lang") === "en", topN = 25))
+  }
+
+  test("graft_bpe_train ≡ BpeTokenizer.train") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_bpe_train(3)",
+      graft.operators.BpeTokenizer.train(
+        spark.table(SqlTableFunctions.DocumentsRelation), k = 3))
+  }
+
+  test("graft_media_neardup ≡ Multimodal.mediaNearDupPairs") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_media_neardup(4)",
+      graft.operators.Multimodal.mediaNearDupPairs(
+        graft.operators.Multimodal.fromDocuments(
+          spark.table(SqlTableFunctions.DocumentsRelation)), maxHamming = 4))
+  }
+
   test("graft_ann_topk ≡ Ann.topK") {
     registerCorpus()
     assertSame("SELECT * FROM graft_ann_topk(0, 10)",
