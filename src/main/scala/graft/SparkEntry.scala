@@ -927,6 +927,33 @@ object SparkEntry {
         .toDF("doc_id", "j", "v")
         .orderBy("doc_id", "j")
     }),
+    // lexical-semantic search: the hashed embeddings feed the standard
+    // ANN top-k unchanged (doc 0's most hash-similar documents)
+    "q_hash_embed_topk" -> ((s, d) =>
+      graft.operators.Ann.topK(
+        graft.operators.TextAnalysis.hashEmbed(table(s, d, "documents"), dim = 32)
+          .withColumnRenamed("doc_id", "vec_id"),
+        queryId = 0, k = 15)),
+    // streaming corpus stats: docs stream through in micro-batches, each
+    // appending mergeable vocab partials to the index; compaction folds
+    // the per-batch files; served top-30 must equal the one-shot corpus
+    // vocabulary (shares the q_vocab_idx oracle)
+    "q_vocab_stream" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      // seed an EMPTY index (schema only) so every count arrives via the
+      // streaming appends
+      graft.operators.TextAnalysis.writeVocabIndex(
+        docs.filter(lit(false)), "graft_vocab_stream_idx")
+      withTempDir("graft_vocab_stream") { tmp =>
+        docs.select("doc_id", "text").repartition(3)
+          .write.parquet(s"$tmp/input")
+        graft.streaming.CorpusStatsStream.start(s, s"$tmp/input",
+            "graft_vocab_stream_idx", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        graft.operators.TextAnalysis.compactVocabIndex(s, "graft_vocab_stream_idx")
+        graft.operators.TextAnalysis.vocabFromIndex(s, "graft_vocab_stream_idx", k = 30)
+      }
+    }),
     // fastText-shaped Naive-Bayes quality classifier: train "looks
     // English" on the 80% split (doc_id % 5 <> 0), score the held-out
     // 20% — the full smoothed log-likelihood arithmetic replays in SQL
@@ -2823,10 +2850,40 @@ object SparkEntry {
          |WHERE s.rn <= q.quota ORDER BY doc_id""".stripMargin,
     // the incremental index's served vocab must equal the full-corpus
     // computation (merge = SUM over doc-disjoint slices)
-    "q_vocab_idx" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
-        |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin,
+    "q_vocab_idx" -> vocabTop30OracleSql,
+    // ... and so must the streaming-maintained index after compaction
+    "q_vocab_stream" -> vocabTop30OracleSql,
+    // hashed-embedding ANN: rebuild the unit vectors as lists (ORDER BY
+    // dim), drop zero-norm docs (the withNorm contract), brute cosine
+    "q_hash_embed_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(${md5BucketSql("hemb", "t")} % 32 AS INT) AS b,
+         |         CASE WHEN ${md5BucketSql("hsign", "t")} % 2 = 1 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+         |sp AS (SELECT doc_id, b, SUM(s) AS v FROM tok GROUP BY doc_id, b),
+         |grid AS (SELECT d.doc_id, j.j
+         |         FROM (SELECT DISTINCT doc_id FROM documents) d,
+         |              (SELECT unnest(range(0, 32)) AS j) j),
+         |dense AS (SELECT g.doc_id, g.j, CAST(COALESCE(sp.v, 0) AS DOUBLE) AS v
+         |          FROM grid g LEFT JOIN sp ON g.doc_id = sp.doc_id AND g.j = sp.b),
+         |nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS n FROM dense GROUP BY doc_id),
+         |vec AS (SELECT d.doc_id,
+         |          list(CAST(CASE WHEN n.n = 0 THEN 0 ELSE d.v / n.n END AS FLOAT)
+         |               ORDER BY d.j) AS p
+         |        FROM dense d JOIN nrm n USING (doc_id)
+         |        WHERE n.n > 0 GROUP BY d.doc_id),
+         |q AS (SELECT p AS qe FROM vec WHERE doc_id = 0),
+         |scored AS (
+         |  SELECT e.doc_id AS vec_id,
+         |         list_sum(list_transform(range(1, len(e.p)+1),
+         |            i -> CAST(e.p[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS d,
+         |         sqrt(list_sum(list_transform(range(1, len(e.p)+1),
+         |            i -> CAST(e.p[i] AS DOUBLE) * CAST(e.p[i] AS DOUBLE)))) AS ne,
+         |         sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+         |            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq
+         |  FROM vec e, q)
+         |SELECT vec_id, ROUND(d/(ne*nq), 6) AS cos
+         |FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 15""".stripMargin,
     // signed feature hashing: bucket and sign are independent salted-md5
     // draws; squared norms are integer-valued doubles so the L2 norm is
     // exact regardless of summation order
@@ -3655,6 +3712,14 @@ object SparkEntry {
        |  $ranks
        |) ORDER BY rank""".stripMargin
   }
+
+  /** Top-30 full-corpus vocabulary (tf, doc-distinct df; tf DESC, token
+    * ASC) — shared by the incremental-index and streaming-index rows.
+    */
+  private def vocabTop30OracleSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin
 
   /** NB quality-classifier replay: add-one smoothed log-likelihood ratio,
     * trained on doc_id % 5 <> 0 with pos = (lang = 'en'), scoring the

@@ -551,6 +551,18 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Fold accumulated append partials back to one row per token — the
+    * small-file/compaction hygiene for the stats store. `localCheckpoint`
+    * materializes the re-aggregation before the overwrite so the table
+    * is never read and truncated in the same plan.
+    */
+  def compactVocabIndex(spark: org.apache.spark.sql.SparkSession,
+                        tableName: String): Unit =
+    spark.table(tableName)
+      .groupBy("token").agg(sum("tf").as("tf"), sum("df").as("df"))
+      .localCheckpoint(true)
+      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
+
   /** Feature-hashed bag-of-words embeddings (the hashing trick,
     * Weinberger et al. 2009): token t adds sign(t) at bucket(t) of a
     * `dim`-wide vector, then L2-normalize — a train-free dense text

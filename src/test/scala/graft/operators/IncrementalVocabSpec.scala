@@ -28,6 +28,23 @@ class IncrementalVocabSpec extends AnyFunSuite {
     } finally Dedup.dropManaged(spark, "vocab_spec_idx")
   }
 
+  test("compaction folds append partials without changing served results") {
+    try {
+      TextAnalysis.writeVocabIndex(docs.filter(col("doc_id") % 2 === 0), "vocab_cpt_idx")
+      TextAnalysis.appendToVocabIndex(docs.filter(col("doc_id") % 2 === 1), "vocab_cpt_idx")
+      val before = TextAnalysis.vocabFromIndex(spark, "vocab_cpt_idx", 50)
+        .collect().map(_.toSeq).toSeq
+      val rowsBefore = spark.table("vocab_cpt_idx").count()
+      TextAnalysis.compactVocabIndex(spark, "vocab_cpt_idx")
+      val after = TextAnalysis.vocabFromIndex(spark, "vocab_cpt_idx", 50)
+        .collect().map(_.toSeq).toSeq
+      assert(after == before, "compaction must be invisible to readers")
+      val rowsAfter = spark.table("vocab_cpt_idx").count()
+      assert(rowsAfter < rowsBefore,
+        s"compaction must fold duplicate token partials: $rowsBefore -> $rowsAfter")
+    } finally Dedup.dropManaged(spark, "vocab_cpt_idx")
+  }
+
   test("hashEmbed vectors are unit-norm, deterministic, and ANN-compatible") {
     import spark.implicits._
     val emb = TextAnalysis.hashEmbed(docs, dim = 32)
