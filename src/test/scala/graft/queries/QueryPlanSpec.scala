@@ -333,4 +333,60 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("NB classifier plan: token-keyed joins only, no cartesian; totals broadcast") {
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("DSIR plan: top-N is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_dsir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("UniMax plan: document windows are (stratum, bucket)-partitioned, strata window is the only unpartitioned one") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exec = Sampling.unimaxSample(docs, budget = 420)
+      .queryExecution.sparkPlan // pre-adaptive: traversable with collect
+    // every window over DOCUMENTS must be partitioned; the allocation
+    // window runs over the ≤#langs strata frame, where a single
+    // partition is the design (bounded by construction)
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.count(_.partitionSpec.isEmpty)
+    assert(unpartitioned <= 2, s"unexpected unpartitioned windows: $unpartitioned")
+  }
+
+  test("length-bucketed batching plan: window partitions on (len_bucket, shard)") {
+    val p = plan("q_batch_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    val exec = graft.SparkEntry.queries("q_batch_buckets")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, exec.toString)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "no unpartitioned window over documents allowed")
+  }
+
+  test("JL projection + hashEmbed stay narrow until their aggregations") {
+    import graft.operators.{Ann, TextAnalysis}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val projPlan = Ann.jlProject(emb, outDim = 16).queryExecution.executedPlan.toString
+    assert(!projPlan.contains("Exchange"), projPlan) // map-only projection
+    val hePlan = plan("q_hash_embed")
+    assert(!hePlan.contains("CartesianProduct"), hePlan)
+  }
+
+  test("PMI plan: totals broadcast, top-k is TakeOrderedAndProject") {
+    val p = plan("q_pmi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
