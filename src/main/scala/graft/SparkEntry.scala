@@ -934,6 +934,22 @@ object SparkEntry {
         graft.operators.TextAnalysis.hashEmbed(table(s, d, "documents"), dim = 32)
           .withColumnRenamed("doc_id", "vec_id"),
         queryId = 0, k = 15)),
+    // JSONL corpus-drop round trip with corrupt routing: documents write
+    // themselves out as JSONL, two malformed lines are planted, the
+    // routed read recovers exactly the documents table (oracle = the
+    // table itself — corruption must be invisible to the good side)
+    "q_ingest_jsonl" -> ((s, d) => {
+      val docs = table(s, d, "documents").select("doc_id", "text", "lang", "source")
+      withTempDir("graft_ingest_jsonl") { tmp =>
+        docs.write.json(s"$tmp/drop")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/drop/part-corrupt.json"),
+          "{this is not json\ngarbage line\n".getBytes("UTF-8"))
+        val (good, bad) = graft.sources.CorpusIngest.readJsonlRouted(s, s"$tmp/drop")
+        require(bad.count() == 2, "both planted corrupt lines must route to dead letters")
+        good.select("doc_id", "lang").orderBy("doc_id")
+      }
+    }),
     // streaming corpus stats: docs stream through in micro-batches, each
     // appending mergeable vocab partials to the index; compaction folds
     // the per-batch files; served top-30 must equal the one-shot corpus
@@ -2848,6 +2864,10 @@ object SparkEntry {
          |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM wb)
          |SELECT s.doc_id, s.lang FROM sel s JOIN quotas q USING (lang)
          |WHERE s.rn <= q.quota ORDER BY doc_id""".stripMargin,
+    // the JSONL round trip must reproduce the table exactly; the two
+    // planted corrupt lines are asserted routed inside the query
+    "q_ingest_jsonl" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id",
     // the incremental index's served vocab must equal the full-corpus
     // computation (merge = SUM over doc-disjoint slices)
     "q_vocab_idx" -> vocabTop30OracleSql,
