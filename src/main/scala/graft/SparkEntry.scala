@@ -934,6 +934,25 @@ object SparkEntry {
         graft.operators.TextAnalysis.hashEmbed(table(s, d, "documents"), dim = 32)
           .withColumnRenamed("doc_id", "vec_id"),
         queryId = 0, k = 15)),
+    // curation v2 — the model-era capstone: NB quality gate (score > 0)
+    // → UniMax language rebalancing over the survivors (60% budget, 1
+    // epoch) → padding-efficient bucketed batches, each doc annotated
+    // with its domain-match score; the oracle chains all three replays
+    "q_curate_v2" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val scored = graft.operators.QualityModels.nbQualityScores(
+        docs.filter(col("doc_id") % 5 =!= 0), docs, col("lang") === "en")
+      val survivors = docs.join(
+        scored.filter(col("score") > 0).select("doc_id"), "doc_id")
+      val budget = survivors.count() * 3 / 5
+      val picked = graft.operators.Sampling.unimaxSample(
+        survivors, budget, epochs = 1.0)
+      graft.operators.Packing.lengthBucketedBatches(
+          picked, batchSize = 8, bucketWidth = 16, numShards = 4)
+        .join(scored.select("doc_id", "score"), "doc_id")
+        .select("doc_id", "n_tokens", "len_bucket", "shard", "batch_id", "score")
+        .orderBy("doc_id")
+    }),
     // JSONL corpus-drop round trip with corrupt routing: documents write
     // themselves out as JSONL, two malformed lines are planted, the
     // routed read recovers exactly the documents table (oracle = the
@@ -2864,6 +2883,8 @@ object SparkEntry {
          |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM wb)
          |SELECT s.doc_id, s.lang FROM sel s JOIN quotas q USING (lang)
          |WHERE s.rn <= q.quota ORDER BY doc_id""".stripMargin,
+    // gate → rebalance → batch, all three replays chained
+    "q_curate_v2" -> curateV2OracleSql,
     // the JSONL round trip must reproduce the table exactly; the two
     // planted corrupt lines are asserted routed inside the query
     "q_ingest_jsonl" ->
@@ -3741,14 +3762,13 @@ object SparkEntry {
       |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
       |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin
 
-  /** NB quality-classifier replay: add-one smoothed log-likelihood ratio,
-    * trained on doc_id % 5 <> 0 with pos = (lang = 'en'), scoring the
-    * held-out slice; OOV tokens fall through the LEFT JOIN as c = 0.
-    * Shared by the Scala-path (q_quality_classifier) and SQL-face
-    * (q_sql_quality) rows.
+  /** CTE chain producing `nbsc(doc_id, score, pred)` — the NB replay
+    * (train on doc_id % 5 <> 0, pos = lang = 'en') scoring the docs
+    * selected by `evalPredSql`. Shared by the classifier rows and the
+    * curate-v2 composition (which scores the WHOLE corpus).
     */
-  private def nbQualityOracleSql: String =
-    """WITH tr AS (SELECT lang = 'en' AS pos, string_split(text, ' ') AS w
+  private def nbScoredCtesSql(evalPredSql: String): String =
+    s"""tr AS (SELECT lang = 'en' AS pos, string_split(text, ' ') AS w
       |            FROM documents WHERE doc_id % 5 <> 0),
       |tok AS (SELECT pos, unnest(w) AS t FROM tr),
       |cnt AS (SELECT t, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
@@ -3758,18 +3778,73 @@ object SparkEntry {
       |dts AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
       |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS dn FROM tr),
       |ev AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-      |       FROM documents WHERE doc_id % 5 = 0),
+      |       FROM documents WHERE $evalPredSql),
       |sc AS (SELECT e.doc_id,
       |         ln(CAST(COALESCE(c.cp, 0) + 1 AS DOUBLE) / (tot.np + tot.v)) -
       |         ln(CAST(COALESCE(c.cn, 0) + 1 AS DOUBLE) / (tot.nn + tot.v)) AS w
       |       FROM ev e LEFT JOIN cnt c ON e.t = c.t CROSS JOIN tot),
-      |agg AS (SELECT doc_id, SUM(w) AS sw FROM sc GROUP BY doc_id)
-      |SELECT d.doc_id,
+      |agg AS (SELECT doc_id, SUM(w) AS sw FROM sc GROUP BY doc_id),
+      |nbsc AS (
+      |  SELECT d.doc_id,
       |       ROUND(ln(CAST(dts.dp + 1 AS DOUBLE) / (dts.dn + 1)) + COALESCE(a.sw, 0), 4) AS score,
       |       ROUND(ln(CAST(dts.dp + 1 AS DOUBLE) / (dts.dn + 1)) + COALESCE(a.sw, 0), 4) > 0 AS pred
-      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
-      |LEFT JOIN agg a USING (doc_id) CROSS JOIN dts
-      |ORDER BY doc_id""".stripMargin
+      |  FROM (SELECT doc_id FROM documents WHERE $evalPredSql) d
+      |  LEFT JOIN agg a USING (doc_id) CROSS JOIN dts)""".stripMargin
+
+  /** NB quality-classifier replay scoring the held-out slice. Shared by
+    * q_quality_classifier, q_quality_model_idx and q_sql_quality.
+    */
+  private def nbQualityOracleSql: String =
+    s"""WITH ${nbScoredCtesSql("doc_id % 5 = 0")}
+      |SELECT doc_id, score, pred FROM nbsc ORDER BY doc_id""".stripMargin
+
+  /** Curate-v2 replay: NB gate (whole-corpus scoring) → UniMax
+    * water-filling over the survivors → bucketed batching, score joined
+    * back — the three operator replays chained verbatim.
+    */
+  private def curateV2OracleSql: String =
+    s"""WITH ${nbScoredCtesSql("1 = 1")},
+       |surv AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+       |         JOIN nbsc ON d.doc_id = nbsc.doc_id AND nbsc.score > 0),
+       |counts AS (SELECT lang, COUNT(*) AS c FROM surv GROUP BY lang),
+       |bud AS (SELECT COUNT(*) * 3 // 5 AS budget FROM surv),
+       |caps AS (SELECT lang, CAST(FLOOR(c * 1.0) AS BIGINT) AS capl FROM counts),
+       |rk AS (SELECT lang, capl,
+       |        ROW_NUMBER() OVER (ORDER BY capl, lang) AS k,
+       |        COALESCE(SUM(capl) OVER (ORDER BY capl, lang
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+       |       FROM caps),
+       |lt AS (SELECT COUNT(*) AS l FROM counts),
+       |g AS (SELECT rk.lang, rk.capl, rk.k, rk.s, lt.l, bud.budget,
+       |             (rk.capl * (lt.l - rk.k + 1) + rk.s <= bud.budget) AS fl
+       |      FROM rk CROSS JOIN lt CROSS JOIN bud),
+       |ks AS (SELECT COALESCE(MAX(CASE WHEN fl THEN k END), 0) AS kstar,
+       |              COALESCE(SUM(CASE WHEN fl THEN capl END), 0) AS sk,
+       |              MAX(l) AS l, MAX(budget) AS budget FROM g),
+       |quotas AS (SELECT g.lang,
+       |            CASE WHEN g.k <= ks.kstar THEN g.capl
+       |                 ELSE (ks.budget - ks.sk) // GREATEST(ks.l - ks.kstar, 1) END AS quota
+       |           FROM g CROSS JOIN ks),
+       |wb AS (SELECT doc_id, lang, ${md5BucketSql("unimax", "doc_id")} AS b FROM surv),
+       |selu AS (SELECT doc_id, lang,
+       |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM wb),
+       |picked AS (SELECT s.doc_id FROM selu s JOIN quotas q USING (lang)
+       |           WHERE s.rn <= q.quota),
+       |t AS (SELECT sv.doc_id,
+       |        CAST(len(string_split(sv.text, ' ')) AS BIGINT) AS n_tokens,
+       |        ${md5BucketSql("batch", "sv.doc_id")} AS sk2
+       |      FROM surv sv JOIN picked USING (doc_id)),
+       |b2 AS (SELECT doc_id, n_tokens, n_tokens // 16 AS len_bucket, sk2,
+       |             CAST(sk2 % 4 AS INT) AS shard FROM t),
+       |r2 AS (SELECT doc_id, n_tokens, len_bucket, shard, sk2,
+       |        (ROW_NUMBER() OVER (PARTITION BY len_bucket, shard
+       |           ORDER BY sk2, doc_id) - 1) // 8 AS seq
+       |      FROM b2)
+       |SELECT r2.doc_id, r2.n_tokens, r2.len_bucket, r2.shard,
+       |       CAST(r2.len_bucket * 4294967296 + r2.shard * 1048576 + r2.seq AS BIGINT) AS batch_id,
+       |       nbsc.score
+       |FROM r2 JOIN nbsc ON r2.doc_id = nbsc.doc_id
+       |ORDER BY r2.doc_id""".stripMargin
 
   /** BPE training replay: the full k-iteration loop (word histogram →
     * pair counts → argmax merge → greedy apply) unrolled as CTE stages.
