@@ -125,6 +125,12 @@ object SparkEntry {
         .createOrReplaceTempView(SqlTableFunctions.EmbeddingsRelation)
       s.sql("SELECT * FROM graft_ann_topk(0, 20)")
     }),
+    "q_sql_curate_v2" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "documents")
+        .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      s.sql("SELECT * FROM graft_curate_v2('en', 60, 8, 16)")
+    }),
     "q_sql_quality" -> ((s, d) => {
       GraftFunctions.register(s)
       table(s, d, "documents")
@@ -2885,6 +2891,8 @@ object SparkEntry {
          |WHERE s.rn <= q.quota ORDER BY doc_id""".stripMargin,
     // gate → rebalance → batch, all three replays chained
     "q_curate_v2" -> curateV2OracleSql,
+    // the SQL face runs the identical composition (same 60% budget)
+    "q_sql_curate_v2" -> curateV2OracleSql,
     // the JSONL round trip must reproduce the table exactly; the two
     // planted corrupt lines are asserted routed inside the query
     "q_ingest_jsonl" ->

@@ -343,6 +343,30 @@ object SqlTableFunctions {
         graft.operators.Multimodal.fromDocuments(rel(s, DocumentsRelation, f.name)),
         intArg(f, a, 0))
     }
+    // the curation-v2 capstone from SQL: NB gate (pos = lang equality on
+    // the %5 train split) → UniMax rebalance at budget_pct% → bucketed
+    // batches with the score joined back — a dashboard can run the whole
+    // nightly composition with one SELECT
+    add("graft_curate_v2",
+      "graft_curate_v2(pos_lang, budget_pct, batch_size, bucket_width)", 4) {
+      (s, f, a) =>
+        import org.apache.spark.sql.functions.col
+        val docs = rel(s, DocumentsRelation, f.name)
+        val scored = graft.operators.QualityModels.nbQualityScores(
+          docs.filter(col("doc_id") % 5 =!= 0), docs,
+          col("lang") === strArg(f, a, 0))
+        val survivors = docs.join(
+          scored.filter(col("score") > 0).select("doc_id"), "doc_id")
+        val budget = survivors.count() * longArg(f, a, 1) / 100
+        val picked = graft.operators.Sampling.unimaxSample(
+          survivors, budget, epochs = 1.0)
+        graft.operators.Packing.lengthBucketedBatches(
+            picked, batchSize = intArg(f, a, 2),
+            bucketWidth = intArg(f, a, 3), numShards = 4)
+          .join(scored.select("doc_id", "score"), "doc_id")
+          .select("doc_id", "n_tokens", "len_bucket", "shard", "batch_id", "score")
+          .orderBy("doc_id")
+    }
     add("graft_temperature_sample", "graft_temperature_sample(alpha)", 1) { (s, f, a) =>
       graft.operators.Sampling.temperatureSample(
         rel(s, DocumentsRelation, f.name), doubleArg(f, a, 0))
