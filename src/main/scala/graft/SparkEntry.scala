@@ -1500,6 +1500,38 @@ object SparkEntry {
     // shuffle on the order key, customer shuffle on the cust key, then
     // supplier/nation/region as broadcast dims (the nation-colocation
     // predicate c_nationkey = s_nationkey rides the supplier broadcast).
+    // Q13-shaped customer order-count distribution: the outer-join +
+    // double-grouping shape (customers with zero orders must survive
+    // into the c_count = 0 bucket)
+    "q_tpch_cust_dist" -> ((s, d) => {
+      val c = table(s, d, "customer").select("c_custkey")
+      val o = table(s, d, "orders").select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // Q22-shaped idle rich customers: above-average balance (exact
+    // cross-multiply — balance·cnt > Σbalance, no division), no order
+    // since 1999 (anti-join against the recent slice — this synthetic
+    // corpus has every customer order at least once, so the classic
+    // never-ordered predicate is vacuous), grouped by nation
+    "q_tpch_idle_rich" -> ((s, d) => {
+      val c = table(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg(sum("c_acctbal").as("tot"), count(lit(1)).as("cnt"))
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val n = table(s, d, "nation").select("n_nationkey", "n_name")
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") * col("cnt") > col("tot"))
+        .join(o, Seq("c_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"), sround(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("n_name")
+    }),
     "q_tpch_local_supplier" -> ((s, d) => {
       val li = table(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -3231,6 +3263,23 @@ object SparkEntry {
         |  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_orderkey, o_date_s
         |ORDER BY revenue DESC, o_date_s ASC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_cust_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_idle_rich" ->
+      """WITH thr AS (SELECT SUM(c_acctbal) AS tot, COUNT(*) AS cnt
+        |             FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+        |FROM customer CROSS JOIN thr
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal * thr.cnt > thr.tot
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_tpch_local_supplier" ->
       """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
