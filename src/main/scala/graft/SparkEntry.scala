@@ -214,6 +214,10 @@ object SparkEntry {
     // are exercised heavily — which is the point of the contract)
     "q_rate" -> ((s, d) =>
       graft.queries.TimeseriesQueries.counterToRate(conditions(s, d), Of, S1, E1)),
+    // truncated EWMA trend line: 8 dyadic taps (α=1/2 ⇒ every weight
+    // exact), head-normalized — the smoothing face of the rollup family
+    "q_ewma" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.ewmaSmooth(conditions(s, d), Of, S1, E1)),
     // rolling window stats (last-5-readings count/sum/min/max per
     // subject): single window pass, integer-exact outputs
     "q_rolling" -> ((s, d) =>
@@ -1976,6 +1980,33 @@ object SparkEntry {
          |       c < prev_c AS reset
          |FROM lagged WHERE prev_ts IS NOT NULL
          |ORDER BY measurement_subject, t_start_us, t_end_us, dv_scaled""".stripMargin,
+    // 8 dyadic taps replayed as LAG columns; numerator/denominator sums
+    // are exact (cents × 2^-j), only the final 6-dp rounds
+    "q_ewma" -> {
+      val lagCols = (1 until 8).map(j => s"lag(c, $j) OVER w AS l$j")
+        .mkString(",\n         ")
+      val num = (1 until 8)
+        .map(j => s" + COALESCE(CAST(l$j AS DOUBLE) * ${math.pow(0.5, j)}, 0)").mkString
+      val den = (1 until 8)
+        .map(j => s" + CASE WHEN l$j IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0 END").mkString
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, "timestamp",
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |lagged AS (
+         |  SELECT measurement_subject, "timestamp", c,
+         |         $lagCols
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp", c))
+         |SELECT epoch_us("timestamp") AS t_us, measurement_subject,
+         |       c AS raw_scaled,
+         |       ROUND((CAST(c AS DOUBLE)$num) / (1.0$den), 6) AS ewma
+         |FROM lagged
+         |ORDER BY measurement_subject, t_us, raw_scaled""".stripMargin
+    },
     // dyadic median/MAD over integer cents — quantile_cont of integers
     // lands on .0/.5 (and MAD on quarters), exact in both engines
     "q_outliers" -> outliersOracleSql("quantile_cont"),

@@ -227,6 +227,11 @@ object SqlTableFunctions {
         TimeseriesQueries.rollingStats(cond(s, f), strArg(f, a, 0),
           longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
     }
+    add("graft_ewma", "graft_ewma(of, start_s, end_s, taps)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.ewmaSmooth(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
+    }
     add("graft_stats_agg", "graft_stats_agg(of, start_s, end_s, width_s)", 4) {
       (s, f, a) =>
         TimeseriesQueries.statsDerive(TimeseriesQueries.statsAgg(cond(s, f),

@@ -400,6 +400,54 @@ object TimeseriesQueries {
     * One hash shuffle on subject + per-subject sort — B8/B9's plan
     * family.
     */
+  /** Truncated EWMA smoothing (PromQL/monitoring-style trend line):
+    * per-subject exponentially-weighted moving average over the trailing
+    * `taps` readings,
+    *
+    *   y_i = Σ_{j<taps} 2⁻ʲ·x_{i−j} / Σ_{j<taps, present} 2⁻ʲ
+    *
+    * with α fixed at 1/2 so every weight is DYADIC: cent-quantized
+    * readings times 2⁻ʲ are exact doubles, the numerator/denominator
+    * sums are exact, and the only rounding is the final 6-dp — the
+    * engine-portability trick the rollup family uses, applied to
+    * smoothing. The head of each series normalizes over the weights
+    * actually present (no warm-up bias, no NULL head).
+    *
+    * Plan shape: `taps` LAG columns over ONE (subject)-partitioned
+    * window — a single exchange + sort per subject group, no
+    * whole-series state; the recurrence form y=αx+(1−α)y would need a
+    * sequential scan, the truncated form is what distributes.
+    */
+  def ewmaSmooth(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                 taps: Int = 8, scale: Int = 100): DataFrame = {
+    require(taps >= 1 && taps <= 30, "taps must be in [1, 30]")
+    // ties on duplicate timestamps ordered by the reading, the
+    // counterToRate convention
+    val w = Window.partitionBy("measurement_subject").orderBy("timestamp", "c")
+    val base = conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"), col("timestamp"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+    val lagged = (1 until taps).foldLeft(base) { (df, j) =>
+      df.withColumn(s"__l$j", lag("c", j).over(w))
+    }
+    val num = (1 until taps).foldLeft(col("c").cast("double")) { (acc, j) =>
+      acc + coalesce(col(s"__l$j").cast("double") * math.pow(0.5, j), lit(0.0))
+    }
+    val den = (1 until taps).foldLeft(lit(1.0)) { (acc, j) =>
+      acc + when(col(s"__l$j").isNotNull, math.pow(0.5, j)).otherwise(0.0)
+    }
+    lagged.select(
+        unix_micros(col("timestamp")).as("t_us"),
+        col("measurement_subject"),
+        col("c").as("raw_scaled"),
+        round(num / den, 6).as("ewma"))
+      .orderBy("measurement_subject", "t_us", "raw_scaled")
+  }
+
   def counterToRate(conditions: DataFrame, of: String, startS: Long, endS: Long,
                     scale: Int = 100): DataFrame = {
     require(scale > 0, "scale must be positive")

@@ -28,6 +28,26 @@ class RollupsSpec extends AnyFunSuite {
         "measurement_number", "measurement_string")
   }
 
+  test("ewmaSmooth: hand-computed dyadic taps with head normalization") {
+    // cents: 10000, 20000, 40000
+    // y1 = 10000/1; y2 = (20000 + 0.5·10000)/1.5 = 16666.666667
+    // y3 = (40000 + 0.5·20000 + 0.25·10000)/1.75 = 30000
+    val out = TimeseriesQueries.ewmaSmooth(
+      conditions(Seq((0L, "s1", 100.0), (60L, "s1", 200.0), (120L, "s1", 400.0))),
+      "m", T0, T0 + 3600)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((10000L, 10000.0), (20000L, 16666.666667),
+      (40000L, 30000.0)), s"got ${out.toSeq}")
+  }
+
+  test("ewmaSmooth: constant series is a fixed point; taps window is trailing") {
+    val out = TimeseriesQueries.ewmaSmooth(
+      conditions((0L until 12L).map(i => (i * 60, "s1", 5.0))),
+      "m", T0, T0 + 3600)
+      .collect().map(_.getDouble(3))
+    assert(out.forall(_ == 500.0), s"constant input must smooth to itself: ${out.toSeq}")
+  }
+
   test("ohlcBars: open/high/low/close per bucket, deterministic duplicate-ts ties") {
     // bucket 0: values in time order 3.0, 9.0, 1.0, 4.0 → O=300 H=900 L=100 C=400
     // bucket 1: two readings at the SAME instant (2.0, 7.0):
