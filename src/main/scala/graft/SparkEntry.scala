@@ -218,6 +218,12 @@ object SparkEntry {
     // exact), head-normalized — the smoothing face of the rollup family
     "q_ewma" -> ((s, d) =>
       graft.queries.TimeseriesQueries.ewmaSmooth(conditions(s, d), Of, S1, E1)),
+    // one-sided CUSUM drift: the max(0, S+d) recurrence via its
+    // running-sum-minus-running-min closed form — window algebra,
+    // integer-exact in cents (target 50.00, slack 10.00, h 500.00)
+    "q_cusum" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.cusumDrift(conditions(s, d), Of, S1, E1,
+        targetCents = 5000, slackCents = 1000, threshCents = 50000)),
     // rolling window stats (last-5-readings count/sum/min/max per
     // subject): single window pass, integer-exact outputs
     "q_rolling" -> ((s, d) =>
@@ -2007,6 +2013,33 @@ object SparkEntry {
          |FROM lagged
          |ORDER BY measurement_subject, t_us, raw_scaled""".stripMargin
     },
+    // the same closed form in DuckDB windows; all-integer arithmetic
+    "q_cusum" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, "timestamp",
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |pre1 AS (
+         |  SELECT measurement_subject, "timestamp", c,
+         |         SUM(c - 5000 - 1000) OVER
+         |           (PARTITION BY measurement_subject ORDER BY "timestamp", c
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+         |  FROM scanned),
+         |pre AS (
+         |  SELECT measurement_subject, "timestamp", c, prefix,
+         |         MIN(prefix) OVER
+         |           (PARTITION BY measurement_subject ORDER BY "timestamp", c
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+         |  FROM pre1)
+         |SELECT epoch_us("timestamp") AS t_us, measurement_subject,
+         |       c AS raw_scaled,
+         |       CAST(prefix - LEAST(runmin, 0) AS BIGINT) AS cusum_scaled,
+         |       prefix - LEAST(runmin, 0) > 50000 AS alarm
+         |FROM pre
+         |ORDER BY measurement_subject, t_us, raw_scaled""".stripMargin,
     // dyadic median/MAD over integer cents — quantile_cont of integers
     // lands on .0/.5 (and MAD on quarters), exact in both engines
     "q_outliers" -> outliersOracleSql("quantile_cont"),

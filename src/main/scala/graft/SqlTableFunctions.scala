@@ -232,6 +232,13 @@ object SqlTableFunctions {
         TimeseriesQueries.ewmaSmooth(cond(s, f), strArg(f, a, 0),
           longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
     }
+    add("graft_cusum",
+      "graft_cusum(of, start_s, end_s, target_cents, slack_cents, h_cents)", 6) {
+      (s, f, a) =>
+        TimeseriesQueries.cusumDrift(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3),
+          longArg(f, a, 4), longArg(f, a, 5))
+    }
     add("graft_stats_agg", "graft_stats_agg(of, start_s, end_s, width_s)", 4) {
       (s, f, a) =>
         TimeseriesQueries.statsDerive(TimeseriesQueries.statsAgg(cond(s, f),

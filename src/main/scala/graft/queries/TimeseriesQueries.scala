@@ -448,6 +448,42 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "t_us", "raw_scaled")
   }
 
+  /** One-sided CUSUM drift detection (Page 1954): flags small persistent
+    * upward shifts that spike detectors (Hampel) miss, per subject:
+    *
+    *   S_i = max(0, S_{i−1} + (x_i − target − slack)),  alarm when S > h.
+    *
+    * The max(0,·) recurrence looks sequential but has the classic closed
+    * form S_i = prefix_i − min(0, min_{j≤i} prefix_j) over the running
+    * sum of deviations — two plain window aggregates, fully distributed
+    * (one subject-partitioned sort, no per-series scan) and, in cents,
+    * INTEGER-EXACT end to end; the oracle replays the same windows.
+    * All parameters are in cents (the store's quantization).
+    */
+  def cusumDrift(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                 targetCents: Long, slackCents: Long, threshCents: Long,
+                 scale: Int = 100): DataFrame = {
+    val w = Window.partitionBy("measurement_subject").orderBy("timestamp", "c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"), col("timestamp"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .withColumn("__d", col("c") - targetCents - slackCents)
+      .withColumn("__prefix", sum("__d").over(w))
+      .withColumn("__runmin", min("__prefix").over(w))
+      .select(
+        unix_micros(col("timestamp")).as("t_us"),
+        col("measurement_subject"),
+        col("c").as("raw_scaled"),
+        (col("__prefix") - least(col("__runmin"), lit(0L))).as("cusum_scaled"))
+      .withColumn("alarm", col("cusum_scaled") > threshCents)
+      .orderBy("measurement_subject", "t_us", "raw_scaled")
+  }
+
   def counterToRate(conditions: DataFrame, of: String, startS: Long, endS: Long,
                     scale: Int = 100): DataFrame = {
     require(scale > 0, "scale must be positive")

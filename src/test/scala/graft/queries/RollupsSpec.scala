@@ -48,6 +48,41 @@ class RollupsSpec extends AnyFunSuite {
     assert(out.forall(_ == 500.0), s"constant input must smooth to itself: ${out.toSeq}")
   }
 
+  test("cusumDrift: closed form equals the sequential recurrence on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i => (i * 60, "s1", rnd.nextInt(1000) / 100.0))
+    val (target, slack) = (400L, 50L)
+    val got = TimeseriesQueries.cusumDrift(conditions(rows), "m", T0, T0 + 60 * 400,
+        targetCents = target, slackCents = slack, threshCents = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // sequential reference: S = max(0, S + d)
+    var s = 0L
+    val expect = rows.sortBy(_._1).map { case (off, _, v) =>
+      val c = math.round(v * 100)
+      s = math.max(0L, s + c - target - slack)
+      ((T0 + off) * 1000000L, s)
+    }
+    assert(got.toSeq == expect, s"closed form must equal the recurrence")
+  }
+
+  test("cusumDrift: persistent small shift alarms, isolated spike does not") {
+    // target 500, slack 100: a single +30.00 spike contributes 2400 once
+    // then decays at -100/reading (never reaches h=2500), while a
+    // sustained +2.00 shift accumulates +100/reading for 30 readings
+    // → S tops at 3000 > 2500 → alarm
+    val spike = (0L until 40L).map(i =>
+      (i * 60, "spiky", if (i == 20) 30.0 else 5.0))
+    val drift = (0L until 40L).map(i =>
+      (i * 60, "drifty", if (i >= 10) 7.0 else 5.0))
+    val out = TimeseriesQueries.cusumDrift(conditions(spike ++ drift), "m",
+        T0, T0 + 60 * 60, targetCents = 500, slackCents = 100, threshCents = 2500)
+      .collect().groupBy(_.getString(1))
+    assert(!out("spiky").exists(_.getBoolean(4)),
+      "one spike must not trip the drift alarm")
+    assert(out("drifty").exists(_.getBoolean(4)),
+      "a sustained +2.00 shift must trip the alarm")
+  }
+
   test("ohlcBars: open/high/low/close per bucket, deterministic duplicate-ts ties") {
     // bucket 0: values in time order 3.0, 9.0, 1.0, 4.0 → O=300 H=900 L=100 C=400
     // bucket 1: two readings at the SAME instant (2.0, 7.0):
