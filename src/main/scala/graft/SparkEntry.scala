@@ -214,6 +214,24 @@ object SparkEntry {
     // are exercised heavily — which is the point of the contract)
     "q_rate" -> ((s, d) =>
       graft.queries.TimeseriesQueries.counterToRate(conditions(s, d), Of, S1, E1)),
+    // counter_agg rollup (toolkit counter summary): reset-aware delta /
+    // num_resets / rate per (subject, 6 h bucket) — exact cents until the
+    // one final divide
+    "q_counter_agg" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.counterAgg(conditions(s, d), Of, S1, E1,
+        bucketS = 21600)),
+    // M4 visualization downsample: the ≤4 extremum rows (min/max time,
+    // min/max value, ties kept) per (subject, 6 h pixel bucket)
+    "q_m4" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.m4Downsample(conditions(s, d), Of, S1, E1,
+        bucketS = 21600)),
+    // toolkit interpolated_average: LOCF time-weighted bucket means whose
+    // step function extends across bucket edges (head from the last
+    // reading before the bucket, tail held to bucket end) — exact
+    // cents×µs integrals, one divide at the end
+    "q_timeweight_interp" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.interpolatedTimeWeight(conditions(s, d),
+        Of, S1, E1, bucketS = 21600)),
     // truncated EWMA trend line: 8 dyadic taps (α=1/2 ⇒ every weight
     // exact), head-normalized — the smoothing face of the rollup family
     "q_ewma" -> ((s, d) =>
@@ -919,6 +937,12 @@ object SparkEntry {
     }),
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
+    // n-gram novelty: fraction of a doc's trigram shingles first seen in
+    // that doc (min doc_id wins) — the memorization/near-copy diagnostic;
+    // no shingle→doc join back, the doc's novel count is how many
+    // shingles it wins
+    "q_novelty" -> ((s, d) =>
+      graft.operators.TextAnalysis.ngramNovelty(table(s, d, "documents"))),
     // PMI collocations: top-30 adjacent-bigram associations (Church &
     // Hanks), min count 5; surfaces multi-word expressions
     "q_pmi" -> ((s, d) =>
@@ -1986,6 +2010,95 @@ object SparkEntry {
          |       c < prev_c AS reset
          |FROM lagged WHERE prev_ts IS NOT NULL
          |ORDER BY measurement_subject, t_start_us, t_end_us, dv_scaled""".stripMargin,
+    // counter_agg rollup: the same (ts, c)-ordered lag restricted to the
+    // (subject, bucket) partition; every sum is exact cents, the one
+    // divide (rate) runs token-identically on both sides
+    "q_counter_agg" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(21600)} AS time_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |lagged AS (
+         |  SELECT *, lag(c) OVER w AS prev_c
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject, time_s ORDER BY t_us, c)),
+         |agg AS (
+         |  SELECT measurement_subject, time_s,
+         |         CAST(SUM(CASE WHEN prev_c IS NULL THEN 0
+         |                       WHEN c < prev_c THEN c
+         |                       ELSE c - prev_c END) AS BIGINT) AS delta_scaled,
+         |         CAST(SUM(CASE WHEN c < prev_c THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
+         |         COUNT(*) AS n,
+         |         MIN(t_us) AS first_us, MAX(t_us) AS last_us
+         |  FROM lagged GROUP BY 1, 2)
+         |SELECT measurement_subject, time_s, delta_scaled, num_resets, n,
+         |       first_us, last_us,
+         |       CASE WHEN last_us > first_us
+         |            THEN ROUND(CAST(delta_scaled AS DOUBLE) / 100
+         |                       / ((last_us - first_us) / 1000000.0), 6)
+         |       END AS rate_per_s
+         |FROM agg ORDER BY measurement_subject, time_s""".stripMargin,
+    // M4: extremum membership replayed with the same four window extrema
+    "q_m4" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(21600)} AS time_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |ext AS (
+         |  SELECT *, MIN(t_us) OVER w AS min_t, MAX(t_us) OVER w AS max_t,
+         |         MIN(c) OVER w AS min_c, MAX(c) OVER w AS max_c
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject, time_s))
+         |SELECT DISTINCT measurement_subject, time_s, t_us, c
+         |FROM ext
+         |WHERE t_us = min_t OR t_us = max_t OR c = min_c OR c = max_c
+         |ORDER BY measurement_subject, time_s, t_us, c""".stripMargin,
+    // interpolated_average: the three-case span partition (same-bucket
+    // pair / cross-edge head / bucket tail) replayed verbatim; integrals
+    // exact cents×µs, one final divide
+    "q_timeweight_interp" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(21600)} AS time_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |lagged AS (
+         |  SELECT *, lag(t_us) OVER w AS prev_t, lag(c) OVER w AS prev_c,
+         |         lag(time_s) OVER w AS prev_b, lead(time_s) OVER w AS next_b
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY t_us, c)),
+         |contrib AS (
+         |  SELECT measurement_subject, time_s,
+         |         (CASE WHEN prev_b IS NULL THEN 0
+         |               WHEN prev_b = time_s THEN prev_c * (t_us - prev_t)
+         |               ELSE prev_c * (t_us - time_s * 1000000) END
+         |          + CASE WHEN next_b IS NULL OR next_b <> time_s
+         |                 THEN c * (LEAST((time_s + 21600) * 1000000, ${E1 * 1000000L}) - t_us)
+         |                 ELSE 0 END) AS seg,
+         |         (CASE WHEN prev_b IS NULL THEN 0
+         |               WHEN prev_b = time_s THEN t_us - prev_t
+         |               ELSE t_us - time_s * 1000000 END
+         |          + CASE WHEN next_b IS NULL OR next_b <> time_s
+         |                 THEN LEAST((time_s + 21600) * 1000000, ${E1 * 1000000L}) - t_us
+         |                 ELSE 0 END) AS dur
+         |  FROM lagged)
+         |SELECT measurement_subject, time_s,
+         |       ROUND(CAST(CAST(SUM(seg) AS BIGINT) AS DOUBLE)
+         |             / CAST(SUM(dur) AS BIGINT) / 100, 6) AS interpolated_avg,
+         |       CAST(SUM(dur) AS BIGINT) AS covered_us
+         |FROM contrib GROUP BY 1, 2
+         |ORDER BY measurement_subject, time_s""".stripMargin,
     // 8 dyadic taps replayed as LAG columns; numerator/denominator sums
     // are exact (cents × 2^-j), only the final 6-dp rounds
     "q_ewma" -> {
@@ -2855,6 +2968,18 @@ object SparkEntry {
          |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    // novelty: a doc's novel-shingle count = the shingles it WINS (is the
+    // min doc_id of) — replayed with the same two-agg decomposition
+    "q_novelty" ->
+      s"""WITH sh AS ($shingleCteSql),
+         |firsts AS (SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY 1),
+         |nnew AS (SELECT doc_id, COUNT(*) AS n_new FROM firsts GROUP BY 1),
+         |perdoc AS (SELECT doc_id, CAST(MAX(nsh) AS BIGINT) AS n_shingles FROM sh GROUP BY 1)
+         |SELECT p.doc_id, p.n_shingles,
+         |       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+         |       ROUND(CAST(COALESCE(n.n_new, 0) AS DOUBLE) / p.n_shingles, 6) AS novelty
+         |FROM perdoc p LEFT JOIN nnew n USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
     "q_winnow" -> winnowOracleSql,
     "q_winnow_pairs" ->
       s"""WITH w AS ($winnowOracleSql),

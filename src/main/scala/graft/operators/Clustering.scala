@@ -173,4 +173,32 @@ object Clustering {
       .select(col("node").as(idCol))
     docs.join(nonReps, Seq(idCol), "left_anti")
   }
+
+  /** Keep-BEST-per-cluster dedup: like [[keepRepresentatives]], but the
+    * survivor is the cluster's argmax over a caller-supplied quality score
+    * (ties broken by minimum id) instead of the arbitrary min-id document
+    * — the curation-grade policy (of a near-dup cluster, keep the highest-
+    * quality copy, not whichever crawled first).
+    *
+    * `scores` carries (idCol, scoreCol); only CLUSTERED ids are looked up,
+    * so the score join is ∝ the duplicated subset, not the corpus. The
+    * argmax is one hash agg (`min` over a (−score, id) struct — no
+    * per-cluster sort or window); the final anti-join key set is again
+    * only the non-survivors. Callers should pass a score that is already
+    * deterministically rounded (e.g. [[TextAnalysis.qualityScore]]'s 6-dp
+    * output) so the argmax boundary is engine-identical.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+               idCol: String = "doc_id", scoreCol: String = "quality",
+               src: String = "doc_a", dst: String = "doc_b"): DataFrame = {
+    val comp = connectedComponents(pairs, src, dst)
+    val scored = comp.join(
+      scores.select(col(idCol).cast("long").as("node"), col(scoreCol)), Seq("node"))
+    val keep = scored.groupBy("component")
+      .agg(min(struct((-col(scoreCol)).as("ns"), col("node").as("node"))).as("b"))
+      .select(col("b.node").as("node"))
+    val nonKept = comp.join(keep, Seq("node"), "left_anti")
+      .select(col("node").as(idCol))
+    docs.join(nonKept, Seq(idCol), "left_anti")
+  }
 }

@@ -816,4 +816,41 @@ object TextAnalysis {
         element_at(col("ps"), 3).as("p90"))
       .orderBy(stratum)
   }
+
+  /** N-gram novelty scoring: per document, the fraction of its distinct
+    * n-gram shingles whose corpus-wide FIRST occurrence (min doc_id —
+    * ingestion order) is this document. `novelty = 1` means every shingle
+    * is new; low novelty flags near-copies, boilerplate, and memorization
+    * risk (the document-level diagnostic behind dedup-before-training —
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" measure train-set duplication with exactly this first-
+    * occurrence framing).
+    *
+    * Shape: the trick is that "seen before" never needs the shingle→doc
+    * join back. A doc's novel-shingle count is just how many shingles it
+    * WINS (is the min doc_id of) — so two map-side-combined hash aggs
+    * (per-shingle min, then per-winner count) and one doc-level join of
+    * two |docs|-sized frames. The hot-shingle skew that plagues a
+    * shingle-keyed window min never materializes: partial aggregation
+    * collapses a stop-shingle's rows to one per map task before the
+    * shuffle. Docs shorter than n tokens have no shingles and are absent
+    * (no 0/0 row).
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    // one shingle pass feeds both aggs (the minhashPairs persist recipe)
+    val sh = Dedup.shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = sh.groupBy("doc_id")
+      .agg(max(col("nsh")).cast("long").as("n_shingles"))
+    val nNew = sh.groupBy("s").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val out = perDoc.join(nNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out.orderBy("doc_id")
+  }
 }

@@ -512,6 +512,164 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "t_start_us", "t_end_us", "dv_scaled")
   }
 
+  /** `counter_agg` rollup (TimescaleDB toolkit counter summary shape):
+    * reset-aware monotonic-counter statistics per (subject, time bucket).
+    * A reset is a reading lower than its in-bucket predecessor; the counter
+    * is assumed to restart from 0, so the adjusted per-pair increment is
+    * `c` itself on a reset and `c - prev_c` otherwise — exactly the
+    * toolkit's `counter_agg → delta/num_resets/rate` triple, computed
+    * without interpolation (within-bucket pairs only, the toolkit's
+    * non-`interpolated_` accessors).
+    *
+    * All increments are exact scaled integers; only the final rate divides.
+    *
+    * Plan shape: ONE shuffle — the pair window partitions by
+    * (subject, bucket) and the rollup groups by the same keys, so the hash
+    * aggregation reuses the window's exchange. Reset state is per-series
+    * window state; nothing reaches the driver.
+    */
+  def counterAgg(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                 bucketS: Long, scale: Int = 100): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    require(bucketS > 0, "bucket width must be positive")
+    val w = Window.partitionBy("measurement_subject", "time_s")
+      .orderBy("timestamp", "c")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"), col("timestamp"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"),
+        timeBucketS(bucketS, col("timestamp")).as("time_s"))
+      .withColumn("prev_c", lag("c", 1).over(w))
+      .groupBy("measurement_subject", "time_s")
+      .agg(
+        sum(when(col("prev_c").isNull, lit(0L))
+          .when(col("c") < col("prev_c"), col("c"))
+          .otherwise(col("c") - col("prev_c"))).as("delta_scaled"),
+        sum(when(col("c") < col("prev_c"), lit(1L)).otherwise(lit(0L)))
+          .as("num_resets"),
+        count(lit(1)).as("n"),
+        min(unix_micros(col("timestamp"))).as("first_us"),
+        max(unix_micros(col("timestamp"))).as("last_us"))
+      .withColumn("rate_per_s",
+        when(col("last_us") > col("first_us"),
+          round(col("delta_scaled").cast("double") / scale /
+            ((col("last_us") - col("first_us")) / lit(1000000.0)), 6)))
+      .orderBy("measurement_subject", "time_s")
+  }
+
+  /** M4 downsampling (Jugel et al., VLDB 2014 "M4: A Visualization-Oriented
+    * Time Series Data Aggregation"): per (subject, pixel-bucket) keep every
+    * row attaining the bucket's min/max TIME or min/max VALUE — the exact
+    * four-point set that makes a line rendering at that pixel width
+    * pixel-identical to rendering the full series. The visualization-
+    * preserving cousin of [[graft.functions.Lttb]]: lossless for rendering,
+    * bounded at ≤4 rows (plus exact ties) per bucket.
+    *
+    * Plan shape: one (subject, bucket)-partitioned window computes the four
+    * extrema, a filter keeps the attaining rows — one shuffle, no join, no
+    * per-bucket collect.
+    */
+  def m4Downsample(conditions: DataFrame, of: String, startS: Long,
+                   endS: Long, bucketS: Long, scale: Int = 100): DataFrame = {
+    require(bucketS > 0, "bucket width must be positive")
+    val w = Window.partitionBy("measurement_subject", "time_s")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("t_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"),
+        timeBucketS(bucketS, col("timestamp")).as("time_s"))
+      .withColumn("min_t", min("t_us").over(w))
+      .withColumn("max_t", max("t_us").over(w))
+      .withColumn("min_c", min("c").over(w))
+      .withColumn("max_c", max("c").over(w))
+      .filter(col("t_us") === col("min_t") || col("t_us") === col("max_t") ||
+        col("c") === col("min_c") || col("c") === col("max_c"))
+      .select("measurement_subject", "time_s", "t_us", "c")
+      .distinct()
+      .orderBy("measurement_subject", "time_s", "t_us", "c")
+  }
+
+  /** Toolkit `interpolated_average` (LOCF): per (subject, bucket)
+    * time-weighted mean where the step function extends ACROSS bucket
+    * edges — the value in force at a bucket's start is the last reading
+    * before it (however many buckets back), and each bucket's last reading
+    * holds to the bucket end (capped at the query range end). Buckets with
+    * no readings are not emitted (compose with [[gapfill]] for a dense
+    * grid).
+    *
+    * Decomposition: every per-point contribution is decidable from one
+    * per-SUBJECT ordered window (prev/next point + their buckets), and
+    * every contribution is credited to the point's OWN bucket — the three
+    * cases partition each bucket's covered span exactly once:
+    *  - pair segment, same bucket:  prev_v · (t − prev_t)
+    *  - head (prev in an earlier bucket): prev_v · (t − bucket_start)
+    *  - tail (next in a later bucket or absent): v · (cap − t)
+    *    — this IS the cross-edge segment's early half; the later point's
+    *      head is its late half, so nothing is counted twice.
+    * Integrals are exact cents × µs BIGINTs (bounded by bucket-width ×
+    * max-cents per bucket, far from overflow); the single final divide is
+    * the only floating step, rounded to 6 dp.
+    *
+    * Plan shape: one per-subject window (sort within subject), then a
+    * (subject, bucket) hash agg — two exchanges total, no join, no
+    * segment explode (a gap spanning k buckets contributes only to the two
+    * buckets it touches that contain points — interior empty buckets are
+    * by definition not emitted).
+    */
+  def interpolatedTimeWeight(conditions: DataFrame, of: String, startS: Long,
+                             endS: Long, bucketS: Long,
+                             scale: Int = 100): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    require(bucketS > 0, "bucket width must be positive")
+    val w = Window.partitionBy("measurement_subject").orderBy("t_us", "c")
+    val endUs = endS * 1000000L
+    val pts = conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("t_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"),
+        timeBucketS(bucketS, col("timestamp")).as("time_s"))
+      .withColumn("prev_t", lag("t_us", 1).over(w))
+      .withColumn("prev_c", lag("c", 1).over(w))
+      .withColumn("prev_b", lag("time_s", 1).over(w))
+      .withColumn("next_b", lead("time_s", 1).over(w))
+    val bucketStartUs = col("time_s") * 1000000L
+    val bucketEndUs = least((col("time_s") + bucketS) * 1000000L, lit(endUs))
+    // segment ending at this point, credited to THIS bucket
+    val inSeg = when(col("prev_b").isNull, lit(0L))
+      .when(col("prev_b") === col("time_s"), col("prev_c") * (col("t_us") - col("prev_t")))
+      .otherwise(col("prev_c") * (col("t_us") - bucketStartUs))
+    val inDur = when(col("prev_b").isNull, lit(0L))
+      .when(col("prev_b") === col("time_s"), col("t_us") - col("prev_t"))
+      .otherwise(col("t_us") - bucketStartUs)
+    // tail of THIS bucket when this point is its last (the early half of a
+    // cross-edge segment; the later point's head covers the late half)
+    val ownTailSeg = when(col("next_b").isNull || col("next_b") =!= col("time_s"),
+      col("c") * (bucketEndUs - col("t_us"))).otherwise(lit(0L))
+    val ownTailDur = when(col("next_b").isNull || col("next_b") =!= col("time_s"),
+      bucketEndUs - col("t_us")).otherwise(lit(0L))
+    pts.select(
+        col("measurement_subject"), col("time_s"),
+        (inSeg + ownTailSeg).as("seg"), (inDur + ownTailDur).as("dur"))
+      .groupBy("measurement_subject", "time_s")
+      .agg(sum("seg").as("seg"), sum("dur").as("dur"))
+      .select(col("measurement_subject"), col("time_s"),
+        round(col("seg").cast("double") / col("dur") / scale, 6)
+          .as("interpolated_avg"),
+        col("dur").as("covered_us"))
+      .orderBy("measurement_subject", "time_s")
+  }
+
   /** B7 `get_unique_measurement_subjects`: DISTINCT subject over the
     * of+range predicate (no subject filter).
     */

@@ -195,4 +195,74 @@ class RollupsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(("a", 0L, 1L), ("b", 100000000L, 1L)))
   }
+
+  test("counterAgg: hand-computed reset-adjusted delta, resets, rate") {
+    // cents 10000 → 30000 (+20000) → 20000 (reset: +20000, the new reading
+    // itself) → 50000 (+30000) ⇒ delta 70000, 1 reset,
+    // rate = 700.00 / 180 s = 3.888889
+    val out = TimeseriesQueries.counterAgg(
+      conditions(Seq((0L, "s1", 100.0), (60L, "s1", 300.0),
+        (120L, "s1", 200.0), (180L, "s1", 500.0))),
+      "m", T0, T0 + 3600, bucketS = 21600)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7)))
+    assert(out.toSeq == Seq((70000L, 1L, 4L, 3.888889)), s"got ${out.toSeq}")
+  }
+
+  test("counterAgg: resets across a bucket edge do not count (within-bucket pairs only)") {
+    val out = TimeseriesQueries.counterAgg(
+      conditions(Seq((0L, "s1", 500.0), (3700L, "s1", 100.0), (3800L, "s1", 300.0))),
+      "m", T0, T0 + 7200, bucketS = 3600)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bucket A: lone point, delta 0, no reset; bucket B: +20000, no reset —
+    // the 500→100 drop across the edge is invisible to both buckets
+    assert(out.toSeq == Seq((T0, 0L, 0L), (T0 + 3600, 20000L, 0L)), s"got ${out.toSeq}")
+  }
+
+  test("m4Downsample: keeps exactly the min/max time and min/max value rows") {
+    val vals = Seq(5.0, 3.0, 9.0, 4.0, 1.0, 6.0, 5.0)
+    val out = TimeseriesQueries.m4Downsample(
+      conditions(vals.zipWithIndex.map { case (v, i) => (i * 60L, "s1", v) }),
+      "m", T0, T0 + 3600, bucketS = 21600)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // first (t=0), max value (t=120), min value (t=240), last (t=360)
+    assert(out.toSeq == Seq(
+      (T0 * 1000000L, 500L),
+      ((T0 + 120) * 1000000L, 900L),
+      ((T0 + 240) * 1000000L, 100L),
+      ((T0 + 360) * 1000000L, 500L)), s"got ${out.toSeq}")
+  }
+
+  test("interpolatedTimeWeight: cross-edge LOCF head and tail, hand-computed") {
+    // bucket width 3600, points 2.00@1800 and 4.00@5400, range end T0+7200:
+    //  - bucket T0:     [1800, 3600) at 2.00            → avg 2.0, 1800 s
+    //  - bucket T0+3600: [3600, 5400) at 2.00 (carried) +
+    //                    [5400, 7200) at 4.00 (held)    → avg 3.0, 3600 s
+    val out = TimeseriesQueries.interpolatedTimeWeight(
+      conditions(Seq((1800L, "s1", 2.0), (5400L, "s1", 4.0))),
+      "m", T0, T0 + 7200, bucketS = 3600)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((T0, 2.0, 1800000000L), (T0 + 3600, 3.0, 3600000000L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("interpolatedTimeWeight: a carried value skips empty interior buckets without double-counting") {
+    // points 2.00@1800 (bucket 0) and 4.00@9000 (bucket 2), end T0+10800:
+    // bucket 1 has no readings → not emitted; bucket 2's head carries 2.00
+    // from two buckets back over [7200, 9000)
+    val out = TimeseriesQueries.interpolatedTimeWeight(
+      conditions(Seq((1800L, "s1", 2.0), (9000L, "s1", 4.0))),
+      "m", T0, T0 + 10800, bucketS = 3600)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((T0, 2.0, 1800000000L), (T0 + 7200, 3.0, 3600000000L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("interpolatedTimeWeight: tail capped at the query range end") {
+    // single point 3.00@600, end T0+1000 (mid-bucket): coverage [600, 1000)
+    val out = TimeseriesQueries.interpolatedTimeWeight(
+      conditions(Seq((600L, "s1", 3.0))),
+      "m", T0, T0 + 1000, bucketS = 3600)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((T0, 3.0, 400000000L)), s"got ${out.toSeq}")
+  }
 }
