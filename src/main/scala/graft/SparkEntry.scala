@@ -613,6 +613,17 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // keep-BEST-per-cluster: survivor = cluster argmax of the 6-dp quality
+    // score (tie → min id) — the curation-grade policy; score join ∝ the
+    // duplicated subset only
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Clustering.keepBest(docs,
+          graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10)),
+          graft.operators.TextAnalysis.qualityScore(docs))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     // MinHash-LSH near-dups, exact-verified (scale path) — oracle-checked
     // against the exact DuckDB Jaccard join. Precision is exact by
     // construction; the hash match is an empirical recall check for THIS
@@ -2574,6 +2585,21 @@ object SparkEntry {
     // the incremental update must equal the from-scratch closure
     "q_dedup_clusters_inc" -> clustersOracleSql(10),
     "q_dedup_reps" -> repsOracleSql(10),
+    // argmax-by-quality survivor per cluster, replayed with the same
+    // 6-dp-rounded score so the boundary is engine-identical
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${clustersCte(10)},
+         |q AS ($qualityCoreSql),
+         |scored AS (SELECT c.n AS node, c.component, q.quality
+         |           FROM comp c JOIN q ON c.n = q.doc_id),
+         |keep AS (SELECT node FROM (
+         |  SELECT node, row_number() OVER (PARTITION BY component
+         |                                  ORDER BY quality DESC, node ASC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |dropped AS (SELECT n FROM comp WHERE n NOT IN (SELECT node FROM keep))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT n FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     // same exact-join oracle: LSH+exact-verify equals the exact tier
     // wherever recall holds — the hash match checks that empirically for
     // this corpus/seed (not a proof; see q_dedup_minhash comment)

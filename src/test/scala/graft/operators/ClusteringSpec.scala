@@ -185,4 +185,29 @@ class ClusteringSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("keepBest keeps the argmax-quality doc per cluster, min id on ties") {
+    import spark.implicits._
+    val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L), (4L, 6L)).toDF("doc_a", "doc_b")
+    // cluster {1,2,5}: 5 wins on score; cluster {4,6}: tie → min id 4;
+    // 3 and 7 are singletons (kept regardless of score)
+    val scores = Seq((1L, 0.2), (2L, 0.5), (5L, 0.9), (4L, 0.7), (6L, 0.7),
+      (3L, 0.0), (7L, 1.0)).toDF("doc_id", "quality")
+    val kept = Clustering.keepBest(docs, pairs, scores)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 4L, 3L, 7L))
+  }
+
+  test("keepBest with a constant score degrades to keepRepresentatives") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val scores = (1L to 6L).map(i => (i, 0.5)).toDF("doc_id", "quality")
+    val best = Clustering.keepBest(docs, pairs, scores)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reps = Clustering.keepRepresentatives(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == reps)
+  }
 }

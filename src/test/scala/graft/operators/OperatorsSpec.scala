@@ -318,4 +318,32 @@ class OperatorsSpec extends AnyFunSuite {
       (1 to 3).forall(i => r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
     })
   }
+
+  test("ngramNovelty: hand-computed first-occurrence fractions") {
+    import spark.implicits._
+    // doc 1: 3 trigrams (a b c, b c d, c d e), all first → novelty 1.
+    // doc 2: exact copy → 0 of 3 first → novelty 0.
+    // doc 3: shares "a b c" (seen in doc 1), adds "b c x" → 1 of 2 new.
+    // doc 4: two words → no shingles → absent.
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "a b c x"), (4L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 1.0)),
+      2L -> ((3L, 0L, 0.0)),
+      3L -> ((2L, 1L, 0.5))), s"got $got")
+  }
+
+  test("ngramNovelty: within-doc repeats count once; result is partition-count independent") {
+    import spark.implicits._
+    // "a b c" appears twice inside doc 1 — distinct shingles, so nsh = 3
+    val d = Seq((1L, "a b c a b c"), (2L, "a b c z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(d.repartition(7))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 shingles: {a b c, b c a, c a b} all new; doc 2: {a b c(seen),
+    // b c z, c z z, z z z} → 3 of 4 new
+    assert(got == Map(1L -> ((3L, 3L)), 2L -> ((4L, 3L))), s"got $got")
+  }
 }
