@@ -214,12 +214,57 @@ object SparkEntry {
     // are exercised heavily — which is the point of the contract)
     "q_rate" -> ((s, d) =>
       graft.queries.TimeseriesQueries.counterToRate(conditions(s, d), Of, S1, E1)),
+    // the live counter face: one (last_t, last_c) state pair per subject,
+    // batch-boundary pairs bridged by the carry — feeding the range in
+    // three ordered slices must reproduce the batch q_rate stream exactly
+    "q_rate_stream" -> ((s, d) => {
+      val real = conditions(s, d).filter(
+          col("measurement_of") === Of &&
+          col("measurement_number").isNotNull &&
+          col("timestamp") >= timestamp_seconds(lit(S1)) &&
+          col("timestamp") <= timestamp_seconds(lit(E1)))
+        .select("measurement_subject", "measurement_of", "measurement_number",
+          "timestamp")
+      withTempDir("graft_rate_stream") { tmp =>
+        def run(): Unit = {
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.streaming.CounterStream.deltas(stream, Of)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .outputMode("append")
+            .option("checkpointLocation", s"$tmp/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        // three non-overlapping, time-ascending slices; each is ONE file
+        // so AvailableNow cannot split it out of order
+        Seq(S1, 1705000000L, 1705700000L, E1 + 1).sliding(2).foreach {
+          case Seq(a, b) =>
+            real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
+                col("timestamp") < timestamp_seconds(lit(b)))
+              .coalesce(1).write.mode("append").parquet(s"$tmp/input")
+            run()
+          case _ => ()
+        }
+        s.read.parquet(s"$tmp/out")
+          .orderBy("measurement_subject", "t_start_us", "t_end_us", "dv_scaled")
+      }
+    }),
     // counter_agg rollup (toolkit counter summary): reset-aware delta /
     // num_resets / rate per (subject, 6 h bucket) — exact cents until the
     // one final divide
     "q_counter_agg" -> ((s, d) =>
       graft.queries.TimeseriesQueries.counterAgg(conditions(s, d), Of, S1, E1,
         bucketS = 21600)),
+    // the counter-summary ⊕ contract: 6 h partials (with boundary
+    // readings) bridge-merged to WEEKLY summaries must equal computing
+    // the weekly counters directly from raw rows — the oracle does the
+    // latter, so the hash match proves the merge algebra exactly
+    "q_counter_rollup" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.counterRollup(
+        graft.queries.TimeseriesQueries.counterPartials(conditions(s, d), Of, S1, E1,
+          widthS = 21600),
+        coarseS = 604800)),
     // M4 visualization downsample: the ≤4 extremum rows (min/max time,
     // min/max value, ties kept) per (subject, 6 h pixel bucket)
     "q_m4" -> ((s, d) =>
@@ -1650,6 +1695,31 @@ object SparkEntry {
     s"""measurement_of = '$Of' AND measurement_subject = '$Subject'
        | AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1""".stripMargin
 
+  /** Exact integer counter deltas with reset detection — oracle for
+    * q_rate (batch) and q_rate_stream (ordered-slice stream equality).
+    * lag ordered by (ts, c) so duplicate-ts pairing is deterministic.
+    */
+  private def rateOracleSql: String =
+    s"""$Cte,
+       |scanned AS (
+       |  SELECT measurement_subject, "timestamp",
+       |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+       |  FROM conditions
+       |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+       |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+       |lagged AS (
+       |  SELECT measurement_subject, "timestamp", c,
+       |         lag("timestamp") OVER w AS prev_ts, lag(c) OVER w AS prev_c
+       |  FROM scanned
+       |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp", c))
+       |SELECT epoch_us(prev_ts) AS t_start_us, epoch_us("timestamp") AS t_end_us,
+       |       measurement_subject,
+       |       CASE WHEN c < prev_c THEN 0 ELSE c - prev_c END AS dv_scaled,
+       |       epoch_us("timestamp") - epoch_us(prev_ts) AS dt_us,
+       |       c < prev_c AS reset
+       |FROM lagged WHERE prev_ts IS NOT NULL
+       |ORDER BY measurement_subject, t_start_us, t_end_us, dv_scaled""".stripMargin
+
   private def bucketSql(widthS: Long, origin: Long = BucketOriginS): String =
     s"""CAST(FLOOR((epoch_us("timestamp")/1000000.0 - $origin)/$widthS)*$widthS + $origin AS BIGINT)"""
 
@@ -2001,26 +2071,10 @@ object SparkEntry {
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 3""".stripMargin,
     // exact integer deltas; lag ordered by (ts, c) so duplicate-ts
     // pairing is deterministic in both engines
-    "q_rate" ->
-      s"""$Cte,
-         |scanned AS (
-         |  SELECT measurement_subject, "timestamp",
-         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
-         |  FROM conditions
-         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
-         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
-         |lagged AS (
-         |  SELECT measurement_subject, "timestamp", c,
-         |         lag("timestamp") OVER w AS prev_ts, lag(c) OVER w AS prev_c
-         |  FROM scanned
-         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp", c))
-         |SELECT epoch_us(prev_ts) AS t_start_us, epoch_us("timestamp") AS t_end_us,
-         |       measurement_subject,
-         |       CASE WHEN c < prev_c THEN 0 ELSE c - prev_c END AS dv_scaled,
-         |       epoch_us("timestamp") - epoch_us(prev_ts) AS dt_us,
-         |       c < prev_c AS reset
-         |FROM lagged WHERE prev_ts IS NOT NULL
-         |ORDER BY measurement_subject, t_start_us, t_end_us, dv_scaled""".stripMargin,
+    "q_rate" -> rateOracleSql,
+    // the stream fed in ordered slices must reproduce the batch pair
+    // stream exactly — same oracle
+    "q_rate_stream" -> rateOracleSql,
     // counter_agg rollup: the same (ts, c)-ordered lag restricted to the
     // (subject, bucket) partition; every sum is exact cents, the one
     // divide (rate) runs token-identically on both sides
@@ -2053,6 +2107,37 @@ object SparkEntry {
          |                       / ((last_us - first_us) / 1000000.0), 6)
          |       END AS rate_per_s
          |FROM agg ORDER BY measurement_subject, time_s""".stripMargin,
+    // rollup contract oracle: weekly counters computed DIRECTLY from raw
+    // rows — equality with Spark's partials-then-merge path proves ⊕
+    "q_counter_rollup" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(604800)} AS coarse_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |lagged AS (
+         |  SELECT *, lag(c) OVER w AS prev_c
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject, coarse_s ORDER BY t_us, c)),
+         |agg AS (
+         |  SELECT measurement_subject, coarse_s,
+         |         CAST(SUM(CASE WHEN prev_c IS NULL THEN 0
+         |                       WHEN c < prev_c THEN c
+         |                       ELSE c - prev_c END) AS BIGINT) AS delta_scaled,
+         |         CAST(SUM(CASE WHEN c < prev_c THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
+         |         COUNT(*) AS n,
+         |         MIN(t_us) AS first_us, MAX(t_us) AS last_us
+         |  FROM lagged GROUP BY 1, 2)
+         |SELECT measurement_subject, coarse_s, delta_scaled, num_resets, n,
+         |       first_us, last_us,
+         |       CASE WHEN last_us > first_us
+         |            THEN ROUND(CAST(delta_scaled AS DOUBLE) / 100
+         |                       / ((last_us - first_us) / 1000000.0), 6)
+         |       END AS rate_per_s
+         |FROM agg ORDER BY measurement_subject, coarse_s""".stripMargin,
     // M4: extremum membership replayed with the same four window extrema
     "q_m4" ->
       s"""$Cte,

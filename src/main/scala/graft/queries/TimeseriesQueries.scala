@@ -560,6 +560,81 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "time_s")
   }
 
+  /** Composable counter summary — [[counterAgg]]'s outputs PLUS the
+    * boundary readings that make per-bucket summaries MERGEABLE: with
+    * (first, last) carried, two time-adjacent summaries A⊕B combine as
+    *   delta = A.delta + B.delta + bridge(A.last_c → B.first_c)
+    *   resets = A.resets + B.resets + [B.first_c < A.last_c]
+    * (bridge = B.first_c if it reset, else B.first_c − A.last_c) — exactly
+    * the Timescale toolkit CounterSummary `rollup()` algebra. `first`/
+    * `last` are min/max over a (t, c) STRUCT, so duplicate-timestamp ties
+    * resolve identically to the pair window's (ts, c) order.
+    */
+  def counterPartials(conditions: DataFrame, of: String, startS: Long,
+                      endS: Long, widthS: Long, scale: Int = 100): DataFrame = {
+    require(scale > 0 && widthS > 0, "scale and width must be positive")
+    val w = Window.partitionBy("measurement_subject", "time_s")
+      .orderBy("t_us", "c")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("t_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"),
+        timeBucketS(widthS, col("timestamp")).as("time_s"))
+      .withColumn("prev_c", lag("c", 1).over(w))
+      .groupBy("measurement_subject", "time_s")
+      .agg(
+        sum(when(col("prev_c").isNull, lit(0L))
+          .when(col("c") < col("prev_c"), col("c"))
+          .otherwise(col("c") - col("prev_c"))).as("delta_scaled"),
+        sum(when(col("c") < col("prev_c"), lit(1L)).otherwise(lit(0L)))
+          .as("num_resets"),
+        count(lit(1)).as("n"),
+        min(struct(col("t_us"), col("c"))).as("first"),
+        max(struct(col("t_us"), col("c"))).as("last"))
+  }
+
+  /** Merge [[counterPartials]] rows up to a coarser bucket (`coarseS`;
+    * pass the whole query span for one summary per subject). Fine buckets
+    * partition time, so within a coarse group the fine summaries are
+    * strictly time-ordered — one lag supplies each summary's predecessor
+    * `last_c` and the bridge terms of the ⊕ algebra; a hash agg then sums
+    * everything. Fine-partial count per coarse group is bounded
+    * (coarseS/fineS), so the window partitions stay small regardless of
+    * raw data volume — this is the continuous-aggregate serving shape:
+    * store fine partials once, serve ANY coarser rollup without touching
+    * raw rows.
+    */
+  def counterRollup(partials: DataFrame, coarseS: Long,
+                    scale: Int = 100): DataFrame = {
+    require(coarseS > 0, "coarse width must be positive")
+    val coarse = (floor((col("time_s") - BucketOriginS).cast("double") / coarseS)
+      .cast("long") * coarseS + BucketOriginS).as("coarse_s")
+    val w = Window.partitionBy("measurement_subject", "coarse_s").orderBy("time_s")
+    partials.select(col("*"), coarse)
+      .withColumn("prev_last_c", lag(col("last.c"), 1).over(w))
+      .groupBy("measurement_subject", "coarse_s")
+      .agg(
+        sum(col("delta_scaled") +
+          when(col("prev_last_c").isNull, lit(0L))
+            .when(col("first.c") < col("prev_last_c"), col("first.c"))
+            .otherwise(col("first.c") - col("prev_last_c"))).as("delta_scaled"),
+        sum(col("num_resets") +
+          when(col("first.c") < col("prev_last_c"), lit(1L)).otherwise(lit(0L)))
+          .as("num_resets"),
+        sum(col("n")).as("n"),
+        min(col("first.t_us")).as("first_us"),
+        max(col("last.t_us")).as("last_us"))
+      .withColumn("rate_per_s",
+        when(col("last_us") > col("first_us"),
+          round(col("delta_scaled").cast("double") / scale /
+            ((col("last_us") - col("first_us")) / lit(1000000.0)), 6)))
+      .orderBy("measurement_subject", "coarse_s")
+  }
+
   /** M4 downsampling (Jugel et al., VLDB 2014 "M4: A Visualization-Oriented
     * Time Series Data Aggregation"): per (subject, pixel-bucket) keep every
     * row attaining the bucket's min/max TIME or min/max VALUE — the exact

@@ -218,6 +218,30 @@ class RollupsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((T0, 0L, 0L), (T0 + 3600, 20000L, 0L)), s"got ${out.toSeq}")
   }
 
+  test("counterRollup: bridge-merged partials equal computing the coarse level directly") {
+    // a reset that crosses a FINE bucket edge is invisible at the fine
+    // level but must reappear through the ⊕ bridge at the coarse level
+    val handRows = Seq((0L, "s1", 500.0), (3700L, "s1", 100.0), (3800L, "s1", 300.0))
+    val rnd = new scala.util.Random(11)
+    val fuzzRows = (0L until 400L).flatMap(i => Seq(
+      (i * 97, "s2", rnd.nextInt(2000) / 100.0),
+      (i * 97, "s2", rnd.nextInt(2000) / 100.0), // duplicate-ts ties
+      (i * 131, "s3", rnd.nextInt(2000) / 100.0)))
+    val cond = conditions(handRows ++ fuzzRows)
+    val direct = TimeseriesQueries.counterAgg(cond, "m", T0, T0 + 60000, bucketS = 10800)
+      .collect().toSeq
+    val rolled = TimeseriesQueries.counterRollup(
+        TimeseriesQueries.counterPartials(cond, "m", T0, T0 + 60000, widthS = 3600),
+        coarseS = 10800)
+      .collect().toSeq
+    assert(rolled.map(_.toSeq) == direct.map(_.toSeq),
+      s"rollup must equal direct: ${rolled.take(3)} vs ${direct.take(3)}")
+    // and the hand case specifically: one coarse bucket, reset recovered
+    val hand = rolled.filter(_.getString(0) == "s1")
+    assert(hand.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))) ==
+      Seq((30000L, 1L, 3L)), s"got ${hand.toSeq}")
+  }
+
   test("m4Downsample: keeps exactly the min/max time and min/max value rows") {
     val vals = Seq(5.0, 3.0, 9.0, 4.0, 1.0, 6.0, 5.0)
     val out = TimeseriesQueries.m4Downsample(
