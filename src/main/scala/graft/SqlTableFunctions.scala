@@ -244,6 +244,22 @@ object SqlTableFunctions {
         TimeseriesQueries.statsDerive(TimeseriesQueries.statsAgg(cond(s, f),
           strArg(f, a, 0), longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3)))
     }
+    add("graft_counter_agg", "graft_counter_agg(of, start_s, end_s, bucket_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.counterAgg(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
+    add("graft_m4", "graft_m4(of, start_s, end_s, bucket_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.m4Downsample(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
+    add("graft_interpolated_average",
+      "graft_interpolated_average(of, start_s, end_s, bucket_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.interpolatedTimeWeight(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
     add("graft_seasonal_outliers",
       "graft_seasonal_outliers(of, base_start_s, base_end_s, eval_start_s, eval_end_s)", 5) {
       (s, f, a) =>
@@ -322,6 +338,18 @@ object SqlTableFunctions {
     add("graft_dup_spans", "graft_dup_spans(min_len)", 1) { (s, f, a) =>
       graft.operators.SpanDedup.duplicatedSpans(
         rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
+    }
+    add("graft_novelty", "graft_novelty(n)", 1) { (s, f, a) =>
+      TextAnalysis.ngramNovelty(rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
+    }
+    // keep-best-of-cluster over bounded-jaccard pairs, scored by the
+    // 6-dp quality heuristic — the curation policy callable from SQL
+    add("graft_keep_best", "graft_keep_best(max_df)", 1) { (s, f, a) =>
+      val docs = rel(s, DocumentsRelation, f.name)
+      graft.operators.Clustering.keepBest(docs,
+        graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8,
+          maxDf = Some(intArg(f, a, 0))),
+        TextAnalysis.qualityScore(docs))
     }
     // NB quality classifier: train on doc_id % holdout_mod <> 0 with
     // pos = (lang = pos_lang), score the held-out slice

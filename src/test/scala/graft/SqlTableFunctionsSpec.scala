@@ -116,6 +116,24 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       TimeseriesQueries.formatTimeIntervals(cond, "s1", "state", T0, T1, T1))
   }
 
+  test("graft_counter_agg ≡ counterAgg") {
+    assertSame(
+      s"SELECT * FROM graft_counter_agg('m', $T0, $T1, 900)",
+      TimeseriesQueries.counterAgg(cond, "m", T0, T1, 900))
+  }
+
+  test("graft_m4 ≡ m4Downsample") {
+    assertSame(
+      s"SELECT * FROM graft_m4('m', $T0, $T1, 900)",
+      TimeseriesQueries.m4Downsample(cond, "m", T0, T1, 900))
+  }
+
+  test("graft_interpolated_average ≡ interpolatedTimeWeight") {
+    assertSame(
+      s"SELECT * FROM graft_interpolated_average('m', $T0, $T1, 900)",
+      TimeseriesQueries.interpolatedTimeWeight(cond, "m", T0, T1, 900))
+  }
+
   test("table functions compose with ordinary SQL around them") {
     val n = spark.sql(
       s"""SELECT count(*) AS n FROM (
@@ -170,6 +188,23 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assertSame("SELECT * FROM graft_lang_id()",
       graft.operators.TextAnalysis.langId(
         spark.table(SqlTableFunctions.DocumentsRelation)))
+  }
+
+  test("graft_novelty ≡ TextAnalysis.ngramNovelty") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_novelty(3)",
+      graft.operators.TextAnalysis.ngramNovelty(
+        spark.table(SqlTableFunctions.DocumentsRelation)))
+  }
+
+  test("graft_keep_best ≡ Clustering.keepBest composition") {
+    registerCorpus()
+    val docs = spark.table(SqlTableFunctions.DocumentsRelation)
+    assertSame("SELECT * FROM graft_keep_best(10) ORDER BY doc_id",
+      graft.operators.Clustering.keepBest(docs,
+        graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8,
+          maxDf = Some(10)),
+        graft.operators.TextAnalysis.qualityScore(docs)).orderBy("doc_id"))
   }
 
   test("graft_dsir ≡ QualityModels.dsirWeights") {
