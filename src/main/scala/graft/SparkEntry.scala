@@ -787,6 +787,10 @@ object SparkEntry {
     "q_ann_mmr" -> ((s, d) =>
       graft.operators.Ann.mmrTopK(table(s, d, "embeddings"), queryId = 0,
         kCand = 20, kOut = 8, lambda = 0.7)),
+    // k-center coreset (farthest-point traversal): 8 diversity-spanning
+    // picks over the whole corpus; driver state = 8 vectors, k scans
+    "q_kcenters" -> ((s, d) =>
+      graft.operators.Ann.kCenters(table(s, d, "embeddings"), k = 8)),
     // exact embedding similarity pairs via the distributed block kernel
     // (0.45: the synthetic embeddings contain no true near-dups — max
     // pairwise cosine ≈ 0.51, so the exact tier is the only one that can
@@ -988,6 +992,24 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) => {
       val docs = table(s, d, "documents")
       graft.operators.TextAnalysis.lmScore(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
+    // CCNet head/middle/tail thirds per language by LM score (low nll =
+    // head, the slice CCNet keeps); exact ntile tier, approx-threshold
+    // alternative documented for the 100 TB path
+    "q_ccnet" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.TextAnalysis.ccnetBuckets(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
+    // the scale tier: per-language approx-percentile thresholds (exact
+    // rank elements while n ≤ accuracy) + map-only assignment — no
+    // per-language corpus sort
+    "q_ccnet_approx" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.TextAnalysis.ccnetBucketsApprox(
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0))
     }),
@@ -1694,6 +1716,37 @@ object SparkEntry {
   private val ScanPred =
     s"""measurement_of = '$Of' AND measurement_subject = '$Subject'
        | AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1""".stripMargin
+
+  /** Bigram-LM scoring replay (add-one smoothing, 4-dp nll) — oracle for
+    * q_lm_score and the base of the q_ccnet bucketing replay.
+    */
+  private def lmScoreOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |refw AS (SELECT * FROM w WHERE doc_id % 7 = 0),
+      |corpw AS (SELECT * FROM w WHERE doc_id % 7 <> 0),
+      |refu AS (SELECT unnest(w) AS t FROM refw),
+      |refuc AS (SELECT t, count(*) AS u FROM refu GROUP BY t),
+      |v AS (SELECT count(*) AS v FROM refuc),
+      |refbi AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |          FROM refw WHERE len(w) >= 2),
+      |refb AS (SELECT w1, w2, count(*) AS b FROM refbi GROUP BY 1, 2),
+      |corpbi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |           FROM corpw WHERE len(w) >= 2),
+      |sc AS (SELECT c.doc_id,
+      |         ln(CAST(COALESCE(rb.b, 0) + 1 AS DOUBLE) / (COALESCE(ru.u, 0) + v.v)) AS lp,
+      |         CASE WHEN rb.b IS NULL THEN 1 ELSE 0 END AS oov
+      |       FROM corpbi c
+      |       LEFT JOIN refb rb ON c.w1 = rb.w1 AND c.w2 = rb.w2
+      |       LEFT JOIN refuc ru ON c.w1 = ru.t
+      |       CROSS JOIN v),
+      |agg AS (SELECT doc_id, ROUND(-AVG(lp), 4) AS nll,
+      |               ROUND(AVG(CAST(oov AS DOUBLE)), 6) AS oov_bigram_frac
+      |        FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.nll, 0.0) AS nll,
+      |       COALESCE(a.oov_bigram_frac, 0.0) AS oov_bigram_frac
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+      |LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Exact integer counter deltas with reset detection — oracle for
     * q_rate (batch) and q_rate_stream (ordered-slice stream equality).
@@ -2779,6 +2832,10 @@ object SparkEntry {
     "q_ann_topk_sq8" -> annTopkSq8OracleSql,
     // the 8 greedy MMR selection steps unrolled as a CTE chain
     "q_ann_mmr" -> annMmrOracleSql(kCand = 20, kOut = 8),
+    // the 8 farthest-point picks unrolled as a MATERIALIZED CTE chain
+    // (the MMR oracle recipe); per-(point, center) distances rounded to
+    // 6 dp before the min/argmax, exactly as the Spark traversal does
+    "q_kcenters" -> kCentersOracleSql(k = 8),
     // JL projection replay: hash-derived ±1 matrix (md5 hex-digit
     // parity), per-dim sequential dot fold, ×0.25 (= 1/√16, exact),
     // FLOAT cast, then the brute-force cosine over the projected lists
@@ -3301,33 +3358,34 @@ object SparkEntry {
         |CROSS JOIN ut CROSS JOIN bt
         |WHERE cab >= 5
         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
-    "q_lm_score" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |refw AS (SELECT * FROM w WHERE doc_id % 7 = 0),
-        |corpw AS (SELECT * FROM w WHERE doc_id % 7 <> 0),
-        |refu AS (SELECT unnest(w) AS t FROM refw),
-        |refuc AS (SELECT t, count(*) AS u FROM refu GROUP BY t),
-        |v AS (SELECT count(*) AS v FROM refuc),
-        |refbi AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
-        |          FROM refw WHERE len(w) >= 2),
-        |refb AS (SELECT w1, w2, count(*) AS b FROM refbi GROUP BY 1, 2),
-        |corpbi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
-        |           FROM corpw WHERE len(w) >= 2),
-        |sc AS (SELECT c.doc_id,
-        |         ln(CAST(COALESCE(rb.b, 0) + 1 AS DOUBLE) / (COALESCE(ru.u, 0) + v.v)) AS lp,
-        |         CASE WHEN rb.b IS NULL THEN 1 ELSE 0 END AS oov
-        |       FROM corpbi c
-        |       LEFT JOIN refb rb ON c.w1 = rb.w1 AND c.w2 = rb.w2
-        |       LEFT JOIN refuc ru ON c.w1 = ru.t
-        |       CROSS JOIN v),
-        |agg AS (SELECT doc_id, ROUND(-AVG(lp), 4) AS nll,
-        |               ROUND(AVG(CAST(oov AS DOUBLE)), 6) AS oov_bigram_frac
-        |        FROM sc GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(a.nll, 0.0) AS nll,
-        |       COALESCE(a.oov_bigram_frac, 0.0) AS oov_bigram_frac
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
-        |LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q_lm_score" -> lmScoreOracleSql,
+    // CCNet thirds: the lm replay + per-language ntile(3) on the SAME
+    // 4-dp nll and doc_id tie-break, so boundary docs match exactly
+    "q_ccnet" ->
+      s"""WITH lm AS ($lmScoreOracleSql),
+        |lab AS (SELECT l.doc_id, l.nll, d.lang
+        |        FROM lm l JOIN documents d USING (doc_id)),
+        |t AS (SELECT doc_id, lang, nll,
+        |             ntile(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC) AS tert
+        |      FROM lab)
+        |SELECT doc_id, lang, nll,
+        |       CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // approx tier: while n ≤ accuracy both engines pick the exact
+    // rank-ceil(p·n) element (quantile_disc ≡ approx_percentile's exact
+    // path — the q_outliers_approx precedent extended to p = 1/3, 2/3),
+    // then the same value-threshold CASE
+    "q_ccnet_approx" ->
+      s"""WITH lm AS ($lmScoreOracleSql),
+        |lab AS (SELECT l.doc_id, l.nll, d.lang
+        |        FROM lm l JOIN documents d USING (doc_id)),
+        |th AS (SELECT lang, quantile_disc(nll, ${1.0 / 3}) AS t1,
+        |              quantile_disc(nll, ${2.0 / 3}) AS t2
+        |       FROM lab GROUP BY lang)
+        |SELECT lab.doc_id, lab.lang, lab.nll,
+        |       CASE WHEN nll <= t1 THEN 'head'
+        |            WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM lab JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
     // integer chunk arithmetic: nchunks = max(1, (n-8+55)//56), start =
     // c*56+1 (1-based slice), len = min(64, n - c*56)
     "q_chunk" ->
@@ -4108,6 +4166,43 @@ object SparkEntry {
        |$steps
        |SELECT * FROM (
        |  $ranks
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** Farthest-point traversal unrolled: stage r computes every remaining
+    * point's min 6-dp distance to the selected set, takes the (mind DESC,
+    * vec_id ASC) head, and appends it. MATERIALIZED for the same
+    * exponential-inlining reason as the MMR chain.
+    */
+  private def kCentersOracleSql(k: Int): String = {
+    val steps = (2 to k).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, e.ne,
+         |         (SELECT MIN(ROUND(1 - list_sum(list_transform(range(1, len(e.embedding)+1),
+         |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |            / (e.ne * c.ne), 6))
+         |          FROM n c WHERE c.vec_id IN (SELECT vec_id FROM sel${r - 1})) AS mind
+         |  FROM n e WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  ORDER BY mind DESC, e.vec_id ASC LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (2 to k).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, vec_id, mind AS dist FROM s$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+       |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS ne
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(range(1, len(embedding)+1),
+       |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0),
+       |s1 AS MATERIALIZED (SELECT vec_id FROM n ORDER BY vec_id ASC LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS rank, (SELECT vec_id FROM s1) AS vec_id,
+       |         CAST(NULL AS DOUBLE) AS dist
+       |  UNION ALL $ranks
        |) ORDER BY rank""".stripMargin
   }
 

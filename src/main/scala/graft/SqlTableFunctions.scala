@@ -339,6 +339,20 @@ object SqlTableFunctions {
       graft.operators.SpanDedup.duplicatedSpans(
         rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
     }
+    // CCNet head/middle/tail by LM score; ref = doc_id % holdout_mod = 0
+    add("graft_ccnet", "graft_ccnet(holdout_mod, tier)", 2) { (s, f, a) =>
+      import org.apache.spark.sql.functions.col
+      val docs = rel(s, DocumentsRelation, f.name)
+      val m = longArg(f, a, 0)
+      val corpus = docs.filter(col("doc_id") % m =!= 0)
+      val ref = docs.filter(col("doc_id") % m === 0)
+      strArg(f, a, 1).toLowerCase match {
+        case "exact"  => TextAnalysis.ccnetBuckets(corpus, ref)
+        case "approx" => TextAnalysis.ccnetBucketsApprox(corpus, ref)
+        case other => throw new IllegalArgumentException(
+          s"${f.name}: unknown tier '$other' (expected exact|approx)")
+      }
+    }
     add("graft_novelty", "graft_novelty(n)", 1) { (s, f, a) =>
       TextAnalysis.ngramNovelty(rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
     }

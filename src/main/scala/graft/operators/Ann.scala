@@ -217,6 +217,60 @@ object Ann {
       .toDF("rank", "vec_id", "mmr")
   }
 
+  /** k-center coreset selection (Gonzalez 1985 farthest-point traversal):
+    * greedily pick k vectors so every corpus vector is close to some
+    * pick — the classic 2-approximation to the k-center cover, used for
+    * diversity-preserving data selection (coresets for training-data
+    * subsampling: the picks span the embedding space instead of
+    * oversampling dense regions). Distance = 1 − cosine, rounded to 6 dp
+    * per (point, center) so the argmax boundary is engine-identical;
+    * ties break on min vec_id; the traversal starts at the min-id vector
+    * (the standard arbitrary-start convention, made deterministic).
+    *
+    * Scale shape: the corpus NEVER visits the driver — driver state is k
+    * center vectors. Each round is one map (update the running min
+    * distance with the newest center, broadcast as a literal) + one
+    * TakeOrdered(1); `localCheckpoint` cuts the k-deep lineage so round
+    * r doesn't recompute rounds 1..r−1. Total cost k scans — the
+    * textbook trade of farthest-point traversal, linear in n for fixed k.
+    *
+    * Output: (rank, vec_id, dist) in pick order; `dist` is the point's
+    * min distance to the PRIOR picks at selection time (rank 1 = NULL) —
+    * the running covering-radius estimate, non-increasing in rank.
+    */
+  def kCenters(embeddings: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e0 = withNorm(embeddings).select("vec_id", "embedding", "nrm")
+    val first = e0.orderBy(col("vec_id").asc).limit(1).collect()
+    require(first.nonEmpty, "embeddings is empty")
+    var picks = List.empty[(Long, Long, Option[Double])]
+    picks ::= ((1L, first(0).getLong(0), Option.empty[Double]))
+    var centerEmb = first(0).getSeq[Float](1).toArray
+    var centerNrm = first(0).getDouble(2)
+    var cur = e0.filter(col("vec_id") =!= first(0).getLong(0))
+      .withColumn("mind", lit(Double.MaxValue))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val d = round(lit(1.0) -
+        dotUdf(col("embedding"), lit(centerEmb)) / (col("nrm") * centerNrm), 6)
+      cur = cur.withColumn("mind", least(col("mind"), d)).localCheckpoint(true)
+      val next = cur.orderBy(col("mind").desc, col("vec_id").asc).limit(1).collect()
+      if (next.isEmpty) exhausted = true
+      else {
+        val row = next(0)
+        picks ::= ((r.toLong, row.getLong(0), Some(row.getDouble(3))))
+        centerEmb = row.getSeq[Float](1).toArray
+        centerNrm = row.getDouble(2)
+        cur = cur.filter(col("vec_id") =!= row.getLong(0))
+        r += 1
+      }
+    }
+    picks.reverse.toDF("rank", "vec_id", "dist").orderBy("rank")
+  }
+
   /** Exact near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) arithmetic — the correctness oracle; use [[lshNeardupPairs]] at
     * scale when the threshold sits in LSH's effective regime (cos ≥ ~0.8).

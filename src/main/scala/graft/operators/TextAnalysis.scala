@@ -514,6 +514,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    * §4.3): per LANGUAGE, split the corpus into equal head / middle /
+    * tail thirds by language-model score — head = lowest perplexity
+    * (here [[lmScore]]'s `nll`), the slice CCNet keeps for pretraining.
+    *
+    * Exact tier: `ntile(3)` per language with (nll, doc_id) ordering, so
+    * the boundary docs are engine-deterministic. The window sorts one
+    * LANGUAGE's docs per partition — CCNet's own per-language design; at
+    * 100 TB swap the exact ntile for approx-quantile nll thresholds per
+    * language (two numbers per language to the driver) and a map-only
+    * threshold compare, trading exact thirds for a shuffle-free pass.
+    */
+  def ccnetBuckets(corpus: DataFrame, ref: DataFrame): DataFrame = {
+    val lab = lmScore(corpus, ref)
+      .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("nll").asc, col("doc_id").asc)
+    lab.select(col("doc_id"), col("lang"), col("nll"),
+        ntile(3).over(w).as("tert"))
+      .withColumn("bucket",
+        when(col("tert") === 1, "head")
+          .when(col("tert") === 2, "middle").otherwise("tail"))
+      .select("doc_id", "lang", "nll", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** The 100 TB tier of [[ccnetBuckets]]: per-language nll THRESHOLDS
+    * (1/3 and 2/3 percentiles via `approx_percentile`, mergeable summary
+    * state) then a map-only threshold compare — no per-language sort of
+    * the corpus. For groups with n ≤ accuracy the percentile is the exact
+    * rank element (the [[graft.queries.TimeseriesQueries
+    * .hampelOutliersApprox]] determinism argument), so the driver gate
+    * replays the same rank selection; above that the documented
+    * rank-error bound applies and thirds become approximate — which is
+    * CCNet's own production posture (thresholds from a sample).
+    *
+    * Buckets are value-threshold assigned (nll ≤ t1 → head), so ties AT
+    * the threshold all land on the lower bucket — sizes are near-thirds,
+    * not exact thirds; the exact tier keeps the strict ntile contract.
+    */
+  def ccnetBucketsApprox(corpus: DataFrame, ref: DataFrame,
+                         accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, "accuracy must be positive")
+    val lab = lmScore(corpus, ref)
+      .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val third = 1.0 / 3
+    val th = lab.groupBy("lang")
+      .agg(expr(s"approx_percentile(nll, array(${third}D, ${2 * third}D), $accuracy)")
+        .as("t"))
+      .select(col("lang"), element_at(col("t"), 1).as("t1"),
+        element_at(col("t"), 2).as("t2"))
+    val out = lab.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle").otherwise("tail").as("bucket"))
+      .localCheckpoint(true)
+    lab.unpersist(false)
+    out.orderBy("doc_id")
+  }
+
   /** Persist corpus token counts as an INCREMENTAL index table: the
     * mergeable-summary treatment applied to vocabulary statistics. Counts
     * are associative (plain sums), so a day's crawl appends its own

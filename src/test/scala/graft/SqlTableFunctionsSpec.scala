@@ -190,6 +190,18 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         spark.table(SqlTableFunctions.DocumentsRelation)))
   }
 
+  test("graft_ccnet ≡ TextAnalysis.ccnetBuckets (both tiers)") {
+    registerCorpus()
+    import org.apache.spark.sql.functions.col
+    val docs = spark.table(SqlTableFunctions.DocumentsRelation)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    assertSame("SELECT * FROM graft_ccnet(7, 'exact')",
+      graft.operators.TextAnalysis.ccnetBuckets(corpus, ref))
+    assertSame("SELECT * FROM graft_ccnet(7, 'approx')",
+      graft.operators.TextAnalysis.ccnetBucketsApprox(corpus, ref))
+  }
+
   test("graft_novelty ≡ TextAnalysis.ngramNovelty") {
     registerCorpus()
     assertSame("SELECT * FROM graft_novelty(3)",

@@ -59,4 +59,33 @@ class MmrSpec extends AnyFunSuite {
       b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
       "rerank must not depend on input partitioning")
   }
+
+  test("kCenters: farthest-point traversal, hand-computed pick order") {
+    // start at min id (1, pointing at e1); farthest is the antipode (4),
+    // then the orthogonal (3); the 5-degree near-copy (2) is picked last
+    val e = vecs(
+      1L -> Array(1f, 0f),
+      2L -> Array(0.9962f, 0.0872f),
+      3L -> Array(0f, 1f),
+      4L -> Array(-1f, 0f))
+    val got = Ann.kCenters(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 4L), (3L, 3L)), s"got $got")
+    // dist column: rank 1 null, then the covering radius at selection,
+    // non-increasing
+    val d = Ann.kCenters(e, k = 4).collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(d(0).isEmpty)
+    assert(d.flatten.sliding(2).forall(p => p.head >= p.last),
+      s"covering radius must be non-increasing: ${d.toSeq}")
+  }
+
+  test("kCenters: k beyond corpus size stops at n; partition independent") {
+    val e = vecs(
+      1L -> Array(1f, 0f), 2L -> Array(0f, 1f), 3L -> Array(-1f, 0.2f))
+    assert(Ann.kCenters(e, k = 10).count() == 3)
+    val a = Ann.kCenters(e.repartition(5), k = 3).collect().map(_.toSeq).toSeq
+    val b = Ann.kCenters(e.coalesce(1), k = 3).collect().map(_.toSeq).toSeq
+    assert(a == b, "selection must not depend on input partitioning")
+  }
 }

@@ -121,4 +121,107 @@ class QualityModelsSpec extends AnyFunSuite {
       w1 > w2 || (w1 == w2 && i1 < i2) },
       s"output must be (weight desc, id asc) ordered: ${pairs.toSeq}")
   }
+
+  test("approx_percentile exact path picks the rank-ceil(p*n) element (the ccnet-approx determinism pin)") {
+    import spark.implicits._
+    // DuckDB quantile_disc selects the 1-based rank ceil(p*n) element
+    // (probed directly); the q_ccnet_approx oracle is only sound if
+    // Spark's exact path (n <= accuracy) picks the same element at
+    // p = 1/3 and 2/3, not just the 0.5 the Hampel tier validated
+    for (n <- 2 to 10) {
+      val df = (1 to n).map(_.toDouble).toDF("x")
+      val Seq(t1, t2, med) = df.selectExpr(
+        s"approx_percentile(x, array(${1.0 / 3}D, ${2.0 / 3}D, 0.5D), 10000) AS t")
+        .head().getSeq[Double](0).toSeq
+      assert(t1 == math.ceil(n / 3.0).toInt.toDouble, s"n=$n p=1/3: got $t1")
+      assert(t2 == math.ceil(n * (2.0 / 3)).toInt.toDouble, s"n=$n p=2/3: got $t2")
+      assert(med == math.ceil(n * 0.5).toInt.toDouble, s"n=$n p=1/2: got $med")
+    }
+  }
+
+  test("ccnetBucketsApprox: thresholds reproduce near-thirds and agree with exact on clear splits") {
+    import spark.implicits._
+    val ref = Seq((100L, "the cat sat on the mat the cat sat"))
+      .toDF("doc_id", "text")
+    // six docs engineered to six DISTINCT nll values (pure-OOV docs all
+    // tie at ln(V), so each doc mixes known/unknown bigrams differently)
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat", "en"),
+      (3L, "the cat box on", "en"),
+      (4L, "the wobble the zap", "en"),
+      (5L, "the blorp fnord xyzzy", "en"),
+      (6L, "zig zag zog quux", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.ccnetBucketsApprox(corpus, ref)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(out.map(_._2).distinct.length == 6,
+      s"corpus must yield distinct nll values: ${out.toSeq}")
+    // threshold assignment is monotone in nll
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val sorted = out.sortBy(r => (r._2, r._1))
+    assert(sorted.map(r => order(r._3)).sliding(2).forall(p => p.head <= p.last),
+      s"buckets must be monotone in nll: ${sorted.toSeq}")
+    // distinct values + n divisible by 3 → exact thirds (t1 = rank 2,
+    // t2 = rank 4 elements)
+    assert(out.count(_._3 == "head") == 2 && out.count(_._3 == "middle") == 2 &&
+      out.count(_._3 == "tail") == 2, s"expected 2/2/2: ${out.toSeq}")
+    assert(sorted.head._3 == "head" && sorted.last._3 == "tail")
+  }
+
+  test("ccnetBucketsApprox: threshold ties all land on the lower bucket (documented contract)") {
+    import spark.implicits._
+    val ref = Seq((100L, "the cat sat on the mat the cat sat"))
+      .toDF("doc_id", "text")
+    // docs 4-6 are pure-OOV → identical nll = the t2 element → all middle
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat", "en"),
+      (3L, "the cat box on", "en"),
+      (4L, "zig zag zog quux", "en"),
+      (5L, "blorp fnord xyzzy grue", "en"),
+      (6L, "wibble wobble wubble zap", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.ccnetBucketsApprox(corpus, ref)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(Seq(4L, 5L, 6L).forall(out(_) == "middle"),
+      s"tied boundary docs must land on the lower bucket: $out")
+    assert(out.values.count(_ == "tail") == 0)
+  }
+
+  test("ccnetBuckets: per-language thirds, head holds the lowest-nll docs") {
+    import spark.implicits._
+    // ref defines the LM; corpus docs range from pure-ref bigrams (low
+    // nll) to pure-OOV gibberish (high nll); a second language checks
+    // the per-lang partition
+    val ref = Seq((100L, "the cat sat on the mat the cat sat"))
+      .toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat", "en"),
+      (3L, "the cat box on", "en"),
+      (4L, "zig zag zog quux", "en"),
+      (5L, "blorp fnord xyzzy grue", "en"),
+      (6L, "wibble wobble wubble zap", "en"),
+      (7L, "mixed the cat gibberish here", "en"),
+      (11L, "der hund und die katze", "de"),
+      (12L, "die katze und der hund", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.ccnetBuckets(corpus, ref)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val en = out.filter(_._2 == "en")
+    assert(en.count(_._4 == "head") == 3 && en.count(_._4 == "middle") == 2 &&
+      en.count(_._4 == "tail") == 2, s"ntile(3) of 7 must split 3/2/2: ${en.toSeq}")
+    // bucket assignment must be monotone in (nll, doc_id)
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val sortedEn = en.sortBy(r => (r._3, r._1))
+    assert(sortedEn.map(r => order(r._4)).sliding(2).forall(p => p.head <= p.last),
+      s"buckets must be monotone in nll order: ${sortedEn.toSeq}")
+    // the pure-ref doc is in head; pure-gibberish docs are not
+    assert(en.find(_._1 == 1L).get._4 == "head")
+    assert(Set("middle", "tail").contains(en.find(_._1 == 5L).get._4))
+    val de = out.filter(_._2 == "de")
+    assert(de.count(_._4 == "head") == 1 && de.count(_._4 == "middle") == 1,
+      s"ntile(3) of 2 must split 1/1/0: ${de.toSeq}")
+  }
 }
