@@ -1015,6 +1015,10 @@ object SparkEntry {
     }),
     "q_fingerprint" -> ((s, d) =>
       graft.operators.TextAnalysis.fingerprint(table(s, d, "documents"))),
+    // the data-card summary: per-source volume/token/lang/dup stats in
+    // one hash-agg pass, every column engine-exact
+    "q_corpus_report" -> ((s, d) =>
+      graft.operators.TextAnalysis.corpusReport(table(s, d, "documents"))),
     // n-gram novelty: fraction of a doc's trigram shingles first seen in
     // that doc (min doc_id wins) — the memorization/near-copy diagnostic;
     // no shingle→doc join back, the doc's novel count is how many
@@ -1314,6 +1318,14 @@ object SparkEntry {
     "q_split" -> ((s, d) =>
       graft.operators.Sampling.assignSplits(table(s, d, "documents"))
         .select("doc_id", "split").orderBy("doc_id")),
+    // leakage-safe split: the split unit is the near-dup CLUSTER, so a
+    // paraphrase of a test doc cannot land in train
+    "q_split_by_cluster" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Sampling.assignSplitsByCluster(docs,
+          graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10)))
+        .select("doc_id", "component", "split").orderBy("doc_id")
+    }),
     // per-source stratified downsample (deterministic, reshuffle-proof)
     "q_sample_stratified" -> ((s, d) =>
       graft.operators.Sampling.stratifiedSample(table(s, d, "documents"),
@@ -3136,6 +3148,17 @@ object SparkEntry {
          |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q_corpus_report" ->
+      """WITH t AS (SELECT source, lang, md5(text) AS h,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |           FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |       ROUND(AVG(ntok), 6) AS mean_tokens,
+        |       quantile_disc(ntok, 0.5) AS p50_tokens,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // novelty: a doc's novel-shingle count = the shingles it WINS (is the
     // min doc_id of) — replayed with the same two-agg decomposition
     "q_novelty" ->
@@ -3447,6 +3470,19 @@ object SparkEntry {
          |            WHEN b < 9500 THEN 'validation'
          |            ELSE 'test' END AS split
          |FROM (SELECT doc_id, ${md5BucketSql("split", "doc_id")} AS b FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    // the same md5 CASE keyed on the duplicate-cluster component
+    "q_split_by_cluster" ->
+      s"""WITH RECURSIVE ${clustersCte(10)},
+         |assigned AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n)
+         |SELECT doc_id, component,
+         |       CASE WHEN b < 9000 THEN 'train'
+         |            WHEN b < 9500 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, component,
+         |             ${md5BucketSql("split", "component")} AS b FROM assigned)
          |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, source

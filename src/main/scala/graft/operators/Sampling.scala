@@ -56,6 +56,28 @@ object Sampling {
     docs.withColumn("split", caseExpr)
   }
 
+  /** Leakage-safe split: the split UNIT is the near-duplicate CLUSTER,
+    * not the document — near-copies of one document can never straddle
+    * train and test (the classic eval-contamination hole a doc_id-keyed
+    * split leaves open: a paraphrase of a test doc lands in train and the
+    * benchmark silently leaks). Clusters come from any [[graft.operators
+    * .Dedup]] pair tier via connected components; singletons key on their
+    * own id, so for pair-free corpora this degrades to [[assignSplits]]
+    * exactly (component = doc_id).
+    *
+    * Scale shape: the component map is ∝ duplicated docs (broadcast by
+    * AQE when small) and the split assignment stays a map-side md5 — the
+    * only added cost over the plain split is the pair tier itself.
+    */
+  def assignSplitsByCluster(docs: DataFrame, pairs: DataFrame,
+                            splits: Seq[(String, Double)] =
+                              Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05),
+                            salt: String = "split"): DataFrame = {
+    val comp = graft.operators.Clustering.assignComponents(docs, pairs)
+    assignSplits(docs.join(comp, Seq("doc_id")), splits,
+      key = "component", salt = salt)
+  }
+
   /** Per-stratum deterministic downsample: keep a row iff its hash bucket
     * falls below the stratum's rate. Strata with no configured rate use
     * `defaultRate`. The filter is a narrow stage; at scale the rates map

@@ -878,6 +878,27 @@ object TextAnalysis {
       .orderBy(stratum)
   }
 
+  /** Corpus report (the data-card summary a curation run publishes): one
+    * hash-agg pass emitting per-source volume, token stats, language
+    * spread, and the exact-duplicate count — the numbers a 100 TB
+    * pipeline checks before and after every curation stage. All columns
+    * are engine-exact: counts and distinct-counts are exact, the token
+    * sum stays integral (< 2⁵³, so the double mean is order-independent),
+    * and p50 is the rank-ceil(n/2) element both engines select (the
+    * approx-percentile determinism pin).
+    */
+  def corpusReport(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        md5(col("text")).as("h"), size(tokens).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        round(avg("ntok"), 6).as("mean_tokens"),
+        expr("approx_percentile(ntok, 0.5D, 10000)").as("p50_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
+      .orderBy("source")
+
   /** N-gram novelty scoring: per document, the fraction of its distinct
     * n-gram shingles whose corpus-wide FIRST occurrence (min doc_id —
     * ingestion order) is this document. `novelty = 1` means every shingle

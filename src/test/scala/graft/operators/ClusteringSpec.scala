@@ -199,6 +199,24 @@ class ClusteringSpec extends AnyFunSuite {
     assert(kept == Set(5L, 4L, 3L, 7L))
   }
 
+  test("assignSplitsByCluster: clustered docs share a split; singletons match the id-keyed split") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L), (4L, 6L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Sampling.assignSplitsByCluster(docs, pairs)
+      .select("doc_id", "component", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byComp = got.groupBy(_._2)
+    assert(byComp.forall { case (_, rows) => rows.map(_._3).distinct.length == 1 },
+      s"every cluster must land in exactly one split: ${got.toSeq}")
+    assert(got.count(_._2 == 1L) == 3 && got.count(_._2 == 4L) == 2)
+    // singletons: component = doc_id, so the split equals the plain split
+    val plain = Sampling.assignSplits(docs)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val clustered = Set(1L, 2L, 5L, 4L, 6L, 10L, 11L)
+    assert(got.filterNot(r => clustered(r._1)).forall(r => plain(r._1) == r._3))
+  }
+
   test("keepBest with a constant score degrades to keepRepresentatives") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
