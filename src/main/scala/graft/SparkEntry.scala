@@ -270,6 +270,11 @@ object SparkEntry {
     "q_m4" -> ((s, d) =>
       graft.queries.TimeseriesQueries.m4Downsample(conditions(s, d), Of, S1, E1,
         bucketS = 21600)),
+    // SAX: PAA + z-normalized 4-letter quantization at the Gaussian
+    // breakpoints; exact integer partials → token-identical doubles
+    "q_sax" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.saxSymbols(conditions(s, d), Of, S1, E1,
+        bucketS = 21600)),
     // toolkit interpolated_average: LOCF time-weighted bucket means whose
     // step function extends across bucket edges (head from the last
     // reading before the bucket, tail held to bucket end) — exact
@@ -2209,6 +2214,43 @@ object SparkEntry {
          |                       / ((last_us - first_us) / 1000000.0), 6)
          |       END AS rate_per_s
          |FROM agg ORDER BY measurement_subject, coarse_s""".stripMargin,
+    // SAX replay: same exact integer partials, same double formula
+    // tokens, same breakpoint CASE — letters cannot drift
+    "q_sax" ->
+      s"""$Cte,
+         |pts AS (
+         |  SELECT measurement_subject,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(21600)} AS time_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |stats AS (
+         |  SELECT measurement_subject, COUNT(*) AS n,
+         |         CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(c * c) AS BIGINT) AS sxx
+         |  FROM pts GROUP BY 1),
+         |paa AS (
+         |  SELECT measurement_subject, time_s, COUNT(*) AS nb,
+         |         CAST(SUM(c) AS BIGINT) AS sb
+         |  FROM pts GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.measurement_subject, p.time_s,
+         |         CAST(p.sb AS DOUBLE) / CAST(p.nb AS DOUBLE) AS pa,
+         |         CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean,
+         |         sqrt((CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+         |               - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+         |              / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE))) AS std
+         |  FROM paa p JOIN stats s USING (measurement_subject))
+         |SELECT measurement_subject, time_s,
+         |       ROUND(pa / 100, 6) AS paa,
+         |       CASE WHEN std > 0 THEN ROUND((pa - mean) / std, 6) END AS z,
+         |       CASE WHEN std > 0 THEN
+         |         CASE WHEN (pa - mean) / std < -0.6745 THEN 'a'
+         |              WHEN (pa - mean) / std < 0.0 THEN 'b'
+         |              WHEN (pa - mean) / std < 0.6745 THEN 'c'
+         |              ELSE 'd' END
+         |       END AS symbol
+         |FROM j ORDER BY measurement_subject, time_s""".stripMargin,
     // M4: extremum membership replayed with the same four window extrema
     "q_m4" ->
       s"""$Cte,

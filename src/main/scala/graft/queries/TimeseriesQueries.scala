@@ -671,6 +671,54 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "time_s", "t_us", "c")
   }
 
+  /** SAX symbolic aggregation (Lin et al. 2003, "A Symbolic
+    * Representation of Time Series"): PAA bucket means per subject,
+    * z-normalized against the subject's whole-range mean/stddev, then
+    * quantized to a 4-letter alphabet at the standard Gaussian
+    * breakpoints (±Φ⁻¹(0.75) ≈ ±0.6745, 0) — the discretization behind
+    * symbolic motif/anomaly mining on time series.
+    *
+    * Engine-exactness: every aggregate is an exact BIGINT (cents sums,
+    * counts); mean/std/z use the [[statsDerive]] token-identical double
+    * formulas, so the breakpoint comparisons see bit-identical doubles in
+    * both engines and the letter boundaries cannot drift. Zero-variance
+    * series have no z-score — `symbol` is NULL (documented, not 'b'-by-
+    * convention). Two hash aggs + a broadcast join of the per-subject
+    * stats frame (≤ #subjects rows); no window, no sort.
+    */
+  def saxSymbols(conditions: DataFrame, of: String, startS: Long, endS: Long,
+                 bucketS: Long, scale: Int = 100): DataFrame = {
+    require(scale > 0 && bucketS > 0, "scale and bucket width must be positive")
+    val pts = conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"),
+        timeBucketS(bucketS, col("timestamp")).as("time_s"))
+    val stats = pts.groupBy("measurement_subject").agg(
+      count(lit(1)).as("n"), sum("c").as("sx"),
+      sum(col("c") * col("c")).as("sxx"))
+    val paa = pts.groupBy("measurement_subject", "time_s")
+      .agg(count(lit(1)).as("nb"), sum("c").as("sb"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val mean = sx / n
+    val std = sqrt((n * sxx - sx * sx) / (n * n))
+    val pa = col("sb").cast("double") / col("nb").cast("double")
+    val z = (pa - mean) / std
+    paa.join(broadcast(stats), Seq("measurement_subject"))
+      .select(col("measurement_subject"), col("time_s"),
+        round(pa / scale, 6).as("paa"),
+        when(std > 0, round(z, 6)).as("z"),
+        when(std > 0,
+          when(z < -0.6745, "a").when(z < 0.0, "b")
+            .when(z < 0.6745, "c").otherwise("d")).as("symbol"))
+      .orderBy("measurement_subject", "time_s")
+  }
+
   /** Toolkit `interpolated_average` (LOCF): per (subject, bucket)
     * time-weighted mean where the step function extends ACROSS bucket
     * edges — the value in force at a bucket's start is the last reading

@@ -256,6 +256,21 @@ class RollupsSpec extends AnyFunSuite {
       ((T0 + 360) * 1000000L, 500L)), s"got ${out.toSeq}")
   }
 
+  test("saxSymbols: hand-computed letters at the Gaussian breakpoints; zero variance -> null") {
+    // one point per hourly bucket, values 1..8: mean 4.5, population std
+    // ~2.2913 → z = ±1.53, ±1.09, ±0.65, ±0.22 → letters a a b b c c d d
+    val rows = (0 until 8).map(i => (i * 3600L, "s1", (i + 1).toDouble)) ++
+      (0 until 4).map(i => (i * 3600L, "flat", 5.0))
+    val out = TimeseriesQueries.saxSymbols(conditions(rows), "m", T0, T0 + 30000,
+        bucketS = 3600)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(4)) null else r.getString(4)))
+    val s1 = out.filter(_._1 == "s1").sortBy(_._2).map(_._3)
+    assert(s1.toSeq == Seq("a", "a", "b", "b", "c", "c", "d", "d"), s"got ${s1.toSeq}")
+    assert(out.filter(_._1 == "flat").forall(_._3 == null),
+      "zero-variance series must have null symbols")
+  }
+
   test("interpolatedTimeWeight: cross-edge LOCF head and tail, hand-computed") {
     // bucket width 3600, points 2.00@1800 and 4.00@5400, range end T0+7200:
     //  - bucket T0:     [1800, 3600) at 2.00            → avg 2.0, 1800 s
