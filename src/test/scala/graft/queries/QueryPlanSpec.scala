@@ -295,6 +295,44 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(nodes(p, "HashAggregate") == 2, p)
   }
 
+  test("counterAgg plan: rollup agg reuses the pair window's exchange — one data shuffle") {
+    val p = plan("q_counter_agg")
+    // the lag window partitions by (subject, bucket) and the rollup
+    // groups by the same keys: the agg must NOT re-shuffle
+    assert(nodes(p, "Window") == 1, p)
+    val ex = nodes(p, "Exchange")
+    assert(ex <= 2, s"expected window + orderBy exchanges only, got $ex\n$p")
+  }
+
+  test("counterRollup plan: bridge window + merge agg, no extra shuffle between them") {
+    val p = plan("q_counter_rollup")
+    assert(nodes(p, "Window") == 2, p) // fine-partial pair window + bridge window
+    assert(!p.contains("Join"), p)
+  }
+
+  test("m4 plan: one windowed extrema pass, no join") {
+    val p = plan("q_m4")
+    assert(nodes(p, "Window") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("interpolatedTimeWeight plan: subject window, then the bucket agg rides the subject partitioning") {
+    val p = plan("q_timeweight_interp")
+    assert(nodes(p, "Window") == 1, p)
+    // hashpartitioning(subject) clusters (subject, bucket) groups too, so
+    // the agg needs no second data exchange
+    val ex = nodes(p, "Exchange")
+    assert(ex <= 2, s"expected window + orderBy exchanges only, got $ex\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("sax plan: two hash aggs, stats ride a broadcast, no window") {
+    val p = plan("q_sax")
+    assert(nodes(p, "Window") == 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("rolling stats plan: one subject-partitioned window pass, all four aggs in it") {
     val p = plan("q_rolling")
     assert(nodes(p, "Window") == 1, p)
