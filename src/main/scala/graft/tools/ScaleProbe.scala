@@ -79,6 +79,44 @@ object ScaleProbe {
     }
   }
 
+  /** Novelty probe: corpus grown M×. The claim under test is LINEARITY —
+    * the two-agg decomposition (per-shingle min, per-winner count) has no
+    * df²-shaped term, unlike the jaccard join the same shingle pass
+    * feeds, and the hot-shingle (grown df) rows collapse in map-side
+    * partials. `seen_frac` (share of docs with novelty < 1) rises with M
+    * as copies claim each other's shingles — the semantic check that the
+    * first-occurrence rule bites.
+    */
+  private def noveltyProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.TextAnalysis
+    for (m <- ms) {
+      val corpus = grow(docs, m).localCheckpoint(true)
+      val (res, t) = time {
+        val out = TextAnalysis.ngramNovelty(corpus).localCheckpoint(true)
+        (out.count(), out.filter(col("novelty") < 1.0).count())
+      }
+      println(s"""{"m":$m,"docs":${res._1},"seen_docs":${res._2},"novelty_sec":${f"$t%.2f"}}""")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
+  /** k-center probe: time vs corpus size n at fixed k (claim: linear —
+    * each round is one scan + TakeOrdered) and vs k at fixed n (claim:
+    * linear in k — rounds are constant-cost thanks to the running-min
+    * carry; without it round r would recompute r−1 distance passes).
+    */
+  private def kcenterProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import graft.operators.Ann
+    for (n <- ns) {
+      val corpus = syntheticEmbeddings(spark, n.toLong).localCheckpoint(true)
+      val (_, t8) = time(Ann.kCenters(corpus, 8).count())
+      spark.catalog.clearCache(); System.gc()
+      val (_, t16) = time(Ann.kCenters(corpus, 16).count())
+      println(s"""{"n":$n,"k8_sec":${f"$t8%.2f"},"k16_sec":${f"$t16%.2f"}}""")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
   /** Heavy-hitters probe: corpus grown M×, the Misra-Gries candidate
     * tier vs a full-vocabulary exact group-count. The claim under test is
     * BOUNDED INTERMEDIATE STATE: the exact path's hash agg holds the
@@ -588,6 +626,16 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("hh")) {
       hhProbe(spark, spark.read.parquet(s"$sfDir/documents.parquet"), ms)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("novelty")) {
+      noveltyProbe(spark, spark.read.parquet(s"$sfDir/documents.parquet"), ms)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("kcenter")) {
+      kcenterProbe(spark, ms) // ms are vector counts here
       spark.stop()
       return
     }
