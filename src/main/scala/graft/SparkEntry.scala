@@ -1439,6 +1439,25 @@ object SparkEntry {
         .unionByName(planted)
       Multimodal.mediaNearDupPairs(Multimodal.fromDocuments(corpus), maxHamming = 4)
     }),
+    // the asset-catalog lifecycle: day-0 indexed, day-1 APPENDED
+    // (parameters from the table's own properties), day-2 probed — the
+    // heavy media bytes of the catalog are never re-hashed; the oracle
+    // recomputes every signature, so stored ≡ recomputed is the contract
+    "q_media_neardup_idx" -> ((s, d) => {
+      import graft.operators.Multimodal
+      import org.apache.spark.sql.functions.{expr, substring}
+      val docs = table(s, d, "documents")
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("q"),
+            expr("substring(text, 12)")).as("text"), col("n_chars"))
+      val media = Multimodal.fromDocuments(
+        docs.select("doc_id", "text", "n_chars").unionByName(planted))
+      Multimodal.writeMediaIndex(media.filter(col("id") % 3 === 0), "graft_media_idx")
+      Multimodal.appendToMediaIndex(media.filter(col("id") % 3 === 1), "graft_media_idx")
+      Multimodal.mediaNearDupAgainstIndex(media.filter(col("id") % 3 === 2),
+        "graft_media_idx")
+    }),
 
     // as-of (point-in-time) join: each click joined to the latest view at
     // or before it — composed from built-ins (union + running window), with
@@ -2846,32 +2865,23 @@ object SparkEntry {
     // Spark side must band. CASTs to BIGINT keep DuckDB's HUGEINT sums
     // out of the xor (128-bit xor would corrupt the sign-bit encoding).
     "q_media_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, substr(text, 1, 10) || 'q' || substr(text, 12)
-        |  FROM documents WHERE doc_id % 25 = 0),
-        |m AS (SELECT doc_id, text, len(text) AS n FROM corpus WHERE len(text) > 0),
-        |by1 AS (SELECT doc_id, n, text, unnest(range(1, n+1)) AS i FROM m),
-        |bv AS (SELECT doc_id, n, (i-1)*64//n AS g,
-        |              ascii(substr(text, CAST(i AS INT), 1)) AS v FROM by1),
-        |grp AS (SELECT doc_id, g, SUM(v) AS sg, COUNT(*) AS cg, any_value(n) AS n
-        |        FROM bv GROUP BY doc_id, g),
-        |tot AS (SELECT doc_id, SUM(sg) AS st FROM grp GROUP BY doc_id),
-        |bits AS (SELECT g.doc_id, g.g,
-        |                CASE WHEN g.sg * g.n > t.st * g.cg THEN 1 ELSE 0 END AS b
-        |         FROM grp g JOIN tot t ON g.doc_id = t.doc_id),
-        |sig AS (SELECT doc_id,
-        |        CAST(SUM(CASE WHEN b = 1 AND g < 63
-        |                      THEN (CAST(1 AS BIGINT) << CAST(g AS INT)) ELSE 0 END) AS BIGINT)
-        |        + CAST(SUM(CASE WHEN b = 1 AND g = 63
-        |                        THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END) AS BIGINT) AS h
-        |        FROM bits GROUP BY doc_id)
+      s"""WITH $mediaSigCte
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // day-2 media drop probed against the day-0 + day-1 appended aHash
+    // catalog: exact cross-slice bit replay (no index-side re-hash on
+    // the Spark side — the oracle recomputes everything, which is the
+    // point: stored sigs must equal recomputed sigs)
+    "q_media_neardup_idx" ->
+      s"""WITH $mediaSigCte
+        |SELECT a.doc_id AS id_new, b.doc_id AS id_index,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2
+        |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY id_new, id_index""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
     // survivors of the SimHash streaming gate = odd docs with no
     // cross-slice banded hamming<=3 pair (the incremental pair replay,
@@ -4293,6 +4303,33 @@ object SparkEntry {
        |  $ranks
        |) ORDER BY rank""".stripMargin
   }
+
+  /** The media aHash bit replay over the planted corpus (re-encodes =
+    * one-byte edits at +1000000 ids) up to per-asset signatures `sig` —
+    * shared by the self-pair and index-probe media oracles.
+    */
+  private def mediaSigCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 1, 10) || 'q' || substr(text, 12)
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |m AS (SELECT doc_id, text, len(text) AS n FROM corpus WHERE len(text) > 0),
+      |by1 AS (SELECT doc_id, n, text, unnest(range(1, n+1)) AS i FROM m),
+      |bv AS (SELECT doc_id, n, (i-1)*64//n AS g,
+      |              ascii(substr(text, CAST(i AS INT), 1)) AS v FROM by1),
+      |grp AS (SELECT doc_id, g, SUM(v) AS sg, COUNT(*) AS cg, any_value(n) AS n
+      |        FROM bv GROUP BY doc_id, g),
+      |tot AS (SELECT doc_id, SUM(sg) AS st FROM grp GROUP BY doc_id),
+      |bits AS (SELECT g.doc_id, g.g,
+      |                CASE WHEN g.sg * g.n > t.st * g.cg THEN 1 ELSE 0 END AS b
+      |         FROM grp g JOIN tot t ON g.doc_id = t.doc_id),
+      |sig AS (SELECT doc_id,
+      |        CAST(SUM(CASE WHEN b = 1 AND g < 63
+      |                      THEN (CAST(1 AS BIGINT) << CAST(g AS INT)) ELSE 0 END) AS BIGINT)
+      |        + CAST(SUM(CASE WHEN b = 1 AND g = 63
+      |                        THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END) AS BIGINT) AS h
+      |        FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Farthest-point traversal unrolled: stage r computes every remaining
     * point's min 6-dp distance to the selected set, takes the (mind DESC,

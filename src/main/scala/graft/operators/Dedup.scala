@@ -719,16 +719,26 @@ object Dedup {
     * document, appended as the corpus grows.
     */
   def writeSimhashIndex(indexDocs: DataFrame, tableName: String,
-                        buckets: Int = 64, maxHamming: Int = 3): Unit = {
+                        buckets: Int = 64, maxHamming: Int = 3): Unit =
+    writeSigIndex(simhash(indexDocs), tableName, buckets, maxHamming)
+
+  /** [[writeSimhashIndex]] generalized to ANY 64-bit signature frame
+    * (doc_id, simhash) — text SimHash, media aHash
+    * ([[Multimodal.aHashSigs]]), or any future perceptual sketch: the
+    * banding geometry, bucket layout, and verification story depend only
+    * on the signature being 64 bits, not on what produced it.
+    */
+  def writeSigIndex(sigs: DataFrame, tableName: String,
+                    buckets: Int = 64, maxHamming: Int = 3): Unit = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
-    dropManaged(indexDocs.sparkSession, tableName)
-    simhashBanded(simhash(indexDocs), maxHamming)
+    dropManaged(sigs.sparkSession, tableName)
+    simhashBanded(sigs, maxHamming)
       .select(col("doc_id").as("doc_index"), col("sig").as("sig_index"),
         col("band"), xxhash64(col("band"), col("seg")).as("sk"))
       .write.format("parquet")
       .bucketBy(buckets, "sk").sortBy("sk")
       .mode("overwrite").saveAsTable(tableName)
-    indexDocs.sparkSession.sql(
+    sigs.sparkSession.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
         s"'graft.maxHamming' = '$maxHamming', 'graft.buckets' = '$buckets')")
   }
@@ -740,16 +750,22 @@ object Dedup {
     * keeps new files hash-bucketed on `sk` so probes stay
     * co-partitioned and lossless.
     */
-  def appendToSimhashIndex(newDocs: DataFrame, tableName: String): Unit = {
-    val spark = newDocs.sparkSession
+  def appendToSimhashIndex(newDocs: DataFrame, tableName: String): Unit =
+    appendToSigIndex(simhash(newDocs), tableName)
+
+  /** [[appendToSimhashIndex]]'s signature-frame form — see
+    * [[writeSigIndex]].
+    */
+  def appendToSigIndex(newSigs: DataFrame, tableName: String): Unit = {
+    val spark = newSigs.sparkSession
     val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     def prop(key: String): Int = props.getOrElse(key, throw new IllegalArgumentException(
-      s"simhash index $tableName carries no $key property — " +
-        "not written by writeSimhashIndex")).toInt
+      s"signature index $tableName carries no $key property — " +
+        "not written by writeSigIndex")).toInt
     val maxHamming = prop("graft.maxHamming")
     val buckets = prop("graft.buckets")
-    simhashBanded(simhash(newDocs), maxHamming)
+    simhashBanded(newSigs, maxHamming)
       .select(col("doc_id").as("doc_index"), col("sig").as("sig_index"),
         col("band"), xxhash64(col("band"), col("seg")).as("sk"))
       .write.format("parquet")
@@ -770,17 +786,24 @@ object Dedup {
     * argument as [[simhashPairs]].
     */
   def simhashPairsAgainstIndex(newDocs: DataFrame, indexTable: String,
-                               maxHamming: Int = 3): DataFrame = {
+                               maxHamming: Int = 3): DataFrame =
+    sigPairsAgainstIndex(simhash(newDocs), indexTable, maxHamming)
+
+  /** [[simhashPairsAgainstIndex]]'s signature-frame form — see
+    * [[writeSigIndex]]. Returns (doc_new, doc_index, hamming).
+    */
+  def sigPairsAgainstIndex(newSigs: DataFrame, indexTable: String,
+                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
-    val spark = newDocs.sparkSession
+    val spark = newSigs.sparkSession
     val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val v = props.getOrElse("graft.maxHamming", throw new IllegalArgumentException(
-      s"simhash index $indexTable carries no graft.maxHamming property — " +
-        "not written by writeSimhashIndex"))
+      s"signature index $indexTable carries no graft.maxHamming property — " +
+        "not written by writeSigIndex"))
     require(v == maxHamming.toString,
-      s"simhash index $indexTable was written with maxHamming=$v, caller expects $maxHamming")
-    val bandsNew = simhashBanded(simhash(newDocs), maxHamming)
+      s"signature index $indexTable was written with maxHamming=$v, caller expects $maxHamming")
+    val bandsNew = simhashBanded(newSigs, maxHamming)
       .select(xxhash64(col("band"), col("seg")).as("sk"),
         col("doc_id").as("doc_new"), col("sig").as("sig_new"))
     bandsNew.join(spark.table(indexTable).select("sk", "doc_index", "sig_index"), "sk")

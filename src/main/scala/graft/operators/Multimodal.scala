@@ -152,6 +152,30 @@ object Multimodal {
     Dedup.sigPairs(aHashSigs(media), maxHamming)
       .toDF("id_a", "id_b", "hamming")
 
+  /** Persisted media near-dup index — the asset-catalog shape: aHash
+    * signatures banded and bucket-stored once ([[Dedup.writeSigIndex]]),
+    * so a new media drop probes the accumulated catalog without
+    * re-hashing a byte of it. The signature IS the verification evidence
+    * (Hamming on stored sigs), so per-batch cost is the new drop's sketch
+    * pass (the only touch of heavy media bytes) plus a co-partitioned
+    * bucket join over 16-byte rows.
+    */
+  def writeMediaIndex(media: DataFrame, tableName: String,
+                      buckets: Int = 64, maxHamming: Int = 4): Unit =
+    Dedup.writeSigIndex(aHashSigs(media), tableName, buckets, maxHamming)
+
+  def appendToMediaIndex(media: DataFrame, tableName: String): Unit =
+    Dedup.appendToSigIndex(aHashSigs(media), tableName)
+
+  /** New assets within `maxHamming` of any indexed asset —
+    * (id_new, id_index, hamming). `maxHamming` validated against the
+    * index's write-time property (banding geometry must match).
+    */
+  def mediaNearDupAgainstIndex(newMedia: DataFrame, indexTable: String,
+                               maxHamming: Int = 4): DataFrame =
+    Dedup.sigPairsAgainstIndex(aHashSigs(newMedia), indexTable, maxHamming)
+      .toDF("id_new", "id_index", "hamming")
+
   /** Frame/chunk sampling: every `stride`-th fixed-size block of the
     * content — the frame-sample plan shape with the codec stubbed out
     * (a real video decoder replaces `grabBlock`).

@@ -57,4 +57,44 @@ class MediaNearDupSpec extends AnyFunSuite {
     val expected = assets.filter(_._1 % 10 == 0).map(a => (a._1, 1000L + a._1)).toSet
     assert(pairs == expected, s"missed=${expected -- pairs} extra=${pairs -- expected}")
   }
+
+  test("media index lifecycle: write + append + probe equals the direct cross-slice pair set") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val assets = (0L until 60L).map { id =>
+      (id, Array.fill[Byte](1024)((rnd.nextInt(200) + 20).toByte))
+    }
+    // probe-slice perturbed copies of indexed assets (ids ≡ 2 mod 3 so
+    // they land in the probe slice; originals land in index slices)
+    val planted = assets.filter(a => a._1 % 10 == 0 && a._1 % 3 != 2)
+      .map { case (id, bytes) =>
+        val c = bytes.clone(); c(100) = (c(100) + 40).toByte
+        (id * 3 + 2 + 3000L, c) // ≡ 2 mod 3 (3000 ≡ 0)
+      }
+    val media = (assets ++ planted).toDF("id", "content")
+    Multimodal.writeMediaIndex(media.filter(col("id") % 3 === 0), "graft_media_spec")
+    Multimodal.appendToMediaIndex(media.filter(col("id") % 3 === 1), "graft_media_spec")
+    val viaIndex = Multimodal.mediaNearDupAgainstIndex(
+        media.filter(col("id") % 3 === 2), "graft_media_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent check: the SELF-pair machinery over the whole corpus,
+    // restricted to cross-slice (probe, index) orientation
+    val allPairs = Multimodal.mediaNearDupPairs(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val directCross = allPairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, i) => n % 3 == 2 && i % 3 != 2 }
+    assert(viaIndex.map(t => (t._1, t._2)) == directCross,
+      s"index probe must equal the direct cross-slice set: " +
+        s"missed=${directCross -- viaIndex.map(t => (t._1, t._2))}")
+    assert(viaIndex.nonEmpty, "planted cross-slice copies must be found")
+    // every planted pair surfaced
+    val expected = planted.map(p => (p._1, (p._1 - 3000L - 2) / 3)).toSet
+    assert(expected.subsetOf(viaIndex.map(t => (t._1, t._2))),
+      s"missed=${expected -- viaIndex.map(t => (t._1, t._2))}")
+    // wrong maxHamming is rejected against the stored property
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaNearDupAgainstIndex(media, "graft_media_spec", maxHamming = 2)
+    }
+  }
 }
