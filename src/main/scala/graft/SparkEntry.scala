@@ -1439,6 +1439,31 @@ object SparkEntry {
         .unionByName(planted)
       Multimodal.mediaNearDupPairs(Multimodal.fromDocuments(corpus), maxHamming = 4)
     }),
+    // the live media drop: even-id assets form the catalog, odd-id
+    // assets stream through the aHash gate — survivors have no indexed
+    // neighbor at hamming<=4 (the sixth external-state streaming family)
+    "q_media_stream" -> ((s, d) => {
+      import graft.operators.Multimodal
+      import org.apache.spark.sql.functions.{expr, substring}
+      val docs = table(s, d, "documents")
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("q"),
+            expr("substring(text, 12)")).as("text"), col("n_chars"))
+      val media = Multimodal.fromDocuments(
+        docs.select("doc_id", "text", "n_chars").unionByName(planted))
+      Multimodal.writeMediaIndex(media.filter(col("id") % 2 === 0),
+        "graft_media_stream_idx")
+      withTempDir("graft_media_stream") { tmp =>
+        media.filter(col("id") % 2 === 1).select("id", "content")
+          .repartition(3).write.parquet(s"$tmp/input")
+        graft.streaming.DedupStream.startMedia(s, s"$tmp/input",
+            "graft_media_stream_idx", s"$tmp/out", s"$tmp/cp",
+            maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out").select("id").orderBy("id")
+      }
+    }),
     // the asset-catalog lifecycle: day-0 indexed, day-1 APPENDED
     // (parameters from the table's own properties), day-2 probed — the
     // heavy media bytes of the catalog are never re-hashed; the oracle
@@ -2871,6 +2896,15 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // gate survivors = odd assets with no even-indexed hamming<=4
+    // neighbor (the bit replay inverted to the survivor set)
+    "q_media_stream" ->
+      s"""WITH $mediaSigCte
+        |SELECT a.doc_id AS id FROM sig a
+        |WHERE a.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM sig b
+        |  WHERE b.doc_id % 2 = 0 AND bit_count(xor(a.h, b.h)) <= 4)
+        |ORDER BY id""".stripMargin,
     // day-2 media drop probed against the day-0 + day-1 appended aHash
     // catalog: exact cross-slice bit replay (no index-side re-hash on
     // the Spark side — the oracle recomputes everything, which is the

@@ -260,6 +260,11 @@ object SqlTableFunctions {
         TimeseriesQueries.interpolatedTimeWeight(cond(s, f), strArg(f, a, 0),
           longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
     }
+    add("graft_sax", "graft_sax(of, start_s, end_s, bucket_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.saxSymbols(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
     add("graft_seasonal_outliers",
       "graft_seasonal_outliers(of, base_start_s, base_end_s, eval_start_s, eval_end_s)", 5) {
       (s, f, a) =>
@@ -355,6 +360,13 @@ object SqlTableFunctions {
     }
     add("graft_novelty", "graft_novelty(n)", 1) { (s, f, a) =>
       TextAnalysis.ngramNovelty(rel(s, DocumentsRelation, f.name), intArg(f, a, 0))
+    }
+    add("graft_kcenters", "graft_kcenters(k)", 1) { (s, f, a) =>
+      Ann.kCenters(rel(s, EmbeddingsRelation, f.name), intArg(f, a, 0))
+    }
+    add("graft_rag_retrieve", "graft_rag_retrieve(query, k)", 2) { (s, f, a) =>
+      graft.operators.Rag.retrieveChunks(rel(s, DocumentsRelation, f.name),
+        strArg(f, a, 0), intArg(f, a, 1))
     }
     // keep-best-of-cluster over bounded-jaccard pairs, scored by the
     // 6-dp quality heuristic — the curation policy callable from SQL

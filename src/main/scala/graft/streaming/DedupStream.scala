@@ -71,6 +71,30 @@ object DedupStream {
     }
   }
 
+  /** Media-asset gate: each micro-batch of (id, content) assets is
+    * probed against a persisted aHash catalog
+    * ([[graft.operators.Multimodal.writeMediaIndex]]) and only novel
+    * assets land — the SimHash gate's shape with the perceptual sketch
+    * swapped in; the batch's media bytes are hashed once, the catalog's
+    * never. `appendAccepted` folds each accepted batch into the catalog.
+    */
+  def startMedia(spark: SparkSession, inputDir: String, indexTable: String,
+                 outputDir: String, checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 maxFilesPerTrigger: Option[Int] = None,
+                 appendAccepted: Boolean = false): StreamingQuery = {
+    import graft.operators.Multimodal
+    startWith(spark, inputDir, outputDir, checkpointDir, trigger, maxFilesPerTrigger,
+      joinKey = "id",
+      onAccepted =
+        if (appendAccepted) novel => Multimodal.appendToMediaIndex(novel, indexTable)
+        else _ => ()) {
+      batch =>
+        Multimodal.mediaNearDupAgainstIndex(batch, indexTable)
+          .select(col("id_new").as("id")).distinct()
+    }
+  }
+
   /** Line-claim gate: each micro-batch's documents are rewritten with
     * every index-claimed line removed ([[Dedup.stripClaimedLines]] — the
     * fourth index family streaming gate, after MinHash buckets, SimHash

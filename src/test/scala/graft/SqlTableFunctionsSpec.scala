@@ -116,6 +116,23 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       TimeseriesQueries.formatTimeIntervals(cond, "s1", "state", T0, T1, T1))
   }
 
+  test("graft_sax ≡ saxSymbols") {
+    assertSame(
+      s"SELECT * FROM graft_sax('m', $T0, $T1, 900)",
+      TimeseriesQueries.saxSymbols(cond, "m", T0, T1, 900))
+  }
+
+  test("graft_kcenters ≡ Ann.kCenters; graft_rag_retrieve ≡ Rag.retrieveChunks") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_kcenters(4)",
+      graft.operators.Ann.kCenters(
+        spark.table(SqlTableFunctions.EmbeddingsRelation), 4))
+    assertSame("SELECT * FROM graft_rag_retrieve('table scan hash join', 5)",
+      graft.operators.Rag.retrieveChunks(
+        spark.table(SqlTableFunctions.DocumentsRelation),
+        "table scan hash join", 5))
+  }
+
   test("graft_counter_agg ≡ counterAgg") {
     assertSame(
       s"SELECT * FROM graft_counter_agg('m', $T0, $T1, 900)",
