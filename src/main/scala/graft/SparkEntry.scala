@@ -1024,6 +1024,11 @@ object SparkEntry {
     // one hash-agg pass, every column engine-exact
     "q_corpus_report" -> ((s, d) =>
       graft.operators.TextAnalysis.corpusReport(table(s, d, "documents"))),
+    // FIM/span-corruption examples: md5-deterministic selection + span
+    // geometry, map-only — reproducible across runs, partitionings and
+    // engines
+    "q_fim" -> ((s, d) =>
+      graft.operators.Packing.fimExamples(table(s, d, "documents"))),
     // n-gram novelty: fraction of a doc's trigram shingles first seen in
     // that doc (min doc_id wins) — the memorization/near-copy diagnostic;
     // no shingle→doc join back, the doc's novel count is how many
@@ -1547,6 +1552,17 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 === 0),
           seed = 42, epoch = 1, numShards = 7)
         .orderBy("global_pos")
+    }),
+    // the export's integrity manifest: per-shard counts, position extent
+    // and an order-insensitive XOR content checksum — what gets recorded
+    // next to the shards so a bad copy is detectable without re-reads
+    "q_export_manifest" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Sampling.shardManifest(
+        graft.operators.CorpusCuration.trainingExport(docs,
+          docs.filter(col("doc_id") % 7 === 0),
+          seed = 42, epoch = 1, numShards = 7),
+        docs)
     }),
 
     // end-to-end converter path under load: synthesize emon MQTT envelopes
@@ -3251,6 +3267,25 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // the same md5 selection + integer span arithmetic + three slices
+    "q_fim" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w, len(w) AS n,
+         |             ${md5BucketSql("fim", "doc_id")} AS b0,
+         |             ${md5BucketSql("fimstart", "doc_id")} AS b1,
+         |             ${md5BucketSql("fimlen", "doc_id")} AS b2
+         |      FROM t),
+         |e AS (SELECT doc_id, w, n, n // 3 AS third, b1, b2
+         |      FROM p WHERE n >= 12 AND b0 < 5000),
+         |s AS (SELECT doc_id, w, n,
+         |             third + (b1 % GREATEST(third, 1)) + 1 AS a,
+         |             (b2 % GREATEST(third, 1)) + 1 AS l
+         |      FROM e)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |       array_to_string(w[1:a-1], ' ') AS prefix,
+         |       array_to_string(w[a:a+l-1], ' ') AS middle,
+         |       array_to_string(w[a+l:n], ' ') AS suffix
+         |FROM s ORDER BY doc_id""".stripMargin,
     // novelty: a doc's novel-shingle count = the shingles it WINS (is the
     // min doc_id of) — replayed with the same two-agg decomposition
     "q_novelty" ->
@@ -3731,6 +3766,21 @@ object SparkEntry {
     // docs, md5-bucket train split, epoch-42/1 shuffle over 7 shards —
     // each stage the same replay its own gate uses
     "q_training_export" -> trainingExportOracleSql,
+    // manifest over the SAME export replay: counts, extent and the
+    // 60-bit md5-XOR checksum recomputed from scratch
+    "q_export_manifest" ->
+      s"""WITH exp AS ($trainingExportOracleSql),
+         |j AS (SELECT e.shard, e.global_pos,
+         |             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok,
+         |             list_reduce(list_transform(range(1, 16),
+         |               i -> CAST(strpos('0123456789abcdef',
+         |                      substr(md5('manifest:' || CAST(e.doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+         |               (a, b) -> a * 16 + b) AS h
+         |      FROM exp e JOIN documents d USING (doc_id))
+         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |       MIN(global_pos) AS first_pos, MAX(global_pos) AS last_pos,
+         |       CAST(bit_xor(h) AS BIGINT) AS checksum
+         |FROM j GROUP BY shard ORDER BY shard""".stripMargin,
     // SQL-path twin shares the composed oracle (same plan by construction)
     "q_sql_export" -> trainingExportOracleSql,
     "q_multimodal_features" ->

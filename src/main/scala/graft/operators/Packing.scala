@@ -138,6 +138,45 @@ object Packing {
       .orderBy(col(key))
   }
 
+  /** Fill-in-the-middle / span-corruption example construction (Bavarian
+    * et al. 2022 FIM; Raffel et al. 2020 T5 span corruption): a
+    * deterministic subset of eligible documents is split into
+    * (prefix, middle, suffix) with the masked span drawn from the middle
+    * third — the training-example transform an infilling-capable model's
+    * data pipeline applies at scale.
+    *
+    * Determinism is the whole design: selection and span geometry come
+    * from salted md5 buckets of doc_id ([[Sampling.bucket]] — the
+    * split/downsample recipe), so the transform is reproducible across
+    * runs, partitionings, AND engines (the oracle replays the same
+    * arithmetic). `fimRate` is in bucket units of 1/10000. Map-only:
+    * split + integer arithmetic + three array_join slices, no shuffle
+    * until the output ORDER BY.
+    */
+  def fimExamples(docs: DataFrame, minTokens: Int = 12,
+                  fimRate: Double = 0.5): DataFrame = {
+    require(minTokens >= 3, "minTokens must be >= 3")
+    require(fimRate > 0 && fimRate <= 1, "fimRate must be in (0, 1]")
+    val threshold = math.round(fimRate * Sampling.BucketCount).toInt
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("b0", Sampling.bucket(col("doc_id"), "fim"))
+      .filter(col("n") >= minTokens && col("b0") < threshold)
+      .withColumn("third", expr("n div 3"))
+      .withColumn("a",
+        col("third") + Sampling.bucket(col("doc_id"), "fimstart")
+          % greatest(col("third"), lit(1)) + 1)
+      .withColumn("l",
+        Sampling.bucket(col("doc_id"), "fimlen")
+          % greatest(col("third"), lit(1)) + 1)
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        expr("array_join(slice(w, 1, a - 1), ' ')").as("prefix"),
+        expr("array_join(slice(w, a, l), ' ')").as("middle"),
+        expr("array_join(slice(w, a + l, greatest(n - (a + l) + 1, 0)), ' ')")
+          .as("suffix"))
+      .orderBy("doc_id")
+  }
+
   def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")

@@ -219,6 +219,28 @@ object Sampling {
       .drop("__sp", "__base")
   }
 
+  /** Export integrity manifest: per-shard document/token counts, the
+    * global-position extent, and an order-insensitive 60-bit content
+    * checksum (XOR of salted-md5 doc keys) — what a training run records
+    * next to its shards so a re-export, a partial copy, or a silently
+    * dropped file is detectable by comparing two manifest rows instead
+    * of re-reading shard data. XOR makes the checksum partitioning- and
+    * order-independent; 15 md5 hex digits keep the key inside a BIGINT
+    * in both engines. One join (doc token counts) + one hash agg.
+    */
+  def shardManifest(exported: DataFrame, docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat(lit("manifest:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    exported.join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok")), Seq("doc_id"))
+      .select(col("shard"), col("global_pos"), h.as("h"), col("ntok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+        min("global_pos").as("first_pos"), max("global_pos").as("last_pos"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy("shard")
+  }
+
   /** Keep the top-k rows per stratum under the given ordering — the
     * "best k documents per domain" selection step of corpus curation.
     *

@@ -354,6 +354,35 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(covered.join(lens, "doc_id").filter(col("last") =!= col("n")).count() == 0)
   }
 
+  test("fimExamples: reassembly invariant, middle-third geometry, partition independence") {
+    import spark.implicits._
+    val out = Packing.fimExamples(docs, minTokens = 12, fimRate = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    assert(out.nonEmpty)
+    val lens = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, n, pre, mid, suf) =>
+      // prefix + middle + suffix tokens reassemble the document exactly
+      val joined = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(joined == lens(id), s"doc $id does not reassemble")
+      val nPre = pre.split(" ", -1).length
+      val nMid = mid.split(" ", -1).count(_.nonEmpty)
+      // span starts in the middle third and is at most a third long
+      assert(nPre >= n / 3 && nPre <= 2 * (n / 3) + 1, s"doc $id prefix $nPre of $n")
+      assert(nMid >= 1 && nMid <= n / 3, s"doc $id middle $nMid of $n")
+    }
+    // selection rate: ~half the eligible docs at the default rate
+    val eligible = docs.filter(size(split(col("text"), " ")) >= 12).count()
+    val selected = Packing.fimExamples(docs).count()
+    assert(selected > eligible / 3 && selected < 2 * eligible / 3,
+      s"$selected of $eligible at rate 0.5")
+    // deterministic under repartition
+    val a = Packing.fimExamples(docs.repartition(7)).collect().map(_.toSeq).toSeq
+    val b = Packing.fimExamples(docs.coalesce(1)).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("IVF index without graft.nlist property fails loudly") {
     import spark.implicits._
     emb.limit(5).write.mode("overwrite").saveAsTable("ivf_bogus_idx")

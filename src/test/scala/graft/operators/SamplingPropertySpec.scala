@@ -194,4 +194,26 @@ class SamplingPropertySpec extends AnyFunSuite {
     // the epoch failed to enter the hash preimage
     assert(same < e0.size / 10, s"epochs correlated: $same/${e0.size} fixed points")
   }
+
+  test("shardManifest: checksum detects a dropped doc; stable under repartition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exported = Sampling.epochShuffle(docs, seed = 7, epoch = 3, numShards = 5)
+      .select("doc_id", "shard", "global_pos").localCheckpoint(true)
+    def manifest(e: org.apache.spark.sql.DataFrame) =
+      Sampling.shardManifest(e, docs).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    val full = manifest(exported)
+    assert(full.keySet == (0 to 4).toSet)
+    // drop one document from one shard: that shard's count AND checksum
+    // change, the others are untouched
+    val someDoc = exported.limit(1).collect()(0)
+    val (dropId, dropShard) = (someDoc.getLong(0), someDoc.getInt(1))
+    val damaged = manifest(exported.filter(col("doc_id") =!= dropId))
+    assert(damaged(dropShard)._1 == full(dropShard)._1 - 1)
+    assert(damaged(dropShard)._3 != full(dropShard)._3,
+      "checksum must change when a doc is dropped")
+    (0 to 4).filter(_ != dropShard).foreach(s => assert(damaged(s) == full(s)))
+    // order/partitioning independent
+    assert(manifest(exported.repartition(11)) == full)
+  }
 }
