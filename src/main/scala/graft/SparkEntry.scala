@@ -1266,6 +1266,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0), n = 5)
     }),
+    // the audit trail: WHICH benchmark items a training doc leaks, with
+    // the shared-n-gram count and a deterministic example
+    "q_contamination_report" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Decontamination.contaminationReport(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), n = 5)
+    }),
     // the broadcast-Bloom tier: ~10 bits per benchmark n-gram on the wire
     // instead of the exact strings, exact shuffle-join confirmation on
     // the bloom-positive trickle — no false negatives, so it computes
@@ -1654,6 +1662,23 @@ object SparkEntry {
     // orders at qty > 250) then BROADCASTS through the orders and
     // customer joins — the semi-join never re-shuffles the fact table,
     // the shape that survives a 100× scale-up
+    // Q4-shaped order-priority checking: EXISTS becomes a LEFT SEMI join
+    // (equi key + the non-equi lateness residual) — orders appear once
+    // however many late lines they have; no distinct, no fan-out
+    "q_tpch_priority" -> ((s, d) => {
+      val o = table(s, d, "orders").filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-07-01 00:00:00")))
+      val late = table(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(late,
+          o("o_orderkey") === late("l_orderkey") &&
+            late("l_shipdate") > o("o_orderdate") +
+              org.apache.spark.sql.functions.expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
     "q_tpch_big_orders" -> ((s, d) => {
       val hot = table(s, d, "lineitem")
         .groupBy("l_orderkey")
@@ -3340,6 +3365,18 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared
         |FROM corp WHERE s IN (SELECT s FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-(doc, bench) pair evidence with the min shared n-gram
+    "q_contamination_report" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([ array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3) ])) AS s
+        |       FROM w),
+        |bench AS (SELECT DISTINCT doc_id AS bench_id, s FROM sh WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared,
+        |       min(c.s) AS example_ngram
+        |FROM corp c JOIN bench b ON c.s = b.s
+        |GROUP BY 1, 2 ORDER BY c.doc_id, b.bench_id""".stripMargin,
     // survivors of the streaming gate = corpus docs with NO shared
     // 5-gram with the benchmark slice
     "q_decontaminate_stream" ->
@@ -3821,6 +3858,15 @@ object SparkEntry {
          |FROM jp JOIN documents sa ON jp.doc_a = sa.doc_id
          |        JOIN documents sb ON jp.doc_b = sb.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tpch_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_tpch_big_orders" ->
       """WITH hot AS (
         |  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty

@@ -39,6 +39,29 @@ object Decontamination {
       .orderBy("doc_id")
   }
 
+  /** The AUDIT face of [[contaminated]]: per (corpus doc, benchmark doc)
+    * pair, how many distinct n-grams they share and one example n-gram
+    * (min — deterministic) — the evidence trail a leakage review reads
+    * ("which eval items does this training doc leak, and what does the
+    * overlap look like") rather than the drop-list the filter consumes.
+    * Same broadcast-benchmark join as [[contaminated]], with the
+    * benchmark's doc ids kept through the join; pair fan-out is bounded
+    * by true contamination (a corpus n-gram joins only the bench docs
+    * that contain it).
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                          broadcastBenchmark: Boolean = true): DataFrame = {
+    val corpusShingles = Dedup.shingles(corpus, n).select("doc_id", "s")
+    val benchShingles = Dedup.shingles(benchmark, n)
+      .select(col("doc_id").as("bench_id"), col("s")).distinct()
+    val benchSide = if (broadcastBenchmark) broadcast(benchShingles) else benchShingles
+    corpusShingles
+      .join(benchSide, "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"), min("s").as("example_ngram"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** [[contaminated]] with a broadcast BLOOM pre-filter — the 100 TB
     * tier for a benchmark set too large to broadcast as exact strings.
     * A Bloom filter over the benchmark n-grams is ~`-1.44·log2(fpp)`

@@ -102,6 +102,14 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch priority plan: EXISTS runs as a semi join, no cartesian, no distinct") {
+    val p = plan("q_tpch_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // semi-join semantics make a dedup step unnecessary — none planned
+    assert(!p.toLowerCase.contains("distinct"), p)
+  }
+
   test("tpch local-supplier plan: supplier/nation/region ride broadcasts, no cartesian") {
     val p = plan("q_tpch_local_supplier")
     // three dim joins broadcast (supplier, nation, region)
