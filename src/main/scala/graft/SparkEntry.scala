@@ -270,6 +270,12 @@ object SparkEntry {
     "q_m4" -> ((s, d) =>
       graft.queries.TimeseriesQueries.m4Downsample(conditions(s, d), Of, S1, E1,
         bucketS = 21600)),
+    // interpolated counter rate: cross-edge increments credited
+    // proportionally to the buckets they span; rate over the full bucket
+    // width (edge-to-edge interpolation leaves no dead time)
+    "q_counter_interp" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.interpolatedCounterRate(conditions(s, d),
+        Of, S1, E1, bucketS = 21600)),
     // SAX: PAA + z-normalized 4-letter quantization at the Gaussian
     // breakpoints; exact integer partials → token-identical doubles
     "q_sax" -> ((s, d) =>
@@ -2299,6 +2305,52 @@ object SparkEntry {
          |                       / ((last_us - first_us) / 1000000.0), 6)
          |       END AS rate_per_s
          |FROM agg ORDER BY measurement_subject, coarse_s""".stripMargin,
+    // the proportional-credit replay: exact in-bucket sum + one head +
+    // one tail double term per bucket, fixed association
+    "q_counter_interp" ->
+      s"""$Cte,
+         |pts AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(21600)} AS time_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |lagged AS (
+         |  SELECT *, lag(t_us) OVER w AS prev_t, lag(c) OVER w AS prev_c,
+         |         lag(time_s) OVER w AS prev_b, lead(t_us) OVER w AS next_t,
+         |         lead(c) OVER w AS next_c, lead(time_s) OVER w AS next_b
+         |  FROM pts
+         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY t_us, c)),
+         |contrib AS (
+         |  SELECT measurement_subject, time_s,
+         |         CASE WHEN prev_b = time_s
+         |              THEN CASE WHEN c < prev_c THEN c ELSE c - prev_c END
+         |              ELSE 0 END AS ex,
+         |         CASE WHEN prev_b IS NOT NULL AND prev_b < time_s
+         |              THEN CAST(CASE WHEN c < prev_c THEN c ELSE c - prev_c END AS DOUBLE)
+         |                   * (t_us - time_s * 1000000) / (t_us - prev_t)
+         |              ELSE 0.0 END AS hd,
+         |         CASE WHEN next_b IS NOT NULL AND next_b <> time_s
+         |              THEN CAST(CASE WHEN next_c < c THEN next_c ELSE next_c - c END AS DOUBLE)
+         |                   * (LEAST((time_s + 21600) * 1000000, ${E1 * 1000000L}) - t_us)
+         |                   / (next_t - t_us)
+         |              ELSE 0.0 END AS tl,
+         |         CASE WHEN prev_c IS NOT NULL AND c < prev_c THEN 1 ELSE 0 END AS rs,
+         |         (LEAST((time_s + 21600) * 1000000, ${E1 * 1000000L})
+         |          - time_s * 1000000) / 1000000.0 AS wd
+         |  FROM lagged),
+         |agg AS (
+         |  SELECT measurement_subject, time_s, CAST(SUM(ex) AS BIGINT) AS ex,
+         |         SUM(hd) AS hd, SUM(tl) AS tl,
+         |         CAST(SUM(rs) AS BIGINT) AS num_resets, COUNT(*) AS n,
+         |         any_value(wd) AS wd
+         |  FROM contrib GROUP BY 1, 2)
+         |SELECT measurement_subject, time_s,
+         |       ROUND((CAST(ex AS DOUBLE) + hd + tl) / 100, 6) AS delta_interp,
+         |       ROUND((CAST(ex AS DOUBLE) + hd + tl) / 100 / wd, 6) AS rate_per_s,
+         |       num_resets, n
+         |FROM agg ORDER BY measurement_subject, time_s""".stripMargin,
     // SAX replay: same exact integer partials, same double formula
     // tokens, same breakpoint CASE — letters cannot drift
     "q_sax" ->

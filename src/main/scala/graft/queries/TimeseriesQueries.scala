@@ -635,6 +635,75 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "coarse_s")
   }
 
+  /** Toolkit `interpolated_rate`/`interpolated_delta` for counters: the
+    * [[counterAgg]] semantics with cross-edge increments credited
+    * PROPORTIONALLY to the buckets they span — the increment of a pair
+    * (prev → this) crossing a bucket edge contributes
+    * `adj · (t − bucket_start)/(t − prev_t)` to this bucket's head, and
+    * symmetrically the NEXT pair's early share to this bucket's tail
+    * (computable at this row because lead() exposes the next reading).
+    * Rate divides by the bucket's effective width, not the observed
+    * span — a bucket with edge-to-edge interpolation has no dead time.
+    *
+    * In-bucket increments stay exact BIGINTs; each bucket adds at most
+    * ONE head and ONE tail double term in a fixed association
+    * (exact + head + tail), so both engines run the identical IEEE
+    * sequence. Increments spanning >2 buckets credit only the two
+    * point-bearing edge buckets (interior empty buckets are not
+    * emitted — compose with a dense grid if needed). Resets count at
+    * pair granularity, credited to the pair's LATER bucket.
+    */
+  def interpolatedCounterRate(conditions: DataFrame, of: String, startS: Long,
+                              endS: Long, bucketS: Long,
+                              scale: Int = 100): DataFrame = {
+    require(scale > 0 && bucketS > 0, "scale and bucket width must be positive")
+    val w = Window.partitionBy("measurement_subject").orderBy("t_us", "c")
+    val endUs = endS * 1000000L
+    val pts = conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("t_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"),
+        timeBucketS(bucketS, col("timestamp")).as("time_s"))
+      .withColumn("prev_t", lag("t_us", 1).over(w))
+      .withColumn("prev_c", lag("c", 1).over(w))
+      .withColumn("prev_b", lag("time_s", 1).over(w))
+      .withColumn("next_t", lead("t_us", 1).over(w))
+      .withColumn("next_c", lead("c", 1).over(w))
+      .withColumn("next_b", lead("time_s", 1).over(w))
+    val bucketStartUs = col("time_s") * 1000000L
+    val bucketEndUs = least((col("time_s") + bucketS) * 1000000L, lit(endUs))
+    val adjPrev = when(col("c") < col("prev_c"), col("c"))
+      .otherwise(col("c") - col("prev_c"))
+    val adjNext = when(col("next_c") < col("c"), col("next_c"))
+      .otherwise(col("next_c") - col("c"))
+    val exact = when(col("prev_b") === col("time_s"), adjPrev).otherwise(lit(0L))
+    val head = when(col("prev_b").isNotNull && col("prev_b") < col("time_s"),
+      adjPrev.cast("double") * (col("t_us") - bucketStartUs)
+        / (col("t_us") - col("prev_t"))).otherwise(lit(0.0))
+    val tail = when(col("next_b").isNotNull && col("next_b") =!= col("time_s"),
+      adjNext.cast("double") * (bucketEndUs - col("t_us"))
+        / (col("next_t") - col("t_us"))).otherwise(lit(0.0))
+    val reset = when(col("prev_c").isNotNull && col("c") < col("prev_c"), lit(1L))
+      .otherwise(lit(0L))
+    pts.select(col("measurement_subject"), col("time_s"),
+        exact.as("ex"), head.as("hd"), tail.as("tl"), reset.as("rs"),
+        ((bucketEndUs - bucketStartUs) / lit(1000000.0)).as("wd"))
+      .groupBy("measurement_subject", "time_s")
+      .agg(sum("ex").as("ex"), sum("hd").as("hd"), sum("tl").as("tl"),
+        sum("rs").as("num_resets"), count(lit(1)).as("n"), first("wd").as("wd"))
+      .select(col("measurement_subject"), col("time_s"),
+        round((col("ex").cast("double") + col("hd") + col("tl")) / scale, 6)
+          .as("delta_interp"),
+        round((col("ex").cast("double") + col("hd") + col("tl")) / scale / col("wd"), 6)
+          .as("rate_per_s"),
+        col("num_resets"), col("n"))
+      .orderBy("measurement_subject", "time_s")
+  }
+
   /** M4 downsampling (Jugel et al., VLDB 2014 "M4: A Visualization-Oriented
     * Time Series Data Aggregation"): per (subject, pixel-bucket) keep every
     * row attaining the bucket's min/max TIME or min/max VALUE — the exact

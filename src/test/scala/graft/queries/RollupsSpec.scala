@@ -256,6 +256,43 @@ class RollupsSpec extends AnyFunSuite {
       ((T0 + 360) * 1000000L, 500L)), s"got ${out.toSeq}")
   }
 
+  test("interpolatedCounterRate: proportional edge credit, hand-computed") {
+    // counter 1.00@1800 → 5.00@5400 crosses the 3600 edge at slope
+    // 400c/3600s: bucket 0 gets the in-[1800,3600) half = 200c,
+    // bucket 1 the [3600,5400) half = 200c; rate = delta / 3600 s
+    val out = TimeseriesQueries.interpolatedCounterRate(
+      conditions(Seq((1800L, "s1", 1.0), (5400L, "s1", 5.0))),
+      "m", T0, T0 + 7200, bucketS = 3600)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (T0, 2.0, round6(2.0 / 3600)),
+      (T0 + 3600, 2.0, round6(2.0 / 3600))), s"got ${out.toSeq}")
+  }
+
+  test("interpolatedCounterRate: adjacent-bucket deltas conserve the total; resets credited to the later bucket") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 300L).map(i => (i * 120, "s1", rnd.nextInt(3000) / 100.0))
+    val cond = conditions(rows)
+    val interp = TimeseriesQueries.interpolatedCounterRate(cond, "m", T0, T0 + 36000,
+        bucketS = 3600)
+      .collect().map(r => (r.getDouble(2), r.getLong(4)))
+    // every pair is 120 s apart < bucket width, so no interior bucket is
+    // ever skipped: interpolated deltas sum to the whole-range delta
+    val whole = TimeseriesQueries.counterAgg(cond, "m", T0, T0 + 36000,
+        bucketS = 86400 * 7)
+      .collect()(0).getLong(2)
+    val sumInterp = interp.map(_._1).sum
+    assert(math.abs(sumInterp - whole / 100.0) < 1e-3,
+      s"interpolated deltas must conserve the total: $sumInterp vs ${whole / 100.0}")
+    // reset count matches the pair-level count
+    val pairResets = TimeseriesQueries.counterToRate(cond, "m", T0, T0 + 36000)
+      .filter(org.apache.spark.sql.functions.col("reset")).count()
+    assert(interp.map(_._2).sum == pairResets)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("saxSymbols: hand-computed letters at the Gaussian breakpoints; zero variance -> null") {
     // one point per hourly bucket, values 1..8: mean 4.5, population std
     // ~2.2913 → z = ±1.53, ±1.09, ±0.65, ±0.22 → letters a a b b c c d d
