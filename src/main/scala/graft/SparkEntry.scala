@@ -1030,6 +1030,10 @@ object SparkEntry {
     // one hash-agg pass, every column engine-exact
     "q_corpus_report" -> ((s, d) =>
       graft.operators.TextAnalysis.corpusReport(table(s, d, "documents"))),
+    // the Gopher rule battery: every pass/fail boundary an exact integer
+    // cross-multiply — no float ratio can drift the filter
+    "q_gopher" -> ((s, d) =>
+      graft.operators.TextAnalysis.gopherRules(table(s, d, "documents"))),
     // FIM/span-corruption examples: md5-deterministic selection + span
     // geometry, map-only — reproducible across runs, partitionings and
     // engines
@@ -3344,6 +3348,26 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // the same exact integer comparisons over the same token lists
+    "q_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |             CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sumlen,
+        |             CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |             CAST(len(list_filter(w, t -> strpos(t, '#') > 0 OR strpos(t, '...') > 0)) AS BIGINT) AS n_sym,
+        |             CAST(len(list_filter(w, t -> t IN ('the','and','of','to','a','in','is','that','it'))) AS BIGINT) AS n_stop
+        |      FROM t)
+        |SELECT doc_id, n AS n_words,
+        |       ROUND(CAST(sumlen AS DOUBLE) / n, 6) AS mean_word_len,
+        |       (n >= 50 AND n <= 100000) AS ok_words,
+        |       (sumlen >= n * 3 AND sumlen <= n * 10) AS ok_mean_len,
+        |       (n_alpha * 10 >= n * 8) AS ok_alpha,
+        |       (n_sym * 10 < n) AS ok_symbols,
+        |       (n_stop >= 2) AS ok_stops,
+        |       ((n >= 50 AND n <= 100000) AND (sumlen >= n * 3 AND sumlen <= n * 10)
+        |        AND (n_alpha * 10 >= n * 8) AND (n_sym * 10 < n)
+        |        AND (n_stop >= 2)) AS pass
+        |FROM s ORDER BY doc_id""".stripMargin,
     // the same md5 selection + integer span arithmetic + three slices
     "q_fim" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -878,6 +878,47 @@ object TextAnalysis {
       .orderBy(stratum)
   }
 
+  /** Gopher quality-rule battery (Rae et al. 2021, Appendix A): the
+    * published per-document filter rules a web-scale curation pass
+    * applies before model-based scoring — word-count bounds, mean word
+    * length in [3, 10], ≥80% of words containing an alphabetic
+    * character, symbol-token (# / …) ratio < 10%, and a minimum
+    * stop-word count. Every rule is an EXACT INTEGER comparison
+    * (cross-multiplied — `n_alpha·10 ≥ n·8`, never a float ratio), so
+    * the pass/fail boundary cannot drift between engines; the one
+    * reported double (mean word length) is informational and 6-dp
+    * rounded. Map-only over the token array; no shuffle before the
+    * output sort.
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "bad word-count bounds")
+    val stopList = StopwordSets.find(_._1 == "en").get._2
+      .map(s => s"'$s'").mkString(", ")
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("sumlen", expr("aggregate(w, 0L, (a, t) -> a + length(t))"))
+      .withColumn("n_alpha",
+        expr("size(filter(w, t -> t rlike '[a-zA-Z]'))").cast("long"))
+      .withColumn("n_sym",
+        expr("size(filter(w, t -> instr(t, '#') > 0 OR instr(t, '...') > 0))")
+          .cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(w, t -> t IN ($stopList)))").cast("long"))
+      .select(col("doc_id"), col("n").as("n_words"),
+        round(col("sumlen").cast("double") / col("n"), 6).as("mean_word_len"),
+        (col("n") >= minWords && col("n") <= maxWords).as("ok_words"),
+        (col("sumlen") >= col("n") * 3 && col("sumlen") <= col("n") * 10)
+          .as("ok_mean_len"),
+        (col("n_alpha") * 10 >= col("n") * 8).as("ok_alpha"),
+        (col("n_sym") * 10 < col("n")).as("ok_symbols"),
+        (col("n_stop") >= 2).as("ok_stops"))
+      .withColumn("pass",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") &&
+          col("ok_symbols") && col("ok_stops"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus report (the data-card summary a curation run publishes): one
     * hash-agg pass emitting per-source volume, token stats, language
     * spread, and the exact-duplicate count — the numbers a 100 TB

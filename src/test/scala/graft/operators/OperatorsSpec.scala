@@ -319,6 +319,29 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("gopherRules: each rule fails on its planted violator, clean doc passes") {
+    import spark.implicits._
+    val filler = (1 to 60).map(_ % 9).map(i =>
+      Seq("the", "cat", "runs", "fast", "and", "dog", "naps", "in", "sun")(i))
+      .mkString(" ") // 60 clean words incl. stopwords
+    val d = Seq(
+      (1L, filler),                                        // passes all
+      (2L, "too short but the and of fine words here"),    // < 50 words
+      (3L, (1 to 60).map(_ => "aa").mkString(" ") + " the and"), // mean len < 3
+      (4L, (1 to 60).map(i => s"##$i").mkString(" ") + " the and"), // symbols + alpha
+      (5L, (1 to 60).map(i => s"w$i").mkString(" "))       // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+          r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(got(1L)._6, s"clean doc must pass: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._6, "short doc fails ok_words")
+    assert(!got(3L)._2 && !got(3L)._6, "two-letter doc fails ok_mean_len")
+    assert(!got(4L)._4 && !got(4L)._6, "symbol-heavy doc fails ok_symbols")
+    assert(!got(5L)._5 && !got(5L)._6, "stopword-free doc fails ok_stops")
+  }
+
   test("ngramNovelty: hand-computed first-occurrence fractions") {
     import spark.implicits._
     // doc 1: 3 trigrams (a b c, b c d, c d e), all first → novelty 1.
