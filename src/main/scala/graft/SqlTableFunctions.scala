@@ -364,6 +364,27 @@ object SqlTableFunctions {
     add("graft_kcenters", "graft_kcenters(k)", 1) { (s, f, a) =>
       Ann.kCenters(rel(s, EmbeddingsRelation, f.name), intArg(f, a, 0))
     }
+    add("graft_gopher", "graft_gopher(min_words, max_words)", 2) { (s, f, a) =>
+      TextAnalysis.gopherRules(rel(s, DocumentsRelation, f.name),
+        intArg(f, a, 0), intArg(f, a, 1))
+    }
+    add("graft_fim", "graft_fim(min_tokens, fim_rate)", 2) { (s, f, a) =>
+      graft.operators.Packing.fimExamples(rel(s, DocumentsRelation, f.name),
+        intArg(f, a, 0), doubleArg(f, a, 1))
+    }
+    add("graft_corpus_report", "graft_corpus_report()", 0) { (s, f, _) =>
+      TextAnalysis.corpusReport(rel(s, DocumentsRelation, f.name))
+    }
+    // per-(doc, bench) leakage evidence; bench = doc_id % holdout_mod = 0
+    add("graft_contamination_report",
+      "graft_contamination_report(holdout_mod, n)", 2) { (s, f, a) =>
+      import org.apache.spark.sql.functions.col
+      val docs = rel(s, DocumentsRelation, f.name)
+      val m = longArg(f, a, 0)
+      graft.operators.Decontamination.contaminationReport(
+        docs.filter(col("doc_id") % m =!= 0),
+        docs.filter(col("doc_id") % m === 0), intArg(f, a, 1))
+    }
     add("graft_rag_retrieve", "graft_rag_retrieve(query, k)", 2) { (s, f, a) =>
       graft.operators.Rag.retrieveChunks(rel(s, DocumentsRelation, f.name),
         strArg(f, a, 0), intArg(f, a, 1))

@@ -219,6 +219,22 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       graft.operators.TextAnalysis.ccnetBucketsApprox(corpus, ref))
   }
 
+  test("graft_gopher/fim/corpus_report/contamination_report ≡ method paths") {
+    registerCorpus()
+    import org.apache.spark.sql.functions.col
+    val docs = spark.table(SqlTableFunctions.DocumentsRelation)
+    assertSame("SELECT * FROM graft_gopher(50, 100000)",
+      graft.operators.TextAnalysis.gopherRules(docs, 50, 100000))
+    assertSame("SELECT * FROM graft_fim(12, 0.5)",
+      graft.operators.Packing.fimExamples(docs, 12, 0.5))
+    assertSame("SELECT * FROM graft_corpus_report()",
+      graft.operators.TextAnalysis.corpusReport(docs))
+    assertSame("SELECT * FROM graft_contamination_report(7, 5)",
+      graft.operators.Decontamination.contaminationReport(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), 5))
+  }
+
   test("graft_novelty ≡ TextAnalysis.ngramNovelty") {
     registerCorpus()
     assertSame("SELECT * FROM graft_novelty(3)",
