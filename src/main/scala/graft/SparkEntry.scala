@@ -270,6 +270,11 @@ object SparkEntry {
     "q_m4" -> ((s, d) =>
       graft.queries.TimeseriesQueries.m4Downsample(conditions(s, d), Of, S1, E1,
         bucketS = 21600)),
+    // gauge_agg: signed last-minus-first delta + min/max envelope —
+    // the counter family for metrics that legitimately go down
+    "q_gauge_agg" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.gaugeAgg(conditions(s, d), Of, S1, E1,
+        bucketS = 21600)),
     // interpolated counter rate: cross-edge increments credited
     // proportionally to the buckets they span; rate over the full bucket
     // width (edge-to-edge interpolation leaves no dead time)
@@ -2309,6 +2314,39 @@ object SparkEntry {
          |                       / ((last_us - first_us) / 1000000.0), 6)
          |       END AS rate_per_s
          |FROM agg ORDER BY measurement_subject, coarse_s""".stripMargin,
+    // first/last replayed as row_number picks over the same composite
+    // (t, c) order the struct extrema use
+    "q_gauge_agg" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(21600)} AS time_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |ranked AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY measurement_subject, time_s
+         |                            ORDER BY t_us ASC, c ASC) AS rn_f,
+         |         row_number() OVER (PARTITION BY measurement_subject, time_s
+         |                            ORDER BY t_us DESC, c DESC) AS rn_l
+         |  FROM scanned),
+         |agg AS (
+         |  SELECT measurement_subject, time_s,
+         |         MAX(CASE WHEN rn_l = 1 THEN c END)
+         |           - MAX(CASE WHEN rn_f = 1 THEN c END) AS delta_scaled,
+         |         MIN(c) AS min_scaled, MAX(c) AS max_scaled, COUNT(*) AS n,
+         |         MAX(CASE WHEN rn_f = 1 THEN t_us END) AS first_us,
+         |         MAX(CASE WHEN rn_l = 1 THEN t_us END) AS last_us
+         |  FROM ranked GROUP BY 1, 2)
+         |SELECT measurement_subject, time_s, delta_scaled, min_scaled,
+         |       max_scaled, n, first_us, last_us,
+         |       CASE WHEN last_us > first_us
+         |            THEN ROUND(CAST(delta_scaled AS DOUBLE) / 100
+         |                       / ((last_us - first_us) / 1000000.0), 6)
+         |       END AS rate_per_s
+         |FROM agg ORDER BY measurement_subject, time_s""".stripMargin,
     // the proportional-credit replay: exact in-bucket sum + one head +
     // one tail double term per bucket, fixed association
     "q_counter_interp" ->

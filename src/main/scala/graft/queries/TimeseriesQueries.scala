@@ -560,6 +560,41 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "time_s")
   }
 
+  /** `gauge_agg` (toolkit): the counter family's semantics for a metric
+    * that legitimately goes DOWN — delta is simply last − first (signed,
+    * no reset adjustment), plus the bucket's min/max envelope. One hash
+    * agg; first/last via the same (t, c)-struct extrema as [[ohlcBars]]'
+    * open/close, so duplicate-timestamp ties are engine-deterministic.
+    */
+  def gaugeAgg(conditions: DataFrame, of: String, startS: Long, endS: Long,
+               bucketS: Long, scale: Int = 100): DataFrame = {
+    require(scale > 0 && bucketS > 0, "scale and bucket width must be positive")
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("t_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"),
+        timeBucketS(bucketS, col("timestamp")).as("time_s"))
+      .groupBy("measurement_subject", "time_s")
+      .agg(
+        min(struct(col("t_us"), col("c"))).as("first"),
+        max(struct(col("t_us"), col("c"))).as("last"),
+        min("c").as("min_scaled"), max("c").as("max_scaled"),
+        count(lit(1)).as("n"))
+      .select(col("measurement_subject"), col("time_s"),
+        (col("last.c") - col("first.c")).as("delta_scaled"),
+        col("min_scaled"), col("max_scaled"), col("n"),
+        col("first.t_us").as("first_us"), col("last.t_us").as("last_us"))
+      .withColumn("rate_per_s",
+        when(col("last_us") > col("first_us"),
+          round(col("delta_scaled").cast("double") / scale /
+            ((col("last_us") - col("first_us")) / lit(1000000.0)), 6)))
+      .orderBy("measurement_subject", "time_s")
+  }
+
   /** Composable counter summary — [[counterAgg]]'s outputs PLUS the
     * boundary readings that make per-bucket summaries MERGEABLE: with
     * (first, last) carried, two time-adjacent summaries A⊕B combine as
