@@ -674,6 +674,16 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // the provenance diagnostic: near-dup pair mass by (source, source)
+    "q_dedup_matrix" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.sourcePairMatrix(docs,
+        graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10)))
+    }),
+    // the vector-side data card: per-label counts, zero-norm drops,
+    // dimension envelope, mean L2 norm
+    "q_embed_report" -> ((s, d) =>
+      graft.operators.Ann.embeddingReport(table(s, d, "embeddings"))),
     // keep-BEST-per-cluster: survivor = cluster argmax of the 6-dp quality
     // score (tie → min id) — the curation-grade policy; score join ∝ the
     // duplicated subset only
@@ -2962,6 +2972,29 @@ object SparkEntry {
     // the incremental update must equal the from-scratch closure
     "q_dedup_clusters_inc" -> clustersOracleSql(10),
     "q_dedup_reps" -> repsOracleSql(10),
+    // pair mass re-keyed to the lexically-ordered source pair
+    "q_dedup_matrix" ->
+      s"""WITH ${jaccardBoundedPairsCte(10)},
+         |m AS (SELECT LEAST(da.source, db.source) AS source_a,
+         |             GREATEST(da.source, db.source) AS source_b
+         |      FROM jp JOIN documents da ON jp.doc_a = da.doc_id
+         |              JOIN documents db ON jp.doc_b = db.doc_id)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // vector-side data card; the norm fold is the neardup oracle's
+    // sequential double dot
+    "q_embed_report" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+        |         len(embedding) AS dim
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |       CAST(MIN(dim) AS INT) AS min_dim, CAST(MAX(dim) AS INT) AS max_dim,
+        |       ROUND(AVG(nrm), 6) AS mean_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     // argmax-by-quality survivor per cluster, replayed with the same
     // 6-dp-rounded score so the boundary is engine-identical
     "q_dedup_keep_best" ->

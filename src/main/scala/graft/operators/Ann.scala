@@ -217,6 +217,26 @@ object Ann {
       .toDF("rank", "vec_id", "mmr")
   }
 
+  /** Embedding-store QA report (the data-card face for the vector side):
+    * per label — row count, zero-norm count (vectors the ANN family
+    * DROPS, see [[withNorm]]), dimension min/max (a ragged store breaks
+    * every kernel), and the 6-dp mean L2 norm. One map + one hash agg.
+    * The mean is a double average (summation-order sensitive in the last
+    * bits), rounded at 6 dp where the reordering noise (~1e-15 relative)
+    * sits ten orders of magnitude below the rounding granularity — the
+    * lmScore/statsDerive precedent.
+    */
+  def embeddingReport(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), normUdf(col("embedding")).as("nrm"),
+        size(col("embedding")).as("dim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min("dim").as("min_dim"), max("dim").as("max_dim"),
+        round(avg("nrm"), 6).as("mean_norm"))
+      .orderBy("label")
+
   /** k-center coreset selection (Gonzalez 1985 farthest-point traversal):
     * greedily pick k vectors so every corpus vector is close to some
     * pick — the classic 2-approximation to the k-center cover, used for

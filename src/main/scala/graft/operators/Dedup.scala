@@ -219,6 +219,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Source-pair near-duplicate matrix: how many near-dup pairs connect
+    * each (source, source) combination — the provenance diagnostic behind
+    * "which feeds are mirroring each other" (cross-source mass) and
+    * "which feed re-posts itself" (diagonal mass). Pairs come from any
+    * tier; sources are ordered lexically per pair so the matrix is a
+    * deterministic upper triangle (+ diagonal). Two hash joins on doc id
+    * + one agg, all ∝ |pairs|.
+    */
+  def sourcePairMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Exact n-gram Jaccard similarity join: inverted-index (shingle) self
     * join → per-pair intersection count → jaccard = |∩| / (|A|+|B|−|∩|).
     * `maxDf` prunes stop-shingle skew (None = exact, used for the oracle).
