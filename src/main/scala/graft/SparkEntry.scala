@@ -270,6 +270,11 @@ object SparkEntry {
     "q_m4" -> ((s, d) =>
       graft.queries.TimeseriesQueries.m4Downsample(conditions(s, d), Of, S1, E1,
         bucketS = 21600)),
+    // idelta_right/irate: the LAST pair's instantaneous delta and rate
+    // per bucket — the live-dashboard slope
+    "q_counter_idelta" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.counterIdelta(conditions(s, d), Of, S1, E1,
+        bucketS = 21600)),
     // gauge_agg: signed last-minus-first delta + min/max envelope —
     // the counter family for metrics that legitimately go down
     "q_gauge_agg" -> ((s, d) =>
@@ -673,6 +678,16 @@ object SparkEntry {
           graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.8, maxDf = Some(10)))
         .select("doc_id")
         .orderBy("doc_id")
+    }),
+    // threshold sensitivity: pair counts at 0.7/0.8/0.9 from ONE pair
+    // pass — the tuning sweep a dedup rollout runs before fixing its
+    // threshold
+    "q_dedup_sensitivity" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.jaccardPairs(docs, n = 3, threshold = 0.7, maxDf = Some(10))
+        .agg(count(lit(1)).as("pairs_at_070"),
+          sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("pairs_at_080"),
+          sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("pairs_at_090"))
     }),
     // the provenance diagnostic: near-dup pair mass by (source, source)
     "q_dedup_matrix" -> ((s, d) => {
@@ -1080,6 +1095,16 @@ object SparkEntry {
     "q_hash_embed" -> ((s, d) => {
       import org.apache.spark.sql.functions.posexplode
       graft.operators.TextAnalysis.hashEmbed(table(s, d, "documents"), dim = 32)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .toDF("doc_id", "j", "v")
+        .orderBy("doc_id", "j")
+    }),
+    // tf-idf-weighted hashed embeddings: idf quantized to integer
+    // milli-nats so every bucket sum and squared norm stays exact —
+    // the full component matrix gated bit-for-bit like q_hash_embed
+    "q_tfidf_embed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.posexplode
+      graft.operators.TextAnalysis.tfidfHashEmbed(table(s, d, "documents"), dim = 32)
         .select(col("doc_id"), posexplode(col("embedding")))
         .toDF("doc_id", "j", "v")
         .orderBy("doc_id", "j")
@@ -2324,6 +2349,32 @@ object SparkEntry {
          |                       / ((last_us - first_us) / 1000000.0), 6)
          |       END AS rate_per_s
          |FROM agg ORDER BY measurement_subject, coarse_s""".stripMargin,
+    // the same lag pair + reversed row_number pick
+    "q_counter_idelta" ->
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(21600)} AS time_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |lagged AS (
+         |  SELECT *, lag(t_us) OVER w AS prev_t, lag(c) OVER w AS prev_c,
+         |         row_number() OVER (PARTITION BY measurement_subject, time_s
+         |                            ORDER BY t_us DESC, c DESC) AS rn
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject, time_s ORDER BY t_us, c))
+         |SELECT measurement_subject, time_s,
+         |       CASE WHEN c < prev_c THEN 0 ELSE c - prev_c END AS idelta_scaled,
+         |       t_us - prev_t AS idt_us,
+         |       c < prev_c AS reset,
+         |       CASE WHEN t_us > prev_t
+         |            THEN ROUND(CAST(CASE WHEN c < prev_c THEN 0 ELSE c - prev_c END AS DOUBLE)
+         |                       / 100 / ((t_us - prev_t) / 1000000.0), 6)
+         |       END AS irate_per_s
+         |FROM lagged WHERE rn = 1 AND prev_t IS NOT NULL
+         |ORDER BY measurement_subject, time_s""".stripMargin,
     // first/last replayed as row_number picks over the same composite
     // (t, c) order the struct extrema use
     "q_gauge_agg" ->
@@ -2972,6 +3023,24 @@ object SparkEntry {
     // the incremental update must equal the from-scratch closure
     "q_dedup_clusters_inc" -> clustersOracleSql(10),
     "q_dedup_reps" -> repsOracleSql(10),
+    // the 0.7-threshold pair pass banded at the ROUNDED jaccard, so the
+    // band boundaries are engine-identical
+    "q_dedup_sensitivity" ->
+      s"""WITH sh AS ($shingleCteSql),
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 10),
+         |pr AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+         |jagg AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+         |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+         |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+         |  FROM jagg WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.7)
+         |SELECT COUNT(*) AS pairs_at_070,
+         |       CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_at_080,
+         |       CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_at_090
+         |FROM jp""".stripMargin,
     // pair mass re-keyed to the lexically-ordered source pair
     "q_dedup_matrix" ->
       s"""WITH ${jaccardBoundedPairsCte(10)},
@@ -3706,6 +3775,30 @@ object SparkEntry {
          |         CASE WHEN ${md5BucketSql("hsign", "t")} % 2 = 1 THEN 1 ELSE -1 END AS s
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
          |sp AS (SELECT doc_id, b, SUM(s) AS v FROM tok GROUP BY doc_id, b),
+         |grid AS (SELECT d.doc_id, j.j
+         |         FROM (SELECT DISTINCT doc_id FROM documents) d,
+         |              (SELECT unnest(range(0, 32)) AS j) j),
+         |dense AS (SELECT g.doc_id, g.j, CAST(COALESCE(sp.v, 0) AS DOUBLE) AS v
+         |          FROM grid g LEFT JOIN sp ON g.doc_id = sp.doc_id AND g.j = sp.b),
+         |nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS n FROM dense GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.j AS INT) AS j,
+         |       CAST(CASE WHEN n.n = 0 THEN 0 ELSE d.v / n.n END AS FLOAT) AS v
+         |FROM dense d JOIN nrm n USING (doc_id)
+         |ORDER BY doc_id, j""".stripMargin,
+    // idf = ROUND(ln((N+1)/(df+1))·1000) BIGINT — then the q_hash_embed
+    // replay with weighted signs
+    "q_tfidf_embed" ->
+      s"""WITH tokraw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |dfc AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tokraw GROUP BY t),
+         |wts AS (SELECT t, CAST(ROUND(ln((nn.n + 1.0) / (df + 1.0)) * 1000, 0) AS BIGINT) AS idfm
+         |        FROM dfc CROSS JOIN nn),
+         |tok AS (
+         |  SELECT doc_id, CAST(${md5BucketSql("hemb", "tokraw.t")} % 32 AS INT) AS b,
+         |         (CASE WHEN ${md5BucketSql("hsign", "tokraw.t")} % 2 = 1 THEN 1 ELSE -1 END)
+         |           * w.idfm AS s
+         |  FROM tokraw JOIN wts w ON tokraw.t = w.t),
+         |sp AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v FROM tok GROUP BY doc_id, b),
          |grid AS (SELECT d.doc_id, j.j
          |         FROM (SELECT DISTINCT doc_id FROM documents) d,
          |              (SELECT unnest(range(0, 32)) AS j) j),

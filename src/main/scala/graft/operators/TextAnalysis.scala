@@ -514,6 +514,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[hashEmbed]] with TF-IDF weighting — each token contributes
+    * `sign · idf` instead of `sign · 1`, so stop-tokens stop dominating
+    * the vector (the standard lexical-embedding upgrade). The
+    * engine-exactness trick: idf is QUANTIZED to integer milli-nats
+    * (`round(ln((N+1)/(df+1)) · 1000)` as BIGINT), so every bucket sum
+    * and the squared norm stay exact integers whatever the summation
+    * order — the same discipline that makes [[hashEmbed]]'s 6-dp gate
+    * bit-for-bit rather than merely-probably-equal. Costs one extra
+    * token-df agg + a token-keyed join over the explode; N is the only
+    * driver-side number (the lmScore V precedent).
+    */
+  def tfidfHashEmbed(docs: DataFrame, dim: Int = 32): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"), explode(tokens).as("t"))
+    val idf = toks.groupBy("t")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("t"),
+        round(log((lit(n) + 1.0) / (col("df") + 1.0)) * 1000, 0)
+          .cast("long").as("idfm"))
+    val sparse = toks.join(idf, Seq("t"))
+      .select(col("doc_id"),
+        (Sampling.bucket(col("t"), "hemb") % dim).as("b"),
+        (when(Sampling.bucket(col("t"), "hsign") % 2 === 1, 1L).otherwise(-1L)
+          * col("idfm")).as("s"))
+      .groupBy("doc_id", "b").agg(sum("s").as("v"))
+      .groupBy("doc_id").agg(collect_list(struct(col("b"), col("v"))).as("entries"))
+    val densify = udf((entries: Seq[org.apache.spark.sql.Row]) => {
+      val acc = new Array[Double](dim)
+      entries.foreach(r => acc(r.getInt(0)) = r.getLong(1).toDouble)
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += acc(i) * acc(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      if (nrm == 0.0) new Array[Float](dim).toSeq
+      else acc.map(x => (x / nrm).toFloat).toSeq
+    })
+    docs.select("doc_id")
+      .join(sparse, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        densify(coalesce(col("entries"),
+          array().cast("array<struct<b:int,v:bigint>>"))).as("embedding"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"
     * §4.3): per LANGUAGE, split the corpus into equal head / middle /

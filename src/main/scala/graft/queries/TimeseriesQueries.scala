@@ -560,6 +560,45 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "time_s")
   }
 
+  /** `idelta_right` / `irate` (toolkit / PromQL): the LAST pair's
+    * instantaneous delta and rate per (subject, bucket) — the
+    * "most-recent slope" a live dashboard shows, vs [[counterAgg]]'s
+    * whole-bucket average. One (subject, bucket) window: lag for the
+    * pair, a reversed row_number to keep exactly the last pair; exact
+    * integer outputs plus the one 6-dp rate divide.
+    */
+  def counterIdelta(conditions: DataFrame, of: String, startS: Long,
+                    endS: Long, bucketS: Long, scale: Int = 100): DataFrame = {
+    require(scale > 0 && bucketS > 0, "scale and bucket width must be positive")
+    val w = Window.partitionBy("measurement_subject", "time_s")
+      .orderBy("t_us", "c")
+    val wDesc = Window.partitionBy("measurement_subject", "time_s")
+      .orderBy(col("t_us").desc, col("c").desc)
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        unix_micros(col("timestamp")).as("t_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"),
+        timeBucketS(bucketS, col("timestamp")).as("time_s"))
+      .withColumn("prev_t", lag("t_us", 1).over(w))
+      .withColumn("prev_c", lag("c", 1).over(w))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1 && col("prev_t").isNotNull)
+      .select(col("measurement_subject"), col("time_s"),
+        when(col("c") < col("prev_c"), lit(0L))
+          .otherwise(col("c") - col("prev_c")).as("idelta_scaled"),
+        (col("t_us") - col("prev_t")).as("idt_us"),
+        (col("c") < col("prev_c")).as("reset"),
+        when(col("t_us") > col("prev_t"),
+          round(when(col("c") < col("prev_c"), lit(0L))
+            .otherwise(col("c") - col("prev_c")).cast("double") / scale /
+            ((col("t_us") - col("prev_t")) / lit(1000000.0)), 6)).as("irate_per_s"))
+      .orderBy("measurement_subject", "time_s")
+  }
+
   /** `gauge_agg` (toolkit): the counter family's semantics for a metric
     * that legitimately goes DOWN — delta is simply last − first (signed,
     * no reset adjustment), plus the bucket's min/max envelope. One hash
