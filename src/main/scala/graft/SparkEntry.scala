@@ -391,6 +391,30 @@ object SparkEntry {
         graft.sources.ContinuousAggregate.query(s, s"$tmp/agg", Subject, Of,
           S1, E1, widthS = 86400)
       }),
+    // the stream-maintained rollup (the 7th external-state streaming
+    // family — state IS the rollup table): three ordered slices append
+    // to the raw store and refresh the touched dates; serving afterward
+    // must equal computing from raw rows
+    "q_cagg_streamed" -> ((s, d) => {
+      val real = conditions(s, d).filter(
+        col("timestamp") >= timestamp_seconds(lit(S1)) &&
+        col("timestamp") < timestamp_seconds(lit(E1)))
+      withTempDir("graft_cagg_stream") { tmp =>
+        def run(): Unit =
+          graft.streaming.CaggStream.start(s, s"$tmp/input", s"$tmp/store",
+            s"$tmp/agg", s"$tmp/cp", widthS = 3600).awaitTermination()
+        Seq(S1, 1705000000L, 1705700000L, E1).sliding(2).foreach {
+          case Seq(a, b) =>
+            real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
+                col("timestamp") < timestamp_seconds(lit(b)))
+              .coalesce(1).write.mode("append").parquet(s"$tmp/input")
+            run()
+          case _ => ()
+        }
+        graft.sources.ContinuousAggregate.query(s, s"$tmp/agg", Subject, Of,
+          S1, E1, widthS = 86400)
+      }
+    }),
     // distinct-count continuous aggregate: hourly mergeable distinct
     // state (sorted subject arrays = exact tier; HLL sketches = the
     // unbounded-cardinality tier, spec-gated), daily distinct-subject
@@ -1875,6 +1899,21 @@ object SparkEntry {
     s"""measurement_of = '$Of' AND measurement_subject = '$Subject'
        | AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1""".stripMargin
 
+  /** Daily AVG served from the materialized hourly rollup ≡ computed
+    * directly from raw rows — shared by q_cagg (batch-built rollup) and
+    * q_cagg_streamed (stream-maintained rollup).
+    */
+  private def caggServeOracleSql: String =
+    s"""$Cte
+       |SELECT (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400 AS time_s,
+       |       ROUND(CAST(SUM(CAST(ROUND(measurement_number * 100, 0) AS BIGINT)) AS DOUBLE)
+       |             / (COUNT(measurement_number) * 100.0), 6) AS avg_measurement_number
+       |FROM conditions
+       |WHERE measurement_of = '$Of' AND measurement_subject = '$Subject'
+       |  AND measurement_number IS NOT NULL
+       |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Bigram-LM scoring replay (add-one smoothing, 4-dp nll) — oracle for
     * q_lm_score and the base of the q_ccnet bucketing replay.
     */
@@ -2799,16 +2838,9 @@ object SparkEntry {
     "q_gapfill_linear" -> gapfillOracleSql(locf = false),
     // continuous-aggregate replay: the same integer-partial arithmetic
     // (Σ round(v·100) / (n·100)) over the raw rows, half-open range
-    "q_cagg" ->
-      s"""$Cte
-         |SELECT (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400 AS time_s,
-         |       ROUND(CAST(SUM(CAST(ROUND(measurement_number * 100, 0) AS BIGINT)) AS DOUBLE)
-         |             / (COUNT(measurement_number) * 100.0), 6) AS avg_measurement_number
-         |FROM conditions
-         |WHERE measurement_of = '$Of' AND measurement_subject = '$Subject'
-         |  AND measurement_number IS NOT NULL
-         |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cagg" -> caggServeOracleSql,
+    // stream-maintained rollup must serve the identical daily answer
+    "q_cagg_streamed" -> caggServeOracleSql,
     // distinct state composes by union, so serving from hourly arrays ≡
     // COUNT(DISTINCT) over the raw rows at daily grain; half-open range
     "q_cagg_distinct" ->

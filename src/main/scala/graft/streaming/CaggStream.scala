@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.sources.ContinuousAggregate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming-driven continuous-aggregate maintenance — the production
+  * loop a live conditions store runs: each micro-batch appends to the
+  * raw date-partitioned store, then refreshes the materialized rollup
+  * for every date the batch touched (the TimescaleDB refresh-policy
+  * shape, triggered by data arrival instead of a timer). The SEVENTH
+  * external-state family to gate streams: the state is the rollup table
+  * itself.
+  *
+  * Refresh recomputes dates ≥ the batch's min date from the FULL store,
+  * so late rows inside a batch fold in correctly and a replayed batch is
+  * idempotent for the rollup (the raw append stays at-least-once, the
+  * usual foreachBatch caveat — an idempotent keyed sink upgrades it).
+  * Per-batch cost ∝ the days the batch touches, never the store's age.
+  */
+object CaggStream {
+
+  def start(spark: SparkSession, inputDir: String, storePath: String,
+            aggPath: String, checkpointDir: String, widthS: Long,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.write.mode("append").parquet(storePath)
+          val minDate = b.agg(min(to_date(col("timestamp")))).head()
+          if (!minDate.isNullAt(0)) {
+            ContinuousAggregate.refresh(spark.read.parquet(storePath), aggPath,
+              widthS, minDate.getDate(0).toString)
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+}

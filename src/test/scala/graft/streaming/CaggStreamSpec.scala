@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.sources.ContinuousAggregate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-maintained rollup: a LATE batch (older than already-refreshed
+  * dates) must fold in correctly — refresh recomputes every date ≥ the
+  * batch's min date from the full store, so serving afterward equals a
+  * from-scratch build whatever the arrival order.
+  */
+class CaggStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val T0 = 1704240000L // 2024-01-03T00:00:00Z
+
+  private def rows(data: Seq[(Long, Double)]) = {
+    import spark.implicits._
+    data.map { case (off, v) =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(T0 + off)),
+        "s1", "m", Option(v), Option.empty[String]) }
+      .toDF("timestamp", "measurement_subject", "measurement_of",
+        "measurement_number", "measurement_string")
+  }
+
+  test("out-of-order day arrival: serve equals the from-scratch build") {
+    val day = 86400L
+    val d0 = (0 until 10).map(i => (i * 3600L, i * 1.5))
+    val d1 = (0 until 10).map(i => (day + i * 3600L, 100.0 + i))
+    val d2 = (0 until 10).map(i => (2 * day + i * 3600L, 50.0 - i))
+    val tmp = java.nio.file.Files.createTempDirectory("cagg_stream").toString
+    try {
+      def run(): Unit =
+        CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+          s"$tmp/cp", widthS = 3600).awaitTermination()
+      // day 0, then day 2, then the LATE day 1 — the final refresh must
+      // recompute days 1 AND 2 (its min date is day 1)
+      Seq(d0, d2, d1).foreach { slice =>
+        rows(slice).coalesce(1).write.mode("append").parquet(s"$tmp/in"); run()
+      }
+      val served = ContinuousAggregate.query(spark, s"$tmp/agg", "s1", "m",
+          T0, T0 + 3 * day, widthS = 86400)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      ContinuousAggregate.create(rows(d0 ++ d1 ++ d2), s"$tmp/agg2", widthS = 3600)
+      val direct = ContinuousAggregate.query(spark, s"$tmp/agg2", "s1", "m",
+          T0, T0 + 3 * day, widthS = 86400)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == direct, s"served $served vs direct $direct")
+      assert(served.length == 3)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+}
