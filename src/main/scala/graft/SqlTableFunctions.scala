@@ -249,6 +249,17 @@ object SqlTableFunctions {
         TimeseriesQueries.counterAgg(cond(s, f), strArg(f, a, 0),
           longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
     }
+    add("graft_gauge_agg", "graft_gauge_agg(of, start_s, end_s, bucket_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.gaugeAgg(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
+    add("graft_counter_idelta",
+      "graft_counter_idelta(of, start_s, end_s, bucket_s)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.counterIdelta(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
+    }
     add("graft_m4", "graft_m4(of, start_s, end_s, bucket_s)", 4) {
       (s, f, a) =>
         TimeseriesQueries.m4Downsample(cond(s, f), strArg(f, a, 0),

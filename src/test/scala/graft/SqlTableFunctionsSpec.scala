@@ -139,6 +139,15 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       TimeseriesQueries.counterAgg(cond, "m", T0, T1, 900))
   }
 
+  test("graft_gauge_agg ≡ gaugeAgg; graft_counter_idelta ≡ counterIdelta") {
+    assertSame(
+      s"SELECT * FROM graft_gauge_agg('m', $T0, $T1, 900)",
+      TimeseriesQueries.gaugeAgg(cond, "m", T0, T1, 900))
+    assertSame(
+      s"SELECT * FROM graft_counter_idelta('m', $T0, $T1, 900)",
+      TimeseriesQueries.counterIdelta(cond, "m", T0, T1, 900))
+  }
+
   test("graft_m4 ≡ m4Downsample") {
     assertSame(
       s"SELECT * FROM graft_m4('m', $T0, $T1, 900)",
