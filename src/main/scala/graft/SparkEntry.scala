@@ -275,6 +275,15 @@ object SparkEntry {
     "q_counter_idelta" -> ((s, d) =>
       graft.queries.TimeseriesQueries.counterIdelta(conditions(s, d), Of, S1, E1,
         bucketS = 21600)),
+    // fixed-bin histogram per (subject, 6 h bucket): [0, 20) in 10 bins,
+    // under/overflow clamped, exact-cents bin membership
+    "q_histogram" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.histogramAgg(conditions(s, d), Of, S1, E1,
+        bucketS = 21600, lo = 0.0, hi = 20.0, nbins = 10)),
+    // the ops-side data card: per-metric volume, subject cardinality,
+    // time extent, null count, exact-cents mean
+    "q_conditions_report" -> ((s, d) =>
+      graft.queries.TimeseriesQueries.conditionsReport(conditions(s, d), S1, E1)),
     // gauge_agg: signed last-minus-first delta + min/max envelope —
     // the counter family for metrics that legitimately go down
     "q_gauge_agg" -> ((s, d) =>
@@ -2414,6 +2423,33 @@ object SparkEntry {
          |       END AS irate_per_s
          |FROM lagged WHERE rn = 1 AND prev_t IS NOT NULL
          |ORDER BY measurement_subject, time_s""".stripMargin,
+    // clamp-then-floor-divide — negatives never reach the divide, so
+    // Spark's truncating div and DuckDB's flooring // agree
+    "q_histogram" ->
+      s"""$Cte,
+         |pts AS (
+         |  SELECT measurement_subject, ${bucketSql(21600)} AS time_s,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT measurement_subject, time_s,
+         |       LEAST(GREATEST(c - 0, 0) // 200, 9) AS bin, COUNT(*) AS n
+         |FROM pts GROUP BY 1, 2, 3
+         |ORDER BY measurement_subject, time_s, bin""".stripMargin,
+    "q_conditions_report" ->
+      s"""$Cte,
+         |t AS (SELECT measurement_of, measurement_subject,
+         |             epoch_us("timestamp") AS t_us,
+         |             CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |      FROM conditions
+         |      WHERE epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT measurement_of, COUNT(*) AS n_rows,
+         |       CAST(COUNT(DISTINCT measurement_subject) AS BIGINT) AS n_subjects,
+         |       MIN(t_us) AS first_us, MAX(t_us) AS last_us,
+         |       CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_number,
+         |       ROUND(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / (COUNT(c) * 100.0), 6) AS avg_number
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // first/last replayed as row_number picks over the same composite
     // (t, c) order the struct extrema use
     "q_gauge_agg" ->

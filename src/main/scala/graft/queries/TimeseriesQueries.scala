@@ -599,6 +599,64 @@ object TimeseriesQueries {
       .orderBy("measurement_subject", "time_s")
   }
 
+  /** Fixed-bin histogram aggregate (toolkit `histogram`): per
+    * (subject, time bucket), value counts over `nbins` equal bins of
+    * [lo, hi) with underflow clamped to bin 0 and overflow to the last
+    * bin. Bin edges are exact cents and the bin index is a NON-NEGATIVE
+    * integer division (clamped before dividing — Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, so negatives must never
+    * reach the divide), making bin membership engine-identical. Only
+    * non-empty bins are emitted; one hash agg.
+    */
+  def histogramAgg(conditions: DataFrame, of: String, startS: Long,
+                   endS: Long, bucketS: Long, lo: Double, hi: Double,
+                   nbins: Int, scale: Int = 100): DataFrame = {
+    require(nbins > 0, "nbins must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val loC = math.round(lo * scale)
+    val spanC = math.round((hi - lo) * scale)
+    require(spanC % nbins == 0,
+      s"bin width must be exact in scaled units: span $spanC, bins $nbins")
+    val widthC = spanC / nbins
+    conditions.filter(
+        col("measurement_of") === of &&
+        col("measurement_number").isNotNull &&
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_subject"),
+        timeBucketS(bucketS, col("timestamp")).as("time_s"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .withColumn("bin",
+        least(expr(s"greatest(c - ${loC}L, 0L) div ${widthC}L"),
+          lit(nbins - 1L)))
+      .groupBy("measurement_subject", "time_s", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("measurement_subject", "time_s", "bin")
+  }
+
+  /** The ops-side data card (the [[graft.operators.TextAnalysis
+    * .corpusReport]] treatment for the conditions store): per metric —
+    * row count, distinct subjects, observed time extent, and the exact-
+    * cents mean. One hash agg; every column engine-exact (the mean
+    * divides two exact integers once, at the end).
+    */
+  def conditionsReport(conditions: DataFrame, startS: Long,
+                       endS: Long, scale: Int = 100): DataFrame =
+    conditions.filter(
+        col("timestamp") >= timestamp_seconds(lit(startS)) &&
+        col("timestamp") <= timestamp_seconds(lit(endS)))
+      .select(col("measurement_of"), col("measurement_subject"),
+        unix_micros(col("timestamp")).as("t_us"),
+        round(col("measurement_number") * scale, 0).cast("long").as("c"))
+      .groupBy("measurement_of")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("measurement_subject")).as("n_subjects"),
+        min("t_us").as("first_us"), max("t_us").as("last_us"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_null_number"),
+        round(sum(col("c")).cast("double") / (count(col("c")) * lit(100.0)), 6)
+          .as("avg_number"))
+      .orderBy("measurement_of")
+
   /** `gauge_agg` (toolkit): the counter family's semantics for a metric
     * that legitimately goes DOWN — delta is simply last − first (signed,
     * no reset adjustment), plus the bucket's min/max envelope. One hash
