@@ -293,6 +293,17 @@ class RollupsSpec extends AnyFunSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("histogramAgg: hand-computed bins with under/overflow clamping") {
+    // [0, 10) in 5 bins of 2.00: values -1 (clamps to bin 0), 0.5 (bin 0),
+    // 3.0 (bin 1), 9.99 (bin 4), 25 (clamps to bin 4)
+    val out = TimeseriesQueries.histogramAgg(
+      conditions(Seq((0L, "s1", -1.0), (60L, "s1", 0.5), (120L, "s1", 3.0),
+        (180L, "s1", 9.99), (240L, "s1", 25.0))),
+      "m", T0, T0 + 3600, bucketS = 21600, lo = 0.0, hi = 10.0, nbins = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (4L, 2L)), s"got ${out.toSeq}")
+  }
+
   test("saxSymbols: hand-computed letters at the Gaussian breakpoints; zero variance -> null") {
     // one point per hourly bucket, values 1..8: mean 4.5, population std
     // ~2.2913 → z = ±1.53, ±1.09, ±0.65, ±0.22 → letters a a b b c c d d
