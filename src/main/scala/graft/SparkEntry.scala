@@ -115,6 +115,20 @@ object SparkEntry {
       conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
       s.sql(s"SELECT * FROM graft_format_time_intervals('$Subject', '$Of', $S1, $E1, $E1)")
     }),
+    // the counter family through the SQL face, sharing the method-path
+    // oracle — SQL-path ≡ method-path is driver-verified end to end
+    "q_sql_counter_agg" -> ((s, d) => {
+      GraftFunctions.register(s)
+      conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      s.sql(s"SELECT * FROM graft_counter_agg('$Of', $S1, $E1, 21600)")
+    }),
+    // the rule battery through SQL, over the registered documents view
+    "q_sql_gopher" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "documents")
+        .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      s.sql("SELECT * FROM graft_gopher(50, 100000)")
+    }),
     // the pipeline surface through SQL: ANN serving and the epoch
     // shuffle called as table functions over registered views — each
     // shares its method-path oracle (the builder returns the method's
@@ -1923,6 +1937,60 @@ object SparkEntry {
        |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Gopher rule replay — shared by q_gopher and q_sql_gopher. */
+  private def gopherOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+      |             CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sumlen,
+      |             CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+      |             CAST(len(list_filter(w, t -> strpos(t, '#') > 0 OR strpos(t, '...') > 0)) AS BIGINT) AS n_sym,
+      |             CAST(len(list_filter(w, t -> t IN ('the','and','of','to','a','in','is','that','it'))) AS BIGINT) AS n_stop
+      |      FROM t)
+      |SELECT doc_id, n AS n_words,
+      |       ROUND(CAST(sumlen AS DOUBLE) / n, 6) AS mean_word_len,
+      |       (n >= 50 AND n <= 100000) AS ok_words,
+      |       (sumlen >= n * 3 AND sumlen <= n * 10) AS ok_mean_len,
+      |       (n_alpha * 10 >= n * 8) AS ok_alpha,
+      |       (n_sym * 10 < n) AS ok_symbols,
+      |       (n_stop >= 2) AS ok_stops,
+      |       ((n >= 50 AND n <= 100000) AND (sumlen >= n * 3 AND sumlen <= n * 10)
+      |        AND (n_alpha * 10 >= n * 8) AND (n_sym * 10 < n)
+      |        AND (n_stop >= 2)) AS pass
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Reset-aware counter rollup replay — shared by q_counter_agg and its
+    * SQL-face twin q_sql_counter_agg.
+    */
+  private def counterAggOracleSql: String =
+    s"""$Cte,
+       |scanned AS (
+       |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+       |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+       |         ${bucketSql(21600)} AS time_s
+       |  FROM conditions
+       |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+       |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+       |lagged AS (
+       |  SELECT *, lag(c) OVER w AS prev_c
+       |  FROM scanned
+       |  WINDOW w AS (PARTITION BY measurement_subject, time_s ORDER BY t_us, c)),
+       |agg AS (
+       |  SELECT measurement_subject, time_s,
+       |         CAST(SUM(CASE WHEN prev_c IS NULL THEN 0
+       |                       WHEN c < prev_c THEN c
+       |                       ELSE c - prev_c END) AS BIGINT) AS delta_scaled,
+       |         CAST(SUM(CASE WHEN c < prev_c THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
+       |         COUNT(*) AS n,
+       |         MIN(t_us) AS first_us, MAX(t_us) AS last_us
+       |  FROM lagged GROUP BY 1, 2)
+       |SELECT measurement_subject, time_s, delta_scaled, num_resets, n,
+       |       first_us, last_us,
+       |       CASE WHEN last_us > first_us
+       |            THEN ROUND(CAST(delta_scaled AS DOUBLE) / 100
+       |                       / ((last_us - first_us) / 1000000.0), 6)
+       |       END AS rate_per_s
+       |FROM agg ORDER BY measurement_subject, time_s""".stripMargin
+
   /** Bigram-LM scoring replay (add-one smoothing, 4-dp nll) — oracle for
     * q_lm_score and the base of the q_ccnet bucketing replay.
     */
@@ -2337,35 +2405,9 @@ object SparkEntry {
     // counter_agg rollup: the same (ts, c)-ordered lag restricted to the
     // (subject, bucket) partition; every sum is exact cents, the one
     // divide (rate) runs token-identically on both sides
-    "q_counter_agg" ->
-      s"""$Cte,
-         |scanned AS (
-         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
-         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
-         |         ${bucketSql(21600)} AS time_s
-         |  FROM conditions
-         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
-         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
-         |lagged AS (
-         |  SELECT *, lag(c) OVER w AS prev_c
-         |  FROM scanned
-         |  WINDOW w AS (PARTITION BY measurement_subject, time_s ORDER BY t_us, c)),
-         |agg AS (
-         |  SELECT measurement_subject, time_s,
-         |         CAST(SUM(CASE WHEN prev_c IS NULL THEN 0
-         |                       WHEN c < prev_c THEN c
-         |                       ELSE c - prev_c END) AS BIGINT) AS delta_scaled,
-         |         CAST(SUM(CASE WHEN c < prev_c THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
-         |         COUNT(*) AS n,
-         |         MIN(t_us) AS first_us, MAX(t_us) AS last_us
-         |  FROM lagged GROUP BY 1, 2)
-         |SELECT measurement_subject, time_s, delta_scaled, num_resets, n,
-         |       first_us, last_us,
-         |       CASE WHEN last_us > first_us
-         |            THEN ROUND(CAST(delta_scaled AS DOUBLE) / 100
-         |                       / ((last_us - first_us) / 1000000.0), 6)
-         |       END AS rate_per_s
-         |FROM agg ORDER BY measurement_subject, time_s""".stripMargin,
+    "q_counter_agg" -> counterAggOracleSql,
+    // SQL face, same answer
+    "q_sql_counter_agg" -> counterAggOracleSql,
     // rollup contract oracle: weekly counters computed DIRECTLY from raw
     // rows — equality with Spark's partials-then-merge path proves ⊕
     "q_counter_rollup" ->
@@ -3557,25 +3599,9 @@ object SparkEntry {
         |       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // the same exact integer comparisons over the same token lists
-    "q_gopher" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
-        |             CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sumlen,
-        |             CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
-        |             CAST(len(list_filter(w, t -> strpos(t, '#') > 0 OR strpos(t, '...') > 0)) AS BIGINT) AS n_sym,
-        |             CAST(len(list_filter(w, t -> t IN ('the','and','of','to','a','in','is','that','it'))) AS BIGINT) AS n_stop
-        |      FROM t)
-        |SELECT doc_id, n AS n_words,
-        |       ROUND(CAST(sumlen AS DOUBLE) / n, 6) AS mean_word_len,
-        |       (n >= 50 AND n <= 100000) AS ok_words,
-        |       (sumlen >= n * 3 AND sumlen <= n * 10) AS ok_mean_len,
-        |       (n_alpha * 10 >= n * 8) AS ok_alpha,
-        |       (n_sym * 10 < n) AS ok_symbols,
-        |       (n_stop >= 2) AS ok_stops,
-        |       ((n >= 50 AND n <= 100000) AND (sumlen >= n * 3 AND sumlen <= n * 10)
-        |        AND (n_alpha * 10 >= n * 8) AND (n_sym * 10 < n)
-        |        AND (n_stop >= 2)) AS pass
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_gopher" -> gopherOracleSql,
+    // SQL face, same answer
+    "q_sql_gopher" -> gopherOracleSql,
     // the same md5 selection + integer span arithmetic + three slices
     "q_fim" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
