@@ -273,10 +273,17 @@ object Ann {
       .withColumn("mind", lit(Double.MaxValue))
     var r = 2
     var exhausted = false
+    // only ONE round's checkpoint lives in executor storage at a time:
+    // the prior round's blocks are released as soon as the next round's
+    // eager checkpoint has materialized (without this, k corpus-sized
+    // copies accumulate for the session's lifetime)
+    var prevCheckpoint: Option[DataFrame] = None
     while (r <= k && !exhausted) {
       val d = round(lit(1.0) -
         dotUdf(col("embedding"), lit(centerEmb)) / (col("nrm") * centerNrm), 6)
       cur = cur.withColumn("mind", least(col("mind"), d)).localCheckpoint(true)
+      prevCheckpoint.foreach(_.unpersist())
+      prevCheckpoint = Some(cur)
       val next = cur.orderBy(col("mind").desc, col("vec_id").asc).limit(1).collect()
       if (next.isEmpty) exhausted = true
       else {
@@ -288,6 +295,9 @@ object Ann {
         r += 1
       }
     }
+    // the picks are collected driver values — the last round's blocks
+    // are no longer needed either
+    prevCheckpoint.foreach(_.unpersist())
     picks.reverse.toDF("rank", "vec_id", "dist").orderBy("rank")
   }
 

@@ -192,8 +192,15 @@ object Clustering {
                idCol: String = "doc_id", scoreCol: String = "quality",
                src: String = "doc_a", dst: String = "doc_b"): DataFrame = {
     val comp = connectedComponents(pairs, src, dst)
+    // LEFT join + worst-case default, not inner: an inner join would
+    // silently DELETE a cluster whose ids are all absent from `scores`
+    // (its nodes still reach nonKept below but never the argmax). With
+    // −∞ as the default, scored nodes always win over unscored ones and
+    // an all-unscored cluster still keeps its min-id representative.
     val scored = comp.join(
-      scores.select(col(idCol).cast("long").as("node"), col(scoreCol)), Seq("node"))
+        scores.select(col(idCol).cast("long").as("node"), col(scoreCol)),
+        Seq("node"), "left")
+      .withColumn(scoreCol, coalesce(col(scoreCol), lit(Double.NegativeInfinity)))
     val keep = scored.groupBy("component")
       .agg(min(struct((-col(scoreCol)).as("ns"), col("node").as("node"))).as("b"))
       .select(col("b.node").as("node"))

@@ -28,7 +28,10 @@ object Rag {
     val spark = docs.sparkSession
     import spark.implicits._
     val chunks = Packing.chunkDocuments(docs, maxTokens, overlap)
-      .select((col("doc_id") * 100000L + col("chunk_id")).as("doc_id"),
+      .select(
+        when(col("chunk_id") < 100000L, col("doc_id") * 100000L + col("chunk_id"))
+          .otherwise(raise_error(lit("retrieveChunks: document with ≥1e5 chunks")))
+          .as("doc_id"),
         col("chunk_text").as("text"))
     val corpus = TextAnalysis.hashEmbed(chunks, dim)
       .withColumnRenamed("doc_id", "vec_id")

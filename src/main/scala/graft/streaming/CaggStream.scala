@@ -36,11 +36,18 @@ object CaggStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          b.write.mode("append").parquet(storePath)
+          // the raw store is DATE-PARTITIONED like the rollup, so the
+          // refresh below reads only the touched date directories
+          // (partition pruning on the filter) — per-batch cost ∝ the
+          // days the batch touches, never the store's age
+          b.withColumn("date", to_date(col("timestamp")))
+            .write.mode("append").partitionBy("date").parquet(storePath)
           val minDate = b.agg(min(to_date(col("timestamp")))).head()
           if (!minDate.isNullAt(0)) {
-            ContinuousAggregate.refresh(spark.read.parquet(storePath), aggPath,
-              widthS, minDate.getDate(0).toString)
+            val md = minDate.getDate(0).toString
+            ContinuousAggregate.refresh(
+              spark.read.parquet(storePath).filter(col("date") >= lit(md)),
+              aggPath, widthS, md)
           }
         } finally { b.unpersist(); () }
       }

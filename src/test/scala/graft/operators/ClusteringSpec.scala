@@ -217,6 +217,19 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.filterNot(r => clustered(r._1)).forall(r => plain(r._1) == r._3))
   }
 
+  test("keepBest: a cluster absent from scores keeps its min-id representative; scored beats unscored") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    // cluster {1,2}: NO scores at all — must not be deleted, min id 1
+    // survives; cluster {4,5}: only 5 is scored — the scored node wins
+    // even though 4 < 5; 3 and 6 singletons
+    val scores = Seq((5L, 0.1), (3L, 0.9)).toDF("doc_id", "quality")
+    val kept = Clustering.keepBest(docs, pairs, scores)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 3L, 6L))
+  }
+
   test("keepBest with a constant score degrades to keepRepresentatives") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")

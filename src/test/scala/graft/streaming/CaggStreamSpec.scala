@@ -54,6 +54,12 @@ class CaggStreamSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(served == direct, s"served $served vs direct $direct")
       assert(served.length == 3)
+      // the raw store must be date-partitioned so refresh prunes to the
+      // touched dates instead of scanning the store's full history
+      val storeDirs = new java.io.File(s"$tmp/store").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(storeDirs == Set("date=2024-01-03", "date=2024-01-04", "date=2024-01-05"),
+        s"raw store not date-partitioned: $storeDirs")
     } finally {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
