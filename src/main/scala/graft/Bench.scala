@@ -21,21 +21,25 @@ object Bench {
     System.gc()
   }
 
-  /** Times one query: best (min) wall-clock over the successful reps and
-    * the last row count. Returns `None` when EVERY rep failed — an
-    * all-failed query must never publish a timing number (its fast-fail
-    * latency would read downstream as a fast success); the JSON emits
-    * `null` for it instead.
+  /** Times one query: best (min) wall-clock over the successful reps,
+    * the last row count, and the phase breakdown (BenchPhases) of the
+    * rep that achieved the min — so a composite's attribution always
+    * matches its reported total. Returns `None` when EVERY rep failed —
+    * an all-failed query must never publish a timing number (its
+    * fast-fail latency would read downstream as a fast success); the
+    * JSON emits `null` for it instead.
     */
   private[graft] def timeQuery(spark: SparkSession, name: String,
                                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                               sfDir: String, reps: Int): (Option[Double], Long) = {
+                               sfDir: String, reps: Int): (Option[Double], Long, Map[String, Double]) = {
     var best = Double.MaxValue
+    var bestPhases = Map.empty[String, Double]
     var rows = -1L
     var rep = 0
     while (rep < reps) {
       spark.catalog.clearCache()
       gcBarrier()
+      BenchPhases.repStart()
       val t0 = System.nanoTime()
       val ok =
         try { rows = fn(spark, sfDir).count(); true }
@@ -44,10 +48,13 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // a failed rep's fast-fail time must not win the min — only
       // successful reps compete
-      if (ok && elapsed < best) best = elapsed
+      if (ok && elapsed < best) {
+        best = elapsed
+        bestPhases = BenchPhases.repSnapshot(name)
+      }
       rep += 1
     }
-    (if (best == Double.MaxValue) None else Some(best), rows)
+    (if (best == Double.MaxValue) None else Some(best), rows, bestPhases)
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,17 +77,30 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
-      val (best, rows) = timeQuery(spark, name, fn, sfDir, reps)
+      val (best, rows, phases) = timeQuery(spark, name, fn, sfDir, reps)
       best match {
-        case Some(b) => System.err.println(f"[bench] $name%-24s $b%8.2f s  ($rows rows)")
+        case Some(b) =>
+          val phStr = if (phases.isEmpty) ""
+            else phases.toSeq.sortBy(_._1)
+              .map { case (p, s) => f"$p=$s%.2f" }.mkString("  [", " ", "]")
+          System.err.println(f"[bench] $name%-24s $b%8.2f s  ($rows rows)$phStr")
         case None    => System.err.println(f"[bench] $name%-24s   FAILED (no timing)")
       }
-      name -> best
+      (name, best, phases)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // per-phase seconds for composite rows, from the SAME rep as the
+    // reported min (see BenchPhases) — makes a composite's
+    // round-over-round movement attributable to build/stage/drain
+    // instead of just "got slower"
+    val ph = results.collect { case (q, Some(_), m) if m.nonEmpty =>
+      "\"" + q + "\":" + m.toSeq.sortBy(_._1)
+        .map { case (p, s) => "\"" + p + "\":" + f"$s%.3f" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"sf":"$sfDir"}"""
     println(line)
     // also write the full JSON to a file — stdout tails get truncated when
     // the query map grows, and a truncated artifact can't be machine-checked

@@ -240,7 +240,7 @@ object SparkEntry {
         .select("measurement_subject", "measurement_of", "measurement_number",
           "timestamp")
       withTempDir("graft_rate_stream") { tmp =>
-        def run(): Unit = {
+        def run(): Unit = BenchPhases.timed("q_rate_stream", "drain") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.streaming.CounterStream.deltas(stream, Of)
             .writeStream.format("parquet")
@@ -254,9 +254,10 @@ object SparkEntry {
         // so AvailableNow cannot split it out of order
         Seq(S1, 1705000000L, 1705700000L, E1 + 1).sliding(2).foreach {
           case Seq(a, b) =>
-            real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
-                col("timestamp") < timestamp_seconds(lit(b)))
-              .coalesce(1).write.mode("append").parquet(s"$tmp/input")
+            BenchPhases.timed("q_rate_stream", "stage")(
+              real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
+                  col("timestamp") < timestamp_seconds(lit(b)))
+                .coalesce(1).write.mode("append").parquet(s"$tmp/input"))
             run()
           case _ => ()
         }
@@ -423,14 +424,15 @@ object SparkEntry {
         col("timestamp") >= timestamp_seconds(lit(S1)) &&
         col("timestamp") < timestamp_seconds(lit(E1)))
       withTempDir("graft_cagg_stream") { tmp =>
-        def run(): Unit =
+        def run(): Unit = BenchPhases.timed("q_cagg_streamed", "drain")(
           graft.streaming.CaggStream.start(s, s"$tmp/input", s"$tmp/store",
-            s"$tmp/agg", s"$tmp/cp", widthS = 3600).awaitTermination()
+            s"$tmp/agg", s"$tmp/cp", widthS = 3600).awaitTermination())
         Seq(S1, 1705000000L, 1705700000L, E1).sliding(2).foreach {
           case Seq(a, b) =>
-            real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
-                col("timestamp") < timestamp_seconds(lit(b)))
-              .coalesce(1).write.mode("append").parquet(s"$tmp/input")
+            BenchPhases.timed("q_cagg_streamed", "stage")(
+              real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
+                  col("timestamp") < timestamp_seconds(lit(b)))
+                .coalesce(1).write.mode("append").parquet(s"$tmp/input"))
             run()
           case _ => ()
         }
@@ -486,7 +488,7 @@ object SparkEntry {
           col("timestamp") <= timestamp_seconds(lit(E1)))
         .select("measurement_subject", "measurement_number", "timestamp")
       withTempDir("graft_ohlc_stream") { tmp =>
-        def run(): Unit = {
+        def run(): Unit = BenchPhases.timed("q_ohlc_stream", "drain") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingOhlc(stream, intervalS = 86400)
             .writeStream.format("parquet")
@@ -500,7 +502,8 @@ object SparkEntry {
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        real.repartition(3).write.parquet(s"$tmp/input")
+        BenchPhases.timed("q_ohlc_stream", "stage")(
+          real.repartition(3).write.parquet(s"$tmp/input"))
         run()
         sentinel(4102444800L); run()
         s.read.parquet(s"$tmp/out")
@@ -521,7 +524,7 @@ object SparkEntry {
           col("timestamp") <= timestamp_seconds(lit(E1)))
         .select("measurement_subject", "measurement_number", "timestamp")
       withTempDir("graft_stats_stream") { tmp =>
-        def run(): Unit = {
+        def run(): Unit = BenchPhases.timed("q_stats_stream", "drain") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingStatsAgg(stream, intervalS = 86400)
             .writeStream.format("parquet")
@@ -535,7 +538,8 @@ object SparkEntry {
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        real.repartition(3).write.parquet(s"$tmp/input")
+        BenchPhases.timed("q_stats_stream", "stage")(
+          real.repartition(3).write.parquet(s"$tmp/input"))
         run()
         sentinel(4102444800L); run()
         graft.queries.TimeseriesQueries.statsDerive(
@@ -559,7 +563,7 @@ object SparkEntry {
           col("timestamp") <= org.apache.spark.sql.functions.timestamp_seconds(lit(E1)))
         .select("measurement_subject", "measurement_of", "measurement_number", "timestamp")
       withTempDir("graft_aggint_stream") { tmp =>
-        def run(): Unit = {
+        def run(): Unit = BenchPhases.timed("q_agg_interval_stream", "drain") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingIntervalStats(stream, intervalS = 86400)
             .writeStream.format("parquet")
@@ -573,7 +577,8 @@ object SparkEntry {
           Seq(("__sentinel__", "__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_of", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        real.repartition(3).write.parquet(s"$tmp/input")
+        BenchPhases.timed("q_agg_interval_stream", "stage")(
+          real.repartition(3).write.parquet(s"$tmp/input"))
         run()
         sentinel(4102444800L); run()
         s.read.parquet(s"$tmp/out")
@@ -599,7 +604,7 @@ object SparkEntry {
           col("timestamp") <= org.apache.spark.sql.functions.timestamp_seconds(lit(E1)))
         .select("measurement_subject", "timestamp")
       withTempDir("graft_sess_stream") { tmp =>
-        def run(): Unit = {
+        def run(): Unit = BenchPhases.timed("q_sessions_stream", "drain") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingSessionize(stream, gapS = 7200)
             .writeStream.format("parquet")
@@ -613,7 +618,8 @@ object SparkEntry {
           Seq(("__sentinel__", new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        real.repartition(3).write.parquet(s"$tmp/input")
+        BenchPhases.timed("q_sessions_stream", "stage")(
+          real.repartition(3).write.parquet(s"$tmp/input"))
         run()                      // real events (several micro-batches)
         sentinel(4102444800L); run() // 2100-01-01: watermark past every close
         s.read.parquet(s"$tmp/out")
@@ -649,15 +655,18 @@ object SparkEntry {
     // is identical under any micro-batching and the oracle replays it
     "q_line_dedup_stream" -> ((s, d) => {
       val planted = plantedLines(s, d)
-      graft.operators.Dedup.writeLineIndex(
-        planted.filter(col("doc_id") % 2 === 0), "graft_stream_line_index")
+      BenchPhases.timed("q_line_dedup_stream", "build")(
+        graft.operators.Dedup.writeLineIndex(
+          planted.filter(col("doc_id") % 2 === 0), "graft_stream_line_index"))
       withTempDir("graft_line_stream") { tmp =>
-        planted.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
-          .repartition(3).write.parquet(s"$tmp/input")
-        graft.streaming.DedupStream.startLines(s, s"$tmp/input",
-            "graft_stream_line_index", s"$tmp/out", s"$tmp/cp",
-            maxFilesPerTrigger = Some(1))
-          .awaitTermination()
+        BenchPhases.timed("q_line_dedup_stream", "stage")(
+          planted.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+            .repartition(3).write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_line_dedup_stream", "drain")(
+          graft.streaming.DedupStream.startLines(s, s"$tmp/input",
+              "graft_stream_line_index", s"$tmp/out", s"$tmp/cp",
+              maxFilesPerTrigger = Some(1))
+            .awaitTermination())
         s.read.parquet(s"$tmp/out").orderBy("doc_id")
       }
     }),
@@ -778,10 +787,12 @@ object SparkEntry {
     // files' bucket layout is hash-checked end to end
     "q_dedup_idx_append" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      graft.operators.Dedup.writeSignatureIndex(
-        docs.filter(col("doc_id") % 3 === 0), "graft_sig_append")
-      graft.operators.Dedup.appendToSignatureIndex(
-        docs.filter(col("doc_id") % 3 === 1), "graft_sig_append")
+      BenchPhases.timed("q_dedup_idx_append", "build")(
+        graft.operators.Dedup.writeSignatureIndex(
+          docs.filter(col("doc_id") % 3 === 0), "graft_sig_append"))
+      BenchPhases.timed("q_dedup_idx_append", "append")(
+        graft.operators.Dedup.appendToSignatureIndex(
+          docs.filter(col("doc_id") % 3 === 1), "graft_sig_append"))
       graft.operators.Dedup.minhashPairsAgainstIndex(
         docs.filter(col("doc_id") % 3 === 2), "graft_sig_append",
         docs.filter(col("doc_id") % 3 =!= 2))
@@ -794,13 +805,16 @@ object SparkEntry {
     "q_dedup_stream" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val idxDocs = docs.filter(col("doc_id") % 2 === 0)
-      graft.operators.Dedup.writeSignatureIndex(idxDocs, "graft_stream_sig_index")
+      BenchPhases.timed("q_dedup_stream", "build")(
+        graft.operators.Dedup.writeSignatureIndex(idxDocs, "graft_stream_sig_index"))
       withTempDir("graft_dedup_stream") { tmp =>
-        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
-          .repartition(3).write.parquet(s"$tmp/input")
-        graft.streaming.DedupStream.start(s, s"$tmp/input", "graft_stream_sig_index",
-            idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
-          .awaitTermination()
+        BenchPhases.timed("q_dedup_stream", "stage")(
+          docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
+            .repartition(3).write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_dedup_stream", "drain")(
+          graft.streaming.DedupStream.start(s, s"$tmp/input", "graft_stream_sig_index",
+              idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+            .awaitTermination())
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
@@ -809,15 +823,18 @@ object SparkEntry {
     // lists); oracle = odd docs with no cross-slice hamming<=3 pair
     "q_dedup_simhash_stream" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      graft.operators.Dedup.writeSimhashIndex(
-        docs.filter(col("doc_id") % 2 === 0), "graft_stream_sh_index")
+      BenchPhases.timed("q_dedup_simhash_stream", "build")(
+        graft.operators.Dedup.writeSimhashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "graft_stream_sh_index"))
       withTempDir("graft_simhash_stream") { tmp =>
-        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
-          .repartition(3).write.parquet(s"$tmp/input")
-        graft.streaming.DedupStream.startSimhash(s, s"$tmp/input",
-            "graft_stream_sh_index", s"$tmp/out", s"$tmp/cp",
-            maxFilesPerTrigger = Some(1))
-          .awaitTermination()
+        BenchPhases.timed("q_dedup_simhash_stream", "stage")(
+          docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
+            .repartition(3).write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_dedup_simhash_stream", "drain")(
+          graft.streaming.DedupStream.startSimhash(s, s"$tmp/input",
+              "graft_stream_sh_index", s"$tmp/out", s"$tmp/cp",
+              maxFilesPerTrigger = Some(1))
+            .awaitTermination())
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
@@ -838,8 +855,9 @@ object SparkEntry {
     // recomputation; shares the incremental oracle
     "q_dedup_simhash_idx" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      graft.operators.Dedup.writeSimhashIndex(
-        docs.filter(col("doc_id") % 2 === 0), "graft_simhash_index")
+      BenchPhases.timed("q_dedup_simhash_idx", "build")(
+        graft.operators.Dedup.writeSimhashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "graft_simhash_index"))
       graft.operators.Dedup.simhashPairsAgainstIndex(
         docs.filter(col("doc_id") % 2 === 1), "graft_simhash_index")
     }),
@@ -847,10 +865,12 @@ object SparkEntry {
     // probed against the stored signatures — exact cross-slice oracle
     "q_dedup_simhash_app" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      graft.operators.Dedup.writeSimhashIndex(
-        docs.filter(col("doc_id") % 3 === 0), "graft_simhash_append")
-      graft.operators.Dedup.appendToSimhashIndex(
-        docs.filter(col("doc_id") % 3 === 1), "graft_simhash_append")
+      BenchPhases.timed("q_dedup_simhash_app", "build")(
+        graft.operators.Dedup.writeSimhashIndex(
+          docs.filter(col("doc_id") % 3 === 0), "graft_simhash_append"))
+      BenchPhases.timed("q_dedup_simhash_app", "append")(
+        graft.operators.Dedup.appendToSimhashIndex(
+          docs.filter(col("doc_id") % 3 === 1), "graft_simhash_append"))
       graft.operators.Dedup.simhashPairsAgainstIndex(
         docs.filter(col("doc_id") % 3 === 2), "graft_simhash_append")
     }),
@@ -900,8 +920,9 @@ object SparkEntry {
     // incremental oracle); nProbe < nlist is the documented scale dial
     "q_embed_neardup_idx" -> ((s, d) => {
       val e = table(s, d, "embeddings")
-      graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
-        "graft_ivf_neardup", nlist = 16)
+      BenchPhases.timed("q_embed_neardup_idx", "build")(
+        graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "graft_ivf_neardup", nlist = 16))
       graft.operators.Ann.neardupAgainstIvfIndex(
         e.filter(col("vec_id") % 2 === 1), "graft_ivf_neardup",
         threshold = 0.45, nProbe = 16)
@@ -912,10 +933,12 @@ object SparkEntry {
     // brute-force SQ8 oracle (the float q_ann_ivf_append pattern)
     "q_ann_ivf_sq8_app" -> ((s, d) => {
       val e = table(s, d, "embeddings")
-      graft.operators.Ann.writeIvfSq8Index(e.filter(col("vec_id") % 2 === 0),
-        "graft_ivfsq8_app", nlist = 16)
-      graft.operators.Ann.appendToIvfSq8Index(
-        e.filter(col("vec_id") % 2 === 1), "graft_ivfsq8_app")
+      BenchPhases.timed("q_ann_ivf_sq8_app", "build")(
+        graft.operators.Ann.writeIvfSq8Index(e.filter(col("vec_id") % 2 === 0),
+          "graft_ivfsq8_app", nlist = 16))
+      BenchPhases.timed("q_ann_ivf_sq8_app", "append")(
+        graft.operators.Ann.appendToIvfSq8Index(
+          e.filter(col("vec_id") % 2 === 1), "graft_ivfsq8_app"))
       graft.operators.Ann.ivfTopKSq8AgainstIndex(s, "graft_ivfsq8_app",
         queryId = 0L, k = 20, nProbe = 16)
     }),
@@ -925,8 +948,9 @@ object SparkEntry {
     // the oracle replays quantize -> decode -> cross-slice cosine in SQL
     "q_embed_neardup_sq8" -> ((s, d) => {
       val e = table(s, d, "embeddings")
-      graft.operators.Ann.writeIvfSq8Index(e.filter(col("vec_id") % 2 === 0),
-        "graft_ivfsq8_neardup", nlist = 16)
+      BenchPhases.timed("q_embed_neardup_sq8", "build")(
+        graft.operators.Ann.writeIvfSq8Index(e.filter(col("vec_id") % 2 === 0),
+          "graft_ivfsq8_neardup", nlist = 16))
       graft.operators.Ann.neardupAgainstIvfSq8Index(
         e.filter(col("vec_id") % 2 === 1), "graft_ivfsq8_neardup",
         threshold = 0.45, nProbe = 16)
@@ -939,15 +963,18 @@ object SparkEntry {
     // brute-force survivor set
     "q_embed_neardup_stream" -> ((s, d) => {
       val e = table(s, d, "embeddings")
-      graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
-        "graft_stream_ivf_index", nlist = 16)
+      BenchPhases.timed("q_embed_neardup_stream", "build")(
+        graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "graft_stream_ivf_index", nlist = 16))
       withTempDir("graft_embed_stream") { tmp =>
-        e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
-          .repartition(3).write.parquet(s"$tmp/input")
-        graft.streaming.AnnStream.start(s, s"$tmp/input", "graft_stream_ivf_index",
-            s"$tmp/out", s"$tmp/cp", threshold = 0.45, nProbe = 16,
-            maxFilesPerTrigger = Some(1))
-          .awaitTermination()
+        BenchPhases.timed("q_embed_neardup_stream", "stage")(
+          e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+            .repartition(3).write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_embed_neardup_stream", "drain")(
+          graft.streaming.AnnStream.start(s, s"$tmp/input", "graft_stream_ivf_index",
+              s"$tmp/out", s"$tmp/cp", threshold = 0.45, nProbe = 16,
+              maxFilesPerTrigger = Some(1))
+            .awaitTermination())
         s.read.parquet(s"$tmp/out").select("vec_id").orderBy("vec_id")
       }
     }),
@@ -1040,10 +1067,12 @@ object SparkEntry {
     // is asserted sane (reference stored at write time)
     "q_ann_ivf_append" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
-      graft.operators.Ann.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
-        "graft_ivf_append", nlist = 16)
-      graft.operators.Ann.appendToIvfIndex(
-        emb.filter(col("vec_id") % 2 === 1), "graft_ivf_append")
+      BenchPhases.timed("q_ann_ivf_append", "build")(
+        graft.operators.Ann.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+          "graft_ivf_append", nlist = 16))
+      BenchPhases.timed("q_ann_ivf_append", "append")(
+        graft.operators.Ann.appendToIvfIndex(
+          emb.filter(col("vec_id") % 2 === 1), "graft_ivf_append"))
       val (_, _, ratio) = graft.operators.Ann.ivfDrift(s, "graft_ivf_append")
       require(ratio > 0, s"drift ratio must be positive, got $ratio")
       graft.operators.Ann.ivfTopKAgainstIndex(s, "graft_ivf_append",
@@ -1212,15 +1241,19 @@ object SparkEntry {
       val docs = table(s, d, "documents")
       // seed an EMPTY index (schema only) so every count arrives via the
       // streaming appends
-      graft.operators.TextAnalysis.writeVocabIndex(
-        docs.filter(lit(false)), "graft_vocab_stream_idx")
+      BenchPhases.timed("q_vocab_stream", "build")(
+        graft.operators.TextAnalysis.writeVocabIndex(
+          docs.filter(lit(false)), "graft_vocab_stream_idx"))
       withTempDir("graft_vocab_stream") { tmp =>
-        docs.select("doc_id", "text").repartition(3)
-          .write.parquet(s"$tmp/input")
-        graft.streaming.CorpusStatsStream.start(s, s"$tmp/input",
-            "graft_vocab_stream_idx", s"$tmp/cp", maxFilesPerTrigger = Some(1))
-          .awaitTermination()
-        graft.operators.TextAnalysis.compactVocabIndex(s, "graft_vocab_stream_idx")
+        BenchPhases.timed("q_vocab_stream", "stage")(
+          docs.select("doc_id", "text").repartition(3)
+            .write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_vocab_stream", "drain")(
+          graft.streaming.CorpusStatsStream.start(s, s"$tmp/input",
+              "graft_vocab_stream_idx", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+            .awaitTermination())
+        BenchPhases.timed("q_vocab_stream", "compact")(
+          graft.operators.TextAnalysis.compactVocabIndex(s, "graft_vocab_stream_idx"))
         graft.operators.TextAnalysis.vocabFromIndex(s, "graft_vocab_stream_idx", k = 30)
       }
     }),
@@ -1240,9 +1273,10 @@ object SparkEntry {
     // scoring, shares the q_quality_classifier oracle
     "q_quality_model_idx" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      graft.operators.QualityModels.writeNbModel(
-        docs.filter(col("doc_id") % 5 =!= 0), col("lang") === "en",
-        "graft_nb_model")
+      BenchPhases.timed("q_quality_model_idx", "build")(
+        graft.operators.QualityModels.writeNbModel(
+          docs.filter(col("doc_id") % 5 =!= 0), col("lang") === "en",
+          "graft_nb_model"))
       graft.operators.QualityModels.scoreAgainstModel(
         docs.filter(col("doc_id") % 5 === 0), "graft_nb_model")
     }),
@@ -1251,16 +1285,19 @@ object SparkEntry {
     // accepted doc_ids (score > 0), oracle = the batch replay filtered
     "q_quality_stream" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      graft.operators.QualityModels.writeNbModel(
-        docs.filter(col("doc_id") % 5 =!= 0), col("lang") === "en",
-        "graft_nb_model_stream")
+      BenchPhases.timed("q_quality_stream", "build")(
+        graft.operators.QualityModels.writeNbModel(
+          docs.filter(col("doc_id") % 5 =!= 0), col("lang") === "en",
+          "graft_nb_model_stream"))
       withTempDir("graft_quality_stream") { tmp =>
-        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text", "lang")
-          .repartition(3).write.parquet(s"$tmp/input")
-        graft.streaming.QualityStream.start(s, s"$tmp/input",
-            "graft_nb_model_stream", s"$tmp/out", s"$tmp/cp",
-            maxFilesPerTrigger = Some(1))
-          .awaitTermination()
+        BenchPhases.timed("q_quality_stream", "stage")(
+          docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text", "lang")
+            .repartition(3).write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_quality_stream", "drain")(
+          graft.streaming.QualityStream.start(s, s"$tmp/input",
+              "graft_nb_model_stream", s"$tmp/out", s"$tmp/cp",
+              maxFilesPerTrigger = Some(1))
+            .awaitTermination())
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
@@ -1396,8 +1433,9 @@ object SparkEntry {
     // the corpus probes nProbe lists instead of the whole eval suite
     "q_decontaminate_semantic_idx" -> ((s, d) => {
       val e = table(s, d, "embeddings")
-      graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 7 === 0),
-        "graft_decon_bench_ivf", nlist = 16)
+      BenchPhases.timed("q_decontaminate_semantic_idx", "build")(
+        graft.operators.Ann.writeIvfIndex(e.filter(col("vec_id") % 7 === 0),
+          "graft_decon_bench_ivf", nlist = 16))
       graft.operators.Decontamination.semanticAgainstIndex(
         e.filter(col("vec_id") % 7 =!= 0), "graft_decon_bench_ivf",
         threshold = 0.45, nProbe = 16)
@@ -1409,12 +1447,15 @@ object SparkEntry {
     "q_decontaminate_stream" -> ((s, d) => {
       val docs = table(s, d, "documents")
       withTempDir("graft_decon_stream") { tmp =>
-        docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text", "source")
-          .repartition(3).write.parquet(s"$tmp/input")
-        graft.streaming.DecontaminationStream.start(s, s"$tmp/input",
+        BenchPhases.timed("q_decontaminate_stream", "stage")(
+          docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text", "source")
+            .repartition(3).write.parquet(s"$tmp/input"))
+        val q = BenchPhases.timed("q_decontaminate_stream", "build")(
+          graft.streaming.DecontaminationStream.start(s, s"$tmp/input",
             docs.filter(col("doc_id") % 7 === 0), s"$tmp/out", s"$tmp/cp",
-            n = 5, maxFilesPerTrigger = Some(1))
-          .awaitTermination()
+            n = 5, maxFilesPerTrigger = Some(1)))
+        BenchPhases.timed("q_decontaminate_stream", "drain")(
+          q.awaitTermination())
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
@@ -1562,15 +1603,18 @@ object SparkEntry {
             expr("substring(text, 12)")).as("text"), col("n_chars"))
       val media = Multimodal.fromDocuments(
         docs.select("doc_id", "text", "n_chars").unionByName(planted))
-      Multimodal.writeMediaIndex(media.filter(col("id") % 2 === 0),
-        "graft_media_stream_idx")
+      BenchPhases.timed("q_media_stream", "build")(
+        Multimodal.writeMediaIndex(media.filter(col("id") % 2 === 0),
+          "graft_media_stream_idx"))
       withTempDir("graft_media_stream") { tmp =>
-        media.filter(col("id") % 2 === 1).select("id", "content")
-          .repartition(3).write.parquet(s"$tmp/input")
-        graft.streaming.DedupStream.startMedia(s, s"$tmp/input",
-            "graft_media_stream_idx", s"$tmp/out", s"$tmp/cp",
-            maxFilesPerTrigger = Some(1))
-          .awaitTermination()
+        BenchPhases.timed("q_media_stream", "stage")(
+          media.filter(col("id") % 2 === 1).select("id", "content")
+            .repartition(3).write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_media_stream", "drain")(
+          graft.streaming.DedupStream.startMedia(s, s"$tmp/input",
+              "graft_media_stream_idx", s"$tmp/out", s"$tmp/cp",
+              maxFilesPerTrigger = Some(1))
+            .awaitTermination())
         s.read.parquet(s"$tmp/out").select("id").orderBy("id")
       }
     }),
@@ -1588,8 +1632,10 @@ object SparkEntry {
             expr("substring(text, 12)")).as("text"), col("n_chars"))
       val media = Multimodal.fromDocuments(
         docs.select("doc_id", "text", "n_chars").unionByName(planted))
-      Multimodal.writeMediaIndex(media.filter(col("id") % 3 === 0), "graft_media_idx")
-      Multimodal.appendToMediaIndex(media.filter(col("id") % 3 === 1), "graft_media_idx")
+      BenchPhases.timed("q_media_neardup_idx", "build")(
+        Multimodal.writeMediaIndex(media.filter(col("id") % 3 === 0), "graft_media_idx"))
+      BenchPhases.timed("q_media_neardup_idx", "append")(
+        Multimodal.appendToMediaIndex(media.filter(col("id") % 3 === 1), "graft_media_idx"))
       Multimodal.mediaNearDupAgainstIndex(media.filter(col("id") % 3 === 2),
         "graft_media_idx")
     }),
@@ -1663,11 +1709,19 @@ object SparkEntry {
     // next to the shards so a bad copy is detectable without re-reads
     "q_export_manifest" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      graft.operators.Sampling.shardManifest(
-        graft.operators.CorpusCuration.trainingExport(docs,
-          docs.filter(col("doc_id") % 7 === 0),
-          seed = 42, epoch = 1, numShards = 7),
-        docs)
+      // the 4-stage export is MATERIALIZED under its own phase timer
+      // (persist + count), then the manifest reads the cached rows: the
+      // bench row's movement splits into export vs manifest instead of
+      // repaying (and re-timing) the whole curation pipeline opaquely
+      val exported = BenchPhases.timed("q_export_manifest", "export") {
+        val e = graft.operators.CorpusCuration.trainingExport(docs,
+            docs.filter(col("doc_id") % 7 === 0),
+            seed = 42, epoch = 1, numShards = 7)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        e
+      }
+      graft.operators.Sampling.shardManifest(exported, docs)
     }),
 
     // end-to-end converter path under load: synthesize emon MQTT envelopes
@@ -1691,13 +1745,16 @@ object SparkEntry {
     // set is fixed per SF, so seconds are comparable round over round)
     "q_ingest_wire" -> ((s, d) => {
       withTempDir("graft_wire_bench") { tmp =>
-        emonEnvelopes(s, d).write.text(s"$tmp/input")
-        graft.streaming.IngestPipeline
-          .startConvertToWire(s, s"$tmp/input", s"$tmp/wire", s"$tmp/cp_convert")
-          .awaitTermination()
-        graft.streaming.IngestPipeline
-          .startWire(s, s"$tmp/wire", s"$tmp/out", s"$tmp/cp_store")
-          .awaitTermination()
+        BenchPhases.timed("q_ingest_wire", "stage")(
+          emonEnvelopes(s, d).write.text(s"$tmp/input"))
+        BenchPhases.timed("q_ingest_wire", "convert")(
+          graft.streaming.IngestPipeline
+            .startConvertToWire(s, s"$tmp/input", s"$tmp/wire", s"$tmp/cp_convert")
+            .awaitTermination())
+        BenchPhases.timed("q_ingest_wire", "store")(
+          graft.streaming.IngestPipeline
+            .startWire(s, s"$tmp/wire", s"$tmp/out", s"$tmp/cp_store")
+            .awaitTermination())
         s.read.parquet(s"$tmp/out")
           .select(unix_micros(col("timestamp")).as("ts_us"), col("measurement_subject"),
             col("measurement_of"), col("measurement_number"))
