@@ -440,6 +440,23 @@ object SparkEntry {
           S1, E1, widthS = 86400)
       }
     }),
+    // REAL-TIME cagg serving (Timescale materialized_only=false): the
+    // rollup is built STALE — only events before the mid-window horizon
+    // are materialized — then served over the FULL window; the answer
+    // must equal computing everything from raw because the serve path
+    // unions stored partials with the raw tail past the watermark.
+    // Materialized-only serving provably loses the tail (spec-pinned);
+    // the oracle replays the whole window from raw events directly.
+    "q_cagg_realtime" -> ((s, d) =>
+      withTempDir("graft_cagg_rt") { tmp =>
+        val c = conditions(s, d)
+        val staleHorizonS = 1705536000L // 2024-01-18, bucket-aligned
+        graft.sources.ContinuousAggregate.create(
+          c.filter(col("timestamp") < timestamp_seconds(lit(staleHorizonS))),
+          s"$tmp/agg", widthS = 3600)
+        graft.sources.ContinuousAggregate.queryRealtime(s, s"$tmp/agg", c,
+          Subject, Of, S1, E1, widthS = 86400, storedWidthS = 3600)
+      }),
     // distinct-count continuous aggregate: hourly mergeable distinct
     // state (sorted subject arrays = exact tier; HLL sketches = the
     // unbounded-cardinality tier, spec-gated), daily distinct-subject
@@ -2976,6 +2993,9 @@ object SparkEntry {
     "q_cagg" -> caggServeOracleSql,
     // stream-maintained rollup must serve the identical daily answer
     "q_cagg_streamed" -> caggServeOracleSql,
+    // realtime = stored partials ∪ raw tail must equal the full window
+    // computed from raw — same replay as the serve oracle
+    "q_cagg_realtime" -> caggServeOracleSql,
     // distinct state composes by union, so serving from hourly arrays ≡
     // COUNT(DISTINCT) over the raw rows at daily grain; half-open range
     "q_cagg_distinct" ->

@@ -89,6 +89,89 @@ object ContinuousAggregate {
         .as("avg_measurement_number"))
       .orderBy("time_s")
 
+  /** REAL-TIME serving (TimescaleDB real-time aggregate semantics):
+    * materialized buckets UNION the raw tail past the refresh horizon.
+    * [[query]] alone silently loses every row newer than the last
+    * refresh — a dashboard's "last hour" panel over a rollup refreshed
+    * nightly would show nothing for today (the reference's dashboard
+    * pattern, `db/get_aggregated_data.sql:24-29`, always sees live
+    * rows because it queries the hypertable; Timescale caggs keep that
+    * property by defaulting to `materialized_only = false`).
+    *
+    * Watermark = end of the last materialized bucket (global, like
+    * Timescale's per-cagg watermark), derived from the rollup itself in
+    * two partition-pruned steps: max `date` partition, then max
+    * `bucket_s` inside that one partition — never a full rollup scan.
+    * Everything below the watermark serves from stored partials;
+    * `raw` is scanned ONLY for `timestamp >= watermark` (at 100 TB the
+    * tail is one refresh period of data, and the time predicate prunes
+    * the raw store's date partitions). Both sides produce the same
+    * integer partials at the STORED width, so a serve bucket straddling
+    * the watermark merges exactly and the answer is bit-identical to
+    * computing the whole window from raw.
+    *
+    * Timescale-faithful lag caveat: a row that arrives IN an
+    * already-materialized bucket after its refresh is not visible until
+    * the next [[refresh]] folds it in — the watermark splits by time,
+    * not by arrival.
+    *
+    * `storedWidthS` must be the width the rollup was created with;
+    * `widthS` (serve width) any multiple of it; bounds half-open and
+    * aligned as in [[query]].
+    */
+  def queryRealtime(spark: SparkSession, path: String, raw: DataFrame,
+                    subject: String, of: String, startS: Long, endS: Long,
+                    widthS: Long, storedWidthS: Long,
+                    scale: Int = 100): DataFrame = {
+    require(storedWidthS > 0 && widthS % storedWidthS == 0,
+      s"serve width $widthS must be a multiple of the stored width $storedWidthS")
+    // a rollup created over an empty slice has no files at all (no
+    // schema to infer) — treat it as watermark = startS: the whole
+    // window serves from raw
+    val roll: Option[DataFrame] =
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    val watermarkS: Long = roll match {
+      case None => startS
+      case Some(r) =>
+        val maxDate = r.select(max(col("date"))).head()
+        if (maxDate.isNullAt(0)) startS
+        else {
+          val lastBucket = r.filter(col("date") === maxDate.getDate(0))
+            .agg(max(col("bucket_s"))).head().getLong(0)
+          lastBucket + storedWidthS
+        }
+    }
+    val storedAll = roll.getOrElse(
+      spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+        .toDF("bucket_s", "sum_scaled", "n_events"))
+    val stored = storedAll
+      .filter(col("bucket_s") >= startS && col("bucket_s") < endS &&
+        col("bucket_s") < watermarkS &&
+        (if (roll.isDefined) col("measurement_subject") === subject &&
+          col("measurement_of") === of else lit(false)))
+      .select(col("bucket_s"), col("sum_scaled"), col("n_events"))
+    val tailStart = math.max(watermarkS, startS)
+    val tail = rollup(
+        raw.filter(col("measurement_subject") === subject &&
+          col("measurement_of") === of &&
+          col("timestamp") >= timestamp_seconds(lit(tailStart)) &&
+          col("timestamp") < timestamp_seconds(lit(endS))),
+        storedWidthS, scale)
+      .filter(col("bucket_s") >= startS && col("bucket_s") < endS)
+      .select(col("bucket_s"), col("sum_scaled"), col("n_events"))
+    stored.unionByName(tail)
+      .withColumn("time_s",
+        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .groupBy("time_s")
+      .agg(round(sum(col("sum_scaled")) / (sum(col("n_events")) * lit(scale * 1.0)), 6)
+        .as("avg_measurement_number"))
+      .orderBy("time_s")
+  }
+
   /** Distinct-count continuous aggregate: COUNT(DISTINCT) does not
     * compose from plain partials (yesterday's 5 distinct + today's 5 may
     * be 5..10), so the rollup stores MERGEABLE distinct state per

@@ -177,4 +177,45 @@ class ContinuousAggregateSpec extends AnyFunSuite {
     // idempotent
     assert(ConditionsTable.dropPartitionsOlderThan(store, "2024-01-05").isEmpty)
   }
+
+  test("realtime serving: stale rollup union raw tail equals from-scratch; materialized-only loses the tail") {
+    val c = conditions(4)
+    val path = tmp("cagg_rt")
+    // STALE rollup: only the first 2 days are materialized
+    ContinuousAggregate.create(
+      c.filter(col("timestamp") < timestamp_seconds(lit(T0 + 2 * 86400))),
+      path, widthS = 3600)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val realtime = pairs(ContinuousAggregate.queryRealtime(spark, path, c,
+      "s0", "m", T0, T0 + 4 * 86400, widthS = 86400, storedWidthS = 3600))
+    val fresh = tmp("cagg_rt_fresh")
+    ContinuousAggregate.create(c, fresh, widthS = 3600)
+    val direct = pairs(ContinuousAggregate.query(spark, fresh, "s0", "m",
+      T0, T0 + 4 * 86400, widthS = 86400))
+    assert(realtime == direct, s"realtime $realtime vs direct $direct")
+    assert(realtime.length == 4)
+    // the trap queryRealtime exists to close: materialized-only serving
+    // of the same stale rollup silently drops days 2-3
+    val matOnly = pairs(ContinuousAggregate.query(spark, path, "s0", "m",
+      T0, T0 + 4 * 86400, widthS = 86400))
+    assert(matOnly.length == 2, s"stale rollup should only hold 2 days, got $matOnly")
+  }
+
+  test("realtime serving with an empty rollup computes everything from raw") {
+    val c = conditions(2)
+    val path = tmp("cagg_rt_empty")
+    // a rollup created over an empty slice: no partitions at all
+    ContinuousAggregate.create(c.filter(lit(false)), path, widthS = 3600)
+    val realtime = ContinuousAggregate.queryRealtime(spark, path, c,
+        "s0", "m", T0, T0 + 2 * 86400, widthS = 86400, storedWidthS = 3600)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = tmp("cagg_rt_empty_fresh")
+    ContinuousAggregate.create(c, fresh, widthS = 3600)
+    val direct = ContinuousAggregate.query(spark, fresh, "s0", "m",
+        T0, T0 + 2 * 86400, widthS = 86400)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(realtime == direct)
+    assert(realtime.length == 2)
+  }
 }
