@@ -122,6 +122,31 @@ object SparkEntry {
       conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
       s.sql(s"SELECT * FROM graft_counter_agg('$Of', $S1, $E1, 21600)")
     }),
+    "q_sql_counter_rollup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      s.sql(s"SELECT * FROM graft_counter_rollup('$Of', $S1, $E1, 21600, 604800)")
+    }),
+    "q_sql_histogram" -> ((s, d) => {
+      GraftFunctions.register(s)
+      conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      s.sql(s"SELECT * FROM graft_histogram_agg('$Of', $S1, $E1, 21600, 0.0, 20.0, 10)")
+    }),
+    "q_sql_state" -> ((s, d) => {
+      GraftFunctions.register(s)
+      conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      s.sql(s"SELECT * FROM graft_state_durations('$Of', $S1, $E1)")
+    }),
+    "q_sql_gaps" -> ((s, d) => {
+      GraftFunctions.register(s)
+      conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      s.sql(s"SELECT * FROM graft_gaps('$Of', $S1, $E1, 50)")
+    }),
+    "q_sql_hampel" -> ((s, d) => {
+      GraftFunctions.register(s)
+      conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      s.sql(s"SELECT * FROM graft_hampel('$Of', $S1, $E1, 86400, 3)")
+    }),
     // the rule battery through SQL, over the registered documents view
     "q_sql_gopher" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -2011,6 +2036,87 @@ object SparkEntry {
        |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private def counterRollupOracleSql: String =
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
+         |         ${bucketSql(604800)} AS coarse_s
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |lagged AS (
+         |  SELECT *, lag(c) OVER w AS prev_c
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject, coarse_s ORDER BY t_us, c)),
+         |agg AS (
+         |  SELECT measurement_subject, coarse_s,
+         |         CAST(SUM(CASE WHEN prev_c IS NULL THEN 0
+         |                       WHEN c < prev_c THEN c
+         |                       ELSE c - prev_c END) AS BIGINT) AS delta_scaled,
+         |         CAST(SUM(CASE WHEN c < prev_c THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
+         |         COUNT(*) AS n,
+         |         MIN(t_us) AS first_us, MAX(t_us) AS last_us
+         |  FROM lagged GROUP BY 1, 2)
+         |SELECT measurement_subject, coarse_s, delta_scaled, num_resets, n,
+         |       first_us, last_us,
+         |       CASE WHEN last_us > first_us
+         |            THEN ROUND(CAST(delta_scaled AS DOUBLE) / 100
+         |                       / ((last_us - first_us) / 1000000.0), 6)
+         |       END AS rate_per_s
+         |FROM agg ORDER BY measurement_subject, coarse_s""".stripMargin
+
+  private def histogramOracleSql: String =
+      s"""$Cte,
+         |pts AS (
+         |  SELECT measurement_subject, ${bucketSql(21600)} AS time_s,
+         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
+         |SELECT measurement_subject, time_s,
+         |       LEAST(GREATEST(c - 0, 0) // 200, 9) AS bin, COUNT(*) AS n
+         |FROM pts GROUP BY 1, 2, 3
+         |ORDER BY measurement_subject, time_s, bin""".stripMargin
+
+  private def gapsOracleSql: String =
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, "timestamp" FROM conditions
+         |  WHERE measurement_of = '$Of'
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |gaps AS (
+         |  SELECT measurement_subject,
+         |         epoch_us(lag("timestamp") OVER w) AS gap_start_us,
+         |         epoch_us("timestamp") AS gap_end_us
+         |  FROM scanned
+         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp"))
+         |SELECT measurement_subject, gap_start_us, gap_end_us,
+         |       gap_end_us - gap_start_us AS gap_us
+         |FROM gaps WHERE gap_start_us IS NOT NULL
+         |ORDER BY gap_us DESC, measurement_subject ASC, gap_start_us ASC
+         |LIMIT 50""".stripMargin
+
+  private def stateOracleSql: String =
+      s"""$Cte,
+         |scanned AS (
+         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us,
+         |         measurement_string AS state
+         |  FROM conditions
+         |  WHERE measurement_of = '$Of' AND measurement_string IS NOT NULL
+         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
+         |seq AS (
+         |  SELECT measurement_subject, ts_us, state,
+         |         COALESCE(lead(ts_us) OVER (PARTITION BY measurement_subject ORDER BY ts_us, state),
+         |                  ${E1 * 1000000L}) AS next_us,
+         |         lag(state) OVER (PARTITION BY measurement_subject ORDER BY ts_us, state) AS prev_state
+         |  FROM scanned)
+         |SELECT measurement_subject, state,
+         |       CAST(SUM(next_us - ts_us) AS BIGINT) AS duration_us,
+         |       CAST(SUM(CASE WHEN prev_state IS NULL OR prev_state <> state THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+         |       COUNT(*) AS n_events
+         |FROM seq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Gopher rule replay — shared by q_gopher and q_sql_gopher. */
   private def gopherOracleSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2482,37 +2588,16 @@ object SparkEntry {
     "q_counter_agg" -> counterAggOracleSql,
     // SQL face, same answer
     "q_sql_counter_agg" -> counterAggOracleSql,
+    // the five late-family SQL faces — each shares its method-path
+    // oracle verbatim (SQL path ≡ method path by construction)
+    "q_sql_counter_rollup" -> counterRollupOracleSql,
+    "q_sql_histogram" -> histogramOracleSql,
+    "q_sql_gaps" -> gapsOracleSql,
+    "q_sql_state" -> stateOracleSql,
+    "q_sql_hampel" -> outliersOracleSql("quantile_cont"),
     // rollup contract oracle: weekly counters computed DIRECTLY from raw
     // rows — equality with Spark's partials-then-merge path proves ⊕
-    "q_counter_rollup" ->
-      s"""$Cte,
-         |scanned AS (
-         |  SELECT measurement_subject, epoch_us("timestamp") AS t_us,
-         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c,
-         |         ${bucketSql(604800)} AS coarse_s
-         |  FROM conditions
-         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
-         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
-         |lagged AS (
-         |  SELECT *, lag(c) OVER w AS prev_c
-         |  FROM scanned
-         |  WINDOW w AS (PARTITION BY measurement_subject, coarse_s ORDER BY t_us, c)),
-         |agg AS (
-         |  SELECT measurement_subject, coarse_s,
-         |         CAST(SUM(CASE WHEN prev_c IS NULL THEN 0
-         |                       WHEN c < prev_c THEN c
-         |                       ELSE c - prev_c END) AS BIGINT) AS delta_scaled,
-         |         CAST(SUM(CASE WHEN c < prev_c THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
-         |         COUNT(*) AS n,
-         |         MIN(t_us) AS first_us, MAX(t_us) AS last_us
-         |  FROM lagged GROUP BY 1, 2)
-         |SELECT measurement_subject, coarse_s, delta_scaled, num_resets, n,
-         |       first_us, last_us,
-         |       CASE WHEN last_us > first_us
-         |            THEN ROUND(CAST(delta_scaled AS DOUBLE) / 100
-         |                       / ((last_us - first_us) / 1000000.0), 6)
-         |       END AS rate_per_s
-         |FROM agg ORDER BY measurement_subject, coarse_s""".stripMargin,
+    "q_counter_rollup" -> counterRollupOracleSql,
     // the same lag pair + reversed row_number pick
     "q_counter_idelta" ->
       s"""$Cte,
@@ -2541,18 +2626,7 @@ object SparkEntry {
          |ORDER BY measurement_subject, time_s""".stripMargin,
     // clamp-then-floor-divide — negatives never reach the divide, so
     // Spark's truncating div and DuckDB's flooring // agree
-    "q_histogram" ->
-      s"""$Cte,
-         |pts AS (
-         |  SELECT measurement_subject, ${bucketSql(21600)} AS time_s,
-         |         CAST(ROUND(measurement_number * 100, 0) AS BIGINT) AS c
-         |  FROM conditions
-         |  WHERE measurement_of = '$Of' AND measurement_number IS NOT NULL
-         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1)
-         |SELECT measurement_subject, time_s,
-         |       LEAST(GREATEST(c - 0, 0) // 200, 9) AS bin, COUNT(*) AS n
-         |FROM pts GROUP BY 1, 2, 3
-         |ORDER BY measurement_subject, time_s, bin""".stripMargin,
+    "q_histogram" -> histogramOracleSql,
     "q_conditions_report" ->
       s"""$Cte,
          |t AS (SELECT measurement_of, measurement_subject,
@@ -2801,23 +2875,7 @@ object SparkEntry {
     "q_outliers_approx" -> outliersOracleSql("quantile_disc"),
     // exact integer gaps; deterministic tie-break (gap desc, subject,
     // start) makes LIMIT reproducible across engines
-    "q_gaps" ->
-      s"""$Cte,
-         |scanned AS (
-         |  SELECT measurement_subject, "timestamp" FROM conditions
-         |  WHERE measurement_of = '$Of'
-         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
-         |gaps AS (
-         |  SELECT measurement_subject,
-         |         epoch_us(lag("timestamp") OVER w) AS gap_start_us,
-         |         epoch_us("timestamp") AS gap_end_us
-         |  FROM scanned
-         |  WINDOW w AS (PARTITION BY measurement_subject ORDER BY "timestamp"))
-         |SELECT measurement_subject, gap_start_us, gap_end_us,
-         |       gap_end_us - gap_start_us AS gap_us
-         |FROM gaps WHERE gap_start_us IS NOT NULL
-         |ORDER BY gap_us DESC, measurement_subject ASC, gap_start_us ASC
-         |LIMIT 50""".stripMargin,
+    "q_gaps" -> gapsOracleSql,
     "q_lttb" -> lttbOracleSql,
     // exact BIGINT partials, then the IDENTICAL double formulas over the
     // identical integers — both engines run the same IEEE sequence
@@ -2967,25 +3025,7 @@ object SparkEntry {
     // clipped at range end), lag marks run starts — same (ts, state) tie
     // order as the Spark window, so zero-length duplicate-ts intervals
     // and run boundaries agree exactly
-    "q_state" ->
-      s"""$Cte,
-         |scanned AS (
-         |  SELECT measurement_subject, epoch_us("timestamp") AS ts_us,
-         |         measurement_string AS state
-         |  FROM conditions
-         |  WHERE measurement_of = '$Of' AND measurement_string IS NOT NULL
-         |    AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 <= $E1),
-         |seq AS (
-         |  SELECT measurement_subject, ts_us, state,
-         |         COALESCE(lead(ts_us) OVER (PARTITION BY measurement_subject ORDER BY ts_us, state),
-         |                  ${E1 * 1000000L}) AS next_us,
-         |         lag(state) OVER (PARTITION BY measurement_subject ORDER BY ts_us, state) AS prev_state
-         |  FROM scanned)
-         |SELECT measurement_subject, state,
-         |       CAST(SUM(next_us - ts_us) AS BIGINT) AS duration_us,
-         |       CAST(SUM(CASE WHEN prev_state IS NULL OR prev_state <> state THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
-         |       COUNT(*) AS n_events
-         |FROM seq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_state" -> stateOracleSql,
     "q_gapfill_locf" -> gapfillOracleSql(locf = true),
     "q_gapfill_linear" -> gapfillOracleSql(locf = false),
     // continuous-aggregate replay: the same integer-partial arithmetic

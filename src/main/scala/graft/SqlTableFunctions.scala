@@ -249,6 +249,38 @@ object SqlTableFunctions {
         TimeseriesQueries.counterAgg(cond(s, f), strArg(f, a, 0),
           longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3))
     }
+    add("graft_counter_rollup",
+      "graft_counter_rollup(of, start_s, end_s, width_s, coarse_s)", 5) {
+      (s, f, a) =>
+        TimeseriesQueries.counterRollup(
+          TimeseriesQueries.counterPartials(cond(s, f), strArg(f, a, 0),
+            longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3)),
+          longArg(f, a, 4))
+    }
+    add("graft_histogram_agg",
+      "graft_histogram_agg(of, start_s, end_s, bucket_s, lo, hi, nbins)", 7) {
+      (s, f, a) =>
+        TimeseriesQueries.histogramAgg(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3),
+          doubleArg(f, a, 4), doubleArg(f, a, 5), intArg(f, a, 6))
+    }
+    add("graft_state_durations",
+      "graft_state_durations(of, start_s, end_s)", 3) {
+      (s, f, a) =>
+        TimeseriesQueries.stateDurations(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2))
+    }
+    add("graft_gaps", "graft_gaps(of, start_s, end_s, top_n)", 4) {
+      (s, f, a) =>
+        TimeseriesQueries.largestGaps(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), intArg(f, a, 3))
+    }
+    add("graft_hampel", "graft_hampel(of, start_s, end_s, width_s, k)", 5) {
+      (s, f, a) =>
+        TimeseriesQueries.hampelOutliers(cond(s, f), strArg(f, a, 0),
+          longArg(f, a, 1), longArg(f, a, 2), longArg(f, a, 3),
+          intArg(f, a, 4))
+    }
     add("graft_gauge_agg", "graft_gauge_agg(of, start_s, end_s, bucket_s)", 4) {
       (s, f, a) =>
         TimeseriesQueries.gaugeAgg(cond(s, f), strArg(f, a, 0),
