@@ -108,6 +108,97 @@ object GatePhaseProbe {
       emit("q_decontaminate_stream", tBuild, tStage, tStream, batches)
     }
 
+    // ---- q_dedup_simhash_stream: SimHash band-segment index gate (the
+    // #1 bench row in round 7, 13.1 s with no split)
+    withTempDir("gpp_simhash") { tmp =>
+      val (_, tBuild) = time(graft.operators.Dedup.writeSimhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "gpp_sh_index"))
+      val (_, tStage) = time(
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
+          .repartition(3).write.parquet(s"$tmp/input"))
+      val q = graft.streaming.DedupStream.startSimhash(spark, s"$tmp/input",
+        "gpp_sh_index", s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+      val (tStream, batches) = drain(q)
+      emit("q_dedup_simhash_stream", tBuild, tStage, tStream, batches)
+    }
+
+    // ---- q_line_dedup_stream: line-claim index gate (probe cost only,
+    // so the raw documents stand in for the gate's planted-lines corpus)
+    withTempDir("gpp_lines") { tmp =>
+      val (_, tBuild) = time(graft.operators.Dedup.writeLineIndex(
+        docs.filter(col("doc_id") % 2 === 0), "gpp_line_index"))
+      val (_, tStage) = time(
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+          .repartition(3).write.parquet(s"$tmp/input"))
+      val q = graft.streaming.DedupStream.startLines(spark, s"$tmp/input",
+        "gpp_line_index", s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+      val (tStream, batches) = drain(q)
+      emit("q_line_dedup_stream", tBuild, tStage, tStream, batches)
+    }
+
+    // ---- q_media_stream: media signature index gate
+    withTempDir("gpp_media") { tmp =>
+      val media = graft.operators.Multimodal.fromDocuments(
+        docs.select("doc_id", "text", "n_chars"))
+      val (_, tBuild) = time(graft.operators.Multimodal.writeMediaIndex(
+        media.filter(col("id") % 2 === 0), "gpp_media_index"))
+      val (_, tStage) = time(
+        media.filter(col("id") % 2 === 1).select("id", "content")
+          .repartition(3).write.parquet(s"$tmp/input"))
+      val q = graft.streaming.DedupStream.startMedia(spark, s"$tmp/input",
+        "gpp_media_index", s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+      val (tStream, batches) = drain(q)
+      emit("q_media_stream", tBuild, tStage, tStream, batches)
+    }
+
+    // ---- q_quality_stream: persisted NB model gate
+    withTempDir("gpp_quality") { tmp =>
+      val (_, tBuild) = time(graft.operators.QualityModels.writeNbModel(
+        docs.filter(col("doc_id") % 5 =!= 0), col("lang") === "en",
+        "gpp_nb_model"))
+      val (_, tStage) = time(
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text", "lang")
+          .repartition(3).write.parquet(s"$tmp/input"))
+      val q = graft.streaming.QualityStream.start(spark, s"$tmp/input",
+        "gpp_nb_model", s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+      val (tStream, batches) = drain(q)
+      emit("q_quality_stream", tBuild, tStage, tStream, batches)
+    }
+
+    // ---- q_vocab_stream: vocab partial-append gate (empty seed index)
+    withTempDir("gpp_vocab") { tmp =>
+      val (_, tBuild) = time(graft.operators.TextAnalysis.writeVocabIndex(
+        docs.filter(lit(false)), "gpp_vocab_index"))
+      val (_, tStage) = time(
+        docs.select("doc_id", "text").repartition(3).write.parquet(s"$tmp/input"))
+      val q = graft.streaming.CorpusStatsStream.start(spark, s"$tmp/input",
+        "gpp_vocab_index", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+      val (tStream, batches) = drain(q)
+      emit("q_vocab_stream", tBuild, tStage, tStream, batches)
+    }
+
+    // ---- q_cagg_streamed: stream-maintained rollup gate (three ordered
+    // slices, each its own AvailableNow run — batches aggregate across
+    // the three drains)
+    withTempDir("gpp_cagg") { tmp =>
+      val events = EventsAsConditions.load(spark, sfDir)
+      var tStage = 0.0
+      var tStream = 0.0
+      var batches = Seq.empty[Long]
+      Seq(0, 1, 2).foreach { slice =>
+        val (_, st) = time(
+          events.filter(pmod(col("timestamp").cast("long"), lit(3)) === slice)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/input"))
+        tStage += st
+        val q = graft.streaming.CaggStream.start(spark, s"$tmp/input",
+          s"$tmp/store", s"$tmp/agg", s"$tmp/cp", widthS = 3600)
+        val (ts, b) = drain(q)
+        tStream += ts
+        batches = batches ++ b
+      }
+      emit("q_cagg_streamed", 0.0, tStage, tStream, batches)
+    }
+
     // ---- q_ingest_wire: two-hop topology — convert stage and storage
     // stage are each their own streaming query (reported as two rows)
     withTempDir("gpp_wire") { tmp =>

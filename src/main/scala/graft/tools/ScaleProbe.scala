@@ -248,6 +248,65 @@ object ScaleProbe {
     }
   }
 
+  /** 12-token lines joined by newline — the gate's plantedLines shape,
+    * so the line probes exercise a real multi-line corpus (the raw
+    * documents have no newlines).
+    */
+  private def linesify(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.withColumn("text", array_join(transform(
+      sequence(lit(0), floor((size(toks) - 1) / 12).cast("int")),
+      i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")), "\n"))
+  }
+
+  /** Line-claim index growth probe: the index grows ×m (perturbed copies
+    * → genuinely new distinct lines), the probe batch stays FIXED. The
+    * claim is ~flat probe cost: the anti-join is co-partitioned on the
+    * bucketed `line` key, so only the batch side shuffles and the index
+    * side streams its matching buckets — per-batch cost independent of
+    * corpus history.
+    */
+  private def lineIndexProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    val newBatch = linesify(docs.filter(col("doc_id") % 2 === 1))
+      .select("doc_id", "text").localCheckpoint(true)
+    for (m <- ms) {
+      val index = linesify(grow(docs.filter(col("doc_id") % 2 === 0), m))
+        .localCheckpoint(true)
+      val idxDocs = index.count()
+      val (_, tBuild) = time(Dedup.writeLineIndex(index, "line_index_probe"))
+      val (survivors, tBatch) = time(
+        Dedup.lineDedupAgainstIndex(newBatch, "line_index_probe").count())
+      spark.sql("DROP TABLE IF EXISTS line_index_probe")
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"m":$m,"index_docs":$idxDocs,"survivors":$survivors,"index_build_sec":${f"$tBuild%.2f"},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+    }
+  }
+
+  /** Media signature index growth probe: same shape for the aHash
+    * band-segment index — catalog ×m, fixed new drop; probe cost =
+    * the drop's sketch pass + a co-partitioned 16-byte bucket join,
+    * which must stay ~flat as the catalog grows.
+    */
+  private def mediaIndexProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.Multimodal
+    val newDrop = Multimodal.fromDocuments(
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "n_chars"))
+      .localCheckpoint(true)
+    for (m <- ms) {
+      val catalog = Multimodal.fromDocuments(
+          grow(docs.filter(col("doc_id") % 2 === 0), m)
+            .withColumn("n_chars", length(col("text"))))
+        .localCheckpoint(true)
+      val idxAssets = catalog.count()
+      val (_, tBuild) = time(Multimodal.writeMediaIndex(catalog, "media_index_probe"))
+      val (pairs, tBatch) = time(
+        Multimodal.mediaNearDupAgainstIndex(newDrop, "media_index_probe").count())
+      spark.sql("DROP TABLE IF EXISTS media_index_probe")
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"m":$m,"index_assets":$idxAssets,"pairs":$pairs,"index_build_sec":${f"$tBuild%.2f"},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+    }
+  }
+
   /** IVF maintenance probe: per corpus size n, the cost of FULL index
     * rebuild over the union ([[Ann.writeIvfIndex]]: retrain + assign all
     * + rewrite all) vs APPENDING a 10% batch against the stored centroids
@@ -697,6 +756,16 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("simhashincr")) {
       simhashIncrProbe(spark, docs, ms) // ms are index growth factors here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("lineidx")) {
+      lineIndexProbe(spark, docs, ms) // ms are index growth factors here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("mediaidx")) {
+      mediaIndexProbe(spark, docs, ms) // ms are index growth factors here
       spark.stop()
       return
     }
