@@ -571,7 +571,25 @@ object Ann {
     val centroids = trainCentroids(sample, effNlist)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    // write-time assignment quality rides the metadata as the drift
+    // reference: ivfDrift compares the live mean against this value to
+    // decide when appends have degraded the centroids enough to rebuild.
+    // It is computed as an OBSERVED metric of the write job itself
+    // (CollectMetrics on the rows flowing into the writer) — the
+    // previous shape re-scanned the freshly written table, a second
+    // full corpus pass per build that the bench's build-phase split
+    // exposed as half the q_embed_neardup_idx row.
+    val distUdf = udf { (v: Seq[Float], list: Int) =>
+      val c = bc.value(list)
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+      math.sqrt(d)
+    }
+    val obs = new org.apache.spark.sql.Observation()
     withNorm(embeddings).withColumn("ivf_list", assignUdf(col("embedding")))
+      .withColumn("dist", distUdf(col("embedding"), col("ivf_list")))
+      .observe(obs, avg(col("dist")).as("mean_dist"))
       .select("vec_id", "embedding", "nrm", "ivf_list")
       // cluster by list before the partitioned write: one task per list =
       // one file per list directory, instead of (tasks × lists) shards
@@ -581,10 +599,10 @@ object Ann {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("ivf_list", "centroid")
       .write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
-    // write-time assignment quality rides the metadata as the drift
-    // reference: ivfDrift compares the live mean against this value to
-    // decide when appends have degraded the centroids enough to rebuild
-    val refDist = meanAssignedDist(spark, tableName)
+    val refDist = obs.get("mean_dist") match {
+      case d: java.lang.Double => d.doubleValue()
+      case _ => 0.0 // empty corpus is rejected above; defensive only
+    }
     spark.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
         s"'graft.nlist' = '$effNlist', 'graft.meanDist' = '$refDist')")
