@@ -1055,6 +1055,20 @@ object Ann {
     val centroids = trainCentroids(sample, effNlist)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    // write-time assignment quality (over DECODED vectors — all the table
+    // stores) rides the metadata as the drift reference, computed as an
+    // observed metric of the write job itself (single corpus pass, as in
+    // [[writeIvfIndex]])
+    val distUdf = udf { (code: Array[Byte], mn: Float, mx: Float, list: Int) =>
+      val v = sq8Dequant(code, mn, mx)
+      val c = bc.value(list)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
+      math.sqrt(d)
+    }
+    val obs = new org.apache.spark.sql.Observation()
     embeddings
       .select(col("vec_id"), sq8QuantUdf(col("embedding")).as("r"),
         assignUdf(col("embedding")).as("ivf_list"))
@@ -1063,21 +1077,23 @@ object Ann {
         normDDUdf(sq8DequantUdf(col("r._1"), col("r._2"), col("r._3"))).as("nrm"),
         col("ivf_list"))
       .filter(col("nrm") > 0.0)
+      .withColumn("dist", distUdf(col("code"), col("mn"), col("mx"), col("ivf_list")))
+      .observe(obs, avg(col("dist")).as("mean_dist"))
+      .select("vec_id", "code", "mn", "mx", "nrm", "ivf_list")
       .repartition(col("ivf_list"))
       .write.format("parquet").partitionBy("ivf_list")
       .mode("overwrite").saveAsTable(tableName)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("ivf_list", "centroid")
       .write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
-    // write-time assignment quality (over DECODED vectors — all the table
-    // stores) rides the metadata as the drift reference, as in
-    // [[writeIvfIndex]]
+    val refDist = obs.get("mean_dist") match {
+      case d: java.lang.Double => d.doubleValue()
+      case _ => 0.0 // empty corpus is rejected above; defensive only
+    }
     spark.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
-        s"'graft.nlist' = '$effNlist', 'graft.sq8' = 'true')")
-    val refDist = meanAssignedDistSq8(spark, tableName)
-    spark.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.meanDist' = '$refDist')")
+        s"'graft.nlist' = '$effNlist', 'graft.sq8' = 'true', " +
+        s"'graft.meanDist' = '$refDist')")
   }
 
   /** [[meanAssignedDist]] for an SQ8 table: the stored codes decode
@@ -1185,8 +1201,22 @@ object Ann {
       }
       Dedup.dropManaged(spark, tableName)
       Dedup.dropManaged(spark, s"${tableName}_centroids")
+      // drift reference observed on the write pass (see writeIvfSq8Index)
+      val distUdf = udf { (code: Array[Byte], mn: Float, mx: Float, list: Int) =>
+        val v = sq8Dequant(code, mn, mx)
+        val c = bc.value(list)
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
+        math.sqrt(d)
+      }
+      val obs = new org.apache.spark.sql.Observation()
       snapshot
         .withColumn("ivf_list", assignUdf(col("code"), col("mn"), col("mx")))
+        .withColumn("dist", distUdf(col("code"), col("mn"), col("mx"), col("ivf_list")))
+        .observe(obs, avg(col("dist")).as("mean_dist"))
+        .select("vec_id", "code", "mn", "mx", "nrm", "ivf_list")
         .repartition(col("ivf_list"))
         .write.format("parquet").partitionBy("ivf_list")
         .mode("overwrite").saveAsTable(tableName)
@@ -1196,7 +1226,10 @@ object Ann {
       spark.sql(
         s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
           s"'graft.nlist' = '$effNlist', 'graft.sq8' = 'true')")
-      val refDist = meanAssignedDistSq8(spark, tableName)
+      val refDist = obs.get("mean_dist") match {
+        case d: java.lang.Double => d.doubleValue()
+        case _ => 0.0
+      }
       spark.sql(
         s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.meanDist' = '$refDist')")
       (ratio, true)
