@@ -493,6 +493,18 @@ object SparkEntry {
         graft.sources.ContinuousAggregate.queryDistinct(s, s"$tmp/agg", Of,
           S1, E1, widthS = 86400)
       }),
+    // realtime face of the distinct cagg: stale hourly subject-array
+    // store union the raw tail, daily distinct counts over the union —
+    // exact (set union of exact sets), shares the q_cagg_distinct oracle
+    "q_cagg_distinct_realtime" -> ((s, d) =>
+      withTempDir("graft_cagg_drt") { tmp =>
+        val c = conditions(s, d)
+        graft.sources.ContinuousAggregate.createDistinct(
+          c.filter(col("timestamp") < timestamp_seconds(lit(1705536000L))),
+          s"$tmp/agg", widthS = 3600)
+        graft.sources.ContinuousAggregate.queryDistinctRealtime(s, s"$tmp/agg",
+          c, Of, S1, E1, widthS = 86400, storedWidthS = 3600)
+      }),
     // stats_agg continuous aggregate: hourly six-moment partials with
     // per-bucket x anchors, served DAILY via the exact integer moment
     // translation (x' = x + δ) — the oracle computes at the daily anchor
@@ -503,6 +515,19 @@ object SparkEntry {
           s"$tmp/agg", widthS = 3600)
         graft.sources.ContinuousAggregate.queryStats(s, s"$tmp/agg", Subject,
           Of, S1, E1, widthS = 86400)
+      }),
+    // realtime face of the stats cagg: stale hourly moment store union
+    // raw-computed tail partials, translated to daily anchors and
+    // derived — bit-identical to the from-raw daily compute, so it
+    // shares q_cagg_stats's oracle
+    "q_cagg_stats_realtime" -> ((s, d) =>
+      withTempDir("graft_cagg_srt") { tmp =>
+        val c = conditions(s, d)
+        graft.sources.ContinuousAggregate.createStats(
+          c.filter(col("timestamp") < timestamp_seconds(lit(1705536000L))),
+          s"$tmp/agg", widthS = 3600)
+        graft.sources.ContinuousAggregate.queryStatsRealtime(s, s"$tmp/agg",
+          c, Subject, Of, S1, E1, widthS = 86400, storedWidthS = 3600)
       }),
     // composable percentile sketch (Timescale percentile_agg / uddsketch
     // shape): hourly (bl, sub) log-bucket count partials materialized
@@ -2886,6 +2911,11 @@ object SparkEntry {
     // hourly store translated to daily anchors ≡ direct daily compute —
     // the oracle computes at the daily anchor straight from raw rows, so
     // a hash match proves the integer moment-translation algebra
+    "q_cagg_stats_realtime" -> statsOracleSql(grouped = "time_s",
+      xSql = s"""(epoch_us("timestamp") // 1000000) - (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400""",
+      timeSql = s"""(epoch_us("timestamp") // ${86400L * 1000000L}) * 86400""",
+      pred = s"AND measurement_subject = '$Subject'",
+      upper = "<"),
     "q_cagg_stats" -> statsOracleSql(grouped = "time_s",
       xSql = s"""(epoch_us("timestamp") // 1000000) - (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400""",
       timeSql = s"""(epoch_us("timestamp") // ${86400L * 1000000L}) * 86400""",
@@ -3036,6 +3066,14 @@ object SparkEntry {
     // realtime = stored partials ∪ raw tail must equal the full window
     // computed from raw — same replay as the serve oracle
     "q_cagg_realtime" -> caggServeOracleSql,
+    "q_cagg_distinct_realtime" ->
+      s"""$Cte
+         |SELECT (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400 AS time_s,
+         |       COUNT(DISTINCT measurement_subject) AS n_subjects
+         |FROM conditions
+         |WHERE measurement_of = '$Of'
+         |  AND epoch_us("timestamp")/1000000.0 >= $S1 AND epoch_us("timestamp")/1000000.0 < $E1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // distinct state composes by union, so serving from hourly arrays ≡
     // COUNT(DISTINCT) over the raw rows at daily grain; half-open range
     "q_cagg_distinct" ->

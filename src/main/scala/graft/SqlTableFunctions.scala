@@ -510,6 +510,16 @@ object SqlTableFunctions {
           strArg(f, a, 1), strArg(f, a, 2),
           longArg(f, a, 3), longArg(f, a, 4), longArg(f, a, 5))
     }
+    add("graft_cagg_realtime",
+      "graft_cagg_realtime(rollup_path, subject, of, start_s, end_s, width_s, stored_width_s)", 7) {
+      (s, f, a) =>
+        // raw tail comes from the session's conditions relation — the
+        // same implicit-table convention as the dashboard functions
+        graft.sources.ContinuousAggregate.queryRealtime(s, strArg(f, a, 0),
+          cond(s, f), strArg(f, a, 1), strArg(f, a, 2),
+          longArg(f, a, 3), longArg(f, a, 4), longArg(f, a, 5),
+          longArg(f, a, 6))
+    }
     // semantic dedup from SQL: centroids come from a named relation
     // (list_id, centroid) — a trainedCentroids dump or any seed table
     add("graft_semdedup", "graft_semdedup(centroid_relation, threshold)", 2) {

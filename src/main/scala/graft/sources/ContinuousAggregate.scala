@@ -125,26 +125,8 @@ object ContinuousAggregate {
                     scale: Int = 100): DataFrame = {
     require(storedWidthS > 0 && widthS % storedWidthS == 0,
       s"serve width $widthS must be a multiple of the stored width $storedWidthS")
-    // a rollup created over an empty slice has no files at all (no
-    // schema to infer) — treat it as watermark = startS: the whole
-    // window serves from raw
-    val roll: Option[DataFrame] =
-      try Some(spark.read.parquet(path))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-      }
-    val watermarkS: Long = roll match {
-      case None => startS
-      case Some(r) =>
-        val maxDate = r.select(max(col("date"))).head()
-        if (maxDate.isNullAt(0)) startS
-        else {
-          val lastBucket = r.filter(col("date") === maxDate.getDate(0))
-            .agg(max(col("bucket_s"))).head().getLong(0)
-          lastBucket + storedWidthS
-        }
-    }
+    val roll = readRollup(spark, path)
+    val watermarkS = rollupWatermarkS(roll, storedWidthS, startS)
     val storedAll = roll.getOrElse(
       spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
         .toDF("bucket_s", "sum_scaled", "n_events"))
@@ -170,6 +152,34 @@ object ContinuousAggregate {
       .agg(round(sum(col("sum_scaled")) / (sum(col("n_events")) * lit(scale * 1.0)), 6)
         .as("avg_measurement_number"))
       .orderBy("time_s")
+  }
+
+  /** A rollup created over an empty slice has no files at all (no schema
+    * to infer) — callers treat `None` as "serve everything from raw".
+    */
+  private def readRollup(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+    }
+
+  /** End of the last materialized bucket (the Timescale watermark),
+    * derived in two partition-pruned steps: max `date` partition, then
+    * max `bucket_s` inside that one partition — never a full rollup
+    * scan. `startS` when the rollup is empty.
+    */
+  private def rollupWatermarkS(roll: Option[DataFrame], storedWidthS: Long,
+                               startS: Long): Long = roll match {
+    case None => startS
+    case Some(r) =>
+      val maxDate = r.select(max(col("date"))).head()
+      if (maxDate.isNullAt(0)) startS
+      else {
+        val lastBucket = r.filter(col("date") === maxDate.getDate(0))
+          .agg(max(col("bucket_s"))).head().getLong(0)
+        lastBucket + storedWidthS
+      }
   }
 
   /** Distinct-count continuous aggregate: COUNT(DISTINCT) does not
@@ -223,6 +233,43 @@ object ContinuousAggregate {
     * sketches are in sparse mode (small distinct counts) and ±~2%
     * (lgConfigK=12 default) beyond; the exact tier stays the contract.
     */
+  /** Real-time distinct-count serving — [[queryRealtime]]'s semantics
+    * for the [[createDistinct]] store: stored subject ARRAYS below the
+    * watermark union raw (time_s, subject) pairs past it, then one
+    * distinct count per serve bucket. Exact by construction (set union
+    * of exact sets); the raw scan is one refresh period.
+    */
+  def queryDistinctRealtime(spark: SparkSession, path: String, raw: DataFrame,
+                            of: String, startS: Long, endS: Long,
+                            widthS: Long, storedWidthS: Long): DataFrame = {
+    require(storedWidthS > 0 && widthS % storedWidthS == 0,
+      s"serve width $widthS must be a multiple of the stored width $storedWidthS")
+    val roll = readRollup(spark, path)
+    val wm = rollupWatermarkS(roll, storedWidthS, startS)
+    val serveBucket =
+      expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L")
+    val stored = roll.getOrElse(
+        spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Seq[String])])
+          .toDF("bucket_s", "subjects"))
+      .filter(col("bucket_s") >= startS && col("bucket_s") < endS &&
+        col("bucket_s") < wm &&
+        (if (roll.isDefined) col("measurement_of") === of else lit(false)))
+      .select(serveBucket.as("time_s"), explode(col("subjects")).as("subject"))
+    val wUs = storedWidthS * 1000000L
+    val tail = raw
+      .filter(col("measurement_of") === of &&
+        col("timestamp") >= timestamp_seconds(lit(math.max(wm, startS))) &&
+        col("timestamp") < timestamp_seconds(lit(endS)))
+      .withColumn("bucket_s",
+        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${storedWidthS}L"))
+      .filter(col("bucket_s") >= startS && col("bucket_s") < endS)
+      .select(serveBucket.as("time_s"), col("measurement_subject").as("subject"))
+    stored.unionByName(tail)
+      .groupBy("time_s")
+      .agg(count_distinct(col("subject")).as("n_subjects"))
+      .orderBy("time_s")
+  }
+
   def queryDistinctApprox(spark: SparkSession, path: String, of: String,
                           startS: Long, endS: Long, widthS: Long): DataFrame =
     spark.read.parquet(path)
@@ -314,6 +361,56 @@ object ContinuousAggregate {
       .filter(col("measurement_subject") === subject &&
         col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
+      .withColumn("time_s",
+        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .withColumn("d", col("bucket_s") - col("time_s"))
+      .select(col("time_s"), col("n"),
+        (col("sx") + col("n") * col("d")).as("sx"),
+        col("sy"),
+        (col("sxx") + lit(2L) * col("d") * col("sx") + col("n") * col("d") * col("d")).as("sxx"),
+        col("syy"),
+        (col("sxy") + col("d") * col("sy")).as("sxy"))
+    graft.queries.TimeseriesQueries.statsDerive(
+      shifted.groupBy("time_s")
+        .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+          sum("sxx").as("sxx"), sum("syy").as("syy"), sum("sxy").as("sxy"))
+        .orderBy("time_s"))
+  }
+
+  /** Real-time stats serving — [[queryRealtime]]'s semantics for the
+    * [[createStats]] store: stored six-moment partials below the
+    * watermark union raw-computed partials past it (same stored width,
+    * same per-bucket x anchors), each translated to the serve bucket's
+    * anchor with the exact integer algebra of [[queryStats]], then
+    * summed and derived. Bit-identical to computing the whole window
+    * from raw, raw scanned only for one refresh period.
+    */
+  def queryStatsRealtime(spark: SparkSession, path: String, raw: DataFrame,
+                         subject: String, of: String, startS: Long,
+                         endS: Long, widthS: Long, storedWidthS: Long,
+                         scale: Int = 100): DataFrame = {
+    require(storedWidthS > 0 && widthS % storedWidthS == 0,
+      s"serve width $widthS must be a multiple of the stored width $storedWidthS")
+    val roll = readRollup(spark, path)
+    val wm = rollupWatermarkS(roll, storedWidthS, startS)
+    val stored = roll.getOrElse(
+        spark.emptyDataset(org.apache.spark.sql.Encoders.product[
+          (Long, Long, Long, Long, Long, Long, Long)])
+          .toDF("bucket_s", "n", "sx", "sy", "sxx", "syy", "sxy"))
+      .filter(col("bucket_s") >= startS && col("bucket_s") < endS &&
+        col("bucket_s") < wm &&
+        (if (roll.isDefined) col("measurement_subject") === subject &&
+          col("measurement_of") === of else lit(false)))
+      .select("bucket_s", "n", "sx", "sy", "sxx", "syy", "sxy")
+    val tail = statsRollup(
+        raw.filter(col("measurement_subject") === subject &&
+          col("measurement_of") === of &&
+          col("timestamp") >= timestamp_seconds(lit(math.max(wm, startS))) &&
+          col("timestamp") < timestamp_seconds(lit(endS))),
+        storedWidthS, scale)
+      .filter(col("bucket_s") >= startS && col("bucket_s") < endS)
+      .select("bucket_s", "n", "sx", "sy", "sxx", "syy", "sxy")
+    val shifted = stored.unionByName(tail)
       .withColumn("time_s",
         expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
       .withColumn("d", col("bucket_s") - col("time_s"))

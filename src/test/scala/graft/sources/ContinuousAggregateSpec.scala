@@ -202,6 +202,38 @@ class ContinuousAggregateSpec extends AnyFunSuite {
     assert(matOnly.length == 2, s"stale rollup should only hold 2 days, got $matOnly")
   }
 
+  test("realtime distinct and stats serving on a stale rollup equal the from-scratch answers") {
+    val c = conditions(4)
+    val stale = c.filter(col("timestamp") < timestamp_seconds(lit(T0 + 2 * 86400)))
+    // distinct tier
+    val dPath = tmp("cagg_drt")
+    ContinuousAggregate.createDistinct(stale, dPath, widthS = 3600)
+    val dRealtime = ContinuousAggregate.queryDistinctRealtime(spark, dPath, c,
+        "m", T0, T0 + 4 * 86400, widthS = 86400, storedWidthS = 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dFresh = tmp("cagg_drt_fresh")
+    ContinuousAggregate.createDistinct(c, dFresh, widthS = 3600)
+    val dDirect = ContinuousAggregate.queryDistinct(spark, dFresh, "m",
+        T0, T0 + 4 * 86400, widthS = 86400)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dRealtime == dDirect && dRealtime.length == 4)
+    // materialized-only on the stale store loses the tail days
+    assert(ContinuousAggregate.queryDistinct(spark, dPath, "m",
+      T0, T0 + 4 * 86400, widthS = 86400).count() == 2)
+    // stats tier
+    val sPath = tmp("cagg_srt")
+    ContinuousAggregate.createStats(stale, sPath, widthS = 3600)
+    val sRealtime = ContinuousAggregate.queryStatsRealtime(spark, sPath, c,
+        "s0", "m", T0, T0 + 4 * 86400, widthS = 86400, storedWidthS = 3600)
+      .collect().map(_.toSeq).toSeq
+    val sFresh = tmp("cagg_srt_fresh")
+    ContinuousAggregate.createStats(c, sFresh, widthS = 3600)
+    val sDirect = ContinuousAggregate.queryStats(spark, sFresh, "s0", "m",
+        T0, T0 + 4 * 86400, widthS = 86400)
+      .collect().map(_.toSeq).toSeq
+    assert(sRealtime == sDirect && sRealtime.length == 4)
+  }
+
   test("realtime serving with an empty rollup computes everything from raw") {
     val c = conditions(2)
     val path = tmp("cagg_rt_empty")
