@@ -434,6 +434,18 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       graft.sources.ContinuousAggregate.query(spark, path, "s1", "m", T0, T1, 3600))
   }
 
+  test("graft_cagg_realtime ≡ queryRealtime over a STALE rollup plus the raw tail") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+    val path = java.nio.file.Files.createTempDirectory("sqlfn_cagg_rt").toString + "/agg"
+    val mid = T0 + 3 * 3600 // bucket-aligned stale horizon
+    graft.sources.ContinuousAggregate.create(
+      cond.filter(col("timestamp") < timestamp_seconds(lit(mid))), path, widthS = 900)
+    assertSame(
+      s"SELECT * FROM graft_cagg_realtime('$path', 's1', 'm', $T0, $T1, 3600, 900)",
+      graft.sources.ContinuousAggregate.queryRealtime(spark, path, cond,
+        "s1", "m", T0, T1, 3600, 900))
+  }
+
   test("graft_semdedup ≡ SemDedup.semDedup over a named centroid relation") {
     registerCorpus()
     val emb = spark.table(SqlTableFunctions.EmbeddingsRelation)
