@@ -435,4 +435,25 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("realtime cagg serve: raw tail scan pushes the watermark time filter; rollup scan prunes by bucket") {
+    val table = spark.read.parquet(conditionsPath)
+    val path = java.nio.file.Files.createTempDirectory("plan_cagg_rt").toString + "/agg"
+    graft.sources.ContinuousAggregate.create(
+      table.filter(col("timestamp") < timestamp_seconds(lit(1705536000L))),
+      path, widthS = 3600)
+    val q = graft.sources.ContinuousAggregate.queryRealtime(spark, path, table,
+      "user_3", "click", 1704240000L, 1706400000L, widthS = 86400,
+      storedWidthS = 3600)
+    val scanned = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // raw side: subject/of equality and the >= watermark bound reach
+    // parquet — at 100 TB the tail scan reads one refresh period, pruned
+    // by the date partitioning, never the whole store
+    assert(scanned.contains("EqualTo(measurement_subject,user_3)"), scanned)
+    assert(scanned.contains("EqualTo(measurement_of,click)"), scanned)
+    assert(scanned.contains("GreaterThanOrEqual(timestamp,"), scanned)
+    // rollup side: the bucket-range filter is pushed to the rollup scan
+    assert(scanned.contains("GreaterThanOrEqual(bucket_s,"), scanned)
+  }
 }
