@@ -233,6 +233,17 @@ object ContinuousAggregate {
     * sketches are in sparse mode (small distinct counts) and ±~2%
     * (lgConfigK=12 default) beyond; the exact tier stays the contract.
     */
+  def queryDistinctApprox(spark: SparkSession, path: String, of: String,
+                          startS: Long, endS: Long, widthS: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("measurement_of") === of &&
+        col("bucket_s") >= startS && col("bucket_s") < endS)
+      .withColumn("time_s",
+        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .groupBy("time_s")
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_subjects"))
+      .orderBy("time_s")
+
   /** Real-time distinct-count serving — [[queryRealtime]]'s semantics
     * for the [[createDistinct]] store: stored subject ARRAYS below the
     * watermark union raw (time_s, subject) pairs past it, then one
@@ -270,16 +281,6 @@ object ContinuousAggregate {
       .orderBy("time_s")
   }
 
-  def queryDistinctApprox(spark: SparkSession, path: String, of: String,
-                          startS: Long, endS: Long, widthS: Long): DataFrame =
-    spark.read.parquet(path)
-      .filter(col("measurement_of") === of &&
-        col("bucket_s") >= startS && col("bucket_s") < endS)
-      .withColumn("time_s",
-        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
-      .groupBy("time_s")
-      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_subjects"))
-      .orderBy("time_s")
 
   /** stats_agg continuous aggregate: store the six composable statistical
     * partials (n, Σx, Σy, Σx², Σy², Σxy — see
