@@ -864,6 +864,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 2), "graft_sig_append",
         docs.filter(col("doc_id") % 3 =!= 2))
     }),
+    // the maintenance cycle CLOSED: build + append (as above), then
+    // COMPACT the accumulated per-append files into one bucketed pass,
+    // then probe — compaction must be invisible to results, so this row
+    // shares q_dedup_idx_append's oracle verbatim
+    "q_dedup_idx_compact" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      BenchPhases.timed("q_dedup_idx_compact", "build")(
+        graft.operators.Dedup.writeSignatureIndex(
+          docs.filter(col("doc_id") % 3 === 0), "graft_sig_compact"))
+      BenchPhases.timed("q_dedup_idx_compact", "append")(
+        graft.operators.Dedup.appendToSignatureIndex(
+          docs.filter(col("doc_id") % 3 === 1), "graft_sig_compact"))
+      BenchPhases.timed("q_dedup_idx_compact", "compact")(
+        graft.operators.Dedup.compactIndex(s, "graft_sig_compact", "bh"))
+      graft.operators.Dedup.minhashPairsAgainstIndex(
+        docs.filter(col("doc_id") % 3 === 2), "graft_sig_compact",
+        docs.filter(col("doc_id") % 3 =!= 2))
+    }),
     // the SAME batch-vs-index dedup through the streaming gate: index
     // persisted once, the "crawl" streamed in micro-batches
     // (maxFilesPerTrigger=1 under AvailableNow), novel docs appended to
@@ -2142,6 +2160,17 @@ object SparkEntry {
          |       COUNT(*) AS n_events
          |FROM seq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private def idxAppendOracleSql: String =
+      s"""WITH sh AS ($shingleCteSql),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_index, count(*) AS inter,
+        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2
+        |  GROUP BY 1, 2)
+        |SELECT doc_new, doc_index, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
+        |ORDER BY doc_new, doc_index""".stripMargin
+
   /** Gopher rule replay — shared by q_gopher and q_sql_gopher. */
   private def gopherOracleSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3363,16 +3392,9 @@ object SparkEntry {
     // day-2 probe vs day-0+day-1 appended signature index: exact
     // cross-slice jaccard (same empirical-recall caveat as the other
     // minhash tiers)
-    "q_dedup_idx_append" ->
-      s"""WITH sh AS ($shingleCteSql),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_index, count(*) AS inter,
-        |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2
-        |  GROUP BY 1, 2)
-        |SELECT doc_new, doc_index, ROUND(CAST(inter AS DOUBLE)/(na+nb-inter), 6) AS jaccard
-        |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
-        |ORDER BY doc_new, doc_index""".stripMargin,
+    "q_dedup_idx_append" -> idxAppendOracleSql,
+    // compaction is result-invisible: same oracle as the uncompacted cycle
+    "q_dedup_idx_compact" -> idxAppendOracleSql,
     // survivors of the streaming gate = odd docs with NO exact
     // cross-slice pair (same empirical-recall caveat as the batch tiers)
     "q_dedup_stream" ->

@@ -793,6 +793,41 @@ object Dedup {
       .mode("append").saveAsTable(tableName)
   }
 
+  /** Compact an append-maintained bucketed index table: every
+    * [[appendToSignatureIndex]]/[[appendToSigIndex]]/[[appendToLineIndex]]
+    * batch adds one file per bucket, so after D daily appends a probe
+    * opens D files per matching bucket — the classic small-file creep of
+    * any append-only store. Compaction snapshots the table
+    * (localCheckpoint — the overwrite drops the very files being read),
+    * rewrites it in one bucketed pass (same `graft.buckets` bucketing,
+    * so probes stay co-partitioned and lossless), and restores every
+    * `graft.*` property the overwrite discarded. Content, bucketing
+    * geometry and probe results are unchanged by construction
+    * (spec-pinned); run it on the maintenance cadence, cost = one
+    * index-sized bucketed write.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, tableName: String,
+                   bucketCol: String): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .filter { case (k, _) => k.startsWith("graft.") }
+    require(props.contains("graft.buckets"),
+      s"$tableName carries no graft.buckets property — not a graft index table")
+    val buckets = props("graft.buckets").toInt
+    val snap = spark.table(tableName).localCheckpoint(true)
+    try {
+      // one writing task per hash partition of the bucket key — without
+      // this, every reader partition emits its own file per bucket and
+      // the "compaction" leaves the file count unchanged
+      snap.repartition(buckets, col(bucketCol))
+        .write.format("parquet")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .mode("overwrite").saveAsTable(tableName)
+      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES($kv)")
+    } finally { snap.unpersist(); () }
+  }
+
   /** Incremental SimHash near-dups against a PERSISTED index
     * ([[writeSimhashIndex]]): the index side's signatures are never
     * recomputed — the new batch is sketched, banded with the same

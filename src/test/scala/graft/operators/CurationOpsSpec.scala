@@ -296,6 +296,41 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sig_index")
   }
 
+  test("compactIndex: fewer files, identical content and probe results, properties preserved") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    val union = base.unionByName(docs.filter(col("doc_id") % 3 === 1))
+    Dedup.writeSignatureIndex(base, "sig_cmp_idx", buckets = 4)
+    try {
+      // two appends -> three files per touched bucket
+      Dedup.appendToSignatureIndex(docs.filter(col("doc_id") % 3 === 1), "sig_cmp_idx")
+      Dedup.appendToSignatureIndex(docs.filter(lit(false)), "sig_cmp_idx")
+      val before = Dedup.minhashPairsAgainstIndex(probe, "sig_cmp_idx", union)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filesBefore = spark.table("sig_cmp_idx").inputFiles.length
+      val rowsBefore = spark.table("sig_cmp_idx").count()
+      Dedup.compactIndex(spark, "sig_cmp_idx", "bh")
+      val filesAfter = spark.table("sig_cmp_idx").inputFiles.length
+      assert(filesAfter < filesBefore,
+        s"compaction must reduce files: $filesBefore -> $filesAfter")
+      assert(spark.table("sig_cmp_idx").count() == rowsBefore)
+      // probes unchanged, properties survived (another append still works)
+      val after = Dedup.minhashPairsAgainstIndex(probe, "sig_cmp_idx", union)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before)
+      Dedup.appendToSignatureIndex(docs.filter(lit(false)), "sig_cmp_idx")
+      // a table without graft.buckets fails loudly
+      spark.table("sig_cmp_idx").write.mode("overwrite").saveAsTable("sig_cmp_noprops")
+      intercept[IllegalArgumentException] {
+        Dedup.compactIndex(spark, "sig_cmp_noprops", "bh")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_cmp_idx")
+      spark.sql("DROP TABLE IF EXISTS sig_cmp_noprops")
+    }
+  }
+
   test("signature index append: probe after append equals from-scratch index over the union") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val base = docs.filter(col("doc_id") % 3 === 0)
