@@ -244,6 +244,46 @@ object ContinuousAggregate {
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_subjects"))
       .orderBy("time_s")
 
+  /** [[queryDistinctRealtime]] on the HLL tier: stored sketches below
+    * the watermark union per-bucket sketches BUILT FROM the raw tail
+    * (DataSketches HLL union is exact-associative over the sketch
+    * state), so the unbounded-cardinality tier serves live too —
+    * constant bytes per stored bucket, one refresh period of raw rows
+    * sketched at serve time. Estimates are exact while every
+    * contributing sketch is in sparse mode, ±~2% beyond (the exact
+    * array tier stays the contract).
+    */
+  def queryDistinctApproxRealtime(spark: SparkSession, path: String,
+                                  raw: DataFrame, of: String, startS: Long,
+                                  endS: Long, widthS: Long,
+                                  storedWidthS: Long): DataFrame = {
+    require(storedWidthS > 0 && widthS % storedWidthS == 0,
+      s"serve width $widthS must be a multiple of the stored width $storedWidthS")
+    val roll = readRollup(spark, path)
+    val wm = rollupWatermarkS(roll, storedWidthS, startS)
+    val serveBucket =
+      expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L")
+    val stored = roll.map(_
+        .filter(col("measurement_of") === of &&
+          col("bucket_s") >= startS && col("bucket_s") < endS &&
+          col("bucket_s") < wm)
+        .select(serveBucket.as("time_s"), col("hll")))
+    val wUs = storedWidthS * 1000000L
+    val tail = raw
+      .filter(col("measurement_of") === of &&
+        col("timestamp") >= timestamp_seconds(lit(math.max(wm, startS))) &&
+        col("timestamp") < timestamp_seconds(lit(endS)))
+      .withColumn("bucket_s",
+        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${storedWidthS}L"))
+      .filter(col("bucket_s") >= startS && col("bucket_s") < endS)
+      .groupBy(serveBucket.as("time_s"))
+      .agg(hll_sketch_agg(col("measurement_subject")).as("hll"))
+    stored.fold(tail)(_.unionByName(tail))
+      .groupBy("time_s")
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_subjects"))
+      .orderBy("time_s")
+  }
+
   /** Real-time distinct-count serving — [[queryRealtime]]'s semantics
     * for the [[createDistinct]] store: stored subject ARRAYS below the
     * watermark union raw (time_s, subject) pairs past it, then one

@@ -234,6 +234,23 @@ class ContinuousAggregateSpec extends AnyFunSuite {
     assert(sRealtime == sDirect && sRealtime.length == 4)
   }
 
+  test("realtime HLL tier matches the exact realtime distinct counts at sparse cardinality") {
+    val c = conditions(4)
+    val path = tmp("cagg_hrt")
+    ContinuousAggregate.createDistinct(
+      c.filter(col("timestamp") < timestamp_seconds(lit(T0 + 2 * 86400))),
+      path, widthS = 3600)
+    val approx = ContinuousAggregate.queryDistinctApproxRealtime(spark, path, c,
+        "m", T0, T0 + 4 * 86400, widthS = 86400, storedWidthS = 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = ContinuousAggregate.queryDistinctRealtime(spark, path, c,
+        "m", T0, T0 + 4 * 86400, widthS = 86400, storedWidthS = 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 3 distinct subjects per bucket — sketches are in sparse mode, so
+    // the estimate is exact, not merely close
+    assert(approx == exact, s"approx $approx vs exact $exact")
+  }
+
   test("realtime serving with an empty rollup computes everything from raw") {
     val c = conditions(2)
     val path = tmp("cagg_rt_empty")
