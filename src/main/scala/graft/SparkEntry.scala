@@ -1410,18 +1410,20 @@ object SparkEntry {
     // encode with the just-learned tokenizer: per-doc post-merge token
     // counts, merge table applied as a broadcast-local replace chain
     "q_bpe_encode" -> ((s, d) => {
-      val merges = graft.operators.BpeTokenizer
-        .train(table(s, d, "documents"), k = 6)
-        .collect().map(r => (r.getString(1), r.getString(2)))
+      val merges = BenchPhases.timed("q_bpe_encode", "train")(
+        graft.operators.BpeTokenizer
+          .train(table(s, d, "documents"), k = 6)
+          .collect().map(r => (r.getString(1), r.getString(2))))
       graft.operators.BpeTokenizer.encodeTokenCounts(
         table(s, d, "documents"), merges)
     }),
     // tokenizer fertility per language: BPE tokens per whitespace word —
     // the "does the learned vocab fit this language" diagnostic
     "q_bpe_fertility" -> ((s, d) => {
-      val merges = graft.operators.BpeTokenizer
-        .train(table(s, d, "documents"), k = 6)
-        .collect().map(r => (r.getString(1), r.getString(2)))
+      val merges = BenchPhases.timed("q_bpe_fertility", "train")(
+        graft.operators.BpeTokenizer
+          .train(table(s, d, "documents"), k = 6)
+          .collect().map(r => (r.getString(1), r.getString(2))))
       graft.operators.BpeTokenizer.fertilityByStratum(
         table(s, d, "documents"), merges)
     }),
