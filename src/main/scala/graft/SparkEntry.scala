@@ -848,6 +848,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     }),
+    // corpus-level overlap triage: k-min-value Jaccard estimate between
+    // the even- and odd-doc corpora — deterministic md5 mins, so the
+    // oracle replays every per-perm minimum bit-exactly
+    "q_corpus_overlap" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.corpusOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), n = 3, numPerm = 32)
+    }),
+    // ... and the exact tier the estimate is judged against
+    "q_corpus_overlap_exact" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.operators.Dedup.corpusOverlapExact(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), n = 3)
+    }),
     // the index MAINTENANCE path: day-0 slice indexed, day-1 slice
     // APPENDED (parameters from the table's own properties), day-2 slice
     // probed — oracle is the exact cross-slice join, so the appended
@@ -3394,6 +3410,44 @@ object SparkEntry {
     // day-2 probe vs day-0+day-1 appended signature index: exact
     // cross-slice jaccard (same empirical-recall caveat as the other
     // minhash tiers)
+    // per-perm global min over each side's distinct shingles, same md5
+    // 15-hex-char -> 60-bit arithmetic as the Spark side
+    "q_corpus_overlap" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id % 2 AS side,
+        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s
+        |  FROM w),
+        |hashed AS (
+        |  SELECT side, p,
+        |         list_reduce(list_transform(range(1, 16),
+        |           i -> CAST(strpos('0123456789abcdef',
+        |                  substr(md5(CAST(p AS VARCHAR) || ':' || s), i, 1)) - 1 AS BIGINT)),
+        |           (x, y) -> x * 16 + y) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS p)),
+        |mins AS (
+        |  SELECT p,
+        |         MIN(CASE WHEN side = 0 THEN h END) AS min_a,
+        |         MIN(CASE WHEN side = 1 THEN h END) AS min_b
+        |  FROM hashed GROUP BY p)
+        |SELECT COUNT(*) AS num_perm,
+        |       CAST(SUM(CASE WHEN min_a = min_b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |       ROUND(CAST(SUM(CASE WHEN min_a = min_b THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
+        |FROM mins""".stripMargin,
+    "q_corpus_overlap_exact" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id % 2 AS side,
+        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s
+        |  FROM w),
+        |a AS (SELECT DISTINCT s FROM sh WHERE side = 0),
+        |b AS (SELECT DISTINCT s FROM sh WHERE side = 1)
+        |SELECT (SELECT COUNT(*) FROM a) AS n_a,
+        |       (SELECT COUNT(*) FROM b) AS n_b,
+        |       (SELECT COUNT(*) FROM a JOIN b USING (s)) AS n_inter,
+        |       ROUND(CAST((SELECT COUNT(*) FROM a JOIN b USING (s)) AS DOUBLE) /
+        |             ((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b) - (SELECT COUNT(*) FROM a JOIN b USING (s))), 6) AS jaccard
+        |""".stripMargin,
     "q_dedup_idx_append" -> idxAppendOracleSql,
     // compaction is result-invisible: same oracle as the uncompacted cycle
     "q_dedup_idx_compact" -> idxAppendOracleSql,

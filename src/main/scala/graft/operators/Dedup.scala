@@ -793,6 +793,57 @@ object Dedup {
       .mode("append").saveAsTable(tableName)
   }
 
+  /** Corpus-level overlap triage — the k-min-value Jaccard estimator
+    * over two corpora's SHINGLE SETS: before paying doc-level dedup for
+    * a new crawl, one cheap pass answers "how much of this is a
+    * re-crawl of what we already hold". For each of `numPerm` salted
+    * md5 draws both corpora reduce to the global MIN hashed shingle;
+    * J ≈ fraction of draws whose minima agree (the bottom-1-per-perm
+    * MinHash argument). Cost: one distinct-shingle shuffle per corpus +
+    * a numPerm-group partial-min agg — the corpora never pair, and the
+    * numPerm× fan-out happens AFTER distinct, so repeated shingles hash
+    * once. Hashing is deterministic md5 (15 hex chars → 60-bit BIGINT),
+    * so the oracle replays every min bit-exactly.
+    *
+    * Output one row: (num_perm, n_agree, jaccard_est). Accuracy is the
+    * standard ±O(1/√numPerm); [[corpusOverlapExact]] is the contract
+    * tier.
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, n: Int = 3,
+                    numPerm: Int = 32): DataFrame = {
+    require(numPerm >= 1, "numPerm must be >= 1")
+    def mins(df: DataFrame, out: String) =
+      shingles(df, n).select(col("s")).distinct()
+        .select(col("s"), explode(sequence(lit(0), lit(numPerm - 1))).as("p"))
+        .select(col("p"),
+          conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("s"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("p").agg(min("h").as(out))
+    mins(a, "min_a").join(mins(b, "min_b"), "p")
+      .agg(count(lit(1)).as("num_perm"),
+        sum(when(col("min_a") === col("min_b"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("num_perm"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("num_perm"), 6).as("jaccard_est"))
+  }
+
+  /** The exact tier of [[corpusOverlap]]: |A∩B| / |A∪B| over the two
+    * distinct shingle sets via one full outer join on the shingle —
+    * shuffles both shingle sets once (cost ∝ corpus text, the reason
+    * the sketch tier exists for triage at scale).
+    */
+  def corpusOverlapExact(a: DataFrame, b: DataFrame, n: Int = 3): DataFrame = {
+    val sa = shingles(a, n).select("s").distinct().withColumn("ina", lit(1L))
+    val sb = shingles(b, n).select("s").distinct().withColumn("inb", lit(1L))
+    sa.join(sb, Seq("s"), "full")
+      .agg(sum(coalesce(col("ina"), lit(0L))).as("n_a"),
+        sum(coalesce(col("inb"), lit(0L))).as("n_b"),
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_inter"))
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+  }
+
   /** Compact an append-maintained bucketed index table: every
     * [[appendToSignatureIndex]]/[[appendToSigIndex]]/[[appendToLineIndex]]
     * batch adds one file per bucket, so after D daily appends a probe

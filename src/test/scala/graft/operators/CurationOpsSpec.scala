@@ -296,6 +296,22 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sig_index")
   }
 
+  test("corpusOverlap: identical corpora estimate 1.0, disjoint corpora 0.0; exact tier agrees") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val b = Seq((3L, "nu xi omicron pi rho sigma"),
+      (4L, "tau upsilon phi chi psi omega")).toDF("doc_id", "text")
+    val same = Dedup.corpusOverlap(a, a, n = 3, numPerm = 16).head()
+    assert(same.getLong(1) == 16 && same.getDouble(2) == 1.0)
+    val disj = Dedup.corpusOverlap(a, b, n = 3, numPerm = 16).head()
+    assert(disj.getLong(1) == 0 && disj.getDouble(2) == 0.0)
+    val exSame = Dedup.corpusOverlapExact(a, a).head()
+    assert(exSame.getDouble(3) == 1.0)
+    val exDisj = Dedup.corpusOverlapExact(a, b).head()
+    assert(exDisj.getLong(2) == 0 && exDisj.getDouble(3) == 0.0)
+  }
+
   test("compactIndex: fewer files, identical content and probe results, properties preserved") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val base = docs.filter(col("doc_id") % 3 === 0)
