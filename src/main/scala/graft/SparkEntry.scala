@@ -848,6 +848,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     }),
+    // normalized-exact dedup: uppercase+punctuation clones of every 20th
+    // doc are planted; normalization collapses them onto their originals
+    // (min doc_id wins), which byte-exact dedup provably would not
+    "q_dedup_exact_norm" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(org.apache.spark.sql.functions.upper(col("text")), lit("!!")).as("text"))
+      graft.operators.Dedup.exactNormalized(
+        docs.select("doc_id", "text").unionByName(planted))
+    }),
     // corpus-level overlap triage: k-min-value Jaccard estimate between
     // the even- and odd-doc corpora — deterministic md5 mins, so the
     // oracle replays every per-perm minimum bit-exactly
@@ -3299,6 +3310,16 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    // plant replayed, then the same lowercase/strip/collapse/trim chain
+    // (DuckDB needs the 'g' flag for global regexp_replace)
+    "q_dedup_exact_norm" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, upper(text) || '!!' FROM documents WHERE doc_id % 20 = 0)
+        |SELECT min(doc_id) AS doc_id FROM all_docs
+        |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
     // 12-token line planting replayed, then first-occurrence-wins line
     // dedup and per-doc reassembly in ORDER BY idx
     "q_line_dedup" ->

@@ -87,6 +87,24 @@ object Dedup {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Normalized-exact dedup — the "fuzzy-exact" tier between byte-exact
+    * [[exact]] and MinHash: lowercase, replace every non-alphanumeric
+    * rune with a space, collapse runs of spaces, trim, then keep the min
+    * doc_id per normalized form. Catches the case/punctuation/spacing
+    * re-crawl variants byte-exact dedup misses without paying shingle
+    * sketches (the normalization C4's exact pass runs before hashing).
+    * Same cost shape as [[exact]]: one codegen'd projection + one hash
+    * agg; deterministic, so the oracle replays the normalization
+    * character-for-character.
+    */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " "))).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
   /** C4-style exact line-level deduplication (Raffel et al. 2020 §2.2
     * deduplicate three-sentence spans; Penedo et al. 2023 RefinedWeb does
     * it per line): every line that occurs more than once CORPUS-WIDE is
