@@ -122,6 +122,37 @@ object SparkEntry {
       conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
       s.sql(s"SELECT * FROM graft_counter_agg('$Of', $S1, $E1, 21600)")
     }),
+    // realtime cagg serving through the SQL face: rollup built STALE,
+    // raw tail read from the session's conditions view — shares the
+    // from-raw full-window oracle like the method-path row
+    "q_sql_cagg_realtime" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val c = conditions(s, d)
+      c.createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
+      withTempDir("graft_sql_cagg_rt") { tmp =>
+        graft.sources.ContinuousAggregate.create(
+          c.filter(col("timestamp") < timestamp_seconds(lit(1705536000L))),
+          s"$tmp/agg", widthS = 3600)
+        s.sql(s"SELECT * FROM graft_cagg_realtime('$tmp/agg', '$Subject', '$Of', $S1, $E1, 86400, 3600)")
+      }
+    }),
+    "q_sql_corpus_overlap" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = table(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("graft_corpus_a")
+      docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("graft_corpus_b")
+      s.sql("SELECT * FROM graft_corpus_overlap('graft_corpus_a', 'graft_corpus_b', 3, 32)")
+    }),
+    "q_sql_exact_norm" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = table(s, d, "documents")
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(org.apache.spark.sql.functions.upper(col("text")), lit("!!")).as("text"))
+      docs.select("doc_id", "text").unionByName(planted)
+        .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      s.sql("SELECT * FROM graft_exact_norm_dedup()")
+    }),
     "q_sql_counter_rollup" -> ((s, d) => {
       GraftFunctions.register(s)
       conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
@@ -2200,6 +2231,38 @@ object SparkEntry {
         |FROM pairs WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8
         |ORDER BY doc_new, doc_index""".stripMargin
 
+  private def corpusOverlapOracleSql: String =
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id % 2 AS side,
+        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s
+        |  FROM w),
+        |hashed AS (
+        |  SELECT side, p,
+        |         list_reduce(list_transform(range(1, 16),
+        |           i -> CAST(strpos('0123456789abcdef',
+        |                  substr(md5(CAST(p AS VARCHAR) || ':' || s), i, 1)) - 1 AS BIGINT)),
+        |           (x, y) -> x * 16 + y) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS p)),
+        |mins AS (
+        |  SELECT p,
+        |         MIN(CASE WHEN side = 0 THEN h END) AS min_a,
+        |         MIN(CASE WHEN side = 1 THEN h END) AS min_b
+        |  FROM hashed GROUP BY p)
+        |SELECT COUNT(*) AS num_perm,
+        |       CAST(SUM(CASE WHEN min_a = min_b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |       ROUND(CAST(SUM(CASE WHEN min_a = min_b THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
+        |FROM mins""".stripMargin
+
+  private def exactNormOracleSql: String =
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, upper(text) || '!!' FROM documents WHERE doc_id % 20 = 0)
+        |SELECT min(doc_id) AS doc_id FROM all_docs
+        |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin
+
   /** Gopher rule replay — shared by q_gopher and q_sql_gopher. */
   private def gopherOracleSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3124,6 +3187,7 @@ object SparkEntry {
     // realtime = stored partials ∪ raw tail must equal the full window
     // computed from raw — same replay as the serve oracle
     "q_cagg_realtime" -> caggServeOracleSql,
+    "q_sql_cagg_realtime" -> caggServeOracleSql,
     "q_cagg_distinct_realtime" ->
       s"""$Cte
          |SELECT (epoch_us("timestamp") // ${86400L * 1000000L}) * 86400 AS time_s,
@@ -3312,14 +3376,8 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
     // plant replayed, then the same lowercase/strip/collapse/trim chain
     // (DuckDB needs the 'g' flag for global regexp_replace)
-    "q_dedup_exact_norm" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, upper(text) || '!!' FROM documents WHERE doc_id % 20 = 0)
-        |SELECT min(doc_id) AS doc_id FROM all_docs
-        |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact_norm" -> exactNormOracleSql,
+    "q_sql_exact_norm" -> exactNormOracleSql,
     // 12-token line planting replayed, then first-occurrence-wins line
     // dedup and per-doc reassembly in ORDER BY idx
     "q_line_dedup" ->
@@ -3433,28 +3491,8 @@ object SparkEntry {
     // minhash tiers)
     // per-perm global min over each side's distinct shingles, same md5
     // 15-hex-char -> 60-bit arithmetic as the Spark side
-    "q_corpus_overlap" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id % 2 AS side,
-        |         unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1) ])) AS s
-        |  FROM w),
-        |hashed AS (
-        |  SELECT side, p,
-        |         list_reduce(list_transform(range(1, 16),
-        |           i -> CAST(strpos('0123456789abcdef',
-        |                  substr(md5(CAST(p AS VARCHAR) || ':' || s), i, 1)) - 1 AS BIGINT)),
-        |           (x, y) -> x * 16 + y) AS h
-        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS p)),
-        |mins AS (
-        |  SELECT p,
-        |         MIN(CASE WHEN side = 0 THEN h END) AS min_a,
-        |         MIN(CASE WHEN side = 1 THEN h END) AS min_b
-        |  FROM hashed GROUP BY p)
-        |SELECT COUNT(*) AS num_perm,
-        |       CAST(SUM(CASE WHEN min_a = min_b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-        |       ROUND(CAST(SUM(CASE WHEN min_a = min_b THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
-        |FROM mins""".stripMargin,
+    "q_corpus_overlap" -> corpusOverlapOracleSql,
+    "q_sql_corpus_overlap" -> corpusOverlapOracleSql,
     "q_corpus_overlap_exact" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (

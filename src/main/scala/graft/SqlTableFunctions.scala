@@ -520,6 +520,16 @@ object SqlTableFunctions {
           longArg(f, a, 3), longArg(f, a, 4), longArg(f, a, 5),
           longArg(f, a, 6))
     }
+    add("graft_corpus_overlap",
+      "graft_corpus_overlap(relation_a, relation_b, n, num_perm)", 4) {
+      (s, f, a) =>
+        graft.operators.Dedup.corpusOverlap(
+          rel(s, strArg(f, a, 0), f.name), rel(s, strArg(f, a, 1), f.name),
+          intArg(f, a, 2), intArg(f, a, 3))
+    }
+    add("graft_exact_norm_dedup", "graft_exact_norm_dedup()", 0) { (s, f, _) =>
+      graft.operators.Dedup.exactNormalized(rel(s, DocumentsRelation, f.name))
+    }
     // semantic dedup from SQL: centroids come from a named relation
     // (list_id, centroid) — a trainedCentroids dump or any seed table
     add("graft_semdedup", "graft_semdedup(centroid_relation, threshold)", 2) {
