@@ -899,6 +899,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), n = 3, numPerm = 32)
     }),
+    // the persisted-sketch path: base corpus sketched ONCE (numPerm
+    // stored rows), the "new crawl" probed against the stored minima —
+    // identical to q_corpus_overlap by construction, shares its oracle
+    "q_corpus_overlap_idx" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      BenchPhases.timed("q_corpus_overlap_idx", "build")(
+        graft.operators.Dedup.writeOverlapSketch(
+          docs.filter(col("doc_id") % 2 === 0), "graft_overlap_sketch",
+          n = 3, numPerm = 32))
+      graft.operators.Dedup.corpusOverlapAgainstSketch(
+        docs.filter(col("doc_id") % 2 === 1), "graft_overlap_sketch")
+    }),
     // ... and the exact tier the estimate is judged against
     "q_corpus_overlap_exact" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -3493,6 +3505,7 @@ object SparkEntry {
     // 15-hex-char -> 60-bit arithmetic as the Spark side
     "q_corpus_overlap" -> corpusOverlapOracleSql,
     "q_sql_corpus_overlap" -> corpusOverlapOracleSql,
+    "q_corpus_overlap_idx" -> corpusOverlapOracleSql,
     "q_corpus_overlap_exact" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (

@@ -830,18 +830,64 @@ object Dedup {
   def corpusOverlap(a: DataFrame, b: DataFrame, n: Int = 3,
                     numPerm: Int = 32): DataFrame = {
     require(numPerm >= 1, "numPerm must be >= 1")
-    def mins(df: DataFrame, out: String) =
-      shingles(df, n).select(col("s")).distinct()
-        .select(col("s"), explode(sequence(lit(0), lit(numPerm - 1))).as("p"))
-        .select(col("p"),
-          conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("s"))), 1, 15), 16, 10)
-            .cast("long").as("h"))
-        .groupBy("p").agg(min("h").as(out))
-    mins(a, "min_a").join(mins(b, "min_b"), "p")
+    overlapFromMins(permMins(a, n, numPerm, "min_a"),
+      permMins(b, n, numPerm, "min_b"))
+  }
+
+  /** Per-perm global minimum hashed shingle of a corpus — the k-min-value
+    * sketch state: `numPerm` rows of (p, min hash).
+    */
+  private def permMins(df: DataFrame, n: Int, numPerm: Int,
+                       out: String): DataFrame =
+    shingles(df, n).select(col("s")).distinct()
+      .select(col("s"), explode(sequence(lit(0), lit(numPerm - 1))).as("p"))
+      .select(col("p"),
+        conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("s"))), 1, 15), 16, 10)
+          .cast("long").as(out))
+      .groupBy("p").agg(min(out).as(out))
+
+  private def overlapFromMins(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, "p")
       .agg(count(lit(1)).as("num_perm"),
         sum(when(col("min_a") === col("min_b"), 1L).otherwise(0L)).as("n_agree"))
       .select(col("num_perm"), col("n_agree"),
         round(col("n_agree").cast("double") / col("num_perm"), 6).as("jaccard_est"))
+
+  /** Persist a corpus's k-min-value sketch — `numPerm` ROWS, total —
+    * so later crawls answer "how much of this is already in the base
+    * corpus" WITHOUT rescanning the base: sketch a 100 TB corpus once,
+    * probe forever at the cost of sketching only the new side. The
+    * sketch parameters ride the table properties (the
+    * [[writeSignatureIndex]] contract) so a probe with mismatched n or
+    * numPerm is impossible by construction.
+    */
+  def writeOverlapSketch(corpus: DataFrame, tableName: String, n: Int = 3,
+                         numPerm: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    dropManaged(spark, tableName)
+    permMins(corpus, n, numPerm, "min_a")
+      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
+    spark.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+        s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm')")
+  }
+
+  /** [[corpusOverlap]] of a NEW corpus against a [[writeOverlapSketch]]
+    * table: the base side is `numPerm` stored rows (never rescanned),
+    * the new side one distinct-shingle pass — identical result to
+    * [[corpusOverlap]] over the same corpora by construction (stored
+    * minima ARE the computed minima; the gate row shares the oracle).
+    */
+  def corpusOverlapAgainstSketch(newCorpus: DataFrame,
+                                 tableName: String): DataFrame = {
+    val spark = newCorpus.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def prop(key: String): Int = props.getOrElse(key, throw new IllegalArgumentException(
+      s"overlap sketch $tableName carries no $key property — " +
+        "not written by writeOverlapSketch")).toInt
+    overlapFromMins(spark.table(tableName),
+      permMins(newCorpus, prop("graft.n"), prop("graft.numPerm"), "min_b"))
   }
 
   /** The exact tier of [[corpusOverlap]]: |A∩B| / |A∪B| over the two
