@@ -911,6 +911,27 @@ object SparkEntry {
       graft.operators.Dedup.corpusOverlapAgainstSketch(
         docs.filter(col("doc_id") % 2 === 1), "graft_overlap_sketch")
     }),
+    // the STREAMING sketch gate (eighth external-state family): the
+    // base corpus streams in micro-batches, each min-merged into the
+    // persisted sketch; the probe afterward must equal the one-shot
+    // sketch (min is associative) — shares q_corpus_overlap's oracle
+    "q_corpus_overlap_stream" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      BenchPhases.timed("q_corpus_overlap_stream", "build")(
+        graft.operators.Dedup.writeOverlapSketch(
+          docs.filter(lit(false)), "graft_overlap_stream_sk", n = 3, numPerm = 32))
+      withTempDir("graft_overlap_stream") { tmp =>
+        BenchPhases.timed("q_corpus_overlap_stream", "stage")(
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+            .repartition(3).write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_corpus_overlap_stream", "drain")(
+          graft.streaming.OverlapSketchStream.start(s, s"$tmp/input",
+              "graft_overlap_stream_sk", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+            .awaitTermination())
+        graft.operators.Dedup.corpusOverlapAgainstSketch(
+          docs.filter(col("doc_id") % 2 === 1), "graft_overlap_stream_sk")
+      }
+    }),
     // ... and the exact tier the estimate is judged against
     "q_corpus_overlap_exact" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -3506,6 +3527,7 @@ object SparkEntry {
     "q_corpus_overlap" -> corpusOverlapOracleSql,
     "q_sql_corpus_overlap" -> corpusOverlapOracleSql,
     "q_corpus_overlap_idx" -> corpusOverlapOracleSql,
+    "q_corpus_overlap_stream" -> corpusOverlapOracleSql,
     "q_corpus_overlap_exact" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (

@@ -872,6 +872,39 @@ object Dedup {
         s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm')")
   }
 
+  /** Fold a NEW batch of documents into a [[writeOverlapSketch]] table:
+    * per-perm min is trivially mergeable (min(min(A), min(B)) =
+    * min(A∪B)), so the sketch of the growing corpus is maintained
+    * incrementally — batch-proportional cost, and the merge state is
+    * the `numPerm`-row sketch itself (collected: bounded at numPerm
+    * rows BY CONSTRUCTION, never corpus-proportional). After any
+    * sequence of merges the table equals [[writeOverlapSketch]] over
+    * the union (spec-pinned), so probes against it keep the
+    * [[corpusOverlap]] contract.
+    */
+  def mergeIntoOverlapSketch(newDocs: DataFrame, tableName: String): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def prop(key: String): Int = props.getOrElse(key, throw new IllegalArgumentException(
+      s"overlap sketch $tableName carries no $key property — " +
+        "not written by writeOverlapSketch")).toInt
+    val (n, numPerm) = (prop("graft.n"), prop("graft.numPerm"))
+    val stored = spark.table(tableName).as[(Int, Long)].collect().toMap
+    val batch = permMins(newDocs, n, numPerm, "min_a")
+      .as[(Int, Long)].collect().toMap
+    val merged = (stored.keySet ++ batch.keySet).toSeq.sorted.map { p =>
+      (p, math.min(stored.getOrElse(p, Long.MaxValue),
+        batch.getOrElse(p, Long.MaxValue)))
+    }
+    merged.toDF("p", "min_a").coalesce(1)
+      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
+    spark.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+        s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm')")
+  }
+
   /** [[corpusOverlap]] of a NEW corpus against a [[writeOverlapSketch]]
     * table: the base side is `numPerm` stored rows (never rescanned),
     * the new side one distinct-shingle pass — identical result to

@@ -312,6 +312,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(exDisj.getLong(2) == 0 && exDisj.getDouble(3) == 0.0)
   }
 
+  test("overlap sketch: incremental merges equal the one-shot sketch of the union") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    try {
+      // one-shot sketch of the evens
+      Dedup.writeOverlapSketch(evens, "ovl_oneshot", n = 3, numPerm = 16)
+      // the same corpus merged in as three arbitrary slices
+      Dedup.writeOverlapSketch(evens.filter(lit(false)), "ovl_inc", n = 3, numPerm = 16)
+      Seq(0, 1, 2).foreach { k =>
+        Dedup.mergeIntoOverlapSketch(evens.filter(col("doc_id") % 3 === k), "ovl_inc")
+      }
+      val oneShot = spark.table("ovl_oneshot").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      val inc = spark.table("ovl_inc").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(oneShot == inc, s"one-shot $oneShot vs incremental $inc")
+      // and the probe against either equals the direct two-corpus estimate
+      val direct = Dedup.corpusOverlap(evens, odds, n = 3, numPerm = 16).head()
+      val viaSketch = Dedup.corpusOverlapAgainstSketch(odds, "ovl_inc").head()
+      assert(direct.getDouble(2) == viaSketch.getDouble(2))
+      // a sketch without properties fails loudly
+      spark.table("ovl_inc").write.mode("overwrite").saveAsTable("ovl_noprops")
+      intercept[IllegalArgumentException] {
+        Dedup.mergeIntoOverlapSketch(odds, "ovl_noprops")
+      }
+    } finally {
+      Seq("ovl_oneshot", "ovl_inc", "ovl_noprops").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("compactIndex: fewer files, identical content and probe results, properties preserved") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val base = docs.filter(col("doc_id") % 3 === 0)
