@@ -1654,6 +1654,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_pii"), md5(col("redacted")).as("redacted_hash"))
         .orderBy("doc_id")
     }),
+    // Efraimidis-Spirakis weighted sample without replacement: 100 docs
+    // drawn ∝ n_chars — one map + TakeOrdered(k), no sequential pass;
+    // the oracle replays the md5 uniform, the ln(u)/w key and the
+    // rounded-key/id ordering exactly
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+        table(s, d, "documents"), "n_chars", k = 100)),
     // deterministic hash-bucketed train/validation/test split
     "q_split" -> ((s, d) =>
       graft.operators.Sampling.assignSplits(table(s, d, "documents"))
@@ -4330,6 +4337,17 @@ object SparkEntry {
     // per-shard row_number + cumulative base on the Spark side flattens
     // to exactly this single ORDER BY
     "q_epoch_shuffle" -> epochShuffleOracleSql,
+    "q_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, n_chars,
+         |         ROUND(ln((list_reduce(list_transform(range(1, 16),
+         |             i -> CAST(strpos('0123456789abcdef',
+         |                    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+         |             (a, b) -> a * 16 + b) + 1.0) / ${math.pow(2.0, 60)})
+         |           / n_chars, 6) AS es_key
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, es_key FROM keyed
+         |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin,
     "q_split" ->
       s"""SELECT doc_id,
          |       CASE WHEN b < 9000 THEN 'train'

@@ -148,6 +148,34 @@ object Sampling {
     mixtureSample(docs, targets, stratum, key, salt)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * each row draws a deterministic md5 uniform u ∈ (0, 1] and the k
+    * LARGEST keys ln(u)/w win — provably the same distribution as
+    * sequential weighted draws without replacement, but embarrassingly
+    * parallel: one map + a TakeOrdered(k), no sequential pass, no
+    * per-stratum state. The pipeline use: quality- or length-weighted
+    * corpus subsetting where plain Bernoulli sampling over- or
+    * under-shoots small strata.
+    *
+    * Determinism contract (the repo-wide convention): u comes from a
+    * salted md5 of the key, the key is rounded to 6 dp and ties break
+    * on the id, so any engine replays the exact selection. Rows with
+    * non-positive weight are excluded (they can never win a draw).
+    */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int,
+                     key: String = "doc_id",
+                     salt: String = "wsample"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    docs.filter(col(weightCol) > 0)
+      .withColumn("u",
+        (conv(substring(md5(concat(lit(salt + ":"), col(key).cast("string"))), 1, 15), 16, 10)
+          .cast("double") + 1.0) / math.pow(2.0, 60))
+      .withColumn("es_key", round(log(col("u")) / col(weightCol), 6))
+      .orderBy(col("es_key").desc, col(key).asc)
+      .limit(k)
+      .select(col(key), col(weightCol), col("es_key"))
+  }
+
   def mixtureSample(docs: DataFrame, targets: Map[String, Double],
                     stratum: String = "source", key: String = "doc_id",
                     salt: String = "mix"): DataFrame = {

@@ -216,4 +216,28 @@ class SamplingPropertySpec extends AnyFunSuite {
     // order/partitioning independent
     assert(manifest(exported.repartition(11)) == full)
   }
+
+  test("weightedSample: dominant weight always wins, non-positive weights excluded, partitioning-invariant") {
+    import spark.implicits._
+    val docs = ((1L to 50L).map(i => (i, 1.0)) :+ (99L, 1e9) :+ (100L, 0.0) :+ (101L, -3.0))
+      .toDF("doc_id", "w")
+    val picked = Sampling.weightedSample(docs, "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ln(u)/1e9 ≈ 0 dominates every unit-weight key (ln(u) ≤ ~-1e-18 is
+    // impossible to overcome at w=1): the heavy doc is always in the top-10
+    assert(picked.contains(99L), s"dominant-weight doc missing from $picked")
+    assert(!picked.contains(100L) && !picked.contains(101L),
+      "non-positive weights can never be drawn")
+    assert(picked.size == 10)
+    // selection is a pure function of (salt, key, weight) — partitioning
+    // cannot change it
+    val repart = Sampling.weightedSample(docs.repartition(7), "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == picked)
+    // a different salt draws a different unit-weight subset (but the
+    // dominant doc still wins)
+    val other = Sampling.weightedSample(docs, "w", k = 10, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other.contains(99L) && other != picked)
+  }
 }
