@@ -1661,6 +1661,10 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) =>
       graft.operators.Sampling.weightedSample(
         table(s, d, "documents"), "n_chars", k = 100)),
+    // the per-domain face: best-20 weighted draw within each source
+    "q_weighted_sample_strat" -> ((s, d) =>
+      graft.operators.Sampling.weightedSamplePerStratum(
+        table(s, d, "documents"), "n_chars", k = 20)),
     // deterministic hash-bucketed train/validation/test split
     "q_split" -> ((s, d) =>
       graft.operators.Sampling.assignSplits(table(s, d, "documents"))
@@ -4337,6 +4341,21 @@ object SparkEntry {
     // per-shard row_number + cumulative base on the Spark side flattens
     // to exactly this single ORDER BY
     "q_epoch_shuffle" -> epochShuffleOracleSql,
+    "q_weighted_sample_strat" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source, n_chars,
+         |         ROUND(ln((list_reduce(list_transform(range(1, 16),
+         |             i -> CAST(strpos('0123456789abcdef',
+         |                    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+         |             (a, b) -> a * 16 + b) + 1.0) / ${math.pow(2.0, 60)})
+         |           / n_chars, 6) AS es_key
+         |  FROM documents WHERE n_chars > 0),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |            ORDER BY es_key DESC, doc_id ASC) AS rk
+         |  FROM keyed)
+         |SELECT doc_id, source, n_chars, es_key FROM ranked WHERE rk <= 20
+         |ORDER BY source, es_key DESC, doc_id""".stripMargin,
     "q_weighted_sample" ->
       s"""WITH keyed AS (
          |  SELECT doc_id, n_chars,

@@ -176,6 +176,30 @@ object Sampling {
       .select(col(key), col(weightCol), col("es_key"))
   }
 
+  /** [[weightedSample]] PER STRATUM: the k largest Efraimidis–Spirakis
+    * keys within each stratum — "the best-k weighted draw per domain",
+    * one window rank over stratum-partitioned groups instead of a
+    * global TakeOrdered (each window group is one stratum, never the
+    * corpus). Same determinism contract as [[weightedSample]].
+    */
+  def weightedSamplePerStratum(docs: DataFrame, weightCol: String, k: Int,
+                               stratum: String = "source",
+                               key: String = "doc_id",
+                               salt: String = "wsample"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(col("es_key").desc, col(key).asc)
+    docs.filter(col(weightCol) > 0)
+      .withColumn("u",
+        (conv(substring(md5(concat(lit(salt + ":"), col(key).cast("string"))), 1, 15), 16, 10)
+          .cast("double") + 1.0) / math.pow(2.0, 60))
+      .withColumn("es_key", round(log(col("u")) / col(weightCol), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(key), col(stratum), col(weightCol), col("es_key"))
+      .orderBy(col(stratum), col("es_key").desc, col(key))
+  }
+
   def mixtureSample(docs: DataFrame, targets: Map[String, Double],
                     stratum: String = "source", key: String = "doc_id",
                     salt: String = "mix"): DataFrame = {
