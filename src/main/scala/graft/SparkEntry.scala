@@ -1050,6 +1050,19 @@ object SparkEntry {
       graft.operators.Dedup.simhashPairsAgainstIndex(
         docs.filter(col("doc_id") % 3 === 2), "graft_simhash_append")
     }),
+    // chunk -> doc mean pooling: every 8 consecutive vec_ids play one
+    // document's chunks; the gate row explodes the pooled arrays so the
+    // compare stays on scalar columns
+    "q_embed_pool" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{expr, posexplode}
+      val e = table(s, d, "embeddings")
+        .withColumn("group_id", expr("vec_id div 8"))
+      graft.operators.Ann.meanPoolEmbeddings(e, "group_id")
+        .select(col("group_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("group_id"), col("pos").cast("long").as("pos"), col("v"))
+        .orderBy("group_id", "pos")
+    }),
     // brute-force cosine top-k
     "q_ann_topk" -> ((s, d) =>
       graft.operators.Ann.topK(table(s, d, "embeddings"), queryId = 0, k = 20)),
@@ -3657,6 +3670,16 @@ object SparkEntry {
     "q_bpe_train" -> bpeOracleSql(k = 6, mode = "train"),
     "q_bpe_encode" -> bpeOracleSql(k = 6, mode = "encode"),
     "q_bpe_fertility" -> bpeOracleSql(k = 6, mode = "fertility"),
+    // parallel unnests zip in DuckDB, giving (pos, v) pairs; the pooled
+    // mean replays as a (group, pos) AVG rounded to the same 6 dp
+    "q_embed_pool" ->
+      """WITH x AS (
+        |  SELECT vec_id // 8 AS group_id,
+        |         unnest(range(0, len(embedding))) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT group_id, pos, ROUND(AVG(v), 6) AS v
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // nProbe = nlist probes every inverted list — identical to brute force
     "q_ann_ivf" -> annTopkOracleSql,
     // ... and the persisted-index path at nProbe = nlist is the same scan

@@ -301,6 +301,24 @@ object Ann {
     picks.reverse.toDF("rank", "vec_id", "dist").orderBy("rank")
   }
 
+  /** Mean-pool member embeddings to group embeddings — the chunk→doc
+    * pooling step of a RAG/doc-embedding pipeline ([[graft.operators.Rag]]
+    * embeds chunks; serving often wants one vector per document). The
+    * element-wise mean runs as posexplode → (group, pos) hash agg →
+    * per-group reassembly (collected entries per group = dim, bounded);
+    * output values round to 6 dp (the repo FP-parity convention). The
+    * pooled frame drops straight back into the ANN family under the
+    * group id.
+    */
+  def meanPoolEmbeddings(vectors: DataFrame, groupCol: String,
+                         vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(groupCol, "pos")
+      .agg(round(avg(col("v")), 6).as("v"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as(vecCol))
+
   /** Exact near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     * O(n²) arithmetic — the correctness oracle; use [[lshNeardupPairs]] at
     * scale when the threshold sits in LSH's effective regime (cos ≥ ~0.8).
