@@ -1387,6 +1387,12 @@ object SparkEntry {
     "q_rag_retrieve" -> ((s, d) =>
       graft.operators.Rag.retrieveChunks(table(s, d, "documents"),
         "table scan hash join window agg", k = 10)),
+    // the DOC-level retrieval face: chunk vectors mean-pooled per doc,
+    // query scored against one vector per document — the capstone plus
+    // the pooling operator under one oracle
+    "q_rag_retrieve_docs" -> ((s, d) =>
+      graft.operators.Rag.retrieveDocs(table(s, d, "documents"),
+        "table scan hash join window agg", k = 10)),
     // curation v2 — the model-era capstone: NB quality gate (score > 0)
     // → UniMax language rebalancing over the survivors (60% budget, 1
     // epoch) → padding-efficient bucketed batches, each doc annotated
@@ -4183,6 +4189,52 @@ object SparkEntry {
     // chunk replay (q_chunk's integer arithmetic) keyed doc_id*1e5+chunk,
     // then the hash-embed + cosine top-k replay over the chunk relation
     // plus the literal query embedded as key -1
+    "q_rag_retrieve_docs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w, GREATEST(1, (len(w) - 8 + 55) // 56) AS nchunks FROM t),
+         |c AS (SELECT doc_id, w, unnest(range(0, nchunks)) AS chunk_id FROM p),
+         |chdocs AS (SELECT doc_id * 100000 + chunk_id AS doc_id,
+         |                  array_to_string(w[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ') AS text
+         |           FROM c),
+         |corpus AS (SELECT * FROM chdocs
+         |           UNION ALL SELECT CAST(-1 AS BIGINT), 'table scan hash join window agg'),
+         |tok AS (
+         |  SELECT doc_id, CAST(${md5BucketSql("hemb", "t")} % 32 AS INT) AS b,
+         |         CASE WHEN ${md5BucketSql("hsign", "t")} % 2 = 1 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus)),
+         |sp AS (SELECT doc_id, b, SUM(s) AS v FROM tok GROUP BY doc_id, b),
+         |grid AS (SELECT d.doc_id, j.j
+         |         FROM (SELECT DISTINCT doc_id FROM corpus) d,
+         |              (SELECT unnest(range(0, 32)) AS j) j),
+         |dense AS (SELECT g.doc_id, g.j, CAST(COALESCE(sp.v, 0) AS DOUBLE) AS v
+         |          FROM grid g LEFT JOIN sp ON g.doc_id = sp.doc_id AND g.j = sp.b),
+         |nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS n FROM dense GROUP BY doc_id),
+         |vec AS (SELECT d.doc_id,
+         |          list(CAST(CASE WHEN n.n = 0 THEN 0 ELSE d.v / n.n END AS FLOAT)
+         |               ORDER BY d.j) AS p
+         |        FROM dense d JOIN nrm n USING (doc_id)
+         |        WHERE n.n > 0 GROUP BY d.doc_id),
+         |q AS (SELECT p AS qe FROM vec WHERE doc_id = -1),
+         |pv AS (SELECT v.doc_id // 100000 AS gid, j.j AS j,
+         |              CAST(v.p[j.j + 1] AS DOUBLE) AS x
+         |       FROM vec v, (SELECT unnest(range(0, 32)) AS j) j
+         |       WHERE v.doc_id <> -1),
+         |pool AS (SELECT gid, j, CAST(ROUND(AVG(x), 6) AS FLOAT) AS x
+         |         FROM pv GROUP BY 1, 2),
+         |pooled AS (SELECT gid, list(x ORDER BY j) AS p FROM pool GROUP BY gid),
+         |scored AS (
+         |  SELECT e.gid AS doc_id,
+         |         list_sum(list_transform(range(1, len(e.p)+1),
+         |            i -> CAST(e.p[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS d,
+         |         sqrt(list_sum(list_transform(range(1, len(e.p)+1),
+         |            i -> CAST(e.p[i] AS DOUBLE) * CAST(e.p[i] AS DOUBLE)))) AS ne,
+         |         sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+         |            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) AS nq
+         |  FROM pooled e, q
+         |  WHERE list_sum(list_transform(range(1, len(e.p)+1),
+         |            i -> CAST(e.p[i] AS DOUBLE) * CAST(e.p[i] AS DOUBLE))) > 0)
+         |SELECT doc_id, ROUND(d/(ne*nq), 6) AS cos
+         |FROM scored ORDER BY cos DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_rag_retrieve" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |p AS (SELECT doc_id, w, GREATEST(1, (len(w) - 8 + 55) // 56) AS nchunks FROM t),
