@@ -153,6 +153,12 @@ object SparkEntry {
         .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
       s.sql("SELECT * FROM graft_exact_norm_dedup()")
     }),
+    "q_sql_weighted_sample" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "documents")
+        .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      s.sql("SELECT * FROM graft_weighted_sample('n_chars', 100)")
+    }),
     "q_sql_counter_rollup" -> ((s, d) => {
       GraftFunctions.register(s)
       conditions(s, d).createOrReplaceTempView(SqlTableFunctions.ConditionsRelation)
@@ -2326,6 +2332,18 @@ object SparkEntry {
         |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
         |ORDER BY doc_id""".stripMargin
 
+  private def weightedSampleOracleSql: String =
+      s"""WITH keyed AS (
+         |  SELECT doc_id, n_chars,
+         |         ROUND(ln((list_reduce(list_transform(range(1, 16),
+         |             i -> CAST(strpos('0123456789abcdef',
+         |                    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+         |             (a, b) -> a * 16 + b) + 1.0) / ${math.pow(2.0, 60)})
+         |           / n_chars, 6) AS es_key
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, es_key FROM keyed
+         |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin
+
   /** Gopher rule replay — shared by q_gopher and q_sql_gopher. */
   private def gopherOracleSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -4431,17 +4449,8 @@ object SparkEntry {
          |  FROM keyed)
          |SELECT doc_id, source, n_chars, es_key FROM ranked WHERE rk <= 20
          |ORDER BY source, es_key DESC, doc_id""".stripMargin,
-    "q_weighted_sample" ->
-      s"""WITH keyed AS (
-         |  SELECT doc_id, n_chars,
-         |         ROUND(ln((list_reduce(list_transform(range(1, 16),
-         |             i -> CAST(strpos('0123456789abcdef',
-         |                    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-         |             (a, b) -> a * 16 + b) + 1.0) / ${math.pow(2.0, 60)})
-         |           / n_chars, 6) AS es_key
-         |  FROM documents WHERE n_chars > 0)
-         |SELECT doc_id, n_chars, es_key FROM keyed
-         |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin,
+    "q_weighted_sample" -> weightedSampleOracleSql,
+    "q_sql_weighted_sample" -> weightedSampleOracleSql,
     "q_split" ->
       s"""SELECT doc_id,
          |       CASE WHEN b < 9000 THEN 'train'

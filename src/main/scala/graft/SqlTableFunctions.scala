@@ -530,6 +530,16 @@ object SqlTableFunctions {
     add("graft_exact_norm_dedup", "graft_exact_norm_dedup()", 0) { (s, f, _) =>
       graft.operators.Dedup.exactNormalized(rel(s, DocumentsRelation, f.name))
     }
+    add("graft_weighted_sample",
+      "graft_weighted_sample(weight_col, k)", 2) { (s, f, a) =>
+      Sampling.weightedSample(rel(s, DocumentsRelation, f.name),
+        strArg(f, a, 0), intArg(f, a, 1))
+    }
+    add("graft_rag_retrieve_docs",
+      "graft_rag_retrieve_docs(query, k)", 2) { (s, f, a) =>
+      graft.operators.Rag.retrieveDocs(rel(s, DocumentsRelation, f.name),
+        strArg(f, a, 0), intArg(f, a, 1))
+    }
     // semantic dedup from SQL: centroids come from a named relation
     // (list_id, centroid) — a trainedCentroids dump or any seed table
     add("graft_semdedup", "graft_semdedup(centroid_relation, threshold)", 2) {
