@@ -1690,6 +1690,26 @@ object SparkEntry {
     "q_weighted_sample_strat" -> ((s, d) =>
       graft.operators.Sampling.weightedSamplePerStratum(
         table(s, d, "documents"), "n_chars", k = 20)),
+    // the STREAMING weighted sample (mergeable top-k keys): the corpus
+    // streams in micro-batches into the <=k-row state table; the final
+    // state must equal the one-shot draw over everything — micro-batching
+    // provably invisible, the oracle replays the one-shot selection
+    "q_weighted_sample_stream" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      BenchPhases.timed("q_weighted_sample_stream", "build")(
+        graft.operators.Sampling.writeWeightedSampleState(
+          docs.filter(lit(false)), "graft_wsample_state", "n_chars", k = 100))
+      withTempDir("graft_wsample_stream") { tmp =>
+        BenchPhases.timed("q_weighted_sample_stream", "stage")(
+          docs.select("doc_id", "n_chars").repartition(3)
+            .write.parquet(s"$tmp/input"))
+        BenchPhases.timed("q_weighted_sample_stream", "drain")(
+          graft.streaming.WeightedSampleStream.start(s, s"$tmp/input",
+              "graft_wsample_state", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+            .awaitTermination())
+        s.table("graft_wsample_state").orderBy(col("es_key").desc, col("doc_id"))
+      }
+    }),
     // deterministic hash-bucketed train/validation/test split
     "q_split" -> ((s, d) =>
       graft.operators.Sampling.assignSplits(table(s, d, "documents"))
@@ -4450,6 +4470,18 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars, es_key FROM ranked WHERE rk <= 20
          |ORDER BY source, es_key DESC, doc_id""".stripMargin,
     "q_weighted_sample" -> weightedSampleOracleSql,
+    // the stream's state = the one-shot selection minus the weight column
+    "q_weighted_sample_stream" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |         ROUND(ln((list_reduce(list_transform(range(1, 16),
+         |             i -> CAST(strpos('0123456789abcdef',
+         |                    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+         |             (a, b) -> a * 16 + b) + 1.0) / ${math.pow(2.0, 60)})
+         |           / n_chars, 6) AS es_key
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, es_key FROM keyed
+         |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin,
     "q_sql_weighted_sample" -> weightedSampleOracleSql,
     "q_split" ->
       s"""SELECT doc_id,

@@ -200,6 +200,60 @@ object Sampling {
       .orderBy(col(stratum), col("es_key").desc, col(key))
   }
 
+  /** Seed the persisted state of a STREAMING weighted sample: an empty
+    * k-row table whose parameters (weight column, k, salt) ride the
+    * table properties, so batch merges can never drift from the seed
+    * configuration. State is ≤ k rows FOREVER — top-k of a union is the
+    * top-k of the per-part top-ks (the Efraimidis–Spirakis keys make
+    * "weighted sample of everything seen so far" a mergeable summary).
+    */
+  def writeWeightedSampleState(docs: DataFrame, tableName: String,
+                               weightCol: String, k: Int,
+                               salt: String = "wsample"): Unit = {
+    val spark = docs.sparkSession
+    graft.operators.Dedup.dropManaged(spark, tableName)
+    // state carries only (id, key): the sample's identity — weights are
+    // re-joinable from source, and a weight-typed column would make the
+    // state schema depend on the weight column's type
+    weightedSample(docs, weightCol, k, salt = salt)
+      .select(col("doc_id"), col("es_key"))
+      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
+    spark.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+        s"'graft.weightCol' = '$weightCol', 'graft.k' = '$k', " +
+        s"'graft.salt' = '$salt')")
+  }
+
+  /** Fold a new batch into a [[writeWeightedSampleState]] table: batch
+    * top-k ∪ stored top-k → top-k, overwrite. Driver merge state ≤ 2k
+    * rows BY CONSTRUCTION; after any micro-batching the table equals the
+    * one-shot [[weightedSample]] over everything merged (keys are a pure
+    * function of (salt, id, weight) — spec-pinned).
+    */
+  def mergeIntoWeightedSample(newDocs: DataFrame, tableName: String): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def prop(key: String): String = props.getOrElse(key, throw new IllegalArgumentException(
+      s"weighted-sample state $tableName carries no $key property — " +
+        "not written by writeWeightedSampleState"))
+    val (weightCol, k, salt) = (prop("graft.weightCol"), prop("graft.k").toInt,
+      prop("graft.salt"))
+    val merged = weightedSample(newDocs, weightCol, k, salt = salt)
+      .select(col("doc_id"), col("es_key"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))) ++
+      spark.table(tableName)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val topK = merged.distinct.sortBy { case (id, key) => (-key, id) }.take(k)
+    topK.toSeq.toDF("doc_id", "es_key").coalesce(1)
+      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
+    spark.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
+        s"'graft.weightCol' = '$weightCol', 'graft.k' = '$k', " +
+        s"'graft.salt' = '$salt')")
+  }
+
   def mixtureSample(docs: DataFrame, targets: Map[String, Double],
                     stratum: String = "source", key: String = "doc_id",
                     salt: String = "mix"): DataFrame = {

@@ -217,6 +217,29 @@ class SamplingPropertySpec extends AnyFunSuite {
     assert(manifest(exported.repartition(11)) == full)
   }
 
+  test("weighted-sample state: micro-batched merges equal the one-shot draw; fail-loudly without props") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, (i % 7 + 1).toDouble)).toDF("doc_id", "w")
+    try {
+      Sampling.writeWeightedSampleState(docs.filter(lit(false)), "ws_state", "w", k = 10)
+      Seq(0, 1, 2).foreach { s =>
+        Sampling.mergeIntoWeightedSample(docs.filter(col("doc_id") % 3 === s), "ws_state")
+      }
+      val streamed = spark.table("ws_state").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val oneShot = Sampling.weightedSample(docs, "w", k = 10)
+        .select("doc_id", "es_key").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(streamed == oneShot, s"streamed $streamed vs one-shot $oneShot")
+      spark.table("ws_state").write.mode("overwrite").saveAsTable("ws_noprops")
+      intercept[IllegalArgumentException] {
+        Sampling.mergeIntoWeightedSample(docs, "ws_noprops")
+      }
+    } finally {
+      Seq("ws_state", "ws_noprops").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("weightedSample: dominant weight always wins, non-positive weights excluded, partitioning-invariant") {
     import spark.implicits._
     val docs = ((1L to 50L).map(i => (i, 1.0)) :+ (99L, 1e9) :+ (100L, 0.0) :+ (101L, -3.0))
