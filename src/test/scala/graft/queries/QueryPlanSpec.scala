@@ -436,6 +436,18 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("weightedSample plans TakeOrdered, not a global sort") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, (i % 13 + 1).toDouble)).toDF("doc_id", "w")
+    val plan = graft.operators.Sampling.weightedSample(docs, "w", k = 10)
+      .queryExecution.executedPlan.toString
+    // the k-largest-keys selection must be a TakeOrderedAndProject (per-
+    // partition top-k + driver merge of k-row heads) — a global Sort
+    // would shuffle the whole corpus to order rows nobody keeps
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
   test("realtime cagg serve: raw tail scan pushes the watermark time filter; rollup scan prunes by bucket") {
     val table = spark.read.parquet(conditionsPath)
     val path = java.nio.file.Files.createTempDirectory("plan_cagg_rt").toString + "/agg"
