@@ -5,7 +5,7 @@ import graft.queries.TimeseriesQueries._
 import graft.operators.{Redaction, TextAnalysis}
 import graft.sources.EventsAsConditions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, format_string, lit, sum, timestamp_seconds, unix_micros, when, round => sround}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, concat_ws, count, element_at, format_string, lit, split, sum, timestamp_seconds, unix_micros, when, round => sround}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -152,6 +152,19 @@ object SparkEntry {
       docs.select("doc_id", "text").unionByName(planted)
         .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
       s.sql("SELECT * FROM graft_exact_norm_dedup()")
+    }),
+    // SQL face of the intra-doc line dedup over the SAME echoed planted
+    // corpus as q_line_dedup_intra — plan identity by construction, the
+    // two rows share one oracle
+    "q_sql_line_dedup_intra" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val planted = plantedLines(s, d)
+      planted.select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            element_at(split(col("text"), "\n"), 1),
+            element_at(split(col("text"), "\n"), 1)).as("text"))
+        .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      s.sql("SELECT * FROM graft_line_dedup_intra()")
     }),
     "q_sql_weighted_sample" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -773,6 +786,19 @@ object SparkEntry {
             .awaitTermination())
         s.read.parquet(s"$tmp/out").orderBy("doc_id")
       }
+    }),
+    // INTRA-document repeated-line removal (RefinedWeb within-page
+    // dedup): the gate echoes each planted doc's first line twice onto
+    // its tail, then the map-only dedup must strip both echoes (plus any
+    // natural repeats) keeping first occurrences in order — the oracle
+    // replays echo construction and first-occurrence collapse
+    "q_line_dedup_intra" -> ((s, d) => {
+      val planted = plantedLines(s, d)
+      val echoed = planted.select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          element_at(split(col("text"), "\n"), 1),
+          element_at(split(col("text"), "\n"), 1)).as("text"))
+      graft.operators.Dedup.lineDedupWithinDoc(echoed)
     }),
     // exact n-gram Jaccard similarity join (oracle baseline)
     "q_dedup_jaccard" -> ((s, d) =>
@@ -3499,6 +3525,11 @@ object SparkEntry {
         |SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.idx) AS text
         |FROM k JOIN f ON k.line = f.line AND k.key = f.fk
         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+    // echo construction replayed (first planted line appended twice),
+    // then per-doc first-occurrence collapse in original order; the SQL
+    // face runs the identical plan over the identical echoed corpus
+    "q_line_dedup_intra" -> lineDedupIntraOracleSql,
+    "q_sql_line_dedup_intra" -> lineDedupIntraOracleSql,
     // index-only claims + per-doc repeat collapse: identical under any
     // micro-batching, which is what lets the stream gate share an oracle
     "q_line_dedup_stream" ->
@@ -5085,6 +5116,24 @@ object SparkEntry {
       |  FROM w),
       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
       |lines AS (SELECT doc_id, generate_subscripts(ls, 1) - 1 AS idx, unnest(ls) AS line FROM ls)""".stripMargin
+
+  /** Intra-doc line-dedup oracle: replay the echo construction (first
+    * planted line appended twice), then per-doc first-occurrence
+    * collapse reassembled in original order. Shared by the method row
+    * and its SQL face.
+    */
+  private def lineDedupIntraOracleSql: String =
+    s"""WITH $plantedLinesCte,
+      |mx AS (SELECT doc_id, max(idx) AS mx FROM lines GROUP BY doc_id),
+      |echoed AS (
+      |  SELECT doc_id, idx, line FROM lines
+      |  UNION ALL
+      |  SELECT l.doc_id, m.mx + 1, l.line FROM lines l JOIN mx m USING (doc_id) WHERE l.idx = 0
+      |  UNION ALL
+      |  SELECT l.doc_id, m.mx + 2, l.line FROM lines l JOIN mx m USING (doc_id) WHERE l.idx = 0),
+      |k AS (SELECT doc_id, line, min(idx) AS idx FROM echoed GROUP BY doc_id, line)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Semantic-decontamination oracle: corpus (vec_id ≠ 0 mod 7) vectors
     * with NO benchmark (vec_id = 0 mod 7) cosine neighbor at ≥ 0.45.

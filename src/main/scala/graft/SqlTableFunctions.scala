@@ -350,6 +350,9 @@ object SqlTableFunctions {
     add("graft_line_dedup", "graft_line_dedup()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedup(rel(s, DocumentsRelation, f.name))
     }
+    add("graft_line_dedup_intra", "graft_line_dedup_intra()", 0) { (s, f, _) =>
+      graft.operators.Dedup.lineDedupWithinDoc(rel(s, DocumentsRelation, f.name))
+    }
     add("graft_cap_per_source", "graft_cap_per_source(cap)", 1) { (s, f, a) =>
       Sampling.capPerStratum(rel(s, DocumentsRelation, f.name), longArg(f, a, 0))
     }

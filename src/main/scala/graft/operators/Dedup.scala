@@ -148,6 +148,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Remove REPEATED LINES WITHIN each document, keeping the first
+    * occurrence in its original position (the intra-document sibling of
+    * [[lineDedup]] — RefinedWeb, Penedo et al. 2023 §3.2, deduplicates
+    * within a page before any corpus-wide pass; boilerplate menus and
+    * footers repeat inside one crawl record long before they repeat
+    * across records). Documents never compare to each other, so unlike
+    * [[lineDedup]] this is MAP-ONLY: no explode, no shuffle, no window —
+    * one codegen'd projection whose higher-order filter keeps line i iff
+    * `array_position` (first index) of its text is i. Per-row cost is
+    * O(lines²) string compares bounded by ONE document (the same
+    * task-memory bound as every per-doc kernel here); at 100 TB it
+    * pipelines inside whatever scan precedes it and shifts no data at
+    * all. Line identity is exact bytes — normalization, if wanted,
+    * belongs upstream ([[exactNormalized]]'s recipe).
+    */
+  def lineDedupWithinDoc(docs: DataFrame): DataFrame =
+    docs.withColumn("ls", split(col("text"), "\n"))
+      .select(col("doc_id"),
+        expr("array_join(filter(ls, (x, i) -> array_position(ls, x) = i + 1), '\\n')")
+          .as("text"))
+      .orderBy("doc_id")
+
   /** Persist a line-claim index for [[lineDedupAgainstIndex]]: one row
     * per distinct line of `indexDocs` (the fourth index family next to
     * MinHash buckets, SimHash band segments and IVF lists — here the

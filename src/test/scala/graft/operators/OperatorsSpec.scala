@@ -271,6 +271,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out8.toSeq == out.toSeq)
   }
 
+  test("lineDedupWithinDoc: intra-doc repeats collapse to first occurrence, docs never claim each other's lines") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"), // repeats at 2 and 4 drop
+      (2L, "alpha\nalpha\nalpha"),             // collapses to one line
+      (3L, "beta\ndelta"),                     // no repeats → unchanged,
+                                               // even though doc 1 has beta
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedupWithinDoc(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toSeq == Seq(
+      1L -> "alpha\nbeta\ngamma",
+      2L -> "alpha",
+      3L -> "beta\ndelta",
+      4L -> "solo"))
+    // the dedup itself is map-only: no hash exchange anywhere (the only
+    // exchange allowed is the presentation orderBy's range partitioning)
+    val plan = Dedup.lineDedupWithinDoc(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"intra-doc dedup must not shuffle:\n$plan")
+  }
+
   test("heavyHitters: exact thresholded counts on a skewed stream, partitioning-independent") {
     import spark.implicits._
     // 60% "hot", 20% "warm", the rest a long tail of 40 singles-per-doc
