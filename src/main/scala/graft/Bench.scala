@@ -88,25 +88,51 @@ object Bench {
       }
       (name, best, phases)
     }
+    // Double.toString is locale-independent (an f"%.3f" here would emit
+    // "0,123" on comma-decimal locales — invalid JSON in the artifact)
+    def num(d: Double): String = (math.round(d * 1000) / 1000.0).toString
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     // per-phase seconds for composite rows, from the SAME rep as the
     // reported min (see BenchPhases) — makes a composite's
     // round-over-round movement attributable to build/stage/drain
-    // instead of just "got slower"
+    // instead of just "got slower". Streaming rows additionally carry
+    // `per_batch_s` (mean MARGINAL micro-batch seconds, first data batch
+    // excluded) and `pb_n` (how many batches that mean covers) — the
+    // steady-state number that predicts 100× behavior, since toy-scale
+    // drain wall time is mostly fixed micro-batch overhead.
     val ph = results.collect { case (q, Some(_), m) if m.nonEmpty =>
       "\"" + q + "\":" + m.toSeq.sortBy(_._1)
-        .map { case (p, s) => "\"" + p + "\":" + f"$s%.3f" }
+        .map { case (p, s) => "\"" + p + "\":" + num(s) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"sf":"$sfDir"}"""
-    println(line)
-    // also write the full JSON to a file — stdout tails get truncated when
-    // the query map grows, and a truncated artifact can't be machine-checked
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"sf":"$sfDir"}"""
+    // the full JSON goes to a file — the driver's stdout capture keeps only
+    // the LAST ~2000 bytes, so an 8 KB line can never parse from stdout
+    // (round-8 BENCH artifact had "parsed": null for exactly this reason)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // stdout gets ONE COMPACT line (< ~1.7 KB) that survives tail-only
+    // capture: total + the headline queries (a fixed representative set
+    // plus this run's most expensive rows), with a pointer to the full
+    // per-query/per-phase artifact
+    val headliners = Seq("q_agg", "q_agg_interval", "q_sampled_asap",
+      "q_timeweight_linear", "q_mode", "q_intervals", "q_changepoints",
+      "q_ingest_wire", "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_ann_ivf", "q_ann_topk", "q_training_export", "q_bpe_encode",
+      "q_quality", "q_lang_id", "q_dedup_stream", "q_embed_neardup_stream")
+    val timed = results.collect { case (q, Some(b), _) => q -> b }.toMap
+    val topCost = timed.toSeq.sortBy(-_._2).take(8).map(_._1)
+    val headline = (headliners ++ topCost).distinct.filter(timed.contains)
+    val hq = headline.sorted.map(q => "\"" + q + "\":" + num(timed(q)))
+      .mkString("{", ",", "}")
+    val failed = results.count(_._2.isEmpty)
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":$hq,"n_queries":${results.size},"n_failed":$failed,""" +
+      s""""detail":"$outFile","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -42,12 +42,57 @@ object BenchPhases {
     a
   }
 
+  /** Drain a streaming query inside the `drain` phase AND record the
+    * per-micro-batch MARGINAL cost: mean seconds of data batches 2..n
+    * (first data batch of the rep excluded — it carries stream-init,
+    * state-store open and codegen; empty bookkeeping batches excluded
+    * too). Wall-clock drain time at toy scale is dominated by that fixed
+    * overhead (round-8 verdict: 31% of the bench), so `per_batch_s` is
+    * the number that actually predicts 100× behavior — the steady-state
+    * cost of folding one more batch into the gate's index.
+    *
+    * `start` is by-name so stream construction counts as drain time, the
+    * same envelope the inline `timed(...)(X.start(...).awaitTermination())`
+    * call sites had. Rows that restart a query per input slice accumulate
+    * across the restarts; `recentProgress` retains the last 100 progress
+    * events, far above any bench row's batch count.
+    */
+  def drainTimed(query: String)(start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val sq = timed(query, "drain") { val q = start; q.awaitTermination(); q }
+    sq.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .sortBy(_.batchId)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble / 1000.0))
+      .foreach { sec =>
+        if (current.putIfAbsent((query, PbSeen), 1.0).isEmpty) ()
+        else {
+          current.updateWith((query, PbSum)) { prev => Some(prev.getOrElse(0.0) + sec) }
+          current.updateWith((query, PbCnt)) { prev => Some(prev.getOrElse(0.0) + 1.0) }
+        }
+      }
+  }
+
+  private val PbSeen = "__pb_seen"
+  private val PbSum = "__pb_sum"
+  private val PbCnt = "__pb_cnt"
+
   /** Reset accumulation — the harness calls this before each rep. */
   def repStart(): Unit = current.clear()
 
-  /** This rep's phases for one query (empty for non-composite rows). */
-  def repSnapshot(query: String): Map[String, Double] =
-    current.readOnlySnapshot().collect {
+  /** This rep's phases for one query (empty for non-composite rows).
+    * The hidden per-batch accumulators fold into a single `per_batch_s`
+    * (mean marginal batch seconds) plus `pb_n` (how many marginal
+    * batches the mean covers — a count, not seconds).
+    */
+  def repSnapshot(query: String): Map[String, Double] = {
+    val all = current.readOnlySnapshot().collect {
       case ((q, p), s) if q == query => p -> s
     }.toMap
+    val visible = all -- Seq(PbSeen, PbSum, PbCnt)
+    (all.get(PbSum), all.get(PbCnt)) match {
+      case (Some(sum), Some(cnt)) if cnt > 0 =>
+        visible + ("per_batch_s" -> sum / cnt, "pb_n" -> cnt)
+      case _ => visible
+    }
+  }
 }

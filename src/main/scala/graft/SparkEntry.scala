@@ -315,7 +315,7 @@ object SparkEntry {
         .select("measurement_subject", "measurement_of", "measurement_number",
           "timestamp")
       withTempDir("graft_rate_stream") { tmp =>
-        def run(): Unit = BenchPhases.timed("q_rate_stream", "drain") {
+        def run(): Unit = BenchPhases.drainTimed("q_rate_stream") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.streaming.CounterStream.deltas(stream, Of)
             .writeStream.format("parquet")
@@ -323,7 +323,7 @@ object SparkEntry {
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
+            .start()
         }
         // three non-overlapping, time-ascending slices; each is ONE file
         // so AvailableNow cannot split it out of order
@@ -499,9 +499,9 @@ object SparkEntry {
         col("timestamp") >= timestamp_seconds(lit(S1)) &&
         col("timestamp") < timestamp_seconds(lit(E1)))
       withTempDir("graft_cagg_stream") { tmp =>
-        def run(): Unit = BenchPhases.timed("q_cagg_streamed", "drain")(
+        def run(): Unit = BenchPhases.drainTimed("q_cagg_streamed")(
           graft.streaming.CaggStream.start(s, s"$tmp/input", s"$tmp/store",
-            s"$tmp/agg", s"$tmp/cp", widthS = 3600).awaitTermination())
+            s"$tmp/agg", s"$tmp/cp", widthS = 3600))
         Seq(S1, 1705000000L, 1705700000L, E1).sliding(2).foreach {
           case Seq(a, b) =>
             BenchPhases.timed("q_cagg_streamed", "stage")(
@@ -605,7 +605,7 @@ object SparkEntry {
           col("timestamp") <= timestamp_seconds(lit(E1)))
         .select("measurement_subject", "measurement_number", "timestamp")
       withTempDir("graft_ohlc_stream") { tmp =>
-        def run(): Unit = BenchPhases.timed("q_ohlc_stream", "drain") {
+        def run(): Unit = BenchPhases.drainTimed("q_ohlc_stream") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingOhlc(stream, intervalS = 86400)
             .writeStream.format("parquet")
@@ -613,7 +613,7 @@ object SparkEntry {
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
+            .start()
         }
         def sentinel(epochS: Long): Unit =
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
@@ -641,7 +641,7 @@ object SparkEntry {
           col("timestamp") <= timestamp_seconds(lit(E1)))
         .select("measurement_subject", "measurement_number", "timestamp")
       withTempDir("graft_stats_stream") { tmp =>
-        def run(): Unit = BenchPhases.timed("q_stats_stream", "drain") {
+        def run(): Unit = BenchPhases.drainTimed("q_stats_stream") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingStatsAgg(stream, intervalS = 86400)
             .writeStream.format("parquet")
@@ -649,7 +649,7 @@ object SparkEntry {
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
+            .start()
         }
         def sentinel(epochS: Long): Unit =
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
@@ -680,7 +680,7 @@ object SparkEntry {
           col("timestamp") <= org.apache.spark.sql.functions.timestamp_seconds(lit(E1)))
         .select("measurement_subject", "measurement_of", "measurement_number", "timestamp")
       withTempDir("graft_aggint_stream") { tmp =>
-        def run(): Unit = BenchPhases.timed("q_agg_interval_stream", "drain") {
+        def run(): Unit = BenchPhases.drainTimed("q_agg_interval_stream") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingIntervalStats(stream, intervalS = 86400)
             .writeStream.format("parquet")
@@ -688,7 +688,7 @@ object SparkEntry {
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
+            .start()
         }
         def sentinel(epochS: Long): Unit =
           Seq(("__sentinel__", "__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
@@ -721,7 +721,7 @@ object SparkEntry {
           col("timestamp") <= org.apache.spark.sql.functions.timestamp_seconds(lit(E1)))
         .select("measurement_subject", "timestamp")
       withTempDir("graft_sess_stream") { tmp =>
-        def run(): Unit = BenchPhases.timed("q_sessions_stream", "drain") {
+        def run(): Unit = BenchPhases.drainTimed("q_sessions_stream") {
           val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingSessionize(stream, gapS = 7200)
             .writeStream.format("parquet")
@@ -729,7 +729,7 @@ object SparkEntry {
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
+            .start()
         }
         def sentinel(epochS: Long): Unit =
           Seq(("__sentinel__", new java.sql.Timestamp(epochS * 1000L)))
@@ -779,11 +779,10 @@ object SparkEntry {
         BenchPhases.timed("q_line_dedup_stream", "stage")(
           planted.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
             .repartition(3).write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_line_dedup_stream", "drain")(
+        BenchPhases.drainTimed("q_line_dedup_stream")(
           graft.streaming.DedupStream.startLines(s, s"$tmp/input",
               "graft_stream_line_index", s"$tmp/out", s"$tmp/cp",
-              maxFilesPerTrigger = Some(1))
-            .awaitTermination())
+              maxFilesPerTrigger = Some(1)))
         s.read.parquet(s"$tmp/out").orderBy("doc_id")
       }
     }),
@@ -956,10 +955,9 @@ object SparkEntry {
         BenchPhases.timed("q_corpus_overlap_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
             .repartition(3).write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_corpus_overlap_stream", "drain")(
+        BenchPhases.drainTimed("q_corpus_overlap_stream")(
           graft.streaming.OverlapSketchStream.start(s, s"$tmp/input",
-              "graft_overlap_stream_sk", s"$tmp/cp", maxFilesPerTrigger = Some(1))
-            .awaitTermination())
+              "graft_overlap_stream_sk", s"$tmp/cp", maxFilesPerTrigger = Some(1)))
         graft.operators.Dedup.corpusOverlapAgainstSketch(
           docs.filter(col("doc_id") % 2 === 1), "graft_overlap_stream_sk")
       }
@@ -1019,10 +1017,9 @@ object SparkEntry {
         BenchPhases.timed("q_dedup_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
             .repartition(3).write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_dedup_stream", "drain")(
+        BenchPhases.drainTimed("q_dedup_stream")(
           graft.streaming.DedupStream.start(s, s"$tmp/input", "graft_stream_sig_index",
-              idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
-            .awaitTermination())
+              idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1)))
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
@@ -1038,11 +1035,10 @@ object SparkEntry {
         BenchPhases.timed("q_dedup_simhash_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
             .repartition(3).write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_dedup_simhash_stream", "drain")(
+        BenchPhases.drainTimed("q_dedup_simhash_stream")(
           graft.streaming.DedupStream.startSimhash(s, s"$tmp/input",
               "graft_stream_sh_index", s"$tmp/out", s"$tmp/cp",
-              maxFilesPerTrigger = Some(1))
-            .awaitTermination())
+              maxFilesPerTrigger = Some(1)))
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
@@ -1191,11 +1187,10 @@ object SparkEntry {
         BenchPhases.timed("q_embed_neardup_stream", "stage")(
           e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
             .repartition(3).write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_embed_neardup_stream", "drain")(
+        BenchPhases.drainTimed("q_embed_neardup_stream")(
           graft.streaming.AnnStream.start(s, s"$tmp/input", "graft_stream_ivf_index",
               s"$tmp/out", s"$tmp/cp", threshold = 0.45, nProbe = 16,
-              maxFilesPerTrigger = Some(1))
-            .awaitTermination())
+              maxFilesPerTrigger = Some(1)))
         s.read.parquet(s"$tmp/out").select("vec_id").orderBy("vec_id")
       }
     }),
@@ -1475,10 +1470,9 @@ object SparkEntry {
         BenchPhases.timed("q_vocab_stream", "stage")(
           docs.select("doc_id", "text").repartition(3)
             .write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_vocab_stream", "drain")(
+        BenchPhases.drainTimed("q_vocab_stream")(
           graft.streaming.CorpusStatsStream.start(s, s"$tmp/input",
-              "graft_vocab_stream_idx", s"$tmp/cp", maxFilesPerTrigger = Some(1))
-            .awaitTermination())
+              "graft_vocab_stream_idx", s"$tmp/cp", maxFilesPerTrigger = Some(1)))
         BenchPhases.timed("q_vocab_stream", "compact")(
           graft.operators.TextAnalysis.compactVocabIndex(s, "graft_vocab_stream_idx"))
         graft.operators.TextAnalysis.vocabFromIndex(s, "graft_vocab_stream_idx", k = 30)
@@ -1520,11 +1514,10 @@ object SparkEntry {
         BenchPhases.timed("q_quality_stream", "stage")(
           docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text", "lang")
             .repartition(3).write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_quality_stream", "drain")(
+        BenchPhases.drainTimed("q_quality_stream")(
           graft.streaming.QualityStream.start(s, s"$tmp/input",
               "graft_nb_model_stream", s"$tmp/out", s"$tmp/cp",
-              maxFilesPerTrigger = Some(1))
-            .awaitTermination())
+              maxFilesPerTrigger = Some(1)))
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
@@ -1683,8 +1676,8 @@ object SparkEntry {
           graft.streaming.DecontaminationStream.start(s, s"$tmp/input",
             docs.filter(col("doc_id") % 7 === 0), s"$tmp/out", s"$tmp/cp",
             n = 5, maxFilesPerTrigger = Some(1)))
-        BenchPhases.timed("q_decontaminate_stream", "drain")(
-          q.awaitTermination())
+        BenchPhases.drainTimed("q_decontaminate_stream")(
+          q)
         s.read.parquet(s"$tmp/out").select("doc_id").orderBy("doc_id")
       }
     }),
@@ -1729,11 +1722,14 @@ object SparkEntry {
         BenchPhases.timed("q_weighted_sample_stream", "stage")(
           docs.select("doc_id", "n_chars").repartition(3)
             .write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_weighted_sample_stream", "drain")(
+        BenchPhases.drainTimed("q_weighted_sample_stream")(
           graft.streaming.WeightedSampleStream.start(s, s"$tmp/input",
-              "graft_wsample_state", s"$tmp/cp", maxFilesPerTrigger = Some(1))
-            .awaitTermination())
-        s.table("graft_wsample_state").orderBy(col("es_key").desc, col("doc_id"))
+              "graft_wsample_state", s"$tmp/cp", maxFilesPerTrigger = Some(1)))
+        // state stores the RAW selection key; quantize only at report,
+        // mirroring the batch face (see Sampling.weightedSample)
+        s.table("graft_wsample_state")
+          .select(col("doc_id"), sround(col("es_key"), 6).as("es_key"))
+          .orderBy(col("es_key").desc, col("doc_id"))
       }
     }),
     // deterministic hash-bucketed train/validation/test split
@@ -1870,11 +1866,10 @@ object SparkEntry {
         BenchPhases.timed("q_media_stream", "stage")(
           media.filter(col("id") % 2 === 1).select("id", "content")
             .repartition(3).write.parquet(s"$tmp/input"))
-        BenchPhases.timed("q_media_stream", "drain")(
+        BenchPhases.drainTimed("q_media_stream")(
           graft.streaming.DedupStream.startMedia(s, s"$tmp/input",
               "graft_media_stream_idx", s"$tmp/out", s"$tmp/cp",
-              maxFilesPerTrigger = Some(1))
-            .awaitTermination())
+              maxFilesPerTrigger = Some(1)))
         s.read.parquet(s"$tmp/out").select("id").orderBy("id")
       }
     }),
@@ -2378,17 +2373,20 @@ object SparkEntry {
         |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
         |ORDER BY doc_id""".stripMargin
 
+  // selection orders on the RAW ln(u)/w key (rounding first collapses the
+  // near-0 winners into id-ordered tie classes — see Sampling.weightedSample);
+  // only the reported es_key column is quantized to 6 dp
   private def weightedSampleOracleSql: String =
       s"""WITH keyed AS (
          |  SELECT doc_id, n_chars,
-         |         ROUND(ln((list_reduce(list_transform(range(1, 16),
+         |         ln((list_reduce(list_transform(range(1, 16),
          |             i -> CAST(strpos('0123456789abcdef',
          |                    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
          |             (a, b) -> a * 16 + b) + 1.0) / ${math.pow(2.0, 60)})
-         |           / n_chars, 6) AS es_key
+         |           / n_chars AS es_raw
          |  FROM documents WHERE n_chars > 0)
-         |SELECT doc_id, n_chars, es_key FROM keyed
-         |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin
+         |SELECT doc_id, n_chars, ROUND(es_raw, 6) AS es_key FROM keyed
+         |ORDER BY es_raw DESC, doc_id ASC LIMIT 100""".stripMargin
 
   /** Gopher rule replay — shared by q_gopher and q_sql_gopher. */
   private def gopherOracleSql: String =
@@ -4488,31 +4486,32 @@ object SparkEntry {
     "q_weighted_sample_strat" ->
       s"""WITH keyed AS (
          |  SELECT doc_id, source, n_chars,
-         |         ROUND(ln((list_reduce(list_transform(range(1, 16),
+         |         ln((list_reduce(list_transform(range(1, 16),
          |             i -> CAST(strpos('0123456789abcdef',
          |                    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
          |             (a, b) -> a * 16 + b) + 1.0) / ${math.pow(2.0, 60)})
-         |           / n_chars, 6) AS es_key
+         |           / n_chars AS es_raw
          |  FROM documents WHERE n_chars > 0),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY source
-         |            ORDER BY es_key DESC, doc_id ASC) AS rk
+         |            ORDER BY es_raw DESC, doc_id ASC) AS rk
          |  FROM keyed)
-         |SELECT doc_id, source, n_chars, es_key FROM ranked WHERE rk <= 20
+         |SELECT doc_id, source, n_chars, ROUND(es_raw, 6) AS es_key
+         |FROM ranked WHERE rk <= 20
          |ORDER BY source, es_key DESC, doc_id""".stripMargin,
     "q_weighted_sample" -> weightedSampleOracleSql,
     // the stream's state = the one-shot selection minus the weight column
     "q_weighted_sample_stream" ->
       s"""WITH keyed AS (
          |  SELECT doc_id,
-         |         ROUND(ln((list_reduce(list_transform(range(1, 16),
+         |         ln((list_reduce(list_transform(range(1, 16),
          |             i -> CAST(strpos('0123456789abcdef',
          |                    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
          |             (a, b) -> a * 16 + b) + 1.0) / ${math.pow(2.0, 60)})
-         |           / n_chars, 6) AS es_key
+         |           / n_chars AS es_raw
          |  FROM documents WHERE n_chars > 0)
-         |SELECT doc_id, es_key FROM keyed
-         |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin,
+         |SELECT doc_id, ROUND(es_raw, 6) AS es_key FROM keyed
+         |ORDER BY es_raw DESC, doc_id ASC LIMIT 100""".stripMargin,
     "q_sql_weighted_sample" -> weightedSampleOracleSql,
     "q_split" ->
       s"""SELECT doc_id,

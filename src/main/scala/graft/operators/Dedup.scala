@@ -308,9 +308,14 @@ object Dedup {
 
   val MinhashPrime: Long = 2147483647L // 2^31 - 1; products stay in Long
 
-  /** Seeded universal-hash coefficients (deterministic across runs). */
-  private def coeffs(numPerm: Int): (Array[Long], Array[Long]) = {
-    val rng = new scala.util.Random(42)
+  /** Seeded universal-hash coefficients (deterministic across runs).
+    * Non-default seeds exist for RECALL MEASUREMENT (ScaleProbe's
+    * `recall` mode re-draws the permutation family to estimate banding
+    * recall empirically); every pipeline path keeps the default so
+    * persisted indexes and oracles stay reproducible.
+    */
+  private def coeffs(numPerm: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(seed)
     val a = Array.fill(numPerm)(1L + rng.nextInt((MinhashPrime - 1).toInt))
     val b = Array.fill(numPerm)(rng.nextInt(MinhashPrime.toInt).toLong)
     (a, b)
@@ -326,10 +331,11 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 64): DataFrame =
     signaturesFromExploded(shingles(docs, n), numPerm)
 
-  private def signaturesFromExploded(ex: DataFrame, numPerm: Int): DataFrame = {
+  private def signaturesFromExploded(ex: DataFrame, numPerm: Int,
+                                     seed: Long = 42L): DataFrame = {
     val spark = ex.sparkSession
     import spark.implicits._
-    val (a, b) = coeffs(numPerm)
+    val (a, b) = coeffs(numPerm, seed)
     val agg = new graft.functions.Sketches.MinHashAgg(numPerm, a, b, MinhashPrime)
     ex.select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashPrime)).as("x"))
       .as[(Long, Long)]
@@ -400,7 +406,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 64,
                    bands: Int = 16, threshold: Double = 0.8,
-                   materialize: Boolean = true): DataFrame = {
+                   materialize: Boolean = true, seed: Long = 42L): DataFrame = {
     // one shingle pass feeds signatures AND both verification joins; at a
     // real 100 TB scale this would be a checkpointed table instead of an
     // in-memory persist (Spark evicts LRU, so this degrades, not breaks)
@@ -408,7 +414,7 @@ object Dedup {
     val ex =
       if (materialize) ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else ex0
-    val cands = minhashCandidates(signaturesFromExploded(ex, numPerm), bands, numPerm)
+    val cands = minhashCandidates(signaturesFromExploded(ex, numPerm, seed), bands, numPerm)
     val a = ex.select(col("doc_id").as("doc_a"), col("s"), col("nsh").as("na"))
     val b = ex.select(col("doc_id").as("doc_b"), col("s"), col("nsh").as("nb"))
     val raw = verifyPairs(cands, a, b, "doc_a", "doc_b", threshold)
@@ -871,9 +877,20 @@ object Dedup {
   private def overlapFromMins(a: DataFrame, b: DataFrame): DataFrame =
     a.join(b, "p")
       .agg(count(lit(1)).as("num_perm"),
-        sum(when(col("min_a") === col("min_b"), 1L).otherwise(0L)).as("n_agree"))
+        // sum over the empty join is NULL — coalesce so an empty side
+        // can never surface as n_agree = NULL
+        coalesce(sum(when(col("min_a") === col("min_b"), 1L).otherwise(0L)),
+          lit(0L)).as("n_agree"))
       .select(col("num_perm"), col("n_agree"),
-        round(col("n_agree").cast("double") / col("num_perm"), 6).as("jaccard_est"))
+        // num_perm = 0 means one corpus produced NO shingles (empty, or
+        // every doc shorter than n tokens) — the estimate is UNDEFINED,
+        // and a silent NULL (or a fake 0.0) would read as "no overlap"
+        // to triage callers; fail loudly instead
+        when(col("num_perm") === 0,
+          raise_error(lit("corpus overlap undefined: one side produced no " +
+            "shingles (empty corpus, or every doc shorter than n tokens)")))
+          .otherwise(round(col("n_agree").cast("double") / col("num_perm"), 6))
+          .as("jaccard_est"))
 
   /** Persist a corpus's k-min-value sketch — `numPerm` ROWS, total —
     * so later crawls answer "how much of this is already in the base

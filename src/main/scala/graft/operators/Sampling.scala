@@ -158,22 +158,44 @@ object Sampling {
     * under-shoots small strata.
     *
     * Determinism contract (the repo-wide convention): u comes from a
-    * salted md5 of the key, the key is rounded to 6 dp and ties break
-    * on the id, so any engine replays the exact selection. Rows with
-    * non-positive weight are excluded (they can never win a draw).
+    * salted md5 of the key and ties break on the id, so any engine
+    * replays the exact selection. Selection runs on the RAW (unrounded)
+    * key: rounding before the top-k collapses the near-0 winning keys of
+    * a large corpus (w ~ 10²–10⁴ ⇒ winners within ≪10⁻⁶ of 0) into tie
+    * classes broken by ascending id — "lowest doc_ids win", no longer
+    * the Efraimidis–Spirakis distribution. Only the REPORTED es_key is
+    * quantized (6 dp), where the grid is ~10¹¹ ulps wide and absorbs any
+    * cross-engine ln() last-ulp skew; the raw keys of distinct docs
+    * collide with probability ~2⁻⁵², so unrounded selection is itself
+    * engine-portable. Rows with non-positive weight are excluded (they
+    * can never win a draw).
     */
   def weightedSample(docs: DataFrame, weightCol: String, k: Int,
                      key: String = "doc_id",
-                     salt: String = "wsample"): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+                     salt: String = "wsample"): DataFrame =
+    topKRaw(docs, weightCol, k, key, salt)
+      .select(col(key), col(weightCol), round(col("__es_raw"), 6).as("es_key"))
+
+  /** Salted md5 uniform u ∈ (0, 1] plus the raw double key ln(u)/w. */
+  private def withRawKey(docs: DataFrame, weightCol: String, key: String,
+                         salt: String): DataFrame =
     docs.filter(col(weightCol) > 0)
       .withColumn("u",
         (conv(substring(md5(concat(lit(salt + ":"), col(key).cast("string"))), 1, 15), 16, 10)
           .cast("double") + 1.0) / math.pow(2.0, 60))
-      .withColumn("es_key", round(log(col("u")) / col(weightCol), 6))
-      .orderBy(col("es_key").desc, col(key).asc)
+      .withColumn("__es_raw", log(col("u")) / col(weightCol))
+
+  /** k largest raw keys (ties on id) with the `__es_raw` column kept —
+    * the selection kernel shared by the batch face and the persisted
+    * stream state (which must store the raw key: a state holding rounded
+    * keys would re-introduce the tie-class collapse at every merge).
+    */
+  private[operators] def topKRaw(docs: DataFrame, weightCol: String, k: Int,
+                                 key: String, salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    withRawKey(docs, weightCol, key, salt)
+      .orderBy(col("__es_raw").desc, col(key).asc)
       .limit(k)
-      .select(col(key), col(weightCol), col("es_key"))
   }
 
   /** [[weightedSample]] PER STRATUM: the k largest Efraimidis–Spirakis
@@ -188,15 +210,12 @@ object Sampling {
                                salt: String = "wsample"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(col("es_key").desc, col(key).asc)
-    docs.filter(col(weightCol) > 0)
-      .withColumn("u",
-        (conv(substring(md5(concat(lit(salt + ":"), col(key).cast("string"))), 1, 15), 16, 10)
-          .cast("double") + 1.0) / math.pow(2.0, 60))
-      .withColumn("es_key", round(log(col("u")) / col(weightCol), 6))
+      .partitionBy(stratum).orderBy(col("__es_raw").desc, col(key).asc)
+    withRawKey(docs, weightCol, key, salt)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col(key), col(stratum), col(weightCol), col("es_key"))
+      .select(col(key), col(stratum), col(weightCol),
+        round(col("__es_raw"), 6).as("es_key"))
       .orderBy(col(stratum), col("es_key").desc, col(key))
   }
 
@@ -209,19 +228,28 @@ object Sampling {
     */
   def writeWeightedSampleState(docs: DataFrame, tableName: String,
                                weightCol: String, k: Int,
+                               key: String = "doc_id",
                                salt: String = "wsample"): Unit = {
     val spark = docs.sparkSession
+    // fail at SEED time, not merge time: the driver-side merge reads the
+    // id as Long, so a non-long key would otherwise surface batches later
+    // as a ClassCastException inside a foreachBatch
+    require(docs.schema(key).dataType == org.apache.spark.sql.types.LongType,
+      s"weighted-sample state requires a LongType key column, got " +
+        s"'$key': ${docs.schema(key).dataType.simpleString}")
     graft.operators.Dedup.dropManaged(spark, tableName)
-    // state carries only (id, key): the sample's identity — weights are
-    // re-joinable from source, and a weight-typed column would make the
-    // state schema depend on the weight column's type
-    weightedSample(docs, weightCol, k, salt = salt)
-      .select(col("doc_id"), col("es_key"))
+    // state carries only (id, raw key): the sample's identity — weights
+    // are re-joinable from source, and a weight-typed column would make
+    // the state schema depend on the weight column's type. The es_key is
+    // stored UNROUNDED: merges select on it, and a quantized state key
+    // re-collapses winners into tie classes (see weightedSample).
+    topKRaw(docs, weightCol, k, key, salt)
+      .select(col(key), col("__es_raw").as("es_key"))
       .write.format("parquet").mode("overwrite").saveAsTable(tableName)
     spark.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
         s"'graft.weightCol' = '$weightCol', 'graft.k' = '$k', " +
-        s"'graft.salt' = '$salt')")
+        s"'graft.salt' = '$salt', 'graft.key' = '$key')")
   }
 
   /** Fold a new batch into a [[writeWeightedSampleState]] table: batch
@@ -240,18 +268,21 @@ object Sampling {
         "not written by writeWeightedSampleState"))
     val (weightCol, k, salt) = (prop("graft.weightCol"), prop("graft.k").toInt,
       prop("graft.salt"))
-    val merged = weightedSample(newDocs, weightCol, k, salt = salt)
-      .select(col("doc_id"), col("es_key"))
+    // graft.key was added after early states were written — default to
+    // the historical doc_id for tables seeded before it existed
+    val key = props.getOrElse("graft.key", "doc_id")
+    val merged = topKRaw(newDocs, weightCol, k, key, salt)
+      .select(col(key), col("__es_raw"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))) ++
-      spark.table(tableName)
+      spark.table(tableName).select(col(key), col("es_key"))
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val topK = merged.distinct.sortBy { case (id, key) => (-key, id) }.take(k)
-    topK.toSeq.toDF("doc_id", "es_key").coalesce(1)
+    val topK = merged.distinct.sortBy { case (id, esKey) => (-esKey, id) }.take(k)
+    topK.toSeq.toDF(key, "es_key").coalesce(1)
       .write.format("parquet").mode("overwrite").saveAsTable(tableName)
     spark.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
         s"'graft.weightCol' = '$weightCol', 'graft.k' = '$k', " +
-        s"'graft.salt' = '$salt')")
+        s"'graft.salt' = '$salt', 'graft.key' = '$key')")
   }
 
   def mixtureSample(docs: DataFrame, targets: Map[String, Double],

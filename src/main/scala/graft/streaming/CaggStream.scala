@@ -21,10 +21,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CaggStream {
 
+  /** One-time migration of a LEGACY flat raw store (written before the
+    * store became date-partitioned) into the `date=` layout: Spark's
+    * partition discovery fails on a directory mixing root-level parquet
+    * files with `date=` subdirectories, so resuming a pre-partitioning
+    * checkpointed stream would otherwise break on its first batch.
+    * Root-level data files are rewritten under their date partitions and
+    * then removed; a store that is already partitioned (or absent) is
+    * untouched. Single-writer safe — [[start]]'s foreachBatch is the only
+    * writer of the store by contract.
+    */
+  private def migrateLegacyFlatStore(spark: SparkSession, storePath: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val rootFiles = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (rootFiles.isEmpty) return
+    spark.read.parquet(rootFiles.map(_.getPath.toString).toSeq: _*)
+      .withColumn("date", to_date(col("timestamp")))
+      .write.mode("append").partitionBy("date").parquet(storePath)
+    rootFiles.foreach(s => fs.delete(s.getPath, false))
+  }
+
   def start(spark: SparkSession, inputDir: String, storePath: String,
             aggPath: String, checkpointDir: String, widthS: Long,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    migrateLegacyFlatStore(spark, storePath)
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))

@@ -27,6 +27,56 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IngestPipeline {
 
+  /** Where a pipeline stage reads raw text events from (and, for the
+    * wire hop, writes them to). The reference consumes Azure Event Hubs
+    * (`json_to_timeseries/function.json:5-14`); Event Hubs exposes a
+    * Kafka-compatible endpoint, so the DEPLOYABLE branch is Spark's
+    * built-in `format("kafka")` source/sink with the message payload in
+    * `value` — selected purely by config, no code edits. [[Files]] is
+    * the hermetic default every test, oracle row and bench row runs
+    * (this container has no broker; the transforms never know the
+    * difference, which is the point of the seam).
+    */
+  sealed trait SourceConfig
+  object SourceConfig {
+    /** One JSON event per line under `dir` (text files). */
+    final case class Files(dir: String) extends SourceConfig
+    /** A Kafka(-compatible) topic; `options` passes through extra
+      * `kafka.`-prefixed client settings (e.g. the SASL jaas config an
+      * Event Hubs connection string requires).
+      */
+    final case class Kafka(bootstrapServers: String, topic: String,
+                           startingOffsets: String = "earliest",
+                           options: Map[String, String] = Map.empty)
+      extends SourceConfig
+  }
+
+  /** Reader options for the kafka branch — pure, so the translation is
+    * spec-checkable without a broker or the kafka connector jar.
+    */
+  private[streaming] def kafkaSourceOptions(k: SourceConfig.Kafka): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> k.bootstrapServers,
+      "subscribe" -> k.topic,
+      "startingOffsets" -> k.startingOffsets) ++ k.options
+
+  /** Writer options for the kafka branch. */
+  private[streaming] def kafkaSinkOptions(k: SourceConfig.Kafka): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> k.bootstrapServers,
+      "topic" -> k.topic) ++ k.options
+
+  /** The raw-text stream behind a [[SourceConfig]]: file lines, or the
+    * kafka record `value` cast to string (the Event Hub payload).
+    */
+  private[streaming] def readText(spark: SparkSession, src: SourceConfig): Dataset[String] = {
+    import spark.implicits._
+    src match {
+      case SourceConfig.Files(dir) => spark.readStream.textFile(dir)
+      case k: SourceConfig.Kafka =>
+        spark.readStream.format("kafka").options(kafkaSourceOptions(k))
+          .load().select(col("value").cast("string")).as[String]
+    }
+  }
+
   /** Normalize a (streaming or batch) Dataset of raw event-hub payloads —
     * the exact batch code path ([[ConditionsTable.normalize]]), so golden
     * tests cover the streaming transform too.
@@ -39,10 +89,16 @@ object IngestPipeline {
     */
   def startMqtt(spark: SparkSession, inputDir: String, outputDir: String,
                 checkpointDir: String,
-                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    import spark.implicits._
-    val raw = spark.readStream.textFile(inputDir)
-    val records = normalize(raw)
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startMqtt(spark, SourceConfig.Files(inputDir), outputDir, checkpointDir, trigger)
+
+  /** [[startMqtt]] with a config-selected source — the kafka branch makes
+    * the A1 parity deployable against a real Event Hubs Kafka endpoint
+    * without code edits.
+    */
+  def startMqtt(spark: SparkSession, src: SourceConfig, outputDir: String,
+                checkpointDir: String, trigger: Trigger): StreamingQuery = {
+    val records = normalize(readText(spark, src))
     ConditionsTable.toStorage(records)
       // cluster each micro-batch by the partition column before the
       // partitioned write: files per batch ≈ #dates instead of
@@ -69,14 +125,25 @@ object IngestPipeline {
   def startConvertToWire(spark: SparkSession, inputDir: String, wireDir: String,
                          checkpointDir: String,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    graft.sources.WireRecords.emit(normalize(spark.readStream.textFile(inputDir)))
-      .writeStream
+    startConvertToWire(spark, SourceConfig.Files(inputDir),
+      SourceConfig.Files(wireDir), checkpointDir, trigger)
+
+  /** [[startConvertToWire]] with config-selected source AND wire sink —
+    * with both on kafka this is the reference's hub → convert → hub hop
+    * verbatim (A5's sink becomes a kafka `value` write).
+    */
+  def startConvertToWire(spark: SparkSession, src: SourceConfig, wire: SourceConfig,
+                         checkpointDir: String, trigger: Trigger): StreamingQuery = {
+    val out = graft.sources.WireRecords.emit(normalize(readText(spark, src)))
+    val base = out.toDF("value").writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .format("text")
-      .option("path", wireDir)
-      .start()
+    wire match {
+      case SourceConfig.Files(dir) => base.format("text").option("path", dir).start()
+      case k: SourceConfig.Kafka   => base.format("kafka").options(kafkaSinkOptions(k)).start()
+    }
+  }
 
   /** Storage stage as its OWN pipeline (`timeseries_to_timescale`): wire
     * messages (single record or v1 array envelope) → validate/decode →
@@ -85,8 +152,13 @@ object IngestPipeline {
   def startWire(spark: SparkSession, wireDir: String, outputDir: String,
                 checkpointDir: String,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWire(spark, SourceConfig.Files(wireDir), outputDir, checkpointDir, trigger)
+
+  /** [[startWire]] with a config-selected wire source (A1's second hop). */
+  def startWire(spark: SparkSession, wire: SourceConfig, outputDir: String,
+                checkpointDir: String, trigger: Trigger): StreamingQuery =
     ConditionsTable.toStorage(
-        graft.sources.WireRecords.decode(spark.readStream.textFile(wireDir)))
+        graft.sources.WireRecords.decode(readText(spark, wire)))
       // see startMqtt: one shuffle per micro-batch buys files ≈ #dates
       .repartition(col("date"))
       .writeStream
@@ -138,10 +210,15 @@ object IngestPipeline {
     */
   def startBmw(spark: SparkSession, inputDir: String, outputDir: String,
                monitorDir: String, checkpointDir: String,
-               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    import spark.implicits._
-    val raw = spark.readStream.textFile(inputDir)
-    bmwDeduped(raw)
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startBmw(spark, SourceConfig.Files(inputDir), outputDir, monitorDir,
+      checkpointDir, trigger)
+
+  /** [[startBmw]] with a config-selected source. */
+  def startBmw(spark: SparkSession, src: SourceConfig, outputDir: String,
+               monitorDir: String, checkpointDir: String,
+               trigger: Trigger): StreamingQuery = {
+    bmwDeduped(readText(spark, src))
       .writeStream
       .outputMode("append")
       .trigger(trigger)

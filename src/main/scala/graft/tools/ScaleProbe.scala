@@ -668,6 +668,146 @@ object ScaleProbe {
     }
   }
 
+  /** Empirical MinHash-LSH recall vs the exact tier: the exact pair set
+    * from [[Dedup.jaccardPairs]] at j ≥ 0.8, then each (seed, bands)
+    * configuration's banded survivors — recall = |LSH ∩ exact|/|exact|.
+    * Precision is 1.0 by construction (candidates verify with the same
+    * exact Jaccard; `false_pos` is printed to confirm). numPerm = 64
+    * throughout: bands=16 ⇒ r=4 (theory 1-(1-j⁴)^16 ≈ 0.9998 at j=0.8),
+    * bands=32 ⇒ r=2 (≈ 1-10⁻¹⁴) — the escalation knob is "halve rows
+    * per band" when measured recall dips below target. Seeds re-draw the
+    * permutation family so the measurement isn't one family's luck.
+    */
+  private def recallProbe(spark: SparkSession, docs: DataFrame,
+                          bandsList: Seq[Int]): Unit = {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache(); System.gc()
+    for (bands <- bandsList; seed <- Seq(42L, 1042L, 90210L)) {
+      val (got, t) = time(
+        Dedup.minhashPairs(docs, 3, 64, bands, 0.8, seed = seed)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val hit = got.intersect(exact).size
+      val falsePos = got.diff(exact).size
+      val recall = if (exact.isEmpty) 1.0 else hit.toDouble / exact.size
+      println(s"""{"bands":$bands,"rows_per_band":${64 / bands},"seed":$seed,"exact_pairs":${exact.size},"lsh_pairs":${got.size},"hit":$hit,"false_pos":$falsePos,"recall":${f"$recall%.6f"},"sec":${f"$t%.2f"}}""")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
+  /** Overlap-sketch maintenance M-sweep: the sketch is numPerm rows
+    * FOREVER, so folding a FIXED batch in (and probing against it) must
+    * stay ~flat as the already-sketched corpus grows M× — only the
+    * initial sketch build is corpus-proportional.
+    */
+  private def overlapMaintProbe(spark: SparkSession, docs: DataFrame,
+                                ms: Seq[Int]): Unit = {
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").localCheckpoint(true)
+    for (m <- ms) {
+      val corpus = grow(docs.filter(col("doc_id") % 2 === 0), m).localCheckpoint(true)
+      val n = corpus.count()
+      val (_, tBuild) = time(
+        Dedup.writeOverlapSketch(corpus, "ovlp_probe", n = 3, numPerm = 32))
+      val (_, tMerge) = time(Dedup.mergeIntoOverlapSketch(batch, "ovlp_probe"))
+      val (est, tProbe) = time(
+        Dedup.corpusOverlapAgainstSketch(batch, "ovlp_probe")
+          .head().getDouble(2))
+      spark.sql("DROP TABLE IF EXISTS ovlp_probe")
+      println(s"""{"m":$m,"corpus":$n,"build_sec":${f"$tBuild%.2f"},"merge_sec":${f"$tMerge%.2f"},"probe_sec":${f"$tProbe%.2f"},"jaccard_est":${f"$est%.4f"}}""")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
+  /** Weighted-sample stream maintenance M-sweep: state ≤ k rows by
+    * construction, so merging a FIXED batch must be flat however much
+    * history the state has already absorbed (M× the base corpus).
+    */
+  private def wsampleProbe(spark: SparkSession, docs: DataFrame,
+                           ms: Seq[Int]): Unit = {
+    import graft.operators.Sampling
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("n_chars"))
+      .localCheckpoint(true)
+    for (m <- ms) {
+      val hist = grow(docs, m)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "n_chars").localCheckpoint(true)
+      val n = hist.count()
+      val (_, tSeed) = time {
+        Sampling.writeWeightedSampleState(hist.limit(0), "wsp_probe", "n_chars", k = 1000)
+        Sampling.mergeIntoWeightedSample(hist, "wsp_probe")
+      }
+      val (_, tMerge) = time(Sampling.mergeIntoWeightedSample(batch, "wsp_probe"))
+      val stateRows = spark.table("wsp_probe").count()
+      spark.sql("DROP TABLE IF EXISTS wsp_probe")
+      println(s"""{"m":$m,"history":$n,"seed_sec":${f"$tSeed%.2f"},"merge_sec":${f"$tMerge%.2f"},"state_rows":$stateRows}""")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
+  /** Realtime-cagg serve vs raw-history age: serving a FIXED recent
+    * window from a stale rollup + raw tail must stay ~flat as the store
+    * accumulates M days of history — the rollup scan prunes to the
+    * window's buckets and the tail scan prunes to the stale dates.
+    */
+  private def caggTailProbe(spark: SparkSession, ms: Seq[Int]): Unit = {
+    import graft.sources.ContinuousAggregate
+    import spark.implicits._
+    val t0 = 1704240000L // 2024-01-03T00:00:00Z
+    for (days <- ms) {
+      val tmp = java.nio.file.Files.createTempDirectory("cagg_probe").toString
+      val rows = spark.range(days.toLong * 24L * 60L).map { i =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + i * 60L)),
+          "s1", "m", Option((i % 97).toDouble), Option.empty[String])
+      }.toDF("timestamp", "measurement_subject", "measurement_of",
+        "measurement_number", "measurement_string")
+      rows.withColumn("date", to_date(col("timestamp")))
+        .repartition(col("date"))
+        .write.partitionBy("date").parquet(s"$tmp/store")
+      val endS = t0 + days.toLong * 86400L
+      val staleFrom = endS - 86400L // rollup covers all but the last day
+      ContinuousAggregate.create(
+        spark.read.parquet(s"$tmp/store")
+          .filter(col("timestamp") < timestamp_seconds(lit(staleFrom))),
+        s"$tmp/agg", widthS = 3600)
+      spark.catalog.clearCache(); System.gc()
+      val raw = spark.read.parquet(s"$tmp/store")
+      val (served, tServe) = time(
+        ContinuousAggregate.queryRealtime(spark, s"$tmp/agg", raw, "s1", "m",
+          endS - 43200L, endS, widthS = 3600, storedWidthS = 3600).count())
+      println(s"""{"days":$days,"rows":${days.toLong * 24 * 60},"serve_sec":${f"$tServe%.2f"},"served_buckets":$served}""")
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
+  /** Signature-index compaction M-sweep: compaction is one
+    * co-partitioned pass over the index — cost ~linear in index size
+    * (flat per row), and append-created fragmentation collapses to one
+    * file per bucket regardless of how many appends produced it.
+    */
+  private def compactProbe(spark: SparkSession, docs: DataFrame,
+                           ms: Seq[Int]): Unit = {
+    for (m <- ms) {
+      val corpus = grow(docs, m).localCheckpoint(true)
+      Dedup.writeSignatureIndex(corpus.filter(col("doc_id") % 4 === 0), "cmp_probe")
+      (1 to 3).foreach(i =>
+        Dedup.appendToSignatureIndex(corpus.filter(col("doc_id") % 4 === i), "cmp_probe"))
+      val rowsBefore = spark.table("cmp_probe").count()
+      val (_, tCompact) = time(Dedup.compactIndex(spark, "cmp_probe", "bh"))
+      val rowsAfter = spark.table("cmp_probe").count()
+      spark.sql("DROP TABLE IF EXISTS cmp_probe")
+      println(s"""{"m":$m,"index_rows":$rowsBefore,"compact_sec":${f"$tCompact%.2f"},"rows_preserved":${rowsBefore == rowsAfter}}""")
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ms = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
@@ -743,7 +883,32 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.lift(2).contains("caggtail")) {
+      caggTailProbe(spark, ms) // ms are history lengths in days here
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (args.lift(2).contains("recall")) {
+      recallProbe(spark, docs, ms) // ms are band counts here (numPerm=64)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("overlapmaint")) {
+      overlapMaintProbe(spark, docs, ms) // ms are corpus growth factors here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("wsample")) {
+      wsampleProbe(spark, docs, ms) // ms are history growth factors here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("compact")) {
+      compactProbe(spark, docs, ms) // ms are index growth factors here
+      spark.stop()
+      return
+    }
     if (args.lift(2).contains("incr")) {
       incrProbe(spark, docs, ms)
       spark.stop()

@@ -122,6 +122,23 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       TimeseriesQueries.saxSymbols(cond, "m", T0, T1, 900))
   }
 
+  test("graft_ewma ≡ ewmaSmooth; graft_cusum ≡ cusumDrift") {
+    assertSame(
+      s"SELECT * FROM graft_ewma('m', $T0, $T1, 8)",
+      TimeseriesQueries.ewmaSmooth(cond, "m", T0, T1, 8))
+    assertSame(
+      s"SELECT * FROM graft_cusum('m', $T0, $T1, 300, 50, 400)",
+      TimeseriesQueries.cusumDrift(cond, "m", T0, T1, 300, 50, 400))
+  }
+
+  test("graft_rag_retrieve_docs ≡ Rag.retrieveDocs") {
+    registerCorpus()
+    assertSame("SELECT * FROM graft_rag_retrieve_docs('table scan hash join', 5)",
+      graft.operators.Rag.retrieveDocs(
+        spark.table(SqlTableFunctions.DocumentsRelation),
+        "table scan hash join", 5))
+  }
+
   test("graft_kcenters ≡ Ann.kCenters; graft_rag_retrieve ≡ Rag.retrieveChunks") {
     registerCorpus()
     assertSame("SELECT * FROM graft_kcenters(4)",
@@ -480,5 +497,34 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("graft_ann_topk reads the relation 'embeddings'"))
     assert(e.getMessage.contains("createOrReplaceTempView"))
+  }
+
+  test("meta: every registered graft_* face is gated — by a q_sql_* oracle row or a ≡-assertion in this file") {
+    // registry-level tripwire: a future face added to SqlTableFunctions
+    // without a gate fails HERE, instead of shipping unverified. A face
+    // counts as gated when its exact name appears (word-bounded, so
+    // shared prefixes can't mask each other) in either gate surface:
+    //  - SparkEntry.scala — the q_sql_* oracle rows call faces by name
+    //    inside spark.sql(...), and the driver hash-matches them against
+    //    DuckDB at two scale factors;
+    //  - this spec — the assertSame(...) plan/row-equality cases.
+    val gateSources = Seq(
+      "src/main/scala/graft/SparkEntry.scala",
+      "src/test/scala/graft/SqlTableFunctionsSpec.scala")
+    val texts = gateSources.map { p =>
+      val f = java.nio.file.Paths.get(p)
+      assert(java.nio.file.Files.exists(f),
+        s"meta-spec must run from the repo root (missing $p)")
+      p -> java.nio.file.Files.readString(f)
+    }
+    val names = SqlTableFunctions.names
+    assert(names.size >= 60, s"registry unexpectedly small: ${names.size}")
+    val ungated = names.filterNot { n =>
+      val re = ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+      texts.exists { case (_, src) => re.findFirstIn(src).isDefined }
+    }
+    assert(ungated.isEmpty,
+      s"SQL faces registered without any gate (add a q_sql_* oracle row " +
+        s"or an assertSame case): ${ungated.mkString(", ")}")
   }
 }

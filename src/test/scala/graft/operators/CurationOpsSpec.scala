@@ -312,6 +312,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(exDisj.getLong(2) == 0 && exDisj.getDouble(3) == 0.0)
   }
 
+  test("corpusOverlap with a shingle-free side fails loudly, never NULL-as-zero") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // every doc shorter than n tokens ⇒ no shingles ⇒ estimate undefined;
+    // a silent NULL (or fake 0.0) would read as "no overlap" to triage
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.corpusOverlap(a, short, n = 3, numPerm = 16).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("corpus overlap undefined")),
+      s"unexpected failure: ${rootMessages(e)}")
+  }
+
   test("overlap sketch: incremental merges equal the one-shot sketch of the union") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val evens = docs.filter(col("doc_id") % 2 === 0)

@@ -225,7 +225,9 @@ class SamplingPropertySpec extends AnyFunSuite {
       Seq(0, 1, 2).foreach { s =>
         Sampling.mergeIntoWeightedSample(docs.filter(col("doc_id") % 3 === s), "ws_state")
       }
-      val streamed = spark.table("ws_state").collect()
+      // the state stores the RAW key; quantize at read like the serve path
+      val streamed = spark.table("ws_state")
+        .select(col("doc_id"), round(col("es_key"), 6).as("es_key")).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
       val oneShot = Sampling.weightedSample(docs, "w", k = 10)
         .select("doc_id", "es_key").collect()
@@ -262,5 +264,23 @@ class SamplingPropertySpec extends AnyFunSuite {
     val other = Sampling.weightedSample(docs, "w", k = 10, salt = "other")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(other.contains(99L) && other != picked)
+  }
+
+  test("weightedSample selects on the raw key: large uniform weights don't degenerate to lowest ids") {
+    import spark.implicits._
+    // w = 10^7 for every doc ⇒ every ln(u)/w lands within 4·10⁻⁶ of 0, so
+    // a selection on the 6 dp ROUNDED key collapses into one tie class
+    // broken by ascending doc_id — "the 10 lowest ids win". The fixed
+    // selection orders on the raw key, i.e. a uniform md5 draw here.
+    val docs = (1L to 200L).map(i => (i, 1e7)).toDF("doc_id", "w")
+    val picked = Sampling.weightedSample(docs, "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked != (1L to 10L).toSet,
+      s"selection degenerated to the lowest doc_ids: $picked")
+    // per-stratum face shares the kernel — same non-degeneracy contract
+    val strat = Sampling.weightedSamplePerStratum(
+        docs.withColumn("source", lit("a")), "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strat == picked, "stratified face must share the global kernel's draw")
   }
 }

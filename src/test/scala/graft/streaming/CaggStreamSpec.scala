@@ -67,4 +67,48 @@ class CaggStreamSpec extends AnyFunSuite {
       rm(new java.io.File(tmp))
     }
   }
+
+  test("legacy flat raw store migrates on resume: no mixed layout, history preserved") {
+    // a store written by the pre-partitioning layout (flat parquet files
+    // at the root) must not break the next batch — Spark's partition
+    // discovery rejects a root mixing data files with date= dirs. start()
+    // migrates the flat files under their date partitions once, then the
+    // stream appends normally; serving sees old + new history.
+    val day = 86400L
+    val legacy = (0 until 10).map(i => (i * 3600L, i * 2.0))
+    val fresh = (0 until 10).map(i => (day + i * 3600L, 30.0 + i))
+    val tmp = java.nio.file.Files.createTempDirectory("cagg_legacy").toString
+    try {
+      // the legacy layout: flat write, no date column, no partitioning
+      rows(legacy).coalesce(1).write.parquet(s"$tmp/store")
+      rows(fresh).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+        s"$tmp/cp", widthS = 3600).awaitTermination()
+      val storeDirs = new java.io.File(s"$tmp/store").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(storeDirs == Set("date=2024-01-03", "date=2024-01-04"),
+        s"store not fully partitioned after migration: $storeDirs")
+      assert(!new java.io.File(s"$tmp/store").listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+        "legacy flat files must be removed after migration")
+      // all 20 rows (migrated + streamed) survive with their dates
+      val store = spark.read.parquet(s"$tmp/store")
+      assert(store.count() == 20)
+      // the refresh after migration only covered the batch's dates; the
+      // legacy day is served once any refresh reaches it — force one by
+      // streaming a second batch touching day 0
+      rows(Seq((1L, 0.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+        s"$tmp/cp", widthS = 3600).awaitTermination()
+      val served = ContinuousAggregate.query(spark, s"$tmp/agg", "s1", "m",
+          T0, T0 + 2 * day, widthS = 86400)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served.length == 2, s"both days must serve after migration: $served")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }

@@ -188,4 +188,35 @@ class IngestPipelineSpec extends AnyFunSuite {
     q2.awaitTermination(60000)
     assert(spark.read.parquet(out).count() == 12)
   }
+
+  test("source seam: explicit Files config is the exact path the string API takes; kafka branch translates options") {
+    import IngestPipeline.SourceConfig
+    // the file branch through the EXPLICIT SourceConfig must behave
+    // identically to the string overload that drives q_ingest_wire —
+    // i.e. adding the kafka branch changed nothing about the tested path
+    val in = Files.createTempDirectory("seam_in").toString
+    val out = Files.createTempDirectory("seam_out").toString
+    val ckpt = Files.createTempDirectory("seam_ckpt").toString
+    Files.write(java.nio.file.Paths.get(s"$in/events.txt"),
+      goldenBodies.mkString("\n").getBytes)
+    val q = IngestPipeline.startMqtt(spark, SourceConfig.Files(in), out, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 36)
+
+    // kafka branch: pure option translation (no broker in this container —
+    // format("kafka") wiring is deployable config, asserted here so a
+    // config typo fails a spec, not a production launch)
+    val k = SourceConfig.Kafka("hub.servicebus.windows.net:9093", "telemetry",
+      options = Map("kafka.security.protocol" -> "SASL_SSL"))
+    val src = IngestPipeline.kafkaSourceOptions(k)
+    assert(src("kafka.bootstrap.servers") == "hub.servicebus.windows.net:9093")
+    assert(src("subscribe") == "telemetry")
+    assert(src("startingOffsets") == "earliest")
+    assert(src("kafka.security.protocol") == "SASL_SSL")
+    val sink = IngestPipeline.kafkaSinkOptions(k)
+    assert(sink("topic") == "telemetry")
+    assert(sink("kafka.bootstrap.servers") == "hub.servicebus.windows.net:9093")
+    assert(!sink.contains("subscribe"), "sink must not carry source-only options")
+  }
 }
