@@ -91,6 +91,10 @@ object Bench {
     // Double.toString is locale-independent (an f"%.3f" here would emit
     // "0,123" on comma-decimal locales — invalid JSON in the artifact)
     def num(d: Double): String = (math.round(d * 1000) / 1000.0).toString
+    // env-derived paths must be escaped — a quote or backslash in
+    // SPARK_GRAFT_BENCH_OUT / the sf dir would otherwise break the JSON
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
@@ -107,7 +111,7 @@ object Bench {
         .map { case (p, s) => "\"" + p + "\":" + num(s) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"sf":${jstr(sfDir)}}"""
     // the full JSON goes to a file — the driver's stdout capture keeps only
     // the LAST ~2000 bytes, so an 8 KB line can never parse from stdout
     // (round-8 BENCH artifact had "parsed": null for exactly this reason)
@@ -131,7 +135,7 @@ object Bench {
     val failed = results.count(_._2.isEmpty)
     val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$hq,"n_queries":${results.size},"n_failed":$failed,""" +
-      s""""detail":"$outFile","sf":"$sfDir"}"""
+      s""""detail":${jstr(outFile)},"sf":${jstr(sfDir)}}"""
     println(compact)
     spark.stop()
   }

@@ -43,13 +43,19 @@ object BenchPhases {
   }
 
   /** Drain a streaming query inside the `drain` phase AND record the
-    * per-micro-batch MARGINAL cost: mean seconds of data batches 2..n
-    * (first data batch of the rep excluded — it carries stream-init,
-    * state-store open and codegen; empty bookkeeping batches excluded
-    * too). Wall-clock drain time at toy scale is dominated by that fixed
-    * overhead (round-8 verdict: 31% of the bench), so `per_batch_s` is
-    * the number that actually predicts 100× behavior — the steady-state
-    * cost of folding one more batch into the gate's index.
+    * per-micro-batch MARGINAL cost: mean seconds of data batches 2..n of
+    * the REP (the rep's first data batch excluded — it carries cold JVM
+    * codegen, state-store creation and first-touch I/O; empty
+    * bookkeeping batches excluded too). Wall-clock drain time at toy
+    * scale is dominated by fixed overhead (round-8 verdict: 31% of the
+    * bench), so `per_batch_s` is the number that actually predicts 100×
+    * behavior — with "steady state" meaning the ROW'S OWN deployment
+    * shape: for continuous gates (one stream, `maxFilesPerTrigger`) it
+    * is the within-stream marginal batch; for restart-per-slice gates
+    * (q_cagg_streamed, q_rate_stream, …, which resume a checkpointed
+    * query per arrival — the AvailableNow maintenance-loop shape) each
+    * counted batch deliberately INCLUDES checkpoint resume, because
+    * that is what every production arrival pays in that loop.
     *
     * `start` is by-name so stream construction counts as drain time, the
     * same envelope the inline `timed(...)(X.start(...).awaitTermination())`

@@ -268,9 +268,15 @@ object Sampling {
         "not written by writeWeightedSampleState"))
     val (weightCol, k, salt) = (prop("graft.weightCol"), prop("graft.k").toInt,
       prop("graft.salt"))
-    // graft.key was added after early states were written — default to
-    // the historical doc_id for tables seeded before it existed
-    val key = props.getOrElse("graft.key", "doc_id")
+    // graft.key arrived WITH the raw-key state format: a table lacking it
+    // was seeded before the fix and stores 6 dp ROUNDED keys — merging raw
+    // batch keys into those cannot dedup a re-presented doc (same id,
+    // different key value ⇒ distinct keeps both ⇒ duplicate id in the
+    // ≤k-row sample). Refuse instead of silently corrupting the sample.
+    val key = props.getOrElse("graft.key", throw new IllegalArgumentException(
+      s"weighted-sample state $tableName predates the raw-key format " +
+        "(no graft.key property; its es_key values are quantized) — " +
+        "re-seed it with writeWeightedSampleState before merging"))
     val merged = topKRaw(newDocs, weightCol, k, key, salt)
       .select(col(key), col("__es_raw"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))) ++

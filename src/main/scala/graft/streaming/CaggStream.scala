@@ -26,22 +26,49 @@ object CaggStream {
     * partition discovery fails on a directory mixing root-level parquet
     * files with `date=` subdirectories, so resuming a pre-partitioning
     * checkpointed stream would otherwise break on its first batch.
-    * Root-level data files are rewritten under their date partitions and
-    * then removed; a store that is already partitioned (or absent) is
-    * untouched. Single-writer safe — [[start]]'s foreachBatch is the only
-    * writer of the store by contract.
+    *
+    * Crash-safe protocol (single writer — [[start]]'s foreachBatch is
+    * the only store writer by contract):
+    *  1. rename every root-level data file into a `.legacy_migration/`
+    *    quarantine dir (per-file rename; a crash mid-way leaves a mix
+    *    that the next start() finishes moving — reads never see root
+    *    files and quarantine files double-counted, because neither side
+    *    is under `date=` yet);
+    *  2. append the quarantined rows under their date partitions (a
+    *    crash mid-job leaves only uncommitted `_temporary` output — the
+    *    committer publishes files at job commit, so a re-run re-appends
+    *    from quarantine without duplicates);
+    *  3. write a `_MIGRATED` marker in the quarantine, then delete the
+    *    quarantine (a crash after the marker ⇒ next start() just
+    *    cleans up; without it ⇒ next start() re-runs step 2).
+    * The remaining exposure is the instant between job commit and
+    * marker creation — closing it needs a transactional table format,
+    * which the parquet store deliberately is not.
     */
   private def migrateLegacyFlatStore(spark: SparkSession, storePath: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
+    val quarantine = new org.apache.hadoop.fs.Path(path, ".legacy_migration")
+    val marker = new org.apache.hadoop.fs.Path(quarantine, "_MIGRATED")
     val rootFiles = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (rootFiles.isEmpty) return
-    spark.read.parquet(rootFiles.map(_.getPath.toString).toSeq: _*)
-      .withColumn("date", to_date(col("timestamp")))
-      .write.mode("append").partitionBy("date").parquet(storePath)
-    rootFiles.foreach(s => fs.delete(s.getPath, false))
+    if (rootFiles.isEmpty && !fs.exists(quarantine)) return
+    if (fs.exists(marker)) { fs.delete(quarantine, true); return }
+    if (rootFiles.nonEmpty) {
+      fs.mkdirs(quarantine)
+      rootFiles.foreach(s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(quarantine, s.getPath.getName)))
+    }
+    val pending = fs.listStatus(quarantine)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (pending.nonEmpty)
+      spark.read.parquet(pending.map(_.getPath.toString).toSeq: _*)
+        .withColumn("date", to_date(col("timestamp")))
+        .write.mode("append").partitionBy("date").parquet(storePath)
+    fs.create(marker, true).close()
+    fs.delete(quarantine, true)
+    ()
   }
 
   def start(spark: SparkSession, inputDir: String, storePath: String,

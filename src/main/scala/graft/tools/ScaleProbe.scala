@@ -51,6 +51,13 @@ object ScaleProbe {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Locale-independent fixed-dp formatting for the probe JSON lines
+    * (an f"%.2f" interpolation uses the default locale — comma decimals
+    * would emit invalid JSON).
+    */
+  private def fmt(d: Double, dp: Int = 2): String =
+    String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(d))
+
   /** Deterministic unit-free gaussian vectors keyed by id (no accidental
     * near-dups at d=128), plus an exact duplicate of every 50th vector
     * under an offset id — the planted ground truth for the LSH tier.
@@ -95,7 +102,7 @@ object ScaleProbe {
         val out = TextAnalysis.ngramNovelty(corpus).localCheckpoint(true)
         (out.count(), out.filter(col("novelty") < 1.0).count())
       }
-      println(s"""{"m":$m,"docs":${res._1},"seen_docs":${res._2},"novelty_sec":${f"$t%.2f"}}""")
+      println(s"""{"m":$m,"docs":${res._1},"seen_docs":${res._2},"novelty_sec":${fmt(t)}}""")
       spark.catalog.clearCache(); System.gc()
     }
   }
@@ -244,7 +251,7 @@ object ScaleProbe {
       spark.sql("DROP TABLE IF EXISTS simhash_index_probe")
       spark.catalog.clearCache(); System.gc()
       require(directPairs == idxPairs, s"m=$m direct=$directPairs indexed=$idxPairs")
-      println(s"""{"m":$m,"index_docs":$idxDocs,"pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${f"$tBuild%.2f"},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+      println(s"""{"m":$m,"index_docs":$idxDocs,"pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
     }
   }
 
@@ -278,7 +285,7 @@ object ScaleProbe {
         Dedup.lineDedupAgainstIndex(newBatch, "line_index_probe").count())
       spark.sql("DROP TABLE IF EXISTS line_index_probe")
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"m":$m,"index_docs":$idxDocs,"survivors":$survivors,"index_build_sec":${f"$tBuild%.2f"},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+      println(s"""{"m":$m,"index_docs":$idxDocs,"survivors":$survivors,"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
     }
   }
 
@@ -303,7 +310,7 @@ object ScaleProbe {
         Multimodal.mediaNearDupAgainstIndex(newDrop, "media_index_probe").count())
       spark.sql("DROP TABLE IF EXISTS media_index_probe")
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"m":$m,"index_assets":$idxAssets,"pairs":$pairs,"index_build_sec":${f"$tBuild%.2f"},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+      println(s"""{"m":$m,"index_assets":$idxAssets,"pairs":$pairs,"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
     }
   }
 
@@ -453,7 +460,7 @@ object ScaleProbe {
         Dedup.minhashPairsAgainstIndex(newBatch, "sig_index_probe", index).count())
       spark.sql("DROP TABLE IF EXISTS sig_index_probe")
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"m":$m,"index_docs":$idxDocs,"recompute_pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${f"$tBuild%.2f"},"indexed_pairs":$idxPairs,"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+      println(s"""{"m":$m,"index_docs":$idxDocs,"recompute_pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${fmt(tBuild)},"indexed_pairs":$idxPairs,"indexed_batch_sec":${f"$tBatch%.2f"}}""")
     }
   }
 
@@ -509,7 +516,7 @@ object ScaleProbe {
       val chars = corpus.agg(sum(length(col("text")))).head().getLong(0)
       val (spans, t) = time(SpanDedup.duplicatedSpans(corpus, 20).count())
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"m":$m,"docs":$n,"chars":$chars,"spans":$spans,"sec":${f"$t%.2f"}}""")
+      println(s"""{"m":$m,"docs":$n,"chars":$chars,"spans":$spans,"sec":${fmt(t)}}""")
     }
   }
 
@@ -585,7 +592,7 @@ object ScaleProbe {
         (cc.count(), cc.agg(max("component")).head().getLong(0))
       }
       require(labels == ((n.toLong, 1L)), s"n=$n got $labels")
-      println(s"""{"path_nodes":$n,"cc_sec":${f"$t%.2f"}}""")
+      println(s"""{"path_nodes":$n,"cc_sec":${fmt(t)}}""")
     }
   }
 
@@ -692,7 +699,7 @@ object ScaleProbe {
       val hit = got.intersect(exact).size
       val falsePos = got.diff(exact).size
       val recall = if (exact.isEmpty) 1.0 else hit.toDouble / exact.size
-      println(s"""{"bands":$bands,"rows_per_band":${64 / bands},"seed":$seed,"exact_pairs":${exact.size},"lsh_pairs":${got.size},"hit":$hit,"false_pos":$falsePos,"recall":${f"$recall%.6f"},"sec":${f"$t%.2f"}}""")
+      println(s"""{"bands":$bands,"rows_per_band":${64 / bands},"seed":$seed,"exact_pairs":${exact.size},"lsh_pairs":${got.size},"hit":$hit,"false_pos":$falsePos,"recall":${fmt(recall, 6)},"sec":${fmt(t)}}""")
       spark.catalog.clearCache(); System.gc()
     }
   }
@@ -716,7 +723,7 @@ object ScaleProbe {
         Dedup.corpusOverlapAgainstSketch(batch, "ovlp_probe")
           .head().getDouble(2))
       spark.sql("DROP TABLE IF EXISTS ovlp_probe")
-      println(s"""{"m":$m,"corpus":$n,"build_sec":${f"$tBuild%.2f"},"merge_sec":${f"$tMerge%.2f"},"probe_sec":${f"$tProbe%.2f"},"jaccard_est":${f"$est%.4f"}}""")
+      println(s"""{"m":$m,"corpus":$n,"build_sec":${fmt(tBuild)},"merge_sec":${fmt(tMerge)},"probe_sec":${fmt(tProbe)},"jaccard_est":${fmt(est, 4)}}""")
       spark.catalog.clearCache(); System.gc()
     }
   }
@@ -743,7 +750,7 @@ object ScaleProbe {
       val (_, tMerge) = time(Sampling.mergeIntoWeightedSample(batch, "wsp_probe"))
       val stateRows = spark.table("wsp_probe").count()
       spark.sql("DROP TABLE IF EXISTS wsp_probe")
-      println(s"""{"m":$m,"history":$n,"seed_sec":${f"$tSeed%.2f"},"merge_sec":${f"$tMerge%.2f"},"state_rows":$stateRows}""")
+      println(s"""{"m":$m,"history":$n,"seed_sec":${fmt(tSeed)},"merge_sec":${fmt(tMerge)},"state_rows":$stateRows}""")
       spark.catalog.clearCache(); System.gc()
     }
   }
@@ -778,7 +785,7 @@ object ScaleProbe {
       val (served, tServe) = time(
         ContinuousAggregate.queryRealtime(spark, s"$tmp/agg", raw, "s1", "m",
           endS - 43200L, endS, widthS = 3600, storedWidthS = 3600).count())
-      println(s"""{"days":$days,"rows":${days.toLong * 24 * 60},"serve_sec":${f"$tServe%.2f"},"served_buckets":$served}""")
+      println(s"""{"days":$days,"rows":${days.toLong * 24 * 60},"serve_sec":${fmt(tServe)},"served_buckets":$served}""")
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
       }
@@ -803,7 +810,7 @@ object ScaleProbe {
       val (_, tCompact) = time(Dedup.compactIndex(spark, "cmp_probe", "bh"))
       val rowsAfter = spark.table("cmp_probe").count()
       spark.sql("DROP TABLE IF EXISTS cmp_probe")
-      println(s"""{"m":$m,"index_rows":$rowsBefore,"compact_sec":${f"$tCompact%.2f"},"rows_preserved":${rowsBefore == rowsAfter}}""")
+      println(s"""{"m":$m,"index_rows":$rowsBefore,"compact_sec":${fmt(tCompact)},"rows_preserved":${rowsBefore == rowsAfter}}""")
       spark.catalog.clearCache(); System.gc()
     }
   }

@@ -519,12 +519,15 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     }
     val names = SqlTableFunctions.names
     assert(names.size >= 60, s"registry unexpectedly small: ${names.size}")
+    // a gate is a SQL INVOCATION of the face — "FROM <name>(" — not a
+    // mere mention (a comment or an error-message assertion containing
+    // the name must not count, or deleting the real gate goes unnoticed)
     val ungated = names.filterNot { n =>
-      val re = ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+      val re = ("FROM\\s+" + java.util.regex.Pattern.quote(n) + "\\s*\\(").r
       texts.exists { case (_, src) => re.findFirstIn(src).isDefined }
     }
     assert(ungated.isEmpty,
       s"SQL faces registered without any gate (add a q_sql_* oracle row " +
-        s"or an assertSame case): ${ungated.mkString(", ")}")
+        s"or an assertSame case invoking 'FROM <face>(...)'): ${ungated.mkString(", ")}")
   }
 }

@@ -21,6 +21,10 @@ class CaggStreamSpec extends AnyFunSuite {
 
   private val T0 = 1704240000L // 2024-01-03T00:00:00Z
 
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
+  }
+
   private def rows(data: Seq[(Long, Double)]) = {
     import spark.implicits._
     data.map { case (off, v) =>
@@ -60,12 +64,7 @@ class CaggStreamSpec extends AnyFunSuite {
         .filter(_.isDirectory).map(_.getName).toSet
       assert(storeDirs == Set("date=2024-01-03", "date=2024-01-04", "date=2024-01-05"),
         s"raw store not date-partitioned: $storeDirs")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+    } finally rmTree(new java.io.File(tmp))
   }
 
   test("legacy flat raw store migrates on resume: no mixed layout, history preserved") {
@@ -104,11 +103,42 @@ class CaggStreamSpec extends AnyFunSuite {
           T0, T0 + 2 * day, widthS = 86400)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(served.length == 2, s"both days must serve after migration: $served")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
+    } finally rmTree(new java.io.File(tmp))
+  }
+
+  test("migration crash-resume: quarantine without marker re-appends once; with marker is dropped") {
+    val tmp = java.nio.file.Files.createTempDirectory("cagg_crash").toString
+    def intoQuarantine(src: String): Unit = {
+      val qdir = new java.io.File(s"$tmp/store/.legacy_migration"); qdir.mkdirs()
+      val part = new java.io.File(src).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(qdir, part.getName).toPath)
+      ()
     }
+    try {
+      // crash AFTER rename, BEFORE append: legacy rows sit quarantined,
+      // no marker — next start() must finish the migration exactly once
+      rows(Seq((0L, 1.0), (3600L, 2.0))).coalesce(1).write.parquet(s"$tmp/q1")
+      intoQuarantine(s"$tmp/q1")
+      rows(Seq((86400L, 5.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+        s"$tmp/cp", widthS = 3600).awaitTermination()
+      assert(spark.read.parquet(s"$tmp/store").count() == 3,
+        "2 quarantined + 1 streamed rows expected")
+      assert(!new java.io.File(s"$tmp/store/.legacy_migration").exists(),
+        "quarantine must be cleaned up after completed migration")
+      // crash AFTER marker, BEFORE cleanup: the quarantine's rows are
+      // already in the store — next start() must DROP them, not re-append
+      rows(Seq((0L, 1.0), (3600L, 2.0))).coalesce(1).write.parquet(s"$tmp/q2")
+      intoQuarantine(s"$tmp/q2")
+      assert(new java.io.File(s"$tmp/store/.legacy_migration/_MIGRATED").createNewFile())
+      rows(Seq((90000L, 6.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+        s"$tmp/cp", widthS = 3600).awaitTermination()
+      assert(spark.read.parquet(s"$tmp/store").count() == 4,
+        "only the new streamed row may be added; marked quarantine must not re-append")
+      assert(!new java.io.File(s"$tmp/store/.legacy_migration").exists())
+    } finally rmTree(new java.io.File(tmp))
   }
 }
