@@ -266,6 +266,31 @@ class SamplingPropertySpec extends AnyFunSuite {
     assert(other.contains(99L) && other != picked)
   }
 
+  test("weightedSample draws proportionally to weight (frequency property over 300 salts)") {
+    import spark.implicits._
+    // two-point weight distribution: doc ids 1..30 at weight 2, 31..90 at
+    // weight 1 — total weight 60+60, so a single draw (k=1) should pick a
+    // heavy doc ~half the time. 300 independent deterministic draws
+    // (distinct salts = independent md5 families); the pre-fix rounded-key
+    // selection degenerates to "lowest id wins" and fails this hard
+    // (heavy docs are ids 1..30, so it would pick heavy ~100% of salts).
+    val docs = ((1L to 30L).map(i => (i, 2.0)) ++ (31L to 90L).map(i => (i, 1.0)))
+      .toDF("doc_id", "w")
+    val wins = (1 to 300).map { s =>
+      Sampling.weightedSample(docs, "w", k = 1, salt = s"prop$s")
+        .select("doc_id").head().getLong(0)
+    }
+    val heavy = wins.count(_ <= 30L)
+    // Binomial(300, 0.5): mean 150, sd ~8.7 — ±4 sd = [115, 185]. The
+    // draw is deterministic (fixed salts), so this never flakes; it
+    // documents the distribution contract and catches any future
+    // quantize-before-select regression (which lands at 300/300).
+    assert(heavy >= 115 && heavy <= 185,
+      s"heavy-weight docs won $heavy/300 single draws; expected ~150")
+    // distinct salts decorrelate: the winning doc is not constant
+    assert(wins.distinct.size > 30, s"only ${wins.distinct.size} distinct winners")
+  }
+
   test("weightedSample selects on the raw key: large uniform weights don't degenerate to lowest ids") {
     import spark.implicits._
     // w = 10^7 for every doc ⇒ every ln(u)/w lands within 4·10⁻⁶ of 0, so
