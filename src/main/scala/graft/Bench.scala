@@ -88,9 +88,7 @@ object Bench {
       }
       (name, best, phases)
     }
-    // Double.toString is locale-independent (an f"%.3f" here would emit
-    // "0,123" on comma-decimal locales — invalid JSON in the artifact)
-    def num(d: Double): String = (math.round(d * 1000) / 1000.0).toString
+    def num(d: Double): String = graft.util.JsonNum.minimal3(d)
     // env-derived paths must be escaped — a quote or backslash in
     // SPARK_GRAFT_BENCH_OUT / the sf dir would otherwise break the JSON
     def jstr(s: String): String =

@@ -19,7 +19,10 @@ package graft
   * calls [[repStart]] before each rep and snapshots after, keeping the
   * phases of the rep whose TOTAL won the reported min — attribution and
   * total always come from the same run, so `total − Σ phases` is the
-  * genuine residual (the lazy serve/count). Recording is a lock-free map
+  * genuine residual (the lazy serve/count) — PROVIDED the sum excludes
+  * the two derived keys stream rows carry: `per_batch_s` (a mean) and
+  * `pb_n` (a count), which are statistics ABOUT the drain phase, not
+  * additional wall-clock. Recording is a lock-free map
   * update (~100 ns) — zero impact on the timed work — and the
   * Verify/driver gate path never reads it.
   */

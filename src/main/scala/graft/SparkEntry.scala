@@ -45,12 +45,8 @@ object SparkEntry {
     finally deleteRecursively(new java.io.File(tmp))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.FsUtil.deleteRecursively(f)
 
   private def r6(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, sround(col(c), 6)))

@@ -277,6 +277,12 @@ object Sampling {
       s"weighted-sample state $tableName predates the raw-key format " +
         "(no graft.key property; its es_key values are quantized) — " +
         "re-seed it with writeWeightedSampleState before merging"))
+    // the BATCH can diverge from the seed's schema (a re-staged parquet
+    // source can narrow doc_id to int) — the getLong below would then
+    // throw ClassCastException mid-stream, so check here, per batch
+    require(newDocs.schema(key).dataType == org.apache.spark.sql.types.LongType,
+      s"weighted-sample merge requires a LongType key column, got " +
+        s"'$key': ${newDocs.schema(key).dataType.simpleString}")
     val merged = topKRaw(newDocs, weightCol, k, key, salt)
       .select(col(key), col("__es_raw"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))) ++

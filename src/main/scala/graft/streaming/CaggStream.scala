@@ -56,9 +56,19 @@ object CaggStream {
     if (rootFiles.isEmpty && !fs.exists(quarantine)) return
     if (fs.exists(marker)) { fs.delete(quarantine, true); return }
     if (rootFiles.nonEmpty) {
-      fs.mkdirs(quarantine)
-      rootFiles.foreach(s =>
-        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(quarantine, s.getPath.getName)))
+      if (!fs.mkdirs(quarantine))
+        throw new IllegalStateException(s"cagg store migration: cannot create quarantine $quarantine")
+      // A false return (dest exists, FS refused the move) must ABORT the
+      // migration: proceeding would leave a root-level file behind while
+      // still writing the _MIGRATED marker below — exactly the mixed
+      // root-files + date= layout this migration exists to prevent. The
+      // throw leaves the store pre-marker, so the next start() retries.
+      rootFiles.foreach { s =>
+        val dest = new org.apache.hadoop.fs.Path(quarantine, s.getPath.getName)
+        if (!fs.rename(s.getPath, dest))
+          throw new IllegalStateException(
+            s"cagg store migration: rename ${s.getPath} -> $dest failed; store left pre-marker for retry")
+      }
     }
     val pending = fs.listStatus(quarantine)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

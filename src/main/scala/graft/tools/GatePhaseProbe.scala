@@ -38,7 +38,7 @@ object GatePhaseProbe {
 
   private def emit(gate: String, build: Double, stage: Double,
                    stream: Double, batchMs: Seq[Long]): Unit =
-    println(s"""{"gate":"$gate","build_sec":${f"$build%.2f"},"stage_sec":${f"$stage%.2f"},"stream_sec":${f"$stream%.2f"},"batches":${batchMs.length},"batch_ms":[${batchMs.mkString(",")}]}""")
+    println(s"""{"gate":"$gate","build_sec":${graft.util.JsonNum.fixed(build)},"stage_sec":${graft.util.JsonNum.fixed(stage)},"stream_sec":${graft.util.JsonNum.fixed(stream)},"batches":${batchMs.length},"batch_ms":[${batchMs.mkString(",")}]}""")
 
   private def withTempDir(prefix: String)(body: String => Unit): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString

@@ -55,8 +55,7 @@ object ScaleProbe {
     * (an f"%.2f" interpolation uses the default locale — comma decimals
     * would emit invalid JSON).
     */
-  private def fmt(d: Double, dp: Int = 2): String =
-    String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(d))
+  private def fmt(d: Double, dp: Int = 2): String = graft.util.JsonNum.fixed(d, dp)
 
   /** Deterministic unit-free gaussian vectors keyed by id (no accidental
     * near-dups at d=128), plus an exact duplicate of every 50th vector
@@ -82,7 +81,7 @@ object ScaleProbe {
       val (lshPairs, tLsh) = time(Ann.lshNeardupPairs(corpus, 0.8).count())
       spark.catalog.clearCache(); System.gc()
       val planted = (n + 49) / 50 // ids 0, 50, … < n
-      println(s"""{"n":$n,"planted":$planted,"exact45_pairs":$exactPairs,"exact45_sec":${f"$tExact%.2f"},"lsh80_pairs":$lshPairs,"lsh80_sec":${f"$tLsh%.2f"}}""")
+      println(s"""{"n":$n,"planted":$planted,"exact45_pairs":$exactPairs,"exact45_sec":${fmt(tExact, 2)},"lsh80_pairs":$lshPairs,"lsh80_sec":${fmt(tLsh, 2)}}""")
     }
   }
 
@@ -119,7 +118,7 @@ object ScaleProbe {
       val (_, t8) = time(Ann.kCenters(corpus, 8).count())
       spark.catalog.clearCache(); System.gc()
       val (_, t16) = time(Ann.kCenters(corpus, 16).count())
-      println(s"""{"n":$n,"k8_sec":${f"$t8%.2f"},"k16_sec":${f"$t16%.2f"}}""")
+      println(s"""{"n":$n,"k8_sec":${fmt(t8, 2)},"k16_sec":${fmt(t16, 2)}}""")
       spark.catalog.clearCache(); System.gc()
     }
   }
@@ -145,7 +144,7 @@ object ScaleProbe {
       spark.catalog.clearCache(); System.gc()
       val (hh, tHh) = time(
         TextAnalysis.heavyHitters(corpus, k = 30, minFreq = 0.0335).count())
-      println(s"""{"m":$m,"vocab":$vocab,"exact_top10":$exactTop,"hh_rows":$hh,"exact_sec":${f"$tExact%.2f"},"hh_sec":${f"$tHh%.2f"}}""")
+      println(s"""{"m":$m,"vocab":$vocab,"exact_top10":$exactTop,"hh_rows":$hh,"exact_sec":${fmt(tExact, 2)},"hh_sec":${fmt(tHh, 2)}}""")
       spark.catalog.clearCache(); System.gc()
     }
   }
@@ -193,7 +192,7 @@ object ScaleProbe {
       val packed = Packing.materializeSequences(chunks, budget = 2048)
       val nSeqs = packed.count()
       val t5 = System.nanoTime()
-      def sec(a: Long, b: Long) = f"${(b - a) / 1e9}%.2f"
+      def sec(a: Long, b: Long) = fmt((b - a) / 1e9)
       println(s"""{"m":$m,"docs":$n0,"curated":$nCur,"decontaminated":$nClean,"train":$nTrain,"chunks":$nChunks,"sequences":$nSeqs,"curate_sec":${sec(t0, t1)},"decontam_sec":${sec(t1, t2)},"split_sec":${sec(t2, t3)},"chunk_sec":${sec(t3, t4)},"pack_sec":${sec(t4, t5)},"total_sec":${sec(t0, t5)}}""")
       spark.catalog.clearCache(); System.gc()
     }
@@ -226,7 +225,7 @@ object ScaleProbe {
         Decontamination.contaminatedBloom(corpus, bench, n = 5).count())
       spark.catalog.clearCache(); System.gc()
       require(exactRows == bloomRows, s"m=$m exact=$exactRows bloom=$bloomRows")
-      println(s"""{"m":$m,"bench_ngrams":$nSh,"exact_broadcast_bytes":$strBytes,"bloom_bytes":$bloomBytes,"rows":$exactRows,"exact_sec":${f"$tExact%.2f"},"bloom_sec":${f"$tBloom%.2f"}}""")
+      println(s"""{"m":$m,"bench_ngrams":$nSh,"exact_broadcast_bytes":$strBytes,"bloom_bytes":$bloomBytes,"rows":$exactRows,"exact_sec":${fmt(tExact, 2)},"bloom_sec":${fmt(tBloom, 2)}}""")
     }
   }
 
@@ -251,7 +250,7 @@ object ScaleProbe {
       spark.sql("DROP TABLE IF EXISTS simhash_index_probe")
       spark.catalog.clearCache(); System.gc()
       require(directPairs == idxPairs, s"m=$m direct=$directPairs indexed=$idxPairs")
-      println(s"""{"m":$m,"index_docs":$idxDocs,"pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+      println(s"""{"m":$m,"index_docs":$idxDocs,"pairs":$directPairs,"recompute_sec":${fmt(tDirect, 2)},"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${fmt(tBatch, 2)}}""")
     }
   }
 
@@ -285,7 +284,7 @@ object ScaleProbe {
         Dedup.lineDedupAgainstIndex(newBatch, "line_index_probe").count())
       spark.sql("DROP TABLE IF EXISTS line_index_probe")
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"m":$m,"index_docs":$idxDocs,"survivors":$survivors,"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+      println(s"""{"m":$m,"index_docs":$idxDocs,"survivors":$survivors,"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${fmt(tBatch, 2)}}""")
     }
   }
 
@@ -310,7 +309,7 @@ object ScaleProbe {
         Multimodal.mediaNearDupAgainstIndex(newDrop, "media_index_probe").count())
       spark.sql("DROP TABLE IF EXISTS media_index_probe")
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"m":$m,"index_assets":$idxAssets,"pairs":$pairs,"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+      println(s"""{"m":$m,"index_assets":$idxAssets,"pairs":$pairs,"index_build_sec":${fmt(tBuild)},"indexed_batch_sec":${fmt(tBatch, 2)}}""")
     }
   }
 
@@ -337,7 +336,7 @@ object ScaleProbe {
         spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
       }
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"n":${corpus.count()},"batch":${batch.count()},"rebuild_sec":${f"$tRebuild%.2f"},"append_sec":${f"$tAppend%.2f"},"drift_sec":${f"$tDrift%.2f"},"drift_ratio":${f"$drift%.4f"}}""")
+      println(s"""{"n":${corpus.count()},"batch":${batch.count()},"rebuild_sec":${fmt(tRebuild, 2)},"append_sec":${fmt(tAppend, 2)},"drift_sec":${fmt(tDrift, 2)},"drift_ratio":${fmt(drift, 4)}}""")
     }
   }
 
@@ -372,7 +371,7 @@ object ScaleProbe {
         spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
       }
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"n":${corpus.count()},"float_bytes":$bF,"sq8_bytes":$bQ,"bytes_ratio":${f"${bF.toDouble / bQ}%.2f"},"float_probe8_sec":${f"$tF%.2f"},"sq8_probe8_sec":${f"$tQ%.2f"}}""")
+      println(s"""{"n":${corpus.count()},"float_bytes":$bF,"sq8_bytes":$bQ,"bytes_ratio":${fmt(bF.toDouble / bQ, 2)},"float_probe8_sec":${fmt(tF, 2)},"sq8_probe8_sec":${fmt(tQ, 2)}}""")
     }
   }
 
@@ -398,7 +397,7 @@ object ScaleProbe {
       val (nAp, tAp) = time(TimeseriesQueries.hampelOutliersApprox(
         cond, "m", t0, t0 + 86400, widthS = 86400).count())
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"n":$n,"exact_flags":$nEx,"exact_sec":${f"$tEx%.2f"},"approx_flags":$nAp,"approx_sec":${f"$tAp%.2f"}}""")
+      println(s"""{"n":$n,"exact_flags":$nEx,"exact_sec":${fmt(tEx, 2)},"approx_flags":$nAp,"approx_sec":${fmt(tAp, 2)}}""")
     }
   }
 
@@ -425,7 +424,7 @@ object ScaleProbe {
       }
       val inDist = batches.map { batch =>
         val (res, t) = time(Ann.maintainIvfIndex(batch, "mntp_idx", driftThreshold = 1.3))
-        (f"${res._1}%.3f", res._2, f"$t%.2f")
+        (fmt(res._1, 3), res._2, fmt(t))
       }
       val shifted = spark.range(300000000L, 300000000L + b).map { id =>
         val r = new java.util.Random(id)
@@ -437,7 +436,7 @@ object ScaleProbe {
       spark.sql("DROP TABLE IF EXISTS mntp_idx")
       spark.sql("DROP TABLE IF EXISTS mntp_idx_centroids")
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"n":$n,"batch":$b,"in_dist":${inDist.map(t => s"""["${t._1}",${t._2},"${t._3}"]""").mkString("[", ",", "]")},"shifted_drift":${f"$driftS%.3f"},"shifted_rebuilt":$rebuiltS,"shifted_sec":${f"$tShift%.2f"},"drift_after":${f"$after%.3f"}}""")
+      println(s"""{"n":$n,"batch":$b,"in_dist":${inDist.map(t => s"""["${t._1}",${t._2},"${t._3}"]""").mkString("[", ",", "]")},"shifted_drift":${fmt(driftS, 3)},"shifted_rebuilt":$rebuiltS,"shifted_sec":${fmt(tShift, 2)},"drift_after":${fmt(after, 3)}}""")
     }
   }
 
@@ -460,7 +459,7 @@ object ScaleProbe {
         Dedup.minhashPairsAgainstIndex(newBatch, "sig_index_probe", index).count())
       spark.sql("DROP TABLE IF EXISTS sig_index_probe")
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"m":$m,"index_docs":$idxDocs,"recompute_pairs":$directPairs,"recompute_sec":${f"$tDirect%.2f"},"index_build_sec":${fmt(tBuild)},"indexed_pairs":$idxPairs,"indexed_batch_sec":${f"$tBatch%.2f"}}""")
+      println(s"""{"m":$m,"index_docs":$idxDocs,"recompute_pairs":$directPairs,"recompute_sec":${fmt(tDirect, 2)},"index_build_sec":${fmt(tBuild)},"indexed_pairs":$idxPairs,"indexed_batch_sec":${fmt(tBatch, 2)}}""")
     }
   }
 
@@ -497,7 +496,7 @@ object ScaleProbe {
         SemDedup.semDedup(corpus, cents, threshold = 0.9)
           .filter(!col("keep")).count())
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"n":$total,"planted":$planted,"nlist":$nlist,"allpairs":$allPairs,"allpairs_sec":${f"$tAll%.2f"},"train_sec":${f"$tTrain%.2f"},"semdedup_dropped":$dropped,"semdedup_sec":${f"$tSem%.2f"}}""")
+      println(s"""{"n":$total,"planted":$planted,"nlist":$nlist,"allpairs":$allPairs,"allpairs_sec":${fmt(tAll, 2)},"train_sec":${fmt(tTrain, 2)},"semdedup_dropped":$dropped,"semdedup_sec":${fmt(tSem, 2)}}""")
     }
   }
 
@@ -536,7 +535,7 @@ object ScaleProbe {
       val (boundedPairs, tBounded) = time(
         Dedup.jaccardPairs(corpus, 3, 0.8, maxDf = Some(10)).count())
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"n":$n,"unbounded_pairs":$unboundedPairs,"unbounded_sec":${f"$tUnbounded%.2f"},"bounded_pairs":$boundedPairs,"bounded_sec":${f"$tBounded%.2f"}}""")
+      println(s"""{"n":$n,"unbounded_pairs":$unboundedPairs,"unbounded_sec":${fmt(tUnbounded, 2)},"bounded_pairs":$boundedPairs,"bounded_sec":${fmt(tBounded, 2)}}""")
     }
   }
 
@@ -569,7 +568,7 @@ object ScaleProbe {
       spark.catalog.clearCache(); System.gc()
       require(naiveMatches == binnedMatches,
         s"match mismatch: naive=$naiveMatches binned=$binnedMatches")
-      println(s"""{"n_points":$n,"n_intervals":${n / 10},"matches":$naiveMatches,"naive_sec":${f"$tNaive%.2f"},"binned_sec":${f"$tBinned%.2f"}}""")
+      println(s"""{"n_points":$n,"n_intervals":${n / 10},"matches":$naiveMatches,"naive_sec":${fmt(tNaive, 2)},"binned_sec":${fmt(tBinned, 2)}}""")
     }
   }
 
@@ -624,7 +623,7 @@ object ScaleProbe {
       }
       require(fullRes == incrRes && fullRes == ((n.toLong, 1L)),
         s"n=$n full=$fullRes incr=$incrRes")
-      println(s"""{"path_nodes":$n,"full_sec":${f"$tFull%.2f"},"incr_sec":${f"$tIncr%.2f"}}""")
+      println(s"""{"path_nodes":$n,"full_sec":${fmt(tFull, 2)},"incr_sec":${fmt(tIncr, 2)}}""")
     }
   }
 
@@ -786,10 +785,7 @@ object ScaleProbe {
         ContinuousAggregate.queryRealtime(spark, s"$tmp/agg", raw, "s1", "m",
           endS - 43200L, endS, widthS = 3600, storedWidthS = 3600).count())
       println(s"""{"days":$days,"rows":${days.toLong * 24 * 60},"serve_sec":${fmt(tServe)},"served_buckets":$served}""")
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
+      graft.util.FsUtil.deleteRecursively(new java.io.File(tmp))
       spark.catalog.clearCache(); System.gc()
     }
   }
@@ -968,7 +964,7 @@ object ScaleProbe {
       spark.catalog.clearCache(); System.gc()
       val (lshPairs, tLsh) = time(Dedup.minhashPairs(corpus, threshold = 0.8).count())
       spark.catalog.clearCache(); System.gc()
-      println(s"""{"m":$m,"docs":$n,"exact_pairs":$exactPairs,"exact_sec":${f"$tExact%.2f"},"lsh_pairs":$lshPairs,"lsh_sec":${f"$tLsh%.2f"}}""")
+      println(s"""{"m":$m,"docs":$n,"exact_pairs":$exactPairs,"exact_sec":${fmt(tExact, 2)},"lsh_pairs":$lshPairs,"lsh_sec":${fmt(tLsh, 2)}}""")
     }
     spark.stop()
   }

@@ -237,6 +237,14 @@ class SamplingPropertySpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         Sampling.mergeIntoWeightedSample(docs, "ws_noprops")
       }
+      // a BATCH whose key column drifted from the seed's LongType (e.g.
+      // a re-staged source narrowing doc_id to int) must fail the guard
+      // per batch, not a ClassCastException inside the driver merge
+      val intKeyed = docs.withColumn("doc_id", col("doc_id").cast("int"))
+      val ex = intercept[IllegalArgumentException] {
+        Sampling.mergeIntoWeightedSample(intKeyed, "ws_state")
+      }
+      assert(ex.getMessage.contains("LongType"), ex.getMessage)
     } finally {
       Seq("ws_state", "ws_noprops").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
@@ -274,13 +282,25 @@ class SamplingPropertySpec extends AnyFunSuite {
     // (distinct salts = independent md5 families); the pre-fix rounded-key
     // selection degenerates to "lowest id wins" and fails this hard
     // (heavy docs are ids 1..30, so it would pick heavy ~100% of salts).
+    // ONE Spark job for all 300 draws (not 300 sequential actions — that
+    // cost tens of seconds of pure job-scheduling overhead): each trial
+    // becomes a STRATUM of weightedSamplePerStratum with a composite
+    // trial-scoped key string, so every (trial, doc) gets an independent
+    // md5 draw and the per-stratum k=1 winner IS that trial's single
+    // weighted draw. The per-stratum face shares topKRaw/withRawKey with
+    // weightedSample (asserted by the kernel-sharing test below), so the
+    // distribution contract exercised is the same.
     val docs = ((1L to 30L).map(i => (i, 2.0)) ++ (31L to 90L).map(i => (i, 1.0)))
       .toDF("doc_id", "w")
-    val wins = (1 to 300).map { s =>
-      Sampling.weightedSample(docs, "w", k = 1, salt = s"prop$s")
-        .select("doc_id").head().getLong(0)
-    }
-    val heavy = wins.count(_ <= 30L)
+    val trials = (1 to 300).map(s => s"prop$s").toDF("trial")
+    val crossed = docs.crossJoin(trials)
+      .withColumn("tkey", concat_ws(":", col("trial"), col("doc_id")))
+    val winners = Sampling.weightedSamplePerStratum(
+        crossed, "w", k = 1, stratum = "trial", key = "tkey")
+      .select("tkey", "w").collect()
+    assert(winners.length == 300)
+    val wins = winners.map(_.getString(0).split(":")(1).toLong).toSeq
+    val heavy = winners.count(_.getDouble(1) == 2.0)
     // Binomial(300, 0.5): mean 150, sd ~8.7 — ±4 sd = [115, 185]. The
     // draw is deterministic (fixed salts), so this never flakes; it
     // documents the distribution contract and catches any future

@@ -21,9 +21,7 @@ class CaggStreamSpec extends AnyFunSuite {
 
   private val T0 = 1704240000L // 2024-01-03T00:00:00Z
 
-  private def rmTree(f: java.io.File): Unit = {
-    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
-  }
+  private def rmTree(f: java.io.File): Unit = graft.util.FsUtil.deleteRecursively(f)
 
   private def rows(data: Seq[(Long, Double)]) = {
     import spark.implicits._
@@ -139,6 +137,45 @@ class CaggStreamSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$tmp/store").count() == 4,
         "only the new streamed row may be added; marked quarantine must not re-append")
       assert(!new java.io.File(s"$tmp/store/.legacy_migration").exists())
+    } finally rmTree(new java.io.File(tmp))
+  }
+
+  test("migration aborts PRE-marker when the quarantine can't be set up; retry completes") {
+    // the failure contract for a refused filesystem move: throw BEFORE
+    // the _MIGRATED marker so nothing records a migration that didn't
+    // happen, and leave the store untouched for the next start() to
+    // retry. Forced here via the mkdirs guard (a plain FILE squatting on
+    // the quarantine path) — the rename guard shares the same contract
+    // but POSIX rename() overwrites, so it can't be forced determinis-
+    // tically on the local FS.
+    val tmp = java.nio.file.Files.createTempDirectory("cagg_abort").toString
+    try {
+      rows(Seq((0L, 1.0), (3600L, 2.0))).coalesce(1).write.parquet(s"$tmp/store")
+      assert(new java.io.File(s"$tmp/store/.legacy_migration").createNewFile())
+      rows(Seq((86400L, 5.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      // the local FS mkdirs THROWS FileAlreadyExistsException on a
+      // file-squatted path; an FS that instead returns false hits the
+      // migration's own IllegalStateException guard — both abort
+      // pre-marker, which is the contract under test
+      val ex = intercept[Exception] {
+        CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+          s"$tmp/cp", widthS = 3600)
+      }
+      assert(ex.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+          || ex.isInstanceOf[IllegalStateException],
+        s"unexpected abort exception: $ex")
+      // aborted pre-marker: flat files still at root, nothing half-moved
+      assert(new java.io.File(s"$tmp/store").listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+        "abort must leave the legacy flat files in place for retry")
+      assert(!new java.io.File(s"$tmp/store/.legacy_migration/_MIGRATED").exists())
+      // clear the obstruction: the retry migrates and streams normally
+      assert(new java.io.File(s"$tmp/store/.legacy_migration").delete())
+      CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+        s"$tmp/cp", widthS = 3600).awaitTermination()
+      assert(spark.read.parquet(s"$tmp/store").count() == 3)
+      assert(!new java.io.File(s"$tmp/store").listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")))
     } finally rmTree(new java.io.File(tmp))
   }
 }

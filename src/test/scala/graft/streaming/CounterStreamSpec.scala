@@ -65,10 +65,7 @@ class CounterStreamSpec extends AnyFunSuite {
       assert(got.exists { case (s, t, dv, r) =>
         s == "s1" && t == (T0 + 60) * 1000000L && dv == 0L && r })
     } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
+      graft.util.FsUtil.deleteRecursively(new java.io.File(tmp))
     }
   }
 }
