@@ -54,7 +54,17 @@ object CaggStream {
     val rootFiles = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (rootFiles.isEmpty && !fs.exists(quarantine)) return
-    if (fs.exists(marker)) { fs.delete(quarantine, true); return }
+    if (fs.exists(marker)) {
+      // a completed migration whose quarantine cleanup didn't happen —
+      // BUT only short-circuit when the root is clean: a rolled-back
+      // legacy writer can append NEW flat files after the marker was
+      // written, and honoring the stale marker then would leave the
+      // mixed root-parquet + date= layout in place for this run. The
+      // delete removes the marker with the quarantine, so the
+      // fall-through below re-quarantines the new files from scratch.
+      fs.delete(quarantine, true)
+      if (rootFiles.isEmpty) return
+    }
     if (rootFiles.nonEmpty) {
       if (!fs.mkdirs(quarantine))
         throw new IllegalStateException(s"cagg store migration: cannot create quarantine $quarantine")

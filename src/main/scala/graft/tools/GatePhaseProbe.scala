@@ -43,12 +43,7 @@ object GatePhaseProbe {
   private def withTempDir(prefix: String)(body: String => Unit): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     try body(tmp)
-    finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+    finally graft.util.FsUtil.deleteRecursively(new java.io.File(tmp))
   }
 
   def main(args: Array[String]): Unit = {

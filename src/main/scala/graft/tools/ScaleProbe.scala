@@ -734,8 +734,11 @@ object ScaleProbe {
   private def wsampleProbe(spark: SparkSession, docs: DataFrame,
                            ms: Seq[Int]): Unit = {
     import graft.operators.Sampling
+    // batch ids sit at 9e11, far above grow()'s copy id space
+    // (c·10⁷ + id — 9e8 would collide with copy c = 90), so the
+    // "fixed disjoint batch" premise holds for any sweep size
     val batch = docs.filter(col("doc_id") % 2 === 1)
-      .select((col("doc_id") + 900000000L).as("doc_id"), col("n_chars"))
+      .select((col("doc_id") + 900000000000L).as("doc_id"), col("n_chars"))
       .localCheckpoint(true)
     for (m <- ms) {
       val hist = grow(docs, m)

@@ -140,6 +140,39 @@ class CaggStreamSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(tmp))
   }
 
+  test("stale marker + newly-appended flat files: migration re-runs instead of honoring the marker") {
+    // a rolled-back legacy writer can append flat root files AFTER a
+    // completed migration whose quarantine cleanup was interrupted (the
+    // _MIGRATED marker still on disk) — the marker must not short-circuit
+    // past the new files, or the store keeps the mixed layout this
+    // migration exists to prevent
+    val tmp = java.nio.file.Files.createTempDirectory("cagg_stale").toString
+    try {
+      rows(Seq((0L, 1.0), (3600L, 2.0))).coalesce(1).write.parquet(s"$tmp/store")
+      rows(Seq((86400L, 5.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+        s"$tmp/cp", widthS = 3600).awaitTermination()
+      assert(spark.read.parquet(s"$tmp/store").count() == 3)
+      // interrupted cleanup leaves the marker; the rolled-back writer
+      // then appends a flat (unpartitioned) root file
+      assert(new java.io.File(s"$tmp/store/.legacy_migration").mkdirs())
+      assert(new java.io.File(s"$tmp/store/.legacy_migration/_MIGRATED").createNewFile())
+      rows(Seq((172800L, 7.0))).coalesce(1).write.mode("append").parquet(s"$tmp/store")
+      assert(new java.io.File(s"$tmp/store").listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+        "setup must leave a flat root file")
+      rows(Seq((176400L, 8.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+        s"$tmp/cp", widthS = 3600).awaitTermination()
+      assert(spark.read.parquet(s"$tmp/store").count() == 5,
+        "3 migrated + 1 re-migrated flat + 1 streamed rows expected")
+      assert(!new java.io.File(s"$tmp/store").listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+        "the post-marker flat file must be migrated into the date= layout")
+      assert(!new java.io.File(s"$tmp/store/.legacy_migration").exists())
+    } finally rmTree(new java.io.File(tmp))
+  }
+
   test("migration aborts PRE-marker when the quarantine can't be set up; retry completes") {
     // the failure contract for a refused filesystem move: throw BEFORE
     // the _MIGRATED marker so nothing records a migration that didn't
