@@ -40,12 +40,24 @@ object CaggStream {
     *    from quarantine without duplicates);
     *  3. write a `_MIGRATED` marker in the quarantine, then delete the
     *    quarantine (a crash after the marker ⇒ next start() just
-    *    cleans up; without it ⇒ next start() re-runs step 2).
-    * The remaining exposure is the instant between job commit and
-    * marker creation — closing it needs a transactional table format,
-    * which the parquet store deliberately is not.
+    *    cleans up — UNLESS new flat files have appeared at the root, in
+    *    which case the stale marker is discarded and the migration
+    *    re-runs from step 1 for those files; without the marker ⇒ next
+    *    start() re-runs step 2);
+    *  4. refresh the rollup for the dates the migration touched (the
+    *    migrated rows are historical, so no future batch's
+    *    dates-≥-min-date refresh may ever reach them — without this the
+    *    raw store would hold rows the rollup never serves).
+    * The remaining exposures: the instant between job commit and marker
+    * creation (closing it needs a transactional table format, which the
+    * parquet store deliberately is not); a crash between marker and
+    * step 4's refresh (rollup stale for the migrated dates until a
+    * refresh reaches them); and a legacy writer appending DURING this
+    * run, after the root listing — that run's first batch fails on the
+    * mixed layout and the next start() migrates the straggler.
     */
-  private def migrateLegacyFlatStore(spark: SparkSession, storePath: String): Unit = {
+  private def migrateLegacyFlatStore(spark: SparkSession, storePath: String,
+                                     aggPath: String, widthS: Long): Unit = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
@@ -62,8 +74,15 @@ object CaggStream {
       // mixed root-parquet + date= layout in place for this run. The
       // delete removes the marker with the quarantine, so the
       // fall-through below re-quarantines the new files from scratch.
-      fs.delete(quarantine, true)
-      if (rootFiles.isEmpty) return
+      val cleaned = fs.delete(quarantine, true)
+      if (rootFiles.isEmpty) return // failed delete harmless here: retried next start()
+      // falling through with a surviving quarantine would re-append its
+      // ALREADY-MIGRATED files alongside the new ones (step 2 reads the
+      // whole quarantine) — permanent duplicate rows; abort instead
+      if (!cleaned || fs.exists(quarantine))
+        throw new IllegalStateException(
+          s"cagg store migration: cannot clear stale quarantine $quarantine; " +
+            "store left as-is for retry")
     }
     if (rootFiles.nonEmpty) {
       if (!fs.mkdirs(quarantine))
@@ -82,12 +101,30 @@ object CaggStream {
     }
     val pending = fs.listStatus(quarantine)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (pending.nonEmpty)
-      spark.read.parquet(pending.map(_.getPath.toString).toSeq: _*)
+    val touchedDates = if (pending.isEmpty) Array.empty[java.sql.Date] else {
+      val migrated = spark.read.parquet(pending.map(_.getPath.toString).toSeq: _*)
         .withColumn("date", to_date(col("timestamp")))
-        .write.mode("append").partitionBy("date").parquet(storePath)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        migrated.write.mode("append").partitionBy("date").parquet(storePath)
+        // bounded by the legacy store's distinct DAYS, not its rows
+        migrated.select("date").distinct().collect().map(_.getDate(0))
+      } finally { migrated.unpersist(); () }
+    }
     fs.create(marker, true).close()
     fs.delete(quarantine, true)
+    // step 4: the migrated rows are historical, so foreachBatch's
+    // dates-≥-batch-min refresh may never reach their dates — refresh
+    // them here (post-marker: a crash before this leaves the rollup
+    // stale, never the raw store duplicated). Dynamic partition
+    // overwrite rewrites exactly the touched dates; recompute reads only
+    // those date directories (partition pruning on the isin filter).
+    if (touchedDates.nonEmpty) {
+      val md = touchedDates.min(Ordering.by((d: java.sql.Date) => d.toString)).toString
+      ContinuousAggregate.refresh(
+        spark.read.parquet(storePath).filter(col("date").isin(touchedDates.toSeq: _*)),
+        aggPath, widthS, md)
+    }
     ()
   }
 
@@ -95,7 +132,7 @@ object CaggStream {
             aggPath: String, checkpointDir: String, widthS: Long,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    migrateLegacyFlatStore(spark, storePath)
+    migrateLegacyFlatStore(spark, storePath, aggPath, widthS)
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))

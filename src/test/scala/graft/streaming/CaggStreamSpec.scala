@@ -161,7 +161,10 @@ class CaggStreamSpec extends AnyFunSuite {
       assert(new java.io.File(s"$tmp/store").listFiles()
         .exists(f => f.isFile && f.getName.endsWith(".parquet")),
         "setup must leave a flat root file")
-      rows(Seq((176400L, 8.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      // the streamed row lands a day AFTER the re-migrated one, so the
+      // batch's dates-≥-min refresh cannot reach the migrated date — only
+      // the migration's own step-4 refresh can serve it
+      rows(Seq((259200L, 8.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
       CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
         s"$tmp/cp", widthS = 3600).awaitTermination()
       assert(spark.read.parquet(s"$tmp/store").count() == 5,
@@ -170,6 +173,11 @@ class CaggStreamSpec extends AnyFunSuite {
         .exists(f => f.isFile && f.getName.endsWith(".parquet")),
         "the post-marker flat file must be migrated into the date= layout")
       assert(!new java.io.File(s"$tmp/store/.legacy_migration").exists())
+      val served = ContinuousAggregate.query(spark, s"$tmp/agg", "s1", "m",
+          T0 + 172800, T0 + 176400, widthS = 3600)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == Seq((T0 + 172800, 7.0)),
+        s"migration must refresh the rollup for the re-migrated date: $served")
     } finally rmTree(new java.io.File(tmp))
   }
 
