@@ -26,7 +26,11 @@ object Converters {
   private[graft] val mapper = new ObjectMapper()
 
   private def lastSegment(topic: String): String = {
-    val parts = topic.split("/")
+    // limit -1 keeps trailing empty segments, matching Python's
+    // topic.split('/')[-1]: a trailing-slash topic's last segment is ""
+    // (not in any allowlist), so the reference FILTERS it — Java's
+    // default split would drop the empty tail and wrongly convert
+    val parts = topic.split("/", -1)
     parts(parts.length - 1)
   }
 
@@ -69,14 +73,24 @@ object Converters {
         s"glow payload missing '$subject.timestamp'")
       val ts = normalizeTs(subjectNode.get("timestamp"))
       val ignore = GlowIgnoreKeys
+      // `energy.import` (and electricitymeter's `power`) are indexed
+      // unconditionally by the reference (glow.py:32,45 — KeyError →
+      // error path), so their ABSENCE must dead-letter too: flatten(null)
+      // returning empty would silently classify a malformed meter
+      // message as "validly filtered" and hide it from monitoring
+      val energyNode = subjectNode.get("energy")
+      require(energyNode != null && energyNode.get("import") != null,
+        s"glow payload missing '$subject.energy.import'")
       val imports = JsonFlatten.flatten(
-        subjectNode.get("energy").get("import"), ts, correlationId, publisher,
+        energyNode.get("import"), ts, correlationId, publisher,
         subject, ignore, Some("import"))
       val power =
-        if (subject == "electricitymeter")
+        if (subject == "electricitymeter") {
+          require(subjectNode.get("power") != null,
+            s"glow payload missing '$subject.power'")
           JsonFlatten.flatten(subjectNode.get("power"), ts, correlationId,
             publisher, subject, ignore, Some("power"))
-        else Vector.empty
+        } else Vector.empty
       imports ++ power
     }
   }

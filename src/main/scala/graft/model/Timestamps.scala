@@ -70,7 +70,21 @@ object Timestamps {
     }
   }
 
-  def format(dt: LocalDateTime): String = OutFmt.format(dt)
+  /** PG timestamptz parity for sub-µs fractions: the reference hands the
+    * raw string to PostgreSQL, whose parser ROUNDS the 7th+ fractional
+    * digit into microseconds via rint() (half-even) — `…28.1234567` →
+    * `.123457`, `…28.9999995` carries into the next second. Truncating
+    * here would store every such value 1 µs early vs the reference DB.
+    * Inputs already at ≤6 digits have nanos ≡ 0 (mod 1000), where rint
+    * is exact — nothing else changes.
+    */
+  def format(dt: LocalDateTime): String = {
+    val micros = Math.rint(dt.getNano / 1000.0).toLong
+    val rounded =
+      if (micros >= 1000000L) dt.withNano(0).plusSeconds(1)
+      else dt.withNano((micros * 1000L).toInt)
+    OutFmt.format(rounded)
+  }
 
   /** Parse a date string to its wall-clock fields (offset discarded, not
     * applied — see class doc). Throws on unparseable input.

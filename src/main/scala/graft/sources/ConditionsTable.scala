@@ -131,10 +131,25 @@ object ConditionsTable {
     * Rewrites only the date partitions with more than `maxFilesPerDate`
     * files — content-identical, re-clustered by [[write]]'s sort, ONE
     * file per rewritten date — into the same directory via a staged
-    * temp-dir swap (write staged → delete old files → move in), so
-    * untouched dates keep their files byte-identical and no reader ever
-    * sees a half-written partition directory disappear. Returns the
-    * number of compacted date partitions.
+    * swap (write staged → delete old files → rename in). The file set is
+    * SNAPSHOTTED before the read and only that exact set is deleted, so
+    * a micro-batch landing a new file mid-compaction is left untouched
+    * (it simply survives into the next compaction run). The staged dir
+    * lives inside the store root (dot-prefixed, invisible to partition
+    * discovery), so the move-in is a same-filesystem rename, never a
+    * copy. The swap is still not atomic: a reader listing the partition
+    * between the deletes and the renames sees the date incomplete for
+    * that instant — run compaction in the maintenance window if readers
+    * need strict point-in-time counts. Returns the number of compacted
+    * date partitions.
+    *
+    * NOT for stores managed by a Structured Streaming FILE SINK
+    * (`writeStream.format("parquet")`): those pin their exact file set
+    * in `_spark_metadata`, and log-based reads would throw on the
+    * deleted files and never see the compacted ones — guarded with a
+    * hard error. [[graft.streaming.IngestPipeline]]'s conditions sinks
+    * are foreachBatch writers (no metadata log), so their stores
+    * compact fine.
     *
     * Scale shape: the file census is listing metadata only; each
     * compacted date is one narrow read → sort → write of that date's
@@ -145,6 +160,11 @@ object ConditionsTable {
               maxDates: Int = Int.MaxValue): Int = {
     require(maxFilesPerDate > 0, "maxFilesPerDate must be positive")
     val root = new java.io.File(path)
+    require(!new java.io.File(root, "_spark_metadata").exists(),
+      s"$path is managed by a Structured Streaming file sink: its " +
+        "_spark_metadata log pins the exact file set, so compaction would " +
+        "break log-based reads — compact a foreachBatch-written store, or " +
+        "rewrite the table through a batch job instead")
     val dateDirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("date="))
     def parquets(d: java.io.File) =
@@ -153,20 +173,23 @@ object ConditionsTable {
     val targets = dateDirs.filter(d => parquets(d).length > maxFilesPerDate)
       .sortBy(_.getName).take(maxDates)
     targets.foreach { d =>
-      val staged = java.nio.file.Files
-        .createTempDirectory(s"graft_compact_${d.getName}").toString
-      spark.read.parquet(d.getAbsolutePath)
+      // snapshot ONCE: read exactly these files, delete exactly these
+      // files — a concurrent append between the two is neither lost nor
+      // double-counted, it just stays uncompacted until the next run
+      val before = parquets(d)
+      val staged = new java.io.File(root, s".compact_${d.getName}")
+      spark.read.parquet(before.map(_.getAbsolutePath).toSeq: _*)
         .coalesce(1)
         .sortWithinPartitions("measurement_of", "measurement_subject", "timestamp")
-        .write.mode("overwrite").parquet(staged)
-      val newFiles = new java.io.File(staged).listFiles()
+        .write.mode("overwrite").parquet(staged.getAbsolutePath)
+      val newFiles = staged.listFiles()
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      parquets(d).foreach(_.delete())
+      before.foreach(_.delete())
       newFiles.zipWithIndex.foreach { case (f, i) =>
         java.nio.file.Files.move(f.toPath,
           new java.io.File(d, f"compacted-$i%05d.parquet").toPath)
       }
-      deleteDir(new java.io.File(staged))
+      deleteDir(staged)
     }
     targets.length
   }
@@ -182,6 +205,13 @@ object ConditionsTable {
     require(cutoffDate.matches("""\d{4}-\d{2}-\d{2}"""),
       s"cutoffDate must be yyyy-MM-dd, got $cutoffDate")
     val root = new java.io.File(path)
+    // same contract as [[compact]]: a file-sink-managed store pins its
+    // file set in _spark_metadata — dropping partitions under the log
+    // leaves dangling entries that break log-based reads
+    require(!new java.io.File(root, "_spark_metadata").exists(),
+      s"$path is managed by a Structured Streaming file sink " +
+        "(_spark_metadata present); dropping partitions would break " +
+        "log-based reads")
     val dropped = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("date=") &&
         d.getName.stripPrefix("date=") < cutoffDate)
@@ -190,10 +220,6 @@ object ConditionsTable {
     dropped.map(_.getName).toSeq
   }
 
-  private def deleteDir(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteDir)
-    f.delete()
-    ()
-  }
+  private def deleteDir(f: java.io.File): Unit =
+    graft.util.FsUtil.deleteRecursively(f)
 }

@@ -28,6 +28,78 @@ import org.apache.spark.sql.functions._
   */
 object ContinuousAggregate {
 
+  /** The one bucket grid of the whole rollup family. Stored buckets AND
+    * serve-time re-bucketing anchor at
+    * [[graft.queries.TimeseriesQueries.BucketOriginS]] (2000-01-03, the
+    * TimescaleDB `time_bucket` origin that makes weeks start Monday) —
+    * the SAME grid the B-functions bucket raw rows on. The grids
+    * coincide with plain epoch flooring for any width that divides the
+    * origin (hour, day — all the oracle-gated widths), but a weekly
+    * serve on an epoch-0 grid would split weeks on Thursday while
+    * `aggregatedDataByInterval(604800)` splits them on Monday; a rollup
+    * claiming to serve the B2 shape must share B2's grid at EVERY width.
+    */
+  private[sources] val OriginS: Long = graft.queries.TimeseriesQueries.BucketOriginS
+
+  /** `time_bucket(widthS, timestamp)` on the origin grid (µs-exact). */
+  private[sources] def bucketOfTimestamp(widthS: Long): org.apache.spark.sql.Column = {
+    val wUs = widthS * 1000000L
+    val oUs = OriginS * 1000000L
+    expr(s"(((unix_micros(timestamp) - ${oUs}L) - " +
+      s"pmod(unix_micros(timestamp) - ${oUs}L, ${wUs}L)) div ${wUs}L) " +
+      s"* ${widthS}L + ${OriginS}L")
+  }
+
+  /** The coarser serve bucket of a stored `bucket_s`, same grid. */
+  private[sources] def serveBucketOf(widthS: Long): org.apache.spark.sql.Column =
+    expr(s"(((bucket_s - ${OriginS}L) - pmod(bucket_s - ${OriginS}L, ${widthS}L)) " +
+      s"div ${widthS}L) * ${widthS}L + ${OriginS}L")
+
+  /** The stored bucket width travels WITH the store (a `_graft_width`
+    * sidecar, underscore-prefixed so Spark's file listing ignores it):
+    * the non-realtime serves take no `storedWidthS` parameter, so
+    * without it a serve at a width that is NOT a multiple of the stored
+    * width would silently assign whole stored buckets to the wrong
+    * serve bucket — plausible-looking, wrong numbers. With the sidecar
+    * every serve and refresh validates; stores written before the
+    * sidecar existed skip the check (None).
+    */
+  private def widthSidecar(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_width")
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private[sources] def writeWidthSidecar(spark: SparkSession, path: String,
+                                         widthS: Long): Unit = {
+    val (p, fs) = widthSidecar(spark, path)
+    val out = fs.create(p, true)
+    try out.write(widthS.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[sources] def storedWidthOf(spark: SparkSession,
+                                     path: String): Option[Long] = {
+    val (p, fs) = widthSidecar(spark, path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try Some(src.mkString.trim.toLong) finally { src.close(); in.close() }
+    }
+  }
+
+  private def requireServableWidth(spark: SparkSession, path: String,
+                                   widthS: Long): Unit =
+    storedWidthOf(spark, path).foreach(w0 => require(widthS % w0 == 0,
+      s"serve width $widthS is not a multiple of the stored width $w0 " +
+        s"(recorded in $path/_graft_width)"))
+
+  private def requireRefreshWidth(spark: SparkSession, path: String,
+                                  widthS: Long): Unit =
+    storedWidthOf(spark, path).foreach(w0 => require(w0 == widthS,
+      s"refresh width $widthS does not match the store's width $w0 " +
+        s"(recorded in $path/_graft_width) — a mismatched refresh would " +
+        "corrupt the rollup"))
+
   /** Full build: materialize the per-(date, subject, of, bucket) partial
     * rollup of `conditions` at `widthS` bucket width.
     */
@@ -37,6 +109,7 @@ object ContinuousAggregate {
     rollup(conditions, widthS, scale)
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(path)
+    writeWidthSidecar(conditions.sparkSession, path, widthS)
   }
 
   /** Incremental refresh: recompute ONLY dates ≥ `sinceDate` (ISO
@@ -50,6 +123,7 @@ object ContinuousAggregate {
     require(sinceDate.matches("""\d{4}-\d{2}-\d{2}"""),
       s"sinceDate must be yyyy-MM-dd, got $sinceDate")
     val spark = conditions.sparkSession
+    requireRefreshWidth(spark, path, widthS)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try rollup(conditions.filter(to_date(col("timestamp")) >= lit(sinceDate)),
@@ -60,6 +134,9 @@ object ContinuousAggregate {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // refresh-maintained stores (e.g. CaggStream's rollup, never
+    // create()d) get the sidecar on their first refresh
+    writeWidthSidecar(spark, path, widthS)
   }
 
   /** Serve the B2-shaped dashboard answer (bucketed AVG for one subject
@@ -77,17 +154,19 @@ object ContinuousAggregate {
     * `endS`'s bucket — the classic materialized-rollup boundary trap).
     */
   def query(spark: SparkSession, path: String, subject: String, of: String,
-            startS: Long, endS: Long, widthS: Long): DataFrame =
+            startS: Long, endS: Long, widthS: Long,
+            scale: Int = 100): DataFrame = {
+    requireServableWidth(spark, path, widthS)
     spark.read.parquet(path)
       .filter(col("measurement_subject") === subject &&
         col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
-      .withColumn("time_s",
-        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .withColumn("time_s", serveBucketOf(widthS))
       .groupBy("time_s")
-      .agg(round(sum(col("sum_scaled")) / (sum(col("n_events")) * lit(100.0)), 6)
+      .agg(round(sum(col("sum_scaled")) / (sum(col("n_events")) * lit(scale * 1.0)), 6)
         .as("avg_measurement_number"))
       .orderBy("time_s")
+  }
 
   /** REAL-TIME serving (TimescaleDB real-time aggregate semantics):
     * materialized buckets UNION the raw tail past the refresh horizon.
@@ -147,7 +226,7 @@ object ContinuousAggregate {
       .select(col("bucket_s"), col("sum_scaled"), col("n_events"))
     stored.unionByName(tail)
       .withColumn("time_s",
-        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+        serveBucketOf(widthS))
       .groupBy("time_s")
       .agg(round(sum(col("sum_scaled")) / (sum(col("n_events")) * lit(scale * 1.0)), 6)
         .as("avg_measurement_number"))
@@ -196,17 +275,16 @@ object ContinuousAggregate {
     */
   def createDistinct(conditions: DataFrame, path: String, widthS: Long): Unit = {
     require(widthS > 0, "widthS must be positive")
-    val wUs = widthS * 1000000L
     conditions
       .select(col("measurement_of"), col("measurement_subject"), col("timestamp"))
-      .withColumn("bucket_s",
-        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+      .withColumn("bucket_s", bucketOfTimestamp(widthS))
       .withColumn("date", to_date(col("timestamp")))
       .groupBy("date", "measurement_of", "bucket_s")
       .agg(sort_array(collect_set(col("measurement_subject"))).as("subjects"),
         hll_sketch_agg(col("measurement_subject")).as("hll"))
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(path)
+    writeWidthSidecar(conditions.sparkSession, path, widthS)
   }
 
   /** Serve distinct-subject counts per coarse bucket from the EXACT tier:
@@ -215,16 +293,17 @@ object ContinuousAggregate {
     * (see [[query]]).
     */
   def queryDistinct(spark: SparkSession, path: String, of: String,
-                    startS: Long, endS: Long, widthS: Long): DataFrame =
+                    startS: Long, endS: Long, widthS: Long): DataFrame = {
+    requireServableWidth(spark, path, widthS)
     spark.read.parquet(path)
       .filter(col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
-      .withColumn("time_s",
-        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .withColumn("time_s", serveBucketOf(widthS))
       .select(col("time_s"), explode(col("subjects")).as("subject"))
       .groupBy("time_s")
       .agg(count_distinct(col("subject")).as("n_subjects"))
       .orderBy("time_s")
+  }
 
   /** Serve the same answer from the HLL tier: sketches merge with
     * `hll_union_agg` — constant bytes per stored bucket no matter how
@@ -234,15 +313,16 @@ object ContinuousAggregate {
     * (lgConfigK=12 default) beyond; the exact tier stays the contract.
     */
   def queryDistinctApprox(spark: SparkSession, path: String, of: String,
-                          startS: Long, endS: Long, widthS: Long): DataFrame =
+                          startS: Long, endS: Long, widthS: Long): DataFrame = {
+    requireServableWidth(spark, path, widthS)
     spark.read.parquet(path)
       .filter(col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
-      .withColumn("time_s",
-        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .withColumn("time_s", serveBucketOf(widthS))
       .groupBy("time_s")
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_subjects"))
       .orderBy("time_s")
+  }
 
   /** [[queryDistinctRealtime]] on the HLL tier: stored sketches below
     * the watermark union per-bucket sketches BUILT FROM the raw tail
@@ -262,19 +342,18 @@ object ContinuousAggregate {
     val roll = readRollup(spark, path)
     val wm = rollupWatermarkS(roll, storedWidthS, startS)
     val serveBucket =
-      expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L")
+      serveBucketOf(widthS)
     val stored = roll.map(_
         .filter(col("measurement_of") === of &&
           col("bucket_s") >= startS && col("bucket_s") < endS &&
           col("bucket_s") < wm)
         .select(serveBucket.as("time_s"), col("hll")))
-    val wUs = storedWidthS * 1000000L
     val tail = raw
       .filter(col("measurement_of") === of &&
         col("timestamp") >= timestamp_seconds(lit(math.max(wm, startS))) &&
         col("timestamp") < timestamp_seconds(lit(endS)))
       .withColumn("bucket_s",
-        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${storedWidthS}L"))
+        bucketOfTimestamp(storedWidthS))
       .filter(col("bucket_s") >= startS && col("bucket_s") < endS)
       .groupBy(serveBucket.as("time_s"))
       .agg(hll_sketch_agg(col("measurement_subject")).as("hll"))
@@ -298,7 +377,7 @@ object ContinuousAggregate {
     val roll = readRollup(spark, path)
     val wm = rollupWatermarkS(roll, storedWidthS, startS)
     val serveBucket =
-      expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L")
+      serveBucketOf(widthS)
     val stored = roll.getOrElse(
         spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Seq[String])])
           .toDF("bucket_s", "subjects"))
@@ -306,13 +385,12 @@ object ContinuousAggregate {
         col("bucket_s") < wm &&
         (if (roll.isDefined) col("measurement_of") === of else lit(false)))
       .select(serveBucket.as("time_s"), explode(col("subjects")).as("subject"))
-    val wUs = storedWidthS * 1000000L
     val tail = raw
       .filter(col("measurement_of") === of &&
         col("timestamp") >= timestamp_seconds(lit(math.max(wm, startS))) &&
         col("timestamp") < timestamp_seconds(lit(endS)))
       .withColumn("bucket_s",
-        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${storedWidthS}L"))
+        bucketOfTimestamp(storedWidthS))
       .filter(col("bucket_s") >= startS && col("bucket_s") < endS)
       .select(serveBucket.as("time_s"), col("measurement_subject").as("subject"))
     stored.unionByName(tail)
@@ -347,6 +425,7 @@ object ContinuousAggregate {
     statsRollup(conditions, widthS, scale)
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(path)
+    writeWidthSidecar(conditions.sparkSession, path, widthS)
   }
 
   /** Incremental refresh of a [[createStats]] store: same dynamic
@@ -358,6 +437,7 @@ object ContinuousAggregate {
     require(sinceDate.matches("""\d{4}-\d{2}-\d{2}"""),
       s"sinceDate must be yyyy-MM-dd, got $sinceDate")
     val spark = conditions.sparkSession
+    requireRefreshWidth(spark, path, widthS)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try statsRollup(conditions.filter(to_date(col("timestamp")) >= lit(sinceDate)),
@@ -368,18 +448,18 @@ object ContinuousAggregate {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    writeWidthSidecar(spark, path, widthS)
   }
 
   private def statsRollup(conditions: DataFrame, widthS: Long,
                           scale: Int): DataFrame = {
-    val wUs = widthS * 1000000L
     conditions
       .filter(col("measurement_number").isNotNull)
       .select(col("measurement_subject"), col("measurement_of"),
         col("timestamp"),
         round(col("measurement_number") * scale, 0).cast("long").as("y"))
       .withColumn("bucket_s",
-        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+        bucketOfTimestamp(widthS))
       .withColumn("x", col("timestamp").cast("long") - col("bucket_s"))
       .withColumn("date", to_date(col("timestamp")))
       .groupBy("date", "measurement_subject", "measurement_of", "bucket_s")
@@ -398,12 +478,13 @@ object ContinuousAggregate {
     */
   def queryStats(spark: SparkSession, path: String, subject: String,
                  of: String, startS: Long, endS: Long, widthS: Long): DataFrame = {
+    requireServableWidth(spark, path, widthS)
     val shifted = spark.read.parquet(path)
       .filter(col("measurement_subject") === subject &&
         col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
       .withColumn("time_s",
-        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+        serveBucketOf(widthS))
       .withColumn("d", col("bucket_s") - col("time_s"))
       .select(col("time_s"), col("n"),
         (col("sx") + col("n") * col("d")).as("sx"),
@@ -453,7 +534,7 @@ object ContinuousAggregate {
       .select("bucket_s", "n", "sx", "sy", "sxx", "syy", "sxy")
     val shifted = stored.unionByName(tail)
       .withColumn("time_s",
-        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+        serveBucketOf(widthS))
       .withColumn("d", col("bucket_s") - col("time_s"))
       .select(col("time_s"), col("n"),
         (col("sx") + col("n") * col("d")).as("sx"),
@@ -469,14 +550,13 @@ object ContinuousAggregate {
   }
 
   private def rollup(conditions: DataFrame, widthS: Long, scale: Int): DataFrame = {
-    val wUs = widthS * 1000000L
     conditions
       .filter(col("measurement_number").isNotNull)
       .select(col("measurement_subject"), col("measurement_of"),
         col("timestamp"),
         round(col("measurement_number") * scale, 0).cast("long").as("c"))
       .withColumn("bucket_s",
-        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+        bucketOfTimestamp(widthS))
       .withColumn("date", to_date(col("timestamp")))
       .groupBy("date", "measurement_subject", "measurement_of", "bucket_s")
       .agg(sum("c").as("sum_scaled"), count(lit(1)).as("n_events"))

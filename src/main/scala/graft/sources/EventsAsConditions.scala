@@ -33,8 +33,19 @@ object EventsAsConditions {
     *  - TimestampType  : UTC-adjusted µs — pass through.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"), "ts")
+    val path = s"$sfDir/events.parquet"
+    // TIMESTAMP(NANOS) has no Spark type; the session-wide legacy flag is
+    // the only switch, and it must REMAIN set through execution of the
+    // returned (lazy) frame — executors re-convert the footer schema — so
+    // it cannot be save/restored around the read. Set it only when this
+    // file actually needs it, instead of unconditionally mutating every
+    // caller's session.
+    val df = try spark.read.parquet(path) catch {
+      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+    normalizeTs(df, "ts")
   }
 
   /** Normalize a parquet timestamp column of any physical shape

@@ -45,7 +45,6 @@ object PercentileSketch {
                widthS: Long, subBits: Int, scale: Int = 100): DataFrame = {
     require(widthS > 0 && scale > 0, "widthS and scale must be positive")
     require(subBits >= 1 && subBits <= 40, s"subBits out of range: $subBits")
-    val wUs = widthS * 1000000L
     conditions.filter(
         col("measurement_of") === of &&
         col("measurement_number").isNotNull &&
@@ -54,8 +53,8 @@ object PercentileSketch {
         col("timestamp") < timestamp_seconds(lit(endS)))
       .select(col("timestamp"),
         round(col("measurement_number") * scale, 0).cast("long").as("c"))
-      .withColumn("bucket_s",
-        expr(s"((unix_micros(timestamp) - pmod(unix_micros(timestamp), ${wUs}L)) div ${wUs}L) * ${widthS}L"))
+      // the shared origin-anchored grid (see ContinuousAggregate.OriginS)
+      .withColumn("bucket_s", ContinuousAggregate.bucketOfTimestamp(widthS))
       .withColumn("date", to_date(col("timestamp")))
       .withColumn("bl", length(bin(col("c"))).cast("int"))
       .withColumn("sub", expr(s"shiftright(c, greatest(bl - $subBits, 0))"))

@@ -94,6 +94,31 @@ class GoldenCorpusSpec extends AnyFunSuite {
     assert(Converters.convertEvent(event).isEmpty) // dropped, pipeline survives
   }
 
+  test("glow with energy but no energy.import → dead letter (KeyError parity), not silent filter") {
+    // glow.py:32 indexes payload[subject]["energy"]["import"] — a missing
+    // 'import' KeyErrors down the error path; flatten(null) returning
+    // empty would hide the malformed meter message from monitoring
+    val gasEvent =
+      """{"topic":"glow/x/SENSOR/gasmeter","payload":"{\"gasmeter\": {\"timestamp\": \"2022-12-26T14:02:28Z\", \"energy\": {}}}"}"""
+    val e1 = Converters.convertEventEither(gasEvent)
+    assert(e1.isLeft)
+    assert(e1.swap.toOption.get.getMessage.contains("energy.import"))
+    // electricitymeter additionally indexes [subject]["power"] (glow.py:45)
+    val noPower =
+      """{"topic":"glow/x/SENSOR/electricitymeter","payload":"{\"electricitymeter\": {\"timestamp\": \"2022-12-26T14:02:28Z\", \"energy\": {\"import\": {\"cumulative\": 1.0}}}}"}"""
+    val e2 = Converters.convertEventEither(noPower)
+    assert(e2.isLeft)
+    assert(e2.swap.toOption.get.getMessage.contains("power"))
+  }
+
+  test("trailing-slash topic: empty last segment is filtered (Python split parity)") {
+    // Python topic.split('/')[-1] on "glow/electricitymeter/" is "" →
+    // not in the allowlist → filtered; Java's default split drops the
+    // empty tail and would wrongly convert
+    assert(Converters.topicOfInterest("glow/electricitymeter/",
+      Set("electricitymeter", "gasmeter")).isEmpty)
+  }
+
   test("v1 array envelope: array of envelopes converts to concatenated records") {
     val homieEvt =
       """{"topic": "homie/hubitat/hub/mode", "payload": "Home", "timestamp": 1672174513.6086972}"""

@@ -30,6 +30,19 @@ class TimestampsSpec extends AnyFunSuite {
     assert(Timestamps.fromString("2022-12-26T14:02:28+05:00") == "2022-12-26T14:02:28.000000Z")
   }
 
+  test("7+ fractional digits round like PostgreSQL rint (half-even), never truncate") {
+    // the reference hands the raw string to PG timestamptz, whose parser
+    // rint()s the sub-µs fraction — truncation would store 1 µs early
+    assert(Timestamps.fromStringUtc("2022-12-26T14:02:28.1234567Z")
+      == "2022-12-26T14:02:28.123457Z")
+    assert(Timestamps.fromStringUtc("2022-12-26T14:02:28.1234565Z")
+      == "2022-12-26T14:02:28.123456Z") // half-even: .5 to the even µs
+    assert(Timestamps.fromStringUtc("2022-12-26T14:02:28.1234575Z")
+      == "2022-12-26T14:02:28.123458Z")
+    assert(Timestamps.fromStringUtc("2022-12-26T14:02:59.9999995Z")
+      == "2022-12-26T14:03:00.000000Z") // carries into the next second
+  }
+
   test("epoch range check") {
     intercept[IllegalArgumentException](Timestamps.fromEpochSeconds(-1.0))
     intercept[IllegalArgumentException](Timestamps.fromEpochSeconds(253402300800.0))

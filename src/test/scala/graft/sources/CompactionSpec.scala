@@ -71,4 +71,16 @@ class CompactionSpec extends AnyFunSuite {
     assert(ConditionsTable.compact(spark, path, maxFilesPerDate = 2) == 2) // the rest
     assert(ConditionsTable.compact(spark, path, maxFilesPerDate = 2) == 0) // idempotent
   }
+
+  test("file-sink-managed stores (_spark_metadata) refuse compaction and retention") {
+    // a Structured Streaming file sink pins its exact file set in the
+    // metadata log; mutating files underneath it breaks log-based reads
+    val path = fragmentedStore()
+    assert(new java.io.File(path, "_spark_metadata").mkdir())
+    val ex = intercept[IllegalArgumentException](ConditionsTable.compact(spark, path))
+    assert(ex.getMessage.contains("_spark_metadata"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](
+      ConditionsTable.dropPartitionsOlderThan(path, "2024-01-04"))
+    assert(ex2.getMessage.contains("_spark_metadata"), ex2.getMessage)
+  }
 }

@@ -164,6 +164,65 @@ class ContinuousAggregateSpec extends AnyFunSuite {
     assert(snap(incPath) == snap(fullPath))
   }
 
+  test("weekly serve shares the B2 time_bucket grid (origin-anchored, weeks start Monday)") {
+    // 604800 does NOT divide the Timescale origin offset, so an epoch-0
+    // grid would split weeks on Thursday while aggregatedDataByInterval
+    // splits them on Monday — the rollup serve must share B2's grid
+    val c = conditions(10)
+    val path = tmp("cagg_weekly")
+    ContinuousAggregate.create(c, path, widthS = 3600)
+    val served = ContinuousAggregate.query(spark, path, "s0", "m",
+        T0, T0 + 10 * 86400L, widthS = 604800)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = c
+      .filter(col("measurement_subject") === "s0" && col("measurement_of") === "m")
+      .groupBy(graft.queries.TimeseriesQueries
+        .timeBucketS(604800, col("timestamp")).as("time_s"))
+      .agg(round(sum(expr("cast(round(measurement_number * 100, 0) as bigint)"))
+        / (count(lit(1)) * 100.0), 6).as("avg"))
+      .orderBy("time_s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == direct)
+    assert(served.size >= 2, "window must straddle a weekly boundary")
+    served.foreach { case (t, _) =>
+      assert((t - graft.queries.TimeseriesQueries.BucketOriginS) % 604800 == 0,
+        s"bucket $t is not on the origin grid") }
+  }
+
+  test("serve and refresh widths validate against the store's recorded width") {
+    val c = conditions(2)
+    val path = tmp("cagg_width")
+    ContinuousAggregate.create(c, path, widthS = 3600)
+    val ex = intercept[IllegalArgumentException](
+      ContinuousAggregate.query(spark, path, "s0", "m",
+        T0, T0 + 86400L, widthS = 5000).collect())
+    assert(ex.getMessage.contains("not a multiple"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](
+      ContinuousAggregate.refresh(c, path, widthS = 7200, sinceDate = "2024-01-03"))
+    assert(ex2.getMessage.contains("does not match"), ex2.getMessage)
+    // matching widths pass (and a multiple serves)
+    ContinuousAggregate.refresh(c, path, widthS = 3600, sinceDate = "2024-01-03")
+    assert(ContinuousAggregate.query(spark, path, "s0", "m",
+      T0, T0 + 86400L, widthS = 7200).count() > 0)
+  }
+
+  test("non-default scale round-trips: values below the cent quantum survive scale=1000") {
+    import spark.implicits._
+    val c = Seq(
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(T0)),
+        "s1", "m", Option(0.001), Option.empty[String]),
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(T0 + 60)),
+        "s1", "m", Option(0.002), Option.empty[String]))
+      .toDF("timestamp", "measurement_subject", "measurement_of",
+        "measurement_number", "measurement_string")
+    val path = tmp("cagg_scale")
+    ContinuousAggregate.create(c, path, widthS = 3600, scale = 1000)
+    val served = ContinuousAggregate.query(spark, path, "s1", "m",
+        T0, T0 + 3600, widthS = 3600, scale = 1000)
+      .head().getDouble(1)
+    assert(served == 0.0015, s"scale=1000 store must serve 3-dp values: $served")
+  }
+
   test("retention drops exactly the partitions older than the cutoff") {
     val store = java.nio.file.Files.createTempDirectory("retention").toString
     ConditionsTable.write(conditions(4).drop("measurement_string")
