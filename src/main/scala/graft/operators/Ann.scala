@@ -621,9 +621,15 @@ object Ann {
       case d: java.lang.Double => d.doubleValue()
       case _ => 0.0 // empty corpus is rejected above; defensive only
     }
+    // nlist vs nlistRequested: graft.nlist is the EFFECTIVE list count
+    // (shrunk when the corpus was smaller than the request) and is what
+    // probes validate against; nlistRequested preserves the caller's
+    // intent so a drift rebuild over a now-larger corpus can train the
+    // full requested count instead of pinning the seed-time shrinkage
     spark.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
-        s"'graft.nlist' = '$effNlist', 'graft.meanDist' = '$refDist')")
+        s"'graft.nlist' = '$effNlist', 'graft.nlistRequested' = '$nlist', " +
+        s"'graft.meanDist' = '$refDist')")
   }
 
   /** Append NEW vectors to a persisted [[writeIvfIndex]] table WITHOUT
@@ -725,6 +731,11 @@ object Ann {
     val bc = spark.sparkContext.broadcast(centroids)
     val probeUdf = udf { (v: Seq[Float]) =>
       val va = v.toArray
+      // same per-row guard as appendToIvfIndex: a wrong-dimension batch
+      // would otherwise probe near-arbitrary lists (prefix distances)
+      // and emit prefix cosines over full stored norms — silently wrong
+      require(va.length == bc.value.head.length,
+        s"batch embedding dimension ${va.length} != index dimension ${bc.value.head.length}")
       bc.value.indices.sortBy { c =>
         val cv = bc.value(c)
         var d = 0.0
@@ -749,10 +760,13 @@ object Ann {
     // checkpoint): the probed-list collect just below materializes it,
     // and the kernel join re-reads it from cache, so the centroid
     // assignment UDF runs exactly ONCE per batch (SinglePassSpec pins
-    // this). Footprint is the packed batch ×nProbe — batch-proportional;
-    // evictable under pressure (recomputed from lineage, still correct).
-    // Long-running sessions appending many batches should unpersist via
-    // spark.catalog.clearCache() between batches.
+    // this). MEMORY_ONLY on purpose: the daily-batch maintenance loop
+    // this API exists for calls it once per batch, and a
+    // MEMORY_AND_DISK cache would accumulate one disk-backed packed
+    // batch per call for the session lifetime — memory-only blocks are
+    // LRU-EVICTED under pressure instead (recomputed from lineage,
+    // still correct), so the cross-call footprint is bounded by the
+    // storage pool, not the session age.
     val newPacked = newListed
       .as[(Long, Array[Float], Double, Int)]
       .groupByKey(r => (r._4, (((r._1 % B) + B) % B).toInt))
@@ -761,7 +775,7 @@ object Ann {
         (key._1, arr.map(_._1), arr.map(_._2), arr.map(_._3))
       }
       .toDF("probe", "ids_n", "vecs_n", "nrms_n")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // collected distinct probe ids (≤ nlist, driver-bounded) turn the
     // list restriction into a STATIC partition filter on the index scan;
     // this action fills the cache the kernel join reads
@@ -776,7 +790,7 @@ object Ann {
         (key._1, arr.map(_._1), arr.map(_._2), arr.map(_._3))
       }
       .toDF("ivf_list", "ids_i", "vecs_i", "nrms_i")
-    newPacked.join(idxPacked, col("probe") === col("ivf_list"))
+    val result = newPacked.join(idxPacked, col("probe") === col("ivf_list"))
       .select("ids_n", "vecs_n", "nrms_n", "ids_i", "vecs_i", "nrms_i")
       .as[(Array[Long], Array[Array[Float]], Array[Double],
            Array[Long], Array[Array[Float]], Array[Double])]
@@ -797,6 +811,7 @@ object Ann {
       .toDF("id_new", "id_index", "cos")
       .select(col("id_new"), col("id_index"), round(col("cos"), 6).as("cos"))
       .orderBy("id_new", "id_index")
+    result
   }
 
   /** Centroid-drift metric for a persisted IVF index: (reference, current,
@@ -819,7 +834,16 @@ object Ann {
     val cur =
       if (props.get("graft.sq8").contains("true")) meanAssignedDistSq8(spark, tableName)
       else meanAssignedDist(spark, tableName)
-    (ref, cur, if (ref > 0) cur / ref else 1.0)
+    // ref = 0 means the write-time assignment was PERFECT (e.g. a seed
+    // corpus with ≤ nlist distinct patterns) — any later nonzero live
+    // mean is then infinite relative drift, not "no drift": returning 1.0
+    // here would mask rot forever and the maintain policies would never
+    // rebuild such an index
+    val ratio =
+      if (ref > 0) cur / ref
+      else if (cur > 0) Double.PositiveInfinity
+      else 1.0
+    (ref, cur, ratio)
   }
 
   /** The maintenance POLICY the drift metric exists for: append the
@@ -834,13 +858,17 @@ object Ann {
     * bounded amortized cost — rebuilds trigger at a drift level, not a
     * cadence, so a stationary corpus never pays one.
     *
-    * The rebuild snapshots (vec_id, embedding) via an EAGER
-    * localCheckpoint first: [[writeIvfIndex]] overwrites the very table
-    * the snapshot reads, so the lineage must be cut before the drop —
-    * the one place in this file where eager materialization is the
-    * point, not a surprise. Rebuilding retrains on the FULL current
-    * corpus (same `sampleSize` bound), so afterwards drift = 1 by
-    * construction and probe results equal a from-scratch index.
+    * The rebuild writes the replacement under a TMP table name while the
+    * live index stays intact, then swaps with a metadata drop + rename:
+    * the previous shape snapshotted the corpus to executor-memory blocks
+    * (localCheckpoint) and overwrote the ONLY copy — an executor lost
+    * mid-rewrite destroyed the index unrecoverably. Now a failed build
+    * leaves the live index untouched; the only crash window is the
+    * drop→rename metadata swap AFTER the replacement is fully
+    * materialized (recovery: rename the `*_rebuild_tmp` tables by hand).
+    * Rebuilding retrains on the FULL current corpus (same `sampleSize`
+    * bound) at the originally REQUESTED nlist, so afterwards drift = 1
+    * by construction and probe results equal a from-scratch index.
     */
   def maintainIvfIndex(newVecs: DataFrame, tableName: String,
                        driftThreshold: Double = 1.3,
@@ -852,13 +880,45 @@ object Ann {
     if (ratio > driftThreshold) {
       val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
-      val nlist = props("graft.nlist").toInt
-      val snapshot = spark.table(tableName)
-        .select(col("vec_id"), col("embedding"))
-        .localCheckpoint(true)
-      writeIvfIndex(snapshot, tableName, nlist, sampleSize)
+      // pre-nlistRequested tables fall back to the effective count
+      val nlist = props.getOrElse("graft.nlistRequested", props("graft.nlist")).toInt
+      val tmp = s"${tableName}_rebuild_tmp"
+      writeIvfIndex(spark.table(tableName).select(col("vec_id"), col("embedding")),
+        tmp, nlist, sampleSize)
+      promoteIvfTmp(spark, tmp, tableName)
       (ratio, true)
     } else (ratio, false)
+  }
+
+  /** Phase 2 of a crash-safe index rebuild: copy a fully-built `tmp`
+    * index (rows + centroids + `graft.*` properties) over the live name
+    * FROM the tmp table's parquet files. Disk-backed — an executor lost
+    * during the copy is a plain task retry, unlike the previous
+    * localCheckpoint-snapshot shape whose executor-memory blocks were
+    * unrecomputable once the live table had been dropped (one lost
+    * executor mid-rewrite destroyed the index permanently). The crash
+    * window is only after the drop, when the tmp table still holds the
+    * full content (recovery: re-run the copy by hand). An ALTER TABLE
+    * RENAME swap would avoid the second write, but does not reliably
+    * carry partitioned managed-table data in the in-memory catalog.
+    */
+  private def promoteIvfTmp(spark: org.apache.spark.sql.SparkSession,
+                            tmp: String, tableName: String): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tmp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .filter { case (k, _) => k.startsWith("graft.") }
+    val rows = spark.table(tmp)
+    val cents = spark.table(s"${tmp}_centroids")
+    Dedup.dropManaged(spark, tableName)
+    Dedup.dropManaged(spark, s"${tableName}_centroids")
+    rows.repartition(col("ivf_list"))
+      .write.format("parquet").partitionBy("ivf_list")
+      .mode("overwrite").saveAsTable(tableName)
+    cents.write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
+    val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES($kv)")
+    Dedup.dropManaged(spark, tmp)
+    Dedup.dropManaged(spark, s"${tmp}_centroids")
   }
 
   /** Top-k against a persisted [[writeIvfIndex]] table — never retrains:
@@ -915,6 +975,10 @@ object Ann {
   private def ivfProbe(spark: org.apache.spark.sql.SparkSession, tableName: String,
                        centroids: Array[Array[Double]], qVec: Array[Float],
                        qNorm: Double, k: Int, nProbe: Int): DataFrame = {
+    // a wrong-dimension query would silently rank lists by prefix
+    // distance and score by prefix dot product — fail loudly instead
+    require(qVec.length == centroids.head.length,
+      s"query dimension ${qVec.length} != index dimension ${centroids.head.length}")
     val probeLists = centroids.indices
       .sortBy { c =>
         var d = 0.0
@@ -1110,8 +1174,8 @@ object Ann {
     }
     spark.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
-        s"'graft.nlist' = '$effNlist', 'graft.sq8' = 'true', " +
-        s"'graft.meanDist' = '$refDist')")
+        s"'graft.nlist' = '$effNlist', 'graft.nlistRequested' = '$nlist', " +
+        s"'graft.sq8' = 'true', 'graft.meanDist' = '$refDist')")
   }
 
   /** [[meanAssignedDist]] for an SQ8 table: the stored codes decode
@@ -1197,15 +1261,22 @@ object Ann {
     if (ratio > driftThreshold) {
       val props = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
-      val nlist = props("graft.nlist").toInt
-      // eager localCheckpoint for the same reason as maintainIvfIndex:
-      // the rewrite below overwrites the very table the snapshot reads
-      val snapshot = spark.table(tableName)
+      // pre-nlistRequested tables fall back to the effective count
+      val nlist = props.getOrElse("graft.nlistRequested", props("graft.nlist")).toInt
+      // The rebuild RETRAINS centroids but keeps the stored CODES
+      // byte-identical (re-quantizing through writeIvfSq8Index would add
+      // a second quantization error), so it writes rows inline — under a
+      // TMP table name while the live index stays intact, same
+      // crash-safety shape as maintainIvfIndex: a failed build leaves
+      // the index untouched; only the drop→rename swap is a crash window.
+      val tmp = s"${tableName}_rebuild_tmp"
+      Dedup.dropManaged(spark, tmp)
+      Dedup.dropManaged(spark, s"${tmp}_centroids")
+      val corpus = spark.table(tableName)
         .select(col("vec_id"), col("code"), col("mn"), col("mx"), col("nrm"))
-        .localCheckpoint(true)
       // train fresh centroids on the decoded corpus
       val sampleF = uniformSample(
-        snapshot.select(col("vec_id"),
+        corpus.select(col("vec_id"),
           sq8DequantUdf(col("code"), col("mn"), col("mx")).as("dq"))
           .select(col("vec_id"),
             expr("transform(dq, x -> CAST(x AS FLOAT))").as("embedding")),
@@ -1217,8 +1288,6 @@ object Ann {
       val assignUdf = udf { (code: Array[Byte], mn: Float, mx: Float) =>
         nearestCentroid(sq8Dequant(code, mn, mx).map(_.toFloat), bc.value)
       }
-      Dedup.dropManaged(spark, tableName)
-      Dedup.dropManaged(spark, s"${tableName}_centroids")
       // drift reference observed on the write pass (see writeIvfSq8Index)
       val distUdf = udf { (code: Array[Byte], mn: Float, mx: Float, list: Int) =>
         val v = sq8Dequant(code, mn, mx)
@@ -1230,26 +1299,29 @@ object Ann {
         math.sqrt(d)
       }
       val obs = new org.apache.spark.sql.Observation()
-      snapshot
+      corpus
         .withColumn("ivf_list", assignUdf(col("code"), col("mn"), col("mx")))
         .withColumn("dist", distUdf(col("code"), col("mn"), col("mx"), col("ivf_list")))
         .observe(obs, avg(col("dist")).as("mean_dist"))
         .select("vec_id", "code", "mn", "mx", "nrm", "ivf_list")
         .repartition(col("ivf_list"))
         .write.format("parquet").partitionBy("ivf_list")
-        .mode("overwrite").saveAsTable(tableName)
+        .mode("overwrite").saveAsTable(tmp)
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("ivf_list", "centroid")
-        .write.format("parquet").mode("overwrite").saveAsTable(s"${tableName}_centroids")
-      spark.sql(
-        s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
-          s"'graft.nlist' = '$effNlist', 'graft.sq8' = 'true')")
+        .write.format("parquet").mode("overwrite").saveAsTable(s"${tmp}_centroids")
       val refDist = obs.get("mean_dist") match {
         case d: java.lang.Double => d.doubleValue()
         case _ => 0.0
       }
+      // ONE property statement on the not-yet-live table: the previous
+      // two-ALTER shape left a window where graft.sq8 was set but
+      // graft.meanDist absent, and a concurrent ivfDrift call threw
       spark.sql(
-        s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.meanDist' = '$refDist')")
+        s"ALTER TABLE $tmp SET TBLPROPERTIES(" +
+          s"'graft.nlist' = '$effNlist', 'graft.nlistRequested' = '$nlist', " +
+          s"'graft.sq8' = 'true', 'graft.meanDist' = '$refDist')")
+      promoteIvfTmp(spark, tmp, tableName)
       (ratio, true)
     } else (ratio, false)
   }
@@ -1373,6 +1445,10 @@ object Ann {
     // one UDF call per new vector: quantize + decode (symmetric), norm,
     // and the nProbe nearest stored centroids of the DECODED vector
     val prepUdf = udf { (v: Seq[Float]) =>
+      // same per-row dimension guard as the float probe path: a
+      // wrong-dimension batch must fail loudly, not probe prefix lists
+      require(v.length == bc.value.head.length,
+        s"batch embedding dimension ${v.length} != index dimension ${bc.value.head.length}")
       val (code, mn, mx) = sq8Quant(v)
       val dq = sq8Dequant(code, mn, mx)
       var s = 0.0
@@ -1396,7 +1472,8 @@ object Ann {
     val B = math.max(1, math.ceil(math.sqrt(spark.sparkContext.defaultParallelism.toDouble)).toInt)
     // cached packed batch = single-pass prep (same contract as the float
     // path: the probed-list collect materializes it, the kernel join
-    // re-reads it from cache)
+    // re-reads it from cache); MEMORY_ONLY for the same bounded-
+    // cross-call-footprint reason as neardupAgainstIvfIndex
     val newPacked = newListed
       .as[(Long, Array[Double], Double, Int)]
       .groupByKey(r => (r._4, (((r._1 % B) + B) % B).toInt))
@@ -1405,7 +1482,7 @@ object Ann {
         (key._1, arr.map(_._1), arr.map(_._2), arr.map(_._3))
       }
       .toDF("probe", "ids_n", "vecs_n", "nrms_n")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val probed = newPacked.select("probe").distinct().as[Int].collect().toSeq
     val idxPacked = spark.table(tableName)
       .filter(col("ivf_list").isin(probed: _*))
@@ -1418,7 +1495,7 @@ object Ann {
         (key._1, arr.map(_._1), arr.map(r => sq8Dequant(r._2, r._3, r._4)), arr.map(_._5))
       }
       .toDF("ivf_list", "ids_i", "vecs_i", "nrms_i")
-    newPacked.join(idxPacked, col("probe") === col("ivf_list"))
+    val result = newPacked.join(idxPacked, col("probe") === col("ivf_list"))
       .select("ids_n", "vecs_n", "nrms_n", "ids_i", "vecs_i", "nrms_i")
       .as[(Array[Long], Array[Array[Double]], Array[Double],
            Array[Long], Array[Array[Double]], Array[Double])]
@@ -1439,6 +1516,7 @@ object Ann {
       .toDF("id_new", "id_index", "cos")
       .select(col("id_new"), col("id_index"), round(col("cos"), 6).as("cos"))
       .orderBy("id_new", "id_index")
+    result
   }
 
   /** Deterministic random hyperplanes: `tables` independent sign-sketches

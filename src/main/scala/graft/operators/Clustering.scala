@@ -28,6 +28,15 @@ object Clustering {
     * `checkpoint()` when the session has a checkpoint dir (the right mode
     * on a real cluster — recomputable after executor loss), else eager
     * `localCheckpoint()` (single-JVM local mode).
+    *
+    * Round hygiene: the contraction loop unpersists every round's cut as
+    * soon as the NEXT round has materialized (only ~2 edge-list copies
+    * live at a time, not O(iterations) — the kCenters pattern). Reliable
+    * checkpoint FILES are cleaned by Spark's context cleaner only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; cluster
+    * deployments running a daily updateComponents loop should set it, or
+    * the checkpoint dir grows by a handful of edge-list snapshots per
+    * day.
     */
   private def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
@@ -99,14 +108,21 @@ object Clustering {
     var stats = edgeStats(e)
     var converged = false
     var iter = 0
+    // the round that produced the CURRENT e — released once e's
+    // successor exists and the convergence compare (which reads e) ran;
+    // the final e stays persisted because the returned frame reads it
+    var prev: Option[DataFrame] = None
     while (!converged && iter < maxIter) {
       val next = cut(smallStar(largeStar(e)))
       val nextStats = edgeStats(next)
       converged = nextStats == stats && next.except(e).isEmpty
+      prev.foreach(_.unpersist())
+      prev = Some(e)
       e = next
       stats = nextStats
       iter += 1
     }
+    prev.foreach(_.unpersist())
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     e.select(col("u").as("node"), col("v").as("component"))
       .union(e.select(col("v").as("node"), col("v").as("component")))

@@ -127,12 +127,26 @@ object Dedup {
     * idx`) so "first occurrence" is a plain `min`; callers guarantee
     * < 10⁵ lines per document (enforced).
     */
+  /** Largest |doc_id| whose `doc_id·10⁵ + idx` packing cannot wrap a
+    * BIGINT: ids beyond it (e.g. raw 64-bit hash ids) would overflow
+    * SILENTLY (non-ANSI wrap) and "first occurrence" would resolve to
+    * the wrong copy — guarded with the same raise_error pattern as the
+    * line-count bound.
+    */
+  private val MaxPackableDocId: Long = (Long.MaxValue - 99999L) / 100000L
+
+  private def packedLineKey(fn: String): org.apache.spark.sql.Column =
+    when(col("idx") >= 100000,
+      raise_error(lit(s"$fn: document with ≥1e5 lines")))
+      .when(abs(col("doc_id")) > MaxPackableDocId,
+        raise_error(lit(s"$fn: |doc_id| exceeds the packed line-key range " +
+          s"(±$MaxPackableDocId) — re-key hash-derived ids first")))
+      .otherwise(col("doc_id") * 100000L + col("idx"))
+
   def lineDedup(docs: DataFrame): DataFrame = {
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
-    val keyed = lines.withColumn("key",
-      when(col("idx") < 100000, col("doc_id") * 100000L + col("idx"))
-        .otherwise(raise_error(lit("lineDedup: document with ≥1e5 lines"))))
+    val keyed = lines.withColumn("key", packedLineKey("lineDedup"))
     // first-occurrence via a min window over the line's occurrences — ONE
     // pass over the exploded lines (a groupBy+self-join formulation
     // recomputes the whole explode lineage twice, plan-verified); each
@@ -223,9 +237,7 @@ object Dedup {
       posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
     // same single-pass window shape as [[lineDedup]] — the anti-join +
     // explode lineage runs once, not once per side of a self-join
-    lines.withColumn("key",
-        when(col("idx") < 100000, col("doc_id") * 100000L + col("idx"))
-          .otherwise(raise_error(lit("lineDedupAgainstIndex: document with ≥1e5 lines"))))
+    lines.withColumn("key", packedLineKey("lineDedupAgainstIndex"))
       .join(index, Seq("line"), "left_anti")
       .withColumn("fk", min("key").over(
         org.apache.spark.sql.expressions.Window.partitionBy("line")))
@@ -281,7 +293,16 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity join: inverted-index (shingle) self
     * join → per-pair intersection count → jaccard = |∩| / (|A|+|B|−|∩|).
-    * `maxDf` prunes stop-shingle skew (None = exact, used for the oracle).
+    * `maxDf` prunes stop-shingle skew (None = exact, used for the
+    * oracle). The bounded tier's jaccard is DELIBERATELY a LOWER BOUND
+    * of the true one: the intersection count excludes pruned hot
+    * shingles while na/nb stay the full set sizes, so dropping a shared
+    * shingle can only lower the score — the ≥threshold output is a
+    * SUBSET of the exact tier's (no false positives, possible misses on
+    * pairs whose similarity rides on hot shingles; the hot-shingle
+    * cliff is measured in SCALING.md). A pruned-universe jaccard
+    * (recomputing na/nb after the prune) would NOT have this property —
+    * it can exceed the true jaccard and admit false pairs.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxDf: Option[Int] = None): DataFrame = {
@@ -1001,18 +1022,48 @@ object Dedup {
     require(props.contains("graft.buckets"),
       s"$tableName carries no graft.buckets property — not a graft index table")
     val buckets = props("graft.buckets").toInt
-    val snap = spark.table(tableName).localCheckpoint(true)
-    try {
+    // Two-phase copy through a TMP table: the previous shape snapshotted
+    // to executor-memory localCheckpoint blocks and overwrote the ONLY
+    // copy — an executor lost mid-rewrite destroyed the accumulated
+    // index unrecoverably (blocks are not recomputable once the table is
+    // dropped). Now phase 1 writes the compacted copy to disk while the
+    // live index stays intact (a failed write changes nothing), and
+    // phase 2 rebuilds the live table FROM the tmp table's parquet files
+    // — disk-backed, so task retries after executor loss just re-read.
+    // The crash window is phase 2 after the drop: the tmp table then
+    // still holds the full content (recovery: re-run phase 2 by hand).
+    // Costs one extra index write vs the unsafe shape — maintenance
+    // cadence work, bought for crash safety. (ALTER TABLE RENAME would
+    // avoid the second write but does not reliably carry partitioned
+    // managed-table data in the in-memory catalog.)
+    // read the source as PLAIN parquet files, not the catalog table: the
+    // bucketed-table scan advertises HashPartitioning(bucketCol), the
+    // optimizer then ELIMINATES the repartition below as redundant, and
+    // when the bucketed scan is auto-disabled as not-beneficial the
+    // writer inherits one partition per FILE — the "compaction" emits as
+    // many files as it read (observed: 8 → 8). A plain file scan claims
+    // no partitioning, so the repartition always survives.
+    def filesOf(table: String): DataFrame =
+      spark.read.parquet(new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString)
+    def writeAs(df: DataFrame, to: String): Unit = {
       // one writing task per hash partition of the bucket key — without
       // this, every reader partition emits its own file per bucket and
       // the "compaction" leaves the file count unchanged
-      snap.repartition(buckets, col(bucketCol))
+      df.repartition(buckets, col(bucketCol))
         .write.format("parquet")
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .mode("overwrite").saveAsTable(tableName)
+        .mode("overwrite").saveAsTable(to)
       val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-      spark.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES($kv)")
-    } finally { snap.unpersist(); () }
+      spark.sql(s"ALTER TABLE $to SET TBLPROPERTIES($kv)")
+    }
+    val tmp = s"${tableName}_compact_tmp"
+    dropManaged(spark, tmp)
+    writeAs(filesOf(tableName), tmp)
+    val staged = filesOf(tmp)
+    dropManaged(spark, tableName)
+    writeAs(staged, tableName)
+    dropManaged(spark, tmp)
   }
 
   /** Incremental SimHash near-dups against a PERSISTED index

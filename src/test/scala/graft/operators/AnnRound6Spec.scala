@@ -140,6 +140,77 @@ class AnnRound6Spec extends AnyFunSuite {
     } finally dropIdx("dim_idx")
   }
 
+  test("probe paths fail loudly on a wrong-dimension batch or query (same contract as append)") {
+    import spark.implicits._
+    Ann.writeIvfIndex(emb, "dimp_idx", nlist = 4)
+    try {
+      val dim = emb.select("embedding").as[Array[Float]].head().length
+      val bad = Seq((777777L, Array.fill(dim - 5)(0.5f))).toDF("vec_id", "embedding")
+      // a SHORTER batch previously probed prefix lists and emitted prefix
+      // cosines silently — the failure mode the guard closes
+      val e1 = intercept[Exception] {
+        Ann.neardupAgainstIvfIndex(bad, "dimp_idx", 0.5, nProbe = 4).count()
+      }
+      assert(causes(e1).exists(_.contains("dimension")),
+        s"expected a dimension error, got: ${causes(e1).mkString(" | ")}")
+      val e2 = intercept[Exception] {
+        Ann.ivfTopKAgainstIndex(spark, "dimp_idx",
+          Array.fill(dim - 5)(0.5f), k = 3, nProbe = 2).count()
+      }
+      assert(causes(e2).exists(_.contains("dimension")),
+        s"expected a dimension error, got: ${causes(e2).mkString(" | ")}")
+    } finally dropIdx("dimp_idx")
+  }
+
+  test("ivfDrift: a zero write-time reference with nonzero live mean reads as infinite drift") {
+    import spark.implicits._
+    // a corpus of ≤ nlist distinct patterns trains centroids that COINCIDE
+    // with the vectors → write-time meanDist = 0; the old ratio rule
+    // returned 1.0 here forever and the maintain policy could never fire
+    val seed = (0L until 4L).map(i =>
+      (i, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f))).toDF("vec_id", "embedding")
+    Ann.writeIvfIndex(seed, "zref_idx", nlist = 4)
+    try {
+      val (ref0, _, r0) = Ann.ivfDrift(spark, "zref_idx")
+      assert(ref0 == 0.0 && r0 == 1.0)
+      val off = Seq((100L, Array.fill(8)(0.7f))).toDF("vec_id", "embedding")
+      Ann.appendToIvfIndex(off, "zref_idx")
+      val (_, cur, ratio) = Ann.ivfDrift(spark, "zref_idx")
+      assert(cur > 0 && ratio.isPosInfinity,
+        s"zero-reference drift must be infinite, got $ratio")
+      // and the maintenance policy actually rebuilds on it
+      val (_, rebuilt) = Ann.maintainIvfIndex(
+        Seq((101L, Array.fill(8)(0.6f))).toDF("vec_id", "embedding"), "zref_idx")
+      assert(rebuilt, "maintain must rebuild on infinite drift")
+    } finally dropIdx("zref_idx")
+  }
+
+  test("rebuild trains at the REQUESTED nlist once the corpus can support it") {
+    import spark.implicits._
+    // seed corpus of 3 vectors shrinks a 8-list request to effNlist = 3;
+    // after the corpus grows, a drift rebuild must recover the full 8
+    // lists instead of pinning the seed-time shrinkage forever
+    val seed = (0L until 3L).map(i =>
+      (i, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f))).toDF("vec_id", "embedding")
+    Ann.writeIvfIndex(seed, "req_idx", nlist = 8)
+    try {
+      val props0 = spark.sql("SHOW TBLPROPERTIES req_idx").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props0("graft.nlist") == "3" && props0("graft.nlistRequested") == "8")
+      val grown = (10L until 60L).map { i =>
+        val r = new java.util.Random(i)
+        (i, Array.fill(8)(r.nextFloat() * 2f - 1f))
+      }.toDF("vec_id", "embedding")
+      val (_, rebuilt) = Ann.maintainIvfIndex(grown, "req_idx", driftThreshold = 0.0001)
+      assert(rebuilt)
+      val props1 = spark.sql("SHOW TBLPROPERTIES req_idx").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props1("graft.nlist") == "8",
+        s"rebuild over 53 vectors must train the requested 8 lists: ${props1("graft.nlist")}")
+      assert(props1("graft.nlistRequested") == "8")
+    } finally dropIdx("req_idx")
+  }
+
   // ---------------------------------------------------- zero-norm rows
 
   test("withNorm drops zero-norm corpus vectors; a zero queryId resolves as absent") {

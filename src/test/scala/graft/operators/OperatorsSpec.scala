@@ -271,6 +271,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out8.toSeq == out.toSeq)
   }
 
+  test("lineDedup: a doc_id outside the packed-key range fails loudly, not with a wrapped key") {
+    import spark.implicits._
+    // doc_id·10⁵ + idx wraps a BIGINT silently for hash-scale ids — the
+    // guard must raise instead of resolving "first occurrence" wrongly
+    val d = Seq((Long.MaxValue / 2, "a\nb"), (1L, "a\nc")).toDF("doc_id", "text")
+    val e = intercept[Exception] { Dedup.lineDedup(d).collect() }
+    def causes(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("packed line-key range")),
+      causes(e).mkString(" | "))
+  }
+
   test("lineDedupWithinDoc: intra-doc repeats collapse to first occurrence, docs never claim each other's lines") {
     import spark.implicits._
     val d = Seq(
