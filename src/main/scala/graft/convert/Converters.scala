@@ -81,17 +81,42 @@ object Converters {
       val energyNode = subjectNode.get("energy")
       require(energyNode != null && energyNode.get("import") != null,
         s"glow payload missing '$subject.energy.import'")
-      val imports = JsonFlatten.flatten(
-        energyNode.get("import"), ts, correlationId, publisher,
-        subject, ignore, Some("import"))
+      val imports = flattenBranch(energyNode.get("import"),
+        s"$subject.energy.import", ts, correlationId, publisher, subject,
+        ignore, "import")
       val power =
         if (subject == "electricitymeter") {
           require(subjectNode.get("power") != null,
             s"glow payload missing '$subject.power'")
-          JsonFlatten.flatten(subjectNode.get("power"), ts, correlationId,
-            publisher, subject, ignore, Some("power"))
+          flattenBranch(subjectNode.get("power"), s"$subject.power", ts,
+            correlationId, publisher, subject, ignore, "power")
         } else Vector.empty
       imports ++ power
+    }
+  }
+
+  /** Flatten a branch the reference iterates unconditionally
+    * (`create_record_recursive`, `timeseries.py:66-69`): an object is
+    * walked; a Python-falsy value (`if not payload: return records`) yields
+    * no records; any other scalar/array would raise when iterated
+    * (`for key in payload` → TypeError) and must dead-letter — without
+    * this guard, `JsonFlatten.flatten`'s non-object short-circuit would
+    * silently classify a malformed meter message as "validly filtered".
+    */
+  private def flattenBranch(node: JsonNode, where: String, ts: String,
+                            correlationId: Option[String], publisher: String,
+                            subject: String, ignore: Set[String],
+                            prefix: String): Vector[TimeseriesRecord] = {
+    val falsy = node.isNull ||
+      (node.isBoolean && !node.asBoolean) ||
+      (node.isNumber && node.asDouble == 0.0) ||
+      (node.isTextual && node.asText.isEmpty) ||
+      ((node.isArray || node.isObject) && node.size == 0)
+    if (falsy) Vector.empty
+    else {
+      require(node.isObject, s"glow '$where' is not an object: ${node.getNodeType}")
+      JsonFlatten.flatten(node, ts, correlationId, publisher, subject,
+        ignore, Some(prefix))
     }
   }
 
@@ -109,7 +134,11 @@ object Converters {
             correlationId: Option[String]): Option[Vector[TimeseriesRecord]] = {
     require(publisher.equalsIgnoreCase("homie"), s"not a homie message: $publisher")
     requireEnvelope(body, Seq("timestamp"))
-    val parts = topic.split("/")
+    // limit -1 keeps trailing empty segments (see lastSegment): a
+    // trailing-slash topic's last segment is "" in Python, which fails the
+    // events-of-interest check and FILTERS the message — the default split
+    // would drop the empty tail and wrongly convert the previous segment.
+    val parts = topic.split("/", -1)
     require(parts.length >= 2, s"homie topic needs >=2 segments: $topic")
     val of = parts(parts.length - 1)
     val subject = parts(parts.length - 2)

@@ -50,9 +50,17 @@ object BmwPoller {
     }
     if (msgs.nonEmpty) {
       Files.createDirectories(Paths.get(streamInDir))
-      Files.write(Paths.get(s"$streamInDir/poll_$tick.txt"),
-        msgs.mkString("\n").getBytes,
+      // write-then-rename: the file source lists the directory between
+      // micro-batches, and each filename is read exactly once — a file
+      // that becomes visible before its content is fully flushed would be
+      // read truncated (the cut-off tail message silently dropped) and
+      // never re-read. The dot-prefixed temp name is invisible to Spark's
+      // file listing; ATOMIC_MOVE makes the final name appear complete.
+      val tmp = Paths.get(s"$streamInDir/.poll_$tick.txt.tmp")
+      Files.write(tmp, msgs.mkString("\n").getBytes,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, Paths.get(s"$streamInDir/poll_$tick.txt"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     msgs.size
   }

@@ -170,6 +170,14 @@ object ConditionsTable {
     def parquets(d: java.io.File) =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // finish any swap a previous run crashed inside of FIRST: a COMMIT
+    // marker means the staged rewrite is complete and the old files are
+    // condemned — without this, the next run's mode("overwrite") of the
+    // staged dir would destroy the only complete copy of that date's rows
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".compact_") &&
+        f.getName.endsWith(".COMMIT"))
+      .foreach(m => finishSwap(root, m))
     val targets = dateDirs.filter(d => parquets(d).length > maxFilesPerDate)
       .sortBy(_.getName).take(maxDates)
     targets.foreach { d =>
@@ -178,20 +186,56 @@ object ConditionsTable {
       // double-counted, it just stays uncompacted until the next run
       val before = parquets(d)
       val staged = new java.io.File(root, s".compact_${d.getName}")
+      val marker = new java.io.File(root, s".compact_${d.getName}.COMMIT")
       spark.read.parquet(before.map(_.getAbsolutePath).toSeq: _*)
         .coalesce(1)
         .sortWithinPartitions("measurement_of", "measurement_subject", "timestamp")
         .write.mode("overwrite").parquet(staged.getAbsolutePath)
-      val newFiles = staged.listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      before.foreach(_.delete())
-      newFiles.zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(d, f"compacted-$i%05d.parquet").toPath)
-      }
-      deleteDir(staged)
+      // the marker names the condemned snapshot; written only AFTER the
+      // staged rewrite succeeded, so marker-present ⇒ staged-complete and
+      // a crash anywhere past this point resumes via finishSwap
+      java.nio.file.Files.write(marker.toPath,
+        before.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
+      finishSwap(root, marker)
     }
     targets.length
+  }
+
+  /** Complete a staged compaction swap: delete the condemned files the
+    * marker names (checked — an undeletable old file aborts BEFORE any
+    * rename, leaving the staged copy and marker intact for a retry, never
+    * a double-counted partition), move the staged files in, then drop the
+    * marker and staged dir. Idempotent: already-deleted and already-moved
+    * files are skipped, so a crashed run finishes on the next call.
+    */
+  private def finishSwap(root: java.io.File, marker: java.io.File): Unit = {
+    val dateName = marker.getName.stripPrefix(".compact_").stripSuffix(".COMMIT")
+    val d = new java.io.File(root, dateName)
+    val staged = new java.io.File(root, s".compact_$dateName")
+    val condemned = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    condemned.foreach { name =>
+      val f = new java.io.File(d, name)
+      require(!f.exists() || f.delete(),
+        s"compaction could not delete $f — aborting before the staged " +
+          s"rename so the partition is never double-counted; the staged " +
+          s"copy and $marker remain for a retry")
+    }
+    val stagedFiles = Option(staged.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val taken = Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSet
+    var i = 0
+    stagedFiles.foreach { f =>
+      while (taken.contains(f"compacted-$i%05d.parquet")) i += 1
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(d, f"compacted-$i%05d.parquet").toPath)
+      i += 1
+    }
+    require(marker.delete() || !marker.exists(),
+      s"compaction could not remove $marker")
+    deleteDir(staged)
   }
 
   /** Retention policy — the TimescaleDB `drop_chunks` analogue: delete

@@ -64,21 +64,21 @@ object ContinuousAggregate {
     * every serve and refresh validates; stores written before the
     * sidecar existed skip the check (None).
     */
-  private def widthSidecar(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path, "_graft_width")
+  private def sidecar(spark: SparkSession, path: String, name: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
     (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
   }
 
-  private[sources] def writeWidthSidecar(spark: SparkSession, path: String,
-                                         widthS: Long): Unit = {
-    val (p, fs) = widthSidecar(spark, path)
+  private[sources] def writeLongSidecar(spark: SparkSession, path: String,
+                                        name: String, value: Long): Unit = {
+    val (p, fs) = sidecar(spark, path, name)
     val out = fs.create(p, true)
-    try out.write(widthS.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  private[sources] def storedWidthOf(spark: SparkSession,
-                                     path: String): Option[Long] = {
-    val (p, fs) = widthSidecar(spark, path)
+  private[sources] def storedLongOf(spark: SparkSession, path: String,
+                                    name: String): Option[Long] = {
+    val (p, fs) = sidecar(spark, path, name)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -86,6 +86,34 @@ object ContinuousAggregate {
       try Some(src.mkString.trim.toLong) finally { src.close(); in.close() }
     }
   }
+
+  private[sources] def writeWidthSidecar(spark: SparkSession, path: String,
+                                         widthS: Long): Unit =
+    writeLongSidecar(spark, path, "_graft_width", widthS)
+
+  private[sources] def storedWidthOf(spark: SparkSession,
+                                     path: String): Option[Long] =
+    storedLongOf(spark, path, "_graft_width")
+
+  /** The value scale travels with the store like the width (`_graft_scale`
+    * sidecar): partials store `Σ value·scale`, so a refresh at a different
+    * scale would mix magnitudes and a serve at a different scale divides
+    * by the wrong constant — both silently-wrong-numbers, the exact class
+    * the width sidecar exists to prevent. Pre-sidecar stores skip (None).
+    */
+  private[sources] def writeScaleSidecar(spark: SparkSession, path: String,
+                                         scale: Int): Unit =
+    writeLongSidecar(spark, path, "_graft_scale", scale.toLong)
+
+  private[sources] def storedScaleOf(spark: SparkSession,
+                                     path: String): Option[Long] =
+    storedLongOf(spark, path, "_graft_scale")
+
+  private def requireMatchingScale(spark: SparkSession, path: String,
+                                   scale: Int, what: String): Unit =
+    storedScaleOf(spark, path).foreach(s0 => require(s0 == scale,
+      s"$what scale $scale does not match the store's scale $s0 " +
+        s"(recorded in $path/_graft_scale)"))
 
   private def requireServableWidth(spark: SparkSession, path: String,
                                    widthS: Long): Unit =
@@ -100,6 +128,24 @@ object ContinuousAggregate {
         s"(recorded in $path/_graft_width) — a mismatched refresh would " +
         "corrupt the rollup"))
 
+  /** Derive the date-partition predicate equivalent to a bucket_s range:
+    * rows of bucket b carry timestamps in [b, b+storedWidth), so buckets
+    * in [startS, endS) live only in dates [date(startS),
+    * date(endS+storedWidth)]. Spark cannot infer this from the bucket_s
+    * filter, so without it every serve lists and scans ALL date
+    * partitions — cost linear in store age on every dashboard hit.
+    * Applied only when the stored width is known (sidecar or explicit
+    * parameter): a guessed slack could prune a straddling bucket's rows.
+    */
+  private def pruneDates(df: DataFrame, startS: Long, endS: Long,
+                         slackS: Option[Long]): DataFrame =
+    slackS match {
+      case Some(w0) if df.columns.contains("date") =>
+        df.filter(col("date") >= to_date(timestamp_seconds(lit(startS))) &&
+          col("date") <= to_date(timestamp_seconds(lit(endS + w0))))
+      case _ => df
+    }
+
   /** Full build: materialize the per-(date, subject, of, bucket) partial
     * rollup of `conditions` at `widthS` bucket width.
     */
@@ -110,6 +156,7 @@ object ContinuousAggregate {
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(path)
     writeWidthSidecar(conditions.sparkSession, path, widthS)
+    writeScaleSidecar(conditions.sparkSession, path, scale)
   }
 
   /** Incremental refresh: recompute ONLY dates ≥ `sinceDate` (ISO
@@ -124,6 +171,7 @@ object ContinuousAggregate {
       s"sinceDate must be yyyy-MM-dd, got $sinceDate")
     val spark = conditions.sparkSession
     requireRefreshWidth(spark, path, widthS)
+    requireMatchingScale(spark, path, scale, "refresh")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try rollup(conditions.filter(to_date(col("timestamp")) >= lit(sinceDate)),
@@ -135,8 +183,9 @@ object ContinuousAggregate {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     // refresh-maintained stores (e.g. CaggStream's rollup, never
-    // create()d) get the sidecar on their first refresh
+    // create()d) get the sidecars on their first refresh
     writeWidthSidecar(spark, path, widthS)
+    writeScaleSidecar(spark, path, scale)
   }
 
   /** Serve the B2-shaped dashboard answer (bucketed AVG for one subject
@@ -157,7 +206,9 @@ object ContinuousAggregate {
             startS: Long, endS: Long, widthS: Long,
             scale: Int = 100): DataFrame = {
     requireServableWidth(spark, path, widthS)
-    spark.read.parquet(path)
+    requireMatchingScale(spark, path, scale, "serve")
+    pruneDates(spark.read.parquet(path), startS, endS,
+        storedWidthOf(spark, path))
       .filter(col("measurement_subject") === subject &&
         col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
@@ -204,11 +255,14 @@ object ContinuousAggregate {
                     scale: Int = 100): DataFrame = {
     require(storedWidthS > 0 && widthS % storedWidthS == 0,
       s"serve width $widthS must be a multiple of the stored width $storedWidthS")
+    requireMatchingScale(spark, path, scale, "serve")
     val roll = readRollup(spark, path)
     val watermarkS = rollupWatermarkS(roll, storedWidthS, startS)
-    val storedAll = roll.getOrElse(
-      spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
-        .toDF("bucket_s", "sum_scaled", "n_events"))
+    val storedAll = roll
+      .map(pruneDates(_, startS, endS, Some(storedWidthS)))
+      .getOrElse(
+        spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+          .toDF("bucket_s", "sum_scaled", "n_events"))
     val stored = storedAll
       .filter(col("bucket_s") >= startS && col("bucket_s") < endS &&
         col("bucket_s") < watermarkS &&
@@ -295,7 +349,8 @@ object ContinuousAggregate {
   def queryDistinct(spark: SparkSession, path: String, of: String,
                     startS: Long, endS: Long, widthS: Long): DataFrame = {
     requireServableWidth(spark, path, widthS)
-    spark.read.parquet(path)
+    pruneDates(spark.read.parquet(path), startS, endS,
+        storedWidthOf(spark, path))
       .filter(col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
       .withColumn("time_s", serveBucketOf(widthS))
@@ -315,7 +370,8 @@ object ContinuousAggregate {
   def queryDistinctApprox(spark: SparkSession, path: String, of: String,
                           startS: Long, endS: Long, widthS: Long): DataFrame = {
     requireServableWidth(spark, path, widthS)
-    spark.read.parquet(path)
+    pruneDates(spark.read.parquet(path), startS, endS,
+        storedWidthOf(spark, path))
       .filter(col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
       .withColumn("time_s", serveBucketOf(widthS))
@@ -343,7 +399,8 @@ object ContinuousAggregate {
     val wm = rollupWatermarkS(roll, storedWidthS, startS)
     val serveBucket =
       serveBucketOf(widthS)
-    val stored = roll.map(_
+    val stored = roll.map(r =>
+      pruneDates(r, startS, endS, Some(storedWidthS))
         .filter(col("measurement_of") === of &&
           col("bucket_s") >= startS && col("bucket_s") < endS &&
           col("bucket_s") < wm)
@@ -378,7 +435,9 @@ object ContinuousAggregate {
     val wm = rollupWatermarkS(roll, storedWidthS, startS)
     val serveBucket =
       serveBucketOf(widthS)
-    val stored = roll.getOrElse(
+    val stored = roll
+      .map(pruneDates(_, startS, endS, Some(storedWidthS)))
+      .getOrElse(
         spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Seq[String])])
           .toDF("bucket_s", "subjects"))
       .filter(col("bucket_s") >= startS && col("bucket_s") < endS &&
@@ -426,6 +485,7 @@ object ContinuousAggregate {
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(path)
     writeWidthSidecar(conditions.sparkSession, path, widthS)
+    writeScaleSidecar(conditions.sparkSession, path, scale)
   }
 
   /** Incremental refresh of a [[createStats]] store: same dynamic
@@ -438,6 +498,7 @@ object ContinuousAggregate {
       s"sinceDate must be yyyy-MM-dd, got $sinceDate")
     val spark = conditions.sparkSession
     requireRefreshWidth(spark, path, widthS)
+    requireMatchingScale(spark, path, scale, "refresh")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try statsRollup(conditions.filter(to_date(col("timestamp")) >= lit(sinceDate)),
@@ -449,6 +510,7 @@ object ContinuousAggregate {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     writeWidthSidecar(spark, path, widthS)
+    writeScaleSidecar(spark, path, scale)
   }
 
   private def statsRollup(conditions: DataFrame, widthS: Long,
@@ -479,7 +541,8 @@ object ContinuousAggregate {
   def queryStats(spark: SparkSession, path: String, subject: String,
                  of: String, startS: Long, endS: Long, widthS: Long): DataFrame = {
     requireServableWidth(spark, path, widthS)
-    val shifted = spark.read.parquet(path)
+    val shifted = pruneDates(spark.read.parquet(path), startS, endS,
+        storedWidthOf(spark, path))
       .filter(col("measurement_subject") === subject &&
         col("measurement_of") === of &&
         col("bucket_s") >= startS && col("bucket_s") < endS)
@@ -513,9 +576,12 @@ object ContinuousAggregate {
                          scale: Int = 100): DataFrame = {
     require(storedWidthS > 0 && widthS % storedWidthS == 0,
       s"serve width $widthS must be a multiple of the stored width $storedWidthS")
+    requireMatchingScale(spark, path, scale, "serve")
     val roll = readRollup(spark, path)
     val wm = rollupWatermarkS(roll, storedWidthS, startS)
-    val stored = roll.getOrElse(
+    val stored = roll
+      .map(pruneDates(_, startS, endS, Some(storedWidthS)))
+      .getOrElse(
         spark.emptyDataset(org.apache.spark.sql.Encoders.product[
           (Long, Long, Long, Long, Long, Long, Long)])
           .toDF("bucket_s", "n", "sx", "sy", "sxx", "syy", "sxy"))

@@ -67,10 +67,41 @@ object PercentileSketch {
     * creation parameters, as with [[ContinuousAggregate.create]].
     */
   def create(conditions: DataFrame, path: String, of: String, startS: Long,
-             endS: Long, widthS: Long, subBits: Int, scale: Int = 100): Unit =
+             endS: Long, widthS: Long, subBits: Int, scale: Int = 100): Unit = {
     partials(conditions, of, startS, endS, widthS, subBits, scale)
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(path)
+    writeSidecars(conditions.sparkSession, path, widthS, subBits, scale)
+  }
+
+  /** The creation parameters travel with the store (the
+    * [[ContinuousAggregate]] `_graft_width` contract, extended): a serve
+    * width that is not a multiple of the stored width assigns whole
+    * stored buckets to the wrong serve bucket, and a serve `subBits`
+    * different from creation reconstructs wrong bucket edges
+    * (`shiftleft(sub, bl − subBits)`) — both silently wrong percentiles,
+    * so [[query]] validates against the sidecars. `scale` only names the
+    * unit of the output cents, but a mismatched reading misinterprets
+    * every value, so it is recorded and checked too.
+    */
+  private def writeSidecars(spark: SparkSession, path: String, widthS: Long,
+                            subBits: Int, scale: Int): Unit = {
+    ContinuousAggregate.writeLongSidecar(spark, path, "_graft_width", widthS)
+    ContinuousAggregate.writeLongSidecar(spark, path, "_graft_subbits", subBits.toLong)
+    ContinuousAggregate.writeLongSidecar(spark, path, "_graft_scale", scale.toLong)
+  }
+
+  private def requireServable(spark: SparkSession, path: String,
+                              widthS: Long, subBits: Int): Unit = {
+    ContinuousAggregate.storedLongOf(spark, path, "_graft_width").foreach(w0 =>
+      require(widthS % w0 == 0,
+        s"serve width $widthS is not a multiple of the stored width $w0 " +
+          s"(recorded in $path/_graft_width)"))
+    ContinuousAggregate.storedLongOf(spark, path, "_graft_subbits").foreach(b0 =>
+      require(b0 == subBits,
+        s"serve subBits $subBits does not match the store's subBits $b0 " +
+          s"(recorded in $path/_graft_subbits) — edges would reconstruct wrong"))
+  }
 
   /** Incremental refresh: recompute only dates ≥ `sinceDate` and
     * dynamic-overwrite exactly those partitions — counts are composable,
@@ -82,6 +113,7 @@ object PercentileSketch {
     require(sinceDate.matches("""\d{4}-\d{2}-\d{2}"""),
       s"sinceDate must be yyyy-MM-dd, got $sinceDate")
     val spark = conditions.sparkSession
+    requireRefreshParams(spark, path, widthS, subBits, scale)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try partials(
@@ -93,6 +125,26 @@ object PercentileSketch {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // refresh-maintained stores get the sidecars on their first refresh;
+    // requireRefreshParams above has already rejected any mismatch
+    writeSidecars(spark, path, widthS, subBits, scale)
+  }
+
+  private def requireRefreshParams(spark: SparkSession, path: String,
+                                   widthS: Long, subBits: Int,
+                                   scale: Int): Unit = {
+    ContinuousAggregate.storedLongOf(spark, path, "_graft_width").foreach(w0 =>
+      require(w0 == widthS,
+        s"refresh width $widthS does not match the store's width $w0 — " +
+          "a mismatched refresh would corrupt the sketch"))
+    ContinuousAggregate.storedLongOf(spark, path, "_graft_subbits").foreach(b0 =>
+      require(b0 == subBits,
+        s"refresh subBits $subBits does not match the store's subBits $b0 — " +
+          "a mismatched refresh would mix incompatible cell keys"))
+    ContinuousAggregate.storedLongOf(spark, path, "_graft_scale").foreach(s0 =>
+      require(s0 == scale,
+        s"refresh scale $scale does not match the store's scale $s0 — " +
+          "a mismatched refresh would mix cent magnitudes"))
   }
 
   /** Serve p50/p95/p99 per `widthS` bucket FROM stored partials (widthS
@@ -104,10 +156,24 @@ object PercentileSketch {
     */
   def query(spark: SparkSession, path: String, startS: Long, endS: Long,
             widthS: Long, subBits: Int): DataFrame = {
-    val merged = spark.read.parquet(path)
+    requireServable(spark, path, widthS, subBits)
+    // partials are stored on the shared origin-anchored grid
+    // (ContinuousAggregate.bucketOfTimestamp), so the serve re-bucketing
+    // must use the SAME grid (serveBucketOf) — a plain epoch-0 floor
+    // coincides only at widths dividing the origin (hour/day) and would
+    // silently mislabel e.g. weekly buckets by 4 days
+    val stored = spark.read.parquet(path)
+    val pruned = ContinuousAggregate.storedLongOf(spark, path, "_graft_width") match {
+      // same date-partition pruning as ContinuousAggregate serves: buckets
+      // in [startS, endS) live only in dates [date(startS), date(endS+w0)]
+      case Some(w0) if stored.columns.contains("date") =>
+        stored.filter(col("date") >= to_date(timestamp_seconds(lit(startS))) &&
+          col("date") <= to_date(timestamp_seconds(lit(endS + w0))))
+      case _ => stored
+    }
+    val merged = pruned
       .filter(col("bucket_s") >= startS && col("bucket_s") < endS)
-      .withColumn("time_s",
-        expr(s"((bucket_s - pmod(bucket_s, ${widthS}L)) div ${widthS}L) * ${widthS}L"))
+      .withColumn("time_s", ContinuousAggregate.serveBucketOf(widthS))
       .groupBy("time_s", "bl", "sub")
       .agg(sum("n").as("n"))
     val wCum = Window.partitionBy("time_s").orderBy("bl", "sub")

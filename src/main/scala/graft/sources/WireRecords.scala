@@ -76,6 +76,9 @@ object WireRecords {
       case "number" =>
         val d =
           if (v.isNumber) v.asDouble
+          // Python float(True) == 1.0 (`timescale.py` number branch), so a
+          // boolean-typed JSON value stores 1.0/0.0 rather than rejecting.
+          else if (v.isBoolean) { if (v.asBoolean) 1.0 else 0.0 }
           else if (v.isTextual)
             try v.asText.toDouble
             catch { case _: NumberFormatException =>
@@ -83,7 +86,17 @@ object WireRecords {
           else throw new IllegalArgumentException(s"Invalid number value: $v")
         TimeseriesRecord.number(ts, subject, publisher, of, d, cid)
       case "string" =>
-        TimeseriesRecord.string(ts, subject, publisher, of, v.asText, cid)
+        // Reference returns the value unchanged (`timescale.py` string
+        // branch): JSON null inserts SQL NULL; any non-string (object,
+        // array, number, boolean) reaches the text-column insert and errors
+        // → dead letter. `asText` would instead silently store "null"/"".
+        if (v.isNull)
+          TimeseriesRecord(ts, subject, publisher, of,
+            graft.model.PayloadType.Str.tag, None, None, None, None, cid)
+        else {
+          require(v.isTextual, s"Invalid string value: $v")
+          TimeseriesRecord.string(ts, subject, publisher, of, v.asText, cid)
+        }
       case "geography" =>
         TimeseriesRecord.geography(ts, subject, publisher, of, toLatLon(v), cid)
       case other =>

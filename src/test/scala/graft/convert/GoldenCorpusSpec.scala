@@ -119,6 +119,34 @@ class GoldenCorpusSpec extends AnyFunSuite {
       Set("electricitymeter", "gasmeter")).isEmpty)
   }
 
+  test("homie trailing-slash topic: empty last segment filtered, not shifted (Python split parity)") {
+    // Python "homie/hubitat/hub/mode/".split('/') keeps the trailing "" →
+    // measurement_of is "" → not of interest → filtered; Java's default
+    // split drops the empty tail and would wrongly convert as of="mode"
+    val evt =
+      """{"topic": "homie/hubitat/hub/mode/", "payload": "Home", "timestamp": 1672174513.6086972}"""
+    assert(Converters.convertEventEither(evt) == Right(None))
+  }
+
+  test("glow scalar energy.import: truthy scalar dead-letters, falsy yields no records (Python iteration parity)") {
+    // create_record_recursive iterates `for key in payload`: a truthy
+    // scalar raises (TypeError → error path), a falsy one returns the
+    // records unchanged (`if not payload`). flatten()'s non-object
+    // short-circuit alone would silently classify BOTH as validly filtered.
+    val truthy =
+      """{"topic":"glow/x/SENSOR/gasmeter","payload":"{\"gasmeter\": {\"timestamp\": \"2022-12-26T14:02:28Z\", \"energy\": {\"import\": 5}}}"}"""
+    val e1 = Converters.convertEventEither(truthy)
+    assert(e1.isLeft)
+    assert(e1.swap.toOption.get.getMessage.contains("not an object"))
+    val falsy =
+      """{"topic":"glow/x/SENSOR/gasmeter","payload":"{\"gasmeter\": {\"timestamp\": \"2022-12-26T14:02:28Z\", \"energy\": {\"import\": 0}}}"}"""
+    assert(Converters.convertEventEither(falsy) == Right(None))
+    // same guard on electricitymeter's power branch
+    val scalarPower =
+      """{"topic":"glow/x/SENSOR/electricitymeter","payload":"{\"electricitymeter\": {\"timestamp\": \"2022-12-26T14:02:28Z\", \"energy\": {\"import\": {\"cumulative\": 1.0}}, \"power\": 3}}"}"""
+    assert(Converters.convertEventEither(scalarPower).isLeft)
+  }
+
   test("v1 array envelope: array of envelopes converts to concatenated records") {
     val homieEvt =
       """{"topic": "homie/hubitat/hub/mode", "payload": "Home", "timestamp": 1672174513.6086972}"""

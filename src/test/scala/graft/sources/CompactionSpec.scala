@@ -72,6 +72,33 @@ class CompactionSpec extends AnyFunSuite {
     assert(ConditionsTable.compact(spark, path, maxFilesPerDate = 2) == 0) // idempotent
   }
 
+  test("a crashed swap (marker present) is finished on the next run — no loss, no double count") {
+    val path = fragmentedStore()
+    val before = spark.read.parquet(path).orderBy("timestamp", "measurement_number")
+      .collect().map(_.toSeq)
+    val root = new java.io.File(path)
+    val d = new java.io.File(root, "date=2024-01-03")
+    val old = parquetsIn(d)
+    // replay compact() up to the COMMIT marker, then "crash" mid-delete:
+    // the staged rewrite is complete, half the condemned files are gone
+    val staged = new java.io.File(root, ".compact_date=2024-01-03")
+    spark.read.parquet(old.map(_.getAbsolutePath).toSeq: _*)
+      .coalesce(1)
+      .sortWithinPartitions("measurement_of", "measurement_subject", "timestamp")
+      .write.mode("overwrite").parquet(staged.getAbsolutePath)
+    java.nio.file.Files.write(
+      new java.io.File(root, ".compact_date=2024-01-03.COMMIT").toPath,
+      old.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
+    old.take(old.length / 2).foreach(f => assert(f.delete()))
+    ConditionsTable.compact(spark, path, maxFilesPerDate = 8)
+    val after = spark.read.parquet(path).orderBy("timestamp", "measurement_number")
+      .collect().map(_.toSeq)
+    assert(after.toSeq == before.toSeq) // every row exactly once
+    assert(parquetsIn(d).length == 1)
+    assert(!new java.io.File(root, ".compact_date=2024-01-03.COMMIT").exists())
+    assert(!staged.exists())
+  }
+
   test("file-sink-managed stores (_spark_metadata) refuse compaction and retention") {
     // a Structured Streaming file sink pins its exact file set in the
     // metadata log; mutating files underneath it breaks log-based reads

@@ -223,6 +223,48 @@ class ContinuousAggregateSpec extends AnyFunSuite {
     assert(served == 0.0015, s"scale=1000 store must serve 3-dp values: $served")
   }
 
+  test("scale travels with the store: mismatched refresh and serve reject") {
+    val c = conditions(2)
+    val path = tmp("cagg_scale_guard")
+    ContinuousAggregate.create(c, path, widthS = 3600, scale = 100)
+    // a scale-1000 refresh would mix 10x magnitudes into the partials
+    val ex = intercept[IllegalArgumentException](ContinuousAggregate.refresh(
+      c, path, widthS = 3600, sinceDate = "2024-01-03", scale = 1000))
+    assert(ex.getMessage.contains("scale"), ex.getMessage)
+    // a scale-1000 serve would divide the stored sums by the wrong constant
+    val ex2 = intercept[IllegalArgumentException](ContinuousAggregate.query(
+      spark, path, "s0", "m", T0, T0 + 86400L, widthS = 3600, scale = 1000))
+    assert(ex2.getMessage.contains("scale"), ex2.getMessage)
+    // realtime serve builds the raw tail at the given scale — same hazard
+    val ex3 = intercept[IllegalArgumentException](ContinuousAggregate.queryRealtime(
+      spark, path, c, "s0", "m", T0, T0 + 86400L,
+      widthS = 3600, storedWidthS = 3600, scale = 1000))
+    assert(ex3.getMessage.contains("scale"), ex3.getMessage)
+    // same stats-store contract
+    val sp = tmp("cagg_scale_guard_stats")
+    ContinuousAggregate.createStats(c, sp, widthS = 3600, scale = 100)
+    val ex4 = intercept[IllegalArgumentException](ContinuousAggregate.refreshStats(
+      c, sp, widthS = 3600, sinceDate = "2024-01-03", scale = 1000))
+    assert(ex4.getMessage.contains("scale"), ex4.getMessage)
+  }
+
+  test("serves derive a date-partition predicate from the bucket range") {
+    val c = conditions(4)
+    val path = tmp("cagg_prune")
+    ContinuousAggregate.create(c, path, widthS = 3600)
+    // Spark can't infer date bounds from the bucket_s filter: without the
+    // derived predicate every serve scans all date partitions forever
+    val plan = ContinuousAggregate.query(spark, path, "s0", "m",
+        T0, T0 + 86400L, widthS = 86400)
+      .queryExecution.executedPlan.toString
+    val pf = "(?s).*PartitionFilters: \\[[^\\]]*date[^\\]]*\\].*"
+    assert(plan.matches(pf), s"no date PartitionFilters in:\n$plan")
+    // and the pruned serve still answers exactly (day 1 of 4)
+    val served = ContinuousAggregate.query(spark, path, "s0", "m",
+      T0, T0 + 86400L, widthS = 86400).collect()
+    assert(served.length == 1 && served.head.getLong(0) == T0)
+  }
+
   test("retention drops exactly the partitions older than the cutoff") {
     val store = java.nio.file.Files.createTempDirectory("retention").toString
     ConditionsTable.write(conditions(4).drop("measurement_string")

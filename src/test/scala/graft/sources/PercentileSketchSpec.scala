@@ -84,6 +84,35 @@ class PercentileSketchSpec extends AnyFunSuite {
     assert(serveDay(inc, 3, 6).toSeq == serveDay(full, 3, 6).toSeq)
   }
 
+  test("weekly serve shares the origin grid (Monday weeks); sidecars reject mismatched serve/refresh params") {
+    // 2024-01-03 is a Wednesday: its Monday-anchored week starts
+    // 2024-01-01 (1704067200); an epoch-0 weekly floor would label it
+    // Thursday 2023-12-28 (1703721600) — 4 days off, silently
+    val c = df(Seq((0L, 1.0), (5 * 86400L, 2.0))) // Wed Jan 3; Mon Jan 8
+    val path = tmp("psk_week")
+    PercentileSketch.create(c, path, "m", T0, T0 + 7 * 86400, widthS = 3600,
+      subBits = 6)
+    val weeks = PercentileSketch.query(spark, path, 1704067200L,
+        T0 + 7 * 86400, widthS = 604800, subBits = 6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(weeks == Seq(1704067200L, 1704672000L), s"weeks: $weeks")
+    // serve width not a multiple of the stored width
+    val ex = intercept[IllegalArgumentException](
+      PercentileSketch.query(spark, path, T0, T0 + 86400, widthS = 5400,
+        subBits = 6).collect())
+    assert(ex.getMessage.contains("not a multiple"), ex.getMessage)
+    // mismatched subBits would reconstruct wrong bucket edges
+    val ex2 = intercept[IllegalArgumentException](
+      PercentileSketch.query(spark, path, T0, T0 + 86400, widthS = 86400,
+        subBits = 7).collect())
+    assert(ex2.getMessage.contains("subBits"), ex2.getMessage)
+    // a mismatched refresh would corrupt the store
+    val ex3 = intercept[IllegalArgumentException](
+      PercentileSketch.refresh(c, path, "m", T0, T0 + 86400, widthS = 7200,
+        subBits = 6, sinceDate = "2024-01-03"))
+    assert(ex3.getMessage.contains("width"), ex3.getMessage)
+  }
+
   test("negative values are outside the sketch domain and excluded by the scan") {
     val c = df(Seq((0L, -5.0), (1L, 1.0), (2L, 2.0)))
     val path = tmp("psk_neg")

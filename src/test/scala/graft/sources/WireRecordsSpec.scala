@@ -43,6 +43,24 @@ class WireRecordsSpec extends AnyFunSuite {
     assert(got(1).measurement_string.contains("a"))
   }
 
+  test("string values: JSON null stores SQL NULL; non-strings dead-letter; number accepts booleans") {
+    // reference string branch returns the value unchanged: null → SQL
+    // NULL; a container/number/boolean reaches the text-column insert and
+    // errors → dead letter. Unconditional asText would silently store the
+    // literal "null" / "" instead.
+    val n = WireRecords.parse(rec("state", "string", "null")).toOption.get.head
+    assert(n.measurement_string.isEmpty && n.measurement_data_type == "string")
+    assert(WireRecords.parse(rec("state", "string", "{\"a\": 1}")).isLeft)
+    assert(WireRecords.parse(rec("state", "string", "[1, 2]")).isLeft)
+    assert(WireRecords.parse(rec("state", "string", "5")).isLeft)
+    assert(WireRecords.parse(rec("state", "string", "true")).isLeft)
+    // Python float(True) == 1.0: boolean under "number" coerces, not rejects
+    val b = WireRecords.parse(rec("power", "number", "true")).toOption.get.head
+    assert(b.measurement_number.contains(1.0))
+    val b2 = WireRecords.parse(rec("power", "number", "false")).toOption.get.head
+    assert(b2.measurement_number.contains(0.0))
+  }
+
   test("legal-but-uncanonical timestamps normalize; garbage timestamps dead-letter") {
     // no fractional digits + offset: normalized to canonical µs wire format
     // with the offset APPLIED (PG timestamptz semantics) — previously this
