@@ -34,11 +34,27 @@ object Dedup {
     */
   private[graft] def dropManaged(spark: org.apache.spark.sql.SparkSession,
                                  table: String): Unit = {
+    // resolve the on-disk location from the CATALOG (db-qualified names,
+    // non-default current databases and relocated tables all break a
+    // <warehouse>/<name> reconstruction); for a stale directory with no
+    // catalog entry, the catalog's own default path is the right guess.
+    // External tables are dropped catalog-only — their data isn't ours.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    val loc =
+      if (!catalog.tableExists(ident))
+        Some(new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident)))
+      else {
+        val meta = catalog.getTableMetadata(ident)
+        if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+          Some(new org.apache.hadoop.fs.Path(meta.location))
+        else None
+      }
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    loc.foreach { p =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Compiled shingle kernel (tokens = single-space splits, matching
@@ -1042,10 +1058,16 @@ object Dedup {
     // when the bucketed scan is auto-disabled as not-beneficial the
     // writer inherits one partition per FILE — the "compaction" emits as
     // many files as it read (observed: 8 → 8). A plain file scan claims
-    // no partitioning, so the repartition always survives.
-    def filesOf(table: String): DataFrame =
-      spark.read.parquet(new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString)
+    // no partitioning, so the repartition always survives. The data path
+    // comes from the CATALOG, never reconstructed from the warehouse dir:
+    // db-qualified names ("db.tbl"), a non-default current database
+    // (<warehouse>/<db>.db/<tbl>) and relocated tables all break the
+    // naive <warehouse>/<name> guess.
+    def filesOf(table: String): DataFrame = {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+      spark.read.parquet(loc.toString)
+    }
     def writeAs(df: DataFrame, to: String): Unit = {
       // one writing task per hash partition of the bucket key — without
       // this, every reader partition emits its own file per bucket and

@@ -95,6 +95,60 @@ object ContinuousAggregate {
                                      path: String): Option[Long] =
     storedLongOf(spark, path, "_graft_width")
 
+  /** The bucket-grid ORIGIN travels with the store too (`_graft_grid`
+    * sidecar): the grid moved from epoch-floored to origin-anchored when
+    * [[OriginS]] was introduced, and the width/scale sidecars cannot see
+    * that difference — a pre-origin store refreshed (or realtime-served)
+    * at a width that does NOT divide the origin would mix
+    * Thursday-anchored stored buckets with Monday-anchored new ones:
+    * plausible-looking, silently-mixed numbers. The sidecar records which
+    * grid the stored buckets sit on; stores that predate it are accepted
+    * only at widths where the two grids coincide (widths dividing the
+    * origin — hour, day), and refused loudly otherwise.
+    */
+  private[sources] def writeGridSidecar(spark: SparkSession, path: String): Unit =
+    writeLongSidecar(spark, path, "_graft_grid", OriginS)
+
+  private[sources] def storedGridOf(spark: SparkSession,
+                                    path: String): Option[Long] =
+    storedLongOf(spark, path, "_graft_grid")
+
+  /** Validate the store's bucket grid for a refresh or serve at
+    * `widthS` (the STORED width where known — the grid question is about
+    * the buckets already on disk). Pre-grid-sidecar stores pass only at
+    * widths where epoch-floored ≡ origin-anchored (widthS | OriginS);
+    * a store that has no width sidecar either is pre-sidecar entirely
+    * and keeps its legacy skip (nothing recorded to validate against).
+    */
+  private def requireGrid(spark: SparkSession, path: String, widthS: Long,
+                          what: String): Unit =
+    storedGridOf(spark, path) match {
+      case Some(g0) => require(g0 == OriginS,
+        s"$what grid origin $OriginS does not match the store's grid $g0 " +
+          s"(recorded in $path/_graft_grid) — mixed-grid rollups serve " +
+          "buckets from two different alignments")
+      case None =>
+        val preexisting = storedWidthOf(spark, path).isDefined
+        require(!preexisting || OriginS % widthS == 0,
+          s"store at $path predates the grid sidecar and width $widthS " +
+            s"does not divide the bucket origin $OriginS — epoch-floored " +
+            "and origin-anchored grids differ at this width, so a " +
+            s"$what could mix bucket alignments; rebuild the store with " +
+            "create()")
+    }
+
+  /** Realtime serves take the stored width as a PARAMETER (the rollup
+    * may be empty, so it cannot always be derived) — but when the
+    * sidecar exists it must agree, or the pruneDates upper bound and the
+    * watermark arithmetic silently drop stored buckets.
+    */
+  private def requireStoredWidthParam(spark: SparkSession, path: String,
+                                      storedWidthS: Long): Unit =
+    storedWidthOf(spark, path).foreach(w0 => require(w0 == storedWidthS,
+      s"caller-supplied storedWidthS $storedWidthS does not match the " +
+        s"store's width $w0 (recorded in $path/_graft_width) — date " +
+        "pruning and the watermark would silently drop stored buckets"))
+
   /** The value scale travels with the store like the width (`_graft_scale`
     * sidecar): partials store `Σ value·scale`, so a refresh at a different
     * scale would mix magnitudes and a serve at a different scale divides
@@ -157,6 +211,7 @@ object ContinuousAggregate {
       .write.mode("overwrite").partitionBy("date").parquet(path)
     writeWidthSidecar(conditions.sparkSession, path, widthS)
     writeScaleSidecar(conditions.sparkSession, path, scale)
+    writeGridSidecar(conditions.sparkSession, path)
   }
 
   /** Incremental refresh: recompute ONLY dates ≥ `sinceDate` (ISO
@@ -172,6 +227,7 @@ object ContinuousAggregate {
     val spark = conditions.sparkSession
     requireRefreshWidth(spark, path, widthS)
     requireMatchingScale(spark, path, scale, "refresh")
+    requireGrid(spark, path, widthS, "refresh")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try rollup(conditions.filter(to_date(col("timestamp")) >= lit(sinceDate)),
@@ -186,6 +242,7 @@ object ContinuousAggregate {
     // create()d) get the sidecars on their first refresh
     writeWidthSidecar(spark, path, widthS)
     writeScaleSidecar(spark, path, scale)
+    writeGridSidecar(spark, path)
   }
 
   /** Serve the B2-shaped dashboard answer (bucketed AVG for one subject
@@ -207,6 +264,7 @@ object ContinuousAggregate {
             scale: Int = 100): DataFrame = {
     requireServableWidth(spark, path, widthS)
     requireMatchingScale(spark, path, scale, "serve")
+    requireGrid(spark, path, storedWidthOf(spark, path).getOrElse(widthS), "serve")
     pruneDates(spark.read.parquet(path), startS, endS,
         storedWidthOf(spark, path))
       .filter(col("measurement_subject") === subject &&
@@ -256,6 +314,8 @@ object ContinuousAggregate {
     require(storedWidthS > 0 && widthS % storedWidthS == 0,
       s"serve width $widthS must be a multiple of the stored width $storedWidthS")
     requireMatchingScale(spark, path, scale, "serve")
+    requireStoredWidthParam(spark, path, storedWidthS)
+    requireGrid(spark, path, storedWidthS, "realtime serve")
     val roll = readRollup(spark, path)
     val watermarkS = rollupWatermarkS(roll, storedWidthS, startS)
     val storedAll = roll
@@ -339,6 +399,7 @@ object ContinuousAggregate {
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(path)
     writeWidthSidecar(conditions.sparkSession, path, widthS)
+    writeGridSidecar(conditions.sparkSession, path)
   }
 
   /** Serve distinct-subject counts per coarse bucket from the EXACT tier:
@@ -349,6 +410,7 @@ object ContinuousAggregate {
   def queryDistinct(spark: SparkSession, path: String, of: String,
                     startS: Long, endS: Long, widthS: Long): DataFrame = {
     requireServableWidth(spark, path, widthS)
+    requireGrid(spark, path, storedWidthOf(spark, path).getOrElse(widthS), "serve")
     pruneDates(spark.read.parquet(path), startS, endS,
         storedWidthOf(spark, path))
       .filter(col("measurement_of") === of &&
@@ -370,6 +432,7 @@ object ContinuousAggregate {
   def queryDistinctApprox(spark: SparkSession, path: String, of: String,
                           startS: Long, endS: Long, widthS: Long): DataFrame = {
     requireServableWidth(spark, path, widthS)
+    requireGrid(spark, path, storedWidthOf(spark, path).getOrElse(widthS), "serve")
     pruneDates(spark.read.parquet(path), startS, endS,
         storedWidthOf(spark, path))
       .filter(col("measurement_of") === of &&
@@ -395,6 +458,8 @@ object ContinuousAggregate {
                                   storedWidthS: Long): DataFrame = {
     require(storedWidthS > 0 && widthS % storedWidthS == 0,
       s"serve width $widthS must be a multiple of the stored width $storedWidthS")
+    requireStoredWidthParam(spark, path, storedWidthS)
+    requireGrid(spark, path, storedWidthS, "realtime serve")
     val roll = readRollup(spark, path)
     val wm = rollupWatermarkS(roll, storedWidthS, startS)
     val serveBucket =
@@ -431,6 +496,8 @@ object ContinuousAggregate {
                             widthS: Long, storedWidthS: Long): DataFrame = {
     require(storedWidthS > 0 && widthS % storedWidthS == 0,
       s"serve width $widthS must be a multiple of the stored width $storedWidthS")
+    requireStoredWidthParam(spark, path, storedWidthS)
+    requireGrid(spark, path, storedWidthS, "realtime serve")
     val roll = readRollup(spark, path)
     val wm = rollupWatermarkS(roll, storedWidthS, startS)
     val serveBucket =
@@ -486,6 +553,7 @@ object ContinuousAggregate {
       .write.mode("overwrite").partitionBy("date").parquet(path)
     writeWidthSidecar(conditions.sparkSession, path, widthS)
     writeScaleSidecar(conditions.sparkSession, path, scale)
+    writeGridSidecar(conditions.sparkSession, path)
   }
 
   /** Incremental refresh of a [[createStats]] store: same dynamic
@@ -499,6 +567,7 @@ object ContinuousAggregate {
     val spark = conditions.sparkSession
     requireRefreshWidth(spark, path, widthS)
     requireMatchingScale(spark, path, scale, "refresh")
+    requireGrid(spark, path, widthS, "refresh")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try statsRollup(conditions.filter(to_date(col("timestamp")) >= lit(sinceDate)),
@@ -511,6 +580,7 @@ object ContinuousAggregate {
     }
     writeWidthSidecar(spark, path, widthS)
     writeScaleSidecar(spark, path, scale)
+    writeGridSidecar(spark, path)
   }
 
   private def statsRollup(conditions: DataFrame, widthS: Long,
@@ -541,6 +611,7 @@ object ContinuousAggregate {
   def queryStats(spark: SparkSession, path: String, subject: String,
                  of: String, startS: Long, endS: Long, widthS: Long): DataFrame = {
     requireServableWidth(spark, path, widthS)
+    requireGrid(spark, path, storedWidthOf(spark, path).getOrElse(widthS), "serve")
     val shifted = pruneDates(spark.read.parquet(path), startS, endS,
         storedWidthOf(spark, path))
       .filter(col("measurement_subject") === subject &&
@@ -577,6 +648,8 @@ object ContinuousAggregate {
     require(storedWidthS > 0 && widthS % storedWidthS == 0,
       s"serve width $widthS must be a multiple of the stored width $storedWidthS")
     requireMatchingScale(spark, path, scale, "serve")
+    requireStoredWidthParam(spark, path, storedWidthS)
+    requireGrid(spark, path, storedWidthS, "realtime serve")
     val roll = readRollup(spark, path)
     val wm = rollupWatermarkS(roll, storedWidthS, startS)
     val stored = roll

@@ -41,11 +41,29 @@ object EventsAsConditions {
     // file actually needs it, instead of unconditionally mutating every
     // caller's session.
     val df = try spark.read.parquet(path) catch {
-      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+      case e: Exception if mentionsNanos(e) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path)
     }
     normalizeTs(df, "ts")
+  }
+
+  /** Whether a schema-inference failure is the TIMESTAMP(NANOS) one —
+    * checked over the WHOLE cause chain, not just the top message:
+    * Spark wraps analysis errors (SparkException over AnalysisException
+    * over the parquet converter's message), and a wrapped NANOS error
+    * that went unrecognized would fail the load that the retry-with-
+    * `nanosAsLong` handles. Cycle-guarded (`getCause` chains can loop).
+    */
+  private[sources] def mentionsNanos(t: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    var cur = t
+    while (cur != null && seen.add(cur)) {
+      if (String.valueOf(cur.getMessage).contains("NANOS")) return true
+      cur = cur.getCause
+    }
+    false
   }
 
   /** Normalize a parquet timestamp column of any physical shape

@@ -28,103 +28,147 @@ object CaggStream {
     * checkpointed stream would otherwise break on its first batch.
     *
     * Crash-safe protocol (single writer — [[start]]'s foreachBatch is
-    * the only store writer by contract):
+    * the only store writer by contract); every step is idempotent, so a
+    * crash anywhere resumes on the next start() with no duplicates:
     *  1. rename every root-level data file into a `.legacy_migration/`
     *    quarantine dir (per-file rename; a crash mid-way leaves a mix
     *    that the next start() finishes moving — reads never see root
     *    files and quarantine files double-counted, because neither side
     *    is under `date=` yet);
-    *  2. append the quarantined rows under their date partitions (a
-    *    crash mid-job leaves only uncommitted `_temporary` output — the
-    *    committer publishes files at job commit, so a re-run re-appends
-    *    from quarantine without duplicates);
-    *  3. write a `_MIGRATED` marker in the quarantine, then delete the
-    *    quarantine (a crash after the marker ⇒ next start() just
-    *    cleans up — UNLESS new flat files have appeared at the root, in
-    *    which case the stale marker is discarded and the migration
-    *    re-runs from step 1 for those files; without the marker ⇒ next
-    *    start() re-runs step 2);
-    *  4. refresh the rollup for the dates the migration touched (the
-    *    migrated rows are historical, so no future batch's
-    *    dates-≥-min-date refresh may ever reach them — without this the
-    *    raw store would hold rows the rollup never serves).
-    * The remaining exposures: the instant between job commit and marker
-    * creation (closing it needs a transactional table format, which the
-    * parquet store deliberately is not); a crash between marker and
-    * step 4's refresh (rollup stale for the migrated dates until a
-    * refresh reaches them); and a legacy writer appending DURING this
-    * run, after the root listing — that run's first batch fails on the
-    * mixed layout and the next start() migrates the straggler.
+    *  2. STAGE: rewrite the quarantined rows date-partitioned into
+    *    `.legacy_migration/.staged/` (a crash mid-write leaves a partial
+    *    staged dir that the next run overwrites — the store is
+    *    untouched), then write a `_STAGED` marker that FREEZES the
+    *    staged file set;
+    *  3. MOVE-IN: rename each staged file under its store `date=`
+    *    partition (as `migrated-<name>`). `_STAGED` makes this
+    *    idempotent: a destination that already exists IS the same file
+    *    from an interrupted previous run (staging never re-runs once the
+    *    marker exists), so it's skipped — the window the old
+    *    append-then-mark shape had between job commit and marker, where
+    *    a crash re-appended the whole quarantine, no longer exists;
+    *  4. refresh the rollup for the migrated dates (historical rows —
+    *    no future batch's dates-≥-min refresh may ever reach them). Runs
+    *    BEFORE the completion marker, so a crash re-runs the idempotent
+    *    refresh instead of leaving the rollup permanently stale;
+    *  5. write `_MIGRATED`, delete the quarantine. A stale `_MIGRATED`
+    *    left by an interrupted cleanup is cleaned on the next start(),
+    *    and NEW root files appearing after it re-run the migration from
+    *    step 1 (the stale quarantine never mixes with them — it is
+    *    removed first or the run aborts).
+    * Remaining exposure: a legacy writer appending DURING this run,
+    * after the root listing — that run's first batch fails on the mixed
+    * layout and the next start() migrates the straggler.
     */
   private def migrateLegacyFlatStore(spark: SparkSession, storePath: String,
                                      aggPath: String, widthS: Long): Unit = {
-    val path = new org.apache.hadoop.fs.Path(storePath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return
-    val quarantine = new org.apache.hadoop.fs.Path(path, ".legacy_migration")
-    val marker = new org.apache.hadoop.fs.Path(quarantine, "_MIGRATED")
-    val rootFiles = fs.listStatus(path)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val quarantine = new org.apache.hadoop.fs.Path(root, ".legacy_migration")
+    // finish (or clean up) any in-flight migration FIRST, so a surviving
+    // quarantine can never mix already-migrated files with new ones
+    completeMigration(spark, fs, root, quarantine, storePath, aggPath, widthS)
+    val rootFiles = fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (rootFiles.isEmpty && !fs.exists(quarantine)) return
-    if (fs.exists(marker)) {
-      // a completed migration whose quarantine cleanup didn't happen —
-      // BUT only short-circuit when the root is clean: a rolled-back
-      // legacy writer can append NEW flat files after the marker was
-      // written, and honoring the stale marker then would leave the
-      // mixed root-parquet + date= layout in place for this run. The
-      // delete removes the marker with the quarantine, so the
-      // fall-through below re-quarantines the new files from scratch.
-      val cleaned = fs.delete(quarantine, true)
-      if (rootFiles.isEmpty) return // failed delete harmless here: retried next start()
-      // falling through with a surviving quarantine would re-append its
-      // ALREADY-MIGRATED files alongside the new ones (step 2 reads the
-      // whole quarantine) — permanent duplicate rows; abort instead
-      if (!cleaned || fs.exists(quarantine))
+    if (rootFiles.isEmpty) return
+    if (fs.exists(quarantine))
+      throw new IllegalStateException(
+        s"cagg store migration: cannot clear stale quarantine $quarantine; " +
+          "store left as-is for retry")
+    if (!fs.mkdirs(quarantine))
+      throw new IllegalStateException(
+        s"cagg store migration: cannot create quarantine $quarantine")
+    // A false return (dest exists, FS refused the move) must ABORT the
+    // migration: proceeding would leave a root-level file behind while
+    // the rest migrates — exactly the mixed root-files + date= layout
+    // this migration exists to prevent. The throw leaves the store
+    // pre-marker, so the next start() retries.
+    rootFiles.foreach { s =>
+      val dest = new org.apache.hadoop.fs.Path(quarantine, s.getPath.getName)
+      if (!fs.rename(s.getPath, dest))
         throw new IllegalStateException(
-          s"cagg store migration: cannot clear stale quarantine $quarantine; " +
-            "store left as-is for retry")
+          s"cagg store migration: rename ${s.getPath} -> $dest failed; store left pre-marker for retry")
     }
-    if (rootFiles.nonEmpty) {
-      if (!fs.mkdirs(quarantine))
-        throw new IllegalStateException(s"cagg store migration: cannot create quarantine $quarantine")
-      // A false return (dest exists, FS refused the move) must ABORT the
-      // migration: proceeding would leave a root-level file behind while
-      // still writing the _MIGRATED marker below — exactly the mixed
-      // root-files + date= layout this migration exists to prevent. The
-      // throw leaves the store pre-marker, so the next start() retries.
-      rootFiles.foreach { s =>
-        val dest = new org.apache.hadoop.fs.Path(quarantine, s.getPath.getName)
-        if (!fs.rename(s.getPath, dest))
-          throw new IllegalStateException(
-            s"cagg store migration: rename ${s.getPath} -> $dest failed; store left pre-marker for retry")
-      }
+    completeMigration(spark, fs, root, quarantine, storePath, aggPath, widthS)
+  }
+
+  /** Steps 2-5 of the migration protocol (see [[migrateLegacyFlatStore]]),
+    * resumable from any crash point: stage (unless `_STAGED` already
+    * froze a staged set), move staged files in (skipping ones an
+    * interrupted run already moved), refresh the rollup for the migrated
+    * dates, mark `_MIGRATED`, drop the quarantine.
+    */
+  private def completeMigration(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                quarantine: org.apache.hadoop.fs.Path,
+                                storePath: String, aggPath: String,
+                                widthS: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(quarantine)) return
+    if (!fs.getFileStatus(quarantine).isDirectory)
+      throw new IllegalStateException(
+        s"cagg store migration: $quarantine exists but is not a directory; " +
+          "remove the obstruction and retry")
+    val migratedMarker = new Path(quarantine, "_MIGRATED")
+    if (fs.exists(migratedMarker)) {
+      // completed migration whose cleanup didn't finish — just clean up.
+      // A failed delete is harmless here: retried next start(), and the
+      // caller aborts if new root files need the quarantine gone.
+      fs.delete(quarantine, true)
+      return
     }
+    val stagedDir = new Path(quarantine, ".staged")
+    val stagedMarker = new Path(quarantine, "_STAGED")
     val pending = fs.listStatus(quarantine)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val touchedDates = if (pending.isEmpty) Array.empty[java.sql.Date] else {
-      val migrated = spark.read.parquet(pending.map(_.getPath.toString).toSeq: _*)
+    if (!fs.exists(stagedMarker)) {
+      if (pending.isEmpty) { fs.delete(quarantine, true); return }
+      spark.read.parquet(pending.map(_.getPath.toString).toSeq: _*)
         .withColumn("date", to_date(col("timestamp")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        migrated.write.mode("append").partitionBy("date").parquet(storePath)
-        // bounded by the legacy store's distinct DAYS, not its rows
-        migrated.select("date").distinct().collect().map(_.getDate(0))
-      } finally { migrated.unpersist(); () }
+        .write.mode("overwrite").partitionBy("date").parquet(stagedDir.toString)
+      fs.create(stagedMarker, true).close()
+    } else if (!fs.exists(stagedDir) && pending.nonEmpty)
+      throw new IllegalStateException(
+        s"cagg store migration: $stagedMarker present but $stagedDir is " +
+          "missing while quarantined files remain — refusing to guess; " +
+          "remove the marker to re-stage from the quarantine")
+    val dateDirs =
+      if (!fs.exists(stagedDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(stagedDir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+    dateDirs.foreach { dd =>
+      val destDir = new Path(root, dd.getPath.getName)
+      if (!fs.exists(destDir) && !fs.mkdirs(destDir))
+        throw new IllegalStateException(
+          s"cagg store migration: cannot create $destDir")
+      fs.listStatus(dd.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val dest = new Path(destDir, s"migrated-${f.getPath.getName}")
+          if (fs.exists(dest)) {
+            // _STAGED froze the staged set, so this IS the same file an
+            // interrupted previous run already moved — drop the source
+            if (!fs.delete(f.getPath, false))
+              throw new IllegalStateException(
+                s"cagg store migration: cannot drop already-moved ${f.getPath}")
+          } else if (!fs.rename(f.getPath, dest))
+            throw new IllegalStateException(
+              s"cagg store migration: rename ${f.getPath} -> $dest failed; " +
+                "store left pre-marker for retry")
+        }
     }
-    fs.create(marker, true).close()
-    fs.delete(quarantine, true)
-    // step 4: the migrated rows are historical, so foreachBatch's
-    // dates-≥-batch-min refresh may never reach their dates — refresh
-    // them here (post-marker: a crash before this leaves the rollup
-    // stale, never the raw store duplicated). Dynamic partition
-    // overwrite rewrites exactly the touched dates; recompute reads only
-    // those date directories (partition pruning on the isin filter).
-    if (touchedDates.nonEmpty) {
-      val md = touchedDates.min(Ordering.by((d: java.sql.Date) => d.toString)).toString
+    // migrated dates come from the staged LAYOUT (listing, no job), and
+    // the refresh reads only those date directories of the full store
+    // (partition pruning on the isin filter) — cost ∝ migrated days
+    val dates = dateDirs.map(_.getPath.getName.stripPrefix("date=")).sorted
+    if (dates.nonEmpty)
       ContinuousAggregate.refresh(
-        spark.read.parquet(storePath).filter(col("date").isin(touchedDates.toSeq: _*)),
-        aggPath, widthS, md)
-    }
+        spark.read.parquet(storePath).filter(col("date").isin(dates.toIndexedSeq: _*)),
+        aggPath, widthS, dates.min)
+    fs.create(migratedMarker, true).close()
+    fs.delete(quarantine, true)
     ()
   }
 

@@ -394,6 +394,34 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactIndex resolves db-qualified tables through the catalog") {
+    // the data path must come from the catalog, not be reconstructed as
+    // <warehouse>/<name> — a db-qualified index lives under <db>.db/<tbl>
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    val union = base.unionByName(docs.filter(col("doc_id") % 3 === 1))
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_cmp_db")
+    Dedup.writeSignatureIndex(base, "graft_cmp_db.sig_idx", buckets = 4)
+    try {
+      Dedup.appendToSignatureIndex(docs.filter(col("doc_id") % 3 === 1),
+        "graft_cmp_db.sig_idx")
+      val before = Dedup.minhashPairsAgainstIndex(probe, "graft_cmp_db.sig_idx", union)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filesBefore = spark.table("graft_cmp_db.sig_idx").inputFiles.length
+      val rowsBefore = spark.table("graft_cmp_db.sig_idx").count()
+      Dedup.compactIndex(spark, "graft_cmp_db.sig_idx", "bh")
+      assert(spark.table("graft_cmp_db.sig_idx").inputFiles.length < filesBefore)
+      assert(spark.table("graft_cmp_db.sig_idx").count() == rowsBefore)
+      val after = Dedup.minhashPairsAgainstIndex(probe, "graft_cmp_db.sig_idx", union)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cmp_db.sig_idx")
+      spark.sql("DROP DATABASE IF EXISTS graft_cmp_db CASCADE")
+    }
+  }
+
   test("signature index append: probe after append equals from-scratch index over the union") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val base = docs.filter(col("doc_id") % 3 === 0)

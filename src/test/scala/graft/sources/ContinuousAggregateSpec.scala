@@ -368,4 +368,75 @@ class ContinuousAggregateSpec extends AnyFunSuite {
     assert(realtime == direct)
     assert(realtime.length == 2)
   }
+
+  test("realtime serves validate the caller-supplied storedWidthS against the width sidecar") {
+    // a too-small-but-dividing storedWidthS passes the multiple check,
+    // then silently shrinks the pruneDates slack and misplaces the
+    // watermark — the sidecar must catch it before any rows are served
+    val c = conditions(2)
+    val path = tmp("cagg_rt_width_guard")
+    ContinuousAggregate.create(c, path, widthS = 3600)
+    val ex = intercept[IllegalArgumentException](ContinuousAggregate.queryRealtime(
+      spark, path, c, "s0", "m", T0, T0 + 86400L,
+      widthS = 3600, storedWidthS = 1800))
+    assert(ex.getMessage.contains("storedWidthS"), ex.getMessage)
+    val sp = tmp("cagg_rt_width_guard_stats")
+    ContinuousAggregate.createStats(c, sp, widthS = 3600)
+    val ex2 = intercept[IllegalArgumentException](ContinuousAggregate.queryStatsRealtime(
+      spark, sp, c, "s0", "m", T0, T0 + 86400L,
+      widthS = 3600, storedWidthS = 1800))
+    assert(ex2.getMessage.contains("storedWidthS"), ex2.getMessage)
+    val dp = tmp("cagg_rt_width_guard_distinct")
+    ContinuousAggregate.createDistinct(c, dp, widthS = 3600)
+    val ex3 = intercept[IllegalArgumentException](ContinuousAggregate.queryDistinctRealtime(
+      spark, dp, c, "m", T0, T0 + 86400L, widthS = 3600, storedWidthS = 1800))
+    assert(ex3.getMessage.contains("storedWidthS"), ex3.getMessage)
+    val ex4 = intercept[IllegalArgumentException](
+      ContinuousAggregate.queryDistinctApproxRealtime(
+        spark, dp, c, "m", T0, T0 + 86400L, widthS = 3600, storedWidthS = 1800))
+    assert(ex4.getMessage.contains("storedWidthS"), ex4.getMessage)
+    // the matching width still serves
+    assert(ContinuousAggregate.queryRealtime(spark, path, c, "s0", "m",
+      T0, T0 + 86400L, widthS = 3600, storedWidthS = 3600).count() > 0)
+  }
+
+  test("grid origin travels with the store: mismatch and non-dividing pre-sidecar widths reject") {
+    def dropSidecar(path: String, name: String): Unit =
+      assert(new java.io.File(path, name).delete(), s"test setup: no $name at $path")
+    // a store recorded on a DIFFERENT grid origin must refuse to serve
+    // or refresh — mixed-grid buckets are plausible-looking wrong numbers
+    val c = conditions(2)
+    val path = tmp("cagg_grid_mismatch")
+    ContinuousAggregate.create(c, path, widthS = 3600)
+    ContinuousAggregate.writeLongSidecar(spark, path, "_graft_grid", 0L)
+    val ex = intercept[IllegalArgumentException](ContinuousAggregate.query(
+      spark, path, "s0", "m", T0, T0 + 86400L, widthS = 3600).collect())
+    assert(ex.getMessage.contains("grid"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](ContinuousAggregate.refresh(
+      c, path, widthS = 3600, sinceDate = "2024-01-03"))
+    assert(ex2.getMessage.contains("grid"), ex2.getMessage)
+    // a PRE-grid-sidecar store (grid unknown) at a width NOT dividing the
+    // origin: epoch-floored and origin-anchored grids differ there, so
+    // both refresh and serve must refuse instead of mixing alignments
+    val weekly = tmp("cagg_grid_presidecar")
+    ContinuousAggregate.create(c, weekly, widthS = 604800)
+    dropSidecar(weekly, "_graft_grid")
+    val ex3 = intercept[IllegalArgumentException](ContinuousAggregate.refresh(
+      c, weekly, widthS = 604800, sinceDate = "2024-01-03"))
+    assert(ex3.getMessage.contains("grid"), ex3.getMessage)
+    val ex4 = intercept[IllegalArgumentException](ContinuousAggregate.query(
+      spark, weekly, "s0", "m", T0, T0 + 604800L, widthS = 604800).collect())
+    assert(ex4.getMessage.contains("grid"), ex4.getMessage)
+    // ... while a pre-sidecar HOURLY store passes (3600 divides the
+    // origin, so the two grids coincide and nothing can mix), and the
+    // refresh then records the grid for good
+    val hourly = tmp("cagg_grid_presidecar_hourly")
+    ContinuousAggregate.create(c, hourly, widthS = 3600)
+    dropSidecar(hourly, "_graft_grid")
+    ContinuousAggregate.refresh(c, hourly, widthS = 3600, sinceDate = "2024-01-03")
+    assert(ContinuousAggregate.storedGridOf(spark, hourly).isDefined,
+      "refresh must re-record the grid sidecar")
+    assert(ContinuousAggregate.query(spark, hourly, "s0", "m",
+      T0, T0 + 86400L, widthS = 86400).count() > 0)
+  }
 }

@@ -81,4 +81,20 @@ class TimestampEncodingSpec extends AnyFunSuite {
     assert(v.formatTimeIntervals("user_3", "click", s, e, clockS = e).count() > 0)
     assert(v.filterUnchangedRows("user_3", "click", s, e).count() > 0)
   }
+
+  test("the NANOS fallback fires on WRAPPED schema-inference errors too") {
+    // Spark wraps analysis errors, so the loader walks the cause chain
+    // instead of substring-matching only the top-level message
+    val nanos = new RuntimeException("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,false))")
+    assert(EventsAsConditions.mentionsNanos(nanos))
+    assert(EventsAsConditions.mentionsNanos(
+      new RuntimeException("job aborted", new RuntimeException("task failed", nanos))))
+    assert(!EventsAsConditions.mentionsNanos(
+      new RuntimeException("job aborted", new RuntimeException(null: String))))
+    // self-referential cause chains must not loop forever
+    val loopy = new RuntimeException("a")
+    val loopy2 = new RuntimeException("b", loopy)
+    loopy.initCause(loopy2)
+    assert(!EventsAsConditions.mentionsNanos(loopy))
+  }
 }

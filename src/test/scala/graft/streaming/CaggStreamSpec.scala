@@ -140,6 +140,63 @@ class CaggStreamSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(tmp))
   }
 
+  test("crash between staging and completion marker: resume moves staged rows in exactly once") {
+    // the window the old append-then-mark protocol left open: a crash
+    // after the data landed but before _MIGRATED re-appended the whole
+    // quarantine on resume — permanent duplicates. The staged protocol
+    // closes it: _STAGED freezes the staged file set, move-in is
+    // idempotent renames, so BOTH interrupted states below resume to the
+    // same row count.
+    val legacyRows = Seq((0L, 1.0), (3600L, 2.0))
+    def plantInterrupted(tmp: String): Unit = {
+      // legacy file already quarantined (step 1 done)
+      rows(legacyRows).coalesce(1).write.parquet(s"$tmp/q")
+      val qdir = new java.io.File(s"$tmp/store/.legacy_migration"); qdir.mkdirs()
+      val part = new java.io.File(s"$tmp/q").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(qdir, part.getName).toPath)
+      // staging complete and frozen (step 2 done)
+      rows(legacyRows).withColumn("date", to_date(col("timestamp")))
+        .coalesce(1).write.mode("overwrite").partitionBy("date")
+        .parquet(s"$tmp/store/.legacy_migration/.staged")
+      assert(new java.io.File(qdir, "_STAGED").createNewFile())
+    }
+    // state A: crashed BEFORE any move-in
+    val tmpA = java.nio.file.Files.createTempDirectory("cagg_staged_a").toString
+    try {
+      plantInterrupted(tmpA)
+      rows(Seq((86400L, 5.0))).coalesce(1).write.mode("append").parquet(s"$tmpA/in")
+      CaggStream.start(spark, s"$tmpA/in", s"$tmpA/store", s"$tmpA/agg",
+        s"$tmpA/cp", widthS = 3600).awaitTermination()
+      assert(spark.read.parquet(s"$tmpA/store").count() == 3,
+        "2 staged + 1 streamed rows expected — no duplicates, no losses")
+      assert(!new java.io.File(s"$tmpA/store/.legacy_migration").exists())
+      // the migration's own refresh must serve the migrated (historical)
+      // date — the streamed batch's dates-≥-min refresh never reaches it
+      val served = ContinuousAggregate.query(spark, s"$tmpA/agg", "s1", "m",
+          T0, T0 + 7200, widthS = 3600)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == Seq((T0, 1.0), (T0 + 3600, 2.0)), s"migrated date must serve: $served")
+    } finally rmTree(new java.io.File(tmpA))
+    // state B: crashed AFTER the move-in completed (marker still absent)
+    val tmpB = java.nio.file.Files.createTempDirectory("cagg_staged_b").toString
+    try {
+      plantInterrupted(tmpB)
+      val sd = new java.io.File(s"$tmpB/store/.legacy_migration/.staged/date=2024-01-03")
+      val stagedFile = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      assert(new java.io.File(s"$tmpB/store/date=2024-01-03").mkdirs())
+      java.nio.file.Files.move(stagedFile.toPath,
+        new java.io.File(s"$tmpB/store/date=2024-01-03/migrated-${stagedFile.getName}").toPath)
+      rows(Seq((86400L, 5.0))).coalesce(1).write.mode("append").parquet(s"$tmpB/in")
+      CaggStream.start(spark, s"$tmpB/in", s"$tmpB/store", s"$tmpB/agg",
+        s"$tmpB/cp", widthS = 3600).awaitTermination()
+      assert(spark.read.parquet(s"$tmpB/store").count() == 3,
+        "already-moved staged rows must not re-append on resume")
+      assert(!new java.io.File(s"$tmpB/store/.legacy_migration").exists())
+    } finally rmTree(new java.io.File(tmpB))
+  }
+
   test("stale marker + newly-appended flat files: migration re-runs instead of honoring the marker") {
     // a rolled-back legacy writer can append flat root files AFTER a
     // completed migration whose quarantine cleanup was interrupted (the
