@@ -74,7 +74,18 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up: JIT + codegen + shuffle service on the tiny SF, untimed
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // interleave each SQL face right after its method-path twin instead
+    // of running all q_sql_* rows as a trailing block: the twins share
+    // the literal logical plan, so adjacent slots see the same JVM and
+    // codegen history and in-suite twin divergence stops needing an
+    // isolated-rerun adjudication every round (r8/r9: q_sql_* rows
+    // inherited ~200 rows of suite history and moved >2x by position
+    // alone). '!' sorts before '_' and every alphanumeric, so
+    // "q_agg!sql" lands directly after "q_agg", before "q_agg_day".
+    def benchOrder(name: String): String =
+      if (name.startsWith("q_sql_")) "q_" + name.stripPrefix("q_sql_") + "!sql"
+      else name
+    val results = SparkEntry.queries.toSeq.sortBy(p => benchOrder(p._1))
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
       val (best, rows, phases) = timeQuery(spark, name, fn, sfDir, reps)

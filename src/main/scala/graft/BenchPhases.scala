@@ -20,9 +20,10 @@ package graft
   * phases of the rep whose TOTAL won the reported min — attribution and
   * total always come from the same run, so `total − Σ phases` is the
   * genuine residual (the lazy serve/count) — PROVIDED the sum excludes
-  * the two derived keys stream rows carry: `per_batch_s` (a mean) and
-  * `pb_n` (a count), which are statistics ABOUT the drain phase, not
-  * additional wall-clock. Recording is a lock-free map
+  * the derived keys stream rows carry: `per_batch_s` (a mean),
+  * `per_batch_max_s` (a max) and `pb_n` (a count), which are statistics
+  * ABOUT the drain phase, not additional wall-clock. Recording is a
+  * lock-free map
   * update (~100 ns) — zero impact on the timed work — and the
   * Verify/driver gate path never reads it.
   */
@@ -77,6 +78,7 @@ object BenchPhases {
         else {
           current.updateWith((query, PbSum)) { prev => Some(prev.getOrElse(0.0) + sec) }
           current.updateWith((query, PbCnt)) { prev => Some(prev.getOrElse(0.0) + 1.0) }
+          current.updateWith((query, PbMax)) { prev => Some(math.max(prev.getOrElse(0.0), sec)) }
         }
       }
   }
@@ -84,23 +86,27 @@ object BenchPhases {
   private val PbSeen = "__pb_seen"
   private val PbSum = "__pb_sum"
   private val PbCnt = "__pb_cnt"
+  private val PbMax = "__pb_max"
 
   /** Reset accumulation — the harness calls this before each rep. */
   def repStart(): Unit = current.clear()
 
   /** This rep's phases for one query (empty for non-composite rows).
-    * The hidden per-batch accumulators fold into a single `per_batch_s`
-    * (mean marginal batch seconds) plus `pb_n` (how many marginal
-    * batches the mean covers — a count, not seconds).
+    * The hidden per-batch accumulators fold into `per_batch_s` (MEAN
+    * marginal batch seconds), `per_batch_max_s` (the WORST marginal
+    * batch — one GC pause or state-store hiccup shows up here, not
+    * smeared into the mean) plus `pb_n` (how many marginal batches the
+    * mean covers — a count, not seconds).
     */
   def repSnapshot(query: String): Map[String, Double] = {
     val all = current.readOnlySnapshot().collect {
       case ((q, p), s) if q == query => p -> s
     }.toMap
-    val visible = all -- Seq(PbSeen, PbSum, PbCnt)
+    val visible = all -- Seq(PbSeen, PbSum, PbCnt, PbMax)
     (all.get(PbSum), all.get(PbCnt)) match {
       case (Some(sum), Some(cnt)) if cnt > 0 =>
-        visible + ("per_batch_s" -> sum / cnt, "pb_n" -> cnt)
+        visible ++ Seq("per_batch_s" -> sum / cnt, "pb_n" -> cnt,
+          "per_batch_max_s" -> all.getOrElse(PbMax, 0.0))
       case _ => visible
     }
   }

@@ -51,6 +51,36 @@ object SparkEntry {
   private def r6(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, sround(col(c), 6)))
 
+  /** Six time-ascending slice bounds covering [S1, E1] — the staging grid
+    * of every restart-per-slice streaming bench row. Six data slices
+    * (plus a sentinel batch where the row needs one) put the per-batch
+    * marginal mean over ≥5 batches, enough for `per_batch_s`/`pb_n` to
+    * carry a dispute — two batches cannot tell a GC pause from a real
+    * marginal-cost change. Ordered, non-overlapping ranges keep every
+    * later slice's rows at-or-ahead of the watermark (watermark after
+    * slice k ≤ slice k's max event time ≤ every slice-k+1 row), so the
+    * split provably cannot change any windowed/stateful result.
+    */
+  private val SliceBounds = Seq(S1, 1704600000L, 1704960000L, 1705320000L,
+    1705680000L, 1706040000L, E1 + 1)
+
+  /** Stage `real` into `dir` one time-slice file at a time, draining the
+    * stream via `run` after each — the restart-per-slice gate shape
+    * (each counted batch deliberately includes checkpoint resume: that
+    * is what every production arrival pays in the maintenance loop).
+    */
+  private def stageSlices(query: String, real: DataFrame, dir: String)
+                         (run: () => Unit): Unit =
+    SliceBounds.sliding(2).foreach {
+      case Seq(a, b) =>
+        BenchPhases.timed(query, "stage")(
+          real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
+              col("timestamp") < timestamp_seconds(lit(b)))
+            .coalesce(1).write.mode("append").parquet(dir))
+        run()
+      case _ => ()
+    }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg")(spark, "/root/testdata/sf0.001")
@@ -321,17 +351,9 @@ object SparkEntry {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
         }
-        // three non-overlapping, time-ascending slices; each is ONE file
+        // six non-overlapping, time-ascending slices; each is ONE file
         // so AvailableNow cannot split it out of order
-        Seq(S1, 1705000000L, 1705700000L, E1 + 1).sliding(2).foreach {
-          case Seq(a, b) =>
-            BenchPhases.timed("q_rate_stream", "stage")(
-              real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
-                  col("timestamp") < timestamp_seconds(lit(b)))
-                .coalesce(1).write.mode("append").parquet(s"$tmp/input"))
-            run()
-          case _ => ()
-        }
+        stageSlices("q_rate_stream", real, s"$tmp/input")(() => run())
         s.read.parquet(s"$tmp/out")
           .orderBy("measurement_subject", "t_start_us", "t_end_us", "dv_scaled")
       }
@@ -498,15 +520,9 @@ object SparkEntry {
         def run(): Unit = BenchPhases.drainTimed("q_cagg_streamed")(
           graft.streaming.CaggStream.start(s, s"$tmp/input", s"$tmp/store",
             s"$tmp/agg", s"$tmp/cp", widthS = 3600))
-        Seq(S1, 1705000000L, 1705700000L, E1).sliding(2).foreach {
-          case Seq(a, b) =>
-            BenchPhases.timed("q_cagg_streamed", "stage")(
-              real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
-                  col("timestamp") < timestamp_seconds(lit(b)))
-                .coalesce(1).write.mode("append").parquet(s"$tmp/input"))
-            run()
-          case _ => ()
-        }
+        // real is already bounded < E1, so the shared inclusive slice
+        // grid stages exactly the same rows
+        stageSlices("q_cagg_streamed", real, s"$tmp/input")(() => run())
         graft.sources.ContinuousAggregate.query(s, s"$tmp/agg", Subject, Of,
           S1, E1, widthS = 86400)
       }
@@ -615,9 +631,7 @@ object SparkEntry {
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        BenchPhases.timed("q_ohlc_stream", "stage")(
-          real.repartition(3).write.parquet(s"$tmp/input"))
-        run()
+        stageSlices("q_ohlc_stream", real, s"$tmp/input")(() => run())
         sentinel(4102444800L); run()
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
@@ -651,9 +665,7 @@ object SparkEntry {
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        BenchPhases.timed("q_stats_stream", "stage")(
-          real.repartition(3).write.parquet(s"$tmp/input"))
-        run()
+        stageSlices("q_stats_stream", real, s"$tmp/input")(() => run())
         sentinel(4102444800L); run()
         graft.queries.TimeseriesQueries.statsDerive(
           s.read.parquet(s"$tmp/out")
@@ -690,9 +702,7 @@ object SparkEntry {
           Seq(("__sentinel__", "__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_of", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        BenchPhases.timed("q_agg_interval_stream", "stage")(
-          real.repartition(3).write.parquet(s"$tmp/input"))
-        run()
+        stageSlices("q_agg_interval_stream", real, s"$tmp/input")(() => run())
         sentinel(4102444800L); run()
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
@@ -731,9 +741,7 @@ object SparkEntry {
           Seq(("__sentinel__", new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        BenchPhases.timed("q_sessions_stream", "stage")(
-          real.repartition(3).write.parquet(s"$tmp/input"))
-        run()                      // real events (several micro-batches)
+        stageSlices("q_sessions_stream", real, s"$tmp/input")(() => run())
         sentinel(4102444800L); run() // 2100-01-01: watermark past every close
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
@@ -774,7 +782,7 @@ object SparkEntry {
       withTempDir("graft_line_stream") { tmp =>
         BenchPhases.timed("q_line_dedup_stream", "stage")(
           planted.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
-            .repartition(3).write.parquet(s"$tmp/input"))
+            .repartition(7).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_line_dedup_stream")(
           graft.streaming.DedupStream.startLines(s, s"$tmp/input",
               "graft_stream_line_index", s"$tmp/out", s"$tmp/cp",
@@ -950,7 +958,7 @@ object SparkEntry {
       withTempDir("graft_overlap_stream") { tmp =>
         BenchPhases.timed("q_corpus_overlap_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
-            .repartition(3).write.parquet(s"$tmp/input"))
+            .repartition(7).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_corpus_overlap_stream")(
           graft.streaming.OverlapSketchStream.start(s, s"$tmp/input",
               "graft_overlap_stream_sk", s"$tmp/cp", maxFilesPerTrigger = Some(1)))
@@ -1012,7 +1020,7 @@ object SparkEntry {
       withTempDir("graft_dedup_stream") { tmp =>
         BenchPhases.timed("q_dedup_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
-            .repartition(3).write.parquet(s"$tmp/input"))
+            .repartition(7).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_dedup_stream")(
           graft.streaming.DedupStream.start(s, s"$tmp/input", "graft_stream_sig_index",
               idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1)))
@@ -1030,7 +1038,7 @@ object SparkEntry {
       withTempDir("graft_simhash_stream") { tmp =>
         BenchPhases.timed("q_dedup_simhash_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
-            .repartition(3).write.parquet(s"$tmp/input"))
+            .repartition(7).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_dedup_simhash_stream")(
           graft.streaming.DedupStream.startSimhash(s, s"$tmp/input",
               "graft_stream_sh_index", s"$tmp/out", s"$tmp/cp",
@@ -1182,7 +1190,7 @@ object SparkEntry {
       withTempDir("graft_embed_stream") { tmp =>
         BenchPhases.timed("q_embed_neardup_stream", "stage")(
           e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
-            .repartition(3).write.parquet(s"$tmp/input"))
+            .repartition(7).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_embed_neardup_stream")(
           graft.streaming.AnnStream.start(s, s"$tmp/input", "graft_stream_ivf_index",
               s"$tmp/out", s"$tmp/cp", threshold = 0.45, nProbe = 16,
@@ -1464,7 +1472,7 @@ object SparkEntry {
           docs.filter(lit(false)), "graft_vocab_stream_idx"))
       withTempDir("graft_vocab_stream") { tmp =>
         BenchPhases.timed("q_vocab_stream", "stage")(
-          docs.select("doc_id", "text").repartition(3)
+          docs.select("doc_id", "text").repartition(7)
             .write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_vocab_stream")(
           graft.streaming.CorpusStatsStream.start(s, s"$tmp/input",
@@ -1509,7 +1517,7 @@ object SparkEntry {
       withTempDir("graft_quality_stream") { tmp =>
         BenchPhases.timed("q_quality_stream", "stage")(
           docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text", "lang")
-            .repartition(3).write.parquet(s"$tmp/input"))
+            .repartition(7).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_quality_stream")(
           graft.streaming.QualityStream.start(s, s"$tmp/input",
               "graft_nb_model_stream", s"$tmp/out", s"$tmp/cp",
@@ -1667,7 +1675,7 @@ object SparkEntry {
       withTempDir("graft_decon_stream") { tmp =>
         BenchPhases.timed("q_decontaminate_stream", "stage")(
           docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text", "source")
-            .repartition(3).write.parquet(s"$tmp/input"))
+            .repartition(7).write.parquet(s"$tmp/input"))
         val q = BenchPhases.timed("q_decontaminate_stream", "build")(
           graft.streaming.DecontaminationStream.start(s, s"$tmp/input",
             docs.filter(col("doc_id") % 7 === 0), s"$tmp/out", s"$tmp/cp",
@@ -1716,7 +1724,7 @@ object SparkEntry {
           docs.filter(lit(false)), "graft_wsample_state", "n_chars", k = 100))
       withTempDir("graft_wsample_stream") { tmp =>
         BenchPhases.timed("q_weighted_sample_stream", "stage")(
-          docs.select("doc_id", "n_chars").repartition(3)
+          docs.select("doc_id", "n_chars").repartition(7)
             .write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_weighted_sample_stream")(
           graft.streaming.WeightedSampleStream.start(s, s"$tmp/input",
@@ -1821,6 +1829,20 @@ object SparkEntry {
           Multimodal.fromDocuments(table(s, d, "documents"))).toDF()
         .orderBy("id"), "byte_mean")
     }),
+    // the REAL decode face of the media pipeline: deterministic tiny
+    // PNGs synthesized per doc (constant gray survives the lossless PNG
+    // round-trip and BT.601 luma exactly), decoded by javax.imageio and
+    // feature-extracted from the DECODED plane — the features are
+    // closed-form in doc_id, so the oracle replays the entire
+    // encode → decode → extract chain in SQL
+    "q_media_decode" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.syntheticPng(
+        table(s, d, "documents").filter(col("doc_id") % 10 === 0))
+      r6(Multimodal.extractFeatures(s, media,
+          Multimodal.MediaDecoder.Real).toDF()
+        .orderBy("id"), "byte_mean")
+    }),
 
     // as-of (point-in-time) join: each click joined to the latest view at
     // or before it — composed from built-ins (union + running window), with
@@ -1861,7 +1883,7 @@ object SparkEntry {
       withTempDir("graft_media_stream") { tmp =>
         BenchPhases.timed("q_media_stream", "stage")(
           media.filter(col("id") % 2 === 1).select("id", "content")
-            .repartition(3).write.parquet(s"$tmp/input"))
+            .repartition(7).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_media_stream")(
           graft.streaming.DedupStream.startMedia(s, s"$tmp/input",
               "graft_media_stream_idx", s"$tmp/out", s"$tmp/cp",
@@ -4671,6 +4693,14 @@ object SparkEntry {
         |SELECT id, modality, n_bytes, s % 9973 AS byte_sum,
         |       ROUND(CAST(s AS DOUBLE)/n_bytes, 6) AS byte_mean
         |FROM m ORDER BY id""".stripMargin,
+    // the Real-decoder face: constant-gray PNGs make the decoded-plane
+    // features closed-form in doc_id (n = w·h, sum%9973, mean = gray)
+    "q_media_decode" ->
+      """SELECT doc_id AS id, 'image' AS modality,
+        |       CAST((8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_bytes,
+        |       CAST(((doc_id % 256) * (8 + doc_id % 8) * (8 + doc_id % 5)) % 9973 AS BIGINT) AS byte_sum,
+        |       ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS byte_mean
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,

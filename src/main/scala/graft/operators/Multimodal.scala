@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here — schema, binary transport, batched
   * `mapPartitions` execution, byte-budget repartitioning — is real and
-  * tested. The actual media decoding is STUBBED: this container has no
-  * image/audio codecs, so [[MediaDecoder.Real]] throws and the pipeline
-  * runs with [[MediaDecoder.Fake]], a deterministic byte-level feature
-  * extractor whose outputs are oracle-checkable. Swapping in a real codec
-  * is a one-object change; nothing in the plan shape moves.
+  * tested, and so is the IMAGE half of the decode seam:
+  * [[MediaDecoder.Real]] decodes PNG/JPEG/GIF/BMP through
+  * `javax.imageio` (in every base JRE — no external codec package) and
+  * extracts features from the decoded luma plane. Audio/video codecs
+  * are not in this container, so non-image bytes fail loudly under
+  * `Real`; [[MediaDecoder.Fake]] remains the deterministic byte-level
+  * stand-in every synthetic fixture and oracle row uses. The two
+  * decoders share one pipeline shape — swapping is a parameter, nothing
+  * in the plan moves.
   *
   * Scale notes: media rows are large (MBs); the operators below
   * repartition by an explicit byte budget (`targetPartitionBytes`) rather
@@ -30,27 +34,81 @@ object Multimodal {
   final case class MediaFeatures(id: Long, modality: String, n_bytes: Long,
                                  byte_sum: Long, byte_mean: Double)
 
-  /** The decode seam. */
+  /** The decode seam: a decoder maps opaque content bytes to a
+    * single-channel pixel stream (the luma plane). Features and the
+    * aHash sketch are computed over that plane, so the SAME downstream
+    * arithmetic serves both the byte-level stand-in and real decodes.
+    */
   sealed trait MediaDecoder extends Serializable {
-    def features(content: Array[Byte]): (Long, Long, Double)
+    /** Decoded single-channel pixels, row-major. [[MediaDecoder.Fake]]
+      * returns the raw bytes unchanged.
+      */
+    def luma(content: Array[Byte]): Array[Byte]
+    /** (width, height) where the decoder knows them; None for the
+      * byte-level stand-in.
+      */
+    def dims(content: Array[Byte]): Option[(Int, Int)]
+    /** (plane length, plane sum mod 9973, plane mean) — deterministic,
+      * exact, oracle-checkable arithmetic over [[luma]].
+      */
+    final def features(content: Array[Byte]): (Long, Long, Double) = {
+      val px = luma(content)
+      var sum = 0L
+      var i = 0
+      while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+      (px.length.toLong, sum % 9973L,
+        if (px.length == 0) 0.0 else sum.toDouble / px.length)
+    }
   }
   object MediaDecoder {
-    /** Real codecs are not available in this environment. */
+    /** JRE-native image decode (`javax.imageio` reads PNG/JPEG/GIF/BMP
+      * in every JDK — no external codecs): luma = integer BT.601
+      * `(299·R + 587·G + 114·B) / 1000`, exact `g` for gray pixels
+      * `(g,g,g)` since the weights sum to 1000. Non-image bytes (audio/
+      * video — codecs absent in this environment) fail loudly rather
+      * than producing garbage features.
+      */
     case object Real extends MediaDecoder {
-      def features(content: Array[Byte]): (Long, Long, Double) =
-        throw new NotImplementedError(
-          "media codecs (image/audio/video) are not present in this container; " +
-          "use MediaDecoder.Fake — the pipeline shape is identical")
-    }
-    /** Deterministic stand-in: byte-level stats (exact, oracle-checkable). */
-    case object Fake extends MediaDecoder {
-      def features(content: Array[Byte]): (Long, Long, Double) = {
-        var sum = 0L
+      def luma(content: Array[Byte]): Array[Byte] = {
+        val img = decode(content)
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var y = 0
         var i = 0
-        while (i < content.length) { sum += content(i) & 0xff; i += 1 }
-        (content.length.toLong, sum % 9973L,
-          if (content.length == 0) 0.0 else sum.toDouble / content.length)
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(i) = ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000).toByte
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        out
       }
+      def dims(content: Array[Byte]): Option[(Int, Int)] = {
+        val img = decode(content)
+        Some((img.getWidth, img.getHeight))
+      }
+      private def decode(content: Array[Byte]): java.awt.image.BufferedImage = {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) throw new IllegalArgumentException(
+          "MediaDecoder.Real: content is not a decodable image " +
+            "(javax.imageio found no reader); audio/video codecs are not " +
+            "present in this environment — use MediaDecoder.Fake for " +
+            "byte-level features")
+        img
+      }
+    }
+    /** Deterministic stand-in: the "plane" IS the raw bytes (exact,
+      * oracle-checkable without any codec).
+      */
+    case object Fake extends MediaDecoder {
+      def luma(content: Array[Byte]): Array[Byte] = content
+      def dims(content: Array[Byte]): Option[(Int, Int)] = None
     }
   }
 
@@ -70,6 +128,39 @@ object Multimodal {
         lit(16000).as("sampleRate"),
         (col("n_chars") * 10L).as("durationMs"),
         lit("stub").as("format")).as("meta"))
+
+  /** Deterministic tiny PNG per id — the [[MediaDecoder.Real]] fixture
+    * generator: a (8+id%8)×(8+id%5) constant-gray (g = id%256)
+    * TYPE_INT_RGB image, PNG-encoded entirely in the JRE. Constant gray
+    * survives both the (lossless) PNG round-trip and the BT.601 luma
+    * exactly (luma(g,g,g) = g since 299+587+114 = 1000), so the
+    * Real-decoded features are CLOSED-FORM in id — arithmetic a SQL
+    * oracle replays: n = w·h, sum%9973 = (g·w·h)%9973, mean = g.
+    */
+  def syntheticPng(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val mk = udf((id: Long) => pngBytes(id))
+    docs.select(col(idCol).as("id"), lit("image").as("modality"),
+      mk(col(idCol)).as("content"))
+  }
+
+  private[operators] def pngBytes(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticPng ids must be non-negative, got $id")
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 5).toInt
+    val g = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Repartition a media table so each partition holds roughly
     * `targetPartitionBytes` of content — size-aware, not row-count-aware.
@@ -107,9 +198,11 @@ object Multimodal {
     * when n < 64 (bit stays 0). Safe from Long overflow up to ~190 MB
     * per asset (255·n² < 2⁶³).
     *
-    * With a REAL image decoder this would hash decoded luma instead of
-    * raw bytes; the sketch, banding, and pair machinery are unchanged —
-    * the decode seam is the same one [[extractFeatures]] stubs.
+    * Over raw bytes this is the deterministic byte-level sketch the
+    * synthetic fixtures oracle-check; [[aHashSigs(media:*]] with
+    * [[MediaDecoder.Real]] runs the SAME function over decoded luma —
+    * the classic perceptual aHash. Sketch, banding and pair machinery
+    * are identical either way.
     */
   private[operators] def aHash64(content: Array[Byte]): Long = {
     val n = content.length
@@ -140,6 +233,17 @@ object Multimodal {
     */
   def aHashSigs(media: DataFrame): DataFrame =
     media.select(col("id").as("doc_id"), aHashUdf(col("content")).as("simhash"))
+
+  /** [[aHashSigs]] through a decoder: the hash runs over the DECODED
+    * luma plane instead of the raw bytes — with [[MediaDecoder.Real]]
+    * this is the classic perceptual aHash (re-encode-robust: a JPEG copy
+    * of a PNG hashes near-identically because the decoded pixels, not
+    * the container bytes, are sketched). Same map-only plan shape.
+    */
+  def aHashSigs(media: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val u = udf((content: Array[Byte]) => aHash64(decoder.luma(content)))
+    media.select(col("id").as("doc_id"), u(col("content")).as("simhash"))
+  }
 
   /** Media near-duplicate pairs: assets whose aHash signatures differ in
     * ≤ `maxHamming` bits — re-encoded/lightly-edited copies of the same

@@ -43,6 +43,9 @@ class BenchPhasesSpec extends AnyFunSuite {
     assert(snap("pb_n") == 2.0, s"3 data batches must yield 2 marginal: $snap")
     assert(snap("per_batch_s") > 0 && snap("per_batch_s") < snap("drain"),
       s"marginal mean must be positive and below total drain: $snap")
+    assert(snap.contains("per_batch_max_s") &&
+      snap("per_batch_max_s") >= snap("per_batch_s"),
+      s"worst marginal batch must be >= the mean: $snap")
     assert(!snap.keys.exists(_.startsWith("__")),
       s"hidden accumulator keys leaked: ${snap.keys}")
     // all three rows actually drained

@@ -97,4 +97,62 @@ class MediaNearDupSpec extends AnyFunSuite {
       Multimodal.mediaNearDupAgainstIndex(media, "graft_media_spec", maxHamming = 2)
     }
   }
+
+  // ---- MediaDecoder.Real (javax.imageio — PNG/JPEG in the base JRE) ----
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JRE has no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Vertical gradient (pixel = y·255/(h−1)): cell means rise monotonely
+    * through the raster, so only the middle aHash cells sit near the
+    * global mean — re-encode noise can flip at most those few bits.
+    */
+  private def vGradient(w: Int, h: Int, invert: Boolean): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v0 = y * 255 / (h - 1)
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("Real decoder: constant-gray PNG features are closed-form; non-image bytes fail loudly") {
+    val png = Multimodal.pngBytes(1234L) // 10x12, gray 210
+    val (n, s, m) = Multimodal.MediaDecoder.Real.features(png)
+    assert(n == 10 * 12, s"decoded plane must be w*h pixels: $n")
+    assert(s == (210L * 120L) % 9973L, s"plane sum mod: $s")
+    assert(m == 210.0, s"constant gray must survive decode + luma exactly: $m")
+    assert(Multimodal.MediaDecoder.Real.dims(png).contains((10, 12)))
+    val ex = intercept[IllegalArgumentException](
+      Multimodal.MediaDecoder.Real.features("not an image".getBytes("UTF-8")))
+    assert(ex.getMessage.contains("decodable"), ex.getMessage)
+  }
+
+  test("Real decoder: a JPEG re-encode of a PNG is a perceptual near-dup, a different image is not") {
+    import spark.implicits._
+    // A = PNG gradient; B = the SAME pixels re-encoded as (lossy) JPEG —
+    // different container bytes, near-identical decoded luma; C inverted
+    val a = vGradient(64, 64, invert = false)
+    val assets = Seq(
+      (1L, encode(a, "png")),
+      (2L, encode(a, "jpg")),
+      (3L, encode(vGradient(64, 64, invert = true), "png")))
+      .toDF("id", "content")
+    val sigs = Multimodal.aHashSigs(assets, Multimodal.MediaDecoder.Real)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(sigs(1L), sigs(2L)) <= 4,
+      s"re-encode must stay within the near-dup budget: ${ham(sigs(1L), sigs(2L))} bits")
+    assert(ham(sigs(1L), sigs(3L)) > 30,
+      s"inverted gradient must be far: ${ham(sigs(1L), sigs(3L))} bits")
+    // the full pair machinery over decoded-luma sigs finds exactly (1,2)
+    val pairs = graft.operators.Dedup.sigPairs(
+        Multimodal.aHashSigs(assets, Multimodal.MediaDecoder.Real), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+  }
 }
