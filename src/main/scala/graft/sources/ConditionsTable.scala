@@ -94,6 +94,65 @@ object ConditionsTable {
     (when(valid, lat), when(valid, lon))
   }
 
+  /** PostgreSQL/TimescaleDB DDL for the conditions sink table — the SQL
+    * a JDBC parity deployment runs once before
+    * [[graft.streaming.IngestPipeline.jdbcBatchWriter]] starts
+    * appending. Re-derived from the reference's provisioning semantics
+    * (`db/create_table_and_roles.sql:35-59`): identical columns, types
+    * and nullability (`timestamp with time zone`, `geography(Point,
+    * 4326)` for the WKT the sink writes, the sequence-backed
+    * `measurement_unique_id`), the same eight secondary indexes (hash
+    * for the equality-only dispatch columns, B-tree elsewhere,
+    * descending on `"timestamp"`), and the hypertable conversion
+    * chunked on `"timestamp"`. Roles/users/grants are deployment
+    * provisioning outside the engine (SURVEY §2B/B10) and are
+    * deliberately not emitted. No PG exists in this environment; the
+    * text is golden-tested against the reference's semantics
+    * (`PgDdlSpec`) so a parity deployment can run it verbatim.
+    */
+  def pgDdl(tableName: String): String = {
+    require(tableName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"tableName must be a plain SQL identifier, got '$tableName'")
+    val seq = s"${tableName}_measurement_unique_id_sequence"
+    s"""CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE;
+       |CREATE EXTENSION IF NOT EXISTS postgis CASCADE;
+       |CREATE SEQUENCE IF NOT EXISTS $seq START 1;
+       |CREATE TABLE IF NOT EXISTS $tableName (
+       |    "timestamp"             timestamp with time zone NOT NULL,
+       |    "measurement_subject"   text NOT NULL,
+       |    "measurement_number"    double precision,
+       |    "measurement_of"        text NOT NULL,
+       |    "measurement_string"    text,
+       |    "correlation_id"        text,
+       |    "measurement_bool"      boolean,
+       |    "measurement_publisher" text,
+       |    "measurement_location"  geography(Point,4326),
+       |    measurement_unique_id   bigint NOT NULL DEFAULT nextval('$seq')
+       |);
+       |CREATE INDEX IF NOT EXISTS ${tableName}_correlation_id_idx ON $tableName (correlation_id);
+       |CREATE INDEX IF NOT EXISTS ${tableName}_measurement_bool_idx ON $tableName (measurement_bool);
+       |CREATE INDEX IF NOT EXISTS ${tableName}_measurement_number_idx ON $tableName (measurement_number);
+       |CREATE INDEX IF NOT EXISTS ${tableName}_measurement_of_idx ON $tableName USING hash (measurement_of);
+       |CREATE INDEX IF NOT EXISTS ${tableName}_measurement_publisher_idx ON $tableName USING hash (measurement_publisher);
+       |CREATE INDEX IF NOT EXISTS ${tableName}_measurement_string_idx ON $tableName (measurement_string);
+       |CREATE INDEX IF NOT EXISTS ${tableName}_measurement_subject_idx ON $tableName USING hash (measurement_subject);
+       |CREATE INDEX IF NOT EXISTS ${tableName}_timestamp_idx ON $tableName ("timestamp" DESC);
+       |SELECT create_hypertable('$tableName', 'timestamp');
+       |""".stripMargin
+  }
+
+  /** The exact frame a PG parity deployment inserts into a [[pgDdl]]
+    * table: the [[toStorage]] output minus the parquet partition helper
+    * (`date` — PG chunks on time via the hypertable instead) and minus
+    * the wire-format routing tag (`measurement_data_type` — the
+    * reference consults it to pick the typed column at insert time and
+    * never stores it, `shared_code/timescale.py:109-117`; our normalize
+    * already routed the value into number/string/bool, so the tag is
+    * redundant by the time rows reach a sink).
+    */
+  def pgRows(storage: DataFrame): DataFrame =
+    storage.drop("date", "measurement_data_type")
+
   /** Write date-partitioned, row-group-clustered Parquet. */
   def write(storage: DataFrame, path: String): Unit =
     storage
