@@ -703,6 +703,59 @@ object ScaleProbe {
     }
   }
 
+  /** Empirical SimHash banding recall vs brute force: segment banding
+    * with `maxHamming + 1` segments is EXACT by pigeonhole (a pair
+    * within the Hamming budget must agree on one whole segment), so
+    * unlike MinHash-LSH the expected recall is 1.0 — this probe
+    * CONFIRMS the exactness claim empirically across thresholds and
+    * re-drawn hash families (the token hash is salted per seed, which
+    * re-draws every signature the way reseeding the permutation family
+    * does for MinHash), and measures the side the parameter actually
+    * trades: candidate volume per threshold (more segments ⇒ shorter
+    * segments ⇒ more spurious bucket collisions to verify). The brute
+    * tier is a driver-side n²/2 bitCount sweep over the collected
+    * signatures — fine at probe scale, the quadratic tier the banding
+    * exists to avoid.
+    */
+  private def simhashRecallProbe(spark: SparkSession, docs: DataFrame,
+                                 thresholds: Seq[Int]): Unit = {
+    for (seed <- Seq("", "s1042_", "s90210_")) {
+      // salting every token re-draws the md5 signature family without
+      // touching Dedup's oracle-pinned default hashing
+      val salted = if (seed.isEmpty) docs
+        else docs.withColumn("text", concat_ws(" ",
+          expr(s"transform(split(text, ' '), t -> concat('$seed', t))")))
+      val sigs = Dedup.simhash(salted.select("doc_id", "text")).localCheckpoint(true)
+      val arr = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      for (t <- thresholds) {
+        val exact = scala.collection.mutable.Set[(Long, Long)]()
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            if (java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) <= t) {
+              exact.add(if (arr(i)._1 < arr(j)._1) (arr(i)._1, arr(j)._1)
+                else (arr(j)._1, arr(i)._1))
+              ()
+            }
+            j += 1
+          }
+          i += 1
+        }
+        // candidate volume = distinct in-bucket pairs BEFORE the Hamming
+        // filter (the work the verifier pays per threshold)
+        val nSeg = t + 1
+        val (got, sec) = time(
+          Dedup.sigPairs(sigs, t).select("doc_a", "doc_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        val hit = got.intersect(exact).size
+        val recall = if (exact.isEmpty) 1.0 else hit.toDouble / exact.size
+        println(s"""{"max_hamming":$t,"segments":$nSeg,"seg_bits":${64 / nSeg},"seed":"${if (seed.isEmpty) "default" else seed}","exact_pairs":${exact.size},"banded_pairs":${got.size},"hit":$hit,"missed":${exact.size - hit},"false_pos":${got.diff(exact).size},"recall":${fmt(recall, 6)},"sec":${fmt(sec)}}""")
+        spark.catalog.clearCache(); System.gc()
+      }
+    }
+  }
+
   /** Overlap-sketch maintenance M-sweep: the sketch is numPerm rows
     * FOREVER, so folding a FIXED batch in (and probing against it) must
     * stay ~flat as the already-sketched corpus grows M× — only the
@@ -897,6 +950,11 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     if (args.lift(2).contains("recall")) {
       recallProbe(spark, docs, ms) // ms are band counts here (numPerm=64)
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("shrecall")) {
+      simhashRecallProbe(spark, docs, ms) // ms are Hamming thresholds here
       spark.stop()
       return
     }

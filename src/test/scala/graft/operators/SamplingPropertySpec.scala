@@ -311,6 +311,52 @@ class SamplingPropertySpec extends AnyFunSuite {
     assert(wins.distinct.size > 30, s"only ${wins.distinct.size} distinct winners")
   }
 
+  test("weightedSample distribution: chi-square fit at 10^4 draws (class and per-doc)") {
+    import spark.implicits._
+    // Quantitative upgrade of the frequency property above (r9 verdict
+    // #7): Efraimidis–Spirakis single draws pick doc i with probability
+    // EXACTLY w_i/Σw, so 10^4 independent deterministic draws (distinct
+    // salts = independent md5 families, one Spark job via the stratum
+    // trick) must fit that distribution under chi-square. Three weight
+    // classes, ids 1..10 at w=4, 11..20 at w=2, 21..30 at w=1 ⇒ class
+    // win probabilities 4/7, 2/7, 1/7.
+    val docs = ((1L to 10L).map(i => (i, 4.0)) ++ (11L to 20L).map(i => (i, 2.0)) ++
+      (21L to 30L).map(i => (i, 1.0))).toDF("doc_id", "w")
+    val n = 10000
+    val trials = (1 to n).map(s => s"x2s$s").toDF("trial")
+    val crossed = docs.crossJoin(trials)
+      .withColumn("tkey", concat_ws(":", col("trial"), col("doc_id")))
+    val winners = Sampling.weightedSamplePerStratum(
+        crossed, "w", k = 1, stratum = "trial", key = "tkey")
+      .select("tkey").collect()
+      .map(_.getString(0).split(":")(1).toLong)
+    assert(winners.length == n)
+    val byDoc = winners.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    def chi2(cells: Seq[(Double, Double)]): Double =
+      cells.map { case (obs, exp) => (obs - exp) * (obs - exp) / exp }.sum
+    // class-level fit: df=2, p>0.01 ⇔ chi2 < 9.21. A regression to
+    // tie-class collapse ("lowest ids win") puts all 10^4 wins in the
+    // heavy class (chi2 ≈ 7500) and fails by orders of magnitude; the
+    // draw is deterministic (fixed salts), so the test never flakes.
+    val classObs = Seq(
+      (1L to 10L).map(d => byDoc.getOrElse(d, 0.0)).sum -> n * 4.0 / 7,
+      (11L to 20L).map(d => byDoc.getOrElse(d, 0.0)).sum -> n * 2.0 / 7,
+      (21L to 30L).map(d => byDoc.getOrElse(d, 0.0)).sum -> n * 1.0 / 7)
+    val classChi2 = chi2(classObs)
+    assert(classChi2 < 9.21,
+      s"class-level chi-square $classChi2 exceeds the df=2, p=0.01 bound (9.21): $classObs")
+    // per-doc fit inside the same draws: df=29, p>0.01 ⇔ chi2 < 49.59 —
+    // catches within-class skew (e.g. a key construction that correlates
+    // adjacent ids) that the 3-cell test can't see
+    val perDoc = (1L to 30L).map { d =>
+      val w = if (d <= 10) 4.0 else if (d <= 20) 2.0 else 1.0
+      byDoc.getOrElse(d, 0.0) -> n * w / 70.0
+    }
+    val docChi2 = chi2(perDoc)
+    assert(docChi2 < 49.59,
+      s"per-doc chi-square $docChi2 exceeds the df=29, p=0.01 bound (49.59)")
+  }
+
   test("weightedSample selects on the raw key: large uniform weights don't degenerate to lowest ids") {
     import spark.implicits._
     // w = 10^7 for every doc ⇒ every ln(u)/w lands within 4·10⁻⁶ of 0, so
