@@ -1702,6 +1702,61 @@ object SparkEntry {
         .select(col("doc_id"), col("n_pii"), md5(col("redacted")).as("redacted_hash"))
         .orderBy("doc_id")
     }),
+    // URL canonicalization (the first stage of a web-crawl pipeline):
+    // plant deterministic crawl URLs keyed on doc_id — scheme/host case,
+    // default ports, www, tracking params, unsorted params, fragments,
+    // trailing slashes — and emit the canonical form; pure codegen'd
+    // projection, the oracle replays every rule in SQL
+    "q_url_canon" -> ((s, d) =>
+      plantUrls(table(s, d, "documents"))
+        .withColumn("canon_url",
+          graft.operators.UrlOps.canonicalizeUrl(col("url")))
+        .select("doc_id", "url", "canon_url").orderBy("doc_id")),
+    // canonical-URL dedup: one row per canonical form, smallest doc_id
+    // kept (first-crawled wins) — map-side-combinable min(struct) on the
+    // canonical key, no partition-sorting window
+    "q_url_dedup" -> ((s, d) =>
+      graft.operators.UrlOps.dedupByCanonicalUrl(
+          plantUrls(table(s, d, "documents")), "url", "doc_id")
+        .select("doc_id", "url", "canon_url").orderBy("doc_id")),
+    // the crawl-frontier gate (ninth external-state streaming family):
+    // even-id docs' canonical URLs form the persisted seen-set, all docs
+    // stream through in 7 staged files — survivors are docs whose
+    // canonical URL the frontier has never claimed (index-only claims,
+    // so the result is batch-partition independent and the oracle is a
+    // NOT IN over the even side's canonicals)
+    "q_url_stream" -> ((s, d) => {
+      val planted = plantUrls(table(s, d, "documents"))
+      BenchPhases.timed("q_url_stream", "build")(
+        graft.operators.UrlOps.writeUrlIndex(
+          planted.filter(col("doc_id") % 2 === 0), "url", "graft_stream_url_index"))
+      withTempDir("graft_url_stream") { tmp =>
+        BenchPhases.timed("q_url_stream", "stage")(
+          planted.repartition(7).write.parquet(s"$tmp/input"))
+        BenchPhases.drainTimed("q_url_stream")(
+          graft.streaming.DedupStream.startUrls(s, s"$tmp/input",
+            "graft_stream_url_index", s"$tmp/out", s"$tmp/cp",
+            maxFilesPerTrigger = Some(1)))
+        s.read.parquet(s"$tmp/out")
+          .select("doc_id", "canon_url").orderBy("doc_id")
+      }
+    }),
+    // domain-blocklist filter with suffix semantics (blocking example.com
+    // blocks cdn.media.example.com): exploded domain-chain broadcast semi
+    // collects blocked keys, broadcast anti removes them — the corpus
+    // frame is never shuffled
+    "q_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val withHost = plantUrls(table(s, d, "documents"))
+        .withColumn("host",
+          graft.operators.UrlOps.canonicalHost(col("url")))
+        .select("doc_id", "host")
+      val block = Seq("example7.com", "media.example11.com", "example3.com")
+        .toDF("domain")
+      graft.operators.UrlOps
+        .filterBlockedDomains(withHost, "host", "doc_id", block)
+        .orderBy("doc_id")
+    }),
     // Efraimidis-Spirakis weighted sample without replacement: 100 docs
     // drawn ∝ n_chars — one map + TakeOrdered(k), no sequential pass;
     // the oracle replays the md5 uniform, the ln(u)/w key and the
@@ -1839,6 +1894,18 @@ object SparkEntry {
       import graft.operators.Multimodal
       val media = Multimodal.syntheticPng(
         table(s, d, "documents").filter(col("doc_id") % 10 === 0))
+      r6(Multimodal.extractFeatures(s, media,
+          Multimodal.MediaDecoder.Real).toDF()
+        .orderBy("id"), "byte_mean")
+    }),
+    // real AUDIO decode through the same seam: hand-rolled constant-PCM16
+    // WAVs decode via javax.sound.sampled (base JRE) to a closed-form
+    // plane (every byte = doc_id%256), so the oracle replays the full
+    // encode→decode→extract chain arithmetically
+    "q_audio_decode" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.syntheticWav(
+        table(s, d, "documents").filter(col("doc_id") % 10 === 3))
       r6(Multimodal.extractFeatures(s, media,
           Multimodal.MediaDecoder.Real).toDF()
         .orderBy("id"), "byte_mean")
@@ -4169,6 +4236,31 @@ object SparkEntry {
         |FROM corp WHERE s IN (SELECT s FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_redact" -> piiRedactOracleSql,
+    "q_url_canon" ->
+      s"""WITH $urlCanonCtesSql
+         |SELECT doc_id, url, canon_url FROM k ORDER BY doc_id""".stripMargin,
+    "q_url_dedup" ->
+      s"""WITH $urlCanonCtesSql
+         |SELECT doc_id, url, canon_url FROM k
+         |QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+    // index-only claims make the gate batch-partition independent: the
+    // survivor set is exactly "canonical URL not claimed by the even side"
+    "q_url_stream" ->
+      s"""WITH $urlCanonCtesSql
+         |SELECT doc_id, canon_url FROM k
+         |WHERE canon_url NOT IN (SELECT canon_url FROM k WHERE doc_id % 2 = 0)
+         |ORDER BY doc_id""".stripMargin,
+    // suffix semantics via EXISTS (host = b or host endswith '.' || b) —
+    // the declarative statement of what the exploded-chain joins compute
+    "q_url_blocklist" ->
+      s"""WITH $urlCanonCtesSql
+         |SELECT doc_id, host FROM h
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM (VALUES ('example7.com'), ('media.example11.com'),
+         |                        ('example3.com')) b(domain)
+         |  WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain)
+         |ORDER BY doc_id""".stripMargin,
     // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
     // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with
@@ -4701,6 +4793,14 @@ object SparkEntry {
         |       CAST(((doc_id % 256) * (8 + doc_id % 8) * (8 + doc_id % 5)) % 9973 AS BIGINT) AS byte_sum,
         |       ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS byte_mean
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin,
+    // the audio face of the Real decoder: constant-PCM16 WAVs decode to
+    // a plane of n = 800 + id%211 bytes, every byte = id%256
+    "q_audio_decode" ->
+      """SELECT doc_id AS id, 'audio' AS modality,
+        |       CAST(800 + doc_id % 211 AS BIGINT) AS n_bytes,
+        |       CAST(((doc_id % 256) * (800 + doc_id % 211)) % 9973 AS BIGINT) AS byte_sum,
+        |       ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS byte_mean
+        |FROM documents WHERE doc_id % 10 = 3 ORDER BY id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -5015,6 +5115,73 @@ object SparkEntry {
        |   i -> CAST(strpos('0123456789abcdef',
        |          substr(md5('$salt:' || CAST($keyExpr AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
        |   (a, b) -> a * 16 + b) % ${graft.operators.Sampling.BucketCount})""".stripMargin
+
+  /** Deterministic crawl-URL plant keyed on doc_id: five variant shapes
+    * exercising every canonicalization rule. The variant class
+    * `(doc_id div 7) % 5` is decoupled from the host (`doc_id % 20`) and
+    * path (`doc_id % 11`) indices, so the same logical page recurs under
+    * different surface forms and canonical dedup has real work. Replayed
+    * literally in [[urlPlantCteSql]].
+    */
+  private def plantUrls(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr, when}
+    val k = (col("doc_id") % 20).cast("string")
+    val m = (col("doc_id") % 11).cast("string")
+    val v = expr("(doc_id div 7) % 5")
+    docs.select(col("doc_id"),
+      when(v === 0, concat(lit("https://example"), k, lit(".com/p/"), m))
+        .when(v === 1, concat(lit("HTTPS://WWW.Example"), k,
+          lit(".COM:443/p/"), m, lit("/")))
+        .when(v === 2, concat(lit("https://cdn.media.example"), k,
+          lit(".com:443/p/"), m, lit("?utm_source=x&fbclid=1#top")))
+        .when(v === 3, concat(lit("https://example"), k,
+          lit(".com/p/"), m, lit("?b=2&a=1#frag")))
+        .otherwise(concat(lit("http://www.example"), k,
+          lit(".com:80/p/"), m, lit("?a=1&utm_medium=y&b=2")))
+        .as("url"))
+  }
+
+  /** Plant + canonicalization replay (oracle side): CTEs `u` (the
+    * literal [[plantUrls]] replay), `h` (scheme/host/path/sorted-query
+    * terms — each [[graft.operators.UrlOps.canonicalizeUrl]] rule as the
+    * same regex) and `k` (the assembled canonical form).
+    */
+  private def urlCanonCtesSql: String =
+    """u AS (
+      |  SELECT doc_id,
+      |         CASE (doc_id // 7) % 5
+      |           WHEN 0 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(doc_id % 11 AS VARCHAR)
+      |           WHEN 1 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM:443/p/' || CAST(doc_id % 11 AS VARCHAR) || '/'
+      |           WHEN 2 THEN 'https://cdn.media.example' || CAST(doc_id % 20 AS VARCHAR) || '.com:443/p/' || CAST(doc_id % 11 AS VARCHAR) || '?utm_source=x&fbclid=1#top'
+      |           WHEN 3 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(doc_id % 11 AS VARCHAR) || '?b=2&a=1#frag'
+      |           ELSE 'http://www.example' || CAST(doc_id % 20 AS VARCHAR) || '.com:80/p/' || CAST(doc_id % 11 AS VARCHAR) || '?a=1&utm_medium=y&b=2'
+      |         END AS url
+      |  FROM documents),
+      |c0 AS (
+      |  SELECT doc_id, url,
+      |         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |         regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u)),
+      |h AS (
+      |  SELECT doc_id, url, scheme,
+      |         regexp_replace(
+      |           CASE WHEN scheme = 'http'  THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':80$', '')
+      |                WHEN scheme = 'https' THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':443$', '')
+      |                ELSE lower(regexp_extract(rest, '^([^/?]*)', 1)) END,
+      |           '^www\.', '') AS host,
+      |         regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$', '') AS path,
+      |         -- DuckDB list_sort/array_to_string yield NULL on an EMPTY
+      |         -- list (Spark: empty array -> ''), so the no-params case
+      |         -- needs the COALESCE
+      |         COALESCE(array_to_string(list_sort(list_filter(
+      |           string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      |           p -> p <> '' AND NOT regexp_matches(p, '^(?:utm_[^=]*|fbclid|gclid|ref)(?:=|$)'))), '&'), '') AS qs
+      |  FROM c0),
+      |k AS (
+      |  SELECT doc_id, url,
+      |         scheme || '://' || host || path ||
+      |           CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+      |  FROM h)""".stripMargin
 
   /** PII plant + redact replay — oracle for q_pii_redact. The plant
     * construction and the three [[graft.operators.Redaction.DefaultRules]]

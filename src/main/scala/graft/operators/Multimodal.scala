@@ -61,46 +61,83 @@ object Multimodal {
     }
   }
   object MediaDecoder {
-    /** JRE-native image decode (`javax.imageio` reads PNG/JPEG/GIF/BMP
-      * in every JDK — no external codecs): luma = integer BT.601
+    /** JRE-native decode, images AND audio — no external codecs:
+      * `javax.imageio` reads PNG/JPEG/GIF/BMP; `javax.sound.sampled`
+      * reads PCM WAV/AIFF/AU. Image luma = integer BT.601
       * `(299·R + 587·G + 114·B) / 1000`, exact `g` for gray pixels
-      * `(g,g,g)` since the weights sum to 1000. Non-image bytes (audio/
-      * video — codecs absent in this environment) fail loudly rather
+      * `(g,g,g)` since the weights sum to 1000. Audio "luma" = one
+      * unsigned byte per decoded sample frame (first channel): the raw
+      * byte for 8-bit unsigned PCM, the sign-flipped high byte
+      * (`(s >> 8) + 128`) for 16-bit signed PCM — so a constant-
+      * amplitude fixture's plane is CLOSED-FORM, like the constant-gray
+      * PNG one. Bytes neither reader accepts (video, compressed audio —
+      * those codecs are absent in this environment) fail loudly rather
       * than producing garbage features.
       */
     case object Real extends MediaDecoder {
-      def luma(content: Array[Byte]): Array[Byte] = {
-        val img = decode(content)
-        val w = img.getWidth
-        val h = img.getHeight
-        val out = new Array[Byte](w * h)
-        var y = 0
-        var i = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            out(i) = ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000).toByte
-            i += 1
-            x += 1
+      def luma(content: Array[Byte]): Array[Byte] = decodeImage(content) match {
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          var y = 0
+          var i = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(i) = ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000).toByte
+              i += 1
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        out
+          out
+        case None => decodeAudioLuma(content)
       }
-      def dims(content: Array[Byte]): Option[(Int, Int)] = {
-        val img = decode(content)
-        Some((img.getWidth, img.getHeight))
-      }
-      private def decode(content: Array[Byte]): java.awt.image.BufferedImage = {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-        if (img == null) throw new IllegalArgumentException(
-          "MediaDecoder.Real: content is not a decodable image " +
-            "(javax.imageio found no reader); audio/video codecs are not " +
-            "present in this environment — use MediaDecoder.Fake for " +
-            "byte-level features")
-        img
+      def dims(content: Array[Byte]): Option[(Int, Int)] =
+        decodeImage(content).map(img => (img.getWidth, img.getHeight))
+
+      private def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+
+      /** PCM audio through the base JRE's `javax.sound.sampled`:
+        * 8-bit unsigned and 16-bit signed PCM (WAV's two native
+        * encodings), first channel of each frame, little- or big-endian
+        * per the container header.
+        */
+      private def decodeAudioLuma(content: Array[Byte]): Array[Byte] = {
+        import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+        val in =
+          try AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(content))
+          catch {
+            case _: UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                "MediaDecoder.Real: content is neither a decodable image " +
+                  "(javax.imageio) nor PCM audio (javax.sound.sampled); " +
+                  "video/compressed-audio codecs are not present in this " +
+                  "environment — use MediaDecoder.Fake for byte-level features")
+          }
+        try {
+          val f = in.getFormat
+          val pcm = in.readAllBytes()
+          val frame = f.getFrameSize
+          val n = pcm.length / frame
+          val out = new Array[Byte](n)
+          val enc = f.getEncoding
+          var i = 0
+          if (f.getSampleSizeInBits == 8 && enc == AudioFormat.Encoding.PCM_UNSIGNED) {
+            while (i < n) { out(i) = pcm(i * frame); i += 1 }
+          } else if (f.getSampleSizeInBits == 16 && enc == AudioFormat.Encoding.PCM_SIGNED) {
+            val hi = if (f.isBigEndian) 0 else 1
+            while (i < n) { out(i) = (pcm(i * frame + hi) + 128).toByte; i += 1 }
+          } else throw new IllegalArgumentException(
+            s"MediaDecoder.Real: unsupported PCM layout ${f} — " +
+              "8-bit unsigned and 16-bit signed PCM are the supported shapes")
+          out
+        } finally in.close()
       }
     }
     /** Deterministic stand-in: the "plane" IS the raw bytes (exact,
@@ -160,6 +197,42 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic tiny WAV per id — the audio twin of [[syntheticPng]]:
+    * `800 + id%211` frames of CONSTANT 16-bit PCM at 8 kHz mono, sample
+    * value `(id%256 − 128) · 256`, hand-rolled canonical 44-byte RIFF
+    * header (no encoder variance). The Real decoder's audio plane maps
+    * a 16-bit sample to `(s >> 8) + 128`, so every plane byte is exactly
+    * `g = id%256` and the decoded features are CLOSED-FORM in id:
+    * n = 800 + id%211, sum%9973 = (g·n)%9973, mean = g.
+    */
+  def syntheticWav(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val mk = udf((id: Long) => wavBytes(id))
+    docs.select(col(idCol).as("id"), lit("audio").as("modality"),
+      mk(col(idCol)).as("content"))
+  }
+
+  private[operators] def wavBytes(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticWav ids must be non-negative, got $id")
+    val n = (800 + id % 211).toInt
+    val sample = (((id % 256) - 128) * 256).toShort
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(sample); i += 1 }
+    bb.array()
   }
 
   /** Repartition a media table so each partition holds roughly

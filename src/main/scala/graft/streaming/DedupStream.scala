@@ -132,6 +132,40 @@ object DedupStream {
       .start()
   }
 
+  /** URL-frontier gate: candidate crawl batches pass only if their
+    * CANONICAL URL is not yet claimed by the persisted frontier index
+    * ([[graft.operators.UrlOps.writeUrlIndex]]) — the seen-set check a
+    * crawl scheduler runs before fetching. Same external-state contract
+    * as [[startLines]]: claims come only from the index (batch-partition
+    * independent; `appendAccepted = true` claims each accepted batch's
+    * canonicals for the next batches).
+    */
+  def startUrls(spark: SparkSession, inputDir: String, indexTable: String,
+                outputDir: String, checkpointDir: String, urlCol: String = "url",
+                trigger: Trigger = Trigger.AvailableNow(),
+                maxFilesPerTrigger: Option[Int] = None,
+                appendAccepted: Boolean = false): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = graft.operators.UrlOps
+          .stripSeenUrls(batch.toDF(), urlCol, indexTable)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          out.write.mode("append").parquet(outputDir)
+          if (appendAccepted) graft.operators.UrlOps.appendToUrlIndex(
+            out.select("canon_url"), indexTable)
+        } finally out.unpersist()
+      }
+      .start()
+  }
+
   /** Shared gate plumbing: parquet file stream (schema from a driver-side
     * batch peek of the same directory), `dupIds(batch)` = the `joinKey`
     * ids the prober flags against the index, anti-join keeps the novel

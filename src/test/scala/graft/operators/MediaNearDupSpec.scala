@@ -155,4 +155,57 @@ class MediaNearDupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
   }
+
+  // ---- MediaDecoder.Real audio (javax.sound.sampled — PCM WAV in the base JRE) ----
+
+  test("Real decoder: constant-PCM16 WAV features are closed-form in id") {
+    val wav = Multimodal.wavBytes(1234L) // n = 800+1234%211 = 905, g = 1234%256 = 210
+    val n = 800 + 1234 % 211
+    val g = 1234 % 256
+    val (len, s, m) = Multimodal.MediaDecoder.Real.features(wav)
+    assert(len == n, s"one plane byte per sample frame: $len vs $n")
+    assert(s == (g.toLong * n) % 9973L, s"plane sum mod: $s")
+    assert(m == g.toDouble, s"constant amplitude must survive decode exactly: $m")
+    assert(Multimodal.MediaDecoder.Real.dims(wav).isEmpty, "audio has no dims")
+  }
+
+  test("Real decoder: 16-bit signed PCM maps (s >> 8) + 128; 8-bit unsigned PCM is the raw byte") {
+    // hand-rolled non-constant 16-bit WAV: samples -32768, -256, 0, 255, 32512
+    // -> high bytes -128, -1, 0, 0, 127 -> plane 0, 127, 128, 128, 255
+    def wav16(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val plane16 = Multimodal.MediaDecoder.Real
+      .luma(wav16(Seq(-32768, -256, 0, 255, 32512).map(_.toShort)))
+      .map(_ & 0xff).toSeq
+    assert(plane16 == Seq(0, 127, 128, 128, 255), s"plane: $plane16")
+    // 8-bit unsigned PCM: plane IS the data bytes
+    def wav8(bytes: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + bytes.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + bytes.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(bytes.length)
+      bytes.foreach(b => bb.put(b.toByte))
+      bb.array()
+    }
+    val plane8 = Multimodal.MediaDecoder.Real.luma(wav8(Seq(0, 5, 128, 255)))
+      .map(_ & 0xff).toSeq
+    assert(plane8 == Seq(0, 5, 128, 255), s"plane: $plane8")
+    // truly undecodable bytes still fail loudly, mentioning both seams
+    val ex = intercept[IllegalArgumentException](
+      Multimodal.MediaDecoder.Real.luma("neither image nor audio".getBytes("UTF-8")))
+    assert(ex.getMessage.contains("javax.sound.sampled"), ex.getMessage)
+  }
 }

@@ -172,6 +172,40 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p) // whole-stage codegen stage marker
   }
 
+  test("url canonicalization is a shuffle-free codegen projection") {
+    import graft.operators.UrlOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = docs.select(UrlOps.canonicalizeUrl(concat(lit("https://x.com/"),
+        col("doc_id").cast("string"))).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*(1)"), p) // whole-stage codegen stage marker
+  }
+
+  test("url dedup plan: partial+final agg on the canonical key, no window") {
+    val p = plan("q_url_dedup")
+    // map-side partial_min(struct) collapses duplicates BEFORE the
+    // exchange — shuffled bytes ∝ distinct canonical URLs, not rows
+    // (struct-typed min lowers to SortAggregate: partition-local sort,
+    // still a combiner, NOT a row_number window over the full frame)
+    assert(p.contains("partial_min"), p)
+    assert("SortAggregate|HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+    // one hash exchange (the agg); the other is the presentation orderBy
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("url blocklist plan: both joins broadcast, corpus frame never shuffled") {
+    val p = plan("q_url_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no hash exchange of the corpus side: the only exchanges are the
+    // broadcasts and the blocked-key distinct (a small subset)
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"expected at most the blocked-key distinct exchange, got $hashEx\n$p")
+  }
+
   test("decontamination plan: benchmark side broadcasts, no cartesian") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -109,4 +109,54 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(survivors.subsetOf(indexed))
     } finally spark.sql("DROP TABLE IF EXISTS sh_app_spec_index")
   }
+
+  test("url frontier gate == batch NOT-IN across micro-batch boundaries; appendAccepted claims in-stream") {
+    import spark.implicits._
+    import graft.operators.UrlOps
+    // frontier = two already-crawled canonicals; candidates include
+    // surface variants of a seen URL, a novel URL, and TWO in-stream
+    // rows sharing one novel canonical
+    val seen = Seq((100L, "https://example.com/a"), (101L, "https://other.org/x?p=1"))
+      .toDF("doc_id", "url")
+    val candidates = Seq(
+      (1L, "https://WWW.example.com:443/a/"),      // seen via canonicalization
+      (2L, "https://example.com/a?utm_source=s"),  // seen via tracking strip
+      (3L, "https://example.com/b"),               // novel
+      (4L, "https://fresh.net/y?b=2&a=1"),         // novel (shared canonical)
+      (5L, "https://fresh.net/y?a=1&b=2"))         // same canonical as 4
+      .toDF("doc_id", "url")
+    UrlOps.writeUrlIndex(seen, "url", "url_gate_spec_index", buckets = 4)
+    try {
+      // index-only mode: survivors = batch NOT-IN, so 4 AND 5 both pass
+      val tmp = Files.createTempDirectory("ug").toString
+      candidates.repartition(3).write.parquet(s"$tmp/in")
+      DedupStream.startUrls(spark, s"$tmp/in", "url_gate_spec_index",
+        s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val survivors = spark.read.parquet(s"$tmp/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(3L, 4L, 5L), s"index-only survivors: $survivors")
+      // appendAccepted mode: the shared-canonical pair cannot BOTH pass
+      // (whichever batch lands first claims fresh.net/y?a=1&b=2).
+      // Doc 5 staged as its own file => its own micro-batch: in-batch
+      // co-arrival is the documented index-only window, not under test
+      val tmp2 = Files.createTempDirectory("ug2").toString
+      candidates.filter(col("doc_id") =!= 5L).repartition(2).write.parquet(s"$tmp2/in")
+      candidates.filter(col("doc_id") === 5L).coalesce(1)
+        .write.mode("append").parquet(s"$tmp2/in")
+      DedupStream.startUrls(spark, s"$tmp2/in", "url_gate_spec_index",
+        s"$tmp2/out", s"$tmp2/cp", maxFilesPerTrigger = Some(1),
+        appendAccepted = true).awaitTermination()
+      val s2 = spark.read.parquet(s"$tmp2/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(s2.contains(3L), s"novel doc must survive: $s2")
+      assert(s2.intersect(Set(4L, 5L)).size == 1,
+        s"in-stream canonical pair must be claimed once: $s2")
+      // and the claims landed in the index
+      val claimed = spark.table("url_gate_spec_index")
+        .as[String].collect().toSet
+      assert(claimed.contains("https://example.com/b"), claimed)
+      assert(claimed.contains("https://fresh.net/y?a=1&b=2"), claimed)
+    } finally spark.sql("DROP TABLE IF EXISTS url_gate_spec_index")
+  }
 }
