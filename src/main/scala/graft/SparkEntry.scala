@@ -1719,6 +1719,21 @@ object SparkEntry {
       graft.operators.UrlOps.dedupByCanonicalUrl(
           plantUrls(table(s, d, "documents")), "url", "doc_id")
         .select("doc_id", "url", "canon_url").orderBy("doc_id")),
+    // the URL faces through SQL — same logical plans by construction,
+    // shared oracles (a crawl-ops dashboard calls these over a
+    // registered `urls` relation)
+    "q_sql_url_canon" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantUrls(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.UrlsRelation)
+      s.sql("SELECT doc_id, url, canon_url FROM graft_url_canon() ORDER BY doc_id")
+    }),
+    "q_sql_url_dedup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantUrls(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.UrlsRelation)
+      s.sql("SELECT doc_id, url, canon_url FROM graft_url_dedup() ORDER BY doc_id")
+    }),
     // the crawl-frontier gate (ninth external-state streaming family):
     // even-id docs' canonical URLs form the persisted seen-set, all docs
     // stream through in 7 staged files — survivors are docs whose
@@ -4236,14 +4251,10 @@ object SparkEntry {
         |FROM corp WHERE s IN (SELECT s FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_redact" -> piiRedactOracleSql,
-    "q_url_canon" ->
-      s"""WITH $urlCanonCtesSql
-         |SELECT doc_id, url, canon_url FROM k ORDER BY doc_id""".stripMargin,
-    "q_url_dedup" ->
-      s"""WITH $urlCanonCtesSql
-         |SELECT doc_id, url, canon_url FROM k
-         |QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
-         |ORDER BY doc_id""".stripMargin,
+    "q_url_canon" -> urlCanonOracleSql,
+    "q_sql_url_canon" -> urlCanonOracleSql,
+    "q_url_dedup" -> urlDedupOracleSql,
+    "q_sql_url_dedup" -> urlDedupOracleSql,
     // index-only claims make the gate batch-partition independent: the
     // survivor set is exactly "canonical URL not claimed by the even side"
     "q_url_stream" ->
@@ -5182,6 +5193,16 @@ object SparkEntry {
       |         scheme || '://' || host || path ||
       |           CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
       |  FROM h)""".stripMargin
+
+  private def urlCanonOracleSql: String =
+    s"""WITH $urlCanonCtesSql
+       |SELECT doc_id, url, canon_url FROM k ORDER BY doc_id""".stripMargin
+
+  private def urlDedupOracleSql: String =
+    s"""WITH $urlCanonCtesSql
+       |SELECT doc_id, url, canon_url FROM k
+       |QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
 
   /** PII plant + redact replay — oracle for q_pii_redact. The plant
     * construction and the three [[graft.operators.Redaction.DefaultRules]]

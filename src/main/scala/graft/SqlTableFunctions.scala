@@ -59,6 +59,11 @@ object SqlTableFunctions {
   /** The relation the text-pipeline functions read (doc_id, text, …). */
   val DocumentsRelation = "documents"
 
+  /** URL-stage functions read this relation: one row per crawl
+    * candidate, `doc_id` + `url` columns.
+    */
+  val UrlsRelation = "urls"
+
   /** The relation the vector functions read (vec_id, embedding). */
   val EmbeddingsRelation = "embeddings"
 
@@ -349,6 +354,16 @@ object SqlTableFunctions {
     }
     add("graft_line_dedup", "graft_line_dedup()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedup(rel(s, DocumentsRelation, f.name))
+    }
+    add("graft_url_canon", "graft_url_canon()", 0) { (s, f, _) =>
+      import org.apache.spark.sql.functions.col
+      val u = rel(s, UrlsRelation, f.name)
+      u.withColumn("canon_url",
+        graft.operators.UrlOps.canonicalizeUrl(col("url")))
+    }
+    add("graft_url_dedup", "graft_url_dedup()", 0) { (s, f, _) =>
+      graft.operators.UrlOps.dedupByCanonicalUrl(
+        rel(s, UrlsRelation, f.name), "url", "doc_id")
     }
     add("graft_line_dedup_intra", "graft_line_dedup_intra()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedupWithinDoc(rel(s, DocumentsRelation, f.name))

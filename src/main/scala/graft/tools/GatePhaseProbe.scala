@@ -146,6 +146,23 @@ object GatePhaseProbe {
       emit("q_media_stream", tBuild, tStage, tStream, batches)
     }
 
+    // ---- q_url_stream: URL-frontier claims gate (exact canonical
+    // probe, no verify step — per-batch cost is one co-partitioned
+    // anti-join against the bucketed claims table)
+    withTempDir("gpp_url") { tmp =>
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://h"), (col("doc_id") % 1000).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+      val (_, tBuild) = time(graft.operators.UrlOps.writeUrlIndex(
+        urls.filter(col("doc_id") % 2 === 0), "url", "gpp_url_index"))
+      val (_, tStage) = time(
+        urls.repartition(3).write.parquet(s"$tmp/input"))
+      val q = graft.streaming.DedupStream.startUrls(spark, s"$tmp/input",
+        "gpp_url_index", s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+      val (tStream, batches) = drain(q)
+      emit("q_url_stream", tBuild, tStage, tStream, batches)
+    }
+
     // ---- q_quality_stream: persisted NB model gate
     withTempDir("gpp_quality") { tmp =>
       val (_, tBuild) = time(graft.operators.QualityModels.writeNbModel(

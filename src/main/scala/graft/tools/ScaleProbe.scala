@@ -288,6 +288,33 @@ object ScaleProbe {
     }
   }
 
+  /** URL-frontier index growth probe: frontier (claimed canonical URLs)
+    * grown ×m, fixed candidate batch — probe cost is one co-partitioned
+    * anti-join of the batch against the bucketed claims table, so it
+    * must stay ~flat as the frontier grows (the batch side shuffles,
+    * the frontier side is a pruned bucket read).
+    */
+  private def urlIndexProbe(spark: SparkSession, docs: DataFrame, ms: Seq[Int]): Unit = {
+    import graft.operators.UrlOps
+    def urlify(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      concat(lit("https://h"), (col("doc_id") % 100000).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit("?utm_source=probe&x=1")).as("url"))
+    val batch = urlify(docs.filter(col("doc_id") % 2 === 1))
+      .localCheckpoint(true)
+    for (m <- ms) {
+      val frontier = urlify(grow(docs.filter(col("doc_id") % 2 === 0), m))
+        .localCheckpoint(true)
+      val nClaims = frontier.count()
+      val (_, tBuild) = time(UrlOps.writeUrlIndex(frontier, "url", "url_index_probe"))
+      val (survivors, tProbe) = time(
+        UrlOps.stripSeenUrls(batch, "url", "url_index_probe").count())
+      spark.sql("DROP TABLE IF EXISTS url_index_probe")
+      spark.catalog.clearCache(); System.gc()
+      println(s"""{"m":$m,"frontier_urls":$nClaims,"survivors":$survivors,"index_build_sec":${fmt(tBuild)},"probe_sec":${fmt(tProbe, 2)}}""")
+    }
+  }
+
   /** Media signature index growth probe: same shape for the aHash
     * band-segment index — catalog ×m, fixed new drop; probe cost =
     * the drop's sketch pass + a co-partitioned 16-byte bucket join,
@@ -990,6 +1017,11 @@ object ScaleProbe {
     }
     if (args.lift(2).contains("lineidx")) {
       lineIndexProbe(spark, docs, ms) // ms are index growth factors here
+      spark.stop()
+      return
+    }
+    if (args.lift(2).contains("urlidx")) {
+      urlIndexProbe(spark, docs, ms) // ms are frontier growth factors here
       spark.stop()
       return
     }
