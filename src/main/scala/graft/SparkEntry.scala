@@ -1719,6 +1719,26 @@ object SparkEntry {
       graft.operators.UrlOps.dedupByCanonicalUrl(
           plantUrls(table(s, d, "documents")), "url", "doc_id")
         .select("doc_id", "url", "canon_url").orderBy("doc_id")),
+    // HTML -> text extraction (the stage between crawl and every text
+    // operator): four-line template pages planted around each doc's
+    // text; whole-page strip drops script/style/comment content,
+    // strips tags, decodes entities, collapses whitespace — a pure
+    // codegen projection, every rule replayed in SQL
+    "q_html_text" -> ((s, d) =>
+      plantHtml(table(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.operators.TextExtraction.stripHtml(col("html")).as("text"))
+        .orderBy("doc_id")),
+    // boilerplate removal: the line-structured main-content heuristic
+    // (min extracted length + anchor-per-word density) must keep
+    // exactly the content paragraph and drop head/nav/footer — the
+    // oracle replays the RULE generically per line, not the expected
+    // outcome
+    "q_html_main" -> ((s, d) =>
+      plantHtml(table(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.operators.TextExtraction.mainContent(col("html")).as("main"))
+        .orderBy("doc_id")),
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
     // registered `urls` relation)
@@ -4251,6 +4271,33 @@ object SparkEntry {
         |FROM corp WHERE s IN (SELECT s FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_redact" -> piiRedactOracleSql,
+    // whole-page extraction: the oracle strips the SAME planted page
+    // with the SAME regex/replacement chain over the full html string
+    "q_html_text" ->
+      s"""WITH $htmlPlantLineCtesSql
+         |SELECT doc_id,
+         |       trim(regexp_replace(
+         |         replace(replace(replace(replace(replace(replace(
+         |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |             html,
+         |             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |             '(?s)<!--.*?-->', ' ', 'g'),
+         |             '(?s)<[^>]*>', ' ', 'g'),
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |           '&nbsp;', ' '), '&amp;', '&'),
+         |         '\\s+', ' ', 'g')) AS text
+         |FROM hp ORDER BY doc_id""".stripMargin,
+    // the main-content RULE replayed per line: keep length>=25 AND
+    // anchors < words*0.34, reassemble kept lines in order
+    "q_html_main" ->
+      s"""WITH $htmlPlantLineCtesSql
+         |SELECT doc_id,
+         |       COALESCE(string_agg(
+         |         CASE WHEN length(txt) >= 25
+         |               AND anchors < len(string_split(txt, ' ')) * 0.34
+         |              THEN txt END, chr(10) ORDER BY ord), '') AS main
+         |FROM hl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_url_canon" -> urlCanonOracleSql,
     "q_sql_url_canon" -> urlCanonOracleSql,
     "q_url_dedup" -> urlDedupOracleSql,
@@ -5151,6 +5198,60 @@ object SparkEntry {
           lit(".com:80/p/"), m, lit("?a=1&utm_medium=y&b=2")))
         .as("url"))
   }
+
+  /** Deterministic HTML plant: each document's text wrapped in a
+    * four-line template page — head (title + style + script content),
+    * a nav bar (three anchors, three words), the content paragraph
+    * (bold tags + planted `&amp;`/`&lt;`/`&gt;` entities), and a
+    * comment + footer line (two anchors). Exercises every
+    * [[graft.operators.TextExtraction]] rule; replayed literally in
+    * [[htmlPlantLineCtesSql]].
+    */
+  private def plantHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body { margin:0 }</style>" +
+        "<script>var t = 1;</script></head>\n"),
+      lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>\n"),
+      lit("<p><b>"), col("text"), lit("</b> &amp; tail&lt;"),
+      col("doc_id").cast("string"), lit("&gt;</p>\n"),
+      lit("<!-- tracking pixel --><div class=\"footer\">" +
+        "<a href=\"/t\">Terms</a> &middot; <a href=\"/p\">Privacy</a></div>"))
+      .as("html"))
+
+  /** HTML plant + per-line extraction replay (oracle side): CTE `hp`
+    * (the literal [[plantHtml]] replay) and `hl` (each line's
+    * extracted text + anchor count — the whole
+    * [[graft.operators.TextExtraction]] strip chain as the same
+    * regexes/replacements, every regexp_replace with the 'g' DuckDB
+    * needs to match Spark's replace-all default).
+    */
+  private def htmlPlantLineCtesSql: String =
+    """hp AS (
+      |  SELECT doc_id,
+      |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |         '</title><style>body { margin:0 }</style><script>var t = 1;</script></head>' || chr(10) ||
+      |         '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' || chr(10) ||
+      |         '<p><b>' || text || '</b> &amp; tail&lt;' || CAST(doc_id AS VARCHAR) || '&gt;</p>' || chr(10) ||
+      |         '<!-- tracking pixel --><div class="footer"><a href="/t">Terms</a> &middot; <a href="/p">Privacy</a></div>'
+      |           AS html
+      |  FROM documents),
+      |hl AS (
+      |  SELECT doc_id, generate_subscripts(string_split(html, chr(10)), 1) AS ord,
+      |         trim(regexp_replace(
+      |           replace(replace(replace(replace(replace(replace(
+      |             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |               unnest(string_split(html, chr(10))),
+      |               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |               '<!--.*?-->', ' ', 'g'),
+      |               '<[^>]*>', ' ', 'g'),
+      |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |             '&nbsp;', ' '), '&amp;', '&'),
+      |           '\s+', ' ', 'g')) AS txt,
+      |         len(regexp_extract_all(unnest(string_split(html, chr(10))), '(?i)<a\b')) AS anchors
+      |  FROM hp)""".stripMargin
 
   /** Plant + canonicalization replay (oracle side): CTEs `u` (the
     * literal [[plantUrls]] replay), `h` (scheme/host/path/sorted-query

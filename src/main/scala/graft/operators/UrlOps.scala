@@ -101,6 +101,10 @@ object UrlOps {
     */
   def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
                           keyCol: String): DataFrame = {
+    require(!df.columns.contains("canon_url"),
+      "dedupByCanonicalUrl appends a canon_url column — the input already " +
+        "has one (drop or rename it; silently overwriting would make the " +
+        "output ambiguous)")
     val others = df.columns.filterNot(_ == keyCol).map(col).toSeq
     df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
       .groupBy(col("canon_url"))
@@ -177,7 +181,12 @@ object UrlOps {
     * self-dedup matters. Per-batch cost: one co-partitioned anti-join
     * against the bucketed claims table, independent of frontier size.
     */
-  def stripSeenUrls(df: DataFrame, urlCol: String, tableName: String): DataFrame =
+  def stripSeenUrls(df: DataFrame, urlCol: String, tableName: String): DataFrame = {
+    require(!df.columns.contains("canon_url"),
+      "stripSeenUrls appends a canon_url column — the input already has " +
+        "one (drop or rename it; a stale canonical from an older rule set " +
+        "would silently bypass the frontier)")
     df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
       .join(df.sparkSession.table(tableName), Seq("canon_url"), "left_anti")
+  }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextExtractionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def strip(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h")
+      .select(TextExtraction.stripHtml(col("h"))).head().getString(0)
+  }
+
+  private def main(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h")
+      .select(TextExtraction.mainContent(col("h"))).head().getString(0)
+  }
+
+  test("stripHtml: tags, blocks, comments, entities, whitespace — rule by rule") {
+    assert(strip("<p>plain</p>") == "plain")
+    // script/style contents are DROPPED, not just untagged — multi-line too
+    assert(strip("a<script>var x = '<b>not text</b>';\nmore();</script>b") == "a b")
+    assert(strip("a<style>p { color: red }\n.c{}</style>b") == "a b")
+    assert(strip("a<SCRIPT SRC=\"x.js\">ignored()</SCRIPT>b") == "a b") // case + attrs
+    assert(strip("a<!-- hidden\ncomment -->b") == "a b")
+    // entities: the five predefined, double-encoded decodes ONE level
+    assert(strip("1 &lt; 2 &amp;&amp; &quot;q&#39;s&quot;&nbsp;end") ==
+      "1 < 2 && \"q's\" end")
+    assert(strip("&amp;lt;") == "&lt;")
+    // unknown entities pass through untouched (documented scope)
+    assert(strip("a &middot; b") == "a &middot; b")
+    // whitespace runs (incl. newlines from stripped block tags) collapse
+    assert(strip("<div>a</div>\n\n  <div>b</div>") == "a b")
+    // unclosed/stray angle brackets: tag regex eats only real tags
+    assert(strip("5 > 3 and <b>bold</b>") == "5 > 3 and bold")
+  }
+
+  test("mainContent keeps the content paragraph, drops nav/footer/short lines") {
+    val page = Seq(
+      "<html><head><title>T</title><script>var a=1;</script></head>",
+      "<div><a href=\"/\">Home</a> <a href=\"/x\">About</a> <a href=\"/y\">Contact</a></div>",
+      "<p>This paragraph easily clears the twenty-five character floor and has no anchors at all.</p>",
+      "<div class=\"f\"><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></div>").mkString("\n")
+    assert(main(page) ==
+      "This paragraph easily clears the twenty-five character floor and has no anchors at all.")
+    // a long LINK LIST fails on density even though it clears the length floor
+    val linkList = "<li><a href=\"/1\">alpha beta</a></li> <li><a href=\"/2\">gamma delta</a></li> " +
+      "<li><a href=\"/3\">epsilon zeta</a></li> <li><a href=\"/4\">eta theta</a></li>"
+    assert(main(linkList) == "")
+    // two qualifying lines reassemble in order, newline-joined
+    val two = "<p>First content line with clearly enough characters here.</p>\n" +
+      "<p>Second content line, also clearly long enough to keep.</p>"
+    assert(main(two) ==
+      "First content line with clearly enough characters here.\n" +
+        "Second content line, also clearly long enough to keep.")
+    // an anchor INSIDE prose survives: one link, many words
+    val prose = "<p>Prose that cites <a href=\"/ref\">one reference</a> while " +
+      "staying far below the density threshold for boilerplate.</p>"
+    assert(main(prose).startsWith("Prose that cites one reference"))
+  }
+}
