@@ -1739,6 +1739,32 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.operators.TextExtraction.mainContent(col("html")).as("main"))
         .orderBy("doc_id")),
+    // the crawl-curation capstone: blocklist filter → canonical-URL
+    // dedup → HTML main-content extraction → extracted-length floor,
+    // composed from the actual operators; ONE hash-exact oracle chains
+    // all four replays — the nightly pre-tokenization path of a
+    // web-crawl training pipeline
+    "q_crawl_curate" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.{TextExtraction, UrlOps}
+      import org.apache.spark.sql.functions.{md5, size, split}
+      val docs = table(s, d, "documents")
+      val pages = plantUrls(docs)
+        .join(plantHtml(docs), "doc_id")
+        .withColumn("host", UrlOps.canonicalHost(col("url")))
+      val block = Seq("example7.com", "media.example11.com", "example3.com")
+        .toDF("domain")
+      val allowed = UrlOps.filterBlockedDomains(pages, "host", "doc_id", block)
+      val kept = UrlOps.dedupByCanonicalUrl(
+        allowed.drop("host"), "url", "doc_id")
+      kept.withColumn("main", TextExtraction.mainContent(col("html")))
+        .withColumn("n_words", size(split(col("main"), " ")))
+        .filter(col("n_words") >= 20)
+        .select(col("doc_id"), col("canon_url"),
+          col("n_words").cast("long").as("n_words"),
+          md5(col("main")).as("main_hash"))
+        .orderBy("doc_id")
+    }),
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
     // registered `urls` relation)
@@ -4298,6 +4324,33 @@ object SparkEntry {
          |               AND anchors < len(string_split(txt, ' ')) * 0.34
          |              THEN txt END, chr(10) ORDER BY ord), '') AS main
          |FROM hl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // all four stage replays chained: url canonicalization (k/h CTEs),
+    // blocklist EXISTS, canonical QUALIFY dedup, per-line extraction
+    "q_crawl_curate" ->
+      s"""WITH $urlCanonCtesSql,
+         |$htmlPlantLineCtesSql,
+         |mn AS (
+         |  SELECT doc_id,
+         |         COALESCE(string_agg(
+         |           CASE WHEN length(txt) >= 25
+         |                 AND anchors < len(string_split(txt, ' ')) * 0.34
+         |                THEN txt END, chr(10) ORDER BY ord), '') AS main
+         |  FROM hl GROUP BY doc_id),
+         |allowed AS (
+         |  SELECT k.doc_id, k.canon_url FROM k JOIN h USING (doc_id)
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM (VALUES ('example7.com'), ('media.example11.com'),
+         |                          ('example3.com')) b(domain)
+         |    WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain)),
+         |kept AS (
+         |  SELECT doc_id, canon_url FROM allowed
+         |  QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1)
+         |SELECT kept.doc_id, kept.canon_url,
+         |       CAST(len(string_split(mn.main, ' ')) AS BIGINT) AS n_words,
+         |       md5(mn.main) AS main_hash
+         |FROM kept JOIN mn ON kept.doc_id = mn.doc_id
+         |WHERE len(string_split(mn.main, ' ')) >= 20
+         |ORDER BY kept.doc_id""".stripMargin,
     "q_url_canon" -> urlCanonOracleSql,
     "q_sql_url_canon" -> urlCanonOracleSql,
     "q_url_dedup" -> urlDedupOracleSql,
