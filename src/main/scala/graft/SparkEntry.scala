@@ -1768,6 +1768,18 @@ object SparkEntry {
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
     // registered `urls` relation)
+    "q_sql_html_text" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantHtml(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.PagesRelation)
+      s.sql("SELECT doc_id, text FROM graft_html_text() ORDER BY doc_id")
+    }),
+    "q_sql_html_main" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantHtml(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.PagesRelation)
+      s.sql("SELECT doc_id, main FROM graft_html_main() ORDER BY doc_id")
+    }),
     "q_sql_url_canon" -> ((s, d) => {
       GraftFunctions.register(s)
       plantUrls(table(s, d, "documents"))
@@ -4299,31 +4311,12 @@ object SparkEntry {
     "q_pii_redact" -> piiRedactOracleSql,
     // whole-page extraction: the oracle strips the SAME planted page
     // with the SAME regex/replacement chain over the full html string
-    "q_html_text" ->
-      s"""WITH $htmlPlantLineCtesSql
-         |SELECT doc_id,
-         |       trim(regexp_replace(
-         |         replace(replace(replace(replace(replace(replace(
-         |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |             html,
-         |             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-         |             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-         |             '(?s)<!--.*?-->', ' ', 'g'),
-         |             '(?s)<[^>]*>', ' ', 'g'),
-         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-         |           '&nbsp;', ' '), '&amp;', '&'),
-         |         '\\s+', ' ', 'g')) AS text
-         |FROM hp ORDER BY doc_id""".stripMargin,
+    "q_html_text" -> htmlTextOracleSql,
+    "q_sql_html_text" -> htmlTextOracleSql,
     // the main-content RULE replayed per line: keep length>=25 AND
     // anchors < words*0.34, reassemble kept lines in order
-    "q_html_main" ->
-      s"""WITH $htmlPlantLineCtesSql
-         |SELECT doc_id,
-         |       COALESCE(string_agg(
-         |         CASE WHEN length(txt) >= 25
-         |               AND anchors < len(string_split(txt, ' ')) * 0.34
-         |              THEN txt END, chr(10) ORDER BY ord), '') AS main
-         |FROM hl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_html_main" -> htmlMainOracleSql,
+    "q_sql_html_main" -> htmlMainOracleSql,
     // all four stage replays chained: url canonicalization (k/h CTEs),
     // blocklist EXISTS, canonical QUALIFY dedup, per-line extraction
     "q_crawl_curate" ->
@@ -4341,7 +4334,9 @@ object SparkEntry {
          |  WHERE NOT EXISTS (
          |    SELECT 1 FROM (VALUES ('example7.com'), ('media.example11.com'),
          |                          ('example3.com')) b(domain)
-         |    WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain)),
+         |    -- port-free comparison, mirroring domainChain's port strip
+         |  WHERE regexp_replace(h.host, ':[0-9]+$$', '') = b.domain
+         |     OR regexp_replace(h.host, ':[0-9]+$$', '') LIKE '%.' || b.domain)),
          |kept AS (
          |  SELECT doc_id, canon_url FROM allowed
          |  QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1)
@@ -4370,7 +4365,9 @@ object SparkEntry {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM (VALUES ('example7.com'), ('media.example11.com'),
          |                        ('example3.com')) b(domain)
-         |  WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain)
+         |  -- port-free comparison, mirroring domainChain's port strip
+         |  WHERE regexp_replace(h.host, ':[0-9]+$$', '') = b.domain
+         |     OR regexp_replace(h.host, ':[0-9]+$$', '') LIKE '%.' || b.domain)
          |ORDER BY doc_id""".stripMargin,
     // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
@@ -5347,6 +5344,31 @@ object SparkEntry {
       |         scheme || '://' || host || path ||
       |           CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
       |  FROM h)""".stripMargin
+
+  private def htmlTextOracleSql: String =
+    s"""WITH $htmlPlantLineCtesSql
+         |SELECT doc_id,
+         |       trim(regexp_replace(
+         |         replace(replace(replace(replace(replace(replace(
+         |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |             html,
+         |             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |             '(?s)<!--.*?-->', ' ', 'g'),
+         |             '(?s)<[^>]*>', ' ', 'g'),
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |           '&nbsp;', ' '), '&amp;', '&'),
+         |         '\\s+', ' ', 'g')) AS text
+         |FROM hp ORDER BY doc_id""".stripMargin
+
+  private def htmlMainOracleSql: String =
+    s"""WITH $htmlPlantLineCtesSql
+         |SELECT doc_id,
+         |       COALESCE(string_agg(
+         |         CASE WHEN length(txt) >= 25
+         |               AND anchors < len(string_split(txt, ' ')) * 0.34
+         |              THEN txt END, chr(10) ORDER BY ord), '') AS main
+         |FROM hl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def urlCanonOracleSql: String =
     s"""WITH $urlCanonCtesSql

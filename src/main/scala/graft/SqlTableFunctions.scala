@@ -64,6 +64,11 @@ object SqlTableFunctions {
     */
   val UrlsRelation = "urls"
 
+  /** HTML-extraction functions read this relation: one row per fetched
+    * page, `doc_id` + `html` columns.
+    */
+  val PagesRelation = "pages"
+
   /** The relation the vector functions read (vec_id, embedding). */
   val EmbeddingsRelation = "embeddings"
 
@@ -364,6 +369,16 @@ object SqlTableFunctions {
     add("graft_url_dedup", "graft_url_dedup()", 0) { (s, f, _) =>
       graft.operators.UrlOps.dedupByCanonicalUrl(
         rel(s, UrlsRelation, f.name), "url", "doc_id")
+    }
+    add("graft_html_text", "graft_html_text()", 0) { (s, f, _) =>
+      import org.apache.spark.sql.functions.col
+      rel(s, PagesRelation, f.name).select(col("doc_id"),
+        graft.operators.TextExtraction.stripHtml(col("html")).as("text"))
+    }
+    add("graft_html_main", "graft_html_main()", 0) { (s, f, _) =>
+      import org.apache.spark.sql.functions.col
+      rel(s, PagesRelation, f.name).select(col("doc_id"),
+        graft.operators.TextExtraction.mainContent(col("html")).as("main"))
     }
     add("graft_line_dedup_intra", "graft_line_dedup_intra()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedupWithinDoc(rel(s, DocumentsRelation, f.name))

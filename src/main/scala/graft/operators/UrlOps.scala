@@ -81,12 +81,15 @@ object UrlOps {
     * blocklist.
     */
   def domainChain(host: Column): Column = {
-    val parts = split(host, "\\.")
+    // a non-default port survives canonicalHost ("example.com:8080") —
+    // chain on the port-free host or the blocklist never matches it
+    val bare = regexp_replace(host, ":\\d+$", "")
+    val parts = split(bare, "\\.")
     val n = size(parts)
     when(n >= 2,
       transform(sequence(lit(0), n - lit(2)),
         i => array_join(slice(parts, i + lit(1), n - i), ".")))
-      .otherwise(array(host))
+      .otherwise(array(bare))
   }
 
   /** Keep exactly one row per canonical URL — the smallest `keyCol`

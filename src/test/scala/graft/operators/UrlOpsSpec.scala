@@ -105,4 +105,16 @@ class UrlOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(3L, 4L, 6L))
   }
+
+  test("filterBlockedDomains: a non-default port does not smuggle a host past the blocklist") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "example.com:8080"),      // blocked — port must not mask the domain
+      (2L, "ads.example.com:8443"),  // blocked via parent
+      (3L, "fine.org:8080")).toDF("doc_id", "host")
+    val block = Seq("example.com").toDF("domain")
+    val kept = UrlOps.filterBlockedDomains(df, "host", "doc_id", block)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L), s"kept: $kept")
+  }
 }
