@@ -206,6 +206,17 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"expected at most the blocked-key distinct exchange, got $hashEx\n$p")
   }
 
+  test("crawl capstone plan: broadcast joins only, one agg exchange, no window") {
+    val p = plan("q_crawl_curate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // hash exchanges: the blocked-key distinct + the canonical-key agg;
+    // the (doc_id-keyed) url><html plant join rides a broadcast, and the
+    // corpus never shuffles for the blocklist
+    assert("hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
   test("decontamination plan: benchmark side broadcasts, no cartesian") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
