@@ -5229,7 +5229,7 @@ object SparkEntry {
     * `(doc_id div 7) % 5` is decoupled from the host (`doc_id % 20`) and
     * path (`doc_id % 11`) indices, so the same logical page recurs under
     * different surface forms and canonical dedup has real work. Replayed
-    * literally in [[urlPlantCteSql]].
+    * literally in [[urlCanonCtesSql]]'s `u` CTE.
     */
   private def plantUrls(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{concat, expr, when}

@@ -742,6 +742,22 @@ object Dedup {
     // once per join side; grouping sketches once and emits in-bucket pairs
     // from the (small) collected (id, sig) lists. Singleton buckets, the
     // common case, are dropped before any pair work.
+    sigCandidates(sigs, maxHamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The distinct in-bucket pairs BEFORE the Hamming cut — the
+    * candidate volume the verification step actually pays per
+    * threshold ([[sigPairs]] = this + the cut). Exposed for the
+    * ScaleProbe cost table; spurious bucket collisions (pairs beyond
+    * the threshold that happened to share a segment) are only visible
+    * here.
+    */
+  private[graft] def sigCandidates(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
     simhashBanded(sigs, maxHamming)
       .groupBy("band", "seg")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("bucket"))
@@ -756,9 +772,6 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b", "sig_a", "sig_b").distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** (doc_id, sig, band, seg) pigeonhole banding of a simhash frame:

@@ -51,14 +51,22 @@ object TextExtraction {
     */
   def mainContent(html: Column, minChars: Int = 25,
                   maxLinkWordRatio: Double = 0.34): Column = {
-    val kept = filter(split(html, "\n"), l => {
-      val text = lineText(l)
+    // extract each line ONCE (Catalyst does not CSE across separate
+    // higher-order-function lambdas — filtering on lineText and then
+    // re-deriving it in transform would run the whole regex chain twice
+    // per kept line, and this is the hot operator of the crawl path):
+    // transform to (anchors, text), filter on the pair, project text
+    val extracted = transform(split(html, "\n"),
+      l => struct(regexp_count(l, lit("(?i)<a\\b")).as("anchors"),
+        lineText(l).as("text")))
+    val kept = filter(extracted, e => {
+      val text = e.getField("text")
       val words = size(split(text, " "))
-      val anchors = regexp_count(l, lit("(?i)<a\\b"))
       (length(text) >= minChars) &&
-        (anchors.cast("double") < words.cast("double") * maxLinkWordRatio)
+        (e.getField("anchors").cast("double") <
+          words.cast("double") * maxLinkWordRatio)
     })
-    trim(array_join(transform(kept, l => lineText(l)), "\n"))
+    trim(array_join(transform(kept, e => e.getField("text")), "\n"))
   }
 
   /** One line's extracted text: [[stripHtml]] confined to the line. */

@@ -122,10 +122,14 @@ object UrlOps {
     *
     * Shape: explode the (≤ label-depth) domain chain, broadcast-semi
     * against the blocklist to collect blocked keys, then anti-join the
-    * original frame on `keyCol`. Both joins broadcast — the blocklist
-    * by size, the blocked-key side because blocked rows are a small
-    * subset of the corpus (AQE plans the anti as a broadcast join) —
-    * so the full frame is never shuffled.
+    * original frame on `keyCol`. Only the BLOCKLIST side carries a
+    * broadcast hint — blockedKeys is corpus-bounded, not
+    * blocklist-bounded (block one blogspot-scale domain and it holds
+    * every key under it), so forcing it through the driver would be
+    * the 8-GB-broadcast/driver-OOM failure mode at 100 TB. AQE's
+    * runtime size check upgrades the anti to a broadcast join in the
+    * common small-blast-radius case and falls back to a shuffle join
+    * when blocking actually matched at scale.
     */
   def filterBlockedDomains(df: DataFrame, hostCol: String, keyCol: String,
                            blocklist: DataFrame): DataFrame = {
@@ -134,7 +138,7 @@ object UrlOps {
       .join(broadcast(blocklist.select(col("domain").as("_d"))),
         Seq("_d"), "left_semi")
       .select(keyCol).distinct()
-    df.join(broadcast(blockedKeys), Seq(keyCol), "left_anti")
+    df.join(blockedKeys, Seq(keyCol), "left_anti")
   }
 
   // ---- persisted URL-frontier index (the crawl seen-set) ----

@@ -137,7 +137,7 @@ object ConditionsTable {
        |CREATE INDEX IF NOT EXISTS ${tableName}_measurement_string_idx ON $tableName (measurement_string);
        |CREATE INDEX IF NOT EXISTS ${tableName}_measurement_subject_idx ON $tableName USING hash (measurement_subject);
        |CREATE INDEX IF NOT EXISTS ${tableName}_timestamp_idx ON $tableName ("timestamp" DESC);
-       |SELECT create_hypertable('$tableName', 'timestamp');
+       |SELECT create_hypertable('$tableName', 'timestamp', if_not_exists => TRUE);
        |""".stripMargin
   }
 

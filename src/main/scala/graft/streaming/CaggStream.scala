@@ -22,10 +22,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object CaggStream {
 
   /** One-time migration of a LEGACY flat raw store (written before the
-    * store became date-partitioned) into the `date=` layout: Spark's
-    * partition discovery fails on a directory mixing root-level parquet
-    * files with `date=` subdirectories, so resuming a pre-partitioning
-    * checkpointed stream would otherwise break on its first batch.
+    * store became date-partitioned) into the `date=` layout. Measured on
+    * this Spark version (4.1, local probe): partition discovery over a
+    * directory mixing root-level parquet files with `date=`
+    * subdirectories does NOT fail — it SILENTLY DROPS the root-level
+    * files' rows (the partitioned side wins). Without this migration a
+    * resumed pre-partitioning store wouldn't crash; every read would
+    * quietly exclude the legacy history — the worse failure mode.
     *
     * Crash-safe protocol (single writer — [[start]]'s foreachBatch is
     * the only store writer by contract); every step is idempotent, so a
@@ -57,8 +60,12 @@ object CaggStream {
     *    step 1 (the stale quarantine never mixes with them — it is
     *    removed first or the run aborts).
     * Remaining exposure: a legacy writer appending DURING this run,
-    * after the root listing — that run's first batch fails on the mixed
-    * layout and the next start() migrates the straggler.
+    * after the root listing — that straggler is silently invisible to
+    * reads (the mixed-layout drop above) until the next start()
+    * migrates it; nothing is lost, serves of its dates are stale until
+    * then. The migration refresh itself never reads the store root
+    * (date dirs addressed directly via basePath), so a straggler can
+    * never contaminate or wedge the refresh.
     */
   private def migrateLegacyFlatStore(spark: SparkSession, storePath: String,
                                      aggPath: String, widthS: Long): Unit = {
@@ -160,13 +167,23 @@ object CaggStream {
         }
     }
     // migrated dates come from the staged LAYOUT (listing, no job), and
-    // the refresh reads only those date directories of the full store
-    // (partition pruning on the isin filter) — cost ∝ migrated days
+    // the refresh reads ONLY those date directories — addressed directly
+    // (basePath keeps the partition column), never via the store root:
+    // a rolled-back legacy writer may have appended NEW flat files at
+    // the root while we were down, and a root read here would fail on
+    // the mixed layout BEFORE the caller ever reaches the code that
+    // quarantines them — wedging every subsequent start() at this line.
+    // Cost ∝ migrated days either way.
     val dates = dateDirs.map(_.getPath.getName.stripPrefix("date=")).sorted
-    if (dates.nonEmpty)
+    if (dates.nonEmpty) {
+      val migratedDirs = dateDirs
+        .map(dd => new Path(root, dd.getPath.getName).toString)
       ContinuousAggregate.refresh(
-        spark.read.parquet(storePath).filter(col("date").isin(dates.toIndexedSeq: _*)),
+        spark.read.option("basePath", storePath)
+          .parquet(migratedDirs.toIndexedSeq: _*)
+          .filter(col("date").isin(dates.toIndexedSeq: _*)),
         aggPath, widthS, dates.min)
+    }
     fs.create(migratedMarker, true).close()
     fs.delete(quarantine, true)
     ()

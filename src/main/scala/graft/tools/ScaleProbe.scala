@@ -769,15 +769,18 @@ object ScaleProbe {
           }
           i += 1
         }
-        // candidate volume = distinct in-bucket pairs BEFORE the Hamming
-        // filter (the work the verifier pays per threshold)
         val nSeg = t + 1
+        // candidate volume = distinct in-bucket pairs BEFORE the Hamming
+        // cut (sigCandidates) — sigPairs output is post-verification, so
+        // counting it would make false_pos 0 by construction and hide
+        // the verify-join cost the threshold actually trades
+        val (cand, candSec) = time(Dedup.sigCandidates(sigs, t).count())
         val (got, sec) = time(
           Dedup.sigPairs(sigs, t).select("doc_a", "doc_b").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet)
         val hit = got.intersect(exact).size
         val recall = if (exact.isEmpty) 1.0 else hit.toDouble / exact.size
-        println(s"""{"max_hamming":$t,"segments":$nSeg,"seg_bits":${64 / nSeg},"seed":"${if (seed.isEmpty) "default" else seed}","exact_pairs":${exact.size},"banded_pairs":${got.size},"hit":$hit,"missed":${exact.size - hit},"false_pos":${got.diff(exact).size},"recall":${fmt(recall, 6)},"sec":${fmt(sec)}}""")
+        println(s"""{"max_hamming":$t,"segments":$nSeg,"seg_bits":${64 / nSeg},"seed":"${if (seed.isEmpty) "default" else seed}","exact_pairs":${exact.size},"candidates":$cand,"spurious":${cand - got.size},"verified_pairs":${got.size},"hit":$hit,"missed":${exact.size - hit},"recall":${fmt(recall, 6)},"cand_sec":${fmt(candSec)},"sec":${fmt(sec)}}""")
         spark.catalog.clearCache(); System.gc()
       }
     }

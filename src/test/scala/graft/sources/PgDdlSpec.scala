@@ -57,7 +57,10 @@ class PgDdlSpec extends AnyFunSuite {
     assert(ddl.contains(
       "CREATE INDEX IF NOT EXISTS conditions_timestamp_idx ON conditions (\"timestamp\" DESC);"),
       "timestamp index must be descending (dashboards read the recent end)")
-    assert(ddl.contains("SELECT create_hypertable('conditions', 'timestamp');"))
+    // if_not_exists keeps the WHOLE script re-runnable — every other
+    // statement already guards with IF NOT EXISTS, and a resume after a
+    // mid-script failure would otherwise abort on 'already a hypertable'
+    assert(ddl.contains("SELECT create_hypertable('conditions', 'timestamp', if_not_exists => TRUE);"))
     assert(ddl.contains("CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE;"))
     assert(ddl.contains("CREATE EXTENSION IF NOT EXISTS postgis CASCADE;"))
   }

@@ -197,6 +197,49 @@ class CaggStreamSpec extends AnyFunSuite {
     } finally rmTree(new java.io.File(tmpB))
   }
 
+  test("staged crash + NEW legacy flat file at the root: resume migrates both, no wedge") {
+    // the round-10 review scenario: a migration crashed after staging,
+    // then the rolled-back legacy writer appended ANOTHER flat file at
+    // the store root. completeMigration's refresh reads the migrated
+    // date dirs DIRECTLY (basePath), never the store root — a root read
+    // over the mixed flat+date= layout SILENTLY DROPS the flat rows on
+    // this Spark version (measured; other versions throw), either of
+    // which is wrong here. Both migration waves must land and serve.
+    val tmp = java.nio.file.Files.createTempDirectory("cagg_wedge").toString
+    try {
+      // quarantined + staged + frozen (steps 1-2 done, crash before 3)
+      rows(Seq((0L, 1.0), (3600L, 2.0))).coalesce(1).write.parquet(s"$tmp/q")
+      val qdir = new java.io.File(s"$tmp/store/.legacy_migration"); qdir.mkdirs()
+      val part = new java.io.File(s"$tmp/q").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(qdir, part.getName).toPath)
+      rows(Seq((0L, 1.0), (3600L, 2.0)))
+        .withColumn("date", to_date(col("timestamp")))
+        .coalesce(1).write.mode("overwrite").partitionBy("date")
+        .parquet(s"$tmp/store/.legacy_migration/.staged")
+      assert(new java.io.File(qdir, "_STAGED").createNewFile())
+      // the straggler: a NEW flat file at the root (different hour)
+      rows(Seq((7200L, 9.0))).coalesce(1).write.parquet(s"$tmp/q2")
+      val straggler = new java.io.File(s"$tmp/q2").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(straggler.toPath,
+        new java.io.File(s"$tmp/store/straggler-${straggler.getName}").toPath)
+      rows(Seq((86400L, 5.0))).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      CaggStream.start(spark, s"$tmp/in", s"$tmp/store", s"$tmp/agg",
+        s"$tmp/cp", widthS = 3600).awaitTermination()
+      assert(spark.read.parquet(s"$tmp/store").count() == 4,
+        "2 staged + 1 straggler + 1 streamed rows expected")
+      assert(!new java.io.File(s"$tmp/store/.legacy_migration").exists())
+      // all three migrated hours serve (staged pair + straggler)
+      val served = ContinuousAggregate.query(spark, s"$tmp/agg", "s1", "m",
+          T0, T0 + 10800, widthS = 3600)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == Seq((T0, 1.0), (T0 + 3600, 2.0), (T0 + 7200, 9.0)),
+        s"both migration waves must serve: $served")
+    } finally rmTree(new java.io.File(tmp))
+  }
+
   test("stale marker + newly-appended flat files: migration re-runs instead of honoring the marker") {
     // a rolled-back legacy writer can append flat root files AFTER a
     // completed migration whose quarantine cleanup was interrupted (the

@@ -16,7 +16,9 @@ def main() -> int:
     oq, nq = old["queries"], new["queries"]
     shared = sorted(k for k in oq if k in nq and oq[k] and nq[k])
     ratios = {k: nq[k] / oq[k] for k in shared}
-    med = statistics.median(ratios.values())
+    # filtered adjudication runs can share zero rows with a full run —
+    # report the disjointness instead of dying on median([])
+    med = statistics.median(ratios.values()) if ratios else float("nan")
     print(f"old total {old['value']:.1f}s ({len(oq)} rows)  "
           f"new total {new['value']:.1f}s ({len(nq)} rows)")
     print(f"shared rows {len(shared)}  median ratio {med:.3f}")
