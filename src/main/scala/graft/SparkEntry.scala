@@ -1814,6 +1814,18 @@ object SparkEntry {
           .select("doc_id", "canon_url").orderBy("doc_id")
       }
     }),
+    // robots.txt compliance: per-host Disallow PREFIX rules (exact host,
+    // unlike the suffix blocklist) — '/p/1' blocks /p/1 and /p/10..12;
+    // rules broadcast, AQE-guarded anti, no forced driver materialization
+    "q_url_robots" -> ((s, d) => {
+      import s.implicits._
+      val urls = plantUrls(table(s, d, "documents"))
+      val robots = Seq(
+        ("example2.com", "/p/1"), ("example9.com", "/p/"),
+        ("cdn.media.example5.com", "/p/7")).toDF("host", "prefix")
+      graft.operators.UrlOps.filterDisallowed(urls, "url", "doc_id", robots)
+        .orderBy("doc_id")
+    }),
     // domain-blocklist filter with suffix semantics (blocking example.com
     // blocks cdn.media.example.com): exploded domain-chain broadcast semi
     // collects blocked keys, broadcast anti removes them — the corpus
@@ -4356,6 +4368,17 @@ object SparkEntry {
       s"""WITH $urlCanonCtesSql
          |SELECT doc_id, canon_url FROM k
          |WHERE canon_url NOT IN (SELECT canon_url FROM k WHERE doc_id % 2 = 0)
+         |ORDER BY doc_id""".stripMargin,
+    // robots: exact-host match + path-prefix LIKE — the declarative
+    // statement of the broadcast equi-join + startsWith residual
+    "q_url_robots" ->
+      s"""WITH $urlCanonCtesSql
+         |SELECT doc_id, url FROM h
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM (VALUES ('example2.com', '/p/1'),
+         |                        ('example9.com', '/p/'),
+         |                        ('cdn.media.example5.com', '/p/7')) r(host, prefix)
+         |  WHERE r.host = h.host AND h.path LIKE r.prefix || '%')
          |ORDER BY doc_id""".stripMargin,
     // suffix semantics via EXISTS (host = b or host endswith '.' || b) —
     // the declarative statement of what the exploded-chain joins compute

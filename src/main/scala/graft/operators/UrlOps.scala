@@ -73,6 +73,42 @@ object UrlOps {
     regexp_replace(noPort, "^www\\.", "")
   }
 
+  /** Canonical path of an absolute URL: everything between the
+    * authority and the query/fragment, trailing slashes stripped —
+    * the same path term [[canonicalizeUrl]] assembles.
+    */
+  def canonicalPath(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val rest = regexp_replace(noFrag, SchemeRe, "")
+    regexp_replace(regexp_extract(rest, "^[^/?]*([^?]*)", 1), "/+$", "")
+  }
+
+  /** Drop rows whose canonical (host, path) matches a robots disallow
+    * rule — `robots` carries one (`host`, `prefix`) row per
+    * `Disallow:` line, keyed by EXACT host (robots.txt is per-host,
+    * unlike the suffix-matched blocklist), with PATH-PREFIX semantics:
+    * disallowing `/admin` blocks `/admin` and `/admin/x` (and
+    * `/administrator` — the raw prefix rule, as crawlers apply it;
+    * `*` wildcards and `Allow:` overrides are out of scope,
+    * documented). Hosts with no rules pass.
+    *
+    * Shape mirrors [[filterBlockedDomains]]: the rules table rides a
+    * broadcast into an equi-join on host (prefix check as the join
+    * residual), blocked keys anti-join back — AQE-guarded, the corpus
+    * frame is never forced through the driver.
+    */
+  def filterDisallowed(df: DataFrame, urlCol: String, keyCol: String,
+                       robots: DataFrame): DataFrame = {
+    val withHp = df.select(col(keyCol),
+      canonicalHost(col(urlCol)).as("_h"), canonicalPath(col(urlCol)).as("_p"))
+    val blockedKeys = withHp
+      .join(broadcast(robots.select(col("host").as("_h"), col("prefix"))),
+        Seq("_h"), "inner")
+      .filter(col("_p").startsWith(col("prefix")))
+      .select(keyCol).distinct()
+    df.join(blockedKeys, Seq(keyCol), "left_anti")
+  }
+
   /** Every ≥2-label suffix of a host, most-specific first:
     * `a.b.example.com` → `[a.b.example.com, b.example.com, example.com]`.
     * A single-label host yields itself. This is the join key set for

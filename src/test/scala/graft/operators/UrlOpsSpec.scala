@@ -106,6 +106,21 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(kept == Seq(3L, 4L, 6L))
   }
 
+  test("filterDisallowed: exact-host prefix rules, canonical path, no suffix bleed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://example.com/admin/users"),      // blocked: /admin prefix
+      (2L, "https://example.com/administrator"),     // blocked: raw prefix rule
+      (3L, "https://example.com/public"),            // allowed
+      (4L, "https://sub.example.com/admin/x"),       // allowed: rules are EXACT host
+      (5L, "https://WWW.Example.com:443/admin/"),    // blocked: canonical host+path
+      (6L, "https://other.org/admin")).toDF("doc_id", "url")
+    val robots = Seq(("example.com", "/admin")).toDF("host", "prefix")
+    val kept = UrlOps.filterDisallowed(df, "url", "doc_id", robots)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L, 4L, 6L), s"kept: $kept")
+  }
+
   test("filterBlockedDomains: a non-default port does not smuggle a host past the blocklist") {
     import spark.implicits._
     val df = Seq(
