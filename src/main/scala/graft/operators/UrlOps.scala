@@ -101,9 +101,13 @@ object UrlOps {
                        robots: DataFrame): DataFrame = {
     val withHp = df.select(col(keyCol),
       canonicalHost(col(urlCol)).as("_h"), canonicalPath(col(urlCol)).as("_p"))
+    // an EMPTY Disallow means "allow all" in robots.txt — but
+    // startsWith("") is true for every path, so an empty-prefix rule
+    // must be dropped here, not allowed to block the whole host
+    val rules = robots.select(col("host").as("_h"), col("prefix"))
+      .filter(col("prefix").isNotNull && col("prefix") =!= "")
     val blockedKeys = withHp
-      .join(broadcast(robots.select(col("host").as("_h"), col("prefix"))),
-        Seq("_h"), "inner")
+      .join(broadcast(rules), Seq("_h"), "inner")
       .filter(col("_p").startsWith(col("prefix")))
       .select(keyCol).distinct()
     df.join(blockedKeys, Seq(keyCol), "left_anti")

@@ -119,6 +119,12 @@ class UrlOpsSpec extends AnyFunSuite {
     val kept = UrlOps.filterDisallowed(df, "url", "doc_id", robots)
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(3L, 4L, 6L), s"kept: $kept")
+    // an EMPTY Disallow means ALLOW ALL (robots.txt standard) — it must
+    // not become a block-everything rule via startsWith("")
+    val emptyRule = Seq(("other.org", "")).toDF("host", "prefix")
+    val kept2 = UrlOps.filterDisallowed(df, "url", "doc_id", emptyRule)
+      .count()
+    assert(kept2 == 6, s"empty Disallow must block nothing: kept $kept2 of 6")
   }
 
   test("filterBlockedDomains: a non-default port does not smuggle a host past the blocklist") {
