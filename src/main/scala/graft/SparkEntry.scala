@@ -1739,6 +1739,18 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.operators.TextExtraction.mainContent(col("html")).as("main"))
         .orderBy("doc_id")),
+    // the minified twin: newlines stripped from the SAME pages — the
+    // block-boundary pre-split must re-segment them identically, so
+    // extraction is minification-invariant (most real template output
+    // is minified; without the pre-split this degraded to a whole-page
+    // pass/fail)
+    "q_html_main_minified" -> ((s, d) =>
+      plantHtml(table(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.operators.TextExtraction.mainContent(
+            org.apache.spark.sql.functions.regexp_replace(
+              col("html"), "\n", "")).as("main"))
+        .orderBy("doc_id")),
     // the crawl-curation capstone: blocklist filter → canonical-URL
     // dedup → HTML main-content extraction → extracted-length floor,
     // composed from the actual operators; ONE hash-exact oracle chains
@@ -1755,6 +1767,41 @@ object SparkEntry {
       val block = Seq("example7.com", "media.example11.com", "example3.com")
         .toDF("domain")
       val allowed = UrlOps.filterBlockedDomains(pages, "host", "doc_id", block)
+      val kept = UrlOps.dedupByCanonicalUrl(
+        allowed.drop("host"), "url", "doc_id")
+      kept.withColumn("main", TextExtraction.mainContent(col("html")))
+        .withColumn("n_words", size(split(col("main"), " ")))
+        .filter(col("n_words") >= 20)
+        .select(col("doc_id"), col("canon_url"),
+          col("n_words").cast("long").as("n_words"),
+          md5(col("main")).as("main_hash"))
+        .orderBy("doc_id")
+    }),
+    // the same capstone fed from WARC-shaped binary records (the crawl
+    // family's ingest path, mirroring the reference's byte->UTF-8 wire
+    // decode): pages are wrapped as raw WARC response blobs (headers +
+    // blank line + payload), parsed back by WarcIngest's expression-only
+    // header extraction, keyed by the parsed WARC-Record-ID, then run
+    // through the identical curation chain — the oracle is the same
+    // chained replay because wrap->parse is a byte-exact identity
+    "q_crawl_from_warc" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.{TextExtraction, UrlOps}
+      import graft.sources.WarcIngest
+      import org.apache.spark.sql.functions.{md5, regexp_extract, size, split, to_timestamp}
+      val docs = table(s, d, "documents")
+      val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
+      val raw = pages.select(WarcIngest.wrapAsRawRecord(col("url"),
+        col("html"), to_timestamp(lit("2026-01-15 12:00:00")),
+        concat(lit("urn:graft:"), col("doc_id").cast("string"))).as("record"))
+      val parsed = WarcIngest.responsesOnly(WarcIngest.parseRawRecords(raw))
+        .withColumn("doc_id", regexp_extract(col("record_id"),
+          "urn:graft:([0-9]+)", 1).cast("long"))
+        .withColumn("host", UrlOps.canonicalHost(col("url")))
+      val block = Seq("example7.com", "media.example11.com", "example3.com")
+        .toDF("domain")
+      val allowed = UrlOps.filterBlockedDomains(
+        parsed.select("doc_id", "url", "html", "host"), "host", "doc_id", block)
       val kept = UrlOps.dedupByCanonicalUrl(
         allowed.drop("host"), "url", "doc_id")
       kept.withColumn("main", TextExtraction.mainContent(col("html")))
@@ -1810,19 +1857,53 @@ object SparkEntry {
           graft.streaming.DedupStream.startUrls(s, s"$tmp/input",
             "graft_stream_url_index", s"$tmp/out", s"$tmp/cp",
             maxFilesPerTrigger = Some(1)))
-        s.read.parquet(s"$tmp/out")
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
           .select("doc_id", "canon_url").orderBy("doc_id")
       }
     }),
-    // robots.txt compliance: per-host Disallow PREFIX rules (exact host,
-    // unlike the suffix blocklist) — '/p/1' blocks /p/1 and /p/10..12;
-    // rules broadcast, AQE-guarded anti, no forced driver materialization
+    // the TTL recrawl gate: even docs' canonicals are claimed at
+    // claimed_at = doc_id*10; every doc streams through with its OWN
+    // clock crawl_ts = doc_id*10 + (doc_id%7)*1000 and passes unless
+    // the newest claim on its canonical is within ttl=3000 of that
+    // clock — stale claims expire, URLs re-admit (per-row expiry keeps
+    // the survivor set batch-partition independent)
+    "q_url_stream_ttl" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val planted = plantUrls(table(s, d, "documents"))
+        .withColumn("crawl_ts", expr("doc_id * 10 + (doc_id % 7) * 1000"))
+      BenchPhases.timed("q_url_stream_ttl", "build")(
+        graft.operators.UrlOps.writeUrlIndex(
+          planted.filter(col("doc_id") % 2 === 0)
+            .withColumn("claim_ts", expr("doc_id * 10")),
+          "url", "graft_stream_url_ttl_index",
+          claimedAtCol = Some("claim_ts")))
+      withTempDir("graft_url_stream_ttl") { tmp =>
+        BenchPhases.timed("q_url_stream_ttl", "stage")(
+          planted.repartition(7).write.parquet(s"$tmp/input"))
+        BenchPhases.drainTimed("q_url_stream_ttl")(
+          graft.streaming.DedupStream.startUrlsTtl(s, s"$tmp/input",
+            "graft_stream_url_ttl_index", s"$tmp/out", s"$tmp/cp",
+            asOfCol = "crawl_ts", ttl = 3000L,
+            maxFilesPerTrigger = Some(1)))
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+          .select("doc_id", "canon_url").orderBy("doc_id")
+      }
+    }),
+    // robots.txt compliance, full REP (RFC 9309): Allow/Disallow with
+    // longest-pattern-wins (Allow on ties), '*' wildcards, trailing-$
+    // anchors, 'Disallow: /' blocking the host root, rule hosts
+    // canonicalized (www./default-port stripped); rules broadcast,
+    // AQE-guarded anti, no forced driver materialization
     "q_url_robots" -> ((s, d) => {
       import s.implicits._
       val urls = plantUrls(table(s, d, "documents"))
       val robots = Seq(
-        ("example2.com", "/p/1"), ("example9.com", "/p/"),
-        ("cdn.media.example5.com", "/p/7")).toDF("host", "prefix")
+        ("example2.com", "/p/1", false),
+        ("example2.com", "/p/10", true),
+        ("www.example9.com:443", "/", false),
+        ("example9.com", "/p/3", true),
+        ("cdn.media.example5.com", "/p/*7", false),
+        ("example4.com", "/p/2$", false)).toDF("host", "pattern", "allow")
       graft.operators.UrlOps.filterDisallowed(urls, "url", "doc_id", robots)
         .orderBy("doc_id")
     }),
@@ -1840,6 +1921,22 @@ object SparkEntry {
         .toDF("domain")
       graft.operators.UrlOps
         .filterBlockedDomains(withHost, "host", "doc_id", block)
+        .orderBy("doc_id")
+    }),
+    // the PSL tier: chains stop at the REGISTRABLE domain, so blocklist
+    // entries at a public suffix ('co.uk', 'blogspot.com') match
+    // NOTHING while 'example3.co.uk' still blocks its subdomains —
+    // same exploded-chain broadcast-semi + anti shape
+    "q_url_blocklist_psl" -> ((s, d) => {
+      import s.implicits._
+      val withHost = plantPslUrls(table(s, d, "documents"))
+        .withColumn("host",
+          graft.operators.UrlOps.canonicalHost(col("url")))
+        .select("doc_id", "host")
+      val block = Seq("co.uk", "example3.co.uk", "example7.com",
+        "blogspot.com").toDF("domain")
+      graft.operators.UrlOps
+        .filterBlockedDomainsPsl(withHost, "host", "doc_id", block)
         .orderBy("doc_id")
     }),
     // Efraimidis-Spirakis weighted sample without replacement: 100 docs
@@ -4327,37 +4424,19 @@ object SparkEntry {
     "q_sql_html_text" -> htmlTextOracleSql,
     // the main-content RULE replayed per line: keep length>=25 AND
     // anchors < words*0.34, reassemble kept lines in order
-    "q_html_main" -> htmlMainOracleSql,
-    "q_sql_html_main" -> htmlMainOracleSql,
+    "q_html_main" -> htmlMainOracleSql(minified = false),
+    "q_sql_html_main" -> htmlMainOracleSql(minified = false),
+    // the minified twin: the ORACLE strips the newlines and relies on
+    // the block-boundary pre-split to re-segment — proving the rule
+    // (minification invariance), not the fixture outcome
+    "q_html_main_minified" -> htmlMainOracleSql(minified = true),
     // all four stage replays chained: url canonicalization (k/h CTEs),
     // blocklist EXISTS, canonical QUALIFY dedup, per-line extraction
-    "q_crawl_curate" ->
-      s"""WITH $urlCanonCtesSql,
-         |$htmlPlantLineCtesSql,
-         |mn AS (
-         |  SELECT doc_id,
-         |         COALESCE(string_agg(
-         |           CASE WHEN length(txt) >= 25
-         |                 AND anchors < len(string_split(txt, ' ')) * 0.34
-         |                THEN txt END, chr(10) ORDER BY ord), '') AS main
-         |  FROM hl GROUP BY doc_id),
-         |allowed AS (
-         |  SELECT k.doc_id, k.canon_url FROM k JOIN h USING (doc_id)
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM (VALUES ('example7.com'), ('media.example11.com'),
-         |                          ('example3.com')) b(domain)
-         |    -- port-free comparison, mirroring domainChain's port strip
-         |  WHERE regexp_replace(h.host, ':[0-9]+$$', '') = b.domain
-         |     OR regexp_replace(h.host, ':[0-9]+$$', '') LIKE '%.' || b.domain)),
-         |kept AS (
-         |  SELECT doc_id, canon_url FROM allowed
-         |  QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1)
-         |SELECT kept.doc_id, kept.canon_url,
-         |       CAST(len(string_split(mn.main, ' ')) AS BIGINT) AS n_words,
-         |       md5(mn.main) AS main_hash
-         |FROM kept JOIN mn ON kept.doc_id = mn.doc_id
-         |WHERE len(string_split(mn.main, ' ')) >= 20
-         |ORDER BY kept.doc_id""".stripMargin,
+    "q_crawl_curate" -> crawlCurateOracleSql,
+    // the WARC face: record wrap -> parse is an identity on (url, html)
+    // — byte-exact UTF-8 round-trip, headers split at the first blank
+    // line — so the oracle is the SAME chained curation replay
+    "q_crawl_from_warc" -> crawlCurateOracleSql,
     "q_url_canon" -> urlCanonOracleSql,
     "q_sql_url_canon" -> urlCanonOracleSql,
     "q_url_dedup" -> urlDedupOracleSql,
@@ -4369,16 +4448,48 @@ object SparkEntry {
          |SELECT doc_id, canon_url FROM k
          |WHERE canon_url NOT IN (SELECT canon_url FROM k WHERE doc_id % 2 = 0)
          |ORDER BY doc_id""".stripMargin,
-    // robots: exact-host match + path-prefix LIKE — the declarative
-    // statement of the broadcast equi-join + startsWith residual
+    // TTL recrawl gate: a row passes unless the newest claim on its
+    // canonical (even docs, claimed_at = doc_id*10) is within TTL of
+    // the row's OWN clock — per-row expiry, so the survivor set is
+    // batch-partition independent like q_url_stream's
+    "q_url_stream_ttl" ->
+      s"""WITH $urlCanonCtesSql,
+         |cw AS (SELECT doc_id, canon_url,
+         |              doc_id * 10 + (doc_id % 7) * 1000 AS crawl_ts FROM k),
+         |cl AS (SELECT canon_url, max(doc_id * 10) AS claimed_at
+         |       FROM k WHERE doc_id % 2 = 0 GROUP BY canon_url)
+         |SELECT cw.doc_id, cw.canon_url
+         |FROM cw LEFT JOIN cl USING (canon_url)
+         |WHERE cl.claimed_at IS NULL OR cl.claimed_at < cw.crawl_ts - 3000
+         |ORDER BY cw.doc_id""".stripMargin,
+    // robots REP replay: rule -> regex (escape metachars, '*' -> '.*',
+    // trailing-$ anchor), host canonicalized on the RULES side, match
+    // against the slash-preserving path+query term, longest-pattern
+    // wins with Allow breaking ties (row_number replays the
+    // max(struct(spec, allow)) winner)
     "q_url_robots" ->
-      s"""WITH $urlCanonCtesSql
+      s"""WITH $urlCanonCtesSql,
+         |rr AS (
+         |  SELECT regexp_replace(regexp_replace(lower(rhost), ':(80|443)$$', ''), '^www\\.', '') AS rhost,
+         |         pattern, allow, length(pattern) AS spec,
+         |         '^' || replace(regexp_replace(
+         |                  CASE WHEN pattern LIKE '%$$' THEN substr(pattern, 1, length(pattern) - 1) ELSE pattern END,
+         |                  '([.\\\\+?\\[\\]{}()|^$$])', '\\\\\\1', 'g'), '*', '.*')
+         |             || CASE WHEN pattern LIKE '%$$' THEN '$$' ELSE '' END AS rx
+         |  FROM (VALUES ('example2.com', '/p/1', false),
+         |               ('example2.com', '/p/10', true),
+         |               ('www.example9.com:443', '/', false),
+         |               ('example9.com', '/p/3', true),
+         |               ('cdn.media.example5.com', '/p/*7', false),
+         |               ('example4.com', '/p/2$$', false)) r(rhost, pattern, allow)
+         |  WHERE pattern <> ''),
+         |verd AS (
+         |  SELECT h.doc_id, rr.allow,
+         |         row_number() OVER (PARTITION BY h.doc_id
+         |                            ORDER BY rr.spec DESC, rr.allow DESC) AS rn
+         |  FROM h JOIN rr ON h.host = rr.rhost AND regexp_matches(h.rpathq, rr.rx))
          |SELECT doc_id, url FROM h
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM (VALUES ('example2.com', '/p/1'),
-         |                        ('example9.com', '/p/'),
-         |                        ('cdn.media.example5.com', '/p/7')) r(host, prefix)
-         |  WHERE r.host = h.host AND h.path LIKE r.prefix || '%')
+         |WHERE doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)
          |ORDER BY doc_id""".stripMargin,
     // suffix semantics via EXISTS (host = b or host endswith '.' || b) —
     // the declarative statement of what the exploded-chain joins compute
@@ -4392,6 +4503,10 @@ object SparkEntry {
          |  WHERE regexp_replace(h.host, ':[0-9]+$$', '') = b.domain
          |     OR regexp_replace(h.host, ':[0-9]+$$', '') LIKE '%.' || b.domain)
          |ORDER BY doc_id""".stripMargin,
+    // PSL tier: the chain stops at the registrable domain, so entries
+    // at a public suffix (co.uk, blogspot.com) match NOTHING — the
+    // replay interpolates the same PslSnapshot the Spark side uses
+    "q_url_blocklist_psl" -> urlBlocklistPslOracleSql,
     // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
     // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with
@@ -5247,18 +5362,22 @@ object SparkEntry {
        |          substr(md5('$salt:' || CAST($keyExpr AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
        |   (a, b) -> a * 16 + b) % ${graft.operators.Sampling.BucketCount})""".stripMargin
 
-  /** Deterministic crawl-URL plant keyed on doc_id: five variant shapes
+  /** Deterministic crawl-URL plant keyed on doc_id: seven variant shapes
     * exercising every canonicalization rule. The variant class
-    * `(doc_id div 7) % 5` is decoupled from the host (`doc_id % 20`) and
+    * `(doc_id div 7) % 7` is decoupled from the host (`doc_id % 20`) and
     * path (`doc_id % 11`) indices, so the same logical page recurs under
-    * different surface forms and canonical dedup has real work. Replayed
-    * literally in [[urlCanonCtesSql]]'s `u` CTE.
+    * different surface forms and canonical dedup has real work. Variants
+    * 5 and 6 (round 11) exercise percent-encoding normalization: v5 is a
+    * pct-encoded twin of the plain form (`%70` decodes to `p`, `%7e` to
+    * `~`, `%2f` stays escaped but uppercases), v6 carries a MALFORMED
+    * escape (`%9z` — passes through verbatim). Replayed literally in
+    * [[urlCanonCtesSql]]'s `u` CTE.
     */
   private def plantUrls(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{concat, expr, when}
     val k = (col("doc_id") % 20).cast("string")
     val m = (col("doc_id") % 11).cast("string")
-    val v = expr("(doc_id div 7) % 5")
+    val v = expr("(doc_id div 7) % 7")
     docs.select(col("doc_id"),
       when(v === 0, concat(lit("https://example"), k, lit(".com/p/"), m))
         .when(v === 1, concat(lit("HTTPS://WWW.Example"), k,
@@ -5267,18 +5386,47 @@ object SparkEntry {
           lit(".com:443/p/"), m, lit("?utm_source=x&fbclid=1#top")))
         .when(v === 3, concat(lit("https://example"), k,
           lit(".com/p/"), m, lit("?b=2&a=1#frag")))
-        .otherwise(concat(lit("http://www.example"), k,
+        .when(v === 4, concat(lit("http://www.example"), k,
           lit(".com:80/p/"), m, lit("?a=1&utm_medium=y&b=2")))
+        .when(v === 5, concat(lit("https://example"), k,
+          lit(".com/%70/"), m, lit("?x=%2f&Y=%7e")))
+        .otherwise(concat(lit("http://example"), k,
+          lit(".com/p/"), m, lit("%9z?gclid=1&a=%5A")))
+        .as("url"))
+  }
+
+  /** PSL-exercising URL plant: hosts under a multi-label ICANN suffix
+    * (`co.uk`, with and without extra subdomain labels), a plain TLD,
+    * and a private-section shared-hosting suffix (`blogspot.com`).
+    * Replayed literally in [[urlBlocklistPslOracleSql]]'s `pu` CTE.
+    */
+  private def plantPslUrls(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr, when}
+    val k = (col("doc_id") % 20).cast("string")
+    val m = (col("doc_id") % 11).cast("string")
+    // (doc_id div 3) decorrelates the variant from the host index k —
+    // doc_id%4 and doc_id%20 share the mod-4 residue, which would pin
+    // every blocklisted k to the same variant and block NOTHING
+    val v = expr("(doc_id div 3) % 4")
+    docs.select(col("doc_id"),
+      when(v === 0, concat(lit("https://example"), k, lit(".co.uk/p/"), m))
+        .when(v === 1, concat(lit("https://cdn.media.example"), k,
+          lit(".co.uk/p/"), m))
+        .when(v === 2, concat(lit("https://example"), k, lit(".com/p/"), m))
+        .otherwise(concat(lit("https://blog"), k,
+          lit(".blogspot.com/p/"), m))
         .as("url"))
   }
 
   /** Deterministic HTML plant: each document's text wrapped in a
     * four-line template page — head (title + style + script content),
     * a nav bar (three anchors, three words), the content paragraph
-    * (bold tags + planted `&amp;`/`&lt;`/`&gt;` entities), and a
-    * comment + footer line (two anchors). Exercises every
-    * [[graft.operators.TextExtraction]] rule; replayed literally in
-    * [[htmlPlantLineCtesSql]].
+    * (bold tags + planted `&amp;`/`&lt;`/`&gt;` entities AND numeric
+    * character references: decimal `&#72;`, hex `&#x21;`, nbsp-class
+    * `&#160;`, and out-of-range `&#999;` which must pass through
+    * verbatim), and a comment + footer line (two anchors). Exercises
+    * every [[graft.operators.TextExtraction]] rule; replayed literally
+    * in [[htmlLineCtesSql]].
     */
   private def plantHtml(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
@@ -5288,79 +5436,149 @@ object SparkEntry {
       lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
         "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>\n"),
       lit("<p><b>"), col("text"), lit("</b> &amp; tail&lt;"),
-      col("doc_id").cast("string"), lit("&gt;</p>\n"),
+      col("doc_id").cast("string"),
+      lit("&gt; say &#72;i&#x21;&#160;plus &#999; done</p>\n"),
       lit("<!-- tracking pixel --><div class=\"footer\">" +
         "<a href=\"/t\">Terms</a> &middot; <a href=\"/p\">Privacy</a></div>"))
       .as("html"))
 
-  /** HTML plant + per-line extraction replay (oracle side): CTE `hp`
-    * (the literal [[plantHtml]] replay) and `hl` (each line's
-    * extracted text + anchor count — the whole
-    * [[graft.operators.TextExtraction]] strip chain as the same
-    * regexes/replacements, every regexp_replace with the 'g' DuckDB
-    * needs to match Spark's replace-all default).
+  /** DuckDB replay of [[graft.operators.TextExtraction]]'s numeric
+    * character-reference decode (the same `&#`-split transform the
+    * Spark side runs): decode decimal/hex refs in the ASCII range,
+    * whitespace-class codes (9/10/13/160) to a space, everything else
+    * passes through verbatim. `x` is a column name — call this from a
+    * CTE stage so the inner expression is referenced, not duplicated.
     */
-  private def htmlPlantLineCtesSql: String =
-    """hp AS (
-      |  SELECT doc_id,
-      |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-      |         '</title><style>body { margin:0 }</style><script>var t = 1;</script></head>' || chr(10) ||
-      |         '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' || chr(10) ||
-      |         '<p><b>' || text || '</b> &amp; tail&lt;' || CAST(doc_id AS VARCHAR) || '&gt;</p>' || chr(10) ||
-      |         '<!-- tracking pixel --><div class="footer"><a href="/t">Terms</a> &middot; <a href="/p">Privacy</a></div>'
-      |           AS html
-      |  FROM documents),
-      |hl AS (
-      |  SELECT doc_id, generate_subscripts(string_split(html, chr(10)), 1) AS ord,
-      |         trim(regexp_replace(
-      |           replace(replace(replace(replace(replace(replace(
-      |             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |               unnest(string_split(html, chr(10))),
-      |               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-      |               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-      |               '<!--.*?-->', ' ', 'g'),
-      |               '<[^>]*>', ' ', 'g'),
-      |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-      |             '&nbsp;', ' '), '&amp;', '&'),
-      |           '\s+', ' ', 'g')) AS txt,
-      |         len(regexp_extract_all(unnest(string_split(html, chr(10))), '(?i)<a\b')) AS anchors
-      |  FROM hp)""".stripMargin
+  private def duckNumRefDecodeSql(x: String): String =
+    s"""CASE WHEN strpos($x, '&#') = 0 THEN $x
+       |     ELSE string_split($x, '&#')[1] || array_to_string(list_transform(string_split($x, '&#')[2:], s ->
+       |       CASE WHEN regexp_matches(s, '^[0-9]{1,7};') THEN
+       |              CASE WHEN CAST(regexp_extract(s, '^([0-9]{1,7});', 1) AS INT) IN (9, 10, 13, 160)
+       |                     THEN ' ' || substr(s, length(regexp_extract(s, '^([0-9]{1,7});', 1)) + 2)
+       |                   WHEN CAST(regexp_extract(s, '^([0-9]{1,7});', 1) AS INT) BETWEEN 32 AND 126
+       |                     THEN chr(CAST(regexp_extract(s, '^([0-9]{1,7});', 1) AS INT)) || substr(s, length(regexp_extract(s, '^([0-9]{1,7});', 1)) + 2)
+       |                   ELSE '&#' || s END
+       |            WHEN regexp_matches(s, '^[xX][0-9a-fA-F]{1,6};') THEN
+       |              CASE WHEN CAST('0x' || upper(regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT) IN (9, 10, 13, 160)
+       |                     THEN ' ' || substr(s, length(regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) + 3)
+       |                   WHEN CAST('0x' || upper(regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT) BETWEEN 32 AND 126
+       |                     THEN chr(CAST('0x' || upper(regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) AS INT)) || substr(s, length(regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) + 3)
+       |                   ELSE '&#' || s END
+       |            ELSE '&#' || s END), '') END""".stripMargin
+
+  /** The named-entity fold (`&amp;` last, after [[duckNumRefDecodeSql]]
+    * has already run — same ordering as the Spark side).
+    */
+  private def duckNamedEntitySql(x: String): String =
+    s"""replace(replace(replace(replace(replace(replace($x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')"""
+
+  /** HTML plant + per-line extraction replay (oracle side): CTE `hp`
+    * (the literal [[plantHtml]] replay), `hs` (the block-boundary
+    * pre-split — applied to the newline-stripped page for the minified
+    * face, so the oracle proves minification invariance, not just the
+    * fixture outcome), and `hl0`→`hl` (per-line tag strip, numeric-ref
+    * decode, named-entity decode + whitespace collapse + anchor count)
+    * — the whole [[graft.operators.TextExtraction]] chain as the same
+    * regexes/replacements, every regexp_replace with the 'g' DuckDB
+    * needs to match Spark's replace-all default.
+    */
+  private def htmlLineCtesSql(minified: Boolean): String = {
+    val page = if (minified) "replace(html, chr(10), '')" else "html"
+    s"""hp AS (
+       |  SELECT doc_id,
+       |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |         '</title><style>body { margin:0 }</style><script>var t = 1;</script></head>' || chr(10) ||
+       |         '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' || chr(10) ||
+       |         '<p><b>' || text || '</b> &amp; tail&lt;' || CAST(doc_id AS VARCHAR) || '&gt; say &#72;i&#x21;&#160;plus &#999; done</p>' || chr(10) ||
+       |         '<!-- tracking pixel --><div class="footer"><a href="/t">Terms</a> &middot; <a href="/p">Privacy</a></div>'
+       |           AS html
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, regexp_replace($page,
+       |           '${graft.operators.TextExtraction.BlockBoundaryRe}',
+       |           '\\0' || chr(10), 'g') AS shtml
+       |  FROM hp),
+       |hl0 AS (
+       |  SELECT doc_id, generate_subscripts(string_split(shtml, chr(10)), 1) AS ord,
+       |         unnest(string_split(shtml, chr(10))) AS line
+       |  FROM hs),
+       |hl1 AS (
+       |  SELECT doc_id, ord, line,
+       |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(line,
+       |           '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |           '<!--.*?-->', ' ', 'g'),
+       |           '<[^>]*>', ' ', 'g') AS t0
+       |  FROM hl0),
+       |hl2 AS (
+       |  SELECT doc_id, ord, line, ${duckNumRefDecodeSql("t0")} AS t1
+       |  FROM hl1),
+       |hl AS (
+       |  SELECT doc_id, ord,
+       |         trim(regexp_replace(${duckNamedEntitySql("t1")}, '\\s+', ' ', 'g')) AS txt,
+       |         len(regexp_extract_all(line, '(?i)<a\\b')) AS anchors
+       |  FROM hl2)""".stripMargin
+  }
 
   /** Plant + canonicalization replay (oracle side): CTEs `u` (the
-    * literal [[plantUrls]] replay), `h` (scheme/host/path/sorted-query
-    * terms — each [[graft.operators.UrlOps.canonicalizeUrl]] rule as the
-    * same regex) and `k` (the assembled canonical form).
+    * literal [[plantUrls]] replay), `p0` (percent-encoding
+    * normalization — the same segment transform
+    * [[graft.operators.UrlOps.normalizePctEncoding]] runs), `h`
+    * (scheme/host/path/sorted-query terms — each
+    * [[graft.operators.UrlOps.canonicalizeUrl]] rule as the same regex,
+    * plus `rpathq`, the slash-preserving raw-query robots term) and `k`
+    * (the assembled canonical form).
     */
   private def urlCanonCtesSql: String =
-    """u AS (
+    s"""u AS (
       |  SELECT doc_id,
-      |         CASE (doc_id // 7) % 5
+      |         CASE (doc_id // 7) % 7
       |           WHEN 0 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(doc_id % 11 AS VARCHAR)
       |           WHEN 1 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM:443/p/' || CAST(doc_id % 11 AS VARCHAR) || '/'
       |           WHEN 2 THEN 'https://cdn.media.example' || CAST(doc_id % 20 AS VARCHAR) || '.com:443/p/' || CAST(doc_id % 11 AS VARCHAR) || '?utm_source=x&fbclid=1#top'
       |           WHEN 3 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(doc_id % 11 AS VARCHAR) || '?b=2&a=1#frag'
-      |           ELSE 'http://www.example' || CAST(doc_id % 20 AS VARCHAR) || '.com:80/p/' || CAST(doc_id % 11 AS VARCHAR) || '?a=1&utm_medium=y&b=2'
+      |           WHEN 4 THEN 'http://www.example' || CAST(doc_id % 20 AS VARCHAR) || '.com:80/p/' || CAST(doc_id % 11 AS VARCHAR) || '?a=1&utm_medium=y&b=2'
+      |           WHEN 5 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/%70/' || CAST(doc_id % 11 AS VARCHAR) || '?x=%2f&Y=%7e'
+      |           ELSE 'http://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(doc_id % 11 AS VARCHAR) || '%9z?gclid=1&a=%5A'
       |         END AS url
       |  FROM documents),
+      |p0 AS (
+      |  SELECT doc_id, url,
+      |         CASE WHEN strpos(nofrag, '%') = 0 THEN nofrag
+      |              ELSE string_split(nofrag, '%')[1] || array_to_string(list_transform(string_split(nofrag, '%')[2:], s ->
+      |                CASE WHEN NOT regexp_matches(s, '^[0-9A-Fa-f]{2}') THEN '%' || s
+      |                     WHEN CAST('0x' || upper(s[1:2]) AS INT) BETWEEN 48 AND 57
+      |                       OR CAST('0x' || upper(s[1:2]) AS INT) BETWEEN 65 AND 90
+      |                       OR CAST('0x' || upper(s[1:2]) AS INT) BETWEEN 97 AND 122
+      |                       OR CAST('0x' || upper(s[1:2]) AS INT) IN (45, 46, 95, 126)
+      |                       THEN chr(CAST('0x' || upper(s[1:2]) AS INT)) || s[3:]
+      |                     ELSE '%' || upper(s[1:2]) || s[3:] END), '') END AS nf
+      |  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM u)),
       |c0 AS (
       |  SELECT doc_id, url,
-      |         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |         regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-      |  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u)),
+      |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |         regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM p0),
       |h AS (
       |  SELECT doc_id, url, scheme,
       |         regexp_replace(
-      |           CASE WHEN scheme = 'http'  THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':80$', '')
-      |                WHEN scheme = 'https' THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':443$', '')
+      |           CASE WHEN scheme = 'http'  THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':80$$', '')
+      |                WHEN scheme = 'https' THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':443$$', '')
       |                ELSE lower(regexp_extract(rest, '^([^/?]*)', 1)) END,
-      |           '^www\.', '') AS host,
-      |         regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$', '') AS path,
+      |           '^www\\.', '') AS host,
+      |         regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$$', '') AS path,
+      |         -- robots matching term: slash-preserving path ('' -> '/') + RAW query
+      |         -- (continuation lines must not START with '||': an outer
+      |         -- stripMargin over the interpolated fragment would eat one)
+      |         (CASE WHEN regexp_extract(rest, '^[^/?]*([^?]*)', 1) = '' THEN '/'
+      |               ELSE regexp_extract(rest, '^[^/?]*([^?]*)', 1) END) ||
+      |           regexp_extract(rest, '(\\?.*)$$', 1) AS rpathq,
       |         -- DuckDB list_sort/array_to_string yield NULL on an EMPTY
       |         -- list (Spark: empty array -> ''), so the no-params case
       |         -- needs the COALESCE
       |         COALESCE(array_to_string(list_sort(list_filter(
-      |           string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
-      |           p -> p <> '' AND NOT regexp_matches(p, '^(?:utm_[^=]*|fbclid|gclid|ref)(?:=|$)'))), '&'), '') AS qs
+      |           string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+      |           p -> p <> '' AND NOT regexp_matches(p, '^(?:utm_[^=]*|fbclid|gclid|ref)(?:=|$$)'))), '&'), '') AS qs
       |  FROM c0),
       |k AS (
       |  SELECT doc_id, url,
@@ -5369,23 +5587,22 @@ object SparkEntry {
       |  FROM h)""".stripMargin
 
   private def htmlTextOracleSql: String =
-    s"""WITH $htmlPlantLineCtesSql
+    s"""WITH ${htmlLineCtesSql(minified = false)},
+         |tx0 AS (
+         |  SELECT doc_id,
+         |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+         |           '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |           '(?s)<!--.*?-->', ' ', 'g'),
+         |           '(?s)<[^>]*>', ' ', 'g') AS t0
+         |  FROM hp),
+         |tx1 AS (SELECT doc_id, ${duckNumRefDecodeSql("t0")} AS t1 FROM tx0)
          |SELECT doc_id,
-         |       trim(regexp_replace(
-         |         replace(replace(replace(replace(replace(replace(
-         |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |             html,
-         |             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-         |             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-         |             '(?s)<!--.*?-->', ' ', 'g'),
-         |             '(?s)<[^>]*>', ' ', 'g'),
-         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-         |           '&nbsp;', ' '), '&amp;', '&'),
-         |         '\\s+', ' ', 'g')) AS text
-         |FROM hp ORDER BY doc_id""".stripMargin
+         |       trim(regexp_replace(${duckNamedEntitySql("t1")}, '\\s+', ' ', 'g')) AS text
+         |FROM tx1 ORDER BY doc_id""".stripMargin
 
-  private def htmlMainOracleSql: String =
-    s"""WITH $htmlPlantLineCtesSql
+  private def htmlMainOracleSql(minified: Boolean): String =
+    s"""WITH ${htmlLineCtesSql(minified)}
          |SELECT doc_id,
          |       COALESCE(string_agg(
          |         CASE WHEN length(txt) >= 25
@@ -5396,6 +5613,90 @@ object SparkEntry {
   private def urlCanonOracleSql: String =
     s"""WITH $urlCanonCtesSql
        |SELECT doc_id, url, canon_url FROM k ORDER BY doc_id""".stripMargin
+
+  /** The crawl-curation capstone replay, shared by `q_crawl_curate` and
+    * `q_crawl_from_warc` (the WARC wrap→parse stage is an identity on
+    * (url, html), verified by the round-trip spec): blocklist EXISTS →
+    * canonical QUALIFY dedup → per-line extraction → length floor.
+    */
+  private def crawlCurateOracleSql: String =
+    s"""WITH $urlCanonCtesSql,
+       |${htmlLineCtesSql(minified = false)},
+       |mn AS (
+       |  SELECT doc_id,
+       |         COALESCE(string_agg(
+       |           CASE WHEN length(txt) >= 25
+       |                 AND anchors < len(string_split(txt, ' ')) * 0.34
+       |                THEN txt END, chr(10) ORDER BY ord), '') AS main
+       |  FROM hl GROUP BY doc_id),
+       |allowed AS (
+       |  SELECT k.doc_id, k.canon_url FROM k JOIN h USING (doc_id)
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM (VALUES ('example7.com'), ('media.example11.com'),
+       |                          ('example3.com')) b(domain)
+       |    -- port-free comparison, mirroring domainChain's port strip
+       |  WHERE regexp_replace(h.host, ':[0-9]+$$', '') = b.domain
+       |     OR regexp_replace(h.host, ':[0-9]+$$', '') LIKE '%.' || b.domain)),
+       |kept AS (
+       |  SELECT doc_id, canon_url FROM allowed
+       |  QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1)
+       |SELECT kept.doc_id, kept.canon_url,
+       |       CAST(len(string_split(mn.main, ' ')) AS BIGINT) AS n_words,
+       |       md5(mn.main) AS main_hash
+       |FROM kept JOIN mn ON kept.doc_id = mn.doc_id
+       |WHERE len(string_split(mn.main, ' ')) >= 20
+       |ORDER BY kept.doc_id""".stripMargin
+
+  /** PSL blocklist plant + replay: hosts spanning a multi-label public
+    * suffix (`co.uk`), a private-section suffix (`blogspot.com`) and a
+    * plain TLD; the chain computation replays
+    * [[graft.operators.UrlOps.registrableChain]] — longest listed
+    * suffix (the IN list is interpolated from the SAME
+    * [[graft.operators.UrlOps.PslSnapshot]] the Spark side uses, so the
+    * two cannot drift), registrable = suffix + 1 label, chain stops
+    * there — and blocklist entries AT a public suffix must match
+    * nothing.
+    */
+  private def urlBlocklistPslOracleSql: String = {
+    val psl = graft.operators.UrlOps.PslSnapshot
+      .map(sfx => s"'$sfx'").mkString(", ")
+    s"""WITH pu AS (
+       |  SELECT doc_id,
+       |         CASE (doc_id // 3) % 4
+       |           WHEN 0 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk/p/' || CAST(doc_id % 11 AS VARCHAR)
+       |           WHEN 1 THEN 'https://cdn.media.example' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk/p/' || CAST(doc_id % 11 AS VARCHAR)
+       |           WHEN 2 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(doc_id % 11 AS VARCHAR)
+       |           ELSE 'https://blog' || CAST(doc_id % 20 AS VARCHAR) || '.blogspot.com/p/' || CAST(doc_id % 11 AS VARCHAR)
+       |         END AS url
+       |  FROM documents),
+       |ph AS (
+       |  -- canonical host (the plant is all-https, no escapes, no www)
+       |  SELECT doc_id,
+       |         regexp_replace(regexp_replace(lower(regexp_extract(
+       |           regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |           '^([^/?]*)', 1)), ':443$$', ''), '^www\\.', '') AS host
+       |  FROM pu),
+       |pp AS (
+       |  SELECT doc_id, host,
+       |         string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS parts
+       |  FROM ph),
+       |pc AS (
+       |  SELECT doc_id, host, parts, len(parts) AS n,
+       |         COALESCE(list_max([j FOR j IN range(2, len(parts) + 1)
+       |           IF array_to_string(parts[len(parts) - j + 1:], '.') IN ($psl)]), 1) AS pslen
+       |  FROM pp),
+       |ch AS (
+       |  SELECT doc_id, host,
+       |         [array_to_string(parts[i:], '.')
+       |          FOR i IN range(1, n - least(pslen + 1, n) + 2)] AS chain
+       |  FROM pc)
+       |SELECT doc_id, host FROM ch
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM (VALUES ('co.uk'), ('example3.co.uk'),
+       |                        ('example7.com'), ('blogspot.com')) b(domain)
+       |  WHERE list_contains(ch.chain, b.domain))
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private def urlDedupOracleSql: String =
     s"""WITH $urlCanonCtesSql

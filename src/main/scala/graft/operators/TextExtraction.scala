@@ -17,13 +17,28 @@ import org.apache.spark.sql.functions._
   *
   * Deliberately out of scope (documented, not silently wrong): full
   * HTML5 parsing (malformed-tag recovery, CDATA, conditional comments),
-  * numeric character references beyond `&#39;`, and DOM-aware
-  * block scoring (jusText's context-sensitive pass). [[mainContent]] is
-  * the line-structured heuristic tier: it assumes the page puts block
-  * elements on their own lines (true of the planted corpus and of most
-  * template output); [[stripHtml]] makes no such assumption.
+  * numeric character references OUTSIDE the ASCII+nbsp range (decoded:
+  * `&#32;`–`&#126;`, tab/LF/CR, `&#160;`; anything else passes through
+  * verbatim), and DOM-aware block scoring (jusText's context-sensitive
+  * pass). [[mainContent]] pre-splits at block-element boundaries
+  * ([[BlockBoundaryRe]]) before its per-line heuristic, so minified
+  * single-line template output segments the same way as
+  * newline-formatted markup; [[stripHtml]] needs no line structure at
+  * all.
   */
 object TextExtraction {
+
+  /** Closing tags (and `<br>`) that end a visual block — the pre-split
+    * points [[mainContent]] inserts newlines at, so a minified page
+    * (every block on one physical line) degrades to the SAME line
+    * segmentation as formatted markup instead of collapsing to one
+    * whole-page pass/fail. Java-and-RE2 portable; public so the oracle
+    * replay interpolates the SAME pattern instead of a hand-copied twin.
+    */
+  val BlockBoundaryRe: String =
+    "(?i)</(?:p|div|li|ul|ol|dl|dd|dt|h[1-6]|tr|table|section|article|" +
+      "aside|header|footer|head|nav|blockquote|pre|figure|form)\\s*>" +
+      "|<br\\s*/?>"
 
   /** Whole-document text extraction: drop `<script>`/`<style>` elements
     * WITH their contents and HTML comments (all possibly multi-line),
@@ -46,8 +61,14 @@ object TextExtraction {
     * word — is below `maxLinkWordRatio`; navigation bars, footers and
     * link lists fail one or both. Kept lines are emitted extracted
     * (tag-stripped, entity-decoded, whitespace-collapsed), joined by
-    * `\n`. Script/style/comment spans are handled per line (the
-    * line-structured assumption above).
+    * `\n`. Lines come from a block-boundary pre-split ([[BlockBoundaryRe]]
+    * — one `regexp_replace` inserting `\n` after each closing block
+    * tag) followed by the newline split, so minified and formatted
+    * markup segment identically (the pre-split is idempotent on
+    * already-formatted pages: the extra empty segments it creates fail
+    * `minChars` and drop out). Script/style/comment spans are handled
+    * per line — a span CROSSING a block boundary is out of scope with
+    * the rest of non-line-structured HTML5 recovery.
     */
   def mainContent(html: Column, minChars: Int = 25,
                   maxLinkWordRatio: Double = 0.34): Column = {
@@ -56,7 +77,8 @@ object TextExtraction {
     // re-deriving it in transform would run the whole regex chain twice
     // per kept line, and this is the hot operator of the crawl path):
     // transform to (anchors, text), filter on the pair, project text
-    val extracted = transform(split(html, "\n"),
+    val preSplit = regexp_replace(html, BlockBoundaryRe, "$0\n")
+    val extracted = transform(split(preSplit, "\n"),
       l => struct(regexp_count(l, lit("(?i)<a\\b")).as("anchors"),
         lineText(l).as("text")))
     val kept = filter(extracted, e => {
@@ -78,10 +100,42 @@ object TextExtraction {
     collapseWs(decodeEntities(regexp_replace(noBlocks, "<[^>]*>", " ")))
   }
 
+  /** Numeric character references (`&#77;` decimal, `&#x27;` hex)
+    * decoded for the ASCII range (32–126; tab/LF/CR and `&#160;`
+    * decode to a space — whitespace collapses right after anyway);
+    * anything outside passes through verbatim. Split on `&#`, one
+    * `transform` over the segments, reassemble — map-only, and the
+    * no-reference fast path short-circuits the lambda. Runs BEFORE the
+    * named-entity folds: `&amp;#39;` contains no literal `&#`, so a
+    * double-encoded reference correctly decodes exactly one level
+    * (to `&#39;`), the same rule the `&amp;`-last ordering gives named
+    * entities.
+    */
+  private def decodeNumericRefs(c: Column): Column = {
+    val parts = split(c, "&#")
+    val decoded = transform(slice(parts, lit(2), size(parts) - 1), seg => {
+      val dec = regexp_extract(seg, "^([0-9]{1,7});", 1)
+      val hexd = regexp_extract(seg, "^[xX]([0-9a-fA-F]{1,6});", 1)
+      val code = when(dec =!= "", dec.cast("int"))
+        .when(hexd =!= "", conv(hexd, 16, 10).cast("int"))
+      val refLen = when(dec =!= "", length(dec) + 1)
+        .otherwise(length(hexd) + 2) // 'x' + digits + ';'
+      val rest = seg.substr(refLen + 1, length(seg))
+      when(code.isNull, concat(lit("&#"), seg))
+        .when(code.isin(9, 10, 13, 160), concat(lit(" "), rest))
+        .when(code.between(32, 126), concat(chr(code.cast("bigint")), rest))
+        .otherwise(concat(lit("&#"), seg))
+    })
+    when(size(parts) === 1, c)
+      .otherwise(concat(element_at(parts, 1), array_join(decoded, "")))
+  }
+
   private def decodeEntities(c: Column): Column = {
     val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST
-    steps.foldLeft(c) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
+    steps.foldLeft(decodeNumericRefs(c)) {
+      case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch))
+    }
   }
 
   private def collapseWs(c: Column): Column =

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle can replay it term for term:
   *
   *  - strip the fragment (`#...`)
+  *  - normalize percent-encoding (RFC 3986 §6.2.2.2): decode escapes
+  *    of UNRESERVED characters (`%7E` → `~`), uppercase the hex of
+  *    every other escape (`%2f` → `%2F`); malformed escapes (a `%`
+  *    not followed by two hex digits) pass through untouched
   *  - lowercase scheme and authority (path/query stay case-sensitive)
   *  - strip the scheme-default port (`:80` for http, `:443` for https)
   *  - strip a leading `www.` label
@@ -23,11 +27,12 @@ import org.apache.spark.sql.functions._
   *    sort the survivors byte-lexicographically, drop an emptied `?`
   *
   * Deliberately out of scope (documented, not silently wrong):
-  * percent-encoding normalization, IDN/punycode, userinfo, IPv6
-  * literals, public-suffix-list awareness (`domainChain` is purely
-  * label-structural). Inputs are expected to be absolute http(s) URLs;
-  * a scheme-less string flows through the same formula unchanged
-  * (canonical form starts with `://`), identically on both engines.
+  * IDN/punycode, userinfo, IPv6 literals. Public-suffix awareness is
+  * the [[registrableChain]] tier ([[domainChain]] stays the purely
+  * label-structural fallback). Inputs are expected to be absolute
+  * http(s) URLs; a scheme-less string flows through the same formula
+  * unchanged (canonical form starts with `://`), identically on both
+  * engines.
   */
 object UrlOps {
 
@@ -38,11 +43,44 @@ object UrlOps {
   private[operators] val TrackingParamRe = "^(?:utm_[^=]*|fbclid|gclid|ref)(?:=|$)"
   private[operators] val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
+  /** Fragment-stripped, percent-normalized form of a URL — the shared
+    * first step of every canonical term. Percent normalization runs on
+    * the WHOLE URL once: unreserved characters never include a
+    * delimiter (`/ ? # & =` all stay escaped, merely uppercased), so
+    * decoding before component extraction cannot change the parse.
+    */
+  private def normalized(url: Column): Column =
+    normalizePctEncoding(regexp_replace(url, "#.*$", ""))
+
+  /** RFC 3986 percent-encoding normalization: split on `%`, and for
+    * each following segment decode the two-hex-digit escape when it
+    * names an unreserved byte (ALPHA / DIGIT / `-` `.` `_` `~`),
+    * uppercase the hex otherwise, and reassemble. One `transform` over
+    * the split array — map-only; the lambda is a higher-order function
+    * (CodegenFallback, like [[Dedup]]'s shingles — interpreted but
+    * JVM-columnar), and the common no-`%` fast path short-circuits it.
+    */
+  private[operators] def normalizePctEncoding(c: Column): Column = {
+    val parts = split(c, "%")
+    val decoded = transform(slice(parts, lit(2), size(parts) - 1), seg => {
+      val hex = upper(substring(seg, 1, 2))
+      val code = conv(hex, 16, 10).cast("int")
+      val rest = substring(seg, 3, Int.MaxValue)
+      val unreserved = code.between(48, 57) || code.between(65, 90) ||
+        code.between(97, 122) || code.isin(45, 46, 95, 126)
+      when(!seg.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), seg))
+        .when(unreserved, concat(chr(code.cast("bigint")), rest))
+        .otherwise(concat(lit("%"), hex, rest))
+    })
+    when(size(parts) === 1, c)
+      .otherwise(concat(element_at(parts, 1), array_join(decoded, "")))
+  }
+
   /** Canonical form of an absolute URL, per the rules above. Pure
-    * column expression — map-only, shuffle-free, codegen'd.
+    * column expression — map-only, shuffle-free.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val noFrag = normalized(url)
     val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
     val rest = regexp_replace(noFrag, SchemeRe, "")
     val host = hostOf(scheme, rest)
@@ -60,10 +98,19 @@ object UrlOps {
     * port stripped, leading `www.` stripped.
     */
   def canonicalHost(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val noFrag = normalized(url)
     val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
     hostOf(scheme, regexp_replace(noFrag, SchemeRe, ""))
   }
+
+  /** Canonical form of a BARE host string (a robots/blocklist rule key,
+    * not a URL): lowercase, strip a scheme-default port, strip a
+    * leading `www.` — the same rules [[canonicalHost]] applies to a
+    * URL's authority, so rule keys recorded as `www.example.com` or
+    * `example.com:443` match the corpus side.
+    */
+  def canonicalBareHost(host: Column): Column =
+    regexp_replace(regexp_replace(lower(host), ":(80|443)$", ""), "^www\\.", "")
 
   private def hostOf(scheme: Column, rest: Column): Column = {
     val authority = lower(regexp_extract(rest, "^([^/?]*)", 1))
@@ -78,38 +125,81 @@ object UrlOps {
     * the same path term [[canonicalizeUrl]] assembles.
     */
   def canonicalPath(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val noFrag = normalized(url)
     val rest = regexp_replace(noFrag, SchemeRe, "")
     regexp_replace(regexp_extract(rest, "^[^/?]*([^?]*)", 1), "/+$", "")
   }
 
-  /** Drop rows whose canonical (host, path) matches a robots disallow
-    * rule — `robots` carries one (`host`, `prefix`) row per
-    * `Disallow:` line, keyed by EXACT host (robots.txt is per-host,
-    * unlike the suffix-matched blocklist), with PATH-PREFIX semantics:
-    * disallowing `/admin` blocks `/admin` and `/admin/x` (and
-    * `/administrator` — the raw prefix rule, as crawlers apply it;
-    * `*` wildcards and `Allow:` overrides are out of scope,
-    * documented). Hosts with no rules pass.
+  /** The path-and-query term robots rules are matched against — per the
+    * Robots Exclusion Protocol (RFC 9309 / the Google REP), rules see
+    * the REQUESTED resource, so unlike [[canonicalPath]] this keeps the
+    * trailing slash (an empty path is `/` — `Disallow: /` must block
+    * the host root) and appends the RAW query (`?` included, params
+    * unsorted, tracking params intact: the crawler asks for the URL as
+    * given). Percent-normalized like every other term so `%7E`-vs-`~`
+    * forms match the same rules.
+    */
+  private[operators] def robotsPathQuery(url: Column): Column = {
+    val rest = regexp_replace(normalized(url), SchemeRe, "")
+    val p = regexp_extract(rest, "^[^/?]*([^?]*)", 1)
+    val q = regexp_extract(rest, "(\\?.*)$", 1)
+    concat(when(p === "", lit("/")).otherwise(p), q)
+  }
+
+  /** A robots rule pattern compiled to the regex that implements REP
+    * matching: anchored at the path start, `*` matches any character
+    * run, a trailing `$` anchors the end, every other regex
+    * metacharacter is escaped. Pure column expression over the RULES
+    * side (a broadcast-sized frame), and the translation uses no
+    * construct RE2 lacks, so the DuckDB oracle replays it.
+    */
+  private[operators] def robotsRuleRegex(pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val escaped = regexp_replace(body, "[.\\\\+?\\[\\]{}()|^$]", "\\\\$0")
+    concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Drop rows a robots.txt rule set disallows — full REP semantics
+    * (RFC 9309): `robots` carries one (`host`, `pattern`, `allow`) row
+    * per `Allow:`/`Disallow:` line; among the rules whose pattern
+    * matches a URL's path-and-query ([[robotsPathQuery]] — slash
+    * preserved, so `Disallow: /` blocks the host root), the MOST
+    * SPECIFIC (longest pattern) wins, `Allow` winning length ties.
+    * Patterns support the `*` wildcard and the trailing-`$` anchor
+    * ([[robotsRuleRegex]]). Rule hosts are canonicalized like corpus
+    * hosts ([[canonicalBareHost]] — a rule recorded under
+    * `www.example.com:443` matches `example.com`). Hosts with no rules,
+    * and URLs matching no rule, pass: REP's default is allow. An EMPTY
+    * pattern is meaningless in REP (`Disallow:` alone = allow all) and
+    * is dropped rather than matched-as-prefix-of-everything.
     *
     * Shape mirrors [[filterBlockedDomains]]: the rules table rides a
-    * broadcast into an equi-join on host (prefix check as the join
-    * residual), blocked keys anti-join back — AQE-guarded, the corpus
-    * frame is never forced through the driver.
+    * broadcast into an equi-join on host (regex match as the join
+    * residual), the per-key winner is one map-side-combinable
+    * `max(struct(specificity, allow))`, and losing keys anti-join
+    * back — AQE-guarded, the corpus frame is never forced through the
+    * driver.
     */
   def filterDisallowed(df: DataFrame, urlCol: String, keyCol: String,
                        robots: DataFrame): DataFrame = {
     val withHp = df.select(col(keyCol),
-      canonicalHost(col(urlCol)).as("_h"), canonicalPath(col(urlCol)).as("_p"))
-    // an EMPTY Disallow means "allow all" in robots.txt — but
-    // startsWith("") is true for every path, so an empty-prefix rule
-    // must be dropped here, not allowed to block the whole host
-    val rules = robots.select(col("host").as("_h"), col("prefix"))
-      .filter(col("prefix").isNotNull && col("prefix") =!= "")
+      canonicalHost(col(urlCol)).as("_h"), robotsPathQuery(col(urlCol)).as("_p"))
+    val rules = robots
+      .filter(col("pattern").isNotNull && col("pattern") =!= "")
+      .select(canonicalBareHost(col("host")).as("_h"),
+        robotsRuleRegex(col("pattern")).as("_rx"),
+        length(col("pattern")).as("_spec"),
+        col("allow").cast("boolean").as("_allow"))
     val blockedKeys = withHp
       .join(broadcast(rules), Seq("_h"), "inner")
-      .filter(col("_p").startsWith(col("prefix")))
-      .select(keyCol).distinct()
+      .filter(regexp_like(col("_p"), col("_rx")))
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("_spec"), col("_allow"))).as("_win"))
+      .filter(!col("_win._allow"))
+      .select(keyCol)
     df.join(blockedKeys, Seq(keyCol), "left_anti")
   }
 
@@ -130,6 +220,98 @@ object UrlOps {
       transform(sequence(lit(0), n - lit(2)),
         i => array_join(slice(parts, i + lit(1), n - i), ".")))
       .otherwise(array(bare))
+  }
+
+  /** Embedded snapshot of MULTI-LABEL public suffixes (publicsuffix.org
+    * — ICANN country second-levels plus the highest-traffic private
+    * entries; single-label TLDs need no listing, they are the implicit
+    * `*` rule). A SNAPSHOT, not the full list (~9k entries, and this
+    * container has no egress to refresh one): the subset chosen covers
+    * the country registries a web corpus actually hits plus the shared
+    * hosting platforms where PSL semantics change dedup/blocklist
+    * grouping (every `*.blogspot.com` site is its own registrable
+    * domain). Callers with a fuller list pass their own to
+    * [[registrableChain]] / [[filterBlockedDomainsPsl]].
+    */
+  val PslSnapshot: Seq[String] = Seq(
+    // ICANN country-code second-level registries
+    "co.uk", "org.uk", "me.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk",
+    "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "gov.in", "edu.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "com.tr", "net.tr", "org.tr", "gen.tr", "edu.tr", "gov.tr",
+    "com.ua", "net.ua", "org.ua", "in.ua", "edu.ua", "gov.ua",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "ne.ke", "or.ke", "ac.ke", "go.ke", "sc.ke",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "nom.pe",
+    "com.ve", "net.ve", "org.ve", "co.ve", "e12.ve", "gob.ve",
+    "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
+    "com.np", "net.np", "org.np", "edu.np", "gov.np",
+    "com.lk", "net.lk", "org.lk", "edu.lk", "gov.lk",
+    "co.zw", "ac.zw", "org.zw", "gov.zw",
+    "com.gh", "edu.gh", "gov.gh", "org.gh",
+    "com.et", "gov.et", "org.et", "edu.et",
+    "co.tz", "or.tz", "ac.tz", "go.tz", "ne.tz", "sc.tz",
+    "co.ug", "or.ug", "ac.ug", "go.ug", "ne.ug", "sc.ug",
+    // high-traffic private section entries (shared hosting platforms)
+    "blogspot.com", "github.io", "gitlab.io", "herokuapp.com",
+    "appspot.com", "azurewebsites.net", "cloudfront.net", "netlify.app",
+    "vercel.app", "pages.dev", "web.app", "firebaseapp.com",
+    "s3.amazonaws.com", "wordpress.com", "tumblr.com", "weebly.com",
+    "wixsite.com", "fastly.net", "windows.net", "oraclecloud.com",
+    "neocities.org", "readthedocs.io", "bitbucket.io", "onrender.com",
+    "fly.dev", "workers.dev", "repl.co", "glitch.me", "surge.sh")
+
+  /** [[domainChain]] stopped at the REGISTRABLE domain (PSL semantics):
+    * `a.b.example.co.uk` → `[a.b.example.co.uk, b.example.co.uk,
+    * example.co.uk]` — the chain never descends INTO a public suffix,
+    * so a blocklist entry `co.uk` matches nothing and frontier grouping
+    * by chain tail lands on the registrable domain, not the registry.
+    * The suffix match is a `transform`+`aggregate` over the host's
+    * label suffixes against a plan-literal array (~230 entries — a
+    * per-row in-memory probe, no join, no broadcast variable); a host
+    * whose longest listed suffix is the whole host degenerates to
+    * `[host]`, and an unlisted TLD falls back to the implicit
+    * single-label-suffix rule — exactly [[domainChain]]'s behavior.
+    */
+  def registrableChain(host: Column,
+                       psl: Seq[String] = PslSnapshot): Column = {
+    val bare = regexp_replace(host, ":\\d+$", "")
+    val parts = split(bare, "\\.")
+    val n = size(parts)
+    val pslArr = lit(psl.toArray)
+    // longest listed public suffix, in labels (1 = the implicit * rule)
+    val psLen = when(n >= 2,
+      aggregate(sequence(lit(2), n), lit(1), (acc, j) =>
+        when(array_contains(pslArr,
+          array_join(slice(parts, n - j + 1, j), ".")) && j > acc, j)
+          .otherwise(acc)))
+      .otherwise(lit(1))
+    val regLen = least(psLen + 1, n)
+    transform(sequence(lit(0), n - regLen),
+      i => array_join(slice(parts, i + lit(1), n - i), "."))
   }
 
   /** Keep exactly one row per canonical URL — the smallest `keyCol`
@@ -181,6 +363,23 @@ object UrlOps {
     df.join(blockedKeys, Seq(keyCol), "left_anti")
   }
 
+  /** [[filterBlockedDomains]] with PSL semantics: the chain stops at
+    * the registrable domain ([[registrableChain]]), so a blocklist
+    * entry at a public suffix (`co.uk`, `blogspot.com`) blocks nothing
+    * instead of blanket-blocking every registration under it. Same
+    * join shape (exploded chain → broadcast semi → AQE-guarded anti).
+    */
+  def filterBlockedDomainsPsl(df: DataFrame, hostCol: String, keyCol: String,
+                              blocklist: DataFrame,
+                              psl: Seq[String] = PslSnapshot): DataFrame = {
+    val blockedKeys = df
+      .select(col(keyCol), explode(registrableChain(col(hostCol), psl)).as("_d"))
+      .join(broadcast(blocklist.select(col("domain").as("_d"))),
+        Seq("_d"), "left_semi")
+      .select(keyCol).distinct()
+    df.join(blockedKeys, Seq(keyCol), "left_anti")
+  }
+
   // ---- persisted URL-frontier index (the crawl seen-set) ----
   // The fifth external-index family next to MinHash buckets, SimHash
   // band segments, IVF lists and line claims: the "sketch" is the
@@ -188,12 +387,20 @@ object UrlOps {
   // Bucketed on canon_url so a batch probe shuffles only the batch side.
 
   /** Persist the distinct canonical URLs of `df` as a bucketed claims
-    * table — the crawl frontier's seen-set.
+    * table — the crawl frontier's seen-set. Each claim carries a
+    * `claimed_at` epoch (from `claimedAtCol` when given — max per
+    * canonical — else 0): [[stripSeenUrls]] ignores it (claim-forever),
+    * [[stripSeenUrlsTtl]] expires claims against it so a real frontier
+    * can re-admit URLs for recrawl.
     */
   def writeUrlIndex(df: DataFrame, urlCol: String, tableName: String,
-                    buckets: Int = 64): Unit = {
+                    buckets: Int = 64,
+                    claimedAtCol: Option[String] = None): Unit = {
     Dedup.dropManaged(df.sparkSession, tableName)
-    df.select(canonicalizeUrl(col(urlCol)).as("canon_url")).distinct()
+    val at = claimedAtCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
+    df.select(canonicalizeUrl(col(urlCol)).as("canon_url"),
+        at.as("claimed_at"))
+      .groupBy("canon_url").agg(max("claimed_at").as("claimed_at"))
       .write.format("parquet")
       .bucketBy(buckets, "canon_url").sortBy("canon_url")
       .mode("overwrite").saveAsTable(tableName)
@@ -201,9 +408,13 @@ object UrlOps {
       s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
   }
 
-  /** Append newly-claimed canonical URLs (one `canon_url` column) to a
+  /** Append newly-claimed canonical URLs (a `canon_url` column, plus
+    * optionally a `claimed_at` epoch — 0 when absent) to a
     * [[writeUrlIndex]] table; bucketing re-validated from the catalog so
-    * the co-partitioned probe stays lossless across appends.
+    * the co-partitioned probe stays lossless across appends. Appends
+    * are claim-set unions: a re-appended canonical is harmless
+    * duplicate state (probes take the max claim), which is what makes
+    * the streaming gate's retry path idempotent.
     */
   def appendToUrlIndex(newUrls: DataFrame, tableName: String): Unit = {
     val spark = newUrls.sparkSession
@@ -212,7 +423,10 @@ object UrlOps {
       .getOrElse("graft.buckets", throw new IllegalArgumentException(
         s"url index $tableName carries no graft.buckets property — " +
           "not written by writeUrlIndex")).toInt
-    newUrls.select("canon_url").distinct()
+    val at = if (newUrls.columns.contains("claimed_at"))
+      col("claimed_at").cast("long") else lit(0L)
+    newUrls.select(col("canon_url"), at.as("claimed_at"))
+      .groupBy("canon_url").agg(max("claimed_at").as("claimed_at"))
       .write.format("parquet")
       .bucketBy(buckets, "canon_url").sortBy("canon_url")
       .mode("append").saveAsTable(tableName)
@@ -235,5 +449,34 @@ object UrlOps {
         "would silently bypass the frontier)")
     df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
       .join(df.sparkSession.table(tableName), Seq("canon_url"), "left_anti")
+  }
+
+  /** TTL-aware frontier probe — the recrawl semantics a real frontier
+    * needs: a row passes unless the index holds a claim on its
+    * canonical URL NEWER than the row's own clock minus `ttl`
+    * (`claimed_at >= asOfCol - ttl`), so stale claims expire and the
+    * URL is re-admitted. The expiry clock is PER ROW (each candidate
+    * carries its crawl time in `asOfCol`), which keeps the result
+    * independent of micro-batch partitioning — the property the
+    * streaming gate's oracle needs; a driver-side scalar `asOf` would
+    * re-introduce batch-order dependence. Appends a `canon_url` column.
+    *
+    * Per-batch cost: one co-partitioned max-claim aggregation of the
+    * bucketed index (bucketing satisfies the grouping distribution — no
+    * index shuffle) + one co-partitioned left join, independent of
+    * frontier size like [[stripSeenUrls]].
+    */
+  def stripSeenUrlsTtl(df: DataFrame, urlCol: String, tableName: String,
+                       asOfCol: String, ttl: Long): DataFrame = {
+    require(!df.columns.contains("canon_url"),
+      "stripSeenUrlsTtl appends a canon_url column — the input already " +
+        "has one (drop or rename it)")
+    val claims = df.sparkSession.table(tableName)
+      .groupBy("canon_url").agg(max("claimed_at").as("_claimed_at"))
+    df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .join(claims, Seq("canon_url"), "left")
+      .filter(col("_claimed_at").isNull ||
+        col("_claimed_at") < col(asOfCol).cast("long") - lit(ttl))
+      .drop("_claimed_at")
   }
 }

@@ -139,12 +139,50 @@ object DedupStream {
     * as [[startLines]]: claims come only from the index (batch-partition
     * independent; `appendAccepted = true` claims each accepted batch's
     * canonicals for the next batches).
+    *
+    * Failure contract: the output write and the index append are two
+    * non-atomic writes, but BOTH are idempotent under a
+    * checkpoint-replayed retry — the output lands in a per-batch-id
+    * subdirectory rewritten with `overwrite` (read the tree with
+    * `recursiveFileLookup`), and a re-appended claim is harmless
+    * duplicate state (the probe treats claims as a set / takes the max
+    * `claimed_at`). So the gate is effectively-once end to end, not
+    * merely at-least-once like a bare `append` would be.
     */
   def startUrls(spark: SparkSession, inputDir: String, indexTable: String,
                 outputDir: String, checkpointDir: String, urlCol: String = "url",
                 trigger: Trigger = Trigger.AvailableNow(),
                 maxFilesPerTrigger: Option[Int] = None,
-                appendAccepted: Boolean = false): StreamingQuery = {
+                appendAccepted: Boolean = false): StreamingQuery =
+    startUrlsWith(spark, inputDir, outputDir, checkpointDir, trigger,
+      maxFilesPerTrigger, appendAccepted, indexTable) { batch =>
+      graft.operators.UrlOps.stripSeenUrls(batch, urlCol, indexTable)
+    }
+
+  /** TTL-aware frontier gate — [[startUrls]] with recrawl semantics:
+    * a candidate passes unless the index claim on its canonical URL is
+    * newer than the candidate's own `asOfCol` clock minus `ttl`
+    * ([[graft.operators.UrlOps.stripSeenUrlsTtl]]), so stale claims
+    * expire and URLs re-admit. The per-row clock keeps the survivor set
+    * independent of micro-batch partitioning. Same idempotent
+    * per-batch-id output contract as [[startUrls]].
+    */
+  def startUrlsTtl(spark: SparkSession, inputDir: String, indexTable: String,
+                   outputDir: String, checkpointDir: String,
+                   asOfCol: String, ttl: Long, urlCol: String = "url",
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    startUrlsWith(spark, inputDir, outputDir, checkpointDir, trigger,
+      maxFilesPerTrigger, appendAccepted = false, indexTable) { batch =>
+      graft.operators.UrlOps.stripSeenUrlsTtl(batch, urlCol, indexTable,
+        asOfCol, ttl)
+    }
+
+  private def startUrlsWith(spark: SparkSession, inputDir: String,
+                            outputDir: String, checkpointDir: String,
+                            trigger: Trigger, maxFilesPerTrigger: Option[Int],
+                            appendAccepted: Boolean, indexTable: String)(
+                            gate: DataFrame => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -153,12 +191,12 @@ object DedupStream {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val out = graft.operators.UrlOps
-          .stripSeenUrls(batch.toDF(), urlCol, indexTable)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val out = gate(batch.toDF())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          out.write.mode("append").parquet(outputDir)
+          out.write.mode("overwrite")
+            .parquet(f"$outputDir/batch-$batchId%05d")
           if (appendAccepted) graft.operators.UrlOps.appendToUrlIndex(
             out.select("canon_url"), indexTable)
         } finally out.unpersist()

@@ -67,4 +67,35 @@ class TextExtractionSpec extends AnyFunSuite {
       "staying far below the density threshold for boilerplate.</p>"
     assert(main(prose).startsWith("Prose that cites one reference"))
   }
+
+  test("mainContent is minification-invariant: single-line pages segment at block boundaries") {
+    val page = Seq(
+      "<html><head><title>T</title><script>var a=1;</script></head>",
+      "<div><a href=\"/\">Home</a> <a href=\"/x\">About</a> <a href=\"/y\">Contact</a></div>",
+      "<p>This paragraph easily clears the twenty-five character floor and has no anchors at all.</p>",
+      "<div class=\"f\"><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></div>").mkString("\n")
+    val minified = page.replace("\n", "")
+    assert(main(minified) == main(page),
+      s"minified='${main(minified)}' formatted='${main(page)}'")
+    // and the value is the content, not empty (the pre-minification
+    // failure mode was a whole-page pass/fail)
+    assert(main(minified).startsWith("This paragraph"))
+    // <br> and headings are boundaries too
+    val br = "<h1>Tiny</h1><p>A first long paragraph with more than enough " +
+      "characters.<br>A second long paragraph, also with plenty of characters.</p>"
+    assert(main(br) ==
+      "A first long paragraph with more than enough characters.\n" +
+        "A second long paragraph, also with plenty of characters.")
+  }
+
+  test("stripHtml decodes numeric character references in the ASCII+nbsp range") {
+    assert(strip("say &#72;i&#x21;") == "say Hi!")
+    assert(strip("a&#160;b") == "a b")           // nbsp-class -> space
+    assert(strip("tab&#9;lf&#10;cr&#13;end") == "tab lf cr end")
+    assert(strip("keep &#999; verbatim") == "keep &#999; verbatim") // out of range
+    assert(strip("hex upper &#X41; too") == "hex upper A too")
+    assert(strip("malformed &#x; and &# stay") == "malformed &#x; and &# stay")
+    // double-encoded decodes ONE level, consistent with &amp;-last
+    assert(strip("&amp;#39;") == "&#39;")
+  }
 }

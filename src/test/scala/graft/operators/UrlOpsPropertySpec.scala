@@ -30,12 +30,15 @@ class UrlOpsPropertySpec extends AnyFunSuite {
     port <- Gen.oneOf("", ":80", ":443", ":8080")
     segs <- Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(6)))
       .map(_.take(3))
+    // percent-escapes: unreserved (decode), reserved (uppercase in
+    // place), malformed (verbatim) — round-11 normalization rules
+    pct <- Gen.oneOf("", "%7E", "%7e", "%41", "%2f", "%2F", "%9z", "%")
     slashes <- Gen.oneOf("", "/", "//")
     params <- Gen.listOf(Gen.oneOf("a=1", "b=2", "utm_source=x", "fbclid=9",
-      "ref=t", "z=Z")).map(_.take(4))
+      "ref=t", "z=Z", "e=%7e", "r=%3f")).map(_.take(4))
     frag <- Gen.oneOf("", "#top", "#a/b?c")
   } yield {
-    val path = segs.map("/" + _).mkString + slashes
+    val path = segs.map("/" + _).mkString + pct + slashes
     val q = if (params.isEmpty) "" else "?" + params.mkString("&")
     s"$scheme://$www$host.$tld$port$path$q$frag"
   }
@@ -92,6 +95,55 @@ class UrlOpsPropertySpec extends AnyFunSuite {
         assert(chain.last == labels.takeRight(2).mkString("."))
       }
     }
+  }
+
+  test("percent-encoding an unreserved path character never changes the canonical form") {
+    import spark.implicits._
+    // pairs (literal, escaped-twin): one alphanumeric path char swapped
+    // for its %XX escape (upper- and lower-case hex both)
+    val pairGen = for {
+      host <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+      seg <- Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(6))
+      c <- Gen.alphaNumChar
+      hexCase <- Gen.oneOf(true, false)
+    } yield {
+      val hex = f"${c.toInt}%02X"
+      val esc = "%" + (if (hexCase) hex else hex.toLowerCase)
+      (s"https://$host.com/$seg$c", s"https://$host.com/$seg$esc")
+    }
+    val pairs = Gen.listOfN(200, pairGen).sample.get
+    val out = pairs.toDF("lit", "esc")
+      .select(UrlOps.canonicalizeUrl(col("lit")).as("a"),
+        UrlOps.canonicalizeUrl(col("esc")).as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val broken = pairs.zip(out).filter { case (_, (a, b)) => a != b }
+    assert(broken.isEmpty, s"escape changed canonical: ${broken.take(3)}")
+  }
+
+  test("mainContent is minification-invariant on generated block-structured pages") {
+    import spark.implicits._
+    val lineGen = for {
+      tag <- Gen.oneOf("p", "div", "li", "h2")
+      words <- Gen.listOfN(12, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(7)))
+      anchored <- Gen.oneOf(true, false)
+    } yield {
+      val body = if (anchored)
+        s"""<a href="/x">${words.take(4).mkString(" ")}</a> ${words.drop(4).mkString(" ")}"""
+      else words.mkString(" ")
+      s"<$tag>$body</$tag>"
+    }
+    val pageGen = Gen.listOfN(4, lineGen).map(_.mkString("\n"))
+    val pages = Gen.listOfN(150, pageGen).sample.get
+    val out = pages.toDF("page")
+      .select(
+        TextExtraction.mainContent(col("page")).as("formatted"),
+        TextExtraction.mainContent(
+          org.apache.spark.sql.functions.regexp_replace(
+            col("page"), "\n", "")).as("minified"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val broken = pages.zip(out).filter { case (_, (a, b)) => a != b }
+    assert(broken.isEmpty,
+      s"minification changed extraction: ${broken.take(2)}")
   }
 
   test("stripHtml output never contains a tag or an undecoded predefined entity") {

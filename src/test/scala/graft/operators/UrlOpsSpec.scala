@@ -106,25 +106,134 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(kept == Seq(3L, 4L, 6L))
   }
 
-  test("filterDisallowed: exact-host prefix rules, canonical path, no suffix bleed") {
+  private def disallowKept(urls: Seq[(Long, String)],
+                           rules: Seq[(String, String, Boolean)]): Seq[Long] = {
     import spark.implicits._
+    UrlOps.filterDisallowed(urls.toDF("doc_id", "url"), "url", "doc_id",
+        rules.toDF("host", "pattern", "allow"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+  }
+
+  test("filterDisallowed: exact-host prefix rules, no suffix bleed") {
     val df = Seq(
       (1L, "https://example.com/admin/users"),      // blocked: /admin prefix
       (2L, "https://example.com/administrator"),     // blocked: raw prefix rule
       (3L, "https://example.com/public"),            // allowed
       (4L, "https://sub.example.com/admin/x"),       // allowed: rules are EXACT host
       (5L, "https://WWW.Example.com:443/admin/"),    // blocked: canonical host+path
-      (6L, "https://other.org/admin")).toDF("doc_id", "url")
-    val robots = Seq(("example.com", "/admin")).toDF("host", "prefix")
-    val kept = UrlOps.filterDisallowed(df, "url", "doc_id", robots)
-      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      (6L, "https://other.org/admin"))
+    val kept = disallowKept(df, Seq(("example.com", "/admin", false)))
     assert(kept == Seq(3L, 4L, 6L), s"kept: $kept")
     // an EMPTY Disallow means ALLOW ALL (robots.txt standard) — it must
-    // not become a block-everything rule via startsWith("")
-    val emptyRule = Seq(("other.org", "")).toDF("host", "prefix")
-    val kept2 = UrlOps.filterDisallowed(df, "url", "doc_id", emptyRule)
-      .count()
-    assert(kept2 == 6, s"empty Disallow must block nothing: kept $kept2 of 6")
+    // not become a block-everything rule via prefix-of-everything
+    val kept2 = disallowKept(df, Seq(("other.org", "", false)))
+    assert(kept2.size == 6, s"empty Disallow must block nothing: kept $kept2")
+  }
+
+  test("filterDisallowed: 'Disallow: /' blocks the host ROOT and everything else") {
+    // the round-10 advice finding: the root page canonicalizes to an
+    // empty path, which a trailing-slash-stripped prefix check let leak
+    val df = Seq(
+      (1L, "https://x.com/"),          // the bare root — must be blocked
+      (2L, "https://x.com"),           // no-path form of the root
+      (3L, "https://x.com/p/1"),       // any page
+      (4L, "https://other.org/"))      // other hosts untouched
+    val kept = disallowKept(df, Seq(("x.com", "/", false)))
+    assert(kept == Seq(4L), s"kept: $kept")
+  }
+
+  test("filterDisallowed: longest-match wins, Allow beats Disallow on ties") {
+    val df = Seq(
+      (1L, "https://x.com/p/1"),    // blocked by /p/
+      (2L, "https://x.com/p/10"),   // allowed: /p/10 (longer) overrides /p/
+      (3L, "https://x.com/q"))      // no rule matches -> allowed
+    val kept = disallowKept(df, Seq(
+      ("x.com", "/p/", false), ("x.com", "/p/10", true)))
+    assert(kept == Seq(2L, 3L), s"kept: $kept")
+    // exact tie (same length): Allow wins — REP least-restrictive rule
+    val tie = disallowKept(Seq((1L, "https://x.com/p/1")),
+      Seq(("x.com", "/p/1", false), ("x.com", "/p/1", true)))
+    assert(tie == Seq(1L), s"tie must resolve to Allow: $tie")
+  }
+
+  test("filterDisallowed: '*' wildcards and trailing-$ anchors") {
+    val df = Seq(
+      (1L, "https://x.com/a/deep/file.pdf"), // blocked: /*.pdf$
+      (2L, "https://x.com/file.pdf/view"),   // allowed: $ anchors the end
+      (3L, "https://x.com/tmp5/x"),          // blocked: /tmp*/
+      (4L, "https://x.com/tmp"),             // allowed: no trailing /
+      (5L, "https://x.com/a.pdf?dl=1"))      // allowed: query after .pdf, $ fails
+    val kept = disallowKept(df, Seq(
+      ("x.com", "/*.pdf$", false), ("x.com", "/tmp*/", false)))
+    assert(kept == Seq(2L, 4L, 5L), s"kept: $kept")
+  }
+
+  test("filterDisallowed: rule hosts are canonicalized (www./default port)") {
+    val df = Seq(
+      (1L, "https://example.com/p"),
+      (2L, "https://www.example.com/p"))
+    // rule recorded under the www + port form must match both
+    val kept = disallowKept(df, Seq(("www.example.com:443", "/p", false)))
+    assert(kept.isEmpty, s"kept: $kept")
+  }
+
+  test("filterDisallowed matches the percent-normalized path") {
+    val df = Seq(
+      (1L, "https://x.com/%7Euser/docs"),  // %7E -> ~ : blocked by /~user
+      (2L, "https://x.com/~user/docs"),    // literal twin: also blocked
+      (3L, "https://x.com/other"))
+    val kept = disallowKept(df, Seq(("x.com", "/~user", false)))
+    assert(kept == Seq(3L), s"kept: $kept")
+  }
+
+  test("canonicalizeUrl: percent-encoding normalization") {
+    // unreserved escapes decode
+    assert(canon("https://example.com/%7Euser/%70") ==
+      "https://example.com/~user/p")
+    // reserved escapes stay escaped but uppercase
+    assert(canon("https://example.com/a%2fb") == "https://example.com/a%2Fb")
+    // malformed escapes pass through verbatim
+    assert(canon("https://example.com/a%9z?b=%") ==
+      "https://example.com/a%9z?b=%")
+    // already-canonical escapes are a fixpoint
+    assert(canon("https://example.com/a%2Fb") == "https://example.com/a%2Fb")
+    // pct-encoded and literal twins meet at the same canonical form
+    assert(canon("https://example.com/%70/1?x=%2f&Y=%7e") ==
+      canon("https://example.com/p/1?Y=~&x=%2F"))
+  }
+
+  test("registrableChain: stops at the registrable domain (PSL)") {
+    import spark.implicits._
+    def chain(h: String): Seq[String] =
+      Seq(h).toDF("h").select(UrlOps.registrableChain(col("h")))
+        .head().getSeq[String](0)
+    assert(chain("cdn.media.example.co.uk") ==
+      Seq("cdn.media.example.co.uk", "media.example.co.uk", "example.co.uk"))
+    assert(chain("a.b.example.com") ==
+      Seq("a.b.example.com", "b.example.com", "example.com"))
+    // every blogspot site is its own registrable domain
+    assert(chain("foo.blogspot.com") == Seq("foo.blogspot.com"))
+    // a host that IS a public suffix degenerates to itself
+    assert(chain("co.uk") == Seq("co.uk"))
+    // single label: implicit-* fallback, same as domainChain
+    assert(chain("localhost") == Seq("localhost"))
+    // non-default port stripped before chaining
+    assert(chain("example.co.uk:8080") == Seq("example.co.uk"))
+  }
+
+  test("filterBlockedDomainsPsl: a public-suffix entry blocks nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a.example.co.uk"),   // blocked: example.co.uk listed
+      (2L, "other.co.uk"),       // NOT blocked: 'co.uk' is a public suffix
+      (3L, "x.blogspot.com"),    // NOT blocked: 'blogspot.com' is PSL-private
+      (4L, "bad.com"),           // blocked: exact
+      (5L, "sub.bad.com")).toDF("doc_id", "host")
+    val block = Seq("example.co.uk", "co.uk", "blogspot.com", "bad.com")
+      .toDF("domain")
+    val kept = UrlOps.filterBlockedDomainsPsl(df, "host", "doc_id", block)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 3L), s"kept: $kept")
   }
 
   test("filterBlockedDomains: a non-default port does not smuggle a host past the blocklist") {

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcIngestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("wrap -> parse round-trips url, record id, timestamp and payload byte-exactly") {
+    import spark.implicits._
+    // payload with single newlines (no blank line — the header/body
+    // separator must win), entities, tags, non-ASCII UTF-8
+    val html = "<html>\n<p>café &amp; 1 &lt; 2</p>\n<div>tail</div>"
+    val raw = Seq(("https://example.com/p/1?a=1", "urn:graft:42", html))
+      .toDF("url", "rid", "html")
+      .select(WarcIngest.wrapAsRawRecord(col("url"), col("html"),
+        to_timestamp(lit("2026-01-15 12:00:00")), col("rid")).as("record"))
+    val parsed = WarcIngest.parseRawRecords(raw).collect()(0)
+    assert(parsed.getAs[String]("url") == "https://example.com/p/1?a=1")
+    assert(parsed.getAs[String]("record_id") == "urn:graft:42")
+    assert(parsed.getAs[String]("html") == html)
+    assert(parsed.getAs[java.sql.Timestamp]("fetch_ts").toInstant.toString
+      == "2026-01-15T12:00:00Z")
+  }
+
+  test("responsesOnly drops records with no target URI or empty payload") {
+    import spark.implicits._
+    val good = Seq(("https://a.com/x", "urn:graft:1", "<p>body</p>"))
+    val warcinfo = // a warcinfo record: no Target-URI header at all
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:graft:0>\r\n\r\nsoftware: test"
+    val empty = // response with an empty payload
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:9>\r\n" +
+        "WARC-Target-URI: https://b.com/y\r\n\r\n"
+    val raws = good.toDF("url", "rid", "html")
+      .select(WarcIngest.wrapAsRawRecord(col("url"), col("html"),
+        to_timestamp(lit("2026-01-15 12:00:00")), col("rid")).as("record"))
+      .union(Seq(warcinfo, empty).toDF("s")
+        .select(org.apache.spark.sql.functions.encode(col("s"), "UTF-8").as("record")))
+    val kept = WarcIngest.responsesOnly(WarcIngest.parseRawRecords(raws))
+      .select("record_id").as[String].collect().toSeq
+    assert(kept == Seq("urn:graft:1"), s"kept: $kept")
+  }
+
+  test("stripHttpHeaders drops the embedded HTTP header block") {
+    import spark.implicits._
+    val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>the page</p>"
+    val raw = Seq(("https://a.com/x", "urn:graft:7", payload))
+      .toDF("url", "rid", "html")
+      .select(WarcIngest.wrapAsRawRecord(col("url"), col("html"),
+        to_timestamp(lit("2026-01-15 12:00:00")), col("rid")).as("record"))
+    val html = WarcIngest.parseRawRecords(raw, stripHttpHeaders = true)
+      .select("html").as[String].collect()(0)
+    assert(html == "<p>the page</p>")
+  }
+
+  test("decodeRecords: pre-parsed frames decode binary content as UTF-8") {
+    import spark.implicits._
+    val df = Seq(("https://a.com", "café <b>page</b>"))
+      .toDF("url", "s")
+      .select(col("url"),
+        org.apache.spark.sql.functions.encode(col("s"), "UTF-8").as("content"),
+        to_timestamp(lit("2026-01-15 12:00:00")).as("warc_date"))
+    val out = WarcIngest.decodeRecords(df).collect()(0)
+    assert(out.getAs[String]("html") == "café <b>page</b>")
+    assert(out.getAs[String]("url") == "https://a.com")
+  }
+}

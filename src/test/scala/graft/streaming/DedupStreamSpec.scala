@@ -133,7 +133,8 @@ class DedupStreamSpec extends AnyFunSuite {
       DedupStream.startUrls(spark, s"$tmp/in", "url_gate_spec_index",
         s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
         .awaitTermination()
-      val survivors = spark.read.parquet(s"$tmp/out")
+      val survivors = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$tmp/out")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(survivors == Set(3L, 4L, 5L), s"index-only survivors: $survivors")
       // appendAccepted mode: the shared-canonical pair cannot BOTH pass
@@ -147,16 +148,50 @@ class DedupStreamSpec extends AnyFunSuite {
       DedupStream.startUrls(spark, s"$tmp2/in", "url_gate_spec_index",
         s"$tmp2/out", s"$tmp2/cp", maxFilesPerTrigger = Some(1),
         appendAccepted = true).awaitTermination()
-      val s2 = spark.read.parquet(s"$tmp2/out")
+      val s2 = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$tmp2/out")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(s2.contains(3L), s"novel doc must survive: $s2")
       assert(s2.intersect(Set(4L, 5L)).size == 1,
         s"in-stream canonical pair must be claimed once: $s2")
       // and the claims landed in the index
       val claimed = spark.table("url_gate_spec_index")
-        .as[String].collect().toSet
+        .select("canon_url").as[String].collect().toSet
       assert(claimed.contains("https://example.com/b"), claimed)
       assert(claimed.contains("https://fresh.net/y?a=1&b=2"), claimed)
     } finally spark.sql("DROP TABLE IF EXISTS url_gate_spec_index")
+  }
+
+  test("TTL frontier gate: stale claims expire per the row's own clock, fresh ones hold") {
+    import spark.implicits._
+    import graft.operators.UrlOps
+    // claims at t=100 and t=900; candidates carry their own crawl clock
+    val seen = Seq(
+      ("https://old.com/a", 100L),
+      ("https://new.com/b", 900L)).toDF("url", "ts")
+    UrlOps.writeUrlIndex(seen, "url", "url_ttl_spec_index", buckets = 4,
+      claimedAtCol = Some("ts"))
+    try {
+      val candidates = Seq(
+        (1L, "https://old.com/a", 1000L),  // claim 100 < 1000-500: expired -> re-admit
+        (2L, "https://new.com/b", 1000L),  // claim 900 >= 500: still held -> drop
+        (3L, "https://new.com/b", 1500L),  // same URL, later clock: 900 < 1000 -> re-admit
+        (4L, "https://fresh.io/c", 10L))   // never claimed -> pass
+        .toDF("doc_id", "url", "crawl_ts")
+      val tmp = Files.createTempDirectory("ut").toString
+      candidates.repartition(3).write.parquet(s"$tmp/in")
+      DedupStream.startUrlsTtl(spark, s"$tmp/in", "url_ttl_spec_index",
+        s"$tmp/out", s"$tmp/cp", asOfCol = "crawl_ts", ttl = 500L,
+        maxFilesPerTrigger = Some(1)).awaitTermination()
+      val survivors = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$tmp/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 3L, 4L), s"ttl survivors: $survivors")
+      // batch-side probe agrees with the gate (same operator)
+      val batch = UrlOps.stripSeenUrlsTtl(candidates, "url",
+        "url_ttl_spec_index", "crawl_ts", 500L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch == survivors, s"batch $batch != gate $survivors")
+    } finally spark.sql("DROP TABLE IF EXISTS url_ttl_spec_index")
   }
 }
