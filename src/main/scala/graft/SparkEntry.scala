@@ -5024,18 +5024,18 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT doc_id AS id,
         |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
-        |         CAST(len(text) AS BIGINT) AS n_bytes,
+        |         CAST(len(text) AS BIGINT) AS n_plane,
         |         CAST(list_sum(list_transform(range(1, len(text)+1),
         |           i -> ascii(substr(text, i, 1)))) AS BIGINT) AS s
         |  FROM documents)
-        |SELECT id, modality, n_bytes, s % 9973 AS byte_sum,
-        |       ROUND(CAST(s AS DOUBLE)/n_bytes, 6) AS byte_mean
+        |SELECT id, modality, n_plane, s % 9973 AS byte_sum,
+        |       ROUND(CAST(s AS DOUBLE)/n_plane, 6) AS byte_mean
         |FROM m ORDER BY id""".stripMargin,
     // the Real-decoder face: constant-gray PNGs make the decoded-plane
     // features closed-form in doc_id (n = w·h, sum%9973, mean = gray)
     "q_media_decode" ->
       """SELECT doc_id AS id, 'image' AS modality,
-        |       CAST((8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_bytes,
+        |       CAST((8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_plane,
         |       CAST(((doc_id % 256) * (8 + doc_id % 8) * (8 + doc_id % 5)) % 9973 AS BIGINT) AS byte_sum,
         |       ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS byte_mean
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin,
@@ -5043,7 +5043,7 @@ object SparkEntry {
     // a plane of n = 800 + id%211 bytes, every byte = id%256
     "q_audio_decode" ->
       """SELECT doc_id AS id, 'audio' AS modality,
-        |       CAST(800 + doc_id % 211 AS BIGINT) AS n_bytes,
+        |       CAST(800 + doc_id % 211 AS BIGINT) AS n_plane,
         |       CAST(((doc_id % 256) * (800 + doc_id % 211)) % 9973 AS BIGINT) AS byte_sum,
         |       ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS byte_mean
         |FROM documents WHERE doc_id % 10 = 3 ORDER BY id""".stripMargin,

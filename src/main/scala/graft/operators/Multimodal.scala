@@ -31,7 +31,13 @@ object Multimodal {
                              durationMs: Long, format: String)
   final case class MediaRow(id: Long, modality: String, content: Array[Byte],
                             meta: MediaMeta)
-  final case class MediaFeatures(id: Long, modality: String, n_bytes: Long,
+  /** Per-asset feature row. All three numbers describe the DECODED
+    * plane [[MediaDecoder.luma]] returns — pixel count / luma sum for
+    * images, sample-frame count / sample sum for audio, raw byte count
+    * / byte sum only under [[MediaDecoder.Fake]] — hence `n_plane`,
+    * not `n_bytes`: under a real decoder it is NOT the payload size.
+    */
+  final case class MediaFeatures(id: Long, modality: String, n_plane: Long,
                                  byte_sum: Long, byte_mean: Double)
 
   /** The decode seam: a decoder maps opaque content bytes to a

@@ -227,6 +227,16 @@ class IngestPipelineSpec extends AnyFunSuite {
     // REAL branch code — option wiring, value projection, normalize,
     // sink — executes without a broker. The staged payload rides in as
     // a passthrough option, like any kafka.* client setting would.
+    // guard: the short name "kafka" must resolve to OUR test provider —
+    // if the real spark-sql-kafka connector ever lands on the test
+    // classpath, resolution turns ambiguous and every kafka-branch test
+    // breaks; fail HERE with a message naming the collision
+    val resolved = org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource("kafka", spark.sessionState.conf).getName
+    assert(resolved == classOf[FakeKafkaProvider].getName,
+      s"format(\"kafka\") resolved to $resolved, not FakeKafkaProvider — " +
+        "a real kafka connector is on the test classpath; remove the " +
+        "META-INF/services registration (see the comment there)")
     FakeKafka.reset()
     val out = Files.createTempDirectory("fk_out").toString
     val ckpt = Files.createTempDirectory("fk_ckpt").toString
