@@ -61,8 +61,13 @@ object SparkEntry {
     * slice k ≤ slice k's max event time ≤ every slice-k+1 row), so the
     * split provably cannot change any windowed/stateful result.
     */
-  private val SliceBounds = Seq(S1, 1704600000L, 1704960000L, 1705320000L,
-    1705680000L, 1706040000L, E1 + 1)
+  // five slices (was six through round 10): pb_n = 5 still clears the
+  // ≥5-batch adjudication bar, and the round-11 BatchVolumeProbe showed
+  // restart-cycle cost is pure fixed overhead (marginal 2.50 vs 2.60
+  // s/run at 7× volume difference), so one fewer batch is the only
+  // drain trim that doesn't change what the marginal measures
+  private val SliceBounds = Seq(S1, 1704672000L, 1705104000L,
+    1705536000L, 1705968000L, E1 + 1)
 
   /** Stage `real` into `dir` one time-slice file at a time, draining the
     * stream via `run` after each — the restart-per-slice gate shape
@@ -782,7 +787,7 @@ object SparkEntry {
       withTempDir("graft_line_stream") { tmp =>
         BenchPhases.timed("q_line_dedup_stream", "stage")(
           planted.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
-            .repartition(7).write.parquet(s"$tmp/input"))
+            .repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_line_dedup_stream")(
           graft.streaming.DedupStream.startLines(s, s"$tmp/input",
               "graft_stream_line_index", s"$tmp/out", s"$tmp/cp",
@@ -958,7 +963,7 @@ object SparkEntry {
       withTempDir("graft_overlap_stream") { tmp =>
         BenchPhases.timed("q_corpus_overlap_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
-            .repartition(7).write.parquet(s"$tmp/input"))
+            .repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_corpus_overlap_stream")(
           graft.streaming.OverlapSketchStream.start(s, s"$tmp/input",
               "graft_overlap_stream_sk", s"$tmp/cp", maxFilesPerTrigger = Some(1)))
@@ -1020,7 +1025,7 @@ object SparkEntry {
       withTempDir("graft_dedup_stream") { tmp =>
         BenchPhases.timed("q_dedup_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
-            .repartition(7).write.parquet(s"$tmp/input"))
+            .repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_dedup_stream")(
           graft.streaming.DedupStream.start(s, s"$tmp/input", "graft_stream_sig_index",
               idxDocs, s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1)))
@@ -1038,7 +1043,7 @@ object SparkEntry {
       withTempDir("graft_simhash_stream") { tmp =>
         BenchPhases.timed("q_dedup_simhash_stream", "stage")(
           docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
-            .repartition(7).write.parquet(s"$tmp/input"))
+            .repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_dedup_simhash_stream")(
           graft.streaming.DedupStream.startSimhash(s, s"$tmp/input",
               "graft_stream_sh_index", s"$tmp/out", s"$tmp/cp",
@@ -1190,7 +1195,7 @@ object SparkEntry {
       withTempDir("graft_embed_stream") { tmp =>
         BenchPhases.timed("q_embed_neardup_stream", "stage")(
           e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
-            .repartition(7).write.parquet(s"$tmp/input"))
+            .repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_embed_neardup_stream")(
           graft.streaming.AnnStream.start(s, s"$tmp/input", "graft_stream_ivf_index",
               s"$tmp/out", s"$tmp/cp", threshold = 0.45, nProbe = 16,
@@ -1472,7 +1477,7 @@ object SparkEntry {
           docs.filter(lit(false)), "graft_vocab_stream_idx"))
       withTempDir("graft_vocab_stream") { tmp =>
         BenchPhases.timed("q_vocab_stream", "stage")(
-          docs.select("doc_id", "text").repartition(7)
+          docs.select("doc_id", "text").repartition(6)
             .write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_vocab_stream")(
           graft.streaming.CorpusStatsStream.start(s, s"$tmp/input",
@@ -1517,7 +1522,7 @@ object SparkEntry {
       withTempDir("graft_quality_stream") { tmp =>
         BenchPhases.timed("q_quality_stream", "stage")(
           docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text", "lang")
-            .repartition(7).write.parquet(s"$tmp/input"))
+            .repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_quality_stream")(
           graft.streaming.QualityStream.start(s, s"$tmp/input",
               "graft_nb_model_stream", s"$tmp/out", s"$tmp/cp",
@@ -1675,7 +1680,7 @@ object SparkEntry {
       withTempDir("graft_decon_stream") { tmp =>
         BenchPhases.timed("q_decontaminate_stream", "stage")(
           docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text", "source")
-            .repartition(7).write.parquet(s"$tmp/input"))
+            .repartition(6).write.parquet(s"$tmp/input"))
         val q = BenchPhases.timed("q_decontaminate_stream", "build")(
           graft.streaming.DecontaminationStream.start(s, s"$tmp/input",
             docs.filter(col("doc_id") % 7 === 0), s"$tmp/out", s"$tmp/cp",
@@ -1841,7 +1846,7 @@ object SparkEntry {
     }),
     // the crawl-frontier gate (ninth external-state streaming family):
     // even-id docs' canonical URLs form the persisted seen-set, all docs
-    // stream through in 7 staged files — survivors are docs whose
+    // stream through in 6 staged files — survivors are docs whose
     // canonical URL the frontier has never claimed (index-only claims,
     // so the result is batch-partition independent and the oracle is a
     // NOT IN over the even side's canonicals)
@@ -1852,7 +1857,7 @@ object SparkEntry {
           planted.filter(col("doc_id") % 2 === 0), "url", "graft_stream_url_index"))
       withTempDir("graft_url_stream") { tmp =>
         BenchPhases.timed("q_url_stream", "stage")(
-          planted.repartition(7).write.parquet(s"$tmp/input"))
+          planted.repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_url_stream")(
           graft.streaming.DedupStream.startUrls(s, s"$tmp/input",
             "graft_stream_url_index", s"$tmp/out", s"$tmp/cp",
@@ -1879,7 +1884,7 @@ object SparkEntry {
           claimedAtCol = Some("claim_ts")))
       withTempDir("graft_url_stream_ttl") { tmp =>
         BenchPhases.timed("q_url_stream_ttl", "stage")(
-          planted.repartition(7).write.parquet(s"$tmp/input"))
+          planted.repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_url_stream_ttl")(
           graft.streaming.DedupStream.startUrlsTtl(s, s"$tmp/input",
             "graft_stream_url_ttl_index", s"$tmp/out", s"$tmp/cp",
@@ -1961,7 +1966,7 @@ object SparkEntry {
           docs.filter(lit(false)), "graft_wsample_state", "n_chars", k = 100))
       withTempDir("graft_wsample_stream") { tmp =>
         BenchPhases.timed("q_weighted_sample_stream", "stage")(
-          docs.select("doc_id", "n_chars").repartition(7)
+          docs.select("doc_id", "n_chars").repartition(6)
             .write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_weighted_sample_stream")(
           graft.streaming.WeightedSampleStream.start(s, s"$tmp/input",
@@ -2132,7 +2137,7 @@ object SparkEntry {
       withTempDir("graft_media_stream") { tmp =>
         BenchPhases.timed("q_media_stream", "stage")(
           media.filter(col("id") % 2 === 1).select("id", "content")
-            .repartition(7).write.parquet(s"$tmp/input"))
+            .repartition(6).write.parquet(s"$tmp/input"))
         BenchPhases.drainTimed("q_media_stream")(
           graft.streaming.DedupStream.startMedia(s, s"$tmp/input",
               "graft_media_stream_idx", s"$tmp/out", s"$tmp/cp",
