@@ -126,7 +126,9 @@ object TextExtraction {
         .when(code.between(32, 126), concat(chr(code.cast("bigint")), rest))
         .otherwise(concat(lit("&#"), seg))
     })
-    when(size(parts) === 1, c)
+    // codegen'd contains guard: CaseWhen evaluates lazily, so text with
+    // no "&#" (the common case) never pays for the split/transform
+    when(!c.contains("&#"), c)
       .otherwise(concat(element_at(parts, 1), array_join(decoded, "")))
   }
 

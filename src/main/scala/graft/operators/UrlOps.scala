@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * text ever gets tokenized; the reference ingests device topics, but a
   * corpus engine at 100 TB starts from crawl WARCs keyed by URL).
   *
-  * Everything here is composed from codegen'd Catalyst built-ins
-  * (regexp/split/filter/array_sort/concat) — no UDFs — so the
-  * canonicalization runs inside WholeStageCodegen as a pure map and a
-  * DuckDB oracle can replay it term for term:
+  * Everything here is composed from Catalyst built-ins
+  * (regexp/split/filter/array_sort/transform/concat) — no UDFs — so a
+  * DuckDB oracle can replay the canonicalization term for term. It is
+  * a pure map (shuffle-free, narrow); precision note: the regexp/concat
+  * terms codegen, while the higher-order lambdas (tracking-param
+  * filter, percent-escape transform) are CodegenFallback — interpreted
+  * but JVM-columnar, the same class as [[Dedup]]'s shingles. The rules:
   *
   *  - strip the fragment (`#...`)
   *  - normalize percent-encoding (RFC 3986 §6.2.2.2): decode escapes
@@ -58,7 +61,11 @@ object UrlOps {
     * uppercase the hex otherwise, and reassemble. One `transform` over
     * the split array — map-only; the lambda is a higher-order function
     * (CodegenFallback, like [[Dedup]]'s shingles — interpreted but
-    * JVM-columnar), and the common no-`%` fast path short-circuits it.
+    * JVM-columnar). The guard matters: CaseWhen evaluates branches
+    * lazily, so the codegen'd `contains` check means the URLs that
+    * carry no `%` (most of any real crawl) never pay for the
+    * split/transform at all — without it the round-11 close run showed
+    * 2–3× on every canonicalization-shaped row.
     */
   private[operators] def normalizePctEncoding(c: Column): Column = {
     val parts = split(c, "%")
@@ -72,7 +79,7 @@ object UrlOps {
         .when(unreserved, concat(chr(code.cast("bigint")), rest))
         .otherwise(concat(lit("%"), hex, rest))
     })
-    when(size(parts) === 1, c)
+    when(!c.contains("%"), c)
       .otherwise(concat(element_at(parts, 1), array_join(decoded, "")))
   }
 

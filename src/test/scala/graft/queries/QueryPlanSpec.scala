@@ -206,6 +206,17 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"expected at most the blocked-key distinct exchange, got $hashEx\n$p")
   }
 
+  test("robots REP plan: rules broadcast, winner is an aggregation, no window, no cartesian") {
+    val p = plan("q_url_robots")
+    // rules ride a broadcast into the host equi-join (regex residual);
+    // the longest-match winner is max(struct(spec, allow)) — a
+    // map-side-combinable aggregate, NOT a row_number window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max"), p)
+  }
+
   test("crawl capstone plan: broadcast joins only, one agg exchange, no window") {
     val p = plan("q_crawl_curate")
     assert(p.contains("BroadcastHashJoin"), p)
