@@ -1853,6 +1853,53 @@ object SparkEntry {
         .createOrReplaceTempView(SqlTableFunctions.UrlsRelation)
       s.sql("SELECT doc_id, url, canon_url FROM graft_url_dedup() ORDER BY doc_id")
     }),
+    // round-11 faces: REP robots, suffix + PSL blocklists, and the
+    // curation capstone as ONE SQL SELECT over registered relations —
+    // same logical plans by construction, shared oracles
+    "q_sql_url_robots" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      plantUrls(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.UrlsRelation)
+      Seq(("example2.com", "/p/1", false),
+        ("example2.com", "/p/10", true),
+        ("www.example9.com:443", "/", false),
+        ("example9.com", "/p/3", true),
+        ("cdn.media.example5.com", "/p/*7", false),
+        ("example4.com", "/p/2$", false)).toDF("host", "pattern", "allow")
+        .createOrReplaceTempView(SqlTableFunctions.RobotsRelation)
+      s.sql("SELECT doc_id, url FROM graft_url_robots() ORDER BY doc_id")
+    }),
+    "q_sql_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      plantUrls(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.UrlsRelation)
+      Seq("example7.com", "media.example11.com", "example3.com").toDF("domain")
+        .createOrReplaceTempView(SqlTableFunctions.BlocklistRelation)
+      s.sql("SELECT doc_id, host FROM graft_url_blocklist() ORDER BY doc_id")
+    }),
+    "q_sql_url_blocklist_psl" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      plantPslUrls(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.UrlsRelation)
+      Seq("co.uk", "example3.co.uk", "example7.com", "blogspot.com")
+        .toDF("domain")
+        .createOrReplaceTempView(SqlTableFunctions.BlocklistRelation)
+      s.sql("SELECT doc_id, host FROM graft_url_blocklist_psl() ORDER BY doc_id")
+    }),
+    "q_sql_crawl_curate" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val docs = table(s, d, "documents")
+      plantUrls(docs).createOrReplaceTempView(SqlTableFunctions.UrlsRelation)
+      plantHtml(docs).createOrReplaceTempView(SqlTableFunctions.PagesRelation)
+      Seq("example7.com", "media.example11.com", "example3.com").toDF("domain")
+        .createOrReplaceTempView(SqlTableFunctions.BlocklistRelation)
+      s.sql("SELECT doc_id, canon_url, n_words, main_hash " +
+        "FROM graft_crawl_curate(20) ORDER BY doc_id")
+    }),
     // the crawl-frontier gate (ninth external-state streaming family):
     // even-id docs' canonical URLs form the persisted seen-set, all docs
     // stream through in 6 staged files — survivors are docs whose
@@ -4481,42 +4528,14 @@ object SparkEntry {
     // against the slash-preserving path+query term, longest-pattern
     // wins with Allow breaking ties (row_number replays the
     // max(struct(spec, allow)) winner)
-    "q_url_robots" ->
-      s"""WITH $urlCanonCtesSql,
-         |rr AS (
-         |  SELECT regexp_replace(regexp_replace(lower(rhost), ':(80|443)$$', ''), '^www\\.', '') AS rhost,
-         |         pattern, allow, length(pattern) AS spec,
-         |         '^' || replace(regexp_replace(
-         |                  CASE WHEN pattern LIKE '%$$' THEN substr(pattern, 1, length(pattern) - 1) ELSE pattern END,
-         |                  '([.\\\\+?\\[\\]{}()|^$$])', '\\\\\\1', 'g'), '*', '.*')
-         |             || CASE WHEN pattern LIKE '%$$' THEN '$$' ELSE '' END AS rx
-         |  FROM (VALUES ('example2.com', '/p/1', false),
-         |               ('example2.com', '/p/10', true),
-         |               ('www.example9.com:443', '/', false),
-         |               ('example9.com', '/p/3', true),
-         |               ('cdn.media.example5.com', '/p/*7', false),
-         |               ('example4.com', '/p/2$$', false)) r(rhost, pattern, allow)
-         |  WHERE pattern <> ''),
-         |verd AS (
-         |  SELECT h.doc_id, rr.allow,
-         |         row_number() OVER (PARTITION BY h.doc_id
-         |                            ORDER BY rr.spec DESC, rr.allow DESC) AS rn
-         |  FROM h JOIN rr ON h.host = rr.rhost AND regexp_matches(h.rpathq, rr.rx))
-         |SELECT doc_id, url FROM h
-         |WHERE doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)
-         |ORDER BY doc_id""".stripMargin,
+    "q_url_robots" -> urlRobotsOracleSql,
+    "q_sql_url_robots" -> urlRobotsOracleSql,
+    "q_sql_url_blocklist_psl" -> urlBlocklistPslOracleSql,
+    "q_sql_crawl_curate" -> crawlCurateOracleSql,
     // suffix semantics via EXISTS (host = b or host endswith '.' || b) —
     // the declarative statement of what the exploded-chain joins compute
-    "q_url_blocklist" ->
-      s"""WITH $urlCanonCtesSql
-         |SELECT doc_id, host FROM h
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM (VALUES ('example7.com'), ('media.example11.com'),
-         |                        ('example3.com')) b(domain)
-         |  -- port-free comparison, mirroring domainChain's port strip
-         |  WHERE regexp_replace(h.host, ':[0-9]+$$', '') = b.domain
-         |     OR regexp_replace(h.host, ':[0-9]+$$', '') LIKE '%.' || b.domain)
-         |ORDER BY doc_id""".stripMargin,
+    "q_url_blocklist" -> urlBlocklistOracleSql,
+    "q_sql_url_blocklist" -> urlBlocklistOracleSql,
     // PSL tier: the chain stops at the registrable domain, so entries
     // at a public suffix (co.uk, blogspot.com) match NOTHING — the
     // replay interpolates the same PslSnapshot the Spark side uses
@@ -5660,6 +5679,42 @@ object SparkEntry {
        |FROM kept JOIN mn ON kept.doc_id = mn.doc_id
        |WHERE len(string_split(mn.main, ' ')) >= 20
        |ORDER BY kept.doc_id""".stripMargin
+
+  private def urlRobotsOracleSql: String =
+    s"""WITH $urlCanonCtesSql,
+       |rr AS (
+       |  SELECT regexp_replace(regexp_replace(lower(rhost), ':(80|443)$$', ''), '^www\\.', '') AS rhost,
+       |         pattern, allow, length(pattern) AS spec,
+       |         '^' || replace(regexp_replace(
+       |                  CASE WHEN pattern LIKE '%$$' THEN substr(pattern, 1, length(pattern) - 1) ELSE pattern END,
+       |                  '([.\\\\+?\\[\\]{}()|^$$])', '\\\\\\1', 'g'), '*', '.*')
+       |             || CASE WHEN pattern LIKE '%$$' THEN '$$' ELSE '' END AS rx
+       |  FROM (VALUES ('example2.com', '/p/1', false),
+       |               ('example2.com', '/p/10', true),
+       |               ('www.example9.com:443', '/', false),
+       |               ('example9.com', '/p/3', true),
+       |               ('cdn.media.example5.com', '/p/*7', false),
+       |               ('example4.com', '/p/2$$', false)) r(rhost, pattern, allow)
+       |  WHERE pattern <> ''),
+       |verd AS (
+       |  SELECT h.doc_id, rr.allow,
+       |         row_number() OVER (PARTITION BY h.doc_id
+       |                            ORDER BY rr.spec DESC, rr.allow DESC) AS rn
+       |  FROM h JOIN rr ON h.host = rr.rhost AND regexp_matches(h.rpathq, rr.rx))
+       |SELECT doc_id, url FROM h
+       |WHERE doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)
+       |ORDER BY doc_id""".stripMargin
+
+  private def urlBlocklistOracleSql: String =
+    s"""WITH $urlCanonCtesSql
+       |SELECT doc_id, host FROM h
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM (VALUES ('example7.com'), ('media.example11.com'),
+       |                        ('example3.com')) b(domain)
+       |  -- port-free comparison, mirroring domainChain's port strip
+       |  WHERE regexp_replace(h.host, ':[0-9]+$$', '') = b.domain
+       |     OR regexp_replace(h.host, ':[0-9]+$$', '') LIKE '%.' || b.domain)
+       |ORDER BY doc_id""".stripMargin
 
   /** PSL blocklist plant + replay: hosts spanning a multi-label public
     * suffix (`co.uk`), a private-section suffix (`blogspot.com`) and a

@@ -69,6 +69,15 @@ object SqlTableFunctions {
     */
   val PagesRelation = "pages"
 
+  /** Robots-compliance functions read this relation: one row per
+    * `Allow:`/`Disallow:` line — `host`, `pattern`, `allow` columns
+    * (REP semantics, see [[graft.operators.UrlOps.filterDisallowed]]).
+    */
+  val RobotsRelation = "robots"
+
+  /** Blocklist functions read this relation: one `domain` column. */
+  val BlocklistRelation = "blocklist"
+
   /** The relation the vector functions read (vec_id, embedding). */
   val EmbeddingsRelation = "embeddings"
 
@@ -379,6 +388,43 @@ object SqlTableFunctions {
       import org.apache.spark.sql.functions.col
       rel(s, PagesRelation, f.name).select(col("doc_id"),
         graft.operators.TextExtraction.mainContent(col("html")).as("main"))
+    }
+    add("graft_url_robots", "graft_url_robots()", 0) { (s, f, _) =>
+      graft.operators.UrlOps.filterDisallowed(
+        rel(s, UrlsRelation, f.name), "url", "doc_id",
+        rel(s, RobotsRelation, f.name))
+    }
+    add("graft_url_blocklist", "graft_url_blocklist()", 0) { (s, f, _) =>
+      import org.apache.spark.sql.functions.col
+      val withHost = rel(s, UrlsRelation, f.name).select(col("doc_id"),
+        graft.operators.UrlOps.canonicalHost(col("url")).as("host"))
+      graft.operators.UrlOps.filterBlockedDomains(withHost, "host", "doc_id",
+        rel(s, BlocklistRelation, f.name))
+    }
+    add("graft_url_blocklist_psl", "graft_url_blocklist_psl()", 0) { (s, f, _) =>
+      import org.apache.spark.sql.functions.col
+      val withHost = rel(s, UrlsRelation, f.name).select(col("doc_id"),
+        graft.operators.UrlOps.canonicalHost(col("url")).as("host"))
+      graft.operators.UrlOps.filterBlockedDomainsPsl(withHost, "host", "doc_id",
+        rel(s, BlocklistRelation, f.name))
+    }
+    add("graft_crawl_curate", "graft_crawl_curate(min_words)", 1) { (s, f, a) =>
+      import org.apache.spark.sql.functions.{col, md5, size, split}
+      val minWords = intArg(f, a, 0)
+      val pages = rel(s, UrlsRelation, f.name)
+        .join(rel(s, PagesRelation, f.name), "doc_id")
+        .withColumn("host", graft.operators.UrlOps.canonicalHost(col("url")))
+      val allowed = graft.operators.UrlOps.filterBlockedDomains(
+        pages, "host", "doc_id", rel(s, BlocklistRelation, f.name))
+      val kept = graft.operators.UrlOps.dedupByCanonicalUrl(
+        allowed.drop("host"), "url", "doc_id")
+      kept
+        .withColumn("main", graft.operators.TextExtraction.mainContent(col("html")))
+        .withColumn("n_words", size(split(col("main"), " ")))
+        .filter(col("n_words") >= minWords)
+        .select(col("doc_id"), col("canon_url"),
+          col("n_words").cast("long").as("n_words"),
+          md5(col("main")).as("main_hash"))
     }
     add("graft_line_dedup_intra", "graft_line_dedup_intra()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedupWithinDoc(rel(s, DocumentsRelation, f.name))

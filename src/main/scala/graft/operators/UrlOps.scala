@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * corpus engine at 100 TB starts from crawl WARCs keyed by URL).
   *
   * Everything here is composed from Catalyst built-ins
-  * (regexp/split/filter/array_sort/transform/concat) — no UDFs — so a
-  * DuckDB oracle can replay the canonicalization term for term. It is
-  * a pure map (shuffle-free, narrow); precision note: the regexp/concat
-  * terms codegen, while the higher-order lambdas (tracking-param
-  * filter, percent-escape transform) are CodegenFallback — interpreted
-  * but JVM-columnar, the same class as [[Dedup]]'s shingles. The rules:
+  * (regexp/split/filter/array_sort/concat) plus ONE compiled kernel
+  * (the percent-escape normalizer — see [[normalizePctEncoding]] for
+  * the measured WholeStageCodegen reason), and a DuckDB oracle replays
+  * every rule term for term. Canonicalization is a pure map
+  * (shuffle-free, narrow); precision note: the regexp/concat terms and
+  * the kernel codegen, while the tracking-param `filter` lambda is
+  * CodegenFallback — interpreted but JVM-columnar, the same class as
+  * [[Dedup]]'s shingles. The rules:
   *
   *  - strip the fragment (`#...`)
   *  - normalize percent-encoding (RFC 3986 §6.2.2.2): decode escapes
@@ -51,37 +53,76 @@ object UrlOps {
     * the WHOLE URL once: unreserved characters never include a
     * delimiter (`/ ? # & =` all stay escaped, merely uppercased), so
     * decoding before component extraction cannot change the parse.
+    *
+    * One fused kernel, deliberately: Catalyst duplicates this subtree
+    * into EVERY term that uses it (scheme, host, path, query — ~8
+    * copies in [[canonicalizeUrl]]'s expression tree, no CSE in the
+    * interpreted projection the tracking-param lambda forces), so the
+    * shared step must be cheap per copy — an `indexOf` + at most one
+    * substring + the escape scan, no regex.
     */
-  private def normalized(url: Column): Column =
-    normalizePctEncoding(regexp_replace(url, "#.*$", ""))
+  private def normalized(url: Column): Column = normalizeUrlKernel(url)
+
+  private val normalizeUrlKernel = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val h = s.indexOf('#')
+      pctNormalizeStr(if (h >= 0) s.substring(0, h) else s)
+    }
+  }
 
   /** RFC 3986 percent-encoding normalization: split on `%`, and for
     * each following segment decode the two-hex-digit escape when it
     * names an unreserved byte (ALPHA / DIGIT / `-` `.` `_` `~`),
-    * uppercase the hex otherwise, and reassemble. One `transform` over
-    * the split array — map-only; the lambda is a higher-order function
-    * (CodegenFallback, like [[Dedup]]'s shingles — interpreted but
-    * JVM-columnar). The guard matters: CaseWhen evaluates branches
-    * lazily, so the codegen'd `contains` check means the URLs that
-    * carry no `%` (most of any real crawl) never pay for the
-    * split/transform at all — without it the round-11 close run showed
-    * 2–3× on every canonicalization-shaped row.
+    * uppercase the hex otherwise, and reassemble.
+    *
+    * Implementation is a COMPILED KERNEL (one pass, zero allocation on
+    * the escape-free fast path), not a split/`transform` higher-order
+    * expression: the round-11 close run measured the HOF draft pulling
+    * the whole canonicalization projection out of WholeStageCodegen
+    * (one CodegenFallback expression is enough) for ~2× on every
+    * URL-family row, and a lazy-CaseWhen guard did NOT recover it
+    * because the cost was the projection-wide codegen exit. `ScalaUDF`
+    * codegens as a plain invoke, so the surrounding regexp/concat
+    * chain stays fused — the same measured trade as the ANN dot
+    * kernels. The DuckDB oracle replays the rule as the equivalent
+    * `%`-split list transform; semantics are pinned identical by the
+    * rule-by-rule spec and the escape-equivalence property.
     */
-  private[operators] def normalizePctEncoding(c: Column): Column = {
-    val parts = split(c, "%")
-    val decoded = transform(slice(parts, lit(2), size(parts) - 1), seg => {
-      val hex = upper(substring(seg, 1, 2))
-      val code = conv(hex, 16, 10).cast("int")
-      val rest = substring(seg, 3, Int.MaxValue)
-      val unreserved = code.between(48, 57) || code.between(65, 90) ||
-        code.between(97, 122) || code.isin(45, 46, 95, 126)
-      when(!seg.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), seg))
-        .when(unreserved, concat(chr(code.cast("bigint")), rest))
-        .otherwise(concat(lit("%"), hex, rest))
-    })
-    when(!c.contains("%"), c)
-      .otherwise(concat(element_at(parts, 1), array_join(decoded, "")))
+  private def pctNormalizeStr(s: String): String = {
+    if (s == null || s.indexOf('%') < 0) s
+    else {
+      def hexVal(ch: Char): Int =
+        if (ch >= '0' && ch <= '9') ch - '0'
+        else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+        else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+        else -1
+      val n = s.length
+      val sb = new java.lang.StringBuilder(n)
+      var i = 0
+      while (i < n) {
+        val ch = s.charAt(i)
+        if (ch == '%' && i + 2 < n &&
+            hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+          val code = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+          val unreserved = (code >= 48 && code <= 57) ||
+            (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+            code == 45 || code == 46 || code == 95 || code == 126
+          if (unreserved) sb.append(code.toChar)
+          else sb.append('%')
+            .append(Character.toUpperCase(s.charAt(i + 1)))
+            .append(Character.toUpperCase(s.charAt(i + 2)))
+          i += 3
+        } else {
+          sb.append(ch)
+          i += 1
+        }
+      }
+      sb.toString
+    }
   }
+
+  private[operators] val normalizePctEncoding = udf(pctNormalizeStr _)
 
   /** Canonical form of an absolute URL, per the rules above. Pure
     * column expression — map-only, shuffle-free.
