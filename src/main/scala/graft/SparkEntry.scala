@@ -2000,6 +2000,32 @@ object SparkEntry {
         .filterBlockedDomainsPsl(withHost, "host", "doc_id", block)
         .orderBy("doc_id")
     }),
+    // the link-graph family (the stage after extraction in a crawl
+    // pipeline): anchor hrefs -> canonical edge list — quote styles,
+    // absolute + root-relative resolution (page scheme kept),
+    // mailto/fragment/relative-doc dropped, target canonicalized,
+    // self-loops and duplicate edges collapsed
+    "q_link_extract" -> ((s, d) =>
+      graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+        .orderBy("src", "dst")),
+    // in-link counts — the cheapest link-quality prior (one
+    // combiner-collapsed aggregation per destination)
+    "q_link_indegree" -> ((s, d) =>
+      graft.operators.LinkGraph.inDegree(
+        graft.operators.LinkGraph.extractLinks(
+          plantLinkedPages(table(s, d, "documents")), "url", "html"))
+        .orderBy("url")),
+    // FIXED-POINT PageRank (integer micro-units, floor division at
+    // every step, dangling mass redistributed) — bit-identical under
+    // any partitioning, so the oracle replays all three iterations
+    // exactly; per iteration: one shuffle of contributions on dst +
+    // one rank join on src + one scalar dangling aggregate
+    "q_link_pagerank" -> ((s, d) =>
+      graft.operators.LinkGraph.pagerank(
+        graft.operators.LinkGraph.extractLinks(
+          plantLinkedPages(table(s, d, "documents")), "url", "html"),
+        iters = 3).orderBy("url")),
     // Efraimidis-Spirakis weighted sample without replacement: 100 docs
     // drawn ∝ n_chars — one map + TakeOrdered(k), no sequential pass;
     // the oracle replays the md5 uniform, the ln(u)/w key and the
@@ -4540,6 +4566,20 @@ object SparkEntry {
     // at a public suffix (co.uk, blogspot.com) match NOTHING — the
     // replay interpolates the same PslSnapshot the Spark side uses
     "q_url_blocklist_psl" -> urlBlocklistPslOracleSql,
+    // link extraction replayed end to end: href regex (both quote
+    // groups), resolution scope, target case-canonicalization,
+    // distinct + self-loop rules
+    "q_link_extract" ->
+      s"""WITH $linkEdgesCtesSql
+         |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
+    "q_link_indegree" ->
+      s"""WITH $linkEdgesCtesSql
+         |SELECT dst AS url, COUNT(*) AS n_inlinks FROM edges
+         |GROUP BY dst ORDER BY url""".stripMargin,
+    // all three fixed-point iterations replayed exactly — integer
+    // floor division makes the ranks sum-order- and
+    // partitioning-independent, so the hash compare is exact
+    "q_link_pagerank" -> linkPagerankOracleSql,
     // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
     // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with
@@ -5428,6 +5468,28 @@ object SparkEntry {
         .as("url"))
   }
 
+  /** Linked-page plant for the link-graph family: each page (its URL
+    * from [[plantUrls]], so the src side exercises the full
+    * canonicalization) carries four anchors — an ABSOLUTE hub link
+    * (uppercase scheme/host, so target canonicalization has work; 13
+    * hubs × 5 paths ⇒ a hub-spoke graph where in-degree and rank
+    * concentrate), a ROOT-RELATIVE next-page link (resolves against
+    * the page's canonical scheme://host), and a `mailto:` +
+    * fragment-only pair that must be DROPPED. Replayed literally in
+    * [[linkEdgesCtesSql]].
+    */
+  private def plantLinkedPages(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    plantUrls(docs).select(col("doc_id"), col("url"), concat(
+      lit("<p>intro <a href=\"HTTPS://HUB"),
+      (col("doc_id") % 13).cast("string"),
+      lit(".Example.net/h/"), (col("doc_id") % 5).cast("string"),
+      lit("\">hub</a> <a href=\"/p/"),
+      ((col("doc_id") + 3) % 11).cast("string"),
+      lit("\">next</a> <a href='mailto:x@y'>mail</a>" +
+        " <a href=\"#top\">top</a></p>")).as("html"))
+  }
+
   /** PSL-exercising URL plant: hosts under a multi-label ICANN suffix
     * (`co.uk`, with and without extra subdomain labels), a plain TLD,
     * and a private-section shared-hosting suffix (`blogspot.com`).
@@ -5715,6 +5777,78 @@ object SparkEntry {
        |  WHERE regexp_replace(h.host, ':[0-9]+$$', '') = b.domain
        |     OR regexp_replace(h.host, ':[0-9]+$$', '') LIKE '%.' || b.domain)
        |ORDER BY doc_id""".stripMargin
+
+  /** Link-graph plant + replay: CTE `lp` (the literal
+    * [[plantLinkedPages]] page build over the canonical `k` frame),
+    * `hx` (href extraction — BOTH quote-style groups of the same regex
+    * [[graft.operators.LinkGraph.HrefRe]], empty non-participating
+    * groups filtered), `rx` (resolution: absolute http(s) pass,
+    * root-relative against the canonical src's scheme://host prefix,
+    * everything else NULL → dropped), `cx` (target canonicalization —
+    * the plant's targets are canonical up to scheme/host CASE, the one
+    * active term here; the full rule is gated by q_url_canon) and
+    * `edges` (distinct, self-loops dropped).
+    */
+  private def linkEdgesCtesSql: String =
+    s"""$urlCanonCtesSql,
+       |lp AS (
+       |  SELECT doc_id, canon_url,
+       |         '<p>intro <a href="HTTPS://HUB' || CAST(doc_id % 13 AS VARCHAR) || '.Example.net/h/' || CAST(doc_id % 5 AS VARCHAR) ||
+       |         '">hub</a> <a href="/p/' || CAST((doc_id + 3) % 11 AS VARCHAR) ||
+       |         '">next</a> <a href=''mailto:x@y''>mail</a> <a href="#top">top</a></p>' AS html
+       |  FROM k),
+       |hx AS (
+       |  SELECT canon_url AS src,
+       |         unnest(list_concat(
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)'')', 1),
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)'')', 2))) AS href
+       |  FROM lp),
+       |rx AS (
+       |  SELECT src,
+       |         CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+       |              WHEN href LIKE '/%' THEN regexp_extract(src, '^([a-z+.-]+://[^/?]*)', 1) || href
+       |         END AS abs
+       |  FROM hx WHERE href <> ''),
+       |cx AS (
+       |  SELECT src,
+       |         lower(regexp_extract(abs, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
+       |           regexp_extract(abs, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$$', 1) AS dst
+       |  FROM rx WHERE abs IS NOT NULL),
+       |edges AS (SELECT DISTINCT src, dst FROM cx WHERE src <> dst)""".stripMargin
+
+  /** One fixed-point PageRank iteration as CTEs (`d`/`c`/`r` + index):
+    * the SAME integer formula [[graft.operators.LinkGraph.pagerank]]
+    * computes — floor division everywhere, HUGEINT sums cast back to
+    * BIGINT so dtypes gate too.
+    */
+  private def pagerankIterCteSql(i: Int): String = {
+    val p = s"pr${i - 1}"
+    s"""d$i AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang FROM $p WHERE outdeg = 0),
+       |c$i AS (SELECT e.dst, CAST(SUM(r.rank // r.outdeg) AS BIGINT) AS contrib
+       |        FROM edges e JOIN $p r ON e.src = r.url WHERE r.outdeg > 0
+       |        GROUP BY e.dst),
+       |pr$i AS (SELECT nb.url, nb.outdeg,
+       |               (15 * (1000000000000 // nn.n)) // 100
+       |             + (85 * COALESCE(c$i.contrib, 0)) // 100
+       |             + (85 * (d$i.dang // nn.n)) // 100 AS rank
+       |        FROM nb CROSS JOIN nn CROSS JOIN d$i
+       |        LEFT JOIN c$i ON nb.url = c$i.dst)""".stripMargin
+  }
+
+  private def linkPagerankOracleSql: String =
+    s"""WITH $linkEdgesCtesSql,
+       |nodes AS (SELECT DISTINCT url FROM
+       |  (SELECT src AS url FROM edges UNION ALL SELECT dst FROM edges)),
+       |odeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nb AS (SELECT url, COALESCE(outdeg, 0) AS outdeg
+       |       FROM nodes LEFT JOIN odeg ON nodes.url = odeg.src),
+       |nn AS (SELECT COUNT(*) AS n FROM nb),
+       |pr0 AS (SELECT url, outdeg, 1000000000000 // nn.n AS rank
+       |        FROM nb CROSS JOIN nn),
+       |${pagerankIterCteSql(1)},
+       |${pagerankIterCteSql(2)},
+       |${pagerankIterCteSql(3)}
+       |SELECT url, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY url""".stripMargin
 
   /** PSL blocklist plant + replay: hosts spanning a multi-label public
     * suffix (`co.uk`), a private-section suffix (`blogspot.com`) and a

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators — the stage AFTER extraction in a web-crawl
+  * pipeline: anchor hrefs become a canonical edge list, and the edge
+  * list feeds the link-based signals every crawl-scale curation stack
+  * uses (in-degree as a spam/quality prior, PageRank-family centrality
+  * for seed selection and crawl ordering; the reference pipeline has no
+  * link stage — this is part of the beyond-the-reference corpus
+  * surface, like [[UrlOps]] itself).
+  *
+  * Design for 100 TB:
+  *  - [[extractLinks]] is map-only (regexp_extract_all + explode — one
+  *    generator, no shuffle); both endpoints come out CANONICAL
+  *    ([[UrlOps.canonicalizeUrl]]) so the edge list joins directly
+  *    against the frontier/page tables.
+  *  - [[inDegree]] is one combiner-collapsed count per destination.
+  *  - [[pagerank]] is the standard iterate: per iteration ONE shuffle
+  *    of contributions on dst + one co-keyed join of ranks back to
+  *    edges on src. Ranks and contributions are FIXED-POINT integers
+  *    (micro-units of a 10^12 total), with floor division at every
+  *    step — bit-identical under any partitioning or sum order, which
+  *    is what lets a DuckDB oracle replay the whole iteration exactly
+  *    (floating-point PageRank would differ in the last ulps by sum
+  *    order alone). Dangling mass is redistributed uniformly each
+  *    iteration (the classic treatment), as integer shares.
+  *
+  * Link-resolution scope (documented, not silently wrong): absolute
+  * http(s) hrefs and ROOT-RELATIVE hrefs (`/path`) resolve; other
+  * relative forms (`a.html`, `../x`), fragments-only, `mailto:`,
+  * `javascript:` etc. are dropped — resolving directory-relative paths
+  * needs the page path's dirname semantics, out of scope for v1.
+  */
+object LinkGraph {
+
+  /** Total fixed-point mass: ranks sum to ~this (minus floor-division
+    * remainders, which are sub-ppm at any realistic N).
+    */
+  val FixedPointTotal: Long = 1000000000000L
+
+  /** href values of a page's anchors: `<a ... href="...">`, double- or
+    * single-quoted. Non-capturing where possible; Java-and-RE2
+    * portable (no backreferences — the two quote styles are two
+    * alternatives, not a backref).
+    */
+  private[operators] val HrefRe =
+    "(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"
+
+  /** The canonical edge list of a page frame: one row per resolvable
+    * anchor, `(src, dst)` both canonical, self-loops and duplicate
+    * (src, dst) pairs dropped (a page linking itself or linking the
+    * same target five times is one edge — the signal is the link, not
+    * its copy count). Map-only until the final distinct (one shuffle
+    * on the edge key).
+    */
+  def extractLinks(pages: DataFrame, urlCol: String,
+                   htmlCol: String): DataFrame = {
+    val hrefs1 = regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1))
+    val hrefs2 = regexp_extract_all(col(htmlCol), lit(HrefRe), lit(2))
+    val src = UrlOps.canonicalizeUrl(col(urlCol))
+    pages
+      .select(src.as("src"), explode(concat(hrefs1, hrefs2)).as("_href"))
+      .filter(col("_href") =!= "")
+      // root-relative resolution keeps the PAGE's scheme: the base is
+      // the canonical src's scheme://host prefix, not a hardcoded https
+      .withColumn("_base",
+        regexp_extract(col("src"), "^([a-z+.-]+://[^/?]*)", 1))
+      .withColumn("_abs",
+        when(col("_href").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), col("_href"))
+          .when(col("_href").startsWith("/"), concat(col("_base"), col("_href"))))
+      .filter(col("_abs").isNotNull)
+      .select(col("src"), UrlOps.canonicalizeUrl(col("_abs")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** In-link counts per destination — the cheapest link-quality prior
+    * (one combiner-collapsed aggregation).
+    */
+  def inDegree(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("n_inlinks"))
+
+  /** Fixed-point PageRank over the canonical edge list: `iters`
+    * synchronous iterations at damping `d` = `dampingPct`/100
+    * (integer percent, so the oracle replays the arithmetic exactly).
+    *
+    * Node set = every URL appearing as src OR dst. Per iteration, with
+    * integer floor division at every step:
+    * {{{
+    *   contrib(v) = Σ_{(u,v)∈E} rank(u) div outdeg(u)
+    *   dangling   = Σ_{outdeg(u)=0} rank(u)
+    *   rank'(v)   = ((100-d)·(T div N)) div 100
+    *              + (d·contrib(v)) div 100
+    *              + (d·(dangling div N)) div 100
+    * }}}
+    * where `T` = [[FixedPointTotal]]. Every term is a BIGINT; the
+    * result is bit-identical under any partitioning (integer sums
+    * commute exactly). Returns `(url, rank)` with rank in micro-units.
+    *
+    * Scale shape: the rank table (N rows) joins edges on src — shuffle
+    * on src; contributions aggregate with map-side partials on dst —
+    * shuffle on dst; the per-iteration scalar (dangling mass) is one
+    * tiny aggregate. Pre-bucketing edges by src turns the per-iteration
+    * join co-partitioned; at toy scale AQE picks broadcast for the
+    * rank side.
+    */
+  def pagerank(edges: DataFrame, iters: Int = 3,
+               dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // iterative Spark 101: each iteration is MATERIALIZED (persist +
+    // action) before the next builds on it — a lazily-chained loop
+    // recomputes every prior iteration per downstream action (the
+    // first draft benched 6.2 s for 3 iterations at sf0.1; the
+    // lineage was cubic in iters). edges feed every iteration, so
+    // they persist too instead of re-running link extraction.
+    val edgesP = edges.persist()
+    val nodes = edgesP.select(col("src").as("url"))
+      .union(edgesP.select(col("dst").as("url"))).distinct()
+    val outDeg = edgesP.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outDeg, nodes("url") === outDeg("src"), "left")
+      .select(col("url"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .persist()
+    val n = base.count()
+    val d = dampingPct.toLong
+    val baseShare = ((100L - d) * (FixedPointTotal / n)) / 100L
+    var ranks = base.select(col("url"), col("outdeg"),
+      lit(FixedPointTotal / n).as("rank"))
+    var prev: Option[DataFrame] = None
+    var it = 0
+    while (it < iters) {
+      // the per-iteration dangling aggregate doubles as the action
+      // that materializes the PREVIOUS iteration's persisted ranks —
+      // one job per iteration, no separate count()
+      val dangling = ranks.filter(col("outdeg") === 0L)
+        .agg(coalesce(sum("rank"), lit(0L)).as("s"))
+        .head().getLong(0) // one scalar per iteration — bounded driver state
+      val dangShare = (d * (dangling / n)) / 100L
+      val contribs = edgesP
+        .join(ranks.filter(col("outdeg") > 0L), edgesP("src") === ranks("url"))
+        // true integer division (div), NOT `/`-then-cast: long `/` is
+        // double division, and ulp(10^12) ≈ 2.4e-4 can round a
+        // just-below-integer quotient UP before the cast — a
+        // partitioning-independent result needs exact floor division
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      val next = base.join(contribs, base("url") === contribs("dst"), "left")
+        .select(base("url"), base("outdeg"),
+          expr(s"${baseShare}L + (${d}L * coalesce(contrib, 0L)) div 100 " +
+            s"+ ${dangShare}L").as("rank"))
+        .persist()
+      prev.foreach(p => { next.count(); p.unpersist() })
+      prev = Some(next)
+      ranks = next
+      it += 1
+    }
+    // the final iteration stays persisted — the caller consumes it next
+    // (and any cache-hygiene sweep may unpersist it afterwards); the
+    // scaffolding caches are dropped here
+    edgesP.unpersist()
+    base.unpersist()
+    ranks.select(col("url"), col("rank"))
+  }
+}

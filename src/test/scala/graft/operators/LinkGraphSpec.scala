@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkGraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("extractLinks: quote styles, resolution scope, canonicalization, dedup, self-loops") {
+    import spark.implicits._
+    val pages = Seq(
+      ("http://www.A.com:80/page/1#frag",
+        """<p><a href="HTTPS://Other.COM/x/">double</a>
+          |<a href='/rel'>single-quoted root-relative</a>
+          |<a href="mailto:a@b.c">mail</a>
+          |<a href="#top">fragment-only</a>
+          |<a href="doc.html">dir-relative (out of scope)</a>
+          |<a href="javascript:void(0)">js</a>
+          |<a href="">empty</a>
+          |<a href="HTTPS://Other.COM/x/?utm_source=z">dup after canon</a>
+          |<a href="http://a.com/page/1">self after canon</a></p>""".stripMargin))
+      .toDF("url", "html")
+    val edges = LinkGraph.extractLinks(pages, "url", "html")
+      .orderBy("dst").collect().map(r => (r.getString(0), r.getString(1)))
+    // src canonicalizes (www/port/fragment gone); dup + self-loop collapse
+    assert(edges.toSeq == Seq(
+      ("http://a.com/page/1", "http://a.com/rel"),      // page scheme kept
+      ("http://a.com/page/1", "https://other.com/x")),  // canonical target
+      s"edges: ${edges.toSeq}")
+  }
+
+  test("inDegree counts distinct in-links") {
+    import spark.implicits._
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))
+      .toDF("src", "dst")
+    val deg = LinkGraph.inDegree(edges).orderBy("url")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(deg == Seq(("a", 1L), ("hub", 3L)))
+  }
+
+  test("pagerank: fixed-point iteration matches a hand-computed tiny graph") {
+    import spark.implicits._
+    // a -> b, b -> a, c -> a  (c has in-degree 0; no dangling nodes here)
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val got = LinkGraph.pagerank(edges, iters = 1, dampingPct = 85)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val T = LinkGraph.FixedPointTotal
+    val r0 = T / 3                       // 333333333333
+    val base = ((100L - 85L) * (T / 3)) / 100L
+    // contrib(a) = r0/1 (from b) + r0/1 (from c); contrib(b) = r0/1
+    val expA = base + (85L * (r0 + r0)) / 100L
+    val expB = base + (85L * r0) / 100L
+    val expC = base
+    assert(got == Map("a" -> expA, "b" -> expB, "c" -> expC),
+      s"got $got, expected a=$expA b=$expB c=$expC")
+  }
+
+  test("pagerank: dangling mass is redistributed uniformly") {
+    import spark.implicits._
+    // a -> b; b dangles. After one iteration the dangling share of b's
+    // initial rank reaches BOTH nodes.
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val got = LinkGraph.pagerank(edges, iters = 1, dampingPct = 85)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val T = LinkGraph.FixedPointTotal
+    val r0 = T / 2
+    val base = (15L * (T / 2)) / 100L
+    val dangShare = (85L * (r0 / 2)) / 100L
+    assert(got("a") == base + dangShare, got)
+    assert(got("b") == base + (85L * r0) / 100L + dangShare, got)
+  }
+
+  test("pagerank is partitioning-invariant (exact integer equality)") {
+    import spark.implicits._
+    val edges = (0L until 200L)
+      .map(i => (s"n${i % 40}", s"n${(i * 7 + 3) % 40}"))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst").distinct()
+    val one = LinkGraph.pagerank(edges.coalesce(1), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val many = LinkGraph.pagerank(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == many, "fixed-point ranks must not depend on partitioning")
+    // total mass is conserved up to floor-division remainders
+    val total = one.values.sum
+    assert(total <= LinkGraph.FixedPointTotal &&
+      total > LinkGraph.FixedPointTotal * 99L / 100L, s"total $total")
+  }
+}
