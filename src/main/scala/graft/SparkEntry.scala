@@ -2026,6 +2026,33 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
         iters = 3).orderBy("url")),
+    // anchor-text signal: per (target, normalized anchor text) source
+    // counts — the query-independent relevance label other pages give a
+    // URL. Exercises per-match group re-alignment (arrays_zip over the
+    // three extract_all lists), both quote styles, whitespace collapse,
+    // and the empty-text drop (nested-markup anchors)
+    "q_link_anchors" -> ((s, d) =>
+      graft.operators.LinkGraph.extractAnchors(
+        plantAnchorPages(table(s, d, "documents")), "url", "html")
+        .groupBy(col("dst").as("url"), col("anchor"))
+        .agg(count(lit(1)).as("n_srcs"))
+        .orderBy("url", "anchor")),
+    // host-level rollup of the edge list (domain reputation): intra-host
+    // edges dropped, one combiner-collapsed count per host pair
+    "q_link_hostgraph" -> ((s, d) =>
+      graft.operators.LinkGraph.hostGraph(
+        graft.operators.LinkGraph.extractLinks(
+          plantLinkedPages(table(s, d, "documents")), "url", "html"))
+        .orderBy("src_host", "dst_host")),
+    // connected components of the undirected link graph (string-keyed
+    // large-star/small-star contraction; component = min canonical URL)
+    // — crawl sharding / mirror detection; the oracle computes the same
+    // fixpoint as a recursive reachability CTE
+    "q_link_components" -> ((s, d) =>
+      graft.operators.LinkGraph.components(
+        graft.operators.LinkGraph.extractLinks(
+          plantLinkedPages(table(s, d, "documents")), "url", "html"))
+        .orderBy("url")),
     // Efraimidis-Spirakis weighted sample without replacement: 100 docs
     // drawn ∝ n_chars — one map + TakeOrdered(k), no sequential pass;
     // the oracle replays the md5 uniform, the ln(u)/w key and the
@@ -4580,6 +4607,15 @@ object SparkEntry {
     // floor division makes the ranks sum-order- and
     // partitioning-independent, so the hash compare is exact
     "q_link_pagerank" -> linkPagerankOracleSql,
+    // per-match group re-alignment (three extract_all lists zipped
+    // positionally), anchor-text normalization, empty-text drop, and
+    // the same resolution scope as the edge extraction
+    "q_link_anchors" -> linkAnchorsOracleSql,
+    // host projection of the edge list, intra-host edges dropped
+    "q_link_hostgraph" -> linkHostgraphOracleSql,
+    // the star-contraction fixpoint equals recursive reachability with
+    // min-label components — string order on canonical URLs
+    "q_link_components" -> linkComponentsOracleSql,
     // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
     // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with
@@ -5490,6 +5526,27 @@ object SparkEntry {
         " <a href=\"#top\">top</a></p>")).as("html"))
   }
 
+  /** Anchor-text plant: each page carries (1) a double-quoted hub link
+    * whose text has internal double spacing (collapse exercised), (2) a
+    * SINGLE-quoted next-page link whose text varies (group-2 href must
+    * re-align with the group-3 text of the SAME match), (3) a nested-
+    * markup anchor whose leading text run is empty (`<b>` immediately
+    * after `>` — dropped by the empty-anchor rule), and (4) a `mailto:`
+    * that fails resolution. Replayed literally in
+    * [[linkAnchorsOracleSql]].
+    */
+  private def plantAnchorPages(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    plantUrls(docs).select(col("doc_id"), col("url"), concat(
+      lit("<p><a href=\"HTTPS://HUB"), (col("doc_id") % 13).cast("string"),
+      lit(".Example.net/h/"), (col("doc_id") % 5).cast("string"),
+      lit("\">hub  "), (col("doc_id") % 7).cast("string"),
+      lit(" page</a> <a href='/p/"), ((col("doc_id") + 3) % 11).cast("string"),
+      lit("'>next "), (col("doc_id") % 3).cast("string"),
+      lit("</a> <a href=\"/p/0\"><b>nested</b> lead run empty</a>" +
+        " <a href='mailto:x@y'>mail</a></p>")).as("html"))
+  }
+
   /** PSL-exercising URL plant: hosts under a multi-label ICANN suffix
     * (`co.uk`, with and without extra subdomain labels), a plain TLD,
     * and a private-section shared-hosting suffix (`blogspot.com`).
@@ -5849,6 +5906,85 @@ object SparkEntry {
        |${pagerankIterCteSql(2)},
        |${pagerankIterCteSql(3)}
        |SELECT url, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY url""".stripMargin
+
+  /** Anchor-text replay: `ap` (the literal [[plantAnchorPages]] page
+    * build over the canonical `k` frame), `ax` (the three capture
+    * groups of [[graft.operators.LinkGraph.AnchorRe]] re-aligned
+    * positionally — DuckDB zips same-length unnests in one SELECT, the
+    * mirror of the Spark side's `arrays_zip`), `an` (href group
+    * coalesce + anchor-text whitespace collapse), `rx`/`cx` (the same
+    * resolution + case-canonicalization stages as [[linkEdgesCtesSql]])
+    * and the (dst, anchor) source-count rollup.
+    */
+  private def linkAnchorsOracleSql: String = {
+    // plain (non-interpolated) triple quotes: NO escape processing, so
+    // single backslashes here arrive in the SQL literally — unlike the
+    // s-interpolated CTE bodies, where \\ collapses to \
+    val re = """(?i)<a\b[^>]*\bhref\s*=\s*(?:"([^"]*)"|''([^'']*)'')[^>]*>([^<]*)"""
+    s"""WITH $urlCanonCtesSql,
+       |ap AS (
+       |  SELECT doc_id, canon_url,
+       |         '<p><a href="HTTPS://HUB' || CAST(doc_id % 13 AS VARCHAR) || '.Example.net/h/' || CAST(doc_id % 5 AS VARCHAR) ||
+       |         '">hub  ' || CAST(doc_id % 7 AS VARCHAR) ||
+       |         ' page</a> <a href=''/p/' || CAST((doc_id + 3) % 11 AS VARCHAR) ||
+       |         '''>next ' || CAST(doc_id % 3 AS VARCHAR) ||
+       |         '</a> <a href="/p/0"><b>nested</b> lead run empty</a> <a href=''mailto:x@y''>mail</a></p>' AS html
+       |  FROM k),
+       |ax AS (
+       |  SELECT canon_url AS src,
+       |         unnest(regexp_extract_all(html, '$re', 1)) AS g1,
+       |         unnest(regexp_extract_all(html, '$re', 2)) AS g2,
+       |         unnest(regexp_extract_all(html, '$re', 3)) AS g3
+       |  FROM ap),
+       |an AS (
+       |  SELECT src,
+       |         CASE WHEN g1 <> '' THEN g1 ELSE g2 END AS href,
+       |         trim(regexp_replace(g3, '\\s+', ' ', 'g')) AS anchor
+       |  FROM ax),
+       |arx AS (
+       |  SELECT src, anchor,
+       |         CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+       |              WHEN href LIKE '/%' THEN regexp_extract(src, '^([a-z+.-]+://[^/?]*)', 1) || href
+       |         END AS abs
+       |  FROM an WHERE href <> '' AND anchor <> ''),
+       |acx AS (
+       |  SELECT src, anchor,
+       |         lower(regexp_extract(abs, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
+       |           regexp_extract(abs, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$$', 1) AS dst
+       |  FROM arx WHERE abs IS NOT NULL),
+       |tr AS (SELECT DISTINCT src, dst, anchor FROM acx WHERE src <> dst)
+       |SELECT dst AS url, anchor, COUNT(*) AS n_srcs FROM tr
+       |GROUP BY dst, anchor ORDER BY url, anchor""".stripMargin
+  }
+
+  /** Host projection of the edge list — same host regex as
+    * [[graft.operators.LinkGraph.hostGraph]] over the replayed edges.
+    */
+  private def linkHostgraphOracleSql: String =
+    s"""WITH $linkEdgesCtesSql,
+       |hg AS (
+       |  SELECT regexp_extract(src, '^[a-z+.-]+://([^/?]*)', 1) AS src_host,
+       |         regexp_extract(dst, '^[a-z+.-]+://([^/?]*)', 1) AS dst_host
+       |  FROM edges)
+       |SELECT src_host, dst_host, COUNT(*) AS n_links FROM hg
+       |WHERE src_host <> dst_host
+       |GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin
+
+  /** Components as recursive reachability (min reachable canonical URL
+    * per node) — the same fixpoint the Spark side's star contraction
+    * converges to; O(component²) reach rows are fine at oracle scale
+    * and exactly why the engine side contracts stars instead.
+    */
+  private def linkComponentsOracleSql: String =
+    s"""WITH RECURSIVE $linkEdgesCtesSql,
+       |und AS (SELECT src AS u, dst AS v FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |reach(n, r) AS (
+       |  SELECT DISTINCT u, u FROM und
+       |  UNION
+       |  SELECT reach.n, und.v FROM reach JOIN und ON reach.r = und.u)
+       |SELECT n AS url, min(r) AS component FROM reach
+       |GROUP BY n ORDER BY url""".stripMargin
 
   /** PSL blocklist plant + replay: hosts spanning a multi-label public
     * suffix (`co.uk`), a private-section suffix (`blogspot.com`) and a

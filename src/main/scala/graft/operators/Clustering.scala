@@ -99,10 +99,16 @@ object Clustering {
     * hitting it throws rather than returning half-merged components.
     */
   def connectedComponents(edges: DataFrame, src: String = "doc_a",
-                          dst: String = "doc_b", maxIter: Int = 25): DataFrame = {
+                          dst: String = "doc_b", maxIter: Int = 25,
+                          nodeType: String = "long"): DataFrame = {
+    // the star contraction only needs a TOTAL ORDER on node ids —
+    // greatest/least/min work on any orderable type, so string-keyed
+    // graphs (canonical URLs in [[LinkGraph.components]]) run the same
+    // rounds with `nodeType = "string"`; the long default keeps the
+    // dedup-cluster callers' output dtype unchanged
     var e = cut(edges
-      .select(greatest(col(src), col(dst)).cast("long").as("u"),
-        least(col(src), col(dst)).cast("long").as("v"))
+      .select(greatest(col(src), col(dst)).cast(nodeType).as("u"),
+        least(col(src), col(dst)).cast(nodeType).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
     var stats = edgeStats(e)

@@ -83,6 +83,89 @@ object LinkGraph {
     edges.groupBy(col("dst").as("url"))
       .agg(count(lit(1)).as("n_inlinks"))
 
+  /** [[HrefRe]] extended past the closing `>` to capture the anchor's
+    * LEADING TEXT RUN (group 3: everything up to the next tag). Nested
+    * markup inside an anchor (`<a ...><b>bold</b> tail`) contributes
+    * only the text before the first child tag — documented scope, not
+    * silent truncation: full inner-text needs a counting parser, and
+    * the leading run is what anchor-text quality signals key on in
+    * practice. RE2-portable (no backreferences) so DuckDB replays it.
+    */
+  private[operators] val AnchorRe = HrefRe + "[^>]*>([^<]*)"
+
+  /** Anchor-text table of a page frame: one row per resolvable anchor
+    * with non-empty text, `(src, dst, anchor)` — endpoints canonical
+    * (same resolution scope as [[extractLinks]]), anchor text
+    * whitespace-collapsed and trimmed. Anchor text is the classic
+    * query-independent relevance/quality signal (what OTHER pages call
+    * this URL); aggregating by (dst, anchor) gives the per-target label
+    * histogram. Map-only until the final distinct.
+    *
+    * Group alignment: the three `regexp_extract_all` calls run the SAME
+    * pattern, so their match lists have identical length and index i of
+    * each is the same anchor — `arrays_zip` restores the per-match
+    * (href", href', text) triple that per-group extraction splits.
+    */
+  def extractAnchors(pages: DataFrame, urlCol: String,
+                     htmlCol: String): DataFrame = {
+    val src = UrlOps.canonicalizeUrl(col(urlCol))
+    pages
+      .select(src.as("src"),
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(1)).as("h1"),
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(2)).as("h2"),
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(3)).as("h3"))
+      .select(col("src"),
+        explode(arrays_zip(col("h1"), col("h2"), col("h3"))).as("m"))
+      .select(col("src"),
+        when(col("m.h1") =!= "", col("m.h1")).otherwise(col("m.h2")).as("_href"),
+        trim(regexp_replace(col("m.h3"), "\\s+", " ")).as("anchor"))
+      .filter(col("_href") =!= "" && col("anchor") =!= "")
+      .withColumn("_base",
+        regexp_extract(col("src"), "^([a-z+.-]+://[^/?]*)", 1))
+      .withColumn("_abs",
+        when(col("_href").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), col("_href"))
+          .when(col("_href").startsWith("/"), concat(col("_base"), col("_href"))))
+      .filter(col("_abs").isNotNull)
+      .select(col("src"), UrlOps.canonicalizeUrl(col("_abs")).as("dst"),
+        col("anchor"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Host-level projection of the edge list — the domain-reputation
+    * rollup (inter-host link counts; intra-host navigation edges are
+    * dropped because they carry no cross-site endorsement). One
+    * map-side host extraction + one combiner-collapsed aggregation;
+    * the host graph is orders of magnitude smaller than the page graph,
+    * which is exactly why reputation systems compute at this level.
+    */
+  def hostGraph(edges: DataFrame): DataFrame = {
+    val host = (c: Column) => regexp_extract(c, "^[a-z+.-]+://([^/?]*)", 1)
+    edges
+      .select(host(col("src")).as("src_host"), host(col("dst")).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** Connected components of the UNDIRECTED link graph: `(url,
+    * component)` for every URL incident to an edge, component = the
+    * minimum canonical URL (string order) of its component. Link-graph
+    * components drive crawl sharding (a component never straddles
+    * shards) and mirror-site detection (a mirrored cluster is one
+    * component whose pages pairwise near-dup).
+    *
+    * Same alternating large-star/small-star contraction as the dedup
+    * tiers ([[Clustering.connectedComponents]], Kiveris et al. SoCC
+    * 2014) — the rounds only need a total order on node ids, which
+    * strings have; O(log² n) rounds, per-round state is the shrinking
+    * edge list, no driver-side graph.
+    */
+  def components(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    Clustering.connectedComponents(edges, "src", "dst", maxIter,
+        nodeType = "string")
+      .select(col("node").as("url"), col("component"))
+
   /** Fixed-point PageRank over the canonical edge list: `iters`
     * synchronous iterations at damping `d` = `dampingPct`/100
     * (integer percent, so the oracle replays the arithmetic exactly).

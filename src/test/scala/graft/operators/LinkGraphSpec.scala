@@ -76,6 +76,61 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got("b") == base + (85L * r0) / 100L + dangShare, got)
   }
 
+  test("extractAnchors: group re-alignment across quote styles, collapse, empty-drop") {
+    import spark.implicits._
+    val pages = Seq(
+      ("http://a.com/p",
+        """<p><a href="https://x.com/1">first  link</a>
+          |<a href='/two'>second
+          |line</a>
+          |<a href="https://x.com/3"><b>nested</b> empty lead</a>
+          |<a href="mailto:a@b">mail text</a></p>""".stripMargin))
+      .toDF("url", "html")
+    val got = LinkGraph.extractAnchors(pages, "url", "html")
+      .orderBy("dst").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    // the single-quoted href must pair with ITS OWN text (not a
+    // neighboring match's), internal whitespace/newlines collapse,
+    // the nested-markup anchor (empty leading run) and mailto drop
+    assert(got == Seq(
+      ("http://a.com/p", "http://a.com/two", "second line"),
+      ("http://a.com/p", "https://x.com/1", "first link")), got)
+  }
+
+  test("hostGraph: host projection drops intra-host edges, counts pairs") {
+    import spark.implicits._
+    val edges = Seq(
+      ("https://a.com/1", "https://b.com/x"),
+      ("https://a.com/2", "https://b.com/y"),
+      ("https://a.com/1", "https://a.com/2"), // intra-host: dropped
+      ("https://b.com/x", "https://c.net/z"))
+      .toDF("src", "dst")
+    val got = LinkGraph.hostGraph(edges).orderBy("src_host", "dst_host")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a.com", "b.com", 2L), ("b.com", "c.net", 1L)), got)
+  }
+
+  test("components: string-keyed CC labels by min canonical URL, partition-invariant") {
+    import spark.implicits._
+    // two components: {a,b,c} chained, {x,y} — plus orientation noise
+    val edges = Seq(
+      ("https://b.com/", "https://a.com/"),
+      ("https://b.com/", "https://c.com/"),
+      ("https://y.org/", "https://x.org/"))
+      .toDF("src", "dst")
+    val one = LinkGraph.components(edges.coalesce(1))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val many = LinkGraph.components(edges.repartition(5))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one == many, "components must not depend on partitioning")
+    assert(one == Map(
+      "https://a.com/" -> "https://a.com/",
+      "https://b.com/" -> "https://a.com/",
+      "https://c.com/" -> "https://a.com/",
+      "https://x.org/" -> "https://x.org/",
+      "https://y.org/" -> "https://x.org/"), one)
+  }
+
   test("pagerank is partitioning-invariant (exact integer equality)") {
     import spark.implicits._
     val edges = (0L until 200L)
