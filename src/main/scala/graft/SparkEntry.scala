@@ -2053,6 +2053,21 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"))
         .orderBy("url")),
+    // incremental component maintenance: "yesterday" = the hub-link
+    // subgraph (absolute anchors), "today" = the in-site next-page
+    // edges, which MERGE hub components through shared pages — the
+    // incremental path must reproduce the full-graph components
+    // EXACTLY, so it shares q_link_components' from-scratch oracle
+    "q_link_components_inc" -> ((s, d) => {
+      val edges = graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+        .localCheckpoint(true) // feeds both slices below — one evaluation
+      val assign = graft.operators.LinkGraph.components(
+        edges.filter(col("dst").contains("hub")))
+      graft.operators.LinkGraph.updateComponents(assign,
+          edges.filter(!col("dst").contains("hub")))
+        .orderBy("url")
+    }),
     // Efraimidis-Spirakis weighted sample without replacement: 100 docs
     // drawn ∝ n_chars — one map + TakeOrdered(k), no sequential pass;
     // the oracle replays the md5 uniform, the ln(u)/w key and the
@@ -4616,6 +4631,8 @@ object SparkEntry {
     // the star-contraction fixpoint equals recursive reachability with
     // min-label components — string order on canonical URLs
     "q_link_components" -> linkComponentsOracleSql,
+    // the incremental update must equal the from-scratch closure
+    "q_link_components_inc" -> linkComponentsOracleSql,
     // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
     // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with

@@ -148,12 +148,13 @@ object Clustering {
     */
   def updateComponents(assignment: DataFrame, newPairs: DataFrame,
                        src: String = "doc_a", dst: String = "doc_b",
-                       maxIter: Int = 25): DataFrame = {
+                       maxIter: Int = 25, nodeType: String = "long"): DataFrame = {
     val oldEdges = assignment
       .select(col("node").as(src), col("component").as(dst))
       .filter(col(src) =!= col(dst))
     val cc = connectedComponents(
-      oldEdges.unionByName(newPairs.select(col(src), col(dst))), src, dst, maxIter)
+      oldEdges.unionByName(newPairs.select(col(src), col(dst))), src, dst,
+      maxIter, nodeType)
     // Singleton assignment rows (node == component — present when the
     // caller feeds [[assignComponents]] output rather than
     // [[connectedComponents]] output) carry no edge into the contraction;
@@ -161,7 +162,7 @@ object Clustering {
     // Keep them labeled-to-self unless today's pairs merged them.
     val singletons = assignment
       .filter(col("node") === col("component"))
-      .select(col("node").cast("long").as("node"))
+      .select(col("node").cast(nodeType).as("node"))
       .join(cc.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
     cc.unionByName(singletons)

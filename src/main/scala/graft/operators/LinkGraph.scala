@@ -166,6 +166,23 @@ object LinkGraph {
         nodeType = "string")
       .select(col("node").as("url"), col("component"))
 
+  /** Incremental component maintenance — the daily-crawl shape:
+    * yesterday's `(url, component)` assignment re-enters the
+    * contraction as its own star edge set, unioned with today's new
+    * edges; the rounds then only pay for the merges the new edges
+    * actually cause. Exactly equal to recomputing [[components]] over
+    * the full accumulated edge list (star edges preserve connectivity;
+    * min-label components are monotone under union — see
+    * [[Clustering.updateComponents]]); per-day cost ∝ |assignment| +
+    * |new edges| instead of |all edges ever crawled|.
+    */
+  def updateComponents(assignment: DataFrame, newEdges: DataFrame,
+                       maxIter: Int = 25): DataFrame =
+    Clustering.updateComponents(
+        assignment.select(col("url").as("node"), col("component")),
+        newEdges, "src", "dst", maxIter, nodeType = "string")
+      .select(col("node").as("url"), col("component"))
+
   /** Fixed-point PageRank over the canonical edge list: `iters`
     * synchronous iterations at damping `d` = `dampingPct`/100
     * (integer percent, so the oracle replays the arithmetic exactly).

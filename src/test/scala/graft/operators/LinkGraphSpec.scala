@@ -131,6 +131,23 @@ class LinkGraphSpec extends AnyFunSuite {
       "https://y.org/" -> "https://x.org/"), one)
   }
 
+  test("updateComponents: incremental equals from-scratch when new edges merge old components") {
+    import spark.implicits._
+    // yesterday: {a,b} and {x,y}; today: one edge b—x merges them, plus
+    // a brand-new pair {p,q} that yesterday never saw
+    val oldE = Seq(("https://b.com/", "https://a.com/"),
+      ("https://y.org/", "https://x.org/")).toDF("src", "dst")
+    val newE = Seq(("https://b.com/", "https://x.org/"),
+      ("https://q.io/", "https://p.io/")).toDF("src", "dst")
+    val inc = LinkGraph.updateComponents(LinkGraph.components(oldE), newE)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val full = LinkGraph.components(oldE.unionByName(newE))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inc == full, s"inc $inc != full $full")
+    assert(inc("https://y.org/") == "https://a.com/") // merged across days
+    assert(inc("https://q.io/") == "https://p.io/")   // new-only pair
+  }
+
   test("pagerank is partitioning-invariant (exact integer equality)") {
     import spark.implicits._
     val edges = (0L until 200L)
