@@ -2026,6 +2026,22 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
         iters = 3).orderBy("url")),
+    // the link family's SQL faces: edge extraction and the full
+    // three-iteration fixed-point PageRank as ONE SQL SELECT over the
+    // registered link_pages relation — same logical plans by
+    // construction, shared oracles
+    "q_sql_link_edges" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantLinkedPages(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
+      s.sql("SELECT src, dst FROM graft_link_edges() ORDER BY src, dst")
+    }),
+    "q_sql_link_pagerank" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantLinkedPages(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
+      s.sql("SELECT url, rank FROM graft_link_pagerank(3, 85) ORDER BY url")
+    }),
     // anchor-text signal: per (target, normalized anchor text) source
     // counts — the query-independent relevance label other pages give a
     // URL. Exercises per-match group re-alignment (arrays_zip over the
@@ -4622,6 +4638,12 @@ object SparkEntry {
     // floor division makes the ranks sum-order- and
     // partitioning-independent, so the hash compare is exact
     "q_link_pagerank" -> linkPagerankOracleSql,
+    // the SQL faces share the method-path oracles (same plans by
+    // construction)
+    "q_sql_link_edges" ->
+      s"""WITH $linkEdgesCtesSql
+         |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
+    "q_sql_link_pagerank" -> linkPagerankOracleSql,
     // per-match group re-alignment (three extract_all lists zipped
     // positionally), anchor-text normalization, empty-text drop, and
     // the same resolution scope as the edge extraction

@@ -69,6 +69,12 @@ object SqlTableFunctions {
     */
   val PagesRelation = "pages"
 
+  /** Link-graph functions read this relation: one row per fetched
+    * page, `url` + `html` columns (the page's address and markup —
+    * both endpoints of every extracted edge come out canonical).
+    */
+  val LinkPagesRelation = "link_pages"
+
   /** Robots-compliance functions read this relation: one row per
     * `Allow:`/`Disallow:` line — `host`, `pattern`, `allow` columns
     * (REP semantics, see [[graft.operators.UrlOps.filterDisallowed]]).
@@ -425,6 +431,17 @@ object SqlTableFunctions {
         .select(col("doc_id"), col("canon_url"),
           col("n_words").cast("long").as("n_words"),
           md5(col("main")).as("main_hash"))
+    }
+    add("graft_link_edges", "graft_link_edges()", 0) { (s, f, _) =>
+      graft.operators.LinkGraph.extractLinks(
+        rel(s, LinkPagesRelation, f.name), "url", "html")
+    }
+    add("graft_link_pagerank", "graft_link_pagerank(iters, damping_pct)", 2) {
+      (s, f, a) =>
+        graft.operators.LinkGraph.pagerank(
+          graft.operators.LinkGraph.extractLinks(
+            rel(s, LinkPagesRelation, f.name), "url", "html"),
+          iters = intArg(f, a, 0), dampingPct = intArg(f, a, 1))
     }
     add("graft_line_dedup_intra", "graft_line_dedup_intra()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedupWithinDoc(rel(s, DocumentsRelation, f.name))

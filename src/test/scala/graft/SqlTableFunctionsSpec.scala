@@ -233,6 +233,24 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
         spark.table(SqlTableFunctions.DocumentsRelation)))
   }
 
+  test("graft_link_edges/graft_link_pagerank ≡ LinkGraph method paths") {
+    import spark.implicits._
+    Seq(
+      ("http://a.com/1", "<a href=\"HTTPS://B.com/x\">b</a><a href='/n'>n</a>"),
+      ("http://b.com/x", "<a href=\"http://a.com/1\">a</a>"))
+      .toDF("url", "html")
+      .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
+    val pages = spark.table(SqlTableFunctions.LinkPagesRelation)
+    assertSame("SELECT * FROM graft_link_edges() ORDER BY src, dst",
+      graft.operators.LinkGraph.extractLinks(pages, "url", "html")
+        .orderBy("src", "dst"))
+    assertSame("SELECT * FROM graft_link_pagerank(2, 85) ORDER BY url",
+      graft.operators.LinkGraph.pagerank(
+          graft.operators.LinkGraph.extractLinks(pages, "url", "html"),
+          iters = 2, dampingPct = 85)
+        .orderBy("url"))
+  }
+
   test("graft_ccnet ≡ TextAnalysis.ccnetBuckets (both tiers)") {
     registerCorpus()
     import org.apache.spark.sql.functions.col
