@@ -2069,6 +2069,17 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"))
         .orderBy("url")),
+    // mirror-candidate host pairs by link structure: outgoing-target
+    // Jaccard >= 0.2 after the hot-target cut (targets linked from >15
+    // hosts are dropped BEFORE the pair join — the maxDf discipline);
+    // jaccard banded at the rounded 6-dp value so the threshold
+    // boundary is engine-identical
+    "q_link_mirror" -> ((s, d) =>
+      graft.operators.LinkGraph.hostSimilarity(
+        graft.operators.LinkGraph.extractLinks(
+          plantLinkedPages(table(s, d, "documents")), "url", "html"),
+        threshold = 0.2, maxDf = 15)
+        .orderBy("host_a", "host_b")),
     // incremental component maintenance: "yesterday" = the hub-link
     // subgraph (absolute anchors), "today" = the in-site next-page
     // edges, which MERGE hub components through shared pages — the
@@ -4655,6 +4666,9 @@ object SparkEntry {
     "q_link_components" -> linkComponentsOracleSql,
     // the incremental update must equal the from-scratch closure
     "q_link_components_inc" -> linkComponentsOracleSql,
+    // outgoing-target Jaccard with the hot-target cut replayed; the
+    // threshold compares the ROUNDED value on both sides
+    "q_link_mirror" -> linkMirrorOracleSql,
     // bigram-LM replay: same add-one smoothing, same ln/avg op shape;
     // nll round-4 (ln portability + sum order, see TextAnalysis.lmScore)
     // smoothed NB log-likelihood ratio, trained on doc_id % 5 <> 0 with
@@ -6024,6 +6038,28 @@ object SparkEntry {
        |  SELECT reach.n, und.v FROM reach JOIN und ON reach.r = und.u)
        |SELECT n AS url, min(r) AS component FROM reach
        |GROUP BY n ORDER BY url""".stripMargin
+
+  /** Mirror-candidate replay: distinct (src host, dst) pairs, the
+    * hot-target cut (df > 15 hosts), per-host cold-target counts, the
+    * dst-keyed pair join, and the 6-dp-rounded Jaccard band — the same
+    * stages as [[graft.operators.LinkGraph.hostSimilarity]].
+    */
+  private def linkMirrorOracleSql: String =
+    s"""WITH $linkEdgesCtesSql,
+       |hd AS (SELECT DISTINCT regexp_extract(src, '^[a-z+.-]+://([^/?]*)', 1) AS host, dst
+       |       FROM edges),
+       |hot AS (SELECT dst FROM hd GROUP BY dst HAVING COUNT(*) > 15),
+       |cold AS (SELECT host, dst FROM hd WHERE dst NOT IN (SELECT dst FROM hot)),
+       |sizes AS (SELECT host, COUNT(*) AS n FROM cold GROUP BY host),
+       |cm AS (SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS common
+       |       FROM cold a JOIN cold b ON a.dst = b.dst AND a.host < b.host
+       |       GROUP BY a.host, b.host),
+       |j AS (SELECT host_a, host_b,
+       |             round(common / (sa.n + sb.n - common), 6) AS jaccard
+       |      FROM cm JOIN sizes sa ON cm.host_a = sa.host
+       |              JOIN sizes sb ON cm.host_b = sb.host)
+       |SELECT host_a, host_b, jaccard FROM j WHERE jaccard >= 0.2
+       |ORDER BY host_a, host_b""".stripMargin
 
   /** PSL blocklist plant + replay: hosts spanning a multi-label public
     * suffix (`co.uk`), a private-section suffix (`blogspot.com`) and a

@@ -131,6 +131,23 @@ class LinkGraphSpec extends AnyFunSuite {
       "https://y.org/" -> "https://x.org/"), one)
   }
 
+  test("hostSimilarity: hot-target cut precedes the pair join, rounded-jaccard band") {
+    import spark.implicits._
+    // u is linked from 3 hosts > maxDf=2: cut BEFORE pairing, so it
+    // neither contributes pairs nor counts toward set sizes
+    val edges = Seq(
+      ("https://a.com/1", "https://x.io/"), ("https://a.com/1", "https://y.io/"),
+      ("https://a.com/2", "https://u.io/"),
+      ("https://b.com/1", "https://x.io/"), ("https://b.com/1", "https://u.io/"),
+      ("https://c.com/1", "https://u.io/"))
+      .toDF("src", "dst")
+    val got = LinkGraph.hostSimilarity(edges, threshold = 0.4, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    // cold sets: a={x,y}, b={x}; c has nothing left → no pair at all;
+    // jaccard(a,b) = 1 / (2 + 1 - 1) = 0.5
+    assert(got == Seq(("a.com", "b.com", 0.5)), got)
+  }
+
   test("updateComponents: incremental equals from-scratch when new edges merge old components") {
     import spark.implicits._
     // yesterday: {a,b} and {x,y}; today: one edge b—x merges them, plus
