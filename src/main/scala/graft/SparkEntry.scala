@@ -2026,6 +2026,22 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
         iters = 3).orderBy("url")),
+    // sitemap ingestion (the crawl frontier's OTHER input besides
+    // extracted links): <url> blocks -> (key, canonical loc, verbatim
+    // lastmod-or-null); XML entity decode before canonicalization,
+    // whitespace-trimmed locs, loc-less blocks dropped
+    "q_sitemap_urls" -> ((s, d) =>
+      graft.operators.UrlOps.sitemapUrls(
+        plantSitemaps(table(s, d, "documents")), "xml", "doc_id")
+        .orderBy("doc_id", "url")),
+    // redirect-chain resolution: per-hop co-keyed left joins with an
+    // early exit; chains terminating within 8 hops resolve (final_url,
+    // hops), loops and over-cap chains come out (NULL, NULL) — the
+    // oracle replays the walk as a recursive CTE under the same cap
+    "q_url_redirects" -> ((s, d) =>
+      graft.operators.UrlOps.resolveRedirects(
+        plantRedirects(table(s, d, "documents")), maxHops = 8)
+        .orderBy("url")),
     // the link family's SQL faces: edge extraction and the full
     // three-iteration fixed-point PageRank as ONE SQL SELECT over the
     // registered link_pages relation — same logical plans by
@@ -2042,6 +2058,13 @@ object SparkEntry {
         .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
       s.sql("SELECT url, rank FROM graft_link_pagerank(3, 85) ORDER BY url")
     }),
+    // directory-relative resolution face: ../, ./, mixed traversal and
+    // the above-root clamp, all via the fixed-pass dot-segment
+    // contraction the oracle replays pass-for-pass
+    "q_link_extract_rel" -> ((s, d) =>
+      graft.operators.LinkGraph.extractLinks(
+        plantRelPages(table(s, d, "documents")), "url", "html")
+        .orderBy("src", "dst")),
     // anchor-text signal: per (target, normalized anchor text) source
     // counts — the query-independent relevance label other pages give a
     // URL. Exercises per-match group re-alignment (arrays_zip over the
@@ -4649,12 +4672,23 @@ object SparkEntry {
     // floor division makes the ranks sum-order- and
     // partitioning-independent, so the hash compare is exact
     "q_link_pagerank" -> linkPagerankOracleSql,
+    // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
+    // blocks dropped, entity decode before the canonical terms
+    "q_sitemap_urls" -> sitemapUrlsOracleSql,
+    // the redirect walk as a recursive CTE bounded by the same hop cap;
+    // functional-map normalization (min dst) replayed, unresolved
+    // chains LEFT-JOIN to NULL
+    "q_url_redirects" -> urlRedirectsOracleSql,
     // the SQL faces share the method-path oracles (same plans by
     // construction)
     "q_sql_link_edges" ->
       s"""WITH $linkEdgesCtesSql
          |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin,
     "q_sql_link_pagerank" -> linkPagerankOracleSql,
+    // directory-relative resolution + dot-segment removal replayed
+    // pass-for-pass (same regexes, same pass counts, 'g' = Spark's
+    // replace-all)
+    "q_link_extract_rel" -> linkExtractRelOracleSql,
     // per-match group re-alignment (three extract_all lists zipped
     // positionally), anchor-text normalization, empty-text drop, and
     // the same resolution scope as the edge extraction
@@ -5579,6 +5613,71 @@ object SparkEntry {
         " <a href=\"#top\">top</a></p>")).as("html"))
   }
 
+  /** Sitemap plant: each document becomes a sitemaps.org `<urlset>`
+    * with four `<url>` blocks — (1) a canonical loc with a date-only
+    * lastmod, (2) a loc needing canonicalization work (scheme/host
+    * case, www, :443, trailing slash) AND whitespace around the value
+    * (real sitemaps pretty-print), no lastmod, (3) a loc with an
+    * `&amp;`-escaped query (the sitemaps.org REQUIRED escaping) and a
+    * full datetime lastmod, (4) a block with no loc at all — dropped.
+    * Replayed literally in [[sitemapUrlsOracleSql]].
+    */
+  private def plantSitemaps(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, format_string}
+    val k = (col("doc_id") % 20).cast("string")
+    val m = (col("doc_id") % 11).cast("string")
+    val m2 = ((col("doc_id") + 5) % 11).cast("string")
+    val dd = format_string("%02d", (col("doc_id") % 28) + 1)
+    docs.select(col("doc_id"), concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset " +
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      lit("<url><loc>https://example"), k, lit(".com/s/"), m,
+      lit("</loc><lastmod>2024-01-"), dd, lit("</lastmod></url>\n"),
+      lit("<url><loc>\n  HTTPS://WWW.Example"), k, lit(".COM:443/s/"), m2,
+      lit("/\n</loc></url>\n"),
+      lit("<url><loc>https://example"), k, lit(".com/s?a="), m,
+      lit("&amp;b=2</loc><lastmod>2024-02-01T00:00:00Z</lastmod></url>\n"),
+      lit("<url><lastmod>2024-03-01</lastmod></url>\n</urlset>")).as("xml"))
+  }
+
+  /** Relative-href plant: each page (canonical src path `/p/<m>`, so
+    * the directory is `/p/`) carries a plain directory-relative link,
+    * a `../` parent link, a `./` same-dir link, a mixed
+    * `x/../y/./c.html` traversal, an above-root `../../../../` clamp
+    * case, and a `tel:` that must drop. Replayed literally in
+    * [[linkExtractRelOracleSql]].
+    */
+  private def plantRelPages(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    plantUrls(docs).select(col("doc_id"), col("url"), concat(
+      lit("<p><a href=\"a/b"), (col("doc_id") % 7).cast("string"),
+      lit(".html\">down</a> <a href='../u"), (col("doc_id") % 5).cast("string"),
+      lit(".html'>up</a> <a href=\"./s"), (col("doc_id") % 3).cast("string"),
+      lit(".html\">same</a> <a href=\"x/../y/./c.html\">mixed</a>" +
+        " <a href=\"../../../../clamp.html\">clamp</a>" +
+        " <a href='tel:+15550'>tel</a></p>")).as("html"))
+  }
+
+  /** Redirect-map plant: documents form 4-node groups (g = doc_id div
+    * 4, p = doc_id % 4) chained p→p+1; the group's last node points at
+    * a TERMINAL `t.com` url for even groups (the whole chain resolves,
+    * 1-4 hops) and BACK to the group head for odd groups (a pure
+    * 4-cycle — every source unresolved). Replayed literally in
+    * [[urlRedirectsOracleSql]].
+    */
+  private def plantRedirects(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr}
+    val g = expr("doc_id div 4").cast("string")
+    val p = expr("doc_id % 4")
+    docs.select(
+      concat(lit("https://r.com/"), g, lit("/"), p.cast("string")).as("src"),
+      when(p < 3,
+        concat(lit("https://r.com/"), g, lit("/"), (p + 1).cast("string")))
+        .when(expr("(doc_id div 4) % 2 = 0"),
+          concat(lit("https://t.com/"), g))
+        .otherwise(concat(lit("https://r.com/"), g, lit("/0"))).as("dst"))
+  }
+
   /** Anchor-text plant: each page carries (1) a double-quoted hub link
     * whose text has internal double spacing (collapse exercised), (2) a
     * SINGLE-quoted next-page link whose text varies (group-2 href must
@@ -5960,6 +6059,69 @@ object SparkEntry {
        |${pagerankIterCteSql(3)}
        |SELECT url, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY url""".stripMargin
 
+  /** n sequential replace-all passes of the same pattern — the DuckDB
+    * replay of a Spark `(1 to n).foldLeft(...)(regexp_replace(...))`
+    * chain ('g' = Spark's replace-all default).
+    */
+  private def duckPasses(expr: String, pattern: String, repl: String,
+                         n: Int): String =
+    (1 to n).foldLeft(expr)((e, _) =>
+      s"regexp_replace($e, '$pattern', '$repl', 'g')")
+
+  /** Relative-href replay: `rl` (the literal [[plantRelPages]] build
+    * over the canonical `k` frame), `rhx` (href extraction), `rres`
+    * (the three-branch resolution incl. the directory term — the
+    * greedy up-to-last-slash dirname, host-root → `/`), `rds`
+    * (dot-segment removal as the IDENTICAL pass sequence
+    * [[graft.operators.LinkGraph]] runs: trailing fixup, 4× `/./`,
+    * 8× pair-collapse, 4× above-root clamp) and the distinct
+    * self-loop-dropped edge list. Targets inherit the canonical base,
+    * so the case-canonicalization terms are identity here (the full
+    * rule is gated by q_url_canon).
+    */
+  private def linkExtractRelOracleSql: String = {
+    val pathExpr =
+      """regexp_extract(regexp_replace(abs, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1)"""
+    val p0 = s"regexp_replace($pathExpr, '(/\\.\\.?)$$', '\\1/')"
+    val p1 = duckPasses(p0, "/\\./", "/", 4)
+    val p2 = duckPasses(p1, "/[^/]*[^/.][^/]*/\\.\\./", "/", 8)
+    val p3 = duckPasses(p2, "^/\\.\\./", "/", 4)
+    s"""WITH $urlCanonCtesSql,
+       |rl AS (
+       |  SELECT doc_id, canon_url,
+       |         '<p><a href="a/b' || CAST(doc_id % 7 AS VARCHAR) ||
+       |         '.html">down</a> <a href=''../u' || CAST(doc_id % 5 AS VARCHAR) ||
+       |         '.html''>up</a> <a href="./s' || CAST(doc_id % 3 AS VARCHAR) ||
+       |         '.html">same</a> <a href="x/../y/./c.html">mixed</a> <a href="../../../../clamp.html">clamp</a> <a href=''tel:+15550''>tel</a></p>' AS html
+       |  FROM k),
+       |rhx AS (
+       |  SELECT canon_url AS src,
+       |         unnest(list_concat(
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)'')', 1),
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)'')', 2))) AS href
+       |  FROM rl),
+       |rres AS (
+       |  SELECT src,
+       |         CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+       |              WHEN href LIKE '/%' THEN regexp_extract(src, '^([a-z+.-]+://[^/?]*)', 1) || href
+       |              WHEN NOT regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+       |                   AND href NOT LIKE '#%' AND href NOT LIKE '?%'
+       |                THEN regexp_extract(src, '^([a-z+.-]+://[^/?]*)', 1) ||
+       |                     (CASE WHEN regexp_extract(regexp_extract(src, '^[a-z+.-]+://[^/?]*([^?]*)', 1), '^(.*/)', 1) = ''
+       |                           THEN '/'
+       |                           ELSE regexp_extract(regexp_extract(src, '^[a-z+.-]+://[^/?]*([^?]*)', 1), '^(.*/)', 1) END) || href
+       |         END AS abs
+       |  FROM rhx WHERE href <> ''),
+       |rds AS (
+       |  SELECT src,
+       |         regexp_extract(abs, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) ||
+       |         $p3 ||
+       |         regexp_extract(regexp_replace(abs, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''), '(\\?.*)$$', 1) AS dst
+       |  FROM rres WHERE abs IS NOT NULL)
+       |SELECT DISTINCT src, dst FROM rds WHERE src <> dst
+       |ORDER BY src, dst""".stripMargin
+  }
+
   /** Anchor-text replay: `ap` (the literal [[plantAnchorPages]] page
     * build over the canonical `k` frame), `ax` (the three capture
     * groups of [[graft.operators.LinkGraph.AnchorRe]] re-aligned
@@ -6038,6 +6200,87 @@ object SparkEntry {
        |  SELECT reach.n, und.v FROM reach JOIN und ON reach.r = und.u)
        |SELECT n AS url, min(r) AS component FROM reach
        |GROUP BY n ORDER BY url""".stripMargin
+
+  /** Sitemap replay: `sm` (the literal [[plantSitemaps]] build), `sbl`
+    * (per-`<url>`-block explode), `sle` (loc/lastmod extraction with
+    * the same whitespace-trimming lazy regexes), `sld` (XML
+    * predefined-entity decode, `&amp;` last), `scn` (the
+    * canonicalization terms this plant activates — scheme/host case,
+    * www, default port, trailing slash, query pass-through; the full
+    * rule is gated by q_url_canon, the linkEdgesCtesSql convention).
+    */
+  private def sitemapUrlsOracleSql: String =
+    s"""WITH sm AS (
+       |  SELECT doc_id,
+       |         '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
+       |         '<url><loc>https://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/s/' || CAST(doc_id % 11 AS VARCHAR) ||
+       |         '</loc><lastmod>2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod></url>' || chr(10) ||
+       |         '<url><loc>' || chr(10) || '  HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM:443/s/' || CAST((doc_id + 5) % 11 AS VARCHAR) ||
+       |         '/' || chr(10) || '</loc></url>' || chr(10) ||
+       |         '<url><loc>https://example' || CAST(doc_id % 20 AS VARCHAR) || '.com/s?a=' || CAST(doc_id % 11 AS VARCHAR) ||
+       |         '&amp;b=2</loc><lastmod>2024-02-01T00:00:00Z</lastmod></url>' || chr(10) ||
+       |         '<url><lastmod>2024-03-01</lastmod></url>' || chr(10) || '</urlset>' AS xml
+       |  FROM documents),
+       |sbl AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(xml, '(?is)<url\\b[^>]*>(.*?)</url>', 1)) AS b
+       |  FROM sm),
+       |sle AS (
+       |  SELECT doc_id,
+       |         regexp_extract(b, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc>', 1) AS loc,
+       |         regexp_extract(b, '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod>', 1) AS lm
+       |  FROM sbl),
+       |sld AS (
+       |  SELECT doc_id,
+       |         replace(replace(replace(replace(replace(replace(loc,
+       |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |           '&apos;', ''''), '&#39;', ''''), '&amp;', '&') AS loc,
+       |         lm
+       |  FROM sle WHERE loc <> ''),
+       |scn AS (
+       |  SELECT doc_id,
+       |         lower(regexp_extract(loc, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+       |         regexp_replace(regexp_replace(lower(regexp_extract(
+       |           regexp_replace(loc, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |           '^([^/?]*)', 1)), ':443$$', ''), '^www\\.', '') ||
+       |         regexp_replace(regexp_extract(
+       |           regexp_replace(loc, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |           '^[^/?]*([^?]*)', 1), '/+$$', '') ||
+       |         regexp_extract(loc, '(\\?.*)$$', 1) AS url,
+       |         CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod
+       |  FROM sld)
+       |SELECT doc_id, url, lastmod FROM scn ORDER BY doc_id, url""".stripMargin
+
+  /** Redirect replay: `redir` (the literal [[plantRedirects]] build),
+    * `fmap` (functional-map normalization — min dst per src), `walk`
+    * (the recursive pointer chase, bounded by the SAME hop cap the
+    * Spark loop uses, so a cycle's states stop growing at the cap),
+    * `rterm` (rows whose cur has no outgoing edge) and the final LEFT
+    * JOIN that turns never-terminated sources into (NULL, NULL).
+    */
+  private def urlRedirectsOracleSql: String =
+    s"""WITH RECURSIVE redir AS (
+       |  SELECT 'https://r.com/' || CAST(doc_id // 4 AS VARCHAR) || '/' || CAST(doc_id % 4 AS VARCHAR) AS src,
+       |         CASE WHEN doc_id % 4 < 3
+       |                THEN 'https://r.com/' || CAST(doc_id // 4 AS VARCHAR) || '/' || CAST(doc_id % 4 + 1 AS VARCHAR)
+       |              WHEN (doc_id // 4) % 2 = 0
+       |                THEN 'https://t.com/' || CAST(doc_id // 4 AS VARCHAR)
+       |              ELSE 'https://r.com/' || CAST(doc_id // 4 AS VARCHAR) || '/0'
+       |         END AS dst
+       |  FROM documents),
+       |fmap AS (SELECT src, min(dst) AS dst FROM redir GROUP BY src),
+       |walk(url, cur, hops) AS (
+       |  SELECT src, dst, CAST(1 AS BIGINT) FROM fmap
+       |  UNION
+       |  SELECT walk.url, f.dst, walk.hops + 1
+       |  FROM walk JOIN fmap f ON walk.cur = f.src
+       |  WHERE walk.hops < 8),
+       |rterm AS (
+       |  SELECT url, cur AS final_url, hops FROM walk
+       |  WHERE cur NOT IN (SELECT src FROM fmap))
+       |SELECT f.src AS url, t.final_url, t.hops
+       |FROM fmap f LEFT JOIN rterm t ON f.src = t.url
+       |ORDER BY url""".stripMargin
 
   /** Mirror-candidate replay: distinct (src host, dst) pairs, the
     * hot-target cut (df > 15 hosts), per-host cold-target counts, the

@@ -27,11 +27,11 @@ import org.apache.spark.sql.functions._
   *    order alone). Dangling mass is redistributed uniformly each
   *    iteration (the classic treatment), as integer shares.
   *
-  * Link-resolution scope (documented, not silently wrong): absolute
-  * http(s) hrefs and ROOT-RELATIVE hrefs (`/path`) resolve; other
-  * relative forms (`a.html`, `../x`), fragments-only, `mailto:`,
-  * `javascript:` etc. are dropped — resolving directory-relative paths
-  * needs the page path's dirname semantics, out of scope for v1.
+  * Link-resolution scope: absolute http(s), ROOT-RELATIVE (`/path`)
+  * AND directory-relative hrefs (`a.html`, `../x`, `./y` — resolved
+  * against the page path's directory with fixed-pass dot-segment
+  * removal, [[resolveHref]]); fragment-only, query-only and non-http
+  * schemes (`mailto:`, `javascript:`, `tel:`) are dropped.
   */
 object LinkGraph {
 
@@ -48,12 +48,126 @@ object LinkGraph {
   private[operators] val HrefRe =
     "(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"
 
+  /** RFC 3986 §5.2-shaped reference resolution of an anchor href
+    * against the CANONICAL page url: absolute http(s) hrefs pass
+    * through; `/path` resolves root-relative; DIRECTORY-RELATIVE
+    * references (`a.html`, `../x`, `./y`) resolve against the source
+    * path's directory with dot-segment removal; other schemes
+    * (`mailto:`, `javascript:`, `tel:` — anything with a scheme prefix
+    * that isn't http(s)), fragment-only and query-only hrefs are NULL
+    * (dropped by the caller).
+    *
+    * Dot-segment removal is a FIXED-PASS regex contraction (see
+    * [[removeDotSegments]]) — still pure codegen'd expressions, and
+    * the oracle replays the identical pass sequence.
+    */
+  private val HttpAbsRe =
+    java.util.regex.Pattern.compile("^[Hh][Tt][Tt][Pp][Ss]?://")
+  private val AnySchemeRe =
+    java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*:")
+  private val SrcBaseRe =
+    java.util.regex.Pattern.compile("^[a-z+.-]+://[^/?]*")
+
+  /** The whole resolution as ONE two-arg compiled kernel: the column
+    * draft (a three-branch CASE over rlike regexes + the dot-pass
+    * chain) gets duplicated ~8× inside [[UrlOps.canonicalizeUrl]]'s
+    * terms, which benched q_link_extract at 3.3 s (vs 0.8 s before
+    * resolution grew the subtree) — one `ScalaUDF` invoke per copy
+    * keeps the duplicated cost at an indexOf-level floor. Branch
+    * semantics are byte-identical to the oracle's CASE replay: the
+    * same anchored patterns (`lookingAt` = RE2 `^...` match), the same
+    * empty-base fallback as regexp_extract's no-match → ''.
+    */
+  private[operators] def resolveHrefStr(src: String, href: String): String = {
+    if (src == null || href == null) null
+    else if (HttpAbsRe.matcher(href).lookingAt()) removeDotSegmentsStr(href)
+    else {
+      val bm = SrcBaseRe.matcher(src)
+      val baseEnd = if (bm.lookingAt()) bm.end else 0
+      val base = src.substring(0, baseEnd)
+      if (href.startsWith("/")) removeDotSegmentsStr(base + href)
+      else if (!AnySchemeRe.matcher(href).lookingAt() &&
+          !href.startsWith("#") && !href.startsWith("?")) {
+        // the directory of the canonical src path: up to and including
+        // the last '/'; a host-root src (empty path) resolves against '/'
+        val rest = src.substring(baseEnd)
+        val qi = rest.indexOf('?')
+        val path = if (qi >= 0) rest.substring(0, qi) else rest
+        val sl = path.lastIndexOf('/')
+        val dir = if (sl >= 0) path.substring(0, sl + 1) else "/"
+        removeDotSegmentsStr(base + dir + href)
+      } else null
+    }
+  }
+
+  private val resolveHrefKernel = udf(resolveHrefStr _)
+
+  private[operators] def resolveHref(src: Column, href: Column): Column =
+    resolveHrefKernel(src, href)
+
+  /** Dot-segment removal (RFC 3986 §5.2.4) on the PATH portion of a
+    * url, as fixed sequential replace-all passes — the ORACLE replays
+    * the same pass sequence (DuckDB 'g' flag = Spark/Java replace-all),
+    * so the two engines contract identically by construction:
+    *  1. a trailing `/.` or `/..` gains a slash (the later
+    *     canonicalization strips trailing slashes anyway);
+    *  2. 4 passes of `/./` → `/`;
+    *  3. 8 passes of `/<segment>/../` → `/` where <segment> contains
+    *     at least one non-dot char (so `..` can never be consumed as
+    *     the popped segment) — bounds handled traversal DEPTH at 8,
+    *     the realistic crawl bound; deeper chains keep their residual
+    *     dot segments verbatim (documented, not silently wrong);
+    *  4. 4 passes of the above-root clamp `^/../` → `/`.
+    *
+    * A COMPILED KERNEL, not a 17-deep `regexp_replace` column chain:
+    * the caller's `_abs` subtree gets duplicated ~8× inside
+    * [[UrlOps.canonicalizeUrl]]'s terms (the documented no-CSE shape),
+    * so a column-expression chain multiplied out to ~140 regex evals
+    * per row — the first draft benched q_link_extract_rel at 10.9 s
+    * vs ~1 s for its siblings at sf0.1. The kernel runs the SAME Java
+    * regexes (precompiled) once per invoke with an escape-free fast
+    * path, and `ScalaUDF` codegens as a plain invoke so the
+    * surrounding chain stays fused — the normalizeUrlKernel precedent.
+    */
+  private val DotTrailRe = java.util.regex.Pattern.compile("(/\\.\\.?)$")
+  private val DotSlashRe = java.util.regex.Pattern.compile("/\\./")
+  private val DotPairRe =
+    java.util.regex.Pattern.compile("/[^/]*[^/.][^/]*/\\.\\./")
+  private val DotClampRe = java.util.regex.Pattern.compile("^/\\.\\./")
+  private val UrlPrefixRe =
+    java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*")
+
+  private[operators] def removeDotSegmentsStr(s: String): String = {
+    // every pattern needs a "/." somewhere in the path — absent that,
+    // all four pass families are no-ops (the overwhelmingly common case)
+    if (s == null || s.indexOf("/.") < 0) s
+    else {
+      val m = UrlPrefixRe.matcher(s)
+      val preEnd = if (m.lookingAt()) m.end else 0
+      val pre = s.substring(0, preEnd)
+      val rest = s.substring(preEnd)
+      val qi = rest.indexOf('?')
+      var p = if (qi >= 0) rest.substring(0, qi) else rest
+      val query = if (qi >= 0) rest.substring(qi) else ""
+      p = DotTrailRe.matcher(p).replaceAll("$1/")
+      var i = 0
+      while (i < 4) { p = DotSlashRe.matcher(p).replaceAll("/"); i += 1 }
+      i = 0
+      while (i < 8) { p = DotPairRe.matcher(p).replaceAll("/"); i += 1 }
+      i = 0
+      while (i < 4) { p = DotClampRe.matcher(p).replaceAll("/"); i += 1 }
+      pre + p + query
+    }
+  }
+
+
   /** The canonical edge list of a page frame: one row per resolvable
     * anchor, `(src, dst)` both canonical, self-loops and duplicate
     * (src, dst) pairs dropped (a page linking itself or linking the
     * same target five times is one edge — the signal is the link, not
     * its copy count). Map-only until the final distinct (one shuffle
-    * on the edge key).
+    * on the edge key). Resolution scope = [[resolveHref]]: absolute,
+    * root-relative AND directory-relative (with dot-segment removal).
     */
   def extractLinks(pages: DataFrame, urlCol: String,
                    htmlCol: String): DataFrame = {
@@ -63,13 +177,7 @@ object LinkGraph {
     pages
       .select(src.as("src"), explode(concat(hrefs1, hrefs2)).as("_href"))
       .filter(col("_href") =!= "")
-      // root-relative resolution keeps the PAGE's scheme: the base is
-      // the canonical src's scheme://host prefix, not a hardcoded https
-      .withColumn("_base",
-        regexp_extract(col("src"), "^([a-z+.-]+://[^/?]*)", 1))
-      .withColumn("_abs",
-        when(col("_href").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), col("_href"))
-          .when(col("_href").startsWith("/"), concat(col("_base"), col("_href"))))
+      .withColumn("_abs", resolveHref(col("src"), col("_href")))
       .filter(col("_abs").isNotNull)
       .select(col("src"), UrlOps.canonicalizeUrl(col("_abs")).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -120,11 +228,7 @@ object LinkGraph {
         when(col("m.h1") =!= "", col("m.h1")).otherwise(col("m.h2")).as("_href"),
         trim(regexp_replace(col("m.h3"), "\\s+", " ")).as("anchor"))
       .filter(col("_href") =!= "" && col("anchor") =!= "")
-      .withColumn("_base",
-        regexp_extract(col("src"), "^([a-z+.-]+://[^/?]*)", 1))
-      .withColumn("_abs",
-        when(col("_href").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), col("_href"))
-          .when(col("_href").startsWith("/"), concat(col("_base"), col("_href"))))
+      .withColumn("_abs", resolveHref(col("src"), col("_href")))
       .filter(col("_abs").isNotNull)
       .select(col("src"), UrlOps.canonicalizeUrl(col("_abs")).as("dst"),
         col("anchor"))

@@ -385,6 +385,107 @@ object UrlOps {
       .select((df.columns.map(c => col(s"_kept.$c")) :+ col("canon_url")).toSeq: _*)
   }
 
+  /** The XML predefined-entity decode a sitemap `<loc>` needs before
+    * canonicalization (sitemaps.org REQUIRES `&` in URLs to be escaped
+    * as `&amp;`): the four non-ampersand entities first, `&amp;` LAST
+    * so `&amp;lt;` decodes to the literal `&lt;`, not `<` — the
+    * [[TextExtraction]] ordering rule.
+    */
+  private def xmlUnescape(c: Column): Column = {
+    val step = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, ch)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(e), ch)
+      }
+    step
+  }
+
+  /** URL entries of a sitemap (sitemaps.org `<urlset>`): one row per
+    * `<url>` block with a non-empty `<loc>` — `url` is the loc
+    * whitespace-trimmed, XML-entity-decoded and CANONICALIZED (so
+    * sitemap-discovered URLs key directly against the frontier index /
+    * dedup stage), `lastmod` the optional W3C datetime string passed
+    * through verbatim (null when absent; parsing it is the caller's
+    * schema decision — sitemaps mix date-only and full-datetime forms).
+    * Blocks without a `<loc>` are dropped. Scope: `<urlset>` entries;
+    * `<sitemap>` index recursion is a fetch-loop concern, out of engine
+    * scope. Map-only (extract_all → explode → per-block extracts) —
+    * RE2-portable regexes so the oracle replays term-for-term.
+    */
+  def sitemapUrls(df: DataFrame, xmlCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?is)<url\\b[^>]*>(.*?)</url>"), lit(1))).as("_b"))
+      .select(col(keyCol),
+        regexp_extract(col("_b"), "(?is)<loc\\s*>\\s*(.*?)\\s*</loc>", 1).as("_loc"),
+        regexp_extract(col("_b"),
+          "(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod>", 1).as("_lm"))
+      .filter(col("_loc") =!= "")
+      .select(col(keyCol),
+        canonicalizeUrl(xmlUnescape(col("_loc"))).as("url"),
+        when(col("_lm") === "", lit(null).cast("string"))
+          .otherwise(col("_lm")).as("lastmod"))
+
+  /** Final targets of redirect chains: for every source in a one-hop
+    * redirect map `(srcCol, dstCol)`, follow hops until a TERMINAL url
+    * (one that is not itself a redirect source). Chains that terminate
+    * within `maxHops` jumps return `(url, final_url, hops)`; anything
+    * still unterminated after `maxHops` (loops included — the a→b→a
+    * case real crawl data is full of) returns `(url, NULL, NULL)`, the
+    * unresolved marker a crawler skips. The input is normalized to a
+    * FUNCTIONAL map first (deterministic `min(dst)` per source), so
+    * duplicate/conflicting redirect records cannot make the walk
+    * nondeterministic.
+    *
+    * Shape: one co-keyed LEFT join per hop (≤ `maxHops`, with an
+    * early exit when every chain has terminated), each step's small
+    * terminal set eagerly checkpointed and the shrinking active set
+    * persisted-then-released — per-hop cost ∝ |still-active chains|,
+    * and real redirect chains are 1-3 hops, so the loop exits early.
+    * The oracle replays the walk as a recursive CTE bounded by the
+    * same hop cap.
+    */
+  def resolveRedirects(redirects: DataFrame, maxHops: Int = 8,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = redirects.groupBy(col(srcCol).as("_s"))
+      .agg(min(col(dstCol)).as("_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var active = edges.select(col("_s").as("url"), col("_d").as("cur"),
+      lit(1L).as("hops"))
+    val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prev: Option[DataFrame] = None
+    var hop = 1
+    var remaining = -1L
+    while (hop <= maxHops && remaining != 0) {
+      val stepped = active.join(
+        edges.withColumnRenamed("_s", "cur"), Seq("cur"), "left")
+      // terminal = no outgoing edge from cur; the finished slice is
+      // output-proportional, so the eager checkpoint is cheap and cuts
+      // the per-hop lineage
+      finished += stepped.filter(col("_d").isNull)
+        .select(col("url"), col("cur").as("final_url"), col("hops"))
+        .localCheckpoint(true)
+      val nxt = stepped.filter(col("_d").isNotNull)
+        .select(col("url"), col("_d").as("cur"),
+          (col("hops") + 1L).as("hops"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      remaining = nxt.count()
+      prev.foreach(_.unpersist())
+      prev = Some(nxt)
+      active = nxt
+      hop += 1
+    }
+    val unresolved = active.select(col("url"),
+        lit(null).cast("string").as("final_url"),
+        lit(null).cast("long").as("hops"))
+      .localCheckpoint(true)
+    prev.foreach(_.unpersist())
+    edges.unpersist()
+    (finished :+ unresolved).reduce(_ unionByName _)
+  }
+
   /** Drop rows whose canonical host — or ANY parent domain of it — is
     * in `blocklist` (one `domain` column). Suffix semantics: blocking
     * `example.com` blocks `ads.example.com`; blocking

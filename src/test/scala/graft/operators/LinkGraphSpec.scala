@@ -20,7 +20,7 @@ class LinkGraphSpec extends AnyFunSuite {
           |<a href='/rel'>single-quoted root-relative</a>
           |<a href="mailto:a@b.c">mail</a>
           |<a href="#top">fragment-only</a>
-          |<a href="doc.html">dir-relative (out of scope)</a>
+          |<a href="doc.html">dir-relative</a>
           |<a href="javascript:void(0)">js</a>
           |<a href="">empty</a>
           |<a href="HTTPS://Other.COM/x/?utm_source=z">dup after canon</a>
@@ -30,9 +30,32 @@ class LinkGraphSpec extends AnyFunSuite {
       .orderBy("dst").collect().map(r => (r.getString(0), r.getString(1)))
     // src canonicalizes (www/port/fragment gone); dup + self-loop collapse
     assert(edges.toSeq == Seq(
+      ("http://a.com/page/1", "http://a.com/page/doc.html"), // dir-relative
       ("http://a.com/page/1", "http://a.com/rel"),      // page scheme kept
       ("http://a.com/page/1", "https://other.com/x")),  // canonical target
       s"edges: ${edges.toSeq}")
+  }
+
+  test("resolveHref: dot-segment removal, above-root clamp, host-root dir") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/d/e/page",
+        """<a href="../up.html">up</a>
+          |<a href="./same.html">same</a>
+          |<a href="x/../y/./z.html">mixed</a>
+          |<a href="../../../../clamp.html">clamp</a>
+          |<a href="tel:+1-555">tel</a>""".stripMargin),
+      ("https://b.org",   // host root: empty canonical path -> dir '/'
+        """<a href="rootrel.html">r</a>"""))
+      .toDF("url", "html")
+    val got = LinkGraph.extractLinks(pages, "url", "html")
+      .orderBy("dst").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("https://a.com/d/e/page", "https://a.com/clamp.html"),
+      ("https://a.com/d/e/page", "https://a.com/d/e/same.html"),
+      ("https://a.com/d/e/page", "https://a.com/d/e/y/z.html"),
+      ("https://a.com/d/e/page", "https://a.com/d/up.html"),
+      ("https://b.org", "https://b.org/rootrel.html")), got)
   }
 
   test("inDegree counts distinct in-links") {
@@ -129,6 +152,28 @@ class LinkGraphSpec extends AnyFunSuite {
       "https://c.com/" -> "https://a.com/",
       "https://x.org/" -> "https://x.org/",
       "https://y.org/" -> "https://x.org/"), one)
+  }
+
+  test("resolveHrefStr properties: ./-invariance, clamp bound, deep-traversal residual") {
+    val srcs = Seq("https://a.com/d1/d2/d3/page", "https://a.com/p", "https://a.com")
+    val names = Seq("x.html", "a/b.html", "q")
+    for (s <- srcs; h <- names) {
+      assert(LinkGraph.resolveHrefStr(s, "./" + h) ==
+        LinkGraph.resolveHrefStr(s, h), (s, h))
+      // traversal within the documented bound (src depth + 4 clamps;
+      // 0..4 is safe for every src here) leaves no residual dot segment
+      for (d <- 0 to 4) {
+        val r = LinkGraph.resolveHrefStr(s, ("../" * d) + h)
+        assert(r != null && !r.contains("/./") && !r.contains("/../"),
+          (s, d, h, r))
+        assert(r.startsWith("https://a.com/"), (s, d, h, r))
+      }
+    }
+    // past the documented depth bound the residual dots stay VERBATIM
+    // (visible, not silently mangled)
+    val deep = LinkGraph.resolveHrefStr("https://a.com/p", "../" * 20 + "x")
+    assert(deep.contains("/../"), deep)
+    assert(deep.endsWith("/x"), deep)
   }
 
   test("hostSimilarity: hot-target cut precedes the pair join, rounded-jaccard band") {

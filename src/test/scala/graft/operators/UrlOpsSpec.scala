@@ -236,6 +236,50 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 3L), s"kept: $kept")
   }
 
+  test("sitemapUrls: entity decode, whitespace trim, canonical loc, loc-less drop, lastmod null") {
+    import spark.implicits._
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>https://a.com/x?p=1&amp;q=2</loc><lastmod>2024-01-05</lastmod></url>
+        |<url><loc>
+        |   HTTP://WWW.A.com:80/y/
+        |</loc></url>
+        |<url><lastmod>2024-02-02</lastmod></url>
+        |</urlset>""".stripMargin
+    val got = UrlOps.sitemapUrls(Seq((7L, xml)).toDF("doc_id", "xml"),
+        "xml", "doc_id")
+      .orderBy("url").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    assert(got == Seq(
+      (7L, "http://a.com/y", None),                         // trimmed + canonicalized, no lastmod
+      (7L, "https://a.com/x?p=1&q=2", Some("2024-01-05"))), // &amp; decoded before canon
+      got)
+  }
+
+  test("resolveRedirects: chains, loops, hop cap, functional-map normalization") {
+    import spark.implicits._
+    val redirects = Seq(
+      ("a", "b"), ("b", "c"),            // 2-hop chain: a->c(2), b->c(1)
+      ("x", "y"), ("y", "x"),            // 2-cycle: both unresolved
+      ("d", "e"), ("d", "z"),            // conflicting records: min(dst)=e wins
+      ("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5")) // 4-hop; cap=3 cuts p1
+      .toDF("src", "dst")
+    val got = UrlOps.resolveRedirects(redirects, maxHops = 3)
+      .collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> (Some("c"), Some(2L)),
+      "b" -> (Some("c"), Some(1L)),
+      "x" -> (None, None), "y" -> (None, None),
+      "d" -> (Some("e"), Some(1L)),
+      "p1" -> (None, None),               // 4 hops needed, cap 3
+      "p2" -> (Some("p5"), Some(3L)),
+      "p3" -> (Some("p5"), Some(2L)),
+      "p4" -> (Some("p5"), Some(1L))), got)
+  }
+
   test("filterBlockedDomains: a non-default port does not smuggle a host past the blocklist") {
     import spark.implicits._
     val df = Seq(
