@@ -1968,6 +1968,49 @@ object SparkEntry {
       graft.operators.UrlOps.filterDisallowed(urls, "url", "doc_id", robots)
         .orderBy("doc_id")
     }),
+    // raw robots.txt → rules frame: RFC 9309 group parsing (consecutive
+    // User-agent lines open one shared group, Sitemap/comments/CRLF
+    // ignored, case-insensitive keys, host-level most-specific agent
+    // selection with '*' fallback) — windows shuffle only the robots
+    // LINES frame, never the corpus
+    "q_robots_parse" -> ((s, d) =>
+      graft.operators.UrlOps.parseRobotsRules(
+          plantRobotsTxt(table(s, d, "documents")), agent = "graftbot")
+        .orderBy("host", "pattern", "allow")),
+    // per-host Crawl-delay for the binding groups: non-numeric values
+    // dropped, multiple binding values collapse to min
+    "q_robots_delay" -> ((s, d) =>
+      graft.operators.UrlOps.crawlDelays(
+          plantRobotsTxt(table(s, d, "documents")), agent = "graftbot")
+        .orderBy("host")),
+    // the chained compliance path: raw robots.txt bodies parsed, then
+    // ENFORCED over the URL corpus — proves the parsed frame feeds
+    // filterDisallowed end to end (q_url_robots gates the enforcement
+    // semantics on a hand-built rules frame; this row gates the hop
+    // from bytes to rules)
+    "q_robots_enforce" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val rules = graft.operators.UrlOps.parseRobotsRules(
+        plantRobotsTxt(docs), agent = "*")
+      graft.operators.UrlOps
+        .filterDisallowed(plantUrls(docs), "url", "doc_id", rules)
+        .orderBy("doc_id")
+    }),
+    // politeness scheduling: per-host fetch waves (priority-ranked) ×
+    // parsed Crawl-delay budgets → earliest fetch offsets; ONE frontier
+    // shuffle on host (the window's distribution, shared by the delays
+    // equi-join — deliberately NOT broadcast: per-host delays are
+    // #hosts-sized at web scale)
+    "q_frontier_schedule" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val frontier = plantUrls(docs)
+        .withColumn("priority", col("doc_id") % 5)
+      val delays = graft.operators.UrlOps.crawlDelays(
+        plantRobotsTxt(docs), agent = "graftbot")
+      graft.operators.UrlOps
+        .frontierSchedule(frontier, "url", "doc_id", "priority", delays)
+        .orderBy("doc_id")
+    }),
     // domain-blocklist filter with suffix semantics (blocking example.com
     // blocks cdn.media.example.com): exploded domain-chain broadcast semi
     // collects blocked keys, broadcast anti removes them — the corpus
@@ -4648,6 +4691,13 @@ object SparkEntry {
     // max(struct(spec, allow)) winner)
     "q_url_robots" -> urlRobotsOracleSql,
     "q_sql_url_robots" -> urlRobotsOracleSql,
+    // robots.txt PARSING replayed step for step (groups, fallback,
+    // comments/CRLF, empty-pattern drops), then the parse→enforce chain
+    // and the politeness schedule (waves × parsed delays)
+    "q_robots_parse" -> robotsParseOracleSql,
+    "q_robots_delay" -> robotsDelayOracleSql,
+    "q_robots_enforce" -> robotsEnforceOracleSql,
+    "q_frontier_schedule" -> frontierScheduleOracleSql,
     "q_sql_url_blocklist_psl" -> urlBlocklistPslOracleSql,
     "q_sql_crawl_curate" -> crawlCurateOracleSql,
     // suffix semantics via EXISTS (host = b or host endswith '.' || b) —
@@ -5722,6 +5772,49 @@ object SparkEntry {
         .as("url"))
   }
 
+  /** The four robots.txt body templates, one Scala constant so the
+    * Spark plant ([[plantRobotsTxt]]) and the oracle VALUES
+    * ([[robotsPlantCteSql]]) parse the SAME bytes. Coverage per
+    * template: 0 — an agent-specific group ahead of a `*` group
+    * (host-level specificity must bind ONLY the matching group) plus a
+    * comment line and an integer Crawl-delay; 1 — one group naming
+    * BOTH `*` and another agent on consecutive User-agent lines, CRLF
+    * line endings, a lowercase `crawl-delay` key and a fractional
+    * value; 2 — a `Sitemap:` line INSIDE the byte stream (non-group
+    * directive, must not split the following group), a `*` wildcard
+    * pattern with a trailing comment, and a non-numeric Crawl-delay;
+    * 3 — a trailing-`$` anchored pattern plus empty `Disallow:` /
+    * `Allow: ` lines (allow-all no-ops, must parse to nothing).
+    */
+  private val RobotsBodyTemplates: Seq[String] = Seq(
+    "# corpus crawler policy\nUser-agent: graftbot\nDisallow: /p/1\n" +
+      "Allow: /p/10\nCrawl-delay: 2\n\nUser-agent: *\nDisallow: /\n",
+    "User-agent: *\r\nUser-Agent: otherbot\r\nDisallow: /\r\n" +
+      "Allow: /p/3\r\ncrawl-delay: 0.5",
+    "User-agent: otherbot\nDisallow: /\n\n" +
+      "Sitemap: https://example.com/sitemap.xml\nUser-agent: *\n" +
+      "Disallow: /p/*7 # glob\nCrawl-delay: not-a-number",
+    "User-agent: *\nDisallow: /p/2$\nDisallow:\nAllow: ")
+
+  /** Robots corpus plant: one robots.txt body per plantUrls root host
+    * (`example{k}.com`, k = doc_id%20 — the cdn.media hosts get NO
+    * robots, exercising the no-rules/default-delay path), body chosen
+    * by k%4 from [[RobotsBodyTemplates]]. Scales with the documents
+    * table like every other plant; replayed literally in
+    * [[robotsPlantCteSql]].
+    */
+  private def plantRobotsTxt(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, when}
+    val k = col("k")
+    docs.select((col("doc_id") % 20).as("k")).distinct()
+      .select(
+        concat(lit("example"), k.cast("string"), lit(".com")).as("host"),
+        when(k % 4 === 0, lit(RobotsBodyTemplates(0)))
+          .when(k % 4 === 1, lit(RobotsBodyTemplates(1)))
+          .when(k % 4 === 2, lit(RobotsBodyTemplates(2)))
+          .otherwise(lit(RobotsBodyTemplates(3))).as("robots_txt"))
+  }
+
   /** Deterministic HTML plant: each document's text wrapped in a
     * four-line template page — head (title + style + script content),
     * a nav bar (three anchors, three words), the content paragraph
@@ -5975,6 +6068,132 @@ object SparkEntry {
        |SELECT doc_id, url FROM h
        |WHERE doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB literal from a Scala string: quotes doubled, control
+    * characters (the robots templates carry real LF/CR bytes) embedded
+    * verbatim — DuckDB string literals accept them.
+    */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The [[plantRobotsTxt]] replay: same k-derivation, same host
+    * formula, same template bytes.
+    */
+  private def robotsPlantCteSql: String =
+    s"""rb AS (
+       |  SELECT 'example' || CAST(k AS VARCHAR) || '.com' AS host,
+       |         CASE k % 4 WHEN 0 THEN ${sqlStr(RobotsBodyTemplates(0))}
+       |                    WHEN 1 THEN ${sqlStr(RobotsBodyTemplates(1))}
+       |                    WHEN 2 THEN ${sqlStr(RobotsBodyTemplates(2))}
+       |                    ELSE ${sqlStr(RobotsBodyTemplates(3))} END AS txt
+       |  FROM (SELECT DISTINCT doc_id % 20 AS k FROM documents))""".stripMargin
+
+  /** [[graft.operators.UrlOps.parseRobotsRules]] replayed step for
+    * step: line split / CR + comment strip / key-value extraction /
+    * consecutive-User-agent group ids (lag + running sum) / per-group
+    * agent flags / host-level most-specific selection. Ends at CTE
+    * `rbind` = the binding non-User-agent directives for `agent`.
+    */
+  private def robotsDirectivesCtesSql(agent: String): String =
+    s"""$robotsPlantCteSql,
+       |rl AS (
+       |  SELECT regexp_replace(regexp_replace(lower(host), ':(80|443)$$', ''), '^www\\.', '') AS h,
+       |         generate_subscripts(string_split(txt, chr(10)), 1) AS pos,
+       |         unnest(string_split(txt, chr(10))) AS raw
+       |  FROM rb),
+       |rd AS (
+       |  SELECT h, pos,
+       |         lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS dkey,
+       |         trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS dval
+       |  FROM (SELECT h, pos,
+       |               trim(regexp_replace(regexp_replace(raw, '\\r$$', ''), '#.*$$', '')) AS line
+       |        FROM rl)
+       |  WHERE lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+       |          IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+       |rg0 AS (
+       |  SELECT h, pos, dkey, dval,
+       |         COALESCE(LAG(dkey = 'user-agent')
+       |           OVER (PARTITION BY h ORDER BY pos), false) AS prev_ua
+       |  FROM rd),
+       |rg AS (
+       |  SELECT h, pos, dkey, dval,
+       |         SUM(CASE WHEN dkey = 'user-agent' AND NOT prev_ua
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY h ORDER BY pos) AS gid
+       |  FROM rg0),
+       |rm AS (
+       |  SELECT h, pos, dkey, dval, gid,
+       |         MAX(CASE WHEN dkey = 'user-agent' AND lower(dval) = '$agent' THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY h, gid) AS g_agent,
+       |         MAX(CASE WHEN dkey = 'user-agent' AND dval = '*' THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY h, gid) AS g_star
+       |  FROM rg),
+       |rs AS (
+       |  SELECT rm.*, MAX(g_agent) OVER (PARTITION BY h) AS h_agent FROM rm),
+       |rbind AS (
+       |  SELECT h, dkey, dval FROM rs
+       |  WHERE dkey <> 'user-agent'
+       |    AND ((h_agent = 1 AND g_agent = 1) OR (h_agent = 0 AND g_star = 1)))""".stripMargin
+
+  private def robotsParseOracleSql: String =
+    s"""WITH ${robotsDirectivesCtesSql("graftbot")}
+       |SELECT h AS host, dval AS pattern, (dkey = 'allow') AS allow
+       |FROM rbind
+       |WHERE dkey IN ('allow', 'disallow') AND dval <> ''
+       |ORDER BY host, pattern, allow""".stripMargin
+
+  private def robotsDelayOracleSql: String =
+    s"""WITH ${robotsDirectivesCtesSql("graftbot")}
+       |SELECT h AS host, min(CAST(dval AS DOUBLE)) AS delay_s
+       |FROM rbind
+       |WHERE dkey = 'crawl-delay' AND regexp_matches(dval, '^[0-9]+(\\.[0-9]+)?$$')
+       |GROUP BY h
+       |ORDER BY host""".stripMargin
+
+  /** Parse → enforce chain: the `rbind` rules compiled to REP regexes
+    * (the [[urlRobotsOracleSql]] `rr` formula) and applied to the
+    * canonical URL frame with longest-pattern-wins.
+    */
+  private def robotsEnforceOracleSql: String =
+    s"""WITH $urlCanonCtesSql,
+       |${robotsDirectivesCtesSql("*")},
+       |rr AS (
+       |  SELECT h AS rhost, dval AS pattern, (dkey = 'allow') AS allow,
+       |         length(dval) AS spec,
+       |         '^' || replace(regexp_replace(
+       |                  CASE WHEN dval LIKE '%$$' THEN substr(dval, 1, length(dval) - 1) ELSE dval END,
+       |                  '([.\\\\+?\\[\\]{}()|^$$])', '\\\\\\1', 'g'), '*', '.*')
+       |             || CASE WHEN dval LIKE '%$$' THEN '$$' ELSE '' END AS rx
+       |  FROM rbind WHERE dkey IN ('allow', 'disallow') AND dval <> ''),
+       |verd AS (
+       |  SELECT h.doc_id, rr.allow,
+       |         row_number() OVER (PARTITION BY h.doc_id
+       |                            ORDER BY rr.spec DESC, rr.allow DESC) AS rn
+       |  FROM h JOIN rr ON h.host = rr.rhost AND regexp_matches(h.rpathq, rr.rx))
+       |SELECT doc_id, url FROM h
+       |WHERE doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Politeness schedule replay: per-host row_number waves over
+    * (priority DESC, url, doc_id), delay→ms rounded once per host,
+    * wave × delay_ms with the 1000 ms default for robots-less hosts.
+    */
+  private def frontierScheduleOracleSql: String =
+    s"""WITH $urlCanonCtesSql,
+       |${robotsDirectivesCtesSql("graftbot")},
+       |del AS (
+       |  SELECT h AS host, CAST(round(min(CAST(dval AS DOUBLE)) * 1000) AS BIGINT) AS delay_ms
+       |  FROM rbind
+       |  WHERE dkey = 'crawl-delay' AND regexp_matches(dval, '^[0-9]+(\\.[0-9]+)?$$')
+       |  GROUP BY h),
+       |sched AS (
+       |  SELECT doc_id, url, host, doc_id % 5 AS prio,
+       |         row_number() OVER (PARTITION BY host
+       |                            ORDER BY doc_id % 5 DESC, url, doc_id) - 1 AS wave
+       |  FROM h)
+       |SELECT s.doc_id, s.host, CAST(s.wave AS BIGINT) AS wave,
+       |       CAST(s.wave * COALESCE(d.delay_ms, 1000) AS BIGINT) AS fetch_at_ms
+       |FROM sched s LEFT JOIN del d ON s.host = d.host
+       |ORDER BY s.doc_id""".stripMargin
 
   private def urlBlocklistOracleSql: String =
     s"""WITH $urlCanonCtesSql

@@ -628,4 +628,124 @@ object UrlOps {
         col("_claimed_at") < col(asOfCol).cast("long") - lit(ttl))
       .drop("_claimed_at")
   }
+
+  /** Shared robots.txt line scanner: one row per RECOGNIZED directive
+    * (`User-agent` / `Allow` / `Disallow` / `Crawl-delay`,
+    * case-insensitive keys, `#` comments and CR stripped), tagged with
+    * its RFC 9309 group id and the group's agent-match flags. Group
+    * semantics: consecutive `User-agent` lines (ignoring blanks,
+    * comments and non-group directives like `Sitemap:` — the Google
+    * REP parser's rule) open ONE group that all of them name; the
+    * most-specific-group rule is applied at HOST level — if any group
+    * on the host names `agent` exactly (case-insensitive), only those
+    * groups bind, otherwise the `*` groups do.
+    *
+    * All window functions partition by host ordered by line position —
+    * the frame being shuffled is the DIRECTIVE LINES of the robots
+    * corpus (bounded by total robots.txt bytes, ~KB per host), never
+    * the crawl corpus itself, so the parse costs one small shuffle
+    * regardless of frontier size. Every step is a Catalyst built-in
+    * (split/regexp/lag/running-sum) the DuckDB oracle replays term for
+    * term.
+    */
+  private def robotsDirectives(robotsTxt: DataFrame, hostCol: String,
+                               txtCol: String, agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val w = Window.partitionBy("_h").orderBy("_pos")
+    val lines = robotsTxt.select(
+        canonicalBareHost(col(hostCol)).as("_h"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("_pos", "_raw")))
+      .withColumn("_line", trim(regexp_replace(
+        regexp_replace(col("_raw"), "\\r$", ""), "#.*$", "")))
+      .withColumn("_key", lower(trim(regexp_extract(col("_line"), "^([^:]+):", 1))))
+      .withColumn("_val", trim(regexp_extract(col("_line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("_key").isin("user-agent", "allow", "disallow", "crawl-delay"))
+    val isUa = col("_key") === "user-agent"
+    val wg = Window.partitionBy("_h", "_gid")
+    val wh = Window.partitionBy("_h")
+    lines
+      .withColumn("_gid", sum((isUa &&
+        !coalesce(lag(isUa, 1).over(w), lit(false))).cast("long")).over(w))
+      .withColumn("_gAgent",
+        max((isUa && lower(col("_val")) === agentLc).cast("int")).over(wg))
+      .withColumn("_gStar",
+        max((isUa && col("_val") === "*").cast("int")).over(wg))
+      .withColumn("_hAgent", max(col("_gAgent")).over(wh))
+      .filter(!isUa)
+      .filter((col("_hAgent") === 1 && col("_gAgent") === 1) ||
+        (col("_hAgent") === 0 && col("_gStar") === 1))
+  }
+
+  /** Parse raw robots.txt bodies into the (`host`, `pattern`, `allow`)
+    * rules frame [[filterDisallowed]] consumes — the missing first hop
+    * of the compliance path (until now rules arrived pre-parsed; a real
+    * crawl stores fetched robots.txt bodies per host). `agent` selects
+    * the binding groups per RFC 9309 host-level specificity (see
+    * [[robotsDirectives]]); empty patterns are dropped (a bare
+    * `Disallow:` means allow-all, and [[filterDisallowed]] would drop
+    * them anyway — dropping here keeps the rules frame minimal before
+    * it rides a broadcast).
+    */
+  def parseRobotsRules(robotsTxt: DataFrame, hostCol: String = "host",
+                       txtCol: String = "robots_txt",
+                       agent: String = "*"): DataFrame =
+    robotsDirectives(robotsTxt, hostCol, txtCol, agent)
+      .filter(col("_key").isin("allow", "disallow") && col("_val") =!= "")
+      .select(col("_h").as("host"), col("_val").as("pattern"),
+        (col("_key") === "allow").as("allow"))
+
+  /** Per-host `Crawl-delay` (seconds) for the binding agent groups —
+    * the politeness budget [[frontierSchedule]] spends. Non-numeric
+    * values are dropped (the directive is non-standard; real bodies
+    * carry junk), and multiple binding values collapse to the MINIMUM —
+    * the conservative read would be max, but crawlers conventionally
+    * honor the first/smallest binding value; either is defensible, min
+    * is pinned here and in the oracle.
+    */
+  def crawlDelays(robotsTxt: DataFrame, hostCol: String = "host",
+                  txtCol: String = "robots_txt",
+                  agent: String = "*"): DataFrame =
+    robotsDirectives(robotsTxt, hostCol, txtCol, agent)
+      .filter(col("_key") === "crawl-delay" &&
+        regexp_like(col("_val"), lit("^[0-9]+(\\.[0-9]+)?$")))
+      .groupBy(col("_h").as("host"))
+      .agg(min(col("_val").cast("double")).as("delay_s"))
+
+  /** Politeness scheduling: assign every frontier URL a per-host fetch
+    * WAVE (0-based rank within its canonical host, highest `priority`
+    * first, URL then key as deterministic tie-breaks) and the earliest
+    * fetch offset `fetch_at_ms = wave × crawl_delay(host)` — the
+    * host-serial schedule REP politeness requires, computed as data
+    * instead of crawler-side state.
+    *
+    * Scale shape: the frontier shuffles ONCE on host (the window's
+    * required distribution) and the delays frame equi-joins on the
+    * same key — deliberately NOT broadcast: per-host delays are
+    * #hosts-sized (tens of millions at web scale, a driver OOM as a
+    * broadcast), while AQE still picks a broadcast when the frame is
+    * actually small. A skewed host (one domain owning 10⁸ URLs) makes
+    * a long per-host sort, but host-serial order IS the semantics —
+    * the wave numbers of a mega-host are inherently sequential, and
+    * the sort spills rather than breaks. Delay→ms is rounded ONCE per
+    * host and waves multiply the integer, so engines cannot drift on
+    * float accumulation.
+    */
+  def frontierSchedule(frontier: DataFrame, urlCol: String, keyCol: String,
+                       priorityCol: String, delays: DataFrame,
+                       defaultDelayS: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host")
+      .orderBy(col(priorityCol).desc, col(urlCol), col(keyCol))
+    val d = delays.select(canonicalBareHost(col("host")).as("host"),
+      round(col("delay_s") * 1000.0).cast("long").as("_delay_ms"))
+    frontier
+      .select(col(keyCol), col(urlCol), col(priorityCol),
+        canonicalHost(col(urlCol)).as("host"))
+      .join(d, Seq("host"), "left")
+      .withColumn("wave", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_at_ms", col("wave") *
+        coalesce(col("_delay_ms"), lit(math.round(defaultDelayS * 1000.0))))
+      .select(col(keyCol), col("host"), col("wave"), col("fetch_at_ms"))
+  }
 }

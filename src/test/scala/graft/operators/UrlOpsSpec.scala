@@ -291,4 +291,54 @@ class UrlOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(3L), s"kept: $kept")
   }
+
+  private val robotsBody =
+    "# policy\nUser-agent: graftbot\nDisallow: /private\nAllow: /private/ok\n" +
+      "Crawl-delay: 2\n\nUser-agent: *\r\nUser-Agent: other\r\nDisallow: /\r\n" +
+      "crawl-delay: 0.5\nSitemap: https://h.com/s.xml\nUser-agent: star2\n" +
+      "Disallow: /x # comment\nDisallow:\nCrawl-delay: junk\n"
+
+  test("parseRobotsRules: agent-specific group binds alone; star fallback; CRLF/comments/case; empty patterns dropped") {
+    import spark.implicits._
+    val robots = Seq(("www.H.com:443", robotsBody)).toDF("host", "robots_txt")
+    // graftbot names a group -> ONLY that group binds
+    val bot = UrlOps.parseRobotsRules(robots, agent = "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(bot == Set(("h.com", "/private", false), ("h.com", "/private/ok", true)), bot)
+    // unknown agent -> the star groups bind (both: the multi-UA group
+    // AND star2's group, which the Sitemap line must NOT have split)
+    val other = UrlOps.parseRobotsRules(robots, agent = "nobody")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(other == Set(("/", false)), other) // star2 is not '*': only the '*' group
+    val star2 = UrlOps.parseRobotsRules(robots, agent = "star2")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(star2 == Set(("/x", false)), star2) // comment stripped, empty Disallow dropped
+  }
+
+  test("crawlDelays: binding group's numeric delay; junk dropped; min collapse") {
+    import spark.implicits._
+    val robots = Seq(("h.com", robotsBody)).toDF("host", "robots_txt")
+    val bot = UrlOps.crawlDelays(robots, agent = "graftbot")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(bot == Seq(("h.com", 2.0)), bot)
+    val any = UrlOps.crawlDelays(robots, agent = "nobody")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(any == Seq(("h.com", 0.5)), any) // star group's 0.5; star2's junk dropped
+  }
+
+  test("frontierSchedule: per-host waves rank by priority, offsets multiply the host delay, default for robots-less hosts") {
+    import spark.implicits._
+    val frontier = Seq(
+      (1L, "https://a.com/1", 0L), (2L, "https://a.com/2", 9L),
+      (3L, "https://a.com/3", 5L), (4L, "https://b.com/1", 1L))
+      .toDF("id", "url", "prio")
+    val delays = Seq(("a.com", 2.5)).toDF("host", "delay_s")
+    val got = UrlOps.frontierSchedule(frontier, "url", "id", "prio", delays)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      2L -> (("a.com", 0L, 0L)),     // highest priority fetches first
+      3L -> (("a.com", 1L, 2500L)),  // wave x 2500ms
+      1L -> (("a.com", 2L, 5000L)),
+      4L -> (("b.com", 0L, 0L))), got)
+  }
 }
