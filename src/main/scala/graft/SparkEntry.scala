@@ -1733,6 +1733,33 @@ object SparkEntry {
       graft.operators.UrlOps.dedupByCanonicalUrl(
           plantUrls(table(s, d, "documents")), "url", "doc_id")
         .select("doc_id", "url", "canon_url").orderBy("doc_id")),
+    // Unicode NFC composition (decomposed e+U+0301 must hash equal to
+    // é in every downstream dedup/shingle): one compiled kernel,
+    // cross-checked against DuckDB's INDEPENDENT nfc_normalize — a
+    // two-implementation check, not a replay
+    "q_text_nfc" -> ((s, d) => {
+      val dirty = plantDirtyText(table(s, d, "documents"))
+      val n = graft.operators.TextNormalization.nfc(col("dirty"))
+      dirty.select(col("doc_id"), n.as("text_nfc"),
+        (n =!= col("dirty")).as("changed")).orderBy("doc_id")
+    }),
+    // UTF-8-as-cp1252 mojibake repair (the Ã©/â€™ classic) over the
+    // curated alphabet — a codegen'd replace chain behind a lazy
+    // contains guard; the oracle replays the SAME chain generated from
+    // the SAME pair table
+    "q_text_mojibake" -> ((s, d) =>
+      plantDirtyText(table(s, d, "documents"))
+        .select(col("doc_id"), graft.operators.TextNormalization
+          .repairMojibake(col("dirty")).as("repaired"))
+        .orderBy("doc_id")),
+    // the full cleaning pass in canonical order: strip control/zero-
+    // width chars (C1 kept — mojibake evidence), repair
+    // double-encoding, compose to NFC
+    "q_text_normalize" -> ((s, d) =>
+      plantDirtyText(table(s, d, "documents"))
+        .select(col("doc_id"), graft.operators.TextNormalization
+          .normalize(col("dirty")).as("clean"))
+        .orderBy("doc_id")),
     // HTML -> text extraction (the stage between crawl and every text
     // operator): four-line template pages planted around each doc's
     // text; whole-page strip drops script/style/comment content,
@@ -4698,6 +4725,12 @@ object SparkEntry {
     "q_robots_delay" -> robotsDelayOracleSql,
     "q_robots_enforce" -> robotsEnforceOracleSql,
     "q_frontier_schedule" -> frontierScheduleOracleSql,
+    // text normalization: NFC is a TWO-IMPLEMENTATION check (DuckDB's
+    // independent nfc_normalize vs java.text.Normalizer); mojibake and
+    // control-strip are replays generated from the same constants
+    "q_text_nfc" -> textNfcOracleSql,
+    "q_text_mojibake" -> textMojibakeOracleSql,
+    "q_text_normalize" -> textNormalizeOracleSql,
     "q_sql_url_blocklist_psl" -> urlBlocklistPslOracleSql,
     "q_sql_crawl_curate" -> crawlCurateOracleSql,
     // suffix semantics via EXISTS (host = b or host endswith '.' || b) —
@@ -5772,6 +5805,24 @@ object SparkEntry {
         .as("url"))
   }
 
+  /** Dirty-text suffix appended to every document for the
+    * normalization rows — written entirely in \u escapes so the plant
+    * and the oracle interpolation share exact bytes. Contents: a
+    * DECOMPOSED accent (`e`+U+0301, NFC must compose it), the mojibake
+    * of `déjà` (`Ã©` and `Ã `+NBSP forms) and of an em dash
+    * (`â€”`), a zero-width space and a BEL control (both stripped),
+    * and the mojibake of `”` whose third byte is cp1252-undefined and
+    * decodes to the C1 control U+009D — which [[graft.operators
+    * .TextNormalization.stripControls]] must NOT eat before repair.
+    */
+  private val DirtyTextSuffix: String =
+    " Cafe\u0301 d\u00C3\u00A9j\u00C3\u00A0 vu \u00E2\u20AC\u201D " +
+      "a\u200Bb \u0007ok \u00E2\u20AC\u009Dend"
+
+  private def plantDirtyText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(DirtyTextSuffix)).as("dirty"))
+
   /** The four robots.txt body templates, one Scala constant so the
     * Spark plant ([[plantRobotsTxt]]) and the oracle VALUES
     * ([[robotsPlantCteSql]]) parse the SAME bytes. Coverage per
@@ -6074,6 +6125,44 @@ object SparkEntry {
     * verbatim — DuckDB string literals accept them.
     */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The [[plantDirtyText]] replay — suffix bytes shared via
+    * [[sqlStr]].
+    */
+  private def dirtyTextCteSql: String =
+    s"""dd AS (
+       |  SELECT doc_id, text || ${sqlStr(DirtyTextSuffix)} AS dirty
+       |  FROM documents)""".stripMargin
+
+  /** The mojibake repair chain as nested DuckDB `replace` calls —
+    * GENERATED from the same
+    * [[graft.operators.TextNormalization.MojibakePairs]] table the
+    * Spark side folds, so the two engines cannot drift on the pair
+    * set or its order.
+    */
+  private def mojibakeChainSql(x: String): String =
+    graft.operators.TextNormalization.MojibakePairs.foldLeft(x) {
+      case (acc, (bad, good)) => s"replace($acc, ${sqlStr(bad)}, ${sqlStr(good)})"
+    }
+
+  private def textNfcOracleSql: String =
+    s"""WITH $dirtyTextCteSql
+       |SELECT doc_id, nfc_normalize(dirty) AS text_nfc,
+       |       (nfc_normalize(dirty) <> dirty) AS changed
+       |FROM dd ORDER BY doc_id""".stripMargin
+
+  private def textMojibakeOracleSql: String =
+    s"""WITH $dirtyTextCteSql
+       |SELECT doc_id, ${mojibakeChainSql("dirty")} AS repaired
+       |FROM dd ORDER BY doc_id""".stripMargin
+
+  private def textNormalizeOracleSql: String = {
+    val stripped = "regexp_replace(dirty, '" +
+      graft.operators.TextNormalization.ControlCharClass + "', '', 'g')"
+    s"""WITH $dirtyTextCteSql
+       |SELECT doc_id, nfc_normalize(${mojibakeChainSql(stripped)}) AS clean
+       |FROM dd ORDER BY doc_id""".stripMargin
+  }
 
   /** The [[plantRobotsTxt]] replay: same k-derivation, same host
     * formula, same template bytes.
