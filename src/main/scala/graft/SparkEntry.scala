@@ -1760,6 +1760,26 @@ object SparkEntry {
         .select(col("doc_id"), graft.operators.TextNormalization
           .normalize(col("dirty")).as("clean"))
         .orderBy("doc_id")),
+    // in-page robots directives: <meta name="robots"> noindex/nofollow
+    // flags (both attribute orders, either quote style, 'none' implies
+    // both) — the compliance signal robots.txt cannot carry; pure
+    // codegen, patterns interpolated into the oracle
+    "q_html_noindex" -> ((s, d) =>
+      plantCompliancePages(table(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.operators.TextExtraction.metaNoindex(col("html")).as("noindex"),
+          graft.operators.TextExtraction.metaNofollow(col("html")).as("nofollow"))
+        .orderBy("doc_id")),
+    // cross-page canonical consolidation: <link rel="canonical">
+    // targets resolved (absolute + root-relative) and canonicalized,
+    // one winner per target via map-side-combinable min(struct) — the
+    // dedup tier canonicalization alone cannot see (print views /
+    // session variants the SITE declares equivalent)
+    "q_html_canonical" -> ((s, d) =>
+      graft.operators.UrlOps.consolidateByCanonical(
+          plantCompliancePages(table(s, d, "documents")),
+          "url", "html", "doc_id")
+        .orderBy("doc_id")),
     // HTML -> text extraction (the stage between crawl and every text
     // operator): four-line template pages planted around each doc's
     // text; whole-page strip drops script/style/comment content,
@@ -4731,6 +4751,10 @@ object SparkEntry {
     "q_text_nfc" -> textNfcOracleSql,
     "q_text_mojibake" -> textMojibakeOracleSql,
     "q_text_normalize" -> textNormalizeOracleSql,
+    // in-page compliance: meta-robots flags and declared-canonical
+    // consolidation, extraction patterns shared with the Spark side
+    "q_html_noindex" -> htmlNoindexOracleSql,
+    "q_html_canonical" -> htmlCanonicalOracleSql,
     "q_sql_url_blocklist_psl" -> urlBlocklistPslOracleSql,
     "q_sql_crawl_curate" -> crawlCurateOracleSql,
     // suffix semantics via EXISTS (host = b or host endswith '.' || b) —
@@ -5805,6 +5829,35 @@ object SparkEntry {
         .as("url"))
   }
 
+  /** Compliance-page plant: every plantUrls row gains a page whose
+    * head carries, by doc_id residues, a robots meta (`%7`: 3 →
+    * name-first noindex+nofollow, 5 → content-first NOFOLLOW in upper
+    * case, 6 → single-quoted `none`, else absent) and a canonical link
+    * (`%3`: 1 → absolute href to the group's canonical
+    * `https://example{k}.com/p/{m}`, 2 → root-relative `/p/{m}` with
+    * href-before-rel attribute order, 0 → none). Replayed literally in
+    * [[compliancePagesCteSql]].
+    */
+  private def plantCompliancePages(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr, when}
+    val k = (col("doc_id") % 20).cast("string")
+    val m = (col("doc_id") % 11).cast("string")
+    val meta = expr("doc_id % 7")
+    val can = expr("doc_id % 3")
+    plantUrls(docs).withColumn("html", concat(
+      lit("<html><head><title>p</title>"),
+      when(meta === 3, lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(meta === 5, lit("<meta content=\"NOFOLLOW\" name=\"ROBOTS\">"))
+        .when(meta === 6, lit("<meta name='robots' content='none'>"))
+        .otherwise(lit("")),
+      when(can === 1, concat(lit("<link rel=\"canonical\" href=\"https://example"),
+          k, lit(".com/p/"), m, lit("\">")))
+        .when(can === 2, concat(lit("<link href=\"/p/"), m,
+          lit("\" rel='canonical'>")))
+        .otherwise(lit("")),
+      lit("</head><body><p>body text</p></body></html>")))
+  }
+
   /** Dirty-text suffix appended to every document for the
     * normalization rows — written entirely in \u escapes so the plant
     * and the oracle interpolation share exact bytes. Contents: a
@@ -6162,6 +6215,75 @@ object SparkEntry {
     s"""WITH $dirtyTextCteSql
        |SELECT doc_id, nfc_normalize(${mojibakeChainSql(stripped)}) AS clean
        |FROM dd ORDER BY doc_id""".stripMargin
+  }
+
+  /** The [[plantCompliancePages]] replay over the canonical URL frame
+    * (`h` for scheme/host, `k` for canon_url).
+    */
+  private def compliancePagesCteSql: String =
+    s"""$urlCanonCtesSql,
+       |pg AS (
+       |  SELECT h.doc_id, h.url, k2.canon_url, h.scheme, h.host,
+       |         '<html><head><title>p</title>' ||
+       |         CASE h.doc_id % 7
+       |           WHEN 3 THEN '<meta name="robots" content="noindex, nofollow">'
+       |           WHEN 5 THEN '<meta content="NOFOLLOW" name="ROBOTS">'
+       |           WHEN 6 THEN '<meta name=''robots'' content=''none''>'
+       |           ELSE '' END ||
+       |         CASE h.doc_id % 3
+       |           WHEN 1 THEN '<link rel="canonical" href="https://example' || CAST(h.doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(h.doc_id % 11 AS VARCHAR) || '">'
+       |           WHEN 2 THEN '<link href="/p/' || CAST(h.doc_id % 11 AS VARCHAR) || '" rel=''canonical''>'
+       |           ELSE '' END ||
+       |         '</head><body><p>body text</p></body></html>' AS html
+       |  FROM h JOIN k k2 ON h.doc_id = k2.doc_id)""".stripMargin
+
+  private def htmlNoindexOracleSql: String = {
+    import graft.operators.TextExtraction.{MetaRobotsContentFirstRe, MetaRobotsNameFirstRe}
+    s"""WITH $compliancePagesCteSql,
+       |mx AS (
+       |  SELECT doc_id,
+       |         lower(regexp_extract(html, ${sqlStr(MetaRobotsNameFirstRe)}, 1) || ' ' ||
+       |               regexp_extract(html, ${sqlStr(MetaRobotsContentFirstRe)}, 1)) AS declared
+       |  FROM pg)
+       |SELECT doc_id,
+       |       regexp_matches(declared, '(^|[\\s,])(?:noindex|none)([\\s,]|$$)') AS noindex,
+       |       regexp_matches(declared, '(^|[\\s,])(?:nofollow|none)([\\s,]|$$)') AS nofollow
+       |FROM mx ORDER BY doc_id""".stripMargin
+  }
+
+  /** Canonical-consolidation replay: declared-target extraction (both
+    * attribute orders), the resolution scope the fixture exercises
+    * (absolute pass-through, root-relative against the canonical
+    * scheme://host — [[graft.operators.LinkGraph.resolveHref]]'s full
+    * directory-relative tier is gated by q_link_extract_rel), plant
+    * targets canonical by construction (the full canonicalization rule
+    * is gated by q_url_canon), then one winner per target.
+    */
+  private def htmlCanonicalOracleSql: String = {
+    import graft.operators.TextExtraction.{CanonicalHrefFirstRe, CanonicalRelFirstRe}
+    s"""WITH $compliancePagesCteSql,
+       |cx AS (
+       |  SELECT doc_id, url, canon_url, scheme, host,
+       |         CASE WHEN regexp_extract(html, ${sqlStr(CanonicalRelFirstRe)}, 1) <> ''
+       |                THEN regexp_extract(html, ${sqlStr(CanonicalRelFirstRe)}, 1)
+       |              WHEN regexp_extract(html, ${sqlStr(CanonicalHrefFirstRe)}, 1) <> ''
+       |                THEN regexp_extract(html, ${sqlStr(CanonicalHrefFirstRe)}, 1)
+       |              ELSE NULL END AS declared
+       |  FROM pg),
+       |tg AS (
+       |  SELECT doc_id, url,
+       |         CASE WHEN declared IS NULL THEN canon_url
+       |              WHEN regexp_matches(declared, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN declared
+       |              WHEN declared LIKE '/%' THEN scheme || '://' || host || declared
+       |              ELSE canon_url END AS canon_target
+       |  FROM cx),
+       |win AS (
+       |  SELECT canon_target, doc_id, url,
+       |         row_number() OVER (PARTITION BY canon_target
+       |                            ORDER BY doc_id, url) AS rn
+       |  FROM tg)
+       |SELECT canon_target, doc_id, url FROM win WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** The [[plantRobotsTxt]] replay: same k-derivation, same host

@@ -142,4 +142,59 @@ object TextExtraction {
 
   private def collapseWs(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
+
+  /** In-page robots directives (`<meta name="robots" content="…">`) —
+    * the compliance signal crawl curation must honor ALONGSIDE
+    * robots.txt: a page the server allowed fetching may still forbid
+    * indexing. Both attribute orders are matched (name-first and
+    * content-first, either quote style, any case); scope is the
+    * quoted-attribute form — unquoted attribute values are out with
+    * the rest of tag-soup recovery, documented not silent. Public
+    * constants so the oracle interpolates the SAME patterns.
+    */
+  val MetaRobotsNameFirstRe: String =
+    "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
+  val MetaRobotsContentFirstRe: String =
+    "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\bname\\s*=\\s*[\"']robots[\"']"
+
+  /** True when the page's robots meta carries `token` (or `none`,
+    * which implies both noindex and nofollow) as a comma/space
+    *-separated directive. Both extraction patterns run and their
+    * captures concatenate — at most one matches a well-formed page,
+    * and a no-match contributes the empty string, so the token scan
+    * sees exactly the declared directives. Pure codegen (two
+    * regexp_extract + one regexp_like).
+    */
+  private def metaRobotsDirective(html: Column, token: String): Column = {
+    val declared = lower(concat(
+      regexp_extract(html, MetaRobotsNameFirstRe, 1), lit(" "),
+      regexp_extract(html, MetaRobotsContentFirstRe, 1)))
+    regexp_like(declared, lit(s"(^|[\\s,])(?:$token|none)([\\s,]|$$)"))
+  }
+
+  def metaNoindex(html: Column): Column = metaRobotsDirective(html, "noindex")
+  def metaNofollow(html: Column): Column = metaRobotsDirective(html, "nofollow")
+
+  /** Drop pages whose robots meta forbids indexing — the in-page half
+    * of compliance filtering (robots.txt is [[UrlOps.filterDisallowed]]).
+    * A narrow map-only filter; no shuffle.
+    */
+  def filterNoindexed(df: org.apache.spark.sql.DataFrame,
+                      htmlCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(!metaNoindex(col(htmlCol)))
+
+  /** The `<link rel="canonical" href="…">` declaration, both attribute
+    * orders, either quote style; null when absent or empty. Feeds
+    * [[UrlOps.consolidateByCanonical]].
+    */
+  val CanonicalRelFirstRe: String =
+    "(?is)<link\\b[^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"
+  val CanonicalHrefFirstRe: String =
+    "(?is)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\brel\\s*=\\s*[\"']canonical[\"']"
+
+  def canonicalLinkHref(html: Column): Column = {
+    val a = regexp_extract(html, CanonicalRelFirstRe, 1)
+    val b = regexp_extract(html, CanonicalHrefFirstRe, 1)
+    when(a =!= "", a).when(b =!= "", b)
+  }
 }

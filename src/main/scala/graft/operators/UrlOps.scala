@@ -629,6 +629,32 @@ object UrlOps {
       .drop("_claimed_at")
   }
 
+  /** Consolidate pages by their DECLARED canonical: the
+    * `<link rel="canonical">` target ([[TextExtraction.canonicalLinkHref]])
+    * resolved against the page's canonical URL ([[LinkGraph.resolveHref]]
+    * — absolute, root-relative and directory-relative forms) and
+    * canonicalized; pages declaring nothing stand for themselves. One
+    * winner per target — `min(struct(key, url))`, map-side-combinable
+    * like [[dedupByCanonicalUrl]], so the single shuffle moves one
+    * pre-combined row per (partition, target), never the page bodies.
+    * This is the cross-page half of URL dedup: syntactically DIFFERENT
+    * URLs (print views, mobile mirrors, session variants) that the
+    * SITE declares equivalent collapse even when canonicalization
+    * alone cannot see it.
+    */
+  def consolidateByCanonical(df: DataFrame, urlCol: String, htmlCol: String,
+                             keyCol: String): DataFrame = {
+    val canonSelf = canonicalizeUrl(col(urlCol))
+    val declared = TextExtraction.canonicalLinkHref(col(htmlCol))
+    val resolved = LinkGraph.resolveHref(canonSelf, declared)
+    df.select(col(keyCol), col(urlCol),
+        canonicalizeUrl(coalesce(resolved, canonSelf)).as("canon_target"))
+      .groupBy("canon_target")
+      .agg(min(struct(col(keyCol), col(urlCol))).as("_win"))
+      .select(col("canon_target"), col(s"_win.$keyCol").as(keyCol),
+        col(s"_win.$urlCol").as(urlCol))
+  }
+
   /** Shared robots.txt line scanner: one row per RECOGNIZED directive
     * (`User-agent` / `Allow` / `Disallow` / `Crawl-delay`,
     * case-insensitive keys, `#` comments and CR stripped), tagged with

@@ -98,4 +98,51 @@ class TextExtractionSpec extends AnyFunSuite {
     // double-encoded decodes ONE level, consistent with &amp;-last
     assert(strip("&amp;#39;") == "&#39;")
   }
+
+  private def flags(html: String): (Boolean, Boolean) = {
+    import spark.implicits._
+    val r = Seq(html).toDF("h").select(
+      TextExtraction.metaNoindex(col("h")),
+      TextExtraction.metaNofollow(col("h"))).head()
+    (r.getBoolean(0), r.getBoolean(1))
+  }
+
+  test("metaNoindex/metaNofollow: both attribute orders, quote styles, case, and 'none' implies both") {
+    assert(flags("""<head><meta name="robots" content="noindex, nofollow"></head>""") == ((true, true)))
+    assert(flags("""<meta content="NOFOLLOW" name="ROBOTS">""") == ((false, true)))
+    assert(flags("<meta name='robots' content='none'>") == ((true, true)))
+    assert(flags("""<meta name="robots" content="index, follow">""") == ((false, false)))
+    assert(flags("no meta at all") == ((false, false)))
+    // token, not substring: 'noindexing' must not match
+    assert(flags("""<meta name="robots" content="noindexing">""") == ((false, false)))
+    // a robots meta for a DIFFERENT agent name does not match
+    assert(flags("""<meta name="googlebot" content="noindex">""") == ((false, false)))
+  }
+
+  test("canonicalLinkHref: both attribute orders; absent/empty is null") {
+    import spark.implicits._
+    def href(html: String): Option[String] = {
+      val r = Seq(html).toDF("h")
+        .select(TextExtraction.canonicalLinkHref(col("h"))).head()
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    assert(href("""<link rel="canonical" href="https://a.com/x">""") == Some("https://a.com/x"))
+    assert(href("""<link href='/y' rel='canonical'>""") == Some("/y"))
+    assert(href("""<link rel="stylesheet" href="/s.css">""") == None)
+    assert(href("""<link rel="canonical" href="">""") == None)
+  }
+
+  test("consolidateByCanonical: declared targets group print/session variants; undeclared pages stand alone") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.com/article", """<link rel="canonical" href="https://a.com/article">"""),
+      (2L, "https://a.com/article?print=1", """<link rel="canonical" href="https://a.com/article">"""),
+      (3L, "https://WWW.A.com:443/amp/article", """<link href="/article" rel='canonical'>"""),
+      (4L, "https://a.com/other", "no declaration")).toDF("doc_id", "url", "html")
+    val got = UrlOps.consolidateByCanonical(pages, "url", "html", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(
+      ("https://a.com/article", 1L),  // 1,2,3 all collapse; min key wins
+      ("https://a.com/other", 4L)), got)
+  }
 }
