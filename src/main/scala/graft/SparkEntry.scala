@@ -1845,6 +1845,19 @@ object SparkEntry {
     // header extraction, keyed by the parsed WARC-Record-ID, then run
     // through the identical curation chain — the oracle is the same
     // chained replay because wrap->parse is a byte-exact identity
+    // charset sniffing for binary crawl payloads: BOM dispatch + exact
+    // UTF-8 validation (one hex-transcript regex) + ISO-8859-1
+    // fallback, then the per-verdict decode — the round trip back to
+    // the planted text IS the gate (a wrong verdict decodes garbage);
+    // the detector RULE's edge cases (overlongs, surrogates, lone
+    // continuations) are spec-gated in WarcIngestSpec
+    "q_charset_sniff" -> ((s, d) => {
+      val recs = plantCharsetRecords(table(s, d, "documents"))
+      recs.select(col("doc_id"),
+        graft.sources.WarcIngest.sniffCharset(col("content")).as("charset"),
+        graft.sources.WarcIngest.decodeSniffed(col("content")).as("text"))
+        .orderBy("doc_id")
+    }),
     "q_crawl_from_warc" -> ((s, d) => {
       import s.implicits._
       import graft.operators.{TextExtraction, UrlOps}
@@ -4755,6 +4768,15 @@ object SparkEntry {
     // consolidation, extraction patterns shared with the Spark side
     "q_html_noindex" -> htmlNoindexOracleSql,
     "q_html_canonical" -> htmlCanonicalOracleSql,
+    // charset sniff: the expected round trip (variant label + original
+    // text) — a wrong verdict decodes garbage and fails the compare
+    "q_charset_sniff" ->
+      s"""SELECT doc_id,
+         |       CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+         |            WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
+         |            ELSE 'iso-8859-1' END AS charset,
+         |       text || ${sqlStr(CharsetProbeSuffix)} AS text
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sql_url_blocklist_psl" -> urlBlocklistPslOracleSql,
     "q_sql_crawl_curate" -> crawlCurateOracleSql,
     // suffix semantics via EXISTS (host = b or host endswith '.' || b) —
@@ -5856,6 +5878,35 @@ object SparkEntry {
           lit("\" rel='canonical'>")))
         .otherwise(lit("")),
       lit("</head><body><p>body text</p></body></html>")))
+  }
+
+  /** Non-ASCII probe appended before encoding the charset-sniff
+    * fixture: é and ñ exercise the multi-byte path in every variant
+    * and make the latin-1 bytes invalid UTF-8 (0xE9/0xF1 followed by
+    * a space fail the continuation rule).
+    */
+  private val CharsetProbeSuffix: String = " café ñ end"
+
+  /** Charset-sniff fixture: the probe text encoded five ways by
+    * doc_id%5 — plain UTF-8, BOM'd UTF-8, UTF-16LE/BE behind their
+    * BOMs, and ISO-8859-1 (invalid as UTF-8). The oracle replays the
+    * expected round trip: variant-determined label + the original
+    * text.
+    */
+  private def plantCharsetRecords(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, encode, expr, when}
+    val txt = concat(col("text"), lit(CharsetProbeSuffix))
+    val v = expr("doc_id % 5")
+    docs.select(col("doc_id"),
+      when(v === 0, encode(txt, "UTF-8"))
+        .when(v === 1, concat(
+          lit(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)),
+          encode(txt, "UTF-8")))
+        .when(v === 2, concat(lit(Array[Byte](0xFF.toByte, 0xFE.toByte)),
+          encode(txt, "UTF-16LE")))
+        .when(v === 3, concat(lit(Array[Byte](0xFE.toByte, 0xFF.toByte)),
+          encode(txt, "UTF-16BE")))
+        .otherwise(encode(txt, "ISO-8859-1")).as("content"))
   }
 
   /** Dirty-text suffix appended to every document for the

@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   *    RE2 agree on `(?m)`/`(?s)`), so the whole parse is map-only and
   *    oracle-replayable.
   *
-  * Charset sniffing is out of scope (documented, like the reference's
-  * UTF-8-only decode): payloads are decoded as UTF-8, and a crawl
-  * whose charset survey matters runs detection upstream of staging.
-  * HTTP response headers embedded in `response`-type payloads are the
-  * caller's concern — pass `stripHttpHeaders = true` to drop everything
-  * up to the payload's own first blank line.
+  * Charset handling: [[decodeRecords]]/[[parseRawRecords]] decode as
+  * UTF-8 (the reference's rule — `shared_code/json_converter.py:44`);
+  * [[sniffCharset]]/[[decodeSniffed]] add the detection tier a real
+  * crawl needs — BOM dispatch, exact UTF-8 validation as ONE regex
+  * over the hex transcript (Java and RE2 agree, so the oracle replays
+  * the detector bit for bit), ISO-8859-1 as the browser-style
+  * fallback. HTTP response headers embedded in `response`-type
+  * payloads are the caller's concern — pass `stripHttpHeaders = true`
+  * to drop everything up to the payload's own first blank line.
   */
 object WarcIngest {
 
@@ -74,6 +77,73 @@ object WarcIngest {
     */
   def responsesOnly(parsed: DataFrame): DataFrame =
     parsed.filter(col("url") =!= "" && col("html") =!= "")
+
+  /** Exact UTF-8 validity as a regex over `hex(bytes)` — the RFC 3629
+    * byte grammar transcribed to hex pairs (uppercase in both Spark's
+    * and DuckDB's `hex`): ASCII, C2–DF lead + one continuation, the
+    * four 3-byte rows (E0 with its A0-BF restriction, ED excluding
+    * surrogates, E1-EC/EE-EF plain), the three 4-byte rows (F0/F1-F3/F4
+    * with their range restrictions). Overlong encodings, lone
+    * continuation bytes, surrogates and >U+10FFFF all fail. Shared
+    * verbatim with the oracle.
+    */
+  val Utf8HexRe: String =
+    "^(?:[0-7][0-9A-F]" +
+      "|(?:C[2-9A-F]|D[0-9A-F])[89AB][0-9A-F]" +
+      "|E0[AB][0-9A-F][89AB][0-9A-F]" +
+      "|E[1-9A-C](?:[89AB][0-9A-F]){2}" +
+      "|ED[89][0-9A-F][89AB][0-9A-F]" +
+      "|E[EF](?:[89AB][0-9A-F]){2}" +
+      "|F0[9AB][0-9A-F](?:[89AB][0-9A-F]){2}" +
+      "|F[1-3](?:[89AB][0-9A-F]){3}" +
+      "|F48[0-9A-F](?:[89AB][0-9A-F]){2})*$"
+
+  /** Detected transport label for a binary payload: BOM dispatch
+    * first (`utf-8-bom`, `utf-16le`, `utf-16be`), then exact UTF-8
+    * validation ([[Utf8HexRe]]), then `iso-8859-1` — the
+    * browser-convention fallback that never fails and never loses
+    * bytes (C1 controls survive for
+    * [[graft.operators.TextNormalization.repairMojibake]] to use as
+    * evidence). One linear scan per record (the hex transcript), the
+    * same order of work as the decode itself; a latin-1 page that
+    * genuinely starts with `ÿþ` mis-sniffs as UTF-16LE — the standard
+    * sniffing caveat, accepted and documented. Pure codegen.
+    */
+  def sniffCharset(bin: Column): Column = {
+    val h = hex(bin)
+    when(h.startsWith("EFBBBF"), lit("utf-8-bom"))
+      .when(h.startsWith("FFFE"), lit("utf-16le"))
+      .when(h.startsWith("FEFF"), lit("utf-16be"))
+      .when(regexp_like(h, lit(Utf8HexRe)), lit("utf-8"))
+      .otherwise(lit("iso-8859-1"))
+  }
+
+  /** Decode a binary payload per [[sniffCharset]]'s verdict, BOM
+    * stripped. All five branches use JVM charsets from Spark's allowed
+    * `decode` set, so no legacy-charset flag is needed.
+    */
+  def decodeSniffed(bin: Column): Column = {
+    val h = hex(bin)
+    when(h.startsWith("EFBBBF"),
+        decode(substring(bin, 4, Int.MaxValue), "UTF-8"))
+      .when(h.startsWith("FFFE"),
+        decode(substring(bin, 3, Int.MaxValue), "UTF-16LE"))
+      .when(h.startsWith("FEFF"),
+        decode(substring(bin, 3, Int.MaxValue), "UTF-16BE"))
+      .when(regexp_like(h, lit(Utf8HexRe)), decode(bin, "UTF-8"))
+      .otherwise(decode(bin, "ISO-8859-1"))
+  }
+
+  /** [[decodeRecords]] with the detection tier: (`url`, `html`,
+    * `charset`, `fetch_ts`). Map-only like the UTF-8 path.
+    */
+  def decodeRecordsSniffed(records: DataFrame, urlCol: String = "url",
+                           contentCol: String = "content",
+                           dateCol: String = "warc_date"): DataFrame =
+    records.select(col(urlCol).as("url"),
+      decodeSniffed(col(contentCol)).as("html"),
+      sniffCharset(col(contentCol)).as("charset"),
+      col(dateCol).as("fetch_ts"))
 
   /** The inverse of [[parseRawRecords]] for tests and staging fixtures:
     * wrap (`url`, `html`, `fetch_ts`) as a raw WARC response record

@@ -71,4 +71,41 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(out.getAs[String]("html") == "café <b>page</b>")
     assert(out.getAs[String]("url") == "https://a.com")
   }
+
+  private def sniff(bytes: Array[Byte]): (String, String) = {
+    import spark.implicits._
+    val r = Seq(Tuple1(bytes)).toDF("b").select(
+      WarcIngest.sniffCharset(col("b")),
+      WarcIngest.decodeSniffed(col("b"))).head()
+    (r.getString(0), r.getString(1))
+  }
+
+  test("sniffCharset: BOM dispatch and BOM-stripped decode") {
+    val utf8 = "café ñ".getBytes("UTF-8")
+    assert(sniff(utf8) == (("utf-8", "café ñ")))
+    assert(sniff(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ utf8) ==
+      (("utf-8-bom", "café ñ")))
+    assert(sniff(Array[Byte](0xFF.toByte, 0xFE.toByte) ++ "café".getBytes("UTF-16LE")) ==
+      (("utf-16le", "café")))
+    assert(sniff(Array[Byte](0xFE.toByte, 0xFF.toByte) ++ "café".getBytes("UTF-16BE")) ==
+      (("utf-16be", "café")))
+    assert(sniff("café ñ".getBytes("ISO-8859-1")) == (("iso-8859-1", "café ñ")))
+  }
+
+  test("sniffCharset: exact UTF-8 grammar — overlongs, surrogates, lone continuations all fall back") {
+    // 4-byte supplementary char is VALID utf-8
+    assert(sniff("ok 😀 emoji".getBytes("UTF-8"))._1 == "utf-8")
+    // empty payload: trivially valid utf-8
+    assert(sniff(Array.empty[Byte]) == (("utf-8", "")))
+    // overlong encoding of '/' (C0 AF) is NOT valid utf-8
+    assert(sniff("a".getBytes("UTF-8") ++ Array[Byte](0xC0.toByte, 0xAF.toByte))._1 == "iso-8859-1")
+    // CESU-style surrogate bytes (ED A0 80) are NOT valid utf-8
+    assert(sniff(Array[Byte](0xED.toByte, 0xA0.toByte, 0x80.toByte))._1 == "iso-8859-1")
+    // a lone continuation byte is NOT valid utf-8
+    assert(sniff(Array[Byte](0x80.toByte))._1 == "iso-8859-1")
+    // truncated multi-byte sequence at end of payload
+    assert(sniff("x".getBytes("UTF-8") ++ Array[Byte](0xE2.toByte, 0x80.toByte))._1 == "iso-8859-1")
+    // F4 90 would be > U+10FFFF
+    assert(sniff(Array[Byte](0xF4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte))._1 == "iso-8859-1")
+  }
 }
