@@ -2071,6 +2071,29 @@ object SparkEntry {
         .frontierSchedule(frontier, "url", "doc_id", "priority", delays)
         .orderBy("doc_id")
     }),
+    // the compliance CAPSTONE — robots bytes to a polite crawl plan:
+    // parse robots.txt, enforce it over the page frame, drop noindex'd
+    // pages, consolidate by declared canonical, schedule the winners in
+    // per-host politeness waves with the parsed delays. One chained
+    // oracle replays every hop; shuffle inventory: broadcast-rules anti
+    // (enforce), map-only meta filter, one combiner-collapsed shuffle
+    // (consolidation), one host shuffle (schedule)
+    "q_crawl_plan" -> ((s, d) => {
+      import graft.operators.{TextExtraction, UrlOps}
+      val docs = table(s, d, "documents")
+      val robots = plantRobotsTxt(docs)
+      val rules = UrlOps.parseRobotsRules(robots, agent = "*")
+      val pages = plantCompliancePages(docs)
+      val allowed = UrlOps.filterDisallowed(pages, "url", "doc_id", rules)
+      val indexable = TextExtraction.filterNoindexed(allowed, "html")
+      val winners = UrlOps.consolidateByCanonical(
+        indexable, "url", "html", "doc_id")
+      val delays = UrlOps.crawlDelays(robots, agent = "*")
+      UrlOps.frontierSchedule(
+          winners.withColumn("priority", col("doc_id") % 5),
+          "url", "doc_id", "priority", delays)
+        .orderBy("doc_id")
+    }),
     // domain-blocklist filter with suffix semantics (blocking example.com
     // blocks cdn.media.example.com): exploded domain-chain broadcast semi
     // collects blocked keys, broadcast anti removes them — the corpus
@@ -4758,6 +4781,8 @@ object SparkEntry {
     "q_robots_delay" -> robotsDelayOracleSql,
     "q_robots_enforce" -> robotsEnforceOracleSql,
     "q_frontier_schedule" -> frontierScheduleOracleSql,
+    // the compliance capstone: every hop of the chained plan replayed
+    "q_crawl_plan" -> crawlPlanOracleSql,
     // text normalization: NFC is a TWO-IMPLEMENTATION check (DuckDB's
     // independent nfc_normalize vs java.text.Normalizer); mojibake and
     // control-strip are replays generated from the same constants
@@ -6310,17 +6335,25 @@ object SparkEntry {
     * targets canonical by construction (the full canonicalization rule
     * is gated by q_url_canon), then one winner per target.
     */
-  private def htmlCanonicalOracleSql: String = {
+  /** Declared-canonical consolidation CTEs over page CTE `src`
+    * (must carry doc_id, url, canon_url, scheme, host, html):
+    * extraction (both attribute orders), fixture-scope resolution
+    * (absolute pass-through, root-relative against the canonical
+    * scheme://host — [[graft.operators.LinkGraph.resolveHref]]'s full
+    * directory-relative tier is gated by q_link_extract_rel; plant
+    * targets are canonical by construction, the full rule gated by
+    * q_url_canon), then one ranked winner per target in `win`.
+    */
+  private def canonicalConsolidationCtesSql(src: String): String = {
     import graft.operators.TextExtraction.{CanonicalHrefFirstRe, CanonicalRelFirstRe}
-    s"""WITH $compliancePagesCteSql,
-       |cx AS (
+    s"""cx AS (
        |  SELECT doc_id, url, canon_url, scheme, host,
        |         CASE WHEN regexp_extract(html, ${sqlStr(CanonicalRelFirstRe)}, 1) <> ''
        |                THEN regexp_extract(html, ${sqlStr(CanonicalRelFirstRe)}, 1)
        |              WHEN regexp_extract(html, ${sqlStr(CanonicalHrefFirstRe)}, 1) <> ''
        |                THEN regexp_extract(html, ${sqlStr(CanonicalHrefFirstRe)}, 1)
        |              ELSE NULL END AS declared
-       |  FROM pg),
+       |  FROM $src),
        |tg AS (
        |  SELECT doc_id, url,
        |         CASE WHEN declared IS NULL THEN canon_url
@@ -6332,9 +6365,50 @@ object SparkEntry {
        |  SELECT canon_target, doc_id, url,
        |         row_number() OVER (PARTITION BY canon_target
        |                            ORDER BY doc_id, url) AS rn
-       |  FROM tg)
+       |  FROM tg)""".stripMargin
+  }
+
+  private def htmlCanonicalOracleSql: String =
+    s"""WITH $compliancePagesCteSql,
+       |${canonicalConsolidationCtesSql("pg")}
        |SELECT canon_target, doc_id, url FROM win WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
+
+  /** The full compliance pipeline replay ([[q_crawl_plan]]): robots
+    * parse→enforce over the page frame, the noindex meta filter, the
+    * canonical consolidation among SURVIVORS, then the politeness
+    * schedule over the winners with the '*'-agent delays.
+    */
+  private def crawlPlanOracleSql: String = {
+    import graft.operators.TextExtraction.{MetaRobotsContentFirstRe, MetaRobotsNameFirstRe}
+    s"""WITH $compliancePagesCteSql,
+       |${robotsDirectivesCtesSql("*")},
+       |$robotsEnforceCtesSql,
+       |surv AS (
+       |  SELECT pg.* FROM pg
+       |  WHERE pg.doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)),
+       |idx AS (
+       |  SELECT surv.* FROM surv
+       |  WHERE NOT regexp_matches(
+       |    lower(regexp_extract(html, ${sqlStr(MetaRobotsNameFirstRe)}, 1) || ' ' ||
+       |          regexp_extract(html, ${sqlStr(MetaRobotsContentFirstRe)}, 1)),
+       |    '(^|[\\s,])(?:noindex|none)([\\s,]|$$)')),
+       |${canonicalConsolidationCtesSql("idx")},
+       |del AS (
+       |  SELECT h AS host, CAST(round(min(CAST(dval AS DOUBLE)) * 1000) AS BIGINT) AS delay_ms
+       |  FROM rbind
+       |  WHERE dkey = 'crawl-delay' AND regexp_matches(dval, '^[0-9]+(\\.[0-9]+)?$$')
+       |  GROUP BY h),
+       |sched AS (
+       |  SELECT w.doc_id, w.url, hh.host, w.doc_id % 5 AS prio,
+       |         row_number() OVER (PARTITION BY hh.host
+       |                            ORDER BY w.doc_id % 5 DESC, w.url, w.doc_id) - 1 AS wave
+       |  FROM win w JOIN h hh ON w.doc_id = hh.doc_id
+       |  WHERE w.rn = 1)
+       |SELECT s.doc_id, s.host, CAST(s.wave AS BIGINT) AS wave,
+       |       CAST(s.wave * COALESCE(d.delay_ms, 1000) AS BIGINT) AS fetch_at_ms
+       |FROM sched s LEFT JOIN del d ON s.host = d.host
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   /** The [[plantRobotsTxt]] replay: same k-derivation, same host
@@ -6411,26 +6485,35 @@ object SparkEntry {
        |GROUP BY h
        |ORDER BY host""".stripMargin
 
-  /** Parse → enforce chain: the `rbind` rules compiled to REP regexes
-    * (the [[urlRobotsOracleSql]] `rr` formula) and applied to the
-    * canonical URL frame with longest-pattern-wins.
+  /** The parsed-rules enforcement CTEs (`rr` compiles `rbind` to REP
+    * regexes — the [[urlRobotsOracleSql]] formula — and `verd` ranks
+    * matches per doc with longest-pattern-wins). Expects `rbind` and
+    * the canonical `h` frame in scope.
     */
-  private def robotsEnforceOracleSql: String =
-    s"""WITH $urlCanonCtesSql,
-       |${robotsDirectivesCtesSql("*")},
-       |rr AS (
+  private def robotsEnforceCtesSql: String =
+    s"""rr AS (
        |  SELECT h AS rhost, dval AS pattern, (dkey = 'allow') AS allow,
        |         length(dval) AS spec,
+       |         -- no line may START with '||': this fragment is re-interpolated
+       |         -- under ANOTHER stripMargin (q_crawl_plan), which would eat one
        |         '^' || replace(regexp_replace(
        |                  CASE WHEN dval LIKE '%$$' THEN substr(dval, 1, length(dval) - 1) ELSE dval END,
-       |                  '([.\\\\+?\\[\\]{}()|^$$])', '\\\\\\1', 'g'), '*', '.*')
-       |             || CASE WHEN dval LIKE '%$$' THEN '$$' ELSE '' END AS rx
+       |                  '([.\\\\+?\\[\\]{}()|^$$])', '\\\\\\1', 'g'), '*', '.*') ||
+       |             CASE WHEN dval LIKE '%$$' THEN '$$' ELSE '' END AS rx
        |  FROM rbind WHERE dkey IN ('allow', 'disallow') AND dval <> ''),
        |verd AS (
        |  SELECT h.doc_id, rr.allow,
        |         row_number() OVER (PARTITION BY h.doc_id
        |                            ORDER BY rr.spec DESC, rr.allow DESC) AS rn
-       |  FROM h JOIN rr ON h.host = rr.rhost AND regexp_matches(h.rpathq, rr.rx))
+       |  FROM h JOIN rr ON h.host = rr.rhost AND regexp_matches(h.rpathq, rr.rx))""".stripMargin
+
+  /** Parse → enforce chain: the `rbind` rules compiled to REP regexes
+    * and applied to the canonical URL frame with longest-pattern-wins.
+    */
+  private def robotsEnforceOracleSql: String =
+    s"""WITH $urlCanonCtesSql,
+       |${robotsDirectivesCtesSql("*")},
+       |$robotsEnforceCtesSql
        |SELECT doc_id, url FROM h
        |WHERE doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)
        |ORDER BY doc_id""".stripMargin

@@ -228,6 +228,19 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("crawl-plan capstone: rules/delays never force a corpus cartesian; windows only on host/robots keys") {
+    val p = plan("q_crawl_plan")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // parsed rules ride a broadcast
+    // windows: the robots-parse group machinery (lines frame) + the
+    // per-host schedule rank — all partitioned, never a global
+    // empty-partition-spec Window (which would single-task the corpus)
+    assert(!p.contains("Window [")
+      || !p.contains("windowspecdefinition()"), p)
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 9, s"hash exchanges grew past the measured 8 to $exchanges:\n$p")
+  }
+
   test("decontamination plan: benchmark side broadcasts, no cartesian") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
