@@ -1930,6 +1930,35 @@ object SparkEntry {
         .createOrReplaceTempView(SqlTableFunctions.RobotsRelation)
       s.sql("SELECT doc_id, url FROM graft_url_robots() ORDER BY doc_id")
     }),
+    // SQL faces of the raw-robots family: the robots_txt relation
+    // carries fetched bodies; the faces parse per-agent
+    "q_sql_robots_parse" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantRobotsTxt(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.RobotsTxtRelation)
+      s.sql("SELECT host, pattern, allow FROM graft_robots_rules('graftbot') " +
+        "ORDER BY host, pattern, allow")
+    }),
+    "q_sql_crawl_delays" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantRobotsTxt(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.RobotsTxtRelation)
+      s.sql("SELECT host, delay_s FROM graft_crawl_delays('graftbot') ORDER BY host")
+    }),
+    "q_sql_meta_robots" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantCompliancePages(table(s, d, "documents"))
+        .select(col("doc_id"), col("html"))
+        .createOrReplaceTempView(SqlTableFunctions.PagesRelation)
+      s.sql("SELECT doc_id, noindex, nofollow FROM graft_meta_robots() ORDER BY doc_id")
+    }),
+    "q_sql_text_normalize" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantDirtyText(table(s, d, "documents"))
+        .select(col("doc_id"), col("dirty").as("text"))
+        .createOrReplaceTempView(SqlTableFunctions.DocumentsRelation)
+      s.sql("SELECT doc_id, clean FROM graft_text_normalize() ORDER BY doc_id")
+    }),
     "q_sql_url_blocklist" -> ((s, d) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -4783,6 +4812,11 @@ object SparkEntry {
     "q_frontier_schedule" -> frontierScheduleOracleSql,
     // the compliance capstone: every hop of the chained plan replayed
     "q_crawl_plan" -> crawlPlanOracleSql,
+    // SQL faces ≡ their method twins, same oracles
+    "q_sql_robots_parse" -> robotsParseOracleSql,
+    "q_sql_crawl_delays" -> robotsDelayOracleSql,
+    "q_sql_meta_robots" -> htmlNoindexOracleSql,
+    "q_sql_text_normalize" -> textNormalizeOracleSql,
     // text normalization: NFC is a TWO-IMPLEMENTATION check (DuckDB's
     // independent nfc_normalize vs java.text.Normalizer); mojibake and
     // control-strip are replays generated from the same constants

@@ -84,6 +84,12 @@ object SqlTableFunctions {
   /** Blocklist functions read this relation: one `domain` column. */
   val BlocklistRelation = "blocklist"
 
+  /** Raw-robots functions read this relation: one row per fetched
+    * robots.txt — `host`, `robots_txt` columns (the body bytes as
+    * text; [[graft.operators.UrlOps.parseRobotsRules]] semantics).
+    */
+  val RobotsTxtRelation = "robots_txt"
+
   /** The relation the vector functions read (vec_id, embedding). */
   val EmbeddingsRelation = "embeddings"
 
@@ -431,6 +437,25 @@ object SqlTableFunctions {
         .select(col("doc_id"), col("canon_url"),
           col("n_words").cast("long").as("n_words"),
           md5(col("main")).as("main_hash"))
+    }
+    add("graft_robots_rules", "graft_robots_rules(agent)", 1) { (s, f, a) =>
+      graft.operators.UrlOps.parseRobotsRules(
+        rel(s, RobotsTxtRelation, f.name), agent = strArg(f, a, 0))
+    }
+    add("graft_crawl_delays", "graft_crawl_delays(agent)", 1) { (s, f, a) =>
+      graft.operators.UrlOps.crawlDelays(
+        rel(s, RobotsTxtRelation, f.name), agent = strArg(f, a, 0))
+    }
+    add("graft_meta_robots", "graft_meta_robots()", 0) { (s, f, _) =>
+      import org.apache.spark.sql.functions.col
+      rel(s, PagesRelation, f.name).select(col("doc_id"),
+        graft.operators.TextExtraction.metaNoindex(col("html")).as("noindex"),
+        graft.operators.TextExtraction.metaNofollow(col("html")).as("nofollow"))
+    }
+    add("graft_text_normalize", "graft_text_normalize()", 0) { (s, f, _) =>
+      import org.apache.spark.sql.functions.col
+      rel(s, DocumentsRelation, f.name).select(col("doc_id"),
+        graft.operators.TextNormalization.normalize(col("text")).as("clean"))
     }
     add("graft_link_edges", "graft_link_edges()", 0) { (s, f, _) =>
       graft.operators.LinkGraph.extractLinks(
