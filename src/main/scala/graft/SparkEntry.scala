@@ -2039,6 +2039,31 @@ object SparkEntry {
           .select("doc_id", "canon_url").orderBy("doc_id")
       }
     }),
+    // the compliance gate streamed: six micro-batches of fetched pages
+    // robots-enforced (parsed-rules snapshot broadcast per batch),
+    // noindex-stripped, then probed against pre-seeded frontier claims
+    // (even doc_ids) — claims from the INDEX only, so the survivor set
+    // is batch-partition independent and the oracle replays it as one
+    // batch chain + NOT IN
+    "q_crawl_plan_stream" -> ((s, d) => {
+      import graft.operators.UrlOps
+      val docs = table(s, d, "documents")
+      val pages = plantCompliancePages(docs)
+      val rules = UrlOps.parseRobotsRules(plantRobotsTxt(docs), agent = "*")
+      BenchPhases.timed("q_crawl_plan_stream", "build")(
+        UrlOps.writeUrlIndex(pages.filter(col("doc_id") % 2 === 0), "url",
+          "graft_stream_plan_index"))
+      withTempDir("graft_plan_stream") { tmp =>
+        BenchPhases.timed("q_crawl_plan_stream", "stage")(
+          pages.repartition(6).write.parquet(s"$tmp/input"))
+        BenchPhases.drainTimed("q_crawl_plan_stream")(
+          graft.streaming.DedupStream.startCompliance(s, s"$tmp/input",
+            "graft_stream_plan_index", s"$tmp/out", s"$tmp/cp", rules,
+            maxFilesPerTrigger = Some(1)))
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+          .select("doc_id", "canon_url").orderBy("doc_id")
+      }
+    }),
     // robots.txt compliance, full REP (RFC 9309): Allow/Disallow with
     // longest-pattern-wins (Allow on ties), '*' wildcards, trailing-$
     // anchors, 'Disallow: /' blocking the host root, rule hosts
@@ -4812,6 +4837,23 @@ object SparkEntry {
     "q_frontier_schedule" -> frontierScheduleOracleSql,
     // the compliance capstone: every hop of the chained plan replayed
     "q_crawl_plan" -> crawlPlanOracleSql,
+    // the streamed compliance gate: one batch chain + NOT IN replay
+    "q_crawl_plan_stream" ->
+      s"""WITH $compliancePagesCteSql,
+         |${robotsDirectivesCtesSql("*")},
+         |$robotsEnforceCtesSql,
+         |surv AS (
+         |  SELECT pg.* FROM pg
+         |  WHERE pg.doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)),
+         |idx AS (
+         |  SELECT surv.* FROM surv
+         |  WHERE NOT regexp_matches(
+         |    lower(regexp_extract(html, ${sqlStr(graft.operators.TextExtraction.MetaRobotsNameFirstRe)}, 1) || ' ' ||
+         |          regexp_extract(html, ${sqlStr(graft.operators.TextExtraction.MetaRobotsContentFirstRe)}, 1)),
+         |    '(^|[\\s,])(?:noindex|none)([\\s,]|$$)'))
+         |SELECT doc_id, canon_url FROM idx
+         |WHERE canon_url NOT IN (SELECT canon_url FROM k WHERE doc_id % 2 = 0)
+         |ORDER BY doc_id""".stripMargin,
     // SQL faces ≡ their method twins, same oracles
     "q_sql_robots_parse" -> robotsParseOracleSql,
     "q_sql_crawl_delays" -> robotsDelayOracleSql,

@@ -178,6 +178,36 @@ object DedupStream {
         asOfCol, ttl)
     }
 
+  /** Compliance gate — the streaming face of the q_crawl_plan chain's
+    * filtering half: each micro-batch of fetched pages is robots-
+    * enforced ([[graft.operators.UrlOps.filterDisallowed]] against a
+    * PARSED rules snapshot), stripped of noindex'd pages
+    * ([[graft.operators.TextExtraction.filterNoindexed]]), then probed
+    * against the persisted frontier index like [[startUrls]]. The
+    * rules frame is captured at start and broadcast per batch — robots
+    * snapshots change on crawl-refresh cadence, so a rules update is a
+    * gate restart by design (a per-trigger re-read would make the
+    * survivor set depend on WHEN a batch ran, breaking the
+    * batch-partition-independence contract the oracle checks). Same
+    * idempotent per-batch-id output contract as [[startUrls]].
+    */
+  def startCompliance(spark: SparkSession, inputDir: String,
+                      indexTable: String, outputDir: String,
+                      checkpointDir: String, robots: DataFrame,
+                      urlCol: String = "url", htmlCol: String = "html",
+                      keyCol: String = "doc_id",
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      maxFilesPerTrigger: Option[Int] = None,
+                      appendAccepted: Boolean = false): StreamingQuery =
+    startUrlsWith(spark, inputDir, outputDir, checkpointDir, trigger,
+      maxFilesPerTrigger, appendAccepted, indexTable) { batch =>
+      val allowed = graft.operators.UrlOps.filterDisallowed(
+        batch, urlCol, keyCol, robots)
+      val indexable = graft.operators.TextExtraction.filterNoindexed(
+        allowed, htmlCol)
+      graft.operators.UrlOps.stripSeenUrls(indexable, urlCol, indexTable)
+    }
+
   private def startUrlsWith(spark: SparkSession, inputDir: String,
                             outputDir: String, checkpointDir: String,
                             trigger: Trigger, maxFilesPerTrigger: Option[Int],

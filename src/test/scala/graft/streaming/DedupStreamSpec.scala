@@ -194,4 +194,39 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(batch == survivors, s"batch $batch != gate $survivors")
     } finally spark.sql("DROP TABLE IF EXISTS url_ttl_spec_index")
   }
+
+  test("compliance gate: robots-enforce + noindex + frontier probe per batch == one batch chain") {
+    import spark.implicits._
+    import graft.operators.{TextExtraction, UrlOps}
+    val seen = Seq((100L, "https://site.com/claimed")).toDF("doc_id", "url")
+    UrlOps.writeUrlIndex(seen, "url", "compliance_gate_index", buckets = 4)
+    try {
+      val rules = Seq(("site.com", "/private", false))
+        .toDF("host", "pattern", "allow")
+      val pages = Seq(
+        (1L, "https://site.com/ok", "<html><body>fine</body></html>"),
+        (2L, "https://site.com/private/x", "<html>robots-blocked</html>"),
+        (3L, "https://site.com/hidden",
+          """<html><meta name="robots" content="noindex"></html>"""),
+        (4L, "https://site.com/claimed?utm_source=s", "<html>seen</html>"),
+        (5L, "https://site.com/new", "<html>novel</html>"))
+        .toDF("doc_id", "url", "html")
+      val tmp = Files.createTempDirectory("cg").toString
+      pages.repartition(3).write.parquet(s"$tmp/in")
+      DedupStream.startCompliance(spark, s"$tmp/in", "compliance_gate_index",
+        s"$tmp/out", s"$tmp/cp", rules, maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val survivors = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$tmp/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 5L), s"gate survivors: $survivors")
+      // gate == the batch chain run in one shot (partition independence)
+      val batch = UrlOps.stripSeenUrls(
+        TextExtraction.filterNoindexed(
+          UrlOps.filterDisallowed(pages, "url", "doc_id", rules), "html"),
+        "url", "compliance_gate_index")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch == survivors, s"batch $batch != gate $survivors")
+    } finally spark.sql("DROP TABLE IF EXISTS compliance_gate_index")
+  }
 }
