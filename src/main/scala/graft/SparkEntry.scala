@@ -1858,6 +1858,42 @@ object SparkEntry {
         graft.sources.WarcIngest.decodeSniffed(col("content")).as("text"))
         .orderBy("doc_id")
     }),
+    // HTTP response filtering (the FIRST C4 keep rule): status line +
+    // Content-Type pulled from the embedded header block by the same
+    // anchored regexes the oracle replays; only 200 + HTML media types
+    // survive, with the header-stripped payload appended
+    "q_warc_http" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val docs = table(s, d, "documents")
+      val st = expr("CASE WHEN doc_id % 4 = 1 THEN '404' ELSE '200' END")
+      val ct = expr("CASE WHEN doc_id % 5 = 2 THEN 'application/pdf' " +
+        "WHEN doc_id % 5 = 3 THEN 'application/XHTML+xml; charset=utf-8' " +
+        "ELSE 'text/HTML; charset=UTF-8' END")
+      val payload = concat(lit("HTTP/1.1 "), st, lit(" OK\r\nContent-Type: "),
+        ct, lit("\r\nServer: x\r\n\r\n<p>"), col("text"), lit("</p>"))
+      graft.sources.WarcIngest.filterHtmlResponses(
+          docs.select(col("doc_id"), payload.as("payload")), "payload")
+        .select(col("doc_id"), col("status"), col("content_type"), col("html"))
+        .orderBy("doc_id")
+    }),
+    // blocked-token accounting + the C4 badwords drop: exact TOKEN
+    // match (not substring) against a broadcast list, one map-side
+    // combinable rollup — shuffled bytes ∝ docs, never tokens
+    "q_badword_stats" -> ((s, d) => {
+      import s.implicits._
+      val dirty = plantBadwordText(table(s, d, "documents"))
+      val words = Seq("badx", "bady", "BadZ").toDF("word")
+      graft.operators.CorpusCuration.blockedTokenStats(dirty, words)
+        .orderBy("doc_id")
+    }),
+    "q_badwords_filter" -> ((s, d) => {
+      import s.implicits._
+      val dirty = plantBadwordText(table(s, d, "documents"))
+      val words = Seq("badx", "bady", "BadZ").toDF("word")
+      graft.operators.CorpusCuration
+        .filterBlockedTokens(dirty, words, maxFrac = 0.02)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_crawl_from_warc" -> ((s, d) => {
       import s.implicits._
       import graft.operators.{TextExtraction, UrlOps}
@@ -4869,6 +4905,36 @@ object SparkEntry {
     // consolidation, extraction patterns shared with the Spark side
     "q_html_noindex" -> htmlNoindexOracleSql,
     "q_html_canonical" -> htmlCanonicalOracleSql,
+    // HTTP response filtering: payload built in SQL, then the SAME
+    // anchored status/content-type/body regexes the Spark side runs
+    "q_warc_http" ->
+      s"""WITH wp AS (
+         |  SELECT doc_id,
+         |         'HTTP/1.1 ' || CASE WHEN doc_id % 4 = 1 THEN '404' ELSE '200' END ||
+         |         ' OK' || chr(13) || chr(10) || 'Content-Type: ' ||
+         |         CASE WHEN doc_id % 5 = 2 THEN 'application/pdf'
+         |              WHEN doc_id % 5 = 3 THEN 'application/XHTML+xml; charset=utf-8'
+         |              ELSE 'text/HTML; charset=UTF-8' END ||
+         |         chr(13) || chr(10) || 'Server: x' || chr(13) || chr(10) ||
+         |         chr(13) || chr(10) || '<p>' || text || '</p>' AS payload
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id,
+         |         regexp_extract(payload, '^HTTP/[0-9.]+\\s+([0-9]{3})', 1) AS status,
+         |         lower(trim(regexp_extract(payload, '(?im)^Content-Type:\\s*([^;\\r\\n]+)', 1))) AS content_type,
+         |         regexp_extract(payload, '(?s)\\r?\\n\\r?\\n(.*)$$', 1) AS html
+         |  FROM wp)
+         |SELECT doc_id, status, content_type, html FROM px
+         |WHERE status = '200' AND content_type IN ('text/html', 'application/xhtml+xml')
+         |ORDER BY doc_id""".stripMargin,
+    // blocked tokens: exact token membership over the whitespace split
+    // of the lowercased planted text; strict-vs-fraction thresholds
+    "q_badword_stats" -> badwordStatsOracleSql("""
+         |SELECT doc_id, n_tokens, n_blocked, blocked_frac FROM bs
+         |ORDER BY doc_id""".stripMargin),
+    "q_badwords_filter" -> badwordStatsOracleSql("""
+         |SELECT doc_id FROM bs WHERE blocked_frac <= 0.02
+         |ORDER BY doc_id""".stripMargin),
     // charset sniff: the expected round trip (variant label + original
     // text) — a wrong verdict decodes garbage and fails the compare
     "q_charset_sniff" ->
@@ -5980,6 +6046,42 @@ object SparkEntry {
         .otherwise(lit("")),
       lit("</head><body><p>body text</p></body></html>")))
   }
+
+  /** Badword plant: doc_id%9==1 gains one blocked token (a single hit
+    * must trip the strict rule but stay under a fraction threshold on
+    * long docs), %9==2 gains three (two distinct words, repeats
+    * counted per occurrence). Tokenization is whitespace on the
+    * LOWERCASED text, matching the oracle's split.
+    */
+  private def plantBadwordText(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    docs.select(col("doc_id"), concat(col("text"),
+      expr("CASE doc_id % 9 WHEN 1 THEN ' badx' " +
+        "WHEN 2 THEN ' badx bady badx' ELSE '' END")).as("text"))
+  }
+
+  /** Badword replay: the plant, the whitespace split of the lowercased
+    * text, exact token membership ('BadZ' lowercased like the Spark
+    * side lowers the words frame), 6-dp fraction. `finalSelect` reads
+    * CTE `bs` (doc_id, n_tokens, n_blocked, blocked_frac).
+    */
+  private def badwordStatsOracleSql(finalSelect: String): String =
+    s"""WITH bd AS (
+       |  SELECT doc_id, lower(text ||
+       |           CASE doc_id % 9 WHEN 1 THEN ' badx'
+       |                WHEN 2 THEN ' badx bady badx' ELSE '' END) AS t
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS tok
+       |  FROM bd),
+       |bs AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(CASE WHEN tok IN ('badx', 'bady', 'badz')
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       |         round(SUM(CASE WHEN tok IN ('badx', 'bady', 'badz')
+       |                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS blocked_frac
+       |  FROM tk GROUP BY doc_id)
+       |$finalSelect""".stripMargin
 
   /** Non-ASCII probe appended before encoding the charset-sniff
     * fixture: é and ñ exercise the multi-byte path in every variant

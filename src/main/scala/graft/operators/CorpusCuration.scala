@@ -104,4 +104,43 @@ object CorpusCuration {
     Sampling.epochShuffle(cached, seed, epoch, numShards)
       .select(col("doc_id"), col("shard"), col("global_pos"))
   }
+
+  /** Per-doc blocked-token accounting — the C4 "bad words" rule (drop
+    * any page containing a listed token; C4 §2.1's first filter) with
+    * the fraction generalization CCNet-style pipelines use. Tokens are
+    * the whitespace tokens of the lowercased text compared EXACTLY
+    * against the list (token match, not substring — "class" must not
+    * trip a three-letter entry). The list rides into the plan as a
+    * broadcast-joined frame aggregated map-side: explode(tokens) ⋈
+    * words is one broadcast hash semi per token with a count rollup —
+    * shuffled bytes ∝ docs, never tokens. Returns every doc with
+    * `n_tokens`, `n_blocked`, and `blocked_frac` (6-dp rounded, the
+    * cross-engine float discipline).
+    */
+  def blockedTokenStats(docs: DataFrame, words: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val w = broadcast(words.select(lower(col("word")).as("tok"),
+      lit(1L).as("_hit")))
+    toks.join(w, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_blocked"))
+      .withColumn("blocked_frac",
+        round(col("n_blocked").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Drop documents whose blocked-token fraction exceeds `maxFrac`
+    * (0.0 = the strict C4 rule: one hit removes the page). A broadcast
+    * anti on the offending keys — the corpus frame itself is never
+    * shuffled, mirroring [[UrlOps.filterBlockedDomains]]'s shape.
+    */
+  def filterBlockedTokens(docs: DataFrame, words: DataFrame,
+                          maxFrac: Double = 0.0): DataFrame = {
+    val offending = blockedTokenStats(docs, words)
+      .filter(col("blocked_frac") > maxFrac)
+      .select("doc_id")
+    docs.join(offending, Seq("doc_id"), "left_anti")
+  }
 }

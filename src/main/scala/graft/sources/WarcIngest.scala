@@ -78,6 +78,37 @@ object WarcIngest {
   def responsesOnly(parsed: DataFrame): DataFrame =
     parsed.filter(col("url") =!= "" && col("html") =!= "")
 
+  /** HTTP status code from a `response` payload that begins with the
+    * embedded HTTP header block (`HTTP/1.1 200 OK\r\n…\r\n\r\nbody`);
+    * '' when the payload carries no status line. Pure codegen.
+    */
+  def httpStatus(payload: Column): Column =
+    regexp_extract(payload, "^HTTP/[0-9.]+\\s+([0-9]{3})", 1)
+
+  /** The media type from the embedded `Content-Type` header —
+    * lowercased, parameters (`; charset=…`) stripped; '' when absent.
+    * Anchored multiline, case-insensitive key (RFC 9110 field names
+    * are case-insensitive).
+    */
+  def httpContentType(payload: Column): Column =
+    lower(trim(regexp_extract(payload,
+      "(?im)^Content-Type:\\s*([^;\\r\\n]+)", 1)))
+
+  /** The C4/CCNet keep rule: status 200 and an HTML media type
+    * (text/html or application/xhtml+xml) — everything else (redirect
+    * bodies, PDFs, images mislabeled as responses) leaves the corpus
+    * HERE, before any byte is decoded or tokenized. Returns the kept
+    * rows with `status`, `content_type` and the header-stripped `html`
+    * payload columns appended. Map-only.
+    */
+  def filterHtmlResponses(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("status", httpStatus(col(payloadCol)))
+      .withColumn("content_type", httpContentType(col(payloadCol)))
+      .filter(col("status") === "200" &&
+        col("content_type").isin("text/html", "application/xhtml+xml"))
+      .withColumn("html",
+        regexp_extract(col(payloadCol), "(?s)\\r?\\n\\r?\\n(.*)$", 1))
+
   /** Exact UTF-8 validity as a regex over `hex(bytes)` — the RFC 3629
     * byte grammar transcribed to hex pairs (uppercase in both Spark's
     * and DuckDB's `hex`): ASCII, C2–DF lead + one continuation, the

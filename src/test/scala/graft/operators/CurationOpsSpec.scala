@@ -712,4 +712,31 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("query_id").collect().map(_.getLong(0)).toSet
     assert(batch == Set(2L))
   }
+
+  test("blockedTokenStats: exact token match (not substring), case-folded both sides, repeats counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a clean classy document"),       // 'class' must NOT trip on 'classy'
+      (2L, "one BAD token here"),            // case-folded hit
+      (3L, "bad bad words bad")).toDF("doc_id", "text")
+    val words = Seq("bad", "CLASS").toDF("word")
+    val got = CorpusCuration.blockedTokenStats(docs, words)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((4L, 0L)), 2L -> ((4L, 1L)), 3L -> ((4L, 3L))), got)
+  }
+
+  test("filterBlockedTokens: strict C4 rule at maxFrac=0, fraction rule keeps low-density docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "totally clean text"),
+      (2L, "one bad token in a fairly long document body here"),
+      (3L, "bad bad bad")).toDF("doc_id", "text")
+    val words = Seq("bad").toDF("word")
+    val strict = CorpusCuration.filterBlockedTokens(docs, words)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L), strict)
+    val frac = CorpusCuration.filterBlockedTokens(docs, words, maxFrac = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(frac == Set(1L, 2L), frac) // 1/10 passes, 3/3 does not
+  }
 }

@@ -80,6 +80,24 @@ class WarcIngestSpec extends AnyFunSuite {
     (r.getString(0), r.getString(1))
   }
 
+  test("filterHtmlResponses: only 200 + HTML media types pass, header block stripped") {
+    import spark.implicits._
+    def pl(status: String, ct: String, body: String) =
+      s"HTTP/1.1 $status OK\r\ncontent-type: $ct\r\n\r\n$body"
+    val df = Seq(
+      (1L, pl("200", "text/html; charset=utf-8", "<p>keep</p>")),
+      (2L, pl("404", "text/html", "<p>not found page</p>")),
+      (3L, pl("200", "application/pdf", "%PDF-1.4")),
+      (4L, pl("200", "Application/XHTML+XML", "<p>xhtml</p>")),
+      (5L, "no http header block at all")).toDF("doc_id", "payload")
+    val kept = WarcIngest.filterHtmlResponses(df, "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("content_type"), r.getAs[String]("html"))).toMap
+    assert(kept == Map(
+      1L -> (("text/html", "<p>keep</p>")),
+      4L -> (("application/xhtml+xml", "<p>xhtml</p>"))), kept)
+  }
+
   test("sniffCharset: BOM dispatch and BOM-stripped decode") {
     val utf8 = "café ñ".getBytes("UTF-8")
     assert(sniff(utf8) == (("utf-8", "café ñ")))
