@@ -2250,6 +2250,20 @@ object SparkEntry {
       graft.operators.UrlOps.sitemapUrls(
         plantSitemaps(table(s, d, "documents")), "xml", "doc_id")
         .orderBy("doc_id", "url")),
+    // sitemap-declared importance feeding the crawl plan: <priority>
+    // parsed (clamped to [0,1], spec default 0.5 for absent/junk),
+    // entries scheduled in politeness waves under a per-host budget of
+    // 3 — the discovery → schedule chain a crawler actually runs
+    "q_sitemap_schedule" -> ((s, d) => {
+      import graft.operators.UrlOps
+      val docs = table(s, d, "documents")
+      val entries = UrlOps.sitemapEntries(
+        plantPrioritySitemaps(docs), "xml", "k")
+      val delays = UrlOps.crawlDelays(plantRobotsTxt(docs), agent = "graftbot")
+      UrlOps.frontierBudget(entries, "url", "k", "priority", delays,
+          maxPerHost = 3)
+        .orderBy("host", "wave")
+    }),
     // redirect-chain resolution: per-hop co-keyed left joins with an
     // early exit; chains terminating within 8 hops resolve (final_url,
     // hops), loops and over-cap chains come out (NULL, NULL) — the
@@ -4873,6 +4887,8 @@ object SparkEntry {
     "q_frontier_schedule" -> frontierScheduleOracleSql,
     // the compliance capstone: every hop of the chained plan replayed
     "q_crawl_plan" -> crawlPlanOracleSql,
+    // sitemap priority → politeness schedule under a per-host budget
+    "q_sitemap_schedule" -> sitemapScheduleOracleSql,
     // the streamed compliance gate: one batch chain + NOT IN replay
     "q_crawl_plan_stream" ->
       s"""WITH $compliancePagesCteSql,
@@ -6046,6 +6062,75 @@ object SparkEntry {
         .otherwise(lit("")),
       lit("</head><body><p>body text</p></body></html>")))
   }
+
+  /** Priority-sitemap plant: one `<urlset>` per plantUrls root host
+    * with four entries — explicit 0.9, absent (spec default 0.5),
+    * junk (`high` → default), and 1.7 (clamped to 1.0). Locs are
+    * planted CANONICAL so the schedule oracle replays them verbatim
+    * (extraction canonicalization is gated by q_sitemap_urls).
+    */
+  private def plantPrioritySitemaps(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    val k = col("k")
+    val base = concat(lit("https://example"), k.cast("string"), lit(".com/s/"))
+    docs.select((col("doc_id") % 20).as("k")).distinct()
+      .select(k, concat(
+        lit("<urlset>\n<url><loc>"), base,
+        lit("0</loc><priority>0.9</priority></url>\n<url><loc>"), base,
+        lit("1</loc></url>\n<url><loc>"), base,
+        lit("2</loc><priority>high</priority></url>\n<url><loc>"), base,
+        lit("3</loc><priority>1.7</priority></url>\n</urlset>")).as("xml"))
+  }
+
+  /** Sitemap-schedule replay: plant, block/loc/priority extraction
+    * (same regexes), the [0,1] clamp with the 0.5 default, politeness
+    * waves over (priority DESC, url, k), graftbot delays, budget cut
+    * at 3. Hosts are planted canonical (`example{k}.com`), so the host
+    * term replays as the plant formula — the full host rule is gated
+    * by q_url_canon.
+    */
+  private def sitemapScheduleOracleSql: String =
+    s"""WITH ${robotsDirectivesCtesSql("graftbot")},
+       |del AS (
+       |  SELECT h AS host, CAST(round(min(CAST(dval AS DOUBLE)) * 1000) AS BIGINT) AS delay_ms
+       |  FROM rbind
+       |  WHERE dkey = 'crawl-delay' AND regexp_matches(dval, '^[0-9]+(\\.[0-9]+)?$$')
+       |  GROUP BY h),
+       |hosts AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+       |sm AS (
+       |  SELECT k,
+       |         '<urlset>' || chr(10) ||
+       |         '<url><loc>https://example' || CAST(k AS VARCHAR) || '.com/s/0</loc><priority>0.9</priority></url>' || chr(10) ||
+       |         '<url><loc>https://example' || CAST(k AS VARCHAR) || '.com/s/1</loc></url>' || chr(10) ||
+       |         '<url><loc>https://example' || CAST(k AS VARCHAR) || '.com/s/2</loc><priority>high</priority></url>' || chr(10) ||
+       |         '<url><loc>https://example' || CAST(k AS VARCHAR) || '.com/s/3</loc><priority>1.7</priority></url>' || chr(10) ||
+       |         '</urlset>' AS xml
+       |  FROM hosts),
+       |sb AS (
+       |  SELECT k, unnest(regexp_extract_all(xml, '(?is)<url\\b[^>]*>(.*?)</url>', 1)) AS b
+       |  FROM sm),
+       |se AS (
+       |  SELECT k,
+       |         regexp_extract(b, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc>', 1) AS url,
+       |         regexp_extract(b, '(?is)<priority\\s*>\\s*(.*?)\\s*</priority>', 1) AS pr
+       |  FROM sb),
+       |sp AS (
+       |  SELECT k, url,
+       |         CASE WHEN regexp_matches(pr, '^[0-9]+(\\.[0-9]+)?$$')
+       |              THEN least(greatest(CAST(pr AS DOUBLE), 0.0), 1.0)
+       |              ELSE 0.5 END AS priority,
+       |         'example' || CAST(k AS VARCHAR) || '.com' AS host
+       |  FROM se WHERE url <> ''),
+       |sched AS (
+       |  SELECT k, url, host, priority,
+       |         row_number() OVER (PARTITION BY host
+       |                            ORDER BY priority DESC, url, k) - 1 AS wave
+       |  FROM sp)
+       |SELECT s.k, s.host, CAST(s.wave AS BIGINT) AS wave,
+       |       CAST(s.wave * COALESCE(d.delay_ms, 1000) AS BIGINT) AS fetch_at_ms
+       |FROM sched s LEFT JOIN del d ON s.host = d.host
+       |WHERE s.wave < 3
+       |ORDER BY s.host, s.wave""".stripMargin
 
   /** Badword plant: doc_id%9==1 gains one blocked token (a single hit
     * must trip the strict rule but stay under a fraction threshold on

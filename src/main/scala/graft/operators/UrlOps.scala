@@ -426,6 +426,45 @@ object UrlOps {
         when(col("_lm") === "", lit(null).cast("string"))
           .otherwise(col("_lm")).as("lastmod"))
 
+  /** [[sitemapUrls]] plus the scheduling signals: `priority` parsed
+    * from the optional `<priority>` element per sitemaps.org — numeric
+    * values clamped to [0,1], absent/junk values take the spec's 0.5
+    * default — so sitemap-declared importance can feed
+    * [[frontierSchedule]] directly. Same map-only shape, same
+    * RE2-portable regexes.
+    */
+  def sitemapEntries(df: DataFrame, xmlCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?is)<url\\b[^>]*>(.*?)</url>"), lit(1))).as("_b"))
+      .select(col(keyCol),
+        regexp_extract(col("_b"), "(?is)<loc\\s*>\\s*(.*?)\\s*</loc>", 1).as("_loc"),
+        regexp_extract(col("_b"),
+          "(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod>", 1).as("_lm"),
+        regexp_extract(col("_b"),
+          "(?is)<priority\\s*>\\s*(.*?)\\s*</priority>", 1).as("_pr"))
+      .filter(col("_loc") =!= "")
+      .select(col(keyCol),
+        canonicalizeUrl(xmlUnescape(col("_loc"))).as("url"),
+        when(col("_lm") === "", lit(null).cast("string"))
+          .otherwise(col("_lm")).as("lastmod"),
+        when(regexp_like(col("_pr"), lit("^[0-9]+(\\.[0-9]+)?$")),
+          least(greatest(col("_pr").cast("double"), lit(0.0)), lit(1.0)))
+          .otherwise(lit(0.5)).as("priority"))
+
+  /** [[frontierSchedule]] with a per-host crawl budget: waves past
+    * `maxPerHost` are cut, so each politeness cycle fetches at most
+    * that many URLs per host — the budget knob every crawler exposes.
+    * The cutoff is a filter on the already-computed wave; zero
+    * additional shuffles.
+    */
+  def frontierBudget(frontier: DataFrame, urlCol: String, keyCol: String,
+                     priorityCol: String, delays: DataFrame,
+                     maxPerHost: Int,
+                     defaultDelayS: Double = 1.0): DataFrame =
+    frontierSchedule(frontier, urlCol, keyCol, priorityCol, delays,
+      defaultDelayS).filter(col("wave") < maxPerHost)
+
   /** Final targets of redirect chains: for every source in a one-hop
     * redirect map `(srcCol, dstCol)`, follow hops until a TERMINAL url
     * (one that is not itself a redirect source). Chains that terminate

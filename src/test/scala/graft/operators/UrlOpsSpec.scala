@@ -326,6 +326,34 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(any == Seq(("h.com", 0.5)), any) // star group's 0.5; star2's junk dropped
   }
 
+  test("sitemapEntries: priority clamped to [0,1], spec default 0.5 for absent/junk") {
+    import spark.implicits._
+    val xml = """<urlset>
+      |<url><loc>https://a.com/1</loc><priority>0.9</priority></url>
+      |<url><loc>https://a.com/2</loc></url>
+      |<url><loc>https://a.com/3</loc><priority>garbage</priority></url>
+      |<url><loc>https://a.com/4</loc><priority>1.7</priority></url>
+      |</urlset>""".stripMargin
+    val got = UrlOps.sitemapEntries(Seq((1L, xml)).toDF("k", "xml"), "xml", "k")
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(got == Map(
+      "https://a.com/1" -> 0.9, "https://a.com/2" -> 0.5,
+      "https://a.com/3" -> 0.5, "https://a.com/4" -> 1.0), got)
+  }
+
+  test("frontierBudget: waves past the per-host cap are cut, other hosts unaffected") {
+    import spark.implicits._
+    val frontier = Seq(
+      (1L, "https://a.com/1", 3L), (2L, "https://a.com/2", 2L),
+      (3L, "https://a.com/3", 1L), (4L, "https://b.com/1", 0L))
+      .toDF("id", "url", "prio")
+    val delays = Seq.empty[(String, Double)].toDF("host", "delay_s")
+    val got = UrlOps.frontierBudget(frontier, "url", "id", "prio", delays,
+        maxPerHost = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L), got) // a.com keeps its top 2; b.com untouched
+  }
+
   test("frontierSchedule: per-host waves rank by priority, offsets multiply the host delay, default for robots-less hosts") {
     import spark.implicits._
     val frontier = Seq(
