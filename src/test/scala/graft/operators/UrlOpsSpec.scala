@@ -315,6 +315,71 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(star2 == Set(("/x", false)), star2) // comment stripped, empty Disallow dropped
   }
 
+  /** Independent driver-side reference implementation of the RFC 9309
+    * group semantics — a SECOND implementation (plain Scala fold, no
+    * Spark, no shared code with the operator) for the property check:
+    * the distributed window-function parse must agree with it on
+    * arbitrary generated bodies.
+    */
+  private def referenceRobotsParse(body: String, agent: String): Set[(String, Boolean)] = {
+    val recognized = Set("user-agent", "allow", "disallow", "crawl-delay")
+    val directives = body.split("\n", -1).toSeq
+      .map(_.stripSuffix("\r").takeWhile(_ != '#').trim)
+      .flatMap { l =>
+        val i = l.indexOf(':')
+        if (i < 0) None
+        else {
+          val k = l.substring(0, i).trim.toLowerCase
+          if (recognized(k)) Some(k -> l.substring(i + 1).trim) else None
+        }
+      }
+    // group ids: a user-agent line NOT preceded by a user-agent line opens a group
+    case class St(gid: Int, prevUa: Boolean, rows: Vector[(Int, String, String)])
+    val st = directives.foldLeft(St(0, prevUa = false, Vector.empty)) {
+      case (s, (k, v)) =>
+        val ua = k == "user-agent"
+        val gid = if (ua && !s.prevUa) s.gid + 1 else s.gid
+        St(gid, ua, s.rows :+ ((gid, k, v)))
+    }
+    val groups = st.rows.groupBy(_._1)
+    val agentGroups = groups.filter(_._2.exists {
+      case (_, k, v) => k == "user-agent" && v.toLowerCase == agent.toLowerCase })
+    val binding =
+      if (agentGroups.nonEmpty) agentGroups
+      else groups.filter(_._2.exists { case (_, k, v) => k == "user-agent" && v == "*" })
+    binding.values.flatten.collect {
+      case (_, k, v) if (k == "allow" || k == "disallow") && v.nonEmpty =>
+        (v, k == "allow")
+    }.toSet
+  }
+
+  test("parseRobotsRules agrees with an independent reference parser on generated bodies") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val uaNames = Gen.oneOf("*", "graftbot", "otherbot", "MixedBot")
+    val patterns = Gen.oneOf("/", "/a", "/a/*", "/b$", "", "/p q")
+    val line: Gen[String] = Gen.frequency(
+      3 -> uaNames.map("User-agent: " + _),
+      2 -> patterns.map("Disallow: " + _),
+      2 -> patterns.map("Allow: " + _),
+      1 -> Gen.const("Crawl-delay: 2"),
+      1 -> Gen.const("Sitemap: https://x.com/s.xml"),
+      1 -> Gen.const("# a comment line"),
+      1 -> Gen.const(""),
+      1 -> Gen.const("junk without a colon"))
+    val body = Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, line))
+      .map(_.mkString("\n"))
+    val prop = Prop.forAll(body, Gen.oneOf("graftbot", "*", "nobody")) {
+      (b, agent) =>
+        val got = UrlOps.parseRobotsRules(
+            Seq(("h.com", b)).toDF("host", "robots_txt"), agent = agent)
+          .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+        got == referenceRobotsParse(b, agent)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("crawlDelays: binding group's numeric delay; junk dropped; min collapse") {
     import spark.implicits._
     val robots = Seq(("h.com", robotsBody)).toDF("host", "robots_txt")
