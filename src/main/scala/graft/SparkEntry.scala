@@ -1760,6 +1760,15 @@ object SparkEntry {
         .select(col("doc_id"), graft.operators.TextNormalization
           .normalize(col("dirty")).as("clean"))
         .orderBy("doc_id")),
+    // per-doc writing-system profile: one codegen'd regexp_count per
+    // explicit codepoint range (\x{..} classes — the one script syntax
+    // Java regex and RE2 share), letter total, dominant script with
+    // earlier-range tie priority — the routing signal deciding which
+    // language pipeline a document enters
+    "q_script_profile" -> ((s, d) =>
+      graft.operators.TextAnalysis.scriptProfile(
+          plantScriptText(table(s, d, "documents")))
+        .orderBy("doc_id")),
     // in-page robots directives: <meta name="robots"> noindex/nofollow
     // flags (both attribute orders, either quote style, 'none' implies
     // both) — the compliance signal robots.txt cannot carry; pure
@@ -2161,6 +2170,13 @@ object SparkEntry {
         .frontierSchedule(frontier, "url", "doc_id", "priority", delays)
         .orderBy("doc_id")
     }),
+    // Sitemap: directives from robots bodies — per the spec GLOBAL
+    // (outside user-agent groups, any position), so the scan ignores
+    // grouping; absolute-URL values only, distinct per (host, url)
+    "q_robots_sitemaps" -> ((s, d) =>
+      graft.operators.UrlOps.robotsSitemaps(
+          plantRobotsTxt(table(s, d, "documents")))
+        .orderBy("host", "sitemap_url")),
     // the compliance CAPSTONE — robots bytes to a polite crawl plan:
     // parse robots.txt, enforce it over the page frame, drop noindex'd
     // pages, consolidate by declared canonical, schedule the winners in
@@ -4889,6 +4905,22 @@ object SparkEntry {
     "q_crawl_plan" -> crawlPlanOracleSql,
     // sitemap priority → politeness schedule under a per-host budget
     "q_sitemap_schedule" -> sitemapScheduleOracleSql,
+    // Sitemap: directive extraction (group-independent, absolute only)
+    "q_robots_sitemaps" ->
+      s"""WITH $robotsPlantCteSql,
+         |rl AS (
+         |  SELECT regexp_replace(regexp_replace(lower(host), ':(80|443)$$', ''), '^www\\.', '') AS host,
+         |         unnest(string_split(txt, chr(10))) AS raw
+         |  FROM rb),
+         |ln AS (
+         |  SELECT host, trim(regexp_replace(regexp_replace(raw, '\\r$$', ''), '#.*$$', '')) AS line
+         |  FROM rl)
+         |SELECT DISTINCT host,
+         |       trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS sitemap_url
+         |FROM ln
+         |WHERE lower(trim(regexp_extract(line, '^([^:]+):', 1))) = 'sitemap'
+         |  AND regexp_matches(trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)), '^[A-Za-z][A-Za-z0-9+.-]*://')
+         |ORDER BY host, sitemap_url""".stripMargin,
     // the streamed compliance gate: one batch chain + NOT IN replay
     "q_crawl_plan_stream" ->
       s"""WITH $compliancePagesCteSql,
@@ -4917,6 +4949,8 @@ object SparkEntry {
     "q_text_nfc" -> textNfcOracleSql,
     "q_text_mojibake" -> textMojibakeOracleSql,
     "q_text_normalize" -> textNormalizeOracleSql,
+    // script routing: counts generated from the shared range constants
+    "q_script_profile" -> scriptProfileOracleSql,
     // in-page compliance: meta-robots flags and declared-canonical
     // consolidation, extraction patterns shared with the Spark side
     "q_html_noindex" -> htmlNoindexOracleSql,
@@ -6131,6 +6165,57 @@ object SparkEntry {
        |FROM sched s LEFT JOIN del d ON s.host = d.host
        |WHERE s.wave < 3
        |ORDER BY s.host, s.wave""".stripMargin
+
+  /** Script probes appended by doc_id%6 (\u escapes — plant and oracle
+    * share exact codepoints): none (Latin body only), Cyrillic, Han,
+    * Arabic, Greek, Hangul samples.
+    */
+  private val ScriptProbes: Seq[String] = Seq(
+    "",
+    " Привет мир",
+    " 你好世界文档 カタ",
+    " مرحبا بك",
+    " αβγ δεζ",
+    " 안녕하세요")
+
+  private def plantScriptText(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr, when}
+    val v = expr("doc_id % 6")
+    val suffix = ScriptProbes.zipWithIndex.tail
+      .foldLeft(when(v === 0, lit(ScriptProbes.head))) {
+        case (acc, (p, i)) => acc.when(v === i, lit(p))
+      }
+    docs.select(col("doc_id"), concat(col("text"), suffix).as("text"))
+  }
+
+  /** Script-profile replay, GENERATED from the same
+    * [[graft.operators.TextAnalysis.ScriptRanges]] constants and
+    * [[ScriptProbes]] bytes. Dominance replays as first-label-equals-
+    * max — equivalent to the Spark side's strictly-greater fold with
+    * earlier-entry priority (both = earliest range achieving the max;
+    * all-zero rows fall to `latin` on both engines).
+    */
+  private def scriptProfileOracleSql: String = {
+    val ranges = graft.operators.TextAnalysis.ScriptRanges
+    val probeCase = ScriptProbes.zipWithIndex.map { case (p, i) =>
+      s"WHEN $i THEN ${sqlStr(p)}" }.mkString(" ")
+    val countCols = ranges.map { case (n, re) =>
+      s"CAST(len(regexp_extract_all(t, ${sqlStr(re)})) AS BIGINT) AS n_$n"
+    }.mkString(",\n         ")
+    val total = ranges.map(r => s"n_${r._1}").mkString(" + ")
+    val m = "GREATEST(" + ranges.map(r => s"n_${r._1}").mkString(", ") + ")"
+    val dom = "CASE " + ranges.map { case (n, _) =>
+      s"WHEN n_$n = $m THEN '$n'" }.mkString(" ") + " END"
+    s"""WITH sd AS (
+       |  SELECT doc_id, text || CASE doc_id % 6 $probeCase END AS t
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |         $countCols
+       |  FROM sd)
+       |SELECT sc.*, CAST($total AS BIGINT) AS n_letters, $dom AS dominant_script
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
 
   /** Badword plant: doc_id%9==1 gains one blocked token (a single hit
     * must trip the strict rule but stay under a fraction threshold on

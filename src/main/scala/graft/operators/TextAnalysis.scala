@@ -1020,4 +1020,46 @@ object TextAnalysis {
     sh.unpersist(false)
     out.orderBy("doc_id")
   }
+
+  /** Writing-system ranges as EXPLICIT codepoint classes — not
+    * `\p{script=…}`, whose NAME SYNTAX differs between Java regex
+    * (`\p{IsLatin}`) and RE2 (`\p{Latin}`); `\x{…}` ranges parse
+    * identically in both, so ONE constant serves Spark and the oracle.
+    * Coverage is the major blocks (Latin incl. the supplement/extended
+    * accents, Cyrillic, Greek, Arabic, CJK = kana + unified Han,
+    * Hangul syllables) — a routing signal, not a full Unicode census;
+    * order = the dominance tie-break priority.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{C0}-\\x{24F}]",
+    "cyrillic" -> "[\\x{400}-\\x{4FF}]",
+    "greek" -> "[\\x{370}-\\x{3FF}]",
+    "arabic" -> "[\\x{600}-\\x{6FF}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]")
+
+  /** Per-document script profile: one codegen'd `regexp_count` per
+    * range (map-only, no shuffle), the letter total, and the dominant
+    * script (max count, ties to the earlier [[ScriptRanges]] entry) —
+    * the routing signal that decides which language-specific pipeline
+    * (tokenizer, stopword list, quality model) a document enters.
+    * [[langId]] guesses the LANGUAGE of Latin-script text; this
+    * catches what it cannot: a Cyrillic or CJK page routed to a Latin
+    * tokenizer shreds into garbage tokens long before perplexity
+    * filters could notice.
+    */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val counts = ScriptRanges.map { case (n, re) =>
+      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$n") }
+    val base = docs.select((col("doc_id") +: counts): _*)
+    val total = ScriptRanges.map(r => col(s"n_${r._1}")).reduce(_ + _)
+    val dominant = ScriptRanges.foldLeft((lit(-1L), lit("none"))) {
+      case ((bestC, bestN), (n, _)) =>
+        val c = col(s"n_$n")
+        (when(c > bestC, c).otherwise(bestC),
+          when(c > bestC, lit(n)).otherwise(bestN))
+    }._2
+    base.withColumn("n_letters", total)
+      .withColumn("dominant_script", dominant)
+  }
 }

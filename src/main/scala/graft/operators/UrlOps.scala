@@ -742,6 +742,27 @@ object UrlOps {
         (col("_hAgent") === 0 && col("_gStar") === 1))
   }
 
+  /** `Sitemap:` directives from raw robots.txt bodies — the discovery
+    * hop between compliance and [[sitemapEntries]]: per RFC 9309 /
+    * sitemaps.org the directive is GLOBAL (outside user-agent groups,
+    * any position), so this scan ignores grouping entirely: split
+    * lines, strip CR/comments, keep `sitemap:` keys (case-insensitive)
+    * with non-empty absolute-URL values, distinct per (host, url).
+    * Map-only except the final distinct (bounded by #sitemap lines).
+    */
+  def robotsSitemaps(robotsTxt: DataFrame, hostCol: String = "host",
+                     txtCol: String = "robots_txt"): DataFrame =
+    robotsTxt.select(
+        canonicalBareHost(col(hostCol)).as("host"),
+        explode(split(col(txtCol), "\n")).as("_raw"))
+      .select(col("host"), trim(regexp_replace(
+        regexp_replace(col("_raw"), "\\r$", ""), "#.*$", "")).as("_line"))
+      .filter(lower(trim(regexp_extract(col("_line"), "^([^:]+):", 1))) === "sitemap")
+      .select(col("host"),
+        trim(regexp_extract(col("_line"), "^[^:]+:(.*)$", 1)).as("sitemap_url"))
+      .filter(col("sitemap_url").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+      .distinct()
+
   /** Parse raw robots.txt bodies into the (`host`, `pattern`, `allow`)
     * rules frame [[filterDisallowed]] consumes — the missing first hop
     * of the compliance path (until now rules arrived pre-parsed; a real

@@ -713,6 +713,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(batch == Set(2L))
   }
 
+  test("scriptProfile: range counts, letter total, dominance with earlier-range tie priority") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "x Привет мир"),            // cyrillic outnumbers the one latin char
+      (3L, "안녕 hello 你好你好你好"),    // han 6 > latin 5 > hangul 2
+      (4L, "")).toDF("doc_id", "text") // all-zero row falls to latin
+    val got = TextAnalysis.scriptProfile(docs)
+      .select("doc_id", "n_latin", "n_cyrillic", "n_cjk", "n_hangul",
+        "n_letters", "dominant_script")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(got(1L) == ((14L, 0L, 0L, 0L, 14L, "latin")), got(1L))
+    assert(got(2L) == ((1L, 9L, 0L, 0L, 10L, "cyrillic")), got(2L))
+    assert(got(3L) == ((5L, 0L, 6L, 2L, 13L, "cjk")), got(3L))
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0L, "latin")), got(4L))
+  }
+
   test("blockedTokenStats: exact token match (not substring), case-folded both sides, repeats counted") {
     import spark.implicits._
     val docs = Seq(

@@ -391,6 +391,16 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(any == Seq(("h.com", 0.5)), any) // star group's 0.5; star2's junk dropped
   }
 
+  test("robotsSitemaps: group-independent, host-canonicalized, absolute-only, distinct") {
+    import spark.implicits._
+    val body = "User-agent: a\nSitemap: https://h.com/a.xml # inside a group\n" +
+      "Disallow: /\nSitemap: https://h.com/a.xml\r\n" + // duplicate + CRLF
+      "sitemap: https://h.com/b.xml\nSitemap: /relative/ignored.xml\nSitemap:\n"
+    val got = UrlOps.robotsSitemaps(Seq(("WWW.H.com:443", body)).toDF("host", "robots_txt"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("h.com", "https://h.com/a.xml"), ("h.com", "https://h.com/b.xml")), got)
+  }
+
   test("sitemapEntries: priority clamped to [0,1], spec default 0.5 for absent/junk") {
     import spark.implicits._
     val xml = """<urlset>
