@@ -2170,6 +2170,27 @@ object SparkEntry {
         .frontierSchedule(frontier, "url", "doc_id", "priority", delays)
         .orderBy("doc_id")
     }),
+    // change-driven recrawl: current vs previous snapshot compared by
+    // canonical URL (md5s travel, texts never do), changed/new pages
+    // get priority 1.0 and stable ones 0.1, then the politeness
+    // scheduler ranks them — the adaptive-crawl loop closed in one
+    // chained row
+    "q_recrawl_schedule" -> ((s, d) => {
+      import graft.operators.UrlOps
+      import org.apache.spark.sql.functions.expr
+      val docs = table(s, d, "documents")
+      val u = concat(lit("https://snap"), (col("doc_id") % 20).cast("string"),
+        lit(".com/d/"), col("doc_id").cast("string"))
+      val cur = docs.select(col("doc_id"), u.as("url"),
+        expr("CASE WHEN doc_id % 3 = 1 THEN text || ' v2' ELSE text END").as("text"))
+      val prev = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(u.as("url"), col("text"))
+      val pr = UrlOps.recrawlPriorities(cur, prev, "url", "doc_id", "text")
+      import s.implicits._
+      val noDelays = Seq.empty[(String, Double)].toDF("host", "delay_s")
+      UrlOps.frontierSchedule(pr, "canon_url", "doc_id", "priority", noDelays)
+        .orderBy("doc_id")
+    }),
     // Sitemap: directives from robots bodies — per the spec GLOBAL
     // (outside user-agent groups, any position), so the scan ignores
     // grouping; absolute-URL values only, distinct per (host, url)
@@ -4905,6 +4926,29 @@ object SparkEntry {
     "q_crawl_plan" -> crawlPlanOracleSql,
     // sitemap priority → politeness schedule under a per-host budget
     "q_sitemap_schedule" -> sitemapScheduleOracleSql,
+    // change-driven recrawl replay: string compare stands in for the
+    // md5 compare (equal iff the texts are equal), waves over
+    // (priority DESC, canon_url, doc_id), default 1000 ms delays
+    "q_recrawl_schedule" ->
+      s"""WITH snap AS (
+         |  SELECT doc_id,
+         |         'https://snap' || CAST(doc_id % 20 AS VARCHAR) || '.com/d/' || CAST(doc_id AS VARCHAR) AS u,
+         |         'snap' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS host,
+         |         CASE WHEN doc_id % 3 = 1 THEN text || ' v2' ELSE text END AS t_new,
+         |         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS t_old
+         |  FROM documents),
+         |pr AS (
+         |  SELECT doc_id, u AS canon_url, host,
+         |         CASE WHEN t_old IS NULL OR t_new <> t_old THEN 1.0 ELSE 0.1 END AS priority
+         |  FROM snap),
+         |sched AS (
+         |  SELECT doc_id, host,
+         |         row_number() OVER (PARTITION BY host
+         |                            ORDER BY priority DESC, canon_url, doc_id) - 1 AS wave
+         |  FROM pr)
+         |SELECT doc_id, host, CAST(wave AS BIGINT) AS wave,
+         |       CAST(wave * 1000 AS BIGINT) AS fetch_at_ms
+         |FROM sched ORDER BY doc_id""".stripMargin,
     // Sitemap: directive extraction (group-independent, absolute only)
     "q_robots_sitemaps" ->
       s"""WITH $robotsPlantCteSql,

@@ -465,6 +465,35 @@ object UrlOps {
     frontierSchedule(frontier, urlCol, keyCol, priorityCol, delays,
       defaultDelayS).filter(col("wave") < maxPerHost)
 
+  /** Change-driven recrawl priorities — the signal adaptive crawlers
+    * schedule by: compare the current snapshot's content against the
+    * previous one BY CANONICAL URL and emit `changedPriority` for
+    * pages that changed or are new, `unchangedPriority` for stable
+    * ones (stable pages still recrawl, just later — feed the result
+    * to [[frontierSchedule]]/[[frontierBudget]]). Texts never travel
+    * through the join: each side reduces to (canonical, 16-byte md5)
+    * at the scan — the [[SnapshotDiff.diff]] discipline — so the one
+    * co-keyed shuffle carries fixed-width rows regardless of page
+    * size. Inputs are expected canonical-deduped (one row per
+    * canonical per snapshot — [[dedupByCanonicalUrl]] output);
+    * duplicate canonicals on the previous side would fan the join out.
+    */
+  def recrawlPriorities(current: DataFrame, previous: DataFrame,
+                        urlCol: String, keyCol: String, textCol: String,
+                        changedPriority: Double = 1.0,
+                        unchangedPriority: Double = 0.1): DataFrame = {
+    val cur = current.select(col(keyCol),
+      canonicalizeUrl(col(urlCol)).as("canon_url"),
+      md5(col(textCol)).as("_h_n"))
+    val prev = previous.select(canonicalizeUrl(col(urlCol)).as("canon_url"),
+      md5(col(textCol)).as("_h_o"))
+    cur.join(prev, Seq("canon_url"), "left")
+      .withColumn("priority",
+        when(col("_h_o").isNull || col("_h_o") =!= col("_h_n"),
+          lit(changedPriority)).otherwise(lit(unchangedPriority)))
+      .select(col(keyCol), col("canon_url"), col("priority"))
+  }
+
   /** Final targets of redirect chains: for every source in a one-hop
     * redirect map `(srcCol, dstCol)`, follow hops until a TERMINAL url
     * (one that is not itself a redirect source). Chains that terminate

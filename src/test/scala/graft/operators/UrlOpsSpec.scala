@@ -391,6 +391,22 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(any == Seq(("h.com", 0.5)), any) // star group's 0.5; star2's junk dropped
   }
 
+  test("recrawlPriorities: changed and new pages high, stable pages low, canonical-keyed compare") {
+    import spark.implicits._
+    val prev = Seq(
+      ("https://a.com/1", "same text"),
+      ("https://WWW.A.com:443/2/", "old text")) // canonical match despite surface form
+      .toDF("url", "text")
+    val cur = Seq(
+      (1L, "https://a.com/1", "same text"),   // stable
+      (2L, "https://a.com/2", "new text"),    // changed (canonical matches prev row 2)
+      (3L, "https://a.com/3", "whatever"))    // new page
+      .toDF("doc_id", "url", "text")
+    val got = UrlOps.recrawlPriorities(cur, prev, "url", "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 0.1, 2L -> 1.0, 3L -> 1.0), got)
+  }
+
   test("robotsSitemaps: group-independent, host-canonicalized, absolute-only, distinct") {
     import spark.implicits._
     val body = "User-agent: a\nSitemap: https://h.com/a.xml # inside a group\n" +
