@@ -1975,6 +1975,19 @@ object SparkEntry {
         .createOrReplaceTempView(SqlTableFunctions.RobotsRelation)
       s.sql("SELECT doc_id, url FROM graft_url_robots() ORDER BY doc_id")
     }),
+    // the capstone as ONE SQL SELECT over registered relations —
+    // identical logical plan by construction, shared chained oracle
+    "q_sql_crawl_plan" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = table(s, d, "documents")
+      plantRobotsTxt(docs)
+        .createOrReplaceTempView(SqlTableFunctions.RobotsTxtRelation)
+      plantCompliancePages(docs)
+        .withColumn("priority", col("doc_id") % 5)
+        .createOrReplaceTempView(SqlTableFunctions.PagesRelation)
+      s.sql("SELECT doc_id, host, wave, fetch_at_ms FROM graft_crawl_plan('*') " +
+        "ORDER BY doc_id")
+    }),
     // SQL faces of the raw-robots family: the robots_txt relation
     // carries fetched bodies; the faces parse per-agent
     "q_sql_robots_parse" -> ((s, d) => {
@@ -4983,6 +4996,7 @@ object SparkEntry {
          |WHERE canon_url NOT IN (SELECT canon_url FROM k WHERE doc_id % 2 = 0)
          |ORDER BY doc_id""".stripMargin,
     // SQL faces ≡ their method twins, same oracles
+    "q_sql_crawl_plan" -> crawlPlanOracleSql,
     "q_sql_robots_parse" -> robotsParseOracleSql,
     "q_sql_crawl_delays" -> robotsDelayOracleSql,
     "q_sql_meta_robots" -> htmlNoindexOracleSql,

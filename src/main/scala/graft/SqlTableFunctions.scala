@@ -438,6 +438,27 @@ object SqlTableFunctions {
           col("n_words").cast("long").as("n_words"),
           md5(col("main")).as("main_hash"))
     }
+    // the compliance capstone as ONE SQL SELECT: pages relation must
+    // carry (doc_id, url, html, priority); robots_txt carries fetched
+    // bodies. Parse -> enforce -> noindex strip -> canonical
+    // consolidation -> politeness schedule with the parsed delays.
+    add("graft_crawl_plan", "graft_crawl_plan(agent)", 1) { (s, f, a) =>
+      import org.apache.spark.sql.functions.{col, min => fmin}
+      val agent = strArg(f, a, 0)
+      val robots = rel(s, RobotsTxtRelation, f.name)
+      val pages = rel(s, PagesRelation, f.name)
+      val rules = graft.operators.UrlOps.parseRobotsRules(robots, agent = agent)
+      val allowed = graft.operators.UrlOps.filterDisallowed(
+        pages, "url", "doc_id", rules)
+      val indexable = graft.operators.TextExtraction.filterNoindexed(
+        allowed, "html")
+      val winners = graft.operators.UrlOps.consolidateByCanonical(
+        indexable, "url", "html", "doc_id")
+        .join(pages.select(col("doc_id"), col("priority")), "doc_id")
+      graft.operators.UrlOps.frontierSchedule(
+        winners, "url", "doc_id", "priority",
+        graft.operators.UrlOps.crawlDelays(robots, agent = agent))
+    }
     add("graft_robots_rules", "graft_robots_rules(agent)", 1) { (s, f, a) =>
       graft.operators.UrlOps.parseRobotsRules(
         rel(s, RobotsTxtRelation, f.name), agent = strArg(f, a, 0))
