@@ -445,6 +445,19 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 4L), got) // a.com keeps its top 2; b.com untouched
   }
 
+  test("frontierSchedule is partition-invariant: same waves under any input partitioning") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, s"https://h${i % 4}.com/p/$i", i % 7))
+    val delays = Seq(("h1.com", 2.0)).toDF("host", "delay_s")
+    def run(parts: Int) = UrlOps.frontierSchedule(
+        rows.toDF("id", "url", "prio").repartition(parts),
+        "url", "id", "prio", delays)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(run(1) == run(7), "wave assignment depends on input partitioning")
+  }
+
   test("frontierSchedule: per-host waves rank by priority, offsets multiply the host delay, default for robots-less hosts") {
     import spark.implicits._
     val frontier = Seq(
