@@ -2183,6 +2183,21 @@ object SparkEntry {
         .frontierSchedule(frontier, "url", "doc_id", "priority", delays)
         .orderBy("doc_id")
     }),
+    // soft-error pages: the server said 200 but the page says parked/
+    // 404/placeholder — content-level stop-phrase + emptiness flags
+    // status filtering cannot catch
+    "q_soft404" -> ((s, d) =>
+      plantSoftPages(table(s, d, "documents"))
+        .select(col("doc_id"), graft.operators.TextExtraction
+          .isSoftErrorPage(col("text")).as("soft"))
+        .orderBy("doc_id")),
+    // per-host crawl triage: page volume, canonical-duplicate rate,
+    // soft-error rate — the domain-level budget/filter signal; one
+    // hash agg on host, exact per-host distinct
+    "q_domain_report" -> ((s, d) =>
+      graft.operators.CorpusCuration.domainReport(
+          plantSoftPages(table(s, d, "documents")))
+        .orderBy("host")),
     // change-driven recrawl: current vs previous snapshot compared by
     // canonical URL (md5s travel, texts never do), changed/new pages
     // get priority 1.0 and stable ones 0.1, then the politeness
@@ -5009,6 +5024,9 @@ object SparkEntry {
     "q_text_normalize" -> textNormalizeOracleSql,
     // script routing: counts generated from the shared range constants
     "q_script_profile" -> scriptProfileOracleSql,
+    // soft-error flags + the per-host triage rollup
+    "q_soft404" -> soft404OracleSql,
+    "q_domain_report" -> domainReportOracleSql,
     // in-page compliance: meta-robots flags and declared-canonical
     // consolidation, extraction patterns shared with the Spark side
     "q_html_noindex" -> htmlNoindexOracleSql,
@@ -6287,6 +6305,46 @@ object SparkEntry {
       expr("CASE doc_id % 9 WHEN 1 THEN ' badx' " +
         "WHEN 2 THEN ' badx bady badx' ELSE '' END")).as("text"))
   }
+
+  /** Soft-page plant: plantUrls pages carrying each doc's text except
+    * doc_id%11 ∈ {4: a soft-404 body, 7: a parked-domain body, 9: a
+    * near-empty shell} — the three stop-page classes.
+    */
+  private def plantSoftPages(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    plantUrls(docs).join(docs.select("doc_id", "text"), "doc_id")
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 11 = 4 THEN '404 Not Found - the page was not found' " +
+          "WHEN doc_id % 11 = 7 THEN 'This Domain is for Sale! coming soon' " +
+          "WHEN doc_id % 11 = 9 THEN 'tiny' ELSE text END"))
+  }
+
+  private def softPlantCaseSql(textExpr: String,
+                               docId: String = "doc_id"): String =
+    s"""CASE WHEN $docId % 11 = 4 THEN '404 Not Found - the page was not found'
+       |     WHEN $docId % 11 = 7 THEN 'This Domain is for Sale! coming soon'
+       |     WHEN $docId % 11 = 9 THEN 'tiny' ELSE $textExpr END""".stripMargin
+
+  private def softFlagSql(t: String): String =
+    s"(regexp_matches($t, ${sqlStr(graft.operators.TextExtraction.SoftErrorRe)}) OR length($t) < 20)"
+
+  private def soft404OracleSql: String =
+    s"""SELECT doc_id, ${softFlagSql(softPlantCaseSql("text"))} AS soft
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def domainReportOracleSql: String =
+    s"""WITH $urlCanonCtesSql,
+       |sp AS (
+       |  SELECT h.doc_id, h.host, k2.canon_url,
+       |         ${softPlantCaseSql("d.text", "h.doc_id")} AS t
+       |  FROM h JOIN k k2 ON h.doc_id = k2.doc_id
+       |  JOIN documents d ON h.doc_id = d.doc_id)
+       |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       |       CAST(count(DISTINCT canon_url) AS BIGINT) AS n_distinct,
+       |       CAST(SUM(CASE WHEN ${softFlagSql("t")} THEN 1 ELSE 0 END) AS BIGINT) AS n_soft,
+       |       round((count(*) - count(DISTINCT canon_url))::DOUBLE / count(*), 6) AS dup_rate,
+       |       round(SUM(CASE WHEN ${softFlagSql("t")} THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS soft_rate
+       |FROM sp GROUP BY host ORDER BY host""".stripMargin
 
   /** Badword replay: the plant, the whitespace split of the lowercased
     * text, exact token membership ('BadZ' lowercased like the Spark

@@ -131,6 +131,35 @@ object CorpusCuration {
         round(col("n_blocked").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Per-host crawl triage — the domain-level signal RefinedWeb-style
+    * pipelines filter and prioritize by: for every canonical host,
+    * page volume, canonical-duplicate rate (pages that collapse under
+    * URL canonicalization — mirror/session noise), and soft-error rate
+    * ([[TextExtraction.isSoftErrorPage]] over the extracted text). A
+    * host that is mostly duplicates or error shells is a crawl-budget
+    * leak regardless of any per-page quality score. One hash
+    * aggregation on host; `countDistinct` is exact per host (the
+    * distinct set lives inside the host's partition after the
+    * shuffle), rates 6-dp rounded per the cross-engine float
+    * discipline.
+    */
+  def domainReport(pages: DataFrame, urlCol: String = "url",
+                   textCol: String = "text",
+                   minChars: Int = 20): DataFrame =
+    pages.select(
+        UrlOps.canonicalHost(col(urlCol)).as("host"),
+        UrlOps.canonicalizeUrl(col(urlCol)).as("_canon"),
+        TextExtraction.isSoftErrorPage(col(textCol), minChars)
+          .cast("long").as("_soft"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("_canon")).as("n_distinct"),
+        sum(col("_soft")).as("n_soft"))
+      .withColumn("dup_rate", round(
+        (col("n_pages") - col("n_distinct")).cast("double") / col("n_pages"), 6))
+      .withColumn("soft_rate",
+        round(col("n_soft").cast("double") / col("n_pages"), 6))
+
   /** Drop documents whose blocked-token fraction exceeds `maxFrac`
     * (0.0 = the strict C4 rule: one hit removes the page). A broadcast
     * anti on the offending keys — the corpus frame itself is never

@@ -197,4 +197,25 @@ object TextExtraction {
     val b = regexp_extract(html, CanonicalHrefFirstRe, 1)
     when(a =!= "", a).when(b =!= "", b)
   }
+
+  /** Soft-error / stop-page phrases: the server said 200 but the PAGE
+    * says otherwise — soft 404s, parked domains, placeholder shells.
+    * Status-code filtering ([[graft.sources.WarcIngest
+    * .filterHtmlResponses]]) cannot catch these; every crawl corpus
+    * (CCNet, RefinedWeb) drops them by content. Phrase list curated
+    * and RE2-portable; public so the oracle interpolates the SAME
+    * pattern.
+    */
+  val SoftErrorRe: String =
+    "(?i)\\b(?:404 not found|page not found|error 404|access denied|" +
+      "domain (?:is )?for sale|this domain may be for sale|" +
+      "under construction|coming soon|account suspended)\\b"
+
+  /** True when extracted main content marks a soft-error page: a
+    * stop-phrase match, or content shorter than `minChars` (error
+    * shells are near-empty after boilerplate removal). Pure codegen,
+    * map-only.
+    */
+  def isSoftErrorPage(mainText: Column, minChars: Int = 20): Column =
+    regexp_like(mainText, lit(SoftErrorRe)) || (length(mainText) < minChars)
 }

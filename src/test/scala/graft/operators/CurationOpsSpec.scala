@@ -713,6 +713,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(batch == Set(2L))
   }
 
+  test("isSoftErrorPage: stop phrases and near-empty shells flag; real content passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      (1L, "a perfectly ordinary article about gardening and soil"),
+      (2L, "Oops! Error 404 - Page Not Found"),
+      (3L, "THIS DOMAIN MAY BE FOR SALE - inquire within"),
+      (4L, "short"),
+      (5L, "discussing the 404 not founders club here")) // \b: 'founders' must NOT substring-match 'found'
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextExtraction.isSoftErrorPage(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> false), got)
+  }
+
+  test("domainReport: per-host volume, canonical-dup rate, soft-error rate") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.com/x", "long enough genuine content right here"),
+      (2L, "https://a.com/x?utm_source=s", "long enough genuine content right here"), // canonical dup
+      (3L, "https://a.com/y", "404 not found"),
+      (4L, "https://b.com/z", "another perfectly genuine content body"))
+      .toDF("doc_id", "url", "text")
+    val got = CorpusCuration.domainReport(pages)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      "a.com" -> ((3L, 2L, 1L, 0.333333, 0.333333)),
+      "b.com" -> ((1L, 1L, 0L, 0.0, 0.0))), got)
+  }
+
   test("scriptProfile: range counts, letter total, dominance with earlier-range tie priority") {
     import spark.implicits._
     val docs = Seq(
