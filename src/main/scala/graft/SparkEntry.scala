@@ -6148,7 +6148,10 @@ object SparkEntry {
     * head carries, by doc_id residues, a robots meta (`%7`: 3 →
     * name-first noindex+nofollow, 5 → content-first NOFOLLOW in upper
     * case, 6 → single-quoted `none`, else absent) and a canonical link
-    * (`%3`: 1 → absolute href to the group's canonical
+    * (`%7 == 4` → a CROSS-SITE hijack declaration to
+    * `https://hijack-sink.net/steal`, which the
+    * same-registrable-domain guard must ignore; else `%3`: 1 →
+    * absolute href to the group's canonical
     * `https://example{k}.com/p/{m}`, 2 → root-relative `/p/{m}` with
     * href-before-rel attribute order, 0 → none). Replayed literally in
     * [[compliancePagesCteSql]].
@@ -6165,7 +6168,9 @@ object SparkEntry {
         .when(meta === 5, lit("<meta content=\"NOFOLLOW\" name=\"ROBOTS\">"))
         .when(meta === 6, lit("<meta name='robots' content='none'>"))
         .otherwise(lit("")),
-      when(can === 1, concat(lit("<link rel=\"canonical\" href=\"https://example"),
+      when(meta === 4, lit("<link rel=\"canonical\" " +
+          "href=\"https://hijack-sink.net/steal\">"))
+        .when(can === 1, concat(lit("<link rel=\"canonical\" href=\"https://example"),
           k, lit(".com/p/"), m, lit("\">")))
         .when(can === 2, concat(lit("<link href=\"/p/"), m,
           lit("\" rel='canonical'>")))
@@ -6770,10 +6775,10 @@ object SparkEntry {
        |           WHEN 5 THEN '<meta content="NOFOLLOW" name="ROBOTS">'
        |           WHEN 6 THEN '<meta name=''robots'' content=''none''>'
        |           ELSE '' END ||
-       |         CASE h.doc_id % 3
-       |           WHEN 1 THEN '<link rel="canonical" href="https://example' || CAST(h.doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(h.doc_id % 11 AS VARCHAR) || '">'
-       |           WHEN 2 THEN '<link href="/p/' || CAST(h.doc_id % 11 AS VARCHAR) || '" rel=''canonical''>'
-       |           ELSE '' END ||
+       |         CASE WHEN h.doc_id % 7 = 4 THEN '<link rel="canonical" href="https://hijack-sink.net/steal">'
+       |              WHEN h.doc_id % 3 = 1 THEN '<link rel="canonical" href="https://example' || CAST(h.doc_id % 20 AS VARCHAR) || '.com/p/' || CAST(h.doc_id % 11 AS VARCHAR) || '">'
+       |              WHEN h.doc_id % 3 = 2 THEN '<link href="/p/' || CAST(h.doc_id % 11 AS VARCHAR) || '" rel=''canonical''>'
+       |              ELSE '' END ||
        |         '</head><body><p>body text</p></body></html>' AS html
        |  FROM h JOIN k k2 ON h.doc_id = k2.doc_id)""".stripMargin
 
@@ -6818,13 +6823,24 @@ object SparkEntry {
        |                THEN regexp_extract(html, ${sqlStr(CanonicalHrefFirstRe)}, 1)
        |              ELSE NULL END AS declared
        |  FROM $src),
-       |tg AS (
-       |  SELECT doc_id, url,
+       |tg0 AS (
+       |  SELECT doc_id, url, canon_url, host,
        |         CASE WHEN declared IS NULL THEN canon_url
        |              WHEN regexp_matches(declared, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN declared
        |              WHEN declared LIKE '/%' THEN scheme || '://' || host || declared
-       |              ELSE canon_url END AS canon_target
+       |              ELSE canon_url END AS target0
        |  FROM cx),
+       |tg AS (
+       |  -- same-registrable-domain guard (cross-site canonical hijack →
+       |  -- fall back to self); fixture hosts sit under single-label TLDs,
+       |  -- so the registrable domain is the last two labels — the full
+       |  -- PSL tier is gated by q_url_blocklist_psl
+       |  SELECT doc_id, url,
+       |         CASE WHEN regexp_extract(regexp_extract(target0, '^[a-z+.-]+://([^/?]*)', 1),
+       |                      '([^.]+\\.[^.]+)$$', 1)
+       |                = regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |              THEN target0 ELSE canon_url END AS canon_target
+       |  FROM tg0),
        |win AS (
        |  SELECT canon_target, doc_id, url,
        |         row_number() OVER (PARTITION BY canon_target

@@ -121,8 +121,12 @@ object CorpusCuration {
     import org.apache.spark.sql.functions.broadcast
     val toks = docs.select(col("doc_id"),
       explode(split(lower(col("text")), "\\s+")).as("tok"))
-    val w = broadcast(words.select(lower(col("word")).as("tok"),
-      lit(1L).as("_hit")))
+    // distinct AFTER lowering: a list carrying duplicates (or case
+    // variants that collide under lower()) would otherwise fan the
+    // left join out, inflating n_tokens AND n_blocked — membership is
+    // the semantics, not occurrence count
+    val w = broadcast(words.select(lower(col("word")).as("tok")).distinct()
+      .withColumn("_hit", lit(1L)))
     toks.join(w, Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -709,14 +709,27 @@ object UrlOps {
     * URLs (print views, mobile mirrors, session variants) that the
     * SITE declares equivalent collapse even when canonicalization
     * alone cannot see it.
+    *
+    * Cross-site guard: a declared target is honored only when its
+    * REGISTRABLE domain ([[registrableChain]] tail — PSL semantics, so
+    * `cdn.media.example.com` → `example.com` legitimately consolidates)
+    * equals the declaring page's; a cross-site declaration (the
+    * canonical-hijack pattern — a page claiming to be the canonical of
+    * someone else's URL, which would let it absorb or outrank the
+    * legitimate page via the min-winner rule) falls back to self.
     */
   def consolidateByCanonical(df: DataFrame, urlCol: String, htmlCol: String,
-                             keyCol: String): DataFrame = {
+                             keyCol: String,
+                             psl: Seq[String] = PslSnapshot): DataFrame = {
     val canonSelf = canonicalizeUrl(col(urlCol))
     val declared = TextExtraction.canonicalLinkHref(col(htmlCol))
     val resolved = LinkGraph.resolveHref(canonSelf, declared)
+    val target0 = canonicalizeUrl(coalesce(resolved, canonSelf))
+    val tHost = regexp_extract(target0, "^[a-z+.-]+://([^/?]*)", 1)
+    val sameSite = element_at(registrableChain(tHost, psl), -1) ===
+      element_at(registrableChain(canonicalHost(col(urlCol)), psl), -1)
     df.select(col(keyCol), col(urlCol),
-        canonicalizeUrl(coalesce(resolved, canonSelf)).as("canon_target"))
+        when(sameSite, target0).otherwise(canonSelf).as("canon_target"))
       .groupBy("canon_target")
       .agg(min(struct(col(keyCol), col(urlCol))).as("_win"))
       .select(col("canon_target"), col(s"_win.$keyCol").as(keyCol),

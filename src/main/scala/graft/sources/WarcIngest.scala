@@ -141,11 +141,16 @@ object WarcIngest {
     * sniffing caveat, accepted and documented. Pure codegen.
     */
   def sniffCharset(bin: Column): Column = {
-    val h = hex(bin)
-    when(h.startsWith("EFBBBF"), lit("utf-8-bom"))
-      .when(h.startsWith("FFFE"), lit("utf-16le"))
-      .when(h.startsWith("FEFF"), lit("utf-16be"))
-      .when(regexp_like(h, lit(Utf8HexRe)), lit("utf-8"))
+    // BOM dispatch reads a 3-byte prefix hex — hexing the WHOLE payload
+    // inside each CaseWhen condition would materialize a string 2× the
+    // payload size up to four times per row (branch conditions are not
+    // subexpression-eliminated); only the UTF-8 validity check (reached
+    // once, after the cheap prefix checks) pays the full transcript
+    val pfx = hex(substring(bin, 1, 3))
+    when(pfx.startsWith("EFBBBF"), lit("utf-8-bom"))
+      .when(pfx.startsWith("FFFE"), lit("utf-16le"))
+      .when(pfx.startsWith("FEFF"), lit("utf-16be"))
+      .when(regexp_like(hex(bin), lit(Utf8HexRe)), lit("utf-8"))
       .otherwise(lit("iso-8859-1"))
   }
 
@@ -154,14 +159,17 @@ object WarcIngest {
     * `decode` set, so no legacy-charset flag is needed.
     */
   def decodeSniffed(bin: Column): Column = {
-    val h = hex(bin)
-    when(h.startsWith("EFBBBF"),
+    // same prefix-hex discipline as [[sniffCharset]]: the full
+    // transcript is hexed once per row at most (the UTF-8 validity
+    // condition), never per branch
+    val pfx = hex(substring(bin, 1, 3))
+    when(pfx.startsWith("EFBBBF"),
         decode(substring(bin, 4, Int.MaxValue), "UTF-8"))
-      .when(h.startsWith("FFFE"),
+      .when(pfx.startsWith("FFFE"),
         decode(substring(bin, 3, Int.MaxValue), "UTF-16LE"))
-      .when(h.startsWith("FEFF"),
+      .when(pfx.startsWith("FEFF"),
         decode(substring(bin, 3, Int.MaxValue), "UTF-16BE"))
-      .when(regexp_like(h, lit(Utf8HexRe)), decode(bin, "UTF-8"))
+      .when(regexp_like(hex(bin), lit(Utf8HexRe)), decode(bin, "UTF-8"))
       .otherwise(decode(bin, "ISO-8859-1"))
   }
 

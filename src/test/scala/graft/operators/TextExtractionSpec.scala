@@ -145,4 +145,25 @@ class TextExtractionSpec extends AnyFunSuite {
       ("https://a.com/article", 1L),  // 1,2,3 all collapse; min key wins
       ("https://a.com/other", 4L)), got)
   }
+
+  test("consolidateByCanonical: cross-site declarations fall back to self; same registrable domain still consolidates") {
+    import spark.implicits._
+    val pages = Seq(
+      // the hijack: a page on evil.net claiming a.com's article
+      (1L, "https://evil.net/clone", """<link rel="canonical" href="https://a.com/article">"""),
+      (2L, "https://a.com/article", """<link rel="canonical" href="https://a.com/article">"""),
+      // legitimate cross-SUBDOMAIN declaration (same registrable domain)
+      (3L, "https://cdn.media.a.com/article", """<link rel="canonical" href="https://a.com/article">"""),
+      // PSL tier: co.uk is a public suffix, so x.co.uk and y.co.uk are
+      // DIFFERENT sites even though their last two labels match
+      (4L, "https://x.co.uk/p", """<link rel="canonical" href="https://y.co.uk/p">"""),
+      (5L, "https://y.co.uk/p", "")).toDF("doc_id", "url", "html")
+    val got = UrlOps.consolidateByCanonical(pages, "url", "html", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(
+      ("https://evil.net/clone", 1L),   // hijack ignored: self-target
+      ("https://a.com/article", 2L),    // 2 and 3 consolidate, min key
+      ("https://x.co.uk/p", 4L),        // cross-registrable under a PSL suffix
+      ("https://y.co.uk/p", 5L)), got)
+  }
 }

@@ -234,9 +234,19 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p) // parsed rules ride a broadcast
     // windows: the robots-parse group machinery (lines frame) + the
     // per-host schedule rank — all partitioned, never a global
-    // empty-partition-spec Window (which would single-task the corpus)
-    assert(!p.contains("Window [")
-      || !p.contains("windowspecdefinition()"), p)
+    // empty-partition-spec Window (which would single-task the corpus).
+    // Checked on the optimized plan's Window nodes directly: the plan
+    // STRING always renders a windowspecdefinition with its order/frame
+    // children, so a text match on 'windowspecdefinition()' can never
+    // fire and would leave this assertion vacuous
+    val windows = graft.SparkEntry.queries("q_crawl_plan")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty, p)
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"global (empty-partition) Window:\n$w"))
     val exchanges = "hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 9, s"hash exchanges grew past the measured 8 to $exchanges:\n$p")
   }
