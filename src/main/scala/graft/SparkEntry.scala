@@ -6467,10 +6467,13 @@ object SparkEntry {
   /** Deterministic HTML plant: each document's text wrapped in a
     * four-line template page — head (title + style + script content),
     * a nav bar (three anchors, three words), the content paragraph
-    * (bold tags + planted `&amp;`/`&lt;`/`&gt;` entities AND numeric
-    * character references: decimal `&#72;`, hex `&#x21;`, nbsp-class
-    * `&#160;`, and out-of-range `&#999;` which must pass through
-    * verbatim), and a comment + footer line (two anchors). Exercises
+    * (bold tags + planted `&amp;`/`&lt;`/`&gt;` entities, numeric
+    * character references — decimal `&#72;`, hex `&#x21;`, nbsp-class
+    * `&#160;`, out-of-range `&#999;` which must pass through
+    * verbatim — and NAMED references: `&eacute;`, `&ndash;`, uppercase
+    * `&Ouml;`, `&hellip;`, plus unknown `&bogus;` which passes
+    * through), and a comment + footer line (two anchors and a
+    * `&middot;`, which decodes via the named table). Exercises
     * every [[graft.operators.TextExtraction]] rule; replayed literally
     * in [[htmlLineCtesSql]].
     */
@@ -6483,7 +6486,8 @@ object SparkEntry {
         "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>\n"),
       lit("<p><b>"), col("text"), lit("</b> &amp; tail&lt;"),
       col("doc_id").cast("string"),
-      lit("&gt; say &#72;i&#x21;&#160;plus &#999; done</p>\n"),
+      lit("&gt; say &#72;i&#x21;&#160;plus &#999; caf&eacute; &ndash; " +
+        "&Ouml;l r&eacute;sum&eacute; &hellip; &bogus; done</p>\n"),
       lit("<!-- tracking pixel --><div class=\"footer\">" +
         "<a href=\"/t\">Terms</a> &middot; <a href=\"/p\">Privacy</a></div>"))
       .as("html"))
@@ -6515,8 +6519,27 @@ object SparkEntry {
   /** The named-entity fold (`&amp;` last, after [[duckNumRefDecodeSql]]
     * has already run — same ordering as the Spark side).
     */
-  private def duckNamedEntitySql(x: String): String =
-    s"""replace(replace(replace(replace(replace(replace($x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')"""
+  /** DuckDB replay of [[graft.operators.TextExtraction]]'s NAMED
+    * entity decode — the same split-on-`&` segment transform, with the
+    * per-name WHEN branches GENERATED from the shared
+    * `NamedEntityCodepoints` table (characters via `chr(codepoint)`,
+    * `nbsp` → space, per-name substr offsets computed at generation
+    * time), so the engines cannot drift on the name set. Generated
+    * lines never START with `|` — this fragment is interpolated under
+    * callers' stripMargin.
+    */
+  private def duckNamedEntitySql(x: String): String = {
+    val whens = graft.operators.TextExtraction.NamedEntityCodepoints.map {
+      case (n, cp) =>
+        val v = if (cp == 160) 32 else cp
+        s"WHEN '$n' THEN chr($v) || substr(s, ${n.length + 2})"
+    }.mkString(" ")
+    s"""CASE WHEN strpos($x, '&') = 0 THEN $x
+       |          ELSE string_split($x, '&')[1] || array_to_string(list_transform(string_split($x, '&')[2:], s ->
+       |            CASE regexp_extract(s, '${graft.operators.TextExtraction.EntityNameRe}', 1)
+       |            $whens
+       |            ELSE '&' || s END), '') END""".stripMargin
+  }
 
   /** HTML plant + per-line extraction replay (oracle side): CTE `hp`
     * (the literal [[plantHtml]] replay), `hs` (the block-boundary
@@ -6535,7 +6558,7 @@ object SparkEntry {
        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
        |         '</title><style>body { margin:0 }</style><script>var t = 1;</script></head>' || chr(10) ||
        |         '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' || chr(10) ||
-       |         '<p><b>' || text || '</b> &amp; tail&lt;' || CAST(doc_id AS VARCHAR) || '&gt; say &#72;i&#x21;&#160;plus &#999; done</p>' || chr(10) ||
+       |         '<p><b>' || text || '</b> &amp; tail&lt;' || CAST(doc_id AS VARCHAR) || '&gt; say &#72;i&#x21;&#160;plus &#999; caf&eacute; &ndash; &Ouml;l r&eacute;sum&eacute; &hellip; &bogus; done</p>' || chr(10) ||
        |         '<!-- tracking pixel --><div class="footer"><a href="/t">Terms</a> &middot; <a href="/p">Privacy</a></div>'
        |           AS html
        |  FROM documents),

@@ -42,10 +42,11 @@ object TextExtraction {
 
   /** Whole-document text extraction: drop `<script>`/`<style>` elements
     * WITH their contents and HTML comments (all possibly multi-line),
-    * strip every remaining tag, decode the predefined entities
-    * (`&lt; &gt; &quot; &#39; &nbsp;`, and `&amp;` LAST so
-    * double-encoded text decodes one level, the standard rule), then
-    * collapse whitespace runs to single spaces.
+    * strip every remaining tag, decode character references — numeric
+    * ([[decodeNumericRefs]]) then named ([[NamedEntityCodepoints]]:
+    * the XML five + Latin-1 + punctuation, one level for
+    * double-encoded text) — then collapse whitespace runs to single
+    * spaces.
     */
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
@@ -132,13 +133,98 @@ object TextExtraction {
       .otherwise(concat(element_at(parts, 1), array_join(decoded, "")))
   }
 
-  private def decodeEntities(c: Column): Column = {
-    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST
-    steps.foldLeft(decodeNumericRefs(c)) {
-      case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch))
-    }
+  /** Named character references: the XML five plus the full Latin-1
+    * set (HTML 3.2, codepoints 160–255) and the general-punctuation /
+    * symbol names real text is full of (`&mdash;`, `&hellip;`,
+    * `&euro;`, …). THE DATA — (name, codepoint) pairs; the replace
+    * table both engines run derives from this list (the
+    * `MojibakePairs` precedent: generate from codepoints, never
+    * hand-type the characters). Names are case-sensitive per the HTML
+    * entity table (`&Eacute;` ≠ `&eacute;`). `nbsp` decodes to a
+    * PLAIN SPACE, matching the numeric decoder's whitespace-class
+    * rule (code 160 → ' '); unknown names and the semicolon-less
+    * legacy form (`&amp` without `;`) pass through verbatim —
+    * documented scope, not silent loss.
+    */
+  val NamedEntityCodepoints: Seq[(String, Int)] = Seq(
+    "amp" -> 38, "lt" -> 60, "gt" -> 62, "quot" -> 34, "apos" -> 39,
+    // Latin-1 (160-255), codepoint order
+    "nbsp" -> 160, "iexcl" -> 161, "cent" -> 162, "pound" -> 163,
+    "curren" -> 164, "yen" -> 165, "brvbar" -> 166, "sect" -> 167,
+    "uml" -> 168, "copy" -> 169, "ordf" -> 170, "laquo" -> 171,
+    "not" -> 172, "shy" -> 173, "reg" -> 174, "macr" -> 175,
+    "deg" -> 176, "plusmn" -> 177, "sup2" -> 178, "sup3" -> 179,
+    "acute" -> 180, "micro" -> 181, "para" -> 182, "middot" -> 183,
+    "cedil" -> 184, "sup1" -> 185, "ordm" -> 186, "raquo" -> 187,
+    "frac14" -> 188, "frac12" -> 189, "frac34" -> 190, "iquest" -> 191,
+    "Agrave" -> 192, "Aacute" -> 193, "Acirc" -> 194, "Atilde" -> 195,
+    "Auml" -> 196, "Aring" -> 197, "AElig" -> 198, "Ccedil" -> 199,
+    "Egrave" -> 200, "Eacute" -> 201, "Ecirc" -> 202, "Euml" -> 203,
+    "Igrave" -> 204, "Iacute" -> 205, "Icirc" -> 206, "Iuml" -> 207,
+    "ETH" -> 208, "Ntilde" -> 209, "Ograve" -> 210, "Oacute" -> 211,
+    "Ocirc" -> 212, "Otilde" -> 213, "Ouml" -> 214, "times" -> 215,
+    "Oslash" -> 216, "Ugrave" -> 217, "Uacute" -> 218, "Ucirc" -> 219,
+    "Uuml" -> 220, "Yacute" -> 221, "THORN" -> 222, "szlig" -> 223,
+    "agrave" -> 224, "aacute" -> 225, "acirc" -> 226, "atilde" -> 227,
+    "auml" -> 228, "aring" -> 229, "aelig" -> 230, "ccedil" -> 231,
+    "egrave" -> 232, "eacute" -> 233, "ecirc" -> 234, "euml" -> 235,
+    "igrave" -> 236, "iacute" -> 237, "icirc" -> 238, "iuml" -> 239,
+    "eth" -> 240, "ntilde" -> 241, "ograve" -> 242, "oacute" -> 243,
+    "ocirc" -> 244, "otilde" -> 245, "ouml" -> 246, "divide" -> 247,
+    "oslash" -> 248, "ugrave" -> 249, "uacute" -> 250, "ucirc" -> 251,
+    "uuml" -> 252, "yacute" -> 253, "thorn" -> 254, "yuml" -> 255,
+    // Latin Extended / punctuation / symbols
+    "OElig" -> 338, "oelig" -> 339, "Scaron" -> 352, "scaron" -> 353,
+    "Yuml" -> 376, "fnof" -> 402, "circ" -> 710, "tilde" -> 732,
+    "ndash" -> 8211, "mdash" -> 8212, "lsquo" -> 8216, "rsquo" -> 8217,
+    "sbquo" -> 8218, "ldquo" -> 8220, "rdquo" -> 8221, "bdquo" -> 8222,
+    "dagger" -> 8224, "Dagger" -> 8225, "bull" -> 8226, "hellip" -> 8230,
+    "permil" -> 8240, "lsaquo" -> 8249, "rsaquo" -> 8250, "euro" -> 8364,
+    "trade" -> 8482)
+
+  /** The decoded string for a named entity — ' ' for the
+    * whitespace-class `nbsp`, the real codepoint otherwise. Shared
+    * with the oracle generator so both engines derive from ONE table.
+    */
+  def namedEntityValue(cp: Int): String =
+    if (cp == 160) " " else new String(Character.toChars(cp))
+
+  /** Name-match pattern shared verbatim with the oracle: an entity
+    * reference is `&` + a letter-led alphanumeric name + `;`. Java and
+    * RE2 parse it identically.
+    */
+  val EntityNameRe: String = "^([A-Za-z][A-Za-z0-9]{0,31});"
+
+  private val EntityMapCol: Column = map_from_arrays(
+    lit(NamedEntityCodepoints.map(_._1).toArray),
+    lit(NamedEntityCodepoints.map(p => namedEntityValue(p._2)).toArray))
+
+  /** Named-entity decode as ONE split-on-`&` segment transform with a
+    * literal-map probe — O(segments) with a hash lookup per segment,
+    * instead of a |table|-deep replace chain per row (~125 names would
+    * make the old fold both slow and codegen-hostile, and this runs
+    * PER LINE inside [[mainContent]]'s lambda). Segment independence
+    * gives the one-level decode rule for free: `&amp;lt;` splits to
+    * segment `amp;lt;`, decodes its leading `amp` and re-emits `lt;`
+    * verbatim — exactly the `&amp;`-last semantics of the old chain.
+    * Runs AFTER [[decodeNumericRefs]] (whose `&#…` segments fail the
+    * letter-led name match here and pass through). The no-`&` fast
+    * path short-circuits the split entirely.
+    */
+  private def decodeNamedEntities(c: Column): Column = {
+    val parts = split(c, "&")
+    val decoded = transform(slice(parts, lit(2), size(parts) - 1), seg => {
+      val nm = regexp_extract(seg, EntityNameRe, 1)
+      val ch = element_at(EntityMapCol, nm)
+      when(nm === "" || ch.isNull, concat(lit("&"), seg))
+        .otherwise(concat(ch, seg.substr(length(nm) + 2, length(seg))))
+    })
+    when(!c.contains("&"), c)
+      .otherwise(concat(element_at(parts, 1), array_join(decoded, "")))
   }
+
+  private def decodeEntities(c: Column): Column =
+    decodeNamedEntities(decodeNumericRefs(c))
 
   private def collapseWs(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))

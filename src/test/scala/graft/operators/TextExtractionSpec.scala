@@ -36,8 +36,10 @@ class TextExtractionSpec extends AnyFunSuite {
     assert(strip("1 &lt; 2 &amp;&amp; &quot;q&#39;s&quot;&nbsp;end") ==
       "1 < 2 && \"q's\" end")
     assert(strip("&amp;lt;") == "&lt;")
-    // unknown entities pass through untouched (documented scope)
-    assert(strip("a &middot; b") == "a &middot; b")
+    // named entities decode via the derived table; truly unknown names
+    // pass through untouched (documented scope)
+    assert(strip("a &middot; b") == "a · b")
+    assert(strip("a &notaname; b") == "a &notaname; b")
     // whitespace runs (incl. newlines from stripped block tags) collapse
     assert(strip("<div>a</div>\n\n  <div>b</div>") == "a b")
     // unclosed/stray angle brackets: tag regex eats only real tags
@@ -97,6 +99,20 @@ class TextExtractionSpec extends AnyFunSuite {
     assert(strip("malformed &#x; and &# stay") == "malformed &#x; and &# stay")
     // double-encoded decodes ONE level, consistent with &amp;-last
     assert(strip("&amp;#39;") == "&#39;")
+  }
+
+  test("stripHtml decodes named entities from the derived table; unknown names pass through") {
+    assert(strip("caf&eacute; r&eacute;sum&eacute;") == "café résumé")
+    assert(strip("A&ndash;B &mdash; C&hellip;") == "A–B — C…")
+    assert(strip("&Ouml;l vs &ouml;l") == "Öl vs öl") // case-sensitive names
+    assert(strip("5&nbsp;km") == "5 km")               // nbsp -> plain space
+    assert(strip("&euro;9 &copy; x &middot; y") == "€9 © x · y")
+    assert(strip("keep &bogus; and &eacute and & alone") ==
+      "keep &bogus; and &eacute and & alone")          // unknown / no ';' / bare &
+    // one-level decode for double-encoded named refs
+    assert(strip("&amp;eacute;") == "&eacute;")
+    // adjacent entities, and an entity hard against a tag boundary
+    assert(strip("<b>&lt;&eacute;&gt;</b>") == "<é>")
   }
 
   private def flags(html: String): (Boolean, Boolean) = {
