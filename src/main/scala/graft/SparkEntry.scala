@@ -2388,7 +2388,7 @@ object SparkEntry {
           plantLinkedPages(table(s, d, "documents")), "url", "html"))
         .orderBy("url")),
     // mirror-candidate host pairs by link structure: outgoing-target
-    // Jaccard >= 0.2 after the hot-target cut (targets linked from >15
+    // Jaccard >= 0.15 after the hot-target cut (targets linked from >15
     // hosts are dropped BEFORE the pair join — the maxDf discipline);
     // jaccard banded at the rounded 6-dp value so the threshold
     // boundary is engine-identical
@@ -2396,7 +2396,7 @@ object SparkEntry {
       graft.operators.LinkGraph.hostSimilarity(
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
-        threshold = 0.2, maxDf = 15)
+        threshold = 0.15, maxDf = 15)
         .orderBy("host_a", "host_b")),
     // incremental component maintenance: "yesterday" = the hub-link
     // subgraph (absolute anchors), "today" = the in-site next-page
@@ -6019,9 +6019,11 @@ object SparkEntry {
     * (uppercase scheme/host, so target canonicalization has work; 13
     * hubs × 5 paths ⇒ a hub-spoke graph where in-degree and rank
     * concentrate), a ROOT-RELATIVE next-page link (resolves against
-    * the page's canonical scheme://host), and a `mailto:` +
-    * fragment-only pair that must be DROPPED. Replayed literally in
-    * [[linkEdgesCtesSql]].
+    * the page's canonical scheme://host), an UNQUOTED root-relative
+    * link (`href=/q/…` — the legacy/minified form the third [[graft
+    * .operators.LinkGraph.HrefRe]] alternative matches), and a
+    * `mailto:` + fragment-only pair that must be DROPPED. Replayed
+    * literally in [[linkEdgesCtesSql]].
     */
   private def plantLinkedPages(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.concat
@@ -6031,7 +6033,9 @@ object SparkEntry {
       lit(".Example.net/h/"), (col("doc_id") % 5).cast("string"),
       lit("\">hub</a> <a href=\"/p/"),
       ((col("doc_id") + 3) % 11).cast("string"),
-      lit("\">next</a> <a href='mailto:x@y'>mail</a>" +
+      lit("\">next</a> <a href=/q/"),
+      ((col("doc_id") + 5) % 7).cast("string"),
+      lit(">unq</a> <a href='mailto:x@y'>mail</a>" +
         " <a href=\"#top\">top</a></p>")).as("html"))
   }
 
@@ -6103,10 +6107,12 @@ object SparkEntry {
   /** Anchor-text plant: each page carries (1) a double-quoted hub link
     * whose text has internal double spacing (collapse exercised), (2) a
     * SINGLE-quoted next-page link whose text varies (group-2 href must
-    * re-align with the group-3 text of the SAME match), (3) a nested-
-    * markup anchor whose leading text run is empty (`<b>` immediately
-    * after `>` — dropped by the empty-anchor rule), and (4) a `mailto:`
-    * that fails resolution. Replayed literally in
+    * re-align with the group-4 text of the SAME match), (3) an
+    * UNQUOTED link (group-3 href, fixed label — the four-way zip must
+    * keep all three value styles aligned with their text), (4) a
+    * nested-markup anchor whose leading text run is empty (`<b>`
+    * immediately after `>` — dropped by the empty-anchor rule), and
+    * (5) a `mailto:` that fails resolution. Replayed literally in
     * [[linkAnchorsOracleSql]].
     */
   private def plantAnchorPages(docs: DataFrame): DataFrame = {
@@ -6117,7 +6123,9 @@ object SparkEntry {
       lit("\">hub  "), (col("doc_id") % 7).cast("string"),
       lit(" page</a> <a href='/p/"), ((col("doc_id") + 3) % 11).cast("string"),
       lit("'>next "), (col("doc_id") % 3).cast("string"),
-      lit("</a> <a href=\"/p/0\"><b>nested</b> lead run empty</a>" +
+      lit("</a> <a href=/q/"), ((col("doc_id") + 5) % 7).cast("string"),
+      lit(">plain label</a>" +
+        " <a href=\"/p/0\"><b>nested</b> lead run empty</a>" +
         " <a href='mailto:x@y'>mail</a></p>")).as("html"))
   }
 
@@ -7056,9 +7064,9 @@ object SparkEntry {
 
   /** Link-graph plant + replay: CTE `lp` (the literal
     * [[plantLinkedPages]] page build over the canonical `k` frame),
-    * `hx` (href extraction — BOTH quote-style groups of the same regex
-    * [[graft.operators.LinkGraph.HrefRe]], empty non-participating
-    * groups filtered), `rx` (resolution: absolute http(s) pass,
+    * `hx` (href extraction — all three value-style groups of the same
+    * regex [[graft.operators.LinkGraph.HrefRe]], empty
+    * non-participating groups filtered), `rx` (resolution: absolute http(s) pass,
     * root-relative against the canonical src's scheme://host prefix,
     * everything else NULL → dropped), `cx` (target canonicalization —
     * the plant's targets are canonical up to scheme/host CASE, the one
@@ -7071,13 +7079,15 @@ object SparkEntry {
        |  SELECT doc_id, canon_url,
        |         '<p>intro <a href="HTTPS://HUB' || CAST(doc_id % 13 AS VARCHAR) || '.Example.net/h/' || CAST(doc_id % 5 AS VARCHAR) ||
        |         '">hub</a> <a href="/p/' || CAST((doc_id + 3) % 11 AS VARCHAR) ||
-       |         '">next</a> <a href=''mailto:x@y''>mail</a> <a href="#top">top</a></p>' AS html
+       |         '">next</a> <a href=/q/' || CAST((doc_id + 5) % 7 AS VARCHAR) ||
+       |         '>unq</a> <a href=''mailto:x@y''>mail</a> <a href="#top">top</a></p>' AS html
        |  FROM k),
        |hx AS (
        |  SELECT canon_url AS src,
-       |         unnest(list_concat(
-       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)'')', 1),
-       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)'')', 2))) AS href
+       |         unnest(list_concat(list_concat(
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>"''][^\\s>]*))', 1),
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>"''][^\\s>]*))', 2)),
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>"''][^\\s>]*))', 3))) AS href
        |  FROM lp),
        |rx AS (
        |  SELECT src,
@@ -7163,9 +7173,10 @@ object SparkEntry {
        |  FROM k),
        |rhx AS (
        |  SELECT canon_url AS src,
-       |         unnest(list_concat(
-       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)'')', 1),
-       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)'')', 2))) AS href
+       |         unnest(list_concat(list_concat(
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>"''][^\\s>]*))', 1),
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>"''][^\\s>]*))', 2)),
+       |           regexp_extract_all(html, '(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>"''][^\\s>]*))', 3))) AS href
        |  FROM rl),
        |rres AS (
        |  SELECT src,
@@ -7202,7 +7213,7 @@ object SparkEntry {
     // plain (non-interpolated) triple quotes: NO escape processing, so
     // single backslashes here arrive in the SQL literally — unlike the
     // s-interpolated CTE bodies, where \\ collapses to \
-    val re = """(?i)<a\b[^>]*\bhref\s*=\s*(?:"([^"]*)"|''([^'']*)'')[^>]*>([^<]*)"""
+    val re = """(?i)<a\b[^>]*\bhref\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>"''][^\s>]*))[^>]*>([^<]*)"""
     s"""WITH $urlCanonCtesSql,
        |ap AS (
        |  SELECT doc_id, canon_url,
@@ -7210,18 +7221,21 @@ object SparkEntry {
        |         '">hub  ' || CAST(doc_id % 7 AS VARCHAR) ||
        |         ' page</a> <a href=''/p/' || CAST((doc_id + 3) % 11 AS VARCHAR) ||
        |         '''>next ' || CAST(doc_id % 3 AS VARCHAR) ||
-       |         '</a> <a href="/p/0"><b>nested</b> lead run empty</a> <a href=''mailto:x@y''>mail</a></p>' AS html
+       |         '</a> <a href=/q/' || CAST((doc_id + 5) % 7 AS VARCHAR) ||
+       |         '>plain label</a> <a href="/p/0"><b>nested</b> lead run empty</a> <a href=''mailto:x@y''>mail</a></p>' AS html
        |  FROM k),
        |ax AS (
        |  SELECT canon_url AS src,
        |         unnest(regexp_extract_all(html, '$re', 1)) AS g1,
        |         unnest(regexp_extract_all(html, '$re', 2)) AS g2,
-       |         unnest(regexp_extract_all(html, '$re', 3)) AS g3
+       |         unnest(regexp_extract_all(html, '$re', 3)) AS g3,
+       |         unnest(regexp_extract_all(html, '$re', 4)) AS g4
        |  FROM ap),
        |an AS (
        |  SELECT src,
-       |         CASE WHEN g1 <> '' THEN g1 ELSE g2 END AS href,
-       |         trim(regexp_replace(g3, '\\s+', ' ', 'g')) AS anchor
+       |         CASE WHEN g1 <> '' THEN g1
+       |              WHEN g2 <> '' THEN g2 ELSE g3 END AS href,
+       |         trim(regexp_replace(g4, '\\s+', ' ', 'g')) AS anchor
        |  FROM ax),
        |arx AS (
        |  SELECT src, anchor,
@@ -7368,7 +7382,7 @@ object SparkEntry {
        |             round(common / (sa.n + sb.n - common), 6) AS jaccard
        |      FROM cm JOIN sizes sa ON cm.host_a = sa.host
        |              JOIN sizes sb ON cm.host_b = sb.host)
-       |SELECT host_a, host_b, jaccard FROM j WHERE jaccard >= 0.2
+       |SELECT host_a, host_b, jaccard FROM j WHERE jaccard >= 0.15
        |ORDER BY host_a, host_b""".stripMargin
 
   /** PSL blocklist plant + replay: hosts spanning a multi-label public

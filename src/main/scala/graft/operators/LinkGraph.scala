@@ -41,12 +41,15 @@ object LinkGraph {
   val FixedPointTotal: Long = 1000000000000L
 
   /** href values of a page's anchors: `<a ... href="...">`, double- or
-    * single-quoted. Non-capturing where possible; Java-and-RE2
-    * portable (no backreferences — the two quote styles are two
-    * alternatives, not a backref).
+    * single-quoted, or UNQUOTED (`href=/p/3` — legacy and minified
+    * HTML emit this constantly; the unquoted value runs to the next
+    * whitespace or `>`, and must not START with a quote so the quoted
+    * alternatives always win when one applies). Non-capturing where
+    * possible; Java-and-RE2 portable (no backreferences — the three
+    * value styles are three alternatives, not a backref).
     */
   private[operators] val HrefRe =
-    "(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"
+    "(?i)<a\\b[^>]*\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"'][^\\s>]*))"
 
   /** RFC 3986 §5.2-shaped reference resolution of an anchor href
     * against the CANONICAL page url: absolute http(s) hrefs pass
@@ -173,9 +176,11 @@ object LinkGraph {
                    htmlCol: String): DataFrame = {
     val hrefs1 = regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1))
     val hrefs2 = regexp_extract_all(col(htmlCol), lit(HrefRe), lit(2))
+    val hrefs3 = regexp_extract_all(col(htmlCol), lit(HrefRe), lit(3))
     val src = UrlOps.canonicalizeUrl(col(urlCol))
     pages
-      .select(src.as("src"), explode(concat(hrefs1, hrefs2)).as("_href"))
+      .select(src.as("src"),
+        explode(concat(hrefs1, hrefs2, hrefs3)).as("_href"))
       .filter(col("_href") =!= "")
       .withColumn("_abs", resolveHref(col("src"), col("_href")))
       .filter(col("_abs").isNotNull)
@@ -192,7 +197,7 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_inlinks"))
 
   /** [[HrefRe]] extended past the closing `>` to capture the anchor's
-    * LEADING TEXT RUN (group 3: everything up to the next tag). Nested
+    * LEADING TEXT RUN (group 4: everything up to the next tag). Nested
     * markup inside an anchor (`<a ...><b>bold</b> tail`) contributes
     * only the text before the first child tag — documented scope, not
     * silent truncation: full inner-text needs a counting parser, and
@@ -209,10 +214,11 @@ object LinkGraph {
     * this URL); aggregating by (dst, anchor) gives the per-target label
     * histogram. Map-only until the final distinct.
     *
-    * Group alignment: the three `regexp_extract_all` calls run the SAME
+    * Group alignment: the four `regexp_extract_all` calls run the SAME
     * pattern, so their match lists have identical length and index i of
     * each is the same anchor — `arrays_zip` restores the per-match
-    * (href", href', text) triple that per-group extraction splits.
+    * (href", href', unquoted href, text) tuple that per-group
+    * extraction splits.
     */
   def extractAnchors(pages: DataFrame, urlCol: String,
                      htmlCol: String): DataFrame = {
@@ -221,12 +227,15 @@ object LinkGraph {
       .select(src.as("src"),
         regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(1)).as("h1"),
         regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(2)).as("h2"),
-        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(3)).as("h3"))
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(3)).as("h3"),
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(4)).as("h4"))
       .select(col("src"),
-        explode(arrays_zip(col("h1"), col("h2"), col("h3"))).as("m"))
+        explode(arrays_zip(col("h1"), col("h2"), col("h3"), col("h4"))).as("m"))
       .select(col("src"),
-        when(col("m.h1") =!= "", col("m.h1")).otherwise(col("m.h2")).as("_href"),
-        trim(regexp_replace(col("m.h3"), "\\s+", " ")).as("anchor"))
+        when(col("m.h1") =!= "", col("m.h1"))
+          .when(col("m.h2") =!= "", col("m.h2"))
+          .otherwise(col("m.h3")).as("_href"),
+        trim(regexp_replace(col("m.h4"), "\\s+", " ")).as("anchor"))
       .filter(col("_href") =!= "" && col("anchor") =!= "")
       .withColumn("_abs", resolveHref(col("src"), col("_href")))
       .filter(col("_abs").isNotNull)

@@ -36,6 +36,27 @@ class LinkGraphSpec extends AnyFunSuite {
       s"edges: ${edges.toSeq}")
   }
 
+  test("extractLinks: unquoted href values (legacy/minified form)") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/p/1",
+        // unquoted stops at whitespace or '>'; absolute, root-relative
+        // and dir-relative all resolve; a quoted value never falls
+        // through to the unquoted alternative
+        "<a href=/r/2>root</a> <a href=HTTPS://B.com/x id=z>abs</a> " +
+          "<a href=sub.html>dir</a> <a href=/r/2 class=k>dup</a> " +
+          "<a href=\"/quoted\">q</a> <a href=mailto:x@y>mail</a>"))
+      .toDF("url", "html")
+    val edges = LinkGraph.extractLinks(pages, "url", "html")
+      .orderBy("dst").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(edges.toSeq == Seq(
+      ("https://a.com/p/1", "https://a.com/p/sub.html"),
+      ("https://a.com/p/1", "https://a.com/quoted"),
+      ("https://a.com/p/1", "https://a.com/r/2"),
+      ("https://a.com/p/1", "https://b.com/x")),
+      s"edges: ${edges.toSeq}")
+  }
+
   test("resolveHref: dot-segment removal, above-root clamp, host-root dir") {
     import spark.implicits._
     val pages = Seq(
