@@ -2371,6 +2371,21 @@ object SparkEntry {
         .groupBy(col("dst").as("url"), col("anchor"))
         .agg(count(lit(1)).as("n_srcs"))
         .orderBy("url", "anchor")),
+    // the per-target label rollup: ONE row per URL — the most common
+    // anchor other pages use for it (combiner-collapsed histogram +
+    // the deterministic-mode row_number, count DESC then anchor ASC)
+    "q_link_anchor_labels" -> ((s, d) =>
+      graft.operators.LinkGraph.topAnchorLabels(
+        graft.operators.LinkGraph.extractAnchors(
+          plantAnchorPages(table(s, d, "documents")), "url", "html"))
+        .orderBy("url")),
+    "q_sql_anchor_labels" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantAnchorPages(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
+      s.sql("SELECT url, top_anchor, n_srcs FROM graft_anchor_labels() " +
+        "ORDER BY url")
+    }),
     // host-level rollup of the edge list (domain reputation): intra-host
     // edges dropped, one combiner-collapsed count per host pair
     "q_link_hostgraph" -> ((s, d) =>
@@ -5115,6 +5130,8 @@ object SparkEntry {
     // positionally), anchor-text normalization, empty-text drop, and
     // the same resolution scope as the edge extraction
     "q_link_anchors" -> linkAnchorsOracleSql,
+    "q_link_anchor_labels" -> linkAnchorLabelsOracleSql,
+    "q_sql_anchor_labels" -> linkAnchorLabelsOracleSql,
     // host projection of the edge list, intra-host edges dropped
     "q_link_hostgraph" -> linkHostgraphOracleSql,
     // the star-contraction fixpoint equals recursive reachability with
@@ -7209,7 +7226,7 @@ object SparkEntry {
     * resolution + case-canonicalization stages as [[linkEdgesCtesSql]])
     * and the (dst, anchor) source-count rollup.
     */
-  private def linkAnchorsOracleSql: String = {
+  private def linkAnchorsCtesSql: String = {
     // plain (non-interpolated) triple quotes: NO escape processing, so
     // single backslashes here arrive in the SQL literally — unlike the
     // s-interpolated CTE bodies, where \\ collapses to \
@@ -7248,10 +7265,26 @@ object SparkEntry {
        |         lower(regexp_extract(abs, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
        |           regexp_extract(abs, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$$', 1) AS dst
        |  FROM arx WHERE abs IS NOT NULL),
-       |tr AS (SELECT DISTINCT src, dst, anchor FROM acx WHERE src <> dst)
+       |tr AS (SELECT DISTINCT src, dst, anchor FROM acx WHERE src <> dst)""".stripMargin
+  }
+
+  private def linkAnchorsOracleSql: String =
+    s"""$linkAnchorsCtesSql
        |SELECT dst AS url, anchor, COUNT(*) AS n_srcs FROM tr
        |GROUP BY dst, anchor ORDER BY url, anchor""".stripMargin
-  }
+
+  /** Top-label rollup: histogram + the deterministic-mode QUALIFY
+    * (count DESC, anchor ASC) — the same total order the Spark
+    * window ranks by.
+    */
+  private def linkAnchorLabelsOracleSql: String =
+    s"""$linkAnchorsCtesSql,
+       |ahist AS (
+       |  SELECT dst, anchor, COUNT(*) AS n_srcs FROM tr GROUP BY dst, anchor)
+       |SELECT dst AS url, anchor AS top_anchor, n_srcs FROM ahist
+       |QUALIFY row_number() OVER (PARTITION BY dst
+       |                           ORDER BY n_srcs DESC, anchor) = 1
+       |ORDER BY url""".stripMargin
 
   /** Host projection of the edge list — same host regex as
     * [[graft.operators.LinkGraph.hostGraph]] over the replayed edges.

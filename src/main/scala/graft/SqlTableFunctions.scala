@@ -489,6 +489,11 @@ object SqlTableFunctions {
             rel(s, LinkPagesRelation, f.name), "url", "html"),
           iters = intArg(f, a, 0), dampingPct = intArg(f, a, 1))
     }
+    add("graft_anchor_labels", "graft_anchor_labels()", 0) { (s, f, _) =>
+      graft.operators.LinkGraph.topAnchorLabels(
+        graft.operators.LinkGraph.extractAnchors(
+          rel(s, LinkPagesRelation, f.name), "url", "html"))
+    }
     add("graft_line_dedup_intra", "graft_line_dedup_intra()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedupWithinDoc(rel(s, DocumentsRelation, f.name))
     }

@@ -245,6 +245,31 @@ object LinkGraph {
       .distinct()
   }
 
+  /** Per-target TOP anchor label — the classic query-independent
+    * relevance signal distilled to one row per URL: what other pages
+    * most often call this target, with `n_srcs` as its support. Input
+    * is [[extractAnchors]] output (distinct (src, dst, anchor)
+    * triples). Two stages, both scale-safe: a combiner-collapsed
+    * `groupBy(dst, anchor).count()` (shuffled bytes ∝ distinct
+    * labels, never anchors), then the deterministic-mode row_number
+    * formulation (the B4 mode-per-bucket precedent: count DESC, then
+    * anchor ASC as the total tie order, so the winner is
+    * partitioning-independent and oracle-replayable). The window
+    * partitions by dst — never a global sort; a hot target's label
+    * histogram is label-cardinality-sized, not source-sized.
+    */
+  def topAnchorLabels(anchors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = anchors.groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("n_srcs"))
+    val w = Window.partitionBy("dst")
+      .orderBy(col("n_srcs").desc, col("anchor"))
+    hist.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("dst").as("url"), col("anchor").as("top_anchor"),
+        col("n_srcs"))
+  }
+
   /** Host-level projection of the edge list — the domain-reputation
     * rollup (inter-host link counts; intra-host navigation edges are
     * dropped because they carry no cross-site endorsement). One

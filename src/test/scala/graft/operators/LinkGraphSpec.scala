@@ -36,6 +36,23 @@ class LinkGraphSpec extends AnyFunSuite {
       s"edges: ${edges.toSeq}")
   }
 
+  test("topAnchorLabels: majority label wins; count ties break on anchor text") {
+    import spark.implicits._
+    val anchors = Seq(
+      ("https://s1.com/a", "https://t.com/x", "docs"),
+      ("https://s2.com/b", "https://t.com/x", "docs"),
+      ("https://s3.com/c", "https://t.com/x", "home"),
+      // tie on t.com/y: 'alpha' vs 'beta' both 1 — alpha wins (ASC)
+      ("https://s1.com/a", "https://t.com/y", "beta"),
+      ("https://s2.com/b", "https://t.com/y", "alpha"))
+      .toDF("src", "dst", "anchor")
+    val got = LinkGraph.topAnchorLabels(anchors).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("https://t.com/x", "docs", 2L),
+      ("https://t.com/y", "alpha", 1L)), got)
+  }
+
   test("extractLinks: unquoted href values (legacy/minified form)") {
     import spark.implicits._
     val pages = Seq(
