@@ -1931,6 +1931,41 @@ object SparkEntry {
           md5(col("main")).as("main_hash"))
         .orderBy("doc_id")
     }),
+    // the ARCHIVE-shaped ingest: the same capstone fed from
+    // record-gzipped WARC members (one gzip member per record — the
+    // Common Crawl layout), so the chain exercises deflate → inflate
+    // kernel → header parse → curation end-to-end; the oracle is the
+    // shared chained replay because gzip → gunzip (and wrap → parse)
+    // are byte-exact identities, pinned by the round-trip property spec
+    "q_crawl_from_warc_gz" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.{TextExtraction, UrlOps}
+      import graft.sources.WarcIngest
+      import org.apache.spark.sql.functions.{md5, regexp_extract, size, split, to_timestamp}
+      val docs = table(s, d, "documents")
+      val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
+      val raw = pages.select(WarcIngest.deflateMember(
+        WarcIngest.wrapAsRawRecord(col("url"), col("html"),
+          to_timestamp(lit("2026-01-15 12:00:00")),
+          concat(lit("urn:graft:"), col("doc_id").cast("string")))).as("record"))
+      val parsed = WarcIngest.responsesOnly(WarcIngest.parseGzRecords(raw))
+        .withColumn("doc_id", regexp_extract(col("record_id"),
+          "urn:graft:([0-9]+)", 1).cast("long"))
+        .withColumn("host", UrlOps.canonicalHost(col("url")))
+      val block = Seq("example7.com", "media.example11.com", "example3.com")
+        .toDF("domain")
+      val allowed = UrlOps.filterBlockedDomains(
+        parsed.select("doc_id", "url", "html", "host"), "host", "doc_id", block)
+      val kept = UrlOps.dedupByCanonicalUrl(
+        allowed.drop("host"), "url", "doc_id")
+      kept.withColumn("main", TextExtraction.mainContent(col("html")))
+        .withColumn("n_words", size(split(col("main"), " ")))
+        .filter(col("n_words") >= 20)
+        .select(col("doc_id"), col("canon_url"),
+          col("n_words").cast("long").as("n_words"),
+          md5(col("main")).as("main_hash"))
+        .orderBy("doc_id")
+    }),
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
     // registered `urls` relation)
@@ -4926,6 +4961,7 @@ object SparkEntry {
     // — byte-exact UTF-8 round-trip, headers split at the first blank
     // line — so the oracle is the SAME chained curation replay
     "q_crawl_from_warc" -> crawlCurateOracleSql,
+    "q_crawl_from_warc_gz" -> crawlCurateOracleSql,
     "q_url_canon" -> urlCanonOracleSql,
     "q_sql_url_canon" -> urlCanonOracleSql,
     "q_url_dedup" -> urlDedupOracleSql,

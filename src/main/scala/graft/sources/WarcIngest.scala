@@ -184,6 +184,63 @@ object WarcIngest {
       sniffCharset(col(contentCol)).as("charset"),
       col(dateCol).as("fetch_ts"))
 
+  /** Inflate ONE record-gzip member — the layout real WARC archives
+    * use (Common Crawl stores one gzip member per record, so members
+    * are independently splittable/fetchable); this kernel is the step
+    * that turns an archive-shaped binary record into the bytes
+    * [[parseRawRecords]] consumes. A COMPILED KERNEL
+    * (`java.util.zip.GZIPInputStream`), the resolveHref-kernel
+    * precedent: no Catalyst built-in inflates gzip, and `ScalaUDF`
+    * codegens as a plain invoke so the surrounding parse chain stays
+    * fused. Malformed/truncated members yield NULL — the
+    * parse-and-drop semantics of the converter tier (A10): a NULL
+    * record parses to a NULL/'' url and [[responsesOnly]] drops it,
+    * loudly countable, never silently wrong. Trailing members of a
+    * CONCATENATED stream are out of scope (the record-per-member
+    * layout has exactly one).
+    */
+  private def gunzipBytes(b: Array[Byte]): Array[Byte] =
+    if (b == null) null
+    else try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try in.readAllBytes() finally in.close()
+    } catch { case _: java.io.IOException => null }
+
+  private val gunzipKernel = udf(gunzipBytes _)
+
+  def inflateMember(bin: Column): Column = gunzipKernel(bin)
+
+  /** The writer half — wrap bytes as one gzip member (staging crawl
+    * snapshots, tests). Deterministic: Java's `GZIPOutputStream`
+    * writes a fixed header (MTIME = 0) and the default-level deflate
+    * is input-deterministic, so staged fixtures are byte-stable
+    * across runs — what lets the gz round trip sit inside an
+    * oracle-gated query.
+    */
+  private def gzipBytes(b: Array[Byte]): Array[Byte] =
+    if (b == null) null
+    else {
+      val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 32)
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      out.write(b); out.close()
+      bos.toByteArray
+    }
+
+  private val gzipKernel = udf(gzipBytes _)
+
+  def deflateMember(bin: Column): Column = gzipKernel(bin)
+
+  /** [[parseRawRecords]] over record-gzipped members: inflate each
+    * member ([[inflateMember]]), then the same expression-only header
+    * parse. Malformed members drop via the NULL path.
+    */
+  def parseGzRecords(raw: DataFrame, rawCol: String = "record",
+                     stripHttpHeaders: Boolean = false): DataFrame =
+    parseRawRecords(
+      raw.withColumn(rawCol, inflateMember(col(rawCol))),
+      rawCol, stripHttpHeaders)
+
   /** The inverse of [[parseRawRecords]] for tests and staging fixtures:
     * wrap (`url`, `html`, `fetch_ts`) as a raw WARC response record
     * blob. Kept in main (not test) code because a pipeline that stages

@@ -126,4 +126,51 @@ class WarcIngestSpec extends AnyFunSuite {
     // F4 90 would be > U+10FFFF
     assert(sniff(Array[Byte](0xF4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte))._1 == "iso-8859-1")
   }
+
+  test("gzip member round trip: deflate -> inflate is identity on generated byte arrays") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // arbitrary binary (full byte range, incl. empty and gzip-magic-led
+    // payloads), run in ONE bulk frame
+    val byteGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    val payloads = (Gen.listOfN(200, byteGen).sample.get :+
+      Array.empty[Byte]) :+ Array[Byte](0x1f, 0x8b.toByte)
+    val got = payloads.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "b")
+      .select(col("i"),
+        WarcIngest.inflateMember(WarcIngest.deflateMember(col("b"))).as("rt"))
+      .orderBy("i").collect().map(_.getAs[Array[Byte]]("rt"))
+    payloads.zip(got).zipWithIndex.foreach { case ((orig, rt), i) =>
+      assert(java.util.Arrays.equals(orig, rt), s"round trip broke at $i")
+    }
+  }
+
+  test("inflateMember: malformed/truncated members yield NULL (drop semantics), nulls propagate") {
+    import spark.implicits._
+    val junk = Seq(
+      "not gzip at all".getBytes("UTF-8"),
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0), // magic + truncated header
+      Array.empty[Byte])
+    val got = junk.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "b")
+      .select(WarcIngest.inflateMember(col("b")).as("r")).collect()
+    assert(got.forall(_.isNullAt(0)), got.mkString(","))
+  }
+
+  test("parseGzRecords: record-gzipped member inflates and parses like the plain path") {
+    import spark.implicits._
+    val html = "<p>gz café &amp; body</p>"
+    val raw = Seq(("https://example.com/gz/1", "urn:graft:7", html))
+      .toDF("url", "rid", "html")
+      .select(WarcIngest.deflateMember(WarcIngest.wrapAsRawRecord(
+        col("url"), col("html"),
+        to_timestamp(lit("2026-01-15 12:00:00")), col("rid"))).as("record"))
+    val parsed = WarcIngest.parseGzRecords(raw).collect()(0)
+    assert(parsed.getAs[String]("url") == "https://example.com/gz/1")
+    assert(parsed.getAs[String]("record_id") == "urn:graft:7")
+    assert(parsed.getAs[String]("html") == html)
+    // and a malformed member flows to a dropped row, not a crash
+    val bad = Seq(Tuple1("junk".getBytes("UTF-8"))).toDF("record")
+    assert(WarcIngest.responsesOnly(WarcIngest.parseGzRecords(bad)).count() == 0)
+  }
 }
