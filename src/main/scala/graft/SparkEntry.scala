@@ -5116,10 +5116,16 @@ object SparkEntry {
     // text) — a wrong verdict decodes garbage and fails the compare
     "q_charset_sniff" ->
       s"""SELECT doc_id,
-         |       CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+         |       CASE doc_id % 7 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
          |            WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
+         |            WHEN 5 THEN 'windows-1252'
          |            ELSE 'iso-8859-1' END AS charset,
-         |       text || ${sqlStr(CharsetProbeSuffix)} AS text
+         |       CASE doc_id % 7
+         |            WHEN 5 THEN '<meta charset="windows-1252">' || text ||
+         |                        ${sqlStr(CharsetProbeSuffix)} || chr(8364) || chr(8217)
+         |            WHEN 6 THEN '<meta charset=shift_jis>' || text ||
+         |                        ${sqlStr(CharsetProbeSuffix)}
+         |            ELSE text || ${sqlStr(CharsetProbeSuffix)} END AS text
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sql_url_blocklist_psl" -> urlBlocklistPslOracleSql,
     "q_sql_crawl_curate" -> crawlCurateOracleSql,
@@ -6442,16 +6448,21 @@ object SparkEntry {
     */
   private val CharsetProbeSuffix: String = " café ñ end"
 
-  /** Charset-sniff fixture: the probe text encoded five ways by
-    * doc_id%5 — plain UTF-8, BOM'd UTF-8, UTF-16LE/BE behind their
-    * BOMs, and ISO-8859-1 (invalid as UTF-8). The oracle replays the
-    * expected round trip: variant-determined label + the original
+  /** Charset-sniff fixture: the probe text encoded seven ways by
+    * doc_id%7 — plain UTF-8, BOM'd UTF-8, UTF-16LE/BE behind their
+    * BOMs, bare ISO-8859-1 (invalid as UTF-8, NO declaration — the
+    * fallback tier), a DECLARED `windows-1252` page whose tail
+    * carries the cp1252 high bytes 0x80/0x92 (€ and ’ — the translate
+    * tier must produce them, a latin-1 decode would leave C1
+    * controls), and a DECLARED-but-unsupported `shift_jis` page
+    * (falls through to latin-1, documented). The oracle replays the
+    * expected round trip: variant-determined label + the decoded
     * text.
     */
   private def plantCharsetRecords(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{concat, encode, expr, when}
     val txt = concat(col("text"), lit(CharsetProbeSuffix))
-    val v = expr("doc_id % 5")
+    val v = expr("doc_id % 7")
     docs.select(col("doc_id"),
       when(v === 0, encode(txt, "UTF-8"))
         .when(v === 1, concat(
@@ -6461,7 +6472,14 @@ object SparkEntry {
           encode(txt, "UTF-16LE")))
         .when(v === 3, concat(lit(Array[Byte](0xFE.toByte, 0xFF.toByte)),
           encode(txt, "UTF-16BE")))
-        .otherwise(encode(txt, "ISO-8859-1")).as("content"))
+        .when(v === 4, encode(txt, "ISO-8859-1"))
+        .when(v === 5, concat(
+          encode(concat(lit("<meta charset=\"windows-1252\">"), txt),
+            "ISO-8859-1"),
+          lit(Array[Byte](0x80.toByte, 0x92.toByte))))
+        .otherwise(
+          encode(concat(lit("<meta charset=shift_jis>"), txt),
+            "ISO-8859-1")).as("content"))
   }
 
   /** Dirty-text suffix appended to every document for the

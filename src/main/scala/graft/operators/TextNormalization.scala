@@ -78,6 +78,21 @@ object TextNormalization {
     0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
     0x9C -> 'œ', 0x9D -> '\u009D', 0x9E -> 'ž', 0x9F -> 'Ÿ')
 
+  /** The 27 DEFINED high-half mappings as (latin-1 C1 char → cp1252
+    * char) pairs, derived from [[Cp1252High]] (the five undefined
+    * slots map to themselves there and are filtered out). This is the
+    * translate table a WHATWG-style windows-1252 decode applies ON TOP
+    * of a latin-1 decode ([[graft.sources.WarcIngest]]'s declared-
+    * charset tier): latin-1 and cp1252 agree everywhere except
+    * 0x80–0x9F, so decode-then-translate is exactly the cp1252 decode
+    * for defined bytes, while the five undefined bytes stay C1
+    * controls — the repo's lossless evidence convention — instead of
+    * Java's U+FFFD.
+    */
+  val Cp1252DefinedPairs: Seq[(Char, Char)] = (0x80 to 0x9F)
+    .filter(u => Cp1252High(u) != u.toChar)
+    .map(u => (u.toChar, Cp1252High(u)))
+
   /** What `s` looks like after the UTF-8-as-cp1252 misdecode, C1
     * convention. Public for tests and the oracle generator.
     */

@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * [[sniffCharset]]/[[decodeSniffed]] add the detection tier a real
   * crawl needs — BOM dispatch, exact UTF-8 validation as ONE regex
   * over the hex transcript (Java and RE2 agree, so the oracle replays
-  * the detector bit for bit), ISO-8859-1 as the browser-style
-  * fallback. HTTP response headers embedded in `response`-type
+  * the detector bit for bit), the in-document charset declaration
+  * ([[declaredCharset]], with the WHATWG cp1252 mapping), ISO-8859-1
+  * as the no-declaration fallback. HTTP response headers embedded in `response`-type
   * payloads are the caller's concern — pass `stripHttpHeaders = true`
   * to drop everything up to the payload's own first blank line.
   */
@@ -129,16 +130,48 @@ object WarcIngest {
       "|F[1-3](?:[89AB][0-9A-F]){3}" +
       "|F48[0-9A-F](?:[89AB][0-9A-F]){2})*$"
 
-  /** Detected transport label for a binary payload: BOM dispatch
-    * first (`utf-8-bom`, `utf-16le`, `utf-16be`), then exact UTF-8
-    * validation ([[Utf8HexRe]]), then `iso-8859-1` — the
+  /** The charset DECLARED inside the payload's first KB — the
+    * `<meta charset=…>` / `<meta http-equiv … charset=…>` /
+    * `Content-Type: …; charset=…` forms all reduce to one anchored
+    * `charset = <label>` scan (either quote style or none),
+    * lowercased; '' when nothing is declared. The probe window decodes
+    * as latin-1 (never fails, ASCII-transparent — exactly how browsers
+    * pre-scan before committing to an encoding). Shared verbatim with
+    * the oracle (Java and RE2 agree on the pattern).
+    */
+  val DeclaredCharsetRe: String =
+    "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)"
+
+  def declaredCharset(bin: Column): Column =
+    lower(regexp_extract(
+      decode(substring(bin, 1, 1024), "ISO-8859-1"), DeclaredCharsetRe, 1))
+
+  /** Labels the WHATWG encoding standard maps to windows-1252: the
+    * cp1252 names themselves PLUS the latin-1/ascii family — browsers
+    * never decode a declared `iso-8859-1` as ISO-8859-1, and neither
+    * does this tier once the page SAYS so (the no-declaration fallback
+    * stays the C1-preserving latin-1, where the bytes are evidence,
+    * not a promise).
+    */
+  val Cp1252Labels: Seq[String] = Seq(
+    "windows-1252", "cp1252", "x-cp1252", "iso-8859-1", "iso8859-1",
+    "iso_8859-1", "latin1", "l1", "ascii", "us-ascii")
+
+  /** Detected transport label for a binary payload, in precedence
+    * order: BOM dispatch first (`utf-8-bom`, `utf-16le`, `utf-16be`),
+    * then exact UTF-8 validation ([[Utf8HexRe]] — VALID BYTES BEAT A
+    * DECLARATION: mislabeled UTF-8 is endemic and the validation is
+    * exact), then the in-document declaration ([[declaredCharset]]:
+    * the cp1252-family labels decode as `windows-1252` per WHATWG;
+    * any other label — declared-but-unsupported encodings like
+    * shift_jis — falls through, documented), then `iso-8859-1` — the
     * browser-convention fallback that never fails and never loses
     * bytes (C1 controls survive for
     * [[graft.operators.TextNormalization.repairMojibake]] to use as
-    * evidence). One linear scan per record (the hex transcript), the
-    * same order of work as the decode itself; a latin-1 page that
-    * genuinely starts with `ÿþ` mis-sniffs as UTF-16LE — the standard
-    * sniffing caveat, accepted and documented. Pure codegen.
+    * evidence). One linear scan per record (the hex transcript) plus
+    * one KB-bounded declaration probe; a latin-1 page that genuinely
+    * starts with `ÿþ` mis-sniffs as UTF-16LE — the standard sniffing
+    * caveat, accepted and documented. Pure codegen.
     */
   def sniffCharset(bin: Column): Column = {
     // BOM dispatch reads a 3-byte prefix hex — hexing the WHOLE payload
@@ -151,12 +184,31 @@ object WarcIngest {
       .when(pfx.startsWith("FFFE"), lit("utf-16le"))
       .when(pfx.startsWith("FEFF"), lit("utf-16be"))
       .when(regexp_like(hex(bin), lit(Utf8HexRe)), lit("utf-8"))
+      .when(declaredCharset(bin).isin(Cp1252Labels: _*), lit("windows-1252"))
       .otherwise(lit("iso-8859-1"))
   }
 
+  private val Cp1252From: String =
+    graft.operators.TextNormalization.Cp1252DefinedPairs.map(_._1).mkString
+  private val Cp1252To: String =
+    graft.operators.TextNormalization.Cp1252DefinedPairs.map(_._2).mkString
+
+  /** windows-1252 decode as latin-1 + the derived 27-pair high-half
+    * `translate` ([[graft.operators.TextNormalization
+    * .Cp1252DefinedPairs]]) — Spark's `decode` whitelist has no
+    * cp1252, and the two charsets differ ONLY on 0x80–0x9F; the five
+    * undefined bytes stay C1 controls (evidence for the mojibake
+    * repairer) instead of Java's U+FFFD. Codegen'd (`translate` is a
+    * built-in); the oracle replays the same pairs via its own
+    * `translate`.
+    */
+  def decodeCp1252(bin: Column): Column =
+    translate(decode(bin, "ISO-8859-1"), Cp1252From, Cp1252To)
+
   /** Decode a binary payload per [[sniffCharset]]'s verdict, BOM
-    * stripped. All five branches use JVM charsets from Spark's allowed
-    * `decode` set, so no legacy-charset flag is needed.
+    * stripped. Every branch uses JVM charsets from Spark's allowed
+    * `decode` set (the cp1252 branch is latin-1 + translate), so no
+    * legacy-charset flag is needed.
     */
   def decodeSniffed(bin: Column): Column = {
     // same prefix-hex discipline as [[sniffCharset]]: the full
@@ -170,6 +222,7 @@ object WarcIngest {
       .when(pfx.startsWith("FEFF"),
         decode(substring(bin, 3, Int.MaxValue), "UTF-16BE"))
       .when(regexp_like(hex(bin), lit(Utf8HexRe)), decode(bin, "UTF-8"))
+      .when(declaredCharset(bin).isin(Cp1252Labels: _*), decodeCp1252(bin))
       .otherwise(decode(bin, "ISO-8859-1"))
   }
 

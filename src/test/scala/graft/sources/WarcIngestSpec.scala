@@ -127,6 +127,48 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(sniff(Array[Byte](0xF4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte))._1 == "iso-8859-1")
   }
 
+  test("declared charset tier: cp1252-family labels decode as windows-1252, with WHATWG latin-1 mapping") {
+    // declared windows-1252 with \u00e9 (0xE9) plus the cp1252 high
+    // bytes 0x80 (euro) and 0x92 (right single quote): the translate
+    // tier must produce the cp1252 characters a latin-1 decode would
+    // leave as C1 controls
+    // NOTE the space after 0xE9: E9 80 92 alone happens to BE valid
+    // UTF-8 (U+9012), which the validation tier would rightly claim —
+    // declared-charset pages only reach their label when bytes are
+    // genuinely not UTF-8
+    val body = "<meta charset=\"windows-1252\">caf".getBytes("ISO-8859-1") ++
+      Array[Byte](0xE9.toByte, 0x20.toByte, 0x80.toByte, 0x92.toByte)
+    assert(sniff(body) == (("windows-1252",
+      "<meta charset=\"windows-1252\">caf\u00e9 \u20ac\u2019")))
+    // WHATWG: a DECLARED iso-8859-1 label decodes as cp1252 too
+    val latinLabeled = "<meta charset=iso-8859-1>y".getBytes("ISO-8859-1") ++
+      Array[Byte](0x85.toByte) // lone continuation byte: not UTF-8; = ellipsis in cp1252
+    assert(sniff(latinLabeled) == (("windows-1252",
+      "<meta charset=iso-8859-1>y\u2026")))
+    // http-equiv / Content-Type form, single quotes, mixed-case label
+    val httpEquiv = ("<meta http-equiv='Content-Type' content='text/html; " +
+      "charset=CP1252'>x").getBytes("ISO-8859-1") ++
+      Array[Byte](0x99.toByte) // 0x99 = trade mark sign
+    assert(sniff(httpEquiv)._1 == "windows-1252")
+    assert(sniff(httpEquiv)._2.endsWith("x\u2122"))
+    // cp1252-UNDEFINED byte 0x81 stays a C1 control (evidence), not U+FFFD
+    val undef = "<meta charset=windows-1252>a".getBytes("ISO-8859-1") ++
+      Array[Byte](0x81.toByte)
+    assert(sniff(undef)._2.endsWith("a\u0081"))
+  }
+
+  test("declared charset tier: valid bytes beat labels; unsupported labels fall back") {
+    // VALID UTF-8 with a lying cp1252 label: bytes win
+    val lying = "<meta charset=windows-1252>caf\u00e9".getBytes("UTF-8")
+    assert(sniff(lying) == (("utf-8", "<meta charset=windows-1252>caf\u00e9")))
+    // declared-but-unsupported shift_jis on non-UTF-8 bytes: latin-1
+    // fallback (C1-preserving), label ignored
+    val sjis = "<meta charset=shift_jis>caf\u00e9".getBytes("ISO-8859-1")
+    assert(sniff(sjis) == (("iso-8859-1", "<meta charset=shift_jis>caf\u00e9")))
+    // no declaration at all: the plain fallback path is unchanged
+    assert(sniff("caf\u00e9".getBytes("ISO-8859-1")) == (("iso-8859-1", "caf\u00e9")))
+  }
+
   test("gzip member round trip: deflate -> inflate is identity on generated byte arrays") {
     import org.scalacheck.Gen
     import spark.implicits._
