@@ -2284,6 +2284,27 @@ object SparkEntry {
           "url", "doc_id", "priority", delays)
         .orderBy("doc_id")
     }),
+    // the compliance capstone under RFC 9309 §2.3.1 FETCH-STATUS
+    // semantics: a 404'd robots.txt host crawls unrestricted (its
+    // parsed rules drop), a 500'd host is fully excluded (synthesized
+    // Disallow: /), and only live hosts contribute crawl delays —
+    // the rule a plain body parse cannot express
+    "q_crawl_plan_status" -> ((s, d) => {
+      import graft.operators.{TextExtraction, UrlOps}
+      val docs = table(s, d, "documents")
+      val fetch = plantRobotsFetch(docs)
+      val rules = UrlOps.robotsRulesWithStatus(fetch, agent = "*")
+      val pages = plantCompliancePages(docs)
+      val allowed = UrlOps.filterDisallowed(pages, "url", "doc_id", rules)
+      val indexable = TextExtraction.filterNoindexed(allowed, "html")
+      val winners = UrlOps.consolidateByCanonical(
+        indexable, "url", "html", "doc_id")
+      val delays = UrlOps.crawlDelaysWithStatus(fetch, agent = "*")
+      UrlOps.frontierSchedule(
+          winners.withColumn("priority", col("doc_id") % 5),
+          "url", "doc_id", "priority", delays)
+        .orderBy("doc_id")
+    }),
     // domain-blocklist filter with suffix semantics (blocking example.com
     // blocks cdn.media.example.com): exploded domain-chain broadcast semi
     // collects blocked keys, broadcast anti removes them — the corpus
@@ -5003,6 +5024,7 @@ object SparkEntry {
     "q_frontier_schedule" -> frontierScheduleOracleSql,
     // the compliance capstone: every hop of the chained plan replayed
     "q_crawl_plan" -> crawlPlanOracleSql,
+    "q_crawl_plan_status" -> crawlPlanStatusOracleSql,
     // sitemap priority → politeness schedule under a per-host budget
     "q_sitemap_schedule" -> sitemapScheduleOracleSql,
     // change-driven recrawl replay: string compare stands in for the
@@ -6543,6 +6565,19 @@ object SparkEntry {
           .otherwise(lit(RobotsBodyTemplates(3))).as("robots_txt"))
   }
 
+  /** [[plantRobotsTxt]] as a FETCH LOG: the same bodies plus the HTTP
+    * status of the robots.txt fetch, by k%5 — 1 → 404 (RFC 9309:
+    * crawl as if no robots.txt exists), 2 → 500 (assume complete
+    * disallow), else 200 (parse normally). Replayed literally in the
+    * status-plan oracle.
+    */
+  private def plantRobotsFetch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    plantRobotsTxt(docs).withColumn("status", expr(
+      "CASE CAST(regexp_extract(host, 'example([0-9]+)', 1) AS INT) % 5 " +
+        "WHEN 1 THEN 404 WHEN 2 THEN 500 ELSE 200 END"))
+  }
+
   /** Deterministic HTML plant: each document's text wrapped in a
     * four-line template page — head (title + style + script content),
     * a nav bar (three anchors, three words), the content paragraph
@@ -6993,6 +7028,55 @@ object SparkEntry {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** [[crawlPlanOracleSql]] under RFC 9309 fetch-status semantics:
+    * `rstat` replays [[plantRobotsFetch]]'s status formula, binding
+    * directives are restricted to LIVE hosts (status < 400), the
+    * enforce stage gains one synthesized `Disallow: /` row per 5xx
+    * host (spec 1, regex `^/` — exactly what the Spark side's
+    * [[graft.operators.UrlOps.robotsRulesWithStatus]] pattern compiles
+    * to), and crawl delays come from live hosts only.
+    */
+  private def crawlPlanStatusOracleSql: String = {
+    import graft.operators.TextExtraction.{MetaRobotsContentFirstRe, MetaRobotsNameFirstRe}
+    val downRules = "\n  UNION ALL\n  SELECT sh AS rhost, '/' AS pattern, " +
+      "false AS allow, 1 AS spec, '^/' AS rx FROM rstat WHERE status >= 500"
+    s"""WITH $compliancePagesCteSql,
+       |${robotsDirectivesCtesSql("*")},
+       |rstat AS (
+       |  SELECT 'example' || CAST(k AS VARCHAR) || '.com' AS sh,
+       |         CASE k % 5 WHEN 1 THEN 404 WHEN 2 THEN 500 ELSE 200 END AS status
+       |  FROM (SELECT DISTINCT doc_id % 20 AS k FROM documents)),
+       |rbind_live AS (
+       |  SELECT rbind.* FROM rbind JOIN rstat ON rbind.h = rstat.sh
+       |  WHERE rstat.status < 400),
+       |${robotsEnforceCtesSqlFrom("rbind_live", downRules)},
+       |surv AS (
+       |  SELECT pg.* FROM pg
+       |  WHERE pg.doc_id NOT IN (SELECT doc_id FROM verd WHERE rn = 1 AND NOT allow)),
+       |idx AS (
+       |  SELECT surv.* FROM surv
+       |  WHERE NOT regexp_matches(
+       |    lower(regexp_extract(html, ${sqlStr(MetaRobotsNameFirstRe)}, 1) || ' ' ||
+       |          regexp_extract(html, ${sqlStr(MetaRobotsContentFirstRe)}, 1)),
+       |    '(^|[\\s,])(?:noindex|none)([\\s,]|$$)')),
+       |${canonicalConsolidationCtesSql("idx")},
+       |del AS (
+       |  SELECT h AS host, CAST(round(min(CAST(dval AS DOUBLE)) * 1000) AS BIGINT) AS delay_ms
+       |  FROM rbind_live
+       |  WHERE dkey = 'crawl-delay' AND regexp_matches(dval, '^[0-9]+(\\.[0-9]+)?$$')
+       |  GROUP BY h),
+       |sched AS (
+       |  SELECT w.doc_id, w.url, hh.host, w.doc_id % 5 AS prio,
+       |         row_number() OVER (PARTITION BY hh.host
+       |                            ORDER BY w.doc_id % 5 DESC, w.url, w.doc_id) - 1 AS wave
+       |  FROM win w JOIN h hh ON w.doc_id = hh.doc_id
+       |  WHERE w.rn = 1)
+       |SELECT s.doc_id, s.host, CAST(s.wave AS BIGINT) AS wave,
+       |       CAST(s.wave * COALESCE(d.delay_ms, 1000) AS BIGINT) AS fetch_at_ms
+       |FROM sched s LEFT JOIN del d ON s.host = d.host
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** The [[plantRobotsTxt]] replay: same k-derivation, same host
     * formula, same template bytes.
     */
@@ -7073,6 +7157,15 @@ object SparkEntry {
     * the canonical `h` frame in scope.
     */
   private def robotsEnforceCtesSql: String =
+    robotsEnforceCtesSqlFrom("rbind", "")
+
+  /** The enforce CTEs over an arbitrary binding-directives CTE `src`,
+    * with an optional `extraRulesSql` UNION ALL fragment appended to
+    * `rr` (the fetch-status oracle injects its synthesized
+    * `Disallow: /` rows there).
+    */
+  private def robotsEnforceCtesSqlFrom(src: String,
+                                       extraRulesSql: String): String =
     s"""rr AS (
        |  SELECT h AS rhost, dval AS pattern, (dkey = 'allow') AS allow,
        |         length(dval) AS spec,
@@ -7082,7 +7175,7 @@ object SparkEntry {
        |                  CASE WHEN dval LIKE '%$$' THEN substr(dval, 1, length(dval) - 1) ELSE dval END,
        |                  '([.\\\\+?\\[\\]{}()|^$$])', '\\\\\\1', 'g'), '*', '.*') ||
        |             CASE WHEN dval LIKE '%$$' THEN '$$' ELSE '' END AS rx
-       |  FROM rbind WHERE dkey IN ('allow', 'disallow') AND dval <> ''),
+       |  FROM $src WHERE dkey IN ('allow', 'disallow') AND dval <> ''$extraRulesSql),
        |verd AS (
        |  SELECT h.doc_id, rr.allow,
        |         row_number() OVER (PARTITION BY h.doc_id

@@ -823,6 +823,52 @@ object UrlOps {
       .select(col("_h").as("host"), col("_val").as("pattern"),
         (col("_key") === "allow").as("allow"))
 
+  /** [[parseRobotsRules]] with RFC 9309 §2.3.1 FETCH-STATUS semantics —
+    * what a crawler must do when the robots.txt fetch itself failed,
+    * which plain body parsing cannot express:
+    *
+    *  - 2xx/3xx (or any status < 400): parse the body as usual;
+    *  - 4xx ("unavailable"): the spec says crawl as if NO robots.txt
+    *    exists — the host's parsed rules are DROPPED (allow-all);
+    *  - 5xx / unreachable (NULL or non-positive status —
+    *    "unreachable" per the RFC): assume COMPLETE DISALLOW — one
+    *    synthesized `Disallow: /` rule per host, which
+    *    [[filterDisallowed]] compiles like any other pattern.
+    *
+    * Input is the fetch log: one row per host with the body and the
+    * HTTP status. Shape: one filter + parse over the live subset (the
+    * same KB-scale lines shuffle as [[parseRobotsRules]]) plus a
+    * map-only projection of the down hosts; the synthesized rules
+    * frame stays #down-hosts-sized and rides the same broadcast into
+    * enforcement.
+    */
+  def robotsRulesWithStatus(robotsFetch: DataFrame, hostCol: String = "host",
+                            txtCol: String = "robots_txt",
+                            statusCol: String = "status",
+                            agent: String = "*"): DataFrame = {
+    val st = col(statusCol).cast("int")
+    val live = robotsFetch.filter(st.isNotNull && st >= 100 && st < 400)
+    val down = robotsFetch.filter(st.isNull || st < 100 || st >= 500)
+      .select(canonicalBareHost(col(hostCol)).as("host"),
+        lit("/").as("pattern"), lit(false).as("allow"))
+    parseRobotsRules(live, hostCol, txtCol, agent).unionByName(down)
+  }
+
+  /** [[crawlDelays]] under the same fetch-status rule: only a host
+    * whose robots.txt actually FETCHED (status < 400) contributes a
+    * binding Crawl-delay — a 404'd host falls back to the scheduler's
+    * default, and a 5xx'd host is excluded from the frontier entirely
+    * by [[robotsRulesWithStatus]] so its delay is moot.
+    */
+  def crawlDelaysWithStatus(robotsFetch: DataFrame, hostCol: String = "host",
+                            txtCol: String = "robots_txt",
+                            statusCol: String = "status",
+                            agent: String = "*"): DataFrame = {
+    val st = col(statusCol).cast("int")
+    crawlDelays(robotsFetch.filter(st.isNotNull && st >= 100 && st < 400),
+      hostCol, txtCol, agent)
+  }
+
   /** Per-host `Crawl-delay` (seconds) for the binding agent groups —
     * the politeness budget [[frontierSchedule]] spends. Non-numeric
     * values are dropped (the directive is non-standard; real bodies

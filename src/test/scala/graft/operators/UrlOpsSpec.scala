@@ -315,6 +315,33 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(star2 == Set(("/x", false)), star2) // comment stripped, empty Disallow dropped
   }
 
+  test("robotsRulesWithStatus: 4xx drops rules, 5xx/unreachable synthesizes Disallow /, live parses") {
+    import spark.implicits._
+    val body = "User-agent: *\nDisallow: /blocked\n"
+    val fetch = Seq(
+      ("live.com", body, Some(200)),
+      ("redirected.com", body, Some(301)),
+      ("gone.com", body, Some(404)),      // rules must DROP (allow-all)
+      ("down.com", body, Some(503)),      // full disallow
+      ("dark.com", body, None))           // unreachable -> full disallow
+      .toDF("host", "robots_txt", "status")
+    val got = UrlOps.robotsRulesWithStatus(fetch)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      ("live.com", "/blocked", false),
+      ("redirected.com", "/blocked", false),
+      ("down.com", "/", false),
+      ("dark.com", "/", false)), got)
+    // delays inherit the same status rule: only live hosts contribute
+    val delayFetch = Seq(
+      ("live.com", "User-agent: *\nCrawl-delay: 2\n", Some(200)),
+      ("gone.com", "User-agent: *\nCrawl-delay: 9\n", Some(404)))
+      .toDF("host", "robots_txt", "status")
+    val delays = UrlOps.crawlDelaysWithStatus(delayFetch)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(delays == Set(("live.com", 2.0)), delays)
+  }
+
   /** Independent driver-side reference implementation of the RFC 9309
     * group semantics — a SECOND implementation (plain Scala fold, no
     * Spark, no shared code with the operator) for the property check:
