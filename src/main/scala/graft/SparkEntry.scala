@@ -2363,6 +2363,27 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
         iters = 3).orderBy("url")),
+    // the persisted-index path: edges bucketed by src, so every
+    // PageRank iteration's join is co-partitioned on the edge side
+    // (no edge shuffle per iteration — only the rank table moves);
+    // exact-fixpoint early stop (delta == 0) keeps the fixed-iters
+    // oracle valid. Shares q_link_pagerank's oracle.
+    "q_link_pagerank_idx" -> ((s, d) => {
+      val edges = graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+      graft.operators.LinkGraph.writeEdgeIndex(edges,
+        "graft_link_edge_index")
+      graft.operators.LinkGraph.pagerankAgainstIndex(s,
+        "graft_link_edge_index", iters = 3).orderBy("url")
+    }),
+    "q_link_components_idx" -> ((s, d) => {
+      val edges = graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+      graft.operators.LinkGraph.writeEdgeIndex(edges,
+        "graft_link_edge_cidx")
+      graft.operators.LinkGraph.componentsAgainstIndex(s,
+        "graft_link_edge_cidx").orderBy("url")
+    }),
     // sitemap ingestion (the crawl frontier's OTHER input besides
     // extracted links): <url> blocks -> (key, canonical loc, verbatim
     // lastmod-or-null); XML entity decode before canonicalization,
@@ -5173,6 +5194,8 @@ object SparkEntry {
     // floor division makes the ranks sum-order- and
     // partitioning-independent, so the hash compare is exact
     "q_link_pagerank" -> linkPagerankOracleSql,
+    "q_link_pagerank_idx" -> linkPagerankOracleSql,
+    "q_link_components_idx" -> linkComponentsOracleSql,
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
     // blocks dropped, entity decode before the canonical terms
     "q_sitemap_urls" -> sitemapUrlsOracleSql,

@@ -405,15 +405,25 @@ object LinkGraph {
     * rank side.
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
-               dampingPct: Int = 85): DataFrame = {
+               dampingPct: Int = 85,
+               stopDeltaL1: Long = 0L): DataFrame =
+    pagerankCore(edges, iters, dampingPct, stopDeltaL1, persistEdges = true)
+
+  private def pagerankCore(edges: DataFrame, iters: Int, dampingPct: Int,
+                           stopDeltaL1: Long,
+                           persistEdges: Boolean): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    require(stopDeltaL1 >= 0L)
     // iterative Spark 101: each iteration is MATERIALIZED (persist +
     // action) before the next builds on it — a lazily-chained loop
     // recomputes every prior iteration per downstream action (the
     // first draft benched 6.2 s for 3 iterations at sf0.1; the
-    // lineage was cubic in iters). edges feed every iteration, so
-    // they persist too instead of re-running link extraction.
-    val edgesP = edges.persist()
+    // lineage was cubic in iters). Ad-hoc edges feed every iteration,
+    // so they persist too instead of re-running link extraction; a
+    // bucketed index table ([[pagerankAgainstIndex]]) is already
+    // materialized AND co-partitioned on src — caching it would only
+    // copy the storage and hide the bucket partitioning.
+    val edgesP = if (persistEdges) edges.persist() else edges
     val nodes = edgesP.select(col("src").as("url"))
       .union(edgesP.select(col("dst").as("url"))).distinct()
     val outDeg = edgesP.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -427,7 +437,8 @@ object LinkGraph {
       lit(FixedPointTotal / n).as("rank"))
     var prev: Option[DataFrame] = None
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       // the per-iteration dangling aggregate doubles as the action
       // that materializes the PREVIOUS iteration's persisted ranks —
       // one job per iteration, no separate count()
@@ -448,16 +459,76 @@ object LinkGraph {
           expr(s"${baseShare}L + (${d}L * coalesce(contrib, 0L)) div 100 " +
             s"+ ${dangShare}L").as("rank"))
         .persist()
-      prev.foreach(p => { next.count(); p.unpersist() })
+      // the L1 delta vs the previous ranks is BOTH the materializing
+      // action for `next` and the convergence test: one co-keyed join
+      // + one scalar agg per iteration (rank-table-sized, exact
+      // integer arithmetic — the oracle could replay the stop
+      // decision bit for bit). With the default stopDeltaL1 = 0 the
+      // loop stops only at an EXACT fixpoint, where every further
+      // iteration reproduces the same ranks — so early stop is
+      // result-identical to running all `iters`, and a fixed-iters
+      // oracle stays valid. A nonzero tolerance trades that exact
+      // equivalence for fewer iterations; callers own that choice.
+      val delta = next
+        .join(ranks.select(col("url"), col("rank").as("_prev")), "url")
+        .agg(coalesce(sum(abs(col("rank") - col("_prev"))), lit(0L)))
+        .head().getLong(0)
+      prev.foreach(_.unpersist())
       prev = Some(next)
       ranks = next
       it += 1
+      if (delta <= stopDeltaL1) converged = true
     }
     // the final iteration stays persisted — the caller consumes it next
     // (and any cache-hygiene sweep may unpersist it afterwards); the
     // scaffolding caches are dropped here
-    edgesP.unpersist()
+    if (persistEdges) edgesP.unpersist()
     base.unpersist()
     ranks.select(col("url"), col("rank"))
   }
+
+  // ---- persisted src-bucketed edge index ----
+  // The link family's entry in the persisted-index line (MinHash
+  // buckets, SimHash segments, IVF lists, URL claims): PageRank
+  // re-joins the FULL edge list on src every iteration, so an ad-hoc
+  // edge frame pays an edge-sized shuffle per iteration — the
+  // dominant cost at graph scale. Bucketing the stored edges by src
+  // makes every iteration's join co-partitioned on the edge side:
+  // only the rank table (N rows, orders of magnitude smaller than
+  // the edge list on real web graphs) moves per iteration.
+
+  /** Persist the distinct edge list bucketed (and sorted) by `src`.
+    * The bucket count is recorded as a table property like the other
+    * index families.
+    */
+  def writeEdgeIndex(edges: DataFrame, tableName: String,
+                     buckets: Int = 64): Unit = {
+    Dedup.dropManaged(edges.sparkSession, tableName)
+    edges.select(col("src"), col("dst")).distinct()
+      .write.format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+      .mode("overwrite").saveAsTable(tableName)
+    edges.sparkSession.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
+  }
+
+  /** [[pagerank]] over a [[writeEdgeIndex]] table: the per-iteration
+    * src join reads the bucketed scan with NO edge-side Exchange
+    * (plan-pinned in the spec suite) — the rank table shuffles to the
+    * bucket partitioning instead. Same fixed-point arithmetic, same
+    * oracle; `stopDeltaL1` as in [[pagerank]] (default 0 = exact-
+    * fixpoint early stop, result-identical to fixed iterations).
+    */
+  def pagerankAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           tableName: String, iters: Int = 3,
+                           dampingPct: Int = 85,
+                           stopDeltaL1: Long = 0L): DataFrame =
+    pagerankCore(spark.table(tableName), iters, dampingPct, stopDeltaL1,
+      persistEdges = false)
+
+  /** [[components]] over a [[writeEdgeIndex]] table. */
+  def componentsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                             tableName: String,
+                             maxIter: Int = 25): DataFrame =
+    components(spark.table(tableName), maxIter)
 }

@@ -36,6 +36,44 @@ class LinkGraphSpec extends AnyFunSuite {
       s"edges: ${edges.toSeq}")
   }
 
+  test("pagerank early stop at exact fixpoint is result-identical to fixed iterations") {
+    import spark.implicits._
+    // a 2-cycle: uniform ranks are the exact fixpoint from iteration 1
+    // on, so the delta-0 stop fires early — and must reproduce the
+    // 10-iteration result bit for bit
+    val edges = Seq(
+      ("https://a.com/1", "https://b.com/1"),
+      ("https://b.com/1", "https://a.com/1")).toDF("src", "dst")
+    def run(iters: Int) = LinkGraph.pagerank(edges, iters = iters)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(10) == run(1), "fixpoint early stop diverged from fixed iters")
+    // uniform split of the fixed-point total across the 2 nodes
+    assert(run(1) == Set(
+      ("https://a.com/1", 500000000000L),
+      ("https://b.com/1", 500000000000L)))
+  }
+
+  test("pagerankAgainstIndex equals the ad-hoc pagerank on the same edges") {
+    import spark.implicits._
+    val edges = Seq(
+      ("https://a.com/1", "https://b.com/1"),
+      ("https://a.com/1", "https://c.com/1"),
+      ("https://b.com/1", "https://c.com/1"),
+      ("https://d.com/1", "https://a.com/1")).toDF("src", "dst")
+    LinkGraph.writeEdgeIndex(edges, "graft_spec_edge_idx", buckets = 4)
+    try {
+      val adhoc = LinkGraph.pagerank(edges, iters = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val idx = LinkGraph.pagerankAgainstIndex(spark, "graft_spec_edge_idx",
+        iters = 3).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(adhoc == idx, s"adhoc $adhoc != idx $idx")
+      val comps = LinkGraph.componentsAgainstIndex(spark, "graft_spec_edge_idx")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(comps == LinkGraph.components(edges)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_spec_edge_idx")
+  }
+
   test("topAnchorLabels: majority label wins; count ties break on anchor text") {
     import spark.implicits._
     val anchors = Seq(

@@ -251,6 +251,38 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(exchanges <= 9, s"hash exchanges grew past the measured 8 to $exchanges:\n$p")
   }
 
+  test("edge index: the per-iteration src join reads the bucketed scan with no edge-side Exchange") {
+    import spark.implicits._
+    val edges = (0 until 200).map(i =>
+      (s"https://s$i.com/p", s"https://t${i % 7}.com/x")).toDF("src", "dst")
+    graft.operators.LinkGraph.writeEdgeIndex(edges, "graft_plan_edge_idx",
+      buckets = 8)
+    // force the shuffle join AQE would broadcast away at toy scale —
+    // the co-partitioning claim is about the at-scale plan
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ranks = (0 until 200).map(i =>
+        (s"https://s$i.com/p", 1L, 5L)).toDF("url", "outdeg", "rank")
+      val tbl = spark.table("graft_plan_edge_idx")
+      val joined = tbl.join(ranks, tbl("src") === ranks("url"))
+      // string assertions — executedPlan.collect does not descend into
+      // the AdaptiveSparkPlan wrapper
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"no bucketed scan in:\n$plan")
+      assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+      // exactly ONE exchange: the rank side shuffling TO the bucket
+      // partitioning; the edge side reads the bucketed scan in place
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"expected only the rank-side exchange:\n$plan")
+      assert(plan.contains("hashpartitioning(url"),
+        s"the one exchange should be the rank side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_plan_edge_idx")
+    }
+  }
+
   test("decontamination plan: benchmark side broadcasts, no cartesian") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
