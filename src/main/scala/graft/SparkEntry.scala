@@ -2025,6 +2025,22 @@ object SparkEntry {
     }),
     // SQL faces of the raw-robots family: the robots_txt relation
     // carries fetched bodies; the faces parse per-agent
+    // the fetch-status faces over the robots_fetch relation (host,
+    // robots_txt, status) — RFC 9309 2.3.1 semantics as one SQL call
+    "q_sql_robots_status" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantRobotsFetch(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.RobotsFetchRelation)
+      s.sql("SELECT host, pattern, allow FROM graft_robots_rules_status('*') " +
+        "ORDER BY host, pattern, allow")
+    }),
+    "q_sql_delays_status" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantRobotsFetch(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.RobotsFetchRelation)
+      s.sql("SELECT host, delay_s FROM graft_crawl_delays_status('*') " +
+        "ORDER BY host")
+    }),
     "q_sql_robots_parse" -> ((s, d) => {
       GraftFunctions.register(s)
       plantRobotsTxt(table(s, d, "documents"))
@@ -5107,6 +5123,8 @@ object SparkEntry {
     // SQL faces ≡ their method twins, same oracles
     "q_sql_crawl_plan" -> crawlPlanOracleSql,
     "q_sql_robots_parse" -> robotsParseOracleSql,
+    "q_sql_robots_status" -> robotsStatusRulesOracleSql,
+    "q_sql_delays_status" -> robotsStatusDelaysOracleSql,
     "q_sql_crawl_delays" -> robotsDelayOracleSql,
     "q_sql_meta_robots" -> htmlNoindexOracleSql,
     "q_sql_text_normalize" -> textNormalizeOracleSql,
@@ -7059,16 +7077,47 @@ object SparkEntry {
     * [[graft.operators.UrlOps.robotsRulesWithStatus]] pattern compiles
     * to), and crawl delays come from live hosts only.
     */
+  /** The [[plantRobotsFetch]] status replay (`sh`, `status`) — shared
+    * by the status capstone and the status SQL-face oracles.
+    */
+  private def robotsFetchStatusCteSql: String =
+    s"""rstat AS (
+       |  SELECT 'example' || CAST(k AS VARCHAR) || '.com' AS sh,
+       |         CASE k % 5 WHEN 1 THEN 404 WHEN 2 THEN 500 ELSE 200 END AS status
+       |  FROM (SELECT DISTINCT doc_id % 20 AS k FROM documents))""".stripMargin
+
+  /** [[graft.operators.UrlOps.robotsRulesWithStatus]] replay for the
+    * `*` agent: live hosts' binding Allow/Disallow lines plus one
+    * synthesized `Disallow: /` per 5xx host.
+    */
+  private def robotsStatusRulesOracleSql: String =
+    s"""WITH ${robotsDirectivesCtesSql("*")},
+       |$robotsFetchStatusCteSql
+       |SELECT * FROM (
+       |  SELECT h AS host, dval AS pattern, (dkey = 'allow') AS allow
+       |  FROM rbind JOIN rstat ON rbind.h = rstat.sh
+       |  WHERE rstat.status < 400 AND dkey IN ('allow', 'disallow') AND dval <> ''
+       |  UNION ALL
+       |  SELECT sh AS host, '/' AS pattern, false AS allow
+       |  FROM rstat WHERE status >= 500)
+       |ORDER BY host, pattern, allow""".stripMargin
+
+  private def robotsStatusDelaysOracleSql: String =
+    s"""WITH ${robotsDirectivesCtesSql("*")},
+       |$robotsFetchStatusCteSql
+       |SELECT h AS host, min(CAST(dval AS DOUBLE)) AS delay_s
+       |FROM rbind JOIN rstat ON rbind.h = rstat.sh
+       |WHERE rstat.status < 400 AND dkey = 'crawl-delay'
+       |  AND regexp_matches(dval, '^[0-9]+(\\.[0-9]+)?$$')
+       |GROUP BY h ORDER BY host""".stripMargin
+
   private def crawlPlanStatusOracleSql: String = {
     import graft.operators.TextExtraction.{MetaRobotsContentFirstRe, MetaRobotsNameFirstRe}
     val downRules = "\n  UNION ALL\n  SELECT sh AS rhost, '/' AS pattern, " +
       "false AS allow, 1 AS spec, '^/' AS rx FROM rstat WHERE status >= 500"
     s"""WITH $compliancePagesCteSql,
        |${robotsDirectivesCtesSql("*")},
-       |rstat AS (
-       |  SELECT 'example' || CAST(k AS VARCHAR) || '.com' AS sh,
-       |         CASE k % 5 WHEN 1 THEN 404 WHEN 2 THEN 500 ELSE 200 END AS status
-       |  FROM (SELECT DISTINCT doc_id % 20 AS k FROM documents)),
+       |$robotsFetchStatusCteSql,
        |rbind_live AS (
        |  SELECT rbind.* FROM rbind JOIN rstat ON rbind.h = rstat.sh
        |  WHERE rstat.status < 400),

@@ -90,6 +90,12 @@ object SqlTableFunctions {
     */
   val RobotsTxtRelation = "robots_txt"
 
+  /** The fetch-status faces read this relation: `host`, `robots_txt`,
+    * `status` — the robots fetch LOG
+    * ([[graft.operators.UrlOps.robotsRulesWithStatus]] semantics).
+    */
+  val RobotsFetchRelation = "robots_fetch"
+
   /** The relation the vector functions read (vec_id, embedding). */
   val EmbeddingsRelation = "embeddings"
 
@@ -466,6 +472,16 @@ object SqlTableFunctions {
     add("graft_crawl_delays", "graft_crawl_delays(agent)", 1) { (s, f, a) =>
       graft.operators.UrlOps.crawlDelays(
         rel(s, RobotsTxtRelation, f.name), agent = strArg(f, a, 0))
+    }
+    add("graft_robots_rules_status", "graft_robots_rules_status(agent)", 1) {
+      (s, f, a) =>
+        graft.operators.UrlOps.robotsRulesWithStatus(
+          rel(s, RobotsFetchRelation, f.name), agent = strArg(f, a, 0))
+    }
+    add("graft_crawl_delays_status", "graft_crawl_delays_status(agent)", 1) {
+      (s, f, a) =>
+        graft.operators.UrlOps.crawlDelaysWithStatus(
+          rel(s, RobotsFetchRelation, f.name), agent = strArg(f, a, 0))
     }
     add("graft_meta_robots", "graft_meta_robots()", 0) { (s, f, _) =>
       import org.apache.spark.sql.functions.col

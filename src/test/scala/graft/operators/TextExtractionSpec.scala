@@ -115,6 +115,26 @@ class TextExtractionSpec extends AnyFunSuite {
     assert(strip("<b>&lt;&eacute;&gt;</b>") == "<é>")
   }
 
+  test("entity decode round-trips an HTML escaper on generated text (one level, bulk)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("&", "<", ">", "\"", "'", "q&a", "a<b", "5>4", "&&", "&x"))
+    val texts = Gen.listOfN(300, Gen.listOf(tokenGen).map(_.mkString(" ")))
+      .sample.get
+    // the standard serializer: escape & FIRST, then the other four
+    def escape(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;").replace("'", "&#39;")
+    def collapse(s: String) = s.replaceAll("\\s+", " ").trim
+    val got = texts.map(escape).zipWithIndex.map(_.swap).toDF("i", "h")
+      .select(col("i"), TextExtraction.stripHtml(col("h")).as("t"))
+      .orderBy("i").collect().map(_.getString(1))
+    texts.map(collapse).zip(got).zipWithIndex.foreach { case ((exp, g), i) =>
+      assert(g == exp, s"case $i: '${texts(i)}' -> '${escape(texts(i))}' -> '$g' != '$exp'")
+    }
+  }
+
   private def flags(html: String): (Boolean, Boolean) = {
     import spark.implicits._
     val r = Seq(html).toDF("h").select(
