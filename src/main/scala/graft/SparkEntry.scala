@@ -2379,6 +2379,14 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
         iters = 3).orderBy("url")),
+    // per-link rel="nofollow" compliance (the link-level half of REP —
+    // metaNofollow is the page level): per-anchor ATTRIBUTE-STRING
+    // extraction makes the flag attribute-order free, and duplicate
+    // (src, dst) pairs collapse to followed when ANY copy endorses
+    "q_link_rel" -> ((s, d) =>
+      graft.operators.LinkGraph.extractLinksWithRel(
+        plantRelAttrPages(table(s, d, "documents")), "url", "html")
+        .orderBy("src", "dst")),
     // the persisted-index path: edges bucketed by src, so every
     // PageRank iteration's join is co-partitioned on the edge side
     // (no edge shuffle per iteration — only the rank table moves);
@@ -5236,6 +5244,7 @@ object SparkEntry {
     // the same resolution scope as the edge extraction
     "q_link_anchors" -> linkAnchorsOracleSql,
     "q_link_anchor_labels" -> linkAnchorLabelsOracleSql,
+    "q_link_rel" -> linkRelOracleSql,
     "q_sql_anchor_labels" -> linkAnchorLabelsOracleSql,
     // host projection of the edge list, intra-host edges dropped
     "q_link_hostgraph" -> linkHostgraphOracleSql,
@@ -6204,6 +6213,32 @@ object SparkEntry {
       lit(".html\">same</a> <a href=\"x/../y/./c.html\">mixed</a>" +
         " <a href=\"../../../../clamp.html\">clamp</a>" +
         " <a href='tel:+15550'>tel</a></p>")).as("html"))
+  }
+
+  /** rel-attribute plant: each page carries (1) a followed absolute
+    * hub link, (2) a root-relative link with `rel="nofollow"` AFTER
+    * href, (3) an absolute link with a multi-token `rel='ugc
+    * nofollow'` BEFORE href (attribute order + token scan), (4) an
+    * UNQUOTED href with unquoted `rel=nofollow`, (5) a nofollow'd
+    * DUPLICATE of (1)'s target — the (src, dst) collapse must come
+    * out followed (any followed copy endorses), and (6) a `mailto:`
+    * that drops. Replayed literally in [[linkRelOracleSql]].
+    */
+  private def plantRelAttrPages(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    val hub = concat(lit("HTTPS://HUB"), (col("doc_id") % 13).cast("string"),
+      lit(".Example.net/h/"), (col("doc_id") % 5).cast("string"))
+    plantUrls(docs).select(col("doc_id"), col("url"), concat(
+      lit("<p><a href=\""), hub, lit("\">hub</a>"),
+      lit(" <a href=\"/p/"), ((col("doc_id") + 3) % 11).cast("string"),
+      lit("\" rel=\"nofollow\">later</a>"),
+      lit(" <a rel='ugc nofollow' href='HTTPS://HUB"),
+      (col("doc_id") % 13).cast("string"),
+      lit(".Example.net/u/"), (col("doc_id") % 3).cast("string"),
+      lit("'>ugc</a> <a href=/q/"), ((col("doc_id") + 5) % 7).cast("string"),
+      lit(" rel=nofollow>unq</a> <a href=\""), hub,
+      lit("\" rel=\"nofollow\">dup</a>" +
+        " <a href='mailto:x@y'>mail</a></p>")).as("html"))
   }
 
   /** Redirect-map plant: documents form 4-node groups (g = doc_id div
@@ -7504,6 +7539,54 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY dst
        |                           ORDER BY n_srcs DESC, anchor) = 1
        |ORDER BY url""".stripMargin
+
+  /** Per-link rel replay: `rp` (the literal [[plantRelAttrPages]]
+    * build), `atx` (per-anchor ATTRIBUTE STRINGS — the patterns
+    * interpolate from the SAME Scala constants the operator runs),
+    * `ahf` (href value across the three styles + the rel-token scan),
+    * the fixture-scope resolution/canonicalization stages, and the
+    * (src, dst) collapse with min-as-ANY-followed.
+    */
+  private def linkRelOracleSql: String = {
+    import graft.operators.LinkGraph.{AnchorTagRe, HrefValRe, RelNofollowRe}
+    s"""WITH $urlCanonCtesSql,
+       |rp AS (
+       |  SELECT doc_id, canon_url,
+       |         '<p><a href="HTTPS://HUB' || CAST(doc_id % 13 AS VARCHAR) || '.Example.net/h/' || CAST(doc_id % 5 AS VARCHAR) ||
+       |         '">hub</a> <a href="/p/' || CAST((doc_id + 3) % 11 AS VARCHAR) ||
+       |         '" rel="nofollow">later</a> <a rel=''ugc nofollow'' href=''HTTPS://HUB' || CAST(doc_id % 13 AS VARCHAR) ||
+       |         '.Example.net/u/' || CAST(doc_id % 3 AS VARCHAR) ||
+       |         '''>ugc</a> <a href=/q/' || CAST((doc_id + 5) % 7 AS VARCHAR) ||
+       |         ' rel=nofollow>unq</a> <a href="HTTPS://HUB' || CAST(doc_id % 13 AS VARCHAR) || '.Example.net/h/' || CAST(doc_id % 5 AS VARCHAR) ||
+       |         '" rel="nofollow">dup</a> <a href=''mailto:x@y''>mail</a></p>' AS html
+       |  FROM k),
+       |atx AS (
+       |  SELECT canon_url AS src,
+       |         unnest(regexp_extract_all(html, ${sqlStr(AnchorTagRe)}, 1)) AS attrs
+       |  FROM rp),
+       |ahf AS (
+       |  SELECT src,
+       |         CASE WHEN regexp_extract(attrs, ${sqlStr(HrefValRe)}, 1) <> '' THEN regexp_extract(attrs, ${sqlStr(HrefValRe)}, 1)
+       |              WHEN regexp_extract(attrs, ${sqlStr(HrefValRe)}, 2) <> '' THEN regexp_extract(attrs, ${sqlStr(HrefValRe)}, 2)
+       |              WHEN regexp_extract(attrs, ${sqlStr(HrefValRe)}, 3) <> '' THEN regexp_extract(attrs, ${sqlStr(HrefValRe)}, 3)
+       |         END AS href,
+       |         regexp_matches(attrs, ${sqlStr(RelNofollowRe)}) AS nf
+       |  FROM atx),
+       |arr AS (
+       |  SELECT src, nf,
+       |         CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+       |              WHEN href LIKE '/%' THEN regexp_extract(src, '^([a-z+.-]+://[^/?]*)', 1) || href
+       |         END AS abs
+       |  FROM ahf WHERE href IS NOT NULL),
+       |acn AS (
+       |  SELECT src, nf,
+       |         lower(regexp_extract(abs, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
+       |           regexp_extract(abs, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$$', 1) AS dst
+       |  FROM arr WHERE abs IS NOT NULL)
+       |SELECT src, dst, CAST(min(CAST(nf AS INT)) AS BOOLEAN) AS nofollow
+       |FROM acn WHERE src <> dst
+       |GROUP BY src, dst ORDER BY src, dst""".stripMargin
+  }
 
   /** Host projection of the edge list — same host regex as
     * [[graft.operators.LinkGraph.hostGraph]] over the replayed edges.

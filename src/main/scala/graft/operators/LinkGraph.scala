@@ -196,6 +196,78 @@ object LinkGraph {
     edges.groupBy(col("dst").as("url"))
       .agg(count(lit(1)).as("n_inlinks"))
 
+  /** One capture per anchor TAG: its full attribute string — the
+    * per-link analogue of the page-level meta scan. Extracting the
+    * whole attribute run (instead of positional value groups) is what
+    * makes ATTRIBUTE-ORDER-FREE per-link flags possible: `rel` may
+    * precede or follow `href`, and a positional regex cannot see both
+    * orders in one pass. RE2-portable; public (with [[HrefValRe]] and
+    * [[RelNofollowRe]]) so the oracle interpolates the SAME patterns —
+    * the [[graft.operators.TextExtraction.BlockBoundaryRe]] rule.
+    */
+  val AnchorTagRe = "(?i)<a\\b([^>]*)>"
+
+  /** href value out of ONE anchor's attribute string: quoted (either
+    * style) or unquoted, same scope as [[HrefRe]]'s three
+    * alternatives.
+    */
+  val HrefValRe =
+    "(?i)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"'][^\\s>]*))"
+
+  /** True when an anchor's `rel` attribute carries the `nofollow`
+    * token (space/comma-separated per the HTML link-types spec, any
+    * order, either quote style or unquoted).
+    */
+  val RelNofollowRe =
+    "(?i)\\brel\\s*=\\s*(?:\"[^\"]*\\bnofollow\\b[^\"]*\"|'[^']*\\bnofollow\\b[^']*'|[^\\s>\"']*nofollow[^\\s>]*)"
+
+  /** [[extractLinks]] with the PER-LINK `rel="nofollow"` flag — the
+    * link-level half of REP compliance ([[TextExtraction.metaNofollow]]
+    * is the page level): a nofollow'd link must not pass endorsement,
+    * so rank/reputation pipelines drop those edges while frontier
+    * discovery may still follow them. One row per resolvable anchor,
+    * `(src, dst, nofollow)`; a (src, dst) pair linked both ways
+    * collapses to `nofollow = false` (any followed copy endorses —
+    * `min(nofollow)` as a bool, map-side combinable). Map-only until
+    * that one aggregation: per-anchor ATTRIBUTE STRINGS are extracted
+    * (one `regexp_extract_all` + explode), then href/rel pull out of
+    * each independently — attribute order free by construction.
+    */
+  def extractLinksWithRel(pages: DataFrame, urlCol: String,
+                          htmlCol: String): DataFrame = {
+    val src = UrlOps.canonicalizeUrl(col(urlCol))
+    pages
+      .select(src.as("src"),
+        explode(regexp_extract_all(col(htmlCol), lit(AnchorTagRe), lit(1)))
+          .as("_attrs"))
+      .select(col("src"),
+        coalesce(
+          when(regexp_extract(col("_attrs"), HrefValRe, 1) =!= "",
+            regexp_extract(col("_attrs"), HrefValRe, 1)),
+          when(regexp_extract(col("_attrs"), HrefValRe, 2) =!= "",
+            regexp_extract(col("_attrs"), HrefValRe, 2)),
+          when(regexp_extract(col("_attrs"), HrefValRe, 3) =!= "",
+            regexp_extract(col("_attrs"), HrefValRe, 3))).as("_href"),
+        regexp_like(col("_attrs"), lit(RelNofollowRe)).as("_nf"))
+      .filter(col("_href").isNotNull)
+      .withColumn("_abs", resolveHref(col("src"), col("_href")))
+      .filter(col("_abs").isNotNull)
+      .select(col("src"), UrlOps.canonicalizeUrl(col("_abs")).as("dst"),
+        col("_nf"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(min(col("_nf").cast("int")).cast("boolean").as("nofollow"))
+  }
+
+  /** The endorsement edge list: [[extractLinksWithRel]] with
+    * nofollow'd edges dropped — what [[pagerank]]/[[inDegree]]/
+    * [[hostSimilarity]] should consume in a compliant pipeline.
+    */
+  def followedLinks(pages: DataFrame, urlCol: String,
+                    htmlCol: String): DataFrame =
+    extractLinksWithRel(pages, urlCol, htmlCol)
+      .filter(!col("nofollow")).select("src", "dst")
+
   /** [[HrefRe]] extended past the closing `>` to capture the anchor's
     * LEADING TEXT RUN (group 4: everything up to the next tag). Nested
     * markup inside an anchor (`<a ...><b>bold</b> tail`) contributes

@@ -36,6 +36,33 @@ class LinkGraphSpec extends AnyFunSuite {
       s"edges: ${edges.toSeq}")
   }
 
+  test("extractLinksWithRel: attribute-order-free nofollow; any followed copy endorses") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/p", "<p>" +
+        "<a href=\"https://b.com/x\">followed</a> " +
+        "<a href=\"https://c.com/y\" rel=\"nofollow\">rel after</a> " +
+        "<a rel='ugc nofollow' href='https://d.com/z'>rel before, multi-token</a> " +
+        "<a href=/e rel=nofollow>unquoted both</a> " +
+        // nofollow token must match whole-token, not substring
+        "<a href=\"https://f.com/w\" rel=\"nofollowish\">not the token</a> " +
+        // duplicate of c.com/y WITHOUT rel: the pair collapses to followed
+        "<a href=\"https://c.com/y\">endorsing dup</a></p>"))
+      .toDF("url", "html")
+    val got = LinkGraph.extractLinksWithRel(pages, "url", "html")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      ("https://b.com/x", false),
+      ("https://c.com/y", false),   // endorsing dup wins
+      ("https://d.com/z", true),
+      ("https://a.com/e", true),
+      ("https://f.com/w", false)), got)
+    val followed = LinkGraph.followedLinks(pages, "url", "html")
+      .collect().map(_.getString(1)).toSet
+    assert(followed == Set("https://b.com/x", "https://c.com/y",
+      "https://f.com/w"), followed)
+  }
+
   test("pagerank early stop at exact fixpoint is result-identical to fixed iterations") {
     import spark.implicits._
     // a 2-cycle: uniform ranks are the exact fixpoint from iteration 1
