@@ -2027,6 +2027,17 @@ object SparkEntry {
     // carries fetched bodies; the faces parse per-agent
     // the fetch-status faces over the robots_fetch relation (host,
     // robots_txt, status) — RFC 9309 2.3.1 semantics as one SQL call
+    "q_sql_crawl_plan_status" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = table(s, d, "documents")
+      plantRobotsFetch(docs)
+        .createOrReplaceTempView(SqlTableFunctions.RobotsFetchRelation)
+      plantCompliancePages(docs)
+        .withColumn("priority", col("doc_id") % 5)
+        .createOrReplaceTempView(SqlTableFunctions.PagesRelation)
+      s.sql("SELECT doc_id, host, wave, fetch_at_ms " +
+        "FROM graft_crawl_plan_status('*') ORDER BY doc_id")
+    }),
     "q_sql_robots_status" -> ((s, d) => {
       GraftFunctions.register(s)
       plantRobotsFetch(table(s, d, "documents"))
@@ -5131,6 +5142,7 @@ object SparkEntry {
     // SQL faces ≡ their method twins, same oracles
     "q_sql_crawl_plan" -> crawlPlanOracleSql,
     "q_sql_robots_parse" -> robotsParseOracleSql,
+    "q_sql_crawl_plan_status" -> crawlPlanStatusOracleSql,
     "q_sql_robots_status" -> robotsStatusRulesOracleSql,
     "q_sql_delays_status" -> robotsStatusDelaysOracleSql,
     "q_sql_crawl_delays" -> robotsDelayOracleSql,

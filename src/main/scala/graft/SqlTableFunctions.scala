@@ -473,6 +473,28 @@ object SqlTableFunctions {
       graft.operators.UrlOps.crawlDelays(
         rel(s, RobotsTxtRelation, f.name), agent = strArg(f, a, 0))
     }
+    // the status capstone: same chain as graft_crawl_plan, rules and
+    // delays derived under the RFC 9309 fetch-status semantics from
+    // the robots_fetch relation
+    add("graft_crawl_plan_status", "graft_crawl_plan_status(agent)", 1) {
+      (s, f, a) =>
+        import org.apache.spark.sql.functions.col
+        val agent = strArg(f, a, 0)
+        val fetch = rel(s, RobotsFetchRelation, f.name)
+        val pages = rel(s, PagesRelation, f.name)
+        val rules = graft.operators.UrlOps.robotsRulesWithStatus(
+          fetch, agent = agent)
+        val allowed = graft.operators.UrlOps.filterDisallowed(
+          pages, "url", "doc_id", rules)
+        val indexable = graft.operators.TextExtraction.filterNoindexed(
+          allowed, "html")
+        val winners = graft.operators.UrlOps.consolidateByCanonical(
+          indexable, "url", "html", "doc_id")
+          .join(pages.select(col("doc_id"), col("priority")), "doc_id")
+        graft.operators.UrlOps.frontierSchedule(
+          winners, "url", "doc_id", "priority",
+          graft.operators.UrlOps.crawlDelaysWithStatus(fetch, agent = agent))
+    }
     add("graft_robots_rules_status", "graft_robots_rules_status(agent)", 1) {
       (s, f, a) =>
         graft.operators.UrlOps.robotsRulesWithStatus(
