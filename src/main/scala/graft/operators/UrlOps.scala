@@ -711,29 +711,84 @@ object UrlOps {
     * alone cannot see it.
     *
     * Cross-site guard: a declared target is honored only when its
-    * REGISTRABLE domain ([[registrableChain]] tail — PSL semantics, so
-    * `cdn.media.example.com` → `example.com` legitimately consolidates)
-    * equals the declaring page's; a cross-site declaration (the
-    * canonical-hijack pattern — a page claiming to be the canonical of
-    * someone else's URL, which would let it absorb or outrank the
-    * legitimate page via the min-winner rule) falls back to self.
+    * REGISTRABLE domain (PSL semantics — same rule as
+    * [[registrableChain]]'s tail, so `cdn.media.example.com` →
+    * `example.com` legitimately consolidates) equals the declaring
+    * page's; a cross-site declaration (the canonical-hijack pattern —
+    * a page claiming to be the canonical of someone else's URL, which
+    * would let it absorb or outrank the legitimate page via the
+    * min-winner rule) falls back to self. The guard is ONE compiled
+    * kernel (hash-set suffix walk over the PSL snapshot), not the
+    * `registrableChain` aggregate-HOF: the column draft evaluated a
+    * ~230-element `array_contains` per label per row ×2 hosts inside
+    * a projection that also duplicates the canonicalization subtree,
+    * which benched q_html_canonical at 17.8 s vs 0.94 s (sf0.1) — the
+    * resolveHref-kernel precedent, measured not guessed.
     */
   def consolidateByCanonical(df: DataFrame, urlCol: String, htmlCol: String,
                              keyCol: String,
                              psl: Seq[String] = PslSnapshot): DataFrame = {
+    val pslSet = psl.toSet
+    val sameSiteKernel = udf { (selfHost: String, resolvedUrl: String) =>
+      resolvedUrl == null || {
+        val th = hostOfUrlStr(resolvedUrl)
+        th != null && selfHost != null &&
+          registrableOfBareStr(th, pslSet) ==
+            registrableOfBareStr(selfHost.toLowerCase(java.util.Locale.ROOT),
+              pslSet)
+      }
+    }
     val canonSelf = canonicalizeUrl(col(urlCol))
     val declared = TextExtraction.canonicalLinkHref(col(htmlCol))
     val resolved = LinkGraph.resolveHref(canonSelf, declared)
-    val target0 = canonicalizeUrl(coalesce(resolved, canonSelf))
-    val tHost = regexp_extract(target0, "^[a-z+.-]+://([^/?]*)", 1)
-    val sameSite = element_at(registrableChain(tHost, psl), -1) ===
-      element_at(registrableChain(canonicalHost(col(urlCol)), psl), -1)
+    val sameSite = sameSiteKernel(canonicalHost(col(urlCol)), resolved)
     df.select(col(keyCol), col(urlCol),
-        when(sameSite, target0).otherwise(canonSelf).as("canon_target"))
+        when(sameSite, canonicalizeUrl(coalesce(resolved, canonSelf)))
+          .otherwise(canonSelf).as("canon_target"))
       .groupBy("canon_target")
       .agg(min(struct(col(keyCol), col(urlCol))).as("_win"))
       .select(col("canon_target"), col(s"_win.$keyCol").as(keyCol),
         col(s"_win.$urlCol").as(urlCol))
+  }
+
+  /** Host of an absolute URL string (scheme://host[:port]/...),
+    * lowercased; null when no authority. Kernel-side helper for the
+    * same-registrable-domain guard.
+    */
+  private def hostOfUrlStr(url: String): String = {
+    val i = url.indexOf("://")
+    if (i < 0) null
+    else {
+      val from = i + 3
+      var end = from
+      while (end < url.length && url.charAt(end) != '/' &&
+        url.charAt(end) != '?') end += 1
+      if (end == from) null
+      else url.substring(from, end).toLowerCase(java.util.Locale.ROOT)
+    }
+  }
+
+  /** Registrable domain of a bare lowercased host — the same rule as
+    * [[registrableChain]]'s tail (longest listed public suffix + one
+    * label; unlisted TLDs take the implicit single-label rule;
+    * single-label hosts degenerate to themselves), as a hash-set
+    * suffix walk instead of the per-row aggregate HOF.
+    */
+  private def registrableOfBareStr(host: String, psl: Set[String]): String = {
+    val c = host.indexOf(':')
+    val bare = if (c >= 0) host.substring(0, c) else host
+    val labels = bare.split('.')
+    if (labels.length <= 1) bare
+    else {
+      var ps = 1
+      var j = 2
+      while (j <= labels.length) {
+        if (psl.contains(labels.takeRight(j).mkString("."))) ps = j
+        j += 1
+      }
+      val reg = math.min(ps + 1, labels.length)
+      labels.takeRight(reg).mkString(".")
+    }
   }
 
   /** Shared robots.txt line scanner: one row per RECOGNIZED directive
