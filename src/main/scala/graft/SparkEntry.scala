@@ -1570,6 +1570,23 @@ object SparkEntry {
       graft.operators.BpeTokenizer.encodeTokenCounts(
         table(s, d, "documents"), merges)
     }),
+    // the encode -> decode round trip as a corpus IDENTITY gate (the
+    // strongest oracle form): merges never move bytes across symbol
+    // boundaries, so bracket-stripping the full token stream must
+    // reproduce every document byte for byte — any encoder bug
+    // (symbol splitting, word reordering, lost whitespace) breaks the
+    // hash
+    "q_bpe_roundtrip" -> ((s, d) => {
+      val merges = BenchPhases.timed("q_bpe_roundtrip", "train")(
+        graft.operators.BpeTokenizer
+          .train(table(s, d, "documents"), k = 6)
+          .collect().map(r => (r.getString(1), r.getString(2))))
+      graft.operators.BpeTokenizer.encodeTokens(
+          table(s, d, "documents"), merges)
+        .select(col("doc_id"),
+          graft.operators.BpeTokenizer.decode(col("encoded")).as("text"))
+        .orderBy("doc_id")
+    }),
     // tokenizer fertility per language: BPE tokens per whitespace word —
     // the "does the learned vocab fit this language" diagnostic
     "q_bpe_fertility" -> ((s, d) => {
@@ -4610,6 +4627,9 @@ object SparkEntry {
     // the 6 BPE merge iterations unrolled as CTE stages
     "q_bpe_train" -> bpeOracleSql(k = 6, mode = "train"),
     "q_bpe_encode" -> bpeOracleSql(k = 6, mode = "encode"),
+    // decode(encode(x)) == x — the oracle is the corpus itself
+    "q_bpe_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "q_bpe_fertility" -> bpeOracleSql(k = 6, mode = "fertility"),
     // parallel unnests zip in DuckDB, giving (pos, v) pairs; the pooled
     // mean replays as a (group, pos) AVG rounded to the same 6 dp

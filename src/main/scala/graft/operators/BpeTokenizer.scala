@@ -110,6 +110,39 @@ object BpeTokenizer {
       .orderBy("doc_id")
   }
 
+  /** Per-doc BPE token SEQUENCE (not just the count): each whitespace
+    * word encodes to its post-merge symbol string (`hello` →
+    * `<he><llo>` under a learned `h+e`/`l+l`/`ll+o`… table) and the
+    * words rejoin in ORIGINAL order, space-separated — the bracket
+    * form IS the token stream (split any word on `><` for the token
+    * list). Order is restored deterministically via the
+    * sort-by-position struct collect (collect_list alone is
+    * partition-order dependent); one posexplode + map-side encode +
+    * one hash agg per doc — the same broadcast-the-tokenizer shape as
+    * [[encodeTokenCounts]].
+    */
+  def encodeTokens(docs: DataFrame, merges: Array[(String, String)]): DataFrame = {
+    val applyAll = applyMergesExpr(merges)
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), expr(applyAll).as("w"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("encoded"))
+  }
+
+  /** Decode an [[encodeTokens]] stream back to text: merges never move
+    * bytes across symbol boundaries, so stripping the symbol brackets
+    * is the exact inverse — `decode(encodeTokens(text)) == text` for
+    * any text free of literal `<`/`>` (the documented contract: markup
+    * is stripped by [[TextExtraction]] long before tokenization).
+    * One codegen'd `translate`; the round-trip is oracle-gated as a
+    * corpus identity (q_bpe_roundtrip).
+    */
+  def decode(encoded: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(encoded, "<>", "")
+
   /** Tokenizer fertility per stratum (language): BPE tokens emitted per
     * whitespace word — THE standard "does the learned vocab fit this
     * language" diagnostic (fertility ≈ 1 = words mostly merge whole;

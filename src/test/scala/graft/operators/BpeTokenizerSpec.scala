@@ -46,6 +46,30 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(counts == Map(0L -> 3L, 1L -> 2L), s"got $counts")
   }
 
+  test("encodeTokens preserves word order; decode is the exact inverse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "abab ab cd"),
+      (2L, "zzz abab"),
+      (3L, ""),           // empty text -> one empty word -> empty stream
+      (4L, "a  b"))       // preserved double space (two splits, empty word)
+      .toDF("doc_id", "text")
+    val merges = Array(("a", "b"), ("ab", "ab"))
+    val enc = BpeTokenizer.encodeTokens(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc(1L) == "<abab> <ab> <c><d>", enc(1L))
+    assert(enc(2L) == "<z><z><z> <abab>", enc(2L))
+    assert(enc(3L) == "", enc(3L))
+    val dec = BpeTokenizer.encodeTokens(docs, merges)
+      .select(col("doc_id"), BpeTokenizer.decode(col("encoded")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().foreach { r =>
+      assert(dec(r.getLong(0)) == r.getString(1),
+        s"round trip broke for doc ${r.getLong(0)}")
+    }
+  }
+
   test("training is partitioning-independent on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = BpeTokenizer.train(docs, k = 4).collect().map(_.toSeq).toSeq
