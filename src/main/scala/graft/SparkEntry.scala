@@ -2407,6 +2407,19 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
         iters = 3).orderBy("url")),
+    // PERSONALIZED PageRank: teleport mass lands only on a trusted
+    // seed set (the hub0-2 hosts), so rank measures proximity-to-trust
+    // — the TrustRank-shaped seed propagation crawl curation runs;
+    // same fixed-point arithmetic, all three iterations replayed
+    "q_link_ppr" -> ((s, d) => {
+      val edges = graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+      val seeds = edges.select(col("dst").as("url"))
+        .filter(col("url").rlike("^https://hub[0-2]\\."))
+        .distinct()
+      graft.operators.LinkGraph.personalizedPagerank(edges, seeds, iters = 3)
+        .orderBy("url")
+    }),
     // per-link rel="nofollow" compliance (the link-level half of REP —
     // metaNofollow is the page level): per-anchor ATTRIBUTE-STRING
     // extraction makes the flag attribute-order free, and duplicate
@@ -5253,6 +5266,7 @@ object SparkEntry {
     // partitioning-independent, so the hash compare is exact
     "q_link_pagerank" -> linkPagerankOracleSql,
     "q_link_pagerank_idx" -> linkPagerankOracleSql,
+    "q_link_ppr" -> linkPprOracleSql,
     "q_link_components_idx" -> linkComponentsOracleSql,
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
     // blocks dropped, entity decode before the canonical terms
@@ -7438,6 +7452,45 @@ object SparkEntry {
        |${pagerankIterCteSql(2)},
        |${pagerankIterCteSql(3)}
        |SELECT url, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY url""".stripMargin
+
+  /** One SEEDED fixed-point iteration (the personalized-PageRank
+    * formula — teleport and dangling shares land only on seed rows,
+    * over the seed count `ns.k`); same floor-division discipline as
+    * [[pagerankIterCteSql]].
+    */
+  private def pprIterCteSql(i: Int): String = {
+    val p = s"ppr${i - 1}"
+    s"""pd$i AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang FROM $p WHERE outdeg = 0),
+       |pc$i AS (SELECT e.dst, CAST(SUM(r.rank // r.outdeg) AS BIGINT) AS contrib
+       |        FROM edges e JOIN $p r ON e.src = r.url WHERE r.outdeg > 0
+       |        GROUP BY e.dst),
+       |ppr$i AS (SELECT sb.url, sb.outdeg, sb.is_seed,
+       |               CASE WHEN sb.is_seed = 1
+       |                    THEN (15 * (1000000000000 // ns.k)) // 100
+       |                       + (85 * (pd$i.dang // ns.k)) // 100
+       |                    ELSE 0 END
+       |             + (85 * COALESCE(pc$i.contrib, 0)) // 100 AS rank
+       |        FROM sb CROSS JOIN ns CROSS JOIN pd$i
+       |        LEFT JOIN pc$i ON sb.url = pc$i.dst)""".stripMargin
+  }
+
+  private def linkPprOracleSql: String =
+    s"""WITH $linkEdgesCtesSql,
+       |nodes AS (SELECT DISTINCT url FROM
+       |  (SELECT src AS url FROM edges UNION ALL SELECT dst FROM edges)),
+       |odeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |sb AS (SELECT url, COALESCE(outdeg, 0) AS outdeg,
+       |              CASE WHEN regexp_matches(url, '^https://hub[0-2]\\.')
+       |                   THEN 1 ELSE 0 END AS is_seed
+       |       FROM nodes LEFT JOIN odeg ON nodes.url = odeg.src),
+       |nn AS (SELECT COUNT(*) AS n FROM sb),
+       |ns AS (SELECT COUNT(*) AS k FROM sb WHERE is_seed = 1),
+       |ppr0 AS (SELECT url, outdeg, is_seed, 1000000000000 // nn.n AS rank
+       |        FROM sb CROSS JOIN nn),
+       |${pprIterCteSql(1)},
+       |${pprIterCteSql(2)},
+       |${pprIterCteSql(3)}
+       |SELECT url, CAST(rank AS BIGINT) AS rank FROM ppr3 ORDER BY url""".stripMargin
 
   /** n sequential replace-all passes of the same pattern — the DuckDB
     * replay of a Spark `(1 to n).foldLeft(...)(regexp_replace(...))`

@@ -481,9 +481,34 @@ object LinkGraph {
                stopDeltaL1: Long = 0L): DataFrame =
     pagerankCore(edges, iters, dampingPct, stopDeltaL1, persistEdges = true)
 
+  /** PERSONALIZED (seeded) PageRank — the TrustRank-shaped propagation
+    * every crawl curation stack runs from a trusted seed list: teleport
+    * mass ((100−d)% per iteration, plus the dangling remainder) lands
+    * ONLY on the `seeds` URLs instead of uniformly, so rank measures
+    * proximity-to-trust rather than raw centrality; pages no seed can
+    * reach converge to 0. Same fixed-point integer arithmetic as
+    * [[pagerank]] (classic PageRank IS the all-seeds special case of
+    * this formula, so one core serves both and stays bit-replayable):
+    * {{{
+    *   rank'(v) = [v∈S]·( ((100−d)·(T div |S|)) div 100
+    *                    + (d·(dangling div |S|)) div 100 )
+    *            + (d·contrib(v)) div 100
+    * }}}
+    * Init stays uniform T div N (the oracle replays it). Seeds not
+    * present in the graph contribute nothing; at least one must be.
+    * Scale shape identical to [[pagerank]] plus one broadcast-sized
+    * seed join at init.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3, dampingPct: Int = 85,
+                           stopDeltaL1: Long = 0L): DataFrame =
+    pagerankCore(edges, iters, dampingPct, stopDeltaL1,
+      persistEdges = true, seeds = Some(seeds))
+
   private def pagerankCore(edges: DataFrame, iters: Int, dampingPct: Int,
                            stopDeltaL1: Long,
-                           persistEdges: Boolean): DataFrame = {
+                           persistEdges: Boolean,
+                           seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     require(stopDeltaL1 >= 0L)
     // iterative Spark 101: each iteration is MATERIALIZED (persist +
@@ -499,24 +524,39 @@ object LinkGraph {
     val nodes = edgesP.select(col("src").as("url"))
       .union(edgesP.select(col("dst").as("url"))).distinct()
     val outDeg = edgesP.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val base = nodes.join(outDeg, nodes("url") === outDeg("src"), "left")
+    // `_seed` marks teleport targets: the unseeded run treats EVERY
+    // node as a seed (flag 1 everywhere), which makes the seeded
+    // formula algebraically identical to classic PageRank — one core,
+    // one oracle arithmetic
+    val base0 = nodes.join(outDeg, nodes("url") === outDeg("src"), "left")
       .select(col("url"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .persist()
+    val base = (seeds match {
+      case None => base0.withColumn("_seed", lit(1))
+      case Some(sd) => base0
+        .join(sd.select(col("url")).distinct().withColumn("_m", lit(1)),
+          Seq("url"), "left")
+        .withColumn("_seed", coalesce(col("_m"), lit(0)).cast("int"))
+        .drop("_m")
+    }).persist()
     val n = base.count()
+    // teleport mass spreads over the SEED set (classic PageRank is the
+    // all-seeds special case where nTeleport == n)
+    val nTeleport = seeds.fold(n)(_ =>
+      base.filter(col("_seed") === 1).count())
+    require(nTeleport > 0, "personalized PageRank needs at least one seed present in the graph")
     val d = dampingPct.toLong
-    val baseShare = ((100L - d) * (FixedPointTotal / n)) / 100L
+    val baseShare = ((100L - d) * (FixedPointTotal / nTeleport)) / 100L
     var ranks: DataFrame = base.select(col("url"), col("outdeg"),
-      lit(FixedPointTotal / n).as("rank"))
+      col("_seed"), lit(FixedPointTotal / n).as("rank"))
     // iteration 0's dangling mass comes off the uniform init directly
     // (one aggregate over the persisted base — no rank scan needed)
     var dangling = base.filter(col("outdeg") === 0L)
       .agg(coalesce(sum(lit(FixedPointTotal / n)), lit(0L)))
       .head().getLong(0)
-    var prev: Option[DataFrame] = None
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      val dangShare = (d * (dangling / n)) / 100L
+      val dangShare = (d * (dangling / nTeleport)) / 100L
       val contribs = edgesP
         .join(ranks.filter(col("outdeg") > 0L), edgesP("src") === ranks("url"))
         // true integer division (div), NOT `/`-then-cast: long `/` is
@@ -528,37 +568,43 @@ object LinkGraph {
       // next is built FROM ranks (same url set as base), carrying the
       // previous rank as a column — so the L1 convergence delta needs
       // NO extra join (a separate next⋈ranks delta join benched
-      // q_link_pagerank at 9.5 s vs 4.7 s at sf0.1)
+      // q_link_pagerank at 9.5 s vs 4.7 s at sf0.1). `ranks` is
+      // referenced TWICE here (contribs + the join's left side), so
+      // the lineage must be TRUNCATED each iteration, not just cached:
+      // a persisted-but-lazy-planned loop doubles the logical plan per
+      // iteration — exponential in iters; an 8-iteration run OOM'd
+      // merely RENDERING the plan string. Eager localCheckpoint is the
+      // materializing action AND the truncation.
       val next = ranks.join(contribs, ranks("url") === contribs("dst"), "left")
-        .select(ranks("url"), ranks("outdeg"),
-          expr(s"${baseShare}L + (${d}L * coalesce(contrib, 0L)) div 100 " +
-            s"+ ${dangShare}L").as("rank"),
+        .select(ranks("url"), ranks("outdeg"), ranks("_seed"),
+          expr(s"CASE WHEN _seed = 1 THEN ${baseShare}L + ${dangShare}L " +
+            s"ELSE 0L END + (${d}L * coalesce(contrib, 0L)) div 100")
+            .as("rank"),
           ranks("rank").as("_prev"))
-        .persist()
-      // ONE scalar aggregate per iteration does triple duty: it is the
-      // action that materializes `next`, it computes the exact-integer
-      // L1 delta vs the previous ranks (the convergence test — with
-      // the default stopDeltaL1 = 0 the loop stops only at an EXACT
-      // fixpoint, where every further iteration reproduces the same
-      // ranks, so early stop is result-identical to running all
-      // `iters` and a fixed-iters oracle stays valid; a nonzero
-      // tolerance trades that equivalence for fewer iterations), and
-      // it pre-computes the NEXT iteration's dangling mass.
+        .localCheckpoint(true)
+      // one scalar aggregate per iteration over the checkpointed frame
+      // computes the exact-integer L1 delta vs the previous ranks (the
+      // convergence test — with the default stopDeltaL1 = 0 the loop
+      // stops only at an EXACT fixpoint, where every further iteration
+      // reproduces the same ranks, so early stop is result-identical
+      // to running all `iters` and a fixed-iters oracle stays valid; a
+      // nonzero tolerance trades that equivalence for fewer
+      // iterations) and pre-computes the NEXT iteration's dangling
+      // mass.
       val row = next.agg(
         coalesce(sum(abs(col("rank") - col("_prev"))), lit(0L)),
         coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)))
         .head()
       val delta = row.getLong(0)
       dangling = row.getLong(1)
-      prev.foreach(_.unpersist())
-      prev = Some(next)
-      ranks = next.select(col("url"), col("outdeg"), col("rank"))
+      ranks = next.select(col("url"), col("outdeg"), col("_seed"), col("rank"))
       it += 1
       if (delta <= stopDeltaL1) converged = true
     }
-    // the final iteration stays persisted — the caller consumes it next
-    // (and any cache-hygiene sweep may unpersist it afterwards); the
-    // scaffolding caches are dropped here
+    // the final iteration stays checkpointed — the caller consumes it
+    // next (superseded checkpoints are released by the context cleaner
+    // as their frames go out of scope); the scaffolding caches drop
+    // here
     if (persistEdges) edgesP.unpersist()
     base.unpersist()
     ranks.select(col("url"), col("rank"))

@@ -80,6 +80,34 @@ class LinkGraphSpec extends AnyFunSuite {
       ("https://b.com/1", 500000000000L)))
   }
 
+  test("personalizedPagerank: teleport lands on seeds only; unreachable nodes go to 0; all-seeds equals classic") {
+    import spark.implicits._
+    // s -> a -> b, plus an island (c -> d) no seed can reach
+    val edges = Seq(
+      ("https://s.com/1", "https://a.com/1"),
+      ("https://a.com/1", "https://b.com/1"),
+      ("https://c.com/1", "https://d.com/1")).toDF("src", "dst")
+    val seeds = Seq("https://s.com/1").toDF("url")
+    val ppr = LinkGraph.personalizedPagerank(edges, seeds, iters = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the island receives no teleport and no seed-reachable inflow
+    assert(ppr("https://c.com/1") == 0L, ppr)
+    // d still decays to 0 once c's initial mass drains (8 iters)
+    assert(ppr("https://d.com/1") == 0L, ppr)
+    // the seed holds the teleport share; its chain carries damped mass
+    assert(ppr("https://s.com/1") > 0L && ppr("https://a.com/1") > 0L &&
+      ppr("https://b.com/1") > 0L, ppr)
+    assert(ppr("https://s.com/1") > ppr("https://b.com/1"), ppr)
+    // all-nodes seed set reproduces classic pagerank exactly
+    val allSeeds = edges.select(edges("src").as("url"))
+      .union(edges.select(edges("dst").as("url"))).distinct()
+    val asPpr = LinkGraph.personalizedPagerank(edges, allSeeds, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val classic = LinkGraph.pagerank(edges, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(asPpr == classic)
+  }
+
   test("pagerankAgainstIndex equals the ad-hoc pagerank on the same edges") {
     import spark.implicits._
     val edges = Seq(
