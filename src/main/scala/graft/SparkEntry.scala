@@ -2441,6 +2441,24 @@ object SparkEntry {
       graft.operators.LinkGraph.pagerankAgainstIndex(s,
         "graft_link_edge_index", iters = 3).orderBy("url")
     }),
+    // incremental edge-index maintenance (the daily-crawl shape, and
+    // the dedup/ANN append precedent applied to the link family):
+    // yesterday's index holds the hub edges, today's append carries
+    // the FULL day crawl — hub edges arrive a second time, and the
+    // exchange-free duplicate collapse on read (src bucketing already
+    // satisfies the (src, dst) grouping) must make PageRank over the
+    // appended index EXACTLY equal the from-scratch run
+    "q_link_pagerank_idx_inc" -> ((s, d) => {
+      val edges = graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+        .localCheckpoint(true) // feeds both slices — one evaluation
+      graft.operators.LinkGraph.writeEdgeIndex(
+        edges.filter(col("dst").contains("hub")), "graft_link_edge_inc")
+      graft.operators.LinkGraph.appendToEdgeIndex(edges,
+        "graft_link_edge_inc")
+      graft.operators.LinkGraph.pagerankAgainstIndex(s,
+        "graft_link_edge_inc", iters = 3).orderBy("url")
+    }),
     "q_link_components_idx" -> ((s, d) => {
       val edges = graft.operators.LinkGraph.extractLinks(
         plantLinkedPages(table(s, d, "documents")), "url", "html")
@@ -5267,6 +5285,7 @@ object SparkEntry {
     "q_link_pagerank" -> linkPagerankOracleSql,
     "q_link_pagerank_idx" -> linkPagerankOracleSql,
     "q_link_ppr" -> linkPprOracleSql,
+    "q_link_pagerank_idx_inc" -> linkPagerankOracleSql,
     "q_link_components_idx" -> linkComponentsOracleSql,
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
     // blocks dropped, entity decode before the canonical terms

@@ -635,6 +635,36 @@ object LinkGraph {
       s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
   }
 
+  /** Append a new batch of edges (daily-crawl shape) to a
+    * [[writeEdgeIndex]] table; bucketing re-validated from the catalog
+    * so the co-partitioned read stays lossless across appends. Appends
+    * are edge-set unions: a re-appended (src, dst) pair is harmless
+    * duplicate state — the read path collapses duplicates with a
+    * LOCAL aggregate (src-bucketing already satisfies the (src, dst)
+    * grouping distribution, so the dedup costs no Exchange), which is
+    * what makes retrying a failed append idempotent.
+    */
+  def appendToEdgeIndex(newEdges: DataFrame, tableName: String): Unit = {
+    val spark = newEdges.sparkSession
+    val buckets = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .getOrElse("graft.buckets", throw new IllegalArgumentException(
+        s"edge index $tableName carries no graft.buckets property — " +
+          "not written by writeEdgeIndex")).toInt
+    newEdges.select(col("src"), col("dst")).distinct()
+      .write.format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+      .mode("append").saveAsTable(tableName)
+  }
+
+  /** The deduplicated edge view of an index table — cross-append
+    * duplicate (src, dst) pairs collapse without an Exchange (the
+    * bucketing on src satisfies the grouping distribution).
+    */
+  private def indexEdges(spark: org.apache.spark.sql.SparkSession,
+                         tableName: String): DataFrame =
+    spark.table(tableName).dropDuplicates("src", "dst")
+
   /** [[pagerank]] over a [[writeEdgeIndex]] table: the per-iteration
     * src join reads the bucketed scan with NO edge-side Exchange
     * (plan-pinned in the spec suite) — the rank table shuffles to the
@@ -646,12 +676,12 @@ object LinkGraph {
                            tableName: String, iters: Int = 3,
                            dampingPct: Int = 85,
                            stopDeltaL1: Long = 0L): DataFrame =
-    pagerankCore(spark.table(tableName), iters, dampingPct, stopDeltaL1,
-      persistEdges = false)
+    pagerankCore(indexEdges(spark, tableName), iters, dampingPct,
+      stopDeltaL1, persistEdges = false)
 
   /** [[components]] over a [[writeEdgeIndex]] table. */
   def componentsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                              tableName: String,
                              maxIter: Int = 25): DataFrame =
-    components(spark.table(tableName), maxIter)
+    components(indexEdges(spark, tableName), maxIter)
 }

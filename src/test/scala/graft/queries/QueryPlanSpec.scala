@@ -277,6 +277,15 @@ class QueryPlanSpec extends AnyFunSuite {
         s"expected only the rank-side exchange:\n$plan")
       assert(plan.contains("hashpartitioning(url"),
         s"the one exchange should be the rank side:\n$plan")
+      // the cross-append duplicate collapse is a LOCAL aggregate: src
+      // bucketing satisfies the (src, dst) grouping distribution, so
+      // dedup-on-read costs no Exchange
+      val dedupPlan = spark.table("graft_plan_edge_idx")
+        .dropDuplicates("src", "dst")
+        .queryExecution.executedPlan.toString
+      assert(!dedupPlan.contains("Exchange hashpartitioning"),
+        s"index dedup-on-read shuffled:\n$dedupPlan")
+      assert(dedupPlan.contains("Bucketed: true"), dedupPlan)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_plan_edge_idx")
