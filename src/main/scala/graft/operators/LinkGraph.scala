@@ -539,6 +539,8 @@ object LinkGraph {
         .drop("_m")
     }).persist()
     val n = base.count()
+    require(n > 0, "pagerank over an empty edge list has no node set " +
+      "(the uniform init would divide by zero) — filter upstream")
     // teleport mass spreads over the SEED set (classic PageRank is the
     // all-seeds special case where nTeleport == n)
     val nTeleport = seeds.fold(n)(_ =>

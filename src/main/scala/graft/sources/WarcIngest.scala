@@ -252,12 +252,32 @@ object WarcIngest {
     * CONCATENATED stream are out of scope (the record-per-member
     * layout has exactly one).
     */
+  /** Decompression cap: a record inflating past this is a zip bomb by
+    * WARC standards (real response records are KB–MB) and yields NULL
+    * like any other malformed member — an executor must never OOM on
+    * one hostile record. 256 MiB leaves three orders of magnitude of
+    * headroom over real crawl payloads.
+    */
+  val MaxInflatedBytes: Int = 256 * 1024 * 1024
+
   private def gunzipBytes(b: Array[Byte]): Array[Byte] =
     if (b == null) null
     else try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b))
-      try in.readAllBytes() finally in.close()
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(b.length * 4, 1 << 16))
+        val buf = new Array[Byte](64 * 1024)
+        var total = 0
+        var n = in.read(buf)
+        while (n >= 0 && total <= MaxInflatedBytes) {
+          out.write(buf, 0, n)
+          total += n
+          n = in.read(buf)
+        }
+        if (total > MaxInflatedBytes) null else out.toByteArray
+      } finally in.close()
     } catch { case _: java.io.IOException => null }
 
   private val gunzipKernel = udf(gunzipBytes _)

@@ -199,6 +199,23 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(got.forall(_.isNullAt(0)), got.mkString(","))
   }
 
+  test("inflateMember: a decompression bomb yields NULL instead of exhausting the heap") {
+    import spark.implicits._
+    // ~1 GiB of zeros compresses to ~1 MB; the cap must refuse it
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20)
+      (0 until 1024).foreach(_ => out.write(chunk))
+      out.close()
+      bos.toByteArray
+    }
+    assert(bomb.length < 8 * 1024 * 1024, s"bomb should be small: ${bomb.length}")
+    val got = Seq(Tuple1(bomb)).toDF("b")
+      .select(WarcIngest.inflateMember(col("b")).as("r")).head()
+    assert(got.isNullAt(0), "bomb must inflate to NULL, not a 1 GiB array")
+  }
+
   test("parseGzRecords: record-gzipped member inflates and parses like the plain path") {
     import spark.implicits._
     val html = "<p>gz café &amp; body</p>"
