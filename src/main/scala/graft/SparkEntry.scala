@@ -2407,6 +2407,19 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
         iters = 3).orderBy("url")),
+    // host-level PageRank — domain reputation as the fixed-point rank
+    // over the host graph (the level real reputation systems compute
+    // at: orders of magnitude fewer nodes than the page graph); pure
+    // composition of hostGraph + pagerank, same replayable arithmetic
+    "q_link_host_rank" -> ((s, d) => {
+      val hg = graft.operators.LinkGraph.hostGraph(
+        graft.operators.LinkGraph.extractLinks(
+          plantLinkedPages(table(s, d, "documents")), "url", "html"))
+      graft.operators.LinkGraph.pagerank(
+          hg.select(col("src_host").as("src"), col("dst_host").as("dst")),
+          iters = 3)
+        .orderBy("url")
+    }),
     // PERSONALIZED PageRank: teleport mass lands only on a trusted
     // seed set (the hub0-2 hosts), so rank measures proximity-to-trust
     // — the TrustRank-shaped seed propagation crawl curation runs;
@@ -5286,6 +5299,7 @@ object SparkEntry {
     "q_link_pagerank_idx" -> linkPagerankOracleSql,
     "q_link_ppr" -> linkPprOracleSql,
     "q_link_pagerank_idx_inc" -> linkPagerankOracleSql,
+    "q_link_host_rank" -> linkHostRankOracleSql,
     "q_link_components_idx" -> linkComponentsOracleSql,
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
     // blocks dropped, entity decode before the canonical terms
@@ -7443,11 +7457,11 @@ object SparkEntry {
     * computes — floor division everywhere, HUGEINT sums cast back to
     * BIGINT so dtypes gate too.
     */
-  private def pagerankIterCteSql(i: Int): String = {
+  private def pagerankIterCteSql(i: Int, edgesCte: String = "edges"): String = {
     val p = s"pr${i - 1}"
     s"""d$i AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang FROM $p WHERE outdeg = 0),
        |c$i AS (SELECT e.dst, CAST(SUM(r.rank // r.outdeg) AS BIGINT) AS contrib
-       |        FROM edges e JOIN $p r ON e.src = r.url WHERE r.outdeg > 0
+       |        FROM $edgesCte e JOIN $p r ON e.src = r.url WHERE r.outdeg > 0
        |        GROUP BY e.dst),
        |pr$i AS (SELECT nb.url, nb.outdeg,
        |               (15 * (1000000000000 // nn.n)) // 100
@@ -7470,6 +7484,32 @@ object SparkEntry {
        |${pagerankIterCteSql(1)},
        |${pagerankIterCteSql(2)},
        |${pagerankIterCteSql(3)}
+       |SELECT url, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY url""".stripMargin
+
+  /** Host-level PageRank replay: the host projection of the edge list
+    * (distinct inter-host pairs — exactly [[graft.operators.LinkGraph
+    * .hostGraph]]'s key set) fed through the SAME unrolled fixed-point
+    * iterations, `edgesCte` pointed at the host pairs.
+    */
+  private def linkHostRankOracleSql: String =
+    s"""WITH $linkEdgesCtesSql,
+       |hed AS (
+       |  SELECT DISTINCT regexp_extract(src, '^[a-z+.-]+://([^/?]*)', 1) AS src,
+       |         regexp_extract(dst, '^[a-z+.-]+://([^/?]*)', 1) AS dst
+       |  FROM edges
+       |  WHERE regexp_extract(src, '^[a-z+.-]+://([^/?]*)', 1)
+       |     <> regexp_extract(dst, '^[a-z+.-]+://([^/?]*)', 1)),
+       |nodes AS (SELECT DISTINCT url FROM
+       |  (SELECT src AS url FROM hed UNION ALL SELECT dst FROM hed)),
+       |odeg AS (SELECT src, COUNT(*) AS outdeg FROM hed GROUP BY src),
+       |nb AS (SELECT url, COALESCE(outdeg, 0) AS outdeg
+       |       FROM nodes LEFT JOIN odeg ON nodes.url = odeg.src),
+       |nn AS (SELECT COUNT(*) AS n FROM nb),
+       |pr0 AS (SELECT url, outdeg, 1000000000000 // nn.n AS rank
+       |        FROM nb CROSS JOIN nn),
+       |${pagerankIterCteSql(1, "hed")},
+       |${pagerankIterCteSql(2, "hed")},
+       |${pagerankIterCteSql(3, "hed")}
        |SELECT url, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY url""".stripMargin
 
   /** One SEEDED fixed-point iteration (the personalized-PageRank
