@@ -219,7 +219,7 @@ object LinkGraph {
     * order, either quote style or unquoted).
     */
   val RelNofollowRe =
-    "(?i)\\brel\\s*=\\s*(?:\"[^\"]*\\bnofollow\\b[^\"]*\"|'[^']*\\bnofollow\\b[^']*'|[^\\s>\"']*nofollow[^\\s>]*)"
+    "(?i)\\brel\\s*=\\s*(?:\"[^\"]*\\bnofollow\\b[^\"]*\"|'[^']*\\bnofollow\\b[^']*'|[^\\s>\"']*\\bnofollow\\b[^\\s>]*)"
 
   /** [[extractLinks]] with the PER-LINK `rel="nofollow"` flag — the
     * link-level half of REP compliance ([[TextExtraction.metaNofollow]]
@@ -262,6 +262,20 @@ object LinkGraph {
   /** The endorsement edge list: [[extractLinksWithRel]] with
     * nofollow'd edges dropped — what [[pagerank]]/[[inDegree]]/
     * [[hostSimilarity]] should consume in a compliant pipeline.
+    *
+    * SCOPE DIVERGENCE vs [[extractLinks]] (documented, pipelines
+    * switching between the two must know the edge set can differ
+    * beyond nofollow removal): the per-anchor scan here uses
+    * [[AnchorTagRe]] (`<a\b([^>]*)>`), whose `[^>]*` stops at a `>`
+    * INSIDE a quoted attribute value (legal HTML, e.g.
+    * `href="/p?a>b"`) and requires a closing `>` — [[extractLinks]]'
+    * [[HrefRe]] scans for the href attribute directly and DOES capture
+    * such hrefs (and hrefs of unterminated anchor tags at EOF). Both
+    * are regex-tier scans of tag soup; anchors whose href value
+    * embeds a raw `>` land on the extractLinks side only. Extending
+    * AnchorTagRe to skip quoted values would need an alternation that
+    * reintroduces the attribute-order problem the whole-attribute
+    * capture exists to solve — accepted tradeoff.
     */
   def followedLinks(pages: DataFrame, urlCol: String,
                     htmlCol: String): DataFrame =
@@ -478,8 +492,10 @@ object LinkGraph {
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
                dampingPct: Int = 85,
-               stopDeltaL1: Long = 0L): DataFrame =
-    pagerankCore(edges, iters, dampingPct, stopDeltaL1, persistEdges = true)
+               stopDeltaL1: Long = 0L,
+               checkpointDir: Option[String] = None): DataFrame =
+    pagerankCore(edges, iters, dampingPct, stopDeltaL1, persistEdges = true,
+      checkpointDir = checkpointDir)
 
   /** PERSONALIZED (seeded) PageRank — the TrustRank-shaped propagation
     * every crawl curation stack runs from a trusted seed list: teleport
@@ -501,16 +517,62 @@ object LinkGraph {
     */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = 3, dampingPct: Int = 85,
-                           stopDeltaL1: Long = 0L): DataFrame =
+                           stopDeltaL1: Long = 0L,
+                           checkpointDir: Option[String] = None): DataFrame =
     pagerankCore(edges, iters, dampingPct, stopDeltaL1,
-      persistEdges = true, seeds = Some(seeds))
+      persistEdges = true, seeds = Some(seeds),
+      checkpointDir = checkpointDir)
+
+  /** Lineage truncation for the iterative loop, in one of two modes:
+    *
+    *  - `checkpointDir = None` (default — right for local[32] and
+    *    stable clusters): eager [[org.apache.spark.sql.Dataset
+    *    .localCheckpoint]]. Blocks are EXECUTOR-LOCAL and
+    *    non-replicated, and the lineage is GONE — on a preemptible /
+    *    dynamic-allocation cluster, losing one executor mid-run fails
+    *    the job with no recompute path. Cheap (no DFS write), which
+    *    is why it stays the default where executors don't vanish.
+    *  - `checkpointDir = Some(dir)` (the long-run / preemptible-
+    *    cluster option): eager RELIABLE `checkpoint` into `dir` — the
+    *    iteration state lands on fault-tolerant storage, so executor
+    *    loss recomputes nothing worse than a re-read. Costs one DFS
+    *    round trip per iteration; superseded checkpoint FILES are
+    *    removed by the context cleaner when
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints` is set
+    *    (off by default — without it, budget iters × rank-table-size
+    *    in `dir` per run).
+    */
+  private def truncateLineage(df: DataFrame,
+                              checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(_) => df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+
+  /** Explicitly drop a SUPERSEDED iteration's localCheckpoint blocks
+    * (the frame must never be consumed again — its data AND lineage
+    * are both gone after this). Without the explicit release, a
+    * high-iters run holds ~iters copies of the rank table in executor
+    * storage until the JVM GCs the frames and the ContextCleaner
+    * runs. A no-op for reliable checkpoints (their RDD is not
+    * persisted; files are the cleaner's concern) and for non-
+    * truncated frames.
+    */
+  private def releaseTruncated(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   private def pagerankCore(edges: DataFrame, iters: Int, dampingPct: Int,
                            stopDeltaL1: Long,
                            persistEdges: Boolean,
-                           seeds: Option[DataFrame] = None): DataFrame = {
+                           seeds: Option[DataFrame] = None,
+                           checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     require(stopDeltaL1 >= 0L)
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // iterative Spark 101: each iteration is MATERIALIZED (persist +
     // action) before the next builds on it — a lazily-chained loop
     // recomputes every prior iteration per downstream action (the
@@ -557,6 +619,11 @@ object LinkGraph {
       .head().getLong(0)
     var it = 0
     var converged = false
+    // the previous iteration's truncated frame: released as soon as
+    // the next one materializes (see [[releaseTruncated]]) — the loop
+    // holds at most TWO rank-table copies in executor storage, never
+    // ~iters of them
+    var prevCp: DataFrame = null
     while (it < iters && !converged) {
       val dangShare = (d * (dangling / nTeleport)) / 100L
       val contribs = edgesP
@@ -583,7 +650,7 @@ object LinkGraph {
             s"ELSE 0L END + (${d}L * coalesce(contrib, 0L)) div 100")
             .as("rank"),
           ranks("rank").as("_prev"))
-        .localCheckpoint(true)
+      val nextCp = truncateLineage(next, checkpointDir)
       // one scalar aggregate per iteration over the checkpointed frame
       // computes the exact-integer L1 delta vs the previous ranks (the
       // convergence test — with the default stopDeltaL1 = 0 the loop
@@ -593,20 +660,23 @@ object LinkGraph {
       // nonzero tolerance trades that equivalence for fewer
       // iterations) and pre-computes the NEXT iteration's dangling
       // mass.
-      val row = next.agg(
+      val row = nextCp.agg(
         coalesce(sum(abs(col("rank") - col("_prev"))), lit(0L)),
         coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)))
         .head()
       val delta = row.getLong(0)
       dangling = row.getLong(1)
-      ranks = next.select(col("url"), col("outdeg"), col("_seed"), col("rank"))
+      // the new iteration is materialized (eager truncation + the
+      // aggregate above) — the superseded one's blocks release NOW,
+      // not at some future GC + ContextCleaner pass
+      if (prevCp != null) releaseTruncated(prevCp)
+      prevCp = nextCp
+      ranks = nextCp.select(col("url"), col("outdeg"), col("_seed"), col("rank"))
       it += 1
       if (delta <= stopDeltaL1) converged = true
     }
     // the final iteration stays checkpointed — the caller consumes it
-    // next (superseded checkpoints are released by the context cleaner
-    // as their frames go out of scope); the scaffolding caches drop
-    // here
+    // next; the scaffolding caches drop here
     if (persistEdges) edgesP.unpersist()
     base.unpersist()
     ranks.select(col("url"), col("rank"))
@@ -677,9 +747,10 @@ object LinkGraph {
   def pagerankAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                            tableName: String, iters: Int = 3,
                            dampingPct: Int = 85,
-                           stopDeltaL1: Long = 0L): DataFrame =
+                           stopDeltaL1: Long = 0L,
+                           checkpointDir: Option[String] = None): DataFrame =
     pagerankCore(indexEdges(spark, tableName), iters, dampingPct,
-      stopDeltaL1, persistEdges = false)
+      stopDeltaL1, persistEdges = false, checkpointDir = checkpointDir)
 
   /** [[components]] over a [[writeEdgeIndex]] table. */
   def componentsAgainstIndex(spark: org.apache.spark.sql.SparkSession,

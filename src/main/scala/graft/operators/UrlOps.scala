@@ -753,18 +753,29 @@ object UrlOps {
 
   /** Host of an absolute URL string (scheme://host[:port]/...),
     * lowercased; null when no authority. Kernel-side helper for the
-    * same-registrable-domain guard.
+    * same-registrable-domain guard. The authority scan must mirror
+    * [[canonicalHost]]'s normalization of the SELF side or legitimate
+    * consolidations silently fall back to self: it terminates at `/`,
+    * `?` AND `#` (a declared canonical with a fragment and no path is
+    * legal), strips a userinfo prefix up to the last `@` inside the
+    * authority, and drops a trailing root-label dot
+    * (`example.com.` ≡ `example.com`).
     */
-  private def hostOfUrlStr(url: String): String = {
+  private[operators] def hostOfUrlStr(url: String): String = {
     val i = url.indexOf("://")
     if (i < 0) null
     else {
       val from = i + 3
       var end = from
       while (end < url.length && url.charAt(end) != '/' &&
-        url.charAt(end) != '?') end += 1
-      if (end == from) null
-      else url.substring(from, end).toLowerCase(java.util.Locale.ROOT)
+        url.charAt(end) != '?' && url.charAt(end) != '#') end += 1
+      var start = from
+      var j = from
+      while (j < end) { if (url.charAt(j) == '@') start = j + 1; j += 1 }
+      var last = end
+      if (last > start && url.charAt(last - 1) == '.') last -= 1
+      if (last <= start) null
+      else url.substring(start, last).toLowerCase(java.util.Locale.ROOT)
     }
   }
 

@@ -270,13 +270,22 @@ object WarcIngest {
           math.min(b.length * 4, 1 << 16))
         val buf = new Array[Byte](64 * 1024)
         var total = 0
+        var bomb = false
         var n = in.read(buf)
-        while (n >= 0 && total <= MaxInflatedBytes) {
-          out.write(buf, 0, n)
-          total += n
-          n = in.read(buf)
+        while (n >= 0 && !bomb) {
+          // cap BEFORE buffering: a rejected record must never have
+          // allocated the full cap-sized buffer first (a handful of
+          // concurrent hostile records would transiently demand GiBs
+          // of executor heap) — once the total would exceed the cap,
+          // stop writing and reject without draining further
+          if (total + n > MaxInflatedBytes) bomb = true
+          else {
+            out.write(buf, 0, n)
+            total += n
+            n = in.read(buf)
+          }
         }
-        if (total > MaxInflatedBytes) null else out.toByteArray
+        if (bomb) null else out.toByteArray
       } finally in.close()
     } catch { case _: java.io.IOException => null }
 

@@ -46,6 +46,10 @@ class LinkGraphSpec extends AnyFunSuite {
         "<a href=/e rel=nofollow>unquoted both</a> " +
         // nofollow token must match whole-token, not substring
         "<a href=\"https://f.com/w\" rel=\"nofollowish\">not the token</a> " +
+        // ...including in the UNQUOTED rel form (word boundary on both
+        // sides of the unquoted alternative, same as the quoted ones)
+        "<a href=\"https://g.com/v\" rel=nofollowish>unquoted non-token</a> " +
+        "<a href=\"https://h.com/u\" rel=prenofollow>unquoted prefix junk</a> " +
         // duplicate of c.com/y WITHOUT rel: the pair collapses to followed
         "<a href=\"https://c.com/y\">endorsing dup</a></p>"))
       .toDF("url", "html")
@@ -56,11 +60,13 @@ class LinkGraphSpec extends AnyFunSuite {
       ("https://c.com/y", false),   // endorsing dup wins
       ("https://d.com/z", true),
       ("https://a.com/e", true),
-      ("https://f.com/w", false)), got)
+      ("https://f.com/w", false),
+      ("https://g.com/v", false),
+      ("https://h.com/u", false)), got)
     val followed = LinkGraph.followedLinks(pages, "url", "html")
       .collect().map(_.getString(1)).toSet
     assert(followed == Set("https://b.com/x", "https://c.com/y",
-      "https://f.com/w"), followed)
+      "https://f.com/w", "https://g.com/v", "https://h.com/u"), followed)
   }
 
   test("pagerank early stop at exact fixpoint is result-identical to fixed iterations") {
@@ -356,5 +362,45 @@ class LinkGraphSpec extends AnyFunSuite {
     val total = one.values.sum
     assert(total <= LinkGraph.FixedPointTotal &&
       total > LinkGraph.FixedPointTotal * 99L / 100L, s"total $total")
+  }
+
+  test("pagerank lineage truncation: local and reliable checkpoint modes " +
+      "are result-identical, both truncate, superseded local blocks release") {
+    import spark.implicits._
+    val edges = (0L until 120L)
+      .map(i => (s"n${i % 30}", s"n${(i * 11 + 5) % 30}"))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst").distinct()
+    def leafIsRdd(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val local = LinkGraph.pagerank(edges, iters = 4)
+    assert(leafIsRdd(local),
+      "default mode must return a truncated (LogicalRDD-leaf) frame")
+    // only the FINAL iteration's localCheckpoint blocks may remain —
+    // the 3 superseded iterations were released explicitly, not left
+    // for GC + ContextCleaner (the edges/base scaffolding unpersists
+    // inside pagerank already)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.size <= 1,
+      s"superseded iteration blocks leaked: ${leaked.size} new persisted RDDs")
+    val localRanks = local.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    val reliable = LinkGraph.pagerank(edges, iters = 4,
+      checkpointDir = Some(dir))
+    assert(leafIsRdd(reliable),
+      "reliable mode must return a truncated (LogicalRDD-leaf) frame")
+    val reliableRanks =
+      reliable.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(localRanks == reliableRanks,
+      "checkpoint mode must not change the fixed-point arithmetic")
+    // reliable mode actually wrote iteration state to the directory
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)),
+      s"reliable checkpoint wrote nothing under $dir")
   }
 }

@@ -202,4 +202,28 @@ class TextExtractionSpec extends AnyFunSuite {
       ("https://x.co.uk/p", 4L),        // cross-registrable under a PSL suffix
       ("https://y.co.uk/p", 5L)), got)
   }
+
+  test("consolidateByCanonical: fragment-only, userinfo and trailing-dot " +
+      "declared targets still pass the same-site guard") {
+    import spark.implicits._
+    val pages = Seq(
+      // declared canonical = path-less URL + fragment: the host scan
+      // must stop at '#', not swallow it into the authority
+      (1L, "https://a.com/p?s=1", """<link rel="canonical" href="https://a.com#top">"""),
+      // userinfo in the declared authority: strip up to '@'
+      (2L, "https://a.com/q?s=2", """<link rel="canonical" href="https://user:pw@a.com/q">"""),
+      // trailing root-label dot: a.com. ≡ a.com
+      (3L, "https://a.com/r?s=3", """<link rel="canonical" href="https://a.com./r">"""),
+      (4L, "https://a.com/q", "")).toDF("doc_id", "url", "html")
+    val got = UrlOps.consolidateByCanonical(pages, "url", "html", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // all three declarations are SAME-SITE (a.com), so the DECLARED
+    // target wins — a guard that mis-scanned the authority would fall
+    // back to the self URLs (…/p?s=1 etc.) instead
+    assert(got == Set(
+      ("https://a.com", 1L),
+      ("https://user:pw@a.com/q", 2L),
+      ("https://a.com./r", 3L),
+      ("https://a.com/q", 4L)), got)
+  }
 }
