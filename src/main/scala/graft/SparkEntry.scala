@@ -1983,6 +1983,58 @@ object SparkEntry {
           md5(col("main")).as("main_hash"))
         .orderBy("doc_id")
     }),
+    // the WHOLE-FILE archive ingest: multi-member .warc.gz FILES (the
+    // layout crawl archives actually ship as — members concatenated,
+    // ~1 GiB per file) staged to disk, read back via the binaryFile
+    // source, split into per-member records INSIDE a partition
+    // (WarcIngest.splitGzMembers — exact RFC 1952 member walking, the
+    // 256 MiB cap per member), then the same curation capstone. The
+    // staging collect is fixture scaffolding bounded by the plant size
+    // (the operator under test is the read side); the oracle is the
+    // shared chained replay because file-split → inflate → parse is
+    // byte-identity on well-formed members (member-count property
+    // pinned in WarcIngestSpec).
+    "q_crawl_from_warc_file" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.{TextExtraction, UrlOps}
+      import graft.sources.WarcIngest
+      import org.apache.spark.sql.functions.{md5, regexp_extract, size, split, to_timestamp}
+      withTempDir("graft_warc_files") { tmp =>
+        val docs = table(s, d, "documents")
+        val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
+        val members = pages.select((col("doc_id") % 8).as("fid"), col("doc_id"),
+          WarcIngest.deflateMember(WarcIngest.wrapAsRawRecord(col("url"),
+            col("html"), to_timestamp(lit("2026-01-15 12:00:00")),
+            concat(lit("urn:graft:"), col("doc_id").cast("string"))))
+            .as("member"))
+          .collect()
+        members.groupBy(_.getLong(0)).foreach { case (fid, rows) =>
+          val bytes = rows.sortBy(_.getLong(1))
+            .map(_.getAs[Array[Byte]]("member"))
+            .foldLeft(Array.empty[Byte])(_ ++ _)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, f"archive-$fid%02d.warc.gz"), bytes)
+        }
+        val raw = WarcIngest.readWarcGzArchives(s, tmp)
+        val parsed = WarcIngest.responsesOnly(WarcIngest.parseRawRecords(raw))
+          .withColumn("doc_id", regexp_extract(col("record_id"),
+            "urn:graft:([0-9]+)", 1).cast("long"))
+          .withColumn("host", UrlOps.canonicalHost(col("url")))
+        val block = Seq("example7.com", "media.example11.com", "example3.com")
+          .toDF("domain")
+        val allowed = UrlOps.filterBlockedDomains(
+          parsed.select("doc_id", "url", "html", "host"), "host", "doc_id", block)
+        val kept = UrlOps.dedupByCanonicalUrl(
+          allowed.drop("host"), "url", "doc_id")
+        kept.withColumn("main", TextExtraction.mainContent(col("html")))
+          .withColumn("n_words", size(split(col("main"), " ")))
+          .filter(col("n_words") >= 20)
+          .select(col("doc_id"), col("canon_url"),
+            col("n_words").cast("long").as("n_words"),
+            md5(col("main")).as("main_hash"))
+          .orderBy("doc_id")
+      }
+    }),
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
     // registered `urls` relation)
@@ -5103,6 +5155,7 @@ object SparkEntry {
     // line — so the oracle is the SAME chained curation replay
     "q_crawl_from_warc" -> crawlCurateOracleSql,
     "q_crawl_from_warc_gz" -> crawlCurateOracleSql,
+    "q_crawl_from_warc_file" -> crawlCurateOracleSql,
     "q_url_canon" -> urlCanonOracleSql,
     "q_sql_url_canon" -> urlCanonOracleSql,
     "q_url_dedup" -> urlDedupOracleSql,

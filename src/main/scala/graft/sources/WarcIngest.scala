@@ -68,9 +68,12 @@ object WarcIngest {
       regexp_extract(s, "(?m)^WARC-Record-ID:\\s*<([^>]*)>\\s*$", 1)
         .as("record_id"),
       html.as("html"),
-      to_timestamp(
+      // try_: a record with no (or a junk) WARC-Date must flow to a
+      // NULL fetch_ts and the drop path, not throw under ANSI mode —
+      // warcinfo/request records routinely lack response headers
+      try_to_timestamp(
         regexp_extract(s, "(?m)^WARC-Date:\\s*(\\S+)\\s*$", 1),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'").as("fetch_ts"))
+        lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).as("fetch_ts"))
   }
 
   /** Keep only rows that parsed to a usable page: a target URI and a
@@ -292,6 +295,110 @@ object WarcIngest {
   private val gunzipKernel = udf(gunzipBytes _)
 
   def inflateMember(bin: Column): Column = gunzipKernel(bin)
+
+  /** Split a whole multi-member `.warc.gz` FILE into its per-member
+    * INFLATED payloads — the step between a staged archive (the layout
+    * real WARC crawls ship as: one gzip member per record, members
+    * concatenated into GB-scale files) and [[parseRawRecords]].
+    *
+    * Member walking is exact, not a magic-byte scan: each member's
+    * header is parsed (RFC 1952 — magic, CM=8, the FEXTRA / FNAME /
+    * FCOMMENT / FHCRC optional fields), the deflate stream is inflated
+    * with a raw `Inflater(nowrap)` whose `getRemaining` pins the
+    * compressed length, and the 8-byte CRC32+ISIZE trailer is skipped
+    * to land on the next member's first byte. The per-member
+    * decompression cap ([[MaxInflatedBytes]]) drains-and-discards past
+    * the limit — a bomb member yields NULL at its position WITHOUT
+    * buffering the bomb and WITHOUT losing the members after it (the
+    * boundary is known because draining finished the stream). A
+    * member that fails to parse/inflate ends the walk: its position
+    * yields one trailing NULL (the boundary after a corrupt member is
+    * unknowable), so `n` well-formed members in = `n` records out,
+    * and damage is one countable NULL, never silent loss of the
+    * whole file.
+    */
+  private[sources] def splitGzMembersBytes(
+      file: Array[Byte]): Array[Array[Byte]] = {
+    if (file == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val n = file.length
+    var off = 0
+    var corrupt = false
+    while (!corrupt && off < n) {
+      if (off + 10 > n || (file(off) & 0xFF) != 0x1F ||
+        (file(off + 1) & 0xFF) != 0x8B || (file(off + 2) & 0xFF) != 8) {
+        corrupt = true
+      } else {
+        try {
+          val flg = file(off + 3) & 0xFF
+          var p = off + 10
+          if ((flg & 4) != 0) {
+            val xlen = (file(p) & 0xFF) | ((file(p + 1) & 0xFF) << 8)
+            p += 2 + xlen
+          }
+          if ((flg & 8) != 0) { while (file(p) != 0) p += 1; p += 1 }
+          if ((flg & 16) != 0) { while (file(p) != 0) p += 1; p += 1 }
+          if ((flg & 2) != 0) p += 2
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(file, p, n - p)
+            val buf = new Array[Byte](64 * 1024)
+            val bos = new java.io.ByteArrayOutputStream(
+              math.min((n - p).toLong * 4, 1L << 16).toInt)
+            var total = 0L
+            var bomb = false
+            while (!inf.finished()) {
+              val m = inf.inflate(buf)
+              if (m == 0 && !inf.finished())
+                throw new java.util.zip.DataFormatException(
+                  "truncated deflate stream")
+              // same cap-before-buffer rule as [[gunzipBytes]]; past
+              // the cap the loop keeps INFLATING (to pin the member
+              // boundary) but stops BUFFERING
+              if (!bomb) {
+                if (total + m > MaxInflatedBytes) bomb = true
+                else { bos.write(buf, 0, m); total += m }
+              }
+            }
+            val consumed = (n - p) - inf.getRemaining
+            out += (if (bomb) null else bos.toByteArray)
+            off = p + consumed + 8 // CRC32 + ISIZE trailer
+          } finally inf.end()
+        } catch { case _: Exception => corrupt = true }
+      }
+    }
+    if (corrupt) out += null
+    out.toArray
+  }
+
+  private val splitGzKernel = udf(splitGzMembersBytes _)
+
+  /** Column face of [[splitGzMembersBytes]]: `array<binary>` of
+    * inflated members (NULL elements mark bombs / the corrupt tail).
+    */
+  def splitGzMembers(bin: Column): Column = splitGzKernel(bin)
+
+  /** Read staged multi-member `.warc.gz` archive FILES into one row
+    * per member: (`archive`, `record`) with `record` the INFLATED
+    * member bytes ready for [[parseRawRecords]] (NULL for bomb/corrupt
+    * members — countable, parse-and-drop downstream).
+    *
+    * Scale shape: the `binaryFile` source distributes whole files
+    * across executors (one row per file; Spark caps a single file at
+    * `spark.sql.sources.binaryFile.maxLength` = 2 GiB — real crawl
+    * archives are written ~1 GiB for exactly this kind of reader),
+    * the member walk is one in-partition pass per file, and
+    * everything downstream of the explode is the ordinary record
+    * pipeline. A 100 TB crawl = ~100k files → ~100k input rows, each
+    * exploding to its records WITHOUT a shuffle; per-executor memory
+    * holds one file + one inflated record at a time (the cap bounds
+    * the latter).
+    */
+  def readWarcGzArchives(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(col("path").as("archive"),
+        explode(splitGzMembers(col("content"))).as("record"))
 
   /** The writer half — wrap bytes as one gzip member (staging crawl
     * snapshots, tests). Deterministic: Java's `GZIPOutputStream`

@@ -232,4 +232,97 @@ class WarcIngestSpec extends AnyFunSuite {
     val bad = Seq(Tuple1("junk".getBytes("UTF-8"))).toDF("record")
     assert(WarcIngest.responsesOnly(WarcIngest.parseGzRecords(bad)).count() == 0)
   }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(bos)
+    out.write(b); out.close()
+    bos.toByteArray
+  }
+
+  test("splitGzMembers: n members in = n records out, byte-exact, order kept") {
+    val members = (0 until 7).map(i =>
+      s"WARC/1.0\r\nWARC-Target-URI: https://x.com/$i\r\n\r\nbody $i café"
+        .getBytes("UTF-8"))
+    val archive = members.map(gz).reduce(_ ++ _)
+    val got = WarcIngest.splitGzMembersBytes(archive)
+    assert(got.length == members.length)
+    got.zip(members).foreach { case (g, m) =>
+      assert(java.util.Arrays.equals(g, m)) }
+    // and through the column face + explode, same count and content
+    import spark.implicits._
+    val rows = Seq(Tuple1(archive)).toDF("content")
+      .select(org.apache.spark.sql.functions.explode(
+        WarcIngest.splitGzMembers(col("content"))).as("record"))
+    val parsed = WarcIngest.parseRawRecords(rows)
+      .collect().map(_.getAs[String]("url")).sorted
+    assert(parsed.toSeq == (0 until 7).map(i => s"https://x.com/$i"))
+  }
+
+  test("splitGzMembers: FNAME/FCOMMENT/FEXTRA/FHCRC headers walk correctly") {
+    // hand-build one member with FEXTRA+FNAME+FCOMMENT+FHCRC set, then
+    // a plain member after it — the walker must land exactly on it
+    val payload = "second".getBytes("UTF-8")
+    val plain = gz(payload)
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val body = "first".getBytes("UTF-8")
+    deflater.setInput(body); deflater.finish()
+    val cbuf = new Array[Byte](256)
+    val clen = deflater.deflate(cbuf)
+    deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val bos = new java.io.ByteArrayOutputStream()
+    // header: magic, CM=8, FLG = FHCRC|FEXTRA|FNAME|FCOMMENT (0x1E)
+    bos.write(Array[Byte](0x1F, 0x8B.toByte, 8, 0x1E, 0, 0, 0, 0, 0, 0))
+    bos.write(Array[Byte](3, 0)); bos.write(Array[Byte](1, 2, 3)) // FEXTRA
+    bos.write("name.warc".getBytes("ISO-8859-1")); bos.write(0)   // FNAME
+    bos.write("a comment".getBytes("ISO-8859-1")); bos.write(0)   // FCOMMENT
+    bos.write(Array[Byte](0, 0))                                   // FHCRC (unchecked)
+    bos.write(cbuf, 0, clen)
+    val trailer = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).putInt(body.length).array()
+    bos.write(trailer)
+    val archive = bos.toByteArray ++ plain
+    val got = WarcIngest.splitGzMembersBytes(archive)
+    assert(got.length == 2, got.length)
+    assert(new String(got(0), "UTF-8") == "first")
+    assert(new String(got(1), "UTF-8") == "second")
+  }
+
+  test("splitGzMembers: a bomb member yields NULL in place; members after it survive") {
+    val before = gz("before".getBytes("UTF-8"))
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20)
+      (0 until 300).foreach(_ => out.write(chunk)) // 300 MiB > 256 MiB cap
+      out.close()
+      bos.toByteArray
+    }
+    val after = gz("after".getBytes("UTF-8"))
+    val got = WarcIngest.splitGzMembersBytes(before ++ bomb ++ after)
+    assert(got.length == 3)
+    assert(new String(got(0), "UTF-8") == "before")
+    assert(got(1) == null, "bomb member must be NULL, not buffered")
+    assert(new String(got(2), "UTF-8") == "after",
+      "draining the bomb must pin the boundary so later members survive")
+  }
+
+  test("splitGzMembers: a corrupt member ends the walk with ONE countable NULL") {
+    val ok = gz("ok".getBytes("UTF-8"))
+    // corrupt: valid magic, then garbage deflate bytes
+    val corrupt = Array[Byte](0x1F, 0x8B.toByte, 8, 0, 0, 0, 0, 0, 0, 0,
+      0x55, 0x66, 0x77)
+    val got = WarcIngest.splitGzMembersBytes(ok ++ corrupt)
+    assert(got.length == 2)
+    assert(new String(got(0), "UTF-8") == "ok")
+    assert(got(1) == null)
+    // trailing garbage that isn't even a header: same one-NULL rule
+    val got2 = WarcIngest.splitGzMembersBytes(ok ++ Array[Byte](1, 2, 3))
+    assert(got2.length == 2 && got2(1) == null)
+    // empty file: zero members, zero nulls
+    assert(WarcIngest.splitGzMembersBytes(Array.empty[Byte]).isEmpty)
+  }
 }
