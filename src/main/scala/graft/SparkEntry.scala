@@ -5314,15 +5314,21 @@ object SparkEntry {
     // text) — a wrong verdict decodes garbage and fails the compare
     "q_charset_sniff" ->
       s"""SELECT doc_id,
-         |       CASE doc_id % 7 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+         |       CASE doc_id % 9 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
          |            WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
          |            WHEN 5 THEN 'windows-1252'
+         |            WHEN 6 THEN 'shift_jis' WHEN 7 THEN 'gbk'
+         |            WHEN 8 THEN 'euc-jp'
          |            ELSE 'iso-8859-1' END AS charset,
-         |       CASE doc_id % 7
+         |       CASE doc_id % 9
          |            WHEN 5 THEN '<meta charset="windows-1252">' || text ||
          |                        ${sqlStr(CharsetProbeSuffix)} || chr(8364) || chr(8217)
          |            WHEN 6 THEN '<meta charset=shift_jis>' || text ||
-         |                        ${sqlStr(CharsetProbeSuffix)}
+         |                        ${sqlStr(JpProbeTail)}
+         |            WHEN 7 THEN '<meta charset="gbk">' || text ||
+         |                        ${sqlStr(ZhProbeTail)}
+         |            WHEN 8 THEN '<meta charset=''euc-jp''>' || text ||
+         |                        ${sqlStr(JpProbeTail)}
          |            ELSE text || ${sqlStr(CharsetProbeSuffix)} END AS text
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sql_url_blocklist_psl" -> urlBlocklistPslOracleSql,
@@ -6678,21 +6684,40 @@ object SparkEntry {
     */
   private val CharsetProbeSuffix: String = " café ñ end"
 
-  /** Charset-sniff fixture: the probe text encoded seven ways by
-    * doc_id%7 — plain UTF-8, BOM'd UTF-8, UTF-16LE/BE behind their
+  /** CJK tails for the declared-charset fixture variants, written in
+    * \u escapes so the plant and the oracle interpolation share exact
+    * codepoints. Both are inside the base JIS X 0208 / GB2312
+    * repertoires, so every allowlisted JVM charset encodes them — and
+    * their encoded bytes are INVALID UTF-8 (lead/continuation
+    * mismatches), so the validity tier can never shadow the
+    * declaration tier on these rows (spec-pinned).
+    */
+  private val JpProbeTail: String = // 日本語のテスト終
+    " 日本語のテスト終"
+  private val ZhProbeTail: String = // 中文测试结束
+    " 中文测试结束"
+
+  /** Charset-sniff fixture: the probe text encoded nine ways by
+    * doc_id%9 — plain UTF-8, BOM'd UTF-8, UTF-16LE/BE behind their
     * BOMs, bare ISO-8859-1 (invalid as UTF-8, NO declaration — the
     * fallback tier), a DECLARED `windows-1252` page whose tail
     * carries the cp1252 high bytes 0x80/0x92 (€ and ’ — the translate
     * tier must produce them, a latin-1 decode would leave C1
-    * controls), and a DECLARED-but-unsupported `shift_jis` page
-    * (falls through to latin-1, documented). The oracle replays the
+    * controls), and the DECLARED-CJK tier: `shift_jis` (windows-31j
+    * bytes), `gbk` and `euc-jp` pages whose tails carry real CJK
+    * codepoints — these variants drop the latin-1-only probe suffix
+    * (é/ñ are not in the JIS/GB repertoires) and carry
+    * [[JpProbeTail]]/[[ZhProbeTail]] instead. The oracle replays the
     * expected round trip: variant-determined label + the decoded
-    * text.
+    * text (DuckDB never needs the legacy charsets — encode∘decode is
+    * identity on representable text, so the expected text is the
+    * planted literal).
     */
   private def plantCharsetRecords(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{concat, encode, expr, when}
+    import graft.sources.WarcIngest.encodeDeclared
     val txt = concat(col("text"), lit(CharsetProbeSuffix))
-    val v = expr("doc_id % 7")
+    val v = expr("doc_id % 9")
     docs.select(col("doc_id"),
       when(v === 0, encode(txt, "UTF-8"))
         .when(v === 1, concat(
@@ -6707,9 +6732,15 @@ object SparkEntry {
           encode(concat(lit("<meta charset=\"windows-1252\">"), txt),
             "ISO-8859-1"),
           lit(Array[Byte](0x80.toByte, 0x92.toByte))))
-        .otherwise(
-          encode(concat(lit("<meta charset=shift_jis>"), txt),
-            "ISO-8859-1")).as("content"))
+        .when(v === 6, encodeDeclared(
+          concat(lit("<meta charset=shift_jis>"), col("text"),
+            lit(JpProbeTail)), "windows-31j"))
+        .when(v === 7, encodeDeclared(
+          concat(lit("<meta charset=\"gbk\">"), col("text"),
+            lit(ZhProbeTail)), "GBK"))
+        .otherwise(encodeDeclared(
+          concat(lit("<meta charset='euc-jp'>"), col("text"),
+            lit(JpProbeTail)), "EUC-JP")).as("content"))
   }
 
   /** Dirty-text suffix appended to every document for the

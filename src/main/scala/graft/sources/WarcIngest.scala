@@ -160,14 +160,81 @@ object WarcIngest {
     "windows-1252", "cp1252", "x-cp1252", "iso-8859-1", "iso8859-1",
     "iso_8859-1", "latin1", "l1", "ascii", "us-ascii")
 
+  /** The declared-CJK tier: (WHATWG labels, canonical sniff label, JVM
+    * charset) per family — a meaningful fraction of real web bytes is
+    * Shift_JIS / EUC-JP / GBK / Big5 with an honest declaration, and
+    * letting those fall through to latin-1 silently mangles them.
+    * Spark's `decode` whitelist has none of these, so the decode runs
+    * as a compiled [[decodeDeclared]] kernel (the gunzip-kernel
+    * precedent) over THIS allowlist only — never a blind
+    * `Charset.forName` of attacker-controlled labels. Label sets per
+    * the WHATWG encoding standard's label tables; `shift_jis` maps to
+    * the JVM's windows-31j (WHATWG Shift_JIS ≡ Microsoft code page
+    * 932, a superset of plain JIS X 0208 Shift_JIS); WHATWG `big5` is
+    * big5-hkscs-extended — the JVM's plain Big5 is used here and the
+    * HKSCS-only codepoints fall to the NULL drop path, documented.
+    */
+  val CjkLabelCharsets: Seq[(Seq[String], String, String)] = Seq(
+    (Seq("shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji",
+      "csshiftjis", "windows-31j", "ms932"), "shift_jis", "windows-31j"),
+    (Seq("euc-jp", "x-euc-jp", "cseucpkdfmtjapanese"), "euc-jp", "EUC-JP"),
+    (Seq("gbk", "gb2312", "gb_2312", "gb_2312-80", "x-gbk", "chinese",
+      "csgb2312", "csiso58gb231280", "iso-ir-58"), "gbk", "GBK"),
+    (Seq("big5", "big5-hkscs", "cn-big5", "x-x-big5", "csbig5"),
+      "big5", "Big5"))
+
+  /** Decode bytes with a NAMED JVM charset from the [[CjkLabelCharsets]]
+    * allowlist, malformed/unmappable input ⇒ NULL (the parse-and-drop
+    * semantics — a record whose bytes contradict its declaration is
+    * countable damage, never silently-wrong text). The decoder is
+    * looked up per charset NAME and compiled once per executor;
+    * `ScalaUDF` codegens as a plain invoke so the surrounding chain
+    * stays fused.
+    */
+  private def decodeDeclaredStr(b: Array[Byte], cs: String): String =
+    if (b == null || cs == null) null
+    else try {
+      java.nio.charset.Charset.forName(cs).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(b)).toString
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+
+  private val decodeDeclaredKernel = udf(decodeDeclaredStr _)
+
+  def decodeDeclared(bin: Column, jvmCharset: String): Column =
+    decodeDeclaredKernel(bin, lit(jvmCharset))
+
+  /** The writer half for staging fixtures in these charsets (Spark's
+    * `encode` whitelist has none of them): unencodable text throws —
+    * a staging error, not a data path.
+    */
+  private def encodeDeclaredStr(s: String, cs: String): Array[Byte] =
+    if (s == null || cs == null) null
+    else {
+      val enc = java.nio.charset.Charset.forName(cs).newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+      val out = new Array[Byte](bb.remaining())
+      bb.get(out)
+      out
+    }
+
+  private val encodeDeclaredKernel = udf(encodeDeclaredStr _)
+
+  def encodeDeclared(text: Column, jvmCharset: String): Column =
+    encodeDeclaredKernel(text, lit(jvmCharset))
+
   /** Detected transport label for a binary payload, in precedence
     * order: BOM dispatch first (`utf-8-bom`, `utf-16le`, `utf-16be`),
     * then exact UTF-8 validation ([[Utf8HexRe]] — VALID BYTES BEAT A
     * DECLARATION: mislabeled UTF-8 is endemic and the validation is
     * exact), then the in-document declaration ([[declaredCharset]]:
-    * the cp1252-family labels decode as `windows-1252` per WHATWG;
+    * the cp1252-family labels decode as `windows-1252` per WHATWG,
+    * the [[CjkLabelCharsets]] families as their canonical labels;
     * any other label — declared-but-unsupported encodings like
-    * shift_jis — falls through, documented), then `iso-8859-1` — the
+    * koi8-r — falls through, documented), then `iso-8859-1` — the
     * browser-convention fallback that never fails and never loses
     * bytes (C1 controls survive for
     * [[graft.operators.TextNormalization.repairMojibake]] to use as
@@ -183,12 +250,18 @@ object WarcIngest {
     // subexpression-eliminated); only the UTF-8 validity check (reached
     // once, after the cheap prefix checks) pays the full transcript
     val pfx = hex(substring(bin, 1, 3))
-    when(pfx.startsWith("EFBBBF"), lit("utf-8-bom"))
-      .when(pfx.startsWith("FFFE"), lit("utf-16le"))
-      .when(pfx.startsWith("FEFF"), lit("utf-16be"))
-      .when(regexp_like(hex(bin), lit(Utf8HexRe)), lit("utf-8"))
-      .when(declaredCharset(bin).isin(Cp1252Labels: _*), lit("windows-1252"))
-      .otherwise(lit("iso-8859-1"))
+    // the declaration tiers each re-run the KB-bounded probe (branch
+    // conditions are not subexpression-eliminated) — 5 bounded probes
+    // per non-UTF-8 row, still far below one full-payload transcript
+    CjkLabelCharsets.foldLeft(
+      when(pfx.startsWith("EFBBBF"), lit("utf-8-bom"))
+        .when(pfx.startsWith("FFFE"), lit("utf-16le"))
+        .when(pfx.startsWith("FEFF"), lit("utf-16be"))
+        .when(regexp_like(hex(bin), lit(Utf8HexRe)), lit("utf-8"))
+        .when(declaredCharset(bin).isin(Cp1252Labels: _*),
+          lit("windows-1252"))) { case (acc, (labels, canonical, _)) =>
+      acc.when(declaredCharset(bin).isin(labels: _*), lit(canonical))
+    }.otherwise(lit("iso-8859-1"))
   }
 
   private val Cp1252From: String =
@@ -218,15 +291,21 @@ object WarcIngest {
     // transcript is hexed once per row at most (the UTF-8 validity
     // condition), never per branch
     val pfx = hex(substring(bin, 1, 3))
-    when(pfx.startsWith("EFBBBF"),
-        decode(substring(bin, 4, Int.MaxValue), "UTF-8"))
-      .when(pfx.startsWith("FFFE"),
-        decode(substring(bin, 3, Int.MaxValue), "UTF-16LE"))
-      .when(pfx.startsWith("FEFF"),
-        decode(substring(bin, 3, Int.MaxValue), "UTF-16BE"))
-      .when(regexp_like(hex(bin), lit(Utf8HexRe)), decode(bin, "UTF-8"))
-      .when(declaredCharset(bin).isin(Cp1252Labels: _*), decodeCp1252(bin))
-      .otherwise(decode(bin, "ISO-8859-1"))
+    CjkLabelCharsets.foldLeft(
+      when(pfx.startsWith("EFBBBF"),
+          decode(substring(bin, 4, Int.MaxValue), "UTF-8"))
+        .when(pfx.startsWith("FFFE"),
+          decode(substring(bin, 3, Int.MaxValue), "UTF-16LE"))
+        .when(pfx.startsWith("FEFF"),
+          decode(substring(bin, 3, Int.MaxValue), "UTF-16BE"))
+        .when(regexp_like(hex(bin), lit(Utf8HexRe)), decode(bin, "UTF-8"))
+        .when(declaredCharset(bin).isin(Cp1252Labels: _*),
+          decodeCp1252(bin))) { case (acc, (labels, _, jvm)) =>
+      // bytes contradicting the declaration ⇒ NULL (drop path), per
+      // [[decodeDeclared]]
+      acc.when(declaredCharset(bin).isin(labels: _*),
+        decodeDeclared(bin, jvm))
+    }.otherwise(decode(bin, "ISO-8859-1"))
   }
 
   /** [[decodeRecords]] with the detection tier: (`url`, `html`,

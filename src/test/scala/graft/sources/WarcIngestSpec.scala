@@ -161,12 +161,42 @@ class WarcIngestSpec extends AnyFunSuite {
     // VALID UTF-8 with a lying cp1252 label: bytes win
     val lying = "<meta charset=windows-1252>caf\u00e9".getBytes("UTF-8")
     assert(sniff(lying) == (("utf-8", "<meta charset=windows-1252>caf\u00e9")))
-    // declared-but-unsupported shift_jis on non-UTF-8 bytes: latin-1
+    // declared-but-unsupported koi8-r on non-UTF-8 bytes: latin-1
     // fallback (C1-preserving), label ignored
-    val sjis = "<meta charset=shift_jis>caf\u00e9".getBytes("ISO-8859-1")
-    assert(sniff(sjis) == (("iso-8859-1", "<meta charset=shift_jis>caf\u00e9")))
+    val koi = "<meta charset=koi8-r>caf\u00e9".getBytes("ISO-8859-1")
+    assert(sniff(koi) == (("iso-8859-1", "<meta charset=koi8-r>caf\u00e9")))
     // no declaration at all: the plain fallback path is unchanged
     assert(sniff("caf\u00e9".getBytes("ISO-8859-1")) == (("iso-8859-1", "caf\u00e9")))
+  }
+
+  test("declared CJK tier: shift_jis/euc-jp/gbk/big5 labels decode via the " +
+      "allowlist; contradicting bytes drop to NULL; bytes still beat labels") {
+    val jp = " \u65e5\u672c\u8a9e\u306e\u30c6\u30b9\u30c8\u7d42"     // JIS X 0208
+    val zh = " \u4e2d\u6587\u6d4b\u8bd5\u7ed3\u675f"           // simplified (GB2312)
+    val zhT = " \u4e2d\u6587\u6e2c\u8a66\u7d50\u675f"          // traditional (Big5 has no simplified forms)
+    val cases = Seq(
+      ("<meta charset=shift_jis>doc" + jp, "windows-31j", "shift_jis"),
+      ("<meta charset=\"Shift-JIS\">doc" + jp, "windows-31j", "shift_jis"),
+      ("<meta charset='euc-jp'>doc" + jp, "EUC-JP", "euc-jp"),
+      ("<meta charset=gbk>doc" + zh, "GBK", "gbk"),
+      ("<meta charset=GB2312>doc" + zh, "GBK", "gbk"),
+      ("<meta charset=big5>doc" + zhT, "Big5", "big5"))
+    cases.foreach { case (text, jvm, label) =>
+      val bytes = text.getBytes(jvm)
+      // the label assertion doubles as the validity-tier check: if the
+      // CJK bytes were somehow valid UTF-8 the sniff would say 'utf-8'
+      assert(sniff(bytes) == ((label, text)), s"case $label")
+    }
+    // a page DECLARING shift_jis whose bytes are not valid windows-31j
+    // (0x85 is a lead byte with no trail): NULL text \u2014 countable
+    // damage, never silently-wrong characters
+    val contradicted = "<meta charset=shift_jis>x".getBytes("ISO-8859-1") ++
+      Array[Byte](0x85.toByte)
+    val r = sniff(contradicted)
+    assert(r._1 == "shift_jis" && r._2 == null, r)
+    // VALID UTF-8 with a CJK label: the validity tier still wins
+    val lyingJp = ("<meta charset=shift_jis>utf8" + jp).getBytes("UTF-8")
+    assert(sniff(lyingJp) == (("utf-8", "<meta charset=shift_jis>utf8" + jp)))
   }
 
   test("gzip member round trip: deflate -> inflate is identity on generated byte arrays") {
