@@ -2540,6 +2540,24 @@ object SparkEntry {
       graft.operators.UrlOps.sitemapUrls(
         plantSitemaps(table(s, d, "documents")), "xml", "doc_id")
         .orderBy("doc_id", "url")),
+    // sitemap-INDEX resolution over a staged body pool, one level:
+    // index bodies' <sitemap> children join back to the pool by
+    // canonical URL (the child side broadcasts), their <url> entries
+    // come out keyed by the INDEX's doc — then straight into the
+    // per-host budget (3), so the row proves union-of-children AND
+    // budgets in one gate; the unstaged child and the loc-less block
+    // must contribute nothing
+    "q_url_sitemap_index" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.UrlOps
+      val pool = plantSitemapIndexPool(table(s, d, "documents"))
+      val entries = UrlOps.sitemapUrlsViaIndex(pool, "url", "xml", "doc_id")
+      val noDelays = Seq.empty[(String, Double)].toDF("host", "delay_s")
+      UrlOps.frontierBudget(
+          entries.withColumn("priority", lit(0.5)),
+          "url", "doc_id", "priority", noDelays, maxPerHost = 3)
+        .orderBy("doc_id", "wave")
+    }),
     // sitemap-declared importance feeding the crawl plan: <priority>
     // parsed (clamped to [0,1], spec default 0.5 for absent/junk),
     // entries scheduled in politeness waves under a per-host budget of
@@ -5363,6 +5381,9 @@ object SparkEntry {
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
     // blocks dropped, entity decode before the canonical terms
     "q_sitemap_urls" -> sitemapUrlsOracleSql,
+    // index resolution: child locs -> staged bodies -> entry union ->
+    // budget waves; the unstaged child and loc-less block drop
+    "q_url_sitemap_index" -> sitemapIndexOracleSql,
     // the redirect walk as a recursive CTE bounded by the same hop cap;
     // functional-map normalization (min dst) replayed, unresolved
     // chains LEFT-JOIN to NULL
@@ -6333,6 +6354,56 @@ object SparkEntry {
       lit("<url><loc>https://example"), k, lit(".com/s?a="), m,
       lit("&amp;b=2</loc><lastmod>2024-02-01T00:00:00Z</lastmod></url>\n"),
       lit("<url><lastmod>2024-03-01</lastmod></url>\n</urlset>")).as("xml"))
+  }
+
+  /** Sitemap-INDEX pool plant: per document, ONE staged index body
+    * plus its two staged children — hosts unique per doc
+    * (`sm<doc_id>.example.com`), so the child→pool join is exactly
+    * 1:1 and politeness waves are per-doc. Coverage: a
+    * whitespace-wrapped child loc with a lastmod (ignored at the
+    * index level), a child loc AND staged URL both needing
+    * canonicalization (case/www/:443 on one side, case/www on the
+    * other — they must meet at the same canonical), a referenced but
+    * UNSTAGED child (`missing.xml` — contributes nothing: the next
+    * fetch wave), and a loc-less `<sitemap>` block (dropped). Child
+    * bodies carry four `<url>` entries between them, incl. an
+    * `&amp;`-escaped query. Replayed literally in
+    * [[sitemapIndexOracleSql]].
+    */
+  private def plantSitemapIndexPool(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    val d = col("doc_id").cast("string")
+    val idx = docs.select(col("doc_id"),
+      concat(lit("https://sm"), d, lit(".example.com/sitemap.xml")).as("url"),
+      concat(
+        lit("<?xml version=\"1.0\"?>\n<sitemapindex " +
+          "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "<sitemap><loc>\n  https://sm"), d,
+        lit(".example.com/sm/a.xml\n</loc>" +
+          "<lastmod>2024-05-01</lastmod></sitemap>\n" +
+          "<sitemap><loc>HTTPS://WWW.Sm"), d,
+        lit(".Example.COM:443/sm/b.xml</loc></sitemap>\n" +
+          "<sitemap><loc>https://sm"), d,
+        lit(".example.com/sm/missing.xml</loc></sitemap>\n" +
+          "<sitemap><lastmod>2024-06-01</lastmod></sitemap>\n" +
+          "</sitemapindex>")).as("xml"))
+    val childA = docs.select(col("doc_id"),
+      concat(lit("https://sm"), d, lit(".example.com/sm/a.xml")).as("url"),
+      concat(
+        lit("<urlset>\n<url><loc>https://sm"), d,
+        lit(".example.com/u/0</loc><lastmod>2024-01-15</lastmod></url>\n" +
+          "<url><loc>\n  https://sm"), d,
+        lit(".example.com/u/1\n</loc></url>\n</urlset>")).as("xml"))
+    val childB = docs.select(col("doc_id"),
+      concat(lit("HTTPS://www.sm"), d, lit(".example.com/sm/b.xml")).as("url"),
+      concat(
+        lit("<urlset>\n<url><loc>https://sm"), d,
+        lit(".example.com/u/2?a=1&amp;b=2</loc></url>\n" +
+          "<url><loc>https://sm"), d,
+        lit(".example.com/u/3</loc>" +
+          "<lastmod>2024-02-01T00:00:00Z</lastmod></url>\n</urlset>"))
+        .as("xml"))
+    idx.unionByName(childA).unionByName(childB)
   }
 
   /** Relative-href plant: each page (canonical src path `/p/<m>`, so
@@ -7894,6 +7965,88 @@ object SparkEntry {
        |         CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod
        |  FROM sld)
        |SELECT doc_id, url, lastmod FROM scn ORDER BY doc_id, url""".stripMargin
+
+  /** Sitemap-index replay: the [[plantSitemapIndexPool]] pool built
+    * literally (3 rows per doc via UNION ALL), index bodies filtered
+    * by root tag, `<sitemap>` child locs extracted and canonicalized
+    * (the terms THIS plant activates: scheme/host case, www, :443 —
+    * the full rule is gated by q_url_canon), joined to the pool's
+    * canonicalized staged URLs, then the `<url>` entry chain of
+    * [[sitemapUrlsOracleSql]] over the joined child bodies and the
+    * politeness-wave window with the constant priority and the
+    * per-host budget of 3.
+    */
+  private def sitemapIndexOracleSql: String = {
+    val canon = (c: String) =>
+      s"""lower(regexp_extract($c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+         |regexp_replace(regexp_replace(lower(regexp_extract(
+         |  regexp_replace($c, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |  '^([^/?]*)', 1)), ':443$$', ''), '^www\\.', '') ||
+         |regexp_replace(regexp_extract(
+         |  regexp_replace($c, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |  '^[^/?]*([^?]*)', 1), '/+$$', '') ||
+         |regexp_extract($c, '(\\?.*)$$', 1)""".stripMargin
+    s"""WITH pool AS (
+       |  SELECT doc_id,
+       |         'https://sm' || CAST(doc_id AS VARCHAR) || '.example.com/sitemap.xml' AS url,
+       |         '<?xml version="1.0"?>' || chr(10) || '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
+       |         '<sitemap><loc>' || chr(10) || '  https://sm' || CAST(doc_id AS VARCHAR) || '.example.com/sm/a.xml' || chr(10) || '</loc><lastmod>2024-05-01</lastmod></sitemap>' || chr(10) ||
+       |         '<sitemap><loc>HTTPS://WWW.Sm' || CAST(doc_id AS VARCHAR) || '.Example.COM:443/sm/b.xml</loc></sitemap>' || chr(10) ||
+       |         '<sitemap><loc>https://sm' || CAST(doc_id AS VARCHAR) || '.example.com/sm/missing.xml</loc></sitemap>' || chr(10) ||
+       |         '<sitemap><lastmod>2024-06-01</lastmod></sitemap>' || chr(10) || '</sitemapindex>' AS xml
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         'https://sm' || CAST(doc_id AS VARCHAR) || '.example.com/sm/a.xml' AS url,
+       |         '<urlset>' || chr(10) ||
+       |         '<url><loc>https://sm' || CAST(doc_id AS VARCHAR) || '.example.com/u/0</loc><lastmod>2024-01-15</lastmod></url>' || chr(10) ||
+       |         '<url><loc>' || chr(10) || '  https://sm' || CAST(doc_id AS VARCHAR) || '.example.com/u/1' || chr(10) || '</loc></url>' || chr(10) || '</urlset>' AS xml
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         'HTTPS://www.sm' || CAST(doc_id AS VARCHAR) || '.example.com/sm/b.xml' AS url,
+       |         '<urlset>' || chr(10) ||
+       |         '<url><loc>https://sm' || CAST(doc_id AS VARCHAR) || '.example.com/u/2?a=1&amp;b=2</loc></url>' || chr(10) ||
+       |         '<url><loc>https://sm' || CAST(doc_id AS VARCHAR) || '.example.com/u/3</loc><lastmod>2024-02-01T00:00:00Z</lastmod></url>' || chr(10) || '</urlset>' AS xml
+       |  FROM documents),
+       |ixb AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(xml, '(?is)<sitemap\\b[^>]*>(.*?)</sitemap>', 1)) AS b
+       |  FROM pool WHERE regexp_matches(xml, '(?is)<sitemapindex\\b')),
+       |ixl AS (
+       |  SELECT doc_id, regexp_extract(b, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc>', 1) AS loc
+       |  FROM ixb),
+       |chc AS (
+       |  SELECT doc_id, ${canon("loc")} AS child_url
+       |  FROM ixl WHERE loc <> ''),
+       |spool AS (
+       |  SELECT ${canon("url")} AS staged_url, xml FROM pool),
+       |cb AS (
+       |  SELECT c.doc_id, s.xml FROM chc c JOIN spool s ON c.child_url = s.staged_url),
+       |ubl AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(xml, '(?is)<url\\b[^>]*>(.*?)</url>', 1)) AS b
+       |  FROM cb),
+       |ule AS (
+       |  SELECT doc_id, regexp_extract(b, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc>', 1) AS loc
+       |  FROM ubl),
+       |uld AS (
+       |  SELECT doc_id,
+       |         replace(replace(replace(replace(replace(replace(loc,
+       |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |           '&apos;', ''''), '&#39;', ''''), '&amp;', '&') AS loc
+       |  FROM ule WHERE loc <> ''),
+       |ent AS (
+       |  SELECT doc_id, ${canon("loc")} AS url,
+       |         'sm' || CAST(doc_id AS VARCHAR) || '.example.com' AS host
+       |  FROM uld),
+       |sched AS (
+       |  SELECT doc_id, host,
+       |         row_number() OVER (PARTITION BY host ORDER BY url, doc_id) - 1 AS wave
+       |  FROM ent)
+       |SELECT doc_id, host, CAST(wave AS BIGINT) AS wave,
+       |       CAST(wave * 1000 AS BIGINT) AS fetch_at_ms
+       |FROM sched WHERE wave < 3
+       |ORDER BY doc_id, wave""".stripMargin
+  }
 
   /** Redirect replay: `redir` (the literal [[plantRedirects]] build),
     * `fmap` (functional-map normalization — min dst per src), `walk`

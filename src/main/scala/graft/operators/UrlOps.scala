@@ -452,6 +452,59 @@ object UrlOps {
           least(greatest(col("_pr").cast("double"), lit(0.0)), lit(1.0)))
           .otherwise(lit(0.5)).as("priority"))
 
+  /** Child sitemap locs of a sitemap-INDEX body (sitemaps.org
+    * `<sitemapindex>` — every large site splits its sitemap into an
+    * index of ≤50k-URL children, so a crawler that can't read index
+    * files misses most large-site URLs): one row per `<sitemap>` block
+    * with a non-empty `<loc>`, `(keyCol, child_url)` with the child
+    * CANONICAL (same decode + canonicalization as [[sitemapUrls]]'
+    * locs, so children key directly against a staged body pool or the
+    * fetch frontier). Loc-less blocks drop. Map-only; the `<sitemap\b`
+    * scan cannot match the root `<sitemapindex>` tag (no word boundary
+    * inside `sitemapindex`). RE2-portable, oracle-replayable.
+    */
+  def sitemapIndexChildren(df: DataFrame, xmlCol: String,
+                           keyCol: String): DataFrame =
+    df.select(col(keyCol),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?is)<sitemap\\b[^>]*>(.*?)</sitemap>"), lit(1))).as("_b"))
+      .select(col(keyCol),
+        regexp_extract(col("_b"), "(?is)<loc\\s*>\\s*(.*?)\\s*</loc>", 1)
+          .as("_loc"))
+      .filter(col("_loc") =!= "")
+      .select(col(keyCol),
+        canonicalizeUrl(xmlUnescape(col("_loc"))).as("child_url"))
+
+  /** ONE level of sitemap-index indirection over STAGED bodies — the
+    * same staged-body shape as the robots tier: `staged` holds every
+    * fetched sitemap resource (`urlCol`, `xmlCol`, keyed by `keyCol`);
+    * rows whose body is an index (`<sitemapindex>` root) contribute
+    * the `<url>` entries of their staged CHILDREN (child `<loc>`
+    * joined to the pool by canonical URL), keyed by the INDEX's key —
+    * discovery provenance, so budgets/scheduling charge the site that
+    * declared the index. Children referenced but NOT staged contribute
+    * nothing here (they are the next fetch wave —
+    * [[sitemapIndexChildren]] minus the pool is that frontier);
+    * deeper-than-one nesting is the fetch loop's iteration of this
+    * same operator, per sitemaps.org's one-level-index convention.
+    *
+    * Scale shape: the child list is index-sized (tiny vs the pool), so
+    * the loc→body join broadcasts the child side; entry extraction
+    * stays the [[sitemapUrls]] map-only shape.
+    */
+  def sitemapUrlsViaIndex(staged: DataFrame, urlCol: String, xmlCol: String,
+                          keyCol: String): DataFrame = {
+    val isIndex = col(xmlCol).rlike("(?is)<sitemapindex\\b")
+    val children = sitemapIndexChildren(
+      staged.filter(isIndex), xmlCol, keyCol)
+    val pool = staged.select(
+      canonicalizeUrl(col(urlCol)).as("_staged_url"), col(xmlCol))
+    val childBodies = pool.join(
+        broadcast(children), col("child_url") === col("_staged_url"))
+      .select(col(keyCol), col(xmlCol))
+    sitemapUrls(childBodies, xmlCol, keyCol)
+  }
+
   /** [[frontierSchedule]] with a per-host crawl budget: waves past
     * `maxPerHost` are cut, so each politeness cycle fetches at most
     * that many URLs per host — the budget knob every crawler exposes.

@@ -500,4 +500,45 @@ class UrlOpsSpec extends AnyFunSuite {
       1L -> (("a.com", 2L, 5000L)),
       4L -> (("b.com", 0L, 0L))), got)
   }
+
+  test("sitemapIndexChildren: child locs canonical, loc-less drop, root tag never matches") {
+    import spark.implicits._
+    val idx = Seq((1L,
+      "<sitemapindex><sitemap><loc>\n HTTPS://WWW.A.com:443/s/1.xml \n</loc>" +
+        "<lastmod>2024-05-01</lastmod></sitemap>" +
+        "<sitemap><loc>https://a.com/s/2.xml?x=1&amp;y=2</loc></sitemap>" +
+        "<sitemap><lastmod>2024-06-01</lastmod></sitemap></sitemapindex>"))
+      .toDF("doc_id", "xml")
+    val got = UrlOps.sitemapIndexChildren(idx, "xml", "doc_id")
+      .collect().map(_.getString(1)).toSet
+    // the <sitemapindex> ROOT tag must not be swallowed as a <sitemap>
+    // block (no word boundary inside 'sitemapindex'), so exactly the
+    // two loc-bearing children come out, canonical
+    assert(got == Set("https://a.com/s/1.xml",
+      "https://a.com/s/2.xml?x=1&y=2"), got)
+  }
+
+  test("sitemapUrlsViaIndex: one-level resolution keyed by the index; unstaged children contribute nothing") {
+    import spark.implicits._
+    val pool = Seq(
+      // the index (key 10) references two children, one of them unstaged
+      (10L, "https://a.com/sitemap.xml",
+        "<sitemapindex><sitemap><loc>https://a.com/s/a.xml</loc></sitemap>" +
+          "<sitemap><loc>HTTPS://WWW.A.com/s/b.xml</loc></sitemap>" +
+          "<sitemap><loc>https://a.com/s/missing.xml</loc></sitemap>" +
+          "</sitemapindex>"),
+      // staged children carry their OWN keys — output must use the index's
+      (20L, "https://a.com/s/a.xml",
+        "<urlset><url><loc>https://a.com/u/1</loc>" +
+          "<lastmod>2024-01-01</lastmod></url></urlset>"),
+      (30L, "https://www.a.com/s/b.xml",
+        "<urlset><url><loc>https://a.com/u/2</loc></url></urlset>"))
+      .toDF("doc_id", "url", "xml")
+    val got = UrlOps.sitemapUrlsViaIndex(pool, "url", "xml", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (10L, "https://a.com/u/1", Some("2024-01-01")),
+      (10L, "https://a.com/u/2", None)), got)
+  }
 }
