@@ -2493,6 +2493,15 @@ object SparkEntry {
       graft.operators.LinkGraph.extractLinksWithRel(
         plantRelAttrPages(table(s, d, "documents")), "url", "html")
         .orderBy("src", "dst")),
+    // the per-URL reputation report: rank over the ENDORSEMENT graph
+    // (nofollow edges carry no rank), in-degree + nofollow share over
+    // ALL in-edges, and the top anchor label — three pre-aggregated
+    // one-row-per-URL sides joined on url; only-nofollow'd targets
+    // come out with NULL rank (honest, not zero)
+    "q_link_url_report" -> ((s, d) =>
+      graft.operators.LinkGraph.urlReport(
+        plantRelAttrPages(table(s, d, "documents")), "url", "html")
+        .orderBy("url")),
     // the persisted-index path: edges bucketed by src, so every
     // PageRank iteration's join is co-partitioned on the edge side
     // (no edge shuffle per iteration — only the rank table moves);
@@ -5404,6 +5413,7 @@ object SparkEntry {
     "q_link_anchors" -> linkAnchorsOracleSql,
     "q_link_anchor_labels" -> linkAnchorLabelsOracleSql,
     "q_link_rel" -> linkRelOracleSql,
+    "q_link_url_report" -> linkUrlReportOracleSql,
     "q_sql_anchor_labels" -> linkAnchorLabelsOracleSql,
     // host projection of the edge list, intra-host edges dropped
     "q_link_hostgraph" -> linkHostgraphOracleSql,
@@ -7846,9 +7856,9 @@ object SparkEntry {
     * the fixture-scope resolution/canonicalization stages, and the
     * (src, dst) collapse with min-as-ANY-followed.
     */
-  private def linkRelOracleSql: String = {
+  private def linkRelCtesSql: String = {
     import graft.operators.LinkGraph.{AnchorTagRe, HrefValRe, RelNofollowRe}
-    s"""WITH $urlCanonCtesSql,
+    s"""$urlCanonCtesSql,
        |rp AS (
        |  SELECT doc_id, canon_url,
        |         '<p><a href="HTTPS://HUB' || CAST(doc_id % 13 AS VARCHAR) || '.Example.net/h/' || CAST(doc_id % 5 AS VARCHAR) ||
@@ -7881,10 +7891,79 @@ object SparkEntry {
        |  SELECT src, nf,
        |         lower(regexp_extract(abs, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
        |           regexp_extract(abs, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$$', 1) AS dst
-       |  FROM arr WHERE abs IS NOT NULL)
-       |SELECT src, dst, CAST(min(CAST(nf AS INT)) AS BOOLEAN) AS nofollow
-       |FROM acn WHERE src <> dst
-       |GROUP BY src, dst ORDER BY src, dst""".stripMargin
+       |  FROM arr WHERE abs IS NOT NULL),
+       |rel AS (
+       |  SELECT src, dst, CAST(min(CAST(nf AS INT)) AS BOOLEAN) AS nofollow
+       |  FROM acn WHERE src <> dst GROUP BY src, dst)""".stripMargin
+  }
+
+  private def linkRelOracleSql: String =
+    s"""WITH $linkRelCtesSql
+       |SELECT src, dst, nofollow FROM rel ORDER BY src, dst""".stripMargin
+
+  /** The per-URL reputation report replay: the [[linkRelCtesSql]] rel
+    * chain feeds BOTH the in-link/nofollow-share aggregate and (minus
+    * nofollow edges) the unrolled fixed-point PageRank; the anchor
+    * zip chain of [[linkAnchorsCtesSql]] runs over the SAME `rp` plant
+    * for the top-label side; three one-row-per-URL sides join on url.
+    */
+  private def linkUrlReportOracleSql: String = {
+    // raw triple quotes: single backslashes arrive in the SQL literally
+    val are = """(?i)<a\b[^>]*\bhref\s*=\s*(?:"([^"]*)"|''([^'']*)''|([^\s>"''][^\s>]*))[^>]*>([^<]*)"""
+    s"""WITH $linkRelCtesSql,
+       |ina AS (
+       |  SELECT dst AS url, COUNT(*) AS n_inlinks,
+       |         round(CAST(SUM(CAST(nofollow AS INT)) AS DOUBLE) / COUNT(*), 6) AS nofollow_share
+       |  FROM rel GROUP BY dst),
+       |fedges AS (SELECT src, dst FROM rel WHERE NOT nofollow),
+       |nodes AS (SELECT DISTINCT url FROM
+       |  (SELECT src AS url FROM fedges UNION ALL SELECT dst FROM fedges)),
+       |odeg AS (SELECT src, COUNT(*) AS outdeg FROM fedges GROUP BY src),
+       |nb AS (SELECT url, COALESCE(outdeg, 0) AS outdeg
+       |       FROM nodes LEFT JOIN odeg ON nodes.url = odeg.src),
+       |nn AS (SELECT COUNT(*) AS n FROM nb),
+       |pr0 AS (SELECT url, outdeg, 1000000000000 // nn.n AS rank
+       |        FROM nb CROSS JOIN nn),
+       |${pagerankIterCteSql(1, "fedges")},
+       |${pagerankIterCteSql(2, "fedges")},
+       |${pagerankIterCteSql(3, "fedges")},
+       |rax AS (
+       |  SELECT canon_url AS src,
+       |         unnest(regexp_extract_all(html, '$are', 1)) AS g1,
+       |         unnest(regexp_extract_all(html, '$are', 2)) AS g2,
+       |         unnest(regexp_extract_all(html, '$are', 3)) AS g3,
+       |         unnest(regexp_extract_all(html, '$are', 4)) AS g4
+       |  FROM rp),
+       |ran AS (
+       |  SELECT src,
+       |         CASE WHEN g1 <> '' THEN g1
+       |              WHEN g2 <> '' THEN g2 ELSE g3 END AS href,
+       |         trim(regexp_replace(g4, '\\s+', ' ', 'g')) AS anchor
+       |  FROM rax),
+       |rarx AS (
+       |  SELECT src, anchor,
+       |         CASE WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+       |              WHEN href LIKE '/%' THEN regexp_extract(src, '^([a-z+.-]+://[^/?]*)', 1) || href
+       |         END AS abs
+       |  FROM ran WHERE href <> '' AND anchor <> ''),
+       |racx AS (
+       |  SELECT src, anchor,
+       |         lower(regexp_extract(abs, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) ||
+       |           regexp_extract(abs, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$$', 1) AS dst
+       |  FROM rarx WHERE abs IS NOT NULL),
+       |rtr AS (SELECT DISTINCT src, dst, anchor FROM racx WHERE src <> dst),
+       |rhist AS (
+       |  SELECT dst, anchor, COUNT(*) AS n_srcs FROM rtr GROUP BY dst, anchor),
+       |rlbl AS (
+       |  SELECT dst AS url, anchor AS top_anchor FROM rhist
+       |  QUALIFY row_number() OVER (PARTITION BY dst
+       |                             ORDER BY n_srcs DESC, anchor) = 1)
+       |SELECT i.url, CAST(p.rank AS BIGINT) AS rank, i.n_inlinks,
+       |       i.nofollow_share, l.top_anchor
+       |FROM ina i
+       |LEFT JOIN pr3 p ON i.url = p.url
+       |LEFT JOIN rlbl l ON i.url = l.url
+       |ORDER BY i.url""".stripMargin
   }
 
   /** Host projection of the edge list — same host regex as

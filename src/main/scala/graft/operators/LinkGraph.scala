@@ -356,6 +356,49 @@ object LinkGraph {
         col("n_srcs"))
   }
 
+  /** Per-URL reputation report — the link family's signals joined into
+    * the one row per URL a curation pipeline actually consumes:
+    *
+    *  - `rank`: fixed-point PageRank over the ENDORSEMENT graph
+    *    ([[extractLinksWithRel]] minus nofollow edges — rank must not
+    *    flow through nofollow per REP); NULL for a URL absent from
+    *    that graph (only-nofollow'd targets) — honest, not zero.
+    *  - `n_inlinks` / `nofollow_share`: the in-link count and the
+    *    nofollow fraction (rounded 6 dp, the engine-identical-band
+    *    rule) over ALL in-edges — a high nofollow share is itself a
+    *    spam signal.
+    *  - `top_anchor`: what other pages most often call this URL
+    *    ([[topAnchorLabels]]); NULL when no anchor has text.
+    *
+    * Base set = every URL with at least one in-edge. All three sides
+    * are PRE-AGGREGATED (one row per URL each) before the joins, so
+    * the joins move signal-sized tables, never edges; the rel edge
+    * list is computed ONCE (persisted — it feeds both the in-link
+    * aggregate and the followed graph) and released after the
+    * (output-proportional) result checkpoints, the hostSimilarity
+    * discipline.
+    */
+  def urlReport(pages: DataFrame, urlCol: String, htmlCol: String,
+                iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+    val rel = extractLinksWithRel(pages, urlCol, htmlCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inAgg = rel.groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("n_inlinks"),
+        round(sum(col("nofollow").cast("int")).cast("double") /
+          count(lit(1)), 6).as("nofollow_share"))
+    val followed = rel.filter(!col("nofollow")).select("src", "dst")
+    val ranks = pagerank(followed, iters, dampingPct)
+    val labels = topAnchorLabels(extractAnchors(pages, urlCol, htmlCol))
+    val out = inAgg
+      .join(ranks, Seq("url"), "left")
+      .join(labels.select(col("url"), col("top_anchor")), Seq("url"), "left")
+      .select(col("url"), col("rank"), col("n_inlinks"),
+        col("nofollow_share"), col("top_anchor"))
+      .localCheckpoint(true)
+    rel.unpersist(false)
+    out
+  }
+
   /** Host-level projection of the edge list — the domain-reputation
     * rollup (inter-host link counts; intra-host navigation edges are
     * dropped because they carry no cross-site endorsement). One

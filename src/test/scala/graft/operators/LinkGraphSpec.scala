@@ -364,6 +364,36 @@ class LinkGraphSpec extends AnyFunSuite {
       total > LinkGraph.FixedPointTotal * 99L / 100L, s"total $total")
   }
 
+  test("urlReport: rank over the endorsement graph only, nofollow share, " +
+      "top label; only-nofollow'd targets get NULL rank") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/1",
+        "<a href=\"https://hub.com/x\">portal</a> " +
+          "<a href=\"https://spam.com/s\" rel=\"nofollow\">junk</a>"),
+      ("https://b.com/1",
+        "<a href=\"https://hub.com/x\">portal</a> " +
+          "<a href=\"https://hub.com/x\" rel=\"nofollow\">dup-nf</a> " +
+          "<a href=\"https://spam.com/s\" rel=\"nofollow\">junk</a>"),
+      ("https://c.com/1",
+        "<a href=\"https://hub.com/x\" rel=\"nofollow\">other</a>"))
+      .toDF("url", "html")
+    val got = LinkGraph.urlReport(pages, "url", "html")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    // hub.com/x: 3 in-links, one nofollow'd (c.com — b.com's dup pair
+    // collapses to followed), label 'portal' (2 srcs) beats 'other' (1)
+    val hub = got("https://hub.com/x")
+    assert(hub._2 == 3L && hub._3 == 0.333333 && hub._4 == "portal", hub)
+    assert(hub._1.nonEmpty, "endorsed target must carry a rank")
+    // spam.com/s: ONLY nofollow in-links -> absent from the endorsement
+    // graph -> NULL rank; share 1.0; label still reported
+    val spam = got("https://spam.com/s")
+    assert(spam._1.isEmpty && spam._2 == 2L && spam._3 == 1.0 &&
+      spam._4 == "junk", spam)
+  }
+
   test("pagerank lineage truncation: local and reliable checkpoint modes " +
       "are result-identical, both truncate, superseded local blocks release") {
     import spark.implicits._
