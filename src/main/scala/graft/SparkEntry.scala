@@ -2541,6 +2541,35 @@ object SparkEntry {
       graft.operators.LinkGraph.componentsAgainstIndex(s,
         "graft_link_edge_cidx").orderBy("url")
     }),
+    // streamed PageRank maintenance (the link family's streaming face,
+    // completing the persisted-index line): half the edge list seeds
+    // the bucketed index, the other half streams in as micro-batches —
+    // each batch appends to the index and recomputes against the full
+    // accumulated graph, so the LAST batch's ranks are bit-identical
+    // to the from-scratch 3-iteration run over ALL edges (the
+    // incremental-≡-from-scratch discipline; shares q_link_pagerank's
+    // oracle)
+    "q_link_pagerank_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions.crc32
+      val edges = graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+        .localCheckpoint(true) // feeds both slices — one evaluation
+      val seedSide = crc32(concat_ws("|", col("src"), col("dst"))) % 2 === 0
+      BenchPhases.timed("q_link_pagerank_stream", "build")(
+        graft.operators.LinkGraph.writeEdgeIndex(
+          edges.filter(seedSide), "graft_link_edge_stream"))
+      withTempDir("graft_pr_stream") { tmp =>
+        BenchPhases.timed("q_link_pagerank_stream", "stage")(
+          edges.filter(!seedSide).repartition(3)
+            .write.parquet(s"$tmp/input"))
+        BenchPhases.drainTimed("q_link_pagerank_stream")(
+          graft.streaming.LinkStream.startPagerank(s, s"$tmp/input",
+            "graft_link_edge_stream", s"$tmp/out", s"$tmp/cp",
+            maxFilesPerTrigger = Some(1)))
+        graft.streaming.LinkStream.latestRanks(s, s"$tmp/out")
+          .orderBy("url")
+      }
+    }),
     // sitemap ingestion (the crawl frontier's OTHER input besides
     // extracted links): <url> blocks -> (key, canonical loc, verbatim
     // lastmod-or-null); XML entity decode before canonicalization,
@@ -5385,6 +5414,7 @@ object SparkEntry {
     "q_link_pagerank_idx" -> linkPagerankOracleSql,
     "q_link_ppr" -> linkPprOracleSql,
     "q_link_pagerank_idx_inc" -> linkPagerankOracleSql,
+    "q_link_pagerank_stream" -> linkPagerankOracleSql,
     "q_link_host_rank" -> linkHostRankOracleSql,
     "q_link_components_idx" -> linkComponentsOracleSql,
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less

@@ -770,6 +770,11 @@ object LinkGraph {
       .write.format("parquet")
       .bucketBy(buckets, "src").sortBy("src")
       .mode("append").saveAsTable(tableName)
+    // drop the session's cached relation (file listing included): a
+    // reader that already scanned this table — the previous micro-batch
+    // of a streaming append→recompute loop — would otherwise keep
+    // serving the PRE-append file set and silently miss the new edges
+    spark.catalog.refreshTable(tableName)
   }
 
   /** The deduplicated edge view of an index table — cross-append

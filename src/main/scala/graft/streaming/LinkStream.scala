@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.operators.LinkGraph
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming PageRank maintenance — the daily-crawl shape as a
+  * `foreachBatch` gate (the DedupStream/AnnStream precedent, so the
+  * link family gets its streaming face like every other persisted-index
+  * family): each micro-batch of NEWLY EXTRACTED edges is appended to a
+  * [[LinkGraph.writeEdgeIndex]] table and the ranks recomputed AGAINST
+  * THE FULL ACCUMULATED INDEX.
+  *
+  * Incremental ≡ from-scratch by construction: an append is an edge-set
+  * union (re-appended pairs collapse exchange-free on read), and the
+  * recompute is [[LinkGraph.pagerankAgainstIndex]] itself — so after
+  * any batch, the emitted ranks are bit-identical to a batch recompute
+  * over everything appended so far, under any batching or arrival
+  * order of the same edge set. Batch replays after a failure re-append
+  * (harmless duplicate state) and re-emit under the same batch id —
+  * readers take the LATEST batch id, which makes the at-least-once
+  * parquet append idempotent at read time.
+  *
+  * Scale note: the per-batch cost is a full fixed-point run over the
+  * accumulated graph (edge side co-partitioned and exchange-free; only
+  * the rank table moves per iteration). That is the right shape while
+  * recomputes are cheap relative to the batch cadence; a planet-scale
+  * graph would run the append every batch and the recompute on a
+  * coarser trigger — the split is two calls on this same index table,
+  * not a new operator.
+  */
+object LinkStream {
+
+  def startPagerank(spark: SparkSession, inputDir: String,
+                    indexTable: String, outputDir: String,
+                    checkpointDir: String, iters: Int = 3,
+                    dampingPct: Int = 85,
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LinkGraph.appendToEdgeIndex(batch.toDF(), indexTable)
+        // the batch frame lives in a CLONED session (micro-batch
+        // execution), so the append's refresh hits the clone's catalog
+        // only — refresh the OUTER session too or its cached relation
+        // keeps serving the pre-append file listing
+        spark.catalog.refreshTable(indexTable)
+        LinkGraph.pagerankAgainstIndex(spark, indexTable, iters, dampingPct)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outputDir)
+      }
+      .start()
+  }
+
+  /** Ranks as of the LATEST completed batch in a [[startPagerank]]
+    * output directory — the reader half of the idempotence contract.
+    */
+  def latestRanks(spark: SparkSession, outputDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val all = spark.read.parquet(outputDir)
+    val last = all.agg(max(col("batch_id"))).head().getLong(0)
+    all.filter(col("batch_id") === last).select("url", "rank")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.operators.LinkGraph
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("startPagerank: per-batch ranks equal the from-scratch recompute " +
+      "over everything appended so far (incremental ≡ from-scratch)") {
+    import spark.implicits._
+    val all = (0L until 240L)
+      .map(i => (s"https://h${i % 12}.com/p${i % 7}",
+        s"https://h${(i * 5 + 1) % 12}.com/p${(i * 3 + 2) % 7}"))
+      .filter { case (a, b) => a != b }
+      .distinct
+    val (seed, streamed) = all.partition { case (a, b) => (a + b).hashCode % 2 == 0 }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lstream").toString
+    try {
+      LinkGraph.writeEdgeIndex(seed.toDF("src", "dst"), "graft_test_edge_stream")
+      // stage 3 single-file batches into ONE flat dir (the file source
+      // lists it non-recursively; maxFilesPerTrigger=1 ⇒ 3 batches)
+      val flat = new java.io.File(s"$tmp/in"); flat.mkdirs()
+      streamed.grouped((streamed.size + 2) / 3).zipWithIndex.foreach {
+        case (chunk, i) =>
+          chunk.toDF("src", "dst").coalesce(1)
+            .write.parquet(s"$tmp/input/f$i")
+          new java.io.File(s"$tmp/input/f$i").listFiles
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .foreach { case (f, j) =>
+              java.nio.file.Files.move(f.toPath,
+                java.nio.file.Paths.get(s"$tmp/in/part-$i-$j.parquet"))
+            }
+      }
+      val q = LinkStream.startPagerank(spark, s"$tmp/in",
+        "graft_test_edge_stream", s"$tmp/out", s"$tmp/cp",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      val out = spark.read.parquet(s"$tmp/out")
+      val nBatches = out.select("batch_id").distinct().count()
+      assert(nBatches == 3, s"expected 3 batches, got $nBatches")
+      // final batch must equal the from-scratch run over ALL edges
+      val got = LinkStream.latestRanks(spark, s"$tmp/out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = LinkGraph.pagerank(all.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"streamed final ranks diverged: got ${got.size} urls, want ${want.size}")
+    } finally {
+      graft.util.FsUtil.deleteRecursively(new java.io.File(tmp))
+      spark.sql("DROP TABLE IF EXISTS graft_test_edge_stream")
+    }
+  }
+}
