@@ -2035,6 +2035,39 @@ object SparkEntry {
           .orderBy("doc_id")
       }
     }),
+    // WARC record types + payload-digest dedup (the crawl-side FIRST
+    // dedup tier): a mixed archive — response pairs sharing a declared
+    // digest (refetches of unchanged content), digest-less responses
+    // (keyed on md5 of their own payload), revisit records (no usable
+    // payload, dropped) — collapses to one survivor per digest, the
+    // lexicographic-min record id; wrap→parse is the byte-exact
+    // identity (spec-pinned), so the oracle replays the parsed view
+    "q_warc_digest_dedup" -> ((s, d) => {
+      import graft.sources.WarcIngest
+      import org.apache.spark.sql.functions.{expr, md5, regexp_extract, to_timestamp}
+      val docs = table(s, d, "documents")
+      // docs ≡6 (mod 8) serve ONE shared payload (all of them are
+      // digest-less responses: 6 mod 8 ⇒ 2 mod 4), so the md5(html)
+      // tier has a positive collapse case in the fixture — plantHtml
+      // embeds doc_id, which would otherwise make every payload unique
+      val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
+        .withColumn("html", when(col("doc_id") % 8 === 6,
+          lit("<p>shared payload</p>")).otherwise(col("html")))
+      val raw = pages.select(WarcIngest.wrapAsRawRecordTyped(
+        col("url"), col("html"), to_timestamp(lit("2026-01-15 12:00:00")),
+        concat(lit("urn:graft:"), col("doc_id").cast("string")),
+        when(col("doc_id") % 4 === 3, lit("revisit"))
+          .otherwise(lit("response")),
+        when(col("doc_id") % 4 <= 1,
+          concat(lit("md5:"), md5(expr("cast(doc_id div 2 as string)"))))
+          .otherwise(lit(""))).as("record"))
+      val parsed = WarcIngest.parseRawRecords(raw)
+      WarcIngest.dedupByPayloadDigest(parsed, "record_id")
+        .select(regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+          col("url"), col("payload_digest"))
+        .orderBy("doc_id")
+    }),
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
     // registered `urls` relation)
@@ -2541,6 +2574,18 @@ object SparkEntry {
       graft.operators.LinkGraph.componentsAgainstIndex(s,
         "graft_link_edge_cidx").orderBy("url")
     }),
+    // HITS hubs & authorities over the same edge list — the
+    // query-independent complement of PageRank (authority = linked-to
+    // by good hubs; hub = links to good authorities): fixed-point
+    // integers with per-iteration L1 rescale (the HITS update is
+    // linear, so the normalization choice sets only the scale — and
+    // integer L1 is what the oracle can replay bit for bit; the
+    // textbook L2 needs a sqrt)
+    "q_link_hits" -> ((s, d) =>
+      graft.operators.LinkGraph.hits(
+        graft.operators.LinkGraph.extractLinks(
+          plantLinkedPages(table(s, d, "documents")), "url", "html"),
+        iters = 2).orderBy("url")),
     // streamed PageRank maintenance (the link family's streaming face,
     // completing the persisted-index line): half the edge list seeds
     // the bucketed index, the other half streams in as micro-batches —
@@ -2633,6 +2678,19 @@ object SparkEntry {
       plantLinkedPages(table(s, d, "documents"))
         .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
       s.sql("SELECT url, rank FROM graft_link_pagerank(3, 85) ORDER BY url")
+    }),
+    "q_sql_link_hits" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantLinkedPages(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
+      s.sql("SELECT url, hub, authority FROM graft_link_hits(2) ORDER BY url")
+    }),
+    "q_sql_url_report" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantRelAttrPages(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
+      s.sql("SELECT url, rank, n_inlinks, nofollow_share, top_anchor " +
+        "FROM graft_url_report() ORDER BY url")
     }),
     // directory-relative resolution face: ../, ./, mixed traversal and
     // the above-root clamp, all via the fixed-pass dot-segment
@@ -5415,6 +5473,10 @@ object SparkEntry {
     "q_link_ppr" -> linkPprOracleSql,
     "q_link_pagerank_idx_inc" -> linkPagerankOracleSql,
     "q_link_pagerank_stream" -> linkPagerankOracleSql,
+    "q_link_hits" -> linkHitsOracleSql,
+    "q_sql_link_hits" -> linkHitsOracleSql,
+    "q_sql_url_report" -> linkUrlReportOracleSql,
+    "q_warc_digest_dedup" -> warcDigestDedupOracleSql,
     "q_link_host_rank" -> linkHostRankOracleSql,
     "q_link_components_idx" -> linkComponentsOracleSql,
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
@@ -7015,8 +7077,10 @@ object SparkEntry {
     * regexes/replacements, every regexp_replace with the 'g' DuckDB
     * needs to match Spark's replace-all default.
     */
-  private def htmlLineCtesSql(minified: Boolean): String = {
-    val page = if (minified) "replace(html, chr(10), '')" else "html"
+  /** The literal [[plantHtml]] replay on its own — shared by the
+    * line-split chain and any oracle needing the raw page string.
+    */
+  private def htmlPagesCteSql: String =
     s"""hp AS (
        |  SELECT doc_id,
        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -7025,7 +7089,11 @@ object SparkEntry {
        |         '<p><b>' || text || '</b> &amp; tail&lt;' || CAST(doc_id AS VARCHAR) || '&gt; say &#72;i&#x21;&#160;plus &#999; caf&eacute; &ndash; &Ouml;l r&eacute;sum&eacute; &hellip; &bogus; done</p>' || chr(10) ||
        |         '<!-- tracking pixel --><div class="footer"><a href="/t">Terms</a> &middot; <a href="/p">Privacy</a></div>'
        |           AS html
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  private def htmlLineCtesSql(minified: Boolean): String = {
+    val page = if (minified) "replace(html, chr(10), '')" else "html"
+    s"""$htmlPagesCteSql,
        |hs AS (
        |  SELECT doc_id, regexp_replace($page,
        |           '${graft.operators.TextExtraction.BlockBoundaryRe}',
@@ -7680,6 +7748,73 @@ object SparkEntry {
        |${pagerankIterCteSql(2)},
        |${pagerankIterCteSql(3)}
        |SELECT url, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY url""".stripMargin
+
+  /** One HITS iteration as CTEs: authority = in-summed hubs rescaled
+    * to the 10^9 L1 total by floor division, hub = out-summed NEW
+    * authorities rescaled likewise — the exact integer arithmetic of
+    * [[graft.operators.LinkGraph.hits]], HUGEINT sums cast back at the
+    * end.
+    */
+  private def hitsIterCteSql(i: Int): String = {
+    val p = s"s${i - 1}"
+    val T = graft.operators.LinkGraph.HitsTotal
+    s"""ar$i AS (SELECT e.dst, CAST(SUM(s.hub) AS BIGINT) AS ra
+       |         FROM edges e JOIN $p s ON e.src = s.url GROUP BY e.dst),
+       |at$i AS (SELECT CAST(SUM(ra) AS BIGINT) AS t FROM ar$i),
+       |sa$i AS (SELECT s.url, s.hub,
+       |               (COALESCE(ar$i.ra, 0) * $T) // at$i.t AS authority
+       |         FROM $p s CROSS JOIN at$i
+       |         LEFT JOIN ar$i ON s.url = ar$i.dst),
+       |hr$i AS (SELECT e.src, CAST(SUM(s.authority) AS BIGINT) AS rh
+       |         FROM edges e JOIN sa$i s ON e.dst = s.url GROUP BY e.src),
+       |ht$i AS (SELECT CAST(SUM(rh) AS BIGINT) AS t FROM hr$i),
+       |s$i AS (SELECT s.url,
+       |              (COALESCE(hr$i.rh, 0) * $T) // ht$i.t AS hub,
+       |              s.authority
+       |        FROM sa$i s CROSS JOIN ht$i
+       |        LEFT JOIN hr$i ON s.url = hr$i.src)""".stripMargin
+  }
+
+  private def linkHitsOracleSql: String = {
+    val T = graft.operators.LinkGraph.HitsTotal
+    s"""WITH $linkEdgesCtesSql,
+       |nodes AS (SELECT DISTINCT url FROM
+       |  (SELECT src AS url FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |s0 AS (SELECT url, $T // nn.n AS hub, $T // nn.n AS authority
+       |       FROM nodes CROSS JOIN nn),
+       |${hitsIterCteSql(1)},
+       |${hitsIterCteSql(2)}
+       |SELECT url, CAST(hub AS BIGINT) AS hub,
+       |       CAST(authority AS BIGINT) AS authority
+       |FROM s2 ORDER BY url""".stripMargin
+  }
+
+  /** Payload-digest dedup replay: the parsed view reconstructed
+    * directly from the plant (wrap→parse is a byte-exact identity,
+    * spec-pinned), revisit records dropped, digest-less responses
+    * keyed on md5 of their own payload, one survivor per digest by
+    * lexicographic-min record id.
+    */
+  private def warcDigestDedupOracleSql: String =
+    s"""WITH $urlCanonCtesSql,
+       |$htmlPagesCteSql,
+       |rec AS (
+       |  SELECT u.doc_id, u.url,
+       |         CASE WHEN u.doc_id % 8 = 6 THEN '<p>shared payload</p>'
+       |              ELSE hp.html END AS html,
+       |         CASE WHEN u.doc_id % 4 = 3 THEN 'revisit' ELSE 'response' END AS warc_type,
+       |         CASE WHEN u.doc_id % 4 <= 1 THEN 'md5:' || md5(CAST(u.doc_id // 2 AS VARCHAR)) ELSE '' END AS payload_digest
+       |  FROM u JOIN hp ON u.doc_id = hp.doc_id),
+       |resp AS (
+       |  SELECT doc_id, url, payload_digest,
+       |         'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
+       |         CASE WHEN payload_digest <> '' THEN payload_digest
+       |              ELSE 'md5:' || md5(html) END AS dig
+       |  FROM rec WHERE warc_type = 'response')
+       |SELECT doc_id, url, payload_digest FROM resp
+       |QUALIFY row_number() OVER (PARTITION BY dig ORDER BY record_id, url) = 1
+       |ORDER BY doc_id""".stripMargin
 
   /** Host-level PageRank replay: the host projection of the edge list
     * (distinct inter-host pairs — exactly [[graft.operators.LinkGraph

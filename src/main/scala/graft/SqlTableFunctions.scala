@@ -532,6 +532,16 @@ object SqlTableFunctions {
         graft.operators.LinkGraph.extractAnchors(
           rel(s, LinkPagesRelation, f.name), "url", "html"))
     }
+    add("graft_link_hits", "graft_link_hits(iters)", 1) { (s, f, a) =>
+      graft.operators.LinkGraph.hits(
+        graft.operators.LinkGraph.extractLinks(
+          rel(s, LinkPagesRelation, f.name), "url", "html"),
+        iters = intArg(f, a, 0))
+    }
+    add("graft_url_report", "graft_url_report()", 0) { (s, f, _) =>
+      graft.operators.LinkGraph.urlReport(
+        rel(s, LinkPagesRelation, f.name), "url", "html")
+    }
     add("graft_line_dedup_intra", "graft_line_dedup_intra()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedupWithinDoc(rel(s, DocumentsRelation, f.name))
     }

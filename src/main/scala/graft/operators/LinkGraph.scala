@@ -744,6 +744,94 @@ object LinkGraph {
     ranks.select(col("url"), col("rank"))
   }
 
+  /** Fixed-point total for [[hits]] — 10^9, not [[FixedPointTotal]]'s
+    * 10^12: the per-iteration rescale multiplies a raw sum (≤ total,
+    * since each raw component is a sum of normalized scores that
+    * themselves sum to ≤ total) by the total before the floor divide,
+    * so total² must fit a BIGINT — 10^18 < 2^63 does, 10^24 would not.
+    */
+  val HitsTotal: Long = 1000000000L
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over the canonical
+    * edge list — the query-independent complement of [[pagerank]]:
+    * authority = linked-to by good hubs, hub = links to good
+    * authorities; crawl curation uses authorities as a quality prior
+    * and hubs for seed-list discovery.
+    *
+    * FIXED-POINT INTEGER arithmetic like the PageRank family, with one
+    * documented variation from the textbook: per-iteration
+    * normalization is L1 (each score vector rescaled to sum ~[[HitsTotal]]
+    * by integer floor division), not L2 — the HITS update is LINEAR,
+    * so the normalization choice sets only the global scale, never the
+    * ranking, and L1 keeps every step in exact integers (an L2 norm
+    * needs a sqrt), which is what lets a DuckDB oracle replay every
+    * iteration bit for bit. Per iteration:
+    * {{{
+    *   a'(v) = Σ_{(u,v)∈E} h(u);   a(v) = (a'(v)·T) div Σ a'
+    *   h'(u) = Σ_{(u,v)∈E} a(v);   h(u) = (h'(u)·T) div Σ h'
+    * }}}
+    * Nodes with no in-edges get authority 0, no out-edges hub 0. If a
+    * raw vector sums to 0 (a degenerate bipartite dead end), iteration
+    * stops and the current scores return — documented, never a divide
+    * by zero. Returns `(url, hub, authority)`.
+    *
+    * Scale shape = [[pagerank]]'s: two co-keyed joins + two
+    * combiner-collapsed aggregations + two scalar aggregates per
+    * iteration; iterations truncate lineage eagerly with the same
+    * release discipline (≤2 score-table copies live).
+    */
+  def hits(edges: DataFrame, iters: Int = 2,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1)
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("url"))
+      .union(e.select(col("dst").as("url"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "hits over an empty edge list has no node set — " +
+      "filter upstream")
+    val T = HitsTotal
+    var scores: DataFrame = nodes.select(col("url"),
+      lit(T / n).as("hub"), lit(T / n).as("authority"))
+    var prevCp: DataFrame = null
+    var it = 0
+    var dead = false
+    while (it < iters && !dead) {
+      val araw = e.join(scores.select(col("url"), col("hub")),
+          e("src") === scores("url"))
+        .groupBy(col("dst")).agg(sum("hub").as("_ra"))
+      val aTot = araw.agg(coalesce(sum("_ra"), lit(0L))).head().getLong(0)
+      if (aTot == 0L) dead = true
+      else {
+        val withA = scores.join(araw, scores("url") === araw("dst"), "left")
+          .select(scores("url"), scores("hub"),
+            expr(s"(coalesce(_ra, 0L) * ${T}L) div ${aTot}L")
+              .as("authority"))
+        val hraw = e.join(withA.select(col("url").as("_d"), col("authority")),
+            e("dst") === col("_d"))
+          .groupBy(col("src")).agg(sum("authority").as("_rh"))
+        val hTot = hraw.agg(coalesce(sum("_rh"), lit(0L))).head().getLong(0)
+        if (hTot == 0L) dead = true
+        else {
+          val next = withA.join(hraw, withA("url") === hraw("src"), "left")
+            .select(withA("url"),
+              expr(s"(coalesce(_rh, 0L) * ${T}L) div ${hTot}L").as("hub"),
+              withA("authority"))
+          val nextCp = truncateLineage(next, checkpointDir)
+          if (prevCp != null) releaseTruncated(prevCp)
+          prevCp = nextCp
+          scores = nextCp
+        }
+      }
+      it += 1
+    }
+    val out =
+      if (prevCp == null) truncateLineage(scores, checkpointDir) else scores
+    e.unpersist(false)
+    nodes.unpersist(false)
+    out.select(col("url"), col("hub"), col("authority"))
+  }
+
   // ---- persisted src-bucketed edge index ----
   // The link family's entry in the persisted-index line (MinHash
   // buckets, SimHash segments, IVF lists, URL claims): PageRank

@@ -67,6 +67,13 @@ object WarcIngest {
       regexp_extract(s, "(?m)^WARC-Target-URI:\\s*(\\S+)\\s*$", 1).as("url"),
       regexp_extract(s, "(?m)^WARC-Record-ID:\\s*<([^>]*)>\\s*$", 1)
         .as("record_id"),
+      // r13: the record TYPE (response/request/revisit/warcinfo/… —
+      // lowercased; '' when absent) and the payload digest, the two
+      // headers crawl-side dedup keys on; both optional per ISO 28500
+      lower(regexp_extract(s, "(?m)^WARC-Type:\\s*(\\S+)\\s*$", 1))
+        .as("warc_type"),
+      regexp_extract(s, "(?m)^WARC-Payload-Digest:\\s*(\\S+)\\s*$", 1)
+        .as("payload_digest"),
       html.as("html"),
       // try_: a record with no (or a junk) WARC-Date must flow to a
       // NULL fetch_ts and the drop path, not throw under ANSI mode —
@@ -74,6 +81,30 @@ object WarcIngest {
       try_to_timestamp(
         regexp_extract(s, "(?m)^WARC-Date:\\s*(\\S+)\\s*$", 1),
         lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).as("fetch_ts"))
+  }
+
+  /** Crawl-side exact dedup by PAYLOAD DIGEST — the WARC-native first
+    * dedup tier (Common Crawl marks refetches of unchanged content as
+    * `revisit` records carrying the original's digest; and two
+    * different URLs serving identical bytes collide here long before
+    * any text tier runs): keep `response` records only (revisit/
+    * request/warcinfo records carry no usable payload), one survivor
+    * per digest — the MINIMUM (`keyCol`, url) struct, the
+    * deterministic-winner rule every dedup tier uses. Records with no
+    * declared digest are keyed on `md5(html)` (digest the payload
+    * yourself — the crawler-side convention), so an archive mixing
+    * digested and bare records still collapses exactly. One hash
+    * aggregation; shuffle ∝ distinct digests.
+    */
+  def dedupByPayloadDigest(parsed: DataFrame, keyCol: String): DataFrame = {
+    val others = parsed.columns.filterNot(_ == keyCol).map(col).toSeq
+    parsed.filter(col("warc_type") === "response")
+      .withColumn("_dig",
+        when(col("payload_digest") =!= "", col("payload_digest"))
+          .otherwise(concat(lit("md5:"), md5(encode(col("html"), "UTF-8")))))
+      .groupBy(col("_dig"))
+      .agg(min(struct(col(keyCol) +: others: _*)).as("_kept"))
+      .select(parsed.columns.map(c => col(s"_kept.$c")).toSeq: _*)
   }
 
   /** Keep only rows that parsed to a usable page: a target URI and a
@@ -516,11 +547,24 @@ object WarcIngest {
     */
   def wrapAsRawRecord(url: Column, html: Column, fetchTs: Column,
                       recordId: Column): Column =
+    wrapAsRawRecordTyped(url, html, fetchTs, recordId, lit("response"),
+      lit(""))
+
+  /** [[wrapAsRawRecord]] with the record TYPE and an optional payload
+    * digest ('' ⇒ header omitted) — the writer half for staging mixed
+    * archives (request/revisit/warcinfo records alongside responses).
+    */
+  def wrapAsRawRecordTyped(url: Column, html: Column, fetchTs: Column,
+                           recordId: Column, warcType: Column,
+                           payloadDigest: Column): Column =
     encode(concat(
       lit("WARC/1.0\r\n"),
-      lit("WARC-Type: response\r\n"),
+      lit("WARC-Type: "), warcType, lit("\r\n"),
       lit("WARC-Record-ID: <"), recordId, lit(">\r\n"),
       lit("WARC-Target-URI: "), url, lit("\r\n"),
+      when(payloadDigest =!= "",
+        concat(lit("WARC-Payload-Digest: "), payloadDigest, lit("\r\n")))
+        .otherwise(lit("")),
       lit("WARC-Date: "),
       date_format(fetchTs, "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\r\n"),
       lit("Content-Length: "), length(html).cast("string"), lit("\r\n"),

@@ -364,6 +364,39 @@ class LinkGraphSpec extends AnyFunSuite {
       total > LinkGraph.FixedPointTotal * 99L / 100L, s"total $total")
   }
 
+  test("hits: pure hubs get authority 0, pure authorities hub 0, " +
+      "symmetric hubs tie exactly, partition-invariant") {
+    import spark.implicits._
+    // a, b -> c -> d: a and b are pure symmetric hubs, d a pure
+    // authority, c both
+    val edges = Seq(
+      ("https://a.com/", "https://c.com/"),
+      ("https://b.com/", "https://c.com/"),
+      ("https://c.com/", "https://d.com/")).toDF("src", "dst")
+    val got = LinkGraph.hits(edges, iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (a, b, c, dd) = (got("https://a.com/"), got("https://b.com/"),
+      got("https://c.com/"), got("https://d.com/"))
+    assert(a._2 == 0L && b._2 == 0L, "pure hubs must have authority 0")
+    assert(dd._1 == 0L, "a pure authority must have hub 0")
+    assert(a._1 == b._1 && a._1 > 0L, "symmetric hubs must tie exactly")
+    assert(c._1 > 0L && c._2 > 0L, "the middle node is both")
+    assert(c._2 > dd._2, "two in-links from hubs beat one")
+    // exact integer equality under different partitionings
+    val one = LinkGraph.hits(edges.coalesce(1), iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val many = LinkGraph.hits(edges.repartition(5), iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(one == many, "fixed-point HITS must not depend on partitioning")
+    // L1 mass conservation up to floor-division remainders
+    val hubSum = got.values.map(_._1).sum
+    val authSum = got.values.map(_._2).sum
+    assert(hubSum <= LinkGraph.HitsTotal && authSum <= LinkGraph.HitsTotal)
+    assert(hubSum > LinkGraph.HitsTotal * 99L / 100L &&
+      authSum > LinkGraph.HitsTotal * 99L / 100L, s"$hubSum $authSum")
+  }
+
   test("urlReport: rank over the endorsement graph only, nofollow share, " +
       "top label; only-nofollow'd targets get NULL rank") {
     import spark.implicits._

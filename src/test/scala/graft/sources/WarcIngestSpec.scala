@@ -263,6 +263,40 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(WarcIngest.responsesOnly(WarcIngest.parseGzRecords(bad)).count() == 0)
   }
 
+  test("wrapAsRawRecordTyped -> parse round-trips type and payload digest; " +
+      "dedupByPayloadDigest keeps one response per digest, drops revisits") {
+    import spark.implicits._
+    val rows = Seq(
+      // two responses sharing a declared digest: min record id survives
+      ("urn:g:1", "https://a.com/1", "body one", "response", "md5:dup"),
+      ("urn:g:2", "https://a.com/2", "body one again", "response", "md5:dup"),
+      // a revisit pointing at the same digest: dropped regardless
+      ("urn:g:3", "https://a.com/3", "", "revisit", "md5:dup"),
+      // digest-less responses with IDENTICAL payloads: md5(html) keys them
+      ("urn:g:4", "https://b.com/4", "same bytes", "response", ""),
+      ("urn:g:5", "https://b.com/5", "same bytes", "response", ""),
+      // digest-less response with unique payload: survives alone
+      ("urn:g:6", "https://b.com/6", "unique bytes", "response", ""),
+      // a request record: no payload tier at all
+      ("urn:g:7", "https://c.com/7", "GET / HTTP/1.1", "request", ""))
+      .toDF("rid", "url", "html", "wtype", "digest")
+    val raw = rows.select(WarcIngest.wrapAsRawRecordTyped(col("url"),
+      col("html"), to_timestamp(lit("2026-01-15 12:00:00")), col("rid"),
+      col("wtype"), col("digest")).as("record"))
+    val parsed = WarcIngest.parseRawRecords(raw)
+    // round trip: type lowercased, digest '' when the header was omitted
+    val byId = parsed.collect()
+      .map(r => r.getAs[String]("record_id") ->
+        ((r.getAs[String]("warc_type"), r.getAs[String]("payload_digest"))))
+      .toMap
+    assert(byId("urn:g:1") == (("response", "md5:dup")))
+    assert(byId("urn:g:3") == (("revisit", "md5:dup")))
+    assert(byId("urn:g:6") == (("response", "")))
+    val kept = WarcIngest.dedupByPayloadDigest(parsed, "record_id")
+      .collect().map(_.getAs[String]("record_id")).toSet
+    assert(kept == Set("urn:g:1", "urn:g:4", "urn:g:6"), kept)
+  }
+
   private def gz(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.util.zip.GZIPOutputStream(bos)
