@@ -2044,29 +2044,37 @@ object SparkEntry {
     // identity (spec-pinned), so the oracle replays the parsed view
     "q_warc_digest_dedup" -> ((s, d) => {
       import graft.sources.WarcIngest
-      import org.apache.spark.sql.functions.{expr, md5, regexp_extract, to_timestamp}
-      val docs = table(s, d, "documents")
-      // docs ≡6 (mod 8) serve ONE shared payload (all of them are
-      // digest-less responses: 6 mod 8 ⇒ 2 mod 4), so the md5(html)
-      // tier has a positive collapse case in the fixture — plantHtml
-      // embeds doc_id, which would otherwise make every payload unique
-      val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
-        .withColumn("html", when(col("doc_id") % 8 === 6,
-          lit("<p>shared payload</p>")).otherwise(col("html")))
-      val raw = pages.select(WarcIngest.wrapAsRawRecordTyped(
-        col("url"), col("html"), to_timestamp(lit("2026-01-15 12:00:00")),
-        concat(lit("urn:graft:"), col("doc_id").cast("string")),
-        when(col("doc_id") % 4 === 3, lit("revisit"))
-          .otherwise(lit("response")),
-        when(col("doc_id") % 4 <= 1,
-          concat(lit("md5:"), md5(expr("cast(doc_id div 2 as string)"))))
-          .otherwise(lit(""))).as("record"))
-      val parsed = WarcIngest.parseRawRecords(raw)
-      WarcIngest.dedupByPayloadDigest(parsed, "record_id")
-        .select(regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+      val parsed = plantWarcMixedParsed(table(s, d, "documents"))
+      WarcIngest.dedupByPayloadDigest(parsed.drop("doc_id"), "record_id")
+        .select(org.apache.spark.sql.functions.regexp_extract(
+          col("record_id"), "urn:graft:([0-9]+)", 1)
           .cast("long").as("doc_id"),
           col("url"), col("payload_digest"))
         .orderBy("doc_id")
+    }),
+    // the digest gate as a STREAM (the crawl-side first dedup tier's
+    // streaming face): docs ≡0 mod 3 seed the persisted digest index,
+    // the rest stream in — only responses whose effective digest is
+    // NOT in the index land (against-index contract, so the result is
+    // batching-order free and the oracle is one anti-join)
+    "q_warc_digest_stream" -> ((s, d) => {
+      import graft.sources.WarcIngest
+      val parsed = plantWarcMixedParsed(table(s, d, "documents"))
+        .localCheckpoint(true) // feeds seed + stage — one evaluation
+      BenchPhases.timed("q_warc_digest_stream", "build")(
+        WarcIngest.writeDigestIndex(parsed.filter(col("doc_id") % 3 === 0),
+          "graft_warc_digest_idx"))
+      withTempDir("graft_wdigest_stream") { tmp =>
+        BenchPhases.timed("q_warc_digest_stream", "stage")(
+          parsed.filter(col("doc_id") % 3 =!= 0).repartition(4)
+            .write.parquet(s"$tmp/input"))
+        BenchPhases.drainTimed("q_warc_digest_stream")(
+          graft.streaming.DedupStream.startDigest(s, s"$tmp/input",
+            "graft_warc_digest_idx", s"$tmp/out", s"$tmp/cp",
+            maxFilesPerTrigger = Some(2)))
+        s.read.parquet(s"$tmp/out").select("doc_id", "url")
+          .orderBy("doc_id")
+      }
     }),
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
@@ -2678,6 +2686,40 @@ object SparkEntry {
       plantLinkedPages(table(s, d, "documents"))
         .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
       s.sql("SELECT url, rank FROM graft_link_pagerank(3, 85) ORDER BY url")
+    }),
+    // HITS against the persisted src-bucketed edge index — same
+    // exchange-free src-side read as pagerankAgainstIndex; shares the
+    // ad-hoc row's oracle (index read ≡ edge list by construction)
+    "q_link_hits_idx" -> ((s, d) => {
+      val edges = graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+      graft.operators.LinkGraph.writeEdgeIndex(edges,
+        "graft_link_edge_hits")
+      graft.operators.LinkGraph.hitsAgainstIndex(s,
+        "graft_link_edge_hits", iters = 2).orderBy("url")
+    }),
+    // WARC archive observability: per-record-type counts + how many of
+    // each carry a declared payload digest — the first number a crawl
+    // operator asks of a new archive drop (one combiner-collapsed agg)
+    "q_warc_types" -> ((s, d) => {
+      import graft.sources.WarcIngest
+      import org.apache.spark.sql.functions.{count, expr, md5, sum, to_timestamp}
+      val docs = table(s, d, "documents")
+      val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
+      val raw = pages.select(WarcIngest.wrapAsRawRecordTyped(
+        col("url"), col("html"), to_timestamp(lit("2026-01-15 12:00:00")),
+        concat(lit("urn:graft:"), col("doc_id").cast("string")),
+        when(col("doc_id") % 4 === 3, lit("revisit"))
+          .otherwise(when(col("doc_id") % 9 === 7, lit("request"))
+            .otherwise(lit("response"))),
+        when(col("doc_id") % 4 <= 1,
+          concat(lit("md5:"), md5(expr("cast(doc_id div 2 as string)"))))
+          .otherwise(lit(""))).as("record"))
+      WarcIngest.parseRawRecords(raw)
+        .groupBy(col("warc_type"))
+        .agg(count(lit(1)).as("n_records"),
+          sum((col("payload_digest") =!= "").cast("long")).as("n_digested"))
+        .orderBy("warc_type")
     }),
     "q_sql_link_hits" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -5474,9 +5516,20 @@ object SparkEntry {
     "q_link_pagerank_idx_inc" -> linkPagerankOracleSql,
     "q_link_pagerank_stream" -> linkPagerankOracleSql,
     "q_link_hits" -> linkHitsOracleSql,
+    "q_link_hits_idx" -> linkHitsOracleSql,
     "q_sql_link_hits" -> linkHitsOracleSql,
+    // archive triage counts straight off the plant arithmetic (wrap →
+    // parse is identity; the digest header rides any record type)
+    "q_warc_types" ->
+      """SELECT CASE WHEN doc_id % 4 = 3 THEN 'revisit'
+        |            WHEN doc_id % 9 = 7 THEN 'request'
+        |            ELSE 'response' END AS warc_type,
+        |       COUNT(*) AS n_records,
+        |       CAST(SUM(CASE WHEN doc_id % 4 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_digested
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_url_report" -> linkUrlReportOracleSql,
     "q_warc_digest_dedup" -> warcDigestDedupOracleSql,
+    "q_warc_digest_stream" -> warcDigestStreamOracleSql,
     "q_link_host_rank" -> linkHostRankOracleSql,
     "q_link_components_idx" -> linkComponentsOracleSql,
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
@@ -6506,6 +6559,37 @@ object SparkEntry {
           "<lastmod>2024-02-01T00:00:00Z</lastmod></url>\n</urlset>"))
         .as("xml"))
     idx.unionByName(childA).unionByName(childB)
+  }
+
+  /** Mixed-archive WARC plant, PARSED: plantUrls × plantHtml pages
+    * wrapped as typed records and parsed back (wrap→parse is the
+    * byte-exact identity, spec-pinned — the oracle replays the parsed
+    * view directly). Mix: docs ≡3 mod 4 are `revisit` records; docs
+    * ≡0,1 mod 4 carry a DECLARED digest shared by the (4k, 4k+1) pair
+    * (a refetch of unchanged content); docs ≡6 mod 8 serve ONE shared
+    * digest-less payload (all are digest-less responses — 6 mod 8 ⇒
+    * 2 mod 4 — so the md5(html) tier has a positive collapse case;
+    * plantHtml embeds doc_id, which would otherwise make every payload
+    * unique). `doc_id` re-derived from the record id for splits and
+    * output keys.
+    */
+  private def plantWarcMixedParsed(docs: DataFrame): DataFrame = {
+    import graft.sources.WarcIngest
+    import org.apache.spark.sql.functions.{expr, md5, regexp_extract, to_timestamp}
+    val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
+      .withColumn("html", when(col("doc_id") % 8 === 6,
+        lit("<p>shared payload</p>")).otherwise(col("html")))
+    val raw = pages.select(WarcIngest.wrapAsRawRecordTyped(
+      col("url"), col("html"), to_timestamp(lit("2026-01-15 12:00:00")),
+      concat(lit("urn:graft:"), col("doc_id").cast("string")),
+      when(col("doc_id") % 4 === 3, lit("revisit"))
+        .otherwise(lit("response")),
+      when(col("doc_id") % 4 <= 1,
+        concat(lit("md5:"), md5(expr("cast(doc_id div 2 as string)"))))
+        .otherwise(lit(""))).as("record"))
+    WarcIngest.parseRawRecords(raw)
+      .withColumn("doc_id", regexp_extract(col("record_id"),
+        "urn:graft:([0-9]+)", 1).cast("long"))
   }
 
   /** Relative-href plant: each page (canonical src path `/p/<m>`, so
@@ -7796,8 +7880,12 @@ object SparkEntry {
     * keyed on md5 of their own payload, one survivor per digest by
     * lexicographic-min record id.
     */
-  private def warcDigestDedupOracleSql: String =
-    s"""WITH $urlCanonCtesSql,
+  /** The [[plantWarcMixedParsed]] replay: `rec` (the parsed view —
+    * wrap→parse is identity) and `resp` (responses with the effective
+    * digest: declared when present, else md5 of the payload).
+    */
+  private def warcMixedRecCtesSql: String =
+    s"""$urlCanonCtesSql,
        |$htmlPagesCteSql,
        |rec AS (
        |  SELECT u.doc_id, u.url,
@@ -7811,9 +7899,24 @@ object SparkEntry {
        |         'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
        |         CASE WHEN payload_digest <> '' THEN payload_digest
        |              ELSE 'md5:' || md5(html) END AS dig
-       |  FROM rec WHERE warc_type = 'response')
+       |  FROM rec WHERE warc_type = 'response')""".stripMargin
+
+  private def warcDigestDedupOracleSql: String =
+    s"""WITH $warcMixedRecCtesSql
        |SELECT doc_id, url, payload_digest FROM resp
        |QUALIFY row_number() OVER (PARTITION BY dig ORDER BY record_id, url) = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** Digest-gate stream replay: seed digests = responses of docs ≡0
+    * mod 3; survivors = streamed responses whose effective digest is
+    * not seeded — one anti-join, batching-order free by the
+    * against-index contract.
+    */
+  private def warcDigestStreamOracleSql: String =
+    s"""WITH $warcMixedRecCtesSql,
+       |sd AS (SELECT DISTINCT dig FROM resp WHERE doc_id % 3 = 0)
+       |SELECT doc_id, url FROM resp
+       |WHERE doc_id % 3 <> 0 AND dig NOT IN (SELECT dig FROM sd)
        |ORDER BY doc_id""".stripMargin
 
   /** Host-level PageRank replay: the host projection of the edge list

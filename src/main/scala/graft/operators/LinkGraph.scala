@@ -907,6 +907,16 @@ object LinkGraph {
     pagerankCore(indexEdges(spark, tableName), iters, dampingPct,
       stopDeltaL1, persistEdges = false, checkpointDir = checkpointDir)
 
+  /** [[hits]] over a [[writeEdgeIndex]] table — the authority/hub
+    * complement of [[pagerankAgainstIndex]]: the per-iteration src
+    * join reads the bucketed scan exchange-free; the dst-side join
+    * shuffles the (node-sized) score table, as PageRank's does.
+    */
+  def hitsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                       tableName: String, iters: Int = 2,
+                       checkpointDir: Option[String] = None): DataFrame =
+    hits(indexEdges(spark, tableName), iters, checkpointDir)
+
   /** [[components]] over a [[writeEdgeIndex]] table. */
   def componentsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                              tableName: String,

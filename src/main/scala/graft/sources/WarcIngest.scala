@@ -99,9 +99,7 @@ object WarcIngest {
   def dedupByPayloadDigest(parsed: DataFrame, keyCol: String): DataFrame = {
     val others = parsed.columns.filterNot(_ == keyCol).map(col).toSeq
     parsed.filter(col("warc_type") === "response")
-      .withColumn("_dig",
-        when(col("payload_digest") =!= "", col("payload_digest"))
-          .otherwise(concat(lit("md5:"), md5(encode(col("html"), "UTF-8")))))
+      .withColumn("_dig", effectiveDigest)
       .groupBy(col("_dig"))
       .agg(min(struct(col(keyCol) +: others: _*)).as("_kept"))
       .select(parsed.columns.map(c => col(s"_kept.$c")).toSeq: _*)
@@ -143,6 +141,69 @@ object WarcIngest {
         col("content_type").isin("text/html", "application/xhtml+xml"))
       .withColumn("html",
         regexp_extract(col(payloadCol), "(?s)\\r?\\n\\r?\\n(.*)$", 1))
+
+  /** The effective dedup digest of a parsed record: the declared
+    * `WARC-Payload-Digest` when present, else `md5:` + md5 of the
+    * payload bytes (digest it yourself — the crawler-side convention),
+    * so archives mixing digested and bare records collapse exactly.
+    */
+  private def effectiveDigest: Column =
+    when(col("payload_digest") =!= "", col("payload_digest"))
+      .otherwise(concat(lit("md5:"), md5(encode(col("html"), "UTF-8"))))
+
+  /** Persist the distinct payload digests of a parsed archive's
+    * RESPONSE records, bucketed by digest — the crawl-side exact-dedup
+    * state (what a fetch loop consults before storing a refetch). The
+    * index is digest-only: probing never re-reads stored payload
+    * bytes, and the anti-join against a bucketed digest table leaves
+    * the index side exchange-free — only the (batch-sized) probe side
+    * shuffles.
+    */
+  def writeDigestIndex(parsed: DataFrame, tableName: String,
+                       buckets: Int = 64): Unit = {
+    graft.operators.Dedup.dropManaged(parsed.sparkSession, tableName)
+    parsed.filter(col("warc_type") === "response")
+      .select(effectiveDigest.as("dig")).distinct()
+      .write.format("parquet")
+      .bucketBy(buckets, "dig").sortBy("dig")
+      .mode("overwrite").saveAsTable(tableName)
+    parsed.sparkSession.sql(
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
+  }
+
+  /** Append a batch's digests (idempotent: duplicate digests are
+    * harmless index state — the probe is an anti-join). Refreshes the
+    * writing session's cached relation, the [[graft.operators
+    * .LinkGraph.appendToEdgeIndex]] rule.
+    */
+  def appendToDigestIndex(parsed: DataFrame, tableName: String): Unit = {
+    val spark = parsed.sparkSession
+    val buckets = spark.sql(s"SHOW TBLPROPERTIES $tableName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .getOrElse("graft.buckets", throw new IllegalArgumentException(
+        s"digest index $tableName carries no graft.buckets property — " +
+          "not written by writeDigestIndex")).toInt
+    parsed.filter(col("warc_type") === "response")
+      .select(effectiveDigest.as("dig")).distinct()
+      .write.format("parquet")
+      .bucketBy(buckets, "dig").sortBy("dig")
+      .mode("append").saveAsTable(tableName)
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** The RESPONSE records of a parsed batch whose effective digest is
+    * NOT in a [[writeDigestIndex]] table — the novel content a fetch
+    * loop actually stores. Non-response records never pass (they carry
+    * no payload to store). Left-anti join on the digest: index side
+    * bucketed (exchange-free), batch side shuffles once.
+    */
+  def novelByDigest(parsed: DataFrame, tableName: String): DataFrame = {
+    val idx = parsed.sparkSession.table(tableName)
+    parsed.filter(col("warc_type") === "response")
+      .withColumn("_dig", effectiveDigest)
+      .join(idx, col("_dig") === idx("dig"), "left_anti")
+      .drop("_dig")
+  }
 
   /** Exact UTF-8 validity as a regex over `hex(bytes)` — the RFC 3629
     * byte grammar transcribed to hex pairs (uppercase in both Spark's

@@ -241,6 +241,48 @@ object DedupStream {
     * hooks — cached so the probe doesn't recompute); `afterBatch` runs
     * last (cache hygiene hooks — see [[AnnStream]]).
     */
+  /** Payload-digest gate — the crawl-side FIRST dedup tier as a
+    * stream (the eighth external-state streaming family): each
+    * micro-batch of parsed WARC records is probed against a persisted
+    * digest index ([[graft.sources.WarcIngest.writeDigestIndex]]) and
+    * only novel RESPONSE records land (non-responses carry no payload
+    * to store). Contract matches [[start]]: the gate dedups AGAINST
+    * THE INDEX — two novel records with the same digest in one stream
+    * both pass unless `appendAccepted` folds each accepted batch's
+    * digests back in (closing the window to one micro-batch, at the
+    * cost of batch-order-dependent survivors — leave false when a
+    * deterministic replay matters).
+    */
+  def startDigest(spark: SparkSession, inputDir: String, indexTable: String,
+                  outputDir: String, checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  maxFilesPerTrigger: Option[Int] = None,
+                  appendAccepted: Boolean = false): StreamingQuery = {
+    import graft.sources.WarcIngest
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val novel = WarcIngest.novelByDigest(batch.toDF(), indexTable)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          novel.write.mode("append").parquet(outputDir)
+          if (appendAccepted) {
+            WarcIngest.appendToDigestIndex(novel, indexTable)
+            // the batch frame lives in a CLONED session — keep the
+            // OUTER session's cached relation fresh for the next probe
+            spark.catalog.refreshTable(indexTable)
+          }
+        } finally novel.unpersist()
+      }
+      .start()
+  }
+
   private[streaming] def startWith(spark: SparkSession, inputDir: String, outputDir: String,
                         checkpointDir: String, trigger: Trigger,
                         maxFilesPerTrigger: Option[Int],

@@ -297,6 +297,36 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(kept == Set("urn:g:1", "urn:g:4", "urn:g:6"), kept)
   }
 
+  test("digest index: write/probe/append — novelByDigest passes only " +
+      "responses with unseen effective digests; append closes the window") {
+    import spark.implicits._
+    def frame(rows: Seq[(String, String, String, String, String)]) =
+      rows.toDF("record_id", "url", "warc_type", "payload_digest", "html")
+    val seed = frame(Seq(
+      ("urn:s:1", "https://a.com/1", "response", "md5:known", "x"),
+      ("urn:s:2", "https://a.com/2", "response", "", "seen bytes"),
+      // a revisit's digest must NOT seed the index (no payload stored)
+      ("urn:s:3", "https://a.com/3", "revisit", "md5:ghost", "")))
+    WarcIngest.writeDigestIndex(seed, "graft_test_digest_idx")
+    try {
+      val batch = frame(Seq(
+        ("urn:b:1", "https://b.com/1", "response", "md5:known", "y"),   // blocked
+        ("urn:b:2", "https://b.com/2", "response", "", "seen bytes"),   // blocked via md5(html)
+        ("urn:b:3", "https://b.com/3", "response", "md5:ghost", ""),    // ghost never seeded -> passes
+        ("urn:b:4", "https://b.com/4", "response", "", "new bytes"),    // novel
+        ("urn:b:5", "https://b.com/5", "revisit", "", "new bytes")))    // non-response never passes
+      val got = WarcIngest.novelByDigest(batch, "graft_test_digest_idx")
+        .collect().map(_.getAs[String]("record_id")).toSet
+      assert(got == Set("urn:b:3", "urn:b:4"), got)
+      // fold the accepted batch in: a replayed identical batch now
+      // yields nothing (the idempotence the streaming gate relies on)
+      WarcIngest.appendToDigestIndex(batch, "graft_test_digest_idx")
+      val again = WarcIngest.novelByDigest(batch, "graft_test_digest_idx")
+        .count()
+      assert(again == 0, s"after append the same batch must be fully seen, got $again")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_digest_idx")
+  }
+
   private def gz(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.util.zip.GZIPOutputStream(bos)
