@@ -2002,19 +2002,7 @@ object SparkEntry {
       withTempDir("graft_warc_files") { tmp =>
         val docs = table(s, d, "documents")
         val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
-        val members = pages.select((col("doc_id") % 8).as("fid"), col("doc_id"),
-          WarcIngest.deflateMember(WarcIngest.wrapAsRawRecord(col("url"),
-            col("html"), to_timestamp(lit("2026-01-15 12:00:00")),
-            concat(lit("urn:graft:"), col("doc_id").cast("string"))))
-            .as("member"))
-          .collect()
-        members.groupBy(_.getLong(0)).foreach { case (fid, rows) =>
-          val bytes = rows.sortBy(_.getLong(1))
-            .map(_.getAs[Array[Byte]]("member"))
-            .foldLeft(Array.empty[Byte])(_ ++ _)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(tmp, f"archive-$fid%02d.warc.gz"), bytes)
-        }
+        stageWarcArchives(tmp, pages)
         val raw = WarcIngest.readWarcGzArchives(s, tmp)
         val parsed = WarcIngest.responsesOnly(WarcIngest.parseRawRecords(raw))
           .withColumn("doc_id", regexp_extract(col("record_id"),
@@ -2024,6 +2012,43 @@ object SparkEntry {
           .toDF("domain")
         val allowed = UrlOps.filterBlockedDomains(
           parsed.select("doc_id", "url", "html", "host"), "host", "doc_id", block)
+        val kept = UrlOps.dedupByCanonicalUrl(
+          allowed.drop("host"), "url", "doc_id")
+        kept.withColumn("main", TextExtraction.mainContent(col("html")))
+          .withColumn("n_words", size(split(col("main"), " ")))
+          .filter(col("n_words") >= 20)
+          .select(col("doc_id"), col("canon_url"),
+            col("n_words").cast("long").as("n_words"),
+            md5(col("main")).as("main_hash"))
+          .orderBy("doc_id")
+      }
+    }),
+    // the archive front door as a STREAM: archives dropped in a dir →
+    // binaryFile file-stream source → in-partition member split →
+    // parse → responses, under the native parquet sink (stateless
+    // transform ⇒ exactly-once file output), then the same curation
+    // capstone over the landed store — shared chained-replay oracle
+    "q_crawl_from_warc_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.{TextExtraction, UrlOps}
+      import org.apache.spark.sql.functions.{md5, regexp_extract, size, split}
+      withTempDir("graft_warc_stream") { tmp =>
+        val docs = table(s, d, "documents")
+        val pages = plantUrls(docs).join(plantHtml(docs), "doc_id")
+        BenchPhases.timed("q_crawl_from_warc_stream", "stage")(
+          stageWarcArchives(tmp + "/in", pages))
+        BenchPhases.drainTimed("q_crawl_from_warc_stream")(
+          graft.streaming.WarcStream.startArchives(s, s"$tmp/in",
+            s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(3)))
+        val parsed = s.read.parquet(s"$tmp/out")
+          .withColumn("doc_id", regexp_extract(col("record_id"),
+            "urn:graft:([0-9]+)", 1).cast("long"))
+          .withColumn("host", UrlOps.canonicalHost(col("url")))
+        val block = Seq("example7.com", "media.example11.com",
+          "example3.com").toDF("domain")
+        val allowed = UrlOps.filterBlockedDomains(
+          parsed.select("doc_id", "url", "html", "host"), "host", "doc_id",
+          block)
         val kept = UrlOps.dedupByCanonicalUrl(
           allowed.drop("host"), "url", "doc_id")
         kept.withColumn("main", TextExtraction.mainContent(col("html")))
@@ -5312,6 +5337,7 @@ object SparkEntry {
     "q_crawl_from_warc" -> crawlCurateOracleSql,
     "q_crawl_from_warc_gz" -> crawlCurateOracleSql,
     "q_crawl_from_warc_file" -> crawlCurateOracleSql,
+    "q_crawl_from_warc_stream" -> crawlCurateOracleSql,
     "q_url_canon" -> urlCanonOracleSql,
     "q_sql_url_canon" -> urlCanonOracleSql,
     "q_url_dedup" -> urlDedupOracleSql,
@@ -6559,6 +6585,32 @@ object SparkEntry {
           "<lastmod>2024-02-01T00:00:00Z</lastmod></url>\n</urlset>"))
         .as("xml"))
     idx.unionByName(childA).unionByName(childB)
+  }
+
+  /** Stage a (doc_id, url, html) page frame as eight multi-member
+    * `.warc.gz` archive files under `dir` — fixture scaffolding for
+    * the whole-file ingest rows (the operator under test is the READ
+    * side); the collect is bounded by the plant size, members ordered
+    * by doc_id within each file so the staged bytes are
+    * run-deterministic.
+    */
+  private def stageWarcArchives(dir: String, pages: DataFrame): Unit = {
+    import graft.sources.WarcIngest
+    import org.apache.spark.sql.functions.to_timestamp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val members = pages.select((col("doc_id") % 8).as("fid"), col("doc_id"),
+      WarcIngest.deflateMember(WarcIngest.wrapAsRawRecord(col("url"),
+        col("html"), to_timestamp(lit("2026-01-15 12:00:00")),
+        concat(lit("urn:graft:"), col("doc_id").cast("string"))))
+        .as("member"))
+      .collect()
+    members.groupBy(_.getLong(0)).foreach { case (fid, rows) =>
+      val bytes = rows.sortBy(_.getLong(1))
+        .map(_.getAs[Array[Byte]]("member"))
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"archive-$fid%02d.warc.gz"), bytes)
+    }
   }
 
   /** Mixed-archive WARC plant, PARSED: plantUrls × plantHtml pages
