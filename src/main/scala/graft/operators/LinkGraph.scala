@@ -775,6 +775,12 @@ object LinkGraph {
     * stops and the current scores return — documented, never a divide
     * by zero. Returns `(url, hub, authority)`.
     *
+    * Resolution bound: the uniform init is `total div N`, so a graph
+    * past ~10^9 nodes floors the init to 0 (same property
+    * [[FixedPointTotal]] has at 10^12) — shard such graphs (per host,
+    * per component) before ranking, which is how web-scale HITS runs
+    * anyway (it was defined on query-local subgraphs).
+    *
     * Scale shape = [[pagerank]]'s: two co-keyed joins + two
     * combiner-collapsed aggregations + two scalar aggregates per
     * iteration; iterations truncate lineage eagerly with the same
