@@ -404,6 +404,30 @@ class WarcIngestSpec extends AnyFunSuite {
       "draining the bomb must pin the boundary so later members survive")
   }
 
+  test("splitGzMembers property: concat of n gzipped arbitrary payloads " +
+      "splits back to exactly those n payloads, byte-exact") {
+    import org.scalacheck.Gen
+    val byteGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    val archiveGen = Gen.listOfN(40, Gen.listOf(byteGen).map(_.toVector))
+      .sample.get
+    // include adversarial member payloads: empty, and one that BEGINS
+    // with the gzip magic (the walker must trust deflate lengths, not
+    // magic scans)
+    val cases = archiveGen :+
+      Vector(Array.empty[Byte], Array[Byte](0x1f, 0x8b.toByte, 8, 0),
+        "tail".getBytes("UTF-8"))
+    cases.foreach { members =>
+      val archive =
+        members.map(gz).foldLeft(Array.empty[Byte])(_ ++ _)
+      val got = WarcIngest.splitGzMembersBytes(archive)
+      assert(got.length == members.length,
+        s"${members.length} members in, ${got.length} out")
+      got.zip(members).zipWithIndex.foreach { case ((g, m), i) =>
+        assert(java.util.Arrays.equals(g, m), s"member $i diverged") }
+    }
+  }
+
   test("splitGzMembers: a corrupt member ends the walk with ONE countable NULL") {
     val ok = gz("ok".getBytes("UTF-8"))
     // corrupt: valid magic, then garbage deflate bytes
