@@ -398,7 +398,9 @@ object LinkGraph {
     * discipline.
     */
   def urlReport(pages: DataFrame, urlCol: String, htmlCol: String,
-                iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+                iters: Int = 3, dampingPct: Int = 85,
+                checkpointDir: Option[String] = None): DataFrame =
+    withCheckpointDir(pages.sparkSession, checkpointDir) {
     val rel = extractLinksWithRel(pages, urlCol, htmlCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inAgg = rel.groupBy(col("dst").as("url"))
@@ -406,17 +408,21 @@ object LinkGraph {
         round(sum(col("nofollow").cast("int")).cast("double") /
           count(lit(1)), 6).as("nofollow_share"))
     val followed = rel.filter(!col("nofollow")).select("src", "dst")
-    val ranks = pagerank(followed, iters, dampingPct)
+    val ranks = pagerank(followed, iters, dampingPct,
+      checkpointDir = checkpointDir)
     val labels = topAnchorLabels(extractAnchors(pages, urlCol, htmlCol))
-    val out = inAgg
+    // same truncation option as the rank loop it embeds: on a
+    // preemptible cluster the whole report survives executor loss
+    // when a reliable dir is passed; default stays the cheap
+    // executor-local cut
+    val out = truncateLineage(inAgg
       .join(ranks, Seq("url"), "left")
       .join(labels.select(col("url"), col("top_anchor")), Seq("url"), "left")
       .select(col("url"), col("rank"), col("n_inlinks"),
-        col("nofollow_share"), col("top_anchor"))
-      .localCheckpoint(true)
+        col("nofollow_share"), col("top_anchor")), checkpointDir)
     rel.unpersist(false)
     out
-  }
+    }
 
   /** Host-level projection of the edge list — the domain-reputation
     * rollup (inter-host link counts; intra-host navigation edges are
@@ -604,12 +610,47 @@ object LinkGraph {
     *    (off by default — without it, budget iters × rank-table-size
     *    in `dir` per run).
     */
-  private def truncateLineage(df: DataFrame,
-                              checkpointDir: Option[String]): DataFrame =
+  private[graft] def truncateLineage(df: DataFrame,
+                                     checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(_) => df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
+
+  /** Scope the SparkContext-GLOBAL checkpoint directory to `body`:
+    * `setCheckpointDir` mutates shared session state, so a bare set
+    * would silently redirect every OTHER job's reliable checkpoints
+    * (concurrent streams, later calls expecting the previous dir).
+    * The set is skipped when the context already points INTO `dir`
+    * (`setCheckpointDir` appends a fresh UUID subdirectory, so
+    * "points into" is the right equality), and the PREVIOUS dir is
+    * restored after `body` when one existed — restoration re-derives
+    * a new UUID leaf under the SAME previous path, so other jobs'
+    * future checkpoints keep landing inside the directory their owner
+    * chose; files already written stay valid (each checkpointed RDD
+    * holds its own path). Residue: when no dir was set before, `dir`
+    * stays set afterwards (the context API cannot portably unset it)
+    * — documented, and harmless to callers that never checkpoint
+    * without passing their own dir.
+    */
+  private[graft] def withCheckpointDir[T](
+      spark: org.apache.spark.sql.SparkSession,
+      dir: Option[String])(body: => T): T = dir match {
+    case None => body
+    case Some(d) =>
+      val sc = spark.sparkContext
+      val prev = sc.getCheckpointDir
+      val dNorm = d.stripSuffix("/")
+      val alreadyInside = prev.exists(p =>
+        p == dNorm || p.startsWith(dNorm + "/") ||
+          p.startsWith("file:" + dNorm + "/"))
+      if (alreadyInside) body
+      else {
+        sc.setCheckpointDir(d)
+        try body
+        finally prev.foreach(sc.setCheckpointDir)
+      }
+  }
 
   /** Explicitly drop a SUPERSEDED iteration's localCheckpoint blocks
     * (the frame must never be consumed again — its data AND lineage
@@ -634,7 +675,7 @@ object LinkGraph {
                            checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     require(stopDeltaL1 >= 0L)
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    withCheckpointDir(edges.sparkSession, checkpointDir) {
     // iterative Spark 101: each iteration is MATERIALIZED (persist +
     // action) before the next builds on it — a lazily-chained loop
     // recomputes every prior iteration per downstream action (the
@@ -742,6 +783,7 @@ object LinkGraph {
     if (persistEdges) edgesP.unpersist()
     base.unpersist()
     ranks.select(col("url"), col("rank"))
+    }
   }
 
   /** Fixed-point total for [[hits]] — 10^9, not [[FixedPointTotal]]'s
@@ -789,7 +831,8 @@ object LinkGraph {
   def hits(edges: DataFrame, iters: Int = 2,
            checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1)
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    withCheckpointDir(edges.sparkSession, checkpointDir) {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct().persist()
@@ -803,22 +846,36 @@ object LinkGraph {
     var it = 0
     var dead = false
     while (it < iters && !dead) {
+      // each intermediate feeds MULTIPLE actions (the rescale total,
+      // the opposite-direction aggregation, the materializing
+      // truncation) — persisted so the edges⋈scores aggregation runs
+      // ONCE per direction per iteration, not re-derived per action
+      // (the unpersisted draft rebuilt `araw` up to 3×: measured
+      // 7.9–9.0 s vs PageRank-idx's ~4.3 s at sf0.1 on the same
+      // graph). All three are node-sized, released before the next
+      // iteration starts; only `nextCp` (the pagerankCore discipline)
+      // survives the iteration.
       val araw = e.join(scores.select(col("url"), col("hub")),
           e("src") === scores("url"))
         .groupBy(col("dst")).agg(sum("hub").as("_ra"))
+        .persist(lvl)
       val aTot = araw.agg(coalesce(sum("_ra"), lit(0L))).head().getLong(0)
-      if (aTot == 0L) dead = true
+      if (aTot == 0L) { araw.unpersist(false); dead = true }
       else {
         val withA = scores.join(araw, scores("url") === araw("dst"), "left")
           .select(scores("url"), scores("hub"),
             expr(s"(coalesce(_ra, 0L) * ${T}L) div ${aTot}L")
               .as("authority"))
+          .persist(lvl)
         val hraw = e.join(withA.select(col("url").as("_d"), col("authority")),
             e("dst") === col("_d"))
           .groupBy(col("src")).agg(sum("authority").as("_rh"))
+          .persist(lvl)
         val hTot = hraw.agg(coalesce(sum("_rh"), lit(0L))).head().getLong(0)
-        if (hTot == 0L) dead = true
-        else {
+        if (hTot == 0L) {
+          araw.unpersist(false); withA.unpersist(false)
+          hraw.unpersist(false); dead = true
+        } else {
           val next = withA.join(hraw, withA("url") === hraw("src"), "left")
             .select(withA("url"),
               expr(s"(coalesce(_rh, 0L) * ${T}L) div ${hTot}L").as("hub"),
@@ -827,6 +884,8 @@ object LinkGraph {
           if (prevCp != null) releaseTruncated(prevCp)
           prevCp = nextCp
           scores = nextCp
+          araw.unpersist(false); withA.unpersist(false)
+          hraw.unpersist(false)
         }
       }
       it += 1
@@ -836,6 +895,7 @@ object LinkGraph {
     e.unpersist(false)
     nodes.unpersist(false)
     out.select(col("url"), col("hub"), col("authority"))
+    }
   }
 
   // ---- persisted src-bucketed edge index ----

