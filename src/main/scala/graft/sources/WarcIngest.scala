@@ -487,6 +487,16 @@ object WarcIngest {
     * unknowable), so `n` well-formed members in = `n` records out,
     * and damage is one countable NULL, never silent loss of the
     * whole file.
+    *
+    * The trailer is VALIDATED, not just skipped: a running CRC32 of
+    * the inflated bytes (and the inflated length mod 2^32) is compared
+    * against the member's CRC32/ISIZE trailer — the same integrity
+    * check `GZIPInputStream` applies on the single-member path — so a
+    * member whose deflate structure survived but whose payload bytes
+    * were corrupted yields a countable NULL at its position (boundary
+    * still known — the walk continues) instead of passing silently. A
+    * trailer that runs past EOF is the corrupt-tail case (one trailing
+    * NULL, walk ends).
     */
   private[sources] def splitGzMembersBytes(
       file: Array[Byte]): Array[Array[Byte]] = {
@@ -516,24 +526,42 @@ object WarcIngest {
             val buf = new Array[Byte](64 * 1024)
             val bos = new java.io.ByteArrayOutputStream(
               math.min((n - p).toLong * 4, 1L << 16).toInt)
+            val crc = new java.util.zip.CRC32()
             var total = 0L
+            var inflated = 0L
             var bomb = false
             while (!inf.finished()) {
               val m = inf.inflate(buf)
               if (m == 0 && !inf.finished())
                 throw new java.util.zip.DataFormatException(
                   "truncated deflate stream")
-              // same cap-before-buffer rule as [[gunzipBytes]]; past
-              // the cap the loop keeps INFLATING (to pin the member
-              // boundary) but stops BUFFERING
+              // the CRC runs over EVERYTHING inflated (drained bytes
+              // included) so trailer validation stays exact even for
+              // bombs; buffering follows the cap-before-buffer rule of
+              // [[gunzipBytes]] — past the cap the loop keeps INFLATING
+              // (to pin the member boundary) but stops BUFFERING
+              crc.update(buf, 0, m)
+              inflated += m
               if (!bomb) {
                 if (total + m > MaxInflatedBytes) bomb = true
                 else { bos.write(buf, 0, m); total += m }
               }
             }
             val consumed = (n - p) - inf.getRemaining
-            out += (if (bomb) null else bos.toByteArray)
-            off = p + consumed + 8 // CRC32 + ISIZE trailer
+            val tr = p + consumed
+            if (tr + 8 > n) {
+              // trailer runs past EOF — the corrupt-tail case: the
+              // member is unverifiable and nothing follows it
+              corrupt = true
+            } else {
+              def le32(i: Int): Long =
+                (file(i) & 0xFFL) | ((file(i + 1) & 0xFFL) << 8) |
+                  ((file(i + 2) & 0xFFL) << 16) | ((file(i + 3) & 0xFFL) << 24)
+              val trailerOk = le32(tr) == crc.getValue &&
+                le32(tr + 4) == (inflated & 0xFFFFFFFFL)
+              out += (if (bomb || !trailerOk) null else bos.toByteArray)
+              off = tr + 8 // CRC32 + ISIZE trailer
+            }
           } finally inf.end()
         } catch { case _: Exception => corrupt = true }
       }

@@ -443,4 +443,35 @@ class WarcIngestSpec extends AnyFunSuite {
     // empty file: zero members, zero nulls
     assert(WarcIngest.splitGzMembersBytes(Array.empty[Byte]).isEmpty)
   }
+
+  test("splitGzMembers: trailer CRC32/ISIZE mismatches yield NULL in place " +
+      "(members around survive); a truncated trailer is the corrupt tail") {
+    val members = Seq("alpha", "beta", "gamma").map(_.getBytes("UTF-8"))
+    val gzd = members.map(gz)
+    // flip one bit inside member 1's CRC32 field (trailer = last 8
+    // bytes: CRC32 LE then ISIZE LE) — deflate structure intact, so
+    // the walk continues, but the member must come out NULL like the
+    // single-member GZIPInputStream path would have thrown
+    val badCrc = gzd(1).clone()
+    badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 0x01).toByte
+    val got = WarcIngest.splitGzMembersBytes(gzd(0) ++ badCrc ++ gzd(2))
+    assert(got.length == 3)
+    assert(new String(got(0), "UTF-8") == "alpha")
+    assert(got(1) == null, "CRC-mismatched member must be NULL")
+    assert(new String(got(2), "UTF-8") == "gamma",
+      "the boundary is known — members after a CRC mismatch survive")
+    // ISIZE flip: same in-place NULL
+    val badIsize = gzd(1).clone()
+    badIsize(badIsize.length - 4) = (badIsize(badIsize.length - 4) ^ 0x01).toByte
+    val got2 = WarcIngest.splitGzMembersBytes(gzd(0) ++ badIsize ++ gzd(2))
+    assert(got2.length == 3 && got2(1) == null &&
+      new String(got2(2), "UTF-8") == "gamma")
+    // trailer truncated at EOF (4 of 8 bytes): the member is
+    // unverifiable — corrupt-tail case, one countable trailing NULL
+    val truncated = gzd(0) ++ gzd(1).dropRight(4)
+    val got3 = WarcIngest.splitGzMembersBytes(truncated)
+    assert(got3.length == 2)
+    assert(new String(got3(0), "UTF-8") == "alpha")
+    assert(got3(1) == null, "truncated-trailer member must not pass silently")
+  }
 }
