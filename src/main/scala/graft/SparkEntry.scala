@@ -801,7 +801,9 @@ object SparkEntry {
           graft.streaming.DedupStream.startLines(s, s"$tmp/input",
               "graft_stream_line_index", s"$tmp/out", s"$tmp/cp",
               maxFilesPerTrigger = Some(1)))
-        s.read.parquet(s"$tmp/out").orderBy("doc_id")
+        // explicit projection: the sink's batch_id partition column is
+        // write-side replay bookkeeping, not part of the result
+        s.read.parquet(s"$tmp/out").select("doc_id", "text").orderBy("doc_id")
       }
     }),
     // INTRA-document repeated-line removal (RefinedWeb within-page

@@ -22,9 +22,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch-side machinery runs unchanged ([[Dedup.minhashPairsAgainstIndex]]
   * — catalog-validated parameters, co-partitioned band join,
   * candidate-bounded exact verification), so streaming and batch cannot
-  * drift. Parquet appends are at-least-once on batch replay (same
-  * caveat as [[IngestPipeline.startBmw]]); an idempotent sink keyed on
-  * doc_id upgrades to exactly-once.
+  * drift. foreachBatch itself is at-least-once, so every gate writes
+  * its batch to a per-batch-id directory with OVERWRITE and guards
+  * replays of already-committed batches (see [[committed]]) — the
+  * output is effectively-once end to end; index folds stay idempotent
+  * set unions.
   */
 object DedupStream {
 
@@ -120,14 +122,25 @@ object DedupStream {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val out = Dedup.stripClaimedLines(batch.toDF(), indexTable)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          out.write.mode("append").parquet(outputDir)
-          if (appendAccepted) Dedup.appendToLineIndex(
-            out.select(explode(split(col("text"), "\n")).as("line")), indexTable)
-        } finally out.unpersist()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // same per-batch-dir overwrite + committed-batch guard as the
+        // anti-join gates: a replayed batch that already claimed its
+        // surviving lines would strip them from ITSELF on recompute
+        val batchPath = f"$outputDir/batch_id=$batchId"
+        if (committed(spark, batchPath)) {
+          if (appendAccepted) readCommitted(spark, batchPath).foreach(r =>
+            Dedup.appendToLineIndex(
+              r.select(explode(split(col("text"), "\n")).as("line")),
+              indexTable))
+        } else {
+          val out = Dedup.stripClaimedLines(batch.toDF(), indexTable)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            out.write.mode("overwrite").parquet(batchPath)
+            if (appendAccepted) Dedup.appendToLineIndex(
+              out.select(explode(split(col("text"), "\n")).as("line")), indexTable)
+          } finally out.unpersist()
+        }
       }
       .start()
   }
@@ -208,6 +221,39 @@ object DedupStream {
       graft.operators.UrlOps.stripSeenUrls(indexable, urlCol, indexTable)
     }
 
+  /** Has a per-batch output directory already COMMITTED (its
+    * `_SUCCESS` marker exists)? The replay guard every index-folding
+    * gate needs: foreachBatch is at-least-once, and a replayed batch
+    * that already folded its accepted keys into the index would
+    * recompute an EMPTY novel set (its own keys now probe as seen) and
+    * overwrite the committed rows with nothing. A committed batch is
+    * therefore never recomputed — the gate re-folds the committed
+    * rows' keys instead (harmless duplicate index state, the append
+    * contract) and leaves the output untouched. A batch that crashed
+    * MID-write has no marker, and its index fold (ordered after the
+    * write) never ran — the replay recomputes the identical novel set
+    * against the unchanged index and the overwrite clears the orphan
+    * part-files.
+    */
+  private def committed(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The committed rows of a replayed batch directory — None when the
+    * batch was EMPTY (an empty frame commits `_SUCCESS` with zero part
+    * files, which a bare parquet read cannot infer a schema from;
+    * empty also means there is nothing to re-fold).
+    */
+  private def readCommitted(spark: SparkSession,
+                            path: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasParts = fs.listStatus(dir)
+      .exists(_.getPath.getName.startsWith("part-"))
+    if (hasParts) Some(spark.read.parquet(path)) else None
+  }
+
   private def startUrlsWith(spark: SparkSession, inputDir: String,
                             outputDir: String, checkpointDir: String,
                             trigger: Trigger, maxFilesPerTrigger: Option[Int],
@@ -222,14 +268,22 @@ object DedupStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val out = gate(batch.toDF())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          out.write.mode("overwrite")
-            .parquet(f"$outputDir/batch-$batchId%05d")
-          if (appendAccepted) graft.operators.UrlOps.appendToUrlIndex(
-            out.select("canon_url"), indexTable)
-        } finally out.unpersist()
+        val batchPath = f"$outputDir/batch-$batchId%05d"
+        if (committed(spark, batchPath)) {
+          // replayed, already-committed batch: converge index state
+          // from the committed rows; never recompute (see [[committed]])
+          if (appendAccepted) readCommitted(spark, batchPath).foreach(r =>
+            graft.operators.UrlOps.appendToUrlIndex(
+              r.select("canon_url"), indexTable))
+        } else {
+          val out = gate(batch.toDF())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            out.write.mode("overwrite").parquet(batchPath)
+            if (appendAccepted) graft.operators.UrlOps.appendToUrlIndex(
+              out.select("canon_url"), indexTable)
+          } finally out.unpersist()
+        }
       }
       .start()
   }
@@ -267,18 +321,30 @@ object DedupStream {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val novel = WarcIngest.novelByDigest(batch.toDF(), indexTable)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          novel.write.mode("append").parquet(outputDir)
-          if (appendAccepted) {
-            WarcIngest.appendToDigestIndex(novel, indexTable)
-            // the batch frame lives in a CLONED session — keep the
-            // OUTER session's cached relation fresh for the next probe
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // per-batch partition dir + overwrite + the committed-batch
+        // guard = replay-idempotent in BOTH crash windows (see
+        // [[committed]]); readers get batch_id back via partition
+        // discovery
+        val batchPath = f"$outputDir/batch_id=$batchId"
+        if (committed(spark, batchPath)) {
+          if (appendAccepted) readCommitted(spark, batchPath).foreach { r =>
+            WarcIngest.appendToDigestIndex(r, indexTable)
             spark.catalog.refreshTable(indexTable)
           }
-        } finally novel.unpersist()
+        } else {
+          val novel = WarcIngest.novelByDigest(batch.toDF(), indexTable)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            novel.write.mode("overwrite").parquet(batchPath)
+            if (appendAccepted) {
+              WarcIngest.appendToDigestIndex(novel, indexTable)
+              // the batch frame lives in a CLONED session — keep the
+              // OUTER session's cached relation fresh for the next probe
+              spark.catalog.refreshTable(indexTable)
+            }
+          } finally novel.unpersist()
+        }
       }
       .start()
   }
@@ -298,13 +364,22 @@ object DedupStream {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val novel = batch.toDF().join(dupIds(batch.toDF()), Seq(joinKey), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          novel.write.mode("append").parquet(outputDir)
-          onAccepted(novel)
-        } finally novel.unpersist()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // same per-batch-dir overwrite + committed-batch guard as
+        // [[startDigest]] — the index folds in `onAccepted` make the
+        // recompute replay-UNSTABLE, so a committed batch re-folds
+        // from its committed rows instead of recomputing
+        val batchPath = f"$outputDir/batch_id=$batchId"
+        if (committed(spark, batchPath)) {
+          readCommitted(spark, batchPath).foreach(onAccepted)
+        } else {
+          val novel = batch.toDF().join(dupIds(batch.toDF()), Seq(joinKey), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            novel.write.mode("overwrite").parquet(batchPath)
+            onAccepted(novel)
+          } finally novel.unpersist()
+        }
         afterBatch()
       }
       .start()

@@ -17,10 +17,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * recompute is [[LinkGraph.pagerankAgainstIndex]] itself — so after
   * any batch, the emitted ranks are bit-identical to a batch recompute
   * over everything appended so far, under any batching or arrival
-  * order of the same edge set. Batch replays after a failure re-append
-  * (harmless duplicate state) and re-emit under the same batch id —
-  * readers take the LATEST batch id, which makes the at-least-once
-  * parquet append idempotent at read time.
+  * order of the same edge set. Replay safety is WRITE-side, not
+  * read-side: each batch's ranks land in their own
+  * `batch_id=<id>` partition directory with mode OVERWRITE, so a
+  * replayed micro-batch (foreachBatch is at-least-once — a crash
+  * between the rank write and the checkpoint commit replays it)
+  * truncates and rewrites its own directory instead of appending a
+  * second copy, and a partially-written batch's orphan part-files are
+  * cleared by the same overwrite. The recompute itself is
+  * replay-stable: the index append is an idempotent set union, so the
+  * re-run ranks equal the originals whether or not the first append
+  * committed. Readers take the LATEST batch id via ordinary partition
+  * discovery.
   *
   * Scale note: the per-batch cost is a full fixed-point run over the
   * accumulated graph (edge side co-partitioned and exchange-free; only
@@ -53,20 +61,25 @@ object LinkStream {
         // only — refresh the OUTER session too or its cached relation
         // keeps serving the pre-append file listing
         spark.catalog.refreshTable(indexTable)
+        // per-batch partition dir + overwrite = replay-idempotent (see
+        // the class doc); the dir name is the partition-discovery form
+        // so readers get batch_id back as a column
         LinkGraph.pagerankAgainstIndex(spark, indexTable, iters, dampingPct)
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outputDir)
+          .write.mode("overwrite").parquet(f"$outputDir/batch_id=$id")
       }
       .start()
   }
 
   /** Ranks as of the LATEST completed batch in a [[startPagerank]]
-    * output directory — the reader half of the idempotence contract.
+    * output directory — the reader half of the idempotence contract
+    * (`batch_id` comes back as a partition-discovery column; its
+    * inferred type is the discovery default, so the max is compared
+    * as-is rather than assumed Long).
     */
   def latestRanks(spark: SparkSession, outputDir: String)
       : org.apache.spark.sql.DataFrame = {
     val all = spark.read.parquet(outputDir)
-    val last = all.agg(max(col("batch_id"))).head().getLong(0)
+    val last = all.agg(max(col("batch_id"))).head().get(0)
     all.filter(col("batch_id") === last).select("url", "rank")
   }
 }

@@ -54,6 +54,19 @@ class LinkStreamSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == want,
         s"streamed final ranks diverged: got ${got.size} urls, want ${want.size}")
+      // REPLAY: wipe the checkpoint so every batch re-runs against the
+      // already-complete index and output dirs (the worst-case
+      // at-least-once window). Per-batch-dir overwrite must leave the
+      // output duplicate-free and the latest ranks unchanged.
+      graft.util.FsUtil.deleteRecursively(new java.io.File(s"$tmp/cp"))
+      LinkStream.startPagerank(spark, s"$tmp/in", "graft_test_edge_stream",
+        s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val replayed = LinkStream.latestRanks(spark, s"$tmp/out")
+      val rows = replayed.collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(rows.length == rows.map(_._1).distinct.length,
+        "replay produced duplicated (url, rank) rows")
+      assert(rows.toMap == want, "replay changed the latest ranks")
     } finally {
       graft.util.FsUtil.deleteRecursively(new java.io.File(tmp))
       spark.sql("DROP TABLE IF EXISTS graft_test_edge_stream")
