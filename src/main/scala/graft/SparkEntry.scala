@@ -2650,6 +2650,34 @@ object SparkEntry {
           .orderBy("url")
       }
     }),
+    // the COARSER-TRIGGER recompute split (the documented scale lever,
+    // now gated): edges append on every one of the 4 micro-batches,
+    // ranks recompute only on every 2nd — the final (4th) batch IS a
+    // recompute batch, so the latest ranks must still be bit-identical
+    // to the from-scratch run over ALL edges (incremental ≡
+    // from-scratch is cadence-independent); per-batch cost now scales
+    // with the recompute cadence, not the arrival cadence
+    "q_link_pagerank_stream_n" -> ((s, d) => {
+      import org.apache.spark.sql.functions.crc32
+      val edges = graft.operators.LinkGraph.extractLinks(
+        plantLinkedPages(table(s, d, "documents")), "url", "html")
+        .localCheckpoint(true) // feeds both slices — one evaluation
+      val seedSide = crc32(concat_ws("|", col("src"), col("dst"))) % 2 === 0
+      BenchPhases.timed("q_link_pagerank_stream_n", "build")(
+        graft.operators.LinkGraph.writeEdgeIndex(
+          edges.filter(seedSide), "graft_link_edge_stream_n"))
+      withTempDir("graft_pr_stream_n") { tmp =>
+        BenchPhases.timed("q_link_pagerank_stream_n", "stage")(
+          edges.filter(!seedSide).repartition(4)
+            .write.parquet(s"$tmp/input"))
+        BenchPhases.drainTimed("q_link_pagerank_stream_n")(
+          graft.streaming.LinkStream.startPagerank(s, s"$tmp/input",
+            "graft_link_edge_stream_n", s"$tmp/out", s"$tmp/cp",
+            maxFilesPerTrigger = Some(1), recomputeEveryN = 2))
+        graft.streaming.LinkStream.latestRanks(s, s"$tmp/out")
+          .orderBy("url")
+      }
+    }),
     // sitemap ingestion (the crawl frontier's OTHER input besides
     // extracted links): <url> blocks -> (key, canonical loc, verbatim
     // lastmod-or-null); XML entity decode before canonicalization,
@@ -5543,6 +5571,7 @@ object SparkEntry {
     "q_link_ppr" -> linkPprOracleSql,
     "q_link_pagerank_idx_inc" -> linkPagerankOracleSql,
     "q_link_pagerank_stream" -> linkPagerankOracleSql,
+    "q_link_pagerank_stream_n" -> linkPagerankOracleSql,
     "q_link_hits" -> linkHitsOracleSql,
     "q_link_hits_idx" -> linkHitsOracleSql,
     "q_sql_link_hits" -> linkHitsOracleSql,

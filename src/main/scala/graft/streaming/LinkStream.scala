@@ -34,9 +34,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * accumulated graph (edge side co-partitioned and exchange-free; only
   * the rank table moves per iteration). That is the right shape while
   * recomputes are cheap relative to the batch cadence; a planet-scale
-  * graph would run the append every batch and the recompute on a
-  * coarser trigger — the split is two calls on this same index table,
-  * not a new operator.
+  * graph runs the append every batch and the recompute on a COARSER
+  * trigger — `recomputeEveryN`: edges append every micro-batch, ranks
+  * recompute (and emit) only on every Nth, so the dominant cost scales
+  * with the recompute cadence instead of the arrival cadence. Readers
+  * see ranks as of the LAST recompute batch; a tail of append-only
+  * batches leaves ranks that much stale until the next recompute fires
+  * — the deliberate freshness-for-cost trade. Emitted ranks stay
+  * bit-identical to a from-scratch run over everything appended UP TO
+  * the emitting batch — the incremental ≡ from-scratch property is
+  * cadence-independent. A bounded drain whose batch count is not a
+  * multiple of N ends on the last Nth batch's ranks; [[recomputeNow]]
+  * flushes a final recompute over the full index after
+  * `awaitTermination`.
   */
 object LinkStream {
 
@@ -45,11 +55,15 @@ object LinkStream {
                     checkpointDir: String, iters: Int = 3,
                     dampingPct: Int = 85,
                     trigger: Trigger = Trigger.AvailableNow(),
-                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    recomputeEveryN: Int = 1): StreamingQuery = {
+    require(recomputeEveryN >= 1,
+      s"recomputeEveryN must be >= 1, got $recomputeEveryN")
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
+    val stream = reader.parquet(inputDir)
+    stream
       .writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -61,14 +75,35 @@ object LinkStream {
         // only — refresh the OUTER session too or its cached relation
         // keeps serving the pre-append file listing
         spark.catalog.refreshTable(indexTable)
-        // per-batch partition dir + overwrite = replay-idempotent (see
-        // the class doc); the dir name is the partition-discovery form
-        // so readers get batch_id back as a column
-        LinkGraph.pagerankAgainstIndex(spark, indexTable, iters, dampingPct)
-          .write.mode("overwrite").parquet(f"$outputDir/batch_id=$id")
+        // coarser-trigger recompute: batches 0-indexed, so every Nth =
+        // (id+1) % N == 0 (finality of a bounded drain is not
+        // observable inside foreachBatch — a drain whose batch count
+        // is not a multiple of N ends on the last Nth batch's ranks;
+        // call [[recomputeNow]] after awaitTermination to flush)
+        if ((id + 1) % recomputeEveryN == 0) {
+          // per-batch partition dir + overwrite = replay-idempotent
+          // (see the class doc); the dir name is the partition-
+          // discovery form so readers get batch_id back as a column
+          LinkGraph.pagerankAgainstIndex(spark, indexTable, iters, dampingPct)
+            .write.mode("overwrite").parquet(f"$outputDir/batch_id=$id")
+        }
       }
       .start()
   }
+
+  /** Force a rank recompute over the FULL accumulated index and emit
+    * it under `batchId` — the post-drain flush for a
+    * `recomputeEveryN > 1` run whose batch count wasn't a multiple of
+    * N (pass an id above every emitted batch's so [[latestRanks]]
+    * picks it up; same overwrite-idempotent sink layout). Identical
+    * semantics to an in-stream recompute batch by construction: both
+    * are [[LinkGraph.pagerankAgainstIndex]] over the same table.
+    */
+  def recomputeNow(spark: SparkSession, indexTable: String,
+                   outputDir: String, batchId: Long, iters: Int = 3,
+                   dampingPct: Int = 85): Unit =
+    LinkGraph.pagerankAgainstIndex(spark, indexTable, iters, dampingPct)
+      .write.mode("overwrite").parquet(f"$outputDir/batch_id=$batchId")
 
   /** Ranks as of the LATEST completed batch in a [[startPagerank]]
     * output directory — the reader half of the idempotence contract

@@ -72,4 +72,56 @@ class LinkStreamSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_test_edge_stream")
     }
   }
+
+  test("recomputeEveryN: appends run every batch, ranks only on every " +
+      "Nth — latest ranks are as-of the last recompute batch; " +
+      "recomputeNow flushes the tail") {
+    import spark.implicits._
+    val all = (0L until 180L)
+      .map(i => (s"https://h${i % 10}.com/p${i % 5}",
+        s"https://h${(i * 7 + 1) % 10}.com/p${(i * 3 + 2) % 5}"))
+      .filter { case (a, b) => a != b }
+      .distinct
+    val (seed, streamed) = all.partition { case (a, b) => (a + b).hashCode % 2 == 0 }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lstream_n").toString
+    try {
+      LinkGraph.writeEdgeIndex(seed.toDF("src", "dst"), "graft_test_edge_n")
+      val flat = new java.io.File(s"$tmp/in"); flat.mkdirs()
+      val chunks = streamed.grouped((streamed.size + 2) / 3).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        chunk.toDF("src", "dst").coalesce(1).write.parquet(s"$tmp/input/f$i")
+        new java.io.File(s"$tmp/input/f$i").listFiles
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, j) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$tmp/in/part-$i-$j.parquet"))
+          }
+      }
+      // 3 batches, N=2: only batch 1 recomputes — ranks are as-of
+      // seed + chunks 0 and 1, chunk 2 is appended but unranked
+      LinkStream.startPagerank(spark, s"$tmp/in", "graft_test_edge_n",
+        s"$tmp/out", s"$tmp/cp", maxFilesPerTrigger = Some(1),
+        recomputeEveryN = 2).awaitTermination()
+      val emitted = spark.read.parquet(s"$tmp/out")
+        .select("batch_id").distinct().count()
+      assert(emitted == 1, s"expected 1 recompute batch, got $emitted")
+      val got = LinkStream.latestRanks(spark, s"$tmp/out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val asOf1 = LinkGraph.pagerank(
+          (seed ++ chunks(0) ++ chunks(1)).toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == asOf1, "ranks must be as-of the last RECOMPUTE batch")
+      // the flush: a forced recompute over the full index catches up
+      LinkStream.recomputeNow(spark, "graft_test_edge_n", s"$tmp/out",
+        batchId = 99L)
+      val flushed = LinkStream.latestRanks(spark, s"$tmp/out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = LinkGraph.pagerank(all.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(flushed == want, "recomputeNow must equal the from-scratch run")
+    } finally {
+      graft.util.FsUtil.deleteRecursively(new java.io.File(tmp))
+      spark.sql("DROP TABLE IF EXISTS graft_test_edge_n")
+    }
+  }
 }
