@@ -2103,6 +2103,44 @@ object SparkEntry {
           .orderBy("doc_id")
       }
     }),
+    // revisit-record RESOLUTION (the read side of the revisit
+    // convention): digest-carrying revisits join back to the stored
+    // original response by payload digest — response side collapsed to
+    // one representative per digest first; the ghost revisit (digest
+    // matching no response) must come out with NULL originals, never
+    // silently dropped
+    "q_warc_revisit_resolve" -> ((s, d) => {
+      import graft.sources.WarcIngest
+      val parsed = plantWarcHistoryParsed(table(s, d, "documents"))
+      WarcIngest.resolveRevisits(parsed)
+        .select(col("url"), col("record_id"), col("payload_digest"),
+          col("original_record_id"), col("original_url"))
+        .orderBy("record_id", "url")
+    }),
+    // OBSERVED change rates -> recrawl pressure: each URL's fetch
+    // history (responses = content versions, revisits = explicit
+    // unchanged observations) collapses to n_fetches / n_versions /
+    // change_rate, and the rate drives the politeness schedule
+    // (change-hungry URLs recrawl in earlier waves) — the adaptive
+    // recrawl chain a crawler actually runs, end to end in one row
+    "q_recrawl_observed" -> ((s, d) => {
+      import graft.sources.WarcIngest
+      import graft.operators.UrlOps
+      import s.implicits._
+      val parsed = plantWarcHistoryParsed(table(s, d, "documents"))
+      val rates = WarcIngest.observedChangeRates(parsed)
+        .localCheckpoint(true) // feeds frontier + the re-join below
+      val frontier = rates.select(col("canon_url"),
+        col("canon_url").as("k"),
+        coalesce(col("change_rate"), lit(1.0)).as("priority"))
+      val noDelays = Seq.empty[(String, Double)].toDF("host", "delay_s")
+      val sched = UrlOps.frontierSchedule(frontier, "canon_url", "k",
+        "priority", noDelays)
+      sched.join(rates, sched("k") === rates("canon_url"))
+        .select(col("canon_url"), col("n_fetches"), col("n_versions"),
+          col("change_rate"), col("host"), col("wave"), col("fetch_at_ms"))
+        .orderBy("canon_url")
+    }),
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
     // registered `urls` relation)
@@ -5587,6 +5625,8 @@ object SparkEntry {
     "q_sql_url_report" -> linkUrlReportOracleSql,
     "q_warc_digest_dedup" -> warcDigestDedupOracleSql,
     "q_warc_digest_stream" -> warcDigestStreamOracleSql,
+    "q_warc_revisit_resolve" -> warcRevisitResolveOracleSql,
+    "q_recrawl_observed" -> recrawlObservedOracleSql,
     "q_link_host_rank" -> linkHostRankOracleSql,
     "q_link_components_idx" -> linkComponentsOracleSql,
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
@@ -6673,6 +6713,50 @@ object SparkEntry {
     WarcIngest.parseRawRecords(raw)
       .withColumn("doc_id", regexp_extract(col("record_id"),
         "urn:graft:([0-9]+)", 1).cast("long"))
+  }
+
+  /** Three-fetch history plant for the revisit/recrawl rows: every
+    * doc's URL (`https://h<doc%20>.com/d/<doc>`, already canonical) is
+    * fetched at T1<T2<T3; fetch 1 is always a response (declared
+    * digest `v1`); fetch 2 is a response with a NEW digest `v2` for
+    * doc≡0 mod 3, else a `revisit` carrying v1; fetch 3 is a response
+    * with digest `v3` for even docs, else a revisit of v1; docs ≡6
+    * mod 7 add a GHOST revisit (digest matching no response — the
+    * unresolvable case). Digests are all DECLARED deterministic
+    * strings (`md5:` + md5(`<doc>:<tag>`)), so the oracle replays the
+    * whole history; wrap→parse is the spec-pinned identity.
+    */
+  private def plantWarcHistoryParsed(docs: DataFrame): DataFrame = {
+    import graft.sources.WarcIngest
+    import org.apache.spark.sql.functions.{concat, md5, to_timestamp}
+    val u = docs.select(col("doc_id"),
+      concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+        lit(".com/d/"), col("doc_id").cast("string")).as("url"))
+    def dig(tag: String) = concat(lit("md5:"),
+      md5(concat(col("doc_id").cast("string"), lit(s":$tag"))))
+    def rid(f: String) =
+      concat(lit(s"urn:$f:"), col("doc_id").cast("string"))
+    def ts(day: Int) = to_timestamp(lit(f"2026-01-$day%02d 00:00:00"))
+    val f1 = u.select(WarcIngest.wrapAsRawRecordTyped(col("url"),
+      lit("<p>v1</p>"), ts(10), rid("f1"), lit("response"), dig("v1"))
+      .as("record"))
+    val f2r = u.filter(col("doc_id") % 3 === 0)
+      .select(WarcIngest.wrapAsRawRecordTyped(col("url"), lit("<p>v2</p>"),
+        ts(11), rid("f2"), lit("response"), dig("v2")).as("record"))
+    val f2v = u.filter(col("doc_id") % 3 =!= 0)
+      .select(WarcIngest.wrapAsRawRecordTyped(col("url"), lit(""),
+        ts(11), rid("f2"), lit("revisit"), dig("v1")).as("record"))
+    val f3r = u.filter(col("doc_id") % 2 === 0)
+      .select(WarcIngest.wrapAsRawRecordTyped(col("url"), lit("<p>v3</p>"),
+        ts(12), rid("f3"), lit("response"), dig("v3")).as("record"))
+    val f3v = u.filter(col("doc_id") % 2 =!= 0)
+      .select(WarcIngest.wrapAsRawRecordTyped(col("url"), lit(""),
+        ts(12), rid("f3"), lit("revisit"), dig("v1")).as("record"))
+    val f4g = u.filter(col("doc_id") % 7 === 6)
+      .select(WarcIngest.wrapAsRawRecordTyped(col("url"), lit(""),
+        ts(13), rid("f4"), lit("revisit"), dig("ghost")).as("record"))
+    WarcIngest.parseRawRecords(
+      f1.union(f2r).union(f2v).union(f3r).union(f3v).union(f4g))
   }
 
   /** Relative-href plant: each page (canonical src path `/p/<m>`, so
@@ -8001,6 +8085,77 @@ object SparkEntry {
        |SELECT doc_id, url FROM resp
        |WHERE doc_id % 3 <> 0 AND dig NOT IN (SELECT dig FROM sd)
        |ORDER BY doc_id""".stripMargin
+
+  /** The [[plantWarcHistoryParsed]] replay: `hresp` (responses with
+    * their declared digests) and `hrevs` (digest-carrying revisits) —
+    * wrap→parse is the spec-pinned identity, so the CTEs rebuild the
+    * parsed view directly from the plant's arithmetic.
+    */
+  private def warcHistoryCtesSql: String =
+    s"""hu AS (SELECT doc_id,
+       |  'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.com/d/' ||
+       |  CAST(doc_id AS VARCHAR) AS url FROM documents),
+       |hresp AS (
+       |  SELECT doc_id, url, 'urn:f1:' || CAST(doc_id AS VARCHAR) AS record_id,
+       |         'md5:' || md5(CAST(doc_id AS VARCHAR) || ':v1') AS dig FROM hu
+       |  UNION ALL
+       |  SELECT doc_id, url, 'urn:f2:' || CAST(doc_id AS VARCHAR),
+       |         'md5:' || md5(CAST(doc_id AS VARCHAR) || ':v2') FROM hu
+       |  WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id, url, 'urn:f3:' || CAST(doc_id AS VARCHAR),
+       |         'md5:' || md5(CAST(doc_id AS VARCHAR) || ':v3') FROM hu
+       |  WHERE doc_id % 2 = 0),
+       |hrevs AS (
+       |  SELECT doc_id, url, 'urn:f2:' || CAST(doc_id AS VARCHAR) AS record_id,
+       |         'md5:' || md5(CAST(doc_id AS VARCHAR) || ':v1') AS dig FROM hu
+       |  WHERE doc_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, url, 'urn:f3:' || CAST(doc_id AS VARCHAR),
+       |         'md5:' || md5(CAST(doc_id AS VARCHAR) || ':v1') FROM hu
+       |  WHERE doc_id % 2 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, url, 'urn:f4:' || CAST(doc_id AS VARCHAR),
+       |         'md5:' || md5(CAST(doc_id AS VARCHAR) || ':ghost') FROM hu
+       |  WHERE doc_id % 7 = 6)""".stripMargin
+
+  private def warcRevisitResolveOracleSql: String =
+    s"""WITH $warcHistoryCtesSql,
+       |reps AS (
+       |  SELECT dig, record_id AS original_record_id, url AS original_url
+       |  FROM hresp
+       |  QUALIFY row_number() OVER (PARTITION BY dig ORDER BY record_id, url) = 1)
+       |SELECT r.url, r.record_id, r.dig AS payload_digest,
+       |       reps.original_record_id, reps.original_url
+       |FROM hrevs r LEFT JOIN reps ON r.dig = reps.dig
+       |ORDER BY r.record_id, r.url""".stripMargin
+
+  private def recrawlObservedOracleSql: String =
+    s"""WITH $warcHistoryCtesSql,
+       |obs AS (SELECT url, dig FROM hresp UNION ALL SELECT url, dig FROM hrevs),
+       |rates AS (
+       |  SELECT url AS canon_url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       |         CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_versions
+       |  FROM obs GROUP BY url),
+       |pr AS (
+       |  SELECT canon_url, n_fetches, n_versions,
+       |         CASE WHEN n_fetches > 1 THEN
+       |           round(CAST(n_versions - 1 AS DOUBLE) / (n_fetches - 1), 6)
+       |         END AS change_rate,
+       |         COALESCE(CASE WHEN n_fetches > 1 THEN
+       |           round(CAST(n_versions - 1 AS DOUBLE) / (n_fetches - 1), 6)
+       |         END, 1.0) AS priority,
+       |         regexp_extract(canon_url, '^https://([^/]*)', 1) AS host
+       |  FROM rates),
+       |sched AS (
+       |  SELECT canon_url, n_fetches, n_versions, change_rate, host,
+       |         CAST(row_number() OVER (PARTITION BY host
+       |           ORDER BY priority DESC, canon_url, canon_url) - 1 AS BIGINT)
+       |           AS wave
+       |  FROM pr)
+       |SELECT canon_url, n_fetches, n_versions, change_rate, host, wave,
+       |       CAST(wave * 1000 AS BIGINT) AS fetch_at_ms
+       |FROM sched ORDER BY canon_url""".stripMargin
 
   /** Host-level PageRank replay: the host projection of the edge list
     * (distinct inter-host pairs — exactly [[graft.operators.LinkGraph

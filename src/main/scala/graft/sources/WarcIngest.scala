@@ -111,6 +111,78 @@ object WarcIngest {
   def responsesOnly(parsed: DataFrame): DataFrame =
     parsed.filter(col("url") =!= "" && col("html") =!= "")
 
+  /** Resolve `revisit` records to their stored ORIGINALS by payload
+    * digest — the read-side half of the revisit convention
+    * ([[dedupByPayloadDigest]] is the write side): per ISO 28500 /
+    * Common Crawl practice, a revisit record carries the original
+    * response's digest precisely so a reader can join the refetch back
+    * to the stored content. Returns one row per digest-carrying
+    * revisit: (`url`, `record_id`, `fetch_ts`, `payload_digest`,
+    * `original_record_id`, `original_url`) — the original columns NULL
+    * when no response in `parsed` shares the digest (unresolvable —
+    * honest, never a silent drop). Revisits with no declared digest
+    * are dropped (nothing to resolve by). Together with the responses
+    * this reconstructs each URL's full fetch history, the input
+    * [[observedChangeRates]] turns into recrawl pressure.
+    *
+    * Scale shape: the response side collapses to ONE representative
+    * per digest first (minimum (record_id, url) struct — the
+    * deterministic-winner rule every dedup tier uses), so the join is
+    * digest-keyed with no fan-out; shuffle ∝ distinct digests +
+    * revisits.
+    */
+  def resolveRevisits(parsed: DataFrame): DataFrame = {
+    val revs = parsed
+      .filter(col("warc_type") === "revisit" && col("payload_digest") =!= "")
+      .select(col("url"), col("record_id"), col("fetch_ts"),
+        col("payload_digest"))
+    val reps = parsed.filter(col("warc_type") === "response")
+      .withColumn("_dig", effectiveDigest)
+      .groupBy(col("_dig"))
+      .agg(min(struct(col("record_id"), col("url"))).as("_rep"))
+      .select(col("_dig").as("payload_digest"),
+        col("_rep.record_id").as("original_record_id"),
+        col("_rep.url").as("original_url"))
+    revs.join(reps, Seq("payload_digest"), "left")
+      .select(col("url"), col("record_id"), col("fetch_ts"),
+        col("payload_digest"), col("original_record_id"),
+        col("original_url"))
+  }
+
+  /** Per-URL OBSERVED content change rates from an archive's fetch
+    * history — the evidence an adaptive recrawl scheduler needs (how
+    * often a URL's content ACTUALLY changed across refetches, the
+    * Cho–García-Molina frequency input): every response contributes
+    * (canonical url, its effective digest); every digest-carrying
+    * revisit contributes (canonical url, the original's digest) — an
+    * explicit unchanged-at-refetch observation. One row per canonical
+    * URL: `n_fetches`, `n_versions` (distinct digests seen),
+    * `change_rate` = (n_versions − 1) / (n_fetches − 1) rounded 6 dp —
+    * the fraction of refetches that found NEW content — NULL for
+    * single-fetch URLs (no refetch evidence; feed
+    * `coalesce(change_rate, 1.0)` to a schedule so unknowns recrawl
+    * soon). One combiner-collapsed aggregation; shuffle ∝ distinct
+    * (url, digest) pairs.
+    */
+  def observedChangeRates(parsed: DataFrame): DataFrame = {
+    import graft.operators.UrlOps
+    val resp = parsed.filter(col("warc_type") === "response")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+        effectiveDigest.as("_dig"))
+    val revs = parsed
+      .filter(col("warc_type") === "revisit" && col("payload_digest") =!= "")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+        col("payload_digest").as("_dig"))
+    resp.unionByName(revs)
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("_dig")).as("n_versions"))
+      .withColumn("change_rate",
+        when(col("n_fetches") > 1,
+          round((col("n_versions") - 1).cast("double") /
+            (col("n_fetches") - 1), 6)))
+  }
+
   /** HTTP status code from a `response` payload that begins with the
     * embedded HTTP header block (`HTTP/1.1 200 OK\r\n…\r\n\r\nbody`);
     * '' when the payload carries no status line. Pure codegen.

@@ -444,6 +444,45 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(WarcIngest.splitGzMembersBytes(Array.empty[Byte]).isEmpty)
   }
 
+  test("resolveRevisits: digest join to the stored original; ghost digests " +
+      "resolve to NULL; observedChangeRates NULLs single-fetch URLs") {
+    import spark.implicits._
+    val parsed = Seq(
+      // url A: response v1, then a revisit of v1, then a response v2
+      ("https://a.com/", "id:a1", "response", "md5:va1", "<p>1</p>"),
+      ("https://a.com/", "id:a2", "revisit", "md5:va1", ""),
+      ("https://a.com/", "id:a3", "response", "md5:va2", "<p>2</p>"),
+      // url B: single fetch — no refetch evidence
+      ("https://b.com/", "id:b1", "response", "md5:vb1", "<p>b</p>"),
+      // url C: revisit whose digest matches no response (ghost), plus
+      // a digest-less revisit that must drop (nothing to resolve by)
+      ("https://c.com/", "id:c1", "response", "md5:vc1", "<p>c</p>"),
+      ("https://c.com/", "id:c2", "revisit", "md5:ghost", ""),
+      ("https://c.com/", "id:c3", "revisit", "", ""))
+      .toDF("url", "record_id", "warc_type", "payload_digest", "html")
+      .withColumn("fetch_ts",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit("2026-01-10 00:00:00")))
+    val resolved = WarcIngest.resolveRevisits(parsed)
+      .collect().map(r => r.getString(1) ->
+        ((Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(resolved.keySet == Set("id:a2", "id:c2"),
+      s"digest-less revisits must drop: ${resolved.keySet}")
+    assert(resolved("id:a2") == ((Some("id:a1"), Some("https://a.com/"))))
+    assert(resolved("id:c2") == ((None, None)),
+      "ghost digest must resolve to NULL originals, not drop")
+    val rates = WarcIngest.observedChangeRates(parsed)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    // A: 3 fetches, versions {va1, va2} -> rate (2-1)/(3-1) = 0.5
+    assert(rates("https://a.com") == ((3L, 2L, Some(0.5))), rates)
+    // B: single fetch -> NULL rate (no refetch evidence)
+    assert(rates("https://b.com") == ((1L, 1L, None)), rates)
+    // C: 2 digest-bearing observations {vc1, ghost} -> rate 1.0 (the
+    // digest-less revisit contributes nothing)
+    assert(rates("https://c.com") == ((2L, 2L, Some(1.0))), rates)
+  }
+
   test("splitGzMembers: trailer CRC32/ISIZE mismatches yield NULL in place " +
       "(members around survive); a truncated trailer is the corrupt tail") {
     val members = Seq("alpha", "beta", "gamma").map(_.getBytes("UTF-8"))
