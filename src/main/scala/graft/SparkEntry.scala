@@ -2742,6 +2742,25 @@ object SparkEntry {
           "url", "doc_id", "priority", noDelays, maxPerHost = 3)
         .orderBy("doc_id", "wave")
     }),
+    // the sitemap DISCOVERY frontier: children the staged index bodies
+    // reference but the pool does not hold — exactly the two
+    // missing*.xml per index — scheduled into politeness waves (one
+    // host per index doc, so waves 0 and 1 per host in url order);
+    // staged children and loc-less blocks must contribute nothing
+    "q_sitemap_frontier" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.UrlOps
+      val pool = plantSitemapIndexPool(table(s, d, "documents"))
+      val frontier = UrlOps.sitemapFrontier(pool, "url", "xml", "doc_id")
+        .withColumn("priority", lit(0.5))
+        .withColumn("k", col("child_url"))
+      val noDelays = Seq.empty[(String, Double)].toDF("host", "delay_s")
+      UrlOps.frontierSchedule(frontier, "child_url", "k", "priority",
+          noDelays)
+        .select(col("k").as("child_url"), col("host"), col("wave"),
+          col("fetch_at_ms"))
+        .orderBy("child_url")
+    }),
     // sitemap-declared importance feeding the crawl plan: <priority>
     // parsed (clamped to [0,1], spec default 0.5 for absent/junk),
     // entries scheduled in politeness waves under a per-host budget of
@@ -5632,6 +5651,7 @@ object SparkEntry {
     // sitemap blocks -> (canonical loc, verbatim lastmod); loc-less
     // blocks dropped, entity decode before the canonical terms
     "q_sitemap_urls" -> sitemapUrlsOracleSql,
+    "q_sitemap_frontier" -> sitemapFrontierOracleSql,
     // index resolution: child locs -> staged bodies -> entry union ->
     // budget waves; the unstaged child and loc-less block drop
     "q_url_sitemap_index" -> sitemapIndexOracleSql,
@@ -6615,8 +6635,9 @@ object SparkEntry {
     * whitespace-wrapped child loc with a lastmod (ignored at the
     * index level), a child loc AND staged URL both needing
     * canonicalization (case/www/:443 on one side, case/www on the
-    * other — they must meet at the same canonical), a referenced but
-    * UNSTAGED child (`missing.xml` — contributes nothing: the next
+    * other — they must meet at the same canonical), TWO referenced but
+    * UNSTAGED children (`missing.xml`, `missing2.xml` — they
+    * contribute nothing here and are exactly the q_sitemap_frontier
     * fetch wave), and a loc-less `<sitemap>` block (dropped). Child
     * bodies carry four `<url>` entries between them, incl. an
     * `&amp;`-escaped query. Replayed literally in
@@ -6637,6 +6658,8 @@ object SparkEntry {
         lit(".Example.COM:443/sm/b.xml</loc></sitemap>\n" +
           "<sitemap><loc>https://sm"), d,
         lit(".example.com/sm/missing.xml</loc></sitemap>\n" +
+          "<sitemap><loc>https://sm"), d,
+        lit(".example.com/sm/missing2.xml</loc></sitemap>\n" +
           "<sitemap><lastmod>2024-06-01</lastmod></sitemap>\n" +
           "</sitemapindex>")).as("xml"))
     val childA = docs.select(col("doc_id"),
@@ -8129,6 +8152,29 @@ object SparkEntry {
        |       reps.original_record_id, reps.original_url
        |FROM hrevs r LEFT JOIN reps ON r.dig = reps.dig
        |ORDER BY r.record_id, r.url""".stripMargin
+
+  /** Sitemap-frontier replay: the two unstaged children per index doc
+    * ([[plantSitemapIndexPool]]'s missing/missing2), scheduled with
+    * the same window arithmetic as [[UrlOps.frontierSchedule]]
+    * (per-host row_number over (priority desc, url, key) minus 1;
+    * priority constant here so the url order decides).
+    */
+  private def sitemapFrontierOracleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, 'https://sm' || CAST(doc_id AS VARCHAR) ||
+       |         '.example.com/sm/missing.xml' AS child_url FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'https://sm' || CAST(doc_id AS VARCHAR) ||
+       |         '.example.com/sm/missing2.xml' FROM documents),
+       |s AS (
+       |  SELECT child_url,
+       |         'sm' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+       |         CAST(row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY child_url, child_url) - 1 AS BIGINT) AS wave
+       |  FROM f)
+       |SELECT child_url, host, wave,
+       |       CAST(wave * 1000 AS BIGINT) AS fetch_at_ms
+       |FROM s ORDER BY child_url""".stripMargin
 
   private def recrawlObservedOracleSql: String =
     s"""WITH $warcHistoryCtesSql,

@@ -505,6 +505,29 @@ object UrlOps {
     sitemapUrls(childBodies, xmlCol, keyCol)
   }
 
+  /** The sitemap DISCOVERY FRONTIER — children referenced by staged
+    * INDEX bodies but NOT themselves staged: the next fetch wave of
+    * the sitemap walk ([[sitemapUrlsViaIndex]] reads the staged
+    * children; this materializes the remainder its scaladoc defined).
+    * One row per (`keyCol`, `child_url`), keyed by the referencing
+    * index's key (discovery provenance — budgets charge the site that
+    * declared the index); feed it to [[frontierSchedule]] /
+    * [[frontierBudget]] for the polite fetch plan, and iterate
+    * fetch→stage→this operator for deeper-than-one nesting.
+    *
+    * Scale shape: the child list is index-sized (tiny); the anti-join
+    * probes the ONE-COLUMN canonical projection of the pool, and AQE
+    * broadcasts whichever side is actually small.
+    */
+  def sitemapFrontier(staged: DataFrame, urlCol: String, xmlCol: String,
+                      keyCol: String): DataFrame = {
+    val isIndex = col(xmlCol).rlike("(?is)<sitemapindex\\b")
+    val children = sitemapIndexChildren(staged.filter(isIndex), xmlCol, keyCol)
+    val pool = staged.select(canonicalizeUrl(col(urlCol)).as("child_url"))
+    children.join(pool, Seq("child_url"), "left_anti")
+      .select(col(keyCol), col("child_url"))
+  }
+
   /** [[frontierSchedule]] with a per-host crawl budget: waves past
     * `maxPerHost` are cut, so each politeness cycle fetches at most
     * that many URLs per host — the budget knob every crawler exposes.
