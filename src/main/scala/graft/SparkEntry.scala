@@ -2141,6 +2141,40 @@ object SparkEntry {
           col("change_rate"), col("host"), col("wave"), col("fetch_at_ms"))
         .orderBy("canon_url")
     }),
+    // the digest gate with FOLD-BACK on (appendAccepted = true): each
+    // accepted batch's digests join the index, so a later batch's
+    // same-digest duplicate is gated — exactly one survivor per digest
+    // ACROSS batches. Determinism by construction: two sequential
+    // AvailableNow drains on one checkpoint (the daily-drop shape),
+    // one batch each — evens land first, odds arrive later; the
+    // within-batch co-arrival window stays open (documented), so the
+    // oracle is seed-anti-join for stage A, then (seed ∪ A) for B
+    "q_warc_digest_stream_fold" -> ((s, d) => {
+      import graft.sources.WarcIngest
+      val parsed = plantWarcMixedParsed(table(s, d, "documents"))
+        .localCheckpoint(true) // feeds seed + both stages — one evaluation
+      BenchPhases.timed("q_warc_digest_stream_fold", "build")(
+        WarcIngest.writeDigestIndex(parsed.filter(col("doc_id") % 3 === 0),
+          "graft_warc_digest_fold_idx"))
+      withTempDir("graft_wdigest_fold") { tmp =>
+        BenchPhases.timed("q_warc_digest_stream_fold", "stage")(
+          parsed.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 0)
+            .repartition(2).write.parquet(s"$tmp/input"))
+        BenchPhases.drainTimed("q_warc_digest_stream_fold")(
+          graft.streaming.DedupStream.startDigest(s, s"$tmp/input",
+            "graft_warc_digest_fold_idx", s"$tmp/out", s"$tmp/cp",
+            appendAccepted = true))
+        BenchPhases.timed("q_warc_digest_stream_fold", "stage")(
+          parsed.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 1)
+            .repartition(2).write.mode("append").parquet(s"$tmp/input"))
+        BenchPhases.drainTimed("q_warc_digest_stream_fold")(
+          graft.streaming.DedupStream.startDigest(s, s"$tmp/input",
+            "graft_warc_digest_fold_idx", s"$tmp/out", s"$tmp/cp",
+            appendAccepted = true))
+        s.read.parquet(s"$tmp/out").select("doc_id", "url")
+          .orderBy("doc_id")
+      }
+    }),
     // the URL faces through SQL — same logical plans by construction,
     // shared oracles (a crawl-ops dashboard calls these over a
     // registered `urls` relation)
@@ -5644,6 +5678,7 @@ object SparkEntry {
     "q_sql_url_report" -> linkUrlReportOracleSql,
     "q_warc_digest_dedup" -> warcDigestDedupOracleSql,
     "q_warc_digest_stream" -> warcDigestStreamOracleSql,
+    "q_warc_digest_stream_fold" -> warcDigestStreamFoldOracleSql,
     "q_warc_revisit_resolve" -> warcRevisitResolveOracleSql,
     "q_recrawl_observed" -> recrawlObservedOracleSql,
     "q_link_host_rank" -> linkHostRankOracleSql,
@@ -8107,6 +8142,26 @@ object SparkEntry {
        |sd AS (SELECT DISTINCT dig FROM resp WHERE doc_id % 3 = 0)
        |SELECT doc_id, url FROM resp
        |WHERE doc_id % 3 <> 0 AND dig NOT IN (SELECT dig FROM sd)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Fold-back digest-gate replay: stage A (streamed evens) gates
+    * against the seed digests only; stage B (streamed odds, arriving
+    * after A's fold) gates against seed ∪ A's accepted digests — one
+    * survivor per digest across the two batches, while same-digest
+    * co-arrivals WITHIN a batch both pass (the documented window).
+    */
+  private def warcDigestStreamFoldOracleSql: String =
+    s"""WITH $warcMixedRecCtesSql,
+       |sd AS (SELECT DISTINCT dig FROM resp WHERE doc_id % 3 = 0),
+       |a AS (SELECT doc_id, url, dig FROM resp
+       |      WHERE doc_id % 3 <> 0 AND doc_id % 2 = 0
+       |        AND dig NOT IN (SELECT dig FROM sd)),
+       |b AS (SELECT doc_id, url FROM resp
+       |      WHERE doc_id % 3 <> 0 AND doc_id % 2 = 1
+       |        AND dig NOT IN (SELECT dig FROM sd)
+       |        AND dig NOT IN (SELECT dig FROM a))
+       |SELECT doc_id, url FROM a
+       |UNION ALL SELECT doc_id, url FROM b
        |ORDER BY doc_id""".stripMargin
 
   /** The [[plantWarcHistoryParsed]] replay: `hresp` (responses with
