@@ -2693,6 +2693,20 @@ object SparkEntry {
         graft.operators.LinkGraph.extractLinks(
           plantLinkedPages(table(s, d, "documents")), "url", "html"),
         iters = 2).orderBy("url")),
+    // HOST-sharded HITS — the sharded-ranking shape the resolution
+    // bound prescribes past ~10^9 nodes (HITS was defined on local
+    // subgraphs; the host projection is orders of magnitude smaller
+    // than the page graph): pure composition of hostGraph + hits, the
+    // q_link_host_rank precedent with authorities/hubs instead of rank
+    "q_link_hits_host" -> ((s, d) => {
+      val hg = graft.operators.LinkGraph.hostGraph(
+        graft.operators.LinkGraph.extractLinks(
+          plantLinkedPages(table(s, d, "documents")), "url", "html"))
+      graft.operators.LinkGraph.hits(
+          hg.select(col("src_host").as("src"), col("dst_host").as("dst")),
+          iters = 2)
+        .orderBy("url")
+    }),
     // streamed PageRank maintenance (the link family's streaming face,
     // completing the persisted-index line): half the edge list seeds
     // the bucketed index, the other half streams in as micro-batches —
@@ -5666,6 +5680,7 @@ object SparkEntry {
     "q_link_hits" -> linkHitsOracleSql,
     "q_link_hits_idx" -> linkHitsOracleSql,
     "q_sql_link_hits" -> linkHitsOracleSql,
+    "q_link_hits_host" -> linkHitsHostOracleSql,
     // archive triage counts straight off the plant arithmetic (wrap →
     // parse is identity; the digest header rides any record type)
     "q_warc_types" ->
@@ -8064,18 +8079,18 @@ object SparkEntry {
     * [[graft.operators.LinkGraph.hits]], HUGEINT sums cast back at the
     * end.
     */
-  private def hitsIterCteSql(i: Int): String = {
+  private def hitsIterCteSql(i: Int, edgesCte: String = "edges"): String = {
     val p = s"s${i - 1}"
     val T = graft.operators.LinkGraph.HitsTotal
     s"""ar$i AS (SELECT e.dst, CAST(SUM(s.hub) AS BIGINT) AS ra
-       |         FROM edges e JOIN $p s ON e.src = s.url GROUP BY e.dst),
+       |         FROM $edgesCte e JOIN $p s ON e.src = s.url GROUP BY e.dst),
        |at$i AS (SELECT CAST(SUM(ra) AS BIGINT) AS t FROM ar$i),
        |sa$i AS (SELECT s.url, s.hub,
        |               (COALESCE(ar$i.ra, 0) * $T) // at$i.t AS authority
        |         FROM $p s CROSS JOIN at$i
        |         LEFT JOIN ar$i ON s.url = ar$i.dst),
        |hr$i AS (SELECT e.src, CAST(SUM(s.authority) AS BIGINT) AS rh
-       |         FROM edges e JOIN sa$i s ON e.dst = s.url GROUP BY e.src),
+       |         FROM $edgesCte e JOIN sa$i s ON e.dst = s.url GROUP BY e.src),
        |ht$i AS (SELECT CAST(SUM(rh) AS BIGINT) AS t FROM hr$i),
        |s$i AS (SELECT s.url,
        |              (COALESCE(hr$i.rh, 0) * $T) // ht$i.t AS hub,
@@ -8094,6 +8109,32 @@ object SparkEntry {
        |       FROM nodes CROSS JOIN nn),
        |${hitsIterCteSql(1)},
        |${hitsIterCteSql(2)}
+       |SELECT url, CAST(hub AS BIGINT) AS hub,
+       |       CAST(authority AS BIGINT) AS authority
+       |FROM s2 ORDER BY url""".stripMargin
+  }
+
+  /** Host-level HITS replay: the [[linkHostRankOracleSql]] host
+    * projection (`hed`) fed through the SAME two unrolled HITS
+    * iterations, the edge relation swapped — the sharded-ranking shape
+    * the resolution-bound scaladoc prescribes past ~10^9 nodes.
+    */
+  private def linkHitsHostOracleSql: String = {
+    val T = graft.operators.LinkGraph.HitsTotal
+    s"""WITH $linkEdgesCtesSql,
+       |hed AS (
+       |  SELECT DISTINCT regexp_extract(src, '^[a-z+.-]+://([^/?]*)', 1) AS src,
+       |         regexp_extract(dst, '^[a-z+.-]+://([^/?]*)', 1) AS dst
+       |  FROM edges
+       |  WHERE regexp_extract(src, '^[a-z+.-]+://([^/?]*)', 1)
+       |     <> regexp_extract(dst, '^[a-z+.-]+://([^/?]*)', 1)),
+       |nodes AS (SELECT DISTINCT url FROM
+       |  (SELECT src AS url FROM hed UNION ALL SELECT dst FROM hed)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |s0 AS (SELECT url, $T // nn.n AS hub, $T // nn.n AS authority
+       |       FROM nodes CROSS JOIN nn),
+       |${hitsIterCteSql(1, "hed")},
+       |${hitsIterCteSql(2, "hed")}
        |SELECT url, CAST(hub AS BIGINT) AS hub,
        |       CAST(authority AS BIGINT) AS authority
        |FROM s2 ORDER BY url""".stripMargin
