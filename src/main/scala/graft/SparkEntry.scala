@@ -2894,6 +2894,30 @@ object SparkEntry {
       s.sql("SELECT url, rank, n_inlinks, nofollow_share, top_anchor " +
         "FROM graft_url_report() ORDER BY url")
     }),
+    // the round-14 faces: host-sharded HITS, revisit resolution and
+    // the sitemap frontier as ONE SQL SELECT over registered relations
+    // — same logical plans by construction, shared oracles
+    "q_sql_link_hits_host" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantLinkedPages(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.LinkPagesRelation)
+      s.sql("SELECT url, hub, authority FROM graft_link_hits_host(2) " +
+        "ORDER BY url")
+    }),
+    "q_sql_warc_revisits" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantWarcHistoryParsed(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.WarcRecordsRelation)
+      s.sql("SELECT url, record_id, payload_digest, original_record_id, " +
+        "original_url FROM graft_warc_revisits() ORDER BY record_id, url")
+    }),
+    "q_sql_sitemap_frontier" -> ((s, d) => {
+      GraftFunctions.register(s)
+      plantSitemapIndexPool(table(s, d, "documents"))
+        .createOrReplaceTempView(SqlTableFunctions.SitemapsRelation)
+      s.sql("SELECT doc_id, child_url FROM graft_sitemap_frontier() " +
+        "ORDER BY doc_id, child_url")
+    }),
     // directory-relative resolution face: ../, ./, mixed traversal and
     // the above-root clamp, all via the fixed-pass dot-segment
     // contraction the oracle replays pass-for-pass
@@ -5681,6 +5705,9 @@ object SparkEntry {
     "q_link_hits_idx" -> linkHitsOracleSql,
     "q_sql_link_hits" -> linkHitsOracleSql,
     "q_link_hits_host" -> linkHitsHostOracleSql,
+    "q_sql_link_hits_host" -> linkHitsHostOracleSql,
+    "q_sql_warc_revisits" -> warcRevisitResolveOracleSql,
+    "q_sql_sitemap_frontier" -> sitemapFrontierPairsOracleSql,
     // archive triage counts straight off the plant arithmetic (wrap →
     // parse is identity; the digest header rides any record type)
     "q_warc_types" ->
@@ -8271,6 +8298,18 @@ object SparkEntry {
        |SELECT child_url, host, wave,
        |       CAST(wave * 1000 AS BIGINT) AS fetch_at_ms
        |FROM s ORDER BY child_url""".stripMargin
+
+  /** Frontier-pairs replay (the bare operator face, no schedule): the
+    * two unstaged children per index doc, keyed by the index.
+    */
+  private def sitemapFrontierPairsOracleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, 'https://sm' || CAST(doc_id AS VARCHAR) ||
+       |         '.example.com/sm/missing.xml' AS child_url FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'https://sm' || CAST(doc_id AS VARCHAR) ||
+       |         '.example.com/sm/missing2.xml' FROM documents)
+       |SELECT doc_id, child_url FROM f ORDER BY doc_id, child_url""".stripMargin
 
   private def recrawlObservedOracleSql: String =
     s"""WITH $warcHistoryCtesSql,

@@ -99,6 +99,20 @@ object SqlTableFunctions {
   /** The relation the vector functions read (vec_id, embedding). */
   val EmbeddingsRelation = "embeddings"
 
+  /** The relation the WARC-history faces read: one row per PARSED
+    * archive record — `url`, `record_id`, `warc_type`,
+    * `payload_digest`, `html`, `fetch_ts`
+    * ([[graft.sources.WarcIngest.parseRawRecords]] output).
+    */
+  val WarcRecordsRelation = "warc_records"
+
+  /** The relation the sitemap faces read: one row per STAGED sitemap
+    * fetch — `doc_id`, `url`, `xml` (the resource's own address and
+    * body; index bodies and child bodies side by side, the
+    * [[graft.operators.UrlOps.sitemapUrlsViaIndex]] pool shape).
+    */
+  val SitemapsRelation = "sitemaps"
+
   private final case class TableFn(
       name: String, usage: String, arity: Int,
       build: (SparkSession, Seq[Expression]) => DataFrame)
@@ -541,6 +555,40 @@ object SqlTableFunctions {
     add("graft_url_report", "graft_url_report()", 0) { (s, f, _) =>
       graft.operators.LinkGraph.urlReport(
         rel(s, LinkPagesRelation, f.name), "url", "html")
+    }
+    add("graft_link_hits_host", "graft_link_hits_host(iters)", 1) { (s, f, a) =>
+      import org.apache.spark.sql.functions.col
+      val hg = graft.operators.LinkGraph.hostGraph(
+        graft.operators.LinkGraph.extractLinks(
+          rel(s, LinkPagesRelation, f.name), "url", "html"))
+      graft.operators.LinkGraph.hits(
+        hg.select(col("src_host").as("src"), col("dst_host").as("dst")),
+        iters = intArg(f, a, 0))
+    }
+    add("graft_warc_revisits", "graft_warc_revisits()", 0) { (s, f, _) =>
+      graft.sources.WarcIngest.resolveRevisits(
+        rel(s, WarcRecordsRelation, f.name))
+    }
+    add("graft_recrawl_observed", "graft_recrawl_observed()", 0) { (s, f, _) =>
+      graft.sources.WarcIngest.observedChangeRates(
+        rel(s, WarcRecordsRelation, f.name))
+    }
+    add("graft_sitemap_urls", "graft_sitemap_urls()", 0) { (s, f, _) =>
+      graft.operators.UrlOps.sitemapUrls(
+        rel(s, SitemapsRelation, f.name), "xml", "doc_id")
+    }
+    add("graft_sitemap_entries", "graft_sitemap_entries()", 0) { (s, f, _) =>
+      graft.operators.UrlOps.sitemapEntries(
+        rel(s, SitemapsRelation, f.name), "xml", "doc_id")
+    }
+    add("graft_sitemap_index_urls", "graft_sitemap_index_urls()", 0) {
+      (s, f, _) =>
+        graft.operators.UrlOps.sitemapUrlsViaIndex(
+          rel(s, SitemapsRelation, f.name), "url", "xml", "doc_id")
+    }
+    add("graft_sitemap_frontier", "graft_sitemap_frontier()", 0) { (s, f, _) =>
+      graft.operators.UrlOps.sitemapFrontier(
+        rel(s, SitemapsRelation, f.name), "url", "xml", "doc_id")
     }
     add("graft_line_dedup_intra", "graft_line_dedup_intra()", 0) { (s, f, _) =>
       graft.operators.Dedup.lineDedupWithinDoc(rel(s, DocumentsRelation, f.name))
