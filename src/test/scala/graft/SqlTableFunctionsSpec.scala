@@ -517,6 +517,40 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("createOrReplaceTempView"))
   }
 
+  test("graft_sitemap_urls/_entries/_index_urls ≡ UrlOps sitemap family; " +
+      "graft_recrawl_observed ≡ WarcIngest.observedChangeRates") {
+    import spark.implicits._
+    // a staged pool: one index body + one staged child + one unstaged
+    // reference — all three faces read the same `sitemaps` relation
+    val pool = Seq(
+      (1L, "https://s.com/sitemap.xml",
+        "<sitemapindex><sitemap><loc>https://s.com/sm/a.xml</loc></sitemap>" +
+          "<sitemap><loc>https://s.com/sm/miss.xml</loc></sitemap></sitemapindex>"),
+      (2L, "https://s.com/sm/a.xml",
+        "<urlset><url><loc>https://s.com/u/1</loc>" +
+          "<lastmod>2024-01-15</lastmod></url>" +
+          "<url><loc>https://s.com/u/2</loc>" +
+          "<priority>0.8</priority></url></urlset>"))
+      .toDF("doc_id", "url", "xml")
+    pool.createOrReplaceTempView(SqlTableFunctions.SitemapsRelation)
+    assertSame("SELECT * FROM graft_sitemap_urls()",
+      graft.operators.UrlOps.sitemapUrls(pool, "xml", "doc_id"))
+    assertSame("SELECT * FROM graft_sitemap_entries()",
+      graft.operators.UrlOps.sitemapEntries(pool, "xml", "doc_id"))
+    assertSame("SELECT * FROM graft_sitemap_index_urls()",
+      graft.operators.UrlOps.sitemapUrlsViaIndex(pool, "url", "xml", "doc_id"))
+    val parsed = Seq(
+      ("https://a.com/", "id:a1", "response", "md5:v1", "<p>1</p>"),
+      ("https://a.com/", "id:a2", "revisit", "md5:v1", ""),
+      ("https://a.com/", "id:a3", "response", "md5:v2", "<p>2</p>"))
+      .toDF("url", "record_id", "warc_type", "payload_digest", "html")
+      .withColumn("fetch_ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2026-01-10 00:00:00")))
+    parsed.createOrReplaceTempView(SqlTableFunctions.WarcRecordsRelation)
+    assertSame("SELECT * FROM graft_recrawl_observed()",
+      graft.sources.WarcIngest.observedChangeRates(parsed))
+  }
+
   test("meta: every registered graft_* face is gated — by a q_sql_* oracle row or a ≡-assertion in this file") {
     // registry-level tripwire: a future face added to SqlTableFunctions
     // without a gate fails HERE, instead of shipping unverified. A face
