@@ -40,7 +40,15 @@ object Clustering {
     */
   private def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    // LAZY local checkpoint: the [[edgeStats]] aggregate that follows
+    // every cut IS the materializing action, so each round runs one
+    // job instead of checkpoint-job + aggregate-job (the
+    // LinkGraph.truncateLineageFused discipline; reliable checkpoints
+    // stay eager — a lazy reliable checkpoint re-runs the producing
+    // job to write its files). The loop's unpersist of the superseded
+    // round happens only after the successor's edgeStats ran, so the
+    // lazy frame is always materialized before its inputs release.
+    else df.localCheckpoint(false)
 
   /** Large-star: every node connects its strictly-larger neighbors to the
     * minimum of its neighborhood (including itself). Input and output are

@@ -617,6 +617,38 @@ object LinkGraph {
       case None => df.localCheckpoint(eager = true)
     }
 
+  /** [[truncateLineage]] with the MATERIALIZING action deferred to the
+    * caller's immediately-following aggregate — the per-iteration
+    * job-fusion variant for loops that already run one action over the
+    * truncated frame right after truncating (pagerank's delta/dangling
+    * aggregate, the contraction loop's edge checksum). An EAGER
+    * localCheckpoint is its own job (compute + persist every
+    * partition), so the loop paid two jobs per iteration for one pass
+    * of work; the LAZY form cuts the Dataset lineage identically (the
+    * returned frame's plan is already the RDD scan) but lets the
+    * caller's aggregate be the run that populates the persisted
+    * blocks — one job per iteration (measured: pagerank(3) over cached
+    * sf0.1 edges 1.97 → ~1.2 s warm).
+    *
+    * CONTRACT: the caller MUST run an action on the returned frame
+    * before unpersisting or releasing any input the truncated plan
+    * reads — a lazy local checkpoint materialized after its inputs are
+    * gone recomputes through RDD lineage (correct, but repeats the
+    * work the truncation was supposed to seal).
+    *
+    * Reliable-checkpoint mode stays EAGER deliberately: a lazy
+    * reliable `checkpoint()` runs the producing job twice (once for
+    * the caller's action, once more to write the checkpoint files) —
+    * the classic non-eager-checkpoint trap — so fusing would cost a
+    * pass instead of saving one.
+    */
+  private[graft] def truncateLineageFused(df: DataFrame,
+                                          checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(_) => df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = false)
+    }
+
   /** Scope the SparkContext-GLOBAL checkpoint directory to `body`:
     * `setCheckpointDir` mutates shared session state, so a bare set
     * would silently redirect every OTHER job's reliable checkpoints
@@ -703,23 +735,30 @@ object LinkGraph {
         .withColumn("_seed", coalesce(col("_m"), lit(0)).cast("int"))
         .drop("_m")
     }).persist()
-    val n = base.count()
+    // ONE setup aggregate (materializes the persisted base as it runs):
+    // node count, dangling-node count and seed count together — the
+    // three-job draft (count, seed count, dangling-mass sum) paid two
+    // extra full job round-trips per call for numbers one pass provides
+    val initRow = base.agg(
+      count(lit(1)),
+      coalesce(sum(when(col("outdeg") === 0L, 1L)), lit(0L)),
+      coalesce(sum(when(col("_seed") === 1, 1L)), lit(0L))).head()
+    val n = initRow.getLong(0)
     require(n > 0, "pagerank over an empty edge list has no node set " +
       "(the uniform init would divide by zero) — filter upstream")
     // teleport mass spreads over the SEED set (classic PageRank is the
     // all-seeds special case where nTeleport == n)
-    val nTeleport = seeds.fold(n)(_ =>
-      base.filter(col("_seed") === 1).count())
+    val nTeleport = seeds.fold(n)(_ => initRow.getLong(2))
     require(nTeleport > 0, "personalized PageRank needs at least one seed present in the graph")
     val d = dampingPct.toLong
     val baseShare = ((100L - d) * (FixedPointTotal / nTeleport)) / 100L
     var ranks: DataFrame = base.select(col("url"), col("outdeg"),
       col("_seed"), lit(FixedPointTotal / n).as("rank"))
-    // iteration 0's dangling mass comes off the uniform init directly
-    // (one aggregate over the persisted base — no rank scan needed)
-    var dangling = base.filter(col("outdeg") === 0L)
-      .agg(coalesce(sum(lit(FixedPointTotal / n)), lit(0L)))
-      .head().getLong(0)
+    // iteration 0's dangling mass comes off the uniform init directly:
+    // every dangling node holds exactly (total div n), so the mass is
+    // that share times the dangling-node count — same exact integer as
+    // the sum the draft aggregated row-by-row
+    var dangling = (FixedPointTotal / n) * initRow.getLong(1)
     var it = 0
     var converged = false
     // the previous iteration's truncated frame: released as soon as
@@ -753,7 +792,11 @@ object LinkGraph {
             s"ELSE 0L END + (${d}L * coalesce(contrib, 0L)) div 100")
             .as("rank"),
           ranks("rank").as("_prev"))
-      val nextCp = truncateLineage(next, checkpointDir)
+      // LAZY truncation: the delta/dangling aggregate right below is
+      // the materializing action, so each iteration runs ONE job, not
+      // a checkpoint job plus an aggregate job (see truncateLineageFused
+      // — the aggregate runs before anything the plan reads unpersists)
+      val nextCp = truncateLineageFused(next, checkpointDir)
       // one scalar aggregate per iteration over the checkpointed frame
       // computes the exact-integer L1 delta vs the previous ranks (the
       // convergence test — with the default stopDeltaL1 = 0 the loop
@@ -843,23 +886,43 @@ object LinkGraph {
     var scores: DataFrame = nodes.select(col("url"),
       lit(T / n).as("hub"), lit(T / n).as("authority"))
     var prevCp: DataFrame = null
+    // LAZY per-iteration truncation (truncateLineageFused): iteration
+    // i's truncated frame is materialized by iteration i+1's FIRST
+    // scalar aggregate (the `aTot` job joins `scores` = that frame), so
+    // the loop runs two jobs per iteration, not three. Consequence for
+    // release hygiene: iteration i's persisted intermediates
+    // (araw/withA/hraw) and the superseded i−1 checkpoint are inputs of
+    // the still-unmaterialized frame, so they move to `pending` and
+    // release only AFTER the next materializing action — never before
+    // (an input released under a lazy checkpoint recomputes through RDD
+    // lineage: correct, but repeats the pass the fusion saved).
+    var pending: List[DataFrame] = Nil   // persisted intermediates
+    var pendingCp: DataFrame = null      // superseded truncated frame
+    var cpMaterialized = true            // is `scores`'s checkpoint live?
+    def releasePending(): Unit = {
+      pending.foreach(_.unpersist(false)); pending = Nil
+      if (pendingCp != null) { releaseTruncated(pendingCp); pendingCp = null }
+    }
     var it = 0
     var dead = false
     while (it < iters && !dead) {
       // each intermediate feeds MULTIPLE actions (the rescale total,
-      // the opposite-direction aggregation, the materializing
-      // truncation) — persisted so the edges⋈scores aggregation runs
-      // ONCE per direction per iteration, not re-derived per action
-      // (the unpersisted draft rebuilt `araw` up to 3×: measured
-      // 7.9–9.0 s vs PageRank-idx's ~4.3 s at sf0.1 on the same
-      // graph). All three are node-sized, released before the next
-      // iteration starts; only `nextCp` (the pagerankCore discipline)
-      // survives the iteration.
+      // the opposite-direction aggregation, the next frame's
+      // materialization) — persisted so the edges⋈scores aggregation
+      // runs ONCE per direction per iteration, not re-derived per
+      // action (the unpersisted draft rebuilt `araw` up to 3×:
+      // measured 7.9–9.0 s vs PageRank-idx's ~4.3 s at sf0.1 on the
+      // same graph). All three are node-sized, released after the next
+      // iteration materializes; only the truncated frame survives.
       val araw = e.join(scores.select(col("url"), col("hub")),
           e("src") === scores("url"))
         .groupBy(col("dst")).agg(sum("hub").as("_ra"))
         .persist(lvl)
       val aTot = araw.agg(coalesce(sum("_ra"), lit(0L))).head().getLong(0)
+      // the aTot job read `scores`, so a lazy previous-iteration
+      // checkpoint is materialized NOW — its inputs can finally go
+      cpMaterialized = true
+      releasePending()
       if (aTot == 0L) { araw.unpersist(false); dead = true }
       else {
         val withA = scores.join(araw, scores("url") === araw("dst"), "left")
@@ -880,16 +943,22 @@ object LinkGraph {
             .select(withA("url"),
               expr(s"(coalesce(_rh, 0L) * ${T}L) div ${hTot}L").as("hub"),
               withA("authority"))
-          val nextCp = truncateLineage(next, checkpointDir)
-          if (prevCp != null) releaseTruncated(prevCp)
+          val nextCp = truncateLineageFused(next, checkpointDir)
+          pending = List(araw, withA, hraw)
+          pendingCp = prevCp
           prevCp = nextCp
           scores = nextCp
-          araw.unpersist(false); withA.unpersist(false)
-          hraw.unpersist(false)
+          cpMaterialized = checkpointDir.isDefined // reliable mode is eager
         }
       }
       it += 1
     }
+    // a loop that ended on a lazy, still-unmaterialized frame runs the
+    // one materializing pass the eager draft paid per iteration — then
+    // the last iteration's inputs release as usual
+    if (!cpMaterialized)
+      scores.write.format("noop").mode("overwrite").save()
+    releasePending()
     val out =
       if (prevCp == null) truncateLineage(scores, checkpointDir) else scores
     e.unpersist(false)
