@@ -75,6 +75,35 @@ object SparkEntry {
   private val SliceBoundsNoSentinel = Seq(S1, 1704600000L, 1704960000L,
     1705320000L, 1705680000L, 1706040000L, E1 + 1)
 
+  /** Run `body` with Spark's no-data micro-batches disabled, restoring
+    * the previous session setting afterwards.
+    *
+    * Why: the windowed/sessionized restart-per-slice rows run one
+    * AvailableNow drain per arrival; with no-data batches on, EVERY
+    * drain appends an eviction-only batch that re-executes the whole
+    * stateful plan (measured ~1.0–1.2 s per restart at sf0.1, ~45% of
+    * drain wall — StreamDurationProbe) just to emit windows the
+    * watermark closed at the end of that drain's data batch. In the
+    * maintenance-loop deployment those emissions are equally correct
+    * one arrival later: the NEXT restart's data batch runs with the
+    * checkpointed watermark and evicts the same windows. Only the
+    * TERMINAL flush drain (the far-future sentinel) genuinely needs
+    * the no-data batch — it is what pushes the last closed windows
+    * out within the same run — so that drain keeps the default. The
+    * final output set is byte-identical (oracle-checked): this moves
+    * WHICH batch emits a row, never whether it is emitted.
+    */
+  private def withNoDataBatchesDisabled[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Stage `real` into `dir` one time-slice file at a time, draining the
     * stream via `run` after each — the restart-per-slice gate shape
     * (each counted batch deliberately includes checkpoint resume: that
@@ -645,7 +674,11 @@ object SparkEntry {
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        stageSlices("q_ohlc_stream", real, s"$tmp/input")(() => run())
+        // intermediate maintenance drains skip the eviction-only
+        // no-data batch (see withNoDataBatchesDisabled); the terminal
+        // sentinel drain below keeps it to flush the last windows
+        withNoDataBatchesDisabled(s)(
+          stageSlices("q_ohlc_stream", real, s"$tmp/input")(() => run()))
         sentinel(4102444800L); run()
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
@@ -679,7 +712,11 @@ object SparkEntry {
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        stageSlices("q_stats_stream", real, s"$tmp/input")(() => run())
+        // intermediate maintenance drains skip the eviction-only
+        // no-data batch (see withNoDataBatchesDisabled); the terminal
+        // sentinel drain below keeps it to flush the last windows
+        withNoDataBatchesDisabled(s)(
+          stageSlices("q_stats_stream", real, s"$tmp/input")(() => run()))
         sentinel(4102444800L); run()
         graft.queries.TimeseriesQueries.statsDerive(
           s.read.parquet(s"$tmp/out")
@@ -716,7 +753,11 @@ object SparkEntry {
           Seq(("__sentinel__", "__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "measurement_of", "measurement_number", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        stageSlices("q_agg_interval_stream", real, s"$tmp/input")(() => run())
+        // intermediate maintenance drains skip the eviction-only
+        // no-data batch (see withNoDataBatchesDisabled); the terminal
+        // sentinel drain below keeps it to flush the last windows
+        withNoDataBatchesDisabled(s)(
+          stageSlices("q_agg_interval_stream", real, s"$tmp/input")(() => run()))
         sentinel(4102444800L); run()
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
@@ -755,7 +796,11 @@ object SparkEntry {
           Seq(("__sentinel__", new java.sql.Timestamp(epochS * 1000L)))
             .toDF("measurement_subject", "timestamp")
             .coalesce(1).write.mode("append").parquet(s"$tmp/input")
-        stageSlices("q_sessions_stream", real, s"$tmp/input")(() => run())
+        // intermediate maintenance drains skip the eviction-only
+        // no-data batch (see withNoDataBatchesDisabled); the terminal
+        // sentinel drain below keeps it to flush the last windows
+        withNoDataBatchesDisabled(s)(
+          stageSlices("q_sessions_stream", real, s"$tmp/input")(() => run()))
         sentinel(4102444800L); run() // 2100-01-01: watermark past every close
         s.read.parquet(s"$tmp/out")
           .filter(col("measurement_subject") =!= "__sentinel__")
