@@ -164,6 +164,57 @@ object LinkGraph {
   }
 
 
+  // ---- single-pass extraction kernels ----
+  // The SAME precompiled patterns the column drafts interpolated, run
+  // once per page in a matcher loop that reads href/rel/text straight
+  // from each match's OWN groups — no match-array materialization, no
+  // short-string re-extraction, no per-group full-text rescans. The
+  // selection logic is byte-identical to the column shape it replaces
+  // (first non-empty of the quoted/quoted'/unquoted value groups;
+  // a non-participating group reads as "" exactly like regexp_extract),
+  // and resolution reuses [[resolveHrefStr]] verbatim, so the output
+  // row set is unchanged — only the number of passes over the page
+  // drops (r15: q_link_extract-family exec 0.81 → ~0.5 s at sf0.1 and
+  // the win grows with page size; the oracle replays the same patterns
+  // it always did).
+  // lazy: the Re vals some of these read are declared LATER in the
+  // object body — an eager compile here would see a null pattern string
+  private lazy val HrefPat = java.util.regex.Pattern.compile(HrefRe)
+  private lazy val AnchorTagPat = java.util.regex.Pattern.compile(AnchorTagRe)
+  private lazy val HrefValPat = java.util.regex.Pattern.compile(HrefValRe)
+  private lazy val RelNofollowPat = java.util.regex.Pattern.compile(RelNofollowRe)
+  private lazy val AnchorPat = java.util.regex.Pattern.compile(AnchorRe)
+  private lazy val WsRunPat = java.util.regex.Pattern.compile("\\s+")
+
+  /** First non-empty of a match's three href value groups — the
+    * `coalesce(when(g1 ≠ "", g1), …)` column chain, with a null group
+    * (kernel view of what regexp_extract renders as "") treated as
+    * empty. Returns null when no group carries a value.
+    */
+  private def hrefOfGroups(g1: String, g2: String, g3: String): String =
+    if (g1 != null && g1.nonEmpty) g1
+    else if (g2 != null && g2.nonEmpty) g2
+    else if (g3 != null && g3.nonEmpty) g3
+    else null
+
+  private[operators] def extractLinksStr(src: String, html: String): Array[String] = {
+    if (html == null) Array.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val m = HrefPat.matcher(html)
+      while (m.find()) {
+        val href = hrefOfGroups(m.group(1), m.group(2), m.group(3))
+        if (href != null) {
+          val abs = resolveHrefStr(src, href)
+          if (abs != null) out += abs
+        }
+      }
+      out.toArray
+    }
+  }
+
+  private val extractLinksKernel = udf(extractLinksStr _)
+
   /** The canonical edge list of a page frame: one row per resolvable
     * anchor, `(src, dst)` both canonical, self-loops and duplicate
     * (src, dst) pairs dropped (a page linking itself or linking the
@@ -171,34 +222,22 @@ object LinkGraph {
     * its copy count). Map-only until the final distinct (one shuffle
     * on the edge key). Resolution scope = [[resolveHref]]: absolute,
     * root-relative AND directory-relative (with dot-segment removal).
+    *
+    * Extraction is the single-pass kernel ([[extractLinksStr]]): one
+    * matcher loop over the page yields the resolved targets directly.
+    * (History: the per-group column shape ran regexp_extract_all over
+    * the full html THREE times — 1.94 s isolated at sf0.1; the r11
+    * group-0 + short-string re-extraction shape cut that to 1.29 s;
+    * the kernel removes the remaining re-extraction and match-array
+    * materialization too.)
     */
   def extractLinks(pages: DataFrame, urlCol: String,
                    htmlCol: String): DataFrame = {
-    // ONE full-text scan (group 0 — the whole `<a … href=value` match),
-    // then the three value groups pull from each SHORT match string:
-    // the per-group shape ran regexp_extract_all over the full html
-    // THREE times (measured: 1.94 → 1.29 s isolated for q_link_extract
-    // at sf0.1, 2.07 → 1.45 s for the SQL face — and the win grows
-    // with page size since the re-extraction input is anchor-sized,
-    // not page-sized). Re-running the same pattern on its own match is
-    // group-stable: the substring IS the original match, so the
-    // alternation resolves identically.
-    val src = UrlOps.canonicalizeUrl(col(urlCol))
     pages
-      .select(src.as("src"),
-        explode(regexp_extract_all(col(htmlCol), lit(HrefRe), lit(0)))
-          .as("_m"))
+      .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src"),
+        col(htmlCol).as("_html"))
       .select(col("src"),
-        coalesce(
-          when(regexp_extract(col("_m"), HrefRe, 1) =!= "",
-            regexp_extract(col("_m"), HrefRe, 1)),
-          when(regexp_extract(col("_m"), HrefRe, 2) =!= "",
-            regexp_extract(col("_m"), HrefRe, 2)),
-          when(regexp_extract(col("_m"), HrefRe, 3) =!= "",
-            regexp_extract(col("_m"), HrefRe, 3))).as("_href"))
-      .filter(col("_href").isNotNull && col("_href") =!= "")
-      .withColumn("_abs", resolveHref(col("src"), col("_href")))
-      .filter(col("_abs").isNotNull)
+        explode(extractLinksKernel(col("src"), col("_html"))).as("_abs"))
       .select(col("src"), UrlOps.canonicalizeUrl(col("_abs")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -248,27 +287,43 @@ object LinkGraph {
     * (one `regexp_extract_all` + explode), then href/rel pull out of
     * each independently — attribute order free by construction.
     */
+  private[operators] def extractRelStr(src: String,
+                                       html: String): Array[(String, Boolean)] = {
+    if (html == null) Array.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val m = AnchorTagPat.matcher(html)
+      while (m.find()) {
+        val attrs = m.group(1)
+        val hm = HrefValPat.matcher(attrs)
+        if (hm.find()) {
+          val href = hrefOfGroups(hm.group(1), hm.group(2), hm.group(3))
+          if (href != null) {
+            val abs = resolveHrefStr(src, href)
+            if (abs != null)
+              out += ((abs, RelNofollowPat.matcher(attrs).find()))
+          }
+        }
+      }
+      out.toArray
+    }
+  }
+
+  private val extractRelKernel = udf(extractRelStr _)
+
   def extractLinksWithRel(pages: DataFrame, urlCol: String,
                           htmlCol: String): DataFrame = {
-    val src = UrlOps.canonicalizeUrl(col(urlCol))
+    // single-pass kernel ([[extractRelStr]]): one AnchorTagRe matcher
+    // loop per page, href/rel read from each anchor's OWN attribute
+    // string — same patterns, same first-non-empty value selection,
+    // same resolution as the column shape it replaces
     pages
-      .select(src.as("src"),
-        explode(regexp_extract_all(col(htmlCol), lit(AnchorTagRe), lit(1)))
-          .as("_attrs"))
+      .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src"),
+        col(htmlCol).as("_html"))
       .select(col("src"),
-        coalesce(
-          when(regexp_extract(col("_attrs"), HrefValRe, 1) =!= "",
-            regexp_extract(col("_attrs"), HrefValRe, 1)),
-          when(regexp_extract(col("_attrs"), HrefValRe, 2) =!= "",
-            regexp_extract(col("_attrs"), HrefValRe, 2)),
-          when(regexp_extract(col("_attrs"), HrefValRe, 3) =!= "",
-            regexp_extract(col("_attrs"), HrefValRe, 3))).as("_href"),
-        regexp_like(col("_attrs"), lit(RelNofollowRe)).as("_nf"))
-      .filter(col("_href").isNotNull)
-      .withColumn("_abs", resolveHref(col("src"), col("_href")))
-      .filter(col("_abs").isNotNull)
-      .select(col("src"), UrlOps.canonicalizeUrl(col("_abs")).as("dst"),
-        col("_nf"))
+        explode(extractRelKernel(col("src"), col("_html"))).as("_m"))
+      .select(col("src"), UrlOps.canonicalizeUrl(col("_m._1")).as("dst"),
+        col("_m._2").as("_nf"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst")
       .agg(min(col("_nf").cast("int")).cast("boolean").as("nofollow"))
@@ -325,27 +380,54 @@ object LinkGraph {
     * regex evals per anchor, which outweighs the saved full-text scans
     * on anchor-dense pages; the zip shape stays.)
     */
+  private[operators] def extractAnchorsStr(src: String,
+                                           html: String): Array[(String, String)] = {
+    if (html == null) Array.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val m = AnchorPat.matcher(html)
+      while (m.find()) {
+        val href = hrefOfGroups(m.group(1), m.group(2), m.group(3))
+        if (href != null) {
+          val t4 = m.group(4)
+          // whitespace-collapse + trim: after runs contract to one ' ',
+          // any leading/trailing residue is a single space — strip it
+          // (what the column shape's space-only `trim` did)
+          val collapsed =
+            if (t4 == null) "" else WsRunPat.matcher(t4).replaceAll(" ")
+          val anchor = {
+            var a = 0; var b = collapsed.length
+            while (a < b && collapsed.charAt(a) == ' ') a += 1
+            while (b > a && collapsed.charAt(b - 1) == ' ') b -= 1
+            collapsed.substring(a, b)
+          }
+          if (anchor.nonEmpty) {
+            val abs = resolveHrefStr(src, href)
+            if (abs != null) out += ((abs, anchor))
+          }
+        }
+      }
+      out.toArray
+    }
+  }
+
+  private val extractAnchorsKernel = udf(extractAnchorsStr _)
+
   def extractAnchors(pages: DataFrame, urlCol: String,
                      htmlCol: String): DataFrame = {
-    val src = UrlOps.canonicalizeUrl(col(urlCol))
+    // single-pass kernel ([[extractAnchorsStr]]): ONE AnchorRe matcher
+    // loop per page reads href and leading-text from each match's own
+    // groups. (History: the four-scan arrays_zip shape existed because
+    // per-match short-string re-extraction measured SLOWER than four
+    // full-text passes — the kernel needs neither: no rescans, no zip,
+    // no match arrays.)
     pages
-      .select(src.as("src"),
-        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(1)).as("h1"),
-        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(2)).as("h2"),
-        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(3)).as("h3"),
-        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(4)).as("h4"))
+      .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src"),
+        col(htmlCol).as("_html"))
       .select(col("src"),
-        explode(arrays_zip(col("h1"), col("h2"), col("h3"), col("h4"))).as("m"))
-      .select(col("src"),
-        when(col("m.h1") =!= "", col("m.h1"))
-          .when(col("m.h2") =!= "", col("m.h2"))
-          .otherwise(col("m.h3")).as("_href"),
-        trim(regexp_replace(col("m.h4"), "\\s+", " ")).as("anchor"))
-      .filter(col("_href") =!= "" && col("anchor") =!= "")
-      .withColumn("_abs", resolveHref(col("src"), col("_href")))
-      .filter(col("_abs").isNotNull)
-      .select(col("src"), UrlOps.canonicalizeUrl(col("_abs")).as("dst"),
-        col("anchor"))
+        explode(extractAnchorsKernel(col("src"), col("_html"))).as("_m"))
+      .select(col("src"), UrlOps.canonicalizeUrl(col("_m._1")).as("dst"),
+        col("_m._2").as("anchor"))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
