@@ -383,7 +383,8 @@ object SparkEntry {
           "timestamp")
       withTempDir("graft_rate_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_rate_stream") {
-          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
+          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.streaming.CounterStream.deltas(stream, Of)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
@@ -661,7 +662,8 @@ object SparkEntry {
         .select("measurement_subject", "measurement_number", "timestamp")
       withTempDir("graft_ohlc_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_ohlc_stream") {
-          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
+          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingOhlc(stream, intervalS = 86400)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
@@ -699,7 +701,8 @@ object SparkEntry {
         .select("measurement_subject", "measurement_number", "timestamp")
       withTempDir("graft_stats_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_stats_stream") {
-          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
+          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingStatsAgg(stream, intervalS = 86400)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
@@ -740,7 +743,8 @@ object SparkEntry {
         .select("measurement_subject", "measurement_of", "measurement_number", "timestamp")
       withTempDir("graft_aggint_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_agg_interval_stream") {
-          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
+          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingIntervalStats(stream, intervalS = 86400)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
@@ -783,7 +787,8 @@ object SparkEntry {
         .select("measurement_subject", "timestamp")
       withTempDir("graft_sess_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_sessions_stream") {
-          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
+          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
           graft.queries.TimeseriesQueries.streamingSessionize(stream, gapS = 7200)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")

@@ -194,8 +194,9 @@ object CaggStream {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     migrateLegacyFlatStore(spark, storePath, aggPath, widthS)
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
+    val schema = session.read.parquet(inputDir).schema
+    val reader = session.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputDir)
       .writeStream

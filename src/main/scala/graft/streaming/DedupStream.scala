@@ -114,8 +114,12 @@ object DedupStream {
                  trigger: Trigger = Trigger.AvailableNow(),
                  maxFilesPerTrigger: Option[Int] = None,
                  appendAccepted: Boolean = false): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+    // stream shuffle/state partitions sized from the input, not the
+    // session constant (see StreamParallelism — AQE can't do it for
+    // streaming plans)
+    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
+    val schema = session.read.parquet(inputDir).schema
+    val reader = session.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputDir)
       .writeStream
@@ -259,8 +263,12 @@ object DedupStream {
                             trigger: Trigger, maxFilesPerTrigger: Option[Int],
                             appendAccepted: Boolean, indexTable: String)(
                             gate: DataFrame => DataFrame): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+    // stream shuffle/state partitions sized from the input, not the
+    // session constant (see StreamParallelism — AQE can't do it for
+    // streaming plans)
+    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
+    val schema = session.read.parquet(inputDir).schema
+    val reader = session.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputDir)
       .writeStream
@@ -313,8 +321,12 @@ object DedupStream {
                   maxFilesPerTrigger: Option[Int] = None,
                   appendAccepted: Boolean = false): StreamingQuery = {
     import graft.sources.WarcIngest
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+    // stream shuffle/state partitions sized from the input, not the
+    // session constant (see StreamParallelism — AQE can't do it for
+    // streaming plans)
+    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
+    val schema = session.read.parquet(inputDir).schema
+    val reader = session.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputDir)
       .writeStream
@@ -356,8 +368,12 @@ object DedupStream {
                         onAccepted: DataFrame => Unit = _ => (),
                         afterBatch: () => Unit = () => ())(
                         dupIds: DataFrame => DataFrame): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+    // stream shuffle/state partitions sized from the input, not the
+    // session constant (see StreamParallelism — AQE can't do it for
+    // streaming plans)
+    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
+    val schema = session.read.parquet(inputDir).schema
+    val reader = session.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputDir)
       .writeStream

@@ -59,8 +59,9 @@ object LinkStream {
                     recomputeEveryN: Int = 1): StreamingQuery = {
     require(recomputeEveryN >= 1,
       s"recomputeEveryN must be >= 1, got $recomputeEveryN")
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
+    val schema = session.read.parquet(inputDir).schema
+    val reader = session.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(inputDir)
     stream

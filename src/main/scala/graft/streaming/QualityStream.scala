@@ -28,8 +28,9 @@ object QualityStream {
             threshold: Double = 0.0,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
+    val schema = session.read.parquet(inputDir).schema
+    val reader = session.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputDir)
       .writeStream

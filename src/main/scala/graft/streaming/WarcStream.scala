@@ -39,7 +39,8 @@ object WarcStream {
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    val reader = spark.readStream.format("binaryFile")
+    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
+    val reader = session.readStream.format("binaryFile")
       .schema(binaryFileSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))

@@ -1,0 +1,60 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Pins the size-derived stream parallelism policy (r15 optimization):
+  * partitions = ceil(bytes / target) floored at 1, target = AQE's
+  * advisory size unless `graft.stream.targetPartitionBytes` overrides,
+  * `graft.stream.shufflePartitions` wins verbatim; and the derived
+  * session observes the caller's runtime conf (a scoped setting like
+  * the no-data-micro-batch disable must ride into the stream) while the
+  * caller's own shuffle setting stays untouched.
+  */
+class StreamParallelismSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "7")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("sizedPartitions: ceil(bytes/target) floored at 1, conf overrides honored") {
+    spark.conf.set(StreamParallelism.TargetBytesKey, "100")
+    assert(StreamParallelism.sizedPartitions(spark, 0L) == 1)
+    assert(StreamParallelism.sizedPartitions(spark, 1L) == 1)
+    assert(StreamParallelism.sizedPartitions(spark, 100L) == 1)
+    assert(StreamParallelism.sizedPartitions(spark, 101L) == 2)
+    assert(StreamParallelism.sizedPartitions(spark, 1000L) == 10)
+    // explicit count wins verbatim
+    spark.conf.set(StreamParallelism.ForcedKey, "5")
+    assert(StreamParallelism.sizedPartitions(spark, 1000L) == 5)
+    spark.conf.unset(StreamParallelism.ForcedKey)
+    spark.conf.unset(StreamParallelism.TargetBytesKey)
+    // default target = AQE advisory (64MB default): tiny input -> 1,
+    // and a multi-advisory input scales with it
+    assert(StreamParallelism.sizedPartitions(spark, 1L << 20) == 1)
+    assert(StreamParallelism.sizedPartitions(spark, 200L << 20) == 4)
+  }
+
+  test("sessionFor: sized setting on the clone, runtime conf copied, caller untouched") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("sp_in").toString
+    Seq(1L, 2L, 3L).toDF("v").coalesce(1).write.mode("append").parquet(in)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val ss = StreamParallelism.sessionFor(spark, in)
+      assert(ss ne spark)
+      // tiny dir -> 1 partition on the stream session only
+      assert(ss.conf.get("spark.sql.shuffle.partitions") == "1")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      // the caller's scoped runtime setting rode into the stream session
+      assert(ss.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "false")
+    } finally spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    // absent dir sizes to the floor instead of throwing
+    assert(StreamParallelism.sizedPartitions(
+      spark, StreamParallelism.dirBytes(spark, in + "/nope")) == 1)
+  }
+}
