@@ -111,16 +111,28 @@ object SparkEntry {
     */
   private def stageSlices(query: String, real: DataFrame, dir: String,
                           bounds: Seq[Long] = SliceBounds)
-                         (run: () => Unit): Unit =
-    bounds.sliding(2).foreach {
+                         (run: () => Unit): Unit = {
+    // `real` is a projection of the raw parquet: persist it for the
+    // duration of the slice loop so the 5-6 slice writes read one
+    // materialized pass instead of re-deriving the projection from the
+    // source per slice (r15; computed fresh inside every timed rep —
+    // nothing survives the rep, so this is plain intermediate reuse,
+    // not cross-run caching). Persisting counts as stage time.
+    val cached = BenchPhases.timed(query, "stage") {
+      val c = real.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
+    try bounds.sliding(2).foreach {
       case Seq(a, b) =>
         BenchPhases.timed(query, "stage")(
-          real.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
+          cached.filter(col("timestamp") >= timestamp_seconds(lit(a)) &&
               col("timestamp") < timestamp_seconds(lit(b)))
             .coalesce(1).write.mode("append").parquet(dir))
         run()
       case _ => ()
-    }
+    } finally { cached.unpersist(false); () }
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -383,15 +395,15 @@ object SparkEntry {
           "timestamp")
       withTempDir("graft_rate_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_rate_stream") {
-          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
-          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.util.StreamParallelism.withSizedShufflePartitions(s, s"$tmp/input")(
           graft.streaming.CounterStream.deltas(stream, Of)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
+            .start())
         }
         // six non-overlapping, time-ascending slices; each is ONE file
         // so AvailableNow cannot split it out of order
@@ -662,15 +674,15 @@ object SparkEntry {
         .select("measurement_subject", "measurement_number", "timestamp")
       withTempDir("graft_ohlc_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_ohlc_stream") {
-          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
-          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.util.StreamParallelism.withSizedShufflePartitions(s, s"$tmp/input")(
           graft.queries.TimeseriesQueries.streamingOhlc(stream, intervalS = 86400)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
+            .start())
         }
         def sentinel(epochS: Long): Unit =
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
@@ -701,15 +713,15 @@ object SparkEntry {
         .select("measurement_subject", "measurement_number", "timestamp")
       withTempDir("graft_stats_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_stats_stream") {
-          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
-          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.util.StreamParallelism.withSizedShufflePartitions(s, s"$tmp/input")(
           graft.queries.TimeseriesQueries.streamingStatsAgg(stream, intervalS = 86400)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
+            .start())
         }
         def sentinel(epochS: Long): Unit =
           Seq(("__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
@@ -743,15 +755,15 @@ object SparkEntry {
         .select("measurement_subject", "measurement_of", "measurement_number", "timestamp")
       withTempDir("graft_aggint_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_agg_interval_stream") {
-          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
-          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.util.StreamParallelism.withSizedShufflePartitions(s, s"$tmp/input")(
           graft.queries.TimeseriesQueries.streamingIntervalStats(stream, intervalS = 86400)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
+            .start())
         }
         def sentinel(epochS: Long): Unit =
           Seq(("__sentinel__", "__sentinel__", 0.0, new java.sql.Timestamp(epochS * 1000L)))
@@ -787,15 +799,15 @@ object SparkEntry {
         .select("measurement_subject", "timestamp")
       withTempDir("graft_sess_stream") { tmp =>
         def run(): Unit = BenchPhases.drainTimed("q_sessions_stream") {
-          val ss = graft.util.StreamParallelism.sessionFor(s, s"$tmp/input")
-          val stream = ss.readStream.schema(real.schema).parquet(s"$tmp/input")
+          val stream = s.readStream.schema(real.schema).parquet(s"$tmp/input")
+          graft.util.StreamParallelism.withSizedShufflePartitions(s, s"$tmp/input")(
           graft.queries.TimeseriesQueries.streamingSessionize(stream, gapS = 7200)
             .writeStream.format("parquet")
             .option("path", s"$tmp/out")
             .outputMode("append")
             .option("checkpointLocation", s"$tmp/cp")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
+            .start())
         }
         def sentinel(epochS: Long): Unit =
           Seq(("__sentinel__", new java.sql.Timestamp(epochS * 1000L)))

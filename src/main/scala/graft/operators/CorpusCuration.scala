@@ -81,6 +81,11 @@ object CorpusCuration {
                        Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05),
                      keepSplit: String = "train"): DataFrame = {
     require(splits.exists(_._1 == keepSplit), s"keepSplit '$keepSplit' not among the splits")
+    // `kept` appears twice in the exported plan (the bloom side and the
+    // anti-join side); a persist of the survivor-id set was tried in r15
+    // and MEASURED SLOWER (+1 s at sf0.1) — exchange/subquery reuse
+    // already deduplicates the shared subtree, so the cache was pure
+    // overhead. Left lazy deliberately.
     val curated = curate(docs, jaccardThreshold, minQuality, langs).select("doc_id")
     val kept = docs.join(curated, "doc_id")
     val dirty = Decontamination.contaminatedBloom(kept, benchmark, decontaminationN)

@@ -27,10 +27,12 @@ object CorpusStatsStream {
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
-    val schema = session.read.parquet(inputDir).schema
-    val reader = session.readStream.schema(schema)
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // stream shuffle/state partitions sized from the input at start
+    // (scoped set around .start(); see StreamParallelism)
+    graft.util.StreamParallelism.withSizedShufflePartitions(spark, inputDir) {
     reader.parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -40,5 +42,6 @@ object CorpusStatsStream {
         TextAnalysis.appendToVocabIndex(batch.toDF(), indexTable)
       }
       .start()
+    }
   }
 }

@@ -114,13 +114,12 @@ object DedupStream {
                  trigger: Trigger = Trigger.AvailableNow(),
                  maxFilesPerTrigger: Option[Int] = None,
                  appendAccepted: Boolean = false): StreamingQuery = {
-    // stream shuffle/state partitions sized from the input, not the
-    // session constant (see StreamParallelism — AQE can't do it for
-    // streaming plans)
-    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
-    val schema = session.read.parquet(inputDir).schema
-    val reader = session.readStream.schema(schema)
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // stream shuffle/state partitions sized from the input at start
+    // (scoped set around .start(); see StreamParallelism)
+    graft.util.StreamParallelism.withSizedShufflePartitions(spark, inputDir) {
     reader.parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -147,6 +146,7 @@ object DedupStream {
         }
       }
       .start()
+    }
   }
 
   /** URL-frontier gate: candidate crawl batches pass only if their
@@ -263,13 +263,12 @@ object DedupStream {
                             trigger: Trigger, maxFilesPerTrigger: Option[Int],
                             appendAccepted: Boolean, indexTable: String)(
                             gate: DataFrame => DataFrame): StreamingQuery = {
-    // stream shuffle/state partitions sized from the input, not the
-    // session constant (see StreamParallelism — AQE can't do it for
-    // streaming plans)
-    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
-    val schema = session.read.parquet(inputDir).schema
-    val reader = session.readStream.schema(schema)
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // stream shuffle/state partitions sized from the input at start
+    // (scoped set around .start(); see StreamParallelism)
+    graft.util.StreamParallelism.withSizedShufflePartitions(spark, inputDir) {
     reader.parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -294,6 +293,7 @@ object DedupStream {
         }
       }
       .start()
+    }
   }
 
   /** Shared gate plumbing: parquet file stream (schema from a driver-side
@@ -321,13 +321,12 @@ object DedupStream {
                   maxFilesPerTrigger: Option[Int] = None,
                   appendAccepted: Boolean = false): StreamingQuery = {
     import graft.sources.WarcIngest
-    // stream shuffle/state partitions sized from the input, not the
-    // session constant (see StreamParallelism — AQE can't do it for
-    // streaming plans)
-    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
-    val schema = session.read.parquet(inputDir).schema
-    val reader = session.readStream.schema(schema)
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // stream shuffle/state partitions sized from the input at start
+    // (scoped set around .start(); see StreamParallelism)
+    graft.util.StreamParallelism.withSizedShufflePartitions(spark, inputDir) {
     reader.parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -359,6 +358,7 @@ object DedupStream {
         }
       }
       .start()
+    }
   }
 
   private[streaming] def startWith(spark: SparkSession, inputDir: String, outputDir: String,
@@ -368,13 +368,12 @@ object DedupStream {
                         onAccepted: DataFrame => Unit = _ => (),
                         afterBatch: () => Unit = () => ())(
                         dupIds: DataFrame => DataFrame): StreamingQuery = {
-    // stream shuffle/state partitions sized from the input, not the
-    // session constant (see StreamParallelism — AQE can't do it for
-    // streaming plans)
-    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
-    val schema = session.read.parquet(inputDir).schema
-    val reader = session.readStream.schema(schema)
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // stream shuffle/state partitions sized from the input at start
+    // (scoped set around .start(); see StreamParallelism)
+    graft.util.StreamParallelism.withSizedShufflePartitions(spark, inputDir) {
     reader.parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -399,5 +398,6 @@ object DedupStream {
         afterBatch()
       }
       .start()
+    }
   }
 }

@@ -59,11 +59,13 @@ object LinkStream {
                     recomputeEveryN: Int = 1): StreamingQuery = {
     require(recomputeEveryN >= 1,
       s"recomputeEveryN must be >= 1, got $recomputeEveryN")
-    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
-    val schema = session.read.parquet(inputDir).schema
-    val reader = session.readStream.schema(schema)
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(inputDir)
+    // stream shuffle/state partitions sized from the input at start
+    // (scoped set around .start(); see StreamParallelism)
+    graft.util.StreamParallelism.withSizedShufflePartitions(spark, inputDir) {
     stream
       .writeStream
       .outputMode("append")
@@ -90,6 +92,7 @@ object LinkStream {
         }
       }
       .start()
+    }
   }
 
   /** Force a rank recompute over the FULL accumulated index and emit

@@ -39,8 +39,7 @@ object WarcStream {
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
-    val reader = session.readStream.format("binaryFile")
+    val reader = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -49,6 +48,9 @@ object WarcStream {
         explode(WarcIngest.splitGzMembers(col("content"))).as("record"))
     val parsed = WarcIngest.responsesOnly(
       WarcIngest.parseRawRecords(records))
+    // stream shuffle/state partitions sized from the input at start
+    // (scoped set around .start(); see StreamParallelism)
+    graft.util.StreamParallelism.withSizedShufflePartitions(spark, inputDir) {
     parsed.writeStream
       .format("parquet")
       .option("path", outputDir)
@@ -56,5 +58,6 @@ object WarcStream {
       .outputMode("append")
       .trigger(trigger)
       .start()
+    }
   }
 }

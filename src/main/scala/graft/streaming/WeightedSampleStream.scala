@@ -19,10 +19,12 @@ object WeightedSampleStream {
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val session = graft.util.StreamParallelism.sessionFor(spark, inputDir)
-    val schema = session.read.parquet(inputDir).schema
-    val reader = session.readStream.schema(schema)
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // stream shuffle/state partitions sized from the input at start
+    // (scoped set around .start(); see StreamParallelism)
+    graft.util.StreamParallelism.withSizedShufflePartitions(spark, inputDir) {
     reader.parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -32,5 +34,6 @@ object WeightedSampleStream {
         Sampling.mergeIntoWeightedSample(batch.toDF(), stateTable)
       }
       .start()
+    }
   }
 }

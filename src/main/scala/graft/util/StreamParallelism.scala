@@ -70,24 +70,33 @@ object StreamParallelism {
         math.max(1L, math.min(n, Int.MaxValue.toLong)).toInt
     }
 
-  /** A cloned session whose `spark.sql.shuffle.partitions` is sized for
-    * the stream over `inputPath`. Build the stream (readStream + start)
-    * from the RETURNED session; state partitions latch from it at first
-    * start, and checkpointed queries keep their latched count on resume
-    * regardless of later derivations.
+  /** Run `start` (a stream start) with the session's
+    * `spark.sql.shuffle.partitions` scoped to the size-derived count
+    * for `inputPath`, restoring the previous value afterwards.
+    *
+    * Why a scoped set instead of a cloned session: StreamExecution
+    * clones the session SYNCHRONOUSLY in its constructor (verified
+    * against the 4.1.2 bytecode — `sparkSessionForStream` is a final
+    * constructor field), so the derived value is captured by the time
+    * `start` returns and the restore cannot race the stream. A fresh
+    * `newSession()` per start was measured to degrade the whole suite
+    * progressively: every session registers an execution-listener on
+    * the shared bus and builds its own function registry, so hundreds
+    * of drain restarts taxed every LATER job (bench rows after the
+    * stream families drifted +30-200% in a full run; scoped-set runs
+    * don't). Callers starting streams CONCURRENTLY from one session
+    * should instead pin `graft.stream.shufflePartitions` per session.
     */
-  def sessionFor(spark: SparkSession, inputPath: String): SparkSession = {
+  def withSizedShufflePartitions[T](spark: SparkSession,
+                                    inputPath: String)(start: => T): T = {
     val n = sizedPartitions(spark, dirBytes(spark, inputPath))
-    // newSession + runtime-conf copy (cloneSession is private[sql]):
-    // the stream must observe the caller's scoped runtime settings —
-    // e.g. a no-data-micro-batch disable around a maintenance drain —
-    // not just the context defaults. Static confs throw on set and are
-    // identical across sessions anyway; skipped.
-    val cloned = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try cloned.conf.set(k, v) catch { case _: Exception => () }
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try start
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
-    cloned.conf.set("spark.sql.shuffle.partitions", n.toString)
-    cloned
   }
 }

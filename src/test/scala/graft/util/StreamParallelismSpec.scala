@@ -39,20 +39,24 @@ class StreamParallelismSpec extends AnyFunSuite {
     assert(StreamParallelism.sizedPartitions(spark, 200L << 20) == 4)
   }
 
-  test("sessionFor: sized setting on the clone, runtime conf copied, caller untouched") {
+  test("withSizedShufflePartitions: sized during the start body, restored after (incl. failure)") {
     import spark.implicits._
     val in = Files.createTempDirectory("sp_in").toString
     Seq(1L, 2L, 3L).toDF("v").coalesce(1).write.mode("append").parquet(in)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
-      val ss = StreamParallelism.sessionFor(spark, in)
-      assert(ss ne spark)
-      // tiny dir -> 1 partition on the stream session only
-      assert(ss.conf.get("spark.sql.shuffle.partitions") == "1")
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
-      // the caller's scoped runtime setting rode into the stream session
-      assert(ss.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "false")
-    } finally spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    val key = "spark.sql.shuffle.partitions"
+    var inside = ""
+    StreamParallelism.withSizedShufflePartitions(spark, in) {
+      inside = spark.conf.get(key)
+    }
+    // tiny dir -> 1 partition while starting; caller's setting restored
+    assert(inside == "1")
+    assert(spark.conf.get(key) == "7")
+    // restore also runs when the start body throws
+    intercept[RuntimeException](
+      StreamParallelism.withSizedShufflePartitions(spark, in) {
+        throw new RuntimeException("boom")
+      })
+    assert(spark.conf.get(key) == "7")
     // absent dir sizes to the floor instead of throwing
     assert(StreamParallelism.sizedPartitions(
       spark, StreamParallelism.dirBytes(spark, in + "/nope")) == 1)
