@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract: graft.Bench prints ONE machine-readable JSON line on
+// stdout. sbt's default LoggedOutput strategy decorates the forked process's
+// stdout with an "[info] " prefix, which breaks any line-wise JSON parse of
+// the captured output. StdoutOutput passes the forked stdout/stderr through
+// verbatim, so the JSON line reaches the caller undecorated.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -208,15 +208,19 @@ object Dedup {
     * co-partitioned — a batch probe shuffles only the batch side.
     */
   def writeLineIndex(indexDocs: DataFrame, tableName: String,
-                     buckets: Int = 64): Unit = {
+                     buckets: Int = graft.util.IndexBuckets.Auto): Unit = {
     dropManaged(indexDocs.sparkSession, tableName)
-    indexDocs.select(posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val frame = indexDocs
+      .select(posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
       .select("line").distinct()
-      .write.format("parquet")
-      .bucketBy(buckets, "line").sortBy("line")
+    // size-derived by default ([[graft.util.IndexBuckets]]); the resolved
+    // count rides the table properties so appends stay co-bucketed
+    val b = graft.util.IndexBuckets.resolve(frame, buckets)
+    frame.write.format("parquet")
+      .bucketBy(b, "line").sortBy("line")
       .mode("overwrite").saveAsTable(tableName)
     indexDocs.sparkSession.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$b')")
   }
 
   /** Append NEW lines to a [[writeLineIndex]] table (daily-batch index
@@ -538,20 +542,25 @@ object Dedup {
     * column is retained for parameter validation and debugging.
     */
   def writeSignatureIndex(indexDocs: DataFrame, tableName: String,
-                          buckets: Int = 64, n: Int = 3, numPerm: Int = 64,
+                          buckets: Int = graft.util.IndexBuckets.Auto,
+                          n: Int = 3, numPerm: Int = 64,
                           bands: Int = 16): Unit = {
     dropManaged(indexDocs.sparkSession, tableName)
-    bandHashes(signaturesFromExploded(shingles(indexDocs, n), numPerm), bands, numPerm)
-      .select(col("doc_id").as("doc_index"), col("band"), col("bh"))
-      .write.format("parquet")
-      .bucketBy(buckets, "bh").sortBy("bh")
+    val frame =
+      bandHashes(signaturesFromExploded(shingles(indexDocs, n), numPerm), bands, numPerm)
+        .select(col("doc_id").as("doc_index"), col("band"), col("bh"))
+    // size-derived by default ([[graft.util.IndexBuckets]]); recorded in
+    // the table properties so appends stay co-bucketed
+    val b = graft.util.IndexBuckets.resolve(frame, buckets)
+    frame.write.format("parquet")
+      .bucketBy(b, "bh").sortBy("bh")
       .mode("overwrite").saveAsTable(tableName)
     // sketch parameters ride the table metadata so per-batch validation
     // is a catalog lookup, not an index scan
     indexDocs.sparkSession.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
         s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm', 'graft.bands' = '$bands', " +
-        s"'graft.buckets' = '$buckets')")
+        s"'graft.buckets' = '$b')")
   }
 
   /** Append a NEW batch's band hashes to a persisted
@@ -835,7 +844,8 @@ object Dedup {
     * document, appended as the corpus grows.
     */
   def writeSimhashIndex(indexDocs: DataFrame, tableName: String,
-                        buckets: Int = 64, maxHamming: Int = 3): Unit =
+                        buckets: Int = graft.util.IndexBuckets.Auto,
+                        maxHamming: Int = 3): Unit =
     writeSigIndex(simhash(indexDocs), tableName, buckets, maxHamming)
 
   /** [[writeSimhashIndex]] generalized to ANY 64-bit signature frame
@@ -845,18 +855,22 @@ object Dedup {
     * on the signature being 64 bits, not on what produced it.
     */
   def writeSigIndex(sigs: DataFrame, tableName: String,
-                    buckets: Int = 64, maxHamming: Int = 3): Unit = {
+                    buckets: Int = graft.util.IndexBuckets.Auto,
+                    maxHamming: Int = 3): Unit = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
     dropManaged(sigs.sparkSession, tableName)
-    simhashBanded(sigs, maxHamming)
+    val frame = simhashBanded(sigs, maxHamming)
       .select(col("doc_id").as("doc_index"), col("sig").as("sig_index"),
         col("band"), xxhash64(col("band"), col("seg")).as("sk"))
-      .write.format("parquet")
-      .bucketBy(buckets, "sk").sortBy("sk")
+    // size-derived by default ([[graft.util.IndexBuckets]]); recorded in
+    // the table properties so appends stay co-bucketed
+    val b = graft.util.IndexBuckets.resolve(frame, buckets)
+    frame.write.format("parquet")
+      .bucketBy(b, "sk").sortBy("sk")
       .mode("overwrite").saveAsTable(tableName)
     sigs.sparkSession.sql(
       s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
-        s"'graft.maxHamming' = '$maxHamming', 'graft.buckets' = '$buckets')")
+        s"'graft.maxHamming' = '$maxHamming', 'graft.buckets' = '$b')")
   }
 
   /** Append a NEW batch's banded signatures to a persisted
@@ -987,11 +1001,13 @@ object Dedup {
       (p, math.min(stored.getOrElse(p, Long.MaxValue),
         batch.getOrElse(p, Long.MaxValue)))
     }
+    // truncate+insert into the EXISTING table instead of drop+recreate:
+    // the table identity and its graft.* properties survive, so the
+    // per-micro-batch catalog ceremony (drop, create, ALTER) collapses
+    // to one insert — the stored rows were already collected above, so
+    // the read is complete before the overwrite begins
     merged.toDF("p", "min_a").coalesce(1)
-      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
-    spark.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
-        s"'graft.n' = '$n', 'graft.numPerm' = '$numPerm')")
+      .write.mode("overwrite").insertInto(tableName)
   }
 
   /** [[corpusOverlap]] of a NEW corpus against a [[writeOverlapSketch]]

@@ -413,6 +413,35 @@ object LinkGraph {
 
   private val extractAnchorsKernel = udf(extractAnchorsStr _)
 
+  /** BOTH extraction families from one pass over the page: the rel
+    * edges ([[extractRelStr]], AnchorTagRe scope) and the anchor texts
+    * ([[extractAnchorsStr]], AnchorRe scope) — each kernel runs
+    * VERBATIM (the two regex scopes differ by documented contract, so
+    * neither can be derived from the other), but a composite consumer
+    * like [[urlReport]] reads and decompresses each page ONCE instead
+    * of scanning the page frame twice. The page bytes never persist;
+    * only the (small) extracted tuples do.
+    */
+  private[operators] def extractRelAnchorsStr(src: String, html: String)
+      : (Array[(String, Boolean)], Array[(String, String)]) =
+    (extractRelStr(src, html), extractAnchorsStr(src, html))
+
+  private val extractRelAnchorsKernel = udf(extractRelAnchorsStr _)
+
+  /** The fused single-scan frame [[urlReport]] persists:
+    * `(src, _rel: array<(dst, nofollow)>, _anc: array<(dst, anchor)>)`,
+    * one row per page, both extraction families from ONE read of the
+    * page frame. `private[graft]` so the plan probe can dump its shape.
+    */
+  private[graft] def fusedRelAnchors(pages: DataFrame, urlCol: String,
+                                     htmlCol: String): DataFrame =
+    pages
+      .select(UrlOps.canonicalizeUrl(col(urlCol)).as("src"),
+        col(htmlCol).as("_html"))
+      .select(col("src"),
+        extractRelAnchorsKernel(col("src"), col("_html")).as("_ra"))
+      .select(col("src"), col("_ra._1").as("_rel"), col("_ra._2").as("_anc"))
+
   def extractAnchors(pages: DataFrame, urlCol: String,
                      htmlCol: String): DataFrame = {
     // single-pass kernel ([[extractAnchorsStr]]): ONE AnchorRe matcher
@@ -483,7 +512,24 @@ object LinkGraph {
                 iters: Int = 3, dampingPct: Int = 85,
                 checkpointDir: Option[String] = None): DataFrame =
     withCheckpointDir(pages.sparkSession, checkpointDir) {
-    val rel = extractLinksWithRel(pages, urlCol, htmlCol)
+    // ONE page scan feeds both signal families (r16): the fused kernel
+    // ([[extractRelAnchorsStr]]) runs the rel and anchor extractors
+    // verbatim in a single pass over each page, and the extracted
+    // tuples — not the page bytes — persist for the branches. The two
+    // downstream pipelines below are the extractLinksWithRel /
+    // extractAnchors column shapes byte-for-byte (same canonicalization,
+    // same self-loop filter, same aggregation), so the report is
+    // unchanged; only the second full read+decompress of the page frame
+    // disappears.
+    val scanned = fusedRelAnchors(pages, urlCol, htmlCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rel = scanned
+      .select(col("src"), explode(col("_rel")).as("_m"))
+      .select(col("src"), UrlOps.canonicalizeUrl(col("_m._1")).as("dst"),
+        col("_m._2").as("_nf"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(min(col("_nf").cast("int")).cast("boolean").as("nofollow"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inAgg = rel.groupBy(col("dst").as("url"))
       .agg(count(lit(1)).as("n_inlinks"),
@@ -492,7 +538,13 @@ object LinkGraph {
     val followed = rel.filter(!col("nofollow")).select("src", "dst")
     val ranks = pagerank(followed, iters, dampingPct,
       checkpointDir = checkpointDir)
-    val labels = topAnchorLabels(extractAnchors(pages, urlCol, htmlCol))
+    val anchors = scanned
+      .select(col("src"), explode(col("_anc")).as("_m"))
+      .select(col("src"), UrlOps.canonicalizeUrl(col("_m._1")).as("dst"),
+        col("_m._2").as("anchor"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val labels = topAnchorLabels(anchors)
     // same truncation option as the rank loop it embeds: on a
     // preemptible cluster the whole report survives executor loss
     // when a reliable dir is passed; default stays the cheap
@@ -503,6 +555,7 @@ object LinkGraph {
       .select(col("url"), col("rank"), col("n_inlinks"),
         col("nofollow_share"), col("top_anchor")), checkpointDir)
     rel.unpersist(false)
+    scanned.unpersist(false)
     out
     }
 
@@ -1064,14 +1117,17 @@ object LinkGraph {
     * index families.
     */
   def writeEdgeIndex(edges: DataFrame, tableName: String,
-                     buckets: Int = 64): Unit = {
+                     buckets: Int = graft.util.IndexBuckets.Auto): Unit = {
     Dedup.dropManaged(edges.sparkSession, tableName)
-    edges.select(col("src"), col("dst")).distinct()
-      .write.format("parquet")
-      .bucketBy(buckets, "src").sortBy("src")
+    val frame = edges.select(col("src"), col("dst")).distinct()
+    // size-derived by default ([[graft.util.IndexBuckets]]); the resolved
+    // count rides the table properties so appends stay co-bucketed
+    val b = graft.util.IndexBuckets.resolve(frame, buckets)
+    frame.write.format("parquet")
+      .bucketBy(b, "src").sortBy("src")
       .mode("overwrite").saveAsTable(tableName)
     edges.sparkSession.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$b')")
   }
 
   /** Append a new batch of edges (daily-crawl shape) to a

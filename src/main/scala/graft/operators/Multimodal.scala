@@ -344,7 +344,8 @@ object Multimodal {
     * bucket join over 16-byte rows.
     */
   def writeMediaIndex(media: DataFrame, tableName: String,
-                      buckets: Int = 64, maxHamming: Int = 4): Unit =
+                      buckets: Int = graft.util.IndexBuckets.Auto,
+                      maxHamming: Int = 4): Unit =
     Dedup.writeSigIndex(aHashSigs(media), tableName, buckets, maxHamming)
 
   def appendToMediaIndex(media: DataFrame, tableName: String): Unit =

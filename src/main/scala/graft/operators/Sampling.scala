@@ -289,12 +289,13 @@ object Sampling {
       spark.table(tableName).select(col(key), col("es_key"))
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val topK = merged.distinct.sortBy { case (id, esKey) => (-esKey, id) }.take(k)
+    // truncate+insert into the EXISTING table instead of drop+recreate:
+    // identity and graft.* properties survive, so the per-micro-batch
+    // catalog ceremony (drop, create, ALTER) collapses to one insert —
+    // both sides of the merge were collected above, so the read is
+    // complete before the overwrite begins
     topK.toSeq.toDF(key, "es_key").coalesce(1)
-      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
-    spark.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES(" +
-        s"'graft.weightCol' = '$weightCol', 'graft.k' = '$k', " +
-        s"'graft.salt' = '$salt', 'graft.key' = '$key')")
+      .write.mode("overwrite").insertInto(tableName)
   }
 
   def mixtureSample(docs: DataFrame, targets: Map[String, Double],

@@ -666,7 +666,11 @@ object TextAnalysis {
     spark.table(tableName)
       .groupBy("token").agg(sum("tf").as("tf"), sum("df").as("df"))
       .localCheckpoint(true)
-      .write.format("parquet").mode("overwrite").saveAsTable(tableName)
+      // truncate+insert keeps the table identity (no drop+recreate per
+      // maintenance run); the localCheckpoint above already materialized
+      // the re-aggregation, so the table is never read and truncated in
+      // the same plan
+      .write.mode("overwrite").insertInto(tableName)
 
   /** Feature-hashed bag-of-words embeddings (the hashing trick,
     * Weinberger et al. 2009): token t adds sign(t) at bucket(t) of a

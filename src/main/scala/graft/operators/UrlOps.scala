@@ -692,18 +692,21 @@ object UrlOps {
     * can re-admit URLs for recrawl.
     */
   def writeUrlIndex(df: DataFrame, urlCol: String, tableName: String,
-                    buckets: Int = 64,
+                    buckets: Int = graft.util.IndexBuckets.Auto,
                     claimedAtCol: Option[String] = None): Unit = {
     Dedup.dropManaged(df.sparkSession, tableName)
     val at = claimedAtCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
-    df.select(canonicalizeUrl(col(urlCol)).as("canon_url"),
+    val frame = df.select(canonicalizeUrl(col(urlCol)).as("canon_url"),
         at.as("claimed_at"))
       .groupBy("canon_url").agg(max("claimed_at").as("claimed_at"))
-      .write.format("parquet")
-      .bucketBy(buckets, "canon_url").sortBy("canon_url")
+    // size-derived by default ([[graft.util.IndexBuckets]]); the resolved
+    // count rides the table properties so appends stay co-bucketed
+    val b = graft.util.IndexBuckets.resolve(frame, buckets)
+    frame.write.format("parquet")
+      .bucketBy(b, "canon_url").sortBy("canon_url")
       .mode("overwrite").saveAsTable(tableName)
     df.sparkSession.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$b')")
   }
 
   /** Append newly-claimed canonical URLs (a `canon_url` column, plus

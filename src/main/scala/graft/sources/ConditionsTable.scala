@@ -28,7 +28,8 @@ object ConditionsTable {
     * (`shared_code/helpers.py:98-103`).
     */
   def normalize(spark: SparkSession, raw: Dataset[String],
-                correlationId: String => Option[String] = _ => Some(java.util.UUID.randomUUID.toString))
+                correlationId: String => Option[String] =
+                  _ => Some(graft.util.Util.fastRandomUuid()))
       : Dataset[TimeseriesRecord] = {
     import spark.implicits._
     raw.flatMap(s => graft.convert.Converters.convertEvent(s, correlationId(s))

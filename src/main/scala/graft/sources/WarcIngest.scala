@@ -232,15 +232,18 @@ object WarcIngest {
     * shuffles.
     */
   def writeDigestIndex(parsed: DataFrame, tableName: String,
-                       buckets: Int = 64): Unit = {
+                       buckets: Int = graft.util.IndexBuckets.Auto): Unit = {
     graft.operators.Dedup.dropManaged(parsed.sparkSession, tableName)
-    parsed.filter(col("warc_type") === "response")
+    val frame = parsed.filter(col("warc_type") === "response")
       .select(effectiveDigest.as("dig")).distinct()
-      .write.format("parquet")
-      .bucketBy(buckets, "dig").sortBy("dig")
+    // size-derived by default ([[graft.util.IndexBuckets]]); the resolved
+    // count rides the table properties so appends stay co-bucketed
+    val b = graft.util.IndexBuckets.resolve(frame, buckets)
+    frame.write.format("parquet")
+      .bucketBy(b, "dig").sortBy("dig")
       .mode("overwrite").saveAsTable(tableName)
     parsed.sparkSession.sql(
-      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$buckets')")
+      s"ALTER TABLE $tableName SET TBLPROPERTIES('graft.buckets' = '$b')")
   }
 
   /** Append a batch's digests (idempotent: duplicate digests are

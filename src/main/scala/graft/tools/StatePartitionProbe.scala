@@ -84,7 +84,10 @@ object StatePartitionProbe {
     val idxDocs = docs.filter(col("doc_id") % 2 === 0)
     graft.operators.Dedup.writeSignatureIndex(idxDocs, "spp_sig_index")
     for (parts <- Seq(cpus.toInt, 1, cpus.toInt, 1); round <- 0 to 1) {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      // the gate wraps its own start in withSizedShufflePartitions, which
+      // would override a raw shuffle-partitions set from the input size —
+      // the FORCED key is the knob that actually reaches the stream
+      spark.conf.set(graft.util.StreamParallelism.ForcedKey, parts.toString)
       val tmp = java.nio.file.Files.createTempDirectory(s"spp_gate_$parts").toString
       try {
         docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "source")
@@ -98,6 +101,7 @@ object StatePartitionProbe {
         if (round > 0) println(f"[spp gate] parts=$parts%2d stream=$w%.2f s")
       } finally graft.util.FsUtil.deleteRecursively(new java.io.File(tmp))
     }
+    spark.conf.unset(graft.util.StreamParallelism.ForcedKey)
     spark.stop()
   }
 }

@@ -17,13 +17,24 @@ import org.apache.spark.sql.SparkSession
   * partitions vs 3.0–4.0 s at 1–8, identical results), while a
   * planet-scale stream would want far MORE than the core count.
   *
-  * [[sessionFor]] derives the stream's shuffle-partition count from the
-  * INPUT SIZE it is about to process — the same bytes-per-partition
-  * policy AQE applies to batch shuffles, reusing AQE's own advisory
-  * size so the two stay aligned — and returns a CLONED session carrying
-  * the derived setting, leaving the caller's session untouched (no
-  * global conf mutation, no restore races; the micro-batch executor
-  * clones its session from the stream's, so per-batch jobs inherit it).
+  * [[withSizedShufflePartitions]] derives the stream's shuffle-partition
+  * count from the INPUT SIZE it is about to process — the same
+  * bytes-per-partition policy AQE applies to batch shuffles, reusing
+  * AQE's own advisory size so the two stay aligned — and scopes a
+  * `spark.sql.shuffle.partitions` set/restore around the stream start.
+  * The scoped set is safe because StreamExecution clones the session
+  * SYNCHRONOUSLY in its constructor, so the derived value is latched
+  * into the stream before the restore runs (see the method doc for why
+  * a cloned session per start was measured worse and abandoned).
+  *
+  * An EMPTY input directory carries no sizing signal: the session's
+  * provisioned setting is left untouched rather than latching 1 into
+  * the checkpoint forever (Spark pins the stateful-operator partition
+  * count from the conf at FIRST query start — a long-lived stream
+  * started before its data arrives must keep the operator-provisioned
+  * width). Deployments whose first-start volume is not representative
+  * of steady state should pin `graft.stream.shufflePartitions` from the
+  * EXPECTED steady-state volume — see SCALING.md's provisioning rule.
   *
   * Overrides, for deployments whose steady-state batch volume is not
   * proportional to the input directory at start time:
@@ -57,9 +68,27 @@ object StreamParallelism {
     * target size is worth a task wherever it runs, and a partition far
     * below it is pure per-partition overhead on any cluster.
     */
+  /** The validated `graft.stream.shufflePartitions` override, if set.
+    * Validated HERE (parse + positive, message naming the key — the
+    * same discipline as the TargetBytesKey require) so a typo'd value
+    * fails at stream start with a readable error instead of a bare
+    * NumberFormatException or an opaque downstream failure from a
+    * non-positive `spark.sql.shuffle.partitions`.
+    */
+  private[util] def forcedPartitions(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(ForcedKey).map { forced =>
+      val n =
+        try forced.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$ForcedKey must be a positive integer, got '$forced'") }
+      require(n > 0, s"$ForcedKey must be positive, got $n")
+      n
+    }
+
   def sizedPartitions(spark: SparkSession, bytes: Long): Int =
-    spark.conf.getOption(ForcedKey) match {
-      case Some(forced) => forced.toInt
+    forcedPartitions(spark) match {
+      case Some(forced) => forced
       case None =>
         val target = spark.conf.getOption(TargetBytesKey)
           .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
@@ -89,7 +118,18 @@ object StreamParallelism {
     */
   def withSizedShufflePartitions[T](spark: SparkSession,
                                     inputPath: String)(start: => T): T = {
-    val n = sizedPartitions(spark, dirBytes(spark, inputPath))
+    val forced = forcedPartitions(spark)
+    // an EMPTY dir carries no sizing signal — keep the session's
+    // provisioned setting rather than latching 1 into a fresh
+    // checkpoint forever (the object doc's start-before-data rule);
+    // a forced override still applies verbatim
+    val n = forced match {
+      case Some(f) => f
+      case None =>
+        val bytes = dirBytes(spark, inputPath)
+        if (bytes == 0L) return start
+        sizedPartitions(spark, bytes)
+    }
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, n.toString)

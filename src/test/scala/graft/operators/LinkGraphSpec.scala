@@ -257,6 +257,28 @@ class LinkGraphSpec extends AnyFunSuite {
       ("http://a.com/p", "https://x.com/1", "first link")), got)
   }
 
+  test("fused rel+anchor kernel is exactly (extractRelStr, extractAnchorsStr)") {
+    // the urlReport single-scan fusion must not perturb either
+    // extractor's scope: same page, same src, per-family results
+    // byte-identical to the standalone kernels — including the
+    // documented divergence (a raw '>' inside a quoted href is visible
+    // to HrefRe-based anchors but not to AnchorTagRe-based rel edges)
+    val src = "http://h.org/dir/page"
+    val html =
+      """<a href="/one" rel="nofollow">uno</a>
+        |<a rel='nofollow' href='two/rel.html'>dos  dos</a>
+        |<a href="/q?a>b">gt-in-quote</a>
+        |<a href="/plain">plain</a>""".stripMargin
+    val fused = LinkGraph.extractRelAnchorsStr(src, html)
+    assert(fused._1.toSeq == LinkGraph.extractRelStr(src, html).toSeq)
+    assert(fused._2.toSeq == LinkGraph.extractAnchorsStr(src, html).toSeq)
+    // and they see real content (not two empty arrays agreeing)
+    assert(fused._1.nonEmpty && fused._2.nonEmpty)
+    // null html: both families empty, no throw
+    val nullCase = LinkGraph.extractRelAnchorsStr(src, null)
+    assert(nullCase._1.isEmpty && nullCase._2.isEmpty)
+  }
+
   test("hostGraph: host projection drops intra-host edges, counts pairs") {
     import spark.implicits._
     val edges = Seq(

@@ -61,4 +61,44 @@ class StreamParallelismSpec extends AnyFunSuite {
     assert(StreamParallelism.sizedPartitions(
       spark, StreamParallelism.dirBytes(spark, in + "/nope")) == 1)
   }
+
+  test("empty input dir keeps the session's provisioned setting (start-before-data)") {
+    val key = "spark.sql.shuffle.partitions"
+    val empty = Files.createTempDirectory("sp_empty").toString
+    var inside = ""
+    StreamParallelism.withSizedShufflePartitions(spark, empty) {
+      inside = spark.conf.get(key)
+    }
+    // no sizing signal -> no latch: the provisioned width survives so a
+    // long-lived checkpoint started before its data arrives is not
+    // pinned to 1 partition forever
+    assert(inside == "7")
+    assert(spark.conf.get(key) == "7")
+    // a forced override still applies verbatim, even on an empty dir
+    spark.conf.set(StreamParallelism.ForcedKey, "3")
+    try {
+      StreamParallelism.withSizedShufflePartitions(spark, empty) {
+        inside = spark.conf.get(key)
+      }
+      assert(inside == "3")
+      assert(spark.conf.get(key) == "7")
+    } finally spark.conf.unset(StreamParallelism.ForcedKey)
+  }
+
+  test("forced override is validated: non-numeric and non-positive fail naming the key") {
+    try {
+      spark.conf.set(StreamParallelism.ForcedKey, "lots")
+      val e = intercept[IllegalArgumentException](
+        StreamParallelism.sizedPartitions(spark, 1000L))
+      assert(e.getMessage.contains(StreamParallelism.ForcedKey))
+      spark.conf.set(StreamParallelism.ForcedKey, "0")
+      val e2 = intercept[IllegalArgumentException](
+        StreamParallelism.sizedPartitions(spark, 1000L))
+      assert(e2.getMessage.contains(StreamParallelism.ForcedKey))
+      spark.conf.set(StreamParallelism.ForcedKey, "-4")
+      val e3 = intercept[IllegalArgumentException](
+        StreamParallelism.sizedPartitions(spark, 1000L))
+      assert(e3.getMessage.contains(StreamParallelism.ForcedKey))
+    } finally spark.conf.unset(StreamParallelism.ForcedKey)
+  }
 }
