@@ -105,6 +105,17 @@ object IndexLayoutProbe {
       "-- the NEW urlReport persists this ONE fused-kernel scan; the rel\n" +
         "-- and anchor branches read the persisted tuples, not the pages\n\n" +
         fmt(fused))
+
+    // ---- codegen audit of the matcher-kernel UDFs (r15 watch item):
+    // execute the extraction and dump the FINAL plan, where
+    // WholeStageCodegen spans are visible — the ScalaUDF must appear as
+    // a plain invoke inside a codegen stage, not fence it
+    val ext = graft.operators.LinkGraph.extractLinks(pages, "url", "html")
+    ext.write.format("noop").mode("overwrite").save()
+    write("kernel_codegen_audit.txt",
+      "-- executed (final) plan of extractLinks over planted pages;\n" +
+        "-- '*(n)' prefixes mark WholeStageCodegen stages\n\n" +
+        ext.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }
